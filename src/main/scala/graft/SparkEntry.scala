@@ -1,13 +1,308 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import java.time.Instant
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.expr.Compiler
+import graft.model.FieldRegistry
+import graft.ops.{Endpoints, Sessionize}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in [[queries]] is one operator from SURVEY.md §2 exercised on
+  * the driver's synthetic tables; [[oracleSql]] holds the DuckDB-equivalent
+  * SQL with matching column names/aliases.
+  *
+  * Determinism rules shared by both sides:
+  *   - double sums go through DECIMAL(18,2) (exact, order-independent) and
+  *     are cast back to double;
+  *   - timestamps are emitted as truncated epoch-second longs;
+  *   - every result has a total ordering (explicit tie-breaks).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Fixed reference instant for relative-date expressions (determinism). */
+  val now: Instant = Instant.parse("2024-02-01T00:00:00Z")
+
+  private def ev(s: SparkSession, dir: String) = Tables.load(s, dir, "events")
+  private def li(s: SparkSession, dir: String) = Tables.load(s, dir, "lineitem")
+  private def ord(s: SparkSession, dir: String) = Tables.load(s, dir, "orders")
+  private def cust(s: SparkSession, dir: String) = Tables.load(s, dir, "customer")
+
+  private def compiler = new Compiler(FieldRegistry.events, now = now)
+
+  /** Exact, order-independent double sum: decimal-accumulate, emit double. */
+  private def dsum(c: Column): Column =
+    sum(c.cast("decimal(18,2)")).cast("double")
+
+  /** Epoch seconds (truncated) of a timestamp column. */
+  private def epochS(c: Column): Column = unix_timestamp(c)
+
+  // ------------------------------------------------------------------ entry
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
+
+  // ---------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // --- TPC-H-style headliners (agg + join paths) -----------------------
+    "q1_pricing_summary" -> ((s, dir) => {
+      li(s, dir)
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+            .cast("double").as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    "q3_top_revenue" -> ((s, dir) => {
+      val c = cust(s, dir).filter(col("c_mktsegment") === "BUILDING")
+      val o = ord(s, dir).filter(col("o_orderdate") < lit("1995-03-15").cast("timestamp"))
+      val l = li(s, dir).filter(col("l_shipdate") > lit("1995-03-15").cast("timestamp"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+          .cast("double").as("revenue"))
+        .select(col("l_orderkey"), epochS(col("o_orderdate")).as("o_orderdate_s"),
+          col("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10)
+    }),
+
+    // --- Q: expression-language compiler (SURVEY §2.2) -------------------
+    "q_expr_eq" -> ((s, dir) =>
+      evProjected(ev(s, dir).filter(compiler.compile("type == purchase")))),
+    "q_expr_bool" -> ((s, dir) =>
+      evProjected(ev(s, dir).filter(compiler.compile(
+        "(type == purchase || type == signup) && value >= 50 && user != 7")))),
+    "q_expr_wildcard" -> ((s, dir) =>
+      evProjected(ev(s, dir).filter(compiler.compile("type == p*se")))),
+    "q_expr_regex" -> ((s, dir) =>
+      evProjected(ev(s, dir).filter(compiler.compile("type == /s.*p/")))),
+    "q_expr_list" -> ((s, dir) =>
+      evProjected(ev(s, dir).filter(compiler.compile(
+        "type == [signup, error, p*]")))),
+    "q_expr_range" -> ((s, dir) =>
+      evProjected(ev(s, dir).filter(compiler.compile(
+        "value >= 50 && value < 60.5 && id != 10-20")))),
+    "q_expr_not" -> ((s, dir) =>
+      evProjected(ev(s, dir).filter(compiler.compile(
+        "!(type == error || value < 10)")))),
+    "q_expr_date" -> ((s, dir) =>
+      evProjected(ev(s, dir).filter(compiler.compile(
+        "ts >= \"2024/01/10\" && ts < \"2024/01/20 12:00:00\"")))),
+    "q_expr_exists" -> ((s, dir) =>
+      evProjected(ev(s, dir).filter(compiler.compile(
+        "props == EXISTS! && type != error")))),
+
+    // --- E: endpoint operators (SURVEY §2.3) -----------------------------
+    "e1_session_query" -> ((s, dir) => {
+      val e = ev(s, dir)
+      evProjected(Endpoints.sessionQuery(
+        e, col("ts"), col("ts"), col("ts"),
+        lit("2024-01-05 00:00:00").cast("timestamp"),
+        lit("2024-01-25 00:00:00").cast("timestamp"),
+        Endpoints.Bounding.Last,
+        Some(compiler.compile("type == purchase && value >= 100"))))
+    }),
+    "e2_sessions_table" -> ((s, dir) =>
+      Endpoints.sessionsTable(
+        ev(s, dir).withColumn("ts_s", epochS(col("ts"))).drop("ts"),
+        Seq("event_id", "ts_s", "user_id", "event_type", "value"),
+        Seq(("value", false), ("event_id", true)),
+        limit = 20, offset = 10)),
+    "e3_time_histogram" -> ((s, dir) =>
+      Endpoints.timeHistogram(ev(s, dir), col("ts"), 3600,
+        Map("sum_value" -> dsum(col("value"))))
+        .withColumn("bucket_s", epochS(col("bucket"))).drop("bucket")
+        .orderBy("bucket_s")),
+    "e4_term_counts" -> ((s, dir) =>
+      Endpoints.termCounts(ev(s, dir), col("event_type"), "event_type")),
+    "e5_spiview_top" -> ((s, dir) =>
+      Endpoints.topTerms(ev(s, dir), col("user_id"), "user_id", 10)),
+    "e6_spigraph" -> ((s, dir) =>
+      Endpoints.spigraph(ev(s, dir), col("event_type"), "event_type",
+        col("ts"), 86400, 3)
+        .withColumn("bucket_s", epochS(col("bucket"))).drop("bucket")
+        .orderBy("event_type", "bucket_s")),
+    "e7_hierarchy" -> ((s, dir) =>
+      Endpoints.hierarchy(ev(s, dir), Seq("event_type", "user_id"), 3)),
+    "e8_unique" -> ((s, dir) =>
+      Endpoints.unique(ev(s, dir), col("user_id"), "user_id")),
+    "e9_multiunique" -> ((s, dir) =>
+      Endpoints.multiunique(ev(s, dir), Seq("event_type", "user_id"))),
+    "e10_connections" -> ((s, dir) =>
+      Endpoints.connectionsLinks(ev(s, dir), col("user_id"), col("event_type"),
+        Map("sum_value" -> dsum(col("value"))))),
+    "e12_segment_join" -> ((s, dir) => {
+      // rootId-style segment re-join: orders ⋈ lineitem, per-order rollup.
+      li(s, dir).join(ord(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderkey"))
+        .agg(count(lit(1)).as("n_lines"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("o_orderkey")).limit(1000)
+    }),
+
+    // --- I4: sessionization (batch gaps-and-islands) ---------------------
+    "i4_sessionize" -> ((s, dir) =>
+      Sessionize.sessionize(ev(s, dir), col("user_id"), col("ts"),
+        col("event_id"), 1800, Map("sum_value" -> dsum(col("value")))))
+  )
+
+  /** Project events with epoch-second ts for timestamp-safe comparison. */
+  private def evProjected(df: DataFrame): DataFrame =
+    df.select(col("event_id"), epochS(col("ts")).as("ts_s"), col("user_id"),
+      col("event_type"), col("value"), col("props"))
+      .orderBy(col("event_id"))
+
+  // -------------------------------------------------------------- oracles
+
+  /** Shared SQL fragments mirroring the Spark-side determinism rules. */
+  private def sqlDsum(c: String) =
+    s"CAST(SUM(CAST($c AS DECIMAL(18,2))) AS DOUBLE)"
+  private val sqlDiscPrice =
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)"
+  private val evCols =
+    "event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, user_id, event_type, value, props"
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus, ${sqlDsum("l_quantity")} AS sum_qty,
+         ${sqlDsum("l_extendedprice")} AS sum_base_price,
+         $sqlDiscPrice AS sum_disc_price,
+         count(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "q3_top_revenue" ->
+      s"""SELECT l_orderkey, CAST(floor(epoch(o_orderdate)) AS BIGINT) AS o_orderdate_s,
+         $sqlDiscPrice AS revenue
+         FROM customer, orders, lineitem
+         WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+           AND l_orderkey = o_orderkey
+           AND o_orderdate < TIMESTAMP '1995-03-15'
+           AND l_shipdate > TIMESTAMP '1995-03-15'
+         GROUP BY l_orderkey, o_orderdate
+         ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+    "q_expr_eq" ->
+      s"SELECT $evCols FROM events WHERE event_type = 'purchase' ORDER BY event_id",
+    "q_expr_bool" ->
+      s"""SELECT $evCols FROM events
+         WHERE (event_type = 'purchase' OR event_type = 'signup')
+           AND value >= 50 AND NOT coalesce(user_id = 7, FALSE)
+         ORDER BY event_id""",
+    "q_expr_wildcard" ->
+      s"SELECT $evCols FROM events WHERE event_type LIKE 'p%se' ORDER BY event_id",
+    "q_expr_regex" ->
+      s"SELECT $evCols FROM events WHERE regexp_full_match(event_type, 's.*p') ORDER BY event_id",
+    "q_expr_list" ->
+      s"""SELECT $evCols FROM events
+         WHERE event_type IN ('signup', 'error') OR event_type LIKE 'p%'
+         ORDER BY event_id""",
+    "q_expr_range" ->
+      s"""SELECT $evCols FROM events
+         WHERE value >= 50 AND value < 60.5
+           AND NOT coalesce(event_id BETWEEN 10 AND 20, FALSE)
+         ORDER BY event_id""",
+    "q_expr_not" ->
+      s"""SELECT $evCols FROM events
+         WHERE NOT coalesce(event_type = 'error' OR value < 10, FALSE)
+         ORDER BY event_id""",
+    "q_expr_date" ->
+      s"""SELECT $evCols FROM events
+         WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+           AND ts < TIMESTAMP '2024-01-20 12:00:00'
+         ORDER BY event_id""",
+    "q_expr_exists" ->
+      s"""SELECT $evCols FROM events
+         WHERE props IS NOT NULL AND NOT coalesce(event_type = 'error', FALSE)
+         ORDER BY event_id""",
+    "e1_session_query" ->
+      s"""SELECT $evCols FROM events
+         WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+           AND ts <= TIMESTAMP '2024-01-25 00:00:00'
+           AND event_type = 'purchase' AND value >= 100
+         ORDER BY event_id""",
+    "e2_sessions_table" ->
+      """SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, user_id, event_type, value
+         FROM events
+         ORDER BY value DESC NULLS LAST, event_id ASC
+         LIMIT 20 OFFSET 10""",
+    "e3_time_histogram" ->
+      s"""SELECT count(*) AS sessions, ${sqlDsum("value")} AS sum_value,
+         CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS bucket_s
+         FROM events GROUP BY bucket_s ORDER BY bucket_s""",
+    "e4_term_counts" ->
+      """SELECT event_type, count(*) AS cnt FROM events
+         GROUP BY event_type ORDER BY cnt DESC, event_type ASC""",
+    "e5_spiview_top" ->
+      """SELECT user_id, count(*) AS cnt FROM events WHERE user_id IS NOT NULL
+         GROUP BY user_id ORDER BY cnt DESC, user_id ASC LIMIT 10""",
+    "e6_spigraph" ->
+      """WITH top AS (
+           SELECT event_type FROM events WHERE event_type IS NOT NULL
+           GROUP BY event_type ORDER BY count(*) DESC, event_type ASC LIMIT 3)
+         SELECT e.event_type, count(*) AS value,
+           CAST(floor(epoch(e.ts)/86400)*86400 AS BIGINT) AS bucket_s
+         FROM events e JOIN top USING (event_type)
+         GROUP BY e.event_type, bucket_s
+         ORDER BY e.event_type, bucket_s""",
+    "e7_hierarchy" ->
+      """WITH g AS (
+           SELECT event_type, user_id, count(*) AS cnt FROM events
+           WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+           GROUP BY event_type, user_id),
+         t AS (SELECT *, sum(cnt) OVER (PARTITION BY event_type) AS tot0 FROM g),
+         rk AS (SELECT *,
+           dense_rank() OVER (ORDER BY tot0 DESC, event_type ASC) AS rk0,
+           dense_rank() OVER (PARTITION BY event_type ORDER BY cnt DESC, user_id ASC) AS rk1
+           FROM t)
+         SELECT event_type, user_id, cnt FROM rk WHERE rk0 <= 3 AND rk1 <= 3
+         ORDER BY event_type, user_id""",
+    "e8_unique" ->
+      """SELECT user_id, count(*) AS cnt FROM events WHERE user_id IS NOT NULL
+         GROUP BY user_id ORDER BY cnt DESC, user_id ASC LIMIT 10000""",
+    "e9_multiunique" ->
+      """SELECT event_type, user_id, count(*) AS cnt FROM events
+         WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+         GROUP BY event_type, user_id
+         ORDER BY cnt DESC, event_type ASC, user_id ASC LIMIT 10000""",
+    "e10_connections" ->
+      s"""SELECT user_id AS src, event_type AS dst, count(*) AS cnt,
+         ${sqlDsum("value")} AS sum_value
+         FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+         GROUP BY src, dst ORDER BY src, dst""",
+    "e12_segment_join" ->
+      s"""SELECT o_orderkey, count(*) AS n_lines, ${sqlDsum("l_quantity")} AS sum_qty
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderkey ORDER BY o_orderkey LIMIT 1000""",
+    "i4_sessionize" ->
+      s"""WITH marked AS (
+           SELECT user_id, ts, event_id, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+                  THEN 1 ELSE 0 END AS is_new
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         numbered AS (
+           SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING) - 1 AS sid
+           FROM marked)
+         SELECT user_id AS key, sid AS session_seq,
+           CAST(floor(epoch(min(ts))) AS BIGINT) AS start_s,
+           CAST(floor(epoch(max(ts))) AS BIGINT) AS end_s,
+           count(*) AS n_events, ${sqlDsum("value")} AS sum_value
+         FROM numbered GROUP BY key, session_seq ORDER BY key, session_seq"""
+  ).map { case (k, v) => k -> v.replaceAll("\\s+", " ").trim }
 }

@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Loaders for the driver-provided synthetic tables (TESTDATA.md).
+  *
+  * At 100 TB these would be partitioned-by-day parquet datasets; the loader
+  * keeps the access path identical (`spark.read.parquet(dir)`) so partition
+  * pruning and filter pushdown apply unchanged at scale.
+  *
+  * `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark only
+  * reads via the `nanosAsLong` legacy flag (see [[Sessions.builder]]); the
+  * loader converts it back to a microsecond TimestampType (truncating, the
+  * same way DuckDB's micro-precision TIMESTAMP reads the file).
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events" && df.schema("ts").dataType == LongType)
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
+  }
+}
+
+/** Single place for SparkSession defaults shared by Verify/Bench/tests. */
+object Sessions {
+  def builder(master: String, shufflePartitions: Int): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+}

@@ -1,0 +1,277 @@
+package graft.expr
+
+import java.time.Instant
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.functions.IpFunctions
+import graft.model.{FieldDef, FieldKind, FieldRegistry}
+
+/** Compile a Moloch search expression to a Spark `Column` predicate.
+  *
+  * Semantics mirror the reference's ES query formatting
+  * (viewer/molochparser.jison:449-583 formatQuery):
+  *   - `!=` / `!` are ES `must_not`: a row with a NULL field *matches* the
+  *     negation (SQL `cond IS NOT TRUE`), unlike bare SQL `<>`;
+  *   - bare values containing `*` are wildcards (`?` also wildcards inside
+  *     a wildcard value); quoted values are always literal;
+  *   - `/re/` is an anchored full match (ES regexp);
+  *   - lists are an OR of member matches (terms ∪ wildcards ∪ regexes);
+  *   - `lo`/`up` term kinds case-fold the operand (columns are normalized
+  *     at ingest, as in the reference);
+  *   - integer values support the `10-20` range shorthand;
+  *   - ip values support CIDR, `10.10` prefix shorthand and `:port` pairing;
+  *   - date/seconds values support `-5d`, `@h`, absolute formats (the
+  *     comparison instant `now` is injected for determinism);
+  *   - meta-fields (e.g. `ip`, `port`) fan out to an OR over member fields.
+  *
+  * Multivalued (array) columns get membership semantics: `f == v` means
+  * "some element matches", as ES term queries do on arrays.
+  */
+final class Compiler(
+    registry: FieldRegistry,
+    col: String => Column = org.apache.spark.sql.functions.col,
+    now: Instant = Instant.now()) {
+
+  import Ast._
+  import CmpOp._
+
+  def compile(expression: String): Column = toCol(Parser.parse(expression))
+
+  /** must_not semantics: NULL comparison results count as a match. */
+  private def mustNot(c: Column): Column = !coalesce(c, lit(false))
+
+  private def toCol(ast: Ast): Column = ast match {
+    case And(l, r) => toCol(l) && toCol(r)
+    case Or(l, r)  => toCol(l) || toCol(r)
+    case Not(e)    => mustNot(toCol(e))
+    case Exists(field, neg) =>
+      val c = registry.expand(field).map(existsCol).reduce(_ || _)
+      if (neg) mustNot(c) else c
+    case Cmp(field, op, value) =>
+      val defs = registry.expand(field)
+      val c = defs.map(d => cmpCol(d, op, value)).reduce(_ || _)
+      // ne on a fanned-out meta-field: must_not(OR of eq) — handled inside
+      // cmpCol for single fields via op; for meta we negate the eq-fanout.
+      c
+  }
+
+  private def existsCol(d: FieldDef): Column = {
+    val c = col(d.dbField)
+    if (d.multiValued) c.isNotNull && size(c) > 0 else c.isNotNull
+  }
+
+  private def cmpCol(d: FieldDef, op: CmpOp, value: Value): Column = {
+    import FieldKind._
+    d.kind match {
+      case IntegerK | FloatK => numericCmp(d, op, value)
+      case SecondsK | DateK  => dateCmp(d, op, value)
+      case IpK               => ipCmp(d, op, value)
+      case TermK | LoTermK | UpTermK | TextK => stringCmp(d, op, value)
+    }
+  }
+
+  // ---------------------------------------------------------------- numeric
+
+  private def numericCmp(d: FieldDef, op: CmpOp, value: Value): Column = {
+    val c = col(d.dbField)
+    def lits(v: Value): Column = lit(numVal(d, v))
+    val rangeRe = "^(-?\\d+)-(-?\\d+)$".r
+    (op, value) match {
+      case (Eq | Ne, Value.Bare(rangeRe(lo, hi))) =>
+        val m = inRange(d, c, lo.toDouble, hi.toDouble)
+        if (op == Ne) mustNot(m) else m
+      case (Eq | Ne, Value.Lst(items)) =>
+        val m = items.map(i => eqOne(d, c, lits(i))).reduce(_ || _)
+        if (op == Ne) mustNot(m) else m
+      case (Eq | Ne, v) =>
+        val m = eqOne(d, c, lits(v))
+        if (op == Ne) mustNot(m) else m
+      case (Lt, v)  => c < lits(v)
+      case (Lte, v) => c <= lits(v)
+      case (Gt, v)  => c > lits(v)
+      case (Gte, v) => c >= lits(v)
+      case _ => throw new IllegalArgumentException(s"bad numeric op $op")
+    }
+  }
+
+  private def eqOne(d: FieldDef, c: Column, v: Column): Column =
+    if (d.multiValued) array_contains(c, v) else c === v
+
+  private def inRange(d: FieldDef, c: Column, lo: Double, hi: Double): Column =
+    if (d.multiValued) exists(c, e => e >= lit(lo) && e <= lit(hi))
+    else c >= lit(lo) && c <= lit(hi)
+
+  private def numVal(d: FieldDef, v: Value): Double = {
+    val raw = v match {
+      case Value.Bare(s)   => s
+      case Value.Quoted(s) => s
+      case other => throw new IllegalArgumentException(
+        s"${d.expression}: unsupported numeric value $other")
+    }
+    val t = d.transform.map(_.apply(raw)).getOrElse(raw)
+    t.toDouble
+  }
+
+  // ---------------------------------------------------------------- string
+
+  private def foldCase(d: FieldDef, s: String): String = d.kind match {
+    case FieldKind.LoTermK => s.toLowerCase
+    case FieldKind.UpTermK => s.toUpperCase
+    case _                 => s
+  }
+
+  /** Moloch wildcard (`*` any, `?` one) → SQL LIKE pattern. */
+  private[expr] def wildcardToLike(s: String): String =
+    s.flatMap {
+      case '*'  => "%"
+      case '?'  => "_"
+      case '%'  => "\\%"
+      case '_'  => "\\_"
+      case '\\' => "\\\\"
+      case c    => c.toString
+    }
+
+  private def stringMatchOne(d: FieldDef, v: Value): Column => Column = {
+    def tx(s: String): String = foldCase(d, d.transform.map(_.apply(s)).getOrElse(s))
+    v match {
+      case Value.Regex(re) =>
+        val full = "^(?:" + re + ")$" // ES regexp is anchored
+        e => e.rlike(full)
+      case Value.Quoted(s) =>
+        val lit0 = tx(s); e => e === lit(lit0)
+      case Value.Bare(s) if s.contains("*") =>
+        if (s == "*") throw new IllegalArgumentException(
+          "Please use 'EXISTS!' instead of a '*' in expression")
+        val pat = wildcardToLike(tx(s)); e => e.like(pat)
+      case Value.Bare(s) =>
+        val lit0 = tx(s); e => e === lit(lit0)
+      case Value.Lst(_) =>
+        throw new IllegalArgumentException("nested list")
+    }
+  }
+
+  private def stringCmp(d: FieldDef, op: CmpOp, value: Value): Column = {
+    val c = col(d.dbField)
+    def apply1(v: Value): Column = {
+      val f = stringMatchOne(d, v)
+      if (d.multiValued) exists(c, f) else f(c)
+    }
+    val m = value match {
+      case Value.Lst(items) => items.map(apply1).reduce(_ || _)
+      case v                => apply1(v)
+    }
+    op match {
+      case Eq => m
+      case Ne => mustNot(m)
+      case _  => throw new IllegalArgumentException(
+        s"Invalid operator '$op' for ${d.expression}")
+    }
+  }
+
+  // ------------------------------------------------------------------ date
+
+  private def dateCmp(d: FieldDef, op: CmpOp, value: Value): Column = {
+    val c = col(d.dbField)
+    def secs(v: Value): Long = v match {
+      case Value.Bare(s)   => DateParse.parseSeconds(s, now)
+      case Value.Quoted(s) => DateParse.parseSeconds(s, now)
+      case other => throw new IllegalArgumentException(s"bad date value $other")
+    }
+    // DateK columns are timestamps; SecondsK columns are epoch-second longs.
+    def bound(v: Value): Column =
+      if (d.kind == FieldKind.DateK) timestamp_seconds(lit(secs(v))) else lit(secs(v))
+    (op, value) match {
+      case (Eq | Ne, Value.Lst(items)) =>
+        val m = items.map(i => dateEq(c, bound(i))).reduce(_ || _)
+        if (op == Ne) mustNot(m) else m
+      case (Eq | Ne, v) =>
+        val m = dateEq(c, bound(v))
+        if (op == Ne) mustNot(m) else m
+      case (Lt, v)  => c < bound(v)
+      case (Lte, v) => c <= bound(v)
+      case (Gt, v)  => c > bound(v)
+      case (Gte, v) => c >= bound(v)
+      case _ => throw new IllegalArgumentException(s"bad date op $op")
+    }
+  }
+
+  /** Date equality = within the named second (ES range gte/lte — jison
+    * termOrTermsDate). For timestamp columns: [t, t+1s).
+    */
+  private def dateEq(c: Column, t: Column): Column =
+    c >= t && c < t + expr("INTERVAL 1 SECOND")
+
+  // -------------------------------------------------------------------- ip
+
+  private def ipCmp(d: FieldDef, op: CmpOp, value: Value): Column = {
+    value match {
+      case Value.Regex(_) => throw new IllegalArgumentException(
+        "Regex not supported for ip queries")
+      case Value.Bare(s) if s.contains("*") => throw new IllegalArgumentException(
+        "Wildcard not supported for ip queries")
+      case _ =>
+    }
+    val c = col(d.dbField)
+    def one(raw0: String): Column = {
+      val raw = raw0.trim
+      // :port / .port alone, or trailing port on v4 (`:p`) / v6 (`.p`)
+      val (ipPart, portPart) = splitIpPort(raw)
+      val ipMatch: Option[Column] = ipPart.map { ip =>
+        if (d.multiValued) exists(c, e => IpFunctions.ipInCidr(e, ip))
+        else IpFunctions.ipInCidr(c, ip)
+      }
+      val portMatch: Option[Column] = portPart.map { p =>
+        val pf = d.portField.getOrElse(throw new IllegalArgumentException(
+          s"${d.expression} doesn't support port"))
+        col(pf) === lit(p.toInt)
+      }
+      (ipMatch, portMatch) match {
+        case (Some(a), Some(b)) => a && b
+        case (Some(a), None)    => a
+        case (None, Some(b))    => b
+        case (None, None)       => lit(false)
+      }
+    }
+    def strOf(v: Value): String = v match {
+      case Value.Bare(s) => s; case Value.Quoted(s) => s
+      case other => throw new IllegalArgumentException(s"bad ip value $other")
+    }
+    (op, value) match {
+      case (Eq | Ne, Value.Lst(items)) =>
+        val m = items.map(i => one(strOf(i))).reduce(_ || _)
+        if (op == Ne) mustNot(m) else m
+      case (Eq | Ne, v) =>
+        val m = one(strOf(v))
+        if (op == Ne) mustNot(m) else m
+      case (rangeOp, v) =>
+        // gt/lt on ip: lexicographic on the binary form; v1 compares the
+        // canonical string (correct for v4-only columns).
+        val target = lit(strOf(v))
+        rangeOp match {
+          case Lt  => c < target
+          case Lte => c <= target
+          case Gt  => c > target
+          case Gte => c >= target
+          case _   => lit(false)
+        }
+    }
+  }
+
+  /** Split the reference's ip:port forms (jison parseIpPort:150-293):
+    * `:80` → (None, 80); `10.1.2.3:80`; v6 `1::2.80`.
+    */
+  private[expr] def splitIpPort(raw: String): (Option[String], Option[String]) = {
+    if (raw.startsWith(":") || raw.startsWith("."))
+      return (None, Some(raw.substring(1)))
+    val colons = raw.split(':')
+    if (colons.length > 2) { // v6: port after '.'
+      val dots = raw.split('.')
+      if (dots.length > 1 && dots(1).nonEmpty) (Some(dots(0)), Some(dots(1)))
+      else (Some(raw), None)
+    } else if (colons.length == 2 && colons(1).nonEmpty) {
+      (Some(colons(0)), Some(colons(1)))
+    } else (Some(raw), None)
+  }
+}

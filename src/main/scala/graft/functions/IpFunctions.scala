@@ -1,0 +1,48 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level IP operations built from Catalyst built-ins where possible.
+  *
+  * CIDR membership over a *string* ip column is evaluated via a scala UDF
+  * for v1 (filter-side only; candidate for a codegen'd Expression later).
+  * For binary (16-byte) ip columns we compare prefix bytes with built-in
+  * `substring`/literal comparisons, which stays inside whole-stage codegen
+  * and pushes down min/max pruning on the binary sort key.
+  */
+object IpFunctions {
+
+  private val cidrMatchUdf = udf { (ip: String, cidr: String) =>
+    if (ip == null || cidr == null) false
+    else IpUtil.parseCidr(IpUtil.expandShorthand(cidr)) match {
+      case Some(c) => c.contains(IpUtil.toBytes(ip))
+      case None    => false
+    }
+  }
+
+  /** String-ip column ∈ CIDR (constant). */
+  def ipInCidr(ipCol: Column, cidr: String): Column = {
+    val norm = IpUtil.expandShorthand(cidr)
+    if (!norm.contains('/')) {
+      // Exact ip equality — plain string compare on the canonical form.
+      ipCol === lit(norm)
+    } else cidrMatchUdf(ipCol, lit(norm))
+  }
+
+  /** Binary(16) ip column ∈ CIDR — pure built-ins, codegen-friendly.
+    * Only whole-byte prefixes use the fast path; others fall back.
+    */
+  def ipBinInCidr(ipBin: Column, cidr: String): Column = {
+    IpUtil.parseCidr(IpUtil.expandShorthand(cidr)) match {
+      case Some(c) if c.prefixLen % 8 == 0 =>
+        val nBytes = c.prefixLen / 8
+        if (nBytes == 0) ipBin.isNotNull
+        else substring(ipBin, 1, nBytes) === lit(c.base.take(nBytes))
+      case Some(c) =>
+        val udfMatch = udf((b: Array[Byte]) => b != null && c.contains(b))
+        udfMatch(ipBin)
+      case None => lit(false)
+    }
+  }
+}

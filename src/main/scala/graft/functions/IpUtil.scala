@@ -1,0 +1,102 @@
+package graft.functions
+
+/** Pure IPv4/IPv6 helpers used by the expression compiler and the pcap ETL.
+  *
+  * Mirrors the reference's ES `ip`-type semantics: values are canonical
+  * strings, CIDR terms match by prefix, v4 addresses sort/compare as
+  * v4-mapped-v6 (reference: capture/packet.c:213-223, capture/db.c:695-701).
+  */
+object IpUtil {
+
+  /** Parse an IPv4/IPv6 string to its 16-byte (v4-mapped) form, or null. */
+  def toBytes(ip: String): Array[Byte] = {
+    if (ip == null) return null
+    try {
+      // Avoid InetAddress.getByName's DNS fallback on non-literal input.
+      if (!ip.exists(c => c == ':' || c == '.') && !ip.forall(_.isDigit)) return null
+      val addr = java.net.InetAddress.getByName(ip).getAddress
+      if (addr.length == 16) addr
+      else {
+        val out = new Array[Byte](16)
+        out(10) = -1; out(11) = -1
+        System.arraycopy(addr, 0, out, 12, 4)
+        out
+      }
+    } catch { case _: Exception => null }
+  }
+
+  /** Canonical string form: dotted quad for v4, lowercase compressed v6. */
+  def canonical(bytes: Array[Byte]): String = {
+    if (bytes == null) return null
+    val full = if (bytes.length == 4) {
+      val out = new Array[Byte](16); out(10) = -1; out(11) = -1
+      System.arraycopy(bytes, 0, out, 12, 4); out
+    } else bytes
+    java.net.InetAddress.getByAddress(full) match {
+      case v4m if isV4Mapped(full) =>
+        s"${full(12) & 0xff}.${full(13) & 0xff}.${full(14) & 0xff}.${full(15) & 0xff}"
+      case a => a.getHostAddress.toLowerCase
+    }
+  }
+
+  def isV4Mapped(b: Array[Byte]): Boolean =
+    b.length == 16 && (0 until 10).forall(b(_) == 0) && b(10) == -1 && b(11) == -1
+
+  /** A parsed CIDR: 16-byte base + prefix length in the 128-bit space. */
+  final case class Cidr(base: Array[Byte], prefixLen: Int) {
+    def contains(ipBytes: Array[Byte]): Boolean = {
+      if (ipBytes == null) return false
+      val fullBytes = prefixLen / 8
+      var i = 0
+      while (i < fullBytes) {
+        if (base(i) != ipBytes(i)) return false
+        i += 1
+      }
+      val remBits = prefixLen % 8
+      if (remBits == 0) true
+      else {
+        val mask = (0xff << (8 - remBits)) & 0xff
+        (base(fullBytes) & mask) == (ipBytes(fullBytes) & mask)
+      }
+    }
+  }
+
+  /** Parse "a.b.c.d", "a.b.c.d/nn", "1::2", "1::2/64" into a Cidr.
+    * v4 prefixes are shifted into the v4-mapped-v6 space (+96).
+    */
+  def parseCidr(s: String): Option[Cidr] = {
+    val slash = s.indexOf('/')
+    val (ipStr, prefixStr) =
+      if (slash >= 0) (s.substring(0, slash), s.substring(slash + 1)) else (s, "")
+    val bytes = toBytes(ipStr)
+    if (bytes == null) return None
+    val isV4 = !ipStr.contains(':')
+    val prefix =
+      if (prefixStr.isEmpty) 128
+      else {
+        val p = try prefixStr.toInt catch { case _: Exception => return None }
+        if (isV4) p + 96 else p
+      }
+    if (prefix < 0 || prefix > 128) None else Some(Cidr(bytes, prefix))
+  }
+
+  /** Expand the reference's shorthand IP syntax to a full CIDR string:
+    * `10` → `10.0.0.0/8`, `10.10` → `10.10.0.0/16`, `10.10.10` →
+    * `10.10.10.0/24` (reference: viewer/molochparser.jison:254-283).
+    * Returns the normalized "ip[/prefix]" string.
+    */
+  def expandShorthand(ipStr: String): String = {
+    if (ipStr.contains(':')) return ipStr // v6: no shorthand
+    val slash = ipStr.split('/')
+    val dots = slash(0).split('.').filter(_.nonEmpty)
+    val (full, defPrefix) = dots.length match {
+      case 4 => (dots.mkString("."), 32)
+      case 3 => (dots.mkString(".") + ".0", 24)
+      case 2 => (dots.mkString(".") + ".0.0", 16)
+      case 1 => (dots(0) + ".0.0.0", 8)
+      case _ => return ipStr
+    }
+    val prefix = if (slash.length > 1) slash(1) else defPrefix.toString
+    if (prefix == "32") full else s"$full/$prefix"
+  }
+}

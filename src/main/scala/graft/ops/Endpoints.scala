@@ -1,0 +1,267 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The viewer's analytics endpoints re-expressed as declarative
+  * DataFrame→DataFrame operators (SURVEY.md §2.3).
+  *
+  * Scale notes (100 TB design):
+  *   - every operator is a single declarative plan: Catalyst pushes the
+  *     session filter into the scan and does partial (map-side) aggregation
+  *     before the shuffle;
+  *   - top-K never collects more than K×shufflePartitions rows to the
+  *     driver (`TakeOrderedAndProject`);
+  *   - `spigraph` does ONE pass (groupBy key×bucket + broadcast semi-join
+  *     against the top-K keys) instead of the reference's 2K-query msearch
+  *     fan-out (viewer/apiSessions.js:2024-2030);
+  *   - `hierarchy` computes all levels from one grouped aggregate and ranks
+  *     per-prefix with window functions, instead of nested terms aggs.
+  */
+object Endpoints {
+
+  /** Time bounding modes of buildSessionQuery
+    * (reference: viewer/apiSessions.js:1240-1279).
+    */
+  sealed trait Bounding
+  object Bounding {
+    case object First    extends Bounding // firstPacket in [start, stop]
+    case object Last     extends Bounding // lastPacket in [start, stop]
+    case object Both     extends Bounding // firstPacket>=start && lastPacket<=stop
+    case object Either   extends Bounding // overlap
+    case object Database extends Bounding // timestamp in [start, stop]
+  }
+
+  /** E1: canonical bounded+filtered scan. `firstCol`/`lastCol` are the
+    * session's first/last timestamp columns (a single-timestamp table can
+    * pass the same column for all three).
+    */
+  def sessionQuery(
+      df: DataFrame,
+      firstCol: Column,
+      lastCol: Column,
+      dbCol: Column,
+      startTime: Column,
+      stopTime: Column,
+      bounding: Bounding = Bounding.Last,
+      expression: Option[Column] = None): DataFrame = {
+    val timePred = bounding match {
+      case Bounding.First    => firstCol >= startTime && firstCol <= stopTime
+      case Bounding.Last     => lastCol >= startTime && lastCol <= stopTime
+      case Bounding.Both     => firstCol >= startTime && lastCol <= stopTime
+      case Bounding.Either   => firstCol <= stopTime && lastCol >= startTime
+      case Bounding.Database => dbCol >= startTime && dbCol <= stopTime
+    }
+    val full = expression.map(timePred && _).getOrElse(timePred)
+    df.filter(full)
+  }
+
+  /** E2: sessions table — projection, multi-key sort with ES null placement
+    * (missing values sort last on asc, first on desc — matching ES
+    * `missing: _last` defaults), paging.
+    */
+  def sessionsTable(
+      df: DataFrame,
+      projection: Seq[String],
+      sortKeys: Seq[(String, Boolean)], // (column, ascending)
+      limit: Int,
+      offset: Int = 0): DataFrame = {
+    val sortCols = sortKeys.map { case (c, asc) =>
+      if (asc) col(c).asc_nulls_last else col(c).desc_nulls_last
+    }
+    val sorted = df.select(projection.map(col): _*).orderBy(sortCols: _*)
+    (if (offset > 0) sorted.offset(offset) else sorted).limit(limit)
+  }
+
+  /** Auto interval (seconds) for histograms
+    * (reference: viewer/viewerUtils.js:66-134).
+    */
+  def autoInterval(startSec: Long, stopSec: Long): Long = {
+    val diff = stopSec - startSec
+    if (diff < 30 * 60) 1L
+    else if (diff <= 5L * 24 * 60 * 60) 60L
+    else 3600L
+  }
+
+  /** E3: time histogram with per-bucket session count + metric sums.
+    * `tsCol` must be a timestamp column; bucket is emitted as `bucket`
+    * (timestamp, floor to `intervalSec`).
+    */
+  def timeHistogram(
+      df: DataFrame,
+      tsCol: Column,
+      intervalSec: Long,
+      sums: Map[String, Column] = Map.empty): DataFrame = {
+    val bucket = timestamp_seconds(
+      (unix_timestamp(tsCol) / intervalSec).cast("long") * intervalSec)
+      .as("bucket")
+    val aggs = (count(lit(1)).as("sessions") ::
+      sums.toSeq.sortBy(_._1).map { case (n, c) => c.as(n) }.toList)
+    df.groupBy(bucket).agg(aggs.head, aggs.tail: _*).orderBy(col("bucket"))
+  }
+
+  /** E4: geo facets — value counts of a (country-like) column. */
+  def termCounts(df: DataFrame, field: Column, name: String): DataFrame =
+    df.groupBy(field.as(name)).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col(name).asc)
+
+  /** E5: spiview top-K values + counts for one field. Ties broken by value
+    * so results are deterministic.
+    */
+  def topTerms(df: DataFrame, field: Column, name: String, k: Int): DataFrame =
+    df.filter(field.isNotNull)
+      .groupBy(field.as(name)).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col(name).asc)
+      .limit(k)
+
+  /** E6: spigraph — per-value time histogram for the top-K values of a
+    * field. Single aggregation pass + broadcast semi-join with the top keys
+    * (the reference fans out one msearch per key).
+    */
+  def spigraph(
+      df: DataFrame,
+      field: Column,
+      name: String,
+      tsCol: Column,
+      intervalSec: Long,
+      k: Int,
+      metric: Column = count(lit(1))): DataFrame = {
+    val top = topTerms(df, field, name, k).select(name)
+    val bucket = timestamp_seconds(
+      (unix_timestamp(tsCol) / intervalSec).cast("long") * intervalSec)
+    df.filter(field.isNotNull)
+      .withColumn(name, field)
+      .withColumn("bucket", bucket)
+      .join(broadcast(top), Seq(name), "left_semi")
+      .groupBy(col(name), col("bucket"))
+      .agg(metric.as("value"))
+      .orderBy(col(name), col("bucket"))
+  }
+
+  /** E7: spigraphhierarchy — nested top-K along a field path. Every level
+    * requires non-null (the reference adds `exists` per level). One grouped
+    * aggregate + per-prefix dense ranks.
+    */
+  def hierarchy(df: DataFrame, fields: Seq[String], k: Int): DataFrame = {
+    val nonNull = fields.map(col(_).isNotNull).reduce(_ && _)
+    val grouped = df.filter(nonNull)
+      .groupBy(fields.map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+    // Rank each level within its prefix; keep rows inside top-K at every
+    // level. Level total = window sum over the level's group; rank = dense
+    // rank of that total within the parent prefix (deterministic tie-break
+    // on the value itself).
+    val ranked = fields.indices.foldLeft(grouped) { (acc, i) =>
+      val prefix = fields.take(i).map(col)
+      val level = fields.take(i + 1).map(col)
+      acc
+        .withColumn(s"_tot$i", sum("cnt").over(Window.partitionBy(level: _*)))
+        .withColumn(s"_rk$i", dense_rank().over(
+          Window.partitionBy(prefix: _*)
+            .orderBy(col(s"_tot$i").desc, col(fields(i)).asc)))
+    }
+    val keep = fields.indices.map(i => col(s"_rk$i") <= k).reduce(_ && _)
+    ranked.filter(keep)
+      .select((fields.map(col) :+ col("cnt")): _*)
+      .orderBy(fields.map(col): _*)
+  }
+
+  /** E8: unique values of a field (± counts). `autocompletePrefix` filters
+    * by prefix as the reference's autocomplete mode does.
+    */
+  def unique(
+      df: DataFrame,
+      field: Column,
+      name: String,
+      counts: Boolean = true,
+      autocompletePrefix: Option[String] = None,
+      maxAggSize: Int = 10000): DataFrame = {
+    val base0 = df.select(field.as(name)).filter(col(name).isNotNull)
+    val base = autocompletePrefix match {
+      case Some(p) => base0.filter(col(name).startsWith(p))
+      case None    => base0
+    }
+    val out =
+      if (counts)
+        base.groupBy(col(name)).agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col(name).asc)
+      else base.distinct().orderBy(col(name).asc)
+    out.limit(maxAggSize)
+  }
+
+  /** E9: multiunique — distinct tuples across fields with counts,
+    * descending (reference: viewer/apiSessions.js:2420-2500).
+    */
+  def multiunique(df: DataFrame, fields: Seq[String], maxAggSize: Int = 10000): DataFrame = {
+    val nonNull = fields.map(col(_).isNotNull).reduce(_ && _)
+    df.filter(nonNull)
+      .groupBy(fields.map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy((col("cnt").desc +: fields.map(col(_).asc)): _*)
+      .limit(maxAggSize)
+  }
+
+  /** E10: connections graph. Emits the *links* table:
+    * (src, dst, count, plus requested sums). Nodes with degree < minConn
+    * are dropped exactly as the reference filters nodes by `minConn`
+    * (viewer/apiConnections.js).
+    */
+  def connectionsLinks(
+      df: DataFrame,
+      srcField: Column,
+      dstField: Column,
+      sums: Map[String, Column] = Map.empty,
+      minConn: Int = 1): DataFrame = {
+    val links = df
+      .filter(srcField.isNotNull && dstField.isNotNull)
+      .groupBy(srcField.as("src"), dstField.as("dst"))
+      .agg(count(lit(1)).as("cnt"),
+        sums.toSeq.sortBy(_._1).map { case (n, c) => c.as(n) }: _*)
+    if (minConn <= 1) links.orderBy(col("src"), col("dst"))
+    else {
+      // node degree = number of distinct peers over both directions
+      val deg = links.select(col("src").as("node"), col("dst").as("peer"))
+        .union(links.select(col("dst"), col("src")))
+        .distinct()
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= minConn)
+        .select("node")
+      links
+        .join(broadcast(deg.withColumnRenamed("node", "src")), Seq("src"), "left_semi")
+        .join(broadcast(deg.withColumnRenamed("node", "dst")), Seq("dst"), "left_semi")
+        .select(("src" +: "dst" +: "cnt" +: sums.keys.toSeq.sorted).map(col): _*)
+        .orderBy(col("src"), col("dst"))
+    }
+  }
+
+  /** E10 nodes with baseline comparison: each node flagged with a bitmask —
+    * 1 = present in current window, 2 = present in baseline window
+    * (reference: viewer/apiConnections.js:45-105 baseline, node flags).
+    */
+  def connectionsNodes(
+      current: DataFrame,
+      baseline: Option[DataFrame],
+      srcField: Column,
+      dstField: Column): DataFrame = {
+    def nodes(d: DataFrame, flag: Int): DataFrame =
+      d.select(srcField.as("node")).union(d.select(dstField.as("node")))
+        .filter(col("node").isNotNull)
+        .groupBy("node").agg(count(lit(1)).as("sessions"))
+        .withColumn("flag", lit(flag))
+    val cur = nodes(current, 1)
+    baseline match {
+      case None => cur.orderBy("node")
+      case Some(b) =>
+        cur.unionByName(nodes(b, 2))
+          .groupBy("node")
+          .agg(sum(when(col("flag") === 1, col("sessions")).otherwise(0)).as("sessions"),
+            sum(col("flag")).cast("int").as("flag"))
+          .orderBy("node")
+    }
+  }
+
+  /** E11: CSV export of any endpoint result. */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(path)
+}
