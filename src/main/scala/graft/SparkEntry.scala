@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 
 import graft.expr.Compiler
 import graft.model.FieldRegistry
-import graft.ops.{Endpoints, Sessionize}
+import graft.ops.{Dedup, Endpoints, Multimodal, Sessionize, Similarity, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -157,8 +157,63 @@ object SparkEntry {
     // --- I4: sessionization (batch gaps-and-islands) ---------------------
     "i4_sessionize" -> ((s, dir) =>
       Sessionize.sessionize(ev(s, dir), col("user_id"), col("ts"),
-        col("event_id"), 1800, Map("sum_value" -> dsum(col("value")))))
+        col("event_id"), 1800, Map("sum_value" -> dsum(col("value"))))),
+
+    // --- D: deduplication ------------------------------------------------
+    "d1_dedup_exact" -> ((s, dir) =>
+      Dedup.exact(docs(s, dir), col("text"), col("doc_id"))),
+    "d2_dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashCandidates(docs(s, dir), col("text"), col("doc_id"))),
+    "d3_dedup_simhash" -> ((s, dir) =>
+      Dedup.simhash(docs(s, dir), col("text"), col("doc_id"))),
+    "d4_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(docs(s, dir), col("text"), col("doc_id"),
+        docBlockKey, shingleK = 3, threshold = 0.5)),
+    "d5_embedding_neardup" -> ((s, dir) =>
+      Dedup.embeddingNearDup(emb(s, dir), col("embedding"), col("vec_id"),
+        col("label"), threshold = 0.4)),
+
+    // --- S: similarity search -------------------------------------------
+    "s1_ann_bruteforce" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 5),
+        "embedding", "vec_id", k = 3)
+    }),
+    "s2_ann_lsh" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.lshTopK(e, e.filter(col("vec_id") < 5),
+        "embedding", "vec_id", k = 3, planes = 8, dim = 64)
+    }),
+
+    // --- T: text analysis ------------------------------------------------
+    "t1_lang_id" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("lang"), TextOps.langGuess(TextOps.tokens(col("text"))).as("guess"))
+        .groupBy("lang", "guess").agg(count(lit(1)).as("n"))
+        .orderBy("lang", "guess")),
+    "t2_quality" -> ((s, dir) =>
+      TextOps.qualityMetrics(docs(s, dir), col("text"), col("doc_id"))
+        .orderBy("doc_id")),
+    "t3_token_count" -> ((s, dir) =>
+      TextOps.tokenCounts(docs(s, dir), col("text"), col("doc_id"))
+        .orderBy("doc_id")),
+    "t4_fingerprint" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")),
+
+    // --- M: multimodal column plumbing (stubbed decode kernel) ----------
+    "m1_multimodal_meta" -> ((s, dir) =>
+      Multimodal.extractMeta(
+        Multimodal.asMedia(docs(s, dir), col("doc_id"), col("text"), "image")))
   )
+
+  private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
+  private def emb(s: SparkSession, dir: String) = Tables.load(s, dir, "embeddings")
+
+  /** Blocking key for near-dup joins: language × length bucket. */
+  private def docBlockKey: Column =
+    concat(col("lang"), lit("|"), floor(col("n_chars") / 100).cast("long").cast("string"))
 
   /** Project events with epoch-second ts for timestamp-safe comparison. */
   private def evProjected(df: DataFrame): DataFrame =
@@ -175,6 +230,52 @@ object SparkEntry {
     "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)"
   private val evCols =
     "event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, user_id, event_type, value, props"
+
+  // DuckDB fragments mirroring TextOps/Dedup/Similarity exactly.
+  private val sqlToks =
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+  private def sqlShingles(toks: String, k: Int) =
+    s"list_transform(range(1, len($toks)-${k - 2}), i -> array_to_string($toks[i:i+${k - 1}], ' '))"
+  private def sqlHex32(c: String) =
+    s"CAST(('0x' || substr(md5($c), 1, 8)) AS BIGINT)"
+  private def sqlMinhashCols: String =
+    (0 until 12).map { j =>
+      s"min((h * ${Dedup.minhashA(j)} + ${Dedup.minhashB(j)}) % ${Dedup.minhashP}) AS mh$j"
+    }.mkString(", ")
+  private def sqlBandKey: String =
+    (0 until 4).map { b =>
+      val key = (0 until 3).map(r => s"CAST(mh${b * 3 + r} AS VARCHAR)")
+        .mkString(" || '|' || ")
+      s"WHEN $b THEN $key"
+    }.mkString("CASE b ", " ", " END")
+  private def sqlDot(a: String, b: String, dim: Int) =
+    s"list_reduce(list_transform(range(1, ${dim + 1}), i -> $a[i]*$b[i]), (x, y) -> x + y)"
+  private def sqlCos(a: String, b: String, dim: Int) =
+    s"${sqlDot(a, b, dim)} / (sqrt(${sqlDot(a, a, dim)}) * sqrt(${sqlDot(b, b, dim)}))"
+  /** Plane component formula — must match Similarity.hyperplane. */
+  private def sqlPlaneDot(p: String, v: String, dim: Int) =
+    s"list_reduce(list_transform(range(1, ${dim + 1}), i -> " +
+      s"(CAST((CAST(('0x' || substr(md5(CAST($p AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 8)) AS BIGINT) % 1000) AS DOUBLE)/1000 - 0.5) * $v[i]), (x, y) -> x + y)"
+  private def sqlLshBucket(v: String, planes: Int, dim: Int) =
+    (0 until planes).map(p =>
+      s"(CASE WHEN ${sqlPlaneDot(p.toString, v, dim)} > 0 THEN ${1L << p} ELSE 0 END)")
+      .mkString(" + ")
+  private val sqlSimhash = {
+    val hashes = s"list_transform(toks, t -> ${sqlHex32("t")})"
+    (0 until 32).map { i =>
+      s"(CASE WHEN list_sum(list_transform($hashes, h -> ((h >> $i) & 1)*2 - 1)) > 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+  }
+  private val sqlLangCase = {
+    val scores = TextOps.langMarkers.map { case (lang, markers) =>
+      val arr = markers.map(m => s"'$m'").mkString("[", ", ", "]")
+      lang -> s"len(list_intersect(list_distinct(toks), $arr))"
+    }
+    val best = s"greatest(${scores.map(_._2).mkString(", ")})"
+    scores.reverse.foldLeft("'und'") { case (acc, (lang, s)) =>
+      s"CASE WHEN $s = $best AND $s > 0 THEN '$lang' ELSE $acc END"
+    }
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -303,6 +404,110 @@ object SparkEntry {
            CAST(floor(epoch(min(ts))) AS BIGINT) AS start_s,
            CAST(floor(epoch(max(ts))) AS BIGINT) AS end_s,
            count(*) AS n_events, ${sqlDsum("value")} AS sum_value
-         FROM numbered GROUP BY key, session_seq ORDER BY key, session_seq"""
+         FROM numbered GROUP BY key, session_seq ORDER BY key, session_seq""",
+    "d1_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_docs
+         FROM documents GROUP BY content_hash ORDER BY content_hash""",
+    "d2_dedup_minhash" ->
+      s"""WITH tok AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+         sh AS (SELECT doc_id, unnest(${sqlShingles("toks", 3)}) AS s
+                FROM tok WHERE len(toks) >= 3),
+         hs AS (SELECT doc_id, ${sqlHex32("s")} AS h FROM sh),
+         sig AS (SELECT doc_id, $sqlMinhashCols FROM hs GROUP BY doc_id),
+         bandrows AS (
+           SELECT doc_id, b AS band_id, $sqlBandKey AS band_key
+           FROM sig, range(0, 4) t(b))
+         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM bandrows a JOIN bandrows b
+           ON a.band_id = b.band_id AND a.band_key = b.band_key
+           AND a.doc_id < b.doc_id
+         ORDER BY doc_a, doc_b""",
+    "d3_dedup_simhash" ->
+      s"""WITH tok AS (SELECT doc_id, $sqlToks AS toks FROM documents)
+         SELECT doc_id, $sqlSimhash AS simhash
+         FROM tok WHERE len(toks) > 0 ORDER BY doc_id""",
+    "d4_ngram_jaccard" ->
+      s"""WITH tok AS (
+           SELECT doc_id, lang || '|' || CAST(CAST(floor(n_chars/100) AS BIGINT) AS VARCHAR) AS block,
+             $sqlToks AS toks FROM documents),
+         sh AS (SELECT doc_id, block,
+             unnest(list_distinct(list_transform(${sqlShingles("toks", 3)}, s -> ${sqlHex32("s")}))) AS h
+           FROM tok WHERE len(toks) >= 3),
+         sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         inter AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n
+           FROM sh a JOIN sh b ON a.block = b.block AND a.h = b.h AND a.doc_id < b.doc_id
+           GROUP BY doc_a, doc_b)
+         SELECT doc_a, doc_b, jaccard FROM (
+           SELECT doc_a, doc_b,
+             CAST(n AS DOUBLE) / (sa.sz + sb.sz - n) AS jaccard
+           FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+             JOIN sizes sb ON sb.doc_id = doc_b)
+         WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""",
+    "d5_embedding_neardup" ->
+      s"""WITH e AS (SELECT vec_id, label,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)
+         SELECT vec_a, vec_b, cosine FROM (
+           SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             ${sqlCos("a.v", "b.v", 64)} AS cosine
+           FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+         WHERE cosine >= 0.4 ORDER BY vec_a, vec_b""",
+    "s1_ann_bruteforce" ->
+      s"""WITH e AS (SELECT vec_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+         scored AS (
+           SELECT q.query_id, c.vec_id AS neighbor_id,
+             ${sqlCos("q.qv", "c.v", 64)} AS cosine
+           FROM e c, q WHERE c.vec_id <> q.query_id),
+         ranked AS (SELECT *, row_number() OVER
+             (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rk
+           FROM scored)
+         SELECT query_id, neighbor_id, cosine, rk FROM ranked
+         WHERE rk <= 3 ORDER BY query_id, rk""",
+    "s2_ann_lsh" ->
+      s"""WITH e AS (SELECT vec_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+           ${sqlLshBucket("list_transform(embedding, x -> CAST(x AS DOUBLE))", 8, 64)} AS bucket
+           FROM embeddings),
+         q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM e WHERE vec_id < 5),
+         scored AS (
+           SELECT q.query_id, c.vec_id AS neighbor_id,
+             ${sqlCos("q.qv", "c.v", 64)} AS cosine
+           FROM e c JOIN q USING (bucket) WHERE c.vec_id <> q.query_id),
+         ranked AS (SELECT *, row_number() OVER
+             (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rk
+           FROM scored)
+         SELECT query_id, neighbor_id, cosine, rk FROM ranked
+         WHERE rk <= 3 ORDER BY query_id, rk""",
+    "t1_lang_id" ->
+      s"""WITH tok AS (SELECT lang, $sqlToks AS toks FROM documents)
+         SELECT lang, $sqlLangCase AS guess, count(*) AS n
+         FROM tok GROUP BY lang, guess ORDER BY lang, guess""",
+    "t2_quality" ->
+      s"""WITH tok AS (SELECT doc_id, text, $sqlToks AS toks FROM documents)
+         SELECT doc_id, len(toks) AS n_tokens,
+           CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks) AS mean_token_len,
+           CAST(len(list_filter(toks, t -> list_contains(${TextOps.stopwords.map(s => s"'$s'").mkString("[", ", ", "]")}, t))) AS DOUBLE) / len(toks) AS stop_ratio,
+           CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text) AS alpha_ratio
+         FROM tok ORDER BY doc_id""",
+    "t3_token_count" ->
+      s"""SELECT doc_id, len($sqlToks) AS ws_tokens,
+         len(regexp_extract_all(lower(text), '${TextOps.bpeRegex}')) AS bpe_tokens,
+         CAST(ceil(CAST(length(text) AS DOUBLE) / 4) AS BIGINT) AS est_tokens
+         FROM documents ORDER BY doc_id""",
+    "t4_fingerprint" ->
+      s"""SELECT doc_id,
+         md5(array_to_string(list_sort(list_distinct($sqlToks)), ' ')) AS fp
+         FROM documents ORDER BY doc_id""",
+    "m1_multimodal_meta" ->
+      s"""WITH h AS (SELECT doc_id AS media_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+           ${sqlHex32("text")} AS hv FROM documents)
+         SELECT media_id, byte_len,
+           CAST(hv % 512 + 1 AS INT) AS width,
+           CAST((hv >> 9) % 512 + 1 AS INT) AS height,
+           CAST((hv >> 18) % 30 + 1 AS INT) AS n_frames
+         FROM h ORDER BY media_id"""
   ).map { case (k, v) => k -> v.replaceAll("\\s+", " ").trim }
 }

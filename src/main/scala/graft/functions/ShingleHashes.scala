@@ -1,0 +1,69 @@
+package graft.functions
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.udf
+
+/** Fused tokenize → word-k-gram → 32-bit-md5 pipeline, one JVM call per
+  * document.
+  *
+  * Semantically identical to the composed built-ins
+  * `transform(shingles(tokens(text), k), hex32)` (and to the DuckDB oracle
+  * `list_transform(shingles, s -> ('0x'||substr(md5(s),1,8))::BIGINT)`),
+  * but those run thousands of *interpreted* higher-order-lambda
+  * invocations per document — the lambda interpreter, not the hashing,
+  * dominates (~10× on the dedup benchmarks). A single typed function per
+  * document keeps the scan codegen'd around it and the hot loop JIT'd.
+  *
+  * Tokenizer contract (must stay in sync with TextOps.tokens and the SQL
+  * fragments in SparkEntry): lowercase, split on `[^a-z0-9]+`, drop
+  * empties; shingle = k tokens joined by single spaces; hash = first 8 hex
+  * chars of md5(shingle) as a long. Docs with fewer than k tokens yield an
+  * empty array.
+  */
+object ShingleHashes {
+
+  private val splitRe = java.util.regex.Pattern.compile("[^a-z0-9]+")
+
+  def hashes(text: String, k: Int, distinct: Boolean): Array[Long] = {
+    if (text == null) return Array.empty[Long]
+    val toks = splitRe.split(text.toLowerCase).filter(_.nonEmpty)
+    if (toks.length < k) return Array.empty[Long]
+    val md = MessageDigest.getInstance("MD5")
+    val n = toks.length - k + 1
+    val out = new Array[Long](n)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i < n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      md.reset()
+      val d = md.digest(sb.toString.getBytes(StandardCharsets.UTF_8))
+      out(i) = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      i += 1
+    }
+    if (distinct) {
+      val seen = new java.util.LinkedHashSet[java.lang.Long]()
+      out.foreach(seen.add(_))
+      val arr = new Array[Long](seen.size)
+      var idx = 0
+      val it = seen.iterator()
+      while (it.hasNext) { arr(idx) = it.next(); idx += 1 }
+      arr
+    } else out
+  }
+
+  /** Column form: array<long> of shingle hashes. */
+  def apply(text: Column, k: Int, distinct: Boolean): Column = {
+    val f = udf((s: String) => hashes(s, k, distinct))
+    f(text)
+  }
+}

@@ -1,0 +1,156 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import TextOps._
+
+/** Deduplication operators for training-data pipelines.
+  *
+  * Scale design (100 TB):
+  *   - exact: shuffle only (hash, id) pairs — bytes per row, not documents;
+  *   - MinHash-LSH: per-doc signature is computed scan-side inside codegen;
+  *     only (band_id, band_hash, doc_id) rows shuffle. The band self-join
+  *     groups candidates into tiny buckets, so the join output is ~linear
+  *     in the number of true near-dups, never O(n²);
+  *   - SimHash: one pass, 32 integer aggregates per doc, no shuffle until
+  *     the (rare) collision grouping;
+  *   - blocked Jaccard: the blocking key keeps the self-join partitioned
+  *     and skew-bounded; swap the block key for LSH buckets at scale.
+  */
+object Dedup {
+
+  /** Exact dedup by content hash: one row per distinct hash with the
+    * canonical (minimum) id kept and the duplicate count.
+    */
+  def exact(df: DataFrame, content: Column, idCol: Column): DataFrame =
+    df.groupBy(md5(content.cast("string")).as("content_hash"))
+      .agg(min(idCol).as("keep_id"), count(lit(1)).as("n_docs"))
+      .orderBy(col("content_hash"))
+
+  /** Universal-hash permutation family over a base hash h < 2^32:
+    * perm_j(h) = (a_j·h + b_j) mod P. Pure 64-bit arithmetic, identical in
+    * any engine (no overflow: a < 10^8, h < 2^32 ⇒ a·h < 2^62).
+    */
+  val minhashP: Long = 1000000007L
+  def minhashA(j: Int): Long = ((j * 2654435761L) % 99999989L) | 1L
+  def minhashB(j: Int): Long = (j * 40503L * 69069L) % minhashP
+
+  /** MinHash signature columns from an exploded shingle-hash row set.
+    * One md5 per shingle (the base hash), then arithmetic permutations;
+    * partial (map-side) min aggregation makes the shuffle one row per doc.
+    */
+  def minhashSig(hashCol: Column, numHashes: Int): Seq[Column] =
+    (0 until numHashes).map { j =>
+      min((hashCol * minhashA(j) + minhashB(j)) % minhashP).as(s"mh$j")
+    }
+
+  /** LSH band rows: (doc_id, band_id, band_key), `bands` bands of
+    * `rowsPerBand` min-hashes each; band key = joined min-hash values.
+    */
+  def minhashBands(
+      df: DataFrame, text: Column, idCol: Column,
+      shingleK: Int, bands: Int, rowsPerBand: Int): DataFrame = {
+    // Fused expression: docs shorter than k tokens yield an empty array,
+    // which explode() drops — same effect as the size(toks) >= k guard.
+    val shingleRows = df
+      .select(idCol.as("doc_id"),
+        explode(graft.functions.ShingleHashes(text, shingleK, distinct = false)).as("h"))
+    val sig = shingleRows.groupBy("doc_id")
+      .agg(minhashSig(col("h"), bands * rowsPerBand).head,
+        minhashSig(col("h"), bands * rowsPerBand).tail: _*)
+    val bandCols = (0 until bands).map { b =>
+      concat_ws("|", (0 until rowsPerBand).map(r =>
+        col(s"mh${b * rowsPerBand + r}").cast("string")): _*)
+    }
+    sig.select(col("doc_id"), posexplode(array(bandCols: _*)))
+      .withColumnRenamed("pos", "band_id")
+      .withColumnRenamed("col", "band_key")
+  }
+
+  /** MinHash-LSH candidate pairs: documents sharing at least one band. */
+  def minhashCandidates(
+      df: DataFrame, text: Column, idCol: Column,
+      shingleK: Int = 3, bands: Int = 4, rowsPerBand: Int = 3): DataFrame = {
+    val b = minhashBands(df, text, idCol, shingleK, bands, rowsPerBand)
+    val l = b.select(col("band_id"), col("band_key"), col("doc_id").as("doc_a"))
+    val r = b.select(col("band_id"), col("band_key"), col("doc_id").as("doc_b"))
+    l.join(r, Seq("band_id", "band_key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** 32-bit SimHash over the token multiset (portable hash family). */
+  def simhash32(toks: Column): Column = {
+    val hashes = transform(toks, t => hex32(t))
+    val fpBits = (0 until 32).map { i =>
+      val bitSum = aggregate(hashes, lit(0L),
+        (acc, h) => acc + (shiftright(h, i).bitwiseAND(lit(1L)) * 2 - 1))
+      when(bitSum > 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    fpBits.reduce(_ + _)
+  }
+
+  /** Per-doc simhash fingerprints (doc_id, simhash). */
+  def simhash(df: DataFrame, text: Column, idCol: Column): DataFrame = {
+    val toks = tokens(text)
+    df.filter(size(toks) > 0)
+      .select(idCol.as("doc_id"), simhash32(toks).as("simhash"))
+      .orderBy("doc_id")
+  }
+
+  /** Blocked n-gram Jaccard near-dup pairs: candidate pairs share a
+    * blocking key; similarity = |A∩B| / |A∪B| over distinct k-gram sets.
+    */
+  def ngramJaccardPairs(
+      df: DataFrame, text: Column, idCol: Column, blockKey: Column,
+      shingleK: Int = 3, threshold: Double = 0.5): DataFrame = {
+    // Inverted-index formulation: explode distinct 32-bit shingle hashes,
+    // count co-occurrences per pair — |A∩B| with no per-row set structure.
+    // The self-join on (block, shingle) emits rows only for pairs that
+    // actually share shingles (~linear in true overlap), never the O(n²)
+    // block cross-product; both join sides share one Exchange
+    // (ReuseExchange), so tokenize/shingle/hash runs once.
+    val side = df
+      .select(idCol.as("doc_id"), blockKey.as("block"),
+        explode(graft.functions.ShingleHashes(text, shingleK, distinct = true)).as("h"))
+      .repartition(col("block"), col("h"))
+    val sizes = side.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val a = side.select(col("block"), col("h"), col("doc_id").as("doc_a"))
+    val b = side.select(col("block"), col("h"), col("doc_id").as("doc_b"))
+    a.join(b, Seq("block", "h"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+      .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("sz", "sa")), Seq("doc_a"))
+      .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("sz", "sb")), Seq("doc_b"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("sa") + col("sb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Embedding near-dup pairs within a blocking key (label, LSH bucket, …):
+    * cosine ≥ threshold. Fold order matches the SQL oracle exactly.
+    */
+  def embeddingNearDup(
+      df: DataFrame, vec: Column, idCol: Column, blockKey: Column,
+      threshold: Double): DataFrame = {
+    val side = df.select(idCol.as("vec_a"), blockKey.as("block"),
+      Similarity.toDouble(vec).as("va"))
+      .withColumn("na", Similarity.norm(col("va")))
+    val other = df.select(idCol.as("vec_b"), blockKey.as("block"),
+      Similarity.toDouble(vec).as("vb"))
+      .withColumn("nb", Similarity.norm(col("vb")))
+    side.join(other, Seq("block"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cosine",
+        Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cosine") >= threshold)
+      .select("vec_a", "vec_b", "cosine")
+      .orderBy("vec_a", "vec_b")
+  }
+}

@@ -1,0 +1,94 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: image/audio/video payloads as opaque
+  * `binary` columns with typed metadata structs.
+  *
+  * The real decoders (JPEG, PCM, H.264 frame sampling) are not available
+  * in this container, so the decode kernel is STUBBED with a deterministic
+  * fake (metadata derived from md5 of the payload bytes). Everything
+  * around it — schema, batched per-partition execution, partitioning,
+  * column pruning — is real and is what matters at 100 TB:
+  *   - payloads stay in executor memory, never shuffled (all derived
+  *     metadata is computed scan-side);
+  *   - the `mapPartitions` path processes payloads in batches, the shape
+  *     a vectorized/native decoder (or Pandas-UDF equivalent) needs;
+  *   - metadata-only queries never touch the binary column thanks to
+  *     parquet column pruning.
+  */
+object Multimodal {
+
+  /** The canonical multimodal record: opaque payload + typed metadata. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false), // image|audio|video
+    StructField("payload", BinaryType, nullable = true),
+    StructField("meta", StructType(Seq(
+      StructField("byte_len", LongType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("n_frames", IntegerType))))))
+
+  /** Wrap any (id, string-content) table as a media table (payload =
+    * utf-8 bytes) — the test stand-in for real image/audio blobs.
+    */
+  def asMedia(df: DataFrame, idCol: Column, content: Column, kind: String): DataFrame =
+    df.select(idCol.as("media_id"), lit(kind).as("kind"),
+      encode(content, "UTF-8").as("payload"))
+
+  /** STUB image decode, expression form (codegen'd, portable to SQL):
+    * dimensions derived deterministically from the payload hash.
+    * Real deployments swap this for a native decoder via [[decodePartition]].
+    */
+  def stubDecodeMeta(payload: Column): Column = {
+    val h = TextOps.hex32(payload)
+    struct(
+      length(payload).cast("long").as("byte_len"),
+      (h % 512 + 1).cast("int").as("width"),
+      (shiftright(h, 9) % 512 + 1).cast("int").as("height"),
+      (shiftright(h, 18) % 30 + 1).cast("int").as("n_frames"))
+  }
+
+  final case class MediaRow(media_id: Long, kind: String, payload: Array[Byte])
+  final case class DecodedRow(
+      media_id: Long, kind: String, byte_len: Long,
+      width: Int, height: Int, n_frames: Int,
+      features: Array[Float])
+
+  /** Batched per-partition decode — the seam where a real decoder plugs
+    * in. The stub emits an 8-dim feature vector derived from the payload
+    * hash; a real implementation would hand each batch to libjpeg/ffmpeg
+    * and must keep this exact signature (Iterator→Iterator, no
+    * materialization of the whole partition).
+    */
+  def decodePartition(ds: Dataset[MediaRow]): Dataset[DecodedRow] = {
+    implicit val enc = Encoders.product[DecodedRow]
+    ds.mapPartitions { rows =>
+      rows.grouped(64).flatMap { batch => // batch shape for vectorized decode
+        batch.iterator.map { r =>
+          val md5hex = org.apache.commons.codec.digest.DigestUtils.md5Hex(r.payload)
+          val h = java.lang.Long.parseLong(md5hex.substring(0, 8), 16)
+          // ??? real decoder goes here — deterministic fake below
+          val feats = Array.tabulate(8)(i =>
+            ((h >> i) % 256).toFloat / 255.0f)
+          DecodedRow(r.media_id, r.kind, r.payload.length.toLong,
+            (h % 512 + 1).toInt, ((h >> 9) % 512 + 1).toInt,
+            ((h >> 18) % 30 + 1).toInt, feats)
+        }
+      }
+    }
+  }
+
+  /** Metadata extraction query: (media_id, byte_len, width, height,
+    * n_frames) from the stub decode — never shuffles payload bytes.
+    */
+  def extractMeta(media: DataFrame): DataFrame =
+    media.select(col("media_id"), stubDecodeMeta(col("payload")).as("m"))
+      .select(col("media_id"), col("m.byte_len").as("byte_len"),
+        col("m.width").as("width"), col("m.height").as("height"),
+        col("m.n_frames").as("n_frames"))
+      .orderBy("media_id")
+}

@@ -1,0 +1,97 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over embedding columns.
+  *
+  * Scale design (100 TB):
+  *   - brute-force top-k broadcasts the (small) query set and computes
+  *     cosine inside codegen: one scan of the corpus, no shuffle except
+  *     the final per-query top-k (window over query partitions);
+  *   - the LSH variant buckets both sides by random-hyperplane sign
+  *     signatures; the join touches only same-bucket rows, cutting the
+  *     candidate set by ~2^planes. Buckets are the IVF cell analogue —
+  *     at cluster scale, write the corpus bucketed (`bucketBy`) so probe
+  *     queries are shuffle-free.
+  */
+object Similarity {
+
+  /** float[] → double[] (deterministic widening; matches SQL CAST). */
+  def toDouble(vec: Column): Column = transform(vec, x => x.cast("double"))
+
+  /** Sequential-fold dot product — bit-identical to the DuckDB oracle's
+    * list_reduce(list_transform(...)) left fold.
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force cosine top-k: for each query vector, the k nearest corpus
+    * vectors (excluding itself). Deterministic tie-break on neighbor id.
+    * Norms are computed once per vector before the join (the fold is
+    * interpreted, so per-pair norm recomputation would dominate).
+    */
+  def bruteForceTopK(
+      corpus: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", norm(col("qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", norm(col("cv")))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rk")
+      .orderBy("query_id", "rk")
+  }
+
+  /** Deterministic pseudo-random hyperplanes: component i of plane p is
+    * (hex32(md5("p_i")) mod 1000)/1000 - 0.5 — reproducible in any engine
+    * with md5 (the portable-hash analogue of a seeded RNG).
+    */
+  def hyperplane(p: Int, dim: Int): Column =
+    array((1 to dim).map { i =>
+      val h = java.lang.Long.parseLong(
+        org.apache.commons.codec.digest.DigestUtils.md5Hex(s"${p}_$i").substring(0, 8), 16)
+      lit((h % 1000).toDouble / 1000.0 - 0.5)
+    }: _*)
+
+  /** Sign-LSH bucket id: bit p = [dot(plane_p, v) > 0]. */
+  def lshBucket(vecD: Column, planes: Int, dim: Int): Column =
+    (0 until planes).map { p =>
+      when(dot(hyperplane(p, dim), vecD) > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** LSH-bucketed cosine top-k: same contract as [[bruteForceTopK]] but
+    * candidates restricted to the query's bucket (approximate).
+    */
+  def lshTopK(
+      corpus: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, k: Int,
+      planes: Int = 8, dim: Int = 64): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
+      .withColumn("bucket", lshBucket(col("qv"), planes, dim))
+      .withColumn("qn", norm(col("qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("cv"))
+      .withColumn("bucket", lshBucket(col("cv"), planes, dim))
+      .withColumn("cn", norm(col("cv")))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rk")
+      .orderBy("query_id", "rk")
+  }
+}

@@ -1,0 +1,109 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, language-ID heuristic, quality metrics, token counting,
+  * document fingerprinting.
+  *
+  * Everything is built from codegen'd Catalyst built-ins (no UDFs): at
+  * 100 TB these run entirely inside whole-stage codegen, embarrassingly
+  * parallel, no shuffle except final aggregations.
+  *
+  * Determinism contract: each helper has an exact DuckDB-SQL equivalent
+  * (same tokenizer regex, same fold order) — see SparkEntry.oracleSql.
+  */
+object TextOps {
+
+  /** Lowercase alnum tokens; empty strings removed. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "[^a-z0-9]+"), t => t =!= lit(""))
+
+  /** Word k-grams as space-joined strings (order-preserving).
+    * Caller must guard `size(toks) >= k`.
+    */
+  def shingles(toks: Column, k: Int): Column =
+    transform(sequence(lit(1), size(toks) - (k - 1)),
+      i => concat_ws(" ", slice(toks, i, lit(k))))
+
+  /** First 32 bits of md5(s) as a long (the cross-engine portable hash). */
+  def hex32(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long")
+
+  /** Language-ID by stop-word markers: score = |tokens ∩ markers(lang)|,
+    * winner = highest score with fixed priority order on ties.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht"),
+    "es" -> Seq("el", "la", "los", "de", "que", "y"),
+    "fr" -> Seq("le", "les", "des", "et", "est", "une"),
+    "zh" -> Seq("shi", "bu", "wo", "ni", "ta", "men"))
+
+  def langScores(toks: Column): Seq[(String, Column)] =
+    langMarkers.map { case (lang, markers) =>
+      lang -> size(array_intersect(array_distinct(toks),
+        array(markers.map(lit): _*)))
+    }
+
+  /** argmax over langScores with ties resolved by list order. */
+  def langGuess(toks: Column): Column = {
+    val scores = langScores(toks)
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und")) { case ((lang, s), acc) =>
+      when(s === best && s > 0, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** English-ish stopword list for the quality ratio. */
+  val stopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+  /** Quality metrics (one row per doc): token count, mean token length,
+    * stopword ratio, alpha ratio. All double arithmetic mirrors the SQL
+    * oracle exactly (int sums, then one double division).
+    */
+  def qualityMetrics(df: DataFrame, text: Column, idCol: Column): DataFrame = {
+    val toks = tokens(text)
+    val nTok = size(toks)
+    val sumLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+    val nStop = size(filter(toks, t => t.isInCollection(stopwords)))
+    val alpha = length(regexp_replace(text, "[^A-Za-z]", ""))
+    df.select(
+      idCol.as("doc_id"),
+      nTok.as("n_tokens"),
+      (sumLen.cast("double") / nTok).as("mean_token_len"),
+      (nStop.cast("double") / nTok).as("stop_ratio"),
+      (alpha.cast("double") / length(text)).as("alpha_ratio"))
+  }
+
+  /** Token counting: whitespace tokens, BPE-ish regex pieces, and the
+    * chars/4 heuristic.
+    */
+  val bpeRegex = "[a-z]+|[0-9]|[^a-z0-9\\s]"
+  def tokenCounts(df: DataFrame, text: Column, idCol: Column): DataFrame =
+    df.select(
+      idCol.as("doc_id"),
+      size(tokens(text)).as("ws_tokens"),
+      regexp_count(lower(text), lit(bpeRegex)).as("bpe_tokens"),
+      ceil(length(text).cast("double") / 4).cast("long").as("est_tokens"))
+
+  /** OpenRefine-style normalization fingerprint: md5 of the space-joined
+    * sorted distinct token set. Identical fingerprints ⇒ same bag of words.
+    */
+  def fingerprint(text: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
+
+  /** Rolling polynomial hash (Rabin-Karp) over tokens — Scala-side
+    * reference implementation used by winnowing-style chunk dedup; exact
+    * Column equivalent below keeps both paths in sync.
+    */
+  def rollingHashScala(toks: Seq[String], mod: Long = (1L << 31) - 1): Long =
+    toks.foldLeft(0L)((acc, t) =>
+      (acc * 31 + java.lang.Long.parseLong(
+        org.apache.commons.codec.digest.DigestUtils.md5Hex(t).substring(0, 8), 16)) % mod)
+
+  def rollingHash(toks: Column, mod: Long = (1L << 31) - 1): Column =
+    aggregate(toks, lit(0L), (acc, t) => (acc * 31 + hex32(t)) % mod)
+}

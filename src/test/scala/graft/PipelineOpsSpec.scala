@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.ShingleHashes
+import graft.ops.{Dedup, Similarity, TextOps}
+
+class PipelineOpsSpec extends AnyFunSuite with SparkSpecBase {
+
+  private lazy val docs = Tables.load(spark, sf, "documents").cache()
+  private lazy val emb = Tables.load(spark, sf, "embeddings").cache()
+
+  test("fused ShingleHashes equals composed built-ins") {
+    val fused = docs.select(col("doc_id"),
+      ShingleHashes(col("text"), 3, distinct = false).as("h"))
+    val composed = docs
+      .filter(size(TextOps.tokens(col("text"))) >= 3)
+      .select(col("doc_id"),
+        transform(TextOps.shingles(TextOps.tokens(col("text")), 3),
+          s => TextOps.hex32(s)).as("h"))
+    val j = fused.join(composed, "doc_id")
+      .filter(fused("h") =!= composed("h"))
+    assert(j.count() == 0)
+    // fused also emits empty (not null) arrays for short docs
+    assert(fused.filter(col("h").isNull).count() == 0)
+  }
+
+  test("ShingleHashes distinct preserves set semantics") {
+    val h = ShingleHashes.hashes("a b a b a b a b", 3, distinct = false)
+    val d = ShingleHashes.hashes("a b a b a b a b", 3, distinct = true)
+    assert(h.length == 6 && d.length == 2 && d.toSet == h.toSet)
+  }
+
+  test("exact dedup finds no dups in distinct corpus, finds planted dup") {
+    import spark.implicits._
+    val planted = docs.select(col("doc_id"), col("text"))
+      .union(Seq((999999L, docs.select("text").head.getString(0))).toDF())
+    val res = Dedup.exact(planted, col("text"), col("doc_id"))
+    assert(res.count() == docs.count()) // one hash collapsed two ids
+    assert(res.agg(sum(col("n_docs"))).head.getLong(0) == docs.count() + 1)
+  }
+
+  test("minhash candidates is symmetric-free and ordered") {
+    val pairs = Dedup.minhashCandidates(docs, col("text"), col("doc_id")).collect()
+    assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
+  }
+
+  test("jaccard pairs have jaccard in [0.5, 1]") {
+    val r = Dedup.ngramJaccardPairs(docs, col("text"), col("doc_id"),
+      concat(col("lang"), lit("|"), floor(col("n_chars") / 100).cast("long").cast("string")))
+      .collect()
+    assert(r.forall(x => x.getDouble(2) >= 0.5 && x.getDouble(2) <= 1.0))
+  }
+
+  test("simhash of identical texts collide, fingerprint stable") {
+    val a = ShingleHashes.hashes("spark hash join window", 1, distinct = false)
+    assert(a.sameElements(ShingleHashes.hashes("spark hash join window", 1, distinct = false)))
+    val fps = docs.limit(5).select(TextOps.fingerprint(col("text"))).collect()
+    assert(fps.forall(_.getString(0).length == 32))
+  }
+
+  test("bruteForceTopK: k rows per query, self excluded, ranked desc") {
+    val res = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 3),
+      "embedding", "vec_id", 4).collect()
+    assert(res.length == 12)
+    val byQ = res.groupBy(_.getLong(0))
+    byQ.foreach { case (q, rows) =>
+      assert(rows.forall(_.getLong(1) != q))
+      val cosines = rows.sortBy(_.getInt(3)).map(_.getDouble(2))
+      assert(cosines.zip(cosines.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("lsh buckets agree between corpus and query side") {
+    val res = Similarity.lshTopK(emb, emb.filter(col("vec_id") < 3),
+      "embedding", "vec_id", 3)
+    // every returned neighbor must share the query's bucket → cosine defined
+    assert(res.collect().forall(r => !r.isNullAt(2)))
+  }
+
+  test("multimodal stub decode is deterministic and bounded") {
+    val media = graft.ops.Multimodal.asMedia(docs.limit(50), col("doc_id"), col("text"), "image")
+    val meta = graft.ops.Multimodal.extractMeta(media).collect()
+    assert(meta.forall { r =>
+      val (w, h, f) = (r.getInt(2), r.getInt(3), r.getInt(4))
+      w >= 1 && w <= 512 && h >= 1 && h <= 512 && f >= 1 && f <= 30
+    })
+    import spark.implicits._
+    val ds = media.select(col("media_id"), col("kind"), col("payload"))
+      .as[graft.ops.Multimodal.MediaRow]
+    val decoded = graft.ops.Multimodal.decodePartition(ds).collect()
+    assert(decoded.length == 50 && decoded.forall(_.features.length == 8))
+  }
+
+  test("text metrics are finite and in range") {
+    val q = TextOps.qualityMetrics(docs, col("text"), col("doc_id")).collect()
+    assert(q.forall { r =>
+      r.getDouble(3) >= 0 && r.getDouble(3) <= 1 && r.getDouble(4) <= 1
+    })
+  }
+}
