@@ -205,7 +205,44 @@ object SparkEntry {
     // --- M: multimodal column plumbing (stubbed decode kernel) ----------
     "m1_multimodal_meta" -> ((s, dir) =>
       Multimodal.extractMeta(
-        Multimodal.asMedia(docs(s, dir), col("doc_id"), col("text"), "image")))
+        Multimodal.asMedia(docs(s, dir), col("doc_id"), col("text"), "image"))),
+
+    // --- I1/I2/I4/I6-I8: pcap ETL (golden-tested; rows-only check here,
+    //     DuckDB cannot read pcap) --------------------------------------
+    "i1_pcap_sessions" -> ((s, _) => {
+      import s.implicits._
+      graft.etl.SessionBuilder
+        .sessionize(s, "/root/reference/tests/pcap/socks-http-example.pcap")
+        .toDF()
+        .select("sessionId", "firstPacket", "lastPacket", "ipProtocol",
+          "srcIp", "srcPort", "dstIp", "dstPort", "totPackets", "totBytes",
+          "communityId", "srcPayload8", "dstPayload8")
+        .orderBy("firstPacket")
+    }),
+    "i8_pcap_expression" -> ((s, _) => {
+      import s.implicits._
+      val sessions = graft.etl.SessionBuilder
+        .sessionize(s, "/root/reference/tests/pcap/socks-http-example.pcap")
+        .toDF()
+      val c = new Compiler(FieldRegistry.sessions, FieldRegistry.sessionCol, now)
+      sessions
+        .filter(c.compile(
+          "http.method == GET && ip.dst == 10.180.156.0/24 && protocols == socks"))
+        .select("sessionId", "srcIp", "dstIp", "socksIp", "socksPort")
+        .orderBy("sessionId")
+    }),
+
+    // --- I9: enrichment via broadcast dimension joins --------------------
+    "i9_enrich_join" -> ((s, dir) => {
+      val li0 = li(s, dir)
+      val p = Tables.load(s, dir, "part")
+      val su = Tables.load(s, dir, "supplier")
+      li0.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("p_brand"), col("s_nationkey"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("p_brand"), col("s_nationkey"))
+    })
   )
 
   private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
@@ -500,6 +537,11 @@ object SparkEntry {
       s"""SELECT doc_id,
          md5(array_to_string(list_sort(list_distinct($sqlToks)), ' ')) AS fp
          FROM documents ORDER BY doc_id""",
+    "i9_enrich_join" ->
+      s"""SELECT p_brand, s_nationkey, count(*) AS n, ${sqlDsum("l_quantity")} AS sum_qty
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         GROUP BY p_brand, s_nationkey ORDER BY p_brand, s_nationkey""",
     "m1_multimodal_meta" ->
       s"""WITH h AS (SELECT doc_id AS media_id,
            CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,

@@ -1,0 +1,150 @@
+package graft.etl
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+import graft.functions.IpUtil
+
+/** Link/network/transport decode: Ethernet (+VLAN), IPv4/IPv6, TCP/UDP/
+  * ICMP → one flat decoded-packet record.
+  *
+  * Mirrors the decode steps of the reference's packet path
+  * (capture/packet.c ethertype switch; parsers/tcp.c header fields) for
+  * the encapsulations the round-1 fixtures use; tunnels (GRE/MPLS/GTP…)
+  * hang off the same ethertype/ip-proto dispatch later.
+  */
+object Decode {
+
+  final case class DecodedPacket(
+      file: String,
+      index: Int,
+      tsMicros: Long,
+      fileOffset: Long,
+      recLen: Int,   // 16-byte record header + captured bytes (ref packetLen)
+      wireLen: Int,  // captured length (ref pktlen → network.bytes)
+      macSrc: String,
+      macDst: String,
+      ipProtocol: Int,
+      srcIp: String,
+      dstIp: String,
+      srcPort: Int,
+      dstPort: Int,
+      tcpFlags: Int,
+      tcpWindow: Int,
+      tcpSeq: Long,
+      tcpAck: Long,
+      payload: Array[Byte])
+
+  private def mac(b: Array[Byte], off: Int): String =
+    (0 until 6).map(i => f"${b(off + i) & 0xff}%02x").mkString(":")
+
+  val TH_FIN = 0x01; val TH_SYN = 0x02; val TH_RST = 0x04
+  val TH_PSH = 0x08; val TH_ACK = 0x10; val TH_URG = 0x20
+
+  /** Decode one raw packet (Ethernet link type); None for non-IP. */
+  def decode(p: Pcap.RawPacket): Option[DecodedPacket] = {
+    val b = p.data
+    if (b.length < 14) return None
+    val mSrc = mac(b, 6)
+    val mDst = mac(b, 0)
+    var off = 12
+    var etherType = ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
+    off += 2
+    // VLAN (802.1Q / QinQ) unwrap — capture/packet.c ethertype loop
+    while ((etherType == 0x8100 || etherType == 0x88a8) && off + 4 <= b.length) {
+      etherType = ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+      off += 4
+    }
+    etherType match {
+      case 0x0800 => decodeIp4(p, b, off, mSrc, mDst)
+      case 0x86dd => decodeIp6(p, b, off, mSrc, mDst)
+      case _      => None
+    }
+  }
+
+  private def decodeIp4(
+      p: Pcap.RawPacket, b: Array[Byte], ipOff: Int,
+      mSrc: String, mDst: String): Option[DecodedPacket] = {
+    if (ipOff + 20 > b.length) return None
+    val vIhl = b(ipOff) & 0xff
+    if ((vIhl >> 4) != 4) return None
+    val ihl = (vIhl & 0x0f) * 4
+    val totalLen = ((b(ipOff + 2) & 0xff) << 8) | (b(ipOff + 3) & 0xff)
+    val fragField = ((b(ipOff + 6) & 0xff) << 8) | (b(ipOff + 7) & 0xff)
+    val fragOffset = fragField & 0x1fff
+    val proto = b(ipOff + 9) & 0xff
+    val srcIp = (12 to 15).map(i => (b(ipOff + i) & 0xff).toString).mkString(".")
+    val dstIp = (16 to 19).map(i => (b(ipOff + i) & 0xff).toString).mkString(".")
+    val l4Off = ipOff + ihl
+    val l4End = math.min(ipOff + totalLen, b.length)
+    if (fragOffset > 0) // non-first fragment: counters only, no L4 decode
+      return Some(base(p, mSrc, mDst, proto, srcIp, dstIp)
+        .copy(payload = Array.empty))
+    Some(decodeL4(p, b, l4Off, l4End, proto, srcIp, dstIp, mSrc, mDst))
+  }
+
+  private def decodeIp6(
+      p: Pcap.RawPacket, b: Array[Byte], ipOff: Int,
+      mSrc: String, mDst: String): Option[DecodedPacket] = {
+    if (ipOff + 40 > b.length) return None
+    if (((b(ipOff) & 0xf0) >> 4) != 6) return None
+    val payLen = ((b(ipOff + 4) & 0xff) << 8) | (b(ipOff + 5) & 0xff)
+    var next = b(ipOff + 6) & 0xff
+    val srcIp = IpUtil.canonical(java.util.Arrays.copyOfRange(b, ipOff + 8, ipOff + 24))
+    val dstIp = IpUtil.canonical(java.util.Arrays.copyOfRange(b, ipOff + 24, ipOff + 40))
+    var l4Off = ipOff + 40
+    // skip hop-by-hop / routing / destination-options extension headers
+    var guard = 0
+    while (guard < 8 && (next == 0 || next == 43 || next == 60) &&
+        l4Off + 8 <= b.length) {
+      val hdrLen = 8 + (b(l4Off + 1) & 0xff) * 8
+      next = b(l4Off) & 0xff
+      l4Off += hdrLen
+      guard += 1
+    }
+    val l4End = math.min(ipOff + 40 + payLen, b.length)
+    Some(decodeL4(p, b, l4Off, l4End, next, srcIp, dstIp, mSrc, mDst))
+  }
+
+  private def base(
+      p: Pcap.RawPacket, mSrc: String, mDst: String,
+      proto: Int, srcIp: String, dstIp: String): DecodedPacket =
+    DecodedPacket(p.file, p.index, p.tsMicros, p.fileOffset, p.inclLen + 16,
+      p.inclLen, mSrc, mDst, proto, srcIp, dstIp, -1, -1, 0, 0, 0L, 0L,
+      Array.empty)
+
+  private def decodeL4(
+      p: Pcap.RawPacket, b: Array[Byte], l4Off: Int, l4End: Int, proto: Int,
+      srcIp: String, dstIp: String, mSrc: String, mDst: String): DecodedPacket = {
+    val base0 = base(p, mSrc, mDst, proto, srcIp, dstIp)
+    proto match {
+      case 6 if l4Off + 20 <= l4End => // TCP
+        val bb = ByteBuffer.wrap(b).order(ByteOrder.BIG_ENDIAN)
+        val srcPort = ((b(l4Off) & 0xff) << 8) | (b(l4Off + 1) & 0xff)
+        val dstPort = ((b(l4Off + 2) & 0xff) << 8) | (b(l4Off + 3) & 0xff)
+        val seq = bb.getInt(l4Off + 4).toLong & 0xffffffffL
+        val ack = bb.getInt(l4Off + 8).toLong & 0xffffffffL
+        val dataOff = ((b(l4Off + 12) & 0xf0) >> 4) * 4
+        val flags = b(l4Off + 13) & 0xff
+        val window = ((b(l4Off + 14) & 0xff) << 8) | (b(l4Off + 15) & 0xff)
+        val payStart = l4Off + dataOff
+        val payload =
+          if (payStart < l4End) java.util.Arrays.copyOfRange(b, payStart, l4End)
+          else Array.empty[Byte]
+        base0.copy(srcPort = srcPort, dstPort = dstPort, tcpFlags = flags,
+          tcpWindow = window, tcpSeq = seq, tcpAck = ack, payload = payload)
+      case 17 if l4Off + 8 <= l4End => // UDP
+        val srcPort = ((b(l4Off) & 0xff) << 8) | (b(l4Off + 1) & 0xff)
+        val dstPort = ((b(l4Off + 2) & 0xff) << 8) | (b(l4Off + 3) & 0xff)
+        val payload =
+          if (l4Off + 8 < l4End) java.util.Arrays.copyOfRange(b, l4Off + 8, l4End)
+          else Array.empty[Byte]
+        base0.copy(srcPort = srcPort, dstPort = dstPort, payload = payload)
+      case 1 | 58 if l4Off + 4 <= l4End => // ICMP / ICMPv6: type/code as ports
+        val icmpType = b(l4Off) & 0xff
+        val icmpCode = b(l4Off + 1) & 0xff
+        base0.copy(srcPort = icmpType, dstPort = icmpCode,
+          payload = java.util.Arrays.copyOfRange(b, l4Off + 4, l4End))
+      case _ => base0
+    }
+  }
+}

@@ -1,0 +1,258 @@
+package graft.etl
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+import graft.functions.CommunityId
+import Decode.DecodedPacket
+
+/** Sessionization: decoded packets → one row per flow segment.
+  *
+  * Reference semantics (capture/session.c):
+  *   - session key = protocol-normalized 5-tuple with the two endpoints
+  *     ordered canonically (session.c:61-112);
+  *   - source/destination = the first packet's direction (packet.c:203-225);
+  *   - inactivity timeouts split a key's packet run into segments
+  *     (ICMP 10 s, UDP 60 s, TCP 480 s — config.c:518-523), and a segment
+  *     is also cut at `maxPackets` (10,000 — config.c:526);
+  *   - tcpflags counting per parsers/tcp.c:140-225 (window-zero per
+  *     direction excl. RST; URG; SYN / SYN-ACK; RST early-returns; FIN;
+  *     bare-ACK; PSH — SYN packets count nothing else);
+  *   - src/dstPayload8 = first 8 reassembled payload bytes per direction
+  *     (moloch.h firstBytes);
+  *   - initRTT = ms between first SYN and first bare ACK (synTime/ackTime).
+  *
+  * Distribution: `groupByKey(sessionKey)` is the Spark analogue of the
+  * reference's `hash(sessionId) % packetThreads` routing (packet.c:1316) —
+  * one shuffle, then per-key streaming aggregation. Payload bytes cross
+  * the shuffle once; everything downstream is columnar session rows.
+  */
+object SessionBuilder {
+
+  /** Canonical session key: ordered endpoints, like the reference's
+    * 13/37-byte sessionId.
+    */
+  def sessionKey(p: DecodedPacket): String = {
+    val a = s"${p.srcIp}:${p.srcPort}"
+    val b = s"${p.dstIp}:${p.dstPort}"
+    if (a <= b) s"${p.ipProtocol}|$a|$b" else s"${p.ipProtocol}|$b|$a"
+  }
+
+  def timeoutSecs(ipProtocol: Int): Long = ipProtocol match {
+    case 1 | 58 => 10L   // icmp
+    case 17     => 60L   // udp
+    case 6      => 480L  // tcp
+    case 132    => 60L   // sctp
+    case 50     => 600L  // esp
+    case _      => 600L
+  }
+
+  val MaxPackets = 10000
+
+  final case class SessionRow(
+      sessionId: String,
+      node: String,
+      firstPacket: Long, // epoch ms
+      lastPacket: Long,
+      length: Long, // duration ms
+      ipProtocol: Int,
+      srcIp: String, srcPort: Int,
+      srcPackets: Long, srcBytes: Long, srcDataBytes: Long,
+      srcMac: Seq[String],
+      dstIp: String, dstPort: Int,
+      dstPackets: Long, dstBytes: Long, dstDataBytes: Long,
+      dstMac: Seq[String],
+      totPackets: Long, totBytes: Long, totDataBytes: Long,
+      tcpflagsSyn: Int, tcpflagsSynAck: Int, tcpflagsAck: Int,
+      tcpflagsPsh: Int, tcpflagsRst: Int, tcpflagsFin: Int,
+      tcpflagsUrg: Int, tcpflagsSrcZero: Int, tcpflagsDstZero: Int,
+      srcPayload8: String, dstPayload8: String,
+      initRTT: Long,
+      communityId: String,
+      protocol: Seq[String],
+      packetPos: Seq[Long], packetLen: Seq[Int],
+      segmentCnt: Int, segmentSeq: Int,
+      socksIp: String, socksPort: Int,
+      httpMethod: Seq[String], httpUri: Seq[String], httpHost: Seq[String],
+      httpStatuscode: Seq[Int], httpUseragent: Seq[String],
+      dnsQname: Seq[String], dnsQtype: Seq[String], dnsRcode: Seq[String])
+
+  /** Reassemble one direction's TCP payload stream: order by sequence
+    * number (handling 32-bit wrap relative to the first seq), drop
+    * duplicate retransmissions, concatenate. The reference does this
+    * incrementally in parsers/tcp.c:228-336; offline we can sort-merge.
+    */
+  def reassemble(packets: Seq[DecodedPacket]): Array[Byte] = {
+    val withPayload = packets.filter(_.payload.nonEmpty)
+    if (withPayload.isEmpty) return Array.empty
+    if (withPayload.head.ipProtocol != 6)
+      return withPayload.iterator.map(_.payload).reduce(_ ++ _)
+    val base = withPayload.head.tcpSeq
+    def rel(seq: Long): Long = (seq - base) & 0xffffffffL
+    val sorted = withPayload.sortBy(p => (rel(p.tcpSeq), p.index))
+    val out = new java.io.ByteArrayOutputStream()
+    var nextRel = 0L
+    sorted.foreach { p =>
+      val r = rel(p.tcpSeq)
+      val len = p.payload.length.toLong
+      if (r >= nextRel) {
+        out.write(p.payload)
+        nextRel = r + len
+      } else if (r + len > nextRel) { // partial overlap: new suffix only
+        out.write(p.payload, (nextRel - r).toInt, (r + len - nextRel).toInt)
+        nextRel = r + len
+      } // else: full retransmission, drop
+    }
+    out.toByteArray
+  }
+
+  /** Build the session rows for one key's packets (already sorted). */
+  def buildSessions(key: String, packets: Iterator[DecodedPacket],
+      node: String): Iterator[SessionRow] = {
+    val sorted = packets.toArray.sortBy(p => (p.tsMicros, p.file, p.index))
+    if (sorted.isEmpty) return Iterator.empty
+    val timeoutUs = timeoutSecs(sorted.head.ipProtocol) * 1000000L
+    // split into segments on inactivity gap or maxPackets
+    val segments = Seq.newBuilder[Array[DecodedPacket]]
+    var start = 0
+    var i = 1
+    while (i < sorted.length) {
+      if (sorted(i).tsMicros - sorted(i - 1).tsMicros > timeoutUs ||
+          i - start >= MaxPackets) {
+        segments += java.util.Arrays.copyOfRange(sorted, start, i)
+        start = i
+      }
+      i += 1
+    }
+    segments += java.util.Arrays.copyOfRange(sorted, start, sorted.length)
+    val segs = segments.result()
+    segs.zipWithIndex.iterator.map { case (seg, idx) =>
+      buildOne(key, seg, node, segs.length, idx)
+    }
+  }
+
+  import Decode.{TH_ACK, TH_FIN, TH_PSH, TH_RST, TH_SYN, TH_URG}
+
+  private def buildOne(key: String, seg: Array[DecodedPacket], node: String,
+      segmentCnt: Int, segmentSeq: Int): SessionRow = {
+    val first = seg.head
+    // direction 0 == first packet's source endpoint
+    def dirOf(p: DecodedPacket): Int =
+      if (p.srcIp == first.srcIp && p.srcPort == first.srcPort) 0 else 1
+    val src = seg.filter(dirOf(_) == 0)
+    val dst = seg.filter(dirOf(_) == 1)
+
+    var syn, synAck, ack, psh, rst, fin, urg = 0
+    val zero = Array(0, 0)
+    var synTimeUs = 0L
+    var ackTimeUs = 0L
+    if (first.ipProtocol == 6) seg.foreach { p =>
+      val f = p.tcpFlags
+      if (p.tcpWindow == 0 && (f & TH_RST) == 0) zero(dirOf(p)) += 1
+      if ((f & TH_URG) != 0) urg += 1
+      if ((f & TH_SYN) != 0) {
+        if ((f & TH_ACK) != 0) synAck += 1
+        else {
+          syn += 1
+          if (synTimeUs == 0) {
+            synTimeUs = p.tsMicros - first.tsMicros + 1
+            ackTimeUs = 0
+          }
+        }
+      } else if ((f & TH_RST) != 0) {
+        rst += 1
+      } else {
+        if ((f & TH_FIN) != 0) fin += 1
+        if ((f & (TH_FIN | TH_RST | TH_PSH | TH_SYN | TH_ACK)) == TH_ACK) {
+          ack += 1
+          if (ackTimeUs == 0) ackTimeUs = p.tsMicros - first.tsMicros + 1
+        }
+        if ((f & TH_PSH) != 0) psh += 1
+      }
+    }
+
+    val srcStream = reassemble(src.toIndexedSeq)
+    val dstStream = reassemble(dst.toIndexedSeq)
+    def payload8(b: Array[Byte]): String =
+      b.take(8).map(x => f"${x & 0xff}%02x").mkString
+
+    // SOCKS tunnels carry an inner protocol: peel the handshake and
+    // classify/parse the tunneled streams too (parsers/socks.c behavior).
+    val peeled = AppProtocols.peelSocks(srcStream, dstStream)
+    val (effSrc, effDst) = peeled match {
+      case Some((is, id, _)) => (is, id)
+      case None              => (srcStream, dstStream)
+    }
+    val outerTags = AppProtocols.classify(first.ipProtocol,
+      first.srcPort, first.dstPort, srcStream, dstStream)
+    val innerTags =
+      if (peeled.isDefined)
+        AppProtocols.classify(first.ipProtocol, first.srcPort, first.dstPort,
+          effSrc, effDst)
+      else Nil
+    val protocols = (outerTags ++ innerTags).distinct.sorted
+    val http =
+      if (protocols.contains("http")) AppProtocols.parseHttp(effSrc, effDst)
+      else None
+    val dns =
+      if (protocols.contains("dns")) {
+        val messages = (src ++ dst).filter(_.payload.nonEmpty).map(_.payload)
+        val infos = messages.flatMap(AppProtocols.parseDnsMessage)
+        if (infos.isEmpty) None
+        else Some(AppProtocols.DnsInfo(
+          infos.flatMap(_.qname).distinct.toIndexedSeq,
+          infos.flatMap(_.qtype).distinct.toIndexedSeq,
+          infos.flatMap(_.rcode).distinct.toIndexedSeq))
+      } else None
+
+    val firstMs = first.tsMicros / 1000
+    val lastMs = seg.last.tsMicros / 1000
+    SessionRow(
+      sessionId = key, node = node,
+      firstPacket = firstMs, lastPacket = lastMs,
+      // duration truncates the µs difference once (capture/db.c), which can
+      // differ by 1 from lastPacket-firstPacket of the truncated stamps
+      length = (seg.last.tsMicros - first.tsMicros) / 1000,
+      ipProtocol = first.ipProtocol,
+      srcIp = first.srcIp, srcPort = first.srcPort,
+      srcPackets = src.length, srcBytes = src.map(_.wireLen.toLong).sum,
+      srcDataBytes = src.map(_.payload.length.toLong).sum,
+      srcMac = src.map(_.macSrc).distinct.sorted.toIndexedSeq,
+      dstIp = first.dstIp, dstPort = first.dstPort,
+      dstPackets = dst.length, dstBytes = dst.map(_.wireLen.toLong).sum,
+      dstDataBytes = dst.map(_.payload.length.toLong).sum,
+      dstMac = dst.map(_.macSrc).distinct.sorted.toIndexedSeq,
+      totPackets = seg.length, totBytes = seg.map(_.wireLen.toLong).sum,
+      totDataBytes = seg.map(_.payload.length.toLong).sum,
+      tcpflagsSyn = syn, tcpflagsSynAck = synAck, tcpflagsAck = ack,
+      tcpflagsPsh = psh, tcpflagsRst = rst, tcpflagsFin = fin,
+      tcpflagsUrg = urg, tcpflagsSrcZero = zero(0), tcpflagsDstZero = zero(1),
+      srcPayload8 = payload8(srcStream), dstPayload8 = payload8(dstStream),
+      initRTT = if (synTimeUs > 0 && ackTimeUs > 0) (ackTimeUs - synTimeUs) / 1000 else 0,
+      communityId = CommunityId.compute(first.srcIp, first.dstIp,
+        first.srcPort, first.dstPort, first.ipProtocol),
+      protocol = protocols,
+      packetPos = seg.map(_.fileOffset).toIndexedSeq,
+      packetLen = seg.map(_.recLen).toIndexedSeq,
+      segmentCnt = segmentCnt, segmentSeq = segmentSeq,
+      socksIp = peeled.map(_._3.ip).orNull,
+      socksPort = peeled.map(_._3.port).getOrElse(-1),
+      httpMethod = http.map(_.method).getOrElse(Nil),
+      httpUri = http.map(_.uri).getOrElse(Nil),
+      httpHost = http.map(_.host).getOrElse(Nil),
+      httpStatuscode = http.map(_.statuscode).getOrElse(Nil),
+      httpUseragent = http.map(_.useragent).getOrElse(Nil),
+      dnsQname = dns.map(_.qname).getOrElse(Nil),
+      dnsQtype = dns.map(_.qtype).getOrElse(Nil),
+      dnsRcode = dns.map(_.rcode).getOrElse(Nil))
+  }
+
+  /** Batch pipeline: pcap path → session rows. */
+  def sessionize(spark: SparkSession, pcapPath: String,
+      node: String = "test"): Dataset[SessionRow] = {
+    import spark.implicits._
+    Pcap.readPackets(spark, pcapPath)
+      .flatMap(Decode.decode(_))
+      .groupByKey(sessionKey)
+      .flatMapGroups((k, ps) => buildSessions(k, ps, node))
+  }
+}

@@ -71,8 +71,7 @@ object FieldRegistry {
   import FieldKind._
 
   /** Registry over the driver's synthetic `events` table, used by the
-    * oracle-checked expression-compiler queries. The session registry for
-    * the pcap ETL path lives in [[graft.etl.SessionSchema]].
+    * oracle-checked expression-compiler queries.
     */
   val events: FieldRegistry = FieldRegistry(Seq(
     FieldDef("id",         "event_id",   IntegerK),
@@ -83,4 +82,83 @@ object FieldRegistry {
     FieldDef("value",      "value",      FloatK),
     FieldDef("props",      "props",      TermK)
   ))
+
+  private val protocols = Map(
+    "icmp" -> 1, "igmp" -> 2, "tcp" -> 6, "udp" -> 17, "gre" -> 47,
+    "esp" -> 50, "icmp6" -> 58, "icmpv6" -> 58, "ospf" -> 89, "pim" -> 103,
+    "sctp" -> 132)
+
+  /** The reference's `ipProtocolLookup` operand transform
+    * (viewer/molochparser.jison:722-749): protocol name → number.
+    */
+  val ipProtocolLookup: String => String = s =>
+    protocols.get(s.toLowerCase).map(_.toString).getOrElse(s)
+
+  /** Registry over [[graft.etl.SessionBuilder.SessionRow]] tables —
+    * expression names follow the reference's field naming
+    * (db/db.pl:740-1100). Meta-fields `ip`/`port` fan out across both
+    * endpoints as in the reference (db.pl:740-788).
+    */
+  val sessions: FieldRegistry = FieldRegistry(
+    Seq(
+      FieldDef("ip.src",       "srcIp",        IpK, portField = Some("srcPort")),
+      FieldDef("ip.dst",       "dstIp",        IpK, portField = Some("dstPort")),
+      FieldDef("port.src",     "srcPort",      IntegerK),
+      FieldDef("port.dst",     "dstPort",      IntegerK),
+      FieldDef("ip.protocol",  "ipProtocol",   IntegerK,
+        transform = Some(ipProtocolLookup)),
+      FieldDef("packets.src",  "srcPackets",   IntegerK),
+      FieldDef("packets.dst",  "dstPackets",   IntegerK),
+      FieldDef("packets",      "totPackets",   IntegerK),
+      FieldDef("bytes.src",    "srcBytes",     IntegerK),
+      FieldDef("bytes.dst",    "dstBytes",     IntegerK),
+      FieldDef("bytes",        "totBytes",     IntegerK),
+      FieldDef("databytes.src", "srcDataBytes", IntegerK),
+      FieldDef("databytes.dst", "dstDataBytes", IntegerK),
+      FieldDef("databytes",    "totDataBytes", IntegerK),
+      FieldDef("starttime",    "firstPacketSec", SecondsK),
+      FieldDef("stoptime",     "lastPacketSec",  SecondsK),
+      FieldDef("session.length", "length",     IntegerK),
+      FieldDef("session.segments", "segmentCnt", IntegerK),
+      FieldDef("tcpflags.syn", "tcpflagsSyn",  IntegerK),
+      FieldDef("tcpflags.syn-ack", "tcpflagsSynAck", IntegerK),
+      FieldDef("tcpflags.ack", "tcpflagsAck",  IntegerK),
+      FieldDef("tcpflags.psh", "tcpflagsPsh",  IntegerK),
+      FieldDef("tcpflags.rst", "tcpflagsRst",  IntegerK),
+      FieldDef("tcpflags.fin", "tcpflagsFin",  IntegerK),
+      FieldDef("tcpflags.urg", "tcpflagsUrg",  IntegerK),
+      FieldDef("protocols",    "protocol",     TermK, multiValued = true),
+      FieldDef("mac.src",      "srcMac",       LoTermK, multiValued = true),
+      FieldDef("mac.dst",      "dstMac",       LoTermK, multiValued = true),
+      FieldDef("node",         "node",         TermK),
+      FieldDef("id",           "sessionId",    TermK),
+      FieldDef("community.id", "communityId",  TermK),
+      FieldDef("payload8.src.hex", "srcPayload8", LoTermK),
+      FieldDef("payload8.dst.hex", "dstPayload8", LoTermK),
+      FieldDef("http.method",  "httpMethod",   TermK, multiValued = true),
+      FieldDef("http.uri",     "httpUri",      LoTermK, multiValued = true),
+      FieldDef("http.host",    "httpHost",     LoTermK, multiValued = true),
+      FieldDef("http.statuscode", "httpStatuscode", IntegerK, multiValued = true),
+      FieldDef("http.user-agent", "httpUseragent", TermK, multiValued = true),
+      FieldDef("dns.host",     "dnsQname",     LoTermK, multiValued = true),
+      FieldDef("dns.query.type", "dnsQtype",   UpTermK, multiValued = true),
+      FieldDef("dns.status",   "dnsRcode",     UpTermK, multiValued = true),
+      FieldDef("socks.ip",     "socksIp",      IpK, portField = Some("socksPort")),
+      FieldDef("socks.port",   "socksPort",    IntegerK)
+    ),
+    metaFields = Map(
+      "ip"   -> Seq("ip.src", "ip.dst"),
+      "port" -> Seq("port.src", "port.dst")))
+
+  /** Column resolver for session tables: derived epoch-second views of the
+    * millisecond timestamp columns.
+    */
+  def sessionCol(name: String): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    name match {
+      case "firstPacketSec" => floor(col("firstPacket") / 1000).cast("long")
+      case "lastPacketSec"  => floor(col("lastPacket") / 1000).cast("long")
+      case other            => col(other)
+    }
+  }
 }

@@ -1,0 +1,102 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.etl.{Decode, SessionBuilder}
+import graft.etl.Decode.DecodedPacket
+import graft.etl.SessionBuilder.SessionRow
+
+/** Streaming sessionization: the live-capture path of the reference
+  * (capture/session.c find-or-create + timeout scans) as a Structured
+  * Streaming stateful operator.
+  *
+  *   - state per session key = buffered packets + emitted-segment count;
+  *   - event-time timeout = inactivity timeout for the session's protocol
+  *     (ICMP 10 s … TCP 480 s), armed at each batch from the latest packet;
+  *   - mid-save: when a session exceeds `maxPackets` buffered, a segment
+  *     row is emitted immediately and counters restart — the reference's
+  *     long-session segmenting (session.c:312-357);
+  *   - on timeout the remaining packets become the final segment(s) and
+  *     state is dropped. A packet arriving later simply opens a new
+  *     session row, exactly like the reference (SURVEY §2.4 late data).
+  *
+  * Scale: state is bounded by maxPackets × live sessions per key-range;
+  * the shuffle is the same hash-partition by sessionId as batch. The
+  * watermark delay bounds how long evicted state lingers.
+  */
+object StreamSessionize {
+
+  final case class StreamState(packets: Seq[DecodedPacket], segBase: Int)
+
+  val WatermarkDelay = "10 seconds"
+
+  def maxPackets: Int = SessionBuilder.MaxPackets
+
+  def processGroup(
+      key: String,
+      newPackets: Iterator[DecodedPacket],
+      state: GroupState[StreamState]): Iterator[SessionRow] = {
+    val node = "test"
+    if (state.hasTimedOut) {
+      val st = state.get
+      state.remove()
+      val rows = SessionBuilder
+        .buildSessions(key, st.packets.iterator, node)
+        .map(r => r.copy(segmentSeq = r.segmentSeq + st.segBase,
+          segmentCnt = r.segmentCnt + st.segBase))
+      return rows
+    }
+    val prev = state.getOption.getOrElse(StreamState(Nil, 0))
+    var packets = prev.packets ++ newPackets
+    var segBase = prev.segBase
+    val out = Seq.newBuilder[SessionRow]
+    // mid-save: flush full segments, keep the session open
+    while (packets.length >= maxPackets) {
+      val (seg, rest) = packets.splitAt(maxPackets)
+      val rows = SessionBuilder.buildSessions(key, seg.iterator, node).toSeq
+      out ++= rows.map(r => r.copy(segmentSeq = r.segmentSeq + segBase,
+        segmentCnt = r.segmentCnt + segBase))
+      segBase += rows.length
+      packets = rest
+    }
+    if (packets.nonEmpty) {
+      state.update(StreamState(packets, segBase))
+      val timeoutMs =
+        SessionBuilder.timeoutSecs(packets.head.ipProtocol) * 1000
+      val lastEventMs = packets.map(_.tsMicros).max / 1000
+      state.setTimeoutTimestamp(lastEventMs + timeoutMs)
+    } else {
+      state.remove()
+    }
+    out.result().iterator
+  }
+
+  /** Wire a (possibly streaming) packet Dataset into session rows. */
+  def sessions(packets: Dataset[DecodedPacket]): Dataset[SessionRow] = {
+    val spark = packets.sparkSession
+    import spark.implicits._
+    packets
+      .withColumn("eventTime", timestamp_micros(col("tsMicros")))
+      .withWatermark("eventTime", WatermarkDelay)
+      .as[DecodedPacket]
+      .groupByKey(SessionBuilder.sessionKey)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        processGroup)
+  }
+
+  /** Streaming pipeline over a directory of pcap files (file-source). */
+  def fromPcapDir(spark: SparkSession, dir: String): Dataset[SessionRow] = {
+    import spark.implicits._
+    val files = spark.readStream.format("binaryFile")
+      .option("pathGlobFilter", "*.pcap")
+      .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+      .load(dir)
+      .select("path", "content").as[(String, Array[Byte])]
+    val packets = files.flatMap { case (p, bytes) =>
+      graft.etl.Pcap.parseFile(bytes, p).flatMap(Decode.decode(_))
+    }
+    sessions(packets)
+  }
+}
