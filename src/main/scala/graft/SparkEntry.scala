@@ -106,6 +106,19 @@ object SparkEntry {
     "q_expr_exists" -> ((s, dir) =>
       evProjected(ev(s, dir).filter(compiler.compile(
         "props == EXISTS! && type != error")))),
+    "q14_shortcut" -> ((s, dir) => {
+      val c = new Compiler(FieldRegistry.events, now = now,
+        shortcuts = Map("vips" -> Seq("1", "2", "3")))
+      evProjected(ev(s, dir).filter(c.compile("user == $vips && type == purchase")))
+    }),
+    "q15_view" -> ((s, dir) => {
+      val c = new Compiler(FieldRegistry.events, now = now,
+        views = Map("errors" -> "type == error"))
+      evProjected(ev(s, dir).filter(c.compile("view == errors && value > 150")))
+    }),
+    "q19_forced" -> ((s, dir) =>
+      evProjected(ev(s, dir).filter(
+        compiler.compileWithForced("value > 100", Some("type != error"))))),
 
     // --- E: endpoint operators (SURVEY §2.3) -----------------------------
     "e1_session_query" -> ((s, dir) => {
@@ -146,6 +159,17 @@ object SparkEntry {
     "e10_connections" -> ((s, dir) =>
       Endpoints.connectionsLinks(ev(s, dir), col("user_id"), col("event_type"),
         Map("sum_value" -> dsum(col("value"))))),
+    "e5_spiview_multi" -> ((s, dir) =>
+      Endpoints.spiview(ev(s, dir), Seq("event_type", "user_id"), 5)),
+    "e15_federation" -> ((s, dir) => {
+      val e = ev(s, dir)
+      // two "clusters" = disjoint halves; federate, then final agg/sort
+      val merged = Endpoints.federate(Seq(
+        e.filter(col("event_id") % 2 === 0), e.filter(col("event_id") % 2 === 1)))
+      merged.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .orderBy(col("event_type"))
+    }),
     "e12_segment_join" -> ((s, dir) => {
       // rootId-style segment re-join: orders ⋈ lineitem, per-order rollup.
       li(s, dir).join(ord(s, dir), col("l_orderkey") === col("o_orderkey"))
@@ -366,6 +390,30 @@ object SparkEntry {
       s"""SELECT $evCols FROM events
          WHERE props IS NOT NULL AND NOT coalesce(event_type = 'error', FALSE)
          ORDER BY event_id""",
+    "q14_shortcut" ->
+      s"""SELECT $evCols FROM events
+         WHERE user_id IN (1, 2, 3) AND event_type = 'purchase'
+         ORDER BY event_id""",
+    "q15_view" ->
+      s"""SELECT $evCols FROM events
+         WHERE event_type = 'error' AND value > 150 ORDER BY event_id""",
+    "q19_forced" ->
+      s"""SELECT $evCols FROM events
+         WHERE NOT coalesce(event_type = 'error', FALSE) AND value > 100
+         ORDER BY event_id""",
+    "e5_spiview_multi" ->
+      """WITH pairs AS (
+           SELECT 'event_type' AS field, CAST(event_type AS VARCHAR) AS value
+           FROM events WHERE event_type IS NOT NULL
+           UNION ALL
+           SELECT 'user_id', CAST(user_id AS VARCHAR) FROM events WHERE user_id IS NOT NULL),
+         c AS (SELECT field, value, count(*) AS cnt FROM pairs GROUP BY field, value),
+         r AS (SELECT *, row_number() OVER
+             (PARTITION BY field ORDER BY cnt DESC, value ASC) AS rk FROM c)
+         SELECT field, value, cnt, rk FROM r WHERE rk <= 5 ORDER BY field, rk""",
+    "e15_federation" ->
+      s"""SELECT event_type, count(*) AS n, ${sqlDsum("value")} AS sum_value
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "e1_session_query" ->
       s"""SELECT $evCols FROM events
          WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'

@@ -69,6 +69,7 @@ object SessionBuilder {
       initRTT: Long,
       communityId: String,
       protocol: Seq[String],
+      fileId: Seq[String],
       packetPos: Seq[Long], packetLen: Seq[Int],
       segmentCnt: Int, segmentSeq: Int,
       socksIp: String, socksPort: Int,
@@ -231,6 +232,7 @@ object SessionBuilder {
       communityId = CommunityId.compute(first.srcIp, first.dstIp,
         first.srcPort, first.dstPort, first.ipProtocol),
       protocol = protocols,
+      fileId = seg.map(_.file).distinct.toIndexedSeq,
       packetPos = seg.map(_.fileOffset).toIndexedSeq,
       packetLen = seg.map(_.recLen).toIndexedSeq,
       segmentCnt = segmentCnt, segmentSeq = segmentSeq,

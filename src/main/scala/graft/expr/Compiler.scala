@@ -32,29 +32,69 @@ import graft.model.{FieldDef, FieldKind, FieldRegistry}
 final class Compiler(
     registry: FieldRegistry,
     col: String => Column = org.apache.spark.sql.functions.col,
-    now: Instant = Instant.now()) {
+    now: Instant = Instant.now(),
+    shortcuts: Map[String, Seq[String]] = Map.empty,
+    views: Map[String, String] = Map.empty,
+    maxDepth: Int = 10) {
 
   import Ast._
   import CmpOp._
 
-  def compile(expression: String): Column = toCol(Parser.parse(expression))
+  def compile(expression: String): Column = compileAt(expression, 0)
+
+  private def compileAt(expression: String, depth: Int): Column = {
+    if (depth > maxDepth)
+      throw new IllegalArgumentException("view recursion too deep")
+    toCol(Parser.parse(expression), depth)
+  }
+
+  /** Mandatory-filter injection: AND a forced expression (column ACL /
+    * admin-forced predicate) into a user query — reference
+    * viewer/viewerUtils.js:239-249 (Q19).
+    */
+  def compileWithForced(expression: String, forced: Option[String]): Column =
+    forced match {
+      case Some(f) => compile(f) && compile(expression)
+      case None    => compile(expression)
+    }
+
+  /** `$name` shortcut values → stored lookup lists (Q14, reference
+    * viewer/molochparser.jison:377-447).
+    */
+  private def expandShortcut(v: Value): Value = v match {
+    case Value.Bare(s) if s.startsWith("$") =>
+      val items = shortcuts.getOrElse(s.substring(1),
+        throw new IllegalArgumentException(s"unknown shortcut $s"))
+      Value.Lst(items.map(Value.Bare))
+    case Value.Lst(items) => Value.Lst(items.map(expandShortcut))
+    case other => other
+  }
 
   /** must_not semantics: NULL comparison results count as a match. */
   private def mustNot(c: Column): Column = !coalesce(c, lit(false))
 
-  private def toCol(ast: Ast): Column = ast match {
-    case And(l, r) => toCol(l) && toCol(r)
-    case Or(l, r)  => toCol(l) || toCol(r)
-    case Not(e)    => mustNot(toCol(e))
+  private def toCol(ast: Ast, depth: Int): Column = ast match {
+    case And(l, r) => toCol(l, depth) && toCol(r, depth)
+    case Or(l, r)  => toCol(l, depth) || toCol(r, depth)
+    case Not(e)    => mustNot(toCol(e, depth))
     case Exists(field, neg) =>
       val c = registry.expand(field).map(existsCol).reduce(_ || _)
       if (neg) mustNot(c) else c
-    case Cmp(field, op, value) =>
+    case Cmp("view", op, value) =>
+      // saved views recurse into their stored expression (Q15,
+      // jison:529-542 viewand)
+      val name = value match {
+        case Value.Bare(s) => s; case Value.Quoted(s) => s
+        case other => throw new IllegalArgumentException(s"bad view $other")
+      }
+      val ex = views.getOrElse(name,
+        throw new IllegalArgumentException(s"$name - View not found"))
+      val c = compileAt(ex, depth + 1)
+      if (op == Ne) mustNot(c) else c
+    case Cmp(field, op, value0) =>
+      val value = expandShortcut(value0)
       val defs = registry.expand(field)
-      val c = defs.map(d => cmpCol(d, op, value)).reduce(_ || _)
-      // ne on a fanned-out meta-field: must_not(OR of eq) — handled inside
-      // cmpCol for single fields via op; for meta we negate the eq-fanout.
-      c
+      defs.map(d => cmpCol(d, op, value)).reduce(_ || _)
   }
 
   private def existsCol(d: FieldDef): Column = {

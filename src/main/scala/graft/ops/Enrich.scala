@@ -1,0 +1,93 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Enrichment operators:
+  *   - I9: GeoIP/ASN/OUI-style broadcast dimension joins;
+  *   - I13: WISE-style threat-intel lookup (key → fields/tags);
+  *   - I11: duplicate-packet / duplicate-row suppression;
+  *   - I14: ES-bulk-shaped JSON serialization of session rows.
+  *
+  * All joins broadcast the (small) dimension side — at 100 TB the fact
+  * scan never shuffles for enrichment.
+  */
+object Enrich {
+
+  /** I9: left-join a dimension table on an exact key, broadcast. */
+  def dimensionJoin(
+      facts: DataFrame, dim: DataFrame, factKey: Column, dimKey: Column,
+      take: Map[String, String]): DataFrame = {
+    val projected = dim.select(
+      (dimKey.as("_joinKey") +: take.toSeq.sortBy(_._1).map {
+        case (out, in) => col(in).as(out)
+      }): _*)
+    facts.join(broadcast(projected), factKey === col("_joinKey"), "left")
+      .drop("_joinKey")
+  }
+
+  /** I9 (CIDR form): longest-prefix GeoIP-style lookup. The dim table has
+    * (cidr, value) rows; facts join on prefix containment. Broadcast
+    * nested-loop on the tiny dim side — at scale, pre-explode CIDRs into
+    * fixed /16 buckets to make it an equi-join.
+    */
+  def cidrJoin(
+      facts: DataFrame, ipCol: Column, dim: Seq[(String, String)],
+      outCol: String): DataFrame = {
+    // Build a CASE chain over the (few) CIDR rows: stays codegen'd.
+    val chain = dim.foldRight(lit(null).cast("string")) {
+      case ((cidr, value), acc) =>
+        when(graft.functions.IpFunctions.ipInCidr(ipCol, cidr), lit(value))
+          .otherwise(acc)
+    }
+    facts.withColumn(outCol, chain)
+  }
+
+  /** I13: WISE-style intel lookup — a key column (ip/domain/md5/ja3)
+    * against an intel table of (key, field, value); matches set fields
+    * and add tags.
+    */
+  def wiseLookup(
+      sessions: DataFrame, keyCol: Column, intel: DataFrame): DataFrame = {
+    val tagged = intel.groupBy(col("key"))
+      .agg(collect_set(concat_ws("=", col("field"), col("value"))).as("intel"))
+    sessions.join(broadcast(tagged), keyCol === col("key"), "left")
+      .drop("key")
+  }
+
+  /** I11: exact duplicate suppression on a content hash within a time
+    * window — batch analogue of `dropDuplicatesWithinWatermark`
+    * (reference: capture/dedup.c). Keeps the earliest row per hash per
+    * window.
+    */
+  def dedupPackets(
+      df: DataFrame, hashCols: Seq[String], tsCol: Column,
+      windowSecs: Long): DataFrame = {
+    val bucket = (unix_timestamp(tsCol) / windowSecs).cast("long")
+    df.withColumn("_w", bucket)
+      .dropDuplicates("_w" +: hashCols)
+      .drop("_w")
+  }
+
+  /** I14: serialize session rows to ES-bulk-shaped JSON documents (the
+    * nested `source.*`/`destination.*` document layout of db.c:635-1100).
+    * Returns (jsonDoc) strings ready for an `_bulk` sink / ndjson files.
+    */
+  def toEsDocs(sessions: DataFrame): DataFrame = {
+    sessions.select(to_json(struct(
+      col("firstPacket"), col("lastPacket"), col("length"), col("ipProtocol"),
+      struct(col("srcIp").as("ip"), col("srcPort").as("port"),
+        col("srcPackets").as("packets"), col("srcBytes").as("bytes"),
+        col("srcMac").as("mac")).as("source"),
+      struct(col("dstIp").as("ip"), col("dstPort").as("port"),
+        col("dstPackets").as("packets"), col("dstBytes").as("bytes"),
+        col("dstMac").as("mac")).as("destination"),
+      struct(col("totPackets").as("packets"), col("totBytes").as("bytes"),
+        col("communityId").as("community_id")).as("network"),
+      struct(col("srcDataBytes").as("bytes")).as("client"),
+      struct(col("dstDataBytes").as("bytes")).as("server"),
+      col("totDataBytes"), col("protocol"), col("node"),
+      col("segmentCnt"), col("packetPos"), col("packetLen")
+    )).as("doc"))
+  }
+}
