@@ -70,31 +70,68 @@ final class Compiler(
     case other => other
   }
 
-  /** must_not semantics: NULL comparison results count as a match. */
-  private def mustNot(c: Column): Column = !coalesce(c, lit(false))
-
+  /** ES must_not semantics: a row matches the negation when the inner
+    * predicate is false OR NULL (missing field). Implemented by pushing
+    * the negation down to comparison leaves (De Morgan over "is-not-true")
+    * so each leaf compiles to `!pred || col IS NULL` — all parquet-
+    * pushable filters, unlike a `NOT coalesce(pred, false)` wrapper which
+    * disables pushdown entirely. Equivalent because every leaf predicate
+    * is null-intolerant (null input ⇒ null result).
+    */
   private def toCol(ast: Ast, depth: Int): Column = ast match {
     case And(l, r) => toCol(l, depth) && toCol(r, depth)
     case Or(l, r)  => toCol(l, depth) || toCol(r, depth)
-    case Not(e)    => mustNot(toCol(e, depth))
-    case Exists(field, neg) =>
+    case Not(e)    => neg(e, depth)
+    case Exists(field, negated) =>
       val c = registry.expand(field).map(existsCol).reduce(_ || _)
-      if (neg) mustNot(c) else c
+      if (negated) !c else c // existsCol is never NULL
     case Cmp("view", op, value) =>
-      // saved views recurse into their stored expression (Q15,
-      // jison:529-542 viewand)
-      val name = value match {
-        case Value.Bare(s) => s; case Value.Quoted(s) => s
-        case other => throw new IllegalArgumentException(s"bad view $other")
-      }
-      val ex = views.getOrElse(name,
-        throw new IllegalArgumentException(s"$name - View not found"))
-      val c = compileAt(ex, depth + 1)
-      if (op == Ne) mustNot(c) else c
+      val ast1 = viewAst(value, depth)
+      if (op == Ne) neg(ast1, depth + 1) else toCol(ast1, depth + 1)
+    case Cmp(field, Ne, value) =>
+      neg(Cmp(field, Eq, value), depth)
     case Cmp(field, op, value0) =>
       val value = expandShortcut(value0)
       val defs = registry.expand(field)
       defs.map(d => cmpCol(d, op, value)).reduce(_ || _)
+  }
+
+  /** Compile "ast is NOT true" (false-or-null matches). */
+  private def neg(ast: Ast, depth: Int): Column = ast match {
+    case And(l, r) => neg(l, depth) || neg(r, depth)
+    case Or(l, r)  => neg(l, depth) && neg(r, depth)
+    // not-true(not-true(e)) = is-true(e); in a filter context NULL already
+    // behaves as false, so plain compilation is equivalent.
+    case Not(e)    => toCol(e, depth)
+    case Exists(field, negated) =>
+      val c = registry.expand(field).map(existsCol).reduce(_ || _)
+      if (negated) c else !c
+    case Cmp("view", op, value) =>
+      val ast1 = viewAst(value, depth)
+      if (op == Ne) toCol(ast1, depth + 1) else neg(ast1, depth + 1)
+    case Cmp(field, Ne, value) => toCol(Cmp(field, Eq, value), depth)
+    case Cmp(field, op, value0) =>
+      val value = expandShortcut(value0)
+      // must_not(OR over fanned-out fields) = AND of per-field negations
+      registry.expand(field)
+        .map(d => !cmpCol(d, op, value) || col(d.dbField).isNull)
+        .reduce(_ && _)
+  }
+
+  /** Resolve a `view == name` value to its stored expression's AST
+    * (Q15, jison:529-542 viewand). `depth` guards against mutually
+    * recursive views.
+    */
+  private def viewAst(value: Value, depth: Int): Ast = {
+    if (depth > maxDepth)
+      throw new IllegalArgumentException("view recursion too deep")
+    val name = value match {
+      case Value.Bare(s) => s; case Value.Quoted(s) => s
+      case other => throw new IllegalArgumentException(s"bad view $other")
+    }
+    val ex = views.getOrElse(name,
+      throw new IllegalArgumentException(s"$name - View not found"))
+    Parser.parse(ex)
   }
 
   private def existsCol(d: FieldDef): Column = {
@@ -120,14 +157,11 @@ final class Compiler(
     val rangeRe = "^(-?\\d+)-(-?\\d+)$".r
     (op, value) match {
       case (Eq | Ne, Value.Bare(rangeRe(lo, hi))) =>
-        val m = inRange(d, c, lo.toDouble, hi.toDouble)
-        if (op == Ne) mustNot(m) else m
+        inRange(d, c, lo.toDouble, hi.toDouble)
       case (Eq | Ne, Value.Lst(items)) =>
-        val m = items.map(i => eqOne(d, c, lits(i))).reduce(_ || _)
-        if (op == Ne) mustNot(m) else m
+        items.map(i => eqOne(d, c, lits(i))).reduce(_ || _)
       case (Eq | Ne, v) =>
-        val m = eqOne(d, c, lits(v))
-        if (op == Ne) mustNot(m) else m
+        eqOne(d, c, lits(v))
       case (Lt, v)  => c < lits(v)
       case (Lte, v) => c <= lits(v)
       case (Gt, v)  => c > lits(v)
@@ -204,7 +238,7 @@ final class Compiler(
     }
     op match {
       case Eq => m
-      case Ne => mustNot(m)
+      case Ne => throw new IllegalStateException("Ne is normalized to Eq upstream")
       case _  => throw new IllegalArgumentException(
         s"Invalid operator '$op' for ${d.expression}")
     }
@@ -224,11 +258,9 @@ final class Compiler(
       if (d.kind == FieldKind.DateK) timestamp_seconds(lit(secs(v))) else lit(secs(v))
     (op, value) match {
       case (Eq | Ne, Value.Lst(items)) =>
-        val m = items.map(i => dateEq(c, bound(i))).reduce(_ || _)
-        if (op == Ne) mustNot(m) else m
+        items.map(i => dateEq(c, bound(i))).reduce(_ || _)
       case (Eq | Ne, v) =>
-        val m = dateEq(c, bound(v))
-        if (op == Ne) mustNot(m) else m
+        dateEq(c, bound(v))
       case (Lt, v)  => c < bound(v)
       case (Lte, v) => c <= bound(v)
       case (Gt, v)  => c > bound(v)
@@ -280,11 +312,9 @@ final class Compiler(
     }
     (op, value) match {
       case (Eq | Ne, Value.Lst(items)) =>
-        val m = items.map(i => one(strOf(i))).reduce(_ || _)
-        if (op == Ne) mustNot(m) else m
+        items.map(i => one(strOf(i))).reduce(_ || _)
       case (Eq | Ne, v) =>
-        val m = one(strOf(v))
-        if (op == Ne) mustNot(m) else m
+        one(strOf(v))
       case (rangeOp, v) =>
         // gt/lt on ip: lexicographic on the binary form; v1 compares the
         // canonical string (correct for v4-only columns).
