@@ -75,7 +75,11 @@ object SessionBuilder {
       socksIp: String, socksPort: Int,
       httpMethod: Seq[String], httpUri: Seq[String], httpHost: Seq[String],
       httpStatuscode: Seq[Int], httpUseragent: Seq[String],
-      dnsQname: Seq[String], dnsQtype: Seq[String], dnsRcode: Seq[String])
+      dnsQname: Seq[String], dnsQtype: Seq[String], dnsRcode: Seq[String],
+      tlsVersion: Seq[String], tlsCipher: Seq[String],
+      tlsJa3: Seq[String], tlsJa3String: Seq[String],
+      tlsJa3s: Seq[String], tlsJa3sString: Seq[String],
+      tlsSrcSessionId: Seq[String], tlsDstSessionId: Seq[String])
 
   /** Reassemble one direction's TCP payload stream: order by sequence
     * number (handling 32-bit wrap relative to the first seq), drop
@@ -204,6 +208,9 @@ object SessionBuilder {
           infos.flatMap(_.qtype).distinct.toIndexedSeq,
           infos.flatMap(_.rcode).distinct.toIndexedSeq))
       } else None
+    val tls =
+      if (protocols.contains("tls")) TlsParser.parse(effSrc, effDst)
+      else None
 
     val firstMs = first.tsMicros / 1000
     val lastMs = seg.last.tsMicros / 1000
@@ -245,7 +252,15 @@ object SessionBuilder {
       httpUseragent = http.map(_.useragent).getOrElse(Nil),
       dnsQname = dns.map(_.qname).getOrElse(Nil),
       dnsQtype = dns.map(_.qtype).getOrElse(Nil),
-      dnsRcode = dns.map(_.rcode).getOrElse(Nil))
+      dnsRcode = dns.map(_.rcode).getOrElse(Nil),
+      tlsVersion = tls.map(_.version).getOrElse(Nil),
+      tlsCipher = tls.map(_.cipher).getOrElse(Nil),
+      tlsJa3 = tls.map(_.ja3).getOrElse(Nil),
+      tlsJa3String = tls.map(_.ja3string).getOrElse(Nil),
+      tlsJa3s = tls.map(_.ja3s).getOrElse(Nil),
+      tlsJa3sString = tls.map(_.ja3sstring).getOrElse(Nil),
+      tlsSrcSessionId = tls.map(_.srcSessionId).getOrElse(Nil),
+      tlsDstSessionId = tls.map(_.dstSessionId).getOrElse(Nil))
   }
 
   /** Batch pipeline: pcap path → session rows. */

@@ -1,0 +1,43 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import SessionBuilder.SessionRow
+
+/** Session persistence: day-partitioned parquet — the Spark analogue of
+  * the reference's time-rotated `sessions3-YYMMDD` indices
+  * (capture/db.c:538-577; pruning viewer/db.js:1853-1940 getIndices).
+  *
+  * Writing `partitionBy(day)` gives the same property the viewer gets
+  * from index-name pruning: a time-bounded query only opens the days
+  * that overlap the window (visible as PartitionFilters in the scan).
+  * At 100 TB with ~daily compaction this is the difference between
+  * scanning everything and scanning a handful of partitions.
+  */
+object SessionStore {
+
+  /** Write sessions day-partitioned (day = UTC date of firstPacket). */
+  def write(sessions: Dataset[SessionRow], path: String): Unit =
+    sessions.toDF()
+      .withColumn("day", date_format(timestamp_millis(col("firstPacket")), "yyyy-MM-dd"))
+      .write.mode("overwrite")
+      .partitionBy("day")
+      .parquet(path)
+
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Time-bounded read: the day predicate prunes partitions, the
+    * millisecond predicate refines within them (reference bounding modes
+    * are applied by Endpoints.sessionQuery on top).
+    */
+  def readRange(spark: SparkSession, path: String,
+      startMs: Long, stopMs: Long): DataFrame = {
+    val startDay = date_format(timestamp_millis(lit(startMs)), "yyyy-MM-dd")
+    val stopDay = date_format(timestamp_millis(lit(stopMs)), "yyyy-MM-dd")
+    read(spark, path)
+      .filter(col("day") >= startDay && col("day") <= stopDay)
+      .filter(col("lastPacket") >= startMs && col("firstPacket") <= stopMs)
+  }
+}

@@ -1,0 +1,206 @@
+package graft.etl
+
+/** TLS handshake metadata extractor: version, cipher, session ids, and
+  * JA3/JA3S fingerprints (public spec: github.com/salesforce/ja3).
+  * Reference parser: capture/parsers/tls.c (938 LoC); certificate parsing
+  * (cert.* fields) is future work.
+  */
+object TlsParser {
+
+  final case class TlsInfo(
+      version: Seq[String],
+      cipher: Seq[String],
+      ja3: Seq[String],
+      ja3string: Seq[String],
+      ja3s: Seq[String],
+      ja3sstring: Seq[String],
+      srcSessionId: Seq[String],
+      dstSessionId: Seq[String])
+
+  private def u16(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+  private def u24(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 16) | ((b(i + 1) & 0xff) << 8) | (b(i + 2) & 0xff)
+
+  private def isGrease(v: Int): Boolean =
+    (v & 0x0f0f) == 0x0a0a && ((v >> 8) & 0xff) == (v & 0xff)
+
+  private def md5hex(s: String): String =
+    org.apache.commons.codec.digest.DigestUtils.md5Hex(s)
+
+  private def hex(b: Array[Byte], from: Int, len: Int): String =
+    (from until from + len).map(i => f"${b(i) & 0xff}%02x").mkString
+
+  def versionName(v: Int): String = v match {
+    case 0x0300 => "SSLv3"
+    case 0x0301 => "TLSv1"
+    case 0x0302 => "TLSv1.1"
+    case 0x0303 => "TLSv1.2"
+    case 0x0304 => "TLSv1.3"
+    case other  => f"0x$other%04x"
+  }
+
+  /** IANA cipher-suite names (public registry), common subset. */
+  val cipherNames: Map[Int, String] = Map(
+    0x0004 -> "TLS_RSA_WITH_RC4_128_MD5",
+    0x0005 -> "TLS_RSA_WITH_RC4_128_SHA",
+    0x000a -> "TLS_RSA_WITH_3DES_EDE_CBC_SHA",
+    0x002f -> "TLS_RSA_WITH_AES_128_CBC_SHA",
+    0x0035 -> "TLS_RSA_WITH_AES_256_CBC_SHA",
+    0x003c -> "TLS_RSA_WITH_AES_128_CBC_SHA256",
+    0x003d -> "TLS_RSA_WITH_AES_256_CBC_SHA256",
+    0x009c -> "TLS_RSA_WITH_AES_128_GCM_SHA256",
+    0x009d -> "TLS_RSA_WITH_AES_256_GCM_SHA384",
+    0x1301 -> "TLS_AES_128_GCM_SHA256",
+    0x1302 -> "TLS_AES_256_GCM_SHA384",
+    0x1303 -> "TLS_CHACHA20_POLY1305_SHA256",
+    0xc009 -> "TLS_ECDHE_ECDSA_WITH_AES_128_CBC_SHA",
+    0xc00a -> "TLS_ECDHE_ECDSA_WITH_AES_256_CBC_SHA",
+    0xc013 -> "TLS_ECDHE_RSA_WITH_AES_128_CBC_SHA",
+    0xc014 -> "TLS_ECDHE_RSA_WITH_AES_256_CBC_SHA",
+    0xc02b -> "TLS_ECDHE_ECDSA_WITH_AES_128_GCM_SHA256",
+    0xc02c -> "TLS_ECDHE_ECDSA_WITH_AES_256_GCM_SHA384",
+    0xc02f -> "TLS_ECDHE_RSA_WITH_AES_128_GCM_SHA256",
+    0xc030 -> "TLS_ECDHE_RSA_WITH_AES_256_GCM_SHA384",
+    0xcca8 -> "TLS_ECDHE_RSA_WITH_CHACHA20_POLY1305_SHA256",
+    0xcca9 -> "TLS_ECDHE_ECDSA_WITH_CHACHA20_POLY1305_SHA256")
+
+  def cipherName(v: Int): String =
+    cipherNames.getOrElse(v, f"0x$v%04x")
+
+  /** Iterate TLS records (type, version, body) of a reassembled stream. */
+  private def records(stream: Array[Byte]): Iterator[(Int, Int, Array[Byte])] =
+    new Iterator[(Int, Int, Array[Byte])] {
+      private var off = 0
+      def hasNext: Boolean =
+        off + 5 <= stream.length && {
+          val t = stream(off) & 0xff
+          t >= 20 && t <= 24 && u16(stream, off + 1) >= 0x0300 &&
+            u16(stream, off + 1) <= 0x0304
+        }
+      def next(): (Int, Int, Array[Byte]) = {
+        val t = stream(off) & 0xff
+        val v = u16(stream, off + 1)
+        val len = u16(stream, off + 3)
+        val end = math.min(off + 5 + len, stream.length)
+        val body = java.util.Arrays.copyOfRange(stream, off + 5, end)
+        off = off + 5 + len
+        (t, v, body)
+      }
+    }
+
+  /** Concatenate handshake-record bodies, then iterate handshake
+    * messages (type, body) — messages may span records.
+    */
+  private def handshakeMessages(stream: Array[Byte]): Iterator[(Int, Array[Byte])] = {
+    val hs = records(stream).collect { case (22, _, body) => body }
+      .foldLeft(Array.empty[Byte])(_ ++ _)
+    new Iterator[(Int, Array[Byte])] {
+      private var off = 0
+      def hasNext: Boolean = off + 4 <= hs.length
+      def next(): (Int, Array[Byte]) = {
+        val t = hs(off) & 0xff
+        val len = u24(hs, off + 1)
+        val end = math.min(off + 4 + len, hs.length)
+        val body = java.util.Arrays.copyOfRange(hs, off + 4, end)
+        off = off + 4 + len
+        (t, body)
+      }
+    }
+  }
+
+  private final case class Hello(
+      version: Int, sessionIdHex: String, ciphers: Seq[Int],
+      extensions: Seq[Int], curves: Seq[Int], pointFormats: Seq[Int],
+      supportedVersions: Seq[Int], chosenCipher: Option[Int])
+
+  private def parseHello(b: Array[Byte], isClient: Boolean): Option[Hello] = {
+    try {
+      var off = 0
+      val version = u16(b, off); off += 2
+      off += 32 // random
+      val sidLen = b(off) & 0xff; off += 1
+      val sid = hex(b, off, sidLen); off += sidLen
+      var ciphers = Seq.empty[Int]
+      var chosen: Option[Int] = None
+      if (isClient) {
+        val cLen = u16(b, off); off += 2
+        ciphers = (0 until cLen / 2).map(i => u16(b, off + i * 2))
+        off += cLen
+        val compLen = b(off) & 0xff; off += 1 + compLen
+      } else {
+        chosen = Some(u16(b, off)); off += 2
+        off += 1 // compression
+      }
+      var exts = Seq.empty[Int]
+      var curves = Seq.empty[Int]
+      var formats = Seq.empty[Int]
+      var supported = Seq.empty[Int]
+      if (off + 2 <= b.length) {
+        val extTotal = u16(b, off); off += 2
+        val extEnd = math.min(off + extTotal, b.length)
+        while (off + 4 <= extEnd) {
+          val et = u16(b, off); val el = u16(b, off + 2)
+          val dataOff = off + 4
+          exts :+= et
+          if (et == 10 && dataOff + 2 <= b.length) { // supported_groups
+            val l = u16(b, dataOff)
+            curves = (0 until l / 2).map(i => u16(b, dataOff + 2 + i * 2))
+          }
+          if (et == 11 && dataOff + 1 <= b.length) { // ec_point_formats
+            val l = b(dataOff) & 0xff
+            formats = (0 until l).map(i => b(dataOff + 1 + i) & 0xff)
+          }
+          if (et == 43) { // supported_versions
+            if (isClient && dataOff + 1 <= b.length) {
+              val l = b(dataOff) & 0xff
+              supported = (0 until l / 2).map(i => u16(b, dataOff + 1 + i * 2))
+            } else if (!isClient && dataOff + 2 <= b.length) {
+              supported = Seq(u16(b, dataOff))
+            }
+          }
+          off = dataOff + el
+        }
+      }
+      Some(Hello(version, sid, ciphers, exts, curves, formats, supported, chosen))
+    } catch { case _: Exception => None }
+  }
+
+  /** Parse both directions' reassembled streams into TLS metadata. */
+  def parse(srcStream: Array[Byte], dstStream: Array[Byte]): Option[TlsInfo] = {
+    val client = handshakeMessages(srcStream)
+      .collectFirst { case (1, body) => body }.flatMap(parseHello(_, isClient = true))
+    val server = handshakeMessages(dstStream)
+      .collectFirst { case (2, body) => body }.flatMap(parseHello(_, isClient = false))
+    if (client.isEmpty && server.isEmpty) return None
+
+    val ja3 = client.map { c =>
+      val noGrease = (xs: Seq[Int]) => xs.filterNot(isGrease)
+      Seq(c.version.toString,
+        noGrease(c.ciphers).mkString("-"),
+        noGrease(c.extensions).mkString("-"),
+        noGrease(c.curves).mkString("-"),
+        c.pointFormats.mkString("-")).mkString(",")
+    }
+    val ja3s = server.map { s =>
+      Seq(s.version.toString,
+        s.chosenCipher.getOrElse(0).toString,
+        s.extensions.filterNot(isGrease).mkString("-")).mkString(",")
+    }
+    // effective version: server supported_versions (TLS1.3) wins, then
+    // ServerHello version, then ClientHello version
+    val version = server.map(s => s.supportedVersions.headOption.getOrElse(s.version))
+      .orElse(client.map(c => c.version))
+      .map(versionName)
+    val cipher = server.flatMap(_.chosenCipher).map(cipherName)
+    Some(TlsInfo(
+      version = version.toSeq,
+      cipher = cipher.toSeq,
+      ja3 = ja3.map(md5hex).toSeq,
+      ja3string = ja3.toSeq,
+      ja3s = ja3s.map(md5hex).toSeq,
+      ja3sstring = ja3s.toSeq,
+      srcSessionId = client.map(_.sessionIdHex).filter(_.nonEmpty).toSeq,
+      dstSessionId = server.map(_.sessionIdHex).filter(_.nonEmpty).toSeq))
+  }
+}

@@ -1,0 +1,73 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.types.{BooleanType, DataType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `ip_in_cidr(ipCol, 'cidr')` as a native Catalyst expression with full
+  * codegen — the hot filter path of IP/CIDR queries (Q9). The CIDR is a
+  * constant parsed once at plan time; per-row evaluation parses the IP
+  * string into 16 v4-mapped bytes and compares the prefix, inside the
+  * WholeStageCodegen span (a Scala UDF here would break the span and pay
+  * serialization per row).
+  *
+  * Registered in the session FunctionRegistry ([[CidrExpression.register]])
+  * so it is reachable from SQL text and from `call_function` — the public
+  * route to custom expressions in Spark 4.
+  */
+case class IpInCidrExpr(child: Expression, cidr: String)
+    extends UnaryExpression {
+
+  @transient private lazy val parsed: IpUtil.Cidr =
+    IpUtil.parseCidr(IpUtil.expandShorthand(cidr)).orNull
+
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = false
+  override def prettyName: String = "ip_in_cidr"
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null || parsed == null) false
+    else parsed.contains(IpUtil.toBytes(v.asInstanceOf[UTF8String].toString))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cidrRef = ctx.addReferenceObj("cidr", parsed, classOf[IpUtil.Cidr].getName)
+    val childGen = child.genCode(ctx)
+    val ipb = ctx.freshName("ipBytes")
+    ev.copy(
+      code = code"""
+        ${childGen.code}
+        boolean ${ev.value} = false;
+        if (!${childGen.isNull} && $cidrRef != null) {
+          byte[] $ipb = graft.functions.IpUtil.toBytes(${childGen.value}.toString());
+          ${ev.value} = $ipb != null && $cidrRef.contains($ipb);
+        }""",
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object CidrExpression {
+
+  /** Make `ip_in_cidr` available in the session's FunctionRegistry. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "ip_in_cidr",
+      exprs => {
+        require(exprs.length == 2, "ip_in_cidr(ipCol, 'cidr')")
+        val cidr = exprs(1) match {
+          case Literal(s: UTF8String, _) => s.toString
+          case other => throw new IllegalArgumentException(
+            s"ip_in_cidr: cidr must be a string literal, got $other")
+        }
+        IpInCidrExpr(exprs.head, cidr)
+      },
+      "built-in")
+}

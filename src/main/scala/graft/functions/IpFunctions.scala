@@ -21,13 +21,23 @@ object IpFunctions {
     }
   }
 
-  /** String-ip column ∈ CIDR (constant). */
+  /** String-ip column ∈ CIDR (constant). Uses the codegen'd
+    * [[IpInCidrExpr]] when a session is active (registered on demand);
+    * falls back to the UDF form outside a session.
+    */
   def ipInCidr(ipCol: Column, cidr: String): Column = {
     val norm = IpUtil.expandShorthand(cidr)
     if (!norm.contains('/')) {
       // Exact ip equality — plain string compare on the canonical form.
       ipCol === lit(norm)
-    } else cidrMatchUdf(ipCol, lit(norm))
+    } else {
+      org.apache.spark.sql.SparkSession.getActiveSession match {
+        case Some(spark) =>
+          CidrExpression.register(spark)
+          call_function("ip_in_cidr", ipCol, lit(norm))
+        case None => cidrMatchUdf(ipCol, lit(norm))
+      }
+    }
   }
 
   /** Binary(16) ip column ∈ CIDR — pure built-ins, codegen-friendly.

@@ -159,7 +159,13 @@ object FieldRegistry {
       FieldDef("dns.query.type", "dnsQtype",   UpTermK, multiValued = true),
       FieldDef("dns.status",   "dnsRcode",     UpTermK, multiValued = true),
       FieldDef("socks.ip",     "socksIp",      IpK, portField = Some("socksPort")),
-      FieldDef("socks.port",   "socksPort",    IntegerK)
+      FieldDef("socks.port",   "socksPort",    IntegerK),
+      FieldDef("tls.version",  "tlsVersion",   TermK, multiValued = true),
+      FieldDef("tls.cipher",   "tlsCipher",    UpTermK, multiValued = true),
+      FieldDef("tls.ja3",      "tlsJa3",       LoTermK, multiValued = true),
+      FieldDef("tls.ja3s",     "tlsJa3s",      LoTermK, multiValued = true),
+      FieldDef("tls.sessionid.src", "tlsSrcSessionId", LoTermK, multiValued = true),
+      FieldDef("tls.sessionid.dst", "tlsDstSessionId", LoTermK, multiValued = true)
     ),
     metaFields = Map(
       "ip"   -> Seq("ip.src", "ip.dst"),
