@@ -108,6 +108,8 @@ object AppProtocols {
     }
     if (ipProtocol == 17 && (srcPort == 53 || dstPort == 53)) tags += "dns"
     if (ipProtocol == 6 && (srcPort == 53 || dstPort == 53)) tags += "dns"
+    if (ipProtocol == 17 && Seq(srcPort, dstPort).exists(p => p == 67 || p == 68))
+      tags += "dhcp"
     if (streams.exists(s => startsWithAny(s, Seq("SSH-")))) tags += "ssh"
     if (streams.exists(s => s.length >= 3 && (s(0) & 0xff) == 0x16 &&
         (s(1) & 0xff) == 0x03)) tags += "tls"

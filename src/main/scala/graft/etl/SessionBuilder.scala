@@ -79,7 +79,10 @@ object SessionBuilder {
       tlsVersion: Seq[String], tlsCipher: Seq[String],
       tlsJa3: Seq[String], tlsJa3String: Seq[String],
       tlsJa3s: Seq[String], tlsJa3sString: Seq[String],
-      tlsSrcSessionId: Seq[String], tlsDstSessionId: Seq[String])
+      tlsSrcSessionId: Seq[String], tlsDstSessionId: Seq[String],
+      sshVersion: Seq[String], sshHassh: Seq[String],
+      sshHasshServer: Seq[String], sshKey: Seq[String],
+      dhcpId: Seq[String], dhcpMac: Seq[String], dhcpType: Seq[String])
 
   /** Reassemble one direction's TCP payload stream: order by sequence
     * number (handling 32-bit wrap relative to the first seq), drop
@@ -211,6 +214,13 @@ object SessionBuilder {
     val tls =
       if (protocols.contains("tls")) TlsParser.parse(effSrc, effDst)
       else None
+    val ssh =
+      if (protocols.contains("ssh")) SshParser.parse(effSrc, effDst)
+      else None
+    val dhcp =
+      if (protocols.contains("dhcp"))
+        DhcpParser.parse(seg.filter(_.payload.nonEmpty).map(_.payload).toIndexedSeq)
+      else None
 
     val firstMs = first.tsMicros / 1000
     val lastMs = seg.last.tsMicros / 1000
@@ -260,7 +270,14 @@ object SessionBuilder {
       tlsJa3s = tls.map(_.ja3s).getOrElse(Nil),
       tlsJa3sString = tls.map(_.ja3sstring).getOrElse(Nil),
       tlsSrcSessionId = tls.map(_.srcSessionId).getOrElse(Nil),
-      tlsDstSessionId = tls.map(_.dstSessionId).getOrElse(Nil))
+      tlsDstSessionId = tls.map(_.dstSessionId).getOrElse(Nil),
+      sshVersion = ssh.map(_.version).getOrElse(Nil),
+      sshHassh = ssh.map(_.hassh).getOrElse(Nil),
+      sshHasshServer = ssh.map(_.hasshServer).getOrElse(Nil),
+      sshKey = ssh.map(_.key).getOrElse(Nil),
+      dhcpId = dhcp.map(_.id).getOrElse(Nil),
+      dhcpMac = dhcp.map(_.mac).getOrElse(Nil),
+      dhcpType = dhcp.map(_.dhcpType).getOrElse(Nil))
   }
 
   /** Batch pipeline: pcap path → session rows. */

@@ -165,7 +165,15 @@ object FieldRegistry {
       FieldDef("tls.ja3",      "tlsJa3",       LoTermK, multiValued = true),
       FieldDef("tls.ja3s",     "tlsJa3s",      LoTermK, multiValued = true),
       FieldDef("tls.sessionid.src", "tlsSrcSessionId", LoTermK, multiValued = true),
-      FieldDef("tls.sessionid.dst", "tlsDstSessionId", LoTermK, multiValued = true)
+      FieldDef("tls.sessionid.dst", "tlsDstSessionId", LoTermK, multiValued = true),
+      FieldDef("ssh.ver",      "sshVersion",   LoTermK, multiValued = true),
+      FieldDef("ssh.hassh",    "sshHassh",     LoTermK, multiValued = true),
+      FieldDef("ssh.hasshServer", "sshHasshServer", LoTermK, multiValued = true),
+      FieldDef("ssh.key",      "sshKey",       TermK, multiValued = true),
+      FieldDef("dhcp.id",      "dhcpId",       LoTermK, multiValued = true),
+      FieldDef("dhcp.mac",     "dhcpMac",      LoTermK, multiValued = true,
+        transform = Some(dash2Colon)),
+      FieldDef("dhcp.type",    "dhcpType",     UpTermK, multiValued = true)
     ),
     metaFields = Map(
       "ip"   -> Seq("ip.src", "ip.dst"),
