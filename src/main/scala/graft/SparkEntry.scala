@@ -170,6 +170,27 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
         .orderBy(col("event_type"))
     }),
+    "e1_bounding_either" -> ((s, dir) => {
+      // sessionized events give real first/last columns for bounding modes
+      val sess = Sessionize.sessionize(ev(s, dir), col("user_id"), col("ts"),
+        col("event_id"), 1800)
+      Endpoints.sessionQuery(sess,
+        timestamp_seconds(col("start_s")), timestamp_seconds(col("end_s")),
+        timestamp_seconds(col("end_s")),
+        lit("2024-01-10 00:00:00").cast("timestamp"),
+        lit("2024-01-20 00:00:00").cast("timestamp"),
+        Endpoints.Bounding.Either)
+        .orderBy("key", "session_seq")
+    }),
+    "e8_unique_autocomplete" -> ((s, dir) =>
+      Endpoints.unique(ev(s, dir), col("event_type"), "event_type",
+        counts = true, autocompletePrefix = Some("p"))),
+    "e10_connections_baseline" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val cur = e.filter(col("ts") >= lit("2024-01-16 00:00:00").cast("timestamp"))
+      val base = e.filter(col("ts") < lit("2024-01-16 00:00:00").cast("timestamp"))
+      Endpoints.connectionsNodes(cur, Some(base), col("user_id"), col("event_type"))
+    }),
     "e12_segment_join" -> ((s, dir) => {
       // rootId-style segment re-join: orders ⋈ lineitem, per-order rollup.
       li(s, dir).join(ord(s, dir), col("l_orderkey") === col("o_orderkey"))
@@ -469,6 +490,47 @@ object SparkEntry {
          ${sqlDsum("value")} AS sum_value
          FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
          GROUP BY src, dst ORDER BY src, dst""",
+    "e1_bounding_either" ->
+      s"""WITH marked AS (
+           SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+                  THEN 1 ELSE 0 END AS is_new
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         numbered AS (
+           SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING) - 1 AS sid
+           FROM marked),
+         sessions AS (
+           SELECT user_id AS key, sid AS session_seq,
+             CAST(floor(epoch(min(ts))) AS BIGINT) AS start_s,
+             CAST(floor(epoch(max(ts))) AS BIGINT) AS end_s,
+             count(*) AS n_events
+           FROM numbered GROUP BY key, session_seq)
+         SELECT * FROM sessions
+         WHERE start_s <= epoch(TIMESTAMP '2024-01-20 00:00:00')
+           AND end_s >= epoch(TIMESTAMP '2024-01-10 00:00:00')
+         ORDER BY key, session_seq""",
+    "e8_unique_autocomplete" ->
+      """SELECT event_type, count(*) AS cnt FROM events
+         WHERE event_type IS NOT NULL AND event_type LIKE 'p%'
+         GROUP BY event_type ORDER BY cnt DESC, event_type ASC LIMIT 10000""",
+    "e10_connections_baseline" ->
+      """WITH nodes AS (
+           SELECT CAST(user_id AS VARCHAR) AS node, 1 AS flag FROM events
+             WHERE ts >= TIMESTAMP '2024-01-16 00:00:00' AND user_id IS NOT NULL
+           UNION ALL SELECT event_type, 1 FROM events
+             WHERE ts >= TIMESTAMP '2024-01-16 00:00:00' AND event_type IS NOT NULL
+           UNION ALL SELECT CAST(user_id AS VARCHAR), 2 FROM events
+             WHERE ts < TIMESTAMP '2024-01-16 00:00:00' AND user_id IS NOT NULL
+           UNION ALL SELECT event_type, 2 FROM events
+             WHERE ts < TIMESTAMP '2024-01-16 00:00:00' AND event_type IS NOT NULL),
+         g AS (SELECT node, flag, count(*) AS sessions FROM nodes GROUP BY node, flag)
+         SELECT node,
+           sum(CASE WHEN flag = 1 THEN sessions ELSE 0 END) AS sessions,
+           CAST(sum(flag) AS INT) AS flag
+         FROM g GROUP BY node ORDER BY node""",
     "e12_segment_join" ->
       s"""SELECT o_orderkey, count(*) AS n_lines, ${sqlDsum("l_quantity")} AS sum_qty
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey

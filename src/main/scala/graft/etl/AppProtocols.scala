@@ -56,12 +56,13 @@ object AppProtocols {
       if (src.length < reqOff + 4 || src(reqOff) != 5) return None
       val atyp = src(reqOff + 3) & 0xff
       val (addr, addrLen) = atyp match {
-        case 1 => // IPv4
+        case 1 if src.length >= reqOff + 8 => // IPv4
           (s"${src(reqOff + 4) & 0xff}.${src(reqOff + 5) & 0xff}.${src(reqOff + 6) & 0xff}.${src(reqOff + 7) & 0xff}", 4)
-        case 3 => // domain
+        case 3 if src.length > reqOff + 4 => // domain
           val l = src(reqOff + 4) & 0xff
+          if (src.length < reqOff + 5 + l) return None
           (new String(src, reqOff + 5, l, StandardCharsets.ISO_8859_1), l + 1)
-        case 4 =>
+        case 4 if src.length >= reqOff + 20 =>
           (graft.functions.IpUtil.canonical(
             java.util.Arrays.copyOfRange(src, reqOff + 4, reqOff + 20)), 16)
         case _ => return None
@@ -111,6 +112,7 @@ object AppProtocols {
     if (ipProtocol == 17 && Seq(srcPort, dstPort).exists(p => p == 67 || p == 68))
       tags += "dhcp"
     if (streams.exists(s => startsWithAny(s, Seq("SSH-")))) tags += "ssh"
+    if (SmtpParser.isSmtp(srcStream, dstStream)) tags += "smtp"
     if (streams.exists(s => s.length >= 3 && (s(0) & 0xff) == 0x16 &&
         (s(1) & 0xff) == 0x03)) tags += "tls"
     tags.toSeq.sorted

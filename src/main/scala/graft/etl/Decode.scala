@@ -40,9 +40,41 @@ object Decode {
   val TH_FIN = 0x01; val TH_SYN = 0x02; val TH_RST = 0x04
   val TH_PSH = 0x08; val TH_ACK = 0x10; val TH_URG = 0x20
 
-  /** Decode one raw packet (Ethernet link type); None for non-IP. */
+  /** Decode one raw packet by its pcap link type; None for non-IP.
+    * Link types (public tcpdump registry): 1 Ethernet, 0/108 BSD
+    * loopback/NULL, 113 Linux cooked (SLL), 101 raw IP.
+    */
   def decode(p: Pcap.RawPacket): Option[DecodedPacket] = {
     val b = p.data
+    p.linkType match {
+      case 1 => decodeEthernet(p, b)
+      case 0 | 108 => // 4-byte AF header, host order: 2 = INET, 24/28/30 = INET6
+        if (b.length < 5) None
+        else {
+          val af = (b(0) & 0xff) | ((b(3) & 0xff) << 24) // tolerate either order
+          if ((b(0) & 0xff) == 2 || (b(3) & 0xff) == 2)
+            decodeIp4(p, b, 4, "", "")
+          else decodeIp6(p, b, 4, "", "")
+        }
+      case 113 => // Linux SLL: 16-byte header, protocol at offset 14
+        if (b.length < 16) None
+        else {
+          val proto = ((b(14) & 0xff) << 8) | (b(15) & 0xff)
+          proto match {
+            case 0x0800 => decodeIp4(p, b, 16, "", "")
+            case 0x86dd => decodeIp6(p, b, 16, "", "")
+            case _      => None
+          }
+        }
+      case 101 => // raw IP
+        if (b.isEmpty) None
+        else if ((b(0) & 0xf0) == 0x40) decodeIp4(p, b, 0, "", "")
+        else decodeIp6(p, b, 0, "", "")
+      case _ => None
+    }
+  }
+
+  private def decodeEthernet(p: Pcap.RawPacket, b: Array[Byte]): Option[DecodedPacket] = {
     if (b.length < 14) return None
     val mSrc = mac(b, 6)
     val mDst = mac(b, 0)
@@ -53,6 +85,16 @@ object Decode {
     while ((etherType == 0x8100 || etherType == 0x88a8) && off + 4 <= b.length) {
       etherType = ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
       off += 4
+    }
+    // PPPoE session (0x8864): 6-byte header + 2-byte PPP protocol
+    if (etherType == 0x8864 && off + 8 <= b.length) {
+      val ppp = ((b(off + 6) & 0xff) << 8) | (b(off + 7) & 0xff)
+      val inner = off + 8
+      return ppp match {
+        case 0x0021 => decodeIp4(p, b, inner, mSrc, mDst)
+        case 0x0057 => decodeIp6(p, b, inner, mSrc, mDst)
+        case _      => None
+      }
     }
     etherType match {
       case 0x0800 => decodeIp4(p, b, off, mSrc, mDst)

@@ -28,6 +28,7 @@ object Pcap {
       inclLen: Int,
       origLen: Int,
       fileOffset: Long,
+      linkType: Int,
       data: Array[Byte])
 
   final case class PcapHeader(
@@ -71,7 +72,8 @@ object Pcap {
             val start = off + 16
             val end = math.min(start + inclLen, bytes.length.toLong)
             val data = java.util.Arrays.copyOfRange(bytes, start.toInt, end.toInt)
-            val p = RawPacket(file, idx, micros, inclLen, origLen, off, data)
+            val p = RawPacket(file, idx, micros, inclLen, origLen, off,
+              h.linkType, data)
             off = start + inclLen
             idx += 1
             p

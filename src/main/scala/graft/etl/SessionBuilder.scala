@@ -82,7 +82,10 @@ object SessionBuilder {
       tlsSrcSessionId: Seq[String], tlsDstSessionId: Seq[String],
       sshVersion: Seq[String], sshHassh: Seq[String],
       sshHasshServer: Seq[String], sshKey: Seq[String],
-      dhcpId: Seq[String], dhcpMac: Seq[String], dhcpType: Seq[String])
+      dhcpId: Seq[String], dhcpMac: Seq[String], dhcpType: Seq[String],
+      smtpHello: Seq[String], emailSrc: Seq[String], emailDst: Seq[String],
+      emailSubject: Seq[String], emailContentType: Seq[String],
+      emailMimeVersion: Seq[String], emailHeader: Seq[String])
 
   /** Reassemble one direction's TCP payload stream: order by sequence
     * number (handling 32-bit wrap relative to the first seq), drop
@@ -221,6 +224,9 @@ object SessionBuilder {
       if (protocols.contains("dhcp"))
         DhcpParser.parse(seg.filter(_.payload.nonEmpty).map(_.payload).toIndexedSeq)
       else None
+    val smtp =
+      if (protocols.contains("smtp")) SmtpParser.parse(effSrc)
+      else None
 
     val firstMs = first.tsMicros / 1000
     val lastMs = seg.last.tsMicros / 1000
@@ -277,7 +283,14 @@ object SessionBuilder {
       sshKey = ssh.map(_.key).getOrElse(Nil),
       dhcpId = dhcp.map(_.id).getOrElse(Nil),
       dhcpMac = dhcp.map(_.mac).getOrElse(Nil),
-      dhcpType = dhcp.map(_.dhcpType).getOrElse(Nil))
+      dhcpType = dhcp.map(_.dhcpType).getOrElse(Nil),
+      smtpHello = smtp.map(_.hello).getOrElse(Nil),
+      emailSrc = smtp.map(_.src).getOrElse(Nil),
+      emailDst = smtp.map(_.dst).getOrElse(Nil),
+      emailSubject = smtp.map(_.subject).getOrElse(Nil),
+      emailContentType = smtp.map(_.contentType).getOrElse(Nil),
+      emailMimeVersion = smtp.map(_.mimeVersion).getOrElse(Nil),
+      emailHeader = smtp.map(_.headers).getOrElse(Nil))
   }
 
   /** Batch pipeline: pcap path → session rows. */

@@ -1,0 +1,82 @@
+package graft.etl
+
+import java.nio.charset.StandardCharsets
+
+/** SMTP / email metadata extractor: envelope (HELO/EHLO, MAIL FROM,
+  * RCPT TO) from the command stream and message headers (Subject, From,
+  * To, Content-Type, MIME-Version) from the DATA section.
+  * Reference parser: capture/parsers/smtp.c (1072 LoC).
+  */
+object SmtpParser {
+
+  final case class SmtpInfo(
+      hello: Seq[String],
+      src: Seq[String],
+      dst: Seq[String],
+      subject: Seq[String],
+      contentType: Seq[String],
+      mimeVersion: Seq[String],
+      headers: Seq[String])
+
+  private val addrRe = "<([^>]+)>".r
+
+  private def addr(line: String): Option[String] =
+    addrRe.findFirstMatchIn(line).map(_.group(1))
+      .orElse(line.split(":", 2).lift(1).map(_.trim).filter(_.contains("@")))
+
+  def isSmtp(srcStream: Array[Byte], dstStream: Array[Byte]): Boolean = {
+    def head(b: Array[Byte]) =
+      new String(b.take(64), StandardCharsets.ISO_8859_1).toUpperCase
+    head(dstStream).startsWith("220") &&
+      (head(srcStream).startsWith("HELO") || head(srcStream).startsWith("EHLO"))
+  }
+
+  def parse(srcStream: Array[Byte]): Option[SmtpInfo] = {
+    val text = new String(srcStream, StandardCharsets.ISO_8859_1)
+    val lines = text.split("\r?\n")
+    val hello = Seq.newBuilder[String]
+    val src = Seq.newBuilder[String]
+    val dst = Seq.newBuilder[String]
+    var inData = false
+    val headerNames = Seq.newBuilder[String]
+    val subject = Seq.newBuilder[String]
+    val contentType = Seq.newBuilder[String]
+    val mimeVersion = Seq.newBuilder[String]
+    var headerSection = false
+    lines.foreach { line =>
+      val u = line.toUpperCase
+      if (!inData) {
+        if (u.startsWith("HELO ") || u.startsWith("EHLO "))
+          hello += line.substring(5).trim.toLowerCase
+        else if (u.startsWith("MAIL FROM")) addr(line).foreach(src += _)
+        else if (u.startsWith("RCPT TO")) addr(line).foreach(dst += _)
+        else if (u == "DATA") { inData = true; headerSection = true }
+      } else if (headerSection) {
+        if (line.isEmpty) headerSection = false // blank line ends headers
+        else if (!line.startsWith(" ") && !line.startsWith("\t") && line.contains(":")) {
+          val name = line.takeWhile(_ != ':')
+          val value = line.substring(name.length + 1).trim
+          headerNames += name.toLowerCase
+          name.toLowerCase match {
+            case "subject"      => subject += value
+            case "content-type" => contentType += value
+            case "mime-version" => mimeVersion += value
+            case _              =>
+          }
+        }
+      } else if (line == ".") { // end of DATA; another message may follow
+        inData = false
+      }
+    }
+    val info = SmtpInfo(
+      hello = hello.result().distinct,
+      src = src.result().distinct,
+      dst = dst.result().distinct,
+      subject = subject.result().distinct,
+      contentType = contentType.result().distinct,
+      mimeVersion = mimeVersion.result().distinct,
+      headers = headerNames.result().distinct.sorted)
+    if (info.hello.isEmpty && info.src.isEmpty && info.subject.isEmpty) None
+    else Some(info)
+  }
+}

@@ -173,7 +173,12 @@ object FieldRegistry {
       FieldDef("dhcp.id",      "dhcpId",       LoTermK, multiValued = true),
       FieldDef("dhcp.mac",     "dhcpMac",      LoTermK, multiValued = true,
         transform = Some(dash2Colon)),
-      FieldDef("dhcp.type",    "dhcpType",     UpTermK, multiValued = true)
+      FieldDef("dhcp.type",    "dhcpType",     UpTermK, multiValued = true),
+      FieldDef("email.smtp-hello", "smtpHello", LoTermK, multiValued = true),
+      FieldDef("email.src",    "emailSrc",     LoTermK, multiValued = true),
+      FieldDef("email.dst",    "emailDst",     LoTermK, multiValued = true),
+      FieldDef("email.subject", "emailSubject", TermK, multiValued = true),
+      FieldDef("email.content-type", "emailContentType", LoTermK, multiValued = true)
     ),
     metaFields = Map(
       "ip"   -> Seq("ip.src", "ip.dst"),

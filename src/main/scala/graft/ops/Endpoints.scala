@@ -245,7 +245,8 @@ object Endpoints {
       srcField: Column,
       dstField: Column): DataFrame = {
     def nodes(d: DataFrame, flag: Int): DataFrame =
-      d.select(srcField.as("node")).union(d.select(dstField.as("node")))
+      d.select(srcField.cast("string").as("node"))
+        .union(d.select(dstField.cast("string").as("node")))
         .filter(col("node").isNotNull)
         .groupBy("node").agg(count(lit(1)).as("sessions"))
         .withColumn("flag", lit(flag))

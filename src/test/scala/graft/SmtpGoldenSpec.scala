@@ -1,0 +1,33 @@
+package graft
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.etl.SessionBuilder
+
+class SmtpGoldenSpec extends AnyFunSuite with SparkSpecBase {
+
+  private val mapper = new ObjectMapper()
+  private def strs(n: com.fasterxml.jackson.databind.JsonNode): Seq[String] =
+    n.elements().asScala.map(_.asText()).toSeq
+
+  test("smtp-data-521: envelope + message headers match golden") {
+    val got = SessionBuilder.sessionize(spark,
+      "/root/reference/tests/pcap/smtp-data-521.pcap").collect()
+    assert(got.length == 1)
+    val g = got.head
+    val w = mapper.readTree(new java.io.File(
+      "/root/reference/tests/pcap/smtp-data-521.test"))
+      .get("sessions3").elements().asScala.next().get("body").get("email")
+    assert(g.protocol.contains("smtp"))
+    assert(g.smtpHello == strs(w.get("smtpHello")))
+    assert(g.emailSrc == strs(w.get("src")))
+    assert(g.emailDst == strs(w.get("dst")))
+    assert(g.emailSubject == strs(w.get("subject")))
+    assert(g.emailContentType == strs(w.get("contentType")))
+    assert(g.emailMimeVersion == strs(w.get("mimeVersion")))
+    assert(g.emailHeader == strs(w.get("header")).sorted)
+  }
+}
