@@ -66,4 +66,48 @@ object ShingleHashes {
     val f = udf((s: String) => hashes(s, k, distinct))
     f(text)
   }
+
+  /** Fused 32-bit SimHash over the token multiset — same semantics as
+    * Dedup.simhash32's composed form (and its SQL oracle): per-token
+    * hash = hex32(md5(token)); bit i of the fingerprint set iff
+    * Σ_tokens ((h>>i & 1)*2 - 1) > 0. One pass per document instead of
+    * 32 interpreted array-aggregates.
+    */
+  def simhash32(text: String): Long = {
+    if (text == null) return 0L
+    val toks = splitRe.split(text.toLowerCase).filter(_.nonEmpty)
+    if (toks.isEmpty) return 0L
+    val md = MessageDigest.getInstance("MD5")
+    val sums = new Array[Int](32)
+    toks.foreach { t =>
+      md.reset()
+      val d = md.digest(t.getBytes(StandardCharsets.UTF_8))
+      val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      var i = 0
+      while (i < 32) {
+        sums(i) += (((h >> i) & 1L) * 2 - 1).toInt
+        i += 1
+      }
+    }
+    var fp = 0L
+    var i = 0
+    while (i < 32) {
+      if (sums(i) > 0) fp |= (1L << i)
+      i += 1
+    }
+    fp
+  }
+
+  def simhashCol(text: Column): Column = {
+    val f = udf((s: String) => simhash32(s))
+    f(text)
+  }
+
+  /** Non-empty-token guard matching `size(tokens(text)) > 0`. */
+  def hasTokens(text: Column): Column = {
+    val f = udf((s: String) =>
+      s != null && splitRe.split(s.toLowerCase).exists(_.nonEmpty))
+    f(text)
+  }
 }

@@ -92,13 +92,14 @@ object Dedup {
     fpBits.reduce(_ + _)
   }
 
-  /** Per-doc simhash fingerprints (doc_id, simhash). */
-  def simhash(df: DataFrame, text: Column, idCol: Column): DataFrame = {
-    val toks = tokens(text)
-    df.filter(size(toks) > 0)
-      .select(idCol.as("doc_id"), simhash32(toks).as("simhash"))
+  /** Per-doc simhash fingerprints (doc_id, simhash) — fused kernel, one
+    * JVM call per document (see ShingleHashes.simhash32).
+    */
+  def simhash(df: DataFrame, text: Column, idCol: Column): DataFrame =
+    df.filter(graft.functions.ShingleHashes.hasTokens(text))
+      .select(idCol.as("doc_id"),
+        graft.functions.ShingleHashes.simhashCol(text).as("simhash"))
       .orderBy("doc_id")
-  }
 
   /** Blocked n-gram Jaccard near-dup pairs: candidate pairs share a
     * blocking key; similarity = |A∩B| / |A∪B| over distinct k-gram sets.
