@@ -32,7 +32,9 @@ object Decode {
       tcpWindow: Int,
       tcpSeq: Long,
       tcpAck: Long,
-      payload: Array[Byte])
+      payload: Array[Byte],
+      tunnels: Seq[String] = Nil, // outer encapsulations (gre, ppp, ...)
+      vlanIds: Seq[Int] = Nil)
 
   private def mac(b: Array[Byte], off: Int): String =
     (0 until 6).map(i => f"${b(off + i) & 0xff}%02x").mkString(":")
@@ -82,7 +84,9 @@ object Decode {
     var etherType = ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
     off += 2
     // VLAN (802.1Q / QinQ) unwrap — capture/packet.c ethertype loop
+    var vlans = List.empty[Int]
     while ((etherType == 0x8100 || etherType == 0x88a8) && off + 4 <= b.length) {
+      vlans = (((b(off) & 0x0f) << 8) | (b(off + 1) & 0xff)) :: vlans
       etherType = ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
       off += 4
     }
@@ -96,11 +100,13 @@ object Decode {
         case _      => None
       }
     }
-    etherType match {
+    val decoded = etherType match {
       case 0x0800 => decodeIp4(p, b, off, mSrc, mDst)
       case 0x86dd => decodeIp6(p, b, off, mSrc, mDst)
       case _      => None
     }
+    if (vlans.isEmpty) decoded
+    else decoded.map(d => d.copy(vlanIds = vlans.reverse))
   }
 
   private def decodeIp4(
@@ -154,11 +160,65 @@ object Decode {
       p.inclLen, mSrc, mDst, proto, srcIp, dstIp, -1, -1, 0, 0, 0L, 0L,
       Array.empty)
 
+  /** GRE (ip proto 47) decap, including PPTP enhanced GRE v1 carrying
+    * PPP (reference: capture/parsers/gre.c). The decoded packet keeps
+    * the INNER 5-tuple (the reference keys tunnel sessions on the inner
+    * flow) and records the outer encapsulation in `tunnels`.
+    */
+  private def decodeGre(
+      p: Pcap.RawPacket, b: Array[Byte], greOff: Int,
+      mSrc: String, mDst: String): Option[DecodedPacket] = {
+    if (greOff + 4 > b.length) return None
+    val flags = b(greOff) & 0xff
+    val verByte = b(greOff + 1) & 0xff
+    val ver = verByte & 0x07
+    var proto = ((b(greOff + 2) & 0xff) << 8) | (b(greOff + 3) & 0xff)
+    var off = greOff + 4
+    if (ver == 1) { // PPTP enhanced GRE: key mandatory, S/A optional
+      off += 4
+      if ((flags & 0x10) != 0) off += 4 // sequence
+      if ((verByte & 0x80) != 0) off += 4 // ack
+    } else {
+      if ((flags & 0x80) != 0) off += 4 // checksum + reserved
+      if ((flags & 0x20) != 0) off += 4 // key
+      if ((flags & 0x10) != 0) off += 4 // sequence
+      if ((flags & 0x40) != 0) off += 4 // routing (ignore SRE list)
+    }
+    var tunnels = List("gre")
+    if (proto == 0x880b && off < b.length) { // PPP
+      if (off + 1 < b.length && (b(off) & 0xff) == 0xff &&
+          (b(off + 1) & 0xff) == 0x03) off += 2 // HDLC framing
+      val p1 = b(off) & 0xff
+      val pppProto =
+        if ((p1 & 1) == 1) { off += 1; p1 }
+        else if (off + 1 < b.length) {
+          val v = (p1 << 8) | (b(off + 1) & 0xff); off += 2; v
+        } else return None
+      tunnels = "ppp" :: tunnels
+      proto = pppProto match {
+        case 0x0021 => 0x0800
+        case 0x0057 => 0x86dd
+        case _      => 0
+      }
+    }
+    val inner = proto match {
+      case 0x0800 => decodeIp4(p, b, off, mSrc, mDst)
+      case 0x86dd => decodeIp6(p, b, off, mSrc, mDst)
+      case _      => None
+    }
+    inner.map(d => d.copy(tunnels = tunnels.reverse ++ d.tunnels))
+  }
+
   private def decodeL4(
       p: Pcap.RawPacket, b: Array[Byte], l4Off: Int, l4End: Int, proto: Int,
       srcIp: String, dstIp: String, mSrc: String, mDst: String): DecodedPacket = {
     val base0 = base(p, mSrc, mDst, proto, srcIp, dstIp)
     proto match {
+      case 47 => decodeGre(p, b, l4Off, mSrc, mDst).getOrElse(base0)
+      case 4  => // IP-in-IP (v4 inner)
+        decodeIp4(p, b, l4Off, mSrc, mDst).getOrElse(base0)
+      case 41 => // IPv6-in-IP
+        decodeIp6(p, b, l4Off, mSrc, mDst).getOrElse(base0)
       case 6 if l4Off + 20 <= l4End => // TCP
         val bb = ByteBuffer.wrap(b).order(ByteOrder.BIG_ENDIAN)
         val srcPort = ((b(l4Off) & 0xff) << 8) | (b(l4Off + 1) & 0xff)

@@ -85,7 +85,9 @@ object SessionBuilder {
       dhcpId: Seq[String], dhcpMac: Seq[String], dhcpType: Seq[String],
       smtpHello: Seq[String], emailSrc: Seq[String], emailDst: Seq[String],
       emailSubject: Seq[String], emailContentType: Seq[String],
-      emailMimeVersion: Seq[String], emailHeader: Seq[String])
+      emailMimeVersion: Seq[String], emailHeader: Seq[String],
+      cert: Seq[CertParser.CertInfo],
+      vlanId: Seq[Int])
 
   /** Reassemble one direction's TCP payload stream: order by sequence
     * number (handling 32-bit wrap relative to the first seq), drop
@@ -200,7 +202,8 @@ object SessionBuilder {
         AppProtocols.classify(first.ipProtocol, first.srcPort, first.dstPort,
           effSrc, effDst)
       else Nil
-    val protocols = (outerTags ++ innerTags).distinct.sorted
+    val tunnelTags = seg.iterator.flatMap(_.tunnels).toSeq.distinct
+    val protocols = (outerTags ++ innerTags ++ tunnelTags).distinct.sorted
     val http =
       if (protocols.contains("http")) AppProtocols.parseHttp(effSrc, effDst)
       else None
@@ -290,7 +293,9 @@ object SessionBuilder {
       emailSubject = smtp.map(_.subject).getOrElse(Nil),
       emailContentType = smtp.map(_.contentType).getOrElse(Nil),
       emailMimeVersion = smtp.map(_.mimeVersion).getOrElse(Nil),
-      emailHeader = smtp.map(_.headers).getOrElse(Nil))
+      emailHeader = smtp.map(_.headers).getOrElse(Nil),
+      cert = tls.map(_.cert).getOrElse(Nil),
+      vlanId = seg.iterator.flatMap(_.vlanIds).toSeq.distinct.sorted)
   }
 
   /** Batch pipeline: pcap path → session rows. */

@@ -15,7 +15,8 @@ object TlsParser {
       ja3s: Seq[String],
       ja3sstring: Seq[String],
       srcSessionId: Seq[String],
-      dstSessionId: Seq[String])
+      dstSessionId: Seq[String],
+      cert: Seq[CertParser.CertInfo])
 
   private def u16(b: Array[Byte], i: Int): Int =
     ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
@@ -193,6 +194,9 @@ object TlsParser {
       .orElse(client.map(c => c.version))
       .map(versionName)
     val cipher = server.flatMap(_.chosenCipher).map(cipherName)
+    val certs = handshakeMessages(dstStream)
+      .collect { case (11, body) => CertParser.fromCertificateMessage(body) }
+      .flatten.toSeq
     Some(TlsInfo(
       version = version.toSeq,
       cipher = cipher.toSeq,
@@ -201,6 +205,7 @@ object TlsParser {
       ja3s = ja3s.map(md5hex).toSeq,
       ja3sstring = ja3s.toSeq,
       srcSessionId = client.map(_.sessionIdHex).filter(_.nonEmpty).toSeq,
-      dstSessionId = server.map(_.sessionIdHex).filter(_.nonEmpty).toSeq))
+      dstSessionId = server.map(_.sessionIdHex).filter(_.nonEmpty).toSeq,
+      cert = certs))
   }
 }

@@ -178,7 +178,12 @@ object FieldRegistry {
       FieldDef("email.src",    "emailSrc",     LoTermK, multiValued = true),
       FieldDef("email.dst",    "emailDst",     LoTermK, multiValued = true),
       FieldDef("email.subject", "emailSubject", TermK, multiValued = true),
-      FieldDef("email.content-type", "emailContentType", LoTermK, multiValued = true)
+      FieldDef("email.content-type", "emailContentType", LoTermK, multiValued = true),
+      FieldDef("vlan",         "vlanId",       IntegerK, multiValued = true),
+      // cert.* scalar-per-cert fields (array extraction over the struct
+      // array; nested-array fields like subjectCN need a flatten pass)
+      FieldDef("cert.serial",  "cert.serial",  LoTermK, multiValued = true),
+      FieldDef("cert.hash",    "cert.hash",    LoTermK, multiValued = true)
     ),
     metaFields = Map(
       "ip"   -> Seq("ip.src", "ip.dst"),
