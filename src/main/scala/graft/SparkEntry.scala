@@ -182,6 +182,8 @@ object SparkEntry {
         Endpoints.Bounding.Either)
         .orderBy("key", "session_seq")
     }),
+    "e8_cardinality" -> ((s, dir) =>
+      graft.ops.Cnt.cardinality(ev(s, dir), Seq("user_id", "event_type"))),
     "e8_unique_autocomplete" -> ((s, dir) =>
       Endpoints.unique(ev(s, dir), col("event_type"), "event_type",
         counts = true, autocompletePrefix = Some("p"))),
@@ -512,6 +514,9 @@ object SparkEntry {
          WHERE start_s <= epoch(TIMESTAMP '2024-01-20 00:00:00')
            AND end_s >= epoch(TIMESTAMP '2024-01-10 00:00:00')
          ORDER BY key, session_seq""",
+    "e8_cardinality" ->
+      """SELECT count(DISTINCT user_id) AS user_id_card,
+         count(DISTINCT event_type) AS event_type_card FROM events""",
     "e8_unique_autocomplete" ->
       """SELECT event_type, count(*) AS cnt FROM events
          WHERE event_type IS NOT NULL AND event_type LIKE 'p%'

@@ -113,6 +113,9 @@ object AppProtocols {
       tags += "dhcp"
     if (streams.exists(s => startsWithAny(s, Seq("SSH-")))) tags += "ssh"
     if (SmtpParser.isSmtp(srcStream, dstStream)) tags += "smtp"
+    if (ipProtocol == 6 && MiscParsers.isIrc(srcStream)) tags += "irc"
+    if (ipProtocol == 6 && MiscParsers.isPostgres(srcStream)) tags += "postgresql"
+    if (ipProtocol == 6 && MiscParsers.isMysql(dstStream)) tags += "mysql"
     if (streams.exists(s => s.length >= 3 && (s(0) & 0xff) == 0x16 &&
         (s(1) & 0xff) == 0x03)) tags += "tls"
     tags.toSeq.sorted

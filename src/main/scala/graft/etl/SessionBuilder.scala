@@ -87,7 +87,10 @@ object SessionBuilder {
       emailSubject: Seq[String], emailContentType: Seq[String],
       emailMimeVersion: Seq[String], emailHeader: Seq[String],
       cert: Seq[CertParser.CertInfo],
-      vlanId: Seq[Int])
+      vlanId: Seq[Int],
+      ircNick: Seq[String], ircChannel: Seq[String],
+      pgUser: String, pgDb: String, pgApp: String,
+      mysqlVersion: String, mysqlUser: String)
 
   /** Reassemble one direction's TCP payload stream: order by sequence
     * number (handling 32-bit wrap relative to the first seq), drop
@@ -230,6 +233,14 @@ object SessionBuilder {
     val smtp =
       if (protocols.contains("smtp")) SmtpParser.parse(effSrc)
       else None
+    val irc =
+      if (protocols.contains("irc")) MiscParsers.parseIrc(effSrc) else None
+    val pg =
+      if (protocols.contains("postgresql")) MiscParsers.parsePostgres(effSrc)
+      else None
+    val mysql =
+      if (protocols.contains("mysql")) MiscParsers.parseMysql(effSrc, effDst)
+      else None
 
     val firstMs = first.tsMicros / 1000
     val lastMs = seg.last.tsMicros / 1000
@@ -295,7 +306,14 @@ object SessionBuilder {
       emailMimeVersion = smtp.map(_.mimeVersion).getOrElse(Nil),
       emailHeader = smtp.map(_.headers).getOrElse(Nil),
       cert = tls.map(_.cert).getOrElse(Nil),
-      vlanId = seg.iterator.flatMap(_.vlanIds).toSeq.distinct.sorted)
+      vlanId = seg.iterator.flatMap(_.vlanIds).toSeq.distinct.sorted,
+      ircNick = irc.map(_.nick).getOrElse(Nil),
+      ircChannel = irc.map(_.channel).getOrElse(Nil),
+      pgUser = pg.map(_.user).orNull,
+      pgDb = pg.map(_.db).orNull,
+      pgApp = pg.map(_.app).orNull,
+      mysqlVersion = mysql.map(_.version).orNull,
+      mysqlUser = mysql.map(_.user).orNull)
   }
 
   /** Batch pipeline: pcap path → session rows. */

@@ -183,7 +183,14 @@ object FieldRegistry {
       // cert.* scalar-per-cert fields (array extraction over the struct
       // array; nested-array fields like subjectCN need a flatten pass)
       FieldDef("cert.serial",  "cert.serial",  LoTermK, multiValued = true),
-      FieldDef("cert.hash",    "cert.hash",    LoTermK, multiValued = true)
+      FieldDef("cert.hash",    "cert.hash",    LoTermK, multiValued = true),
+      FieldDef("irc.nick",     "ircNick",      TermK, multiValued = true),
+      FieldDef("irc.channel",  "ircChannel",   TermK, multiValued = true),
+      FieldDef("postgresql.user", "pgUser",    TermK),
+      FieldDef("postgresql.db", "pgDb",        TermK),
+      FieldDef("postgresql.app", "pgApp",      TermK),
+      FieldDef("mysql.user",   "mysqlUser",    TermK),
+      FieldDef("mysql.ver",    "mysqlVersion", LoTermK)
     ),
     metaFields = Map(
       "ip"   -> Seq("ip.src", "ip.dst"),

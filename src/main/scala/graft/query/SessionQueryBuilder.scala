@@ -1,0 +1,98 @@
+package graft.query
+
+import java.time.Instant
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.expr.Compiler
+import graft.model.FieldRegistry
+import graft.ops.Endpoints
+
+/** The viewer's `buildSessionQuery` as one facade
+  * (reference: viewer/apiSessions.js:1188-1368): time-window resolution,
+  * bounding mode, Moloch expression parse with views/shortcuts context,
+  * forced-expression (ACL) injection, then the endpoint-shaped operators
+  * over the filtered frame.
+  *
+  * Usage:
+  * {{{
+  * val q = SessionQueryBuilder(sessions, FieldRegistry.sessions)
+  *   .timeRange(start, stop, Endpoints.Bounding.Last)
+  *   .expression("http.method == GET && ip.dst == 10.0.0.0/8")
+  *   .forced("node == test")        // admin-injected, ANDed in
+  * q.table(Seq("srcIp","dstIp"), Seq(("firstPacket", false)), 100)
+  * q.timeHistogram(3600)
+  * q.unique("srcIp")
+  * }}}
+  */
+final case class SessionQueryBuilder(
+    sessions: DataFrame,
+    registry: FieldRegistry,
+    colResolver: String => Column = org.apache.spark.sql.functions.col,
+    now: Instant = Instant.now(),
+    views: Map[String, String] = Map.empty,
+    shortcuts: Map[String, Seq[String]] = Map.empty,
+    firstCol: String = "firstPacket",
+    lastCol: String = "lastPacket",
+    startMs: Option[Long] = None,
+    stopMs: Option[Long] = None,
+    bounding: Endpoints.Bounding = Endpoints.Bounding.Last,
+    expressionStr: Option[String] = None,
+    forcedStr: Option[String] = None) {
+
+  def timeRange(start: Long, stop: Long,
+      b: Endpoints.Bounding = Endpoints.Bounding.Last): SessionQueryBuilder =
+    copy(startMs = Some(start), stopMs = Some(stop), bounding = b)
+
+  def expression(e: String): SessionQueryBuilder = copy(expressionStr = Some(e))
+
+  /** Q19: mandatory predicate ANDed into every query (column ACL). */
+  def forced(e: String): SessionQueryBuilder = copy(forcedStr = Some(e))
+
+  private def compiler =
+    new Compiler(registry, colResolver, now, shortcuts, views)
+
+  /** The bounded, filtered session frame all endpoints run over. */
+  def frame: DataFrame = {
+    val exprPred: Option[Column] = (expressionStr, forcedStr) match {
+      case (Some(e), f)    => Some(compiler.compileWithForced(e, f))
+      case (None, Some(f)) => Some(compiler.compile(f))
+      case (None, None)    => None
+    }
+    (startMs, stopMs) match {
+      case (Some(s), Some(e)) =>
+        Endpoints.sessionQuery(sessions, col(firstCol), col(lastCol),
+          col(lastCol), lit(s), lit(e), bounding, exprPred)
+      case _ => exprPred.map(sessions.filter).getOrElse(sessions)
+    }
+  }
+
+  // ----- endpoint-shaped results over the filtered frame ---------------
+
+  def table(projection: Seq[String], sortKeys: Seq[(String, Boolean)],
+      limit: Int, offset: Int = 0): DataFrame =
+    Endpoints.sessionsTable(frame, projection, sortKeys, limit, offset)
+
+  def timeHistogram(intervalSec: Long, sums: Map[String, Column] = Map.empty): DataFrame =
+    Endpoints.timeHistogram(frame, timestamp_millis(col(lastCol)), intervalSec, sums)
+
+  def unique(field: String, counts: Boolean = true): DataFrame =
+    Endpoints.unique(frame, col(field), field, counts)
+
+  def multiunique(fields: Seq[String]): DataFrame =
+    Endpoints.multiunique(frame, fields)
+
+  def topTerms(field: String, k: Int): DataFrame =
+    Endpoints.topTerms(frame, col(field), field, k)
+
+  def spigraph(field: String, intervalSec: Long, k: Int): DataFrame =
+    Endpoints.spigraph(frame, col(field), field,
+      timestamp_millis(col(lastCol)), intervalSec, k)
+
+  def connections(srcField: String, dstField: String,
+      sums: Map[String, Column] = Map.empty): DataFrame =
+    Endpoints.connectionsLinks(frame, col(srcField), col(dstField), sums)
+
+  def count(): Long = frame.count()
+}
