@@ -226,6 +226,11 @@ object SparkEntry {
       Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 5),
         "embedding", "vec_id", k = 3)
     }),
+    "s3_ann_ivf" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.ivfTopK(e, e.filter(col("vec_id") >= 5 && col("vec_id") < 10),
+        "embedding", "vec_id", k = 3, nCells = 8, nProbe = 2)
+    }),
     "s2_ann_lsh" -> ((s, dir) => {
       val e = emb(s, dir)
       Similarity.lshTopK(e, e.filter(col("vec_id") < 5),
@@ -235,7 +240,7 @@ object SparkEntry {
     // --- T: text analysis ------------------------------------------------
     "t1_lang_id" -> ((s, dir) =>
       docs(s, dir)
-        .select(col("lang"), TextOps.langGuess(TextOps.tokens(col("text"))).as("guess"))
+        .select(col("lang"), TextOps.langGuessFused(col("text")).as("guess"))
         .groupBy("lang", "guess").agg(count(lit(1)).as("n"))
         .orderBy("lang", "guess")),
     "t2_quality" -> ((s, dir) =>
@@ -627,6 +632,28 @@ object SparkEntry {
            SELECT q.query_id, c.vec_id AS neighbor_id,
              ${sqlCos("q.qv", "c.v", 64)} AS cosine
            FROM e c JOIN q USING (bucket) WHERE c.vec_id <> q.query_id),
+         ranked AS (SELECT *, row_number() OVER
+             (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rk
+           FROM scored)
+         SELECT query_id, neighbor_id, cosine, rk FROM ranked
+         WHERE rk <= 3 ORDER BY query_id, rk""",
+    "s3_ann_ivf" ->
+      s"""WITH e AS (SELECT vec_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         cents AS (SELECT vec_id AS cell, v AS centv FROM e WHERE vec_id < 8),
+         ca AS (
+           SELECT vec_id AS neighbor_id, v AS nv, cell FROM (
+             SELECT e.vec_id, e.v, c.cell, row_number() OVER
+               (PARTITION BY e.vec_id ORDER BY ${sqlDot("e.v", "c.centv", 64)} DESC, c.cell ASC) AS crk
+             FROM e, cents c) WHERE crk = 1),
+         qa AS (
+           SELECT vec_id AS query_id, v AS qv, cell FROM (
+             SELECT e.vec_id, e.v, c.cell, row_number() OVER
+               (PARTITION BY e.vec_id ORDER BY ${sqlDot("e.v", "c.centv", 64)} DESC, c.cell ASC) AS crk
+             FROM e, cents c WHERE e.vec_id >= 5 AND e.vec_id < 10) WHERE crk <= 2),
+         scored AS (
+           SELECT qa.query_id, ca.neighbor_id, ${sqlCos("qa.qv", "ca.nv", 64)} AS cosine
+           FROM ca JOIN qa USING (cell) WHERE ca.neighbor_id <> qa.query_id),
          ranked AS (SELECT *, row_number() OVER
              (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rk
            FROM scored)

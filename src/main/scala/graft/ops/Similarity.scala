@@ -82,6 +82,42 @@ object Similarity {
       when(dot(hyperplane(p, dim), vecD) > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** IVF-style cosine top-k: corpus vectors are assigned to the nearest
+    * of `nCells` centroid cells; a query probes its own `nProbe` nearest
+    * cells only. Centroids here are the first `nCells` corpus vectors (a
+    * deterministic stand-in for a trained k-means codebook — swap the
+    * centroid frame for trained centroids in production; the plan shape
+    * is identical). At cluster scale the corpus is written bucketed by
+    * cell, making probes shuffle-free.
+    */
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, k: Int,
+      nCells: Int = 8, nProbe: Int = 1): DataFrame = {
+    val cents = corpus.filter(col(idCol) < nCells)
+      .select(col(idCol).as("cell"), toDouble(col(vecCol)).as("centv"))
+    def assign(df: DataFrame, id: String, keep: Int): DataFrame = {
+      val scored = df.select(col(idCol).as(id), toDouble(col(vecCol)).as(s"${id}_v"))
+        .crossJoin(broadcast(cents))
+        .withColumn("cdot", dot(col(s"${id}_v"), col("centv")))
+      val w = Window.partitionBy(col(id)).orderBy(col("cdot").desc, col("cell").asc)
+      scored.withColumn("crk", row_number().over(w))
+        .filter(col("crk") <= keep)
+        .select(col(id), col(s"${id}_v"), col("cell"))
+    }
+    val corpusCells = assign(corpus, "neighbor_id", 1)
+    val queryCells = assign(queries, "query_id", nProbe)
+    val scored = corpusCells.join(broadcast(queryCells), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", cosine(col("query_id_v"), col("neighbor_id_v")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rk")
+      .orderBy("query_id", "rk")
+  }
+
   /** LSH-bucketed cosine top-k: same contract as [[bruteForceTopK]] but
     * candidates restricted to the query's bucket (approximate).
     */

@@ -56,6 +56,28 @@ object TextOps {
     }
   }
 
+  /** Fused language-ID kernel: identical decision procedure to
+    * [[langGuess]] (distinct-token ∩ marker counts, first language in
+    * [[langMarkers]] order wins ties, "und" when all scores are 0), one
+    * JVM call per document instead of interpreted intersect lambdas.
+    */
+  private val markerSets: Seq[(String, Set[String])] =
+    langMarkers.map { case (l, ms) => l -> ms.toSet }
+
+  def langGuessScala(text: String): String = {
+    if (text == null) return "und"
+    val distinctToks = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSet
+    val scores = markerSets.map { case (l, ms) => l -> (distinctToks & ms).size }
+    val best = scores.map(_._2).max
+    if (best == 0) "und"
+    else scores.find(_._2 == best).get._1
+  }
+
+  def langGuessFused(text: Column): Column = {
+    val f = udf((s: String) => langGuessScala(s))
+    f(text)
+  }
+
   /** English-ish stopword list for the quality ratio. */
   val stopwords: Seq[String] =
     Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")

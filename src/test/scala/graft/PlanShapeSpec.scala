@@ -1,0 +1,48 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Regression guard for the physical-plan properties the engine's scale
+  * story depends on: filter pushdown, column pruning, broadcast joins,
+  * top-K without global sort. Asserts on the executed plan of real
+  * queries (post-AQE plans are checked textually on the initial plan —
+  * the scan-level properties are decided before AQE).
+  */
+class PlanShapeSpec extends AnyFunSuite with SparkSpecBase {
+
+  private def plan(q: String): String = {
+    // other suites may have cached the input tables, which replaces the
+    // parquet scan (and its PushedFilters) with InMemoryTableScan
+    spark.catalog.clearCache()
+    SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
+  }
+
+  test("q1: shipdate filter pushed, columns pruned") {
+    val p = plan("q1_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
+    assert(!p.contains("l_comment")) // never read
+    assert(p.contains("ReadSchema") && !p.contains("l_orderkey")) // pruned out
+  }
+
+  test("q3: dimension joins broadcast, top-10 via TakeOrdered") {
+    val p = plan("q3_top_revenue")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("negated expression pushes leaf filters") {
+    val p = plan("q_expr_not")
+    assert(p.contains("PushedFilters: [Or(Not(EqualTo(event_type,error)),IsNull(event_type))"))
+  }
+
+  test("paging uses TakeOrdered with offset, no global sort") {
+    val p = plan("e2_sessions_table")
+    assert(p.contains("TakeOrderedAndProject(limit=30, offset=10"))
+  }
+
+  test("spigraph semi-joins against broadcast top keys") {
+    val p = plan("e6_spigraph")
+    assert(p.contains("LeftSemi") && p.contains("BroadcastHashJoin"))
+  }
+}
