@@ -72,8 +72,90 @@ object Decode {
         if (b.isEmpty) None
         else if ((b(0) & 0xf0) == 0x40) decodeIp4(p, b, 0, "", "")
         else decodeIp6(p, b, 0, "", "")
+      case 107 => decodeFrameRelay(p, b)
+      case 127 => decodeRadiotap(p, b)
+      case 239 => decodeNflog(p, b)
       case _ => None
     }
+  }
+
+  /** Frame Relay (DLT 107): 2-byte Q.922 address, optional 0x03 control,
+    * NLPID 0xcc = IPv4 / 0x8e = IPv6 (or SNAP 0x80 + OUI + ethertype).
+    */
+  private def decodeFrameRelay(p: Pcap.RawPacket, b: Array[Byte]): Option[DecodedPacket] = {
+    if (b.length < 4) return None
+    var off = 2
+    // Cisco encapsulation: ethertype immediately after the address
+    val maybeEt = ((b(2) & 0xff) << 8) | (b(3) & 0xff)
+    if (maybeEt == 0x0800) return decodeIp4(p, b, 4, "", "")
+    if (maybeEt == 0x86dd) return decodeIp6(p, b, 4, "", "")
+    if ((b(off) & 0xff) == 0x03) off += 1
+    (b(off) & 0xff) match {
+      case 0xcc => decodeIp4(p, b, off + 1, "", "")
+      case 0x8e => decodeIp6(p, b, off + 1, "", "")
+      case 0x80 if off + 6 < b.length => // SNAP: OUI(3) + ethertype(2)
+        val et = ((b(off + 4) & 0xff) << 8) | (b(off + 5) & 0xff)
+        et match {
+          case 0x0800 => decodeIp4(p, b, off + 6, "", "")
+          case 0x86dd => decodeIp6(p, b, off + 6, "", "")
+          case _      => None
+        }
+      case _ => None
+    }
+  }
+
+  /** Radiotap (DLT 127): LE header length at offset 2, then an 802.11
+    * frame; unencrypted data frames carry LLC/SNAP → IP.
+    */
+  private def decodeRadiotap(p: Pcap.RawPacket, b: Array[Byte]): Option[DecodedPacket] = {
+    if (b.length < 4) return None
+    val rtLen = (b(2) & 0xff) | ((b(3) & 0xff) << 8)
+    val w = rtLen // start of 802.11 header
+    if (w + 24 > b.length) return None
+    val fc0 = b(w) & 0xff
+    val fc1 = b(w + 1) & 0xff
+    val ftype = (fc0 >> 2) & 0x3
+    if (ftype != 2) return None // data frames only
+    if ((fc1 & 0x40) != 0) return None // protected (encrypted)
+    val subtype = (fc0 >> 4) & 0xf
+    var off = w + 24
+    if ((fc1 & 0x03) == 0x03) off += 6 // addr4 (WDS)
+    if ((subtype & 0x08) != 0) off += 2 // QoS control
+    // LLC/SNAP: aa aa 03 oui(3) ethertype(2)
+    if (off + 8 > b.length || (b(off) & 0xff) != 0xaa || (b(off + 1) & 0xff) != 0xaa)
+      return None
+    val et = ((b(off + 6) & 0xff) << 8) | (b(off + 7) & 0xff)
+    val mSrc = mac(b, w + 10)
+    val mDst = mac(b, w + 4)
+    et match {
+      case 0x0800 => decodeIp4(p, b, off + 8, mSrc, mDst)
+      case 0x86dd => decodeIp6(p, b, off + 8, mSrc, mDst)
+      case _      => None
+    }
+  }
+
+  /** Linux NFLOG (DLT 239): family(1) version(1) resource(2), then
+    * little-endian TLVs; type 9 (NFULA_PAYLOAD) holds the raw IP packet.
+    */
+  private def decodeNflog(p: Pcap.RawPacket, b: Array[Byte]): Option[DecodedPacket] = {
+    if (b.length < 8) return None
+    val family = b(0) & 0xff
+    var off = 4
+    while (off + 4 <= b.length) {
+      val tlvLen = (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+      val tlvType = (b(off + 2) & 0xff) | ((b(off + 3) & 0xff) << 8)
+      if (tlvLen < 4) return None
+      if ((tlvType & 0x7fff) == 9) { // NFULA_PAYLOAD
+        val ipOff = off + 4
+        return family match {
+          case 2  => decodeIp4(p, b, ipOff, "", "")
+          case 10 => decodeIp6(p, b, ipOff, "", "")
+          case _  => None
+        }
+      }
+      off += (tlvLen + 3) & ~3 // 4-byte aligned
+    }
+    None
   }
 
   private def decodeEthernet(p: Pcap.RawPacket, b: Array[Byte]): Option[DecodedPacket] = {
@@ -103,7 +185,17 @@ object Decode {
     val decoded = etherType match {
       case 0x0800 => decodeIp4(p, b, off, mSrc, mDst)
       case 0x86dd => decodeIp6(p, b, off, mSrc, mDst)
-      case _      => None
+      case other  =>
+        // Non-IP ether sessions (reference keys them on the destination
+        // mac; ipProtocol 0): LLDP by ethertype, IS-IS via 802.3 LLC OSI.
+        val tag =
+          if (other == 0x88cc) Some("lldp")
+          else if (other <= 1500 && off + 2 <= b.length &&
+            (b(off) & 0xff) == 0xfe && (b(off + 1) & 0xff) == 0xfe) Some("isis")
+          else None
+        // empty srcIp ⇒ session keyed by dst only; every packet counts as
+        // the src direction, matching the reference's ether sessions
+        tag.map(t => base(p, mSrc, mDst, 0, "", mDst).copy(tunnels = Seq(t)))
     }
     if (vlans.isEmpty) decoded
     else decoded.map(d => d.copy(vlanIds = vlans.reverse))

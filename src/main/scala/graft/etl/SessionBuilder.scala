@@ -43,6 +43,7 @@ object SessionBuilder {
     case 6      => 480L  // tcp
     case 132    => 60L   // sctp
     case 50     => 600L  // esp
+    case 0      => Long.MaxValue / 2000000L // ether sessions never split
     case _      => 600L
   }
 
@@ -254,11 +255,16 @@ object SessionBuilder {
       srcIp = first.srcIp, srcPort = first.srcPort,
       srcPackets = src.length, srcBytes = src.map(_.wireLen.toLong).sum,
       srcDataBytes = src.map(_.payload.length.toLong).sum,
-      srcMac = src.map(_.macSrc).distinct.sorted.toIndexedSeq,
+      // macs per side: ether-src of that side's packets plus ether-dst of
+      // the opposite side's — the reference accumulates both, which also
+      // fills destination.mac for unidirectional flows (lldp golden)
+      srcMac = (src.map(_.macSrc) ++ dst.map(_.macDst))
+        .filter(_.nonEmpty).distinct.sorted.toIndexedSeq,
       dstIp = first.dstIp, dstPort = first.dstPort,
       dstPackets = dst.length, dstBytes = dst.map(_.wireLen.toLong).sum,
       dstDataBytes = dst.map(_.payload.length.toLong).sum,
-      dstMac = dst.map(_.macSrc).distinct.sorted.toIndexedSeq,
+      dstMac = (dst.map(_.macSrc) ++ src.map(_.macDst))
+        .filter(_.nonEmpty).distinct.sorted.toIndexedSeq,
       totPackets = seg.length, totBytes = seg.map(_.wireLen.toLong).sum,
       totDataBytes = seg.map(_.payload.length.toLong).sum,
       tcpflagsSyn = syn, tcpflagsSynAck = synAck, tcpflagsAck = ack,
