@@ -172,6 +172,24 @@ object Decode {
       etherType = ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
       off += 4
     }
+    // MPLS (0x8847/0x8848): pop labels to bottom-of-stack, then IP
+    if (etherType == 0x8847 || etherType == 0x8848) {
+      var mOff = off
+      var bos = false
+      var guard = 0
+      while (!bos && guard < 8 && mOff + 4 <= b.length) {
+        bos = (b(mOff + 2) & 0x01) != 0
+        mOff += 4
+        guard += 1
+      }
+      if (bos && mOff < b.length) {
+        val v = (b(mOff) & 0xf0) >> 4
+        return if (v == 4) decodeIp4(p, b, mOff, mSrc, mDst)
+        else if (v == 6) decodeIp6(p, b, mOff, mSrc, mDst)
+        else None
+      }
+      return None
+    }
     // PPPoE session (0x8864): 6-byte header + 2-byte PPP protocol
     if (etherType == 0x8864 && off + 8 <= b.length) {
       val ppp = ((b(off + 6) & 0xff) << 8) | (b(off + 7) & 0xff)
@@ -277,6 +295,12 @@ object Decode {
       if ((flags & 0x40) != 0) off += 4 // routing (ignore SRE list)
     }
     var tunnels = List("gre")
+    // ERSPAN (II: 0x88be 8-byte header, III: 0x22eb 12-byte) wraps Ethernet
+    if (proto == 0x88be || proto == 0x22eb) {
+      val hdr = if (proto == 0x88be) 8 else 12
+      return decodeEthernetAt(p, b, off + hdr)
+        .map(d => d.copy(tunnels = tunnels.reverse ++ d.tunnels))
+    }
     if (proto == 0x880b && off < b.length) { // PPP
       if (off + 1 < b.length && (b(off) & 0xff) == 0xff &&
           (b(off + 1) & 0xff) == 0x03) off += 2 // HDLC framing
@@ -329,16 +353,67 @@ object Decode {
       case 17 if l4Off + 8 <= l4End => // UDP
         val srcPort = ((b(l4Off) & 0xff) << 8) | (b(l4Off + 1) & 0xff)
         val dstPort = ((b(l4Off + 2) & 0xff) << 8) | (b(l4Off + 3) & 0xff)
+        val payStart = l4Off + 8
+        // UDP-carried tunnels: VXLAN (dst 4789) wraps an Ethernet frame,
+        // GTP-U (port 2152) wraps an IP packet; sessions key on the inner
+        // flow with the tunnel tagged (reference: vxlan/gtp decap).
+        if (dstPort == 4789 && payStart + 16 <= l4End &&
+            (b(payStart) & 0x08) != 0) {
+          val innerEth = payStart + 8
+          decodeEthernetAt(p, b, innerEth) match {
+            case Some(d) => return d.copy(tunnels = "vxlan" +: d.tunnels)
+            case None =>
+              return base0.copy(srcPort = srcPort, dstPort = dstPort,
+                tunnels = Seq("vxlan"))
+          }
+        }
+        if ((srcPort == 2152 || dstPort == 2152) && payStart + 8 <= l4End &&
+            ((b(payStart) >> 5) & 0x7) == 1 && (b(payStart + 1) & 0xff) == 0xff) {
+          val flags = b(payStart) & 0xff
+          var innerOff = payStart + 8
+          if ((flags & 0x07) != 0) { // E/S/PN present
+            innerOff += 4
+            if ((flags & 0x04) != 0) { // extension headers
+              var guard = 0
+              while (guard < 4 && innerOff <= l4End && innerOff > payStart &&
+                  (b(innerOff - 1) & 0xff) != 0) {
+                innerOff += (b(innerOff) & 0xff) * 4
+                guard += 1
+              }
+            }
+          }
+          val inner =
+            if (innerOff < l4End && (b(innerOff) & 0xf0) == 0x40)
+              decodeIp4(p, b, innerOff, mSrc, mDst)
+            else if (innerOff < l4End && (b(innerOff) & 0xf0) == 0x60)
+              decodeIp6(p, b, innerOff, mSrc, mDst)
+            else None
+          inner match {
+            case Some(d) => return d.copy(tunnels = "gtp" +: d.tunnels)
+            case None    =>
+          }
+        }
         val payload =
-          if (l4Off + 8 < l4End) java.util.Arrays.copyOfRange(b, l4Off + 8, l4End)
+          if (payStart < l4End) java.util.Arrays.copyOfRange(b, payStart, l4End)
           else Array.empty[Byte]
         base0.copy(srcPort = srcPort, dstPort = dstPort, payload = payload)
-      case 1 | 58 if l4Off + 4 <= l4End => // ICMP / ICMPv6: type/code as ports
-        val icmpType = b(l4Off) & 0xff
-        val icmpCode = b(l4Off + 1) & 0xff
-        base0.copy(srcPort = icmpType, dstPort = icmpCode,
+      case 1 | 58 if l4Off + 4 <= l4End =>
+        // ICMP / ICMPv6: no ports in the session key (the reference zeroes
+        // them — echo request and reply share one session)
+        base0.copy(srcPort = 0, dstPort = 0,
           payload = java.util.Arrays.copyOfRange(b, l4Off + 4, l4End))
+      case 132 if l4Off + 12 <= l4End => // SCTP: common header ports
+        val srcPort = ((b(l4Off) & 0xff) << 8) | (b(l4Off + 1) & 0xff)
+        val dstPort = ((b(l4Off + 2) & 0xff) << 8) | (b(l4Off + 3) & 0xff)
+        base0.copy(srcPort = srcPort, dstPort = dstPort,
+          payload = java.util.Arrays.copyOfRange(b, l4Off + 12, l4End))
       case _ => base0
     }
+  }
+
+  /** Decode an Ethernet frame at an arbitrary offset (tunnel payloads). */
+  private def decodeEthernetAt(p: Pcap.RawPacket, b: Array[Byte], ethOff: Int): Option[DecodedPacket] = {
+    if (ethOff + 14 > b.length) return None
+    decodeEthernet(p, java.util.Arrays.copyOfRange(b, ethOff, b.length))
   }
 }

@@ -29,23 +29,34 @@ import Decode.DecodedPacket
 object SessionBuilder {
 
   /** Canonical session key: ordered endpoints, like the reference's
-    * 13/37-byte sessionId.
+    * 13/37-byte sessionId. IGMP/OSPF/PIM lump all traffic into one
+    * session per protocol, exactly as the reference does
+    * (capture/parsers/{igmp,ospf,pim}.c: "lump all … into the same
+    * session").
     */
-  def sessionKey(p: DecodedPacket): String = {
-    val a = s"${p.srcIp}:${p.srcPort}"
-    val b = s"${p.dstIp}:${p.dstPort}"
-    if (a <= b) s"${p.ipProtocol}|$a|$b" else s"${p.ipProtocol}|$b|$a"
+  def sessionKey(p: DecodedPacket): String = p.ipProtocol match {
+    case 2 | 89 | 103 => s"${p.ipProtocol}|lumped"
+    case _ =>
+      val a = s"${p.srcIp}:${p.srcPort}"
+      val b = s"${p.dstIp}:${p.dstPort}"
+      if (a <= b) s"${p.ipProtocol}|$a|$b" else s"${p.ipProtocol}|$b|$a"
   }
 
-  def timeoutSecs(ipProtocol: Int): Long = ipProtocol match {
-    case 1 | 58 => 10L   // icmp
-    case 17     => 60L   // udp
-    case 6      => 480L  // tcp
-    case 132    => 60L   // sctp
-    case 50     => 600L  // esp
-    case 0      => Long.MaxValue / 2000000L // ether sessions never split
-    case _      => 600L
-  }
+  /** Inactivity timeouts. `icmpTimeoutSecs` defaults to the reference's
+    * test configuration (tests/config.test.ini icmpTimeout=60, which its
+    * golden fixtures encode); the production default is 10
+    * (capture/config.c:518).
+    */
+  def timeoutSecs(ipProtocol: Int, icmpTimeoutSecs: Long = 60L): Long =
+    ipProtocol match {
+      case 1 | 58 => icmpTimeoutSecs
+      case 17     => 60L   // udp
+      case 6      => 480L  // tcp
+      case 132    => 60L   // sctp
+      case 50     => 600L  // esp
+      case 0      => Long.MaxValue / 2000000L // ether sessions never split
+      case _      => 600L
+    }
 
   val MaxPackets = 10000
 
@@ -128,12 +139,17 @@ object SessionBuilder {
     val sorted = packets.toArray.sortBy(p => (p.tsMicros, p.file, p.index))
     if (sorted.isEmpty) return Iterator.empty
     val timeoutUs = timeoutSecs(sorted.head.ipProtocol) * 1000000L
-    // split into segments on inactivity gap or maxPackets
+    // split into segments on inactivity gap, maxPackets, or — for TCP —
+    // the tcpSaveTimeout duration mid-save (480 s from segment start,
+    // reference capture/session.c:312-357 / config tcpSaveTimeout)
+    val saveTimeoutUs = 480L * 1000000L
+    val isTcp = sorted.head.ipProtocol == 6
     val segments = Seq.newBuilder[Array[DecodedPacket]]
     var start = 0
     var i = 1
     while (i < sorted.length) {
       if (sorted(i).tsMicros - sorted(i - 1).tsMicros > timeoutUs ||
+          (isTcp && sorted(i).tsMicros - sorted(start).tsMicros > saveTimeoutUs) ||
           i - start >= MaxPackets) {
         segments += java.util.Arrays.copyOfRange(sorted, start, i)
         start = i
