@@ -510,7 +510,7 @@ object SparkEntry {
              ROWS UNBOUNDED PRECEDING) - 1 AS sid
            FROM marked),
          sessions AS (
-           SELECT user_id AS key, sid AS session_seq,
+           SELECT user_id AS key, CAST(sid AS BIGINT) AS session_seq,
              CAST(floor(epoch(min(ts))) AS BIGINT) AS start_s,
              CAST(floor(epoch(max(ts))) AS BIGINT) AS end_s,
              count(*) AS n_events
@@ -538,7 +538,7 @@ object SparkEntry {
              WHERE ts < TIMESTAMP '2024-01-16 00:00:00' AND event_type IS NOT NULL),
          g AS (SELECT node, flag, count(*) AS sessions FROM nodes GROUP BY node, flag)
          SELECT node,
-           sum(CASE WHEN flag = 1 THEN sessions ELSE 0 END) AS sessions,
+           CAST(sum(CASE WHEN flag = 1 THEN sessions ELSE 0 END) AS BIGINT) AS sessions,
            CAST(sum(flag) AS INT) AS flag
          FROM g GROUP BY node ORDER BY node""",
     "e12_segment_join" ->
@@ -557,7 +557,7 @@ object SparkEntry {
            SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
              ROWS UNBOUNDED PRECEDING) - 1 AS sid
            FROM marked)
-         SELECT user_id AS key, sid AS session_seq,
+         SELECT user_id AS key, CAST(sid AS BIGINT) AS session_seq,
            CAST(floor(epoch(min(ts))) AS BIGINT) AS start_s,
            CAST(floor(epoch(max(ts))) AS BIGINT) AS end_s,
            count(*) AS n_events, ${sqlDsum("value")} AS sum_value

@@ -58,10 +58,21 @@ object Pcap {
       case None => Iterator.empty
       case Some(h) =>
         val order = if (h.bigEndian) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN
+        // A corrupt record header (negative or absurd incl_len) stops
+        // iteration for this file instead of throwing — the reference
+        // reader degrades per file the same way (capture/reader-libpcap-
+        // file.c record-length checks). Bound: snapLen when sane, else 64 MiB.
+        val maxIncl =
+          if (h.snapLen > 0 && h.snapLen <= (64 << 20)) h.snapLen else (64 << 20)
         new Iterator[RawPacket] {
           private var off = 24L
           private var idx = 0
-          def hasNext: Boolean = off + 16 <= bytes.length
+          private var dead = false
+          def hasNext: Boolean =
+            !dead && off + 16 <= bytes.length && {
+              val incl = ByteBuffer.wrap(bytes, off.toInt + 8, 4).order(order).getInt
+              if (incl < 0 || incl > maxIncl) { dead = true; false } else true
+            }
           def next(): RawPacket = {
             val bb = ByteBuffer.wrap(bytes, off.toInt, 16).order(order)
             val sec = bb.getInt.toLong & 0xffffffffL

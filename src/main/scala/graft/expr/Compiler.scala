@@ -5,7 +5,7 @@ import java.time.Instant
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-import graft.functions.IpFunctions
+import graft.functions.{IpFunctions, IpUtil}
 import graft.model.{FieldDef, FieldKind, FieldRegistry}
 
 /** Compile a Moloch search expression to a Spark `Column` predicate.
@@ -316,15 +316,24 @@ final class Compiler(
       case (Eq | Ne, v) =>
         one(strOf(v))
       case (rangeOp, v) =>
-        // gt/lt on ip: lexicographic on the binary form; v1 compares the
-        // canonical string (correct for v4-only columns).
-        val target = lit(strOf(v))
-        rangeOp match {
-          case Lt  => c < target
-          case Lte => c <= target
-          case Gt  => c > target
-          case Gte => c >= target
-          case _   => lit(false)
+        // gt/lt on ip: numeric 128-bit order, like the reference's ES range
+        // on an ip-typed field. Both sides map to the fixed-width 16-byte
+        // v4-mapped form (ip_sortable) whose unsigned BinaryType ordering
+        // is numeric IP order — a lexicographic compare of the canonical
+        // strings would put '9.0.0.1' above '10.0.0.0'.
+        val base = IpUtil.expandShorthand(strOf(v)).split('/').head
+        val bytes = IpUtil.toBytes(base)
+        if (bytes == null) lit(false)
+        else {
+          val target = lit(bytes)
+          def cmp(e: Column): Column = rangeOp match {
+            case Lt  => IpFunctions.ipSortable(e) < target
+            case Lte => IpFunctions.ipSortable(e) <= target
+            case Gt  => IpFunctions.ipSortable(e) > target
+            case Gte => IpFunctions.ipSortable(e) >= target
+            case _   => lit(false)
+          }
+          if (d.multiValued) exists(c, cmp) else cmp(c)
         }
     }
   }

@@ -54,10 +54,41 @@ case class IpInCidrExpr(child: Expression, cidr: String)
     copy(child = newChild)
 }
 
+/** `ip_sortable(ipCol)` — parse a canonical IP string into its fixed-width
+  * 16-byte v4-mapped form, whose unsigned byte-wise BinaryType ordering is
+  * exactly numeric 128-bit IP order. Range queries (`ip > 9.0.0.1`) compare
+  * this form, matching the reference's ES `ip`-type range semantics
+  * (numeric, not lexicographic — '9.0.0.1' < '10.0.0.0'). Full codegen so
+  * the parse stays inside the WholeStageCodegen span.
+  */
+case class IpSortableExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "ip_sortable"
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else IpUtil.toBytes(v.asInstanceOf[UTF8String].toString)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+        ${ev.value} = graft.functions.IpUtil.toBytes($c.toString());
+        if (${ev.value} == null) { ${ev.isNull} = true; }
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object CidrExpression {
 
-  /** Make `ip_in_cidr` available in the session's FunctionRegistry. */
-  def register(spark: SparkSession): Unit =
+  /** Make `ip_in_cidr` / `ip_sortable` available in the session registry. */
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "ip_in_cidr",
       exprs => {
@@ -70,4 +101,12 @@ object CidrExpression {
         IpInCidrExpr(exprs.head, cidr)
       },
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "ip_sortable",
+      exprs => {
+        require(exprs.length == 1, "ip_sortable(ipCol)")
+        IpSortableExpr(exprs.head)
+      },
+      "built-in")
+  }
 }

@@ -40,6 +40,20 @@ object IpFunctions {
     }
   }
 
+  private val sortableUdf = udf { (ip: String) => IpUtil.toBytes(ip) }
+
+  /** String-ip column → fixed-width 16-byte sortable form (v4-mapped),
+    * for numeric-order range comparisons. Codegen'd [[IpSortableExpr]]
+    * when a session is active.
+    */
+  def ipSortable(ipCol: Column): Column =
+    org.apache.spark.sql.SparkSession.getActiveSession match {
+      case Some(spark) =>
+        CidrExpression.register(spark)
+        call_function("ip_sortable", ipCol)
+      case None => sortableUdf(ipCol)
+    }
+
   /** Binary(16) ip column ∈ CIDR — pure built-ins, codegen-friendly.
     * Only whole-byte prefixes use the fast path; others fall back.
     */

@@ -8,21 +8,61 @@ package graft.functions
   */
 object IpUtil {
 
-  /** Parse an IPv4/IPv6 string to its 16-byte (v4-mapped) form, or null. */
+  /** Parse an IPv4/IPv6 string to its 16-byte (v4-mapped) form, or null.
+    *
+    * Literal-only: a hand-rolled v4 parser plus a strict character guard
+    * before the v6 parse, so a hostname ('example.com') can never reach
+    * InetAddress.getByName's blocking DNS fallback — user query values
+    * flow here via parseCidr.
+    */
   def toBytes(ip: String): Array[Byte] = {
-    if (ip == null) return null
-    try {
-      // Avoid InetAddress.getByName's DNS fallback on non-literal input.
-      if (!ip.exists(c => c == ':' || c == '.') && !ip.forall(_.isDigit)) return null
-      val addr = java.net.InetAddress.getByName(ip).getAddress
-      if (addr.length == 16) addr
-      else {
-        val out = new Array[Byte](16)
-        out(10) = -1; out(11) = -1
-        System.arraycopy(addr, 0, out, 12, 4)
-        out
+    if (ip == null || ip.isEmpty || ip.length > 45) return null
+    if (ip.indexOf(':') >= 0) {
+      // v6 literal: hex digits, ':', optional dotted-quad tail. A hostname
+      // cannot contain ':', so getByName treats this as a literal.
+      var i = 0
+      while (i < ip.length) {
+        val c = ip.charAt(i)
+        val ok = (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') ||
+          (c >= 'A' && c <= 'F') || c == ':' || c == '.'
+        if (!ok) return null
+        i += 1
       }
-    } catch { case _: Exception => null }
+      try {
+        val addr = java.net.InetAddress.getByName(ip).getAddress
+        if (addr.length == 16) addr else v4Mapped(addr)
+      } catch { case _: Exception => null }
+    } else if (ip.forall(_.isDigit)) {
+      // bare number — inet_addr semantics (32-bit value), used by shorthand
+      try {
+        val v = ip.toLong
+        if (v > 0xffffffffL) null
+        else v4Mapped(Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+          ((v >> 8) & 0xff).toByte, (v & 0xff).toByte))
+      } catch { case _: Exception => null }
+    } else {
+      // dotted-quad v4 literal, each octet 0-255
+      val parts = ip.split('.')
+      if (parts.length != 4) return null
+      val out = new Array[Byte](4)
+      var i = 0
+      while (i < 4) {
+        val p = parts(i)
+        if (p.isEmpty || p.length > 3 || !p.forall(_.isDigit)) return null
+        val v = p.toInt
+        if (v > 255) return null
+        out(i) = v.toByte
+        i += 1
+      }
+      v4Mapped(out)
+    }
+  }
+
+  private def v4Mapped(addr: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte](16)
+    out(10) = -1; out(11) = -1
+    System.arraycopy(addr, 0, out, 12, 4)
+    out
   }
 
   /** Canonical string form: dotted quad for v4, lowercase compressed v6. */

@@ -88,14 +88,18 @@ object Hunt {
           java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(f)))
       }
       rows.map { s =>
-        val hit = s.fileId.headOption.exists { f =>
+        // Scan every pcap file this session references — a long session's
+        // packets can span files. The packetPos filter keeps only this
+        // segment's packets within each file.
+        val wanted = s.packetPos.toSet
+        val hit = s.fileId.exists { f =>
           val all =
             try bytesOf(f)
             catch { case _: Exception => Array.empty[Byte] }
           if (all.isEmpty) false
           else {
             val packets = graft.etl.Pcap.parseFile(all, f)
-              .filter(p => s.packetPos.contains(p.fileOffset))
+              .filter(p => wanted.contains(p.fileOffset))
               .flatMap(graft.etl.Decode.decode(_))
               .toSeq
             def dirOf(p: graft.etl.Decode.DecodedPacket): Int =
@@ -107,10 +111,13 @@ object Hunt {
             }
           }
         }
-        (s.sessionId, hit)
+        // Key on (sessionId, segmentSeq): segments of one long session
+        // share sessionId, so joining back on sessionId alone would
+        // cross-product n segments into n² rows.
+        (s.sessionId, s.segmentSeq, hit)
       }
-    }.toDF("sessionId", "hit")
-    sessions.toDF().join(matched, Seq("sessionId"))
+    }.toDF("sessionId", "segmentSeq", "hit")
+    sessions.toDF().join(matched, Seq("sessionId", "segmentSeq"))
       .withColumn("huntTag", when(col("hit"), lit(cfg.tag)))
       .drop("hit")
   }

@@ -12,6 +12,19 @@ import graft.etl.SessionBuilder
   */
 class EtlGoldenSpec extends AnyFunSuite with SparkSpecBase {
 
+  test("corrupt incl_len stops file iteration instead of throwing") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val buf = ByteBuffer.allocate(24 + 16 + 4 + 16).order(ByteOrder.LITTLE_ENDIAN)
+    buf.putInt(0xa1b2c3d4).putShort(2).putShort(4).putInt(0).putInt(0)
+      .putInt(65535).putInt(1) // snaplen, linktype
+    buf.putInt(100).putInt(0).putInt(4).putInt(4) // good record, 4 bytes
+    buf.putInt(0xdeadbeef)
+    buf.putInt(101).putInt(0).putInt(-7).putInt(60) // negative incl_len
+    val packets = graft.etl.Pcap.parseFile(buf.array(), "corrupt.pcap").toSeq
+    assert(packets.length == 1)
+    assert(packets.head.inclLen == 4)
+  }
+
   private val mapper = new ObjectMapper()
 
   private def golden(name: String): Seq[JsonNode] = {

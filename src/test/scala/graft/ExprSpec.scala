@@ -120,4 +120,51 @@ class IpUtilSpec extends AnyFunSuite {
   test("v4-mapped canonicalization") {
     assert(IpUtil.canonical(IpUtil.toBytes("1.2.3.4")) == "1.2.3.4")
   }
+
+  test("literal-only parse: hostnames never resolve") {
+    assert(IpUtil.toBytes("example.com") == null)
+    assert(IpUtil.toBytes("localhost") == null)
+    assert(IpUtil.toBytes("a.b.c.d") == null)
+    assert(IpUtil.toBytes("256.1.1.1") == null)
+    assert(IpUtil.toBytes("1.2.3") == null)
+    assert(IpUtil.toBytes("zz::1") == null)
+    assert(IpUtil.toBytes("") == null)
+    // inet_addr-style bare number kept for shorthand compatibility
+    assert(IpUtil.canonical(IpUtil.toBytes("10")) == "0.0.0.10")
+  }
+
+  test("sortable bytes order numerically, not lexicographically") {
+    def le(a: String, b: String): Boolean = {
+      val x = IpUtil.toBytes(a); val y = IpUtil.toBytes(b)
+      java.util.Arrays.compareUnsigned(x, y) < 0
+    }
+    assert(le("9.0.0.1", "10.0.0.0"))  // string compare would invert this
+    assert(le("10.0.0.0", "10.0.0.1"))
+    assert(le("10.255.255.255", "11.0.0.0"))
+    assert(le("255.255.255.255", "::1:0:0:0"))
+  }
+}
+
+class CommunityIdSpec extends AnyFunSuite {
+  import graft.functions.CommunityId
+  test("tcp/udp/sctp get ids; icmp and other protocols get null") {
+    assert(CommunityId.compute("1.2.3.4", "5.6.7.8", 1122, 80, 6) != null)
+    assert(CommunityId.compute("1.2.3.4", "5.6.7.8", 1122, 80, 17) != null)
+    assert(CommunityId.compute("1.2.3.4", "5.6.7.8", 1122, 80, 132) != null)
+    assert(CommunityId.compute("1.2.3.4", "5.6.7.8", 0, 0, 1) == null)   // icmp
+    assert(CommunityId.compute("::1", "::2", 0, 0, 58) == null)          // icmpv6
+    assert(CommunityId.compute("1.2.3.4", "5.6.7.8", 0, 0, 47) == null)  // gre
+  }
+
+  test("known vector: corelight spec tcp example") {
+    // community-id-spec test data: 66.35.250.204:80 ↔ 128.232.110.120:34855 tcp
+    assert(CommunityId.compute("128.232.110.120", "66.35.250.204", 34855, 80, 6) ==
+      "1:LQU9qZlK+B5F3KDmev6m5PMibrg=")
+  }
+
+  test("direction-independent") {
+    val a = CommunityId.compute("10.0.0.1", "10.0.0.2", 1000, 2000, 6)
+    val b = CommunityId.compute("10.0.0.2", "10.0.0.1", 2000, 1000, 6)
+    assert(a == b)
+  }
 }

@@ -45,4 +45,34 @@ class StoreAndCidrSpec extends AnyFunSuite with SparkSpecBase {
     val v6 = Seq("2001:db8::1", "2001:db9::1").toDF("ip")
     assert(v6.filter(IpFunctions.ipInCidr(col("ip"), "2001:db8::/32")).count() == 1)
   }
+
+  test("ip gt/lt compare numerically (ES ip-range semantics), codegen'd") {
+    import spark.implicits._
+    import graft.expr.Compiler
+    import graft.model.FieldRegistry
+    val df = Seq("9.0.0.1", "10.0.0.0", "10.0.0.5", "11.2.3.4", "2.3.4.5",
+      "255.0.0.1", "::1", "2001:db8::1")
+      .toDF("srcIp")
+      .withColumn("dstIp", lit("1.1.1.1")).withColumn("socksIp", lit(null.asInstanceOf[String]))
+    val c = new Compiler(FieldRegistry.sessions, FieldRegistry.sessionCol,
+      SparkEntry.now)
+    // lexicographic compare would put 9.0.0.1 > 10.0.0.0 — numeric must not
+    // in the v4-mapped 128-bit space: ::1 < any v4 (no ffff at bytes 10-11),
+    // 2001:… > any v4
+    val gt = df.filter(c.compile("ip.src > 10.0.0.0"))
+      .select("srcIp").as[String].collect().toSet
+    assert(gt == Set("10.0.0.5", "11.2.3.4", "255.0.0.1", "2001:db8::1"))
+    val lt = df.filter(c.compile("ip.src < 10.0.0.0"))
+      .select("srcIp").as[String].collect().toSet
+    assert(lt == Set("9.0.0.1", "2.3.4.5", "::1"))
+    val gte = df.filter(c.compile("ip.src >= 10.0.0.0"))
+      .select("srcIp").as[String].collect().toSet
+    assert(gte == gt + "10.0.0.0")
+    // native expression, not a ScalaUDF (local relations fold eagerly, so
+    // inspect the analyzed plan)
+    val plan = df.filter(c.compile("ip.src > 10.0.0.0"))
+      .queryExecution.analyzed.toString
+    assert(plan.contains("ip_sortable"))
+    assert(!plan.toLowerCase.contains("scalaudf"))
+  }
 }
