@@ -118,6 +118,12 @@ object AppProtocols {
     if (ipProtocol == 6 && MiscParsers.isMysql(dstStream)) tags += "mysql"
     if (streams.exists(s => s.length >= 3 && (s(0) & 0xff) == 0x16 &&
         (s(1) & 0xff) == 0x03)) tags += "tls"
+    // SMB: NetBIOS frame then 0xff/0xfe 'SMB' (parsers/smb.c:582-595)
+    if (ipProtocol == 6 && streams.exists(SmbParser.isSmb)) tags += "smb"
+    // LDAP: BER SEQUENCE { messageID INTEGER, protocolOp [0..25] }
+    // (parsers/ldap.c:147-178; TCP and UDP — CLDAP)
+    if ((ipProtocol == 6 || ipProtocol == 17) &&
+      streams.exists(LdapParser.isLdap)) tags += "ldap"
     tags.toSeq.sorted
   }
 

@@ -1,0 +1,251 @@
+package graft.etl
+
+import java.nio.charset.StandardCharsets
+
+/** Minimal BER/DER TLV reader, mirroring the reference's asn helpers
+  * (capture/parsers.c:374-455 moloch_parsers_asn_get_tlv /
+  * get_sequence / sequence_to_string): long-form tags and lengths,
+  * length clamped to the remaining buffer, indefinite length rejected.
+  */
+object Asn1 {
+
+  /** One TLV: constructed flag, tag number, and the value slice. */
+  final case class Tlv(pc: Boolean, tag: Int, buf: Array[Byte], off: Int, len: Int) {
+    def bytes: Array[Byte] = java.util.Arrays.copyOfRange(buf, off, off + len)
+    def string: String = new String(buf, off, len, StandardCharsets.ISO_8859_1)
+    def lastByte: Int = if (len > 0) buf(off + len - 1) & 0xff else -1
+  }
+
+  /** Read one TLV at `pos` (bounded by `end`); returns (tlv, nextPos). */
+  def getTlv(buf: Array[Byte], pos: Int, end: Int): Option[(Tlv, Int)] = {
+    if (pos + 2 > end) return None
+    var p = pos
+    val ch0 = buf(p) & 0xff; p += 1
+    val pc = ((ch0 >> 5) & 1) == 1
+    var tag = 0
+    if ((ch0 & 0x1f) == 0x1f) {
+      var done = false
+      while (!done && p < end) {
+        val ch = buf(p) & 0xff; p += 1
+        tag = (tag << 7) | (ch & 0x7f)
+        if ((ch & 0x80) == 0) done = true
+      }
+      if (!done) return None
+    } else {
+      tag = ch0 & 0x1f
+    }
+    if (p >= end) return None
+    val lb = buf(p) & 0xff; p += 1
+    if (lb == 0x80) return None // indefinite
+    var len = 0
+    if ((lb & 0x80) != 0) {
+      var cnt = lb & 0x7f
+      if (cnt > 4) return None
+      while (cnt > 0 && p < end) {
+        len = (len << 8) | (buf(p) & 0xff); p += 1; cnt -= 1
+      }
+    } else len = lb
+    if (len < 0) return None
+    if (len > end - p) len = end - p // clamp, like the reference
+    Some((Tlv(pc, tag, buf, p, len), p + len))
+  }
+
+  /** Children of a wrapper SEQUENCE (pc, tag 16), up to `max`. */
+  def getSequence(buf: Array[Byte], pos: Int, end: Int, max: Int): Seq[Tlv] =
+    getTlv(buf, pos, end) match {
+      case Some((outer, _)) if outer.pc && outer.tag == 16 =>
+        children(outer, max)
+      case _ => Nil
+    }
+
+  /** Flat TLV children of a constructed value, up to `max`. */
+  def children(t: Tlv, max: Int): Seq[Tlv] = {
+    val out = Seq.newBuilder[Tlv]
+    var p = t.off
+    val end = t.off + t.len
+    var n = 0
+    var ok = true
+    while (ok && n < max && p < end) {
+      getTlv(t.buf, p, end) match {
+        case Some((c, np)) => out += c; p = np; n += 1
+        case None => ok = false
+      }
+    }
+    out.result()
+  }
+
+  /** The reference's sequence_to_string: a primitive's own bytes, or the
+    * first inner TLV's bytes of a constructed value.
+    */
+  def toStr(t: Tlv): Option[String] =
+    if (!t.pc) Some(t.string)
+    else getTlv(t.buf, t.off, t.off + t.len).map(_._1.string)
+}
+
+/** Kerberos 5 KDC-REQ field extraction (reference: capture/parsers/krb5.c).
+  *
+  * AS-REQ (application tag 10) and TGS-REQ (12) carry a req-body with
+  * cname [1], realm [2], sname [3]; PrincipalName's name-string parts
+  * join with '/'. Replies and errors are recognized for classification
+  * but add no fields, like the reference. TCP framing is a 4-byte
+  * big-endian record length whose top two bytes are zero (krb5.c:253-261).
+  */
+object Krb5Parser {
+
+  final case class Krb5Info(realm: Seq[String], cname: Seq[String], sname: Seq[String])
+
+  /** The 03 02 01 05 pvno signature at the reference's classify offsets
+    * (krb5.c:291-294): 7/9 for UDP, 11/13 for TCP (+0 here since the
+    * stream starts at the 4-byte record header).
+    */
+  def isKrb5Udp(payload: Array[Byte]): Boolean =
+    hasSig(payload, 7) || hasSig(payload, 9)
+
+  def isKrb5Tcp(stream: Array[Byte]): Boolean =
+    stream.length >= 2 && stream(0) == 0 && stream(1) == 0 &&
+      (hasSig(stream, 11) || hasSig(stream, 13))
+
+  private def hasSig(b: Array[Byte], off: Int): Boolean =
+    b.length >= off + 4 && b(off) == 3 && b(off + 1) == 2 &&
+      b(off + 2) == 1 && b(off + 3) == 5
+
+  /** Split a TCP stream into KDC messages (4-byte length prefix). */
+  def tcpMessages(stream: Array[Byte]): Seq[Array[Byte]] = {
+    val out = Seq.newBuilder[Array[Byte]]
+    var p = 0
+    while (p + 4 <= stream.length) {
+      val len = ((stream(p + 2) & 0xff) << 8) | (stream(p + 3) & 0xff)
+      if (len <= 0 || p + 4 + len > stream.length) { p = stream.length }
+      else {
+        out += java.util.Arrays.copyOfRange(stream, p + 4, p + 4 + len)
+        p += 4 + len
+      }
+    }
+    out.result()
+  }
+
+  /** Parse KDC messages; Some iff at least one valid REQ was seen. */
+  def parse(messages: Seq[Array[Byte]]): Option[Krb5Info] = {
+    val realm = Seq.newBuilder[String]
+    val cname = Seq.newBuilder[String]
+    val sname = Seq.newBuilder[String]
+    var tagged = false
+    messages.foreach { m =>
+      Asn1.getTlv(m, 0, m.length).foreach { case (outer, _) =>
+        if (outer.pc && (outer.tag == 10 || outer.tag == 12)) {
+          val seq = Asn1.getSequence(m, outer.off, outer.off + outer.len, 5)
+          if (seq.length >= 3 && seq(0).len > 0 && seq(1).len > 0 &&
+              seq(0).pc && seq(0).tag == 1 && seq(0).lastByte == 5 &&
+              seq(1).pc && seq(1).tag == 2 &&
+              (seq(1).lastByte == 10 || seq(1).lastByte == 12)) {
+            tagged = true
+            val body =
+              if (seq(2).pc && seq(2).tag == 4) Some(seq(2))
+              else if (seq.length >= 4 && seq(3).pc && seq(3).tag == 4) Some(seq(3))
+              else None
+            body.foreach { b =>
+              Asn1.getSequence(b.buf, b.off, b.off + b.len, 12).foreach { el =>
+                el.tag match {
+                  case 1 => principal(el).foreach(cname += _)
+                  case 2 => Asn1.toStr(el).filter(_.nonEmpty).foreach(realm += _)
+                  case 3 => principal(el).foreach(sname += _)
+                  case _ =>
+                }
+              }
+            }
+          }
+        }
+      }
+    }
+    if (!tagged) None
+    else Some(Krb5Info(realm.result().distinct, cname.result().distinct,
+      sname.result().distinct))
+  }
+
+  /** PrincipalName: [0] name-type, [1] SEQUENCE OF GeneralString; one
+    * part stands alone, two join with '/' (krb5.c:38-62).
+    */
+  private def principal(t: Asn1.Tlv): Option[String] = {
+    val seq = Asn1.getSequence(t.buf, t.off, t.off + t.len, 2)
+    if (seq.length < 2 || seq(1).tag != 1) return None
+    val parts = Asn1.getSequence(seq(1).buf, seq(1).off,
+      seq(1).off + seq(1).len, 2).flatMap(Asn1.toStr).filter(_.nonEmpty)
+    parts match {
+      case Seq(a)    => Some(a)
+      case Seq(a, b) => Some(s"$a/$b")
+      case _         => None
+    }
+  }
+}
+
+/** LDAP bind extraction (reference: capture/parsers/ldap.c). Walks
+  * LDAPMessages in a direction's stream; BindRequest (op 0) yields
+  * bindname ('<ROOT>' when empty) and authtype (simple/none/sasl/
+  * ntlmssp…); an extendedReq/Resp (op 23/24, STARTTLS) ends LDAP — the
+  * rest of the stream re-classifies (the reference re-runs classify
+  * there, which is how ldap+tls both tag).
+  */
+object LdapParser {
+
+  final case class LdapInfo(authtype: Seq[String], bindname: Seq[String],
+      restOffset: Int)
+
+  def isLdap(data: Array[Byte]): Boolean =
+    Asn1.getTlv(data, 0, data.length) match {
+      case Some((outer, _)) if outer.pc && outer.tag == 16 =>
+        Asn1.getTlv(outer.buf, outer.off, outer.off + outer.len) match {
+          case Some((mid, np)) if !mid.pc && mid.tag == 2 =>
+            Asn1.getTlv(outer.buf, np, outer.off + outer.len) match {
+              case Some((op, _)) => op.pc && op.tag <= 25
+              case None => false
+            }
+          case _ => false
+        }
+      case _ => false
+    }
+
+  def parse(stream: Array[Byte]): Option[LdapInfo] = {
+    val auth = Seq.newBuilder[String]
+    val bind = Seq.newBuilder[String]
+    var rest = -1
+    var p = 0
+    var stop = false
+    var sawAny = false
+    while (!stop && stream.length - p > 5) {
+      Asn1.getTlv(stream, p, stream.length) match {
+        case None => stop = true
+        case Some((outer, np)) =>
+          val end = outer.off + outer.len
+          Asn1.getTlv(outer.buf, outer.off, end) match {
+            case Some((mid, afterMid)) if !mid.pc && mid.tag == 2 =>
+              Asn1.getTlv(outer.buf, afterMid, end) match {
+                case Some((op, _)) if op.pc && op.tag <= 25 =>
+                  sawAny = true
+                  if (op.tag == 0) { // BindRequest
+                    val kids = Asn1.children(op, 3)
+                    if (kids.length >= 2) {
+                      bind += (if (kids(1).len == 0) "<ROOT>" else kids(1).string)
+                      if (kids.length >= 3) {
+                        auth += (kids(2).tag match {
+                          case 0  => if (kids(2).len == 0) "none" else "simple"
+                          case 3  => "sasl"
+                          case 10 => "ntlmsspNegotiate"
+                          case 11 => "ntlmsspAuth"
+                          case t  => t.toString
+                        })
+                      }
+                    }
+                  } else if (op.tag == 23 || op.tag == 24) {
+                    rest = np; stop = true
+                  }
+                case _ => stop = true
+              }
+            case _ => stop = true
+          }
+          p = np
+      }
+    }
+    if (!sawAny) None
+    else Some(LdapInfo(auth.result().distinct, bind.result().distinct, rest))
+  }
+}

@@ -102,7 +102,13 @@ object SessionBuilder {
       vlanId: Seq[Int],
       ircNick: Seq[String], ircChannel: Seq[String],
       pgUser: String, pgDb: String, pgApp: String,
-      mysqlVersion: String, mysqlUser: String)
+      mysqlVersion: String, mysqlUser: String,
+      krb5Realm: Seq[String], krb5Cname: Seq[String], krb5Sname: Seq[String],
+      ldapAuthtype: Seq[String], ldapBindname: Seq[String],
+      quicHost: Seq[String], quicUseragent: Seq[String], quicVersion: Seq[String],
+      smbDomain: Seq[String], smbUser: Seq[String], smbHost: Seq[String],
+      smbOs: Seq[String], smbVersion: Seq[String], smbShare: Seq[String],
+      smbFilename: Seq[String])
 
   /** Reassemble one direction's TCP payload stream: order by sequence
     * number (handling 32-bit wrap relative to the first seq), drop
@@ -223,7 +229,45 @@ object SessionBuilder {
           effSrc, effDst)
       else Nil
     val tunnelTags = seg.iterator.flatMap(_.tunnels).toSeq.distinct
-    val protocols = (outerTags ++ innerTags ++ tunnelTags).distinct.sorted
+    val baseTags = (outerTags ++ innerTags ++ tunnelTags).distinct
+
+    val srcPayloads = src.filter(_.payload.nonEmpty).map(_.payload).toIndexedSeq
+    val dstPayloads = dst.filter(_.payload.nonEmpty).map(_.payload).toIndexedSeq
+    // QUIC (UDP): per-packet public headers; tags quic on a readable CHLO
+    // frame, a PRST, or Q05x traffic in both directions (parsers/quic.c)
+    val quic =
+      if (first.ipProtocol == 17) QuicParser.parse(srcPayloads, dstPayloads)
+      else None
+    // Kerberos: UDP payloads are bare KDC messages; TCP carries a 4-byte
+    // record length. Tagged krb5 only when a valid AS-REQ/TGS-REQ parses,
+    // like the reference (parsers/krb5.c:137).
+    val krb5 =
+      if (first.ipProtocol == 17 &&
+          (srcPayloads.exists(Krb5Parser.isKrb5Udp) ||
+            dstPayloads.exists(Krb5Parser.isKrb5Udp)))
+        Krb5Parser.parse(srcPayloads ++ dstPayloads)
+      else if (first.ipProtocol == 6 &&
+          (Krb5Parser.isKrb5Tcp(effSrc) || Krb5Parser.isKrb5Tcp(effDst)))
+        Krb5Parser.parse(
+          Krb5Parser.tcpMessages(effSrc) ++ Krb5Parser.tcpMessages(effDst))
+      else None
+    // LDAP: per-direction message walk; a STARTTLS extended op ends LDAP
+    // and the remainder of the stream re-classifies (ldap+tls both tag)
+    val ldapSrc = if (baseTags.contains("ldap")) LdapParser.parse(effSrc) else None
+    val ldapDst = if (baseTags.contains("ldap")) LdapParser.parse(effDst) else None
+    val ldapPeelTags: Seq[String] =
+      if (ldapSrc.exists(_.restOffset >= 0) || ldapDst.exists(_.restOffset >= 0))
+        AppProtocols.classify(first.ipProtocol, first.srcPort, first.dstPort,
+          ldapSrc.filter(_.restOffset >= 0).map(i => effSrc.drop(i.restOffset))
+            .getOrElse(Array.emptyByteArray),
+          ldapDst.filter(_.restOffset >= 0).map(i => effDst.drop(i.restOffset))
+            .getOrElse(Array.emptyByteArray))
+      else Nil
+    val smb = if (baseTags.contains("smb")) SmbParser.parse(effSrc, effDst) else None
+
+    val protocols = (baseTags ++ ldapPeelTags ++
+      (if (quic.isDefined) Seq("quic") else Nil) ++
+      (if (krb5.isDefined) Seq("krb5") else Nil)).distinct.sorted
     val http =
       if (protocols.contains("http")) AppProtocols.parseHttp(effSrc, effDst)
       else None
@@ -335,7 +379,24 @@ object SessionBuilder {
       pgDb = pg.map(_.db).orNull,
       pgApp = pg.map(_.app).orNull,
       mysqlVersion = mysql.map(_.version).orNull,
-      mysqlUser = mysql.map(_.user).orNull)
+      mysqlUser = mysql.map(_.user).orNull,
+      krb5Realm = krb5.map(_.realm).getOrElse(Nil),
+      krb5Cname = krb5.map(_.cname).getOrElse(Nil),
+      krb5Sname = krb5.map(_.sname).getOrElse(Nil),
+      ldapAuthtype = (ldapSrc.map(_.authtype).getOrElse(Nil) ++
+        ldapDst.map(_.authtype).getOrElse(Nil)).distinct,
+      ldapBindname = (ldapSrc.map(_.bindname).getOrElse(Nil) ++
+        ldapDst.map(_.bindname).getOrElse(Nil)).distinct,
+      quicHost = quic.map(_.host).getOrElse(Nil),
+      quicUseragent = quic.map(_.useragent).getOrElse(Nil),
+      quicVersion = quic.map(_.version).getOrElse(Nil),
+      smbDomain = smb.map(_.domain).getOrElse(Nil),
+      smbUser = smb.map(_.user).getOrElse(Nil),
+      smbHost = smb.map(_.host).getOrElse(Nil),
+      smbOs = smb.map(_.os).getOrElse(Nil),
+      smbVersion = smb.map(_.version).getOrElse(Nil),
+      smbShare = smb.map(_.share).getOrElse(Nil),
+      smbFilename = smb.map(_.filename).getOrElse(Nil))
   }
 
   /** Batch pipeline: pcap path → session rows. */

@@ -190,7 +190,22 @@ object FieldRegistry {
       FieldDef("postgresql.db", "pgDb",        TermK),
       FieldDef("postgresql.app", "pgApp",      TermK),
       FieldDef("mysql.user",   "mysqlUser",    TermK),
-      FieldDef("mysql.ver",    "mysqlVersion", LoTermK)
+      FieldDef("mysql.ver",    "mysqlVersion", LoTermK),
+      FieldDef("krb5.realm",   "krb5Realm",    TermK, multiValued = true),
+      FieldDef("krb5.cname",   "krb5Cname",    TermK, multiValued = true),
+      FieldDef("krb5.sname",   "krb5Sname",    TermK, multiValued = true),
+      FieldDef("ldap.authtype", "ldapAuthtype", TermK, multiValued = true),
+      FieldDef("ldap.bindname", "ldapBindname", TermK, multiValued = true),
+      FieldDef("host.quic",    "quicHost",     LoTermK, multiValued = true),
+      FieldDef("quic.user-agent", "quicUseragent", TermK, multiValued = true),
+      FieldDef("quic.version", "quicVersion",  TermK, multiValued = true),
+      FieldDef("smb.domain",   "smbDomain",    TermK, multiValued = true),
+      FieldDef("smb.user",     "smbUser",      TermK, multiValued = true),
+      FieldDef("host.smb",     "smbHost",      TermK, multiValued = true),
+      FieldDef("smb.os",       "smbOs",        TermK, multiValued = true),
+      FieldDef("smb.ver",      "smbVersion",   TermK, multiValued = true),
+      FieldDef("smb.share",    "smbShare",     TermK, multiValued = true),
+      FieldDef("smb.fn",       "smbFilename",  TermK, multiValued = true)
     ),
     metaFields = Map(
       "ip"   -> Seq("ip.src", "ip.dst"),
