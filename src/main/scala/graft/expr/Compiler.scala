@@ -162,16 +162,22 @@ final class Compiler(
         items.map(i => eqOne(d, c, lits(i))).reduce(_ || _)
       case (Eq | Ne, v) =>
         eqOne(d, c, lits(v))
-      case (Lt, v)  => c < lits(v)
-      case (Lte, v) => c <= lits(v)
-      case (Gt, v)  => c > lits(v)
-      case (Gte, v) => c >= lits(v)
+      case (Lt, v)  => ineq(d, c, _ < lits(v))
+      case (Lte, v) => ineq(d, c, _ <= lits(v))
+      case (Gt, v)  => ineq(d, c, _ > lits(v))
+      case (Gte, v) => ineq(d, c, _ >= lits(v))
       case _ => throw new IllegalArgumentException(s"bad numeric op $op")
     }
   }
 
   private def eqOne(d: FieldDef, c: Column, v: Column): Column =
     if (d.multiValued) array_contains(c, v) else c === v
+
+  /** Inequality with array-membership semantics on multivalued columns
+    * (some element satisfies), as ES range queries behave on arrays.
+    */
+  private def ineq(d: FieldDef, c: Column, f: Column => Column): Column =
+    if (d.multiValued) exists(c, f) else f(c)
 
   private def inRange(d: FieldDef, c: Column, lo: Double, hi: Double): Column =
     if (d.multiValued) exists(c, e => e >= lit(lo) && e <= lit(hi))
@@ -256,24 +262,29 @@ final class Compiler(
     // DateK columns are timestamps; SecondsK columns are epoch-second longs.
     def bound(v: Value): Column =
       if (d.kind == FieldKind.DateK) timestamp_seconds(lit(secs(v))) else lit(secs(v))
+    def dateEqM(v: Value): Column =
+      if (d.multiValued) exists(c, e => dateEq(d, e, bound(v)))
+      else dateEq(d, c, bound(v))
     (op, value) match {
       case (Eq | Ne, Value.Lst(items)) =>
-        items.map(i => dateEq(c, bound(i))).reduce(_ || _)
+        items.map(dateEqM).reduce(_ || _)
       case (Eq | Ne, v) =>
-        dateEq(c, bound(v))
-      case (Lt, v)  => c < bound(v)
-      case (Lte, v) => c <= bound(v)
-      case (Gt, v)  => c > bound(v)
-      case (Gte, v) => c >= bound(v)
+        dateEqM(v)
+      case (Lt, v)  => ineq(d, c, _ < bound(v))
+      case (Lte, v) => ineq(d, c, _ <= bound(v))
+      case (Gt, v)  => ineq(d, c, _ > bound(v))
+      case (Gte, v) => ineq(d, c, _ >= bound(v))
       case _ => throw new IllegalArgumentException(s"bad date op $op")
     }
   }
 
   /** Date equality = within the named second (ES range gte/lte — jison
-    * termOrTermsDate). For timestamp columns: [t, t+1s).
+    * termOrTermsDate). For timestamp columns: [t, t+1s); for
+    * epoch-second long columns: [t, t+1).
     */
-  private def dateEq(c: Column, t: Column): Column =
-    c >= t && c < t + expr("INTERVAL 1 SECOND")
+  private def dateEq(d: FieldDef, c: Column, t: Column): Column =
+    if (d.kind == FieldKind.DateK) c >= t && c < t + expr("INTERVAL 1 SECOND")
+    else c >= t && c < t + lit(1L)
 
   // -------------------------------------------------------------------- ip
 

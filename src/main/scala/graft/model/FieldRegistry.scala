@@ -180,10 +180,21 @@ object FieldRegistry {
       FieldDef("email.subject", "emailSubject", TermK, multiValued = true),
       FieldDef("email.content-type", "emailContentType", LoTermK, multiValued = true),
       FieldDef("vlan",         "vlanId",       IntegerK, multiValued = true),
-      // cert.* scalar-per-cert fields (array extraction over the struct
-      // array; nested-array fields like subjectCN need a flatten pass)
+      // cert.* fields over the struct array: scalar-per-cert extracts
+      // directly; nested arrays (CN/ON/alt) flatten via sessionCol
       FieldDef("cert.serial",  "cert.serial",  LoTermK, multiValued = true),
       FieldDef("cert.hash",    "cert.hash",    LoTermK, multiValued = true),
+      FieldDef("cert.issuer.cn", "certIssuerCN", LoTermK, multiValued = true),
+      FieldDef("cert.subject.cn", "certSubjectCN", LoTermK, multiValued = true),
+      FieldDef("cert.issuer.on", "certIssuerON", TermK, multiValued = true),
+      FieldDef("cert.subject.on", "certSubjectON", TermK, multiValued = true),
+      FieldDef("cert.alt",     "certAlt",      LoTermK, multiValued = true),
+      FieldDef("cert.notbefore", "certNotBeforeSec", SecondsK, multiValued = true),
+      FieldDef("cert.notafter", "certNotAfterSec", SecondsK, multiValued = true),
+      FieldDef("cert.validfor", "cert.validDays", IntegerK, multiValued = true),
+      FieldDef("cert.publicAlgorithm", "cert.publicAlgorithm", TermK,
+        multiValued = true),
+      FieldDef("cert.curve",   "cert.curve",   TermK, multiValued = true),
       FieldDef("irc.nick",     "ircNick",      TermK, multiValued = true),
       FieldDef("irc.channel",  "ircChannel",   TermK, multiValued = true),
       FieldDef("postgresql.user", "pgUser",    TermK),
@@ -219,7 +230,18 @@ object FieldRegistry {
     name match {
       case "firstPacketSec" => floor(col("firstPacket") / 1000).cast("long")
       case "lastPacketSec"  => floor(col("lastPacket") / 1000).cast("long")
-      case other            => col(other)
+      // nested per-cert string arrays → one flat array per session
+      case "certIssuerCN"   => flatten(col("cert.issuerCN"))
+      case "certSubjectCN"  => flatten(col("cert.subjectCN"))
+      case "certIssuerON"   => flatten(col("cert.issuerON"))
+      case "certSubjectON"  => flatten(col("cert.subjectON"))
+      case "certAlt"        => flatten(col("cert.alt"))
+      // per-cert epoch-ms validity bounds → epoch-second views
+      case "certNotBeforeSec" =>
+        transform(col("cert.notBefore"), e => floor(e / 1000).cast("long"))
+      case "certNotAfterSec" =>
+        transform(col("cert.notAfter"), e => floor(e / 1000).cast("long"))
+      case other => col(other)
     }
   }
 }

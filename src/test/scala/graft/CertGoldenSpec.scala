@@ -40,4 +40,24 @@ class CertGoldenSpec extends AnyFunSuite with SparkSpecBase {
       if (j.has("alt")) assert(c.alt.sorted == strs(j.get("alt")).sorted)
     }
   }
+
+  test("nested cert fields are queryable through the expression language") {
+    import graft.expr.Compiler
+    import graft.model.FieldRegistry
+    val sessions = SessionBuilder.sessionize(spark,
+      "/root/reference/tests/pcap/https2-301-get.pcap").toDF()
+    val c = new Compiler(FieldRegistry.sessions, FieldRegistry.sessionCol,
+      SparkEntry.now)
+    def n(e: String): Long = sessions.filter(c.compile(e)).count()
+    assert(n("cert.subject.cn == \"github.com\"") == 1)
+    assert(n("cert.subject.cn == digicert*") == 1)
+    assert(n("cert.alt == \"www.github.com\"") == 1)
+    assert(n("cert.issuer.on == \"DigiCert Inc\"") == 1)
+    assert(n("cert.subject.cn == \"nomatch.example\"") == 0)
+    // per-cert numeric/date bounds: notafter of the leaf is 2015-09-02
+    assert(n("cert.notafter > \"2015/01/01\"") == 1)
+    assert(n("cert.notafter > \"2030/01/01\"") == 0)
+    assert(n("cert.validfor > 1000") == 1)
+    assert(n("cert.publicAlgorithm == rsaEncryption") == 1)
+  }
 }
