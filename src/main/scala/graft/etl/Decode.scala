@@ -34,7 +34,12 @@ object Decode {
       tcpAck: Long,
       payload: Array[Byte],
       tunnels: Seq[String] = Nil, // outer encapsulations (gre, ppp, ...)
-      vlanIds: Seq[Int] = Nil)
+      vlanIds: Seq[Int] = Nil,
+      // non-5-tuple session key (ARP sessions key on the looked-up IP,
+      // reference parsers/arp.c:27-39); null for normal flows
+      keyOverride: String = null,
+      // offline clock: ts of the preceding packet in the file
+      prevTsMicros: Long = 0L)
 
   private def mac(b: Array[Byte], off: Int): String =
     (0 until 6).map(i => f"${b(off + i) & 0xff}%02x").mkString(":")
@@ -203,6 +208,18 @@ object Decode {
     val decoded = etherType match {
       case 0x0800 => decodeIp4(p, b, off, mSrc, mDst)
       case 0x86dd => decodeIp6(p, b, off, mSrc, mDst)
+      case 0x0806 =>
+        // ARP (reference parsers/arp.c): sessions key on the looked-up
+        // protocol address — the target for requests, the sender for
+        // replies — so a request and its reply share one session.
+        if (off + 28 > b.length || (b(off + 7) & 0xff) > 2) None
+        else {
+          val op = b(off + 7) & 0xff
+          val kOff = if (op == 1) off + 24 else off + 14
+          val keyIp = (0 until 4).map(i => (b(kOff + i) & 0xff).toString).mkString(".")
+          Some(base(p, mSrc, mDst, 0, "", "").copy(
+            tunnels = Seq("arp"), keyOverride = s"arp|$keyIp"))
+        }
       case other  =>
         // Non-IP ether sessions (reference keys them on the destination
         // mac; ipProtocol 0): LLDP by ethertype, IS-IS via 802.3 LLC OSI.
@@ -237,7 +254,7 @@ object Decode {
     if (fragOffset > 0) // non-first fragment: counters only, no L4 decode
       return Some(base(p, mSrc, mDst, proto, srcIp, dstIp)
         .copy(payload = Array.empty))
-    Some(decodeL4(p, b, l4Off, l4End, proto, srcIp, dstIp, mSrc, mDst))
+    decodeL4(p, b, l4Off, l4End, proto, srcIp, dstIp, mSrc, mDst)
   }
 
   private def decodeIp6(
@@ -260,7 +277,7 @@ object Decode {
       guard += 1
     }
     val l4End = math.min(ipOff + 40 + payLen, b.length)
-    Some(decodeL4(p, b, l4Off, l4End, next, srcIp, dstIp, mSrc, mDst))
+    decodeL4(p, b, l4Off, l4End, next, srcIp, dstIp, mSrc, mDst)
   }
 
   private def base(
@@ -268,7 +285,7 @@ object Decode {
       proto: Int, srcIp: String, dstIp: String): DecodedPacket =
     DecodedPacket(p.file, p.index, p.tsMicros, p.fileOffset, p.inclLen + 16,
       p.inclLen, mSrc, mDst, proto, srcIp, dstIp, -1, -1, 0, 0, 0L, 0L,
-      Array.empty)
+      Array.empty, prevTsMicros = p.prevTsMicros)
 
   /** GRE (ip proto 47) decap, including PPTP enhanced GRE v1 carrying
     * PPP (reference: capture/parsers/gre.c). The decoded packet keeps
@@ -327,14 +344,14 @@ object Decode {
 
   private def decodeL4(
       p: Pcap.RawPacket, b: Array[Byte], l4Off: Int, l4End: Int, proto: Int,
-      srcIp: String, dstIp: String, mSrc: String, mDst: String): DecodedPacket = {
+      srcIp: String, dstIp: String, mSrc: String, mDst: String): Option[DecodedPacket] = {
     val base0 = base(p, mSrc, mDst, proto, srcIp, dstIp)
     proto match {
-      case 47 => decodeGre(p, b, l4Off, mSrc, mDst).getOrElse(base0)
-      case 4  => // IP-in-IP (v4 inner)
-        decodeIp4(p, b, l4Off, mSrc, mDst).getOrElse(base0)
-      case 41 => // IPv6-in-IP
-        decodeIp6(p, b, l4Off, mSrc, mDst).getOrElse(base0)
+      // Tunnel decaps whose inner frame fails to parse drop the packet,
+      // as the reference's CORRUPT return does — no outer-flow session.
+      case 47 => return decodeGre(p, b, l4Off, mSrc, mDst)
+      case 4  => return decodeIp4(p, b, l4Off, mSrc, mDst)
+      case 41 => return decodeIp6(p, b, l4Off, mSrc, mDst)
       case 6 if l4Off + 20 <= l4End => // TCP
         val bb = ByteBuffer.wrap(b).order(ByteOrder.BIG_ENDIAN)
         val srcPort = ((b(l4Off) & 0xff) << 8) | (b(l4Off + 1) & 0xff)
@@ -348,66 +365,85 @@ object Decode {
         val payload =
           if (payStart < l4End) java.util.Arrays.copyOfRange(b, payStart, l4End)
           else Array.empty[Byte]
-        base0.copy(srcPort = srcPort, dstPort = dstPort, tcpFlags = flags,
-          tcpWindow = window, tcpSeq = seq, tcpAck = ack, payload = payload)
+        Some(base0.copy(srcPort = srcPort, dstPort = dstPort, tcpFlags = flags,
+          tcpWindow = window, tcpSeq = seq, tcpAck = ack, payload = payload))
       case 17 if l4Off + 8 <= l4End => // UDP
         val srcPort = ((b(l4Off) & 0xff) << 8) | (b(l4Off + 1) & 0xff)
         val dstPort = ((b(l4Off + 2) & 0xff) << 8) | (b(l4Off + 3) & 0xff)
         val payStart = l4Off + 8
         // UDP-carried tunnels: VXLAN (dst 4789) wraps an Ethernet frame,
-        // GTP-U (port 2152) wraps an IP packet; sessions key on the inner
-        // flow with the tunnel tagged (reference: vxlan/gtp decap).
+        // GTP-U (dst 2152) wraps an IP packet; sessions key on the inner
+        // flow with the tunnel tagged (capture/packet.c:838-855). An
+        // inner ARP keeps the OUTER addresses/protocol on the session
+        // (the arp handler only re-keys — packet.c leaves the ip fields
+        // from the outer parse), and undecodable inners drop the packet.
         if (dstPort == 4789 && payStart + 16 <= l4End &&
+            (b(payStart) & 0x77) == 0 && (b(payStart + 1) & 0xb7) == 0 &&
             (b(payStart) & 0x08) != 0) {
           val innerEth = payStart + 8
-          decodeEthernetAt(p, b, innerEth) match {
-            case Some(d) => return d.copy(tunnels = "vxlan" +: d.tunnels)
-            case None =>
-              return base0.copy(srcPort = srcPort, dstPort = dstPort,
-                tunnels = Seq("vxlan"))
+          return decodeEthernetAt(p, b, innerEth).map { d =>
+            val d2 =
+              if (d.keyOverride != null)
+                d.copy(srcIp = srcIp, dstIp = dstIp, ipProtocol = proto)
+              else d
+            d2.copy(tunnels = "vxlan" +: d2.tunnels)
           }
         }
-        if ((srcPort == 2152 || dstPort == 2152) && payStart + 8 <= l4End &&
-            ((b(payStart) >> 5) & 0x7) == 1 && (b(payStart + 1) & 0xff) == 0xff) {
+        if (dstPort == 2152 && payStart + 12 <= l4End &&
+            (b(payStart) & 0xf0) == 0x30 && (b(payStart + 1) & 0xff) == 0xff &&
+            (((b(payStart + 2) & 0xff) << 8) | (b(payStart + 3) & 0xff)) == l4End - payStart - 8) {
           val flags = b(payStart) & 0xff
           var innerOff = payStart + 8
-          if ((flags & 0x07) != 0) { // E/S/PN present
+          var bad = false
+          if ((flags & 0x07) != 0) { // S/PN/E: 4 more bytes, last = next-ext
+            var next = if (innerOff + 4 <= l4End) b(innerOff + 3) & 0xff else { bad = true; 0 }
             innerOff += 4
-            if ((flags & 0x04) != 0) { // extension headers
-              var guard = 0
-              while (guard < 4 && innerOff <= l4End && innerOff > payStart &&
-                  (b(innerOff - 1) & 0xff) != 0) {
-                innerOff += (b(innerOff) & 0xff) * 4
-                guard += 1
+            var guard = 0
+            while (!bad && next != 0 && guard < 8) { // extension chain
+              if (innerOff >= l4End) bad = true
+              else {
+                val extLen = b(innerOff) & 0xff
+                if (extLen == 0 || innerOff + extLen * 4 > l4End) bad = true
+                else {
+                  next = b(innerOff + extLen * 4 - 1) & 0xff
+                  innerOff += extLen * 4
+                }
               }
+              guard += 1
             }
           }
-          val inner =
-            if (innerOff < l4End && (b(innerOff) & 0xf0) == 0x40)
+          if (!bad) {
+            return (if (innerOff < l4End && (b(innerOff) & 0xf0) == 0x40)
               decodeIp4(p, b, innerOff, mSrc, mDst)
             else if (innerOff < l4End && (b(innerOff) & 0xf0) == 0x60)
               decodeIp6(p, b, innerOff, mSrc, mDst)
-            else None
-          inner match {
-            case Some(d) => return d.copy(tunnels = "gtp" +: d.tunnels)
-            case None    =>
+            else None).map(d => d.copy(tunnels = "gtp" +: d.tunnels))
           }
+          return None
         }
         val payload =
           if (payStart < l4End) java.util.Arrays.copyOfRange(b, payStart, l4End)
           else Array.empty[Byte]
-        base0.copy(srcPort = srcPort, dstPort = dstPort, payload = payload)
+        Some(base0.copy(srcPort = srcPort, dstPort = dstPort, payload = payload))
       case 1 | 58 if l4Off + 4 <= l4End =>
         // ICMP / ICMPv6: no ports in the session key (the reference zeroes
         // them — echo request and reply share one session)
-        base0.copy(srcPort = 0, dstPort = 0,
-          payload = java.util.Arrays.copyOfRange(b, l4Off + 4, l4End))
+        Some(base0.copy(srcPort = 0, dstPort = 0,
+          payload = java.util.Arrays.copyOfRange(b, l4Off + 4, l4End)))
       case 132 if l4Off + 12 <= l4End => // SCTP: common header ports
         val srcPort = ((b(l4Off) & 0xff) << 8) | (b(l4Off + 1) & 0xff)
         val dstPort = ((b(l4Off + 2) & 0xff) << 8) | (b(l4Off + 3) & 0xff)
-        base0.copy(srcPort = srcPort, dstPort = dstPort,
-          payload = java.util.Arrays.copyOfRange(b, l4Off + 12, l4End))
-      case _ => base0
+        Some(base0.copy(srcPort = srcPort, dstPort = dstPort,
+          payload = java.util.Arrays.copyOfRange(b, l4Off + 12, l4End)))
+      case 2 | 50 | 89 | 103 =>
+        // IGMP / ESP / OSPF / PIM: protocols with registered handlers in
+        // the reference (parsers/{igmp,esp,ospf,pim}.c) — session, no L4
+        Some(base0)
+      case _ =>
+        // No handler registered → the reference drops the packet
+        // (moloch_packet_run_ip_cb returns UNKNOWN): no session for e.g.
+        // RSVP(46) or EIGRP(88) — mpls-basic golden has none.
+        None
     }
   }
 

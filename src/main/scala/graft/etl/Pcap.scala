@@ -29,7 +29,11 @@ object Pcap {
       origLen: Int,
       fileOffset: Long,
       linkType: Int,
-      data: Array[Byte])
+      data: Array[Byte],
+      // ts of the preceding packet in this file (own ts for the first):
+      // the offline analogue of the reference's lastPacketSecs clock,
+      // which drives idle/save timeouts (capture/session.c:508-541)
+      prevTsMicros: Long = 0L)
 
   final case class PcapHeader(
       bigEndian: Boolean, nanos: Boolean, linkType: Int, snapLen: Int)
@@ -68,6 +72,7 @@ object Pcap {
           private var off = 24L
           private var idx = 0
           private var dead = false
+          private var prevTs = 0L
           def hasNext: Boolean =
             !dead && off + 16 <= bytes.length && {
               val incl = ByteBuffer.wrap(bytes, off.toInt + 8, 4).order(order).getInt
@@ -84,7 +89,8 @@ object Pcap {
             val end = math.min(start + inclLen, bytes.length.toLong)
             val data = java.util.Arrays.copyOfRange(bytes, start.toInt, end.toInt)
             val p = RawPacket(file, idx, micros, inclLen, origLen, off,
-              h.linkType, data)
+              h.linkType, data, if (idx == 0) micros else prevTs)
+            prevTs = micros
             off = start + inclLen
             idx += 1
             p
@@ -93,7 +99,81 @@ object Pcap {
     }
   }
 
-  /** Read a directory (or single file) of pcaps as a packet Dataset. */
+  /** IPv4 fragment reassembly over one file's packet stream, mirroring
+    * moloch_packet_frags4/frags_process (capture/packet.c:470-600):
+    * fragments buffer keyed (src, dst, ipId); once the no-MF fragment has
+    * arrived and offsets are contiguous, the completing packet is rewritten
+    * with the full payload (ip_len fixed up, frag bits cleared) and emitted
+    * at its position; consumed fragments emit nothing. Only plain-Ethernet
+    * IPv4 is examined — tunneled fragments pass through untouched.
+    */
+  def assembleFrags4(packets: Iterator[RawPacket]): Iterator[RawPacket] = {
+    final case class Frag(off: Int, mf: Boolean, payload: Array[Byte], raw: RawPacket)
+    val pending = scala.collection.mutable.LinkedHashMap[String, scala.collection.mutable.ArrayBuffer[Frag]]()
+    def ipOffOf(p: RawPacket): Int = {
+      if (p.linkType != 1 || p.data.length < 34) return -1
+      var off = 12
+      var et = ((p.data(off) & 0xff) << 8) | (p.data(off + 1) & 0xff)
+      off += 2
+      while ((et == 0x8100 || et == 0x88a8) && off + 4 <= p.data.length) {
+        et = ((p.data(off + 2) & 0xff) << 8) | (p.data(off + 3) & 0xff)
+        off += 4
+      }
+      if (et != 0x0800) -1 else off
+    }
+    packets.flatMap { p =>
+      val ipOff = ipOffOf(p)
+      if (ipOff < 0 || (p.data(ipOff) & 0xf0) != 0x40) Iterator.single(p)
+      else {
+        val b = p.data
+        val ihl = (b(ipOff) & 0x0f) * 4
+        val fragField = ((b(ipOff + 6) & 0xff) << 8) | (b(ipOff + 7) & 0xff)
+        val mf = (fragField & 0x2000) != 0
+        val fragOff = (fragField & 0x1fff) * 8
+        if (!mf && fragOff == 0) Iterator.single(p)
+        else {
+          val ipLen = ((b(ipOff + 2) & 0xff) << 8) | (b(ipOff + 3) & 0xff)
+          val key = (ipOff + 12 to ipOff + 19).map(b(_)).mkString(",") +
+            "|" + (((b(ipOff + 4) & 0xff) << 8) | (b(ipOff + 5) & 0xff))
+          val payEnd = math.min(ipOff + ipLen, b.length)
+          val payload = java.util.Arrays.copyOfRange(b, ipOff + ihl, math.max(ipOff + ihl, payEnd))
+          val frags = pending.getOrElseUpdate(key, scala.collection.mutable.ArrayBuffer())
+          frags += Frag(fragOff, mf, payload, p)
+          if (frags.exists(!_.mf)) {
+            val sorted = frags.sortBy(_.off)
+            var expect = 0
+            var total = 0
+            var ok = true
+            sorted.foreach { f =>
+              if (ok && f.off == expect) {
+                expect += f.payload.length
+                total = math.max(total, f.off + f.payload.length)
+              } else if (f.off != expect) ok = false
+            }
+            if (ok && !sorted.last.mf) {
+              pending.remove(key)
+              // rebuild: completing packet's link+ip header + full payload
+              val hdrLen = ipOff + ihl
+              val out = new Array[Byte](hdrLen + total)
+              System.arraycopy(b, 0, out, 0, hdrLen)
+              sorted.foreach(f =>
+                System.arraycopy(f.payload, 0, out, hdrLen + f.off, f.payload.length))
+              val newIpLen = ihl + total
+              out(ipOff + 2) = ((newIpLen >> 8) & 0xff).toByte
+              out(ipOff + 3) = (newIpLen & 0xff).toByte
+              out(ipOff + 6) = 0; out(ipOff + 7) = 0
+              Iterator.single(p.copy(data = out, inclLen = out.length,
+                origLen = out.length))
+            } else Iterator.empty
+          } else Iterator.empty
+        }
+      }
+    }
+  }
+
+  /** Read a directory (or single file) of pcaps as a packet Dataset,
+    * with per-file IPv4 fragment reassembly.
+    */
   def readPackets(spark: SparkSession, path: String): Dataset[RawPacket] = {
     import spark.implicits._
     spark.read.format("binaryFile")
@@ -101,6 +181,6 @@ object Pcap {
       .load(path)
       .select("path", "content")
       .as[(String, Array[Byte])]
-      .flatMap { case (p, bytes) => parseFile(bytes, p) }
+      .flatMap { case (p, bytes) => assembleFrags4(parseFile(bytes, p)) }
   }
 }

@@ -34,13 +34,15 @@ object SessionBuilder {
     * (capture/parsers/{igmp,ospf,pim}.c: "lump all … into the same
     * session").
     */
-  def sessionKey(p: DecodedPacket): String = p.ipProtocol match {
-    case 2 | 89 | 103 => s"${p.ipProtocol}|lumped"
-    case _ =>
-      val a = s"${p.srcIp}:${p.srcPort}"
-      val b = s"${p.dstIp}:${p.dstPort}"
-      if (a <= b) s"${p.ipProtocol}|$a|$b" else s"${p.ipProtocol}|$b|$a"
-  }
+  def sessionKey(p: DecodedPacket): String =
+    if (p.keyOverride != null) p.keyOverride
+    else p.ipProtocol match {
+      case 2 | 89 | 103 => s"${p.ipProtocol}|lumped"
+      case _ =>
+        val a = s"${p.srcIp}:${p.srcPort}"
+        val b = s"${p.dstIp}:${p.dstPort}"
+        if (a <= b) s"${p.ipProtocol}|$a|$b" else s"${p.ipProtocol}|$b|$a"
+    }
 
   /** Inactivity timeouts. `icmpTimeoutSecs` defaults to the reference's
     * test configuration (tests/config.test.ini icmpTimeout=60, which its
@@ -139,27 +141,101 @@ object SessionBuilder {
     out.toByteArray
   }
 
-  /** Build the session rows for one key's packets (already sorted). */
+  /** Build the session rows for one key's packets (already sorted).
+    *
+    * Segment boundaries replicate the reference's offline clock model
+    * (capture/session.c:508-541): its timers compare against
+    * `lastPacketSecs` — the timestamp of the previously PROCESSED packet
+    * (any flow), not wall-clock — so an idle gap only splits a session
+    * when some intervening packet advanced the clock past the deadline.
+    * Here `clock(i)` = max(own previous packet ts, file-order predecessor
+    * ts), and the boundary rules are:
+    *   - idle save: own lastPacket + type timeout < clock → new session
+    *     before packet i (sessionsQ scan, session.c:517-529);
+    *   - tcp mid-save: segment start + tcpSaveTimeout(480 s) < clock →
+    *     segment boundary before i (tcpWriteQ, session.c:534-541);
+    *   - maxPackets (10 000) per segment (packet.c:303);
+    *   - tcp port reuse: a SYN (no ACK) after the segment saw RST or both
+    *     FINs starts a new session (parsers/tcp.c:368, closingQ);
+    *   - BGP keepalive queue: parsers/bgp.c re-arms a 5 s timer on every
+    *     BGP message; when a packet arrives past the deadline the session
+    *     mid-saves WITH that packet (pq fires before processing, save
+    *     runs after — packet.c:190,303), so the boundary falls after it.
+    */
   def buildSessions(key: String, packets: Iterator[DecodedPacket],
       node: String): Iterator[SessionRow] = {
     val sorted = packets.toArray.sortBy(p => (p.tsMicros, p.file, p.index))
     if (sorted.isEmpty) return Iterator.empty
-    val timeoutUs = timeoutSecs(sorted.head.ipProtocol) * 1000000L
-    // split into segments on inactivity gap, maxPackets, or — for TCP —
-    // the tcpSaveTimeout duration mid-save (480 s from segment start,
-    // reference capture/session.c:312-357 / config tcpSaveTimeout)
+    val head = sorted.head
+    val timeoutUs = timeoutSecs(head.ipProtocol) * 1000000L
     val saveTimeoutUs = 480L * 1000000L
-    val isTcp = sorted.head.ipProtocol == 6
+    val bgpPqUs = 5L * 1000000L
+    val isTcp = head.ipProtocol == 6 && head.keyOverride == null
+    // BGP classification gates on a seen SYN: without one the reference's
+    // TCP parser has no sequence base, never delivers data to classifiers,
+    // and the 5 s keepalive queue never arms (parsers/tcp.c:229,368) —
+    // mid-capture BGP flows stay plain 'tcp' and never mid-save.
+    val mayBgp = isTcp && head.dstPort == 179
+    def bgpMarker(p: DecodedPacket): Boolean =
+      p.payload.length >= 16 && p.payload.take(16).forall(_ == -1)
     val segments = Seq.newBuilder[Array[DecodedPacket]]
     var start = 0
+    var rstSeen = false
+    var finDirs = 0
+    var sawSyn = false
+    var bgpActive = false
+    var bgpArmedTs = -1L // ts of last BGP data packet (pq deadline base)
+    var splitAfterPrev = false
+    def noteFlags(p: DecodedPacket): Unit = if (isTcp) {
+      if ((p.tcpFlags & Decode.TH_RST) != 0) rstSeen = true
+      if ((p.tcpFlags & Decode.TH_FIN) != 0)
+        finDirs |= (if (p.srcIp == head.srcIp && p.srcPort == head.srcPort) 1 else 2)
+    }
+    def noteBgp(p: DecodedPacket): Unit = if (mayBgp) {
+      if ((p.tcpFlags & Decode.TH_SYN) != 0) sawSyn = true
+      if (sawSyn && !bgpActive && bgpMarker(p)) bgpActive = true
+      if (bgpActive && p.payload.nonEmpty) bgpArmedTs = p.tsMicros
+    }
+    noteFlags(head)
+    noteBgp(head)
     var i = 1
     while (i < sorted.length) {
-      if (sorted(i).tsMicros - sorted(i - 1).tsMicros > timeoutUs ||
-          (isTcp && sorted(i).tsMicros - sorted(start).tsMicros > saveTimeoutUs) ||
-          i - start >= MaxPackets) {
+      val cur = sorted(i)
+      val clock = math.max(sorted(i - 1).tsMicros, cur.prevTsMicros)
+      val synNoAck = isTcp && (cur.tcpFlags & Decode.TH_SYN) != 0 &&
+        (cur.tcpFlags & Decode.TH_ACK) == 0
+      // Both the flow's own gap AND the processed-packet clock must pass
+      // the deadline: merged captures with non-monotonic timestamps would
+      // otherwise inflate the clock and split flows the reference keeps.
+      val boundary =
+        splitAfterPrev ||
+          (cur.tsMicros - sorted(i - 1).tsMicros > timeoutUs &&
+            sorted(i - 1).tsMicros + timeoutUs < clock) ||
+          (isTcp && cur.tsMicros - sorted(start).tsMicros > saveTimeoutUs &&
+            sorted(start).tsMicros + saveTimeoutUs < clock) ||
+          i - start >= MaxPackets ||
+          (synNoAck && rstSeen)
+      if (boundary) {
         segments += java.util.Arrays.copyOfRange(sorted, start, i)
         start = i
+        rstSeen = false; finDirs = 0
+        splitAfterPrev = false
+      } else if (synNoAck && finDirs == 3) {
+        // Port reuse after a FIN-closed connection: the SYN still finds
+        // the old session in the closing queue and joins it; the flush
+        // then runs before the SYN-ACK, so the NEW session starts after
+        // the SYN (gtp-iphone golden; closingQ, capture/session.c:220-232).
+        // RST-closed sessions instead split before the SYN
+        // (parsers/tcp.c:368 pre-process retry).
+        splitAfterPrev = true
+        rstSeen = false; finDirs = 0
       }
+      noteFlags(cur)
+      if (bgpActive && bgpArmedTs >= 0 && cur.tsMicros > bgpArmedTs + bgpPqUs) {
+        splitAfterPrev = true // pq fired: this packet closes the segment
+        bgpArmedTs = -1L
+      }
+      noteBgp(cur)
       i += 1
     }
     segments += java.util.Arrays.copyOfRange(sorted, start, sorted.length)
@@ -221,8 +297,17 @@ object SessionBuilder {
       case Some((is, id, _)) => (is, id)
       case None              => (srcStream, dstStream)
     }
-    val outerTags = AppProtocols.classify(first.ipProtocol,
-      first.srcPort, first.dstPort, srcStream, dstStream)
+    // ARP-keyed sessions take only their handler tag (+tunnels): the
+    // reference's arp mProtocol adds no tcp/udp protocol (parsers/arp.c)
+    val outerTags =
+      if (first.keyOverride != null) Nil
+      else AppProtocols.classify(first.ipProtocol,
+        first.srcPort, first.dstPort, srcStream, dstStream) ++
+        (if (first.ipProtocol == 6 && first.dstPort == 179 &&
+          (syn > 0 || synAck > 0) &&
+          Seq(srcStream, dstStream).exists(st =>
+            st.length >= 16 && st.take(16).forall(_ == -1))) Seq("bgp")
+        else Nil)
     val innerTags =
       if (peeled.isDefined)
         AppProtocols.classify(first.ipProtocol, first.srcPort, first.dstPort,

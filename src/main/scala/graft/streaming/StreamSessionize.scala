@@ -95,7 +95,7 @@ object StreamSessionize {
       .load(dir)
       .select("path", "content").as[(String, Array[Byte])]
     val packets = files.flatMap { case (p, bytes) =>
-      graft.etl.Pcap.parseFile(bytes, p).flatMap(Decode.decode(_))
+      graft.etl.Pcap.assembleFrags4(graft.etl.Pcap.parseFile(bytes, p)).flatMap(Decode.decode(_))
     }
     sessions(packets)
   }

@@ -10,13 +10,13 @@ import graft.etl.SessionBuilder
 /** Corpus-wide fidelity floor: for every reference pcap with a golden
   * dump, compare the multiset of per-session (packets, bytes) signatures.
   * Pins the achieved level so regressions in decode/keying/segmenting
-  * fail loudly. Known mismatches (ARP session keying, TCP-MD5 flows,
-  * IPv4 fragment reassembly, some tunnel edge frames) are allowed to
-  * stay mismatched but not to grow.
+  * fail loudly. As of round 2 every fixture matches (ARP sessions,
+  * fragment reassembly, offline-clock timeouts, BGP mid-save, TCP
+  * port-reuse splitting all replicated).
   */
 class CorpusFidelitySpec extends AnyFunSuite with SparkSpecBase {
 
-  test("at least 136 of 145 pcaps match golden session signatures") {
+  test("all 145 pcaps match golden session signatures") {
     val mapper = new ObjectMapper()
     val dir = new java.io.File("/root/reference/tests/pcap")
     var full = 0
@@ -41,6 +41,6 @@ class CorpusFidelitySpec extends AnyFunSuite with SparkSpecBase {
       }
     info(s"full signature matches: $full / $total; mismatched: " +
       mismatches.result().mkString(", "))
-    assert(full >= 136, s"fidelity regressed: only $full matched")
+    assert(full >= 145, s"fidelity regressed: only $full matched")
   }
 }
