@@ -37,5 +37,12 @@ object Sessions {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // The local fixtures are single small parquet files; the 128 MB
+      // default would scan each on ONE core, serializing per-document
+      // kernels (shingle hashing, quality metrics). 1 MB splits keep all
+      // cores busy locally and is a no-op at cluster scale, where inputs
+      // arrive as many multi-hundred-MB files.
+      .config("spark.sql.files.maxPartitionBytes", (1024 * 1024).toString)
+      .config("spark.sql.files.openCostInBytes", (64 * 1024).toString)
       .config("spark.ui.enabled", "false")
 }

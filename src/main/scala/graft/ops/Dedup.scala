@@ -51,17 +51,42 @@ object Dedup {
   def minhashBands(
       df: DataFrame, text: Column, idCol: Column,
       shingleK: Int, bands: Int, rowsPerBand: Int): DataFrame = {
-    // Fused expression: docs shorter than k tokens yield an empty array,
-    // which explode() drops — same effect as the size(toks) >= k guard.
-    val shingleRows = df
-      .select(idCol.as("doc_id"),
-        explode(graft.functions.ShingleHashes(text, shingleK, distinct = false)).as("h"))
-    val sig = shingleRows.groupBy("doc_id")
-      .agg(minhashSig(col("h"), bands * rowsPerBand).head,
-        minhashSig(col("h"), bands * rowsPerBand).tail: _*)
+    // Fully fused signature: one JVM call per document computes all
+    // bands·rowsPerBand permutation minima over the shingle hashes —
+    // no shingle explode and no (doc, shingle)-row shuffle at all. The
+    // values are identical to the explode + groupBy(min) formulation
+    // (same base hashes, same permutations), the plan is scan → project
+    // → posexplode: signature work stays map-side at any scale.
+    val nh = bands * rowsPerBand
+    val as = (0 until nh).map(minhashA).toArray
+    val bs = (0 until nh).map(minhashB).toArray
+    val k = shingleK
+    val sigUdf = udf { (s: String) =>
+      val hs = graft.functions.ShingleHashes.hashes(s, k, distinct = false)
+      if (hs.isEmpty) null
+      else {
+        val out = new Array[Long](nh)
+        var j = 0
+        while (j < nh) {
+          val a = as(j); val b = bs(j)
+          var m = Long.MaxValue
+          var i = 0
+          while (i < hs.length) {
+            val v = (hs(i) * a + b) % minhashP
+            if (v < m) m = v
+            i += 1
+          }
+          out(j) = m
+          j += 1
+        }
+        out
+      }
+    }
+    val sig = df.select(idCol.as("doc_id"), sigUdf(text).as("sig"))
+      .filter(col("sig").isNotNull)
     val bandCols = (0 until bands).map { b =>
       concat_ws("|", (0 until rowsPerBand).map(r =>
-        col(s"mh${b * rowsPerBand + r}").cast("string")): _*)
+        col("sig").getItem(b * rowsPerBand + r).cast("string")): _*)
     }
     sig.select(col("doc_id"), posexplode(array(bandCols: _*)))
       .withColumnRenamed("pos", "band_id")
@@ -117,7 +142,13 @@ object Dedup {
       .select(idCol.as("doc_id"), blockKey.as("block"),
         explode(graft.functions.ShingleHashes(text, shingleK, distinct = true)).as("h"))
       .repartition(col("block"), col("h"))
-    val sizes = side.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    // |A| per doc via the fused counter — one pass per document, no third
+    // evaluation of the explode branch and no extra shuffle
+    val szUdf = udf { (s: String) =>
+      graft.functions.ShingleHashes.hashes(s, shingleK, distinct = true).length
+    }
+    val sizes = df.select(idCol.as("doc_id"), szUdf(text).as("sz"))
+      .filter(col("sz") > 0)
     val a = side.select(col("block"), col("h"), col("doc_id").as("doc_a"))
     val b = side.select(col("block"), col("h"), col("doc_id").as("doc_b"))
     a.join(b, Seq("block", "h"))
@@ -141,15 +172,15 @@ object Dedup {
       df: DataFrame, vec: Column, idCol: Column, blockKey: Column,
       threshold: Double): DataFrame = {
     val side = df.select(idCol.as("vec_a"), blockKey.as("block"),
-      Similarity.toDouble(vec).as("va"))
-      .withColumn("na", Similarity.norm(col("va")))
+      Similarity.pack(Similarity.toDouble(vec)).as("va"))
+      .withColumn("na", Similarity.normBin(col("va")))
     val other = df.select(idCol.as("vec_b"), blockKey.as("block"),
-      Similarity.toDouble(vec).as("vb"))
-      .withColumn("nb", Similarity.norm(col("vb")))
+      Similarity.pack(Similarity.toDouble(vec)).as("vb"))
+      .withColumn("nb", Similarity.normBin(col("vb")))
     side.join(other, Seq("block"))
       .filter(col("vec_a") < col("vec_b"))
       .withColumn("cosine",
-        Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")))
+        Similarity.dotBin(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("cosine") >= threshold)
       .select("vec_a", "vec_b", "cosine")
       .orderBy("vec_a", "vec_b")
