@@ -119,6 +119,15 @@ object SparkEntry {
     "q19_forced" -> ((s, dir) =>
       evProjected(ev(s, dir).filter(
         compiler.compileWithForced("value > 100", Some("type != error"))))),
+    // Q9 + Q3 on ip-typed fields: a synthesized v4 column lets DuckDB
+    // oracle the numeric-order range (ip_sortable) and CIDR semantics.
+    "q_expr_ip_range" -> ((s, dir) =>
+      ipEv(s, dir).filter(ipCompiler.compile(
+        "ip.src > 10.100.0.0 && ip.src <= 10.200.0.0"))
+        .orderBy("event_id")),
+    "q_expr_ip_cidr" -> ((s, dir) =>
+      ipEv(s, dir).filter(ipCompiler.compile("ip.src == 10.128/10"))
+        .orderBy("event_id")),
 
     // --- E: endpoint operators (SURVEY §2.3) -----------------------------
     "e1_session_query" -> ((s, dir) => {
@@ -184,6 +193,13 @@ object SparkEntry {
     }),
     "e8_cardinality" -> ((s, dir) =>
       graft.ops.Cnt.cardinality(ev(s, dir), Seq("user_id", "event_type"))),
+    "e16_node_stats" -> ((s, dir) =>
+      Endpoints.nodeStats(
+        ev(s, dir).filter(col("user_id").isNotNull),
+        concat(lit("node"), col("user_id") % 4), col("ts"), 86400,
+        Map("n" -> count(lit(1)), "sum_value" -> dsum(col("value"))))
+        .withColumn("bucket_s", epochS(col("bucket"))).drop("bucket")
+        .orderBy("node", "bucket_s")),
     "e8_unique_autocomplete" -> ((s, dir) =>
       Endpoints.unique(ev(s, dir), col("event_type"), "event_type",
         counts = true, autocompletePrefix = Some("p"))),
@@ -284,6 +300,29 @@ object SparkEntry {
         .orderBy("sessionId")
     }),
 
+    // --- I8 (new-parser fields): Kerberos/LDAP/QUIC/SMB session metadata
+    //     (golden-tested in Krb5LdapQuicSmbSpec; rows-only here) ---------
+    "i10_protocol_fields" -> ((s, _) => {
+      val names = Seq("krb5-tcp", "ldap-simpleauth", "quic34", "smb-smbclient")
+      names.map { n =>
+        graft.etl.SessionBuilder
+          .sessionize(s, s"/root/reference/tests/pcap/$n.pcap").toDF()
+          .withColumn("pcap", lit(n))
+      }.reduce(_ unionByName _)
+        .select(col("pcap"), col("sessionId"),
+          concat_ws(",", col("protocol")).as("protocols"),
+          concat_ws(",", col("krb5Realm")).as("krb5_realm"),
+          concat_ws(",", col("krb5Cname")).as("krb5_cname"),
+          concat_ws(",", col("ldapAuthtype")).as("ldap_authtype"),
+          concat_ws(",", col("ldapBindname")).as("ldap_bindname"),
+          concat_ws(",", col("quicHost")).as("quic_host"),
+          concat_ws(",", col("quicVersion")).as("quic_version"),
+          concat_ws(",", col("smbShare")).as("smb_share"),
+          concat_ws(",", col("smbUser")).as("smb_user"),
+          concat_ws(",", col("smbFilename")).as("smb_filename"))
+        .orderBy("pcap", "sessionId")
+    }),
+
     // --- I9: enrichment via broadcast dimension joins --------------------
     "i9_enrich_join" -> ((s, dir) => {
       val li0 = li(s, dir)
@@ -296,6 +335,19 @@ object SparkEntry {
         .orderBy(col("p_brand"), col("s_nationkey"))
     })
   )
+
+  /** Events with a synthesized deterministic v4 address per row (both
+    * engines build the identical string), for ip-operator oracles.
+    */
+  private def ipEv(s: SparkSession, dir: String) =
+    ev(s, dir).filter(col("user_id").isNotNull)
+      .select(col("event_id"),
+        concat_ws(".", lit("10"), col("user_id") % 250,
+          col("event_id") % 200, lit("1")).as("srcIp"))
+
+  private def ipCompiler = new Compiler(
+    FieldRegistry(Seq(graft.model.FieldDef("ip.src", "srcIp",
+      graft.model.FieldKind.IpK))), now = now)
 
   private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
   private def emb(s: SparkSession, dir: String) = Tables.load(s, dir, "embeddings")
@@ -429,6 +481,29 @@ object SparkEntry {
       s"""SELECT $evCols FROM events
          WHERE NOT coalesce(event_type = 'error', FALSE) AND value > 100
          ORDER BY event_id""",
+    // ip range/CIDR oracles: DuckDB compares the numeric 32-bit value of
+    // the same synthesized address (10.100.0.0=174325760,
+    // 10.200.0.0=180879360; 10.128.0.0/10 = [176160768, 180355071])
+    "q_expr_ip_range" ->
+      """WITH e AS (SELECT event_id,
+           '10.' || (user_id % 250) || '.' || (event_id % 200) || '.1' AS srcIp,
+           167772160 + (user_id % 250)*65536 + (event_id % 200)*256 + 1 AS ipnum
+         FROM events WHERE user_id IS NOT NULL)
+         SELECT event_id, srcIp FROM e
+         WHERE ipnum > 174325760 AND ipnum <= 180879360 ORDER BY event_id""",
+    "q_expr_ip_cidr" ->
+      """WITH e AS (SELECT event_id,
+           '10.' || (user_id % 250) || '.' || (event_id % 200) || '.1' AS srcIp,
+           167772160 + (user_id % 250)*65536 + (event_id % 200)*256 + 1 AS ipnum
+         FROM events WHERE user_id IS NOT NULL)
+         SELECT event_id, srcIp FROM e
+         WHERE ipnum BETWEEN 176160768 AND 180355071 ORDER BY event_id""",
+    "e16_node_stats" ->
+      s"""SELECT 'node' || (user_id % 4) AS node, count(*) AS n,
+         ${sqlDsum("value")} AS sum_value,
+         CAST(floor(epoch(ts)/86400)*86400 AS BIGINT) AS bucket_s
+         FROM events WHERE user_id IS NOT NULL
+         GROUP BY node, bucket_s ORDER BY node, bucket_s""",
     "e5_spiview_multi" ->
       """WITH pairs AS (
            SELECT 'event_type' AS field, CAST(event_type AS VARCHAR) AS value
