@@ -29,8 +29,18 @@ object AppProtocols {
     * (reference parser: capture/parsers/socks.c). Returns None if the
     * streams don't start with a SOCKS handshake.
     */
-  def peelSocks(src: Array[Byte], dst: Array[Byte]): Option[(Array[Byte], Array[Byte], SocksInfo)] = {
-    if (src.length >= 9 && src(0) == 4 && (src(1) == 1 || src(1) == 2)) {
+  def peelSocks(src: Array[Byte], dst: Array[Byte],
+      allowSocks4: Boolean = true): Option[(Array[Byte], Array[Byte], SocksInfo)] = {
+    // In the forward orientation the server side must answer like a
+    // SOCKS server (reply version 0 for v4, 5 for v5) — without this,
+    // protocols whose first byte happens to be 4/5 (TDS replies) would
+    // mis-peel. Reverse-socks peels (allowSocks4=false) skip the guard:
+    // the other side may carry a banner before its method choice.
+    if (allowSocks4) {
+      if (dst.nonEmpty && src.nonEmpty && src(0) == 4 && dst(0) != 0) return None
+      if (dst.nonEmpty && src.nonEmpty && src(0) == 5 && dst(0) != 5) return None
+    }
+    if (allowSocks4 && src.length >= 9 && src(0) == 4 && (src(1) == 1 || src(1) == 2)) {
       // SOCKS4: VER CMD PORT(2) IP(4) USERID\0 ; reply: 8 bytes
       val port = ((src(2) & 0xff) << 8) | (src(3) & 0xff)
       val ip = s"${src(4) & 0xff}.${src(5) & 0xff}.${src(6) & 0xff}.${src(7) & 0xff}"
@@ -51,8 +61,24 @@ object AppProtocols {
       val innerDst = if (dst.length >= 8) dst.drop(8) else Array.empty[Byte]
       Some((innerSrc, innerDst, SocksInfo(addr, port, user)))
     } else if (src.length >= 2 && src(0) == 5 && src(1) > 0 && src.length >= 2 + src(1)) {
-      // SOCKS5: VER NMETHODS METHODS… then VER CMD RSV ATYP ADDR PORT
-      val reqOff = 2 + src(1)
+      // SOCKS5: VER NMETHODS METHODS… [username auth: 01 ulen user plen pass]
+      // then VER CMD RSV ATYP ADDR PORT
+      var reqOff = 2 + src(1)
+      var user = ""
+      var dstExtra = 0
+      if (src.length > reqOff + 2 && src(reqOff) == 1 && src(reqOff + 1) > 0) {
+        val ulen = src(reqOff + 1) & 0xff
+        if (src.length >= reqOff + 2 + ulen + 1) {
+          val plen = src(reqOff + 2 + ulen) & 0xff
+          if (src.length >= reqOff + 3 + ulen + plen &&
+              src.length > reqOff + 3 + ulen + plen &&
+              src(reqOff + 3 + ulen + plen) == 5) {
+            user = new String(src, reqOff + 2, ulen, StandardCharsets.ISO_8859_1)
+            reqOff += 3 + ulen + plen
+            dstExtra = 2 // server auth status: 01 00
+          }
+        }
+      }
       if (src.length < reqOff + 4 || src(reqOff) != 5) return None
       val atyp = src(reqOff + 3) & 0xff
       val (addr, addrLen) = atyp match {
@@ -71,30 +97,41 @@ object AppProtocols {
       if (src.length < portOff + 2) return None
       val port = ((src(portOff) & 0xff) << 8) | (src(portOff + 1) & 0xff)
       val innerSrc = src.drop(portOff + 2)
-      // server: VER METHOD, then VER REP RSV ATYP BND… (assume v4 bind = 10 bytes)
+      // server: VER METHOD [auth status], then VER REP RSV ATYP BND…
+      // (assume v4 bind = 10 bytes)
       val innerDst =
-        if (dst.length >= 2 + 10 && dst(0) == 5 && dst(2) == 5) dst.drop(2 + 10)
-        else if (dst.length >= 2) dst.drop(2) else Array.empty[Byte]
-      Some((innerSrc, innerDst, SocksInfo(addr, port, "")))
+        if (dst.length >= 2 + dstExtra + 10 && dst(0) == 5 &&
+          dst(2 + dstExtra) == 5) dst.drop(2 + dstExtra + 10)
+        else if (dst.length >= 2 + dstExtra) dst.drop(2 + dstExtra)
+        else Array.empty[Byte]
+      Some((innerSrc, innerDst, SocksInfo(addr, port, user)))
     } else None
   }
 
-  private val httpMethods = Seq("GET ", "POST ", "HEAD ", "PUT ", "DELETE ",
-    "OPTIONS ", "PATCH ", "CONNECT ", "TRACE ")
+  private val httpMethods =
+    Seq("GET", "POST", "HEAD", "PUT", "DELETE", "OPTIONS", "PATCH",
+      "CONNECT", "TRACE").flatMap(m => Seq(m + " ", m + "\r", m + "\n"))
 
   /** Protocol tags from payloads/ports — returns a sorted distinct list
     * like the reference's `protocol` field.
     */
   def classify(
       ipProtocol: Int, srcPort: Int, dstPort: Int,
-      srcStream: Array[Byte], dstStream: Array[Byte]): Seq[String] = {
+      srcStream: Array[Byte], dstStream: Array[Byte],
+      srcFirst: Array[Byte] = Array.emptyByteArray,
+      dstFirst: Array[Byte] = Array.emptyByteArray): Seq[String] = {
     val tags = scala.collection.mutable.LinkedHashSet[String]()
     ipProtocol match {
-      case 6  => tags += "tcp"
-      case 17 => tags += "udp"
-      case 1  => tags += "icmp"
-      case 58 => tags += "icmp"
-      case _  =>
+      case 6   => tags += "tcp"
+      case 17  => tags += "udp"
+      case 1   => tags += "icmp"
+      case 58  => tags += "icmp"
+      case 2   => tags += "igmp"
+      case 50  => tags += "esp"
+      case 89  => tags += "ospf"
+      case 103 => tags += "pim"
+      case 132 => tags += "sctp"
+      case _   =>
     }
     def startsWithAny(b: Array[Byte], prefixes: Seq[String]): Boolean =
       prefixes.exists(p => b.length >= p.length &&
@@ -102,13 +139,29 @@ object AppProtocols {
     val streams = Seq(srcStream, dstStream)
     if (streams.exists(s => startsWithAny(s, httpMethods) ||
         startsWithAny(s, Seq("HTTP/")))) tags += "http"
-    // SOCKS4: ver=4 cmd=1/2; SOCKS5: ver=5 nmethods>0 (parsers/socks.c)
-    streams.headOption.foreach { s =>
-      if (s.length >= 2 && s(0) == 4 && (s(1) == 1 || s(1) == 2)) tags += "socks"
-      if (s.length >= 2 && s(0) == 5 && s(1) > 0 && s.length >= 2 + s(1)) tags += "socks"
+    // SOCKS: tag when the handshake PROGRESSES past method negotiation
+    // (full peel, or a username-auth/request message follows) — a bare
+    // aborted method offer stays plain tcp, like the reference's
+    // state-machine tagging (parsers/socks.c)
+    if (ipProtocol == 6) {
+      def progressed(cli: Array[Byte]): Boolean =
+        cli.length >= 2 && cli(0) == 5 && cli(1) > 0 && {
+          val n = 2 + cli(1)
+          cli.length > n && (cli(n) == 1 || cli(n) == 5)
+        }
+      if (peelSocks(srcStream, dstStream).isDefined ||
+        peelSocks(dstStream, srcStream, allowSocks4 = false).isDefined ||
+        (progressed(srcStream) && (dstStream.isEmpty || dstStream(0) == 5)))
+        tags += "socks"
     }
-    if (ipProtocol == 17 && (srcPort == 53 || dstPort == 53)) tags += "dns"
-    if (ipProtocol == 6 && (srcPort == 53 || dstPort == 53)) tags += "dns"
+    if ((ipProtocol == 17 || ipProtocol == 6) &&
+      (srcPort == 53 || dstPort == 53)) tags += "dns"
+    // port-based DNS variants; suppressed when port 53 is one endpoint
+    // (parsers/dns.c:509,688-690)
+    if (ipProtocol == 17 && srcPort != 53 && dstPort != 53) {
+      if (srcPort == 5353 || dstPort == 5353) tags += "mdns"
+      if (srcPort == 5355 || dstPort == 5355) tags += "llmnr"
+    }
     if (ipProtocol == 17 && Seq(srcPort, dstPort).exists(p => p == 67 || p == 68))
       tags += "dhcp"
     if (streams.exists(s => startsWithAny(s, Seq("SSH-")))) tags += "ssh"
@@ -124,7 +177,129 @@ object AppProtocols {
     // (parsers/ldap.c:147-178; TCP and UDP — CLDAP)
     if ((ipProtocol == 6 || ipProtocol == 17) &&
       streams.exists(LdapParser.isLdap)) tags += "ldap"
+
+    // --- misc first-bytes classifiers (parsers/misc.c:380-450) ---------
+    def win(b: Array[Byte], n: Int = 512): String =
+      new String(b, 0, math.min(n, b.length), StandardCharsets.ISO_8859_1)
+    val firsts = Seq(
+      if (srcFirst.nonEmpty) srcFirst else srcStream,
+      if (dstFirst.nonEmpty) dstFirst else dstStream)
+    def u(b: Array[Byte], i: Int): Int = b(i) & 0xff
+    if (ipProtocol == 6) {
+      if (streams.exists(st => (st.length >= 20 && u(st, 0) == 0x13 &&
+        win(st, 20).substring(1) == "BitTorrent protocol") ||
+        (st.length >= 6 && win(st, 5) == "BSYNC" && st(5) == 0)))
+        tags += "bittorrent"
+      if (streams.exists(MiscParsers.isRdp)) tags += "rdp"
+      if (streams.exists(st => startsWithAny(st, Seq("* OK ")) &&
+        win(st).contains("IMAP"))) tags += "imap"
+      if (streams.exists(st => startsWithAny(st, Seq("+OK ")))) tags += "pop3"
+      streams.filter(st => startsWithAny(st, Seq("220 "))).take(1).foreach { st =>
+        val w = win(st)
+        if (w.contains("LMTP")) tags += "lmtp"
+        else if (!w.contains("SMTP") && !w.contains(" TLS")) tags += "ftp"
+      }
+      if (streams.exists(st => startsWithAny(st, Seq("RFB 0")) &&
+        st.length >= 12 && st(7) == '.' && u(st, 11) == 0x0a)) tags += "vnc"
+      if (streams.exists(st => startsWithAny(st, Seq("<?xml")) &&
+        win(st).contains("jabber"))) tags += "jabber"
+      if (streams.exists(st => startsWithAny(st, Seq("+PONG", "-NOAUTH ")) ||
+        (st.length >= 5 && st(0) == '*' && st(1) >= '1' && st(1) <= '5' &&
+          st(2) == '\r' && st(3) == '\n' && st(4) == '$'))) tags += "redis"
+      if (streams.exists(st => st.length > 16 &&
+        ((st(8) == 0 && st(9) == 0 && st(10) == 0 && st(11) == 0) ||
+          (st(8) == -1 && st(9) == -1 && st(10) == -1 && st(11) == -1)) &&
+        u(st, 12) == 0xd4 && st(13) == 7 && st(14) == 0 && st(15) == 0))
+        tags += "mongo"
+      // aerospike: 02 01 00x5 (4e|23) 'node' (misc.c:420-421)
+      if (streams.exists(st => st.length >= 12 && st(0) == 2 && st(1) == 1 &&
+        st(2) == 0 && st(3) == 0 && st(4) == 0 && st(5) == 0 && st(6) == 0 &&
+        (u(st, 7) == 0x4e || u(st, 7) == 0x23) &&
+        win(st, 12).substring(8) == "node")) tags += "aerospike"
+      // thrift: 80 01 00 01 00 00 00 prefix, or framed 00 00 len + 80 01 00
+      if (streams.exists(st => (st.length >= 7 && u(st, 0) == 0x80 &&
+        st(1) == 1 && st(2) == 0 && st(3) == 1 && st(4) == 0 && st(5) == 0 &&
+        st(6) == 0) ||
+        (st.length > 20 && st(0) == 0 && st(1) == 0 && u(st, 4) == 0x80 &&
+          st(5) == 1 && st(6) == 0))) tags += "thrift"
+      // cassandra: framed thrift set_/desc calls (misc.c:423-424)
+      if (streams.exists(st => st.length >= 16 && st(0) == 0 && st(1) == 0 &&
+        st(2) == 0 && (u(st, 3) == 0x25 || u(st, 3) == 0x1d) &&
+        u(st, 4) == 0x80 && st(5) == 1 && st(6) == 0 && st(7) == 1 &&
+        (win(st, 16).substring(12) == "set_" ||
+          win(st, 16).substring(12) == "desc"))) tags += "cassandra"
+      if (dstPort == 23 && streams.exists(st => st.length >= 3 &&
+        u(st, 0) == 0xff && u(st, 1) >= 0xfa)) tags += "telnet"
+      if (firsts.exists(f => f.length >= 10 && f(4) == 0 && u(f, 5) <= 6 &&
+        f(7) == 0 && f.length == 4 + ((u(f, 2) << 8) | u(f, 3))))
+        tags += "kafka"
+      if (MiscParsers.isTds(srcStream)) tags += "tds"
+      if (MiscParsers.isOracle(if (srcFirst.nonEmpty) srcFirst else srcStream))
+        tags += "oracle"
+      if (startsWithAny(srcStream, Seq("PRI * HTTP/2.0"))) tags += "http2"
+    }
+    if (ipProtocol == 17) {
+      if (streams.exists(st => startsWithAny(st, Seq("d1:a", "d1:r", "d1:q"))))
+        tags += "bittorrent"
+      if ((srcPort == 123 || dstPort == 123) && firsts.exists(f =>
+        f.length >= 48 && u(f, 1) <= 16 &&
+          Seq(0x13, 0x19, 0x1a, 0x1b, 0x1c, 0x21, 0x23, 0x24, 0xd9, 0xdb, 0xe3)
+            .contains(u(f, 0)))) tags += "ntp"
+      if (firsts.exists(isSnmp)) tags += "snmp"
+      if (Seq(srcPort, dstPort).exists(pt => (pt >= 1812 && pt <= 1813) ||
+        (pt >= 1645 && pt <= 1646)) && firsts.exists(f =>
+        f.length >= 4 && f(0) >= 1 && f(0) <= 5 &&
+          f.length == ((u(f, 2) << 8) | u(f, 3)))) tags += "radius"
+      if (firsts.exists(isStun)) tags += "stun"
+      // DTLS hello: 16 01 00 / 16 fe ff|fe|fd, len>=100, handshake
+      // type 1 at offset 13 (parsers/dtls.c:314-327)
+      if (firsts.exists(f => f.length >= 100 && u(f, 0) == 0x16 &&
+        ((u(f, 1) == 0x01 && u(f, 2) == 0x00) ||
+          (u(f, 1) == 0xfe && Seq(0xff, 0xfe, 0xfd).contains(u(f, 2)))) &&
+        u(f, 13) == 1)) tags += "dtls"
+    }
+    if (ipProtocol == 6 || ipProtocol == 17) {
+      if (streams.exists(st => startsWithAny(st,
+        Seq("SIP/2.0", "REGISTER sip:", "NOTIFY sip:")))) tags += "sip"
+      if (firsts.exists(isSyslog)) tags += "syslog"
+      if (streams.exists(st => st.length > 11 && startsWithAny(st, Seq("RSP/")) &&
+        win(st).indexOf("STUN", 7) >= 0)) tags += "stun"
+    }
     tags.toSeq.sorted
+  }
+
+  /** SNMP: BER SEQ { INTEGER version <= 3 ... } (misc.c snmp_classify). */
+  private def isSnmp(f: Array[Byte]): Boolean =
+    Asn1.getTlv(f, 0, f.length) match {
+      case Some((outer, _)) if outer.pc && outer.tag == 16 && outer.len >= 16 =>
+        Asn1.getTlv(outer.buf, outer.off, outer.off + outer.len) match {
+          case Some((v, _)) => !v.pc && v.tag == 2 && v.len == 1 && v.lastByte <= 3
+          case None => false
+        }
+      case _ => false
+    }
+
+  /** Classic/RFC5389 STUN binding checks (misc.c stun_classify). */
+  private def isStun(f: Array[Byte]): Boolean = {
+    val sig = f.length >= 3 &&
+      ((f(0) == 0 && (f(1) == 1 || f(1) == 3) && f(2) == 0) ||
+        (f(0) == 1 && f(1) == 1 && f(2) == 0))
+    if (!sig || f.length < 20 || 20 + (f(3) & 0xff) != f.length) false
+    else if ((f(4) & 0xff) == 0x21 && (f(5) & 0xff) == 0x12 &&
+      (f(6) & 0xff) == 0xa4 && (f(7) & 0xff) == 0x42) true
+    else f(1) == 1 && f.length > 25 && (f(23) & 0xff) + 24 == f.length
+  }
+
+  /** syslog: `<N...>` priority prefix, digits only (misc.c syslog_classify). */
+  private def isSyslog(f: Array[Byte]): Boolean = {
+    if (f.length < 3 || f(0) != '<' || f(1) < '1' || f(1) > '9') return false
+    var i = 2
+    while (i < f.length) {
+      if (f(i) == '>') return true
+      if (f(i) < '0' || f(i) > '9') return false
+      i += 1
+    }
+    false
   }
 
   /** Parse HTTP requests from the client stream and statuses from the

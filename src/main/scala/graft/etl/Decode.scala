@@ -38,6 +38,8 @@ object Decode {
       // non-5-tuple session key (ARP sessions key on the looked-up IP,
       // reference parsers/arp.c:27-39); null for normal flows
       keyOverride: String = null,
+      icmpType: Int = -1,
+      icmpCode: Int = -1,
       // offline clock: ts of the preceding packet in the file
       prevTsMicros: Long = 0L)
 
@@ -189,9 +191,11 @@ object Decode {
       }
       if (bos && mOff < b.length) {
         val v = (b(mOff) & 0xf0) >> 4
-        return if (v == 4) decodeIp4(p, b, mOff, mSrc, mDst)
-        else if (v == 6) decodeIp6(p, b, mOff, mSrc, mDst)
-        else None
+        val inner =
+          if (v == 4) decodeIp4(p, b, mOff, mSrc, mDst)
+          else if (v == 6) decodeIp6(p, b, mOff, mSrc, mDst)
+          else None
+        return inner.map(d => d.copy(tunnels = "mpls" +: d.tunnels))
       }
       return None
     }
@@ -199,11 +203,11 @@ object Decode {
     if (etherType == 0x8864 && off + 8 <= b.length) {
       val ppp = ((b(off + 6) & 0xff) << 8) | (b(off + 7) & 0xff)
       val inner = off + 8
-      return ppp match {
+      return (ppp match {
         case 0x0021 => decodeIp4(p, b, inner, mSrc, mDst)
         case 0x0057 => decodeIp6(p, b, inner, mSrc, mDst)
         case _      => None
-      }
+      }).map(d => d.copy(tunnels = "pppoe" +: d.tunnels))
     }
     val decoded = etherType match {
       case 0x0800 => decodeIp4(p, b, off, mSrc, mDst)
@@ -427,8 +431,10 @@ object Decode {
         Some(base0.copy(srcPort = srcPort, dstPort = dstPort, payload = payload))
       case 1 | 58 if l4Off + 4 <= l4End =>
         // ICMP / ICMPv6: no ports in the session key (the reference zeroes
-        // them — echo request and reply share one session)
+        // them — echo request and reply share one session); type/code
+        // surface as icmp.type / icmp.code session fields (parsers/icmp.c)
         Some(base0.copy(srcPort = 0, dstPort = 0,
+          icmpType = b(l4Off) & 0xff, icmpCode = b(l4Off + 1) & 0xff,
           payload = java.util.Arrays.copyOfRange(b, l4Off + 4, l4End)))
       case 132 if l4Off + 12 <= l4End => // SCTP: common header ports
         val srcPort = ((b(l4Off) & 0xff) << 8) | (b(l4Off + 1) & 0xff)

@@ -10,9 +10,13 @@ object MiscParsers {
   final case class IrcInfo(nick: Seq[String], channel: Seq[String])
 
   def isIrc(src: Array[Byte]): Boolean = {
+    // the reference keys IRC on a NICK command (parsers/irc.c classify) —
+    // a bare `USER ` line is the generic user classifier, e.g. ftp
     val head = new String(src.take(512), StandardCharsets.ISO_8859_1)
-    head.split("\r?\n").exists(l =>
-      l.startsWith("NICK ") || l.startsWith("USER ") || l.startsWith("CAP "))
+    val lines = head.split("\r?\n")
+    lines.exists(l => l.startsWith("NICK ")) ||
+      (lines.exists(l => l.startsWith("CAP ")) &&
+        lines.exists(l => l.startsWith("USER ")))
   }
 
   def parseIrc(src: Array[Byte]): Option[IrcInfo] = {
@@ -95,4 +99,101 @@ object MiscParsers {
       (dstStream(4) & 0xff) == 0x0a &&
       (((dstStream(0) & 0xff) | ((dstStream(1) & 0xff) << 8) |
         ((dstStream(2) & 0xff) << 16)) < 1000)
+
+  /** BGP message types from marker-framed messages in both streams
+    * (reference parsers/bgp.c: 16x 0xff marker, u16 length, type byte).
+    */
+  def parseBgpTypes(streams: Seq[Array[Byte]]): Seq[String] = {
+    val names = Map(1 -> "OPEN", 2 -> "UPDATE", 3 -> "NOTIFICATION",
+      4 -> "KEEPALIVE")
+    val out = Seq.newBuilder[String]
+    streams.foreach { st =>
+      var p = 0
+      var ok = true
+      while (ok && p + 19 <= st.length) {
+        var i = 0
+        while (i < 16 && st(p + i) == -1) i += 1
+        if (i < 16) ok = false
+        else {
+          val len = ((st(p + 16) & 0xff) << 8) | (st(p + 17) & 0xff)
+          names.get(st(p + 18) & 0xff).foreach(out += _)
+          if (len < 19) ok = false else p += len
+        }
+      }
+    }
+    out.result().distinct
+  }
+
+  /** `USER xxx` command (ftp/pop3) at stream start → lowercased user
+    * (reference parsers/misc.c user_classify, with its IRC guards).
+    */
+  def parseUserCommand(stream: Array[Byte]): Option[String] = {
+    if (stream.length <= 5 ||
+      new String(stream.take(5), StandardCharsets.ISO_8859_1) != "USER ")
+      return None
+    val window = new String(stream.take(512), StandardCharsets.ISO_8859_1)
+    if (window.contains("\nNICK ") || window.contains(" +iw ")) return None
+    var i = 5
+    while (i < stream.length && !Character.isWhitespace(stream(i).toChar)) i += 1
+    if (i == 5) None
+    else Some(new String(stream, 5, i - 5, StandardCharsets.ISO_8859_1).toLowerCase)
+  }
+
+  /** RDP negotiation: TPKT 03 00 + X.224 CR (0xe0); mstshash cookie →
+    * user (reference misc.c rdp_classify).
+    */
+  def isRdp(stream: Array[Byte]): Boolean =
+    stream.length > 5 && stream(0) == 3 && stream(1) == 0 &&
+      (stream(3) & 0xff) <= stream.length && (stream(4) & 0xff) == (stream(3) & 0xff) - 5 &&
+      (stream(5) & 0xff) == 0xe0
+
+  def parseRdpUser(stream: Array[Byte]): Option[String] = {
+    if (!isRdp(stream) || stream.length <= 30) return None
+    val s = new String(stream.take(512), StandardCharsets.ISO_8859_1)
+    if (!s.startsWith("Cookie: mstshash=", 11)) return None
+    val end = s.indexOf("\r\n", 28)
+    if (end < 0) None else Some(s.substring(28, end).toLowerCase)
+  }
+
+  final case class OracleInfo(user: String, host: String, service: String)
+
+  /** Oracle TNS connect: header length fields frame a connect string with
+    * (HOST=..)(USER=..)(SERVICE_NAME=..) items, lowercased (reference
+    * parsers/oracle.c; first client data packet only).
+    */
+  def parseOracle(first: Array[Byte]): Option[OracleInfo] = {
+    val len = first.length
+    if (len <= 27 || len != (((first(0) & 0xff) << 8) | (first(1) & 0xff)) ||
+      (first(25) & 0xff) + (first(27) & 0xff) != len) return None
+    val start = first(27) & 0xff
+    val window = new String(first, start, math.min(first(25) & 0xff, len - start),
+      StandardCharsets.ISO_8859_1)
+    def item(needle: String): String = {
+      val i = window.indexOf(needle)
+      if (i < 0) return null
+      val j = window.indexOf(')', i)
+      if (j < 0 || j == i + needle.length) return null
+      window.substring(i + needle.length, j).toLowerCase
+    }
+    Some(OracleInfo(item("USER="), item("HOST="), item("SERVICE_NAME=")))
+  }
+
+  def isOracle(first: Array[Byte]): Boolean =
+    first.length >= 8 && first(2) == 0 && first(3) == 0 && first(4) == 1 &&
+      first(5) == 0 && first(6) == 0 && first(7) == 0 && parseOracle(first).isDefined
+
+  /** Sybase/MSSQL TDS 5 login: user at offset 39, length byte at 69
+    * (reference parsers/tds.c; client stream only, lowercased).
+    */
+  def isTds(stream: Array[Byte]): Boolean =
+    stream.length >= 512 &&
+      stream.take(8).sameElements(Array[Byte](2, 0, 2, 0, 0, 0, 1, 0))
+
+  def parseTdsUser(stream: Array[Byte]): Option[String] = {
+    if (!isTds(stream) || stream.length <= 598) return None
+    val ulen = stream(69) & 0xff
+    if (39 + ulen > stream.length) return None
+    Some(new String(stream, 39, ulen, StandardCharsets.ISO_8859_1)
+      .takeWhile(_ != 0).toLowerCase)
+  }
 }

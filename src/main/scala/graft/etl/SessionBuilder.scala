@@ -110,7 +110,11 @@ object SessionBuilder {
       quicHost: Seq[String], quicUseragent: Seq[String], quicVersion: Seq[String],
       smbDomain: Seq[String], smbUser: Seq[String], smbHost: Seq[String],
       smbOs: Seq[String], smbVersion: Seq[String], smbShare: Seq[String],
-      smbFilename: Seq[String])
+      smbFilename: Seq[String],
+      icmpType: Seq[Int], icmpCode: Seq[Int],
+      bgpType: Seq[String],
+      user: Seq[String],
+      oracleUser: String, oracleHost: String, oracleService: String)
 
   /** Reassemble one direction's TCP payload stream: order by sequence
     * number (handling 32-bit wrap relative to the first seq), drop
@@ -240,15 +244,25 @@ object SessionBuilder {
     }
     segments += java.util.Arrays.copyOfRange(sorted, start, sorted.length)
     val segs = segments.result()
+    // bgp classification (SYN seen, then marker data) persists across
+    // mid-save segments: the reference keeps the parser on the session
+    // Protocol tags accumulate across a session's segments (the
+    // reference's protocols field survives mid-saves: long-session's
+    // RST-only segment still carries http); value fields reset per
+    // segment (bgp.type re-populates from each segment's messages).
+    var protoAcc = Set.empty[String]
     segs.zipWithIndex.iterator.map { case (seg, idx) =>
-      buildOne(key, seg, node, segs.length, idx)
+      val row = buildOne(key, seg, node, segs.length, idx, bgpSession = bgpActive)
+      protoAcc ++= row.protocol
+      row.copy(protocol = protoAcc.toSeq.sorted)
     }
   }
 
   import Decode.{TH_ACK, TH_FIN, TH_PSH, TH_RST, TH_SYN, TH_URG}
 
   private def buildOne(key: String, seg: Array[DecodedPacket], node: String,
-      segmentCnt: Int, segmentSeq: Int): SessionRow = {
+      segmentCnt: Int, segmentSeq: Int,
+      bgpSession: Boolean = false): SessionRow = {
     val first = seg.head
     // direction 0 == first packet's source endpoint
     def dirOf(p: DecodedPacket): Int =
@@ -292,21 +306,35 @@ object SessionBuilder {
 
     // SOCKS tunnels carry an inner protocol: peel the handshake and
     // classify/parse the tunneled streams too (parsers/socks.c behavior).
-    val peeled = AppProtocols.peelSocks(srcStream, dstStream)
-    val (effSrc, effDst) = peeled match {
-      case Some((is, id, _)) => (is, id)
-      case None              => (srcStream, dstStream)
+    // A reverse-direction handshake (server-side capture) peels the same
+    // way with the roles swapped.
+    val peeledFwd =
+      if (first.ipProtocol == 6) AppProtocols.peelSocks(srcStream, dstStream)
+      else None
+    val peeledRev =
+      if (first.ipProtocol == 6 && peeledFwd.isEmpty)
+        AppProtocols.peelSocks(dstStream, srcStream, allowSocks4 = false)
+      else None
+    val peeled = peeledFwd.orElse(peeledRev)
+    val (effSrc, effDst) = (peeledFwd, peeledRev) match {
+      case (Some((is, id, _)), _) => (is, id)
+      case (_, Some((ic, isv, _))) => (isv, ic) // client side was dst
+      case _ => (srcStream, dstStream)
     }
+    val srcPayloads = src.filter(_.payload.nonEmpty).map(_.payload).toIndexedSeq
+    val dstPayloads = dst.filter(_.payload.nonEmpty).map(_.payload).toIndexedSeq
     // ARP-keyed sessions take only their handler tag (+tunnels): the
     // reference's arp mProtocol adds no tcp/udp protocol (parsers/arp.c)
     val outerTags =
       if (first.keyOverride != null) Nil
       else AppProtocols.classify(first.ipProtocol,
-        first.srcPort, first.dstPort, srcStream, dstStream) ++
+        first.srcPort, first.dstPort, srcStream, dstStream,
+        srcPayloads.headOption.getOrElse(Array.emptyByteArray),
+        dstPayloads.headOption.getOrElse(Array.emptyByteArray)) ++
         (if (first.ipProtocol == 6 && first.dstPort == 179 &&
-          (syn > 0 || synAck > 0) &&
-          Seq(srcStream, dstStream).exists(st =>
-            st.length >= 16 && st.take(16).forall(_ == -1))) Seq("bgp")
+          (bgpSession || ((syn > 0 || synAck > 0) &&
+            Seq(srcStream, dstStream).exists(st =>
+              st.length >= 16 && st.take(16).forall(_ == -1))))) Seq("bgp")
         else Nil)
     val innerTags =
       if (peeled.isDefined)
@@ -315,9 +343,6 @@ object SessionBuilder {
       else Nil
     val tunnelTags = seg.iterator.flatMap(_.tunnels).toSeq.distinct
     val baseTags = (outerTags ++ innerTags ++ tunnelTags).distinct
-
-    val srcPayloads = src.filter(_.payload.nonEmpty).map(_.payload).toIndexedSeq
-    val dstPayloads = dst.filter(_.payload.nonEmpty).map(_.payload).toIndexedSeq
     // QUIC (UDP): per-packet public headers; tags quic on a readable CHLO
     // frame, a PRST, or Q05x traffic in both directions (parsers/quic.c)
     val quic =
@@ -349,15 +374,61 @@ object SessionBuilder {
             .getOrElse(Array.emptyByteArray))
       else Nil
     val smb = if (baseTags.contains("smb")) SmbParser.parse(effSrc, effDst) else None
+    // FBZero: QUIC CHLO over TCP (parsers/quic.c:283-313)
+    val fbzero =
+      if (first.ipProtocol == 6) QuicParser.parseFbzero(effSrc) else None
+    val oracleInfo =
+      if (baseTags.contains("oracle"))
+        MiscParsers.parseOracle(srcPayloads.headOption.getOrElse(Array.emptyByteArray))
+      else None
+    val bgpTypes =
+      if (baseTags.contains("bgp")) MiscParsers.parseBgpTypes(Seq(effSrc, effDst))
+      else Nil
+    // In-stream upgrades re-classify the remainder, like the reference's
+    // parsers handing post-handshake bytes back to the classify stage:
+    // HTTP CONNECT tunnels, SMTP STARTTLS, MySQL SSL login.
+    val upgradeTags: Seq[String] = {
+      val out = Seq.newBuilder[String]
+      def tlsStart(b: Array[Byte]): Boolean =
+        b.length >= 3 && (b(0) & 0xff) == 0x16 && (b(1) & 0xff) == 0x03
+      def afterHeaders(st: Array[Byte]): Array[Byte] = {
+        val s = new String(st, java.nio.charset.StandardCharsets.ISO_8859_1)
+        val i = s.indexOf("\r\n\r\n")
+        if (i < 0) Array.emptyByteArray else st.drop(i + 4)
+      }
+      if (baseTags.contains("http")) {
+        val text = new String(effSrc.take(16),
+          java.nio.charset.StandardCharsets.ISO_8859_1)
+        if (text.startsWith("CONNECT ") &&
+          (tlsStart(afterHeaders(effSrc)) || tlsStart(afterHeaders(effDst))))
+          out += "tls"
+      }
+      if (baseTags.contains("smtp")) {
+        val text = new String(effSrc,
+          java.nio.charset.StandardCharsets.ISO_8859_1)
+        val i = text.indexOf("STARTTLS")
+        if (i >= 0) {
+          val nl = text.indexOf('\n', i)
+          if (nl > 0 && tlsStart(effSrc.drop(nl + 1))) out += "tls"
+        }
+      }
+      if (baseTags.contains("mysql") && effSrc.length > 4) {
+        val plen = (effSrc(0) & 0xff) | ((effSrc(1) & 0xff) << 8) |
+          ((effSrc(2) & 0xff) << 16)
+        if (tlsStart(effSrc.drop(4 + plen))) out += "tls"
+      }
+      out.result()
+    }
 
-    val protocols = (baseTags ++ ldapPeelTags ++
-      (if (quic.isDefined) Seq("quic") else Nil) ++
-      (if (krb5.isDefined) Seq("krb5") else Nil)).distinct.sorted
+    val preRuleProtocols = (baseTags ++ ldapPeelTags ++ upgradeTags ++
+      (if (quic.isDefined || fbzero.isDefined) Seq("quic") else Nil) ++
+      (if (fbzero.isDefined) Seq("fbzero") else Nil) ++
+      (if (krb5.isDefined) Seq("krb5") else Nil)).distinct
     val http =
-      if (protocols.contains("http")) AppProtocols.parseHttp(effSrc, effDst)
+      if (preRuleProtocols.contains("http")) AppProtocols.parseHttp(effSrc, effDst)
       else None
     val dns =
-      if (protocols.contains("dns")) {
+      if (preRuleProtocols.contains("dns")) {
         val messages = (src ++ dst).filter(_.payload.nonEmpty).map(_.payload)
         val infos = messages.flatMap(AppProtocols.parseDnsMessage)
         if (infos.isEmpty) None
@@ -367,26 +438,51 @@ object SessionBuilder {
           infos.flatMap(_.rcode).distinct.toIndexedSeq))
       } else None
     val tls =
-      if (protocols.contains("tls")) TlsParser.parse(effSrc, effDst)
+      if (preRuleProtocols.contains("tls")) TlsParser.parse(effSrc, effDst)
       else None
     val ssh =
-      if (protocols.contains("ssh")) SshParser.parse(effSrc, effDst)
+      if (preRuleProtocols.contains("ssh")) SshParser.parse(effSrc, effDst)
       else None
     val dhcp =
-      if (protocols.contains("dhcp"))
+      if (preRuleProtocols.contains("dhcp"))
         DhcpParser.parse(seg.filter(_.payload.nonEmpty).map(_.payload).toIndexedSeq)
       else None
     val smtp =
-      if (protocols.contains("smtp")) SmtpParser.parse(effSrc)
+      if (preRuleProtocols.contains("smtp")) SmtpParser.parse(effSrc)
       else None
     val irc =
-      if (protocols.contains("irc")) MiscParsers.parseIrc(effSrc) else None
+      if (preRuleProtocols.contains("irc")) MiscParsers.parseIrc(effSrc) else None
     val pg =
-      if (protocols.contains("postgresql")) MiscParsers.parsePostgres(effSrc)
+      if (preRuleProtocols.contains("postgresql")) MiscParsers.parsePostgres(effSrc)
       else None
     val mysql =
-      if (protocols.contains("mysql")) MiscParsers.parseMysql(effSrc, effDst)
+      if (preRuleProtocols.contains("mysql")) MiscParsers.parseMysql(effSrc, effDst)
       else None
+
+    // Final protocol list: the reference's test rules (tests/rules.yaml)
+    // add tag-protocols on field match; SNI lands in http.host first
+    val hostsForRules =
+      http.map(_.host).getOrElse(Nil) ++ tls.map(_.sni).getOrElse(Nil)
+    // negotiated h2 over TLS is the http2 protocol (tls-alpn-h2 golden)
+    val alpnTags =
+      if (tls.exists(_.alpn.contains("h2"))) Seq("http2") else Nil
+    val protocols = (preRuleProtocols ++ alpnTags ++ SessionRules.protocolTags(
+      first.srcIp, first.dstPort, peeled.map(_._3.ip).orNull,
+      hostsForRules, preRuleProtocols)).distinct.sorted
+
+    // shared `user` field: USER commands (ftp/pop3), SOCKS auth, RDP
+    // cookie, SMTP AUTH, TDS login, Oracle connect (reference field db
+    // name `user`, category user)
+    def users = (
+      Seq(effSrc, effDst).flatMap(MiscParsers.parseUserCommand) ++
+        peeled.map(_._3.user).filter(_.nonEmpty).toSeq ++
+        (if (baseTags.contains("rdp"))
+          Seq(effSrc, effDst).flatMap(MiscParsers.parseRdpUser) else Nil) ++
+        smtp.map(_.user).getOrElse(Nil) ++
+        (if (baseTags.contains("tds")) MiscParsers.parseTdsUser(effSrc).toSeq
+        else Nil) ++
+        oracleInfo.map(_.user).filter(u => u != null && u.nonEmpty).toSeq
+      ).distinct.sorted
 
     val firstMs = first.tsMicros / 1000
     val lastMs = seg.last.tsMicros / 1000
@@ -428,7 +524,8 @@ object SessionBuilder {
       socksPort = peeled.map(_._3.port).getOrElse(-1),
       httpMethod = http.map(_.method).getOrElse(Nil),
       httpUri = http.map(_.uri).getOrElse(Nil),
-      httpHost = http.map(_.host).getOrElse(Nil),
+      httpHost = (http.map(_.host).getOrElse(Nil) ++
+        tls.map(_.sni).getOrElse(Nil)).distinct,
       httpStatuscode = http.map(_.statuscode).getOrElse(Nil),
       httpUseragent = http.map(_.useragent).getOrElse(Nil),
       dnsQname = dns.map(_.qname).getOrElse(Nil),
@@ -472,16 +569,28 @@ object SessionBuilder {
         ldapDst.map(_.authtype).getOrElse(Nil)).distinct,
       ldapBindname = (ldapSrc.map(_.bindname).getOrElse(Nil) ++
         ldapDst.map(_.bindname).getOrElse(Nil)).distinct,
-      quicHost = quic.map(_.host).getOrElse(Nil),
-      quicUseragent = quic.map(_.useragent).getOrElse(Nil),
-      quicVersion = quic.map(_.version).getOrElse(Nil),
+      quicHost = (quic.map(_.host).getOrElse(Nil) ++
+        fbzero.map(_.host).getOrElse(Nil)).distinct,
+      quicUseragent = (quic.map(_.useragent).getOrElse(Nil) ++
+        fbzero.map(_.useragent).getOrElse(Nil)).distinct,
+      quicVersion = (quic.map(_.version).getOrElse(Nil) ++
+        fbzero.map(_.version).getOrElse(Nil)).distinct,
       smbDomain = smb.map(_.domain).getOrElse(Nil),
       smbUser = smb.map(_.user).getOrElse(Nil),
       smbHost = smb.map(_.host).getOrElse(Nil),
       smbOs = smb.map(_.os).getOrElse(Nil),
       smbVersion = smb.map(_.version).getOrElse(Nil),
       smbShare = smb.map(_.share).getOrElse(Nil),
-      smbFilename = smb.map(_.filename).getOrElse(Nil))
+      smbFilename = smb.map(_.filename).getOrElse(Nil),
+      icmpType = seg.iterator.filter(_.icmpType >= 0).map(_.icmpType)
+        .toSeq.distinct.sorted,
+      icmpCode = seg.iterator.filter(_.icmpCode >= 0).map(_.icmpCode)
+        .toSeq.distinct.sorted,
+      bgpType = bgpTypes.sorted,
+      user = users,
+      oracleUser = oracleInfo.map(_.user).orNull,
+      oracleHost = oracleInfo.map(_.host).orNull,
+      oracleService = oracleInfo.map(_.service).orNull)
   }
 
   /** Batch pipeline: pcap path → session rows. */

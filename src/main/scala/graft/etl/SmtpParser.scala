@@ -16,7 +16,8 @@ object SmtpParser {
       subject: Seq[String],
       contentType: Seq[String],
       mimeVersion: Seq[String],
-      headers: Seq[String])
+      headers: Seq[String],
+      user: Seq[String] = Nil)
 
   private val addrRe = "<([^>]+)>".r
 
@@ -25,10 +26,11 @@ object SmtpParser {
       .orElse(line.split(":", 2).lift(1).map(_.trim).filter(_.contains("@")))
 
   def isSmtp(srcStream: Array[Byte], dstStream: Array[Byte]): Boolean = {
+    // the reference classifies on the HELO/EHLO command alone (parsers/
+    // smtp.c classify) — one-sided captures still tag smtp
     def head(b: Array[Byte]) =
       new String(b.take(64), StandardCharsets.ISO_8859_1).toUpperCase
-    head(dstStream).startsWith("220") &&
-      (head(srcStream).startsWith("HELO") || head(srcStream).startsWith("EHLO"))
+    head(srcStream).startsWith("HELO") || head(srcStream).startsWith("EHLO")
   }
 
   def parse(srcStream: Array[Byte]): Option[SmtpInfo] = {
@@ -38,6 +40,16 @@ object SmtpParser {
     val src = Seq.newBuilder[String]
     val dst = Seq.newBuilder[String]
     var inData = false
+    var authState = 0 // 1 = next client line is the AUTH LOGIN username
+    val user = Seq.newBuilder[String]
+    def b64user(v: String, plain: Boolean): Unit =
+      try {
+        val d = new String(java.util.Base64.getDecoder.decode(v.trim),
+          StandardCharsets.ISO_8859_1)
+        val u = if (plain) d.split(Character.MIN_VALUE).filter(_.nonEmpty).headOption
+          else Some(d)
+        u.filter(_.nonEmpty).foreach(x => user += x.toLowerCase)
+      } catch { case _: IllegalArgumentException => }
     val headerNames = Seq.newBuilder[String]
     val subject = Seq.newBuilder[String]
     val contentType = Seq.newBuilder[String]
@@ -46,7 +58,16 @@ object SmtpParser {
     lines.foreach { line =>
       val u = line.toUpperCase
       if (!inData) {
-        if (u.startsWith("HELO ") || u.startsWith("EHLO "))
+        if (authState == 1) { b64user(line, plain = false); authState = 0 }
+        else if (authState == 2) { b64user(line, plain = true); authState = 0 }
+        else if (u.startsWith("AUTH LOGIN")) {
+          // inline initial-response or username on the next line
+          val arg = line.substring(10).trim
+          if (arg.nonEmpty) b64user(arg, plain = false) else authState = 1
+        } else if (u.startsWith("AUTH PLAIN")) {
+          val arg = line.substring(10).trim
+          if (arg.nonEmpty) b64user(arg, plain = true) else authState = 2
+        } else if (u.startsWith("HELO ") || u.startsWith("EHLO "))
           hello += line.substring(5).trim.toLowerCase
         else if (u.startsWith("MAIL FROM")) addr(line).foreach(src += _)
         else if (u.startsWith("RCPT TO")) addr(line).foreach(dst += _)
@@ -75,7 +96,8 @@ object SmtpParser {
       subject = subject.result().distinct,
       contentType = contentType.result().distinct,
       mimeVersion = mimeVersion.result().distinct,
-      headers = headerNames.result().distinct.sorted)
+      headers = headerNames.result().distinct.sorted,
+      user = user.result().distinct)
     if (info.hello.isEmpty && info.src.isEmpty && info.subject.isEmpty) None
     else Some(info)
   }

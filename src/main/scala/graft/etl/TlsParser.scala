@@ -16,7 +16,11 @@ object TlsParser {
       ja3sstring: Seq[String],
       srcSessionId: Seq[String],
       dstSessionId: Seq[String],
-      cert: Seq[CertParser.CertInfo])
+      cert: Seq[CertParser.CertInfo],
+      // client-hello SNI; the reference stores it in the shared http.host
+      // field (parsers/tls.c:627,872)
+      sni: Seq[String] = Nil,
+      alpn: Seq[String] = Nil)
 
   private def u16(b: Array[Byte], i: Int): Int =
     ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
@@ -113,7 +117,8 @@ object TlsParser {
   private final case class Hello(
       version: Int, sessionIdHex: String, ciphers: Seq[Int],
       extensions: Seq[Int], curves: Seq[Int], pointFormats: Seq[Int],
-      supportedVersions: Seq[Int], chosenCipher: Option[Int])
+      supportedVersions: Seq[Int], chosenCipher: Option[Int],
+      sni: Seq[String] = Nil, alpn: Seq[String] = Nil)
 
   private def parseHello(b: Array[Byte], isClient: Boolean): Option[Hello] = {
     try {
@@ -137,6 +142,8 @@ object TlsParser {
       var curves = Seq.empty[Int]
       var formats = Seq.empty[Int]
       var supported = Seq.empty[Int]
+      var sni = Seq.empty[String]
+      var alpn = Seq.empty[String]
       if (off + 2 <= b.length) {
         val extTotal = u16(b, off); off += 2
         val extEnd = math.min(off + extTotal, b.length)
@@ -152,6 +159,23 @@ object TlsParser {
             val l = b(dataOff) & 0xff
             formats = (0 until l).map(i => b(dataOff + 1 + i) & 0xff)
           }
+          if (et == 0 && dataOff + 5 <= b.length) { // server_name
+            val nameLen = u16(b, dataOff + 3)
+            if (dataOff + 5 + nameLen <= b.length)
+              sni :+= new String(b, dataOff + 5, nameLen,
+                java.nio.charset.StandardCharsets.ISO_8859_1)
+          }
+          if (et == 16 && dataOff + 2 <= b.length) { // ALPN
+            var ap = dataOff + 2
+            val apEnd = math.min(dataOff + 2 + u16(b, dataOff), b.length)
+            while (ap < apEnd) {
+              val l = b(ap) & 0xff
+              if (ap + 1 + l <= apEnd)
+                alpn :+= new String(b, ap + 1, l,
+                  java.nio.charset.StandardCharsets.ISO_8859_1)
+              ap += 1 + l
+            }
+          }
           if (et == 43) { // supported_versions
             if (isClient && dataOff + 1 <= b.length) {
               val l = b(dataOff) & 0xff
@@ -163,7 +187,8 @@ object TlsParser {
           off = dataOff + el
         }
       }
-      Some(Hello(version, sid, ciphers, exts, curves, formats, supported, chosen))
+      Some(Hello(version, sid, ciphers, exts, curves, formats, supported,
+        chosen, sni, alpn))
     } catch { case _: Exception => None }
   }
 
@@ -206,6 +231,10 @@ object TlsParser {
       ja3sstring = ja3s.toSeq,
       srcSessionId = client.map(_.sessionIdHex).filter(_.nonEmpty).toSeq,
       dstSessionId = server.map(_.sessionIdHex).filter(_.nonEmpty).toSeq,
-      cert = certs))
+      cert = certs,
+      sni = client.map(_.sni).getOrElse(Nil).distinct,
+      // negotiated protocol = the server's ALPN choice; a client OFFER
+      // of h2 alone doesn't make the session http2
+      alpn = server.map(_.alpn).getOrElse(Nil).distinct))
   }
 }

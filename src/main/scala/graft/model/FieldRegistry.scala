@@ -216,7 +216,14 @@ object FieldRegistry {
       FieldDef("smb.os",       "smbOs",        TermK, multiValued = true),
       FieldDef("smb.ver",      "smbVersion",   TermK, multiValued = true),
       FieldDef("smb.share",    "smbShare",     TermK, multiValued = true),
-      FieldDef("smb.fn",       "smbFilename",  TermK, multiValued = true)
+      FieldDef("smb.fn",       "smbFilename",  TermK, multiValued = true),
+      FieldDef("icmp.type",    "icmpType",     IntegerK, multiValued = true),
+      FieldDef("icmp.code",    "icmpCode",     IntegerK, multiValued = true),
+      FieldDef("bgp.type",     "bgpType",      UpTermK, multiValued = true),
+      FieldDef("user",         "user",         LoTermK, multiValued = true),
+      FieldDef("oracle.user",  "oracleUser",   LoTermK),
+      FieldDef("oracle.host",  "oracleHost",   LoTermK),
+      FieldDef("oracle.service", "oracleService", LoTermK)
     ),
     metaFields = Map(
       "ip"   -> Seq("ip.src", "ip.dst"),

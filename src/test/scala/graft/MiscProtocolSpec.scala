@@ -1,0 +1,120 @@
+package graft
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.etl.SessionBuilder
+
+/** Golden fidelity for the misc classifier batch and the shared fields:
+  * icmp type/code, bgp type, user (ftp/socks/rdp/smtp-auth/tds/oracle),
+  * oracle connect info, fbzero CHLO.
+  */
+class MiscProtocolSpec extends AnyFunSuite with SparkSpecBase {
+
+  private val mapper = new ObjectMapper()
+  private def bodies(name: String) =
+    mapper.readTree(new java.io.File(s"/root/reference/tests/pcap/$name.test"))
+      .get("sessions3").elements().asScala.map(_.get("body")).toSeq
+  private def strs(n: com.fasterxml.jackson.databind.JsonNode): Seq[String] =
+    if (n == null) Nil else n.elements().asScala.map(_.asText()).toSeq.sorted
+  private def ints(n: com.fasterxml.jackson.databind.JsonNode): Seq[Int] =
+    if (n == null) Nil else n.elements().asScala.map(_.asInt()).toSeq.sorted
+  private def run(name: String) =
+    SessionBuilder.sessionize(spark, s"/root/reference/tests/pcap/$name.pcap")
+      .collect().toSeq
+
+  test("icmp type/code match goldens") {
+    for (name <- Seq("bigendian", "gre-sample", "v6")) {
+      val want = bodies(name).filter(_.has("icmp"))
+        .map(b => (ints(b.get("icmp").get("type")), ints(b.get("icmp").get("code"))))
+        .sortBy(_.toString)
+      val got = run(name).filter(_.icmpType.nonEmpty)
+        .map(r => (r.icmpType, r.icmpCode)).sortBy(_.toString)
+      assert(got == want, name)
+    }
+  }
+
+  test("bgp types match golden") {
+    val want = bodies("cloudshark-bgp-md5")
+      .map(b => strs(b.get("bgp").get("type"))).sortBy(_.toString)
+    val got = run("cloudshark-bgp-md5").sortBy(_.segmentSeq).map(_.bgpType)
+    assert(got.sortBy(_.toString) == want)
+  }
+
+  test("user field: ftp, socks5+rdp, tds, smtp auth") {
+    assert(run("ftp").flatMap(_.user) == Seq("anonymous"))
+    val rdp = run("socks5-rdp")
+    assert(rdp.flatMap(_.user).distinct == Seq("xxx"))
+    assert(rdp.exists(_.protocol.contains("rdp")))
+    val tds = run("tds5")
+    assert(tds.flatMap(_.user) == Seq("user___user"))
+    assert(tds.exists(_.protocol.contains("tds")))
+    assert(run("smtp-data-250").flatMap(_.user) == Seq("12345678@aol.com"))
+  }
+
+  test("oracle connect info matches golden") {
+    val got = run("oracle").filter(_.protocol.contains("oracle"))
+    assert(got.nonEmpty)
+    val w = bodies("oracle").find(_.has("oracle")).get.get("oracle")
+    assert(got.head.oracleUser == w.get("user").asText())
+    assert(got.head.oracleHost == w.get("host").asText())
+    assert(got.head.oracleService == w.get("service").asText())
+  }
+
+  test("fbzero CHLO fields") {
+    val got = run("fbzero-android")
+    assert(got.exists(_.protocol.contains("fbzero")), got.map(_.protocol).toString)
+    val w = bodies("fbzero-android").find(_.has("quic"))
+    w.foreach { b =>
+      val g = got.find(_.protocol.contains("fbzero")).get
+      assert(g.quicHost.sorted == strs(b.get("quic").get("host")))
+    }
+  }
+
+  test("misc protocol tags present") {
+    def protosOf(name: String): Set[String] = run(name).flatMap(_.protocol).toSet
+    assert(protosOf("stun").contains("stun"))
+    assert(protosOf("mpls-basic").contains("telnet"))
+    assert(protosOf("gre-sample").contains("ntp"))
+    assert(protosOf("imap-tag").contains("imap"))
+    assert(protosOf("pop3-tag").contains("pop3"))
+    assert(protosOf("kafka").contains("kafka"))
+    assert(protosOf("mongo").contains("mongo"))
+    assert(protosOf("aerospike").contains("aerospike"))
+    assert(protosOf("thrift").contains("thrift"))
+    assert(protosOf("cassandra1").contains("cassandra"))
+    assert(protosOf("bt-tcp").contains("bittorrent"))
+    assert(protosOf("bt-udp").contains("bittorrent"))
+    assert(protosOf("wireshark-dtls0").contains("dtls"))
+    assert(protosOf("http2-nghttp2").contains("http2"))
+    assert(protosOf("gtp-iphone").contains("sip"))
+  }
+
+  test("corpus protocol-tag fidelity floor") {
+    val dir = new java.io.File("/root/reference/tests/pcap")
+    var matched = 0
+    var total = 0
+    val mismatches = Seq.newBuilder[String]
+    dir.listFiles().filter(_.getName.endsWith(".pcap")).map(_.getPath).sorted
+      .foreach { p =>
+        val name = new java.io.File(p).getName.stripSuffix(".pcap")
+        val goldenFile = new java.io.File(s"$dir/$name.test")
+        if (goldenFile.exists()) {
+          total += 1
+          try {
+            val want = mapper.readTree(goldenFile).get("sessions3")
+              .elements().asScala.map(_.get("body")).toSeq
+              .map(b => strs(b.get("protocol")).mkString("+")).sorted
+            val got = SessionBuilder.sessionize(spark, p).collect()
+              .map(_.protocol.sorted.mkString("+")).toSeq.sorted
+            if (got == want) matched += 1 else mismatches += name
+          } catch { case _: Exception => mismatches += name }
+        }
+      }
+    info(s"protocol-tag matches: $matched / $total; mismatched: " +
+      mismatches.result().mkString(", "))
+    assert(matched >= 145, s"protocol fidelity regressed: $matched")
+  }
+}
