@@ -300,6 +300,32 @@ object SparkEntry {
         .orderBy("sessionId")
     }),
 
+    // --- I10: declarative rules engine (field-set / tag / drop) ---------
+    "r1_rules_engine" -> ((s, dir) => {
+      import graft.ops.Rules
+      val rules = Seq(
+        Rules.Rule("tag-big", col("value") > 150,
+          Seq(Rules.AddTag("big-value"))),
+        Rules.Rule("tag-purchase", col("event_type") === "purchase",
+          Seq(Rules.AddTag("purchase"))),
+        Rules.Rule("drop-errors", col("event_type") === "error",
+          Seq(Rules.DropSession)))
+      Rules(ev(s, dir), rules)
+        .select(col("event_id"), concat_ws(",", col("tags")).as("tags"))
+        .orderBy("event_id")
+    }),
+
+    // --- E13: hunt (packet content scan over stored pcap bytes) --------
+    "e13_hunt" -> ((s, _) => {
+      import graft.ops.Hunt
+      val sessions = graft.etl.SessionBuilder
+        .sessionize(s, "/root/reference/tests/pcap/socks-http-example.pcap")
+      Hunt.run(sessions, Hunt.HuntConfig(
+        Hunt.AsciiNeedle("GET", caseSensitive = false)))
+        .select("sessionId", "segmentSeq", "huntTag")
+        .orderBy("sessionId", "segmentSeq")
+    }),
+
     // --- I8 (new-parser fields): Kerberos/LDAP/QUIC/SMB session metadata
     //     (golden-tested in Krb5LdapQuicSmbSpec; rows-only here) ---------
     "i10_protocol_fields" -> ((s, _) => {
@@ -498,6 +524,14 @@ object SparkEntry {
          FROM events WHERE user_id IS NOT NULL)
          SELECT event_id, srcIp FROM e
          WHERE ipnum BETWEEN 176160768 AND 180355071 ORDER BY event_id""",
+    "r1_rules_engine" ->
+      """SELECT event_id,
+         concat_ws(',',
+           CASE WHEN value > 150 THEN 'big-value' END,
+           CASE WHEN event_type = 'purchase' THEN 'purchase' END) AS tags
+         FROM events
+         WHERE NOT coalesce(event_type = 'error', FALSE)
+         ORDER BY event_id""",
     "e16_node_stats" ->
       s"""SELECT 'node' || (user_id % 4) AS node, count(*) AS n,
          ${sqlDsum("value")} AS sum_value,
