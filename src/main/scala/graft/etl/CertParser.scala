@@ -50,9 +50,10 @@ object CertParser {
         .asInstanceOf[X509Certificate]
       val sha1 = java.security.MessageDigest.getInstance("SHA-1")
         .digest(cert.getEncoded)
+      // raw DER serial bytes incl. any leading sign byte — the reference
+      // hex-dumps the encoded value verbatim (cloudshark-dtls1 keeps 00)
       val serial = cert.getSerialNumber.toByteArray
         .map(x => f"${x & 0xff}%02x").mkString
-        .replaceFirst("^00", "") // BigInteger sign byte
       val algo = cert.getPublicKey.getAlgorithm match {
         case "RSA" => "rsaEncryption"
         case "EC"  => "id-ecPublicKey"

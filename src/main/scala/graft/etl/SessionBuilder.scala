@@ -114,7 +114,9 @@ object SessionBuilder {
       icmpType: Seq[Int], icmpCode: Seq[Int],
       bgpType: Seq[String],
       user: Seq[String],
-      oracleUser: String, oracleHost: String, oracleService: String)
+      oracleUser: String, oracleHost: String, oracleService: String,
+      radiusUser: Seq[String], radiusFramedIp: Seq[String],
+      radiusMac: Seq[String])
 
   /** Reassemble one direction's TCP payload stream: order by sequence
     * number (handling 32-bit wrap relative to the first seq), drop
@@ -384,6 +386,14 @@ object SessionBuilder {
     val bgpTypes =
       if (baseTags.contains("bgp")) MiscParsers.parseBgpTypes(Seq(effSrc, effDst))
       else Nil
+    val radius =
+      if (baseTags.contains("radius"))
+        RadiusParser.parse(srcPayloads ++ dstPayloads)
+      else None
+    val dtlsCerts =
+      if (baseTags.contains("dtls"))
+        DtlsParser.certs(srcPayloads ++ dstPayloads)
+      else Nil
     // In-stream upgrades re-classify the remainder, like the reference's
     // parsers handing post-handshake bytes back to the classify stage:
     // HTTP CONNECT tunnels, SMTP STARTTLS, MySQL SSL login.
@@ -553,7 +563,7 @@ object SessionBuilder {
       emailContentType = smtp.map(_.contentType).getOrElse(Nil),
       emailMimeVersion = smtp.map(_.mimeVersion).getOrElse(Nil),
       emailHeader = smtp.map(_.headers).getOrElse(Nil),
-      cert = tls.map(_.cert).getOrElse(Nil),
+      cert = (tls.map(_.cert).getOrElse(Nil) ++ dtlsCerts).distinct,
       vlanId = seg.iterator.flatMap(_.vlanIds).toSeq.distinct.sorted,
       ircNick = irc.map(_.nick).getOrElse(Nil),
       ircChannel = irc.map(_.channel).getOrElse(Nil),
@@ -590,7 +600,10 @@ object SessionBuilder {
       user = users,
       oracleUser = oracleInfo.map(_.user).orNull,
       oracleHost = oracleInfo.map(_.host).orNull,
-      oracleService = oracleInfo.map(_.service).orNull)
+      oracleService = oracleInfo.map(_.service).orNull,
+      radiusUser = radius.map(_.user).getOrElse(Nil),
+      radiusFramedIp = radius.map(_.framedIp).getOrElse(Nil),
+      radiusMac = radius.map(_.mac).getOrElse(Nil))
   }
 
   /** Batch pipeline: pcap path → session rows. */

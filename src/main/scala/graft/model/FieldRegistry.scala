@@ -223,7 +223,10 @@ object FieldRegistry {
       FieldDef("user",         "user",         LoTermK, multiValued = true),
       FieldDef("oracle.user",  "oracleUser",   LoTermK),
       FieldDef("oracle.host",  "oracleHost",   LoTermK),
-      FieldDef("oracle.service", "oracleService", LoTermK)
+      FieldDef("oracle.service", "oracleService", LoTermK),
+      FieldDef("radius.user",  "radiusUser",   TermK, multiValued = true),
+      FieldDef("radius.framed-ip", "radiusFramedIp", IpK, multiValued = true),
+      FieldDef("radius.mac",   "radiusMac",    LoTermK, multiValued = true)
     ),
     metaFields = Map(
       "ip"   -> Seq("ip.src", "ip.dst"),

@@ -73,6 +73,33 @@ class MiscProtocolSpec extends AnyFunSuite with SparkSpecBase {
     }
   }
 
+  test("radius attributes match golden") {
+    val got = run("radius").filter(_.protocol.contains("radius"))
+    assert(got.nonEmpty)
+    val w = bodies("radius").find(_.has("radius")).get.get("radius")
+    assert(got.head.radiusUser == strs(w.get("user")))
+    assert(got.head.radiusFramedIp == strs(w.get("framedIp")))
+    assert(got.head.radiusMac == strs(w.get("mac")))
+  }
+
+  test("dtls certificates match golden") {
+    for (name <- Seq("wireshark-dtls0", "cloudshark-dtls1")) {
+      val got = run(name).filter(_.cert.nonEmpty)
+      val want = bodies(name).filter(_.has("cert"))
+      assert(got.size == want.size, name)
+      got.sortBy(_.cert.head.serial).zip(want.sortBy(
+        _.get("cert").elements().asScala.next().get("serial").asText()))
+        .foreach { case (g, wb) =>
+          val wc = wb.get("cert").elements().asScala.next()
+          val gc = g.cert.head
+          assert(gc.serial == wc.get("serial").asText(), name)
+          assert(gc.issuerON == strs(wc.get("issuerON")), name)
+          assert(gc.notAfter == wc.get("notAfter").asLong(), name)
+          assert(gc.validDays == wc.get("validDays").asLong(), name)
+        }
+    }
+  }
+
   test("misc protocol tags present") {
     def protosOf(name: String): Set[String] = run(name).flatMap(_.protocol).toSet
     assert(protosOf("stun").contains("stun"))
