@@ -1,0 +1,202 @@
+package graft.etl
+
+import java.nio.charset.StandardCharsets
+
+/** Full HTTP/1.x message walker over the per-direction reassembled
+  * streams (reference: capture/parsers/http.c on http-parser callbacks).
+  *
+  * Extracts the reference's http.* field surface: request line pieces
+  * (method, path, query keys/values, versions), the url field (host +
+  * origin-form target, as moloch builds urlString), header NAME lists
+  * per direction plus the promoted Referer/Location/Cookie/Authorization
+  * headers, and the MD5 of each message body exactly as delivered —
+  * de-chunked but NOT content-decoded (a gzip body hashes its gzip
+  * bytes, http.c:287-320 feeds on_body to the checksum).
+  */
+object HttpParser {
+
+  final case class HttpInfo(
+      method: Seq[String], uri: Seq[String], host: Seq[String],
+      path: Seq[String], key: Seq[String], value: Seq[String],
+      statuscode: Seq[Int], useragent: Seq[String],
+      clientVersion: Seq[String], serverVersion: Seq[String],
+      requestHeader: Seq[String], responseHeader: Seq[String],
+      referer: Seq[String], location: Seq[String],
+      cookieKey: Seq[String], cookieValue: Seq[String],
+      md5: Seq[String], authUser: Seq[String])
+
+  private final case class Message(
+      firstLine: String, headers: Seq[(String, String)], body: Array[Byte])
+
+  private val methods = Set("GET", "POST", "HEAD", "PUT", "DELETE",
+    "OPTIONS", "PATCH", "CONNECT", "TRACE")
+
+  /** Walk one direction's stream into messages (header block + body). */
+  private def messages(stream: Array[Byte], isResponse: Boolean): Seq[Message] = {
+    val out = Seq.newBuilder[Message]
+    var off = 0
+    var guard = 0
+    while (off < stream.length && guard < 200) {
+      guard += 1
+      val text = new String(stream, off,
+        math.min(stream.length - off, 64 * 1024), StandardCharsets.ISO_8859_1)
+      val hEnd = text.indexOf("\r\n\r\n")
+      if (hEnd < 0) { off = stream.length }
+      else {
+        val headerBlock = text.substring(0, hEnd)
+        val lines = headerBlock.split("\r\n")
+        val firstLine = lines.headOption.getOrElse("")
+        val headers = lines.drop(1).toSeq.flatMap { l =>
+          val i = l.indexOf(':')
+          if (i <= 0) None else Some((l.substring(0, i).trim, l.substring(i + 1).trim))
+        }
+        def h(name: String): Option[String] =
+          headers.collectFirst { case (k, v) if k.equalsIgnoreCase(name) => v }
+        val bodyStart = off + hEnd + 4
+        var bodyEnd = bodyStart
+        var body = Array.emptyByteArray
+        val status = if (isResponse)
+          firstLine.split(" ").lift(1).flatMap(_.toIntOption).getOrElse(0)
+        else 0
+        val noBody = isResponse &&
+          (status / 100 == 1 || status == 204 || status == 304)
+        if (!noBody) {
+          if (h("Transfer-Encoding").exists(_.toLowerCase.contains("chunked"))) {
+            // de-chunk: hex-size CRLF data CRLF ... 0 CRLF [trailers] CRLF
+            val buf = new java.io.ByteArrayOutputStream()
+            var p = bodyStart
+            var ok = true
+            while (ok && p < stream.length) {
+              val lineEnd = indexOfCrlf(stream, p)
+              if (lineEnd < 0) { ok = false; bodyEnd = stream.length }
+              else {
+                val sizeStr = new String(stream, p, lineEnd - p,
+                  StandardCharsets.ISO_8859_1).trim.takeWhile(c =>
+                  Character.digit(c, 16) >= 0)
+                val size = try java.lang.Long.parseLong(
+                  if (sizeStr.isEmpty) "-1" else sizeStr, 16).toInt
+                catch { case _: Exception => -1 }
+                if (size < 0) { ok = false; bodyEnd = stream.length }
+                else if (size == 0) {
+                  ok = false
+                  bodyEnd = math.min(lineEnd + 2 + 2, stream.length) // 0-chunk + blank
+                } else {
+                  val dStart = lineEnd + 2
+                  val dEnd = math.min(dStart + size, stream.length)
+                  buf.write(stream, dStart, math.max(0, dEnd - dStart))
+                  p = dEnd + 2 // skip trailing CRLF
+                  if (dEnd >= stream.length) { ok = false; bodyEnd = stream.length }
+                }
+              }
+            }
+            body = buf.toByteArray
+          } else h("Content-Length").flatMap(_.trim.toIntOption) match {
+            case Some(cl) =>
+              bodyEnd = math.min(bodyStart + math.max(0, cl), stream.length)
+              body = java.util.Arrays.copyOfRange(stream, bodyStart, bodyEnd)
+            case None if isResponse =>
+              // no framing on a response: body runs to connection close
+              bodyEnd = stream.length
+              body = java.util.Arrays.copyOfRange(stream, bodyStart, bodyEnd)
+            case None => // request without length: no body
+          }
+        }
+        out += Message(firstLine, headers, body)
+        off = math.max(bodyEnd, bodyStart)
+      }
+    }
+    out.result()
+  }
+
+  private def indexOfCrlf(b: Array[Byte], from: Int): Int = {
+    var i = from
+    while (i + 1 < b.length) {
+      if (b(i) == '\r' && b(i + 1) == '\n') return i
+      i += 1
+    }
+    -1
+  }
+
+  private def md5hex(b: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("MD5").digest(b)
+      .map(x => f"${x & 0xff}%02x").mkString
+
+  def parse(clientStream: Array[Byte], serverStream: Array[Byte]): Option[HttpInfo] = {
+    val reqs = messages(clientStream, isResponse = false)
+      .filter(m => methods.contains(m.firstLine.takeWhile(_ != ' ')))
+    val resps = messages(serverStream, isResponse = true)
+      .filter(_.firstLine.startsWith("HTTP/"))
+    if (reqs.isEmpty && resps.isEmpty) return None
+
+    def d[T](xs: Seq[T]): Seq[T] = xs.distinct
+    def hs(ms: Seq[Message], name: String): Seq[String] =
+      ms.flatMap(_.headers.collect {
+        case (k, v) if k.equalsIgnoreCase(name) => v
+      })
+
+    val reqLine = reqs.map(_.firstLine.split(" "))
+    val targets = reqLine.flatMap(_.lift(1))
+    val hosts = hs(reqs, "Host").map(_.toLowerCase)
+    // moloch urlString: Host + origin-form target (http.c:269-283)
+    val uris = reqs.map { m =>
+      val t = m.firstLine.split(" ").lift(1).getOrElse("")
+      val host = m.headers.collectFirst {
+        case (k, v) if k.equalsIgnoreCase("Host") => v.toLowerCase
+      }.getOrElse("")
+      if (t.startsWith("/")) host + t else t
+    }
+    val paths = targets.map(_.takeWhile(_ != '?'))
+    val queryPairs = targets.flatMap { t =>
+      val q = t.dropWhile(_ != '?').drop(1)
+      if (q.isEmpty) Nil
+      else q.split("&").toSeq.map { kv =>
+        val i = kv.indexOf('=')
+        if (i < 0) (kv, "") else (kv.substring(0, i), kv.substring(i + 1))
+      }
+    }
+    val cookiePairs = hs(reqs, "Cookie").flatMap(_.split(";").toSeq).flatMap { c =>
+      val i = c.indexOf('=')
+      if (i <= 0) None
+      else Some((c.substring(0, i).trim, c.substring(i + 1).trim))
+    }
+    val auth = hs(reqs, "Authorization").flatMap { v =>
+      val parts = v.trim.split(" ", 2)
+      if (parts.length < 2) None
+      else parts(0).toLowerCase match {
+        case "basic" =>
+          try {
+            val dec = new String(java.util.Base64.getDecoder.decode(parts(1).trim),
+              StandardCharsets.ISO_8859_1)
+            Some(dec.takeWhile(_ != ':'))
+          } catch { case _: IllegalArgumentException => None }
+        case "digest" =>
+          "username=\"([^\"]*)\"".r.findFirstMatchIn(parts(1)).map(_.group(1))
+        case _ => None
+      }
+    }.filter(_.nonEmpty)
+    val bodies = (reqs ++ resps).map(_.body).filter(_.nonEmpty)
+
+    Some(HttpInfo(
+      method = d(reqLine.flatMap(_.headOption)),
+      uri = d(uris.filter(_.nonEmpty)),
+      host = d(hosts),
+      path = d(paths.filter(_.nonEmpty)),
+      key = d(queryPairs.map(_._1)),
+      value = d(queryPairs.map(_._2).filter(_.nonEmpty)),
+      statuscode = d(resps.flatMap(_.firstLine.split(" ").lift(1))
+        .flatMap(_.toIntOption)),
+      useragent = d(hs(reqs, "User-Agent")),
+      clientVersion = d(reqLine.flatMap(_.lift(2))
+        .filter(_.startsWith("HTTP/")).map(_.stripPrefix("HTTP/"))),
+      serverVersion = d(resps.map(_.firstLine.split(" ").head)
+        .filter(_.startsWith("HTTP/")).map(_.stripPrefix("HTTP/"))),
+      requestHeader = d(reqs.flatMap(_.headers.map(_._1.toLowerCase))).sorted,
+      responseHeader = d(resps.flatMap(_.headers.map(_._1.toLowerCase))).sorted,
+      referer = d(hs(reqs, "Referer")),
+      location = d(hs(resps, "Location")),
+      cookieKey = d(cookiePairs.map(_._1)),
+      cookieValue = d(cookiePairs.map(_._2).filter(_.nonEmpty)),
+      md5 = d(bodies.map(md5hex)),
+      authUser = d(auth)))
+  }
+}

@@ -89,6 +89,11 @@ object SessionBuilder {
       socksIp: String, socksPort: Int,
       httpMethod: Seq[String], httpUri: Seq[String], httpHost: Seq[String],
       httpStatuscode: Seq[Int], httpUseragent: Seq[String],
+      httpPath: Seq[String], httpKey: Seq[String], httpValue: Seq[String],
+      httpRequestHeader: Seq[String], httpResponseHeader: Seq[String],
+      httpReferer: Seq[String], httpLocation: Seq[String],
+      httpCookieKey: Seq[String], httpCookieValue: Seq[String],
+      httpMd5: Seq[String],
       dnsQname: Seq[String], dnsQtype: Seq[String], dnsRcode: Seq[String],
       tlsVersion: Seq[String], tlsCipher: Seq[String],
       tlsJa3: Seq[String], tlsJa3String: Seq[String],
@@ -435,7 +440,7 @@ object SessionBuilder {
       (if (fbzero.isDefined) Seq("fbzero") else Nil) ++
       (if (krb5.isDefined) Seq("krb5") else Nil)).distinct
     val http =
-      if (preRuleProtocols.contains("http")) AppProtocols.parseHttp(effSrc, effDst)
+      if (preRuleProtocols.contains("http")) HttpParser.parse(effSrc, effDst)
       else None
     val dns =
       if (preRuleProtocols.contains("dns")) {
@@ -489,6 +494,7 @@ object SessionBuilder {
         (if (baseTags.contains("rdp"))
           Seq(effSrc, effDst).flatMap(MiscParsers.parseRdpUser) else Nil) ++
         smtp.map(_.user).getOrElse(Nil) ++
+        http.map(_.authUser).getOrElse(Nil) ++
         (if (baseTags.contains("tds")) MiscParsers.parseTdsUser(effSrc).toSeq
         else Nil) ++
         oracleInfo.map(_.user).filter(u => u != null && u.nonEmpty).toSeq
@@ -538,6 +544,16 @@ object SessionBuilder {
         tls.map(_.sni).getOrElse(Nil)).distinct,
       httpStatuscode = http.map(_.statuscode).getOrElse(Nil),
       httpUseragent = http.map(_.useragent).getOrElse(Nil),
+      httpPath = http.map(_.path).getOrElse(Nil),
+      httpKey = http.map(_.key).getOrElse(Nil),
+      httpValue = http.map(_.value).getOrElse(Nil),
+      httpRequestHeader = http.map(_.requestHeader).getOrElse(Nil),
+      httpResponseHeader = http.map(_.responseHeader).getOrElse(Nil),
+      httpReferer = http.map(_.referer).getOrElse(Nil),
+      httpLocation = http.map(_.location).getOrElse(Nil),
+      httpCookieKey = http.map(_.cookieKey).getOrElse(Nil),
+      httpCookieValue = http.map(_.cookieValue).getOrElse(Nil),
+      httpMd5 = http.map(_.md5).getOrElse(Nil),
       dnsQname = dns.map(_.qname).getOrElse(Nil),
       dnsQtype = dns.map(_.qtype).getOrElse(Nil),
       dnsRcode = dns.map(_.rcode).getOrElse(Nil),

@@ -155,6 +155,16 @@ object FieldRegistry {
       FieldDef("http.host",    "httpHost",     LoTermK, multiValued = true),
       FieldDef("http.statuscode", "httpStatuscode", IntegerK, multiValued = true),
       FieldDef("http.user-agent", "httpUseragent", TermK, multiValued = true),
+      FieldDef("http.uri.path", "httpPath",      LoTermK, multiValued = true),
+      FieldDef("http.uri.key", "httpKey",        LoTermK, multiValued = true),
+      FieldDef("http.uri.value", "httpValue",    LoTermK, multiValued = true),
+      FieldDef("http.hasheader.src", "httpRequestHeader", LoTermK, multiValued = true),
+      FieldDef("http.hasheader.dst", "httpResponseHeader", LoTermK, multiValued = true),
+      FieldDef("http.referer", "httpReferer",    LoTermK, multiValued = true),
+      FieldDef("http.location", "httpLocation",  LoTermK, multiValued = true),
+      FieldDef("http.cookie.key", "httpCookieKey", LoTermK, multiValued = true),
+      FieldDef("http.cookie.value", "httpCookieValue", LoTermK, multiValued = true),
+      FieldDef("http.md5",     "httpMd5",        LoTermK, multiValued = true),
       FieldDef("dns.host",     "dnsQname",     LoTermK, multiValued = true),
       FieldDef("dns.query.type", "dnsQtype",   UpTermK, multiValued = true),
       FieldDef("dns.status",   "dnsRcode",     UpTermK, multiValued = true),

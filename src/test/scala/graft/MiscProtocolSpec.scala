@@ -100,6 +100,23 @@ class MiscProtocolSpec extends AnyFunSuite with SparkSpecBase {
     }
   }
 
+  test("http rich fields match goldens") {
+    // 301 redirect: path/headers/location
+    val g301 = run("http-301-get").head
+    val w301 = bodies("http-301-get").head.get("http")
+    assert(g301.httpPath == strs(w301.get("path")))
+    assert(g301.httpRequestHeader == strs(w301.get("requestHeader")))
+    assert(g301.httpResponseHeader == strs(w301.get("responseHeader")))
+    assert(g301.httpLocation == strs(w301.get("response-location")))
+    assert(g301.httpUri.sorted == strs(w301.get("uri")))
+    // gzip body: md5 over the transferred (still-compressed) bytes
+    val gz = run("http-content-gzip").head
+    val wgz = bodies("http-content-gzip").head.get("http")
+    assert(gz.httpMd5.sorted == strs(wgz.get("md5")))
+    assert(gz.httpCookieKey.sorted == strs(wgz.get("cookieKey")))
+    assert(gz.httpCookieValue.sorted == strs(wgz.get("cookieValue")))
+  }
+
   test("misc protocol tags present") {
     def protosOf(name: String): Set[String] = run(name).flatMap(_.protocol).toSet
     assert(protosOf("stun").contains("stun"))
