@@ -20,7 +20,10 @@ object AppProtocols {
       clientVersion: Seq[String], serverVersion: Seq[String])
 
   final case class DnsInfo(
-      qname: Seq[String], qtype: Seq[String], rcode: Seq[String])
+      qname: Seq[String], qtype: Seq[String], rcode: Seq[String],
+      opcode: Seq[String] = Nil, qclass: Seq[String] = Nil,
+      ip: Seq[String] = Nil, mailserverHost: Seq[String] = Nil,
+      nameserverHost: Seq[String] = Nil, nameserverIp: Seq[String] = Nil)
 
   final case class SocksInfo(ip: String, port: Int, user: String)
 
@@ -330,35 +333,120 @@ object AppProtocols {
   /** Parse DNS query names/types from raw DNS messages (UDP payloads).
     * (reference parser: capture/parsers/dns.c)
     */
+  /** DNS name at `off` with compression-pointer support; returns
+    * (name, offset after the in-place portion).
+    */
+  private def dnsName(msg: Array[Byte], off0: Int): (String, Int) = {
+    val sb = new StringBuilder
+    var off = off0
+    var next = -1 // set at the first pointer jump
+    var guard = 0
+    while (guard < 64 && off < msg.length) {
+      guard += 1
+      val len = msg(off) & 0xff
+      if (len == 0) {
+        if (next < 0) next = off + 1
+        return (sb.toString.toLowerCase, next)
+      } else if ((len & 0xc0) == 0xc0) {
+        if (off + 1 >= msg.length) return (sb.toString.toLowerCase, off + 2)
+        if (next < 0) next = off + 2
+        off = ((len & 0x3f) << 8) | (msg(off + 1) & 0xff)
+      } else {
+        if (off + 1 + len > msg.length) return (sb.toString.toLowerCase, msg.length)
+        if (sb.nonEmpty) sb.append('.')
+        sb.append(new String(msg, off + 1, len, StandardCharsets.ISO_8859_1))
+        off += 1 + len
+      }
+    }
+    (sb.toString.toLowerCase, if (next < 0) off else next)
+  }
+
   def parseDnsMessage(msg: Array[Byte]): Option[DnsInfo] = {
     if (msg.length < 12) return None
     val qdCount = ((msg(4) & 0xff) << 8) | (msg(5) & 0xff)
+    val anCount = ((msg(6) & 0xff) << 8) | (msg(7) & 0xff)
+    val nsCount = ((msg(8) & 0xff) << 8) | (msg(9) & 0xff)
+    val arCount = ((msg(10) & 0xff) << 8) | (msg(11) & 0xff)
     val rcode = msg(3) & 0x0f
+    val opcode = (msg(2) >> 3) & 0x0f
     val isResponse = (msg(2) & 0x80) != 0
     var off = 12
     val names = Seq.newBuilder[String]
     val types = Seq.newBuilder[String]
+    val classes = Seq.newBuilder[String]
     var q = 0
     while (q < qdCount && off < msg.length) {
-      val sb = new StringBuilder
-      var len = msg(off) & 0xff
-      while (len > 0 && off + len + 1 <= msg.length) {
-        if (sb.nonEmpty) sb.append('.')
-        sb.append(new String(msg, off + 1, len, StandardCharsets.ISO_8859_1))
-        off += len + 1
-        len = if (off < msg.length) msg(off) & 0xff else 0
-      }
-      off += 1 // root label
+      val (name, next) = dnsName(msg, off)
+      off = next
       if (off + 4 <= msg.length) {
         val qtype = ((msg(off) & 0xff) << 8) | (msg(off + 1) & 0xff)
+        val qclass = ((msg(off + 2) & 0xff) << 8) | (msg(off + 3) & 0xff)
         types += dnsTypeName(qtype)
+        classes += dnsClassName(qclass)
         off += 4
       }
-      names += sb.toString.toLowerCase
+      names += name
       q += 1
     }
+    // resource records: answers + authority + additional
+    val ip = Seq.newBuilder[String]
+    val mx = Seq.newBuilder[String]
+    val nsHosts = Seq.newBuilder[String]
+    val nsSet = scala.collection.mutable.Set[String]()
+    val nsIp = Seq.newBuilder[String]
+    var rr = 0
+    val rrTotal = anCount + nsCount + arCount
+    var ok = true
+    while (ok && rr < rrTotal && off < msg.length) {
+      val (owner, next) = dnsName(msg, off)
+      off = next
+      if (off + 10 > msg.length) ok = false
+      else {
+        val rtype = ((msg(off) & 0xff) << 8) | (msg(off + 1) & 0xff)
+        val rdLen = ((msg(off + 8) & 0xff) << 8) | (msg(off + 9) & 0xff)
+        val rdOff = off + 10
+        if (rdOff + rdLen > msg.length) ok = false
+        else {
+          rtype match {
+            case 1 if rdLen == 4 => // A
+              val a = (rdOff until rdOff + 4)
+                .map(i => (msg(i) & 0xff).toString).mkString(".")
+              if (nsSet.contains(owner)) nsIp += a else ip += a
+            case 28 if rdLen == 16 => // AAAA
+              val a = graft.functions.IpUtil.canonical(
+                java.util.Arrays.copyOfRange(msg, rdOff, rdOff + 16))
+              if (nsSet.contains(owner)) nsIp += a else ip += a
+            case 2 => // NS
+              val (h, _) = dnsName(msg, rdOff)
+              if (h.nonEmpty) { nsHosts += h; nsSet += h }
+            case 15 if rdLen > 2 => // MX: preference(2) + exchange
+              val (h, _) = dnsName(msg, rdOff + 2)
+              if (h.nonEmpty) mx += h
+            case _ =>
+          }
+          off = rdOff + rdLen
+          rr += 1
+        }
+      }
+    }
     Some(DnsInfo(names.result(), types.result(),
-      if (isResponse) Seq(dnsRcodeName(rcode)) else Seq.empty))
+      if (isResponse) Seq(dnsRcodeName(rcode)) else Seq.empty,
+      opcode = Seq(dnsOpcodeName(opcode)),
+      qclass = classes.result(),
+      ip = ip.result().distinct,
+      mailserverHost = mx.result().distinct,
+      nameserverHost = nsHosts.result().distinct,
+      nameserverIp = nsIp.result().distinct))
+  }
+
+  def dnsOpcodeName(c: Int): String = c match {
+    case 0 => "QUERY"; case 1 => "IQUERY"; case 2 => "STATUS"
+    case 4 => "NOTIFY"; case 5 => "UPDATE"; case other => other.toString
+  }
+
+  def dnsClassName(c: Int): String = c match {
+    case 1 => "IN"; case 2 => "CS"; case 3 => "CH"; case 4 => "HS"
+    case 255 => "ANY"; case other => other.toString
   }
 
   def dnsTypeName(t: Int): String = t match {

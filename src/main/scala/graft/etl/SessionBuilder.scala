@@ -95,6 +95,9 @@ object SessionBuilder {
       httpCookieKey: Seq[String], httpCookieValue: Seq[String],
       httpMd5: Seq[String],
       dnsQname: Seq[String], dnsQtype: Seq[String], dnsRcode: Seq[String],
+      dnsOpcode: Seq[String], dnsQclass: Seq[String], dnsIp: Seq[String],
+      dnsMailserverHost: Seq[String], dnsNameserverHost: Seq[String],
+      dnsNameserverIp: Seq[String],
       tlsVersion: Seq[String], tlsCipher: Seq[String],
       tlsJa3: Seq[String], tlsJa3String: Seq[String],
       tlsJa3s: Seq[String], tlsJa3sString: Seq[String],
@@ -443,14 +446,25 @@ object SessionBuilder {
       if (preRuleProtocols.contains("http")) HttpParser.parse(effSrc, effDst)
       else None
     val dns =
-      if (preRuleProtocols.contains("dns")) {
+      if (Seq("dns", "mdns", "llmnr").exists(preRuleProtocols.contains)) {
         val messages = (src ++ dst).filter(_.payload.nonEmpty).map(_.payload)
-        val infos = messages.flatMap(AppProtocols.parseDnsMessage)
+        // TCP DNS frames with a 2-byte length prefix
+        val deframed =
+          if (first.ipProtocol == 6)
+            messages.map(m => if (m.length > 2) m.drop(2) else m)
+          else messages
+        val infos = deframed.flatMap(AppProtocols.parseDnsMessage)
         if (infos.isEmpty) None
         else Some(AppProtocols.DnsInfo(
           infos.flatMap(_.qname).distinct.toIndexedSeq,
           infos.flatMap(_.qtype).distinct.toIndexedSeq,
-          infos.flatMap(_.rcode).distinct.toIndexedSeq))
+          infos.flatMap(_.rcode).distinct.toIndexedSeq,
+          infos.flatMap(_.opcode).distinct.toIndexedSeq,
+          infos.flatMap(_.qclass).distinct.toIndexedSeq,
+          infos.flatMap(_.ip).distinct.toIndexedSeq,
+          infos.flatMap(_.mailserverHost).distinct.toIndexedSeq,
+          infos.flatMap(_.nameserverHost).distinct.toIndexedSeq,
+          infos.flatMap(_.nameserverIp).distinct.toIndexedSeq))
       } else None
     val tls =
       if (preRuleProtocols.contains("tls")) TlsParser.parse(effSrc, effDst)
@@ -557,6 +571,12 @@ object SessionBuilder {
       dnsQname = dns.map(_.qname).getOrElse(Nil),
       dnsQtype = dns.map(_.qtype).getOrElse(Nil),
       dnsRcode = dns.map(_.rcode).getOrElse(Nil),
+      dnsOpcode = dns.map(_.opcode).getOrElse(Nil),
+      dnsQclass = dns.map(_.qclass).getOrElse(Nil),
+      dnsIp = dns.map(_.ip).getOrElse(Nil),
+      dnsMailserverHost = dns.map(_.mailserverHost).getOrElse(Nil),
+      dnsNameserverHost = dns.map(_.nameserverHost).getOrElse(Nil),
+      dnsNameserverIp = dns.map(_.nameserverIp).getOrElse(Nil),
       tlsVersion = tls.map(_.version).getOrElse(Nil),
       tlsCipher = tls.map(_.cipher).getOrElse(Nil),
       tlsJa3 = tls.map(_.ja3).getOrElse(Nil),

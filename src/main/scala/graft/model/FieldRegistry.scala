@@ -168,6 +168,15 @@ object FieldRegistry {
       FieldDef("dns.host",     "dnsQname",     LoTermK, multiValued = true),
       FieldDef("dns.query.type", "dnsQtype",   UpTermK, multiValued = true),
       FieldDef("dns.status",   "dnsRcode",     UpTermK, multiValued = true),
+      FieldDef("dns.opcode",   "dnsOpcode",    UpTermK, multiValued = true),
+      FieldDef("dns.query.class", "dnsQclass", UpTermK, multiValued = true),
+      FieldDef("ip.dns",       "dnsIp",        IpK, multiValued = true),
+      FieldDef("dns.mailserver.host", "dnsMailserverHost", LoTermK,
+        multiValued = true),
+      FieldDef("dns.nameserver.host", "dnsNameserverHost", LoTermK,
+        multiValued = true),
+      FieldDef("ip.dns.nameserver", "dnsNameserverIp", IpK,
+        multiValued = true),
       FieldDef("socks.ip",     "socksIp",      IpK, portField = Some("socksPort")),
       FieldDef("socks.port",   "socksPort",    IntegerK),
       FieldDef("tls.version",  "tlsVersion",   TermK, multiValued = true),

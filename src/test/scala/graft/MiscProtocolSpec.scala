@@ -117,6 +117,23 @@ class MiscProtocolSpec extends AnyFunSuite with SparkSpecBase {
     assert(gz.httpCookieValue.sorted == strs(wgz.get("cookieValue")))
   }
 
+  test("dns answers match goldens") {
+    val mx = run("dns-mx").head
+    val wmx = bodies("dns-mx").head.get("dns")
+    assert(mx.dnsQname.sorted == strs(wmx.get("host")))
+    assert(mx.dnsOpcode == strs(wmx.get("opcode")))
+    assert(mx.dnsQclass == strs(wmx.get("qc")))
+    assert(mx.dnsQtype == strs(wmx.get("qt")))
+    assert(mx.dnsRcode == strs(wmx.get("status")))
+    assert(mx.dnsMailserverHost.sorted == strs(wmx.get("mailserverHost")))
+    assert(mx.dnsNameserverHost.sorted == strs(wmx.get("nameserverHost")))
+    assert(mx.dnsNameserverIp.sorted == strs(wmx.get("nameserverIp")))
+    val err = run("dns-error").head
+    val werr = bodies("dns-error").head.get("dns")
+    assert(err.dnsOpcode == strs(werr.get("opcode")))
+    assert(err.dnsRcode == strs(werr.get("status")))
+  }
+
   test("misc protocol tags present") {
     def protosOf(name: String): Set[String] = run(name).flatMap(_.protocol).toSet
     assert(protosOf("stun").contains("stun"))
