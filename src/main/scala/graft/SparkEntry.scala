@@ -128,6 +128,13 @@ object SparkEntry {
     "q_expr_ip_cidr" -> ((s, dir) =>
       ipEv(s, dir).filter(ipCompiler.compile("ip.src == 10.128/10"))
         .orderBy("event_id")),
+    // Q11: tokenized textfield — analyzed phrase containment
+    "q_expr_text" -> ((s, dir) => {
+      val c = new Compiler(FieldRegistry(Seq(graft.model.FieldDef(
+        "text", "text", graft.model.FieldKind.TextK))), now = now)
+      docs(s, dir).filter(c.compile("text == \"table value\""))
+        .select("doc_id").orderBy("doc_id")
+    }),
 
     // --- E: endpoint operators (SURVEY §2.3) -----------------------------
     "e1_session_query" -> ((s, dir) => {
@@ -532,6 +539,11 @@ object SparkEntry {
          FROM events
          WHERE NOT coalesce(event_type = 'error', FALSE)
          ORDER BY event_id""",
+    "q_expr_text" ->
+      """SELECT doc_id FROM documents
+         WHERE regexp_matches(lower(text),
+           '(^|[^a-z0-9])\Qtable\E[^a-z0-9]+\Qvalue\E([^a-z0-9]|$)')
+         ORDER BY doc_id""",
     "e16_node_stats" ->
       s"""SELECT 'node' || (user_id % 4) AS node, count(*) AS n,
          ${sqlDsum("value")} AS sum_value,

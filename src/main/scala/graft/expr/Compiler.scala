@@ -215,6 +215,22 @@ final class Compiler(
 
   private def stringMatchOne(d: FieldDef, v: Value): Column => Column = {
     def tx(s: String): String = foldCase(d, d.transform.map(_.apply(s)).getOrElse(s))
+    // textfield kind: analyzed phrase match (ES match_phrase on the
+    // tokenized column) — the phrase's tokens must appear in order with
+    // token boundaries, case-insensitively (jison:670-673,700-702)
+    if (d.kind == FieldKind.TextK) {
+      val phrase = v match {
+        case Value.Bare(s)   => s
+        case Value.Quoted(s) => s
+        case other => throw new IllegalArgumentException(
+          s"textfield needs a term/phrase, got $other")
+      }
+      val toks = phrase.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+      if (toks.isEmpty) return _ => lit(false)
+      val re = "(^|[^a-z0-9])" + toks.map(java.util.regex.Pattern.quote)
+        .mkString("[^a-z0-9]+") + "([^a-z0-9]|$)"
+      return e => lower(e).rlike(re)
+    }
     v match {
       case Value.Regex(re) =>
         val full = "^(?:" + re + ")$" // ES regexp is anchored
