@@ -287,7 +287,7 @@ object SparkEntry {
     "i1_pcap_sessions" -> ((s, _) => {
       import s.implicits._
       graft.etl.SessionBuilder
-        .sessionize(s, "/root/reference/tests/pcap/socks-http-example.pcap")
+        .sessionizeRef(s, "/root/reference/tests/pcap/socks-http-example.pcap")
         .toDF()
         .select("sessionId", "firstPacket", "lastPacket", "ipProtocol",
           "srcIp", "srcPort", "dstIp", "dstPort", "totPackets", "totBytes",
@@ -297,7 +297,7 @@ object SparkEntry {
     "i8_pcap_expression" -> ((s, _) => {
       import s.implicits._
       val sessions = graft.etl.SessionBuilder
-        .sessionize(s, "/root/reference/tests/pcap/socks-http-example.pcap")
+        .sessionizeRef(s, "/root/reference/tests/pcap/socks-http-example.pcap")
         .toDF()
       val c = new Compiler(FieldRegistry.sessions, FieldRegistry.sessionCol, now)
       sessions
@@ -326,7 +326,7 @@ object SparkEntry {
     "e13_hunt" -> ((s, _) => {
       import graft.ops.Hunt
       val sessions = graft.etl.SessionBuilder
-        .sessionize(s, "/root/reference/tests/pcap/socks-http-example.pcap")
+        .sessionizeRef(s, "/root/reference/tests/pcap/socks-http-example.pcap")
       Hunt.run(sessions, Hunt.HuntConfig(
         Hunt.AsciiNeedle("GET", caseSensitive = false)))
         .select("sessionId", "segmentSeq", "huntTag")
@@ -339,7 +339,7 @@ object SparkEntry {
       val names = Seq("krb5-tcp", "ldap-simpleauth", "quic34", "smb-smbclient")
       names.map { n =>
         graft.etl.SessionBuilder
-          .sessionize(s, s"/root/reference/tests/pcap/$n.pcap").toDF()
+          .sessionizeRef(s, s"/root/reference/tests/pcap/$n.pcap").toDF()
           .withColumn("pcap", lit(n))
       }.reduce(_ unionByName _)
         .select(col("pcap"), col("sessionId"),

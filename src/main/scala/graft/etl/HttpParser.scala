@@ -66,6 +66,10 @@ object HttpParser {
             val buf = new java.io.ByteArrayOutputStream()
             var p = bodyStart
             var ok = true
+            // default when the stream drains mid-chunk (truncated capture):
+            // without this, bodyEnd stays at bodyStart and the outer walker
+            // re-parses the same message until its iteration guard
+            bodyEnd = stream.length
             while (ok && p < stream.length) {
               val lineEnd = indexOfCrlf(stream, p)
               if (lineEnd < 0) { ok = false; bodyEnd = stream.length }

@@ -99,6 +99,28 @@ object Pcap {
     }
   }
 
+  /** Parse one record slice fetched from `fileOffset` (16-byte record
+    * header + capped packet data) — the random-access counterpart of
+    * [[parseFile]], for consumers that seek to stored `packetPos` /
+    * `packetLen` slices instead of reading whole capture files (the
+    * reference's readPacket(pos) path, viewer/pcap.js).
+    */
+  def parseRecord(h: PcapHeader, rec: Array[Byte], file: String,
+      fileOffset: Long): Option[RawPacket] = {
+    if (rec.length < 16) return None
+    val order = if (h.bigEndian) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN
+    val bb = ByteBuffer.wrap(rec, 0, 16).order(order)
+    val sec = bb.getInt.toLong & 0xffffffffL
+    val frac = bb.getInt.toLong & 0xffffffffL
+    val inclLen = bb.getInt
+    val origLen = bb.getInt
+    if (inclLen < 0) return None
+    val micros = sec * 1000000L + (if (h.nanos) frac / 1000 else frac)
+    val end = math.max(16, math.min(16L + inclLen, rec.length.toLong).toInt)
+    Some(RawPacket(file, 0, micros, inclLen, origLen, fileOffset, h.linkType,
+      java.util.Arrays.copyOfRange(rec, 16, end), micros))
+  }
+
   /** IPv4 fragment reassembly over one file's packet stream, mirroring
     * moloch_packet_frags4/frags_process (capture/packet.c:470-600):
     * fragments buffer keyed (src, dst, ipId); once the no-MF fragment has

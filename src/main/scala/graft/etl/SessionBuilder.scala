@@ -85,6 +85,11 @@ object SessionBuilder {
       protocol: Seq[String],
       fileId: Seq[String],
       packetPos: Seq[Long], packetLen: Seq[Int],
+      // per-packet index into fileId — the flat analogue of the
+      // reference's negative file markers inside packetPos
+      // (viewer/apiSessions.js:1122-1125); lets consumers (hunts, packet
+      // detail) seek (file, offset, len) without re-reading whole files
+      packetFileIdx: Seq[Int],
       segmentCnt: Int, segmentSeq: Int,
       socksIp: String, socksPort: Int,
       httpMethod: Seq[String], httpUri: Seq[String], httpHost: Seq[String],
@@ -177,7 +182,7 @@ object SessionBuilder {
     *     runs after — packet.c:190,303), so the boundary falls after it.
     */
   def buildSessions(key: String, packets: Iterator[DecodedPacket],
-      node: String): Iterator[SessionRow] = {
+      node: String, testRules: Boolean = false): Iterator[SessionRow] = {
     val sorted = packets.toArray.sortBy(p => (p.tsMicros, p.file, p.index))
     if (sorted.isEmpty) return Iterator.empty
     val head = sorted.head
@@ -262,7 +267,8 @@ object SessionBuilder {
     // segment (bgp.type re-populates from each segment's messages).
     var protoAcc = Set.empty[String]
     segs.zipWithIndex.iterator.map { case (seg, idx) =>
-      val row = buildOne(key, seg, node, segs.length, idx, bgpSession = bgpActive)
+      val row = buildOne(key, seg, node, segs.length, idx,
+        bgpSession = bgpActive, testRules = testRules)
       protoAcc ++= row.protocol
       row.copy(protocol = protoAcc.toSeq.sorted)
     }
@@ -272,7 +278,7 @@ object SessionBuilder {
 
   private def buildOne(key: String, seg: Array[DecodedPacket], node: String,
       segmentCnt: Int, segmentSeq: Int,
-      bgpSession: Boolean = false): SessionRow = {
+      bgpSession: Boolean = false, testRules: Boolean = false): SessionRow = {
     val first = seg.head
     // direction 0 == first packet's source endpoint
     def dirOf(p: DecodedPacket): Int =
@@ -495,9 +501,16 @@ object SessionBuilder {
     // negotiated h2 over TLS is the http2 protocol (tls-alpn-h2 golden)
     val alpnTags =
       if (tls.exists(_.alpn.contains("h2"))) Seq("http2") else Nil
-    val protocols = (preRuleProtocols ++ alpnTags ++ SessionRules.protocolTags(
-      first.srcIp, first.dstPort, peeled.map(_._3.ip).orNull,
-      hostsForRules, preRuleProtocols)).distinct.sorted
+    // Test-fidelity rules replay the reference test deployment's
+    // rules.yaml; they are opt-in (ADVICE r2) so real traffic never picks
+    // up 'tlsrulestest'-style marker tags. Production rule sets go through
+    // the general engine, graft.ops.Rules.
+    val ruleTags =
+      if (testRules) SessionRules.protocolTags(
+        first.srcIp, first.dstPort, peeled.map(_._3.ip).orNull,
+        hostsForRules, preRuleProtocols)
+      else Nil
+    val protocols = (preRuleProtocols ++ alpnTags ++ ruleTags).distinct.sorted
 
     // shared `user` field: USER commands (ftp/pop3), SOCKS auth, RDP
     // cookie, SMTP AUTH, TDS login, Oracle connect (reference field db
@@ -516,6 +529,7 @@ object SessionBuilder {
 
     val firstMs = first.tsMicros / 1000
     val lastMs = seg.last.tsMicros / 1000
+    val fileIds = seg.map(_.file).distinct.toIndexedSeq
     SessionRow(
       sessionId = key, node = node,
       firstPacket = firstMs, lastPacket = lastMs,
@@ -546,9 +560,10 @@ object SessionBuilder {
       communityId = CommunityId.compute(first.srcIp, first.dstIp,
         first.srcPort, first.dstPort, first.ipProtocol),
       protocol = protocols,
-      fileId = seg.map(_.file).distinct.toIndexedSeq,
+      fileId = fileIds,
       packetPos = seg.map(_.fileOffset).toIndexedSeq,
       packetLen = seg.map(_.recLen).toIndexedSeq,
+      packetFileIdx = seg.map(p => fileIds.indexOf(p.file)).toIndexedSeq,
       segmentCnt = segmentCnt, segmentSeq = segmentSeq,
       socksIp = peeled.map(_._3.ip).orNull,
       socksPort = peeled.map(_._3.port).getOrElse(-1),
@@ -642,13 +657,23 @@ object SessionBuilder {
       radiusMac = radius.map(_.mac).getOrElse(Nil))
   }
 
-  /** Batch pipeline: pcap path → session rows. */
+  /** Batch pipeline: pcap path → session rows. `testRules` opts into the
+    * reference test deployment's rules.yaml marker tags (golden fidelity).
+    */
   def sessionize(spark: SparkSession, pcapPath: String,
-      node: String = "test"): Dataset[SessionRow] = {
+      node: String = "test", testRules: Boolean = false): Dataset[SessionRow] = {
     import spark.implicits._
     Pcap.readPackets(spark, pcapPath)
       .flatMap(Decode.decode(_))
       .groupByKey(sessionKey)
-      .flatMapGroups((k, ps) => buildSessions(k, ps, node))
+      .flatMapGroups((k, ps) => buildSessions(k, ps, node, testRules))
   }
+
+  /** Golden-fidelity sessionize: replays the reference test rules, as the
+    * reference's test captures were produced with tests/config.test.ini +
+    * tests/rules.yaml loaded.
+    */
+  def sessionizeRef(spark: SparkSession, pcapPath: String,
+      node: String = "test"): Dataset[SessionRow] =
+    sessionize(spark, pcapPath, node, testRules = true)
 }

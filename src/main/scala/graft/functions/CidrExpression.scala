@@ -87,8 +87,13 @@ case class IpSortableExpr(child: Expression) extends UnaryExpression {
 
 object CidrExpression {
 
-  /** Make `ip_in_cidr` / `ip_sortable` available in the session registry. */
+  /** Make `ip_in_cidr` / `ip_sortable` available in the session registry.
+    * Idempotent: skips sessions that already have them (re-registering is
+    * harmless but warns on every call).
+    */
   def register(spark: SparkSession): Unit = {
+    if (spark.sessionState.functionRegistry.functionExists(
+      org.apache.spark.sql.catalyst.FunctionIdentifier("ip_in_cidr"))) return
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "ip_in_cidr",
       exprs => {

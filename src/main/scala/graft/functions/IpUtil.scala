@@ -32,8 +32,9 @@ object IpUtil {
         val addr = java.net.InetAddress.getByName(ip).getAddress
         if (addr.length == 16) addr else v4Mapped(addr)
       } catch { case _: Exception => null }
-    } else if (ip.forall(_.isDigit)) {
-      // bare number — inet_addr semantics (32-bit value), used by shorthand
+    } else if (ip.forall(c => c >= '0' && c <= '9')) {
+      // bare number — inet_addr semantics (32-bit value), used by shorthand;
+      // ASCII digits only (Scala isDigit accepts Unicode digit classes)
       try {
         val v = ip.toLong
         if (v > 0xffffffffL) null
@@ -41,14 +42,18 @@ object IpUtil {
           ((v >> 8) & 0xff).toByte, (v & 0xff).toByte))
       } catch { case _: Exception => null }
     } else {
-      // dotted-quad v4 literal, each octet 0-255
+      // dotted-quad v4 literal, each octet 0-255; leading-zero octets are
+      // rejected rather than read as decimal (inet_addr would read them as
+      // octal — refusing beats silently diverging)
       val parts = ip.split('.')
       if (parts.length != 4) return null
       val out = new Array[Byte](4)
       var i = 0
       while (i < 4) {
         val p = parts(i)
-        if (p.isEmpty || p.length > 3 || !p.forall(_.isDigit)) return null
+        if (p.isEmpty || p.length > 3 ||
+          !p.forall(c => c >= '0' && c <= '9') ||
+          (p.length > 1 && p.charAt(0) == '0')) return null
         val v = p.toInt
         if (v > 255) return null
         out(i) = v.toByte

@@ -75,39 +75,57 @@ object Hunt {
 
   /** Run a hunt over session rows; returns the sessions with a `huntTag`
     * column (null when unmatched) — the write-back analogue.
+    *
+    * Packets are fetched by seeking each stored `(fileId, packetPos,
+    * packetLen)` slice — capture files are multi-GB in production, so a
+    * task only ever reads the bytes its sessions reference (the
+    * reference's `readPacket(pos)` path), never whole files. Offsets are
+    * grouped per file via `packetFileIdx`, so a multi-file session never
+    * misreads an offset of file A against file B.
     */
   def run(sessions: Dataset[SessionRow], cfg: HuntConfig): DataFrame = {
     val spark = sessions.sparkSession
     import spark.implicits._
     val matched = sessions.mapPartitions { rows =>
-      val fileCache = scala.collection.mutable.Map[String, Array[Byte]]()
-      def bytesOf(f0: String): Array[Byte] = {
+      // one open channel + parsed global header per referenced file,
+      // cached for the task's lifetime, closed on task completion
+      val open = scala.collection.mutable.Map[
+        String, Option[(java.io.RandomAccessFile, graft.etl.Pcap.PcapHeader)]]()
+      Option(org.apache.spark.TaskContext.get()).foreach(
+        _.addTaskCompletionListener[Unit](_ => open.values.flatten.foreach(c =>
+          try c._1.close() catch { case _: Exception => () })))
+      def channelOf(f0: String) = {
         // fileId may be a URI from the binaryFile source (file:/…)
         val f = if (f0.startsWith("file:")) new java.net.URI(f0).getPath else f0
-        fileCache.getOrElseUpdate(f,
-          java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(f)))
+        open.getOrElseUpdate(f, try {
+          val raf = new java.io.RandomAccessFile(f, "r")
+          val hdr = new Array[Byte](24)
+          raf.readFully(hdr)
+          graft.etl.Pcap.parseHeader(hdr).map((raf, _))
+        } catch { case _: Exception => None })
       }
+      def readPacket(raf: java.io.RandomAccessFile,
+          hdr: graft.etl.Pcap.PcapHeader, f: String, pos: Long, len: Int) =
+        try {
+          val rec = new Array[Byte](len)
+          raf.seek(pos)
+          raf.readFully(rec)
+          graft.etl.Pcap.parseRecord(hdr, rec, f, pos)
+        } catch { case _: Exception => None }
       rows.map { s =>
-        // Scan every pcap file this session references — a long session's
-        // packets can span files. The packetPos filter keeps only this
-        // segment's packets within each file.
-        val wanted = s.packetPos.toSet
-        val hit = s.fileId.exists { f =>
-          val all =
-            try bytesOf(f)
-            catch { case _: Exception => Array.empty[Byte] }
-          if (all.isEmpty) false
-          else {
-            val packets = graft.etl.Pcap.parseFile(all, f)
-              .filter(p => wanted.contains(p.fileOffset))
-              .flatMap(graft.etl.Decode.decode(_))
-              .toSeq
-            def dirOf(p: graft.etl.Decode.DecodedPacket): Int =
-              if (p.srcIp == s.srcIp && p.srcPort == s.srcPort) 0 else 1
-            packets.exists { p =>
-              p.payload.nonEmpty &&
-                ((cfg.src && dirOf(p) == 0) || (cfg.dst && dirOf(p) == 1)) &&
-                cfg.needle.matches(p.payload)
+        def dirOf(p: graft.etl.Decode.DecodedPacket): Int =
+          if (p.srcIp == s.srcIp && p.srcPort == s.srcPort) 0 else 1
+        // exists short-circuits: a session stops reading at its first hit
+        val hit = s.packetPos.indices.exists { i =>
+          s.fileId.lift(s.packetFileIdx(i)).exists { f =>
+            channelOf(f).exists { case (raf, hdr) =>
+              readPacket(raf, hdr, f, s.packetPos(i), s.packetLen(i))
+                .toSeq.flatMap(graft.etl.Decode.decode(_))
+                .exists { p =>
+                  p.payload.nonEmpty &&
+                    ((cfg.src && dirOf(p) == 0) || (cfg.dst && dirOf(p) == 1)) &&
+                    cfg.needle.matches(p.payload)
+                }
             }
           }
         }

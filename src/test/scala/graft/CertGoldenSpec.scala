@@ -14,7 +14,7 @@ class CertGoldenSpec extends AnyFunSuite with SparkSpecBase {
     n.elements().asScala.map(_.asText()).toSeq
 
   test("https2-301-get: certificate chain fields match golden") {
-    val got = SessionBuilder.sessionize(spark,
+    val got = SessionBuilder.sessionizeRef(spark,
       "/root/reference/tests/pcap/https2-301-get.pcap").collect()
     assert(got.length == 1)
     val certs = got.head.cert
@@ -44,7 +44,7 @@ class CertGoldenSpec extends AnyFunSuite with SparkSpecBase {
   test("nested cert fields are queryable through the expression language") {
     import graft.expr.Compiler
     import graft.model.FieldRegistry
-    val sessions = SessionBuilder.sessionize(spark,
+    val sessions = SessionBuilder.sessionizeRef(spark,
       "/root/reference/tests/pcap/https2-301-get.pcap").toDF()
     val c = new Compiler(FieldRegistry.sessions, FieldRegistry.sessionCol,
       SparkEntry.now)

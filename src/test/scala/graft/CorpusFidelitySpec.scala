@@ -33,7 +33,7 @@ class CorpusFidelitySpec extends AnyFunSuite with SparkSpecBase {
               .elements().asScala.map(_.get("body")).toSeq
               .map(b => (b.get("network").get("packets").asLong(),
                 b.get("network").get("bytes").asLong())).sorted
-            val got = SessionBuilder.sessionize(spark, p).collect()
+            val got = SessionBuilder.sessionizeRef(spark, p).collect()
               .map(r => (r.totPackets, r.totBytes)).toSeq.sorted
             if (got == want) full += 1 else mismatches += name
           } catch { case _: Exception => mismatches += name }

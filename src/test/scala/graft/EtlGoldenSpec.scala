@@ -35,7 +35,7 @@ class EtlGoldenSpec extends AnyFunSuite with SparkSpecBase {
   }
 
   private def run(name: String): Seq[SessionBuilder.SessionRow] =
-    SessionBuilder.sessionize(spark, s"/root/reference/tests/pcap/$name.pcap")
+    SessionBuilder.sessionizeRef(spark, s"/root/reference/tests/pcap/$name.pcap")
       .collect().toSeq.sortBy(_.firstPacket)
 
   private def longs(n: JsonNode): Seq[Long] =

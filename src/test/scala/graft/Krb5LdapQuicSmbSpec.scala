@@ -21,7 +21,7 @@ class Krb5LdapQuicSmbSpec extends AnyFunSuite with SparkSpecBase {
 
   test("krb5 tcp and udp: realm/cname/sname") {
     for (name <- Seq("krb5-tcp", "krb5-udp")) {
-      val got = SessionBuilder.sessionize(spark,
+      val got = SessionBuilder.sessionizeRef(spark,
         s"/root/reference/tests/pcap/$name.pcap").collect()
         .filter(_.protocol.contains("krb5"))
       assert(got.nonEmpty, name)
@@ -35,7 +35,7 @@ class Krb5LdapQuicSmbSpec extends AnyFunSuite with SparkSpecBase {
 
   test("ldap: authtype + bindname") {
     for (name <- Seq("ldap-simpleauth", "ldap-and-search")) {
-      val got = SessionBuilder.sessionize(spark,
+      val got = SessionBuilder.sessionizeRef(spark,
         s"/root/reference/tests/pcap/$name.pcap").collect()
         .filter(_.protocol.contains("ldap"))
       assert(got.nonEmpty, name)
@@ -47,7 +47,7 @@ class Krb5LdapQuicSmbSpec extends AnyFunSuite with SparkSpecBase {
   }
 
   test("ldap-ssl: STARTTLS remainder classifies as tls too") {
-    val got = SessionBuilder.sessionize(spark,
+    val got = SessionBuilder.sessionizeRef(spark,
       "/root/reference/tests/pcap/ldap-ssl.pcap").collect()
     assert(got.nonEmpty)
     val protos = got.head.protocol
@@ -56,7 +56,7 @@ class Krb5LdapQuicSmbSpec extends AnyFunSuite with SparkSpecBase {
 
   test("quic: host/useragent/version for Q024-Q043") {
     for (name <- Seq("quic24-wireshark", "quic33-wireshark", "quic34", "quic43")) {
-      val got = SessionBuilder.sessionize(spark,
+      val got = SessionBuilder.sessionizeRef(spark,
         s"/root/reference/tests/pcap/$name.pcap").collect()
         .filter(_.protocol.contains("quic"))
       assert(got.nonEmpty, name)
@@ -72,7 +72,7 @@ class Krb5LdapQuicSmbSpec extends AnyFunSuite with SparkSpecBase {
     // smb-port80 has no smb body in its golden (classification only)
     for (name <- Seq("smb-smbclient", "smb-smb1-ascii", "smb-port80",
         "smbtorture-ntlmssp", "smbtorture-ntlmssp-moloch-crash")) {
-      val got = SessionBuilder.sessionize(spark,
+      val got = SessionBuilder.sessionizeRef(spark,
         s"/root/reference/tests/pcap/$name.pcap").collect()
         .filter(_.protocol.contains("smb"))
       assert(got.nonEmpty, name)

@@ -17,7 +17,7 @@ class MiscParsersGoldenSpec extends AnyFunSuite with SparkSpecBase {
     n.elements().asScala.map(_.asText()).toSeq
 
   test("irc: nick + channel") {
-    val got = SessionBuilder.sessionize(spark,
+    val got = SessionBuilder.sessionizeRef(spark,
       "/root/reference/tests/pcap/irc.pcap").collect()
       .filter(_.protocol.contains("irc"))
     assert(got.nonEmpty)
@@ -28,7 +28,7 @@ class MiscParsersGoldenSpec extends AnyFunSuite with SparkSpecBase {
   }
 
   test("postgres-good: user/db/app") {
-    val got = SessionBuilder.sessionize(spark,
+    val got = SessionBuilder.sessionizeRef(spark,
       "/root/reference/tests/pcap/postgres-good.pcap").collect()
       .filter(_.protocol.contains("postgresql"))
     assert(got.nonEmpty)
@@ -41,7 +41,7 @@ class MiscParsersGoldenSpec extends AnyFunSuite with SparkSpecBase {
 
   test("mysql-allow and mysql-deny: version + user") {
     for (name <- Seq("mysql-allow", "mysql-deny")) {
-      val got = SessionBuilder.sessionize(spark,
+      val got = SessionBuilder.sessionizeRef(spark,
         s"/root/reference/tests/pcap/$name.pcap").collect()
         .filter(_.protocol.contains("mysql"))
       assert(got.nonEmpty, name)

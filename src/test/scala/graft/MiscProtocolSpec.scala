@@ -22,7 +22,7 @@ class MiscProtocolSpec extends AnyFunSuite with SparkSpecBase {
   private def ints(n: com.fasterxml.jackson.databind.JsonNode): Seq[Int] =
     if (n == null) Nil else n.elements().asScala.map(_.asInt()).toSeq.sorted
   private def run(name: String) =
-    SessionBuilder.sessionize(spark, s"/root/reference/tests/pcap/$name.pcap")
+    SessionBuilder.sessionizeRef(spark, s"/root/reference/tests/pcap/$name.pcap")
       .collect().toSeq
 
   test("icmp type/code match goldens") {
@@ -168,7 +168,7 @@ class MiscProtocolSpec extends AnyFunSuite with SparkSpecBase {
             val want = mapper.readTree(goldenFile).get("sessions3")
               .elements().asScala.map(_.get("body")).toSeq
               .map(b => strs(b.get("protocol")).mkString("+")).sorted
-            val got = SessionBuilder.sessionize(spark, p).collect()
+            val got = SessionBuilder.sessionizeRef(spark, p).collect()
               .map(_.protocol.sorted.mkString("+")).toSeq.sorted
             if (got == want) matched += 1 else mismatches += name
           } catch { case _: Exception => mismatches += name }

@@ -10,7 +10,7 @@ import graft.ops.{Endpoints, Enrich, Hunt, Rules}
 
 class OpsSpec extends AnyFunSuite with SparkSpecBase {
 
-  private lazy val sessions = SessionBuilder.sessionize(spark,
+  private lazy val sessions = SessionBuilder.sessionizeRef(spark,
     "/root/reference/tests/pcap/socks-http-example.pcap").cache()
 
   test("hunt: ascii needle finds example.com sessions, hex needle finds socks4 magic") {

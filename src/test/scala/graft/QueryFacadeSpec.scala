@@ -10,7 +10,7 @@ import graft.query.SessionQueryBuilder
 
 class QueryFacadeSpec extends AnyFunSuite with SparkSpecBase {
 
-  private lazy val sessions = SessionBuilder.sessionize(spark,
+  private lazy val sessions = SessionBuilder.sessionizeRef(spark,
     "/root/reference/tests/pcap/socks-http-example.pcap").toDF().cache()
 
   test("builder: time range + expression + forced compose") {

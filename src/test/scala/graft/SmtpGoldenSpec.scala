@@ -14,7 +14,7 @@ class SmtpGoldenSpec extends AnyFunSuite with SparkSpecBase {
     n.elements().asScala.map(_.asText()).toSeq
 
   test("smtp-data-521: envelope + message headers match golden") {
-    val got = SessionBuilder.sessionize(spark,
+    val got = SessionBuilder.sessionizeRef(spark,
       "/root/reference/tests/pcap/smtp-data-521.pcap").collect()
     assert(got.length == 1)
     val g = got.head

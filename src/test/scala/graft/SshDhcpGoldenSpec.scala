@@ -15,7 +15,7 @@ class SshDhcpGoldenSpec extends AnyFunSuite with SparkSpecBase {
     n.elements().asScala.map(_.asText()).toSeq
 
   test("ssh2: versions, hassh, hasshServer, host key match golden") {
-    val got = SessionBuilder.sessionize(spark,
+    val got = SessionBuilder.sessionizeRef(spark,
       "/root/reference/tests/pcap/ssh2.pcap").collect()
     assert(got.length == 1)
     val g = got.head
@@ -30,7 +30,7 @@ class SshDhcpGoldenSpec extends AnyFunSuite with SparkSpecBase {
   }
 
   test("wireshark-dhcp: xid, mac, message types match golden") {
-    val got = SessionBuilder.sessionize(spark,
+    val got = SessionBuilder.sessionizeRef(spark,
       "/root/reference/tests/pcap/wireshark-dhcp.pcap").collect()
       .sortBy(_.firstPacket)
     val want = mapper.readTree(new java.io.File(

@@ -9,7 +9,7 @@ import graft.functions.IpFunctions
 class StoreAndCidrSpec extends AnyFunSuite with SparkSpecBase {
 
   test("day-partitioned session store prunes partitions on time range") {
-    val sessions = SessionBuilder.sessionize(spark,
+    val sessions = SessionBuilder.sessionizeRef(spark,
       "/root/reference/tests/pcap/socks-http-example.pcap")
     val path = java.nio.file.Files.createTempDirectory("sessions").toString
     SessionStore.write(sessions, path)
@@ -28,7 +28,7 @@ class StoreAndCidrSpec extends AnyFunSuite with SparkSpecBase {
   }
 
   test("codegen ip_in_cidr matches UDF semantics and stays in codegen") {
-    val sessions = SessionBuilder.sessionize(spark,
+    val sessions = SessionBuilder.sessionizeRef(spark,
       "/root/reference/tests/pcap/socks-http-example.pcap").toDF()
     val filtered = sessions.filter(IpFunctions.ipInCidr(col("srcIp"), "10.180.0.0/16"))
     assert(filtered.count() == 3)

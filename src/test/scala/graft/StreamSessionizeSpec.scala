@@ -39,7 +39,7 @@ class StreamSessionizeSpec extends AnyFunSuite with SparkSpecBase {
         .as[SessionBuilder.SessionRow].collect()
         .filter(_.srcIp != "203.0.113.99")
         .sortBy(_.firstPacket)
-      val batch = SessionBuilder.sessionize(spark, pcap)
+      val batch = SessionBuilder.sessionizeRef(spark, pcap)
         .collect().sortBy(_.firstPacket)
       assert(streamed.length == batch.length)
       streamed.zip(batch).foreach { case (s, b) =>

