@@ -30,6 +30,69 @@ class OpsSpec extends AnyFunSuite with SparkSpecBase {
     assert(re.filter(col("huntTag").isNotNull).count() >= 1)
   }
 
+  test("hunt: multi-file session reads each file's own offsets only") {
+    // Two pcap files; flow X spans both. File 2 holds a foreign flow's
+    // packet at the SAME offset as X's packet in file 1 — a bare offset
+    // union (the old behavior) would scan that foreign payload as part of
+    // session X and false-hit the needle.
+    def udpPacket(srcIp: Array[Byte], dstIp: Array[Byte], sport: Int,
+        dport: Int, payload: Array[Byte]): Array[Byte] = {
+      val ipLen = 20 + 8 + payload.length
+      val bb = java.nio.ByteBuffer.allocate(14 + ipLen)
+      bb.put(Array.fill[Byte](12)(0x02)).putShort(0x0800.toShort) // eth
+      bb.put(0x45.toByte).put(0.toByte).putShort(ipLen.toShort)
+        .putShort(1.toShort).putShort(0.toShort)
+        .put(64.toByte).put(17.toByte).putShort(0.toShort)
+        .put(srcIp).put(dstIp)
+      bb.putShort(sport.toShort).putShort(dport.toShort)
+        .putShort((8 + payload.length).toShort).putShort(0.toShort)
+      bb.put(payload)
+      bb.array()
+    }
+    def pcapFile(records: Seq[(Long, Array[Byte])]): Array[Byte] = {
+      val total = 24 + records.map(16 + _._2.length).sum
+      val bb = java.nio.ByteBuffer.allocate(total)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(0xa1b2c3d4).putShort(2).putShort(4).putInt(0).putInt(0)
+        .putInt(65535).putInt(1)
+      records.foreach { case (sec, pkt) =>
+        bb.putInt(sec.toInt).putInt(0).putInt(pkt.length).putInt(pkt.length)
+        bb.put(pkt)
+      }
+      bb.array()
+    }
+    val ipA = Array[Byte](10, 0, 0, 1)
+    val ipB = Array[Byte](10, 0, 0, 2)
+    val ipC = Array[Byte](10, 0, 0, 3)
+    val x1 = udpPacket(ipA, ipB, 1111, 2222,
+      "x-first-packet".getBytes("ISO-8859-1"))
+    val z1 = udpPacket(ipC, ipB, 3333, 4444,
+      "SECRET-foreign-payload".getBytes("ISO-8859-1"))
+    val x2 = udpPacket(ipA, ipB, 1111, 2222,
+      "x-second-packet".getBytes("ISO-8859-1"))
+    // pad z1's record so x1 (file1@24) and z1 (file2@24) share offset 24
+    val dir = java.nio.file.Files.createTempDirectory("huntmf")
+    java.nio.file.Files.write(dir.resolve("a.pcap"),
+      pcapFile(Seq((1000L, x1))))
+    java.nio.file.Files.write(dir.resolve("b.pcap"),
+      pcapFile(Seq((1000L, z1), (1001L, x2))))
+    val ses = SessionBuilder.sessionize(spark, dir.toString)
+    val x = ses.filter(_.srcPort == 1111).collect()
+    assert(x.length == 1 && x.head.fileId.length == 2)
+    // needle only in the foreign flow: session X must NOT match
+    val hunted = Hunt.run(ses, Hunt.HuntConfig(
+      Hunt.AsciiNeedle("SECRET", caseSensitive = true)))
+    val tags = hunted.select("srcPort", "huntTag").collect()
+      .map(r => r.getInt(0) -> Option(r.getString(1))).toMap
+    assert(tags(3333).contains("hunt-match"))
+    assert(tags(1111).isEmpty)
+    // a needle in X's second file still hits via per-file offsets
+    val hit2 = Hunt.run(ses, Hunt.HuntConfig(
+      Hunt.AsciiNeedle("x-second", caseSensitive = true)))
+    assert(hit2.filter(col("srcPort") === 1111 &&
+      col("huntTag").isNotNull).count() == 1)
+  }
+
   test("rules: tag-on-match, set-field, drop") {
     val df = sessions.toDF()
     val out = Rules.apply(df, Seq(
