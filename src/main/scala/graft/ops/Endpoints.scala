@@ -148,11 +148,21 @@ object Endpoints {
     val grouped = df.filter(nonNull)
       .groupBy(fields.map(col): _*)
       .agg(count(lit(1)).as("cnt"))
-    // Rank each level within its prefix; keep rows inside top-K at every
-    // level. Level total = window sum over the level's group; rank = dense
-    // rank of that total within the parent prefix (deterministic tie-break
-    // on the value itself).
-    val ranked = fields.indices.foldLeft(grouped) { (acc, i) =>
+    // Level 0 has no parent prefix — ranking it with a window would move
+    // every grouped row to a single task (partition-less WindowExec). Its
+    // top-K is a plain aggregate + TakeOrderedAndProject, semi-joined back
+    // broadcast (the spigraph pattern). The tie-break (total desc, value
+    // asc) is total, so limit(k) keeps exactly the dense_rank<=k rows.
+    val top0 = grouped.groupBy(col(fields.head))
+      .agg(sum("cnt").as("_tot0"))
+      .orderBy(col("_tot0").desc, col(fields.head).asc)
+      .limit(k)
+      .select(fields.head)
+    val level0 = grouped.join(broadcast(top0), Seq(fields.head), "left_semi")
+    // Levels >= 1 rank within their (non-empty) parent prefix: level total
+    // = window sum over the level's group; rank = dense rank of that total
+    // within the prefix, tie-broken on the value itself.
+    val ranked = (1 until fields.length).foldLeft(level0) { (acc, i) =>
       val prefix = fields.take(i).map(col)
       val level = fields.take(i + 1).map(col)
       acc
@@ -161,7 +171,8 @@ object Endpoints {
           Window.partitionBy(prefix: _*)
             .orderBy(col(s"_tot$i").desc, col(fields(i)).asc)))
     }
-    val keep = fields.indices.map(i => col(s"_rk$i") <= k).reduce(_ && _)
+    val keep = (1 until fields.length).map(i => col(s"_rk$i") <= k)
+      .foldLeft(lit(true))(_ && _)
     ranked.filter(keep)
       .select((fields.map(col) :+ col("cnt")): _*)
       .orderBy(fields.map(col): _*)
@@ -278,11 +289,15 @@ object Endpoints {
       .select(col("p.field"), col("p.value"))
       .filter(col("value").isNotNull)
     val counted = pairs.groupBy("field", "value").agg(count(lit(1)).as("cnt"))
-    val w = Window.partitionBy(col("field"))
-      .orderBy(col("cnt").desc, col("value").asc)
-    counted.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select("field", "value", "cnt", "rk")
+    // per-field top-K via the bounded-heap aggregate: a window partitioned
+    // by field would hold EVERY distinct value of a field in one task
+    val topk = graft.functions.TopK.stringIds(k)
+    counted
+      .groupBy(col("field"))
+      .agg(topk(col("cnt").cast("double"), col("value")).as("top"))
+      .select(col("field"), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("field"), col("s.id").as("value"),
+        col("s.score").cast("long").as("cnt"), (col("pos") + 1).as("rk"))
       .orderBy("field", "rk")
   }
 

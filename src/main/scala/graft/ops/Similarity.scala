@@ -1,15 +1,19 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+
+import graft.functions.TopK
 
 /** Approximate-nearest-neighbor search over embedding columns.
   *
   * Scale design (100 TB):
   *   - brute-force top-k broadcasts the (small) query set and computes
-  *     cosine inside codegen: one scan of the corpus, no shuffle except
-  *     the final per-query top-k (window over query partitions);
+  *     cosine inside codegen: one scan of the corpus, no shuffle of the
+  *     scored pairs — per-query top-k runs as a bounded-heap aggregate
+  *     ([[graft.functions.TopK]]), partial map-side (≤ k rows per query
+  *     per partition cross the wire), never a row_number window that
+  *     would gather a query's whole candidate set into one task;
   *   - the LSH variant buckets both sides by random-hyperplane sign
   *     signatures; the join touches only same-bucket rows, cutting the
   *     candidate set by ~2^planes. Buckets are the IVF cell analogue —
@@ -17,6 +21,22 @@ import org.apache.spark.sql.functions._
   *     queries are shuffle-free.
   */
 object Similarity {
+
+  /** Per-query top-k of scored candidate rows via the bounded-heap
+    * aggregate; emits (query_id, neighbor_id, cosine, rk) in rank order —
+    * the exact rows `row_number over (partition by query_id order by
+    * cosine desc, neighbor_id)  <= k` would keep.
+    */
+  private def perQueryTopK(scored: DataFrame, k: Int): DataFrame = {
+    val topk = TopK.longIds(k)
+    scored
+      .groupBy(col("query_id"))
+      .agg(topk(col("cosine"), col("neighbor_id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("query_id"), col("s.id").as("neighbor_id"),
+        col("s.score").as("cosine"), (col("pos") + 1).as("rk"))
+      .orderBy("query_id", "rk")
+  }
 
   /** float[] → double[] (deterministic widening; matches SQL CAST). */
   def toDouble(vec: Column): Column = transform(vec, x => x.cast("double"))
@@ -88,12 +108,7 @@ object Similarity {
     val scored = c.crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine", dotBin(col("qv"), col("cv")) / (col("qn") * col("cn")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select("query_id", "neighbor_id", "cosine", "rk")
-      .orderBy("query_id", "rk")
+    perQueryTopK(scored, k)
   }
 
   /** Deterministic pseudo-random hyperplanes: component i of plane p is
@@ -127,14 +142,18 @@ object Similarity {
       nCells: Int = 8, nProbe: Int = 1): DataFrame = {
     val cents = corpus.filter(col(idCol) < nCells)
       .select(col(idCol).as("cell"), toDouble(col(vecCol)).as("centv"))
+    // nearest `keep` cells per vector — a bounded-heap aggregate keyed by
+    // the vector id (the vector rides along via first(), constant per id)
     def assign(df: DataFrame, id: String, keep: Int): DataFrame = {
-      val scored = df.select(col(idCol).as(id), toDouble(col(vecCol)).as(s"${id}_v"))
+      val topCells = TopK.longIds(keep)
+      df.select(col(idCol).as(id), toDouble(col(vecCol)).as("v"))
         .crossJoin(broadcast(cents))
-        .withColumn("cdot", dot(col(s"${id}_v"), col("centv")))
-      val w = Window.partitionBy(col(id)).orderBy(col("cdot").desc, col("cell").asc)
-      scored.withColumn("crk", row_number().over(w))
-        .filter(col("crk") <= keep)
-        .select(col(id), pack(col(s"${id}_v")).as(s"${id}_p"), col("cell"))
+        .withColumn("cdot", dot(col("v"), col("centv")))
+        .groupBy(col(id))
+        .agg(topCells(col("cdot"), col("cell")).as("cells"),
+          first(col("v")).as("v"))
+        .select(col(id), pack(col("v")).as(s"${id}_p"),
+          explode(col("cells.id")).as("cell"))
     }
     val corpusCells = assign(corpus, "neighbor_id", 1)
     val queryCells = assign(queries, "query_id", nProbe)
@@ -142,12 +161,7 @@ object Similarity {
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine", dotBin(col("query_id_p"), col("neighbor_id_p")) /
         (normBin(col("query_id_p")) * normBin(col("neighbor_id_p"))))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select("query_id", "neighbor_id", "cosine", "rk")
-      .orderBy("query_id", "rk")
+    perQueryTopK(scored, k)
   }
 
   /** LSH-bucketed cosine top-k: same contract as [[bruteForceTopK]] but
@@ -168,11 +182,6 @@ object Similarity {
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine", dotBin(col("qv"), col("cv")) / (col("qn") * col("cn")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select("query_id", "neighbor_id", "cosine", "rk")
-      .orderBy("query_id", "rk")
+    perQueryTopK(scored, k)
   }
 }

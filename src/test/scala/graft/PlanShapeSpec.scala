@@ -45,4 +45,40 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpecBase {
     val p = plan("e6_spigraph")
     assert(p.contains("LeftSemi") && p.contains("BroadcastHashJoin"))
   }
+
+  // A Window with an empty partition spec ships every row to ONE task —
+  // the plans below must never contain one (hierarchy level-0 and ANN
+  // top-k previously did; both now use top-K aggregates instead).
+  private def partitionlessWindows(q: String) = {
+    spark.catalog.clearCache()
+    SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+        if w.partitionSpec.isEmpty => w
+    }
+  }
+
+  test("hierarchy plan has no partition-less window") {
+    assert(partitionlessWindows("e7_hierarchy").isEmpty)
+  }
+
+  test("ANN top-k plans have no window at all") {
+    for (q <- Seq("s1_ann_bruteforce", "s2_ann_lsh", "s3_ann_ivf")) {
+      spark.catalog.clearCache()
+      val p = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan
+      val windows = p.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(windows.isEmpty, s"$q still ranks via WindowExec")
+      assert(p.toString.contains("ObjectHashAggregate"),
+        s"$q should aggregate with the bounded-heap TopK")
+    }
+  }
+
+  test("spiview plan has no window") {
+    assert(partitionlessWindows("e5_spiview_multi").isEmpty)
+    spark.catalog.clearCache()
+    val p = SparkEntry.queries("e5_spiview_multi")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Window"))
+  }
 }
