@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 
 import graft.expr.Compiler
 import graft.model.FieldRegistry
-import graft.ops.{Dedup, Endpoints, Multimodal, Sessionize, Similarity, TextOps}
+import graft.ops.{Dedup, Endpoints, Enrich, Multimodal, Sessionize, Similarity, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -128,6 +128,39 @@ object SparkEntry {
     "q_expr_ip_cidr" -> ((s, dir) =>
       ipEv(s, dir).filter(ipCompiler.compile("ip.src == 10.128/10"))
         .orderBy("event_id")),
+    // Q17: `host` meta-field fan-out over every hostname column — derived
+    // host columns on the events table let DuckDB oracle the OR expansion
+    // (the pcap-side fan-out is golden-pinned in ExprCompilerSpec).
+    "q_expr_host_meta" -> ((s, dir) => {
+      val d = ev(s, dir).select(
+        col("event_id"),
+        array(concat(lit("h"), col("user_id") % 50, lit(".example.com")))
+          .as("httpHost"),
+        array(concat(lit("d"), col("event_id") % 97, lit(".example.org")))
+          .as("dnsQname"),
+        array(concat(lit("h"), col("event_id") % 50, lit(".example.com")))
+          .as("quicHost"),
+        array().cast("array<string>").as("dnsMailserverHost"),
+        array().cast("array<string>").as("dnsNameserverHost"),
+        array().cast("array<string>").as("smbHost"))
+      val c = new Compiler(FieldRegistry.sessions, FieldRegistry.sessionCol, now)
+      d.filter(c.compile("host == [h7.example.com, d1*.example.org]"))
+        .select("event_id").orderBy("event_id")
+    }),
+    // Q16: `file ==` fileand — filename resolves through the files
+    // dimension to (node, fileId) OR-terms before filtering
+    "q16_fileand" -> ((s, dir) => {
+      val d = ev(s, dir).select(col("event_id"),
+        concat(lit("node"), col("event_id") % 3).as("node"),
+        array(concat(lit("/data/pcap/cap-"), col("event_id") % 7,
+          lit(".pcap"))).as("fileId"))
+      val filesDim = for (n <- 0 until 3; k <- 0 until 7) yield
+        graft.model.FileEntry(s"cap-$k.pcap", s"node$n", s"/data/pcap/cap-$k.pcap")
+      val c = new Compiler(FieldRegistry.sessions, FieldRegistry.sessionCol,
+        now, files = filesDim)
+      d.filter(c.compile("file == cap-3.pcap"))
+        .select("event_id").orderBy("event_id")
+    }),
     // Q11: tokenized textfield — analyzed phrase containment
     "q_expr_text" -> ((s, dir) => {
       val c = new Compiler(FieldRegistry(Seq(graft.model.FieldDef(
@@ -210,6 +243,11 @@ object SparkEntry {
     "e8_unique_autocomplete" -> ((s, dir) =>
       Endpoints.unique(ev(s, dir), col("event_type"), "event_type",
         counts = true, autocompletePrefix = Some("p"))),
+    // E8 pair mode: unique "ip:port" keys over a synthetic endpoint pair
+    "e8_unique_ippair" -> ((s, dir) =>
+      Endpoints.uniquePairs(
+        ipEv(s, dir).withColumn("srcPort", col("event_id") % 1000 + 1000),
+        col("srcIp"), col("srcPort"), "pair")),
     "e10_connections_baseline" -> ((s, dir) => {
       val e = ev(s, dir)
       val cur = e.filter(col("ts") >= lit("2024-01-16 00:00:00").cast("timestamp"))
@@ -222,6 +260,28 @@ object SparkEntry {
         .groupBy(col("o_orderkey"))
         .agg(count(lit(1)).as("n_lines"), dsum(col("l_quantity")).as("sum_qty"))
         .orderBy(col("o_orderkey")).limit(1000)
+    }),
+
+    // --- I11: duplicate-packet suppression (windowed content hash) ------
+    "i11_packet_dedup" -> ((s, dir) => {
+      val e = ev(s, dir)
+        .filter(col("user_id").isNotNull && col("event_type").isNotNull)
+        .withColumn("hash", concat(col("event_type"), lit("|"), col("user_id")))
+      Enrich.dedupPackets(e, Seq("hash"), col("ts"), 3600)
+        .groupBy(col("hash")).agg(count(lit(1)).as("n"))
+        .orderBy(col("hash"))
+    }),
+
+    // --- I13: WISE intel lookup (key -> field=value set) -----------------
+    "i13_wise" -> ((s, dir) => {
+      import s.implicits._
+      val intel = Seq(
+        ("purchase", "category", "money"), ("purchase", "risk", "low"),
+        ("error", "risk", "high")).toDF("key", "field", "value")
+      Enrich.wiseLookup(ev(s, dir), col("event_type"), intel)
+        .select(col("event_id"),
+          array_join(array_sort(col("intel")), ",").as("intel"))
+        .orderBy(col("event_id"))
     }),
 
     // --- I4: sessionization (batch gaps-and-islands) ---------------------
@@ -544,6 +604,28 @@ object SparkEntry {
          WHERE regexp_matches(lower(text),
            '(^|[^a-z0-9])\Qtable\E[^a-z0-9]+\Qvalue\E([^a-z0-9]|$)')
          ORDER BY doc_id""",
+    "q16_fileand" ->
+      """WITH d AS (SELECT event_id,
+           'node' || (event_id % 3) AS node,
+           '/data/pcap/cap-' || (event_id % 7) || '.pcap' AS f
+         FROM events)
+         SELECT event_id FROM d
+         WHERE (node = 'node0' AND f = '/data/pcap/cap-3.pcap')
+            OR (node = 'node1' AND f = '/data/pcap/cap-3.pcap')
+            OR (node = 'node2' AND f = '/data/pcap/cap-3.pcap')
+         ORDER BY event_id""",
+    "q_expr_host_meta" ->
+      """WITH d AS (SELECT event_id,
+           'h' || (user_id % 50) || '.example.com' AS hh,
+           'd' || (event_id % 97) || '.example.org' AS dh,
+           'h' || (event_id % 50) || '.example.com' AS qh
+         FROM events)
+         SELECT event_id FROM d
+         WHERE hh = 'h7.example.com' OR dh = 'h7.example.com'
+            OR qh = 'h7.example.com'
+            OR hh LIKE 'd1%.example.org' OR dh LIKE 'd1%.example.org'
+            OR qh LIKE 'd1%.example.org'
+         ORDER BY event_id""",
     "e16_node_stats" ->
       s"""SELECT 'node' || (user_id % 4) AS node, count(*) AS n,
          ${sqlDsum("value")} AS sum_value,
@@ -647,6 +729,28 @@ object SparkEntry {
       """SELECT event_type, count(*) AS cnt FROM events
          WHERE event_type IS NOT NULL AND event_type LIKE 'p%'
          GROUP BY event_type ORDER BY cnt DESC, event_type ASC LIMIT 10000""",
+    "i11_packet_dedup" ->
+      """WITH d AS (SELECT DISTINCT
+           event_type || '|' || user_id AS hash,
+           CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS w
+         FROM events
+         WHERE user_id IS NOT NULL AND event_type IS NOT NULL)
+         SELECT hash, count(*) AS n FROM d GROUP BY hash ORDER BY hash""",
+    "i13_wise" ->
+      """WITH intel AS (SELECT * FROM (VALUES
+           ('purchase', 'category=money'), ('purchase', 'risk=low'),
+           ('error', 'risk=high')) t(key, fv)),
+         agg AS (SELECT key, string_agg(fv, ',' ORDER BY fv) AS intel
+                 FROM intel GROUP BY key)
+         SELECT event_id, intel FROM events
+         LEFT JOIN agg ON event_type = key ORDER BY event_id""",
+    "e8_unique_ippair" ->
+      """WITH d AS (SELECT
+           '10.' || (user_id % 250) || '.' || (event_id % 200) || '.1'
+             || ':' || (event_id % 1000 + 1000) AS pair
+         FROM events WHERE user_id IS NOT NULL)
+         SELECT pair, count(*) AS cnt FROM d
+         GROUP BY pair ORDER BY cnt DESC, pair ASC LIMIT 10000""",
     "e10_connections_baseline" ->
       """WITH nodes AS (
            SELECT CAST(user_id AS VARCHAR) AS node, 1 AS flag FROM events

@@ -6,7 +6,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 import graft.functions.{IpFunctions, IpUtil}
-import graft.model.{FieldDef, FieldKind, FieldRegistry}
+import graft.model.{FieldDef, FieldKind, FieldRegistry, FileEntry}
 
 /** Compile a Moloch search expression to a Spark `Column` predicate.
   *
@@ -35,7 +35,8 @@ final class Compiler(
     now: Instant = Instant.now(),
     shortcuts: Map[String, Seq[String]] = Map.empty,
     views: Map[String, String] = Map.empty,
-    maxDepth: Int = 10) {
+    maxDepth: Int = 10,
+    files: Seq[FileEntry] = Nil) {
 
   import Ast._
   import CmpOp._
@@ -88,6 +89,9 @@ final class Compiler(
     case Cmp("view", op, value) =>
       val ast1 = viewAst(value, depth)
       if (op == Ne) neg(ast1, depth + 1) else toCol(ast1, depth + 1)
+    case Cmp("file", Eq, value) if files.nonEmpty => fileAnd(value)
+    case Cmp("file", Ne, value) if files.nonEmpty =>
+      !coalesce(fileAnd(value), lit(false))
     case Cmp(field, Ne, value) =>
       neg(Cmp(field, Eq, value), depth)
     case Cmp(field, op, value0) =>
@@ -109,6 +113,9 @@ final class Compiler(
     case Cmp("view", op, value) =>
       val ast1 = viewAst(value, depth)
       if (op == Ne) toCol(ast1, depth + 1) else neg(ast1, depth + 1)
+    case Cmp("file", Eq, value) if files.nonEmpty =>
+      !coalesce(fileAnd(value), lit(false))
+    case Cmp("file", Ne, value) if files.nonEmpty => fileAnd(value)
     case Cmp(field, Ne, value) => toCol(Cmp(field, Eq, value), depth)
     case Cmp(field, op, value0) =>
       val value = expandShortcut(value0)
@@ -132,6 +139,34 @@ final class Compiler(
     val ex = views.getOrElse(name,
       throw new IllegalArgumentException(s"$name - View not found"))
     Parser.parse(ex)
+  }
+
+  /** Q16 `file == name` fileand rewrite: resolve the capture file name
+    * (exact, wildcard, or /regex/) through the files dimension to its
+    * (node, fileId) rows, and expand to an OR of per-file
+    * `node == n && fileId == id` terms — the reference resolves before
+    * querying ES the same way (viewer/viewerUtils.js:152-170). An
+    * unmatched name is an error, as in the reference.
+    */
+  private def fileAnd(value: Value): Column = {
+    val matched = value match {
+      case Value.Regex(re) =>
+        val p = java.util.regex.Pattern.compile("^(?:" + re + ")$")
+        files.filter(f => p.matcher(f.name).matches())
+      case Value.Bare(s) if s.contains("*") =>
+        val p = java.util.regex.Pattern.compile(
+          "^" + s.split("\\*", -1).map(java.util.regex.Pattern.quote)
+            .mkString(".*") + "$")
+        files.filter(f => p.matcher(f.name).matches())
+      case Value.Bare(s)   => files.filter(_.name == s)
+      case Value.Quoted(s) => files.filter(_.name == s)
+      case other => throw new IllegalArgumentException(s"bad file value $other")
+    }
+    if (matched.isEmpty)
+      throw new IllegalArgumentException(s"File '$value' not found")
+    matched.map(f =>
+      col("node") === lit(f.node) &&
+        array_contains(col("fileId"), lit(f.id))).reduce(_ || _)
   }
 
   private def existsCol(d: FieldDef): Column = {

@@ -37,6 +37,14 @@ final case class FieldDef(
     portField: Option[String] = None,
     transform: Option[String => String] = None)
 
+/** One row of the files dimension (the reference's `files` index): the
+  * user-facing capture file name, the capture node that wrote it, and the
+  * id stored in sessions' `fileId` column. Drives the Q16 `file ==`
+  * rewrite (reference: viewer/viewerUtils.js:139-190 lookupQueryItems,
+  * viewer/db.js:1645-1680 fileNameToFiles).
+  */
+final case class FileEntry(name: String, node: String, id: String)
+
 /** Expression-name → field metadata lookup driving the query compiler.
   *
   * Also models the reference's regex meta-fields (`port`, `country`, `asn`,
@@ -249,7 +257,13 @@ object FieldRegistry {
     ),
     metaFields = Map(
       "ip"   -> Seq("ip.src", "ip.dst"),
-      "port" -> Seq("port.src", "port.dst")))
+      "port" -> Seq("port.src", "port.dst"),
+      // `host` fans out over every hostname expression — the reference
+      // defines it by the dbField regex (^host\..*|\.host$, minus
+      // .cnt/.tokens) in db/db.pl:781-788, expanded to an OR at
+      // molochparser.jison:356-375.
+      "host" -> Seq("http.host", "dns.host", "dns.mailserver.host",
+        "dns.nameserver.host", "host.quic", "host.smb")))
 
   /** Column resolver for session tables: derived epoch-second views of the
     * millisecond timestamp columns.

@@ -201,6 +201,27 @@ object Endpoints {
     out.limit(maxAggSize)
   }
 
+  /** E8 pair mode: `/api/unique` with an `ip:port` field emits combined
+    * "ip:port" keys — the reference nests a port terms-agg under the ip
+    * terms-agg and concatenates (viewer/apiSessions.js:2344-2352); the
+    * separator is ':' for v4 and '.' for v6, exactly as its painless
+    * script picks (viewer/internals.js:98-101). One grouped aggregate on
+    * the (ip, port) pair — no nested fan-out needed.
+    */
+  def uniquePairs(
+      df: DataFrame,
+      ipField: Column,
+      portField: Column,
+      name: String = "pair",
+      maxAggSize: Int = 10000): DataFrame = {
+    val sep = when(ipField.contains(":"), lit(".")).otherwise(lit(":"))
+    df.filter(ipField.isNotNull && portField.isNotNull)
+      .groupBy(concat(ipField, sep, portField.cast("string")).as(name))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col(name).asc)
+      .limit(maxAggSize)
+  }
+
   /** E9: multiunique — distinct tuples across fields with counts,
     * descending (reference: viewer/apiSessions.js:2420-2500).
     */

@@ -29,6 +29,57 @@ class QueryFacadeSpec extends AnyFunSuite with SparkSpecBase {
     assert(q2.count() == 0)
   }
 
+  test("host meta-field fans out across protocol hostname columns") {
+    import graft.expr.Compiler
+    // three pcaps whose hostnames land in different columns:
+    // http.host (socks), quic host, dns qname
+    val multi = Seq("socks-http-example", "quic34", "dns-mx")
+      .map(n => SessionBuilder.sessionizeRef(spark,
+        s"/root/reference/tests/pcap/$n.pcap").toDF())
+      .reduce(_ unionByName _)
+      .cache()
+    val c = new Compiler(FieldRegistry.sessions, FieldRegistry.sessionCol,
+      SparkEntry.now)
+    def n(e: String) = multi.filter(c.compile(e)).count()
+    assert(n("host == www.example.com") == 3) // http.host via SOCKS
+    assert(n("host == ssl.gstatic.com") == 1) // quic host
+    assert(n("host == mx.com") >= 1)          // dns qname
+    assert(n("host == *.gstatic.com") == 1)   // wildcard through fan-out
+    // must_not semantics: sessions with NO hostname at all also match !=
+    val total = multi.count()
+    assert(n("host != www.example.com") == total - 3)
+    multi.unpersist()
+  }
+
+  test("fileand rewrites filename to (node, fileId) terms") {
+    import graft.expr.Compiler
+    val path = sessions.select(explode(col("fileId"))).head.getString(0)
+    val filesDim = Seq(
+      graft.model.FileEntry("socks-http-example.pcap", "test", path),
+      graft.model.FileEntry("absent.pcap", "test", "/no/such.pcap"),
+      graft.model.FileEntry("socks-http-example.pcap", "node2", "/other/copy.pcap"))
+    val c = new Compiler(FieldRegistry.sessions, FieldRegistry.sessionCol,
+      SparkEntry.now, files = filesDim)
+    // exact name resolves to OR over both (node, fileId) rows; only the
+    // node=test one matches these sessions
+    assert(sessions.filter(c.compile("file == socks-http-example.pcap")).count() == 3)
+    // wildcard filename matching, as fileNameToFiles' wildcard query
+    assert(sessions.filter(c.compile("file == socks*.pcap")).count() == 3)
+    assert(sessions.filter(c.compile("file == absent.pcap")).count() == 0)
+    assert(sessions.filter(c.compile("file != socks-http-example.pcap")).count() == 0)
+    // unknown filename is an error, like the reference's "File not found"
+    intercept[IllegalArgumentException] {
+      c.compile("file == never-captured.pcap")
+    }
+  }
+
+  test("unique pair mode emits ip:port keys") {
+    val pairs = Endpoints.uniquePairs(sessions, col("dstIp"), col("dstPort"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(pairs.map(_._2).sum == 3)
+    assert(pairs.forall(_._1.matches("""10\.180\.156\.249:\d+""")))
+  }
+
   test("salted count equals plain groupBy count") {
     val ev = Tables.load(spark, sf, "events")
     val plain = ev.groupBy(col("user_id").as("key")).count()
