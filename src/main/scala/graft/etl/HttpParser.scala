@@ -25,6 +25,29 @@ object HttpParser {
       cookieKey: Seq[String], cookieValue: Seq[String],
       md5: Seq[String], authUser: Seq[String])
 
+  /** Field-wise union of two parses (an HTTP/1 upgrade that continues
+    * as cleartext http2 can yield both).
+    */
+  def merge(a: HttpInfo, b: HttpInfo): HttpInfo = HttpInfo(
+    method = (a.method ++ b.method).distinct,
+    uri = (a.uri ++ b.uri).distinct,
+    host = (a.host ++ b.host).distinct,
+    path = (a.path ++ b.path).distinct,
+    key = (a.key ++ b.key).distinct,
+    value = (a.value ++ b.value).distinct,
+    statuscode = (a.statuscode ++ b.statuscode).distinct,
+    useragent = (a.useragent ++ b.useragent).distinct,
+    clientVersion = (a.clientVersion ++ b.clientVersion).distinct,
+    serverVersion = (a.serverVersion ++ b.serverVersion).distinct,
+    requestHeader = (a.requestHeader ++ b.requestHeader).distinct.sorted,
+    responseHeader = (a.responseHeader ++ b.responseHeader).distinct.sorted,
+    referer = (a.referer ++ b.referer).distinct,
+    location = (a.location ++ b.location).distinct,
+    cookieKey = (a.cookieKey ++ b.cookieKey).distinct,
+    cookieValue = (a.cookieValue ++ b.cookieValue).distinct,
+    md5 = (a.md5 ++ b.md5).distinct,
+    authUser = (a.authUser ++ b.authUser).distinct)
+
   private final case class Message(
       firstLine: String, headers: Seq[(String, String)], body: Array[Byte])
 

@@ -448,9 +448,18 @@ object SessionBuilder {
       (if (quic.isDefined || fbzero.isDefined) Seq("quic") else Nil) ++
       (if (fbzero.isDefined) Seq("fbzero") else Nil) ++
       (if (krb5.isDefined) Seq("krb5") else Nil)).distinct
-    val http =
+    val http1 =
       if (preRuleProtocols.contains("http")) HttpParser.parse(effSrc, effDst)
       else None
+    // cleartext http2 (PRI * preface classifier); TLS-negotiated h2 has
+    // no decodable payload here
+    val http2 =
+      if (preRuleProtocols.contains("http2")) Http2Parser.parse(effSrc, effDst)
+      else None
+    val http = (http1, http2) match {
+      case (Some(a), Some(b)) => Some(HttpParser.merge(a, b))
+      case (a, b)             => a.orElse(b)
+    }
     val dns =
       if (Seq("dns", "mdns", "llmnr").exists(preRuleProtocols.contains)) {
         val messages = (src ++ dst).filter(_.payload.nonEmpty).map(_.payload)

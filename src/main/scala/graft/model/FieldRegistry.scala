@@ -54,10 +54,15 @@ final case class FileEntry(name: String, node: String, id: String)
   */
 final case class FieldRegistry(
     fields: Seq[FieldDef],
-    metaFields: Map[String, Seq[String]] = Map.empty) {
+    metaFields: Map[String, Seq[String]] = Map.empty,
+    aliases: Map[String, String] = Map.empty) {
 
-  private val byExpr: Map[String, FieldDef] =
-    fields.map(f => f.expression -> f).toMap
+  private val byExpr: Map[String, FieldDef] = {
+    val primary = fields.map(f => f.expression -> f).toMap
+    primary ++ aliases.flatMap { case (alias, target) =>
+      primary.get(target).map(alias -> _)
+    }
+  }
 
   def get(expression: String): Option[FieldDef] = byExpr.get(expression)
 
@@ -263,7 +268,14 @@ object FieldRegistry {
       // .cnt/.tokens) in db/db.pl:781-788, expanded to an OR at
       // molochparser.jison:356-375.
       "host" -> Seq("http.host", "dns.host", "dns.mailserver.host",
-        "dns.nameserver.host", "host.quic", "host.smb")))
+        "dns.nameserver.host", "host.quic", "host.smb")),
+    // the reference's primary expression names are host.<proto> with
+    // <proto>.host aliases (db/db.pl "aliases" entries); accept both
+    aliases = Map(
+      "host.http" -> "http.host",
+      "host.dns" -> "dns.host",
+      "host.dns.mailserver" -> "dns.mailserver.host",
+      "host.dns.nameserver" -> "dns.nameserver.host"))
 
   /** Column resolver for session tables: derived epoch-second views of the
     * millisecond timestamp columns.
