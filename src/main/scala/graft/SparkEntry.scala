@@ -426,8 +426,42 @@ object SparkEntry {
         .groupBy(col("p_brand"), col("s_nationkey"))
         .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
         .orderBy(col("p_brand"), col("s_nationkey"))
+    }),
+
+    // --- I9: geo/ASN/RIR/OUI enrichment from the bundled fixtures --------
+    // Synthetic per-row v4 + MAC (both engines build identical strings);
+    // RIR and OUI via literal-map lookups, country/ASN via the CIDR
+    // longest-prefix join over the public asn-geo fixture.
+    "i9_geo_enrich" -> ((s, dir) => {
+      val e = ev(s, dir).filter(col("user_id").isNotNull)
+        .select(col("event_id"),
+          concat_ws(".", col("event_id") % 223 + 1, col("user_id") % 256,
+            lit("7"), lit("9")).as("ip4"),
+          concat(element_at(typedLit(geoMacPrefixes),
+            (col("event_id") % 4 + 1).cast("int")), lit(":de:ad:01")).as("mac"),
+          element_at(typedLit(geoAnchorIps),
+            (col("event_id") % geoAnchorIps.length + 1).cast("int")).as("anchor_ip"))
+      val withAsn = Enrich.cidrJoin(
+        Enrich.cidrJoin(e, col("anchor_ip"), geoAnchorDim(_.country), "country"),
+        col("anchor_ip"), geoAnchorDim(_.full), "asn")
+      withAsn
+        .withColumn("rir", Enrich.rirFor(col("ip4")))
+        .withColumn("oui", Enrich.ouiFor(col("mac")))
+        .select("event_id", "ip4", "mac", "anchor_ip", "rir", "oui",
+          "country", "asn")
+        .orderBy("event_id")
     })
   )
+
+  // fixture-derived constants shared by the i9_geo_enrich query + oracle
+  private val geoMacPrefixes =
+    Seq("00:0c:29", "00:50:56", "00:1b:17", "08:00:27")
+  private val geoAnchorIps = Seq("8.8.8.8", "104.16.125.34", "31.13.74.1",
+    "216.58.194.195", "188.40.206.23", "139.162.123.134")
+  private def geoAnchorDim(
+      f: graft.model.Fixtures.AsnGeo => Option[String]): Seq[(String, String)] =
+    geoAnchorIps.flatMap(ip =>
+      graft.model.Fixtures.asnGeoOf(ip).flatMap(f).map(v => (ip + "/32", v)))
 
   /** Events with a synthesized deterministic v4 address per row (both
     * engines build the identical string), for ip-operator oracles.
@@ -909,6 +943,33 @@ object SparkEntry {
          FROM lineitem JOIN part ON l_partkey = p_partkey
          JOIN supplier ON l_suppkey = s_suppkey
          GROUP BY p_brand, s_nationkey ORDER BY p_brand, s_nationkey""",
+    "i9_geo_enrich" -> {
+      import graft.model.Fixtures
+      val rirValues = Fixtures.rirByOctet.toSeq.sortBy(_._1)
+        .map { case (o, r) => s"($o, '$r')" }.mkString(", ")
+      val macCase = geoMacPrefixes.zipWithIndex
+        .map { case (p, i) => s"WHEN $i THEN '$p'" }.mkString(" ")
+      val ouiCase = geoMacPrefixes
+        .map(p => s"WHEN '$p' THEN '${Fixtures.ouiByPrefix(p).replace("'", "''")}'")
+        .mkString(" ")
+      val anchorCase = geoAnchorIps.zipWithIndex
+        .map { case (ip, i) => s"WHEN $i THEN '$ip'" }.mkString(" ")
+      def anchorVal(f: Fixtures.AsnGeo => Option[String]) = geoAnchorIps
+        .map(ip => s"WHEN '$ip' THEN '${Fixtures.asnGeoOf(ip).flatMap(f).getOrElse("").replace("'", "''")}'")
+        .mkString(" ")
+      s"""WITH rir_map(octet, rir) AS (VALUES $rirValues),
+         e AS (SELECT event_id,
+           (event_id % 223 + 1) || '.' || (user_id % 256) || '.7.9' AS ip4,
+           (CASE CAST(event_id % 4 AS INT) $macCase END) || ':de:ad:01' AS mac,
+           CASE CAST(event_id % ${geoAnchorIps.length} AS INT) $anchorCase END AS anchor_ip
+           FROM events WHERE user_id IS NOT NULL)
+         SELECT e.event_id, e.ip4, e.mac, e.anchor_ip, r.rir,
+           CASE substr(e.mac, 1, 8) $ouiCase END AS oui,
+           CASE e.anchor_ip ${anchorVal(_.country)} END AS country,
+           CASE e.anchor_ip ${anchorVal(_.full)} END AS asn
+         FROM e LEFT JOIN rir_map r ON CAST(e.event_id % 223 + 1 AS INT) = r.octet
+         ORDER BY event_id"""
+    },
     "m1_multimodal_meta" ->
       s"""WITH h AS (SELECT doc_id AS media_id,
            CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,

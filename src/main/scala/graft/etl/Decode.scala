@@ -390,7 +390,10 @@ object Decode {
               if (d.keyOverride != null)
                 d.copy(srcIp = srcIp, dstIp = dstIp, ipProtocol = proto)
               else d
-            d2.copy(tunnels = "vxlan" +: d2.tunnels)
+            // MAC fields always record the OUTERMOST ethernet header
+            // (packet.c:318-326 reads pcapData+0 regardless of tunnels)
+            d2.copy(tunnels = "vxlan" +: d2.tunnels,
+              macSrc = mSrc, macDst = mDst)
           }
         }
         if (dstPort == 2152 && payStart + 12 <= l4End &&

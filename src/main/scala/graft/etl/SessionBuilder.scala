@@ -3,6 +3,7 @@ package graft.etl
 import org.apache.spark.sql.{Dataset, SparkSession}
 
 import graft.functions.CommunityId
+import graft.model.Fixtures
 import Decode.DecodedPacket
 
 /** Sessionization: decoded packets → one row per flow segment.
@@ -75,6 +76,12 @@ object SessionBuilder {
       dstIp: String, dstPort: Int,
       dstPackets: Long, dstBytes: Long, dstDataBytes: Long,
       dstMac: Seq[String],
+      // bundled-dimension enrichment at save, as capture/db.c:695-780
+      // emits srcRIR/dstRIR/srcOui/dstOui/geo/as
+      srcRIR: String, dstRIR: String,
+      srcOui: Seq[String], dstOui: Seq[String],
+      srcCountry: String, dstCountry: String,
+      srcAsn: String, dstAsn: String,
       totPackets: Long, totBytes: Long, totDataBytes: Long,
       tcpflagsSyn: Int, tcpflagsSynAck: Int, tcpflagsAck: Int,
       tcpflagsPsh: Int, tcpflagsRst: Int, tcpflagsFin: Int,
@@ -559,6 +566,20 @@ object SessionBuilder {
       dstDataBytes = dst.map(_.payload.length.toLong).sum,
       dstMac = (dst.map(_.macSrc) ++ src.map(_.macDst))
         .filter(_.nonEmpty).distinct.sorted.toIndexedSeq,
+      srcRIR = Fixtures.rirOf(first.srcIp, testRules).orNull,
+      dstRIR = Fixtures.rirOf(first.dstIp, testRules).orNull,
+      srcOui = (src.map(_.macSrc) ++ dst.map(_.macDst)).filter(_.nonEmpty)
+        .distinct.sorted.flatMap(Fixtures.ouiOf).distinct.toIndexedSeq,
+      dstOui = (dst.map(_.macSrc) ++ src.map(_.macDst)).filter(_.nonEmpty)
+        .distinct.sorted.flatMap(Fixtures.ouiOf).distinct.toIndexedSeq,
+      srcCountry = Fixtures.asnGeoOf(first.srcIp, testRules)
+        .flatMap(_.country).orNull,
+      dstCountry = Fixtures.asnGeoOf(first.dstIp, testRules)
+        .flatMap(_.country).orNull,
+      srcAsn = Fixtures.asnGeoOf(first.srcIp, testRules)
+        .flatMap(_.full).orNull,
+      dstAsn = Fixtures.asnGeoOf(first.dstIp, testRules)
+        .flatMap(_.full).orNull,
       totPackets = seg.length, totBytes = seg.map(_.wireLen.toLong).sum,
       totDataBytes = seg.map(_.payload.length.toLong).sum,
       tcpflagsSyn = syn, tcpflagsSynAck = synAck, tcpflagsAck = ack,

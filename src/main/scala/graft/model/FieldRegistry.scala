@@ -152,6 +152,14 @@ object FieldRegistry {
       FieldDef("tcpflags.fin", "tcpflagsFin",  IntegerK),
       FieldDef("tcpflags.urg", "tcpflagsUrg",  IntegerK),
       FieldDef("protocols",    "protocol",     TermK, multiValued = true),
+      FieldDef("rir.src",      "srcRIR",       TermK),
+      FieldDef("rir.dst",      "dstRIR",       TermK),
+      FieldDef("oui.src",      "srcOui",       TermK, multiValued = true),
+      FieldDef("oui.dst",      "dstOui",       TermK, multiValued = true),
+      FieldDef("country.src",  "srcCountry",   TermK),
+      FieldDef("country.dst",  "dstCountry",   TermK),
+      FieldDef("asn.src",      "srcAsn",       LoTermK),
+      FieldDef("asn.dst",      "dstAsn",       LoTermK),
       FieldDef("mac.src",      "srcMac",       LoTermK, multiValued = true,
         transform = Some(dash2Colon)),
       FieldDef("mac.dst",      "dstMac",       LoTermK, multiValued = true,
@@ -268,7 +276,12 @@ object FieldRegistry {
       // .cnt/.tokens) in db/db.pl:781-788, expanded to an OR at
       // molochparser.jison:356-375.
       "host" -> Seq("http.host", "dns.host", "dns.mailserver.host",
-        "dns.nameserver.host", "host.quic", "host.smb")),
+        "dns.nameserver.host", "host.quic", "host.smb"),
+      // the reference's country/asn/rir regex meta-fields fan out over
+      // every GEO/AS/RIR-typed column (db/db.pl:749-780)
+      "country" -> Seq("country.src", "country.dst"),
+      "asn" -> Seq("asn.src", "asn.dst"),
+      "rir" -> Seq("rir.src", "rir.dst")),
     // the reference's primary expression names are host.<proto> with
     // <proto>.host aliases (db/db.pl "aliases" entries); accept both
     aliases = Map(

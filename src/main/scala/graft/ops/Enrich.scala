@@ -43,6 +43,24 @@ object Enrich {
     facts.withColumn(outCol, chain)
   }
 
+  /** I9: RIR for a v4 address column — first-octet lookup against the
+    * bundled IANA address-space fixture (capture/db.c:291-293 falls back
+    * the same way when maxmind lacks RIR data). A literal map in the
+    * plan: codegen'd, no join, no shuffle.
+    */
+  def rirFor(ip: Column): Column = {
+    val octet = when(ip.rlike("^[0-9]{1,3}\\."),
+      split(ip, "\\.").getItem(0).cast("int"))
+    try_element_at(typedLit(graft.model.Fixtures.rirByOctet), octet)
+  }
+
+  /** I9: manufacturer for a MAC column via the bundled IEEE OUI subset
+    * (capture/db.c:2259-2267; 24-bit prefixes).
+    */
+  def ouiFor(mac: Column): Column =
+    try_element_at(typedLit(graft.model.Fixtures.ouiByPrefix),
+      lower(substring(mac, 1, 8)))
+
   /** I13: WISE-style intel lookup — a key column (ip/domain/md5/ja3)
     * against an intel table of (key, field, value); matches set fields
     * and add tags.
