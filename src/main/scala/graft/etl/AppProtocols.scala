@@ -122,7 +122,8 @@ object AppProtocols {
       ipProtocol: Int, srcPort: Int, dstPort: Int,
       srcStream: Array[Byte], dstStream: Array[Byte],
       srcFirst: Array[Byte] = Array.emptyByteArray,
-      dstFirst: Array[Byte] = Array.emptyByteArray): Seq[String] = {
+      dstFirst: Array[Byte] = Array.emptyByteArray,
+      isV6: Boolean = false): Seq[String] = {
     val tags = scala.collection.mutable.LinkedHashSet[String]()
     ipProtocol match {
       case 6   => tags += "tcp"
@@ -240,6 +241,84 @@ object AppProtocols {
       if (MiscParsers.isOracle(if (srcFirst.nonEmpty) srcFirst else srcStream))
         tags += "oracle"
       if (startsWithAny(srcStream, Seq("PRI * HTTP/2.0"))) tags += "http2"
+      // --- remaining misc.c TCP first-bytes classifiers (misc.c:380-556)
+      if (streams.exists(st => st.length >= 4 && u(st, 0) == 0xf9 &&
+        u(st, 1) == 0xbe && u(st, 2) == 0xb4 &&
+        (u(st, 3) == 0xd9 || u(st, 3) == 0xfe))) tags += "bitcoin"
+      // gh0st: zlib header at 13 with frame-length sanity (misc.c:42-56)
+      if (firsts.exists(f => f.length >= 15 && u(f, 13) == 0x78 &&
+        ((f(8) == 0 && f(7) == 0 && ((u(f, 6) << 8 | u(f, 5)) == f.length)) ||
+          (f(5) == 0 && f(6) == 0 && ((u(f, 7) << 8 | u(f, 8)) == f.length)) ||
+          (f(7) == 0 && f(8) == 0 && f(11) == 0 && f(12) == 0 &&
+            u(f, 14) == 0x9c)))) tags += "gh0st"
+      // flap (OSCAR): '*' frames chained to payload end (misc.c:205-218)
+      if (firsts.exists { f =>
+        f.length >= 6 && u(f, 0) == 0x2a && f(1) == 1 && {
+          val flen = 6 + ((u(f, 4) << 8) | u(f, 5))
+          f.length == flen || (f.length > flen && u(f, flen) == '*')
+        }
+      }) tags += "flap"
+      if (streams.exists(st => startsWithAny(st, Seq("NSClient", "None&"))))
+        tags += "nsclient"
+      if (streams.exists(st => startsWithAny(st, Seq("ZBXD\u0001"))))
+        tags += "zabbix"
+      if (streams.exists(st => startsWithAny(st, Seq("JRMI\u0000"))))
+        tags += "rmi"
+      if (streams.exists(st => startsWithAny(st, Seq("<policy-file-request/>"))))
+        tags += "flash-policy"
+      if (streams.exists(st => startsWithAny(st,
+        Seq("\u00a4\u0000\u0000\u0000VT01")))) tags += "stream-ihscp"
+      if (streams.exists(st => startsWithAny(st,
+        Seq("CBKPPR\u0005P")))) tags += "honeywell-tcc"
+      if (streams.exists(st => startsWithAny(st,
+        Seq("\u001b%-12345", "@PJL ")))) tags += "pjl"
+      if (streams.exists(st => startsWithAny(st,
+        Seq("\u0005\u0000\u000b")))) tags += "dcerpc"
+      if (streams.exists(st => startsWithAny(st,
+        Seq("\u0000\u0000\u0000\u0008\u0000\u0001\u0000\u0003"))))
+        tags += "nzsql"
+      if (streams.exists(st => startsWithAny(st, Seq("--splunk-cooked-mode"))))
+        tags += "splunk"
+      // splunk-replication: pattern at stream offset 6 (misc.c:529)
+      if (streams.exists(st => st.length >= 16 &&
+        new String(st, 6, 10, StandardCharsets.ISO_8859_1) ==
+          "\u0000\u0006\u0000\u0000\u0000\u0005_raw"))
+        tags += "splunk-replication"
+      if (streams.exists(st => startsWithAny(st,
+        Seq("l\u0000\u000b\u0000")))) tags += "x11"
+      if (streams.exists(st => startsWithAny(st,
+        Seq("flush_all", "STORED\r\n", "END\r\n", "VALUE ")))) tags += "memcached"
+      if (streams.exists(st => startsWithAny(st, Seq("HBas\u0000"))))
+        tags += "hbase"
+      if (streams.exists(st => startsWithAny(st, Seq("hrpc\u0009"))))
+        tags += "hadoop"
+      // hdfs: 00 1c 5x with protobuf marker 0x0a at 5 (misc.c:311-316)
+      if (firsts.exists(f => f.length >= 10 && f(0) == 0 && u(f, 1) == 0x1c &&
+        Seq(0x50, 0x51, 0x55).contains(u(f, 2)) && u(f, 5) == 0x0a))
+        tags += "hdfs"
+      if (streams.exists(st => startsWithAny(st, Seq("zk_version", "mntr\n",
+        "\u0000\u0000\u0000\u002c\u0000\u0000\u0000\u0000",
+        "\u0000\u0000\u0000\u002d\u0000\u0000\u0000\u0000"))))
+        tags += "zookeeper"
+      if (streams.exists(st => startsWithAny(st, Seq("ES\u0000\u0000"))))
+        tags += "elasticsearch"
+      if (streams.exists(st => startsWithAny(st, Seq("RTSP/1.0 "))))
+        tags += "rtsp"
+      // mqtt CONNECT: 0x10 + "MQ" in the protocol name (misc.c:262-267)
+      if (firsts.exists(f => f.length >= 30 && u(f, 0) == 0x10 &&
+        new String(f, 4, 2, StandardCharsets.ISO_8859_1) == "MQ")) tags += "mqtt"
+      // sccp: dst port 2000, len byte + 7 zero bytes (misc.c:237-242)
+      if (dstPort == 2000 && firsts.exists(f => f.length > 20 &&
+        f.length >= u(f, 0) + 8 && (1 to 7).forall(f(_) == 0))) tags += "sccp"
+      // wudo: dst port 7680 (misc.c:245-255)
+      if (dstPort == 7680 && firsts.exists(f => f.length >= 15 &&
+        ((0 to 3).forall(f(_) == 0) ||
+          new String(f, 0, 15, StandardCharsets.ISO_8859_1) ==
+            "\u000eSwarm protocol"))) tags += "wudo"
+      if (dstPort == 43 && streams.exists(_.nonEmpty)) tags += "whois"
+      // nfs over tcp: record mark + RPC call v2 prog 100003 (nfs.c:38)
+      if (firsts.exists(f => f.length >= 20 && rpcCallAt(f, 8) &&
+        u(f, 18) == 0x86 && u(f, 19) == 0xa3)) tags += "nfs"
     }
     if (ipProtocol == 17) {
       if (streams.exists(st => startsWithAny(st, Seq("d1:a", "d1:r", "d1:q"))))
@@ -260,6 +339,67 @@ object AppProtocols {
         ((u(f, 1) == 0x01 && u(f, 2) == 0x00) ||
           (u(f, 1) == 0xfe && Seq(0xff, 0xfe, 0xfd).contains(u(f, 2)))) &&
         u(f, 13) == 1)) tags += "dtls"
+      // --- remaining misc.c / rpc.c / nfs.c / dhcp.c UDP classifiers ----
+      if (streams.exists(st => startsWithAny(st,
+        Seq("M-SEARCH ", "NOTIFY * ")))) tags += "ssdp"
+      if (streams.exists(st => startsWithAny(st, Seq("BJNP"))))
+        tags += "bjnp"
+      if (streams.exists(st => startsWithAny(st, Seq("VS01"))))
+        tags += "steam-friends"
+      if (streams.exists(st => startsWithAny(st,
+        Seq("\u00ff\u00ff\u00ff\u00ffTSou")))) tags += "valve-a2s"
+      // rip: first-bytes 01|02 01|02 00 00 on port 520 (misc.c:220-226)
+      if ((srcPort == 520 || dstPort == 520) && firsts.exists(f =>
+        f.length >= 4 && (f(0) == 1 || f(0) == 2) && (f(1) == 1 || f(1) == 2) &&
+          f(2) == 0 && f(3) == 0)) tags += "rip"
+      // netflow v5/7/9 header sanity (misc.c:343-364)
+      if (srcPort != 53 && dstPort != 53 && firsts.exists { f =>
+        f.length >= 24 && f(0) == 0 && Seq(5, 7, 9).contains(f(1).toInt) && {
+          val count = (u(f, 2) << 8) | u(f, 3)
+          val systime = ((u(f, 8).toLong << 24) | (u(f, 9) << 16) |
+            (u(f, 10) << 8) | u(f, 11))
+          count > 0 && count <= 200 && count * 16 <= f.length &&
+            systime >= 1000000000L
+        }
+      }) tags += "netflow"
+      if (firsts.exists(f => f.length >= 11 && f(4) == 0 && f(5) == 0 &&
+        (new String(f, 6, 5, StandardCharsets.ISO_8859_1) == "stats" ||
+          new String(f, 6, 5, StandardCharsets.ISO_8859_1) == "gets ")))
+        tags += "memcached"
+      // nfs/rpc over udp: RPC call v2 at offset 4 (nfs.c:37, rpc.c:22-60)
+      if (firsts.exists(f => f.length >= 16 && rpcCallAt(f, 4) &&
+        u(f, 14) == 0x86)) {
+        if (f16(firsts) == 0xa3) tags += "nfs"
+        else rpcProgramNames.get(f16(firsts)).foreach(tags += _)
+      }
+      // dhcpv6: udp 546/547, msg-type SOLICIT(1)/INFO-REQUEST(11), v6 only
+      if (isV6 && Seq(srcPort, dstPort).exists(p => p == 546 || p == 547) &&
+        firsts.exists(f => f.length >= 1 && (f(0) == 1 || f(0) == 11)))
+        tags += "dhcpv6"
+      // isakmp: udp 500/4500, exchange type + version (misc.c:224-232)
+      if (Seq(srcPort, dstPort).exists(p => p == 500 || p == 4500) &&
+        firsts.exists(f => f.length >= 18 &&
+          Seq(1, 8, 33, 46).contains(u(f, 16)) &&
+          Seq(0x10, 0x20, 0x02).contains(u(f, 17)))) tags += "isakmp"
+      if (Seq(srcPort, dstPort).contains(8211) && firsts.exists(f =>
+        f.length >= 20 && u(f, 0) == 0x49 && u(f, 1) == 0x72))
+        tags += "aruba-papi"
+      // hsrp v1/v2: udp 1985/2029 with equal ports (misc.c:318-327)
+      if (srcPort == dstPort && Seq(1985, 2029).contains(dstPort) &&
+        firsts.exists(f => f.length >= 3)) {
+        if (firsts.exists(f => f.length >= 3 && f(0) == 0 && f(1) == 3))
+          tags += "hsrp"
+        else if (firsts.exists(f => f.length >= 3 && f(0) == 1 &&
+          u(f, 1) == 40 && f(2) == 2)) tags += "hsrpv2"
+      }
+      // safet: udp 23294, length byte echo (misc.c:329-334)
+      if (Seq(srcPort, dstPort).contains(23294) && firsts.exists(f =>
+        f.length >= 24 && u(f, 2) == f.length)) tags += "safet"
+      // dropbox-lan-sync: udp 17500 + "host_int" (misc.c:226-232)
+      if (Seq(srcPort, dstPort).contains(17500) && streams.exists(st =>
+        new String(st, 0, math.min(st.length, 256),
+          StandardCharsets.ISO_8859_1).indexOf("host_int", 1) >= 1))
+        tags += "dropbox-lan-sync"
     }
     if (ipProtocol == 6 || ipProtocol == 17) {
       if (streams.exists(st => startsWithAny(st,
@@ -270,6 +410,27 @@ object AppProtocols {
     }
     tags.toSeq.sorted
   }
+
+  /** ONC-RPC call header at `off`: xid then msg-type CALL(0), rpcvers 2
+    * (the shared 8-byte tail of the nfs.c/rpc.c classifier patterns).
+    */
+  private def rpcCallAt(f: Array[Byte], off: Int): Boolean =
+    f.length >= off + 8 && f(off) == 0 && f(off + 1) == 0 && f(off + 2) == 0 &&
+      f(off + 3) == 0 && f(off + 4) == 0 && f(off + 5) == 0 &&
+      f(off + 6) == 0 && f(off + 7) == 2
+
+  /** Last byte of the RPC program number for the udp rpc classifier. */
+  private def f16(firsts: Seq[Array[Byte]]): Int =
+    firsts.collectFirst {
+      case f if f.length >= 16 && rpcCallAt(f, 4) && (f(14) & 0xff) == 0x86 =>
+        f(15) & 0xff
+    }.getOrElse(-1)
+
+  /** rpc.c:27-58 program-number suffix -> protocol tag (prog 0x186xx). */
+  private val rpcProgramNames: Map[Int, String] = Map(
+    0xa0 -> "portmap", 0xa1 -> "rstat", 0xa2 -> "rusers", 0xa4 -> "ypprog",
+    0xa5 -> "mount", 0xa7 -> "ypbind", 0xa8 -> "wall", 0xa9 -> "yppasswd",
+    0xab -> "rquota", 0xb1 -> "rexec", 0xc5 -> "tfs")
 
   /** SNMP: BER SEQ { INTEGER version <= 3 ... } (misc.c snmp_classify). */
   private def isSnmp(f: Array[Byte]): Boolean =

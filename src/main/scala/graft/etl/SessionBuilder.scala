@@ -353,7 +353,8 @@ object SessionBuilder {
       else AppProtocols.classify(first.ipProtocol,
         first.srcPort, first.dstPort, srcStream, dstStream,
         srcPayloads.headOption.getOrElse(Array.emptyByteArray),
-        dstPayloads.headOption.getOrElse(Array.emptyByteArray)) ++
+        dstPayloads.headOption.getOrElse(Array.emptyByteArray),
+        isV6 = first.srcIp.indexOf(':') >= 0) ++
         (if (first.ipProtocol == 6 && first.dstPort == 179 &&
           (bgpSession || ((syn > 0 || synAck > 0) &&
             Seq(srcStream, dstStream).exists(st =>
