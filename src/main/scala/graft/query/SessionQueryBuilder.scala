@@ -39,7 +39,8 @@ final case class SessionQueryBuilder(
     stopMs: Option[Long] = None,
     bounding: Endpoints.Bounding = Endpoints.Bounding.Last,
     expressionStr: Option[String] = None,
-    forcedStr: Option[String] = None) {
+    forcedStr: Option[String] = None,
+    timeLimitHours: Option[Long] = None) {
 
   def timeRange(start: Long, stop: Long,
       b: Endpoints.Bounding = Endpoints.Bounding.Last): SessionQueryBuilder =
@@ -50,11 +51,28 @@ final case class SessionQueryBuilder(
   /** Q19: mandatory predicate ANDed into every query (column ACL). */
   def forced(e: String): SessionQueryBuilder = copy(forcedStr = Some(e))
 
+  /** Per-user queryable-window policy (reference
+    * apiSessions.js:1206-1218 `req.user.timeLimit`, hours).
+    */
+  def timeLimit(hours: Long): SessionQueryBuilder =
+    copy(timeLimitHours = Some(hours))
+
   private def compiler =
     new Compiler(registry, colResolver, now, shortcuts, views)
 
+  private def enforceTimeLimit(): Unit = timeLimitHours.foreach { tl =>
+    val exceeded = (startMs, stopMs) match {
+      case (Some(s), Some(e)) => (e - s) / 3600000.0 > tl
+      case _                  => true // unbounded "all" query
+    }
+    if (exceeded)
+      throw new IllegalArgumentException(
+        s"User time limit ($tl hours) exceeded")
+  }
+
   /** The bounded, filtered session frame all endpoints run over. */
   def frame: DataFrame = {
+    enforceTimeLimit()
     val exprPred: Option[Column] = (expressionStr, forcedStr) match {
       case (Some(e), f)    => Some(compiler.compileWithForced(e, f))
       case (None, Some(f)) => Some(compiler.compile(f))
@@ -72,7 +90,30 @@ final case class SessionQueryBuilder(
 
   def table(projection: Seq[String], sortKeys: Seq[(String, Boolean)],
       limit: Int, offset: Int = 0): DataFrame =
-    Endpoints.sessionsTable(frame, projection, sortKeys, limit, offset)
+    // page cap: at most 2M results per listing, like the reference's
+    // `Math.min(2000000, length)` (apiSessions.js:1219)
+    Endpoints.sessionsTable(frame, projection, sortKeys,
+      math.min(limit, SessionQueryBuilder.PageCap),
+      math.min(offset, SessionQueryBuilder.PageCap))
+
+  /** E5 spiview with the reference's index-count policy: an unbounded
+    * time range is refused, and a window spanning more day partitions
+    * than `spiDataMaxDays` is narrowed to the most recent allowed days
+    * (apiSessions.js:1799-1812 spiDataMaxIndices over daily indices).
+    */
+  def spiview(field: String, k: Int,
+      spiDataMaxDays: Int = 4): DataFrame = {
+    if (spiDataMaxDays != -1 && (startMs.isEmpty || stopMs.isEmpty))
+      throw new IllegalArgumentException(
+        "'All' date range not allowed for spiview query")
+    val dayMs = 86400000L
+    val narrowed =
+      if (spiDataMaxDays != -1 &&
+        (stopMs.get / dayMs - startMs.get / dayMs) >= spiDataMaxDays)
+        copy(startMs = Some((stopMs.get / dayMs - (spiDataMaxDays - 1)) * dayMs))
+      else this
+    Endpoints.topTerms(narrowed.frame, col(field), field, k)
+  }
 
   def timeHistogram(intervalSec: Long, sums: Map[String, Column] = Map.empty): DataFrame =
     Endpoints.timeHistogram(frame, timestamp_millis(col(lastCol)), intervalSec, sums)
@@ -95,4 +136,30 @@ final case class SessionQueryBuilder(
     Endpoints.connectionsLinks(frame, col(srcField), col(dstField), sums)
 
   def count(): Long = frame.count()
+}
+
+object SessionQueryBuilder {
+  /** Listing page cap (reference apiSessions.js:1219). */
+  val PageCap = 2000000
+}
+
+/** Per-query cancellation, the Spark analogue of the viewer's ES task
+  * cancel plumbing (viewer/db.js:501 `cancelByOpaqueId` — every request
+  * carries a cancel id; a cancel endpoint kills the running tasks).
+  *
+  * Every action launched through [[QueryControl.run]] is tagged with a
+  * job group; [[QueryControl.cancel]] interrupts all its running stages
+  * cluster-wide.
+  */
+object QueryControl {
+  def run[T](spark: org.apache.spark.sql.SparkSession, queryId: String,
+      description: String)(body: => T): T = {
+    spark.sparkContext.setJobGroup(queryId, description,
+      interruptOnCancel = true)
+    try body
+    finally spark.sparkContext.clearJobGroup()
+  }
+
+  def cancel(spark: org.apache.spark.sql.SparkSession, queryId: String): Unit =
+    spark.sparkContext.cancelJobGroup(queryId)
 }

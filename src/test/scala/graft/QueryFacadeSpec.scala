@@ -99,4 +99,64 @@ class QueryFacadeSpec extends AnyFunSuite with SparkSpecBase {
     assert(exact == 15)
     assert(math.abs(approx - exact) <= 2) // hll within tolerance
   }
+
+  test("policy guards: user time limit") {
+    val base = SessionQueryBuilder(sessions, FieldRegistry.sessions,
+      FieldRegistry.sessionCol)
+    // 2h window under a 4h limit: fine
+    base.timeRange(1386000000000L, 1386000000000L + 2 * 3600000L)
+      .timeLimit(4).count()
+    // 6h window over a 4h limit: refused
+    val over = intercept[IllegalArgumentException] {
+      base.timeRange(1386000000000L, 1386000000000L + 6 * 3600000L)
+        .timeLimit(4).count()
+    }
+    assert(over.getMessage.contains("time limit (4 hours) exceeded"))
+    // unbounded query with a limit set: refused (reference date=-1 case)
+    intercept[IllegalArgumentException] { base.timeLimit(4).count() }
+    // unbounded without a limit: allowed
+    assert(base.count() > 0)
+  }
+
+  test("policy guards: page cap and spiview day narrowing") {
+    val q = SessionQueryBuilder(sessions, FieldRegistry.sessions,
+      FieldRegistry.sessionCol)
+    // a limit beyond the cap is silently capped, not an error
+    assert(q.table(Seq("srcIp"), Seq(("srcIp", true)),
+      SessionQueryBuilder.PageCap + 5).count() <= SessionQueryBuilder.PageCap)
+    // spiview refuses an unbounded range
+    val err = intercept[IllegalArgumentException] { q.spiview("srcIp", 10) }
+    assert(err.getMessage.contains("'All' date range"))
+    // wide window narrows to the most recent N days: the capture is a
+    // single day, so narrowing to a window AFTER it yields nothing
+    val stop = 1386004313000L + 10L * 86400000L
+    val narrowed = q.timeRange(1386000000000L, stop).spiview("srcIp", 10,
+      spiDataMaxDays = 2)
+    assert(narrowed.collect().isEmpty)
+    // same wide window with the policy disabled sees the data
+    assert(q.timeRange(1386000000000L, stop)
+      .spiview("srcIp", 10, spiDataMaxDays = -1).collect().nonEmpty)
+  }
+
+  test("cancellation: job-group cancel interrupts a running query") {
+    import graft.query.QueryControl
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val qid = "facade-cancel-test"
+    val slow = Future {
+      intercept[org.apache.spark.SparkException] {
+        QueryControl.run(spark, qid, "slow cartesian") {
+          // unbounded-ish work: ~10^10 row cartesian count
+          spark.range(100000).toDF("a")
+            .crossJoin(spark.range(100000).toDF("b"))
+            .selectExpr("sum(a * b)").collect()
+        }
+      }
+    }
+    Thread.sleep(1500) // let stages launch
+    QueryControl.cancel(spark, qid)
+    val ex = Await.result(slow, 60.seconds)
+    assert(ex.getMessage.toLowerCase.contains("cancel"))
+  }
 }
