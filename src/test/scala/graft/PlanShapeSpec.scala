@@ -81,4 +81,17 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpecBase {
       .queryExecution.executedPlan.toString
     assert(!p.contains("Window"))
   }
+
+  test("NO query plan contains a partition-less window (full sweep)") {
+    // planning only — nothing executes; guards every current and future
+    // driver-contract query against the single-task window anti-pattern
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { q =>
+      spark.catalog.clearCache()
+      SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+      }.nonEmpty
+    }
+    assert(offenders.isEmpty, s"single-partition windows in: $offenders")
+  }
 }
