@@ -212,6 +212,18 @@ object Decode {
     val decoded = etherType match {
       case 0x0800 => decodeIp4(p, b, off, mSrc, mDst)
       case 0x86dd => decodeIp6(p, b, off, mSrc, mDst)
+      case 0x8909 =>
+        // Cisco metadata: skip the 6-byte header, an ethertype follows
+        // (parsers/ciscometadata.c:22-30)
+        if (off + 8 > b.length) None
+        else {
+          val innerType = ((b(off + 6) & 0xff) << 8) | (b(off + 7) & 0xff)
+          (innerType match {
+            case 0x0800 => decodeIp4(p, b, off + 8, mSrc, mDst)
+            case 0x86dd => decodeIp6(p, b, off + 8, mSrc, mDst)
+            case _      => None
+          })
+        }
       case 0x0806 =>
         // ARP (reference parsers/arp.c): sessions key on the looked-up
         // protocol address — the target for requests, the sender for

@@ -139,9 +139,17 @@ object Similarity {
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame,
       vecCol: String, idCol: String, k: Int,
-      nCells: Int = 8, nProbe: Int = 1): DataFrame = {
-    val cents = corpus.filter(col(idCol) < nCells)
-      .select(col(idCol).as("cell"), toDouble(col(vecCol)).as("centv"))
+      nCells: Int = 8, nProbe: Int = 1,
+      centroids: Option[Seq[Seq[Double]]] = None): DataFrame = {
+    val cents = centroids match {
+      case Some(cs) =>
+        val spark = corpus.sparkSession
+        import spark.implicits._
+        cs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+          .toDF("cell", "centv")
+      case None => corpus.filter(col(idCol) < nCells)
+        .select(col(idCol).as("cell"), toDouble(col(vecCol)).as("centv"))
+    }
     // nearest `keep` cells per vector — a bounded-heap aggregate keyed by
     // the vector id (the vector rides along via first(), constant per id)
     def assign(df: DataFrame, id: String, keep: Int): DataFrame = {
@@ -162,6 +170,57 @@ object Similarity {
       .withColumn("cosine", dotBin(col("query_id_p"), col("neighbor_id_p")) /
         (normBin(col("query_id_p")) * normBin(col("neighbor_id_p"))))
     perQueryTopK(scored, k)
+  }
+
+  /** Lloyd's k-means over the embedding column — the training op that
+    * turns [[ivfTopK]]'s stand-in codebook into a real one.
+    *
+    * Deterministic and distributed: init = the `k` corpus vectors with
+    * the smallest ids; each iteration ships the k×dim codebook inside
+    * the task closure, assigns every vector to its max-dot centroid in
+    * one corpus scan (no shuffle of vectors), and reduces per-cell
+    * per-dimension sums with a hash aggregate — partial map-side
+    * combine means only cells×dim doubles per partition cross the wire.
+    * O(iters) scans total; the codebook itself is driver-resident like
+    * any broadcast dimension. An emptied cell keeps its old centroid.
+    */
+  def kmeansFit(corpus: DataFrame, vecCol: String, idCol: String,
+      k: Int, iters: Int = 5): Seq[Seq[Double]] = {
+    var cents: Array[Array[Double]] = corpus.orderBy(col(idCol)).limit(k)
+      .select(toDouble(col(vecCol)))
+      .collect().map(_.getSeq[Double](0).toArray)
+    var it = 0
+    while (it < iters) {
+      val cs = cents // stable reference for the closure
+      val assignUdf = udf { v: Seq[Double] =>
+        var best = 0
+        var bestDot = Double.NegativeInfinity
+        var c = 0
+        while (c < cs.length) {
+          var acc = 0.0
+          var i = 0
+          val n = math.min(v.length, cs(c).length)
+          while (i < n) { acc += v(i) * cs(c)(i); i += 1 }
+          if (acc > bestDot) { bestDot = acc; best = c }
+          c += 1
+        }
+        best
+      }
+      val stats = corpus.select(toDouble(col(vecCol)).as("v"))
+        .withColumn("cell", assignUdf(col("v")))
+        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+        .collect()
+      val next = cents.map(_.clone())
+      stats.foreach { r =>
+        val cell = r.getInt(0)
+        next(cell)(r.getInt(1)) = r.getDouble(2) / r.getLong(3)
+      }
+      cents = next
+      it += 1
+    }
+    cents.map(_.toSeq).toSeq
   }
 
   /** LSH-bucketed cosine top-k: same contract as [[bruteForceTopK]] but

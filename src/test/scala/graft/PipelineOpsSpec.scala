@@ -72,6 +72,34 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpecBase {
     }
   }
 
+  test("kmeansFit recovers cluster structure and feeds trained IVF") {
+    import spark.implicits._
+    // three tight clusters around orthogonal axes
+    def jitter(base: Seq[Double], i: Int): Seq[Double] =
+      base.zipWithIndex.map { case (x, d) => x + 0.01 * ((i + d) % 5) }
+    val rows = (0 until 30).map { i =>
+      val base = (i % 3) match {
+        case 0 => Seq(10.0, 0.0, 0.0)
+        case 1 => Seq(0.0, 10.0, 0.0)
+        case _ => Seq(0.0, 0.0, 10.0)
+      }
+      (i.toLong, jitter(base, i).map(_.toFloat).toArray)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansFit(df, "embedding", "vec_id", 3, iters = 4)
+    // each trained centroid is dominated by exactly one axis, all axes hit
+    val axes = cents.map(_.zipWithIndex.maxBy(_._1)._2).toSet
+    assert(axes == Set(0, 1, 2))
+    assert(cents.forall(_.max > 8.0))
+    // trained codebook drives IVF: each query's top-1 is a same-cluster id
+    val res = Similarity.ivfTopK(df, df.filter(col("vec_id") < 3),
+      "embedding", "vec_id", 1, centroids = Some(cents)).collect()
+    assert(res.length == 3)
+    res.foreach { r =>
+      assert(r.getLong(1) % 3 == r.getLong(0) % 3) // same cluster
+    }
+  }
+
   test("lsh buckets agree between corpus and query side") {
     val res = Similarity.lshTopK(emb, emb.filter(col("vec_id") < 3),
       "embedding", "vec_id", 3)
