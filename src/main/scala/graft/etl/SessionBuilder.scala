@@ -90,6 +90,7 @@ object SessionBuilder {
       initRTT: Long,
       communityId: String,
       protocol: Seq[String],
+      tags: Seq[String],
       fileId: Seq[String],
       packetPos: Seq[Long], packetLen: Seq[Int],
       // per-packet index into fileId — the flat analogue of the
@@ -189,7 +190,8 @@ object SessionBuilder {
     *     runs after — packet.c:190,303), so the boundary falls after it.
     */
   def buildSessions(key: String, packets: Iterator[DecodedPacket],
-      node: String, testRules: Boolean = false): Iterator[SessionRow] = {
+      node: String, testRules: Boolean = false,
+      yaraRules: Seq[graft.ops.Yara.Rule] = Nil): Iterator[SessionRow] = {
     val sorted = packets.toArray.sortBy(p => (p.tsMicros, p.file, p.index))
     if (sorted.isEmpty) return Iterator.empty
     val head = sorted.head
@@ -275,7 +277,8 @@ object SessionBuilder {
     var protoAcc = Set.empty[String]
     segs.zipWithIndex.iterator.map { case (seg, idx) =>
       val row = buildOne(key, seg, node, segs.length, idx,
-        bgpSession = bgpActive, testRules = testRules)
+        bgpSession = bgpActive, testRules = testRules,
+        yaraRules = yaraRules)
       protoAcc ++= row.protocol
       row.copy(protocol = protoAcc.toSeq.sorted)
     }
@@ -285,7 +288,8 @@ object SessionBuilder {
 
   private def buildOne(key: String, seg: Array[DecodedPacket], node: String,
       segmentCnt: Int, segmentSeq: Int,
-      bgpSession: Boolean = false, testRules: Boolean = false): SessionRow = {
+      bgpSession: Boolean = false, testRules: Boolean = false,
+      yaraRules: Seq[graft.ops.Yara.Rule] = Nil): SessionRow = {
     val first = seg.head
     // direction 0 == first packet's source endpoint
     def dirOf(p: DecodedPacket): Int =
@@ -591,6 +595,11 @@ object SessionBuilder {
       communityId = CommunityId.compute(first.srcIp, first.dstIp,
         first.srcPort, first.dstPort, first.ipProtocol),
       protocol = protocols,
+      // YARA content rules over the reassembled streams
+      // (capture/yara.c:161-165 scans payload; tags yara:<rule>)
+      tags =
+        if (yaraRules.isEmpty) Nil
+        else graft.ops.Yara.tags(yaraRules, effSrc, effDst),
       fileId = fileIds,
       packetPos = seg.map(_.fileOffset).toIndexedSeq,
       packetLen = seg.map(_.recLen).toIndexedSeq,
@@ -692,19 +701,28 @@ object SessionBuilder {
     * reference test deployment's rules.yaml marker tags (golden fidelity).
     */
   def sessionize(spark: SparkSession, pcapPath: String,
-      node: String = "test", testRules: Boolean = false): Dataset[SessionRow] = {
+      node: String = "test", testRules: Boolean = false,
+      yaraRules: Seq[graft.ops.Yara.Rule] = Nil): Dataset[SessionRow] = {
     import spark.implicits._
     Pcap.readPackets(spark, pcapPath)
       .flatMap(Decode.decode(_))
       .groupByKey(sessionKey)
-      .flatMapGroups((k, ps) => buildSessions(k, ps, node, testRules))
+      .flatMapGroups((k, ps) => buildSessions(k, ps, node, testRules, yaraRules))
   }
 
   /** Golden-fidelity sessionize: replays the reference test rules, as the
-    * reference's test captures were produced with tests/config.test.ini +
-    * tests/rules.yaml loaded.
+    * reference's test captures were produced with tests/config.test.ini
+    * (rules.yaml field rules + the rules.yara content rules) loaded.
     */
   def sessionizeRef(spark: SparkSession, pcapPath: String,
       node: String = "test"): Dataset[SessionRow] =
-    sessionize(spark, pcapPath, node, testRules = true)
+    sessionize(spark, pcapPath, node, testRules = true,
+      yaraRules = refYaraRules)
+
+  private lazy val refYaraRules: Seq[graft.ops.Yara.Rule] =
+    try graft.ops.Yara.parse(new String(
+      java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/root/reference/tests/rules.yara")),
+      java.nio.charset.StandardCharsets.UTF_8))
+    catch { case _: Exception => Nil }
 }

@@ -152,6 +152,7 @@ object FieldRegistry {
       FieldDef("tcpflags.fin", "tcpflagsFin",  IntegerK),
       FieldDef("tcpflags.urg", "tcpflagsUrg",  IntegerK),
       FieldDef("protocols",    "protocol",     TermK, multiValued = true),
+      FieldDef("tags",         "tags",         TermK, multiValued = true),
       FieldDef("rir.src",      "srcRIR",       TermK),
       FieldDef("rir.dst",      "dstRIR",       TermK),
       FieldDef("oui.src",      "srcOui",       TermK, multiValued = true),

@@ -1,0 +1,265 @@
+package graft.ops
+
+import java.nio.charset.StandardCharsets
+
+import scala.collection.mutable
+
+/** I12: YARA content rules over session payload bytes.
+  *
+  * The reference compiles rule files with libyara and tags matching
+  * sessions `yara:<identifier>` (capture/yara.c:141-163, scan invoked
+  * from the parser dispatch, parsers.c:1101). This implements the core
+  * of the rule language natively — enough for typical network-content
+  * rules (including the reference's tests/rules.yara):
+  *
+  *   - `strings:` text (`"..."` with `nocase`/`wide`/`ascii`), hex
+  *     (`{ AA ?? BB }` with `??` wildcards), and regex (`/re/`) entries;
+  *   - `condition:` boolean algebra over string ids, `any/all/N of
+  *     them`, and positional `$x in (lo .. hi)`;
+  *   - rule tags (`rule Name : tag1 tag2`).
+  *
+  * Scanning is a pure function over byte arrays, so it distributes as a
+  * UDF over payload columns — each executor compiles nothing and shares
+  * the broadcast rule list.
+  */
+object Yara {
+
+  // ------------------------------------------------------------- model
+  sealed trait Matcher {
+    /** All match offsets (start positions) of this string in `b`. */
+    def offsets(b: Array[Byte]): Seq[Int]
+    def matches(b: Array[Byte]): Boolean = offsets(b).nonEmpty
+  }
+
+  /** Text needle; `nocase` folds ASCII case; `wide` also tries UTF-16LE. */
+  final case class TextMatcher(text: String, nocase: Boolean, wide: Boolean)
+      extends Matcher {
+    private val needles: Seq[Array[Byte]] = {
+      val ascii = text.getBytes(StandardCharsets.ISO_8859_1)
+      if (wide) Seq(ascii, text.flatMap(c => Seq(c, '\u0000')).mkString
+        .getBytes(StandardCharsets.ISO_8859_1))
+      else Seq(ascii)
+    }
+    private def lower(x: Byte): Byte =
+      if (x >= 'A' && x <= 'Z') (x + 32).toByte else x
+    def offsets(b: Array[Byte]): Seq[Int] = {
+      val out = Seq.newBuilder[Int]
+      needles.foreach { n =>
+        var i = 0
+        while (i + n.length <= b.length) {
+          var j = 0
+          while (j < n.length && (if (nocase) lower(b(i + j)) == lower(n(j))
+            else b(i + j) == n(j))) j += 1
+          if (j == n.length) out += i
+          i += 1
+        }
+      }
+      out.result().distinct.sorted
+    }
+  }
+
+  /** Hex pattern; -1 entries are `??` wildcards. */
+  final case class HexMatcher(pattern: Array[Int]) extends Matcher {
+    def offsets(b: Array[Byte]): Seq[Int] = {
+      val out = Seq.newBuilder[Int]
+      var i = 0
+      while (i + pattern.length <= b.length) {
+        var j = 0
+        while (j < pattern.length &&
+          (pattern(j) == -1 || (b(i + j) & 0xff) == pattern(j))) j += 1
+        if (j == pattern.length) out += i
+        i += 1
+      }
+      out.result()
+    }
+  }
+
+  /** Regex over the latin-1 view of the bytes (YARA regex semantics). */
+  final case class RegexMatcher(re: String) extends Matcher {
+    private val p = java.util.regex.Pattern.compile(re)
+    def offsets(b: Array[Byte]): Seq[Int] = {
+      val m = p.matcher(new String(b, StandardCharsets.ISO_8859_1))
+      val out = Seq.newBuilder[Int]
+      while (m.find()) out += m.start()
+      out.result()
+    }
+  }
+
+  sealed trait Cond
+  final case class Ref(id: String) extends Cond
+  final case class InRange(id: String, lo: Int, hi: Int) extends Cond
+  final case class OfThem(n: Option[Int]) extends Cond // None = all
+  final case class And(a: Cond, b: Cond) extends Cond
+  final case class Or(a: Cond, b: Cond) extends Cond
+  final case class Not(a: Cond) extends Cond
+
+  final case class Rule(name: String, tags: Seq[String],
+      strings: Seq[(String, Matcher)], condition: Cond) {
+    def matches(b: Array[Byte]): Boolean = {
+      lazy val hit: Map[String, Boolean] =
+        strings.map { case (id, m) => id -> m.matches(b) }.toMap
+      def eval(c: Cond): Boolean = c match {
+        case Ref(id) => hit.getOrElse(id, false)
+        case InRange(id, lo, hi) =>
+          strings.collectFirst { case (`id`, m) => m }
+            .exists(_.offsets(b).exists(o => o >= lo && o <= hi))
+        case OfThem(None) => strings.forall(s => hit(s._1))
+        case OfThem(Some(n)) => strings.count(s => hit(s._1)) >= n
+        case And(x, y) => eval(x) && eval(y)
+        case Or(x, y) => eval(x) || eval(y)
+        case Not(x) => !eval(x)
+      }
+      eval(condition)
+    }
+  }
+
+  // ------------------------------------------------------------ parser
+  /** Parse a rules file; unsupported constructs raise with the rule name. */
+  def parse(source: String): Seq[Rule] = {
+    // strip comments
+    val src = source.replaceAll("(?s)/\\*.*?\\*/", "")
+      .replaceAll("(?m)//.*$", "")
+    val headRe = "rule\\s+(\\w+)\\s*(?::\\s*([\\w \\t]+?))?\\s*\\{".r
+    headRe.findAllMatchIn(src).map { m =>
+      val name = m.group(1)
+      val tags = Option(m.group(2)).map(_.trim.split("\\s+").toSeq)
+        .getOrElse(Nil).filter(_.nonEmpty)
+      // walk to the matching close brace, skipping string/regex literals
+      val start = m.end
+      var i = start
+      var depth = 1
+      while (i < src.length && depth > 0) {
+        src.charAt(i) match {
+          case '"' | '/' =>
+            val quote = src.charAt(i)
+            i += 1
+            while (i < src.length && src.charAt(i) != quote) {
+              if (src.charAt(i) == '\\') i += 1
+              i += 1
+            }
+          case '{' => depth += 1
+          case '}' => depth -= 1
+          case _ =>
+        }
+        i += 1
+      }
+      val body = src.substring(start, math.max(start, i - 1))
+      def section(kw: String): Option[String] = {
+        val i = body.indexOf(kw + ":")
+        if (i < 0) None
+        else {
+          val after = body.substring(i + kw.length + 1)
+          val ends = Seq("strings:", "condition:", "meta:")
+            .filter(k => k != kw + ":")
+            .map(after.indexOf).filter(_ >= 0)
+          Some(if (ends.isEmpty) after else after.substring(0, ends.min))
+        }
+      }
+      val strRe = ("\\$(\\w+)\\s*=\\s*(?:\"((?:[^\"\\\\]|\\\\.)*)\"" +
+        "([\\w \\t]*)|\\{([^}]*)\\}|/((?:[^/\\\\]|\\\\.)*)/([\\w \\t]*))").r
+      val strings = section("strings").map { s =>
+        strRe.findAllMatchIn(s).map { sm =>
+          val id = sm.group(1)
+          val matcher =
+            if (sm.group(2) != null) {
+              val mods = Option(sm.group(3)).getOrElse("")
+              TextMatcher(unescape(sm.group(2)),
+                nocase = mods.contains("nocase"),
+                wide = mods.contains("wide"))
+            } else if (sm.group(4) != null) {
+              val toks = sm.group(4).trim.split("\\s+").filter(_.nonEmpty)
+              HexMatcher(toks.map {
+                case "??" => -1
+                case h if h.matches("[0-9a-fA-F]{2}") => Integer.parseInt(h, 16)
+                case other => throw new IllegalArgumentException(
+                  s"rule $name: unsupported hex token '$other'")
+              })
+            } else RegexMatcher(sm.group(5))
+          id -> (matcher: Matcher)
+        }.toSeq
+      }.getOrElse(Nil)
+      val condStr = section("condition").map(_.trim).getOrElse("")
+      Rule(name, tags, strings, parseCond(name, condStr))
+    }.toSeq
+  }
+
+  private def unescape(s: String): String =
+    s.replace("\\\"", "\"").replace("\\\\", "\\")
+      .replace("\\n", "\n").replace("\\r", "\r").replace("\\t", "\t")
+
+  private def parseCond(rule: String, s: String): Cond = {
+    val toks = mutable.Queue(
+      s.replace("(", " ( ").replace(")", " ) ")
+        .replace("..", " .. ").split("\\s+").filter(_.nonEmpty).toSeq: _*)
+    def fail(what: String) = throw new IllegalArgumentException(
+      s"rule $rule: unsupported condition near '$what'")
+    def primary(): Cond = {
+      if (toks.isEmpty) fail("<end>")
+      toks.dequeue() match {
+        case "(" =>
+          val e = or()
+          if (toks.isEmpty || toks.dequeue() != ")") fail(")")
+          e
+        case "not" => Not(primary())
+        case "any" =>
+          if (toks.dequeue() != "of" || toks.dequeue() != "them") fail("any of them")
+          OfThem(Some(1))
+        case "all" =>
+          if (toks.dequeue() != "of" || toks.dequeue() != "them") fail("all of them")
+          OfThem(None)
+        case t if t.matches("\\d+") =>
+          if (toks.dequeue() != "of" || toks.dequeue() != "them") fail("N of them")
+          OfThem(Some(t.toInt))
+        case t if t.startsWith("$") =>
+          val id = t.drop(1)
+          if (toks.headOption.contains("in")) {
+            toks.dequeue()
+            if (toks.dequeue() != "(") fail("in (")
+            val lo = toks.dequeue().toInt
+            if (toks.dequeue() != "..") fail("..")
+            val hi = toks.dequeue().toInt
+            if (toks.dequeue() != ")") fail(")")
+            InRange(id, lo, hi)
+          } else Ref(id)
+        case other => fail(other)
+      }
+    }
+    def and(): Cond = {
+      var e = primary()
+      while (toks.headOption.contains("and")) { toks.dequeue(); e = And(e, primary()) }
+      e
+    }
+    def or(): Cond = {
+      var e = and()
+      while (toks.headOption.contains("or")) { toks.dequeue(); e = Or(e, and()) }
+      e
+    }
+    val e = or()
+    if (toks.nonEmpty) fail(toks.head)
+    e
+  }
+
+  // ------------------------------------------------------------- scan
+  /** Tags for one payload: `yara:<name>` plus the rule's own tags, each
+    * `yara:`-prefixed (capture/yara.c:149-156 tag shape).
+    */
+  def scan(rules: Seq[Rule], data: Array[Byte]): Seq[String] =
+    rules.filter(_.matches(data))
+      .flatMap(r => (r.name +: r.tags).map("yara:" + _)).distinct
+
+  /** Session form: scan both directions' reassembled streams. */
+  def tags(rules: Seq[Rule], src: Array[Byte], dst: Array[Byte]): Seq[String] =
+    (scan(rules, src) ++ scan(rules, dst)).distinct.sorted
+
+  /** Column form for at-scale tagging over payload columns. */
+  def tagsCol(rules: Seq[Rule]): (org.apache.spark.sql.Column,
+      org.apache.spark.sql.Column) => org.apache.spark.sql.Column = {
+    val u = org.apache.spark.sql.functions.udf {
+      (a: Array[Byte], b: Array[Byte]) =>
+        tags(rules,
+          if (a == null) Array.emptyByteArray else a,
+          if (b == null) Array.emptyByteArray else b)
+    }
+    (a, b) => u(a, b)
+  }
+}
