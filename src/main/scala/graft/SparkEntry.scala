@@ -106,6 +106,17 @@ object SparkEntry {
     "q_expr_exists" -> ((s, dir) =>
       evProjected(ev(s, dir).filter(compiler.compile(
         "props == EXISTS! && type != error")))),
+    // Q10: lotermfield folds the operand (and compare) to lower case
+    "q10_casefold" -> ((s, dir) =>
+      evProjected(ev(s, dir).filter(compiler.compile(
+        "type.lower == CLICK")))),
+    // Q13: relative dates with unit snapping against the fixed `now`
+    // (2024-02-01T00:00Z). The reference snaps FIRST, then offsets
+    // (molochparser.jison:858-880): -5d → 01-27 00:00;
+    // -36h@d → snap(now)@d=02-01 00:00 minus 36h = 01-30 12:00
+    "q13_relative_date" -> ((s, dir) =>
+      evProjected(ev(s, dir).filter(compiler.compile(
+        "ts >= -5d && ts < -36h@d")))),
     "q14_shortcut" -> ((s, dir) => {
       val c = new Compiler(FieldRegistry.events, now = now,
         shortcuts = Map("vips" -> Seq("1", "2", "3")))
@@ -354,6 +365,16 @@ object SparkEntry {
           "communityId", "srcPayload8", "dstPayload8")
         .orderBy("firstPacket")
     }),
+    // I12: YARA content rules tagging (rows-only; DuckDB can't read pcap)
+    "i12_yara" -> ((s, _) => {
+      graft.etl.SessionBuilder
+        .sessionizeRef(s, "/root/reference/tests/pcap/pop3-tag.pcap")
+        .toDF()
+        .select(col("sessionId"),
+          concat_ws(",", col("tags")).as("tags"),
+          concat_ws(",", col("protocol")).as("protocols"))
+        .orderBy("sessionId")
+    }),
     "i8_pcap_expression" -> ((s, _) => {
       import s.implicits._
       val sessions = graft.etl.SessionBuilder
@@ -592,6 +613,14 @@ object SparkEntry {
       s"""SELECT $evCols FROM events
          WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
            AND ts < TIMESTAMP '2024-01-20 12:00:00'
+         ORDER BY event_id""",
+    "q10_casefold" ->
+      s"""SELECT $evCols FROM events
+         WHERE lower(event_type) = 'click' ORDER BY event_id""",
+    "q13_relative_date" ->
+      s"""SELECT $evCols FROM events
+         WHERE ts >= TIMESTAMP '2024-01-27 00:00:00'
+           AND ts < TIMESTAMP '2024-01-30 12:00:00'
          ORDER BY event_id""",
     "q_expr_exists" ->
       s"""SELECT $evCols FROM events
