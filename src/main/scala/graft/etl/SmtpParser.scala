@@ -46,8 +46,18 @@ object SmtpParser {
       try {
         val d = new String(java.util.Base64.getDecoder.decode(v.trim),
           StandardCharsets.ISO_8859_1)
-        val u = if (plain) d.split(Character.MIN_VALUE).filter(_.nonEmpty).headOption
-          else Some(d)
+        // PLAIN = authzid \0 authcid \0 password; the user is the
+        // AUTHCID — the field after the first NUL — even when an
+        // authzid is present (smtp.c:536-548)
+        val u = if (plain) {
+          val i = d.indexOf(0)
+          if (i < 0) None
+          else {
+            val rest = d.substring(i + 1)
+            val j = rest.indexOf(0)
+            Some(if (j >= 0) rest.substring(0, j) else rest)
+          }
+        } else Some(d)
         u.filter(_.nonEmpty).foreach(x => user += x.toLowerCase)
       } catch { case _: IllegalArgumentException => }
     val headerNames = Seq.newBuilder[String]

@@ -138,6 +138,30 @@ class QueryFacadeSpec extends AnyFunSuite with SparkSpecBase {
       .spiview("srcIp", 10, spiDataMaxDays = -1).collect().nonEmpty)
   }
 
+  test("E11 csv export round-trips an endpoint result") {
+    val out = java.nio.file.Files.createTempDirectory("graft-csv").toString
+    val q = SessionQueryBuilder(sessions, FieldRegistry.sessions,
+      FieldRegistry.sessionCol)
+    val table = q.table(Seq("srcIp", "srcPort", "dstIp"),
+      Seq(("srcPort", true)), 5)
+    Endpoints.writeCsv(table, out)
+    val back = spark.read.option("header", "true").csv(out)
+    assert(back.columns.toSeq == Seq("srcIp", "srcPort", "dstIp"))
+    assert(back.count() == table.count())
+  }
+
+  test("E17 history entries accumulate as an append-only audit log") {
+    val out = java.nio.file.Files.createTempDirectory("graft-hist").toString
+    Endpoints.historyEntry(spark, "alice", "/api/sessions",
+      "http.method == GET", 12L)
+      .write.mode("append").parquet(out)
+    Endpoints.historyEntry(spark, "bob", "/api/spiview", "port == 443", 7L)
+      .write.mode("append").parquet(out)
+    val hist = spark.read.parquet(out)
+    assert(hist.count() == 2)
+    assert(hist.filter(col("uiPage_user") === "alice").count() == 1)
+  }
+
   test("cancellation: job-group cancel interrupts a running query") {
     import graft.query.QueryControl
     import scala.concurrent.{Await, Future}

@@ -30,4 +30,20 @@ class SmtpGoldenSpec extends AnyFunSuite with SparkSpecBase {
     assert(g.emailMimeVersion == strs(w.get("mimeVersion")))
     assert(g.emailHeader == strs(w.get("header")).sorted)
   }
+
+  test("AUTH PLAIN user is the authcid, with or without an authzid") {
+    import java.nio.charset.StandardCharsets
+    def session(cred: String): Seq[String] = {
+      val b64 = java.util.Base64.getEncoder.encodeToString(
+        cred.getBytes(StandardCharsets.ISO_8859_1))
+      val stream = s"EHLO client.example\r\nAUTH PLAIN $b64\r\n"
+        .getBytes(StandardCharsets.ISO_8859_1)
+      graft.etl.SmtpParser.parse(stream).map(_.user).getOrElse(Nil)
+    }
+    val nul = Character.MIN_VALUE
+    assert(session(s"${nul}Alice${nul}hunter2") == Seq("alice"))
+    // authzid present: the user is still the authcid (smtp.c:536-548)
+    assert(session(s"admin${nul}Bob${nul}pw") == Seq("bob"))
+    assert(session("nonulshere").isEmpty)
+  }
 }
