@@ -313,6 +313,15 @@ object SparkEntry {
     "d5_embedding_neardup" -> ((s, dir) =>
       Dedup.embeddingNearDup(emb(s, dir), col("embedding"), col("vec_id"),
         col("label"), threshold = 0.4)),
+    // D6: candidate pairs → connected components (canonical survivor per
+    // dup chain, transitive closure the pair list alone can't express)
+    "d6_dedup_groups" -> ((s, dir) =>
+      Dedup.resolveGroups(
+        Dedup.minhashCandidates(docs(s, dir), col("text"), col("doc_id")))),
+    // D7: SemDeDup — near-dups within embedding-space centroid cells
+    "d7_semantic_dedup" -> ((s, dir) =>
+      Dedup.semanticNearDup(emb(s, dir), col("embedding"), col("vec_id"),
+        nCells = 8, threshold = 0.4)),
 
     // --- S: similarity search -------------------------------------------
     "s1_ann_bruteforce" -> ((s, dir) => {
@@ -347,6 +356,28 @@ object SparkEntry {
       docs(s, dir)
         .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")),
+    // T5: PII scrub — deterministic PII is synthesized per row (both
+    // engines build the identical string) so every rule actually fires
+    "t5_pii_redact" -> ((s, dir) => {
+      val red = TextOps.piiRedact(piiSynth(col("text"), col("doc_id")))
+      docs(s, dir).select(col("doc_id"), md5(red).as("red_fp"),
+        regexp_count(red, lit("<EMAIL>")).cast("long").as("n_email"),
+        regexp_count(red, lit("<IP>")).cast("long").as("n_ip"),
+        regexp_count(red, lit("<PHONE>")).cast("long").as("n_phone"),
+        regexp_count(red, lit("<CC>")).cast("long").as("n_cc"))
+        .orderBy("doc_id")
+    }),
+    // T6: fixed-size token chunking with overlap (context-window prep)
+    "t6_chunk" -> ((s, dir) =>
+      TextOps.chunkTokens(docs(s, dir), col("text"), col("doc_id"),
+        chunkSize = 40, overlap = 10)
+        .withColumn("n_chunk_tokens", col("n_chunk_tokens").cast("long"))
+        .orderBy("doc_id", "chunk_idx")),
+    // P1: deterministic hash-stratified sampling (reproducible mixes)
+    "p1_stratified_sample" -> ((s, dir) =>
+      TextOps.stratifiedSample(docs(s, dir), col("lang"), col("doc_id"),
+        Map("en" -> 0.5, "de" -> 0.25), defaultRate = 0.1)
+        .select("doc_id", "lang").orderBy("doc_id")),
 
     // --- M: multimodal column plumbing (stubbed decode kernel) ----------
     "m1_multimodal_meta" -> ((s, dir) =>
@@ -499,6 +530,18 @@ object SparkEntry {
 
   private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
   private def emb(s: SparkSession, dir: String) = Tables.load(s, dir, "embeddings")
+
+  /** Deterministic PII-bearing text for t5: doc text + one email, one
+    * phone, one IPv4, one card number derived from doc_id.
+    */
+  private def piiSynth(text: Column, id: Column): Column =
+    concat(text,
+      lit(" contact user"), id.cast("string"),
+      lit("@example.com call +1 555 01"),
+      lpad((id % 100).cast("string"), 2, "0"),
+      lit(" from 10."), (id % 256).cast("string"),
+      lit(".0.1 card 4111111111111"),
+      ((id % 9000) + 1000).cast("string"))
 
   /** Blocking key for near-dup joins: language × length bucket. */
   private def docBlockKey: Column =
@@ -867,6 +910,42 @@ object SparkEntry {
            ON a.band_id = b.band_id AND a.band_key = b.band_key
            AND a.doc_id < b.doc_id
          ORDER BY doc_a, doc_b""",
+    "d6_dedup_groups" ->
+      s"""WITH RECURSIVE tok AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+         sh AS (SELECT doc_id, unnest(${sqlShingles("toks", 3)}) AS s
+                FROM tok WHERE len(toks) >= 3),
+         hs AS (SELECT doc_id, ${sqlHex32("s")} AS h FROM sh),
+         sig AS (SELECT doc_id, $sqlMinhashCols FROM hs GROUP BY doc_id),
+         bandrows AS (
+           SELECT doc_id, b AS band_id, $sqlBandKey AS band_key
+           FROM sig, range(0, 4) t(b)),
+         pairs AS (
+           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM bandrows a JOIN bandrows b
+             ON a.band_id = b.band_id AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id),
+         edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+                   UNION SELECT doc_b, doc_a FROM pairs),
+         reach(id, r) AS (
+           SELECT DISTINCT s, s FROM edges
+           UNION
+           SELECT e.s, reach.r FROM edges e JOIN reach ON e.d = reach.id)
+         SELECT id AS doc_id, min(r) AS group_id FROM reach
+         GROUP BY id ORDER BY doc_id""",
+    "d7_semantic_dedup" ->
+      s"""WITH e AS (SELECT vec_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         cents AS (SELECT vec_id AS cell, v AS centv FROM e WHERE vec_id < 8),
+         asg AS (
+           SELECT vec_id, v, cell FROM (
+             SELECT e.vec_id, e.v, c.cell, row_number() OVER
+               (PARTITION BY e.vec_id ORDER BY ${sqlDot("e.v", "c.centv", 64)} DESC, c.cell ASC) AS crk
+             FROM e, cents c) WHERE crk = 1)
+         SELECT cell, vec_a, vec_b, cosine FROM (
+           SELECT a.cell AS cell, a.vec_id AS vec_a, b.vec_id AS vec_b,
+             ${sqlCos("a.v", "b.v", 64)} AS cosine
+           FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id)
+         WHERE cosine >= 0.4 ORDER BY vec_a, vec_b""",
     "d3_dedup_simhash" ->
       s"""WITH tok AS (SELECT doc_id, $sqlToks AS toks FROM documents)
          SELECT doc_id, $sqlSimhash AS simhash
@@ -967,6 +1046,42 @@ object SparkEntry {
       s"""SELECT doc_id,
          md5(array_to_string(list_sort(list_distinct($sqlToks)), ' ')) AS fp
          FROM documents ORDER BY doc_id""",
+    "t5_pii_redact" -> {
+      // same rule chain, same order; DuckDB needs the explicit 'g' flag
+      // (single-quoted SQL strings pass backslashes to RE2 untouched)
+      val redSql = TextOps.piiRules.foldLeft("t") { case (acc, (re, tag)) =>
+        s"regexp_replace($acc, '$re', '$tag', 'g')"
+      }
+      s"""WITH s AS (SELECT doc_id,
+           text || ' contact user' || CAST(doc_id AS VARCHAR)
+             || '@example.com call +1 555 01'
+             || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+             || ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+             || '.0.1 card 4111111111111'
+             || CAST(doc_id % 9000 + 1000 AS VARCHAR) AS t
+           FROM documents),
+         r AS (SELECT doc_id, $redSql AS red FROM s)
+         SELECT doc_id, md5(red) AS red_fp,
+           len(regexp_extract_all(red, '<EMAIL>')) AS n_email,
+           len(regexp_extract_all(red, '<IP>')) AS n_ip,
+           len(regexp_extract_all(red, '<PHONE>')) AS n_phone,
+           len(regexp_extract_all(red, '<CC>')) AS n_cc
+         FROM r ORDER BY doc_id"""
+    },
+    "t6_chunk" ->
+      s"""WITH tok AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+         st AS (SELECT doc_id, toks,
+             unnest(range(1, greatest(len(toks) - 10, 1) + 1, 30)) AS s
+           FROM tok WHERE len(toks) > 0)
+         SELECT doc_id, CAST((s - 1) // 30 AS INT) AS chunk_idx,
+           len(toks[s:s+39]) AS n_chunk_tokens,
+           md5(array_to_string(toks[s:s+39], ' ')) AS chunk_fp
+         FROM st ORDER BY doc_id, chunk_idx""",
+    "p1_stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+         WHERE CAST(('0x' || substr(md5(lang || '|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000
+           < CAST((CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25 ELSE 0.1 END) * 1000 AS BIGINT)
+         ORDER BY doc_id""",
     "i9_enrich_join" ->
       s"""SELECT p_brand, s_nationkey, count(*) AS n, ${sqlDsum("l_quantity")} AS sum_qty
          FROM lineitem JOIN part ON l_partkey = p_partkey

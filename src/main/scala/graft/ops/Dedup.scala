@@ -165,6 +165,96 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Resolve near-dup candidate pairs into connected components: every
+    * document gets the minimum id reachable through the pair graph as its
+    * `group_id` (the canonical survivor), so a whole chain a~b~c collapses
+    * to one group even when (a,c) was never emitted as a pair.
+    *
+    * Distributed min-label propagation: labels start at min(id, neighbors)
+    * and each round takes the min over the neighborhood, converging in
+    * O(component diameter) rounds — near-dup components are shallow
+    * (stars/chains of a handful of docs), so 3-5 rounds close 100 TB runs.
+    * Each round is one shuffle of (node, label) pairs, never edges², and
+    * the edge list is cached once. The loop stops early at a fixpoint
+    * (checked with a cheap count, the driver-side analogue of Pregel's
+    * "no messages" halt).
+    */
+  def resolveGroups(
+      pairs: DataFrame, aCol: String = "doc_a", bCol: String = "doc_b",
+      maxRounds: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .cache()
+    var labels = edges.groupBy(col("src").as("id"))
+      .agg(least(min(col("dst")), first(col("src"))).as("label"))
+      .cache()
+    var round = 0
+    var converged = false
+    while (round < maxRounds && !converged) {
+      // neighborhood min: each node's label offered to every neighbor
+      val offered = edges.join(labels, col("dst") === col("id"))
+        .groupBy(col("src").as("id")).agg(min(col("label")).as("nmin"))
+      val next = labels.join(offered, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .cache()
+      converged = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
+        .filter(col("label") < col("old")).isEmpty
+      labels.unpersist()
+      labels = next
+      round += 1
+    }
+    edges.unpersist()
+    labels.select(col("id").as("doc_id"), col("label").as("group_id"))
+      .orderBy("doc_id")
+  }
+
+  /** SemDeDup-style semantic dedup: embeddings are bucketed into `nCells`
+    * centroid cells (max-dot assignment, the IVF codebook — trained via
+    * [[Similarity.kmeansFit]] in production, the deterministic stand-in
+    * centroids here), then near-dup pairs are found ONLY within a cell:
+    * cosine ≥ threshold ⇒ the higher id is a duplicate of the lower.
+    *
+    * The cell blocking is what makes this scale: candidate generation is
+    * O(Σ cell²) not O(n²), and cells are balanced by the codebook. Emits
+    * (cell, vec_a, vec_b, cosine) pairs; the drop set is `distinct vec_b`.
+    */
+  def semanticNearDup(
+      df: DataFrame, vec: Column, idCol: Column,
+      nCells: Int, threshold: Double,
+      centroids: Option[Seq[Seq[Double]]] = None): DataFrame = {
+    val cents = centroids match {
+      case Some(cs) =>
+        val spark = df.sparkSession
+        import spark.implicits._
+        cs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("cell", "centv")
+      case None => df.filter(idCol < nCells)
+        .select(idCol.as("cell"), Similarity.toDouble(vec).as("centv"))
+    }
+    // nearest cell per vector (max dot, cell-id tie-break) — one corpus
+    // scan against the broadcast codebook, no shuffle of the vectors
+    val topCell = graft.functions.TopK.longIds(1)
+    val assigned = df.select(idCol.as("vid"), Similarity.toDouble(vec).as("v"))
+      .crossJoin(broadcast(cents))
+      .withColumn("cdot", Similarity.dot(col("v"), col("centv")))
+      .groupBy(col("vid"))
+      .agg(topCell(col("cdot"), col("cell")).as("cells"), first(col("v")).as("v"))
+      .select(col("vid"), col("cells").getItem(0).getField("id").as("cell"),
+        Similarity.pack(col("v")).as("vp"))
+    val a = assigned.select(col("cell"), col("vid").as("vec_a"), col("vp").as("va"))
+      .withColumn("na", Similarity.normBin(col("va")))
+    val b = assigned.select(col("cell"), col("vid").as("vec_b"), col("vp").as("vb"))
+      .withColumn("nb", Similarity.normBin(col("vb")))
+    a.join(b, Seq("cell"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cosine",
+        Similarity.dotBin(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cosine") >= threshold)
+      .select("cell", "vec_a", "vec_b", "cosine")
+      .orderBy("vec_a", "vec_b")
+  }
+
   /** Embedding near-dup pairs within a blocking key (label, LSH bucket, …):
     * cosine ≥ threshold. Fold order matches the SQL oracle exactly.
     */

@@ -128,4 +128,66 @@ object TextOps {
 
   def rollingHash(toks: Column, mod: Long = (1L << 31) - 1): Column =
     aggregate(toks, lit(0L), (acc, t) => (acc * 31 + hex32(t)) % mod)
+
+  /** PII redaction rules, applied IN ORDER (order matters: SSN before
+    * phone so `123-45-6789` isn't half-eaten by the phone rule; card
+    * before phone so a 16-digit run isn't split). Patterns are common
+    * RE2/Java-regex subset — no backrefs/lookarounds — so the same
+    * strings drive both engines.
+    */
+  val piiRules: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\b\\d{3}-\\d{2}-\\d{4}\\b" -> "<SSN>",
+    "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b" -> "<IP>",
+    "\\b\\d{13,19}\\b" -> "<CC>",
+    "\\+?\\d[\\d -]{7,}\\d" -> "<PHONE>")
+
+  /** Scrub PII from a text column: emails, SSNs, IPv4s, card-length digit
+    * runs, phone-like digit strings → typed placeholder tags. Pure chained
+    * `regexp_replace` — codegen'd, map-side, zero shuffle at any scale.
+    */
+  def piiRedact(text: Column): Column =
+    piiRules.foldLeft(text) { case (c, (re, tag)) =>
+      regexp_replace(c, re, tag)
+    }
+
+  /** Deterministic stratified sampling: a row survives iff
+    * hex32(stratum + "|" + id) mod 1000 < rate(stratum)·1000. Seedless
+    * and engine-portable (same md5 everywhere), stable under re-runs and
+    * retries — the property that matters for reproducible training mixes.
+    * Map-side filter only: no shuffle, no per-stratum pass; at 100 TB the
+    * sample is one scan regardless of the number of strata.
+    */
+  def stratifiedSample(
+      df: DataFrame, stratum: Column, idCol: Column,
+      rates: Map[String, Double], defaultRate: Double): DataFrame = {
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (s, r)) =>
+      when(stratum === s, lit(r)).otherwise(acc)
+    }
+    val bucket = hex32(concat(stratum, lit("|"), idCol.cast("string"))) % 1000
+    df.filter(bucket < (rate * 1000).cast("long"))
+  }
+
+  /** Split documents into fixed-size token chunks with overlap — the
+    * context-window prep step of a training pipeline. Chunk i starts at
+    * token 1 + i·(size−overlap); every chunk after the first repeats the
+    * previous chunk's last `overlap` tokens. Emits one row per chunk:
+    * (id, chunk_idx, n_chunk_tokens, chunk fingerprint). Built from
+    * sequence/slice/posexplode — the only row growth is the chunks
+    * themselves (ntokens/(size−overlap) rows per doc), map-side.
+    */
+  def chunkTokens(
+      df: DataFrame, text: Column, idCol: Column,
+      chunkSize: Int, overlap: Int): DataFrame = {
+    require(overlap < chunkSize, "overlap must be < chunkSize")
+    val step = chunkSize - overlap
+    val toks = tokens(text)
+    val starts = sequence(lit(1), greatest(size(toks) - overlap, lit(1)), lit(step))
+    val chunks = transform(starts, st => slice(toks, st, lit(chunkSize)))
+    df.filter(size(toks) > 0)
+      .select(idCol.as("doc_id"), posexplode(chunks).as(Seq("chunk_idx", "chunk")))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("chunk")).as("n_chunk_tokens"),
+        md5(concat_ws(" ", col("chunk"))).as("chunk_fp"))
+  }
 }

@@ -1,0 +1,55 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Streaming analytics twins of the batch endpoints — the live-dashboard
+  * path (the reference's viewer polls ES for fresh sessions; Structured
+  * Streaming computes the same rollups incrementally as sessions arrive).
+  *
+  * Scale design: both operators are watermark-bounded, so state size is
+  * O(active windows × key cardinality), never O(stream length); partial
+  * aggregation happens map-side per micro-batch and the shuffle key is
+  * (window, group) — the same hash partitioning the batch path uses.
+  */
+object LiveStats {
+
+  /** Watermarked time histogram: the streaming twin of
+    * `Endpoints.timeHistogram` (E3/E16). Emits one finalized row per
+    * (window, group) once the watermark passes the window end — append
+    * mode, so downstream sinks (parquet, the ES-bulk shaper) see each
+    * bucket exactly once.
+    */
+  def timeHistogram(
+      stream: DataFrame,
+      tsCol: Column,
+      intervalSec: Long,
+      watermarkDelay: String,
+      groupBy: Seq[Column] = Seq.empty,
+      sums: Map[String, Column] = Map.empty): DataFrame = {
+    val withTs = stream.withColumn("_ts", tsCol)
+      .withWatermark("_ts", watermarkDelay)
+    val aggs = count(lit(1)).as("sessions") ::
+      sums.toSeq.sortBy(_._1).map { case (n, c) => c.as(n) }.toList
+    withTs
+      .groupBy((window(col("_ts"), s"$intervalSec seconds") +: groupBy): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("bucket", col("window.start"))
+      .drop("window")
+  }
+
+  /** Streaming exact-dedup: first occurrence of each key within the
+    * watermark horizon survives (the streaming twin of I11 duplicate
+    * suppression / d1 exact dedup). State per key is dropped once the
+    * watermark passes, bounding memory on an unbounded stream.
+    */
+  def dedupStream(
+      stream: DataFrame,
+      keys: Seq[String],
+      tsCol: Column,
+      watermarkDelay: String): DataFrame =
+    stream.withColumn("_ts", tsCol)
+      .withWatermark("_ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark(keys)
+      .drop("_ts")
+}

@@ -1,0 +1,74 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.LiveStats
+
+/** The streaming rollups must equal their batch twins once the watermark
+  * closes the windows.
+  */
+class LiveStatsSpec extends AnyFunSuite with SparkSpecBase {
+
+  private def ts(min: Int) = new Timestamp(1700000000000L + min * 60000L)
+
+  test("watermarked time histogram equals the batch histogram") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+
+    val rows = Seq(
+      (ts(0), "a", 10.0), (ts(1), "b", 5.0), (ts(2), "a", 1.0),   // bucket 0
+      (ts(5), "a", 2.0), (ts(6), "b", 7.0),                       // bucket 1
+      (ts(11), "a", 4.0))                                         // bucket 2
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val hist = LiveStats.timeHistogram(
+      input.toDS().toDF("ts", "k", "v"), col("ts"), 300, "1 minute",
+      sums = Map("sum_v" -> sum(col("v"))))
+    val q = hist.writeStream.format("memory").queryName("live_hist")
+      .outputMode("append").start()
+    try {
+      input.addData(rows)
+      q.processAllAvailable()
+      // advance the watermark past every bucket end
+      input.addData(Seq((ts(60), "z", 0.0)))
+      q.processAllAvailable()
+
+      val streamed = spark.table("live_hist")
+        .select("bucket", "sessions", "sum_v")
+        .filter(col("sessions") > 0)
+        .collect().map(r => (r.getTimestamp(0).getTime, r.getLong(1), r.getDouble(2)))
+        .sortBy(_._1).toSeq
+      val batch = rows.toDF("ts", "k", "v")
+        .groupBy(window(col("ts"), "300 seconds"))
+        .agg(count(lit(1)).as("sessions"), sum("v").as("sum_v"))
+        .select(col("window.start"), col("sessions"), col("sum_v"))
+        .collect().map(r => (r.getTimestamp(0).getTime, r.getLong(1), r.getDouble(2)))
+        .sortBy(_._1).toSeq
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
+  test("dedupStream keeps first occurrence per key within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+
+    val input = MemoryStream[(Timestamp, String)]
+    val deduped = LiveStats.dedupStream(
+      input.toDS().toDF("ts", "k"), Seq("k"), col("ts"), "10 minutes")
+    val q = deduped.writeStream.format("memory").queryName("live_dedup")
+      .outputMode("append").start()
+    try {
+      input.addData(Seq((ts(0), "x"), (ts(1), "x"), (ts(2), "y")))
+      q.processAllAvailable()
+      input.addData(Seq((ts(3), "x"), (ts(4), "z")))
+      q.processAllAvailable()
+      val keys = spark.table("live_dedup").select("k")
+        .collect().map(_.getString(0)).sorted.toSeq
+      assert(keys == Seq("x", "y", "z"))
+    } finally q.stop()
+  }
+}

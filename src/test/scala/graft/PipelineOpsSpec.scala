@@ -127,4 +127,77 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpecBase {
       r.getDouble(3) >= 0 && r.getDouble(3) <= 1 && r.getDouble(4) <= 1
     })
   }
+
+  test("resolveGroups collapses a chain to its minimum id") {
+    import spark.implicits._
+    // chain 1-2-3-4 plus isolated pair 10-11: (1,3) never appears as a
+    // pair yet both must land in group 1
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("doc_a", "doc_b")
+    val g = Dedup.resolveGroups(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(g == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("resolveGroups group ids are component minima on real candidates") {
+    val pairs = Dedup.minhashCandidates(docs, col("text"), col("doc_id"))
+    val g = Dedup.resolveGroups(pairs)
+    // every group_id is itself a member of its own group (the canonical id)
+    val roots = g.select(col("group_id").as("root")).distinct()
+    val selfRooted = roots.join(
+      g.filter(col("doc_id") === col("group_id")),
+      col("root") === col("doc_id"))
+    assert(selfRooted.count() == roots.count())
+    // and no member is smaller than its group id
+    assert(g.filter(col("doc_id") < col("group_id")).count() == 0)
+  }
+
+  test("semanticNearDup blocks by cell and bounds cosine") {
+    val r = Dedup.semanticNearDup(emb, col("embedding"), col("vec_id"),
+      nCells = 8, threshold = 0.4).collect()
+    assert(r.forall(x => x.getDouble(3) >= 0.4 && x.getDouble(3) <= 1.0 + 1e-9))
+    assert(r.forall(x => x.getLong(1) < x.getLong(2)))
+  }
+
+  test("piiRedact scrubs every rule and leaves clean text alone") {
+    import spark.implicits._
+    val d = Seq(
+      "mail a.b+c@x-y.org now",
+      "ssn 123-45-6789 ok",
+      "host 192.168.0.1 up",
+      "card 4111111111111111 paid",
+      "call +1 555 123 4567 today",
+      "nothing sensitive here").toDF("t")
+    val out = d.select(TextOps.piiRedact(col("t"))).as[String].collect()
+    assert(out(0) == "mail <EMAIL> now")
+    assert(out(1) == "ssn <SSN> ok")
+    assert(out(2) == "host <IP> up")
+    assert(out(3) == "card <CC> paid")
+    assert(out(4) == "call <PHONE> today")
+    assert(out(5) == "nothing sensitive here")
+  }
+
+  test("stratifiedSample is deterministic and rate-proportional") {
+    val s1 = TextOps.stratifiedSample(docs, col("lang"), col("doc_id"),
+      Map("en" -> 0.5), defaultRate = 0.1)
+    val s2 = TextOps.stratifiedSample(docs, col("lang"), col("doc_id"),
+      Map("en" -> 0.5), defaultRate = 0.1)
+    assert(s1.count() == s2.count()) // seedless: identical under re-run
+    val en = docs.filter(col("lang") === "en").count()
+    val enKept = s1.filter(col("lang") === "en").count()
+    // 50% target with md5-uniform selection: allow wide tolerance
+    assert(enKept > en * 3 / 10 && enKept < en * 7 / 10)
+  }
+
+  test("chunkTokens covers all tokens with the declared overlap") {
+    import spark.implicits._
+    val d = Seq((1L, (1 to 95).map(i => s"t$i").mkString(" "))).toDF("id", "text")
+    val c = TextOps.chunkTokens(d, col("text"), col("id"), chunkSize = 40, overlap = 10)
+      .orderBy("chunk_idx").collect()
+    // 95 tokens, starts 1,31,61 → chunks of 40,40,35
+    assert(c.map(_.getInt(1)).toSeq == Seq(0, 1, 2))
+    assert(c.map(_.getInt(2)).toSeq == Seq(40, 40, 35))
+    // fingerprints differ (different token ranges)
+    assert(c.map(_.getString(3)).distinct.length == 3)
+  }
 }

@@ -82,6 +82,17 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpecBase {
     assert(!p.contains("Window"))
   }
 
+  test("semantic dedup broadcasts the codebook and ranks without windows") {
+    spark.catalog.clearCache()
+    val p = SparkEntry.queries("d7_semantic_dedup")(spark, sf)
+      .queryExecution.executedPlan
+    assert(p.toString.contains("BroadcastNestedLoopJoin") ||
+      p.toString.contains("BroadcastHashJoin"))
+    assert(p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, "cell assignment must use the bounded-heap TopK, not a window")
+  }
+
   test("NO query plan contains a partition-less window (full sweep)") {
     // planning only — nothing executes; guards every current and future
     // driver-contract query against the single-task window anti-pattern
