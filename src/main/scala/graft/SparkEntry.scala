@@ -322,6 +322,9 @@ object SparkEntry {
     "d7_semantic_dedup" -> ((s, dir) =>
       Dedup.semanticNearDup(emb(s, dir), col("embedding"), col("vec_id"),
         nCells = 8, threshold = 0.4)),
+    // D8: winnowing fingerprints — substring-level dup candidates
+    "d8_winnow" -> ((s, dir) =>
+      Dedup.winnowPairs(docs(s, dir), col("text"), col("doc_id"))),
 
     // --- S: similarity search -------------------------------------------
     "s1_ann_bruteforce" -> ((s, dir) => {
@@ -932,6 +935,18 @@ object SparkEntry {
            SELECT e.s, reach.r FROM edges e JOIN reach ON e.d = reach.id)
          SELECT id AS doc_id, min(r) AS group_id FROM reach
          GROUP BY id ORDER BY doc_id""",
+    "d8_winnow" ->
+      s"""WITH tok AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+         hs AS (SELECT doc_id,
+             list_transform(${sqlShingles("toks", 3)}, s -> ${sqlHex32("s")}) AS hs
+           FROM tok WHERE len(toks) >= 3),
+         f AS (SELECT doc_id, unnest(list_distinct(
+             list_transform(range(1, len(hs) - 3 + 1), i -> list_min(hs[i:i+3])))) AS fp
+           FROM hs WHERE len(hs) >= 4)
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+         FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         GROUP BY doc_a, doc_b HAVING count(*) >= 2
+         ORDER BY doc_a, doc_b""",
     "d7_semantic_dedup" ->
       s"""WITH e AS (SELECT vec_id,
            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),

@@ -165,6 +165,41 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Winnowing fingerprints (Schleimer et al., SIGMOD'03 — the MOSS
+    * algorithm): over the ordered k-gram hash stream, select the minimum
+    * of every `window` consecutive hashes; the distinct selected set is
+    * the document's fingerprint. Guarantees any shared substring of
+    * ≥ window+k-1 tokens yields at least one shared fingerprint, while
+    * storing only ~2/(window+1) of the hashes — substring-level dedup
+    * (quotes, boilerplate, copied passages) that whole-doc MinHash misses.
+    *
+    * Candidate pairs come from the same inverted-index self-join as
+    * [[ngramJaccardPairs]]: only co-occurring fingerprints emit rows.
+    * Selection runs scan-side per document; only (fp, doc_id) pairs
+    * shuffle — ~1/window of the shingle count.
+    */
+  def winnowPairs(
+      df: DataFrame, text: Column, idCol: Column,
+      shingleK: Int = 3, window: Int = 4, minShared: Int = 2): DataFrame = {
+    val hs = graft.functions.ShingleHashes(text, shingleK, distinct = false)
+    // window minima over positions 1 .. len-window+1 (order preserved by
+    // the hash kernel); docs with fewer than `window` k-grams are skipped
+    // on both engines
+    val fps = df
+      .select(idCol.as("doc_id"), hs.as("hs"))
+      .filter(size(col("hs")) >= window)
+      .select(col("doc_id"), explode(array_distinct(
+        transform(sequence(lit(1), size(col("hs")) - (window - 1)),
+          i => array_min(slice(col("hs"), i, lit(window)))))).as("fp"))
+    val a = fps.select(col("fp"), col("doc_id").as("doc_a"))
+    val b = fps.select(col("fp"), col("doc_id").as("doc_b"))
+    a.join(b, Seq("fp"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Resolve near-dup candidate pairs into connected components: every
     * document gets the minimum id reachable through the pair graph as its
     * `group_id` (the canonical survivor), so a whole chain a~b~c collapses

@@ -128,6 +128,21 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpecBase {
     })
   }
 
+  test("winnowPairs guarantees detection of long shared substrings") {
+    import spark.implicits._
+    val shared = (1 to 30).map(i => s"common$i").mkString(" ")
+    val d = Seq(
+      (1L, s"alpha beta gamma $shared delta"),
+      (2L, s"$shared omega psi chi phi"),
+      (3L, "entirely different text with no overlap whatsoever at all here"))
+      .toDF("id", "text")
+    val pairs = Dedup.winnowPairs(d, col("text"), col("id")).collect()
+    // the 30-token shared run must surface (guarantee: shared substrings
+    // of >= window+k-1 = 6 tokens always share a fingerprint)
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
+    assert(pairs.head.getLong(2) >= 2)
+  }
+
   test("resolveGroups collapses a chain to its minimum id") {
     import spark.implicits._
     // chain 1-2-3-4 plus isolated pair 10-11: (1,3) never appears as a
