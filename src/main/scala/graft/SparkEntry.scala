@@ -505,6 +505,18 @@ object SparkEntry {
         .select("event_id", "ip4", "mac", "anchor_ip", "rir", "oui",
           "country", "asn")
         .orderBy("event_id")
+    }),
+
+    // --- E17-family: session tagging (addTags/removeTags set semantics;
+    //     viewer/apiSessions.js:1480-1520) ------------------------------
+    "e17_tagging" -> ((s, dir) => {
+      import graft.ops.Tagging
+      val base = ev(s, dir).withColumn("tags", array(col("event_type")))
+      val matched = col("event_type") === "purchase" && col("value") > 100
+      val t1 = Tagging.addTags(base, matched, Seq("incident-42", "reviewed"))
+      val t2 = Tagging.removeTags(t1, col("value") > 180, Seq("reviewed"))
+      t2.select(col("event_id"), concat_ws(",", col("tags")).as("tags"))
+        .orderBy("event_id")
     })
   )
 
@@ -1137,6 +1149,13 @@ object SparkEntry {
            CAST(hv % 512 + 1 AS INT) AS width,
            CAST((hv >> 9) % 512 + 1 AS INT) AS height,
            CAST((hv >> 18) % 30 + 1 AS INT) AS n_frames
-         FROM h ORDER BY media_id"""
+         FROM h ORDER BY media_id""",
+    "e17_tagging" ->
+      """SELECT event_id, concat_ws(',', event_type,
+           CASE WHEN coalesce(event_type = 'purchase' AND value > 100, FALSE)
+                THEN 'incident-42' END,
+           CASE WHEN coalesce(event_type = 'purchase' AND value > 100, FALSE)
+                AND NOT coalesce(value > 180, FALSE) THEN 'reviewed' END) AS tags
+         FROM events ORDER BY event_id"""
   ).map { case (k, v) => k -> v.replaceAll("\\s+", " ").trim }
 }
