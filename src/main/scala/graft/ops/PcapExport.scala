@@ -1,0 +1,110 @@
+package graft.ops
+
+import java.io.{BufferedOutputStream, FileOutputStream}
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+import graft.etl.SessionBuilder.SessionRow
+
+/** PCAP export — the `/api/sessions.pcap` / `/api/session/:id/pcap`
+  * endpoint family (reference: viewer/apiSessions.js:685-744
+  * sessionsPcapList, 853-894 writePcap): one 24-byte global header from
+  * the source capture, then every selected session's packet records —
+  * raw 16-byte record header + bytes, copied verbatim — in per-session
+  * stored order, sessions ordered by start time.
+  *
+  * Split Spark-first into a distributed read and a serial assembly:
+  *  - [[records]] seeks each stored `(fileId, packetPos, packetLen)`
+  *    slice exactly like [[Hunt]] — tasks read only the bytes their
+  *    sessions reference, grouped per file, never whole multi-GB
+  *    captures.
+  *  - [[writeFile]] streams the sorted records into one output file via
+  *    `toLocalIterator` — the export is inherently a single byte stream
+  *    (the reference writes an HTTP response), so only the assembly is
+  *    serial, and it holds one partition of record bytes at a time.
+  */
+object PcapExport {
+
+  /** One row per referenced packet record, raw bytes verbatim, with the
+    * `(firstPacket, sessionId, seq)` sort key that reproduces the
+    * reference's write order.
+    */
+  def records(sessions: Dataset[SessionRow]): DataFrame = {
+    val spark = sessions.sparkSession
+    import spark.implicits._
+    val slices = sessions.flatMap { s =>
+      s.packetPos.indices.flatMap { i =>
+        s.fileId.lift(s.packetFileIdx(i)).map(f =>
+          (s.firstPacket, s.sessionId, i, f, s.packetPos(i), s.packetLen(i)))
+      }
+    }.toDF("firstPacket", "sessionId", "seq", "file", "pos", "len")
+    slices
+      .repartition(col("file"))
+      .sortWithinPartitions("file", "pos")
+      .as[(Long, String, Int, String, Long, Int)]
+      .mapPartitions { rows =>
+        val open = scala.collection.mutable.Map[String, Option[java.io.RandomAccessFile]]()
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => open.values.flatten.foreach(r =>
+            try r.close() catch { case _: Exception => () })))
+        def channelOf(f0: String) = {
+          val f = if (f0.startsWith("file:")) new java.net.URI(f0).getPath else f0
+          open.getOrElseUpdate(f,
+            try Some(new java.io.RandomAccessFile(f, "r"))
+            catch { case _: Exception => None })
+        }
+        rows.flatMap { case (first, sid, seq, file, pos, len) =>
+          channelOf(file).flatMap { raf =>
+            try {
+              val rec = new Array[Byte](len)
+              raf.seek(pos)
+              raf.readFully(rec)
+              Some((first, sid, seq, rec))
+            } catch { case _: Exception => None }
+          }
+        }
+      }
+      .toDF("firstPacket", "sessionId", "seq", "record")
+  }
+
+  /** The 24-byte global header of the first capture file the sessions
+    * reference (in packet order) — the reference likewise emits the
+    * header of the first processed pcap (apiSessions.js:733-736).
+    */
+  def header(sessions: Dataset[SessionRow]): Array[Byte] = {
+    val spark = sessions.sparkSession
+    import spark.implicits._
+    val first = sessions
+      .flatMap(s => s.fileId.headOption.map(f => (s.firstPacket, f)))
+      .toDF("firstPacket", "file")
+      .orderBy("firstPacket").limit(1)
+      .collect()
+    first.headOption.map { r =>
+      val f0 = r.getString(1)
+      val f = if (f0.startsWith("file:")) new java.net.URI(f0).getPath else f0
+      val raf = new java.io.RandomAccessFile(f, "r")
+      try { val b = new Array[Byte](24); raf.readFully(b); b }
+      finally raf.close()
+    }.getOrElse(Array.emptyByteArray)
+  }
+
+  /** Assemble `sessions` into a single pcap at `outPath`. Returns the
+    * number of packet records written.
+    */
+  def writeFile(sessions: Dataset[SessionRow], outPath: String,
+      writeHeader: Boolean = true): Long = {
+    val hdr = if (writeHeader) header(sessions) else Array.emptyByteArray
+    val sorted = records(sessions).orderBy("firstPacket", "sessionId", "seq")
+    val out = new BufferedOutputStream(new FileOutputStream(outPath), 1 << 16)
+    var n = 0L
+    try {
+      out.write(hdr)
+      // toLocalIterator: one partition of record bytes in memory at a time
+      sorted.select("record").toLocalIterator().forEachRemaining { r =>
+        out.write(r.getAs[Array[Byte]](0)); n += 1
+      }
+    } finally out.close()
+    n
+  }
+}
