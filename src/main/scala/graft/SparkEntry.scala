@@ -325,6 +325,15 @@ object SparkEntry {
     // D8: winnowing fingerprints — substring-level dup candidates
     "d8_winnow" -> ((s, dir) =>
       Dedup.winnowPairs(docs(s, dir), col("text"), col("doc_id"))),
+    // D9: benchmark decontamination — deterministic bench split (id%97),
+    // k=3 so the synthetic corpus yields checkable overlap (prod: 8-13)
+    "d9_contamination" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.contaminationPairs(
+        d.filter(col("doc_id") % 97 =!= 0), d.filter(col("doc_id") % 97 === 0),
+        col("text"), col("doc_id"), k = 3)
+        .orderBy("doc_id", "bench_id")
+    }),
 
     // --- S: similarity search -------------------------------------------
     "s1_ann_bruteforce" -> ((s, dir) => {
@@ -370,6 +379,10 @@ object SparkEntry {
         regexp_count(red, lit("<CC>")).cast("long").as("n_cc"))
         .orderBy("doc_id")
     }),
+    // T7: Gopher repetition filters (top-bigram / dup-trigram fractions)
+    "t7_repetition" -> ((s, dir) =>
+      TextOps.repetitionMetrics(docs(s, dir), col("text"), col("doc_id"))
+        .orderBy("doc_id")),
     // T6: fixed-size token chunking with overlap (context-window prep)
     "t6_chunk" -> ((s, dir) =>
       TextOps.chunkTokens(docs(s, dir), col("text"), col("doc_id"),
@@ -959,6 +972,36 @@ object SparkEntry {
          FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
          GROUP BY doc_a, doc_b HAVING count(*) >= 2
          ORDER BY doc_a, doc_b""",
+    "d9_contamination" ->
+      s"""WITH tok AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+         sh AS (SELECT doc_id, list_distinct(${sqlShingles("toks", 3)}) AS s
+           FROM tok WHERE len(toks) >= 3),
+         bench AS (SELECT doc_id AS bench_id, unnest(s) AS g FROM sh
+           WHERE doc_id % 97 = 0),
+         corp AS (SELECT doc_id, unnest(s) AS g FROM sh
+           WHERE doc_id % 97 <> 0)
+         SELECT c.doc_id, b.bench_id, count(*) AS n_shared
+         FROM corp c JOIN bench b USING(g)
+         GROUP BY c.doc_id, b.bench_id
+         ORDER BY doc_id, bench_id""",
+    "t7_repetition" ->
+      s"""WITH tok AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+         sh AS (SELECT doc_id,
+           CASE WHEN len(toks) >= 2 THEN ${sqlShingles("toks", 2)}
+                ELSE []::VARCHAR[] END AS bg,
+           CASE WHEN len(toks) >= 3 THEN ${sqlShingles("toks", 3)}
+                ELSE []::VARCHAR[] END AS tg
+           FROM tok),
+         c AS (SELECT doc_id, g, count(*) AS n FROM
+           (SELECT doc_id, unnest(bg) AS g FROM sh) GROUP BY doc_id, g),
+         m AS (SELECT doc_id, max(n) AS mx, sum(n) AS tot FROM c GROUP BY doc_id)
+         SELECT s.doc_id,
+           coalesce(CAST(m.mx AS DOUBLE) / m.tot, 0.0) AS top_bigram_frac,
+           CASE WHEN len(tg) > 0
+                THEN CAST(len(tg) - len(list_distinct(tg)) AS DOUBLE) / len(tg)
+                ELSE 0.0 END AS dup_trigram_frac
+         FROM sh s LEFT JOIN m ON s.doc_id = m.doc_id
+         ORDER BY s.doc_id""",
     "d7_semantic_dedup" ->
       s"""WITH e AS (SELECT vec_id,
            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),

@@ -310,4 +310,29 @@ object Dedup {
       .select("vec_a", "vec_b", "cosine")
       .orderBy("vec_a", "vec_b")
   }
+
+  /** Benchmark-contamination pairs: corpus documents sharing at least one
+    * distinct word k-gram with an evaluation/benchmark document, with the
+    * shared-gram count (the GPT-3 §4 / Pile decontamination check).
+    *
+    * The benchmark side is small by construction (eval sets are
+    * thousands of docs, the corpus is billions), so its exploded shingle
+    * set broadcasts: the corpus side is a scan-side explode into a
+    * broadcast hash join — the corpus never shuffles, and output is
+    * bounded by true overlaps. Production k is 8-13 grams; the oracle
+    * query uses k=3 so the synthetic corpus yields a checkable overlap.
+    */
+  def contaminationPairs(corpus: DataFrame, bench: DataFrame,
+      text: Column, idCol: Column, k: Int): DataFrame = {
+    def grams(df: DataFrame, out: String) = {
+      val toks = tokens(text)
+      df.filter(size(toks) >= k)
+        .select(idCol.as(out),
+          explode(array_distinct(shingles(toks, k))).as("g"))
+    }
+    grams(corpus, "doc_id")
+      .join(broadcast(grams(bench, "bench_id")), "g")
+      .groupBy("doc_id", "bench_id")
+      .agg(count(lit(1)).as("n_shared"))
+  }
 }

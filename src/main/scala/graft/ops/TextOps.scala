@@ -111,6 +111,40 @@ object TextOps {
       regexp_count(lower(text), lit(bpeRegex)).as("bpe_tokens"),
       ceil(length(text).cast("double") / 4).cast("long").as("est_tokens"))
 
+  /** Gopher-style repetition metrics (Rae et al. 2021, appendix A1.1
+    * repetition filters): the fraction of all word bigrams occupied by
+    * the single most frequent bigram, and the fraction of trigram
+    * occurrences that are duplicates of an earlier one. Both are
+    * per-document folds over the token array (the max-multiplicity count
+    * is the longest equal-run of the sorted bigram array, computed with
+    * the `aggregate` higher-order function) — scan-side, codegen'd, zero
+    * shuffle at any corpus size.
+    */
+  def repetitionMetrics(df: DataFrame, text: Column, idCol: Column): DataFrame = {
+    val toks = tokens(text)
+    def grams(k: Int) =
+      when(size(toks) >= k, shingles(toks, k))
+        .otherwise(array().cast("array<string>"))
+    val bigrams = array_sort(grams(2))
+    val trigrams = grams(3)
+    val top = aggregate(bigrams,
+      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1)
+          .otherwise(lit(1))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    df.select(idCol.as("doc_id"),
+      when(size(bigrams) > 0, top.cast("double") / size(bigrams))
+        .otherwise(lit(0.0)).as("top_bigram_frac"),
+      when(size(trigrams) > 0,
+        (size(trigrams) - size(array_distinct(trigrams))).cast("double") /
+          size(trigrams))
+        .otherwise(lit(0.0)).as("dup_trigram_frac"))
+  }
+
   /** OpenRefine-style normalization fingerprint: md5 of the space-joined
     * sorted distinct token set. Identical fingerprints ⇒ same bag of words.
     */
