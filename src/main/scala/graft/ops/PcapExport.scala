@@ -107,4 +107,57 @@ object PcapExport {
     } finally out.close()
     n
   }
+
+  /** Assemble `sessions` into a pcapng at `outPath` — SHB + IDB, then one
+    * Enhanced Packet Block per record (reference: viewer/pcap.js:733-756
+    * getHeaderNg, viewer/apiSessions.js:896-934 writePcapNg). Timestamps
+    * are re-encoded at the EPB default 1 µs resolution, whatever the
+    * source file's endianness and micro/nano magic. Returns the number of
+    * packet blocks written.
+    */
+  def writePcapNg(sessions: Dataset[SessionRow], outPath: String): Long = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val hdrBytes = header(sessions)
+    val hdr = graft.etl.Pcap.parseHeader(hdrBytes)
+    val sorted = records(sessions).orderBy("firstPacket", "sessionId", "seq")
+    val out = new BufferedOutputStream(new FileOutputStream(outPath), 1 << 16)
+    var n = 0L
+    try {
+      hdr.foreach { h =>
+        val b = ByteBuffer.allocate(56).order(ByteOrder.LITTLE_ENDIAN)
+        b.putInt(0x0a0d0d0a).putInt(32).putInt(0x1a2b3c4d) // SHB + BOM
+          .putShort(1).putShort(0).putLong(-1L)            // v1.0, unknown len
+          .putInt(0).putInt(32)                            // end-opt, len2
+        b.putInt(0x00000001).putInt(24)                    // IDB
+          .putShort(h.linkType.toShort).putShort(0).putInt(h.snapLen)
+          .putInt(0).putInt(24)
+        out.write(b.array())
+        val srcOrder =
+          if (h.bigEndian) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN
+        sorted.select("record").toLocalIterator().forEachRemaining { r =>
+          val rec = r.getAs[Array[Byte]](0)
+          if (rec.length >= 16) {
+            val rb = ByteBuffer.wrap(rec, 0, 16).order(srcOrder)
+            val sec = rb.getInt.toLong & 0xffffffffL
+            val frac = rb.getInt.toLong & 0xffffffffL
+            val origLen = { rb.getInt; rb.getInt } // skip inclLen; read orig
+            val cap = rec.length - 16
+            val micros = sec * 1000000L + (if (h.nanos) frac / 1000 else frac)
+            val pad = (4 - (cap % 4)) % 4
+            // 28-byte fixed header + data + pad + end-opt word + len2
+            val len = 36 + cap + pad
+            val eb = ByteBuffer.allocate(len).order(ByteOrder.LITTLE_ENDIAN)
+            eb.putInt(0x00000006).putInt(len).putInt(0)    // EPB, iface 0
+              .putInt((micros >>> 32).toInt).putInt(micros.toInt)
+              .putInt(cap).putInt(origLen)
+            eb.put(rec, 16, cap).position(eb.position() + pad)
+            eb.putInt(0).putInt(len)                       // end-opt, len2
+            out.write(eb.array())
+            n += 1
+          }
+        }
+      }
+    } finally out.close()
+    n
+  }
 }

@@ -48,6 +48,37 @@ class PcapExportSpec extends AnyFunSuite with SparkSpecBase {
     assert(re.head.srcPayload8 === one.srcPayload8)
   }
 
+  test("pcapng export: well-formed SHB/IDB/EPB block chain, µs timestamps") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val sessions = SessionBuilder.sessionize(spark, srcPcap)
+    val out = Files.createTempDirectory("graft-export").resolve("all.pcapng")
+    val n = PcapExport.writePcapNg(sessions, out.toString)
+    val bytes = Files.readAllBytes(out)
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    var types = List.empty[Int]
+    var minTs = Long.MaxValue
+    while (bb.remaining() >= 12) {
+      val start = bb.position()
+      val tpe = bb.getInt; val len = bb.getInt
+      types ::= tpe
+      assert(len % 4 === 0)
+      if (tpe == 6) {
+        bb.getInt // interface id
+        val ts = (bb.getInt.toLong << 32) | (bb.getInt.toLong & 0xffffffffL)
+        minTs = math.min(minTs, ts)
+      }
+      // trailing block-length mirrors the leading one
+      assert(bb.getInt(start + len - 4) === len)
+      bb.position(start + len)
+    }
+    assert(bb.remaining() === 0) // chain consumes the file exactly
+    val t = types.reverse
+    assert(t.head === 0x0a0d0d0a && t(1) === 1)
+    assert(t.count(_ == 6) === n && n === sessions.collect().map(_.totPackets).sum)
+    // earliest EPB timestamp (µs) is the earliest session start (ms)
+    assert(minTs / 1000 === sessions.collect().map(_.firstPacket).min)
+  }
+
   test("writeHeader=false omits the global header") {
     val sessions = SessionBuilder.sessionize(spark, srcPcap)
     val out = Files.createTempDirectory("graft-export").resolve("nohdr.pcap")
