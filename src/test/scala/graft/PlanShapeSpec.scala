@@ -93,6 +93,27 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpecBase {
     }.isEmpty, "cell assignment must use the bounded-heap TopK, not a window")
   }
 
+  test("contamination join broadcasts the benchmark side") {
+    val p = plan("d9_contamination")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"),
+      "the corpus side must stream map-side, never shuffle for the join")
+  }
+
+  test("repetition metrics compute scan-side — no mid-plan shuffle") {
+    spark.catalog.clearCache()
+    // without the presentation orderBy: the metric computation itself
+    val p = graft.ops.TextOps.repetitionMetrics(
+      Tables.load(spark, sf, "documents"),
+      org.apache.spark.sql.functions.col("text"),
+      org.apache.spark.sql.functions.col("doc_id"))
+      .queryExecution.executedPlan
+    val shuffles = p.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(shuffles.isEmpty, "per-doc HOF folds must not shuffle")
+  }
+
   test("NO query plan contains a partition-less window (full sweep)") {
     // planning only — nothing executes; guards every current and future
     // driver-contract query against the single-task window anti-pattern
