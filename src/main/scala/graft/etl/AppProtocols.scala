@@ -100,13 +100,30 @@ object AppProtocols {
       if (src.length < portOff + 2) return None
       val port = ((src(portOff) & 0xff) << 8) | (src(portOff + 1) & 0xff)
       val innerSrc = src.drop(portOff + 2)
-      // server: VER METHOD [auth status], then VER REP RSV ATYP BND…
-      // (assume v4 bind = 10 bytes)
-      val innerDst =
-        if (dst.length >= 2 + dstExtra + 10 && dst(0) == 5 &&
-          dst(2 + dstExtra) == 5) dst.drop(2 + dstExtra + 10)
-        else if (dst.length >= 2 + dstExtra) dst.drop(2 + dstExtra)
+      // server: [banner…] VER METHOD [auth status], then the reply
+      // VER REP RSV ATYP BND.ADDR BND.PORT. Reverse-socks servers can
+      // prefix a banner (socks5-reverse golden), so locate the reply by
+      // shape in the stream head instead of assuming a fixed offset.
+      val innerDst = {
+        var j = -1
+        var k = 0
+        val lim = math.min(dst.length - 4, 64)
+        while (j < 0 && k <= lim) {
+          if (dst(k) == 5 && (dst(k + 1) & 0xff) <= 8 && dst(k + 2) == 0 &&
+            (dst(k + 3) == 1 || dst(k + 3) == 3 || dst(k + 3) == 4)) j = k
+          k += 1
+        }
+        if (j >= 0) {
+          val alen = dst(j + 3) match {
+            case 1 => 4
+            case 3 => if (dst.length > j + 4) 1 + (dst(j + 4) & 0xff) else 1
+            case _ => 16
+          }
+          if (dst.length >= j + 4 + alen + 2) dst.drop(j + 4 + alen + 2)
+          else Array.empty[Byte]
+        } else if (dst.length >= 2 + dstExtra) dst.drop(2 + dstExtra)
         else Array.empty[Byte]
+      }
       Some((innerSrc, innerDst, SocksInfo(addr, port, user)))
     } else None
   }
@@ -497,6 +514,14 @@ object AppProtocols {
   /** DNS name at `off` with compression-pointer support; returns
     * (name, offset after the in-place portion).
     */
+  /** Punycode labels render as unicode, as the reference's
+    * g_hostname_to_unicode in moloch_field_string_add_host
+    * (capture/field.c:622-642); invalid punycode stays ascii.
+    */
+  private def idnHost(s: String): String =
+    if (!s.contains("xn--")) s
+    else try java.net.IDN.toUnicode(s) catch { case _: Exception => s }
+
   private def dnsName(msg: Array[Byte], off0: Int): (String, Int) = {
     val sb = new StringBuilder
     var off = off0
@@ -507,19 +532,21 @@ object AppProtocols {
       val len = msg(off) & 0xff
       if (len == 0) {
         if (next < 0) next = off + 1
-        return (sb.toString.toLowerCase, next)
+        return (idnHost(sb.toString.toLowerCase), next)
       } else if ((len & 0xc0) == 0xc0) {
-        if (off + 1 >= msg.length) return (sb.toString.toLowerCase, off + 2)
+        if (off + 1 >= msg.length)
+          return (idnHost(sb.toString.toLowerCase), off + 2)
         if (next < 0) next = off + 2
         off = ((len & 0x3f) << 8) | (msg(off + 1) & 0xff)
       } else {
-        if (off + 1 + len > msg.length) return (sb.toString.toLowerCase, msg.length)
+        if (off + 1 + len > msg.length)
+          return (idnHost(sb.toString.toLowerCase), msg.length)
         if (sb.nonEmpty) sb.append('.')
         sb.append(new String(msg, off + 1, len, StandardCharsets.ISO_8859_1))
         off += 1 + len
       }
     }
-    (sb.toString.toLowerCase, if (next < 0) off else next)
+    (idnHost(sb.toString.toLowerCase), if (next < 0) off else next)
   }
 
   def parseDnsMessage(msg: Array[Byte]): Option[DnsInfo] = {
@@ -532,7 +559,7 @@ object AppProtocols {
     val opcode = (msg(2) >> 3) & 0x0f
     val isResponse = (msg(2) & 0x80) != 0
     var off = 12
-    val names = Seq.newBuilder[String]
+    val names = scala.collection.mutable.ListBuffer[String]()
     val types = Seq.newBuilder[String]
     val classes = Seq.newBuilder[String]
     var q = 0
@@ -542,18 +569,31 @@ object AppProtocols {
       if (off + 4 <= msg.length) {
         val qtype = ((msg(off) & 0xff) << 8) | (msg(off + 1) & 0xff)
         val qclass = ((msg(off + 2) & 0xff) << 8) | (msg(off + 3) & 0xff)
-        types += dnsTypeName(qtype)
-        classes += dnsClassName(qclass)
+        // UPDATE zone records contribute nothing (dns.c:267-268); ids
+        // outside the reference tables are skipped, not shown numerically
+        if (opcode != 5) {
+          Option(dnsTypeName(qtype)).foreach(types += _)
+          Option(dnsClassName(qclass)).foreach(classes += _)
+        }
         off += 4
       }
-      names += name
+      // empty question name is the DNS root (dns.c:258-261)
+      if (opcode != 5) names += (if (name.isEmpty) "<root>" else name)
       q += 1
     }
-    // resource records: answers + authority + additional
+    // resource records: answers + authority + additional. Host/IP
+    // attribution follows parsers/dns.c:330-430 with parseDNSRecordAll
+    // (tests/config.test.ini:31): CNAME rdata joins dns.host; an A/AAAA
+    // joins dns.ip only when its owner is already a known host (or, for
+    // UPDATE messages, the owner itself joins dns.host); nameserver IPs
+    // attribute by the NS host set.
     val ip = Seq.newBuilder[String]
     val mx = Seq.newBuilder[String]
     val nsHosts = Seq.newBuilder[String]
     val nsSet = scala.collection.mutable.Set[String]()
+    val mxSet = scala.collection.mutable.Set[String]()
+    val hostSet = scala.collection.mutable.Set[String]()
+    names.foreach(hostSet += _)
     val nsIp = Seq.newBuilder[String]
     var rr = 0
     val rrTotal = anCount + nsCount + arCount
@@ -572,17 +612,28 @@ object AppProtocols {
             case 1 if rdLen == 4 => // A
               val a = (rdOff until rdOff + 4)
                 .map(i => (msg(i) & 0xff).toString).mkString(".")
-              if (nsSet.contains(owner)) nsIp += a else ip += a
+              if (opcode == 5) { names += owner; hostSet += owner; ip += a }
+              else {
+                if (hostSet.contains(owner)) ip += a
+                if (nsSet.contains(owner)) nsIp += a
+              }
             case 28 if rdLen == 16 => // AAAA
               val a = graft.functions.IpUtil.canonical(
                 java.util.Arrays.copyOfRange(msg, rdOff, rdOff + 16))
-              if (nsSet.contains(owner)) nsIp += a else ip += a
+              if (opcode == 5) { names += owner; hostSet += owner; ip += a }
+              else {
+                if (hostSet.contains(owner)) ip += a
+                if (nsSet.contains(owner)) nsIp += a
+              }
             case 2 => // NS
               val (h, _) = dnsName(msg, rdOff)
               if (h.nonEmpty) { nsHosts += h; nsSet += h }
+            case 5 => // CNAME: rdata name joins dns.host
+              val (h, _) = dnsName(msg, rdOff)
+              if (h.nonEmpty) { names += h; hostSet += h }
             case 15 if rdLen > 2 => // MX: preference(2) + exchange
               val (h, _) = dnsName(msg, rdOff + 2)
-              if (h.nonEmpty) mx += h
+              if (h.nonEmpty) { mx += h; mxSet += h }
             case _ =>
           }
           off = rdOff + rdLen
@@ -590,7 +641,7 @@ object AppProtocols {
         }
       }
     }
-    Some(DnsInfo(names.result(), types.result(),
+    Some(DnsInfo(names.toList, types.result(),
       if (isResponse) Seq(dnsRcodeName(rcode)) else Seq.empty,
       opcode = Seq(dnsOpcodeName(opcode)),
       qclass = classes.result(),
@@ -607,14 +658,27 @@ object AppProtocols {
 
   def dnsClassName(c: Int): String = c match {
     case 1 => "IN"; case 2 => "CS"; case 3 => "CH"; case 4 => "HS"
-    case 255 => "ANY"; case other => other.toString
+    case 255 => "ANY"; case _ => null
   }
 
-  def dnsTypeName(t: Int): String = t match {
-    case 1 => "A"; case 2 => "NS"; case 5 => "CNAME"; case 6 => "SOA"
-    case 12 => "PTR"; case 15 => "MX"; case 16 => "TXT"; case 28 => "AAAA"
-    case 33 => "SRV"; case 255 => "ANY"; case other => other.toString
-  }
+  /** The reference's qtypes table (parsers/dns.c:622-683); an id without
+    * an entry is skipped, never emitted numerically.
+    */
+  private val dnsTypeNames: Map[Int, String] = Map(
+    1 -> "A", 2 -> "NS", 3 -> "MD", 4 -> "MF", 5 -> "CNAME", 6 -> "SOA",
+    7 -> "MB", 8 -> "MG", 9 -> "MR", 10 -> "NULL", 11 -> "WKS", 12 -> "PTR",
+    13 -> "HINFO", 14 -> "MINFO", 15 -> "MX", 16 -> "TXT", 17 -> "RP",
+    18 -> "AFSDB", 19 -> "X25", 20 -> "ISDN", 21 -> "RT", 22 -> "NSAP",
+    23 -> "NSAPPTR", 24 -> "SIG", 25 -> "KEY", 26 -> "PX", 27 -> "GPOS",
+    28 -> "AAAA", 29 -> "LOC", 30 -> "NXT", 31 -> "EID", 32 -> "NIMLOC",
+    33 -> "SRV", 34 -> "ATMA", 35 -> "NAPTR", 36 -> "KX", 37 -> "CERT",
+    38 -> "A6", 39 -> "DNAME", 40 -> "SINK", 41 -> "OPT", 42 -> "APL",
+    43 -> "DS", 44 -> "SSHFP", 46 -> "RRSIG", 47 -> "NSEC", 48 -> "DNSKEY",
+    49 -> "DHCID", 50 -> "NSEC3", 51 -> "NSEC3PARAM", 52 -> "TLSA",
+    55 -> "HIP", 99 -> "SPF", 249 -> "TKEY", 250 -> "TSIG", 252 -> "AXFR",
+    253 -> "MAILB", 254 -> "MAILA", 255 -> "ANY")
+
+  def dnsTypeName(t: Int): String = dnsTypeNames.getOrElse(t, null)
 
   def dnsRcodeName(rc: Int): String = rc match {
     case 0 => "NOERROR"; case 1 => "FORMERR"; case 2 => "SERVFAIL"

@@ -49,7 +49,12 @@ object HttpParser {
     authUser = (a.authUser ++ b.authUser).distinct)
 
   private final case class Message(
-      firstLine: String, headers: Seq[(String, String)], body: Array[Byte])
+      firstLine: String, headers: Seq[(String, String)], body: Array[Byte],
+      // message-complete fired (http_parser semantics): body fully framed
+      // by Content-Length / a 0-chunk, or EOF-terminated. A truncated
+      // capture leaves complete=false and suppresses body md5 (http.c
+      // only emits md5 at on_message_complete).
+      complete: Boolean = true)
 
   private val methods = Set("GET", "POST", "HEAD", "PUT", "DELETE",
     "OPTIONS", "PATCH", "CONNECT", "TRACE")
@@ -78,6 +83,7 @@ object HttpParser {
         val bodyStart = off + hEnd + 4
         var bodyEnd = bodyStart
         var body = Array.emptyByteArray
+        var complete = true
         val status = if (isResponse)
           firstLine.split(" ").lift(1).flatMap(_.toIntOption).getOrElse(0)
         else 0
@@ -89,6 +95,7 @@ object HttpParser {
             val buf = new java.io.ByteArrayOutputStream()
             var p = bodyStart
             var ok = true
+            var sawZeroChunk = false
             // default when the stream drains mid-chunk (truncated capture):
             // without this, bodyEnd stays at bodyStart and the outer walker
             // re-parses the same message until its iteration guard
@@ -106,6 +113,7 @@ object HttpParser {
                 if (size < 0) { ok = false; bodyEnd = stream.length }
                 else if (size == 0) {
                   ok = false
+                  sawZeroChunk = true
                   bodyEnd = math.min(lineEnd + 2 + 2, stream.length) // 0-chunk + blank
                 } else {
                   val dStart = lineEnd + 2
@@ -117,10 +125,12 @@ object HttpParser {
               }
             }
             body = buf.toByteArray
+            complete = sawZeroChunk
           } else h("Content-Length").flatMap(_.trim.toIntOption) match {
             case Some(cl) =>
               bodyEnd = math.min(bodyStart + math.max(0, cl), stream.length)
               body = java.util.Arrays.copyOfRange(stream, bodyStart, bodyEnd)
+              complete = bodyStart + math.max(0, cl) <= stream.length
             case None if isResponse =>
               // no framing on a response: body runs to connection close
               bodyEnd = stream.length
@@ -128,7 +138,7 @@ object HttpParser {
             case None => // request without length: no body
           }
         }
-        out += Message(firstLine, headers, body)
+        out += Message(firstLine, headers, body, complete)
         off = math.max(bodyEnd, bodyStart)
       }
     }
@@ -201,7 +211,8 @@ object HttpParser {
         case _ => None
       }
     }.filter(_.nonEmpty)
-    val bodies = (reqs ++ resps).map(_.body).filter(_.nonEmpty)
+    val bodies = (reqs ++ resps).filter(_.complete).map(_.body)
+      .filter(_.nonEmpty)
 
     Some(HttpInfo(
       method = d(reqLine.flatMap(_.headOption)),

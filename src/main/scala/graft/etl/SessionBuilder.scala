@@ -149,7 +149,13 @@ object SessionBuilder {
     if (withPayload.isEmpty) return Array.empty
     if (withPayload.head.ipProtocol != 6)
       return withPayload.iterator.map(_.payload).reduce(_ ++ _)
-    val base = withPayload.head.tcpSeq
+    // anchor at the handshake when captured: stream start = SYN seq + 1
+    // (parsers/tcp.c:166-199 sets tcpSeq from the SYN); a mid-stream
+    // first payload packet (http-tcp-seq-issue golden) would otherwise
+    // wrongly become the base and wrap earlier-seq packets to the end
+    val base = packets.find(p => (p.tcpFlags & Decode.TH_SYN) != 0)
+      .map(p => (p.tcpSeq + 1) & 0xffffffffL)
+      .getOrElse(withPayload.head.tcpSeq)
     def rel(seq: Long): Long = (seq - base) & 0xffffffffL
     val sorted = withPayload.sortBy(p => (rel(p.tcpSeq), p.index))
     val out = new java.io.ByteArrayOutputStream()
@@ -291,9 +297,18 @@ object SessionBuilder {
       bgpSession: Boolean = false, testRules: Boolean = false,
       yaraRules: Seq[graft.ops.Yara.Rule] = Nil): SessionRow = {
     val first = seg.head
-    // direction 0 == first packet's source endpoint
+    // antiSynDrop (parsers/tcp.c:375-382, default TRUE in config.c:560):
+    // a session whose first captured packet is the SYN-ACK had its SYN
+    // dropped — the SYN-ACK sender is the responder, so the session's
+    // source endpoint is that packet's destination.
+    val synAckSwap = segmentSeq == 0 && first.ipProtocol == 6 &&
+      (first.tcpFlags & (TH_SYN | TH_ACK)) == (TH_SYN | TH_ACK)
+    val (cliIp, cliPort, srvIp, srvPort) =
+      if (synAckSwap) (first.dstIp, first.dstPort, first.srcIp, first.srcPort)
+      else (first.srcIp, first.srcPort, first.dstIp, first.dstPort)
+    // direction 0 == the session-source (client) endpoint
     def dirOf(p: DecodedPacket): Int =
-      if (p.srcIp == first.srcIp && p.srcPort == first.srcPort) 0 else 1
+      if (p.srcIp == cliIp && p.srcPort == cliPort) 0 else 1
     val src = seg.filter(dirOf(_) == 0)
     val dst = seg.filter(dirOf(_) == 1)
 
@@ -343,9 +358,14 @@ object SessionBuilder {
         AppProtocols.peelSocks(dstStream, srcStream, allowSocks4 = false)
       else None
     val peeled = peeledFwd.orElse(peeledRev)
+    // effSrc/effDst are CLIENT/SERVER oriented — every downstream parser
+    // (HTTP requests, TLS clientHello, SMTP commands, PG startup…) reads
+    // effSrc as the initiator stream. In the reverse-socks case the
+    // tunnel's client rode the TCP destination side, so the peeled inner
+    // client stream still lands in effSrc.
     val (effSrc, effDst) = (peeledFwd, peeledRev) match {
       case (Some((is, id, _)), _) => (is, id)
-      case (_, Some((ic, isv, _))) => (isv, ic) // client side was dst
+      case (_, Some((ic, isv, _))) => (ic, isv)
       case _ => (srcStream, dstStream)
     }
     val srcPayloads = src.filter(_.payload.nonEmpty).map(_.payload).toIndexedSeq
@@ -355,18 +375,18 @@ object SessionBuilder {
     val outerTags =
       if (first.keyOverride != null) Nil
       else AppProtocols.classify(first.ipProtocol,
-        first.srcPort, first.dstPort, srcStream, dstStream,
+        cliPort, srvPort, srcStream, dstStream,
         srcPayloads.headOption.getOrElse(Array.emptyByteArray),
         dstPayloads.headOption.getOrElse(Array.emptyByteArray),
-        isV6 = first.srcIp.indexOf(':') >= 0) ++
-        (if (first.ipProtocol == 6 && first.dstPort == 179 &&
+        isV6 = cliIp.indexOf(':') >= 0) ++
+        (if (first.ipProtocol == 6 && srvPort == 179 &&
           (bgpSession || ((syn > 0 || synAck > 0) &&
             Seq(srcStream, dstStream).exists(st =>
               st.length >= 16 && st.take(16).forall(_ == -1))))) Seq("bgp")
         else Nil)
     val innerTags =
       if (peeled.isDefined)
-        AppProtocols.classify(first.ipProtocol, first.srcPort, first.dstPort,
+        AppProtocols.classify(first.ipProtocol, cliPort, srvPort,
           effSrc, effDst)
       else Nil
     val tunnelTags = seg.iterator.flatMap(_.tunnels).toSeq.distinct
@@ -395,7 +415,7 @@ object SessionBuilder {
     val ldapDst = if (baseTags.contains("ldap")) LdapParser.parse(effDst) else None
     val ldapPeelTags: Seq[String] =
       if (ldapSrc.exists(_.restOffset >= 0) || ldapDst.exists(_.restOffset >= 0))
-        AppProtocols.classify(first.ipProtocol, first.srcPort, first.dstPort,
+        AppProtocols.classify(first.ipProtocol, cliPort, srvPort,
           ldapSrc.filter(_.restOffset >= 0).map(i => effSrc.drop(i.restOffset))
             .getOrElse(Array.emptyByteArray),
           ldapDst.filter(_.restOffset >= 0).map(i => effDst.drop(i.restOffset))
@@ -528,7 +548,7 @@ object SessionBuilder {
     // the general engine, graft.ops.Rules.
     val ruleTags =
       if (testRules) SessionRules.protocolTags(
-        first.srcIp, first.dstPort, peeled.map(_._3.ip).orNull,
+        cliIp, srvPort, peeled.map(_._3.ip).orNull,
         hostsForRules, preRuleProtocols)
       else Nil
     val protocols = (preRuleProtocols ++ alpnTags ++ ruleTags).distinct.sorted
@@ -558,7 +578,7 @@ object SessionBuilder {
       // differ by 1 from lastPacket-firstPacket of the truncated stamps
       length = (seg.last.tsMicros - first.tsMicros) / 1000,
       ipProtocol = first.ipProtocol,
-      srcIp = first.srcIp, srcPort = first.srcPort,
+      srcIp = cliIp, srcPort = cliPort,
       srcPackets = src.length, srcBytes = src.map(_.wireLen.toLong).sum,
       srcDataBytes = src.map(_.payload.length.toLong).sum,
       // macs per side: ether-src of that side's packets plus ether-dst of
@@ -566,24 +586,24 @@ object SessionBuilder {
       // fills destination.mac for unidirectional flows (lldp golden)
       srcMac = (src.map(_.macSrc) ++ dst.map(_.macDst))
         .filter(_.nonEmpty).distinct.sorted.toIndexedSeq,
-      dstIp = first.dstIp, dstPort = first.dstPort,
+      dstIp = srvIp, dstPort = srvPort,
       dstPackets = dst.length, dstBytes = dst.map(_.wireLen.toLong).sum,
       dstDataBytes = dst.map(_.payload.length.toLong).sum,
       dstMac = (dst.map(_.macSrc) ++ src.map(_.macDst))
         .filter(_.nonEmpty).distinct.sorted.toIndexedSeq,
-      srcRIR = Fixtures.rirOf(first.srcIp, testRules).orNull,
-      dstRIR = Fixtures.rirOf(first.dstIp, testRules).orNull,
+      srcRIR = Fixtures.rirOf(cliIp, testRules).orNull,
+      dstRIR = Fixtures.rirOf(srvIp, testRules).orNull,
       srcOui = (src.map(_.macSrc) ++ dst.map(_.macDst)).filter(_.nonEmpty)
         .distinct.sorted.flatMap(Fixtures.ouiOf).distinct.toIndexedSeq,
       dstOui = (dst.map(_.macSrc) ++ src.map(_.macDst)).filter(_.nonEmpty)
         .distinct.sorted.flatMap(Fixtures.ouiOf).distinct.toIndexedSeq,
-      srcCountry = Fixtures.asnGeoOf(first.srcIp, testRules)
+      srcCountry = Fixtures.asnGeoOf(cliIp, testRules)
         .flatMap(_.country).orNull,
-      dstCountry = Fixtures.asnGeoOf(first.dstIp, testRules)
+      dstCountry = Fixtures.asnGeoOf(srvIp, testRules)
         .flatMap(_.country).orNull,
-      srcAsn = Fixtures.asnGeoOf(first.srcIp, testRules)
+      srcAsn = Fixtures.asnGeoOf(cliIp, testRules)
         .flatMap(_.full).orNull,
-      dstAsn = Fixtures.asnGeoOf(first.dstIp, testRules)
+      dstAsn = Fixtures.asnGeoOf(srvIp, testRules)
         .flatMap(_.full).orNull,
       totPackets = seg.length, totBytes = seg.map(_.wireLen.toLong).sum,
       totDataBytes = seg.map(_.payload.length.toLong).sum,
@@ -592,8 +612,8 @@ object SessionBuilder {
       tcpflagsUrg = urg, tcpflagsSrcZero = zero(0), tcpflagsDstZero = zero(1),
       srcPayload8 = payload8(srcStream), dstPayload8 = payload8(dstStream),
       initRTT = if (synTimeUs > 0 && ackTimeUs > 0) (ackTimeUs - synTimeUs) / 1000 else 0,
-      communityId = CommunityId.compute(first.srcIp, first.dstIp,
-        first.srcPort, first.dstPort, first.ipProtocol),
+      communityId = CommunityId.compute(cliIp, srvIp,
+        cliPort, srvPort, first.ipProtocol),
       protocol = protocols,
       // YARA content rules over the reassembled streams
       // (capture/yara.c:161-165 scans payload; tags yara:<rule>)
