@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 
 import graft.expr.Compiler
 import graft.model.FieldRegistry
-import graft.ops.{Dedup, Endpoints, Enrich, Multimodal, Sessionize, Similarity, TextOps}
+import graft.ops.{Dedup, Endpoints, Enrich, Multimodal, Pack, Sessionize, Similarity, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -389,11 +389,33 @@ object SparkEntry {
         chunkSize = 40, overlap = 10)
         .withColumn("n_chunk_tokens", col("n_chunk_tokens").cast("long"))
         .orderBy("doc_id", "chunk_idx")),
+    // T8: cross-document sequence packing — global prefix sum over the
+    // id-ordered token stream, cut into fixed 128-token contexts
+    "t8_seq_pack" -> ((s, dir) =>
+      Pack.packSequences(docs(s, dir), col("text"), col("doc_id"), ctxLen = 128)
+        .orderBy("doc_id")),
+    // D10: BPE trainer step — corpus-wide adjacent-pair frequencies
+    "d10_bpe_pairs" -> ((s, dir) =>
+      TextOps.bpePairCounts(docs(s, dir), col("text"), topN = 50)),
+    // S4: Lloyd's k-means codebook over the embedding column (the
+    // training op behind ivfTopK's cells), emitted per component
+    "s4_kmeans_centroids" -> ((s, dir) => {
+      import s.implicits._
+      val cents = Similarity.kmeansFit(emb(s, dir), "embedding", "vec_id",
+        k = 4, iters = 2)
+      cents.zipWithIndex.flatMap { case (v, cell) =>
+        v.zipWithIndex.map { case (x, pos) => (cell.toLong, pos.toLong, x) }
+      }.toDF("cell", "pos", "c").orderBy("cell", "pos")
+    }),
     // P1: deterministic hash-stratified sampling (reproducible mixes)
     "p1_stratified_sample" -> ((s, dir) =>
       TextOps.stratifiedSample(docs(s, dir), col("lang"), col("doc_id"),
         Map("en" -> 0.5, "de" -> 0.25), defaultRate = 0.1)
         .select("doc_id", "lang").orderBy("doc_id")),
+    // P2: seeded deterministic global shuffle into training shards
+    "p2_seeded_shuffle" -> ((s, dir) =>
+      Pack.seededShuffle(docs(s, dir), col("doc_id"), seed = "graft-r3",
+        nShards = 8).orderBy("doc_id")),
 
     // --- M: multimodal column plumbing (stubbed decode kernel) ----------
     "m1_multimodal_meta" -> ((s, dir) =>
@@ -1147,11 +1169,64 @@ object SparkEntry {
            len(toks[s:s+39]) AS n_chunk_tokens,
            md5(array_to_string(toks[s:s+39], ' ')) AS chunk_fp
          FROM st ORDER BY doc_id, chunk_idx""",
+    "t8_seq_pack" ->
+      s"""WITH tok AS (SELECT doc_id,
+           CAST(len($sqlToks) AS BIGINT) AS n_tokens FROM documents),
+         ps AS (SELECT doc_id, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+           FROM tok)
+         SELECT doc_id, n_tokens, CAST(prev // 128 AS BIGINT) AS bin,
+           CAST(prev % 128 AS BIGINT) AS off_in_bin
+         FROM ps ORDER BY doc_id""",
+    "d10_bpe_pairs" ->
+      s"""WITH tok AS (SELECT $sqlToks AS toks FROM documents),
+         pr AS (SELECT unnest(list_transform(range(1, len(toks)),
+             i -> {'a': toks[i], 'b': toks[i+1]})) AS p
+           FROM tok WHERE len(toks) >= 2)
+         SELECT p.a AS a, p.b AS b, count(*) AS n FROM pr
+         GROUP BY a, b ORDER BY n DESC, a ASC, b ASC LIMIT 50""",
+    "s4_kmeans_centroids" -> {
+      // Lloyd's unrolled: init = 4 smallest vec_ids; 2 iterations of
+      // assign (argmax dot, lowest cell on ties — mirrors the strict >
+      // in kmeansFit) + the same quantized mean (floor(x·1e9) longs
+      // summed exactly, divided in double — bit-identical IEEE ops on
+      // both engines); empty cell keeps its old centroid (COALESCE).
+      def iter(prev: String, assigned: String, means: String, next: String) =
+        s"""$assigned AS (SELECT vec_id, v, cell FROM (
+             SELECT e.vec_id, e.v, c.cell, row_number() OVER
+               (PARTITION BY e.vec_id ORDER BY ${sqlDot("e.v", "c.v", 64)} DESC, c.cell ASC) AS rk
+             FROM e, $prev c) WHERE rk = 1),
+           $means AS (SELECT cell, i,
+               (CAST(SUM(CAST(floor(v[i] * 1000000000.0) AS BIGINT)) AS DOUBLE)
+                 / COUNT(*)) / 1000000000.0 AS m
+             FROM $assigned, range(1, 65) t(i) GROUP BY cell, i),
+           $next AS (SELECT g.cell, list(COALESCE(m.m, g.x) ORDER BY g.i) AS v
+             FROM (SELECT c.cell, t.i, c.v[t.i] AS x
+                   FROM $prev c, range(1, 65) t(i)) g
+             LEFT JOIN $means m ON m.cell = g.cell AND m.i = g.i
+             GROUP BY g.cell)"""
+      s"""WITH e AS (SELECT vec_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell, v
+           FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 4)),
+         ${iter("c0", "a1", "m1", "c1")},
+         ${iter("c1", "a2", "m2", "c2")}
+         SELECT cell, CAST(i - 1 AS BIGINT) AS pos, v[i] AS c
+         FROM c2, range(1, 65) t(i) ORDER BY cell, pos"""
+    },
     "p1_stratified_sample" ->
       """SELECT doc_id, lang FROM documents
          WHERE CAST(('0x' || substr(md5(lang || '|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000
            < CAST((CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25 ELSE 0.1 END) * 1000 AS BIGINT)
          ORDER BY doc_id""",
+    "p2_seeded_shuffle" ->
+      """WITH h AS (SELECT doc_id,
+           CAST(('0x' || substr(md5('graft-r3' || '|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS hv
+         FROM documents)
+         SELECT doc_id, CAST(hv % 8 AS BIGINT) AS shard,
+           CAST(row_number() OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id) AS BIGINT) AS pos
+         FROM h ORDER BY doc_id""",
     "i9_enrich_join" ->
       s"""SELECT p_brand, s_nationkey, count(*) AS n, ${sqlDsum("l_quantity")} AS sum_qty
          FROM lineitem JOIN part ON l_partkey = p_partkey

@@ -1,0 +1,122 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row, Column}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** Training-shard preparation operators: exact global prefix sums,
+  * cross-document sequence packing, and deterministic seeded shuffles.
+  *
+  * An LM training pipeline concatenates documents into a single token
+  * stream and cuts it into fixed-length contexts; both that packing and
+  * "shuffle the corpus reproducibly into N shards" need a global total
+  * order — the textbook place where a naive `Window.orderBy` (no
+  * partition) collapses the whole dataset onto one task. The operators
+  * here keep the order semantics but compute them scale-safe:
+  *
+  *   - [[prefixSum]]: two-phase distributed scan — deterministic range
+  *     buckets from a min/max aggregate (no sampling), a tiny per-bucket
+  *     totals aggregate (O(buckets) rows to the driver), then one
+  *     `mapPartitions` pass emitting running totals seeded from the
+  *     bucket offsets. Row data crosses the wire once.
+  *   - [[seededShuffle]]: shard assignment by portable hash; the rank
+  *     window partitions by shard — the parallel unit — so the largest
+  *     single task is one shard, |rows|/nShards, by construction.
+  */
+object Pack {
+
+  /** Exact global prefix sum: adds `prev_cumsum` = sum of `valueCol`
+    * over all rows with a strictly smaller `orderCol`.
+    *
+    * Scale design: the order key's [min, max] span (one cheap aggregate)
+    * is split into `buckets` contiguous ranges by a pure column
+    * expression — deterministic, unlike `repartitionByRange`'s sampled
+    * bounds, so the per-bucket totals and the per-row pass agree on
+    * bucket membership without caching the shuffled data. Only the
+    * bucket totals are collected (`buckets` rows); rows shuffle once
+    * (hash on bucket id) and are scanned once, sorted within partitions
+    * by (bucket, key).
+    *
+    * `orderCol` must be numeric and unique (a total order); `valueCol`
+    * must be non-negative integers (token counts, byte sizes).
+    */
+  def prefixSum(
+      df: DataFrame,
+      orderCol: String,
+      valueCol: String,
+      buckets: Int = 64): DataFrame = {
+    val head = df.agg(
+      min(col(orderCol).cast("long")), max(col(orderCol).cast("long"))).head()
+    if (head.isNullAt(0)) return df.withColumn("prev_cumsum", lit(0L))
+    val lo = head.getLong(0)
+    val span = math.max(1L, (head.getLong(1) - lo) / buckets + 1)
+    val withBucket = df
+      .withColumn("_ps_bucket",
+        floor((col(orderCol).cast("long") - lit(lo)) / lit(span)).cast("long"))
+      .withColumn("_ps_v", coalesce(col(valueCol).cast("long"), lit(0L)))
+    // per-bucket totals: tiny (≤ buckets rows), partial aggregation
+    // map-side — the only driver-bound data in the whole operator
+    val totals = withBucket.groupBy(col("_ps_bucket"))
+      .agg(sum(col("_ps_v")).as("t"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val offsets: Map[Long, Long] = totals.zip(
+      totals.scanLeft(0L)(_ + _._2)).map { case ((b, _), off) => (b, off) }.toMap
+    val parted = withBucket
+      .repartition(buckets, col("_ps_bucket"))
+      .sortWithinPartitions(col("_ps_bucket"), col(orderCol))
+    val bIdx = parted.schema.fieldIndex("_ps_bucket")
+    val vIdx = parted.schema.fieldIndex("_ps_v")
+    val outSchema = StructType(
+      parted.schema.fields :+ StructField("prev_cumsum", LongType, nullable = false))
+    parted.mapPartitions { it =>
+      var curBucket = Long.MinValue
+      var running = 0L
+      it.map { r =>
+        val b = r.getLong(bIdx)
+        if (b != curBucket) { curBucket = b; running = offsets.getOrElse(b, 0L) }
+        val out = Row.fromSeq(r.toSeq :+ running)
+        running += r.getLong(vIdx)
+        out
+      }
+    }(Encoders.row(outSchema))
+      .drop("_ps_bucket").drop("_ps_v")
+  }
+
+  /** Cross-document sequence packing: documents are laid out in id order
+    * as one concatenated token stream, cut into fixed `ctxLen`-token
+    * training contexts. Emits per document its context assignment:
+    * `bin` = index of the context its first token lands in, `off_in_bin`
+    * = token offset inside that context. Downstream shard writers group
+    * by `bin` to materialize examples; documents spanning a boundary
+    * continue into the next context (standard GPT-style packing).
+    */
+  def packSequences(
+      df: DataFrame, text: Column, idCol: Column, ctxLen: Int): DataFrame = {
+    val base = df.select(
+      idCol.cast("long").as("doc_id"),
+      size(TextOps.tokens(text)).cast("long").as("n_tokens"))
+    prefixSum(base, "doc_id", "n_tokens")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("prev_cumsum") / ctxLen).cast("long").as("bin"),
+        (col("prev_cumsum") % ctxLen).as("off_in_bin"))
+  }
+
+  /** Deterministic seeded global shuffle into `nShards` shards:
+    * shard = hex32(md5(seed|id)) mod nShards, pos = rank of the hash
+    * inside the shard (ties broken by id). Reproducible across runs and
+    * engines — a re-run with the same seed yields byte-identical shard
+    * files. The rank window partitions by shard, so the largest task
+    * holds one shard — sized by choosing nShards, never the whole
+    * dataset.
+    */
+  def seededShuffle(
+      df: DataFrame, idCol: Column, seed: String, nShards: Int): DataFrame = {
+    val h = TextOps.hex32(concat_ws("|", lit(seed), idCol.cast("string")))
+    df.select(idCol.cast("long").as("doc_id"), h.as("_h"))
+      .withColumn("shard", pmod(col("_h"), lit(nShards.toLong)))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard")).orderBy(col("_h"), col("doc_id"))))
+      .select(col("doc_id"), col("shard"), col("pos").cast("long").as("pos"))
+  }
+}

@@ -206,16 +206,24 @@ object Similarity {
         }
         best
       }
+      // double addition is order-sensitive and Spark's partial-agg merge
+      // order is not deterministic — quantize each component to an
+      // integer (floor(x·1e9): one IEEE multiply + floor, identical in
+      // every engine), sum exactly in long, divide in double. Makes the
+      // codebook bit-identical run-to-run and across engines; the 1e-9
+      // quantization is far below any embedding's meaningful precision.
       val stats = corpus.select(toDouble(col(vecCol)).as("v"))
         .withColumn("cell", assignUdf(col("v")))
         .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy(col("cell"), col("pos"))
-        .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+        .agg(sum(floor(col("x") * lit(1e9)).cast("long")).as("sx"),
+          count(lit(1)).as("n"))
         .collect()
       val next = cents.map(_.clone())
       stats.foreach { r =>
         val cell = r.getInt(0)
-        next(cell)(r.getInt(1)) = r.getDouble(2) / r.getLong(3)
+        next(cell)(r.getInt(1)) =
+          (r.getLong(2).toDouble / r.getLong(3)) / 1e9
       }
       cents = next
       it += 1

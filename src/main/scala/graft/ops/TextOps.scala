@@ -224,4 +224,24 @@ object TextOps {
         size(col("chunk")).as("n_chunk_tokens"),
         md5(concat_ws(" ", col("chunk"))).as("chunk_fp"))
   }
+
+  /** One BPE merge-selection step: corpus-wide adjacent-token-pair
+    * frequencies, top-N by count (the pair a tokenizer trainer would
+    * merge next). Pair construction is a codegen'd slice+zip per doc —
+    * map-side, no UDF; the only shuffle is the (a, b) count aggregate
+    * with partial map-side combine, and the final top-N is
+    * TakeOrderedAndProject (k rows per partition cross the wire).
+    */
+  def bpePairCounts(
+      df: DataFrame, text: Column, topN: Int): DataFrame = {
+    val toks = tokens(text)
+    val pairs = arrays_zip(
+      slice(toks, lit(1), size(toks) - 1), slice(toks, lit(2), size(toks) - 1))
+    df.filter(size(toks) >= 2)
+      .select(explode(pairs).as("p"))
+      .select(col("p").getField("0").as("a"), col("p").getField("1").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("a").asc, col("b").asc)
+      .limit(topN)
+  }
 }

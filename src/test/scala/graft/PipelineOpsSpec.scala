@@ -215,4 +215,60 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpecBase {
     // fingerprints differ (different token ranges)
     assert(c.map(_.getString(3)).distinct.length == 3)
   }
+
+  test("prefixSum equals the single-partition window on every row") {
+    import spark.implicits._
+    // sparse, shuffled ids across many buckets; values include 0
+    val rows = scala.util.Random.shuffle(
+      (0 until 1000).map(i => (i * 37L + (i % 3), (i % 7).toLong)))
+    val df = rows.toDF("id", "v").repartition(13)
+    val got = graft.ops.Pack.prefixSum(df, "id", "v", buckets = 16)
+      .select("id", "prev_cumsum").as[(Long, Long)].collect().toMap
+    val want = rows.sortBy(_._1)
+      .scanLeft((Long.MinValue, 0L)) { case ((_, acc), (id, v)) => (id, acc + v) }
+      .sliding(2).map { case Seq((_, prev), (id, _)) => id -> prev }.toMap
+    assert(got.size == 1000 && got == want)
+  }
+
+  test("packSequences bins are contiguous and offsets stay below ctxLen") {
+    val p = graft.ops.Pack.packSequences(docs, col("text"), col("doc_id"), 128)
+      .orderBy("doc_id").collect()
+    assert(p.forall(r => r.getLong(3) >= 0 && r.getLong(3) < 128))
+    // total stream length conserved: last doc's bin*128+off+its tokens
+    val total = p.map(_.getLong(1)).sum
+    val last = p.last
+    assert(last.getLong(2) * 128 + last.getLong(3) == total - last.getLong(1))
+    // bins never decrease in doc order
+    assert(p.sliding(2).forall { case Array(a, b) => a.getLong(2) <= b.getLong(2) })
+  }
+
+  test("seededShuffle is a permutation, deterministic, and seed-sensitive") {
+    import spark.implicits._
+    val s1 = graft.ops.Pack.seededShuffle(docs, col("doc_id"), "seedA", 8)
+    val s2 = graft.ops.Pack.seededShuffle(docs, col("doc_id"), "seedA", 8)
+    val s3 = graft.ops.Pack.seededShuffle(docs, col("doc_id"), "seedB", 8)
+    assert(s1.collect().toSeq == s2.collect().toSeq)
+    assert(s1.join(s3, Seq("doc_id", "shard", "pos")).count() < docs.count())
+    // (shard, pos) is a dense unique key: positions 1..|shard| per shard
+    val dense = s1.groupBy("shard")
+      .agg(count(lit(1)).as("n"), max("pos").as("mx"), countDistinct("pos").as("d"))
+      .filter(col("n") =!= col("mx") || col("n") =!= col("d"))
+    assert(dense.count() == 0)
+  }
+
+  test("bpePairCounts counts adjacent pairs exactly on a known doc") {
+    import spark.implicits._
+    val d = Seq((1L, "a b a b c"), (2L, "a b"), (3L, "solo")).toDF("id", "text")
+    val r = TextOps.bpePairCounts(d, col("text"), topN = 10).collect()
+      .map(x => ((x.getString(0), x.getString(1)), x.getLong(2))).toMap
+    // doc1: (a,b)(b,a)(a,b)(b,c); doc2: (a,b); doc3 has no pair
+    assert(r == Map(("a", "b") -> 3L, ("b", "a") -> 1L, ("b", "c") -> 1L))
+  }
+
+  test("kmeansFit is run-to-run deterministic (decimal sums)") {
+    val c1 = Similarity.kmeansFit(emb, "embedding", "vec_id", k = 4, iters = 2)
+    val c2 = Similarity.kmeansFit(
+      emb.repartition(7), "embedding", "vec_id", k = 4, iters = 2)
+    assert(c1 == c2) // bit-identical under a different partitioning
+  }
 }
