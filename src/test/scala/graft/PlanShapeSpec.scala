@@ -114,6 +114,34 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpecBase {
     assert(shuffles.isEmpty, "per-doc HOF folds must not shuffle")
   }
 
+  test("packing/shuffle/BPE plans: one data shuffle, windows partitioned") {
+    import org.apache.spark.sql.functions.col
+    spark.catalog.clearCache()
+    val docs = Tables.load(spark, sf, "documents")
+    // packSequences: the row data must cross the wire exactly once (the
+    // bucket repartition) and never through a window
+    val pack = graft.ops.Pack
+      .packSequences(docs, col("text"), col("doc_id"), 128)
+    assert(pack.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, "prefix sum must not use a window")
+    assert(pack.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.catalyst.plans.logical.RepartitionByExpression => r
+    }.size == 1, "exactly the bucket repartition shuffle")
+    // seededShuffle: rank window must be partitioned (by shard)
+    val wins = graft.ops.Pack
+      .seededShuffle(docs, col("doc_id"), "s", 8)
+      .queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }
+    assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty))
+    // bpePairCounts: final top-N is TakeOrdered, not a global sort
+    val bpePlan = graft.ops.TextOps.bpePairCounts(docs, col("text"), 50)
+      .queryExecution.executedPlan.toString
+    assert(bpePlan.contains("TakeOrderedAndProject"),
+      "top-N must be TakeOrderedAndProject")
+  }
+
   test("NO query plan contains a partition-less window (full sweep)") {
     // planning only — nothing executes; guards every current and future
     // driver-contract query against the single-task window anti-pattern
