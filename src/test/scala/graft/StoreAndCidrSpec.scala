@@ -75,4 +75,24 @@ class StoreAndCidrSpec extends AnyFunSuite with SparkSpecBase {
     assert(plan.contains("ip_sortable"))
     assert(!plan.toLowerCase.contains("scalaudf"))
   }
+
+  test("GraftExtensions injects native functions by config alone") {
+    val base = spark // force shared session (and its context) up first
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    try {
+      val s2 = org.apache.spark.sql.SparkSession.builder()
+        .master("local[2]")
+        .withExtensions(new GraftExtensions())
+        .getOrCreate()
+      val r = s2.sql(
+        "SELECT ip_in_cidr('10.1.2.3', '10.0.0.0/8') AS a, " +
+          "ip_in_cidr('11.1.2.3', '10.0.0.0/8') AS b, " +
+          "ip_sortable('10.1.2.3') < ip_sortable('10.1.2.4') AS c").head()
+      assert(r.getBoolean(0) && !r.getBoolean(1) && r.getBoolean(2))
+    } finally {
+      org.apache.spark.sql.SparkSession.setDefaultSession(base)
+      org.apache.spark.sql.SparkSession.setActiveSession(base)
+    }
+  }
 }
