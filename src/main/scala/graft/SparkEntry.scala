@@ -996,7 +996,8 @@ object SparkEntry {
          ORDER BY doc_a, doc_b""",
     "d9_contamination" ->
       s"""WITH tok AS (SELECT doc_id, $sqlToks AS toks FROM documents),
-         sh AS (SELECT doc_id, list_distinct(${sqlShingles("toks", 3)}) AS s
+         sh AS (SELECT doc_id, list_distinct(list_transform(
+             ${sqlShingles("toks", 3)}, s -> ${sqlHex32("s")})) AS s
            FROM tok WHERE len(toks) >= 3),
          bench AS (SELECT doc_id AS bench_id, unnest(s) AS g FROM sh
            WHERE doc_id % 97 = 0),

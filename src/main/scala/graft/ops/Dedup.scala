@@ -221,9 +221,13 @@ object Dedup {
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
       .cache()
+    // localCheckpoint (not cache): materializes AND truncates lineage, so
+    // the logical plan stays constant-depth across rounds — with plain
+    // cache the plan nests once per iteration and analysis/recovery cost
+    // grows without bound at cluster scale (the GraphFrames CC pattern)
     var labels = edges.groupBy(col("src").as("id"))
       .agg(least(min(col("dst")), first(col("src"))).as("label"))
-      .cache()
+      .localCheckpoint()
     var round = 0
     var converged = false
     while (round < maxRounds && !converged) {
@@ -233,7 +237,7 @@ object Dedup {
       val next = labels.join(offered, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-        .cache()
+        .localCheckpoint()
       converged = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
         .filter(col("label") < col("old")).isEmpty
       labels.unpersist()
@@ -324,12 +328,14 @@ object Dedup {
     */
   def contaminationPairs(corpus: DataFrame, bench: DataFrame,
       text: Column, idCol: Column, k: Int): DataFrame = {
-    def grams(df: DataFrame, out: String) = {
-      val toks = tokens(text)
-      df.filter(size(toks) >= k)
-        .select(idCol.as(out),
-          explode(array_distinct(shingles(toks, k))).as("g"))
-    }
+    // grams as 32-bit hashes via the fused kernel (one call per doc, no
+    // string-array materialization) — joining on longs instead of gram
+    // strings shrinks the broadcast and the probe-side rows ~10×; the
+    // oracle applies the identical hex32(md5) per gram, so counts match
+    // exactly (hash-then-distinct on both sides)
+    def grams(df: DataFrame, out: String) =
+      df.select(idCol.as(out),
+        explode(graft.functions.ShingleHashes(text, k, distinct = true)).as("g"))
     grams(corpus, "doc_id")
       .join(broadcast(grams(bench, "bench_id")), "g")
       .groupBy("doc_id", "bench_id")
