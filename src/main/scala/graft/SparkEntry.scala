@@ -351,6 +351,14 @@ object SparkEntry {
       Similarity.lshTopK(e, e.filter(col("vec_id") < 5),
         "embedding", "vec_id", k = 3, planes = 8, dim = 64)
     }),
+    // S5: the full trained pipeline — kmeansFit codebook feeding ivfTopK
+    "s5_ann_ivf_trained" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val cb = Similarity.kmeansFit(e, "embedding", "vec_id", k = 4, iters = 2)
+      Similarity.ivfTopK(e, e.filter(col("vec_id") >= 5 && col("vec_id") < 10),
+        "embedding", "vec_id", k = 3, nCells = 4, nProbe = 2,
+        centroids = Some(cb))
+    }),
 
     // --- T: text analysis ------------------------------------------------
     "t1_lang_id" -> ((s, dir) =>
@@ -642,6 +650,36 @@ object SparkEntry {
     (0 until planes).map(p =>
       s"(CASE WHEN ${sqlPlaneDot(p.toString, v, dim)} > 0 THEN ${1L << p} ELSE 0 END)")
       .mkString(" + ")
+  /** Lloyd's k-means unrolled as CTEs (e, c0, a1, m1, c1, a2, m2, c2):
+    * init = 4 smallest vec_ids; each iteration assigns by argmax dot
+    * (lowest cell on ties — mirrors the strict > in kmeansFit) and takes
+    * the same quantized mean (floor(x·1e9) longs summed exactly, divided
+    * in double — bit-identical IEEE ops on both engines); an emptied cell
+    * keeps its old centroid (COALESCE). c2 = the trained codebook.
+    */
+  private def sqlKmeansCtes: String = {
+    def iter(prev: String, assigned: String, means: String, next: String) =
+      s"""$assigned AS (SELECT vec_id, v, cell FROM (
+           SELECT e.vec_id, e.v, c.cell, row_number() OVER
+             (PARTITION BY e.vec_id ORDER BY ${sqlDot("e.v", "c.v", 64)} DESC, c.cell ASC) AS rk
+           FROM e, $prev c) WHERE rk = 1),
+         $means AS (SELECT cell, i,
+             (CAST(SUM(CAST(floor(v[i] * 1000000000.0) AS BIGINT)) AS DOUBLE)
+               / COUNT(*)) / 1000000000.0 AS m
+           FROM $assigned, range(1, 65) t(i) GROUP BY cell, i),
+         $next AS (SELECT g.cell, list(COALESCE(m.m, g.x) ORDER BY g.i) AS v
+           FROM (SELECT c.cell, t.i, c.v[t.i] AS x
+                 FROM $prev c, range(1, 65) t(i)) g
+           LEFT JOIN $means m ON m.cell = g.cell AND m.i = g.i
+           GROUP BY g.cell)"""
+    s"""e AS (SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell, v
+         FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 4)),
+       ${iter("c0", "a1", "m1", "c1")},
+       ${iter("c1", "a2", "m2", "c2")}"""
+  }
+
   private val sqlSimhash = {
     val hashes = s"list_transform(toks, t -> ${sqlHex32("t")})"
     (0 until 32).map { i =>
@@ -1187,35 +1225,32 @@ object SparkEntry {
            FROM tok WHERE len(toks) >= 2)
          SELECT p.a AS a, p.b AS b, count(*) AS n FROM pr
          GROUP BY a, b ORDER BY n DESC, a ASC, b ASC LIMIT 50""",
-    "s4_kmeans_centroids" -> {
-      // Lloyd's unrolled: init = 4 smallest vec_ids; 2 iterations of
-      // assign (argmax dot, lowest cell on ties — mirrors the strict >
-      // in kmeansFit) + the same quantized mean (floor(x·1e9) longs
-      // summed exactly, divided in double — bit-identical IEEE ops on
-      // both engines); empty cell keeps its old centroid (COALESCE).
-      def iter(prev: String, assigned: String, means: String, next: String) =
-        s"""$assigned AS (SELECT vec_id, v, cell FROM (
-             SELECT e.vec_id, e.v, c.cell, row_number() OVER
-               (PARTITION BY e.vec_id ORDER BY ${sqlDot("e.v", "c.v", 64)} DESC, c.cell ASC) AS rk
-             FROM e, $prev c) WHERE rk = 1),
-           $means AS (SELECT cell, i,
-               (CAST(SUM(CAST(floor(v[i] * 1000000000.0) AS BIGINT)) AS DOUBLE)
-                 / COUNT(*)) / 1000000000.0 AS m
-             FROM $assigned, range(1, 65) t(i) GROUP BY cell, i),
-           $next AS (SELECT g.cell, list(COALESCE(m.m, g.x) ORDER BY g.i) AS v
-             FROM (SELECT c.cell, t.i, c.v[t.i] AS x
-                   FROM $prev c, range(1, 65) t(i)) g
-             LEFT JOIN $means m ON m.cell = g.cell AND m.i = g.i
-             GROUP BY g.cell)"""
-      s"""WITH e AS (SELECT vec_id,
-           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-         c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell, v
-           FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 4)),
-         ${iter("c0", "a1", "m1", "c1")},
-         ${iter("c1", "a2", "m2", "c2")}
+    "s4_kmeans_centroids" ->
+      s"""WITH $sqlKmeansCtes
          SELECT cell, CAST(i - 1 AS BIGINT) AS pos, v[i] AS c
-         FROM c2, range(1, 65) t(i) ORDER BY cell, pos"""
-    },
+         FROM c2, range(1, 65) t(i) ORDER BY cell, pos""",
+    "s5_ann_ivf_trained" ->
+      // the s3 IVF shape, with c2 (the trained codebook) as the cells
+      s"""WITH $sqlKmeansCtes,
+         cents AS (SELECT cell, v AS centv FROM c2),
+         ca AS (
+           SELECT vec_id AS neighbor_id, v AS nv, cell FROM (
+             SELECT e.vec_id, e.v, c.cell, row_number() OVER
+               (PARTITION BY e.vec_id ORDER BY ${sqlDot("e.v", "c.centv", 64)} DESC, c.cell ASC) AS crk
+             FROM e, cents c) WHERE crk = 1),
+         qa AS (
+           SELECT vec_id AS query_id, v AS qv, cell FROM (
+             SELECT e.vec_id, e.v, c.cell, row_number() OVER
+               (PARTITION BY e.vec_id ORDER BY ${sqlDot("e.v", "c.centv", 64)} DESC, c.cell ASC) AS crk
+             FROM e, cents c WHERE e.vec_id >= 5 AND e.vec_id < 10) WHERE crk <= 2),
+         scored AS (
+           SELECT qa.query_id, ca.neighbor_id, ${sqlCos("qa.qv", "ca.nv", 64)} AS cosine
+           FROM ca JOIN qa USING (cell) WHERE ca.neighbor_id <> qa.query_id),
+         ranked AS (SELECT *, row_number() OVER
+             (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rk
+           FROM scored)
+         SELECT query_id, neighbor_id, cosine, rk FROM ranked
+         WHERE rk <= 3 ORDER BY query_id, rk""",
     "p1_stratified_sample" ->
       """SELECT doc_id, lang FROM documents
          WHERE CAST(('0x' || substr(md5(lang || '|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000

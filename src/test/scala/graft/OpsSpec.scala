@@ -168,4 +168,29 @@ class OpsSpec extends AnyFunSuite with SparkSpecBase {
     assert(out.map(_.getString(0)).distinct.sorted.toSeq == Seq("event_type", "user_id"))
     assert(out.count(_.getString(0) == "event_type") == 3)
   }
+
+  test("E11 CSV export round-trips values with quoting and header") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    val df = Seq((1L, "plain", "with,comma"), (2L, "q\"uote", "line"))
+      .toDF("id", "a", "b")
+    Endpoints.writeCsv(df, dir)
+    val back = spark.read.option("header", "true").option("inferSchema", "true")
+      .csv(dir).orderBy("id").collect()
+    assert(back.length == 2)
+    assert(back(0).getString(2) == "with,comma")
+    assert(back(1).getString(1) == "q\"uote")
+  }
+
+  test("E17 history entries accumulate as an append-only queryable log") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_hist").toString
+    Endpoints.historyEntry(spark, "u1", "/api/sessions", "ip == 1.2.3.4", 12L)
+      .write.mode("append").parquet(dir)
+    Endpoints.historyEntry(spark, "u2", "/api/unique", "port == 80", 7L)
+      .write.mode("append").parquet(dir)
+    val log = spark.read.parquet(dir)
+    assert(log.count() == 2)
+    assert(log.filter(org.apache.spark.sql.functions.col("uiPage_user") === "u2")
+      .select("expression").head.getString(0) == "port == 80")
+  }
 }
