@@ -230,6 +230,21 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpecBase {
     assert(got.size == 1000 && got == want)
   }
 
+  test("prefixSum edge cases: empty, one bucket, negative sparse ids") {
+    import spark.implicits._
+    val empty = graft.ops.Pack.prefixSum(
+      Seq.empty[(Long, Long)].toDF("id", "v"), "id", "v")
+    assert(empty.count() == 0 && empty.columns.contains("prev_cumsum"))
+    val one = graft.ops.Pack.prefixSum(
+      Seq((5L, 2L), (9L, 3L), (7L, 4L)).toDF("id", "v"), "id", "v", buckets = 1)
+      .select("id", "prev_cumsum").as[(Long, Long)].collect().toMap
+    assert(one == Map(5L -> 0L, 7L -> 2L, 9L -> 6L))
+    val neg = graft.ops.Pack.prefixSum(
+      Seq((-1000L, 1L), (0L, 2L), (999999L, 3L)).toDF("id", "v"), "id", "v")
+      .select("id", "prev_cumsum").as[(Long, Long)].collect().toMap
+    assert(neg == Map(-1000L -> 0L, 0L -> 1L, 999999L -> 3L))
+  }
+
   test("packSequences bins are contiguous and offsets stay below ctxLen") {
     val p = graft.ops.Pack.packSequences(docs, col("text"), col("doc_id"), 128)
       .orderBy("doc_id").collect()
