@@ -71,4 +71,30 @@ class LiveStatsSpec extends AnyFunSuite with SparkSpecBase {
       assert(keys == Seq("x", "y", "z"))
     } finally q.stop()
   }
+
+  test("I13 streaming form: stream-static WISE join enriches micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+
+    val intel = Seq(
+      ("10.0.0.1", "tags", "botnet"), ("10.0.0.1", "score", "9"),
+      ("8.8.8.8", "tags", "dns"))
+      .toDF("key", "field", "value")
+    val input = MemoryStream[(Timestamp, String)]
+    val enriched = graft.ops.Enrich.wiseLookup(
+      input.toDS().toDF("ts", "srcIp"), col("srcIp"), intel)
+    val q = enriched.writeStream.format("memory").queryName("live_wise")
+      .outputMode("append").start()
+    try {
+      input.addData(Seq((ts(0), "10.0.0.1"), (ts(1), "1.1.1.1")))
+      q.processAllAvailable()
+      val out = spark.table("live_wise")
+        .select("srcIp", "intel").collect()
+        .map(r => r.getString(0) ->
+          Option(r.getSeq[String](1)).map(_.sorted.toSeq)).toMap
+      assert(out("10.0.0.1").contains(Seq("score=9", "tags=botnet")))
+      assert(out("1.1.1.1").isEmpty) // left join: unknown ip passes through
+    } finally q.stop()
+  }
 }
