@@ -429,6 +429,14 @@ object SparkEntry {
     "m1_multimodal_meta" -> ((s, dir) =>
       Multimodal.extractMeta(
         Multimodal.asMedia(docs(s, dir), col("doc_id"), col("text"), "image"))),
+    "m2_frame_sample" -> ((s, dir) =>
+      Multimodal.sampleFrames(
+        Multimodal.asMedia(docs(s, dir), col("doc_id"), col("text"), "video"),
+        step = 7)),
+    "m3_resize_plan" -> ((s, dir) =>
+      Multimodal.resizePlan(
+        Multimodal.asMedia(docs(s, dir), col("doc_id"), col("text"), "image"),
+        maxDim = 256)),
 
     // --- I1/I2/I4/I6-I8: pcap ETL (golden-tested; rows-only check here,
     //     DuckDB cannot read pcap) --------------------------------------
@@ -1304,6 +1312,26 @@ object SparkEntry {
            CAST((hv >> 9) % 512 + 1 AS INT) AS height,
            CAST((hv >> 18) % 30 + 1 AS INT) AS n_frames
          FROM h ORDER BY media_id""",
+    "m2_frame_sample" ->
+      s"""WITH h AS (SELECT doc_id AS media_id, text,
+           ${sqlHex32("text")} AS hv FROM documents),
+         f AS (SELECT media_id, text,
+           unnest(range(0, CAST((hv >> 18) % 30 + 1 AS BIGINT), 7)) AS frame_idx
+           FROM h)
+         SELECT media_id, frame_idx,
+           md5(text || '|' || CAST(frame_idx AS VARCHAR)) AS frame_fp
+         FROM f ORDER BY media_id, frame_idx""",
+    "m3_resize_plan" ->
+      s"""WITH h AS (SELECT doc_id AS media_id, ${sqlHex32("text")} AS hv
+           FROM documents),
+         d AS (SELECT media_id, CAST(hv % 512 + 1 AS INT) AS width,
+           CAST((hv >> 9) % 512 + 1 AS INT) AS height FROM h)
+         SELECT media_id, width, height,
+           CAST(CASE WHEN greatest(width, height) <= 256 THEN width
+             ELSE greatest(1, (width * 256) // greatest(width, height)) END AS INT) AS out_w,
+           CAST(CASE WHEN greatest(width, height) <= 256 THEN height
+             ELSE greatest(1, (height * 256) // greatest(width, height)) END AS INT) AS out_h
+         FROM d ORDER BY media_id""",
     "e17_tagging" ->
       """SELECT event_id, concat_ws(',', event_type,
            CASE WHEN coalesce(event_type = 'purchase' AND value > 100, FALSE)

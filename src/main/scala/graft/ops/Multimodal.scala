@@ -91,4 +91,44 @@ object Multimodal {
         col("m.width").as("width"), col("m.height").as("height"),
         col("m.n_frames").as("n_frames"))
       .orderBy("media_id")
+
+  /** Frame sampling: one row per sampled frame index (0, step, 2·step, …
+    * below the stub-decoded n_frames). The explode happens scan-side —
+    * payload bytes are read once per media row and never shuffled; the
+    * output carries only ids and per-frame fingerprints (the
+    * deterministic stand-in for a decoded frame, md5(payload|idx)).
+    */
+  def sampleFrames(media: DataFrame, step: Int): DataFrame = {
+    val n = stubDecodeMeta(col("payload")).getField("n_frames")
+    media
+      .select(col("media_id"), col("payload"),
+        explode(sequence(lit(0), n - 1, lit(step))).as("frame_idx"))
+      .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
+        md5(concat(col("payload").cast("string"), lit("|"),
+          col("frame_idx").cast("string"))).as("frame_fp"))
+      .orderBy("media_id", "frame_idx")
+  }
+
+  /** Resize planning: aspect-preserving target dimensions bounding the
+    * long side to `maxDim`, in exact integer math (floor division,
+    * clamped to ≥ 1). Scan-side metadata only — the pixel resample
+    * itself belongs in the [[decodePartition]] seam.
+    */
+  def resizePlan(media: DataFrame, maxDim: Int): DataFrame = {
+    val m = stubDecodeMeta(col("payload"))
+    media
+      .select(col("media_id"), m.getField("width").as("width"),
+        m.getField("height").as("height"))
+      .withColumn("long_side", greatest(col("width"), col("height")))
+      .select(col("media_id"), col("width"), col("height"),
+        when(col("long_side") <= maxDim, col("width"))
+          .otherwise(greatest(lit(1),
+            floor(col("width") * maxDim / col("long_side")).cast("int")))
+          .as("out_w"),
+        when(col("long_side") <= maxDim, col("height"))
+          .otherwise(greatest(lit(1),
+            floor(col("height") * maxDim / col("long_side")).cast("int")))
+          .as("out_h"))
+      .orderBy("media_id")
+  }
 }

@@ -121,6 +121,33 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpecBase {
     assert(decoded.length == 50 && decoded.forall(_.features.length == 8))
   }
 
+  test("frame sampling and resize planning respect decode metadata") {
+    import graft.ops.Multimodal
+    val media = Multimodal.asMedia(docs, col("doc_id"), col("text"), "video")
+    val meta = Multimodal.extractMeta(media)
+      .select("media_id", "width", "height", "n_frames")
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getInt(3)))
+      .toMap
+    val frames = Multimodal.sampleFrames(media, step = 7).collect()
+    frames.foreach { r =>
+      val idx = r.getLong(1)
+      assert(idx % 7 == 0 && idx < meta(r.getLong(0))._3)
+    }
+    // every media row with >= 1 frame appears; indices are dense in step
+    assert(frames.map(_.getLong(0)).distinct.length == meta.size)
+    val rs = Multimodal.resizePlan(media, maxDim = 256).collect()
+    rs.foreach { r =>
+      val (w, h, ow, oh) = (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))
+      assert(ow >= 1 && oh >= 1 && math.max(ow, oh) <= 256)
+      val long = math.max(w, h)
+      if (long <= 256) assert(ow == w && oh == h)
+      else {
+        assert(ow == math.max(1, w * 256 / long))
+        assert(oh == math.max(1, h * 256 / long))
+      }
+    }
+  }
+
   test("text metrics are finite and in range") {
     val q = TextOps.qualityMetrics(docs, col("text"), col("doc_id")).collect()
     assert(q.forall { r =>
