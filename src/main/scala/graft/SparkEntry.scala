@@ -397,6 +397,10 @@ object SparkEntry {
         chunkSize = 40, overlap = 10)
         .withColumn("n_chunk_tokens", col("n_chunk_tokens").cast("long"))
         .orderBy("doc_id", "chunk_idx")),
+    // T9: exact per-language token-count quantiles via value histogram
+    "t9_length_quantiles" -> ((s, dir) =>
+      TextOps.lengthQuantiles(docs(s, dir), col("text"), col("lang"))
+        .withColumnRenamed("grp", "lang")),
     // T8: cross-document sequence packing — global prefix sum over the
     // id-ordered token stream, cut into fixed 128-token contexts
     "t8_seq_pack" -> ((s, dir) =>
@@ -1216,6 +1220,18 @@ object SparkEntry {
            len(toks[s:s+39]) AS n_chunk_tokens,
            md5(array_to_string(toks[s:s+39], ' ')) AS chunk_fp
          FROM st ORDER BY doc_id, chunk_idx""",
+    "t9_length_quantiles" ->
+      s"""WITH hist AS (SELECT lang, CAST(len($sqlToks) AS BIGINT) AS v,
+           count(*) AS cnt FROM documents GROUP BY lang, v),
+         cum AS (SELECT lang, v,
+             SUM(cnt) OVER (PARTITION BY lang ORDER BY v) AS cum,
+             SUM(cnt) OVER (PARTITION BY lang) AS n
+           FROM hist)
+         SELECT lang,
+           MIN(CASE WHEN cum >= ceil(0.5 * n) THEN v END) AS p50,
+           MIN(CASE WHEN cum >= ceil(0.9 * n) THEN v END) AS p90,
+           MIN(CASE WHEN cum >= ceil(0.99 * n) THEN v END) AS p99
+         FROM cum GROUP BY lang ORDER BY lang""",
     "t8_seq_pack" ->
       s"""WITH tok AS (SELECT doc_id,
            CAST(len($sqlToks) AS BIGINT) AS n_tokens FROM documents),

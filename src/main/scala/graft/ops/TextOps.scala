@@ -225,6 +225,37 @@ object TextOps {
         md5(concat_ws(" ", col("chunk"))).as("chunk_fp"))
   }
 
+  /** Exact per-group token-count quantiles (nearest-rank), computed the
+    * scale-safe way: aggregate a (group, value) histogram first — the
+    * only full-data shuffle, with map-side combine — then rank over the
+    * DISTINCT values per group. The ranking window is bounded by value
+    * cardinality (thousands), never row count, so a group with billions
+    * of documents costs the same as one with thousands — the distributed
+    * exact-quantile alternative to gathering a group onto one task.
+    * Nearest-rank definition: q-quantile = smallest value whose
+    * cumulative count ≥ ceil(q·n) — integer math, engine-portable.
+    */
+  def lengthQuantiles(
+      df: DataFrame, text: Column, groupCol: Column,
+      qs: Seq[(String, Double)] = Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99))
+      : DataFrame = {
+    val hist = df
+      .select(groupCol.as("grp"), size(tokens(text)).cast("long").as("v"))
+      .groupBy("grp", "v").agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("v"))
+    val cum = hist
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("n", sum(col("cnt")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("grp"))))
+    val aggs = qs.map { case (name, q) =>
+      min(when(col("cum") >= ceil(lit(q) * col("n")), col("v"))).as(name)
+    }
+    cum.groupBy(col("grp"))
+      .agg(aggs.head, aggs.tail: _*)
+      .orderBy("grp")
+  }
+
   /** One BPE merge-selection step: corpus-wide adjacent-token-pair
     * frequencies, top-N by count (the pair a tokenizer trainer would
     * merge next). Pair construction is a codegen'd slice+zip per doc —

@@ -298,6 +298,15 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpecBase {
     assert(dense.count() == 0)
   }
 
+  test("lengthQuantiles matches nearest-rank on a known distribution") {
+    import spark.implicits._
+    // group g: lengths 1..10 (one doc each) → p50=5, p90=9, p99=10
+    val d = (1 to 10).map(n => ("g", (1 to n).map(i => s"t$i").mkString(" ")))
+      .toDF("lang", "text")
+    val r = TextOps.lengthQuantiles(d, col("text"), col("lang")).head()
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((5L, 9L, 10L)))
+  }
+
   test("bpePairCounts counts adjacent pairs exactly on a known doc") {
     import spark.implicits._
     val d = Seq((1L, "a b a b c"), (2L, "a b"), (3L, "solo")).toDF("id", "text")
