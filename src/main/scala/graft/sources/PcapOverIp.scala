@@ -1,0 +1,160 @@
+package graft.sources
+
+import java.io.DataInputStream
+import java.net.Socket
+import java.nio.{ByteBuffer, ByteOrder}
+import java.util
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.etl.Pcap
+
+/** I1: pcap-over-ip live packet source as a Structured Streaming
+  * DataSource V2 (`format("graft.sources.PcapOverIpProvider")` or the
+  * registered short name `pcap-over-ip`).
+  *
+  * The reference's reader (capture/reader-pcapoverip.c) connects to a
+  * host:port and consumes an endless classic-pcap stream: one 24-byte
+  * global header, then 16-byte record headers + packet bytes. This source
+  * does the same on the driver — a daemon thread drains the socket into a
+  * bounded in-memory buffer; each micro-batch ships the newly arrived
+  * records to executors inside its `InputPartition` (the pattern of
+  * Spark's own socket source, which is likewise non-replayable: a socket
+  * has no offsets to rewind, so fault tolerance is at-most-once before
+  * the sessionizer's state store takes over).
+  *
+  * Downstream is the ordinary path: decode → sessionize
+  * (`StreamSessionize.sessions`) with watermarks and mid-save timers.
+  */
+object PcapOverIp {
+  val schema: StructType = StructType(Seq(
+    StructField("ts_micros", LongType, nullable = false),
+    StructField("incl_len", IntegerType, nullable = false),
+    StructField("orig_len", IntegerType, nullable = false),
+    StructField("link_type", IntegerType, nullable = false),
+    StructField("data", BinaryType, nullable = true)))
+
+  final case class Rec(
+      tsMicros: Long, inclLen: Int, origLen: Int, linkType: Int,
+      data: Array[Byte])
+}
+
+class PcapOverIpProvider extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+  override def shortName(): String = "pcap-over-ip"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    PcapOverIp.schema
+  override def getTable(
+      schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new PcapOverIpTable(
+      properties.getOrDefault("host", "127.0.0.1"),
+      Integer.parseInt(properties.getOrDefault("port", "57013")))
+}
+
+final class PcapOverIpTable(host: String, port: Int)
+    extends Table with SupportsRead {
+  override def name(): String = s"pcap-over-ip://$host:$port"
+  override def schema(): StructType = PcapOverIp.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new Scan {
+      override def readSchema(): StructType = PcapOverIp.schema
+      override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+        new PcapOverIpStream(host, port)
+    }
+}
+
+/** Offset = count of records received so far (monotone, driver-local). */
+final case class PcapCountOffset(n: Long) extends Offset {
+  override def json(): String = n.toString
+}
+
+final class PcapOverIpStream(host: String, port: Int)
+    extends MicroBatchStream {
+
+  private val buf = new ArrayBuffer[PcapOverIp.Rec]()
+  @volatile private var stopped = false
+  private val socket = new Socket(host, port)
+
+  private val reader = new Thread(() => {
+    try {
+      val in = new DataInputStream(socket.getInputStream)
+      val gh = new Array[Byte](24)
+      in.readFully(gh)
+      Pcap.parseHeader(gh).foreach { h =>
+        val order =
+          if (h.bigEndian) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN
+        val maxIncl =
+          if (h.snapLen > 0 && h.snapLen <= (64 << 20)) h.snapLen else (64 << 20)
+        val rh = new Array[Byte](16)
+        while (!stopped) {
+          in.readFully(rh)
+          val bb = ByteBuffer.wrap(rh).order(order)
+          val sec = bb.getInt.toLong & 0xffffffffL
+          val frac = bb.getInt.toLong & 0xffffffffL
+          val incl = bb.getInt
+          val orig = bb.getInt
+          if (incl < 0 || incl > maxIncl)
+            throw new java.io.IOException(s"bad incl_len $incl")
+          val data = new Array[Byte](incl)
+          in.readFully(data)
+          val micros = sec * 1000000L + (if (h.nanos) frac / 1000 else frac)
+          buf.synchronized {
+            buf += PcapOverIp.Rec(micros, incl, orig, h.linkType, data)
+          }
+        }
+      }
+    } catch {
+      case _: java.io.IOException => // peer closed / stop(): end of stream
+    }
+  }, s"pcap-over-ip-$host:$port")
+  reader.setDaemon(true)
+  reader.start()
+
+  override def initialOffset(): Offset = PcapCountOffset(0L)
+  override def deserializeOffset(json: String): Offset =
+    PcapCountOffset(json.toLong)
+  override def latestOffset(): Offset =
+    buf.synchronized { PcapCountOffset(buf.length.toLong) }
+  override def commit(end: Offset): Unit = ()
+
+  override def planInputPartitions(
+      start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[PcapCountOffset].n.toInt
+    val e = end.asInstanceOf[PcapCountOffset].n.toInt
+    val slice = buf.synchronized { buf.slice(s, e).toArray }
+    Array(PcapSlicePartition(slice))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    (partition: InputPartition) => {
+      val recs = partition.asInstanceOf[PcapSlicePartition].recs
+      new PartitionReader[InternalRow] {
+        private var i = -1
+        override def next(): Boolean = { i += 1; i < recs.length }
+        override def get(): InternalRow = {
+          val r = recs(i)
+          InternalRow(r.tsMicros, r.inclLen, r.origLen, r.linkType, r.data)
+        }
+        override def close(): Unit = ()
+      }
+    }
+
+  override def stop(): Unit = {
+    stopped = true
+    try socket.close() catch { case _: Exception => }
+  }
+}
+
+final case class PcapSlicePartition(recs: Array[PcapOverIp.Rec])
+    extends InputPartition

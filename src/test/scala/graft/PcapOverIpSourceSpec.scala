@@ -1,0 +1,70 @@
+package graft
+
+import java.net.ServerSocket
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.etl.Pcap
+
+/** The pcap-over-ip streaming source must deliver exactly the records a
+  * batch parse of the same capture yields (count, bytes, timestamps).
+  */
+class PcapOverIpSourceSpec extends AnyFunSuite with SparkSpecBase {
+
+  private val pcapPath = "/root/reference/tests/pcap/http-301-get.pcap"
+
+  test("streams a served pcap byte-for-byte into micro-batches") {
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(pcapPath))
+    val want = Pcap.parseFile(bytes, pcapPath).toSeq
+
+    val server = new ServerSocket(0, 1, java.net.InetAddress.getLoopbackAddress)
+    val serve = new Thread(() => {
+      try {
+        val s = server.accept()
+        s.getOutputStream.write(bytes)
+        s.getOutputStream.flush()
+        // keep the connection open: a live capture stream does not EOF
+        Thread.sleep(30000)
+        s.close()
+      } catch { case _: Exception => }
+    })
+    serve.setDaemon(true)
+    serve.start()
+
+    val stream = spark.readStream
+      .format("graft.sources.PcapOverIpProvider")
+      .option("host", "127.0.0.1")
+      .option("port", server.getLocalPort.toString)
+      .load()
+    val q = stream.writeStream.format("memory").queryName("pcap_over_ip")
+      .outputMode("append").start()
+    try {
+      val deadline = System.currentTimeMillis() + 30000
+      var n = 0L
+      while (n < want.length && System.currentTimeMillis() < deadline) {
+        q.processAllAvailable()
+        n = spark.table("pcap_over_ip").count()
+        if (n < want.length) Thread.sleep(100)
+      }
+      val got = spark.table("pcap_over_ip")
+        .orderBy("ts_micros")
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+          r.getAs[Array[Byte]](4).toSeq))
+      assert(got.length == want.length)
+      val wantTuples = want.sortBy(_.tsMicros).map(p =>
+        (p.tsMicros, p.inclLen, p.origLen, p.linkType, p.data.toSeq))
+      assert(got.toSeq == wantTuples)
+    } finally {
+      q.stop()
+      server.close()
+    }
+  }
+
+  test("short name pcap-over-ip resolves via DataSourceRegister") {
+    val df = spark.readStream.format("pcap-over-ip")
+      .option("host", "127.0.0.1").option("port", "1").load()
+    assert(df.schema == graft.sources.PcapOverIp.schema)
+    assert(df.isStreaming)
+  }
+}
