@@ -82,7 +82,11 @@ final case class PcapCountOffset(n: Long) extends Offset {
 final class PcapOverIpStream(host: String, port: Int)
     extends MicroBatchStream {
 
+  // records received but not yet committed; `base` = global offset of
+  // buf(0). commit() drops the delivered prefix, so driver memory holds
+  // only in-flight micro-batches, not the whole capture history.
   private val buf = new ArrayBuffer[PcapOverIp.Rec]()
+  private var base = 0L
   @volatile private var stopped = false
   private val socket = new Socket(host, port)
 
@@ -125,14 +129,21 @@ final class PcapOverIpStream(host: String, port: Int)
   override def deserializeOffset(json: String): Offset =
     PcapCountOffset(json.toLong)
   override def latestOffset(): Offset =
-    buf.synchronized { PcapCountOffset(buf.length.toLong) }
-  override def commit(end: Offset): Unit = ()
+    buf.synchronized { PcapCountOffset(base + buf.length) }
+  override def commit(end: Offset): Unit = buf.synchronized {
+    val upTo = end.asInstanceOf[PcapCountOffset].n
+    val drop = math.max(0L, math.min(upTo - base, buf.length.toLong)).toInt
+    buf.dropInPlace(drop)
+    base += drop
+  }
 
   override def planInputPartitions(
       start: Offset, end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[PcapCountOffset].n.toInt
-    val e = end.asInstanceOf[PcapCountOffset].n.toInt
-    val slice = buf.synchronized { buf.slice(s, e).toArray }
+    val (s, e) = (start.asInstanceOf[PcapCountOffset].n,
+      end.asInstanceOf[PcapCountOffset].n)
+    val slice = buf.synchronized {
+      buf.slice((s - base).toInt, (e - base).toInt).toArray
+    }
     Array(PcapSlicePartition(slice))
   }
 

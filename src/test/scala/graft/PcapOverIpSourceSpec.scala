@@ -11,9 +11,7 @@ import graft.etl.Pcap
   */
 class PcapOverIpSourceSpec extends AnyFunSuite with SparkSpecBase {
 
-  private val pcapPath = "/root/reference/tests/pcap/http-301-get.pcap"
-
-  test("streams a served pcap byte-for-byte into micro-batches") {
+  private def roundTrip(pcapPath: String, table: String): Unit = {
     val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(pcapPath))
     val want = Pcap.parseFile(bytes, pcapPath).toSeq
 
@@ -36,17 +34,17 @@ class PcapOverIpSourceSpec extends AnyFunSuite with SparkSpecBase {
       .option("host", "127.0.0.1")
       .option("port", server.getLocalPort.toString)
       .load()
-    val q = stream.writeStream.format("memory").queryName("pcap_over_ip")
+    val q = stream.writeStream.format("memory").queryName(table)
       .outputMode("append").start()
     try {
       val deadline = System.currentTimeMillis() + 30000
       var n = 0L
       while (n < want.length && System.currentTimeMillis() < deadline) {
         q.processAllAvailable()
-        n = spark.table("pcap_over_ip").count()
+        n = spark.table(table).count()
         if (n < want.length) Thread.sleep(100)
       }
-      val got = spark.table("pcap_over_ip")
+      val got = spark.table(table)
         .orderBy("ts_micros")
         .collect()
         .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
@@ -59,6 +57,14 @@ class PcapOverIpSourceSpec extends AnyFunSuite with SparkSpecBase {
       q.stop()
       server.close()
     }
+  }
+
+  test("streams a served pcap byte-for-byte into micro-batches") {
+    roundTrip("/root/reference/tests/pcap/http-301-get.pcap", "pcap_over_ip")
+  }
+
+  test("nanosecond-magic capture streams with microsecond truncation") {
+    roundTrip("/root/reference/tests/pcap/ipv6-gtp6.pcap", "pcap_over_ip_nanos")
   }
 
   test("short name pcap-over-ip resolves via DataSourceRegister") {
