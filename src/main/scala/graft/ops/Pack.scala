@@ -119,4 +119,27 @@ object Pack {
         Window.partitionBy(col("shard")).orderBy(col("_h"), col("doc_id"))))
       .select(col("doc_id"), col("shard"), col("pos").cast("long").as("pos"))
   }
+
+  /** Materialize the seeded shuffle as training shards on disk: one
+    * `shard=N` directory per shard, rows written in `pos` order (parquet
+    * preserves in-file row order, so a sequential reader sees the
+    * reproducible shuffled sequence). The pre-write `repartition(shard)`
+    * + `sortWithinPartitions` means each task owns whole shards → one
+    * file per shard, no tiny-file spray; shard size is controlled by
+    * `nShards`, and a re-run with the same seed rewrites identical
+    * shard contents.
+    */
+  def writeShards(
+      df: DataFrame, idCol: Column, seed: String, nShards: Int,
+      path: String): Unit = {
+    // same hash/rank as seededShuffle, computed inline on the full rows
+    // (one window + one shuffle — no join back against an id table)
+    val h = TextOps.hex32(concat_ws("|", lit(seed), idCol.cast("string")))
+    df.withColumn("shard", pmod(h, lit(nShards.toLong)))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard")).orderBy(h, idCol)).cast("long"))
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions("shard", "pos")
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+  }
 }

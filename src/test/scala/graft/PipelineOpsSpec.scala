@@ -307,6 +307,30 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpecBase {
     assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((5L, 9L, 10L)))
   }
 
+  test("writeShards lays out one pos-ordered file per shard, reproducibly") {
+    import graft.ops.Pack
+    val dir = java.nio.file.Files.createTempDirectory("graft_shards").toString
+    Pack.writeShards(docs, col("doc_id"), "seedA", 4, dir)
+    val shardDirs = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("shard=")).sortBy(_.getName)
+    assert(shardDirs.length == 4)
+    // one data file per shard, rows inside in strictly increasing pos
+    val expect = Pack.seededShuffle(docs, col("doc_id"), "seedA", 4)
+    shardDirs.foreach { d =>
+      val files = d.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1, s"${d.getName}: expected a single file")
+      val rows = spark.read.parquet(files.head.getPath)
+        .select("doc_id", "pos").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(rows.map(_._2).toSeq == rows.map(_._2).sorted.toSeq)
+      val shard = d.getName.stripPrefix("shard=").toLong
+      val want = expect.filter(col("shard") === shard)
+        .select("doc_id", "pos").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._2)
+      assert(rows.sortBy(_._2).toSeq == want.toSeq)
+    }
+  }
+
   test("bpePairCounts counts adjacent pairs exactly on a known doc") {
     import spark.implicits._
     val d = Seq((1L, "a b a b c"), (2L, "a b"), (3L, "solo")).toDF("id", "text")
