@@ -88,38 +88,49 @@ final class PcapOverIpStream(host: String, port: Int)
   private val buf = new ArrayBuffer[PcapOverIp.Rec]()
   private var base = 0L
   @volatile private var stopped = false
-  private val socket = new Socket(host, port)
+  @volatile private var socket: Socket = null
 
+  // Connect lazily and retry while the query runs — a capture endpoint
+  // that is down (or not up yet) must not kill the stream; each
+  // reconnect consumes a fresh pcap global header, exactly like the
+  // reference reader's per-connection state.
   private val reader = new Thread(() => {
-    try {
-      val in = new DataInputStream(socket.getInputStream)
-      val gh = new Array[Byte](24)
-      in.readFully(gh)
-      Pcap.parseHeader(gh).foreach { h =>
-        val order =
-          if (h.bigEndian) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN
-        val maxIncl =
-          if (h.snapLen > 0 && h.snapLen <= (64 << 20)) h.snapLen else (64 << 20)
-        val rh = new Array[Byte](16)
-        while (!stopped) {
-          in.readFully(rh)
-          val bb = ByteBuffer.wrap(rh).order(order)
-          val sec = bb.getInt.toLong & 0xffffffffL
-          val frac = bb.getInt.toLong & 0xffffffffL
-          val incl = bb.getInt
-          val orig = bb.getInt
-          if (incl < 0 || incl > maxIncl)
-            throw new java.io.IOException(s"bad incl_len $incl")
-          val data = new Array[Byte](incl)
-          in.readFully(data)
-          val micros = sec * 1000000L + (if (h.nanos) frac / 1000 else frac)
-          buf.synchronized {
-            buf += PcapOverIp.Rec(micros, incl, orig, h.linkType, data)
+    while (!stopped) {
+      try {
+        val s = new Socket(host, port)
+        socket = s
+        val in = new DataInputStream(s.getInputStream)
+        val gh = new Array[Byte](24)
+        in.readFully(gh)
+        Pcap.parseHeader(gh).foreach { h =>
+          val order =
+            if (h.bigEndian) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN
+          val maxIncl =
+            if (h.snapLen > 0 && h.snapLen <= (64 << 20)) h.snapLen else (64 << 20)
+          val rh = new Array[Byte](16)
+          while (!stopped) {
+            in.readFully(rh)
+            val bb = ByteBuffer.wrap(rh).order(order)
+            val sec = bb.getInt.toLong & 0xffffffffL
+            val frac = bb.getInt.toLong & 0xffffffffL
+            val incl = bb.getInt
+            val orig = bb.getInt
+            if (incl < 0 || incl > maxIncl)
+              throw new java.io.IOException(s"bad incl_len $incl")
+            val data = new Array[Byte](incl)
+            in.readFully(data)
+            val micros = sec * 1000000L + (if (h.nanos) frac / 1000 else frac)
+            buf.synchronized {
+              buf += PcapOverIp.Rec(micros, incl, orig, h.linkType, data)
+            }
           }
         }
+      } catch {
+        case _: java.io.IOException => // refused / peer closed: retry below
+      } finally {
+        try { if (socket != null) socket.close() } catch { case _: Exception => }
       }
-    } catch {
-      case _: java.io.IOException => // peer closed / stop(): end of stream
+      if (!stopped) Thread.sleep(250)
     }
   }, s"pcap-over-ip-$host:$port")
   reader.setDaemon(true)
@@ -163,7 +174,7 @@ final class PcapOverIpStream(host: String, port: Int)
 
   override def stop(): Unit = {
     stopped = true
-    try socket.close() catch { case _: Exception => }
+    try { if (socket != null) socket.close() } catch { case _: Exception => }
   }
 }
 

@@ -67,6 +67,46 @@ class PcapOverIpSourceSpec extends AnyFunSuite with SparkSpecBase {
     roundTrip("/root/reference/tests/pcap/ipv6-gtp6.pcap", "pcap_over_ip_nanos")
   }
 
+  test("retries until the capture endpoint comes up") {
+    val pcapPath = "/root/reference/tests/pcap/http-301-get.pcap"
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(pcapPath))
+    val want = Pcap.parseFile(bytes, pcapPath).size
+    // reserve a port, then release it so the first connects are refused
+    val probe = new ServerSocket(0, 1, java.net.InetAddress.getLoopbackAddress)
+    val port = probe.getLocalPort
+    probe.close()
+    val q = spark.readStream.format("pcap-over-ip")
+      .option("host", "127.0.0.1").option("port", port.toString)
+      .load()
+      .writeStream.format("memory").queryName("pcap_late_server")
+      .outputMode("append").start()
+    try {
+      Thread.sleep(400) // let the reader hit ConnectException at least once
+      val server = new ServerSocket(port, 1, java.net.InetAddress.getLoopbackAddress)
+      val serve = new Thread(() => {
+        try {
+          val s = server.accept()
+          s.getOutputStream.write(bytes)
+          s.getOutputStream.flush()
+          Thread.sleep(30000)
+          s.close()
+        } catch { case _: Exception => }
+      })
+      serve.setDaemon(true)
+      serve.start()
+      try {
+        val deadline = System.currentTimeMillis() + 30000
+        var n = 0L
+        while (n < want && System.currentTimeMillis() < deadline) {
+          q.processAllAvailable()
+          n = spark.table("pcap_late_server").count()
+          if (n < want) Thread.sleep(100)
+        }
+        assert(n == want)
+      } finally server.close()
+    } finally q.stop()
+  }
+
   test("short name pcap-over-ip resolves via DataSourceRegister") {
     val df = spark.readStream.format("pcap-over-ip")
       .option("host", "127.0.0.1").option("port", "1").load()
