@@ -86,6 +86,25 @@ object StreamSessionize {
         processGroup)
   }
 
+  /** Streaming pipeline over a live pcap-over-ip endpoint — the I1 live
+    * path end-to-end: socket records → decode → stateful sessionize.
+    * `prevTsMicros` is set to the packet's own ts; live streams drive
+    * idle/save timeouts from the event-time watermark, not the offline
+    * file clock.
+    */
+  def fromPcapOverIp(
+      spark: SparkSession, host: String, port: Int): Dataset[SessionRow] = {
+    import spark.implicits._
+    val raw = spark.readStream.format("pcap-over-ip")
+      .option("host", host).option("port", port.toString).load()
+      .as[(Long, Int, Int, Int, Array[Byte])]
+    val packets = raw.flatMap { case (ts, incl, orig, link, data) =>
+      Decode.decode(graft.etl.Pcap.RawPacket(
+        s"pcap-over-ip://$host:$port", 0, ts, incl, orig, 0L, link, data, ts))
+    }
+    sessions(packets)
+  }
+
   /** Streaming pipeline over a directory of pcap files (file-source). */
   def fromPcapDir(spark: SparkSession, dir: String): Dataset[SessionRow] = {
     import spark.implicits._

@@ -113,4 +113,74 @@ class PcapOverIpSourceSpec extends AnyFunSuite with SparkSpecBase {
     assert(df.schema == graft.sources.PcapOverIp.schema)
     assert(df.isStreaming)
   }
+
+  test("live path end-to-end: socket -> decode -> sessionize matches batch") {
+    import spark.implicits._
+    val pcap = "/root/reference/tests/pcap/http-301-get.pcap"
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(pcap))
+    val batch = graft.etl.SessionBuilder.sessionizeRef(spark, pcap)
+      .collect().sortBy(_.firstPacket)
+
+    // craft watermark-advancing records: copies of the last capture
+    // record with ts pushed past the TCP timeout and a mangled src ip
+    // (distinct 5-tuple) so the real sessions time out and flush
+    val last = Pcap.parseFile(bytes, pcap).toSeq.last
+    val header = Pcap.parseHeader(bytes).get
+    val order = if (header.bigEndian) java.nio.ByteOrder.BIG_ENDIAN
+      else java.nio.ByteOrder.LITTLE_ENDIAN
+    def lateRec(i: Int): Array[Byte] = {
+      val rec = java.util.Arrays.copyOfRange(bytes,
+        last.fileOffset.toInt, (last.fileOffset + 16 + last.inclLen).toInt)
+      val bb = java.nio.ByteBuffer.wrap(rec).order(order)
+      val sec = bb.getInt(0)
+      bb.putInt(0, sec + 2000 + 600 * i) // march past every timeout
+      rec(16 + 26) = (200 + i).toByte // ipv4 src octet → new session key
+      rec
+    }
+    val server = new ServerSocket(0, 1, java.net.InetAddress.getLoopbackAddress)
+    val serve = new Thread(() => {
+      try {
+        val s = server.accept()
+        s.getOutputStream.write(bytes)
+        s.getOutputStream.flush()
+        (0 until 8).foreach { i =>
+          Thread.sleep(400)
+          s.getOutputStream.write(lateRec(i))
+          s.getOutputStream.flush()
+        }
+        Thread.sleep(30000)
+        s.close()
+      } catch { case _: Exception => }
+    })
+    serve.setDaemon(true)
+    serve.start()
+
+    val q = graft.streaming.StreamSessionize
+      .fromPcapOverIp(spark, "127.0.0.1", server.getLocalPort)
+      .writeStream.format("memory").queryName("live_sessions")
+      .outputMode("append").start()
+    try {
+      val deadline = System.currentTimeMillis() + 30000
+      def flushed(): Array[graft.etl.SessionBuilder.SessionRow] =
+        spark.table("live_sessions")
+          .as[graft.etl.SessionBuilder.SessionRow].collect()
+          .filter(s => batch.exists(_.sessionId == s.sessionId))
+      var n = -1
+      while (n < batch.length && System.currentTimeMillis() < deadline) {
+        q.processAllAvailable()
+        n = flushed().length
+        if (n < batch.length) Thread.sleep(200)
+      }
+      val live = flushed().sortBy(_.firstPacket)
+      assert(live.length == batch.length)
+      live.zip(batch).foreach { case (s, b) =>
+        assert(s.sessionId == b.sessionId)
+        assert(s.totPackets == b.totPackets && s.totBytes == b.totBytes)
+        assert(s.protocol == b.protocol)
+      }
+    } finally {
+      q.stop()
+      server.close()
+    }
+  }
 }
