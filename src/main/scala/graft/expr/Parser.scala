@@ -13,8 +13,11 @@ package graft.expr
   */
 object Parser {
 
+  // user-input errors are one catchable family: the compiler's own
+  // rejections (unknown field, view recursion, bad operand) raise
+  // IllegalArgumentException, so syntax errors do too
   final case class ParseError(msg: String, pos: Int)
-      extends RuntimeException(s"$msg at position $pos")
+      extends IllegalArgumentException(s"$msg at position $pos")
 
   private sealed trait Tok { def pos: Int }
   private case class TStr(s: String, pos: Int) extends Tok
