@@ -19,11 +19,133 @@ object SmtpParser {
       headers: Seq[String],
       user: Seq[String] = Nil)
 
-  private val addrRe = "<([^>]+)>".r
+  // empty <> allowed: the null reverse-path "MAIL FROM:<>" records an
+  // empty src, as smtp_remove_matching does (wireshark-bdat golden)
+  private val addrRe = "<([^>]*)>".r
 
   private def addr(line: String): Option[String] =
     addrRe.findFirstMatchIn(line).map(_.group(1))
       .orElse(line.split(":", 2).lift(1).map(_.trim).filter(_.contains("@")))
+      .map(_.toLowerCase) // envelope adds are _add_lower (smtp.c:462-465)
+
+  /** Header address-list walk (smtp.c:343-373): skip leading space and a
+    * quoted display name, prefer the `<...>` mailbox, else the bare
+    * token up to '<' or ','; lowercased, comma-separated.
+    */
+  def parseAddresses(value: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val end = value.length
+    var i = 0
+    while (i < end) {
+      while (i < end && value(i).isWhitespace) i += 1
+      var start = i
+      if (i < end && value(i) == '"') {
+        i += 1
+        while (i < end && value(i) != '"') i += 1
+        i += 1
+        while (i < end && value(i).isWhitespace) i += 1
+        start = i
+      }
+      while (i < end && value(i) != '<' && value(i) != ',') i += 1
+      if (i < end && value(i) == '<') {
+        i += 1
+        start = i
+        while (i < end && value(i) != '>') i += 1
+      }
+      if (i > start) out += value.substring(start, i).toLowerCase
+      while (i < end && value(i) != ',') i += 1
+      if (i < end && value(i) == ',') i += 1
+    }
+    out.result()
+  }
+
+  /** RFC 2047 encoded-word decoding with the reference's exact semantics
+    * (smtp.c:214-341): plain segments are CP1252→UTF-8; `=?cs?B|Q?..?=`
+    * tokens are decoded then converted (gb2312→GBK, ks_c_5601-1987→
+    * CP949 aliases as smtp_gformat maps them); a single space between
+    * "?=" and "=?" is dropped; any malformed token or failed conversion
+    * returns the raw string; bytes that fail final UTF-8 validation
+    * yield "Error Decoding".
+    */
+  def decodeEncodedWords(raw: String): String = {
+    val bytesOut = new java.io.ByteArrayOutputStream()
+    def strict(name: String) =
+      java.nio.charset.Charset.forName(name).newDecoder()
+        .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+        .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+    def convert(segment: Array[Byte], cs: String): Option[Array[Byte]] = {
+      val name = cs.toLowerCase match {
+        case "ks_c_5601-1987" => "x-windows-949" // CP949 (smtp_gformat)
+        case "gb2312"         => "GBK"           // CP936
+        case other            => other
+      }
+      try Some(strict(name).decode(java.nio.ByteBuffer.wrap(segment))
+        .toString.getBytes(StandardCharsets.UTF_8))
+      catch { case _: Exception => None }
+    }
+    def qDecode(text: String): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      var i = 0
+      var done = false
+      while (i < text.length && !done) {
+        text(i) match {
+          case '=' if i + 2 < text.length && text(i + 1) != '\n' =>
+            val hi = Character.digit(text(i + 1), 16)
+            val lo = Character.digit(text(i + 2), 16)
+            out.write(if (hi >= 0 && lo >= 0) (hi << 4) | lo else 0)
+            i += 3
+          case '=' => done = true
+          case '_' => out.write(' '); i += 1
+          case c   => out.write(c.toInt & 0xff); i += 1
+        }
+      }
+      out.toByteArray
+    }
+    var i = 0
+    val n = raw.length
+    while (i < n) {
+      val start = raw.indexOf("=?", i)
+      if (start < 0 || start != i) {
+        // plain text (all of it, or the run before the next token);
+        // a single joining space before "=?" is dropped
+        val segEnd = if (start < 0) n else start
+        val skip = if (start == i + 1 && raw(i) == ' ') 1 else 0
+        val seg = raw.substring(i + skip, segEnd)
+          .getBytes(StandardCharsets.ISO_8859_1)
+        convert(seg, "windows-1252") match {
+          case Some(b) => bytesOut.write(b)
+          case None    => return raw
+        }
+        i = segEnd
+      } else {
+        val q = raw.indexOf('?', start + 2)
+        if (q < 0 || n - q < 5) return raw
+        val endQ = raw.indexOf("?=", q + 3)
+        if (endQ < 0) return raw
+        val cs = raw.substring(start + 2, q)
+        val enc = raw(q + 1)
+        val text = raw.substring(q + 3, endQ)
+        if (text.nonEmpty) {
+          val decoded: Array[Byte] = enc match {
+            case 'B' | 'b' =>
+              try java.util.Base64.getMimeDecoder.decode(text)
+              catch { case _: IllegalArgumentException => return raw }
+            case 'Q' | 'q' => qDecode(text)
+            case _         => return raw
+          }
+          if (cs.equalsIgnoreCase("utf-8")) bytesOut.write(decoded)
+          else convert(decoded, cs) match {
+            case Some(b) => bytesOut.write(b)
+            case None    => return raw
+          }
+        }
+        i = endQ + 2
+      }
+    }
+    try strict("UTF-8").decode(java.nio.ByteBuffer.wrap(bytesOut.toByteArray))
+      .toString
+    catch { case _: Exception => "Error Decoding" }
+  }
 
   def isSmtp(srcStream: Array[Byte], dstStream: Array[Byte]): Boolean = {
     // the reference classifies on the HELO/EHLO command alone (parsers/
@@ -65,6 +187,27 @@ object SmtpParser {
     val contentType = Seq.newBuilder[String]
     val mimeVersion = Seq.newBuilder[String]
     var headerSection = false
+    var pendingHeader: String = null
+    // unfold first (smtp.c:585-587 joins continuation lines with one
+    // ' ', consuming the continuation's first whitespace char), THEN
+    // process the complete logical header line
+    def processHeader(h: String): Unit = if (h.contains(":")) {
+      val name = h.takeWhile(_ != ':')
+      val value = h.substring(name.length + 1)
+      headerNames += name.toLowerCase
+      name.toLowerCase match {
+        case "subject" =>
+          // after "Subject:", exactly one leading space is consumed
+          // (smtp.c:606-611); the rest goes through RFC 2047 decode
+          subject += decodeEncodedWords(
+            if (value.startsWith(" ")) value.substring(1) else value)
+        case "from"         => src ++= parseAddresses(value)
+        case "to" | "cc"    => dst ++= parseAddresses(value)
+        case "content-type" => contentType += value.trim
+        case "mime-version" => mimeVersion += value.trim
+        case _              =>
+      }
+    }
     lines.foreach { line =>
       val u = line.toUpperCase
       if (!inData) {
@@ -81,24 +224,27 @@ object SmtpParser {
           hello += line.substring(5).trim.toLowerCase
         else if (u.startsWith("MAIL FROM")) addr(line).foreach(src += _)
         else if (u.startsWith("RCPT TO")) addr(line).foreach(dst += _)
-        else if (u == "DATA") { inData = true; headerSection = true }
+        // BDAT (CHUNKING, RFC 3030) carries the message just like DATA
+        else if (u == "DATA" || u.startsWith("BDAT ")) {
+          inData = true; headerSection = true
+        }
       } else if (headerSection) {
-        if (line.isEmpty) headerSection = false // blank line ends headers
-        else if (!line.startsWith(" ") && !line.startsWith("\t") && line.contains(":")) {
-          val name = line.takeWhile(_ != ':')
-          val value = line.substring(name.length + 1).trim
-          headerNames += name.toLowerCase
-          name.toLowerCase match {
-            case "subject"      => subject += value
-            case "content-type" => contentType += value
-            case "mime-version" => mimeVersion += value
-            case _              =>
-          }
+        if (line.isEmpty) { // blank line ends headers
+          Option(pendingHeader).foreach(processHeader)
+          pendingHeader = null
+          headerSection = false
+        } else if (line.startsWith(" ") || line.startsWith("\t")) {
+          if (pendingHeader != null)
+            pendingHeader = pendingHeader + " " + line.substring(1)
+        } else {
+          Option(pendingHeader).foreach(processHeader)
+          pendingHeader = line
         }
       } else if (line == ".") { // end of DATA; another message may follow
         inData = false
       }
     }
+    Option(pendingHeader).foreach(processHeader)
     val info = SmtpInfo(
       hello = hello.result().distinct,
       src = src.result().distinct,

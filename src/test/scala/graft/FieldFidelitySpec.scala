@@ -19,9 +19,12 @@ class FieldFidelitySpec extends AnyFunSuite with SparkSpecBase {
   private val mapper = new ObjectMapper()
 
   private def goldenVals(body: JsonNode, group: String, key: String): Seq[String] = {
-    val g = body.get(group)
-    if (g == null || g.get(key) == null) Nil
-    else g.get(key).elements().asScala.map(_.asText()).toSeq.distinct.sorted
+    // key may be a '/'-separated path for nested goldens (network.vlan.id)
+    val node = key.split("/").foldLeft(body.get(group): JsonNode) {
+      (n, k) => if (n == null) null else n.get(k)
+    }
+    if (node == null) Nil
+    else node.elements().asScala.map(_.asText()).toSeq.distinct.sorted
   }
 
   // (field label, golden (group, key), our extractor)
@@ -30,12 +33,36 @@ class FieldFidelitySpec extends AnyFunSuite with SparkSpecBase {
     ("http.method", ("http", "method"), _.httpMethod),
     ("http.host", ("http", "host"), _.httpHost),
     ("http.path", ("http", "path"), _.httpPath),
+    ("http.uri", ("http", "uri"), _.httpUri),
+    ("http.statuscode", ("http", "statuscode"), _.httpStatuscode.map(_.toString)),
+    ("http.requestHeader", ("http", "requestHeader"), _.httpRequestHeader),
+    ("http.responseHeader", ("http", "responseHeader"), _.httpResponseHeader),
+    ("http.request-referer", ("http", "request-referer"), _.httpReferer),
     ("http.md5", ("http", "md5"), _.httpMd5),
     ("http.useragent", ("http", "useragent"), _.httpUseragent),
     ("dns.host", ("dns", "host"), _.dnsQname),
     ("dns.qt", ("dns", "qt"), _.dnsQtype),
+    ("dns.qc", ("dns", "qc"), _.dnsQclass),
+    ("dns.opcode", ("dns", "opcode"), _.dnsOpcode),
+    ("dns.status", ("dns", "status"), _.dnsRcode),
+    ("dns.ip", ("dns", "ip"), _.dnsIp),
+    ("dns.nameserverHost", ("dns", "nameserverHost"), _.dnsNameserverHost),
     ("tls.ja3", ("tls", "ja3"), _.tlsJa3),
-    ("tls.version", ("tls", "version"), _.tlsVersion))
+    ("tls.ja3s", ("tls", "ja3s"), _.tlsJa3s),
+    ("tls.cipher", ("tls", "cipher"), _.tlsCipher),
+    ("tls.version", ("tls", "version"), _.tlsVersion),
+    ("icmp.type", ("icmp", "type"), _.icmpType.map(_.toString)),
+    ("icmp.code", ("icmp", "code"), _.icmpCode.map(_.toString)),
+    ("network.vlan", ("network", "vlan/id"), _.vlanId.map(_.toString)),
+    ("email.smtpHello", ("email", "smtpHello"), _.smtpHello),
+    ("email.src", ("email", "src"), _.emailSrc),
+    ("email.dst", ("email", "dst"), _.emailDst),
+    ("email.subject", ("email", "subject"), _.emailSubject),
+    ("quic.host", ("quic", "host"), _.quicHost),
+    ("ssh.version", ("ssh", "version"), _.sshVersion),
+    ("smb.share", ("smb", "share"), _.smbShare),
+    ("smb.os", ("smb", "os"), _.smbOs),
+    ("smb.domain", ("smb", "domain"), _.smbDomain))
 
   test("per-field fidelity floors across the golden corpus") {
     val dir = new java.io.File("/root/reference/tests/pcap")
@@ -75,8 +102,8 @@ class FieldFidelitySpec extends AnyFunSuite with SparkSpecBase {
       info(f"$label%-16s ${match_(label)}%3d / ${seen(label)}%3d" +
         (if (misses(label).nonEmpty)
            s"  missed: ${misses(label).take(6).mkString(", ")}" else ""))
-      assert(match_(label) >= floors(label),
-        s"$label fidelity regressed: ${match_(label)} < ${floors(label)}")
+      assert(match_(label) >= floors.getOrElse(label, 0),
+        s"$label fidelity regressed: ${match_(label)} < ${floors.getOrElse(label, 0)}")
     }
   }
 }
