@@ -514,8 +514,16 @@ object SessionBuilder {
           infos.flatMap(_.nameserverIp).distinct.toIndexedSeq))
       } else None
     val tls =
-      if (preRuleProtocols.contains("tls")) TlsParser.parse(effSrc, effDst)
-      else None
+      if (preRuleProtocols.contains("tls")) {
+        // SMTP STARTTLS: the reference re-classifies on the server packet
+        // after "220 Go ahead" (smtp.c:769-772 EMAIL_TLS + tls_classify),
+        // so the client's earlier ClientHello is never parsed — no ja3.
+        // Mirror by parsing only the server stream for smtp sessions.
+        val clientSide =
+          if (preRuleProtocols.contains("smtp")) Array.emptyByteArray
+          else effSrc
+        TlsParser.parse(clientSide, effDst)
+      } else None
     val ssh =
       if (preRuleProtocols.contains("ssh")) SshParser.parse(effSrc, effDst)
       else None

@@ -42,6 +42,8 @@ object TlsParser {
     case 0x0302 => "TLSv1.1"
     case 0x0303 => "TLSv1.2"
     case 0x0304 => "TLSv1.3"
+    // draft negotiations carry 0x7fNN (tls.c:212-213)
+    case d if d >= 0x7f00 && d <= 0x7fff => f"TLSv1.3-draft-${d & 0xff}%02d"
     case other  => f"0x$other%04x"
   }
 
@@ -61,8 +63,22 @@ object TlsParser {
     0x1303 -> "TLS_CHACHA20_POLY1305_SHA256",
     0xc009 -> "TLS_ECDHE_ECDSA_WITH_AES_128_CBC_SHA",
     0xc00a -> "TLS_ECDHE_ECDSA_WITH_AES_256_CBC_SHA",
+    0x0033 -> "TLS_DHE_RSA_WITH_AES_128_CBC_SHA",
+    0x0039 -> "TLS_DHE_RSA_WITH_AES_256_CBC_SHA",
+    0x0067 -> "TLS_DHE_RSA_WITH_AES_128_CBC_SHA256",
+    0x006b -> "TLS_DHE_RSA_WITH_AES_256_CBC_SHA256",
+    0x009e -> "TLS_DHE_RSA_WITH_AES_128_GCM_SHA256",
+    0x009f -> "TLS_DHE_RSA_WITH_AES_256_GCM_SHA384",
+    0xc007 -> "TLS_ECDHE_ECDSA_WITH_RC4_128_SHA",
+    0xc008 -> "TLS_ECDHE_ECDSA_WITH_3DES_EDE_CBC_SHA",
+    0xc011 -> "TLS_ECDHE_RSA_WITH_RC4_128_SHA",
+    0xc012 -> "TLS_ECDHE_RSA_WITH_3DES_EDE_CBC_SHA",
     0xc013 -> "TLS_ECDHE_RSA_WITH_AES_128_CBC_SHA",
     0xc014 -> "TLS_ECDHE_RSA_WITH_AES_256_CBC_SHA",
+    0xc023 -> "TLS_ECDHE_ECDSA_WITH_AES_128_CBC_SHA256",
+    0xc024 -> "TLS_ECDHE_ECDSA_WITH_AES_256_CBC_SHA384",
+    0xc027 -> "TLS_ECDHE_RSA_WITH_AES_128_CBC_SHA256",
+    0xc028 -> "TLS_ECDHE_RSA_WITH_AES_256_CBC_SHA384",
     0xc02b -> "TLS_ECDHE_ECDSA_WITH_AES_128_GCM_SHA256",
     0xc02c -> "TLS_ECDHE_ECDSA_WITH_AES_256_GCM_SHA384",
     0xc02f -> "TLS_ECDHE_RSA_WITH_AES_128_GCM_SHA256",
@@ -125,8 +141,14 @@ object TlsParser {
       var off = 0
       val version = u16(b, off); off += 2
       off += 32 // random
-      val sidLen = b(off) & 0xff; off += 1
-      val sid = hex(b, off, sidLen); off += sidLen
+      // ServerHello carries a session id only for SSLv3..TLSv1.2 — a
+      // TLS 1.3 draft server (0x7fNN) goes straight to the cipher
+      // (tls.c:242-257); ClientHello always has the legacy field
+      var sid = ""
+      if (isClient || (version >= 0x0300 && version <= 0x0303)) {
+        val sidLen = b(off) & 0xff; off += 1
+        sid = hex(b, off, sidLen); off += sidLen
+      }
       var ciphers = Seq.empty[Int]
       var chosen: Option[Int] = None
       if (isClient) {
@@ -136,7 +158,7 @@ object TlsParser {
         val compLen = b(off) & 0xff; off += 1 + compLen
       } else {
         chosen = Some(u16(b, off)); off += 2
-        off += 1 // compression
+        off += 1 // compression (tls.c skips it for drafts too)
       }
       var exts = Seq.empty[Int]
       var curves = Seq.empty[Int]
@@ -192,8 +214,38 @@ object TlsParser {
     } catch { case _: Exception => None }
   }
 
+  /** First offset of a plausible TLS handshake record: after STARTTLS /
+    * CONNECT / MySQL-SSL / LDAP upgrades the stream begins with the
+    * cleartext protocol, and the TLS records start mid-stream (the
+    * reference's parser engine naturally sees only post-upgrade packets;
+    * a whole-stream reparse must scan). Requires content type 0x16,
+    * version 0x03xx, a sane record length, and a Client/ServerHello
+    * handshake type right after the record header.
+    */
+  private def tlsStart(stream: Array[Byte]): Int = {
+    var i = 0
+    while (i + 6 <= stream.length) {
+      if (stream(i) == 0x16 && stream(i + 1) == 0x03 &&
+          (stream(i + 2) & 0xff) <= 4) {
+        val len = u16(stream, i + 3)
+        val ht = stream(i + 5) & 0xff
+        if (len > 0 && len <= 18432 && (ht == 1 || ht == 2)) return i
+      }
+      i += 1
+    }
+    -1
+  }
+
+  private def fromTls(stream: Array[Byte]): Array[Byte] = tlsStart(stream) match {
+    case 0          => stream
+    case -1         => Array.emptyByteArray
+    case o          => java.util.Arrays.copyOfRange(stream, o, stream.length)
+  }
+
   /** Parse both directions' reassembled streams into TLS metadata. */
-  def parse(srcStream: Array[Byte], dstStream: Array[Byte]): Option[TlsInfo] = {
+  def parse(srcStream0: Array[Byte], dstStream0: Array[Byte]): Option[TlsInfo] = {
+    val srcStream = fromTls(srcStream0)
+    val dstStream = fromTls(dstStream0)
     val client = handshakeMessages(srcStream)
       .collectFirst { case (1, body) => body }.flatMap(parseHello(_, isClient = true))
     val server = handshakeMessages(dstStream)
@@ -213,11 +265,14 @@ object TlsParser {
         s.chosenCipher.getOrElse(0).toString,
         s.extensions.filterNot(isGrease).mkString("-")).mkString(",")
     }
-    // effective version: server supported_versions (TLS1.3) wins, then
-    // ServerHello version, then ClientHello version
-    val version = server.map(s => s.supportedVersions.headOption.getOrElse(s.version))
-      .orElse(client.map(c => c.version))
-      .map(versionName)
+    // effective version (tls.c:236-240, 304-311, 324-325): a non-0x0303
+    // ServerHello version is taken as-is (incl. 0x7fNN drafts); 0x0303
+    // means TLSv1.3 iff supported_versions says 0x0304, else TLSv1.2
+    val version = server.map { s =>
+      if (s.version != 0x0303) versionName(s.version)
+      else if (s.supportedVersions.contains(0x0304)) "TLSv1.3"
+      else "TLSv1.2"
+    }.orElse(client.map(c => versionName(c.version)))
     val cipher = server.flatMap(_.chosenCipher).map(cipherName)
     val certs = handshakeMessages(dstStream)
       .collect { case (11, body) => CertParser.fromCertificateMessage(body) }
