@@ -558,6 +558,10 @@ object AppProtocols {
     val rcode = msg(3) & 0x0f
     val opcode = (msg(2) >> 3) & 0x0f
     val isResponse = (msg(2) & 0x80) != 0
+    // the reference drops messages without a sane question count before
+    // recording ANY field (dns.c:243-244) — mDNS responses with qd=0
+    // contribute nothing, not even dns.status
+    if (qdCount <= 0 || qdCount > 10) return None
     var off = 12
     val names = scala.collection.mutable.ListBuffer[String]()
     val types = Seq.newBuilder[String]
@@ -596,7 +600,11 @@ object AppProtocols {
     names.foreach(hostSet += _)
     val nsIp = Seq.newBuilder[String]
     var rr = 0
-    val rrTotal = anCount + nsCount + arCount
+    // queries don't get their record sections walked (dns.c:296-297
+    // returns before the RR loop unless response or UPDATE) — an mDNS
+    // query's known-answer records must not contribute dns.ip
+    val rrTotal =
+      if (isResponse || opcode == 5) anCount + nsCount + arCount else 0
     var ok = true
     while (ok && rr < rrTotal && off < msg.length) {
       val (owner, next) = dnsName(msg, off)
@@ -617,8 +625,9 @@ object AppProtocols {
                 if (hostSet.contains(owner)) ip += a
                 if (nsSet.contains(owner)) nsIp += a
               }
-            case 28 if rdLen == 16 => // AAAA
-              val a = graft.functions.IpUtil.canonical(
+            case 28 if rdLen == 16 => // AAAA — reference emits the fully
+              // expanded v6 form for answer addresses (dns.ip goldens)
+              val a = graft.functions.IpUtil.expanded(
                 java.util.Arrays.copyOfRange(msg, rdOff, rdOff + 16))
               if (opcode == 5) { names += owner; hostSet += owner; ip += a }
               else {
@@ -680,9 +689,12 @@ object AppProtocols {
 
   def dnsTypeName(t: Int): String = dnsTypeNames.getOrElse(t, null)
 
-  def dnsRcodeName(rc: Int): String = rc match {
-    case 0 => "NOERROR"; case 1 => "FORMERR"; case 2 => "SERVFAIL"
-    case 3 => "NXDOMAIN"; case 4 => "NOTIMP"; case 5 => "REFUSED"
-    case other => other.toString
-  }
+  /** Reference status strings verbatim (dns.c:21 statuses[16]). */
+  private val dnsStatuses = Array(
+    "NOERROR", "FORMERR", "SERVFAIL", "NXDOMAIN", "NOTIMPL", "REFUSED",
+    "YXDOMAIN", "YXRRSET", "NXRRSET", "NOTAUTH", "NOTZONE",
+    "11", "12", "13", "14", "15")
+
+  def dnsRcodeName(rc: Int): String =
+    if (rc >= 0 && rc < 16) dnsStatuses(rc) else rc.toString
 }

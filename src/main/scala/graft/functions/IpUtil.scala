@@ -87,6 +87,16 @@ object IpUtil {
   def isV4Mapped(b: Array[Byte]): Boolean =
     b.length == 16 && (0 until 10).forall(b(_) == 0) && b(10) == -1 && b(11) == -1
 
+  /** Fully-expanded lowercase v6 (8 × 4 hex digits) — the form the
+    * reference emits for DNS answer addresses; v4 stays dotted-quad.
+    */
+  def expanded(bytes: Array[Byte]): String =
+    if (bytes == null) null
+    else if (bytes.length == 4 || isV4Mapped(bytes)) canonical(bytes)
+    else (0 until 8).map(i =>
+      f"${((bytes(i * 2) & 0xff) << 8) | (bytes(i * 2 + 1) & 0xff)}%04x")
+      .mkString(":")
+
   /** A parsed CIDR: 16-byte base + prefix length in the 128-bit space. */
   final case class Cidr(base: Array[Byte], prefixLen: Int) {
     def contains(ipBytes: Array[Byte]): Boolean = {
