@@ -392,8 +392,14 @@ object Http2Parser {
 
     def d[T](xs: Seq[T]): Seq[T] = xs.distinct
     val methods = hs.filter(_.name == ":method").map(_.value)
+    // :authority port-stripped (http2.c:161-166); a plain "host" request
+    // header adds its raw value via the configured-header map, and
+    // "user-agent" promotes to http.useragent the same way
+    // (http_common_add_header + http.c:1031-1032)
     val hosts = hs.filter(_.name == ":authority")
-      .map(h => h.value.takeWhile(_ != ':').toLowerCase)
+      .map(h => h.value.takeWhile(_ != ':').toLowerCase) ++
+      hs.filter(h => h.isReq && h.name == "host").map(_.value.toLowerCase)
+    val uas = hs.filter(h => h.isReq && h.name == "user-agent").map(_.value)
     val paths0 = hs.filter(_.name == ":path").map(_.value)
     val paths = paths0.map(_.takeWhile(_ != '?'))
     val queryPairs = paths0.flatMap { t =>
@@ -422,7 +428,7 @@ object Http2Parser {
       key = d(queryPairs.map(_._1)),
       value = d(queryPairs.map(_._2).filter(_.nonEmpty)),
       statuscode = d(statuses),
-      useragent = Nil, // no ua promotion in http2.c
+      useragent = d(uas),
       clientVersion = Nil, serverVersion = Nil,
       requestHeader = d(plain.filter(_.isReq).map(_.name.toLowerCase)).sorted,
       responseHeader = d(plain.filterNot(_.isReq).map(_.name.toLowerCase)).sorted,

@@ -68,11 +68,17 @@ object HttpParser {
       guard += 1
       val text = new String(stream, off,
         math.min(stream.length - off, 64 * 1024), StandardCharsets.ISO_8859_1)
-      val hEnd = text.indexOf("\r\n\r\n")
+      // header terminator: CRLFCRLF or bare LFLF — http_parser (and so
+      // the reference) accepts LF-only messages (http-empty-useragent)
+      val crlfEnd = text.indexOf("\r\n\r\n")
+      val lfEnd = text.indexOf("\n\n")
+      val (hEnd, sepLen) =
+        if (crlfEnd >= 0 && (lfEnd < 0 || crlfEnd < lfEnd)) (crlfEnd, 4)
+        else (lfEnd, 2)
       if (hEnd < 0) { off = stream.length }
       else {
         val headerBlock = text.substring(0, hEnd)
-        val lines = headerBlock.split("\r\n")
+        val lines = headerBlock.split("\r?\n")
         val firstLine = lines.headOption.getOrElse("")
         val headers = lines.drop(1).toSeq.flatMap { l =>
           val i = l.indexOf(':')
@@ -80,7 +86,7 @@ object HttpParser {
         }
         def h(name: String): Option[String] =
           headers.collectFirst { case (k, v) if k.equalsIgnoreCase(name) => v }
-        val bodyStart = off + hEnd + 4
+        val bodyStart = off + hEnd + sepLen
         var bodyEnd = bodyStart
         var body = Array.emptyByteArray
         var complete = true
@@ -163,7 +169,15 @@ object HttpParser {
       .filter(m => methods.contains(m.firstLine.takeWhile(_ != ' ')))
     val resps = messages(serverStream, isResponse = true)
       .filter(_.firstLine.startsWith("HTTP/"))
-    if (reqs.isEmpty && resps.isEmpty) return None
+    // single-packet / response-only captures: the responder IS the
+    // session src; the reference still records status + headers, with
+    // header attribution by DIRECTION (src → requestHeader) — see the
+    // single-packets golden
+    val srcResps =
+      if (reqs.nonEmpty) Seq.empty
+      else messages(clientStream, isResponse = true)
+        .filter(_.firstLine.startsWith("HTTP/"))
+    if (reqs.isEmpty && resps.isEmpty && srcResps.isEmpty) return None
 
     def d[T](xs: Seq[T]): Seq[T] = xs.distinct
     def hs(ms: Seq[Message], name: String): Seq[String] =
@@ -172,18 +186,34 @@ object HttpParser {
       })
 
     val reqLine = reqs.map(_.firstLine.split(" "))
-    val targets = reqLine.flatMap(_.lift(1))
+    // the Host header lands in http.host TWICE when it carries a port:
+    // raw via the configured-header add (http.c:1033), port-stripped at
+    // message complete (http.c:605-609)
     val hosts = hs(reqs, "Host").map(_.toLowerCase)
-    // moloch urlString: Host + origin-form target (http.c:269-283)
-    val uris = reqs.map { m =>
+      .flatMap(h => if (h.contains(':')) Seq(h, h.takeWhile(_ != ':')) else Seq(h))
+    // moloch urlString assembly (http.c:604-667): with a Host header,
+    // origin-form targets get host prepended; an absolute/authority
+    // target keeps the url alone when the host appears in its first 8
+    // bytes, else host ";" url marks the mismatch. WITHOUT a Host header
+    // the raw url is the uri and — reference quirk — the url is never
+    // path-parsed (parse_url runs only in the host+url branch).
+    val reqHostTarget = reqs.map { m =>
       val t = m.firstLine.split(" ").lift(1).getOrElse("")
       val host = m.headers.collectFirst {
         case (k, v) if k.equalsIgnoreCase("Host") => v.toLowerCase
-      }.getOrElse("")
-      if (t.startsWith("/")) host + t else t
+      }
+      (host, t)
     }
-    val paths = targets.map(_.takeWhile(_ != '?'))
-    val queryPairs = targets.flatMap { t =>
+    val uris = reqHostTarget.map {
+      case (Some(h), t) if t.startsWith("/") => h + t
+      case (Some(h), t) =>
+        val idx = t.indexOf(h)
+        if (idx >= 0 && idx <= 8) t else h + ";" + t
+      case (None, t) => t
+    }
+    val parsedTargets = reqHostTarget.collect { case (Some(_), t) => t }
+    val paths = parsedTargets.map(_.takeWhile(_ != '?'))
+    val queryPairs = parsedTargets.flatMap { t =>
       val q = t.dropWhile(_ != '?').drop(1)
       if (q.isEmpty) Nil
       else q.split("&").toSeq.map { kv =>
@@ -211,7 +241,7 @@ object HttpParser {
         case _ => None
       }
     }.filter(_.nonEmpty)
-    val bodies = (reqs ++ resps).filter(_.complete).map(_.body)
+    val bodies = (reqs ++ resps ++ srcResps).filter(_.complete).map(_.body)
       .filter(_.nonEmpty)
 
     Some(HttpInfo(
@@ -221,14 +251,15 @@ object HttpParser {
       path = d(paths.filter(_.nonEmpty)),
       key = d(queryPairs.map(_._1)),
       value = d(queryPairs.map(_._2).filter(_.nonEmpty)),
-      statuscode = d(resps.flatMap(_.firstLine.split(" ").lift(1))
+      statuscode = d((resps ++ srcResps).flatMap(_.firstLine.split(" ").lift(1))
         .flatMap(_.toIntOption)),
       useragent = d(hs(reqs, "User-Agent")),
       clientVersion = d(reqLine.flatMap(_.lift(2))
         .filter(_.startsWith("HTTP/")).map(_.stripPrefix("HTTP/"))),
-      serverVersion = d(resps.map(_.firstLine.split(" ").head)
+      serverVersion = d((resps ++ srcResps).map(_.firstLine.split(" ").head)
         .filter(_.startsWith("HTTP/")).map(_.stripPrefix("HTTP/"))),
-      requestHeader = d(reqs.flatMap(_.headers.map(_._1.toLowerCase))).sorted,
+      requestHeader = d((reqs ++ srcResps)
+        .flatMap(_.headers.map(_._1.toLowerCase))).sorted,
       responseHeader = d(resps.flatMap(_.headers.map(_._1.toLowerCase))).sorted,
       referer = d(hs(reqs, "Referer")),
       location = d(hs(resps, "Location")),

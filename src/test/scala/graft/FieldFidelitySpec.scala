@@ -93,11 +93,27 @@ class FieldFidelitySpec extends AnyFunSuite with SparkSpecBase {
           } catch { case _: Exception => () }
         }
       }
-    // pinned floors = the achieved level at round 3; raise as parsers widen
+    // pinned floors = the achieved level at round 3: every field fully
+    // matches its golden except http.uri on socks5-reverse, where the
+    // reference's hand-redacted .test disagrees with its own pcap
+    // (golden says Sheepskin%20Boots, capture bytes only ever contain
+    // sheepskin%20boots) — unmatchable without hardcoding.
     val floors = Map(
-      "http.method" -> 29, "http.host" -> 33, "http.path" -> 28,
-      "http.md5" -> 23, "http.useragent" -> 27, "dns.host" -> 19,
-      "dns.qt" -> 18, "tls.ja3" -> 15, "tls.version" -> 17)
+      "http.method" -> 30, "http.host" -> 36, "http.path" -> 28,
+      "http.uri" -> 28, "http.statuscode" -> 29,
+      "http.requestHeader" -> 30, "http.responseHeader" -> 28,
+      "http.request-referer" -> 12, "http.md5" -> 24,
+      "http.useragent" -> 29,
+      "dns.host" -> 19, "dns.qt" -> 18, "dns.qc" -> 18,
+      "dns.opcode" -> 19, "dns.status" -> 16, "dns.ip" -> 9,
+      "dns.nameserverHost" -> 8,
+      "tls.ja3" -> 18, "tls.ja3s" -> 22, "tls.cipher" -> 22,
+      "tls.version" -> 22,
+      "icmp.type" -> 13, "icmp.code" -> 13, "network.vlan" -> 24,
+      "email.smtpHello" -> 18, "email.src" -> 17, "email.dst" -> 17,
+      "email.subject" -> 15,
+      "quic.host" -> 5, "ssh.version" -> 4,
+      "smb.share" -> 4, "smb.os" -> 4, "smb.domain" -> 4)
     for ((label, _, _) <- fields) {
       info(f"$label%-16s ${match_(label)}%3d / ${seen(label)}%3d" +
         (if (misses(label).nonEmpty)
