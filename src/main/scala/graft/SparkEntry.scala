@@ -153,7 +153,8 @@ object SparkEntry {
           .as("quicHost"),
         array().cast("array<string>").as("dnsMailserverHost"),
         array().cast("array<string>").as("dnsNameserverHost"),
-        array().cast("array<string>").as("smbHost"))
+        array().cast("array<string>").as("smbHost"),
+        lit(null).cast("string").as("socksHost"))
       val c = new Compiler(FieldRegistry.sessions, FieldRegistry.sessionCol, now)
       d.filter(c.compile("host == [h7.example.com, d1*.example.org]"))
         .select("event_id").orderBy("event_id")

@@ -25,7 +25,12 @@ object AppProtocols {
       ip: Seq[String] = Nil, mailserverHost: Seq[String] = Nil,
       nameserverHost: Seq[String] = Nil, nameserverIp: Seq[String] = Nil)
 
-  final case class SocksInfo(ip: String, port: Int, user: String)
+  /** Destination the client asked for: exactly one of `ip` (connect-by
+    * address, SOCKS4 / v5 atyp 1+4) or `host` (connect-by-name, SOCKS4a /
+    * v5 atyp 3 — kept raw, even when it looks like a dotted literal,
+    * as socks.c stores it) is set.
+    */
+  final case class SocksInfo(ip: String, host: String, port: Int, user: String)
 
   /** Detect and strip a SOCKS4/5 handshake from the two streams, returning
     * the tunneled inner streams plus the destination the client asked for
@@ -62,7 +67,9 @@ object AppProtocols {
       }
       val innerSrc = src.drop(end)
       val innerDst = if (dst.length >= 8) dst.drop(8) else Array.empty[Byte]
-      Some((innerSrc, innerDst, SocksInfo(addr, port, user)))
+      Some((innerSrc, innerDst,
+        SocksInfo(if (is4a) null else addr, if (is4a) addr else null,
+          port, user)))
     } else if (src.length >= 2 && src(0) == 5 && src(1) > 0 && src.length >= 2 + src(1)) {
       // SOCKS5: VER NMETHODS METHODS… [username auth: 01 ulen user plen pass]
       // then VER CMD RSV ATYP ADDR PORT
@@ -84,6 +91,7 @@ object AppProtocols {
       }
       if (src.length < reqOff + 4 || src(reqOff) != 5) return None
       val atyp = src(reqOff + 3) & 0xff
+      val byName = atyp == 3
       val (addr, addrLen) = atyp match {
         case 1 if src.length >= reqOff + 8 => // IPv4
           (s"${src(reqOff + 4) & 0xff}.${src(reqOff + 5) & 0xff}.${src(reqOff + 6) & 0xff}.${src(reqOff + 7) & 0xff}", 4)
@@ -124,7 +132,9 @@ object AppProtocols {
         } else if (dst.length >= 2 + dstExtra) dst.drop(2 + dstExtra)
         else Array.empty[Byte]
       }
-      Some((innerSrc, innerDst, SocksInfo(addr, port, user)))
+      Some((innerSrc, innerDst,
+        SocksInfo(if (byName) null else addr, if (byName) addr else null,
+          port, user)))
     } else None
   }
 

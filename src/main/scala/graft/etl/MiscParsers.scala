@@ -82,9 +82,13 @@ object MiscParsers {
         else None
       } else None
     if (version.isEmpty) return None
-    // client login: 4-byte packet header (seq 1) + 4+4+1+23 fixed bytes
+    // client login: 4-byte packet header (seq 1) + 4+4+1+23 fixed bytes.
+    // CLIENT_SSL (0x0800) in the capability flags means this is an
+    // SSLRequest — the real login (and username) is inside TLS, so no
+    // user is recorded (mysql-tls golden has version only)
     val user =
-      if (srcStream.length > 36 && (srcStream(3) & 0xff) == 1) {
+      if (srcStream.length > 36 && (srcStream(3) & 0xff) == 1 &&
+          (((srcStream(4) & 0xff) | ((srcStream(5) & 0xff) << 8)) & 0x0800) == 0) {
         val start = 4 + 4 + 4 + 1 + 23
         val end = srcStream.indexWhere(_ == 0, start)
         if (end > start)

@@ -99,7 +99,7 @@ object SessionBuilder {
       // detail) seek (file, offset, len) without re-reading whole files
       packetFileIdx: Seq[Int],
       segmentCnt: Int, segmentSeq: Int,
-      socksIp: String, socksPort: Int,
+      socksIp: String, socksHost: String, socksPort: Int,
       httpMethod: Seq[String], httpUri: Seq[String], httpHost: Seq[String],
       httpStatuscode: Seq[Int], httpUseragent: Seq[String],
       httpPath: Seq[String], httpKey: Seq[String], httpValue: Seq[String],
@@ -107,6 +107,7 @@ object SessionBuilder {
       httpReferer: Seq[String], httpLocation: Seq[String],
       httpCookieKey: Seq[String], httpCookieValue: Seq[String],
       httpMd5: Seq[String],
+      httpClientVersion: Seq[String], httpServerVersion: Seq[String],
       dnsQname: Seq[String], dnsQtype: Seq[String], dnsRcode: Seq[String],
       dnsOpcode: Seq[String], dnsQclass: Seq[String], dnsIp: Seq[String],
       dnsMailserverHost: Seq[String], dnsNameserverHost: Seq[String],
@@ -633,7 +634,8 @@ object SessionBuilder {
       packetLen = seg.map(_.recLen).toIndexedSeq,
       packetFileIdx = seg.map(p => fileIds.indexOf(p.file)).toIndexedSeq,
       segmentCnt = segmentCnt, segmentSeq = segmentSeq,
-      socksIp = peeled.map(_._3.ip).orNull,
+      socksIp = peeled.flatMap(p => Option(p._3.ip)).orNull,
+      socksHost = peeled.flatMap(p => Option(p._3.host)).orNull,
       socksPort = peeled.map(_._3.port).getOrElse(-1),
       httpMethod = http.map(_.method).getOrElse(Nil),
       httpUri = http.map(_.uri).getOrElse(Nil),
@@ -651,6 +653,8 @@ object SessionBuilder {
       httpCookieKey = http.map(_.cookieKey).getOrElse(Nil),
       httpCookieValue = http.map(_.cookieValue).getOrElse(Nil),
       httpMd5 = http.map(_.md5).getOrElse(Nil),
+      httpClientVersion = http.map(_.clientVersion).getOrElse(Nil),
+      httpServerVersion = http.map(_.serverVersion).getOrElse(Nil),
       dnsQname = dns.map(_.qname).getOrElse(Nil),
       dnsQtype = dns.map(_.qtype).getOrElse(Nil),
       dnsRcode = dns.map(_.rcode).getOrElse(Nil),

@@ -177,6 +177,8 @@ object FieldRegistry {
       FieldDef("http.host",    "httpHost",     LoTermK, multiValued = true),
       FieldDef("http.statuscode", "httpStatuscode", IntegerK, multiValued = true),
       FieldDef("http.user-agent", "httpUseragent", TermK, multiValued = true),
+      FieldDef("http.version.src", "httpClientVersion", TermK, multiValued = true),
+      FieldDef("http.version.dst", "httpServerVersion", TermK, multiValued = true),
       FieldDef("http.uri.path", "httpPath",      LoTermK, multiValued = true),
       FieldDef("http.uri.key", "httpKey",        LoTermK, multiValued = true),
       FieldDef("http.uri.value", "httpValue",    LoTermK, multiValued = true),
@@ -200,6 +202,7 @@ object FieldRegistry {
       FieldDef("ip.dns.nameserver", "dnsNameserverIp", IpK,
         multiValued = true),
       FieldDef("socks.ip",     "socksIp",      IpK, portField = Some("socksPort")),
+      FieldDef("host.socks",   "socksHost",    LoTermK),
       FieldDef("socks.port",   "socksPort",    IntegerK),
       FieldDef("tls.version",  "tlsVersion",   TermK, multiValued = true),
       FieldDef("tls.cipher",   "tlsCipher",    UpTermK, multiValued = true),
@@ -277,7 +280,7 @@ object FieldRegistry {
       // .cnt/.tokens) in db/db.pl:781-788, expanded to an OR at
       // molochparser.jison:356-375.
       "host" -> Seq("http.host", "dns.host", "dns.mailserver.host",
-        "dns.nameserver.host", "host.quic", "host.smb"),
+        "dns.nameserver.host", "host.quic", "host.smb", "host.socks"),
       // the reference's country/asn/rir regex meta-fields fan out over
       // every GEO/AS/RIR-typed column (db/db.pl:749-780)
       "country" -> Seq("country.src", "country.dst"),

@@ -90,7 +90,7 @@ class EtlGoldenSpec extends AnyFunSuite with SparkSpecBase {
       val socks = w.get("socks")
       assert(g.socksPort == socks.get("port").asInt())
       if (socks.has("ip")) assert(g.socksIp == socks.get("ip").asText())
-      if (socks.has("host")) assert(g.socksIp == socks.get("host").asText())
+      if (socks.has("host")) assert(g.socksHost == socks.get("host").asText())
     }
   }
 

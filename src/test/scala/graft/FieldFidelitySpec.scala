@@ -24,7 +24,9 @@ class FieldFidelitySpec extends AnyFunSuite with SparkSpecBase {
       (n, k) => if (n == null) null else n.get(k)
     }
     if (node == null) Nil
-    else node.elements().asScala.map(_.asText()).toSeq.distinct.sorted
+    else if (node.isArray)
+      node.elements().asScala.map(_.asText()).toSeq.distinct.sorted
+    else Seq(node.asText()) // scalar fields (socks.ip, mysql.version, …)
   }
 
   // (field label, golden (group, key), our extractor)
@@ -59,10 +61,47 @@ class FieldFidelitySpec extends AnyFunSuite with SparkSpecBase {
     ("email.dst", ("email", "dst"), _.emailDst),
     ("email.subject", ("email", "subject"), _.emailSubject),
     ("quic.host", ("quic", "host"), _.quicHost),
+    ("quic.version", ("quic", "version"), _.quicVersion),
+    ("quic.useragent", ("quic", "useragent"), _.quicUseragent),
     ("ssh.version", ("ssh", "version"), _.sshVersion),
+    ("ssh.hassh", ("ssh", "hassh"), _.sshHassh),
+    ("ssh.hasshServer", ("ssh", "hasshServer"), _.sshHasshServer),
     ("smb.share", ("smb", "share"), _.smbShare),
     ("smb.os", ("smb", "os"), _.smbOs),
-    ("smb.domain", ("smb", "domain"), _.smbDomain))
+    ("smb.domain", ("smb", "domain"), _.smbDomain),
+    ("smb.user", ("smb", "user"), _.smbUser),
+    ("smb.version", ("smb", "version"), _.smbVersion),
+    ("smb.filename", ("smb", "filename"), _.smbFilename),
+    ("http.clientVersion", ("http", "clientVersion"), _.httpClientVersion),
+    ("http.serverVersion", ("http", "serverVersion"), _.httpServerVersion),
+    ("tls.dstSessionId", ("tls", "dstSessionId"), _.tlsDstSessionId),
+    ("tls.srcSessionId", ("tls", "srcSessionId"), _.tlsSrcSessionId),
+    ("dns.mailserverHost", ("dns", "mailserverHost"), _.dnsMailserverHost),
+    ("dns.nameserverIp", ("dns", "nameserverIp"), _.dnsNameserverIp),
+    ("irc.nick", ("irc", "nick"), _.ircNick),
+    ("irc.channel", ("irc", "channel"), _.ircChannel),
+    ("krb5.realm", ("krb5", "realm"), _.krb5Realm),
+    ("krb5.cname", ("krb5", "cname"), _.krb5Cname),
+    ("krb5.sname", ("krb5", "sname"), _.krb5Sname),
+    ("ldap.authtype", ("ldap", "authtype"), _.ldapAuthtype),
+    ("ldap.bindname", ("ldap", "bindname"), _.ldapBindname),
+    ("mysql.version", ("mysql", "version"), r =>
+      Option(r.mysqlVersion).filter(_.nonEmpty).toSeq),
+    ("mysql.user", ("mysql", "user"), r =>
+      Option(r.mysqlUser).filter(_.nonEmpty).toSeq),
+    ("postgresql.user", ("postgresql", "user"), r =>
+      Option(r.pgUser).filter(_.nonEmpty).toSeq),
+    ("postgresql.db", ("postgresql", "db"), r =>
+      Option(r.pgDb).filter(_.nonEmpty).toSeq),
+    ("postgresql.app", ("postgresql", "app"), r =>
+      Option(r.pgApp).filter(_.nonEmpty).toSeq),
+    ("socks.ip", ("socks", "ip"), r => Option(r.socksIp).toSeq),
+    ("socks.host", ("socks", "host"), r => Option(r.socksHost).toSeq),
+    ("socks.port", ("socks", "port"), r =>
+      if (r.socksPort >= 0) Seq(r.socksPort.toString) else Nil),
+    ("dhcp.id", ("dhcp", "id"), _.dhcpId),
+    ("dhcp.mac", ("dhcp", "mac"), _.dhcpMac),
+    ("dhcp.type", ("dhcp", "type"), _.dhcpType))
 
   test("per-field fidelity floors across the golden corpus") {
     val dir = new java.io.File("/root/reference/tests/pcap")
@@ -112,8 +151,20 @@ class FieldFidelitySpec extends AnyFunSuite with SparkSpecBase {
       "icmp.type" -> 13, "icmp.code" -> 13, "network.vlan" -> 24,
       "email.smtpHello" -> 18, "email.src" -> 17, "email.dst" -> 17,
       "email.subject" -> 15,
-      "quic.host" -> 5, "ssh.version" -> 4,
-      "smb.share" -> 4, "smb.os" -> 4, "smb.domain" -> 4)
+      "quic.host" -> 5, "quic.version" -> 4, "quic.useragent" -> 3,
+      "ssh.version" -> 4, "ssh.hassh" -> 3, "ssh.hasshServer" -> 3,
+      "smb.share" -> 4, "smb.os" -> 4, "smb.domain" -> 4,
+      "smb.user" -> 3, "smb.version" -> 4, "smb.filename" -> 2,
+      "http.clientVersion" -> 29, "http.serverVersion" -> 28,
+      "tls.dstSessionId" -> 13, "tls.srcSessionId" -> 4,
+      "dns.mailserverHost" -> 3, "dns.nameserverIp" -> 7,
+      "irc.nick" -> 2, "irc.channel" -> 2,
+      "krb5.realm" -> 2, "krb5.cname" -> 2, "krb5.sname" -> 2,
+      "ldap.authtype" -> 2, "ldap.bindname" -> 2,
+      "mysql.version" -> 4, "mysql.user" -> 3,
+      "postgresql.user" -> 3, "postgresql.db" -> 3, "postgresql.app" -> 2,
+      "socks.ip" -> 5, "socks.host" -> 6, "socks.port" -> 9,
+      "dhcp.id" -> 1, "dhcp.mac" -> 1, "dhcp.type" -> 1)
     for ((label, _, _) <- fields) {
       info(f"$label%-16s ${match_(label)}%3d / ${seen(label)}%3d" +
         (if (misses(label).nonEmpty)
