@@ -292,7 +292,8 @@ object Http2Parser {
   private def walkDirection(
       stream: Array[Byte], isReq: Boolean,
       headers: mutable.Builder[Header, Seq[Header]],
-      md5s: mutable.Builder[String, Seq[String]]): Unit = {
+      md5s: mutable.Builder[String, Seq[String]],
+      magics: mutable.Builder[String, Seq[String]]): Unit = {
     var p = 0
     if (stream.length >= preface.length &&
       java.util.Arrays.equals(
@@ -352,6 +353,9 @@ object Http2Parser {
               dlen -= 1 + pad
             }
             if (dlen >= 0) {
+              // NOTE: current http2.c magics the first DATA chunk, but
+              // the shipped goldens predate that — they carry no
+              // http2 bodyMagic, so none is emitted here (goldens rule)
               val md = dataMd5.getOrElseUpdate(streamId,
                 java.security.MessageDigest.getInstance("MD5"))
               md.update(stream, off, dlen)
@@ -385,8 +389,9 @@ object Http2Parser {
 
     val headers = Seq.newBuilder[Header]
     val md5s = Seq.newBuilder[String]
-    walkDirection(clientStream, isReq = true, headers, md5s)
-    walkDirection(serverStream, isReq = false, headers, md5s)
+    val magics = Seq.newBuilder[String]
+    walkDirection(clientStream, isReq = true, headers, md5s, magics)
+    walkDirection(serverStream, isReq = false, headers, md5s, magics)
     val hs = headers.result()
     if (hs.isEmpty && md5s.result().isEmpty) return None
 
@@ -437,6 +442,7 @@ object Http2Parser {
       cookieKey = d(cookiePairs.map(_._1)),
       cookieValue = d(cookiePairs.map(_._2).filter(_.nonEmpty)),
       md5 = d(md5s.result()),
-      authUser = Nil))
+      authUser = Nil,
+      bodyMagic = d(magics.result())))
   }
 }

@@ -23,7 +23,8 @@ object HttpParser {
       requestHeader: Seq[String], responseHeader: Seq[String],
       referer: Seq[String], location: Seq[String],
       cookieKey: Seq[String], cookieValue: Seq[String],
-      md5: Seq[String], authUser: Seq[String])
+      md5: Seq[String], authUser: Seq[String],
+      bodyMagic: Seq[String] = Nil)
 
   /** Field-wise union of two parses (an HTTP/1 upgrade that continues
     * as cleartext http2 can yield both).
@@ -46,7 +47,8 @@ object HttpParser {
     cookieKey = (a.cookieKey ++ b.cookieKey).distinct,
     cookieValue = (a.cookieValue ++ b.cookieValue).distinct,
     md5 = (a.md5 ++ b.md5).distinct,
-    authUser = (a.authUser ++ b.authUser).distinct)
+    authUser = (a.authUser ++ b.authUser).distinct,
+    bodyMagic = (a.bodyMagic ++ b.bodyMagic).distinct)
 
   private final case class Message(
       firstLine: String, headers: Seq[(String, String)], body: Array[Byte],
@@ -266,6 +268,10 @@ object HttpParser {
       cookieKey = d(cookiePairs.map(_._1)),
       cookieValue = d(cookiePairs.map(_._2).filter(_.nonEmpty)),
       md5 = d(bodies.map(md5hex)),
-      authUser = d(auth)))
+      authUser = d(auth),
+      // magic runs on every body's head bytes at on_body time - not
+      // gated on message completeness (http.c:304)
+      bodyMagic = d((reqs ++ resps ++ srcResps).map(_.body)
+        .filter(_.nonEmpty).flatMap(Magic.detect))))
   }
 }

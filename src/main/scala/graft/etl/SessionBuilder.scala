@@ -108,6 +108,7 @@ object SessionBuilder {
       httpCookieKey: Seq[String], httpCookieValue: Seq[String],
       httpMd5: Seq[String],
       httpClientVersion: Seq[String], httpServerVersion: Seq[String],
+      httpBodyMagic: Seq[String],
       dnsQname: Seq[String], dnsQtype: Seq[String], dnsRcode: Seq[String],
       dnsOpcode: Seq[String], dnsQclass: Seq[String], dnsIp: Seq[String],
       dnsMailserverHost: Seq[String], dnsNameserverHost: Seq[String],
@@ -655,6 +656,7 @@ object SessionBuilder {
       httpMd5 = http.map(_.md5).getOrElse(Nil),
       httpClientVersion = http.map(_.clientVersion).getOrElse(Nil),
       httpServerVersion = http.map(_.serverVersion).getOrElse(Nil),
+      httpBodyMagic = http.map(_.bodyMagic).getOrElse(Nil),
       dnsQname = dns.map(_.qname).getOrElse(Nil),
       dnsQtype = dns.map(_.qtype).getOrElse(Nil),
       dnsRcode = dns.map(_.rcode).getOrElse(Nil),

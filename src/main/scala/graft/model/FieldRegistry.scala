@@ -179,6 +179,7 @@ object FieldRegistry {
       FieldDef("http.user-agent", "httpUseragent", TermK, multiValued = true),
       FieldDef("http.version.src", "httpClientVersion", TermK, multiValued = true),
       FieldDef("http.version.dst", "httpServerVersion", TermK, multiValued = true),
+      FieldDef("http.bodymagic",   "httpBodyMagic",     TermK, multiValued = true),
       FieldDef("http.uri.path", "httpPath",      LoTermK, multiValued = true),
       FieldDef("http.uri.key", "httpKey",        LoTermK, multiValued = true),
       FieldDef("http.uri.value", "httpValue",    LoTermK, multiValued = true),

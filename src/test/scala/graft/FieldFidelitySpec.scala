@@ -72,6 +72,7 @@ class FieldFidelitySpec extends AnyFunSuite with SparkSpecBase {
     ("smb.user", ("smb", "user"), _.smbUser),
     ("smb.version", ("smb", "version"), _.smbVersion),
     ("smb.filename", ("smb", "filename"), _.smbFilename),
+    ("http.bodyMagic", ("http", "bodyMagic"), _.httpBodyMagic),
     ("http.clientVersion", ("http", "clientVersion"), _.httpClientVersion),
     ("http.serverVersion", ("http", "serverVersion"), _.httpServerVersion),
     ("tls.dstSessionId", ("tls", "dstSessionId"), _.tlsDstSessionId),
@@ -156,6 +157,7 @@ class FieldFidelitySpec extends AnyFunSuite with SparkSpecBase {
       "smb.share" -> 4, "smb.os" -> 4, "smb.domain" -> 4,
       "smb.user" -> 3, "smb.version" -> 4, "smb.filename" -> 2,
       "http.clientVersion" -> 29, "http.serverVersion" -> 28,
+      "http.bodyMagic" -> 18,
       "tls.dstSessionId" -> 13, "tls.srcSessionId" -> 4,
       "dns.mailserverHost" -> 3, "dns.nameserverIp" -> 7,
       "irc.nick" -> 2, "irc.channel" -> 2,
