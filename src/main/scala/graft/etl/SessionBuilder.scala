@@ -123,6 +123,8 @@ object SessionBuilder {
       smtpHello: Seq[String], emailSrc: Seq[String], emailDst: Seq[String],
       emailSubject: Seq[String], emailContentType: Seq[String],
       emailMimeVersion: Seq[String], emailHeader: Seq[String],
+      emailId: Seq[String], emailHost: Seq[String],
+      emailIp: Seq[String], emailUseragent: Seq[String],
       cert: Seq[CertParser.CertInfo],
       vlanId: Seq[Int],
       ircNick: Seq[String], ircChannel: Seq[String],
@@ -688,6 +690,10 @@ object SessionBuilder {
       emailContentType = smtp.map(_.contentType).getOrElse(Nil),
       emailMimeVersion = smtp.map(_.mimeVersion).getOrElse(Nil),
       emailHeader = smtp.map(_.headers).getOrElse(Nil),
+      emailId = smtp.map(_.id).getOrElse(Nil),
+      emailHost = smtp.map(_.host).getOrElse(Nil),
+      emailIp = smtp.map(_.ip).getOrElse(Nil),
+      emailUseragent = smtp.map(_.useragent).getOrElse(Nil),
       cert = (tls.map(_.cert).getOrElse(Nil) ++ dtlsCerts).distinct,
       vlanId = seg.iterator.flatMap(_.vlanIds).toSeq.distinct.sorted,
       ircNick = irc.map(_.nick).getOrElse(Nil),

@@ -17,7 +17,89 @@ object SmtpParser {
       contentType: Seq[String],
       mimeVersion: Seq[String],
       headers: Seq[String],
-      user: Seq[String] = Nil)
+      user: Seq[String] = Nil,
+      id: Seq[String] = Nil,
+      host: Seq[String] = Nil,
+      ip: Seq[String] = Nil,
+      useragent: Seq[String] = Nil)
+
+  /** Received-header walk (smtp.c:375-426): "from "/"by " tokens yield
+    * relay hosts (part after a '@' wins, lowercased); any "[...]" span
+    * yields a relay ip.
+    */
+  def parseReceived(v: String,
+      hosts: scala.collection.mutable.Builder[String, Seq[String]],
+      ips: scala.collection.mutable.Builder[String, Seq[String]]): Unit = {
+    val end = v.length
+    var i = 0
+    while (i < end) {
+      if (end - i > 10 &&
+        (v.startsWith("from ", i) && (i == 0 || v(i - 1) != '-'))) {
+        i += 5
+        while (i < end && v(i).isWhitespace) i += 1
+        if (i < end && v(i) == '[') {
+          i += 1
+          val s = i
+          while (i < end && v(i) != ']') i += 1
+          ips += v.substring(s, i)
+          i += 1
+        } else {
+          var s = i
+          while (i < end && v(i) != ' ' && v(i) != ')') {
+            if (v(i) == '@') s = i + 1
+            i += 1
+          }
+          if (i > s) hosts += v.substring(s, i).toLowerCase
+        }
+      } else if (end - i > 10 && v.startsWith("by ", i)) {
+        i += 3
+        while (i < end && v(i).isWhitespace) i += 1
+        var s = i
+        while (i < end && v(i) != ' ' && v(i) != ')') {
+          if (v(i) == '@') s = i + 1
+          i += 1
+        }
+        if (i > s) hosts += v.substring(s, i).toLowerCase
+      } else {
+        if (v(i) == '[') {
+          val s = i + 1
+          var j = s
+          while (j < end && v(j) != ']') j += 1
+          if (j > s && j < end) ips += v.substring(s, j)
+          i = j
+        }
+        i += 1
+      }
+    }
+  }
+
+  /** moloch_field_ip_add_str parses relay addresses with inet_aton
+    * semantics — leading-zero octets are OCTAL — and stores the
+    * normalized dotted form; the redacted fixtures rely on this
+    * ("10.000.000.002" → 10.0.0.2). Returns None for unparseable text
+    * (the C add just fails silently).
+    */
+  def normalizeMailIp(s0: String): Option[String] = {
+    val s = s0.trim
+    if (s.isEmpty) return None
+    if (s.contains(':')) { // v6
+      return Option(graft.functions.IpUtil.toBytes(s))
+        .map(graft.functions.IpUtil.expanded)
+    }
+    val parts = s.split("\\.", -1)
+    if (parts.length != 4) return None
+    val octets = parts.map { p =>
+      try {
+        val v =
+          if (p.length > 1 && (p.startsWith("0x") || p.startsWith("0X")))
+            Integer.parseInt(p.substring(2), 16)
+          else if (p.length > 1 && p.startsWith("0")) Integer.parseInt(p, 8)
+          else Integer.parseInt(p)
+        if (v >= 0 && v <= 255) v else -1
+      } catch { case _: NumberFormatException => -1 }
+    }
+    if (octets.contains(-1)) None else Some(octets.mkString("."))
+  }
 
   // empty <> allowed: the null reverse-path "MAIL FROM:<>" records an
   // empty src, as smtp_remove_matching does (wireshark-bdat golden)
@@ -186,6 +268,16 @@ object SmtpParser {
     val subject = Seq.newBuilder[String]
     val contentType = Seq.newBuilder[String]
     val mimeVersion = Seq.newBuilder[String]
+    val msgId = Seq.newBuilder[String]
+    val relayHosts = Seq.newBuilder[String]
+    val relayIps = Seq.newBuilder[String]
+    val mailUa = Seq.newBuilder[String]
+    def stripMatching(v0: String, open: Char, close: Char): String = {
+      val v = v0.dropWhile(_.isWhitespace)
+      if (v.startsWith(open.toString) && v.endsWith(close.toString) && v.length >= 2)
+        v.substring(1, v.length - 1)
+      else v
+    }
     var headerSection = false
     var pendingHeader: String = null
     // unfold first (smtp.c:585-587 joins continuation lines with one
@@ -205,6 +297,12 @@ object SmtpParser {
         case "to" | "cc"    => dst ++= parseAddresses(value)
         case "content-type" => contentType += value.trim
         case "mime-version" => mimeVersion += value.trim
+        case "message-id"   => msgId += stripMatching(value, '<', '>')
+        case "received"     => parseReceived(value, relayHosts, relayIps)
+        case "x-mailer" | "user-agent" => mailUa += value.trim
+        // config.test.ini smtpIpHeaders (smtp.c:639-648)
+        case "x-originating-ip" | "x-barracuda-apparent-source-ip" =>
+          relayIps += stripMatching(value, '[', ']')
         case _              =>
       }
     }
@@ -253,7 +351,11 @@ object SmtpParser {
       contentType = contentType.result().distinct,
       mimeVersion = mimeVersion.result().distinct,
       headers = headerNames.result().distinct.sorted,
-      user = user.result().distinct)
+      user = user.result().distinct,
+      id = msgId.result().distinct,
+      host = relayHosts.result().distinct,
+      ip = relayIps.result().flatMap(normalizeMailIp).distinct,
+      useragent = mailUa.result().distinct)
     if (info.hello.isEmpty && info.src.isEmpty && info.subject.isEmpty) None
     else Some(info)
   }

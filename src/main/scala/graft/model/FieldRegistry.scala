@@ -224,6 +224,10 @@ object FieldRegistry {
       FieldDef("email.dst",    "emailDst",     LoTermK, multiValued = true),
       FieldDef("email.subject", "emailSubject", TermK, multiValued = true),
       FieldDef("email.content-type", "emailContentType", LoTermK, multiValued = true),
+      FieldDef("email.message-id", "emailId", TermK, multiValued = true),
+      FieldDef("email.host",   "emailHost",    LoTermK, multiValued = true),
+      FieldDef("email.ip",     "emailIp",      IpK, multiValued = true),
+      FieldDef("email.x-mailer", "emailUseragent", TermK, multiValued = true),
       FieldDef("vlan",         "vlanId",       IntegerK, multiValued = true),
       // cert.* fields over the struct array: scalar-per-cert extracts
       // directly; nested arrays (CN/ON/alt) flatten via sessionCol

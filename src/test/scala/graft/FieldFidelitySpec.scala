@@ -60,6 +60,13 @@ class FieldFidelitySpec extends AnyFunSuite with SparkSpecBase {
     ("email.src", ("email", "src"), _.emailSrc),
     ("email.dst", ("email", "dst"), _.emailDst),
     ("email.subject", ("email", "subject"), _.emailSubject),
+    ("email.id", ("email", "id"), _.emailId),
+    ("email.host", ("email", "host"), _.emailHost),
+    ("email.ip", ("email", "ip"), _.emailIp),
+    ("email.useragent", ("email", "useragent"), _.emailUseragent),
+    ("email.contentType", ("email", "contentType"), _.emailContentType),
+    ("email.mimeVersion", ("email", "mimeVersion"), _.emailMimeVersion),
+    ("email.header", ("email", "header"), _.emailHeader),
     ("quic.host", ("quic", "host"), _.quicHost),
     ("quic.version", ("quic", "version"), _.quicVersion),
     ("quic.useragent", ("quic", "useragent"), _.quicUseragent),
@@ -151,7 +158,9 @@ class FieldFidelitySpec extends AnyFunSuite with SparkSpecBase {
       "tls.version" -> 22,
       "icmp.type" -> 13, "icmp.code" -> 13, "network.vlan" -> 24,
       "email.smtpHello" -> 18, "email.src" -> 17, "email.dst" -> 17,
-      "email.subject" -> 15,
+      "email.subject" -> 15, "email.id" -> 9, "email.host" -> 9,
+      "email.ip" -> 8, "email.useragent" -> 7, "email.contentType" -> 11,
+      "email.mimeVersion" -> 11, "email.header" -> 15,
       "quic.host" -> 5, "quic.version" -> 4, "quic.useragent" -> 3,
       "ssh.version" -> 4, "ssh.hassh" -> 3, "ssh.hasshServer" -> 3,
       "smb.share" -> 4, "smb.os" -> 4, "smb.domain" -> 4,
