@@ -132,11 +132,11 @@ object Decode {
     if (off + 8 > b.length || (b(off) & 0xff) != 0xaa || (b(off + 1) & 0xff) != 0xaa)
       return None
     val et = ((b(off + 6) & 0xff) << 8) | (b(off + 7) & 0xff)
-    val mSrc = mac(b, w + 10)
-    val mDst = mac(b, w + 4)
+    // no mac fields: the reference records macs only on DLT_EN10MB
+    // captures (packet.c:319) — radiotap sessions carry none
     et match {
-      case 0x0800 => decodeIp4(p, b, off + 8, mSrc, mDst)
-      case 0x86dd => decodeIp6(p, b, off + 8, mSrc, mDst)
+      case 0x0800 => decodeIp4(p, b, off + 8, "", "")
+      case 0x86dd => decodeIp6(p, b, off + 8, "", "")
       case _      => None
     }
   }
@@ -331,8 +331,11 @@ object Decode {
     // ERSPAN (II: 0x88be 8-byte header, III: 0x22eb 12-byte) wraps Ethernet
     if (proto == 0x88be || proto == 0x22eb) {
       val hdr = if (proto == 0x88be) 8 else 12
+      // MAC fields keep the OUTERMOST ethernet header — the reference
+      // reads pcapData+0 regardless of tunnels (packet.c:318-326)
       return decodeEthernetAt(p, b, off + hdr)
-        .map(d => d.copy(tunnels = tunnels.reverse ++ d.tunnels))
+        .map(d => d.copy(tunnels = tunnels.reverse ++ d.tunnels,
+          macSrc = mSrc, macDst = mDst))
     }
     if (proto == 0x880b && off < b.length) { // PPP
       if (off + 1 < b.length && (b(off) & 0xff) == 0xff &&

@@ -215,12 +215,53 @@ object HttpParser {
     }
     val parsedTargets = reqHostTarget.collect { case (Some(_), t) => t }
     val paths = parsedTargets.map(_.takeWhile(_ != '?'))
+    // query segments are %XX-decoded before storing (parse_url's
+    // g_uri_unescape_segment; '+' is NOT a space there), invalid
+    // escapes keep the raw text, and empty segments are skipped
+    def unescape(s: String): String = {
+      if (!s.contains('%')) return s
+      val out = new java.lang.StringBuilder(s.length)
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '%') {
+          if (i + 2 >= s.length) return s
+          val hi = Character.digit(s.charAt(i + 1), 16)
+          val lo = Character.digit(s.charAt(i + 2), 16)
+          if (hi < 0 || lo < 0 || (hi == 0 && lo == 0)) return s // %00 fails g_uri_unescape
+          out.append(((hi << 4) | lo).toChar)
+          i += 3
+        } else { out.append(c); i += 1 }
+      }
+      out.toString
+    }
+    // exact parse_url walk (http.c:204-243): '&' flushes the segment and
+    // resets to key, '=' flushes and switches to value — so "a=b=c"
+    // yields key a with values b AND c; empty segments are skipped
     val queryPairs = parsedTargets.flatMap { t =>
       val q = t.dropWhile(_ != '?').drop(1)
       if (q.isEmpty) Nil
-      else q.split("&").toSeq.map { kv =>
-        val i = kv.indexOf('=')
-        if (i < 0) (kv, "") else (kv.substring(0, i), kv.substring(i + 1))
+      else {
+        val out = Seq.newBuilder[(String, String)]
+        var isKey = true
+        var start = 0
+        def flush(endEx: Int): Unit = {
+          if (endEx > start) {
+            val seg = unescape(q.substring(start, endEx))
+            out += (if (isKey) (seg, "") else ("", seg))
+          }
+        }
+        var i = 0
+        while (i < q.length) {
+          q.charAt(i) match {
+            case '&' => flush(i); start = i + 1; isKey = true
+            case '=' => flush(i); start = i + 1; isKey = false
+            case _   =>
+          }
+          i += 1
+        }
+        if (!isKey) flush(q.length) // C flushes the tail only in value state
+        out.result()
       }
     }
     val cookiePairs = hs(reqs, "Cookie").flatMap(_.split(";").toSeq).flatMap { c =>
@@ -251,7 +292,7 @@ object HttpParser {
       uri = d(uris.filter(_.nonEmpty)),
       host = d(hosts),
       path = d(paths.filter(_.nonEmpty)),
-      key = d(queryPairs.map(_._1)),
+      key = d(queryPairs.map(_._1).filter(_.nonEmpty)),
       value = d(queryPairs.map(_._2).filter(_.nonEmpty)),
       statuscode = d((resps ++ srcResps).flatMap(_.firstLine.split(" ").lift(1))
         .flatMap(_.toIntOption)),

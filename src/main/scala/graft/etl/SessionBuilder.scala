@@ -202,7 +202,10 @@ object SessionBuilder {
   def buildSessions(key: String, packets: Iterator[DecodedPacket],
       node: String, testRules: Boolean = false,
       yaraRules: Seq[graft.ops.Yara.Rule] = Nil): Iterator[SessionRow] = {
-    val sorted = packets.toArray.sortBy(p => (p.tsMicros, p.file, p.index))
+    // arrival order (file, index), not timestamp order: the reference
+    // processes packets as captured, so a response recorded before its
+    // query (dns-flags0110) makes the RESPONDER the session source
+    val sorted = packets.toArray.sortBy(p => (p.file, p.index))
     if (sorted.isEmpty) return Iterator.empty
     val head = sorted.head
     val timeoutUs = timeoutSecs(head.ipProtocol) * 1000000L
@@ -285,12 +288,33 @@ object SessionBuilder {
     // RST-only segment still carries http); value fields reset per
     // segment (bgp.type re-populates from each segment's messages).
     var protoAcc = Set.empty[String]
+    // session orientation is fixed at creation and survives mid-saves
+    // (the reference's session state persists): derive it from the
+    // FIRST segment's first packet and pass it to every segment row
+    // (long-session golden: the server-RST-only segment keeps the
+    // original source)
+    val o0 = {
+      val f = segs.head.head
+      val synAckSwap = f.ipProtocol == 6 &&
+        (f.tcpFlags & (Decode.TH_SYN | Decode.TH_ACK)) ==
+          (Decode.TH_SYN | Decode.TH_ACK)
+      if (synAckSwap) (f.dstIp, f.dstPort, f.srcIp, f.srcPort)
+      else (f.srcIp, f.srcPort, f.dstIp, f.dstPort)
+    }
+    var srcMacAcc = Set.empty[String]
+    var dstMacAcc = Set.empty[String]
     segs.zipWithIndex.iterator.map { case (seg, idx) =>
       val row = buildOne(key, seg, node, segs.length, idx,
         bgpSession = bgpActive, testRules = testRules,
-        yaraRules = yaraRules)
+        yaraRules = yaraRules, orient = Some(o0))
       protoAcc ++= row.protocol
-      row.copy(protocol = protoAcc.toSeq.sorted)
+      // mac fields are session state too — they survive mid-saves
+      // (long-session golden: the RST-only segment keeps both dst macs)
+      srcMacAcc ++= row.srcMac
+      dstMacAcc ++= row.dstMac
+      row.copy(protocol = protoAcc.toSeq.sorted,
+        srcMac = srcMacAcc.toSeq.sorted,
+        dstMac = dstMacAcc.toSeq.sorted)
     }
   }
 
@@ -299,7 +323,8 @@ object SessionBuilder {
   private def buildOne(key: String, seg: Array[DecodedPacket], node: String,
       segmentCnt: Int, segmentSeq: Int,
       bgpSession: Boolean = false, testRules: Boolean = false,
-      yaraRules: Seq[graft.ops.Yara.Rule] = Nil): SessionRow = {
+      yaraRules: Seq[graft.ops.Yara.Rule] = Nil,
+      orient: Option[(String, Int, String, Int)] = None): SessionRow = {
     val first = seg.head
     // antiSynDrop (parsers/tcp.c:375-382, default TRUE in config.c:560):
     // a session whose first captured packet is the SYN-ACK had its SYN
@@ -307,12 +332,21 @@ object SessionBuilder {
     // source endpoint is that packet's destination.
     val synAckSwap = segmentSeq == 0 && first.ipProtocol == 6 &&
       (first.tcpFlags & (TH_SYN | TH_ACK)) == (TH_SYN | TH_ACK)
-    val (cliIp, cliPort, srvIp, srvPort) =
+    val (cliIp, cliPort, srvIp, srvPort) = orient.getOrElse {
       if (synAckSwap) (first.dstIp, first.dstPort, first.srcIp, first.srcPort)
       else (first.srcIp, first.srcPort, first.dstIp, first.dstPort)
-    // direction 0 == the session-source (client) endpoint
+    }
+    // direction 0 == the session-source (client) endpoint. Only the
+    // TCP/UDP/SCTP/ICMP enqueue paths assign a direction in the
+    // reference (parsers/{tcp,udp,sctp,icmp}.c); lumped protocols
+    // (pim/ospf/igmp/esp/...) leave every packet at the default 0 —
+    // a second sender's ether-src still lands in source.mac (pim golden).
+    val directedProtos = Set(1, 6, 17, 58, 132)
     def dirOf(p: DecodedPacket): Int =
-      if (p.srcIp == cliIp && p.srcPort == cliPort) 0 else 1
+      if (first.keyOverride != null ||
+        !directedProtos.contains(first.ipProtocol)) 0 // lumped: arp & co.
+      else if (p.srcIp == cliIp && p.srcPort == cliPort) 0
+      else 1
     val src = seg.filter(dirOf(_) == 0)
     val dst = seg.filter(dirOf(_) == 1)
 
@@ -595,13 +629,16 @@ object SessionBuilder {
       srcDataBytes = src.map(_.payload.length.toLong).sum,
       // macs per side: ether-src of that side's packets plus ether-dst of
       // the opposite side's — the reference accumulates both, which also
-      // fills destination.mac for unidirectional flows (lldp golden)
-      srcMac = (src.map(_.macSrc) ++ dst.map(_.macDst))
+      // fills destination.mac for unidirectional flows (lldp golden).
+      // Only the FIRST 10 packets per direction contribute
+      // (packet.c:316), and only on ethernet captures (DLT_EN10MB gate
+      // at packet.c:319 — radiotap/SLL sessions carry no macs).
+      srcMac = (src.take(10).map(_.macSrc) ++ dst.take(10).map(_.macDst))
         .filter(_.nonEmpty).distinct.sorted.toIndexedSeq,
       dstIp = srvIp, dstPort = srvPort,
       dstPackets = dst.length, dstBytes = dst.map(_.wireLen.toLong).sum,
       dstDataBytes = dst.map(_.payload.length.toLong).sum,
-      dstMac = (dst.map(_.macSrc) ++ src.map(_.macDst))
+      dstMac = (dst.take(10).map(_.macSrc) ++ src.take(10).map(_.macDst))
         .filter(_.nonEmpty).distinct.sorted.toIndexedSeq,
       srcRIR = Fixtures.rirOf(cliIp, testRules).orNull,
       dstRIR = Fixtures.rirOf(srvIp, testRules).orNull,

@@ -32,6 +32,28 @@ class FieldFidelitySpec extends AnyFunSuite with SparkSpecBase {
   // (field label, golden (group, key), our extractor)
   private val fields: Seq[(String, (String, String),
       SessionBuilder.SessionRow => Seq[String])] = Seq(
+    ("network.community_id", ("network", "community_id"), r =>
+      Option(r.communityId).filter(_.nonEmpty).toSeq),
+    ("source.mac", ("source", "mac"), _.srcMac),
+    ("destination.mac", ("destination", "mac"), _.dstMac),
+    ("tcpflags.syn", ("tcpflags", "syn"), r =>
+      if (r.ipProtocol == 6) Seq(r.tcpflagsSyn.toString) else Nil),
+    ("tcpflags.syn-ack", ("tcpflags", "syn-ack"), r =>
+      if (r.ipProtocol == 6) Seq(r.tcpflagsSynAck.toString) else Nil),
+    ("tcpflags.ack", ("tcpflags", "ack"), r =>
+      if (r.ipProtocol == 6) Seq(r.tcpflagsAck.toString) else Nil),
+    ("tcpflags.psh", ("tcpflags", "psh"), r =>
+      if (r.ipProtocol == 6) Seq(r.tcpflagsPsh.toString) else Nil),
+    ("tcpflags.rst", ("tcpflags", "rst"), r =>
+      if (r.ipProtocol == 6) Seq(r.tcpflagsRst.toString) else Nil),
+    ("tcpflags.fin", ("tcpflags", "fin"), r =>
+      if (r.ipProtocol == 6) Seq(r.tcpflagsFin.toString) else Nil),
+    ("tcpflags.urg", ("tcpflags", "urg"), r =>
+      if (r.ipProtocol == 6) Seq(r.tcpflagsUrg.toString) else Nil),
+    ("http.key", ("http", "key"), _.httpKey),
+    ("http.value", ("http", "value"), _.httpValue),
+    ("http.cookieKey", ("http", "cookieKey"), _.httpCookieKey),
+    ("http.cookieValue", ("http", "cookieValue"), _.httpCookieValue),
     ("http.method", ("http", "method"), _.httpMethod),
     ("http.host", ("http", "host"), _.httpHost),
     ("http.path", ("http", "path"), _.httpPath),
@@ -146,6 +168,16 @@ class FieldFidelitySpec extends AnyFunSuite with SparkSpecBase {
     // (golden says Sheepskin%20Boots, capture bytes only ever contain
     // sheepskin%20boots) — unmatchable without hardcoding.
     val floors = Map(
+      "network.community_id" -> 134,
+      "source.mac" -> 137, "destination.mac" -> 137,
+      "tcpflags.syn" -> 108, "tcpflags.syn-ack" -> 108,
+      "tcpflags.ack" -> 108,
+      // psh 107/108: cloudshark-bgp-md5 splits one PSH packet across the
+      // 5 s BGP mid-save boundary differently (packets+bytes still match)
+      "tcpflags.psh" -> 107,
+      "tcpflags.rst" -> 108, "tcpflags.fin" -> 108, "tcpflags.urg" -> 108,
+      "http.key" -> 5, "http.value" -> 5,
+      "http.cookieKey" -> 10, "http.cookieValue" -> 10,
       "http.method" -> 30, "http.host" -> 36, "http.path" -> 28,
       "http.uri" -> 28, "http.statuscode" -> 29,
       "http.requestHeader" -> 30, "http.responseHeader" -> 28,
