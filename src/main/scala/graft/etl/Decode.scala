@@ -41,7 +41,11 @@ object Decode {
       icmpType: Int = -1,
       icmpCode: Int = -1,
       // offline clock: ts of the preceding packet in the file
-      prevTsMicros: Long = 0L)
+      prevTsMicros: Long = 0L,
+      // absolute offset of the (innermost) L4 header in the captured
+      // bytes — the reference's payloadOffset, used for its per-protocol
+      // databytes accounting (udp.c:73, icmp.c:100)
+      l4Offset: Int = -1)
 
   private def mac(b: Array[Byte], off: Int): String =
     (0 until 6).map(i => f"${b(off + i) & 0xff}%02x").mkString(":")
@@ -365,6 +369,7 @@ object Decode {
       p: Pcap.RawPacket, b: Array[Byte], l4Off: Int, l4End: Int, proto: Int,
       srcIp: String, dstIp: String, mSrc: String, mDst: String): Option[DecodedPacket] = {
     val base0 = base(p, mSrc, mDst, proto, srcIp, dstIp)
+      .copy(l4Offset = l4Off)
     proto match {
       // Tunnel decaps whose inner frame fails to parse drop the packet,
       // as the reference's CORRUPT return does — no outer-flow session.

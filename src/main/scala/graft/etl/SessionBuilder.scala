@@ -303,10 +303,13 @@ object SessionBuilder {
     }
     var srcMacAcc = Set.empty[String]
     var dstMacAcc = Set.empty[String]
+    var synSeen = false
     segs.zipWithIndex.iterator.map { case (seg, idx) =>
       val row = buildOne(key, seg, node, segs.length, idx,
         bgpSession = bgpActive, testRules = testRules,
-        yaraRules = yaraRules, orient = Some(o0))
+        yaraRules = yaraRules, orient = Some(o0),
+        synSeenBefore = synSeen)
+      synSeen ||= seg.exists(p => (p.tcpFlags & Decode.TH_SYN) != 0)
       protoAcc ++= row.protocol
       // mac fields are session state too — they survive mid-saves
       // (long-session golden: the RST-only segment keeps both dst macs)
@@ -324,7 +327,8 @@ object SessionBuilder {
       segmentCnt: Int, segmentSeq: Int,
       bgpSession: Boolean = false, testRules: Boolean = false,
       yaraRules: Seq[graft.ops.Yara.Rule] = Nil,
-      orient: Option[(String, Int, String, Int)] = None): SessionRow = {
+      orient: Option[(String, Int, String, Int)] = None,
+      synSeenBefore: Boolean = false): SessionRow = {
     val first = seg.head
     // antiSynDrop (parsers/tcp.c:375-382, default TRUE in config.c:560):
     // a session whose first captured packet is the SYN-ACK had its SYN
@@ -383,6 +387,36 @@ object SessionBuilder {
     val dstStream = reassemble(dst.toIndexedSeq)
     def payload8(b: Array[Byte]): String =
       b.take(8).map(x => f"${x & 0xff}%02x").mkString
+
+    // databytes follow the reference's per-protocol accounting:
+    //   tcp  — bytes actually DELIVERED by reassembly (tcp.c:117), so
+    //          retransmissions count once = the reassembled stream length;
+    //   udp  — pktlen - payloadOffset - 8 per packet (udp.c:73), which
+    //          deliberately includes any ethernet trailer padding;
+    //   icmp — pktlen - payloadOffset (icmp.c:100,135);
+    //   sctp — pktlen - 8 (sctp.c:93);
+    //   everything else (lumped/arp/esp) has no handler → 0.
+    // delivery needs a sequence base: a session that never saw a SYN or
+    // SYN-ACK queues its data forever and counts nothing (tcp.c:185,229 —
+    // the single-packets golden has client.bytes 0 on every session)
+    val tcpAnchored = synSeenBefore || seg.exists(p =>
+      (p.tcpFlags & TH_SYN) != 0)
+    def dataBytes(side: Seq[DecodedPacket], stream: Array[Byte]): Long =
+      if (first.keyOverride != null) 0L
+      else first.ipProtocol match {
+        case 6 => if (tcpAnchored) stream.length.toLong else 0L
+        case 17 =>
+          side.iterator.map(p =>
+            math.max(0, p.wireLen - p.l4Offset - 8).toLong).sum
+        case 1 | 58 =>
+          side.iterator.map(p =>
+            math.max(0, p.wireLen - p.l4Offset).toLong).sum
+        case 132 =>
+          side.iterator.map(p => math.max(0, p.wireLen - 8).toLong).sum
+        case _ => 0L
+      }
+    val srcData = dataBytes(src, srcStream)
+    val dstData = dataBytes(dst, dstStream)
 
     // SOCKS tunnels carry an inner protocol: peel the handshake and
     // classify/parse the tunneled streams too (parsers/socks.c behavior).
@@ -626,7 +660,7 @@ object SessionBuilder {
       ipProtocol = first.ipProtocol,
       srcIp = cliIp, srcPort = cliPort,
       srcPackets = src.length, srcBytes = src.map(_.wireLen.toLong).sum,
-      srcDataBytes = src.map(_.payload.length.toLong).sum,
+      srcDataBytes = srcData,
       // macs per side: ether-src of that side's packets plus ether-dst of
       // the opposite side's — the reference accumulates both, which also
       // fills destination.mac for unidirectional flows (lldp golden).
@@ -637,7 +671,7 @@ object SessionBuilder {
         .filter(_.nonEmpty).distinct.sorted.toIndexedSeq,
       dstIp = srvIp, dstPort = srvPort,
       dstPackets = dst.length, dstBytes = dst.map(_.wireLen.toLong).sum,
-      dstDataBytes = dst.map(_.payload.length.toLong).sum,
+      dstDataBytes = dstData,
       dstMac = (dst.take(10).map(_.macSrc) ++ src.take(10).map(_.macDst))
         .filter(_.nonEmpty).distinct.sorted.toIndexedSeq,
       srcRIR = Fixtures.rirOf(cliIp, testRules).orNull,
@@ -655,7 +689,7 @@ object SessionBuilder {
       dstAsn = Fixtures.asnGeoOf(srvIp, testRules)
         .flatMap(_.full).orNull,
       totPackets = seg.length, totBytes = seg.map(_.wireLen.toLong).sum,
-      totDataBytes = seg.map(_.payload.length.toLong).sum,
+      totDataBytes = srcData + dstData,
       tcpflagsSyn = syn, tcpflagsSynAck = synAck, tcpflagsAck = ack,
       tcpflagsPsh = psh, tcpflagsRst = rst, tcpflagsFin = fin,
       tcpflagsUrg = urg, tcpflagsSrcZero = zero(0), tcpflagsDstZero = zero(1),

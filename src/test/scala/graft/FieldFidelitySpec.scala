@@ -32,6 +32,14 @@ class FieldFidelitySpec extends AnyFunSuite with SparkSpecBase {
   // (field label, golden (group, key), our extractor)
   private val fields: Seq[(String, (String, String),
       SessionBuilder.SessionRow => Seq[String])] = Seq(
+    ("source.packets", ("source", "packets"), r => Seq(r.srcPackets.toString)),
+    ("source.bytes", ("source", "bytes"), r => Seq(r.srcBytes.toString)),
+    ("destination.packets", ("destination", "packets"), r =>
+      Seq(r.dstPackets.toString)),
+    ("destination.bytes", ("destination", "bytes"), r =>
+      Seq(r.dstBytes.toString)),
+    ("client.bytes", ("client", "bytes"), r => Seq(r.srcDataBytes.toString)),
+    ("server.bytes", ("server", "bytes"), r => Seq(r.dstDataBytes.toString)),
     ("network.community_id", ("network", "community_id"), r =>
       Option(r.communityId).filter(_.nonEmpty).toSeq),
     ("source.mac", ("source", "mac"), _.srcMac),
@@ -169,6 +177,11 @@ class FieldFidelitySpec extends AnyFunSuite with SparkSpecBase {
     // sheepskin%20boots) — unmatchable without hardcoding.
     val floors = Map(
       "network.community_id" -> 134,
+      "source.packets" -> 145, "source.bytes" -> 145,
+      "destination.packets" -> 145, "destination.bytes" -> 145,
+      // tunnel (vxlan/erspan) inner-packet payload-offset accounting in
+      // the reference trims differently; one bgp mid-save split
+      "client.bytes" -> 143, "server.bytes" -> 142,
       "source.mac" -> 137, "destination.mac" -> 137,
       "tcpflags.syn" -> 108, "tcpflags.syn-ack" -> 108,
       "tcpflags.ack" -> 108,
