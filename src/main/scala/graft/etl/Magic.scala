@@ -93,8 +93,11 @@ object Magic {
           case _ => null
         }
       case '{' =>
+        // isalpha() in the C locale: ASCII letters only (Latin-1 letters
+        // like 0xB5/0xC0-0xFF must NOT match).
         if (b.length > 2 && b(1) == '"' &&
-          Character.isLetter(b(2) & 0xff)) "application/json"
+          ((b(2) >= 'a' && b(2) <= 'z') || (b(2) >= 'A' && b(2) <= 'Z')))
+          "application/json"
         else null
       case '8' => if (m(b, 0, "8BPS")) "image/vnd.adobe.photoshop" else null
       case 'B' =>
@@ -123,9 +126,13 @@ object Magic {
         } else if (m(b, 0, "OTTO")) "application/vnd.ms-opentype"
         else null
       case 'P' =>
+        // Split-zip: the reference's C needle "PK\007\008PK" actually
+        // encodes 50 4B 07 00 38 50 4B ("\008" is "\0" + '8' — 8 is not
+        // an octal digit), so golden fidelity means matching
+        // PK\x07\x00 "8PK", NOT the spec's PK\x07\x08 data descriptor.
         if (at(b, 0, Array('P', 'K', 3, 4)) ||
           at(b, 0, Array('P', 'K', 5, 6)) ||
-          (b.length > 8 && at(b, 0, Array('P', 'K', 7, 8)) && m(b, 4, "PK")))
+          (b.length > 7 && at(b, 0, Array('P', 'K', 7, 0)) && m(b, 4, "8PK")))
           "application/zip"
         else null
       case 'R' =>

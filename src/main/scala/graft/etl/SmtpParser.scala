@@ -209,9 +209,7 @@ object SmtpParser {
         val text = raw.substring(q + 3, endQ)
         if (text.nonEmpty) {
           val decoded: Array[Byte] = enc match {
-            case 'B' | 'b' =>
-              try java.util.Base64.getMimeDecoder.decode(text)
-              catch { case _: IllegalArgumentException => return raw }
+            case 'B' | 'b' => b64BestEffort(text)
             case 'Q' | 'q' => qDecode(text)
             case _         => return raw
           }
@@ -227,6 +225,37 @@ object SmtpParser {
     try strict("UTF-8").decode(java.nio.ByteBuffer.wrap(bytesOut.toByteArray))
       .toString
     catch { case _: Exception => "Error Decoding" }
+  }
+
+  /** Best-effort base64, mirroring glib's g_base64_decode_inplace (which
+    * the reference calls for B-encoded words and which never fails):
+    * characters outside the base64 alphabet — including '=' padding —
+    * are skipped, and any trailing partial group is dropped, so malformed
+    * input decodes to (possibly garbage) bytes rather than erroring out
+    * to the raw header.
+    */
+  private def b64BestEffort(text: String): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(text.length)
+    var acc = 0
+    var bits = 0
+    var k = 0
+    while (k < text.length) {
+      val c = text.charAt(k)
+      val v =
+        if (c >= 'A' && c <= 'Z') c - 'A'
+        else if (c >= 'a' && c <= 'z') c - 'a' + 26
+        else if (c >= '0' && c <= '9') c - '0' + 52
+        else if (c == '+') 62
+        else if (c == '/') 63
+        else -1
+      if (v >= 0) {
+        acc = (acc << 6) | v
+        bits += 6
+        if (bits >= 8) { bits -= 8; out.write((acc >> bits) & 0xff) }
+      }
+      k += 1
+    }
+    out.toByteArray
   }
 
   def isSmtp(srcStream: Array[Byte], dstStream: Array[Byte]): Boolean = {

@@ -57,10 +57,12 @@ class PcapOverIpProvider extends TableProvider
       properties: util.Map[String, String]): Table =
     new PcapOverIpTable(
       properties.getOrDefault("host", "127.0.0.1"),
-      Integer.parseInt(properties.getOrDefault("port", "57013")))
+      Integer.parseInt(properties.getOrDefault("port", "57013")),
+      java.lang.Long.parseLong(
+        properties.getOrDefault("maxBufferedBytes", (256L << 20).toString)))
 }
 
-final class PcapOverIpTable(host: String, port: Int)
+final class PcapOverIpTable(host: String, port: Int, maxBufferedBytes: Long)
     extends Table with SupportsRead {
   override def name(): String = s"pcap-over-ip://$host:$port"
   override def schema(): StructType = PcapOverIp.schema
@@ -70,7 +72,7 @@ final class PcapOverIpTable(host: String, port: Int)
     () => new Scan {
       override def readSchema(): StructType = PcapOverIp.schema
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-        new PcapOverIpStream(host, port)
+        new PcapOverIpStream(host, port, maxBufferedBytes)
     }
 }
 
@@ -79,14 +81,19 @@ final case class PcapCountOffset(n: Long) extends Offset {
   override def json(): String = n.toString
 }
 
-final class PcapOverIpStream(host: String, port: Int)
+final class PcapOverIpStream(host: String, port: Int, maxBufferedBytes: Long)
     extends MicroBatchStream {
 
   // records received but not yet committed; `base` = global offset of
-  // buf(0). commit() drops the delivered prefix, so driver memory holds
-  // only in-flight micro-batches, not the whole capture history.
+  // buf(0). commit() drops the delivered prefix, so in steady state the
+  // driver holds only in-flight micro-batches. The buffer is HARD-bounded
+  // at `maxBufferedBytes`: when the capture endpoint outpaces micro-batch
+  // commits (or the query stalls) the reader thread blocks instead of
+  // appending, which stops draining the socket and pushes backpressure to
+  // the sender via TCP flow control — the driver never OOMs.
   private val buf = new ArrayBuffer[PcapOverIp.Rec]()
   private var base = 0L
+  private var bufBytes = 0L
   @volatile private var stopped = false
   @volatile private var socket: Socket = null
 
@@ -121,7 +128,11 @@ final class PcapOverIpStream(host: String, port: Int)
             in.readFully(data)
             val micros = sec * 1000000L + (if (h.nanos) frac / 1000 else frac)
             buf.synchronized {
+              // Backpressure: block (releasing no socket reads) until a
+              // commit() frees space or the stream stops.
+              while (!stopped && bufBytes >= maxBufferedBytes) buf.wait(1000)
               buf += PcapOverIp.Rec(micros, incl, orig, h.linkType, data)
+              bufBytes += incl + 64L
             }
           }
         }
@@ -137,15 +148,34 @@ final class PcapOverIpStream(host: String, port: Int)
   reader.start()
 
   override def initialOffset(): Offset = PcapCountOffset(0L)
-  override def deserializeOffset(json: String): Offset =
-    PcapCountOffset(json.toLong)
+
+  /** Offsets come back through here when a query restarts from its
+    * checkpoint. A freshly constructed stream counts from 0, so a
+    * committed offset N from a previous run would otherwise sit above
+    * `base + buf.length` forever and every new record would be silently
+    * discarded until the new count surpassed N. Adopt the deserialized
+    * offset as the new base instead: records buffered since (re)start are
+    * re-addressed N.. and delivered immediately. The socket itself is
+    * non-replayable, so the rebased gap is the documented at-most-once
+    * window, not data that could have been re-read.
+    */
+  override def deserializeOffset(json: String): Offset = {
+    val n = json.toLong
+    buf.synchronized {
+      if (n > base + buf.length) { base = n; buf.notifyAll() }
+    }
+    PcapCountOffset(n)
+  }
   override def latestOffset(): Offset =
     buf.synchronized { PcapCountOffset(base + buf.length) }
   override def commit(end: Offset): Unit = buf.synchronized {
     val upTo = end.asInstanceOf[PcapCountOffset].n
     val drop = math.max(0L, math.min(upTo - base, buf.length.toLong)).toInt
+    var i = 0
+    while (i < drop) { bufBytes -= buf(i).inclLen + 64L; i += 1 }
     buf.dropInPlace(drop)
     base += drop
+    buf.notifyAll()
   }
 
   override def planInputPartitions(
@@ -153,7 +183,9 @@ final class PcapOverIpStream(host: String, port: Int)
     val (s, e) = (start.asInstanceOf[PcapCountOffset].n,
       end.asInstanceOf[PcapCountOffset].n)
     val slice = buf.synchronized {
-      buf.slice((s - base).toInt, (e - base).toInt).toArray
+      val lo = math.max(0L, math.min(s - base, buf.length.toLong)).toInt
+      val hi = math.max(0L, math.min(e - base, buf.length.toLong)).toInt
+      buf.slice(lo, hi).toArray
     }
     Array(PcapSlicePartition(slice))
   }
@@ -174,6 +206,7 @@ final class PcapOverIpStream(host: String, port: Int)
 
   override def stop(): Unit = {
     stopped = true
+    buf.synchronized { buf.notifyAll() }
     try { if (socket != null) socket.close() } catch { case _: Exception => }
   }
 }

@@ -111,4 +111,27 @@ class MiscClassifierSpec extends AnyFunSuite {
     assert(udp(s("x{\"host_int\": 1}"), dstPort = 17500)
       .contains("dropbox-lan-sync"))
   }
+
+  test("body magic: split-zip needle replicates the C escape quirk") {
+    import graft.etl.Magic
+    def bytes(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    // The reference needle "PK\007\008PK" is really PK \x07 \x00 '8' P K
+    // (\008 = \0 + '8'): that sequence must match...
+    assert(Magic.detect(bytes('P', 'K', 7, 0, '8', 'P', 'K', 0))
+      .contains("application/zip"))
+    // ...while the spec-correct PK\x07\x08 "PK" data descriptor must NOT
+    // (the reference returns no magic for it).
+    assert(Magic.detect(bytes('P', 'K', 7, 8, 'P', 'K', 0, 0)).isEmpty)
+    // len > 7 guard: a 7-byte body is one short of the needle
+    assert(Magic.detect(bytes('P', 'K', 7, 0, '8', 'P', 'K')).isEmpty)
+  }
+
+  test("body magic: JSON detection is ASCII-isalpha, not Latin-1") {
+    import graft.etl.Magic
+    assert(Magic.detect("{\"k\":1}".getBytes("ISO-8859-1"))
+      .contains("application/json"))
+    // 0xB5 (µ) is a letter in Latin-1 but not under C-locale isalpha()
+    assert(Magic.detect(Array[Byte]('{', '"', 0xb5.toByte, '"')).isEmpty)
+    assert(Magic.detect(Array[Byte]('{', '"', 0xc0.toByte, '"')).isEmpty)
+  }
 }

@@ -107,6 +107,30 @@ class PcapOverIpSourceSpec extends AnyFunSuite with SparkSpecBase {
     } finally q.stop()
   }
 
+  test("restart adopts the checkpointed offset instead of dropping records") {
+    import graft.sources.{PcapCountOffset, PcapOverIpStream}
+    // no endpoint on port 1: the reader thread just retries, buffer stays
+    // empty — exactly the state of a freshly restarted driver
+    val s = new PcapOverIpStream("127.0.0.1", 1, 1L << 20)
+    try {
+      assert(s.latestOffset() == PcapCountOffset(0L))
+      // restore from a checkpoint that had committed offset 100: the
+      // stream must rebase so the next arriving record is offset 100,
+      // not silently discarded until the fresh count passes 100
+      s.deserializeOffset("100")
+      assert(s.latestOffset() == PcapCountOffset(100L))
+      // replay of the in-flight batch (40, 100] against the rebased
+      // empty buffer yields an empty partition, never a negative slice
+      val parts = s.planInputPartitions(PcapCountOffset(40L), PcapCountOffset(100L))
+      assert(parts.length == 1)
+      assert(parts(0).asInstanceOf[graft.sources.PcapSlicePartition].recs.isEmpty)
+      // deserializing an offset at/below the current high-water mark
+      // (start of the replayed batch) must NOT rebase anything
+      s.deserializeOffset("40")
+      assert(s.latestOffset() == PcapCountOffset(100L))
+    } finally s.stop()
+  }
+
   test("short name pcap-over-ip resolves via DataSourceRegister") {
     val df = spark.readStream.format("pcap-over-ip")
       .option("host", "127.0.0.1").option("port", "1").load()

@@ -46,4 +46,17 @@ class SmtpGoldenSpec extends AnyFunSuite with SparkSpecBase {
     assert(session(s"admin${nul}Bob${nul}pw") == Seq("bob"))
     assert(session("nonulshere").isEmpty)
   }
+
+  test("malformed B-encoded words decode best-effort, like g_base64_decode") {
+    import graft.etl.SmtpParser.decodeEncodedWords
+    // well-formed baseline
+    assert(decodeEncodedWords("=?utf-8?B?aGVsbG8=?=") == "hello")
+    // '!' is outside the alphabet: glib skips it and keeps decoding, so
+    // the word must yield decoded text, not fall back to the raw header
+    assert(decodeEncodedWords("=?utf-8?B?aGVs!bG8=?=") == "hello")
+    // an odd trailing group is dropped, not an error
+    assert(decodeEncodedWords("=?utf-8?B?aGVsbG8xx?=").startsWith("hello"))
+    // interior '=' acts like any other non-alphabet byte (skipped)
+    assert(decodeEncodedWords("=?utf-8?B?aGVs=bG8=?=") == "hello")
+  }
 }
