@@ -83,14 +83,19 @@ object Hunt {
     * grouped per file via `packetFileIdx`, so a multi-file session never
     * misreads an offset of file A against file B.
     */
-  def run(sessions: Dataset[SessionRow], cfg: HuntConfig): DataFrame = {
+  def run(sessions: Dataset[SessionRow], cfg: HuntConfig,
+      keys: String => graft.etl.PcapCrypto.FileKeys = _ => graft.etl.PcapCrypto.Normal): DataFrame = {
     val spark = sessions.sparkSession
     import spark.implicits._
     val matched = sessions.mapPartitions { rows =>
       // one open channel + parsed global header per referenced file,
-      // cached for the task's lifetime, closed on task completion
-      val open = scala.collection.mutable.Map[
-        String, Option[(java.io.RandomAccessFile, graft.etl.Pcap.PcapHeader)]]()
+      // cached for the task's lifetime, closed on task completion.
+      // `keys` resolves a raw fileId to its at-rest encryption material
+      // (files-index encoding/dek/iv); slices decrypt in place, so an
+      // encrypted store hunts with the same seek-only I/O as a plain one.
+      val open = scala.collection.mutable.Map[String, Option[(
+        java.io.RandomAccessFile, graft.etl.Pcap.PcapHeader,
+        graft.etl.PcapCrypto.FileKeys)]]()
       Option(org.apache.spark.TaskContext.get()).foreach(
         _.addTaskCompletionListener[Unit](_ => open.values.flatten.foreach(c =>
           try c._1.close() catch { case _: Exception => () })))
@@ -98,18 +103,17 @@ object Hunt {
         // fileId may be a URI from the binaryFile source (file:/…)
         val f = if (f0.startsWith("file:")) new java.net.URI(f0).getPath else f0
         open.getOrElseUpdate(f, try {
+          val k = keys(f0)
           val raf = new java.io.RandomAccessFile(f, "r")
-          val hdr = new Array[Byte](24)
-          raf.readFully(hdr)
-          graft.etl.Pcap.parseHeader(hdr).map((raf, _))
+          val hdr = graft.etl.PcapCrypto.readSlice(raf, 0L, 24, k)
+          graft.etl.Pcap.parseHeader(hdr).map((raf, _, k))
         } catch { case _: Exception => None })
       }
       def readPacket(raf: java.io.RandomAccessFile,
-          hdr: graft.etl.Pcap.PcapHeader, f: String, pos: Long, len: Int) =
+          hdr: graft.etl.Pcap.PcapHeader, k: graft.etl.PcapCrypto.FileKeys,
+          f: String, pos: Long, len: Int) =
         try {
-          val rec = new Array[Byte](len)
-          raf.seek(pos)
-          raf.readFully(rec)
+          val rec = graft.etl.PcapCrypto.readSlice(raf, pos, len, k)
           graft.etl.Pcap.parseRecord(hdr, rec, f, pos)
         } catch { case _: Exception => None }
       rows.map { s =>
@@ -118,8 +122,8 @@ object Hunt {
         // exists short-circuits: a session stops reading at its first hit
         val hit = s.packetPos.indices.exists { i =>
           s.fileId.lift(s.packetFileIdx(i)).exists { f =>
-            channelOf(f).exists { case (raf, hdr) =>
-              readPacket(raf, hdr, f, s.packetPos(i), s.packetLen(i))
+            channelOf(f).exists { case (raf, hdr, k) =>
+              readPacket(raf, hdr, k, f, s.packetPos(i), s.packetLen(i))
                 .toSeq.flatMap(graft.etl.Decode.decode(_))
                 .exists { p =>
                   p.payload.nonEmpty &&

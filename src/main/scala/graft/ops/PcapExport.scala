@@ -30,7 +30,8 @@ object PcapExport {
     * `(firstPacket, sessionId, seq)` sort key that reproduces the
     * reference's write order.
     */
-  def records(sessions: Dataset[SessionRow]): DataFrame = {
+  def records(sessions: Dataset[SessionRow],
+      keys: String => graft.etl.PcapCrypto.FileKeys = _ => graft.etl.PcapCrypto.Normal): DataFrame = {
     val spark = sessions.sparkSession
     import spark.implicits._
     val slices = sessions.flatMap { s =>
@@ -44,24 +45,24 @@ object PcapExport {
       .sortWithinPartitions("file", "pos")
       .as[(Long, String, Int, String, Long, Int)]
       .mapPartitions { rows =>
-        val open = scala.collection.mutable.Map[String, Option[java.io.RandomAccessFile]]()
+        val open = scala.collection.mutable.Map[
+          String, Option[(java.io.RandomAccessFile, graft.etl.PcapCrypto.FileKeys)]]()
         Option(org.apache.spark.TaskContext.get()).foreach(
           _.addTaskCompletionListener[Unit](_ => open.values.flatten.foreach(r =>
-            try r.close() catch { case _: Exception => () })))
+            try r._1.close() catch { case _: Exception => () })))
         def channelOf(f0: String) = {
           val f = if (f0.startsWith("file:")) new java.net.URI(f0).getPath else f0
           open.getOrElseUpdate(f,
-            try Some(new java.io.RandomAccessFile(f, "r"))
+            try Some((new java.io.RandomAccessFile(f, "r"), keys(f0)))
             catch { case _: Exception => None })
         }
         rows.flatMap { case (first, sid, seq, file, pos, len) =>
-          channelOf(file).flatMap { raf =>
-            try {
-              val rec = new Array[Byte](len)
-              raf.seek(pos)
-              raf.readFully(rec)
-              Some((first, sid, seq, rec))
-            } catch { case _: Exception => None }
+          channelOf(file).flatMap { case (raf, k) =>
+            // exported records are always plaintext pcap, whatever the
+            // store encoding — the reference likewise decrypts on export
+            try Some((first, sid, seq,
+              graft.etl.PcapCrypto.readSlice(raf, pos, len, k)))
+            catch { case _: Exception => None }
           }
         }
       }
@@ -72,7 +73,8 @@ object PcapExport {
     * reference (in packet order) — the reference likewise emits the
     * header of the first processed pcap (apiSessions.js:733-736).
     */
-  def header(sessions: Dataset[SessionRow]): Array[Byte] = {
+  def header(sessions: Dataset[SessionRow],
+      keys: String => graft.etl.PcapCrypto.FileKeys = _ => graft.etl.PcapCrypto.Normal): Array[Byte] = {
     val spark = sessions.sparkSession
     import spark.implicits._
     val first = sessions
@@ -84,7 +86,7 @@ object PcapExport {
       val f0 = r.getString(1)
       val f = if (f0.startsWith("file:")) new java.net.URI(f0).getPath else f0
       val raf = new java.io.RandomAccessFile(f, "r")
-      try { val b = new Array[Byte](24); raf.readFully(b); b }
+      try graft.etl.PcapCrypto.readSlice(raf, 0L, 24, keys(f0))
       finally raf.close()
     }.getOrElse(Array.emptyByteArray)
   }
@@ -93,9 +95,10 @@ object PcapExport {
     * number of packet records written.
     */
   def writeFile(sessions: Dataset[SessionRow], outPath: String,
-      writeHeader: Boolean = true): Long = {
-    val hdr = if (writeHeader) header(sessions) else Array.emptyByteArray
-    val sorted = records(sessions).orderBy("firstPacket", "sessionId", "seq")
+      writeHeader: Boolean = true,
+      keys: String => graft.etl.PcapCrypto.FileKeys = _ => graft.etl.PcapCrypto.Normal): Long = {
+    val hdr = if (writeHeader) header(sessions, keys) else Array.emptyByteArray
+    val sorted = records(sessions, keys).orderBy("firstPacket", "sessionId", "seq")
     val out = new BufferedOutputStream(new FileOutputStream(outPath), 1 << 16)
     var n = 0L
     try {
