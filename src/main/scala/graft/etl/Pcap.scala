@@ -205,4 +205,85 @@ object Pcap {
       .as[(String, Array[Byte])]
       .flatMap { case (p, bytes) => assembleFrags4(parseFile(bytes, p)) }
   }
+
+  /** `packetPosEncoding: gap0` decode (viewer/db.js:353-370): the
+    * capture's simple/inplace writers store packet positions gap-encoded —
+    * a negative value is a `-fileId` marker (kept verbatim, resets the
+    * running position), `0` repeats the previous gap (the common
+    * fixed-size-packet run), and a positive value is a delta added to the
+    * running position. Returns absolute positions with the file markers
+    * in place, the form the rest of the engine consumes.
+    */
+  def decodePacketPosGap0(pos: Seq[Long]): Seq[Long] = {
+    var last = 0L
+    var lastGap = 0L
+    pos.map { v =>
+      if (v < 0) { last = 0L; v }
+      else {
+        val abs = if (v == 0L) last + lastGap else { lastGap = v; last + v }
+        last = abs
+        abs
+      }
+    }
+  }
+
+  /** gap0 encode — the writer side (writer-simple.c packetPosEncoding),
+    * used when shipping sessions to a reference-compatible files index
+    * and to round-trip-test the decoder. Absolute positions in, markers
+    * preserved, repeated gaps collapsed to 0.
+    */
+  def encodePacketPosGap0(pos: Seq[Long]): Seq[Long] = {
+    var last = 0L
+    var lastGap = 0L
+    pos.map { v =>
+      if (v < 0) { last = 0L; v }
+      else {
+        val gap = v - last
+        last = v
+        if (gap == lastGap) 0L else { lastGap = gap; gap }
+      }
+    }
+  }
+
+  /** `packetPosEncoding: localIndex` decode (viewer/db.js:371-417): the
+    * stored array is (marker, indexOffset, indexLength) triples; the
+    * real positions live in a side index file as base-128 varints
+    * (little-endian groups, high bit terminates a number), themselves
+    * gap0-coded (varint 0 repeats the previous gap). `readIndex` fetches
+    * `len` bytes at `off` from the marker's index file — injectable so
+    * callers can route through [[PcapCrypto.readSlice]] or a cache.
+    * Output shape matches gap0 decode: marker, then absolute positions.
+    */
+  def decodePacketPosLocalIndex(pos: Seq[Long],
+      readIndex: (Long, Long, Long) => Array[Byte]): Seq[Long] = {
+    val out = scala.collection.mutable.ArrayBuffer[Long]()
+    var i = 0
+    while (i + 3 <= pos.length) {
+      val marker = pos(i)
+      val bytes = readIndex(-marker, pos(i + 1), pos(i + 2))
+      out += marker
+      var last = 0L
+      var lastGap = 0L
+      var num = 0L
+      var mult = 1L
+      var j = 0
+      while (j < bytes.length) {
+        val x = bytes(j) & 0xff
+        if ((x & 0x80) != 0) {
+          num += (x & 0x7f).toLong * mult
+          if (num != 0L) lastGap = num
+          last += lastGap
+          out += last
+          num = 0L
+          mult = 1L
+        } else {
+          num += x.toLong * mult
+          mult *= 128L
+        }
+        j += 1
+      }
+      i += 3
+    }
+    out.toSeq
+  }
 }

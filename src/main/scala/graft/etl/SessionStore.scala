@@ -40,4 +40,32 @@ object SessionStore {
       .filter(col("day") >= startDay && col("day") <= stopDay)
       .filter(col("lastPacket") >= startMs && col("firstPacket") <= stopMs)
   }
+
+  /** Retention: drop day partitions older than `keepDays` — the analogue
+    * of the reference's index lifecycle (`db.pl expire daily N` deletes
+    * whole `sessions3-YYMMDD` indices, db/db.pl optimizeAndDeleteIndices;
+    * never per-document deletes). Dropping a partition directory is one
+    * metadata operation however many rows it holds, which is the only
+    * retention model that works at 100 TB. Returns the dropped day keys.
+    */
+  def expire(spark: SparkSession, path: String, keepDays: Int,
+      nowMs: Long = System.currentTimeMillis()): Seq[String] = {
+    val cutoff = java.time.Instant.ofEpochMilli(nowMs)
+      .atZone(java.time.ZoneOffset.UTC).toLocalDate.minusDays(keepDays - 1L)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Nil
+    fs.listStatus(root).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath)
+      .filter(_.getName.startsWith("day="))
+      .flatMap { p =>
+        val day = p.getName.stripPrefix("day=")
+        val old =
+          try java.time.LocalDate.parse(day).isBefore(cutoff)
+          catch { case _: java.time.format.DateTimeParseException => false }
+        if (old && fs.delete(p, true)) Some(day) else None
+      }
+      .sorted
+  }
 }

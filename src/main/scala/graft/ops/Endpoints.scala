@@ -165,11 +165,16 @@ object Endpoints {
     val ranked = (1 until fields.length).foldLeft(level0) { (acc, i) =>
       val prefix = fields.take(i).map(col)
       val level = fields.take(i + 1).map(col)
-      acc
-        .withColumn(s"_tot$i", sum("cnt").over(Window.partitionBy(level: _*)))
-        .withColumn(s"_rk$i", dense_rank().over(
-          Window.partitionBy(prefix: _*)
-            .orderBy(col(s"_tot$i").desc, col(fields(i)).asc)))
+      // At the deepest level the window partition IS the grouping key —
+      // one row per partition, so the "sum" is just cnt; skipping the
+      // window saves a full exchange+sort on every hierarchy call.
+      val withTot =
+        if (i == fields.length - 1) acc.withColumn(s"_tot$i", col("cnt"))
+        else acc.withColumn(s"_tot$i",
+          sum("cnt").over(Window.partitionBy(level: _*)))
+      withTot.withColumn(s"_rk$i", dense_rank().over(
+        Window.partitionBy(prefix: _*)
+          .orderBy(col(s"_tot$i").desc, col(fields(i)).asc)))
     }
     val keep = (1 until fields.length).map(i => col(s"_rk$i") <= k)
       .foldLeft(lit(true))(_ && _)

@@ -27,6 +27,49 @@ class StoreAndCidrSpec extends AnyFunSuite with SparkSpecBase {
       "expected non-empty PartitionFilters")
   }
 
+  test("expire drops only day partitions older than the retention window") {
+    val sessions = SessionBuilder.sessionizeRef(spark,
+      "/root/reference/tests/pcap/socks-http-example.pcap")
+    val path = java.nio.file.Files.createTempDirectory("sessions-exp").toString
+    SessionStore.write(sessions, path) // fixture day: 2013-12-02
+    // "now" = 2013-12-05: keepDays=4 keeps 12-02..12-05; keepDays=3 drops it
+    val now = java.time.Instant.parse("2013-12-05T12:00:00Z").toEpochMilli
+    assert(SessionStore.expire(spark, path, keepDays = 4, now) == Nil)
+    assert(SessionStore.read(spark, path).count() == 3)
+    assert(SessionStore.expire(spark, path, keepDays = 3, now) == Seq("2013-12-02"))
+    // dropped partition is gone from the store listing
+    val left = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("day="))
+    assert(left.isEmpty)
+  }
+
+  test("gap0 packetPos decodes like viewer/db.js and round-trips") {
+    import graft.etl.Pcap
+    // markers reset, 0 repeats the last gap, positive adds to running pos
+    val stored = Seq(-1L, 24L, 100L, 0L, 0L, 16L, 0L)
+    assert(Pcap.decodePacketPosGap0(stored) ==
+      Seq(-1L, 24L, 124L, 224L, 324L, 340L, 356L))
+    // two files in one session: second marker resets the base
+    val twoFiles = Seq(-3L, 24L, 0L, -7L, 24L, 0L)
+    assert(Pcap.decodePacketPosGap0(twoFiles) ==
+      Seq(-3L, 24L, 48L, -7L, 24L, 48L))
+    // encode is the exact inverse on absolute form
+    for (abs <- Seq(Seq(-1L, 24L, 124L, 224L, 324L, 340L, 356L),
+      Seq(-3L, 24L, 48L, -7L, 24L, 48L)))
+      assert(Pcap.decodePacketPosGap0(Pcap.encodePacketPosGap0(abs)) == abs)
+  }
+
+  test("localIndex packetPos reads base-128 varint gaps from a side index") {
+    import graft.etl.Pcap
+    // gaps 24, 300, repeat: varints [0x98], [0x2c 0x82], [0x80]
+    val index = Array[Byte](0x98.toByte, 0x2c, 0x82.toByte, 0x80.toByte)
+    var asked: (Long, Long, Long) = null
+    val out = Pcap.decodePacketPosLocalIndex(Seq(-5L, 1000L, 4L),
+      (fileId, off, len) => { asked = (fileId, off, len); index })
+    assert(asked == ((5L, 1000L, 4L))) // marker negated to the fileId
+    assert(out == Seq(-5L, 24L, 324L, 624L))
+  }
+
   test("codegen ip_in_cidr matches UDF semantics and stays in codegen") {
     val sessions = SessionBuilder.sessionizeRef(spark,
       "/root/reference/tests/pcap/socks-http-example.pcap").toDF()
