@@ -20,7 +20,8 @@ import Decode.DecodedPacket
   *     bare-ACK; PSH — SYN packets count nothing else);
   *   - src/dstPayload8 = first 8 reassembled payload bytes per direction
   *     (moloch.h firstBytes);
-  *   - initRTT = ms between first SYN and first bare ACK (synTime/ackTime).
+  *   - initRTT = half the first-SYN→first-bare-ACK delta in ms
+  *     (db.c:670 (ackTime-synTime)/2000); -1 when either side is absent.
   *
   * Distribution: `groupByKey(sessionKey)` is the Spark analogue of the
   * reference's `hash(sessionId) % packetThreads` routing (packet.c:1316) —
@@ -219,14 +220,24 @@ object SessionBuilder {
     val mayBgp = isTcp && head.dstPort == 179
     def bgpMarker(p: DecodedPacket): Boolean =
       p.payload.length >= 16 && p.payload.take(16).forall(_ == -1)
-    val segments = Seq.newBuilder[Array[DecodedPacket]]
+    // Each emitted slice is tagged with whether it STARTS A NEW SESSION
+    // (idle-timeout save+free, port-reuse) or continues the previous one
+    // as a mid-save segment (tcpSaveTimeout, maxPackets, BGP pq). The
+    // distinction matters because session state — firstPacket, protocols,
+    // macs, firstBytes, segment ordinals, orientation — survives
+    // mid-saves but resets on a genuinely new session (gtp-iphone's
+    // port-reused SIP flow is three sessions of segmentCnt 1, while
+    // long-session is one session whose saves count 1, 2, …).
+    val segments = Seq.newBuilder[(Array[DecodedPacket], Boolean)]
+    var curSegNew = true // the first slice always opens a session
     var start = 0
     var rstSeen = false
     var finDirs = 0
     var sawSyn = false
     var bgpActive = false
     var bgpArmedTs = -1L // ts of last BGP data packet (pq deadline base)
-    var splitAfterPrev = false
+    var splitAfterPrevNew = false // port reuse after FIN close
+    var splitAfterPrevMid = false // BGP pq fired
     def noteFlags(p: DecodedPacket): Unit = if (isTcp) {
       if ((p.tcpFlags & Decode.TH_RST) != 0) rstSeen = true
       if ((p.tcpFlags & Decode.TH_FIN) != 0)
@@ -248,19 +259,27 @@ object SessionBuilder {
       // Both the flow's own gap AND the processed-packet clock must pass
       // the deadline: merged captures with non-monotonic timestamps would
       // otherwise inflate the clock and split flows the reference keeps.
-      val boundary =
-        splitAfterPrev ||
+      val newBoundary =
+        splitAfterPrevNew ||
           (cur.tsMicros - sorted(i - 1).tsMicros > timeoutUs &&
             sorted(i - 1).tsMicros + timeoutUs < clock) ||
+          (synNoAck && rstSeen)
+      val midBoundary =
+        splitAfterPrevMid ||
           (isTcp && cur.tsMicros - sorted(start).tsMicros > saveTimeoutUs &&
             sorted(start).tsMicros + saveTimeoutUs < clock) ||
-          i - start >= MaxPackets ||
-          (synNoAck && rstSeen)
-      if (boundary) {
-        segments += java.util.Arrays.copyOfRange(sorted, start, i)
+          i - start >= MaxPackets
+      if (newBoundary || midBoundary) {
+        segments += ((java.util.Arrays.copyOfRange(sorted, start, i), curSegNew))
+        curSegNew = newBoundary
         start = i
         rstSeen = false; finDirs = 0
-        splitAfterPrev = false
+        splitAfterPrevNew = false; splitAfterPrevMid = false
+        if (newBoundary) {
+          // idle save + free / port reuse: parser state dies with the
+          // old session
+          sawSyn = false; bgpActive = false; bgpArmedTs = -1L
+        }
       } else if (synNoAck && finDirs == 3) {
         // Port reuse after a FIN-closed connection: the SYN still finds
         // the old session in the closing queue and joins it; the flush
@@ -268,56 +287,78 @@ object SessionBuilder {
         // the SYN (gtp-iphone golden; closingQ, capture/session.c:220-232).
         // RST-closed sessions instead split before the SYN
         // (parsers/tcp.c:368 pre-process retry).
-        splitAfterPrev = true
+        splitAfterPrevNew = true
         rstSeen = false; finDirs = 0
       }
       noteFlags(cur)
       if (bgpActive && bgpArmedTs >= 0 && cur.tsMicros > bgpArmedTs + bgpPqUs) {
-        splitAfterPrev = true // pq fired: this packet closes the segment
+        splitAfterPrevMid = true // pq fired: this packet closes the segment
         bgpArmedTs = -1L
       }
       noteBgp(cur)
       i += 1
     }
-    segments += java.util.Arrays.copyOfRange(sorted, start, sorted.length)
-    val segs = segments.result()
-    // bgp classification (SYN seen, then marker data) persists across
-    // mid-save segments: the reference keeps the parser on the session
-    // Protocol tags accumulate across a session's segments (the
-    // reference's protocols field survives mid-saves: long-session's
-    // RST-only segment still carries http); value fields reset per
-    // segment (bgp.type re-populates from each segment's messages).
-    var protoAcc = Set.empty[String]
-    // session orientation is fixed at creation and survives mid-saves
-    // (the reference's session state persists): derive it from the
-    // FIRST segment's first packet and pass it to every segment row
-    // (long-session golden: the server-RST-only segment keeps the
-    // original source)
-    val o0 = {
-      val f = segs.head.head
-      val synAckSwap = f.ipProtocol == 6 &&
-        (f.tcpFlags & (Decode.TH_SYN | Decode.TH_ACK)) ==
-          (Decode.TH_SYN | Decode.TH_ACK)
-      if (synAckSwap) (f.dstIp, f.dstPort, f.srcIp, f.srcPort)
-      else (f.srcIp, f.srcPort, f.dstIp, f.dstPort)
+    segments += ((java.util.Arrays.copyOfRange(sorted, start, sorted.length), curSegNew))
+    // group mid-save segments under the session that opened them: each
+    // group is one reference session; its segments share session state
+    val groups = {
+      val gs = scala.collection.mutable.ArrayBuffer[
+        scala.collection.mutable.ArrayBuffer[Array[DecodedPacket]]]()
+      segments.result().foreach { case (s, isNew) =>
+        if (isNew || gs.isEmpty) gs += scala.collection.mutable.ArrayBuffer(s)
+        else gs.last += s
+      }
+      gs.map(_.toSeq).toSeq
     }
-    var srcMacAcc = Set.empty[String]
-    var dstMacAcc = Set.empty[String]
-    var synSeen = false
-    segs.zipWithIndex.iterator.map { case (seg, idx) =>
-      val row = buildOne(key, seg, node, segs.length, idx,
-        bgpSession = bgpActive, testRules = testRules,
-        yaraRules = yaraRules, orient = Some(o0),
-        synSeenBefore = synSeen)
-      synSeen ||= seg.exists(p => (p.tcpFlags & Decode.TH_SYN) != 0)
-      protoAcc ++= row.protocol
-      // mac fields are session state too — they survive mid-saves
-      // (long-session golden: the RST-only segment keeps both dst macs)
-      srcMacAcc ++= row.srcMac
-      dstMacAcc ++= row.dstMac
-      row.copy(protocol = protoAcc.toSeq.sorted,
-        srcMac = srcMacAcc.toSeq.sorted,
-        dstMac = dstMacAcc.toSeq.sorted)
+    // Per group (= one reference session): protocol tags, macs and
+    // firstBytes accumulate across that session's mid-save segments
+    // (long-session's RST-only segment still carries http and both dst
+    // macs); firstPacket and length span from the SESSION's first packet
+    // (db.c: firstPacket survives mid-saves, packets/bytes reset);
+    // segmentCnt is the save ordinal (1, 2, …); orientation is fixed at
+    // session creation. Port-reused groups beyond the first get a
+    // distinct sessionId suffix — the reference gives each its own ES id.
+    groups.zipWithIndex.iterator.flatMap { case (gsegs, gIdx) =>
+      val gKey = if (gIdx == 0) key else s"$key|r$gIdx"
+      val gFirstUs = gsegs.head.head.tsMicros
+      var protoAcc = Set.empty[String]
+      val o0 = {
+        val f = gsegs.head.head
+        val synAckSwap = f.ipProtocol == 6 &&
+          (f.tcpFlags & (Decode.TH_SYN | Decode.TH_ACK)) ==
+            (Decode.TH_SYN | Decode.TH_ACK)
+        if (synAckSwap) (f.dstIp, f.dstPort, f.srcIp, f.srcPort)
+        else (f.srcIp, f.srcPort, f.dstIp, f.dstPort)
+      }
+      var srcMacAcc = Set.empty[String]
+      var dstMacAcc = Set.empty[String]
+      var src8Acc = ""
+      var dst8Acc = ""
+      var synSeen = false
+      gsegs.zipWithIndex.iterator.map { case (seg, idx) =>
+        val row = buildOne(gKey, seg, node, idx + 1, idx,
+          bgpSession = bgpActive, testRules = testRules,
+          yaraRules = yaraRules, orient = Some(o0),
+          synSeenBefore = synSeen)
+        synSeen ||= seg.exists(p => (p.tcpFlags & Decode.TH_SYN) != 0)
+        protoAcc ++= row.protocol
+        srcMacAcc ++= row.srcMac
+        dstMacAcc ++= row.dstMac
+        src8Acc =
+          if (row.ipProtocol == 6) (src8Acc + row.srcPayload8).take(16)
+          else if (src8Acc.nonEmpty) src8Acc else row.srcPayload8
+        dst8Acc =
+          if (row.ipProtocol == 6) (dst8Acc + row.dstPayload8).take(16)
+          else if (dst8Acc.nonEmpty) dst8Acc else row.dstPayload8
+        val segLastUs = seg.last.tsMicros
+        row.copy(protocol = protoAcc.toSeq.sorted,
+          srcMac = srcMacAcc.toSeq.sorted,
+          dstMac = dstMacAcc.toSeq.sorted,
+          srcPayload8 = src8Acc, dstPayload8 = dst8Acc,
+          firstPacket = gFirstUs / 1000,
+          length = ((segLastUs / 1000000 - gFirstUs / 1000000) * 1000 +
+            (segLastUs % 1000000 - gFirstUs % 1000000) / 1000) & 0xffffffffL)
+      }
     }
   }
 
@@ -387,6 +428,18 @@ object SessionBuilder {
     val dstStream = reassemble(dst.toIndexedSeq)
     def payload8(b: Array[Byte]): String =
       b.take(8).map(x => f"${x & 0xff}%02x").mkString
+    // firstBytes are filled ONLY by the tcp/udp parsers (tcp.c:105-108
+    // accumulates DELIVERED bytes to 8 — so an unanchored no-SYN session
+    // that delivers nothing has none; udp.c:86-88 copies the first
+    // non-empty datagram only, no accumulation). Other ipProtocols
+    // (icmp/sctp/esp/ospf…) never set them.
+    def payload8For(stream: Array[Byte],
+        pkts: Seq[Decode.DecodedPacket], anchored: Boolean): String =
+      if (first.ipProtocol == 6) { if (anchored) payload8(stream) else "" }
+      else if (first.ipProtocol == 17)
+        pkts.iterator.map(_.payload).find(_.nonEmpty)
+          .map(payload8).getOrElse("")
+      else ""
 
     // databytes follow the reference's per-protocol accounting:
     //   tcp  — bytes actually DELIVERED by reassembly (tcp.c:117), so
@@ -633,19 +686,20 @@ object SessionBuilder {
       else Nil
     val protocols = (preRuleProtocols ++ alpnTags ++ ruleTags).distinct.sorted
 
-    // shared `user` field: USER commands (ftp/pop3), SOCKS auth, RDP
-    // cookie, SMTP AUTH, TDS login, Oracle connect (reference field db
-    // name `user`, category user)
+    // shared `user` db field: only the parsers whose field_define dbField
+    // IS "user" — USER commands (ftp/pop3, misc.c user_classify), the RDP
+    // cookie, SMTP AUTH, TDS login. socks/http/oracle users go to their
+    // own socks.user / http.user / oracle.user fields ("category user",
+    // different dbField) and must NOT fan into this one — the corpus
+    // goldens have no top-level `user` on socks4-https / http-basicauth /
+    // oracle exactly because of that split.
     def users = (
       Seq(effSrc, effDst).flatMap(MiscParsers.parseUserCommand) ++
-        peeled.map(_._3.user).filter(_.nonEmpty).toSeq ++
         (if (baseTags.contains("rdp"))
           Seq(effSrc, effDst).flatMap(MiscParsers.parseRdpUser) else Nil) ++
         smtp.map(_.user).getOrElse(Nil) ++
-        http.map(_.authUser).getOrElse(Nil) ++
         (if (baseTags.contains("tds")) MiscParsers.parseTdsUser(effSrc).toSeq
-        else Nil) ++
-        oracleInfo.map(_.user).filter(u => u != null && u.nonEmpty).toSeq
+        else Nil)
       ).distinct.sorted
 
     val firstMs = first.tsMicros / 1000
@@ -654,9 +708,15 @@ object SessionBuilder {
     SessionRow(
       sessionId = key, node = node,
       firstPacket = firstMs, lastPacket = lastMs,
-      // duration truncates the µs difference once (capture/db.c), which can
-      // differ by 1 from lastPacket-firstPacket of the truncated stamps
-      length = (seg.last.tsMicros - first.tsMicros) / 1000,
+      // duration per db.c:620-621: second-diff ms plus the µs-part diff
+      // divided with trunc-toward-zero — NOT the total-µs diff / 1000 and
+      // not lastPacket-firstPacket of the truncated stamps; all three can
+      // differ by 1 ms when the µs parts straddle a second boundary
+      // ...and it's cast through uint32 (db.c:620 `(uint32_t) timediff`),
+      // so out-of-order stamps (dns-flags0110) and multi-year captures
+      // (wireshark-lldp) wrap exactly like the reference
+      length = ((seg.last.tsMicros / 1000000 - first.tsMicros / 1000000) * 1000 +
+        (seg.last.tsMicros % 1000000 - first.tsMicros % 1000000) / 1000) & 0xffffffffL,
       ipProtocol = first.ipProtocol,
       srcIp = cliIp, srcPort = cliPort,
       srcPackets = src.length, srcBytes = src.map(_.wireLen.toLong).sum,
@@ -693,8 +753,11 @@ object SessionBuilder {
       tcpflagsSyn = syn, tcpflagsSynAck = synAck, tcpflagsAck = ack,
       tcpflagsPsh = psh, tcpflagsRst = rst, tcpflagsFin = fin,
       tcpflagsUrg = urg, tcpflagsSrcZero = zero(0), tcpflagsDstZero = zero(1),
-      srcPayload8 = payload8(srcStream), dstPayload8 = payload8(dstStream),
-      initRTT = if (synTimeUs > 0 && ackTimeUs > 0) (ackTimeUs - synTimeUs) / 1000 else 0,
+      srcPayload8 = payload8For(srcStream, src, tcpAnchored),
+      dstPayload8 = payload8For(dstStream, dst, tcpAnchored),
+      // db.c:669-671: emitted only when both syn and bare-ack were seen,
+      // as HALF the µs delta in ms ((ack-syn)/2000); -1 = not set
+      initRTT = if (synTimeUs > 0 && ackTimeUs > 0) (ackTimeUs - synTimeUs) / 2000 else -1,
       communityId = CommunityId.compute(cliIp, srvIp,
         cliPort, srvPort, first.ipProtocol),
       protocol = protocols,

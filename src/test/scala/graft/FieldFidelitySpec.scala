@@ -19,10 +19,13 @@ class FieldFidelitySpec extends AnyFunSuite with SparkSpecBase {
   private val mapper = new ObjectMapper()
 
   private def goldenVals(body: JsonNode, group: String, key: String): Seq[String] = {
-    // key may be a '/'-separated path for nested goldens (network.vlan.id)
-    val node = key.split("/").foldLeft(body.get(group): JsonNode) {
-      (n, k) => if (n == null) null else n.get(k)
-    }
+    // key may be a '/'-separated path for nested goldens (network.vlan.id);
+    // "" = the group itself is a top-level field (length, totDataBytes…)
+    val node =
+      if (key.isEmpty) body.get(group)
+      else key.split("/").foldLeft(body.get(group): JsonNode) {
+        (n, k) => if (n == null) null else n.get(k)
+      }
     if (node == null) Nil
     else if (node.isArray)
       node.elements().asScala.map(_.asText()).toSeq.distinct.sorted
@@ -139,7 +142,35 @@ class FieldFidelitySpec extends AnyFunSuite with SparkSpecBase {
       if (r.socksPort >= 0) Seq(r.socksPort.toString) else Nil),
     ("dhcp.id", ("dhcp", "id"), _.dhcpId),
     ("dhcp.mac", ("dhcp", "mac"), _.dhcpMac),
-    ("dhcp.type", ("dhcp", "type"), _.dhcpType))
+    ("dhcp.type", ("dhcp", "type"), _.dhcpType),
+    ("length", ("length", ""), r => Seq(r.length.toString)),
+    ("totDataBytes", ("totDataBytes", ""), r => Seq(r.totDataBytes.toString)),
+    ("segmentCnt", ("segmentCnt", ""), r => Seq(r.segmentCnt.toString)),
+    ("protocol", ("protocol", ""), _.protocol),
+    ("tcpflags.srcZero", ("tcpflags", "srcZero"), r =>
+      if (r.ipProtocol == 6) Seq(r.tcpflagsSrcZero.toString) else Nil),
+    ("tcpflags.dstZero", ("tcpflags", "dstZero"), r =>
+      if (r.ipProtocol == 6) Seq(r.tcpflagsDstZero.toString) else Nil),
+    ("srcPayload8", ("srcPayload8", ""), r =>
+      Option(r.srcPayload8).filter(_.nonEmpty).toSeq),
+    ("dstPayload8", ("dstPayload8", ""), r =>
+      Option(r.dstPayload8).filter(_.nonEmpty).toSeq),
+    ("initRTT", ("initRTT", ""), r =>
+      if (r.initRTT >= 0) Seq(r.initRTT.toString) else Nil),
+    ("user", ("user", ""), _.user),
+    ("http.response-location", ("http", "response-location"), _.httpLocation),
+    ("ssh.key", ("ssh", "key"), _.sshKey),
+    ("bgp.type", ("bgp", "type"), _.bgpType),
+    ("oracle.user", ("oracle", "user"), r =>
+      Option(r.oracleUser).filter(_.nonEmpty).toSeq),
+    ("oracle.host", ("oracle", "host"), r =>
+      Option(r.oracleHost).filter(_.nonEmpty).toSeq),
+    ("oracle.service", ("oracle", "service"), r =>
+      Option(r.oracleService).filter(_.nonEmpty).toSeq),
+    ("radius.user", ("radius", "user"), _.radiusUser),
+    ("radius.framedIp", ("radius", "framedIp"), _.radiusFramedIp),
+    ("radius.mac", ("radius", "mac"), _.radiusMac),
+    ("smb.host", ("smb", "host"), _.smbHost))
 
   test("per-field fidelity floors across the golden corpus") {
     val dir = new java.io.File("/root/reference/tests/pcap")
@@ -220,7 +251,19 @@ class FieldFidelitySpec extends AnyFunSuite with SparkSpecBase {
       "mysql.version" -> 4, "mysql.user" -> 3,
       "postgresql.user" -> 3, "postgresql.db" -> 3, "postgresql.app" -> 2,
       "socks.ip" -> 5, "socks.host" -> 6, "socks.port" -> 9,
-      "dhcp.id" -> 1, "dhcp.mac" -> 1, "dhcp.type" -> 1)
+      "dhcp.id" -> 1, "dhcp.mac" -> 1, "dhcp.type" -> 1,
+      // round 4 additions: session-level scalars (uint32-wrapped length,
+      // mid-save-surviving firstPacket/firstBytes, save-ordinal
+      // segmentCnt, anchored payload8) and the remaining parser fields
+      "length" -> 145, "totDataBytes" -> 142, "segmentCnt" -> 145,
+      "protocol" -> 145,
+      "tcpflags.srcZero" -> 108, "tcpflags.dstZero" -> 108,
+      "srcPayload8" -> 129, "dstPayload8" -> 112,
+      "initRTT" -> 104, "user" -> 5,
+      "http.response-location" -> 5, "ssh.key" -> 2, "bgp.type" -> 1,
+      "oracle.user" -> 1, "oracle.host" -> 1, "oracle.service" -> 1,
+      "radius.user" -> 1, "radius.framedIp" -> 1, "radius.mac" -> 1,
+      "smb.host" -> 2)
     for ((label, _, _) <- fields) {
       info(f"$label%-16s ${match_(label)}%3d / ${seen(label)}%3d" +
         (if (misses(label).nonEmpty)
