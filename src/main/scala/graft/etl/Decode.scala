@@ -479,6 +479,11 @@ object Decode {
   /** Decode an Ethernet frame at an arbitrary offset (tunnel payloads). */
   private def decodeEthernetAt(p: Pcap.RawPacket, b: Array[Byte], ethOff: Int): Option[DecodedPacket] = {
     if (ethOff + 14 > b.length) return None
+    // the inner decode runs on a slice, so its l4Offset comes out
+    // slice-relative — rebase to the captured packet, because databytes
+    // accounting is pktlen MINUS THE ABSOLUTE payload offset
+    // (icmp.c:100, udp.c:73: outer headers don't count as data)
     decodeEthernet(p, java.util.Arrays.copyOfRange(b, ethOff, b.length))
+      .map(d => if (d.l4Offset >= 0) d.copy(l4Offset = d.l4Offset + ethOff) else d)
   }
 }

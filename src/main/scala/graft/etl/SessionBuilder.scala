@@ -228,7 +228,13 @@ object SessionBuilder {
     // mid-saves but resets on a genuinely new session (gtp-iphone's
     // port-reused SIP flow is three sessions of segmentCnt 1, while
     // long-session is one session whose saves count 1, 2, …).
-    val segments = Seq.newBuilder[(Array[DecodedPacket], Boolean)]
+    // third element: BGP-pq cut — the slice's LAST packet is the one
+    // whose arrival fired the 5 s pq. The reference saves BEFORE
+    // processing it (packet.c:190), so that packet's wire counters land
+    // in the old save while its tcp flags and payload are processed into
+    // the next one (cloudshark-bgp-md5: seg1 has 14 packets but only 8
+    // psh / 102+102 databytes; the 15th packet's psh+19 bytes open seg2).
+    val segments = Seq.newBuilder[(Array[DecodedPacket], Boolean, Boolean)]
     var curSegNew = true // the first slice always opens a session
     var start = 0
     var rstSeen = false
@@ -270,7 +276,8 @@ object SessionBuilder {
             sorted(start).tsMicros + saveTimeoutUs < clock) ||
           i - start >= MaxPackets
       if (newBoundary || midBoundary) {
-        segments += ((java.util.Arrays.copyOfRange(sorted, start, i), curSegNew))
+        segments += ((java.util.Arrays.copyOfRange(sorted, start, i), curSegNew,
+          splitAfterPrevMid))
         curSegNew = newBoundary
         start = i
         rstSeen = false; finDirs = 0
@@ -298,15 +305,17 @@ object SessionBuilder {
       noteBgp(cur)
       i += 1
     }
-    segments += ((java.util.Arrays.copyOfRange(sorted, start, sorted.length), curSegNew))
+    segments += ((java.util.Arrays.copyOfRange(sorted, start, sorted.length),
+      curSegNew, false))
     // group mid-save segments under the session that opened them: each
     // group is one reference session; its segments share session state
     val groups = {
       val gs = scala.collection.mutable.ArrayBuffer[
-        scala.collection.mutable.ArrayBuffer[Array[DecodedPacket]]]()
-      segments.result().foreach { case (s, isNew) =>
-        if (isNew || gs.isEmpty) gs += scala.collection.mutable.ArrayBuffer(s)
-        else gs.last += s
+        scala.collection.mutable.ArrayBuffer[(Array[DecodedPacket], Boolean)]]()
+      segments.result().foreach { case (s, isNew, pqCut) =>
+        if (isNew || gs.isEmpty)
+          gs += scala.collection.mutable.ArrayBuffer((s, pqCut))
+        else gs.last += ((s, pqCut))
       }
       gs.map(_.toSeq).toSeq
     }
@@ -320,10 +329,10 @@ object SessionBuilder {
     // distinct sessionId suffix — the reference gives each its own ES id.
     groups.zipWithIndex.iterator.flatMap { case (gsegs, gIdx) =>
       val gKey = if (gIdx == 0) key else s"$key|r$gIdx"
-      val gFirstUs = gsegs.head.head.tsMicros
+      val gFirstUs = gsegs.head._1.head.tsMicros
       var protoAcc = Set.empty[String]
       val o0 = {
-        val f = gsegs.head.head
+        val f = gsegs.head._1.head
         val synAckSwap = f.ipProtocol == 6 &&
           (f.tcpFlags & (Decode.TH_SYN | Decode.TH_ACK)) ==
             (Decode.TH_SYN | Decode.TH_ACK)
@@ -335,11 +344,15 @@ object SessionBuilder {
       var src8Acc = ""
       var dst8Acc = ""
       var synSeen = false
-      gsegs.zipWithIndex.iterator.map { case (seg, idx) =>
+      gsegs.zipWithIndex.iterator.map { case ((seg, pqCut), idx) =>
+        val carryIn: Array[DecodedPacket] =
+          if (idx > 0 && gsegs(idx - 1)._2) Array(gsegs(idx - 1)._1.last)
+          else Array.empty
         val row = buildOne(gKey, seg, node, idx + 1, idx,
           bgpSession = bgpActive, testRules = testRules,
           yaraRules = yaraRules, orient = Some(o0),
-          synSeenBefore = synSeen)
+          synSeenBefore = synSeen,
+          carryIn = carryIn, deferTail = if (pqCut) 1 else 0)
         synSeen ||= seg.exists(p => (p.tcpFlags & Decode.TH_SYN) != 0)
         protoAcc ++= row.protocol
         srcMacAcc ++= row.srcMac
@@ -369,8 +382,20 @@ object SessionBuilder {
       bgpSession: Boolean = false, testRules: Boolean = false,
       yaraRules: Seq[graft.ops.Yara.Rule] = Nil,
       orient: Option[(String, Int, String, Int)] = None,
-      synSeenBefore: Boolean = false): SessionRow = {
+      synSeenBefore: Boolean = false,
+      carryIn: Array[DecodedPacket] = Array.empty,
+      deferTail: Int = 0): SessionRow = {
     val first = seg.head
+    // `seg` drives the packet-level counters (packets, bytes, packetPos,
+    // first/last); `dataSeg` drives everything the tcp parser sees —
+    // flags, reassembly, databytes, parsers. They differ only around a
+    // BGP pq save, where the firing packet is counted in the old save
+    // (deferTail trims it here) but its flags+payload process into the
+    // next one (carryIn prepends it there) — packet.c:190 fires the pq
+    // before packet processing, save runs in between.
+    val dataSeg: Array[DecodedPacket] =
+      if (carryIn.isEmpty && deferTail == 0) seg
+      else carryIn ++ seg.dropRight(deferTail)
     // antiSynDrop (parsers/tcp.c:375-382, default TRUE in config.c:560):
     // a session whose first captured packet is the SYN-ACK had its SYN
     // dropped — the SYN-ACK sender is the responder, so the session's
@@ -394,12 +419,15 @@ object SessionBuilder {
       else 1
     val src = seg.filter(dirOf(_) == 0)
     val dst = seg.filter(dirOf(_) == 1)
+    // data-side (parser-visible) per-direction packets — see dataSeg
+    val dataSrc = if (dataSeg eq seg) src else dataSeg.filter(dirOf(_) == 0)
+    val dataDst = if (dataSeg eq seg) dst else dataSeg.filter(dirOf(_) == 1)
 
     var syn, synAck, ack, psh, rst, fin, urg = 0
     val zero = Array(0, 0)
     var synTimeUs = 0L
     var ackTimeUs = 0L
-    if (first.ipProtocol == 6) seg.foreach { p =>
+    if (first.ipProtocol == 6) dataSeg.foreach { p =>
       val f = p.tcpFlags
       if (p.tcpWindow == 0 && (f & TH_RST) == 0) zero(dirOf(p)) += 1
       if ((f & TH_URG) != 0) urg += 1
@@ -424,8 +452,8 @@ object SessionBuilder {
       }
     }
 
-    val srcStream = reassemble(src.toIndexedSeq)
-    val dstStream = reassemble(dst.toIndexedSeq)
+    val srcStream = reassemble(dataSrc.toIndexedSeq)
+    val dstStream = reassemble(dataDst.toIndexedSeq)
     def payload8(b: Array[Byte]): String =
       b.take(8).map(x => f"${x & 0xff}%02x").mkString
     // firstBytes are filled ONLY by the tcp/udp parsers (tcp.c:105-108
@@ -468,8 +496,8 @@ object SessionBuilder {
           side.iterator.map(p => math.max(0, p.wireLen - 8).toLong).sum
         case _ => 0L
       }
-    val srcData = dataBytes(src, srcStream)
-    val dstData = dataBytes(dst, dstStream)
+    val srcData = dataBytes(dataSrc, srcStream)
+    val dstData = dataBytes(dataDst, dstStream)
 
     // SOCKS tunnels carry an inner protocol: peel the handshake and
     // classify/parse the tunneled streams too (parsers/socks.c behavior).
@@ -654,7 +682,7 @@ object SessionBuilder {
       else None
     val dhcp =
       if (preRuleProtocols.contains("dhcp"))
-        DhcpParser.parse(seg.filter(_.payload.nonEmpty).map(_.payload).toIndexedSeq)
+        DhcpParser.parse(dataSeg.filter(_.payload.nonEmpty).map(_.payload).toIndexedSeq)
       else None
     val smtp =
       if (preRuleProtocols.contains("smtp")) SmtpParser.parse(effSrc)
@@ -753,8 +781,8 @@ object SessionBuilder {
       tcpflagsSyn = syn, tcpflagsSynAck = synAck, tcpflagsAck = ack,
       tcpflagsPsh = psh, tcpflagsRst = rst, tcpflagsFin = fin,
       tcpflagsUrg = urg, tcpflagsSrcZero = zero(0), tcpflagsDstZero = zero(1),
-      srcPayload8 = payload8For(srcStream, src, tcpAnchored),
-      dstPayload8 = payload8For(dstStream, dst, tcpAnchored),
+      srcPayload8 = payload8For(srcStream, dataSrc, tcpAnchored),
+      dstPayload8 = payload8For(dstStream, dataDst, tcpAnchored),
       // db.c:669-671: emitted only when both syn and bare-ack were seen,
       // as HALF the µs delta in ms ((ack-syn)/2000); -1 = not set
       initRTT = if (synTimeUs > 0 && ackTimeUs > 0) (ackTimeUs - synTimeUs) / 2000 else -1,

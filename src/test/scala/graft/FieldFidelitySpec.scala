@@ -210,15 +210,10 @@ class FieldFidelitySpec extends AnyFunSuite with SparkSpecBase {
       "network.community_id" -> 134,
       "source.packets" -> 145, "source.bytes" -> 145,
       "destination.packets" -> 145, "destination.bytes" -> 145,
-      // tunnel (vxlan/erspan) inner-packet payload-offset accounting in
-      // the reference trims differently; one bgp mid-save split
-      "client.bytes" -> 143, "server.bytes" -> 142,
+      "client.bytes" -> 145, "server.bytes" -> 145,
       "source.mac" -> 137, "destination.mac" -> 137,
       "tcpflags.syn" -> 108, "tcpflags.syn-ack" -> 108,
-      "tcpflags.ack" -> 108,
-      // psh 107/108: cloudshark-bgp-md5 splits one PSH packet across the
-      // 5 s BGP mid-save boundary differently (packets+bytes still match)
-      "tcpflags.psh" -> 107,
+      "tcpflags.ack" -> 108, "tcpflags.psh" -> 108,
       "tcpflags.rst" -> 108, "tcpflags.fin" -> 108, "tcpflags.urg" -> 108,
       "http.key" -> 5, "http.value" -> 5,
       "http.cookieKey" -> 10, "http.cookieValue" -> 10,
@@ -255,7 +250,7 @@ class FieldFidelitySpec extends AnyFunSuite with SparkSpecBase {
       // round 4 additions: session-level scalars (uint32-wrapped length,
       // mid-save-surviving firstPacket/firstBytes, save-ordinal
       // segmentCnt, anchored payload8) and the remaining parser fields
-      "length" -> 145, "totDataBytes" -> 142, "segmentCnt" -> 145,
+      "length" -> 145, "totDataBytes" -> 145, "segmentCnt" -> 145,
       "protocol" -> 145,
       "tcpflags.srcZero" -> 108, "tcpflags.dstZero" -> 108,
       "srcPayload8" -> 129, "dstPayload8" -> 112,
