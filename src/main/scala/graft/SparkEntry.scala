@@ -425,6 +425,12 @@ object SparkEntry {
       TextOps.stratifiedSample(docs(s, dir), col("lang"), col("doc_id"),
         Map("en" -> 0.5, "de" -> 0.25), defaultRate = 0.1)
         .select("doc_id", "lang").orderBy("doc_id")),
+    // P3: temperature-weighted source mixing (w^(1/T) downsampling)
+    "p3_temperature_mix" -> ((s, dir) =>
+      TextOps.temperatureMix(docs(s, dir), col("lang"), col("doc_id"),
+        Map("en" -> 0.6, "zh" -> 0.15, "es" -> 0.1, "de" -> 0.1,
+          "fr" -> 0.05), temperature = 2.0)
+        .select("doc_id", "lang").orderBy("doc_id")),
     // P2: seeded deterministic global shuffle into training shards
     "p2_seeded_shuffle" -> ((s, dir) =>
       Pack.seededShuffle(docs(s, dir), col("doc_id"), seed = "graft-r3",
@@ -1280,6 +1286,13 @@ object SparkEntry {
       """SELECT doc_id, lang FROM documents
          WHERE CAST(('0x' || substr(md5(lang || '|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000
            < CAST((CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25 ELSE 0.1 END) * 1000 AS BIGINT)
+         ORDER BY doc_id""",
+    "p3_temperature_mix" ->
+      """SELECT doc_id, lang FROM documents
+         WHERE CAST(('0x' || substr(md5(lang || '|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000
+           < (CASE lang WHEN 'en' THEN 1000 WHEN 'zh' THEN 500
+              WHEN 'es' THEN 408 WHEN 'de' THEN 408 WHEN 'fr' THEN 289
+              ELSE 0 END)
          ORDER BY doc_id""",
     "p2_seeded_shuffle" ->
       """WITH h AS (SELECT doc_id,

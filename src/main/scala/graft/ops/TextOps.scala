@@ -202,6 +202,35 @@ object TextOps {
     df.filter(bucket < (rate * 1000).cast("long"))
   }
 
+  /** P3: temperature-weighted source mixing — the data-mixing step of a
+    * training pipeline. Target proportions follow w^(1/T): T=1 keeps the
+    * given weights, T→∞ flattens toward uniform. Rates are normalized so
+    * the heaviest source keeps everything (pure downsampling — no
+    * upsampling/duplication, which dedup would undo anyway), then
+    * quantized to 1/1000 so the deterministic md5 bucket compare is
+    * bit-reproducible (and expressible in any SQL oracle as integer
+    * thresholds). Map-side filter: no shuffle, scales to any corpus.
+    */
+  def temperatureMix(
+      df: DataFrame, sourceCol: Column, idCol: Column,
+      weights: Map[String, Double], temperature: Double): DataFrame = {
+    require(temperature > 0, "temperature must be > 0")
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "weights must be positive")
+    val powed = weights.map { case (k, v) =>
+      k -> math.pow(v, 1.0 / temperature)
+    }
+    val mx = powed.values.max
+    val thresholds = powed.map { case (k, v) =>
+      k -> math.round(v * 1000.0 / mx) // integer per-mille keep rate
+    }
+    val thr = thresholds.foldLeft(lit(0L)) { case (acc, (s, t)) =>
+      when(sourceCol === s, lit(t)).otherwise(acc)
+    }
+    val bucket = hex32(concat(sourceCol, lit("|"), idCol.cast("string"))) % 1000
+    df.filter(bucket < thr)
+  }
+
   /** Split documents into fixed-size token chunks with overlap — the
     * context-window prep step of a training pipeline. Chunk i starts at
     * token 1 + i·(size−overlap); every chunk after the first repeats the

@@ -231,6 +231,28 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpecBase {
     assert(enKept > en * 3 / 10 && enKept < en * 7 / 10)
   }
 
+  test("temperatureMix downsamples toward w^(1/T) proportions") {
+    // T=1 keeps the raw weights; the heaviest source keeps everything
+    val t1 = TextOps.temperatureMix(docs, col("lang"), col("doc_id"),
+      Map("en" -> 0.6, "de" -> 0.15), temperature = 1.0)
+    assert(t1.filter(col("lang") === "en").count() ==
+      docs.filter(col("lang") === "en").count())
+    // de keep-rate .15/.6 = 25%; md5-uniform selection, wide tolerance
+    val de = docs.filter(col("lang") === "de").count()
+    val deKept = t1.filter(col("lang") === "de").count()
+    assert(deKept > de / 10 && deKept < de * 2 / 5, s"$deKept of $de")
+    // unlisted sources are dropped entirely
+    assert(t1.filter(col("lang") === "zh").count() == 0)
+    // higher temperature flattens: de keeps MORE than at T=1
+    val t4 = TextOps.temperatureMix(docs, col("lang"), col("doc_id"),
+      Map("en" -> 0.6, "de" -> 0.15), temperature = 4.0)
+    assert(t4.filter(col("lang") === "de").count() > deKept)
+    // deterministic: same inputs, same rows
+    val again = TextOps.temperatureMix(docs, col("lang"), col("doc_id"),
+      Map("en" -> 0.6, "de" -> 0.15), temperature = 1.0)
+    assert(again.count() == t1.count())
+  }
+
   test("chunkTokens covers all tokens with the declared overlap") {
     import spark.implicits._
     val d = Seq((1L, (1 to 95).map(i => s"t$i").mkString(" "))).toDF("id", "text")
