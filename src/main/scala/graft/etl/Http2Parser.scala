@@ -443,6 +443,20 @@ object Http2Parser {
       cookieValue = d(cookiePairs.map(_._2).filter(_.nonEmpty)),
       md5 = d(md5s.result()),
       authUser = Nil,
-      bodyMagic = d(magics.result())))
+      bodyMagic = d(magics.result()),
+      // parseHTTPHeaderAll attribution is by RAW direction (http.c:484
+      // keys on which==0, not urlWhich), so PUSH_PROMISE request-style
+      // headers sent by the server land on the response side — exactly
+      // the http2-nghttp2 golden's responseHeaderField/user-agent
+      requestHeaderField = d(plain.filter(_.isReq).map(_.name.toLowerCase)
+        .filterNot(HttpParser.ReqOwnHeaders)).sorted,
+      requestHeaderValue = d(plain.filter(h =>
+        h.isReq && !HttpParser.ReqOwnHeaders(h.name.toLowerCase))
+        .map(_.value.take(1024).toLowerCase).filter(_.nonEmpty)),
+      responseHeaderField = d(plain.filterNot(_.isReq).map(_.name.toLowerCase)
+        .filterNot(HttpParser.RespOwnHeaders)).sorted,
+      responseHeaderValue = d(plain.filter(h =>
+        !h.isReq && !HttpParser.RespOwnHeaders(h.name.toLowerCase))
+        .map(_.value.take(1024).toLowerCase).filter(_.nonEmpty))))
   }
 }

@@ -24,7 +24,18 @@ object HttpParser {
       referer: Seq[String], location: Seq[String],
       cookieKey: Seq[String], cookieValue: Seq[String],
       md5: Seq[String], authUser: Seq[String],
-      bodyMagic: Seq[String] = Nil)
+      bodyMagic: Seq[String] = Nil,
+      // parseHTTPHeader{Request,Response}All (http.c:478-492): headers
+      // with no field of their own get name → *HeaderField and
+      // lowercased value (≤1024) → *HeaderValue
+      requestHeaderField: Seq[String] = Nil,
+      requestHeaderValue: Seq[String] = Nil,
+      responseHeaderField: Seq[String] = Nil,
+      responseHeaderValue: Seq[String] = Nil,
+      authType: Seq[String] = Nil,
+      // configured header field [headers-http-request] authorization →
+      // http.request-authorization, raw value
+      authorization: Seq[String] = Nil)
 
   /** Field-wise union of two parses (an HTTP/1 upgrade that continues
     * as cleartext http2 can yield both).
@@ -48,7 +59,13 @@ object HttpParser {
     cookieValue = (a.cookieValue ++ b.cookieValue).distinct,
     md5 = (a.md5 ++ b.md5).distinct,
     authUser = (a.authUser ++ b.authUser).distinct,
-    bodyMagic = (a.bodyMagic ++ b.bodyMagic).distinct)
+    bodyMagic = (a.bodyMagic ++ b.bodyMagic).distinct,
+    requestHeaderField = (a.requestHeaderField ++ b.requestHeaderField).distinct.sorted,
+    requestHeaderValue = (a.requestHeaderValue ++ b.requestHeaderValue).distinct,
+    responseHeaderField = (a.responseHeaderField ++ b.responseHeaderField).distinct.sorted,
+    responseHeaderValue = (a.responseHeaderValue ++ b.responseHeaderValue).distinct,
+    authType = (a.authType ++ b.authType).distinct,
+    authorization = (a.authorization ++ b.authorization).distinct)
 
   private final case class Message(
       firstLine: String, headers: Seq[(String, String)], body: Array[Byte],
@@ -313,6 +330,38 @@ object HttpParser {
       // magic runs on every body's head bytes at on_body time - not
       // gated on message completeness (http.c:304)
       bodyMagic = d((reqs ++ resps ++ srcResps).map(_.body)
-        .filter(_.nonEmpty).flatMap(Magic.detect))))
+        .filter(_.nonEmpty).flatMap(Magic.detect)),
+      // parseHTTPHeaderRequestAll/ResponseAll (config.test.ini both on):
+      // any header WITHOUT its own field — the built-in request trio
+      // (x-forwarded-for, user-agent, host; http.c:1031-1033) and the
+      // configured headers-http-request/-response entries — lands as
+      // lowercased name in *HeaderField and lowercased ≤1024-byte value
+      // in *HeaderValue (http.c:126-127 add_lower). Cookie/authorization
+      // still ALSO promote to their own fields separately.
+      requestHeaderField = d((reqs ++ srcResps).flatMap(
+        _.headers.map(_._1.toLowerCase).filterNot(ReqOwnHeaders))).sorted,
+      requestHeaderValue = d((reqs ++ srcResps).flatMap(
+        _.headers.filterNot(h => ReqOwnHeaders(h._1.toLowerCase))
+          .map(h => h._2.take(1024).toLowerCase)).filter(_.nonEmpty)),
+      responseHeaderField = d(resps.flatMap(
+        _.headers.map(_._1.toLowerCase).filterNot(RespOwnHeaders))).sorted,
+      responseHeaderValue = d(resps.flatMap(
+        _.headers.filterNot(h => RespOwnHeaders(h._1.toLowerCase))
+          .map(h => h._2.take(1024).toLowerCase)).filter(_.nonEmpty)),
+      // authType = the scheme token, lowered, only when a space follows
+      // (moloch_http_parse_authorization early-returns without one)
+      authType = d(hs(reqs, "Authorization").map(_.trim)
+        .filter(_.contains(" ")).map(_.split(" ", 2).head.toLowerCase)),
+      authorization = d(hs(reqs, "Authorization"))))
   }
+
+  /** Request headers with fields of their own: the three built-ins
+    * http.c registers (1031-1033) plus the reference test config's
+    * [headers-http-request] referer/authorization.
+    */
+  private[etl] val ReqOwnHeaders =
+    Set("x-forwarded-for", "user-agent", "host", "referer", "authorization")
+
+  /** [headers-http-response] in the test config: location only. */
+  private[etl] val RespOwnHeaders = Set("location")
 }

@@ -110,6 +110,10 @@ object SessionBuilder {
       httpMd5: Seq[String],
       httpClientVersion: Seq[String], httpServerVersion: Seq[String],
       httpBodyMagic: Seq[String],
+      httpRequestHeaderField: Seq[String], httpRequestHeaderValue: Seq[String],
+      httpResponseHeaderField: Seq[String], httpResponseHeaderValue: Seq[String],
+      httpUser: Seq[String], httpAuthType: Seq[String],
+      httpAuthorization: Seq[String],
       dnsQname: Seq[String], dnsQtype: Seq[String], dnsRcode: Seq[String],
       dnsOpcode: Seq[String], dnsQclass: Seq[String], dnsIp: Seq[String],
       dnsMailserverHost: Seq[String], dnsNameserverHost: Seq[String],
@@ -124,6 +128,8 @@ object SessionBuilder {
       smtpHello: Seq[String], emailSrc: Seq[String], emailDst: Seq[String],
       emailSubject: Seq[String], emailContentType: Seq[String],
       emailMimeVersion: Seq[String], emailHeader: Seq[String],
+      emailHeaderField: Seq[String], emailHeaderValue: Seq[String],
+      emailHeaderTrace: Seq[String],
       emailId: Seq[String], emailHost: Seq[String],
       emailIp: Seq[String], emailUseragent: Seq[String],
       cert: Seq[CertParser.CertInfo],
@@ -641,9 +647,23 @@ object SessionBuilder {
     val http2 =
       if (preRuleProtocols.contains("http2")) Http2Parser.parse(effSrc, effDst)
       else None
-    val http = (http1, http2) match {
-      case (Some(a), Some(b)) => Some(HttpParser.merge(a, b))
-      case (a, b)             => a.orElse(b)
+    val http = {
+      val merged = (http1, http2) match {
+        case (Some(a), Some(b)) => Some(HttpParser.merge(a, b))
+        case (a, b)             => a.orElse(b)
+      }
+      // *HeaderField/Value attribution is by RAW packet direction
+      // (http.c:484 keys on which==0, unlike the urlWhich-keyed name
+      // fields). A reverse-peeled socks tunnel fed the parser swapped
+      // streams, so swap these four back (socks5-reverse golden puts the
+      // RESPONSE headers in requestHeaderField).
+      if (peeledRev.isDefined)
+        merged.map(h => h.copy(
+          requestHeaderField = h.responseHeaderField,
+          requestHeaderValue = h.responseHeaderValue,
+          responseHeaderField = h.requestHeaderField,
+          responseHeaderValue = h.requestHeaderValue))
+      else merged
     }
     val dns =
       if (Seq("dns", "mdns", "llmnr").exists(preRuleProtocols.contains)) {
@@ -821,6 +841,13 @@ object SessionBuilder {
       httpClientVersion = http.map(_.clientVersion).getOrElse(Nil),
       httpServerVersion = http.map(_.serverVersion).getOrElse(Nil),
       httpBodyMagic = http.map(_.bodyMagic).getOrElse(Nil),
+      httpRequestHeaderField = http.map(_.requestHeaderField).getOrElse(Nil),
+      httpRequestHeaderValue = http.map(_.requestHeaderValue).getOrElse(Nil),
+      httpResponseHeaderField = http.map(_.responseHeaderField).getOrElse(Nil),
+      httpResponseHeaderValue = http.map(_.responseHeaderValue).getOrElse(Nil),
+      httpUser = http.map(_.authUser).getOrElse(Nil),
+      httpAuthType = http.map(_.authType).getOrElse(Nil),
+      httpAuthorization = http.map(_.authorization).getOrElse(Nil),
       dnsQname = dns.map(_.qname).getOrElse(Nil),
       dnsQtype = dns.map(_.qtype).getOrElse(Nil),
       dnsRcode = dns.map(_.rcode).getOrElse(Nil),
@@ -852,6 +879,9 @@ object SessionBuilder {
       emailContentType = smtp.map(_.contentType).getOrElse(Nil),
       emailMimeVersion = smtp.map(_.mimeVersion).getOrElse(Nil),
       emailHeader = smtp.map(_.headers).getOrElse(Nil),
+      emailHeaderField = smtp.map(_.headerField).getOrElse(Nil),
+      emailHeaderValue = smtp.map(_.headerValue).getOrElse(Nil),
+      emailHeaderTrace = smtp.map(_.headerTrace).getOrElse(Nil),
       emailId = smtp.map(_.id).getOrElse(Nil),
       emailHost = smtp.map(_.host).getOrElse(Nil),
       emailIp = smtp.map(_.ip).getOrElse(Nil),

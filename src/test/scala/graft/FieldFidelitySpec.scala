@@ -170,7 +170,17 @@ class FieldFidelitySpec extends AnyFunSuite with SparkSpecBase {
     ("radius.user", ("radius", "user"), _.radiusUser),
     ("radius.framedIp", ("radius", "framedIp"), _.radiusFramedIp),
     ("radius.mac", ("radius", "mac"), _.radiusMac),
-    ("smb.host", ("smb", "host"), _.smbHost))
+    ("smb.host", ("smb", "host"), _.smbHost),
+    ("http.requestHeaderField", ("http", "requestHeaderField"), _.httpRequestHeaderField),
+    ("http.requestHeaderValue", ("http", "requestHeaderValue"), _.httpRequestHeaderValue),
+    ("http.responseHeaderField", ("http", "responseHeaderField"), _.httpResponseHeaderField),
+    ("http.responseHeaderValue", ("http", "responseHeaderValue"), _.httpResponseHeaderValue),
+    ("http.user", ("http", "user"), _.httpUser),
+    ("http.authType", ("http", "authType"), _.httpAuthType),
+    ("http.request-authorization", ("http", "request-authorization"), _.httpAuthorization),
+    ("email.headerField", ("email", "headerField"), _.emailHeaderField),
+    ("email.headerValue", ("email", "headerValue"), _.emailHeaderValue),
+    ("email.header-x-elnk-trace", ("email", "header-x-elnk-trace"), _.emailHeaderTrace))
 
   test("per-field fidelity floors across the golden corpus") {
     val dir = new java.io.File("/root/reference/tests/pcap")
@@ -258,7 +268,16 @@ class FieldFidelitySpec extends AnyFunSuite with SparkSpecBase {
       "http.response-location" -> 5, "ssh.key" -> 2, "bgp.type" -> 1,
       "oracle.user" -> 1, "oracle.host" -> 1, "oracle.service" -> 1,
       "radius.user" -> 1, "radius.framedIp" -> 1, "radius.mac" -> 1,
-      "smb.host" -> 2)
+      "smb.host" -> 2,
+      // parseHTTPHeaderAll / parseSMTPHeaderAll capture-all header
+      // fields+values (raw-direction attribution incl. the socks5-reverse
+      // swap and http2 PUSH_PROMISE sides), auth fields, [headers-email]
+      "http.requestHeaderField" -> 28, "http.requestHeaderValue" -> 28,
+      "http.responseHeaderField" -> 28, "http.responseHeaderValue" -> 28,
+      "http.user" -> 2, "http.authType" -> 2,
+      "http.request-authorization" -> 2,
+      "email.headerField" -> 10, "email.headerValue" -> 10,
+      "email.header-x-elnk-trace" -> 1)
     for ((label, _, _) <- fields) {
       info(f"$label%-16s ${match_(label)}%3d / ${seen(label)}%3d" +
         (if (misses(label).nonEmpty)
