@@ -30,13 +30,31 @@ object AppProtocols {
     * v5 atyp 3 — kept raw, even when it looks like a dotted literal,
     * as socks.c stores it) is set.
     */
-  final case class SocksInfo(ip: String, host: String, port: Int, user: String)
+  final case class SocksInfo(ip: String, host: String, port: Int, user: String,
+      // SOCKS5 username/password sub-negotiation used (socks.c:142 tag)
+      password: Boolean = false)
 
   /** Detect and strip a SOCKS4/5 handshake from the two streams, returning
     * the tunneled inner streams plus the destination the client asked for
     * (reference parser: capture/parsers/socks.c). Returns None if the
     * streams don't start with a SOCKS handshake.
     */
+  /** SOCKS5 username/password sub-negotiation (RFC 1929) scan, usable
+    * even when the CONNECT request never completes (socks-http-pass has
+    * a session that authenticates but whose tunnel setup is cut short —
+    * the reference still records socks.user and tags socks:password).
+    */
+  def socks5AuthUser(src: Array[Byte]): Option[String] = {
+    if (src.length < 3 || src(0) != 5) return None
+    val reqOff = 2 + (src(1) & 0xff)
+    if (src.length <= reqOff + 2 || src(reqOff) != 1) return None
+    val ulen = src(reqOff + 1) & 0xff
+    if (ulen == 0 || src.length < reqOff + 2 + ulen + 1) return None
+    val plen = src(reqOff + 2 + ulen) & 0xff
+    if (src.length < reqOff + 3 + ulen + plen) return None
+    Some(new String(src, reqOff + 2, ulen, StandardCharsets.ISO_8859_1))
+  }
+
   def peelSocks(src: Array[Byte], dst: Array[Byte],
       allowSocks4: Boolean = true): Option[(Array[Byte], Array[Byte], SocksInfo)] = {
     // In the forward orientation the server side must answer like a
@@ -134,7 +152,7 @@ object AppProtocols {
       }
       Some((innerSrc, innerDst,
         SocksInfo(if (byName) null else addr, if (byName) addr else null,
-          port, user)))
+          port, user, password = user.nonEmpty)))
     } else None
   }
 

@@ -25,7 +25,11 @@ object CertParser {
       validDays: Long,
       publicAlgorithm: String,
       curve: String,
-      alt: Seq[String])      // dNSName subject-alt-names, lowercased
+      alt: Seq[String],      // dNSName subject-alt-names, lowercased
+      // the reference's "isCA" is NOT basicConstraints: tls.c:121-132
+      // reads the 4-byte keyUsage TLV and keeps bit 0x02 of its last
+      // byte — the cRLSign bit. Absent keyUsage → false.
+      isCA: Boolean = false)
 
   private def colonHex(b: Array[Byte]): String =
     b.map(x => f"${x & 0xff}%02x").mkString(":")
@@ -86,7 +90,8 @@ object CertParser {
         validDays = (na - nb) / 86400000L,
         publicAlgorithm = algo,
         curve = curve,
-        alt = alt))
+        alt = alt,
+        isCA = Option(cert.getKeyUsage).exists(ku => ku.length > 6 && ku(6))))
     } catch { case _: Exception => None }
   }
 

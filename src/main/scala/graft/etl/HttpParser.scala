@@ -35,7 +35,10 @@ object HttpParser {
       authType: Seq[String] = Nil,
       // configured header field [headers-http-request] authorization →
       // http.request-authorization, raw value
-      authorization: Seq[String] = Nil)
+      authorization: Seq[String] = Nil,
+      // http:password — a body's first chunk contains password=/passwd=/
+      // pass= (http.c:296-302)
+      passwordInBody: Boolean = false)
 
   /** Field-wise union of two parses (an HTTP/1 upgrade that continues
     * as cleartext http2 can yield both).
@@ -65,7 +68,8 @@ object HttpParser {
     responseHeaderField = (a.responseHeaderField ++ b.responseHeaderField).distinct.sorted,
     responseHeaderValue = (a.responseHeaderValue ++ b.responseHeaderValue).distinct,
     authType = (a.authType ++ b.authType).distinct,
-    authorization = (a.authorization ++ b.authorization).distinct)
+    authorization = (a.authorization ++ b.authorization).distinct,
+    passwordInBody = a.passwordInBody || b.passwordInBody)
 
   private final case class Message(
       firstLine: String, headers: Seq[(String, String)], body: Array[Byte],
@@ -352,7 +356,15 @@ object HttpParser {
       // (moloch_http_parse_authorization early-returns without one)
       authType = d(hs(reqs, "Authorization").map(_.trim)
         .filter(_.contains(" ")).map(_.split(" ", 2).head.toLowerCase)),
-      authorization = d(hs(reqs, "Authorization"))))
+      authorization = d(hs(reqs, "Authorization")),
+      passwordInBody = (reqs ++ resps ++ srcResps).exists { m =>
+        // the reference checks only the FIRST on_body chunk — bound the
+        // scan to the body head so a large download can't false-tag
+        val head = new String(m.body.take(1460), StandardCharsets.ISO_8859_1)
+          .toLowerCase
+        head.contains("password=") || head.contains("passwd=") ||
+          head.contains("pass=")
+      }))
   }
 
   /** Request headers with fields of their own: the three built-ins

@@ -196,7 +196,9 @@ object SmbParser {
 
   final case class SmbInfo(domain: Seq[String], user: Seq[String],
       host: Seq[String], os: Seq[String], version: Seq[String],
-      share: Seq[String], filename: Seq[String])
+      share: Seq[String], filename: Seq[String],
+      // an NTLMSSP triplet pointed outside the blob (smb.c:131-133 tag)
+      badSecurityBlob: Boolean = false)
 
   def isSmb(stream: Array[Byte]): Boolean =
     stream.length >= 8 && ((stream(4) & 0xff) == 0xff || (stream(4) & 0xff) == 0xfe) &&
@@ -207,6 +209,7 @@ object SmbParser {
     val host = Seq.newBuilder[String]; val os = Seq.newBuilder[String]
     val ver = Seq.newBuilder[String]; val share = Seq.newBuilder[String]
     val fn = Seq.newBuilder[String]
+    var badBlob = false
   }
 
   private def u16le(b: Array[Byte], i: Int): Int =
@@ -282,7 +285,10 @@ object SmbParser {
       while (i < 6) {
         lens(i) = u16le(b, noff + 12 + i * 8)
         offs(i) = (u32le(b, noff + 12 + i * 8 + 4) & 0x7fffffffL).toInt
-        if (offs(i) > nlen || lens(i) > nlen || offs(i) + lens(i) > nlen) return
+        if (offs(i) > nlen || lens(i) > nlen || offs(i) + lens(i) > nlen) {
+          acc.badBlob = true // smb.c:131-133 smb:bad-security-blob
+          return
+        }
         i += 1
       }
       if (lens(2) > 0) acc.domain += str(b, noff + offs(2), lens(2), unicode = true)
@@ -406,8 +412,10 @@ object SmbParser {
     val info = SmbInfo(acc.domain.result().distinct, acc.user.result().distinct,
       acc.host.result().distinct, acc.os.result().distinct,
       acc.ver.result().distinct, acc.share.result().distinct,
-      acc.fn.result().distinct)
-    if (info.productIterator.forall(_.asInstanceOf[Seq[_]].isEmpty)) None
+      acc.fn.result().distinct, badSecurityBlob = acc.badBlob)
+    if (!info.badSecurityBlob && info.productIterator.collect {
+      case s: Seq[_] => s
+    }.forall(_.isEmpty)) None
     else Some(info)
   }
 }

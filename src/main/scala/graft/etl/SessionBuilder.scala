@@ -101,6 +101,7 @@ object SessionBuilder {
       packetFileIdx: Seq[Int],
       segmentCnt: Int, segmentSeq: Int,
       socksIp: String, socksHost: String, socksPort: Int,
+      socksUser: Seq[String],
       httpMethod: Seq[String], httpUri: Seq[String], httpHost: Seq[String],
       httpStatuscode: Seq[Int], httpUseragent: Seq[String],
       httpPath: Seq[String], httpKey: Seq[String], httpValue: Seq[String],
@@ -753,6 +754,164 @@ object SessionBuilder {
     val firstMs = first.tsMicros / 1000
     val lastMs = seg.last.tsMicros / 1000
     val fileIds = seg.map(_.file).distinct.toIndexedSeq
+    val certSeq = (tls.map(_.cert).getOrElse(Nil) ++ dtlsCerts).distinct
+
+    // ---- session tags (replaying the reference test deployment) -------
+    // smtp:statuscode:N — needStatus fires when the client ends DATA with
+    // "."; the next server payload's leading 3-digit code becomes the tag
+    // (smtp.c:455-459, 563-565)
+    def smtpStatusTags: Seq[String] =
+      if (!preRuleProtocols.contains("smtp")) Nil
+      else {
+        val out = Seq.newBuilder[String]
+        var needStatus = false
+        dataSeg.filter(_.payload.nonEmpty).foreach { p =>
+          val text = new String(p.payload,
+            java.nio.charset.StandardCharsets.ISO_8859_1)
+          if (dirOf(p) == 0) {
+            // the "." line can be pipelined mid-packet (… "\r\n.\r\nQUIT")
+            if (text.startsWith(".\r\n") || text.contains("\r\n.\r\n"))
+              needStatus = true
+          } else if (needStatus) {
+            needStatus = false
+            val code = text.takeWhile(_.isDigit)
+            if (code.length == 3) out += s"smtp:statuscode:${code.toInt}"
+          }
+        }
+        out.result()
+      }
+
+    // TCP anomaly tags (parsers/tcp.c): no-syn-ack (228-231, seq adopted),
+    // acked-unseen-segment-src/dst (257-266), out-of-order-src/dst (333-337
+    // — a data packet queued while earlier data is still pending). A
+    // faithful mini-replay of the delivery queue over the packet stream.
+    def tcpAnomalyTags: Seq[String] =
+      if (first.ipProtocol != 6 || first.keyOverride != null) Nil
+      else {
+        val out = scala.collection.mutable.LinkedHashSet[String]()
+        var haveTcp = false
+        var synAckSeen = false
+        val seqSet = Array(false, false)
+        val expected = Array(0L, 0L)
+        val ooTagged = Array(false, false)
+        val ackTagged = Array(false, false)
+        final case class Pend(dir: Int, seq: Long, len: Int)
+        val pending = scala.collection.mutable.ListBuffer[Pend]()
+        def sdiff(a: Long, b: Long): Long = {
+          val d = (b - a) & 0xffffffffL
+          if (d > 0x7fffffffL) d - 0x100000000L else d
+        }
+        dataSeg.foreach { p =>
+          val d = dirOf(p)
+          val f = p.tcpFlags
+          val seq = p.tcpSeq & 0xffffffffL
+          if ((f & TH_SYN) != 0) {
+            if ((f & TH_ACK) != 0) {
+              synAckSeen = true
+              // antiSynDrop: a first-captured SYN-ACK seeds the missing
+              // SYN's sequence from its ack (tcp.c:170-175)
+              if (!haveTcp && !seqSet(1 - d)) {
+                expected(1 - d) = p.tcpAck & 0xffffffffL; seqSet(1 - d) = true
+              }
+            }
+            haveTcp = true
+            if (!seqSet(d)) { expected(d) = (seq + 1) & 0xffffffffL; seqSet(d) = true }
+          } else if ((f & TH_RST) != 0) {
+            // RST of already-delivered data returns early (tcp.c:196-200)
+          } else {
+            if (haveTcp && !synAckSeen && !seqSet(d)) {
+              out += "no-syn-ack"
+              expected(d) = seq; seqSet(d) = true
+            }
+            if ((f & TH_ACK) != 0 && haveTcp && !ackTagged(d) && seqSet(1 - d) &&
+              sdiff(expected(1 - d), p.tcpAck & 0xffffffffL) > 1) {
+              ackTagged(d) = true
+              out += (if (d == 0) "acked-unseen-segment-src"
+                else "acked-unseen-segment-dst")
+            }
+            val len = p.payload.length
+            if (len > 0) {
+              val pastDiff = sdiff(expected(d), (seq + len) & 0xffffffffL)
+              if (!(haveTcp && pastDiff <= 0)) {
+                if (pending.nonEmpty && haveTcp && !ooTagged(d)) {
+                  ooTagged(d) = true
+                  out += (if (d == 0) "out-of-order-src" else "out-of-order-dst")
+                }
+                pending += Pend(d, seq, len)
+                var progress = true
+                while (progress) {
+                  progress = false
+                  pending.find(q =>
+                    seqSet(q.dir) && sdiff(q.seq, expected(q.dir)) >= 0)
+                    .foreach { q =>
+                      pending -= q
+                      if (sdiff(expected(q.dir), (q.seq + q.len) & 0xffffffffL) > 0)
+                        expected(q.dir) = (q.seq + q.len) & 0xffffffffL
+                      progress = true
+                    }
+                }
+              }
+            }
+          }
+        }
+        out.toSeq
+      }
+
+    // All capture-side tag sources behind the golden corpus `tags` arrays:
+    // [override-ips] tag ops (config.test.ini:187-188), filenameOps
+    // (config.test.ini:40), dontSaveBPFs=port 12345 truncation, parser
+    // tags, and the tcp anomaly replay. Gated on test fidelity mode.
+    val captureTags: Seq[String] =
+      if (!testRules) Nil
+      else {
+        val socksInfo = peeled.map(_._3)
+        val dnsIps = dns.map(_.ip).getOrElse(Nil)
+        val emailIps = smtp.map(_.ip).getOrElse(Nil)
+        val radiusIps = radius.map(_.framedIp).getOrElse(Nil)
+        val out = Seq.newBuilder[String]
+        // [override-ips] tag ops run on EVERY ip-typed field add
+        // (field.c ipTree lookup) — session endpoints, socks.ip, dns.ip,
+        // email.ip, radius.framedIp (socks5-rdp's srcip comes from its
+        // socks.ip 10.0.0.1, smtp-originating's dstip from email.ip)
+        val ips = Seq(cliIp, srvIp) ++ socksInfo.flatMap(s => Option(s.ip)) ++
+          dnsIps ++ emailIps ++ radiusIps
+        if (ips.contains("10.0.0.1")) out += "srcip"
+        if (ips.contains("10.0.0.2")) out += "dstip"
+        // dontSaveBPFs=port 12345 → stopSaving=1: the 2nd packet tags
+        // truncated-pcap (packet.c:308-311); ESP hard-codes stopSaving=1
+        // for every session (parsers/esp.c:69)
+        if ((cliPort == 12345 || srvPort == 12345 || first.ipProtocol == 50) &&
+          seg.length >= 2)
+          out += "truncated-pcap"
+        // filenameOps: tags=/gre-(.*)\.pcap%gretest-\1; tags=dns-error%error-dns
+        fileIds.map(f => new java.io.File(
+          if (f.startsWith("file:")) new java.net.URI(f).getPath else f).getName)
+          .foreach { n =>
+            "^gre-(.*)\\.pcap$".r.findFirstMatchIn(n)
+              .foreach(m => out += s"gretest-${m.group(1)}")
+            if (n.contains("dns-error")) out += "error-dns"
+          }
+        smtp.foreach(s => out ++= s.tags)
+        out ++= smtpStatusTags
+        if (peeled.exists(_._3.password) ||
+          (baseTags.contains("socks") &&
+            AppProtocols.socks5AuthUser(srcStream).isDefined))
+          out += "socks:password"
+        if (smb.exists(_.badSecurityBlob)) out += "smb:bad-security-blob"
+        if (http.exists(_.passwordInBody)) out += "http:password"
+        // cert:self-signed — first cert only, not a CA, single equal CN,
+        // orgs equal or both absent (tls.c:455-467)
+        certSeq.headOption.foreach { c =>
+          if (!c.isCA && c.subjectCN.size == 1 && c.issuerCN.size == 1 &&
+            c.subjectCN == c.issuerCN &&
+            ((c.subjectON.size == 1 && c.issuerON.size == 1 &&
+              c.subjectON == c.issuerON) ||
+              (c.subjectON.isEmpty && c.issuerON.isEmpty)))
+            out += "cert:self-signed"
+        }
+        if (segmentSeq == 0) out ++= tcpAnomalyTags
+        out.result().distinct
+      }
     SessionRow(
       sessionId = key, node = node,
       firstPacket = firstMs, lastPacket = lastMs,
@@ -811,9 +970,9 @@ object SessionBuilder {
       protocol = protocols,
       // YARA content rules over the reassembled streams
       // (capture/yara.c:161-165 scans payload; tags yara:<rule>)
-      tags =
-        if (yaraRules.isEmpty) Nil
-        else graft.ops.Yara.tags(yaraRules, effSrc, effDst),
+      tags = ((if (yaraRules.isEmpty) Nil
+        else graft.ops.Yara.tags(yaraRules, effSrc, effDst)) ++
+        captureTags).distinct,
       fileId = fileIds,
       packetPos = seg.map(_.fileOffset).toIndexedSeq,
       packetLen = seg.map(_.recLen).toIndexedSeq,
@@ -822,6 +981,9 @@ object SessionBuilder {
       socksIp = peeled.flatMap(p => Option(p._3.ip)).orNull,
       socksHost = peeled.flatMap(p => Option(p._3.host)).orNull,
       socksPort = peeled.map(_._3.port).getOrElse(-1),
+      socksUser = (peeled.map(_._3.user).filter(_.nonEmpty) orElse
+        (if (baseTags.contains("socks"))
+          AppProtocols.socks5AuthUser(srcStream) else None)).toSeq,
       httpMethod = http.map(_.method).getOrElse(Nil),
       httpUri = http.map(_.uri).getOrElse(Nil),
       httpHost = (http.map(_.host).getOrElse(Nil) ++
@@ -886,7 +1048,7 @@ object SessionBuilder {
       emailHost = smtp.map(_.host).getOrElse(Nil),
       emailIp = smtp.map(_.ip).getOrElse(Nil),
       emailUseragent = smtp.map(_.useragent).getOrElse(Nil),
-      cert = (tls.map(_.cert).getOrElse(Nil) ++ dtlsCerts).distinct,
+      cert = certSeq,
       vlanId = seg.iterator.flatMap(_.vlanIds).toSeq.distinct.sorted,
       ircNick = irc.map(_.nick).getOrElse(Nil),
       ircChannel = irc.map(_.channel).getOrElse(Nil),

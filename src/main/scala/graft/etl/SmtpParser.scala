@@ -27,7 +27,10 @@ object SmtpParser {
       headerField: Seq[String] = Nil,
       headerValue: Seq[String] = Nil,
       // configured [headers-email] x-elnk-trace → email.header-x-elnk-trace
-      headerTrace: Seq[String] = Nil)
+      headerTrace: Seq[String] = Nil,
+      // session tags the parser raises (smtp:authplain, smtp:authlogin,
+      // smtp:starttls — smtp.c:479-512)
+      tags: Seq[String] = Nil)
 
   /** Received-header walk (smtp.c:375-426): "from "/"by " tokens yield
     * relay hosts (part after a '@' wins, lowercased); any "[...]" span
@@ -303,6 +306,7 @@ object SmtpParser {
     val hdrField = Seq.newBuilder[String]
     val hdrValue = Seq.newBuilder[String]
     val hdrTrace = Seq.newBuilder[String]
+    val sessionTags = Seq.newBuilder[String]
     val subject = Seq.newBuilder[String]
     val contentType = Seq.newBuilder[String]
     val mimeVersion = Seq.newBuilder[String]
@@ -359,12 +363,16 @@ object SmtpParser {
         if (authState == 1) { b64user(line, plain = false); authState = 0 }
         else if (authState == 2) { b64user(line, plain = true); authState = 0 }
         else if (u.startsWith("AUTH LOGIN")) {
+          sessionTags += "smtp:authlogin"
           // inline initial-response or username on the next line
           val arg = line.substring(10).trim
           if (arg.nonEmpty) b64user(arg, plain = false) else authState = 1
         } else if (u.startsWith("AUTH PLAIN")) {
+          sessionTags += "smtp:authplain"
           val arg = line.substring(10).trim
           if (arg.nonEmpty) b64user(arg, plain = true) else authState = 2
+        } else if (u.startsWith("STARTTLS")) {
+          sessionTags += "smtp:starttls"
         } else if (u.startsWith("HELO ") || u.startsWith("EHLO "))
           hello += line.substring(5).trim.toLowerCase
         else if (u.startsWith("MAIL FROM")) addr(line).foreach(src += _)
@@ -405,7 +413,8 @@ object SmtpParser {
       useragent = mailUa.result().distinct,
       headerField = hdrField.result().distinct,
       headerValue = hdrValue.result().distinct,
-      headerTrace = hdrTrace.result().distinct)
+      headerTrace = hdrTrace.result().distinct,
+      tags = sessionTags.result().distinct)
     if (info.hello.isEmpty && info.src.isEmpty && info.subject.isEmpty) None
     else Some(info)
   }

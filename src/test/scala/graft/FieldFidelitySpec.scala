@@ -180,7 +180,11 @@ class FieldFidelitySpec extends AnyFunSuite with SparkSpecBase {
     ("http.request-authorization", ("http", "request-authorization"), _.httpAuthorization),
     ("email.headerField", ("email", "headerField"), _.emailHeaderField),
     ("email.headerValue", ("email", "headerValue"), _.emailHeaderValue),
-    ("email.header-x-elnk-trace", ("email", "header-x-elnk-trace"), _.emailHeaderTrace))
+    ("email.header-x-elnk-trace", ("email", "header-x-elnk-trace"), _.emailHeaderTrace),
+    ("tags", ("tags", ""), _.tags),
+    ("srcOui", ("srcOui", ""), _.srcOui),
+    ("dstOui", ("dstOui", ""), _.dstOui),
+    ("socks.user", ("socks", "user"), _.socksUser))
 
   test("per-field fidelity floors across the golden corpus") {
     val dir = new java.io.File("/root/reference/tests/pcap")
@@ -277,7 +281,11 @@ class FieldFidelitySpec extends AnyFunSuite with SparkSpecBase {
       "http.user" -> 2, "http.authType" -> 2,
       "http.request-authorization" -> 2,
       "email.headerField" -> 10, "email.headerValue" -> 10,
-      "email.header-x-elnk-trace" -> 1)
+      "email.header-x-elnk-trace" -> 1,
+      // session tags replay ([override-ips], filenameOps, dontSaveBPFs /
+      // esp stopSaving, parser tags, tcp anomaly queue replay, yara) and
+      // the remaining ip-side fields
+      "tags" -> 72, "srcOui" -> 132, "dstOui" -> 129, "socks.user" -> 2)
     for ((label, _, _) <- fields) {
       info(f"$label%-16s ${match_(label)}%3d / ${seen(label)}%3d" +
         (if (misses(label).nonEmpty)
