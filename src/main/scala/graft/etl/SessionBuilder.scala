@@ -102,6 +102,9 @@ object SessionBuilder {
       segmentCnt: Int, segmentSeq: Int,
       socksIp: String, socksHost: String, socksPort: Int,
       socksUser: Seq[String],
+      // tests/plugins/test.c pre-save fields (sessions from 10.0.0.1)
+      testIp: Seq[String], testNumber: Seq[Long], testString: Seq[String],
+      testAsn: Seq[String], testGeo: Seq[String], testRir: Seq[String],
       httpMethod: Seq[String], httpUri: Seq[String], httpHost: Seq[String],
       httpStatuscode: Seq[Int], httpUseragent: Seq[String],
       httpPath: Seq[String], httpKey: Seq[String], httpValue: Seq[String],
@@ -756,6 +759,29 @@ object SessionBuilder {
     val fileIds = seg.map(_.file).distinct.toIndexedSeq
     val certSeq = (tls.map(_.cert).getOrElse(Nil) ++ dtlsCerts).distinct
 
+    // tests/plugins/test.c pre_save: when the session source is 10.0.0.1
+    // (v4), emit test.ip = addr1, test.number = addr2 read as a
+    // little-endian uint32, test.string.snow = "a1:p1,a2:p2" in the same
+    // integer rendering. ASN/GEO come from the [override-ips] enrichment
+    // of 10.0.0.1.
+    val testPlugin: Option[(String, Long, String)] =
+      if (!testRules || cliIp != "10.0.0.1") None
+      else {
+        def le(ip: String): Option[Long] = {
+          val m = graft.functions.IpUtil.toBytes(ip) // 16-byte v4-mapped
+          if (m == null || m.length != 16 || m(10) != -1 || m(11) != -1 ||
+            !(0 until 10).forall(m(_) == 0)) None
+          else Some((((m(15) & 0xffL) << 24) | ((m(14) & 0xffL) << 16) |
+            ((m(13) & 0xffL) << 8) | (m(12) & 0xffL)))
+        }
+        // snprintf "%d": string.snow renders the addrs as SIGNED int32,
+        // while the int field keeps the unsigned value (ospf/ssl3 goldens)
+        // port-less (lumped) protocols render port 0, as session->port
+        for (a1 <- le(cliIp); a2 <- le(srvIp))
+          yield ("10.0.0.1", a2,
+            s"${a1.toInt}:${math.max(0, cliPort)},${a2.toInt}:${math.max(0, srvPort)}")
+      }
+
     // ---- session tags (replaying the reference test deployment) -------
     // smtp:statuscode:N — needStatus fires when the client ends DATA with
     // "."; the next server payload's leading 3-digit code becomes the tag
@@ -984,6 +1010,18 @@ object SessionBuilder {
       socksUser = (peeled.map(_._3.user).filter(_.nonEmpty) orElse
         (if (baseTags.contains("socks"))
           AppProtocols.socks5AuthUser(srcStream) else None)).toSeq,
+      testIp = testPlugin.map(_._1).toSeq,
+      testNumber = testPlugin.map(_._2).toSeq,
+      testString = testPlugin.map(_._3).toSeq,
+      testAsn = testPlugin.flatMap(_ =>
+        graft.model.Fixtures.asnGeoOf("10.0.0.1", testMode = true)
+          .flatMap(_.full)).toSeq,
+      testGeo = testPlugin.flatMap(_ =>
+        graft.model.Fixtures.asnGeoOf("10.0.0.1", testMode = true)
+          .flatMap(_.country)).toSeq,
+      // 10.0.0.1 carries no rir override → the RIR sub-field serializes
+      // as an empty string, not as absent
+      testRir = testPlugin.map(_ => "").toSeq,
       httpMethod = http.map(_.method).getOrElse(Nil),
       httpUri = http.map(_.uri).getOrElse(Nil),
       httpHost = (http.map(_.host).getOrElse(Nil) ++

@@ -184,7 +184,13 @@ class FieldFidelitySpec extends AnyFunSuite with SparkSpecBase {
     ("tags", ("tags", ""), _.tags),
     ("srcOui", ("srcOui", ""), _.srcOui),
     ("dstOui", ("dstOui", ""), _.dstOui),
-    ("socks.user", ("socks", "user"), _.socksUser))
+    ("socks.user", ("socks", "user"), _.socksUser),
+    ("test.ip", ("test", "ip"), _.testIp),
+    ("test.number", ("test", "number"), _.testNumber.map(_.toString)),
+    ("test.string.snow", ("test", "string.snow"), _.testString),
+    ("test.ASN", ("test", "ASN"), _.testAsn),
+    ("test.GEO", ("test", "GEO"), _.testGeo),
+    ("test.RIR", ("test", "RIR"), _.testRir))
 
   test("per-field fidelity floors across the golden corpus") {
     val dir = new java.io.File("/root/reference/tests/pcap")
@@ -285,7 +291,11 @@ class FieldFidelitySpec extends AnyFunSuite with SparkSpecBase {
       // session tags replay ([override-ips], filenameOps, dontSaveBPFs /
       // esp stopSaving, parser tags, tcp anomaly queue replay, yara) and
       // the remaining ip-side fields
-      "tags" -> 72, "srcOui" -> 132, "dstOui" -> 129, "socks.user" -> 2)
+      "tags" -> 72, "srcOui" -> 132, "dstOui" -> 129, "socks.user" -> 2,
+      // tests/plugins/test.c pre-save fields (LE int addrs, signed in
+      // string.snow, override-ips enrichment of test.ip)
+      "test.ip" -> 46, "test.number" -> 46, "test.string.snow" -> 46,
+      "test.ASN" -> 46, "test.GEO" -> 46, "test.RIR" -> 46)
     for ((label, _, _) <- fields) {
       info(f"$label%-16s ${match_(label)}%3d / ${seen(label)}%3d" +
         (if (misses(label).nonEmpty)
