@@ -42,10 +42,26 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def line(entries: Seq[(String, Double)]): String = {
+      val qs = entries.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+        .mkString("{", ",", "}")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    }
+    // Full per-query detail goes to a sidecar file; stdout gets a line
+    // guaranteed to fit the driver's bounded output tail (slowest queries
+    // first, as many as fit the budget) so the metric always parses.
+    val full = line(results)
+    try {
+      val w = new java.io.PrintWriter("bench_full.json")
+      try w.println(full) finally w.close()
+    } catch { case _: Exception => () }
+    val budget = 1500
+    val slowestFirst = results.sortBy(-_._2)
+    var kept = slowestFirst.length
+    while (kept > 0 && line(slowestFirst.take(kept).sortBy(_._1)).length > budget)
+      kept -= 1
+    println(line(slowestFirst.take(kept).sortBy(_._1)))
     spark.stop()
   }
 }
