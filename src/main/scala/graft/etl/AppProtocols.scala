@@ -23,7 +23,8 @@ object AppProtocols {
       qname: Seq[String], qtype: Seq[String], rcode: Seq[String],
       opcode: Seq[String] = Nil, qclass: Seq[String] = Nil,
       ip: Seq[String] = Nil, mailserverHost: Seq[String] = Nil,
-      nameserverHost: Seq[String] = Nil, nameserverIp: Seq[String] = Nil)
+      nameserverHost: Seq[String] = Nil, nameserverIp: Seq[String] = Nil,
+      mailserverIp: Seq[String] = Nil)
 
   /** Destination the client asked for: exactly one of `ip` (connect-by
     * address, SOCKS4 / v5 atyp 1+4) or `host` (connect-by-name, SOCKS4a /
@@ -627,6 +628,7 @@ object AppProtocols {
     val hostSet = scala.collection.mutable.Set[String]()
     names.foreach(hostSet += _)
     val nsIp = Seq.newBuilder[String]
+    val mxIp = Seq.newBuilder[String]
     var rr = 0
     // queries don't get their record sections walked (dns.c:296-297
     // returns before the RR loop unless response or UPDATE) — an mDNS
@@ -652,6 +654,7 @@ object AppProtocols {
               else {
                 if (hostSet.contains(owner)) ip += a
                 if (nsSet.contains(owner)) nsIp += a
+                if (mxSet.contains(owner)) mxIp += a
               }
             case 28 if rdLen == 16 => // AAAA — reference emits the fully
               // expanded v6 form for answer addresses (dns.ip goldens)
@@ -661,6 +664,7 @@ object AppProtocols {
               else {
                 if (hostSet.contains(owner)) ip += a
                 if (nsSet.contains(owner)) nsIp += a
+                if (mxSet.contains(owner)) mxIp += a
               }
             case 2 => // NS
               val (h, _) = dnsName(msg, rdOff)
@@ -685,7 +689,8 @@ object AppProtocols {
       ip = ip.result().distinct,
       mailserverHost = mx.result().distinct,
       nameserverHost = nsHosts.result().distinct,
-      nameserverIp = nsIp.result().distinct))
+      nameserverIp = nsIp.result().distinct,
+      mailserverIp = mxIp.result().distinct))
   }
 
   def dnsOpcodeName(c: Int): String = c match {

@@ -121,7 +121,18 @@ object SessionBuilder {
       dnsQname: Seq[String], dnsQtype: Seq[String], dnsRcode: Seq[String],
       dnsOpcode: Seq[String], dnsQclass: Seq[String], dnsIp: Seq[String],
       dnsMailserverHost: Seq[String], dnsNameserverHost: Seq[String],
-      dnsNameserverIp: Seq[String],
+      dnsNameserverIp: Seq[String], dnsMailserverIp: Seq[String],
+      // per-ip enrichment arrays aligned with their ip arrays, rendered
+      // exactly as db.c:1088-1152 ("---" for unknown ASN/GEO, "" RIR)
+      dnsAsn: Seq[String], dnsGeo: Seq[String], dnsRir: Seq[String],
+      dnsNameserverAsn: Seq[String], dnsNameserverGeo: Seq[String],
+      dnsNameserverRir: Seq[String],
+      dnsMailserverAsn: Seq[String], dnsMailserverGeo: Seq[String],
+      dnsMailserverRir: Seq[String],
+      emailAsn: Seq[String], emailGeo: Seq[String], emailRir: Seq[String],
+      socksAsn: String, socksGeo: String, socksRir: String,
+      radiusFramedAsn: Seq[String], radiusFramedGeo: Seq[String],
+      radiusFramedRir: Seq[String],
       tlsVersion: Seq[String], tlsCipher: Seq[String],
       tlsJa3: Seq[String], tlsJa3String: Seq[String],
       tlsJa3s: Seq[String], tlsJa3sString: Seq[String],
@@ -688,7 +699,8 @@ object SessionBuilder {
           infos.flatMap(_.ip).distinct.toIndexedSeq,
           infos.flatMap(_.mailserverHost).distinct.toIndexedSeq,
           infos.flatMap(_.nameserverHost).distinct.toIndexedSeq,
-          infos.flatMap(_.nameserverIp).distinct.toIndexedSeq))
+          infos.flatMap(_.nameserverIp).distinct.toIndexedSeq,
+          infos.flatMap(_.mailserverIp).distinct.toIndexedSeq))
       } else None
     val tls =
       if (preRuleProtocols.contains("tls")) {
@@ -938,6 +950,28 @@ object SessionBuilder {
         if (segmentSeq == 0) out ++= tcpAnomalyTags
         out.result().distinct
       }
+    // Per-address enrichment (override-ips → geo/ASN dbs → rirFile, the
+    // capture/db.c:267-340 merge); aligned arrays render unknowns as
+    // "---"/"---"/"" exactly like db.c:1118-1152's IP_GHASH writer.
+    def enrichIp(ip: String): Fixtures.IpEnrich =
+      if (ip == null) Fixtures.IpEnrich(None, None, None)
+      else Fixtures.enrichOf(ip, testRules)
+    def asnArr(ips: Seq[String]): Seq[String] =
+      ips.map(ip => enrichIp(ip).asnFull.getOrElse("---"))
+    def geoArr(ips: Seq[String]): Seq[String] =
+      ips.map(ip => enrichIp(ip).country.getOrElse("---"))
+    def rirArr(ips: Seq[String]): Seq[String] =
+      ips.map(ip => enrichIp(ip).rir.getOrElse(""))
+    val dnsIps = dns.map(_.ip).getOrElse(Nil)
+    val dnsNsIps = dns.map(_.nameserverIp).getOrElse(Nil)
+    val dnsMxIps = dns.map(_.mailserverIp).getOrElse(Nil)
+    val emailIps = smtp.map(_.ip).getOrElse(Nil)
+    val framedIps = radius.map(_.framedIp).getOrElse(Nil)
+    val socksIpVal = peeled.flatMap(p => Option(p._3.ip)).orNull
+    val socksEnrich = enrichIp(socksIpVal)
+    val srcEnrich = enrichIp(cliIp)
+    val dstEnrich = enrichIp(srvIp)
+
     SessionRow(
       sessionId = key, node = node,
       firstPacket = firstMs, lastPacket = lastMs,
@@ -967,20 +1001,16 @@ object SessionBuilder {
       dstDataBytes = dstData,
       dstMac = (dst.take(10).map(_.macSrc) ++ src.take(10).map(_.macDst))
         .filter(_.nonEmpty).distinct.sorted.toIndexedSeq,
-      srcRIR = Fixtures.rirOf(cliIp, testRules).orNull,
-      dstRIR = Fixtures.rirOf(srvIp, testRules).orNull,
+      srcRIR = srcEnrich.rir.orNull,
+      dstRIR = dstEnrich.rir.orNull,
       srcOui = (src.map(_.macSrc) ++ dst.map(_.macDst)).filter(_.nonEmpty)
         .distinct.sorted.flatMap(Fixtures.ouiOf).distinct.toIndexedSeq,
       dstOui = (dst.map(_.macSrc) ++ src.map(_.macDst)).filter(_.nonEmpty)
         .distinct.sorted.flatMap(Fixtures.ouiOf).distinct.toIndexedSeq,
-      srcCountry = Fixtures.asnGeoOf(cliIp, testRules)
-        .flatMap(_.country).orNull,
-      dstCountry = Fixtures.asnGeoOf(srvIp, testRules)
-        .flatMap(_.country).orNull,
-      srcAsn = Fixtures.asnGeoOf(cliIp, testRules)
-        .flatMap(_.full).orNull,
-      dstAsn = Fixtures.asnGeoOf(srvIp, testRules)
-        .flatMap(_.full).orNull,
+      srcCountry = srcEnrich.country.orNull,
+      dstCountry = dstEnrich.country.orNull,
+      srcAsn = srcEnrich.asnFull.orNull,
+      dstAsn = dstEnrich.asnFull.orNull,
       totPackets = seg.length, totBytes = seg.map(_.wireLen.toLong).sum,
       totDataBytes = srcData + dstData,
       tcpflagsSyn = syn, tcpflagsSynAck = synAck, tcpflagsAck = ack,
@@ -1004,7 +1034,12 @@ object SessionBuilder {
       packetLen = seg.map(_.recLen).toIndexedSeq,
       packetFileIdx = seg.map(p => fileIds.indexOf(p.file)).toIndexedSeq,
       segmentCnt = segmentCnt, segmentSeq = segmentSeq,
-      socksIp = peeled.flatMap(p => Option(p._3.ip)).orNull,
+      socksIp = socksIpVal,
+      // scalar IP fields omit enrichment keys the lookup misses
+      // (db.c:1051-1072 `if (g) ... if (asStr) ... if (rir)`)
+      socksAsn = socksEnrich.asnFull.orNull,
+      socksGeo = socksEnrich.country.orNull,
+      socksRir = socksEnrich.rir.orNull,
       socksHost = peeled.flatMap(p => Option(p._3.host)).orNull,
       socksPort = peeled.map(_._3.port).getOrElse(-1),
       socksUser = (peeled.map(_._3.user).filter(_.nonEmpty) orElse
@@ -1053,10 +1088,19 @@ object SessionBuilder {
       dnsRcode = dns.map(_.rcode).getOrElse(Nil),
       dnsOpcode = dns.map(_.opcode).getOrElse(Nil),
       dnsQclass = dns.map(_.qclass).getOrElse(Nil),
-      dnsIp = dns.map(_.ip).getOrElse(Nil),
+      dnsIp = dnsIps,
       dnsMailserverHost = dns.map(_.mailserverHost).getOrElse(Nil),
       dnsNameserverHost = dns.map(_.nameserverHost).getOrElse(Nil),
-      dnsNameserverIp = dns.map(_.nameserverIp).getOrElse(Nil),
+      dnsNameserverIp = dnsNsIps,
+      dnsMailserverIp = dnsMxIps,
+      dnsAsn = asnArr(dnsIps), dnsGeo = geoArr(dnsIps),
+      dnsRir = rirArr(dnsIps),
+      dnsNameserverAsn = asnArr(dnsNsIps),
+      dnsNameserverGeo = geoArr(dnsNsIps),
+      dnsNameserverRir = rirArr(dnsNsIps),
+      dnsMailserverAsn = asnArr(dnsMxIps),
+      dnsMailserverGeo = geoArr(dnsMxIps),
+      dnsMailserverRir = rirArr(dnsMxIps),
       tlsVersion = tls.map(_.version).getOrElse(Nil),
       tlsCipher = tls.map(_.cipher).getOrElse(Nil),
       tlsJa3 = tls.map(_.ja3).getOrElse(Nil),
@@ -1084,7 +1128,9 @@ object SessionBuilder {
       emailHeaderTrace = smtp.map(_.headerTrace).getOrElse(Nil),
       emailId = smtp.map(_.id).getOrElse(Nil),
       emailHost = smtp.map(_.host).getOrElse(Nil),
-      emailIp = smtp.map(_.ip).getOrElse(Nil),
+      emailIp = emailIps,
+      emailAsn = asnArr(emailIps), emailGeo = geoArr(emailIps),
+      emailRir = rirArr(emailIps),
       emailUseragent = smtp.map(_.useragent).getOrElse(Nil),
       cert = certSeq,
       vlanId = seg.iterator.flatMap(_.vlanIds).toSeq.distinct.sorted,
@@ -1125,7 +1171,10 @@ object SessionBuilder {
       oracleHost = oracleInfo.map(_.host).orNull,
       oracleService = oracleInfo.map(_.service).orNull,
       radiusUser = radius.map(_.user).getOrElse(Nil),
-      radiusFramedIp = radius.map(_.framedIp).getOrElse(Nil),
+      radiusFramedIp = framedIps,
+      radiusFramedAsn = asnArr(framedIps),
+      radiusFramedGeo = geoArr(framedIps),
+      radiusFramedRir = rirArr(framedIps),
       radiusMac = radius.map(_.mac).getOrElse(Nil))
   }
 

@@ -100,7 +100,10 @@ class EnrichFixtureSpec extends AnyFunSuite with SparkSpecBase {
     assert(Fixtures.rirOf("8.8.8.8").contains("ARIN"))
     assert(Fixtures.rirOf("193.1.2.3").contains("RIPE"))
     assert(Fixtures.rirOf("10.1.2.3").isEmpty) // private: no RIR
-    assert(Fixtures.rirOf("10.1.2.3", testMode = true).contains("TEST"))
+    // only the [override-ips] entry for 10.0.0.2 carries rir:TEST —
+    // other 10.x addresses get no RIR even in test mode (config.test.ini)
+    assert(Fixtures.rirOf("10.0.0.2", testMode = true).contains("TEST"))
+    assert(Fixtures.rirOf("10.1.2.3", testMode = true).isEmpty)
     assert(Fixtures.rirOf("2001:db8::1").isEmpty)
     assert(Fixtures.ouiOf("00:0C:29:12:34:56").contains("VMware, Inc."))
     assert(Fixtures.ouiOf("ff:ff:ff:ff:ff:ff").isEmpty)

@@ -190,7 +190,37 @@ class FieldFidelitySpec extends AnyFunSuite with SparkSpecBase {
     ("test.string.snow", ("test", "string.snow"), _.testString),
     ("test.ASN", ("test", "ASN"), _.testAsn),
     ("test.GEO", ("test", "GEO"), _.testGeo),
-    ("test.RIR", ("test", "RIR"), _.testRir))
+    ("test.RIR", ("test", "RIR"), _.testRir),
+    ("source.as.full", ("source", "as/full"), r => Option(r.srcAsn).toSeq),
+    ("destination.as.full", ("destination", "as/full"), r =>
+      Option(r.dstAsn).toSeq),
+    ("source.geo", ("source", "geo/country_iso_code"), r =>
+      Option(r.srcCountry).toSeq),
+    ("destination.geo", ("destination", "geo/country_iso_code"), r =>
+      Option(r.dstCountry).toSeq),
+    ("srcRIR", ("srcRIR", ""), r => Option(r.srcRIR).toSeq),
+    ("dstRIR", ("dstRIR", ""), r => Option(r.dstRIR).toSeq),
+    ("dns.ASN", ("dns", "ASN"), _.dnsAsn),
+    ("dns.GEO", ("dns", "GEO"), _.dnsGeo),
+    ("dns.RIR", ("dns", "RIR"), _.dnsRir),
+    ("dns.nameserverASN", ("dns", "nameserverASN"), _.dnsNameserverAsn),
+    ("dns.nameserverGEO", ("dns", "nameserverGEO"), _.dnsNameserverGeo),
+    ("dns.nameserverRIR", ("dns", "nameserverRIR"), _.dnsNameserverRir),
+    ("dns.mailserverIp", ("dns", "mailserverIp"), _.dnsMailserverIp),
+    ("dns.mailserverASN", ("dns", "mailserverASN"), _.dnsMailserverAsn),
+    ("dns.mailserverGEO", ("dns", "mailserverGEO"), _.dnsMailserverGeo),
+    ("dns.mailserverRIR", ("dns", "mailserverRIR"), _.dnsMailserverRir),
+    ("email.ASN", ("email", "ASN"), _.emailAsn),
+    ("email.GEO", ("email", "GEO"), _.emailGeo),
+    ("email.RIR", ("email", "RIR"), _.emailRir),
+    ("socks.ASN", ("socks", "ASN"), r => Option(r.socksAsn).toSeq),
+    ("socks.GEO", ("socks", "GEO"), r => Option(r.socksGeo).toSeq),
+    ("socks.RIR", ("socks", "RIR"), r => Option(r.socksRir).toSeq),
+    ("radius.framedASN", ("radius", "framedASN"), _.radiusFramedAsn),
+    ("radius.framedGEO", ("radius", "framedGEO"), _.radiusFramedGeo),
+    ("radius.framedRIR", ("radius", "framedRIR"), _.radiusFramedRir),
+    ("tls.ja3string", ("tls", "ja3string"), _.tlsJa3String),
+    ("tls.ja3sstring", ("tls", "ja3sstring"), _.tlsJa3sString))
 
   test("per-field fidelity floors across the golden corpus") {
     val dir = new java.io.File("/root/reference/tests/pcap")
@@ -295,7 +325,24 @@ class FieldFidelitySpec extends AnyFunSuite with SparkSpecBase {
       // tests/plugins/test.c pre-save fields (LE int addrs, signed in
       // string.snow, override-ips enrichment of test.ip)
       "test.ip" -> 46, "test.number" -> 46, "test.string.snow" -> 46,
-      "test.ASN" -> 46, "test.GEO" -> 46, "test.RIR" -> 46)
+      "test.ASN" -> 46, "test.GEO" -> 46, "test.RIR" -> 46,
+      // per-address enrichment (db.c geo_lookup merge) over the bundled
+      // snapshot of the harness's doctored GeoLite2/rirFile fixtures;
+      // aligned arrays re-derived via constraint propagation since .test
+      // arrays are independently sorted
+      "source.as.full" -> 66, "destination.as.full" -> 76,
+      "source.geo" -> 86, "destination.geo" -> 94,
+      "srcRIR" -> 35, "dstRIR" -> 89,
+      "dns.ASN" -> 9, "dns.GEO" -> 9, "dns.RIR" -> 9,
+      "dns.nameserverASN" -> 7, "dns.nameserverGEO" -> 7,
+      "dns.nameserverRIR" -> 7,
+      "dns.mailserverIp" -> 2, "dns.mailserverASN" -> 2,
+      "dns.mailserverGEO" -> 2, "dns.mailserverRIR" -> 2,
+      "email.ASN" -> 8, "email.GEO" -> 8, "email.RIR" -> 8,
+      "socks.ASN" -> 5, "socks.GEO" -> 5, "socks.RIR" -> 4,
+      "radius.framedASN" -> 1, "radius.framedGEO" -> 1,
+      "radius.framedRIR" -> 1,
+      "tls.ja3string" -> 18, "tls.ja3sstring" -> 22)
     for ((label, _, _) <- fields) {
       info(f"$label%-16s ${match_(label)}%3d / ${seen(label)}%3d" +
         (if (misses(label).nonEmpty)
