@@ -34,6 +34,7 @@ object Decode {
       tcpAck: Long,
       payload: Array[Byte],
       tunnels: Seq[String] = Nil, // outer encapsulations (gre, ppp, ...)
+      greIps: Seq[String] = Nil,  // v4 endpoints of the GRE carrier header
       vlanIds: Seq[Int] = Nil,
       // non-5-tuple session key (ARP sessions key on the looked-up IP,
       // reference parsers/arp.c:27-39); null for normal flows
@@ -314,7 +315,14 @@ object Decode {
     */
   private def decodeGre(
       p: Pcap.RawPacket, b: Array[Byte], greOff: Int,
-      mSrc: String, mDst: String): Option[DecodedPacket] = {
+      mSrc: String, mDst: String,
+      carrierSrc: String = null, carrierDst: String = null): Option[DecodedPacket] = {
+    // greIp keeps the v4 header that directly precedes the GRE header
+    // (packet.c:339-343 reads vpnIpOffset as struct ip; v4-only add)
+    val carrierIps: Seq[String] =
+      if (carrierSrc != null && !carrierSrc.contains(":"))
+        Seq(carrierSrc, carrierDst)
+      else Nil
     if (greOff + 4 > b.length) return None
     val flags = b(greOff) & 0xff
     val verByte = b(greOff + 1) & 0xff
@@ -339,7 +347,8 @@ object Decode {
       // reads pcapData+0 regardless of tunnels (packet.c:318-326)
       return decodeEthernetAt(p, b, off + hdr)
         .map(d => d.copy(tunnels = tunnels.reverse ++ d.tunnels,
-          macSrc = mSrc, macDst = mDst))
+          macSrc = mSrc, macDst = mDst,
+          greIps = if (d.greIps.nonEmpty) d.greIps else carrierIps))
     }
     if (proto == 0x880b && off < b.length) { // PPP
       if (off + 1 < b.length && (b(off) & 0xff) == 0xff &&
@@ -362,7 +371,8 @@ object Decode {
       case 0x86dd => decodeIp6(p, b, off, mSrc, mDst)
       case _      => None
     }
-    inner.map(d => d.copy(tunnels = tunnels.reverse ++ d.tunnels))
+    inner.map(d => d.copy(tunnels = tunnels.reverse ++ d.tunnels,
+      greIps = if (d.greIps.nonEmpty) d.greIps else carrierIps))
   }
 
   private def decodeL4(
@@ -373,7 +383,7 @@ object Decode {
     proto match {
       // Tunnel decaps whose inner frame fails to parse drop the packet,
       // as the reference's CORRUPT return does — no outer-flow session.
-      case 47 => return decodeGre(p, b, l4Off, mSrc, mDst)
+      case 47 => return decodeGre(p, b, l4Off, mSrc, mDst, srcIp, dstIp)
       case 4  => return decodeIp4(p, b, l4Off, mSrc, mDst)
       case 41 => return decodeIp6(p, b, l4Off, mSrc, mDst)
       case 6 if l4Off + 20 <= l4End => // TCP

@@ -38,7 +38,10 @@ object HttpParser {
       authorization: Seq[String] = Nil,
       // http:password — a body's first chunk contains password=/passwd=/
       // pass= (http.c:296-302)
-      passwordInBody: Boolean = false)
+      passwordInBody: Boolean = false,
+      // X-Forwarded-For, comma-split and parsed as addresses
+      // (http.c:131-139 g_strsplit + moloch_field_ip_add_str)
+      xffIp: Seq[String] = Nil)
 
   /** Field-wise union of two parses (an HTTP/1 upgrade that continues
     * as cleartext http2 can yield both).
@@ -69,7 +72,8 @@ object HttpParser {
     responseHeaderValue = (a.responseHeaderValue ++ b.responseHeaderValue).distinct,
     authType = (a.authType ++ b.authType).distinct,
     authorization = (a.authorization ++ b.authorization).distinct,
-    passwordInBody = a.passwordInBody || b.passwordInBody)
+    passwordInBody = a.passwordInBody || b.passwordInBody,
+    xffIp = (a.xffIp ++ b.xffIp).distinct)
 
   private final case class Message(
       firstLine: String, headers: Seq[(String, String)], body: Array[Byte],
@@ -357,6 +361,9 @@ object HttpParser {
       authType = d(hs(reqs, "Authorization").map(_.trim)
         .filter(_.contains(" ")).map(_.split(" ", 2).head.toLowerCase)),
       authorization = d(hs(reqs, "Authorization")),
+      xffIp = d(hs(reqs ++ srcResps, "X-Forwarded-For")
+        .flatMap(_.split(","))
+        .flatMap(v => parseXffAddr(v.trim))),
       passwordInBody = (reqs ++ resps ++ srcResps).exists { m =>
         // the reference checks only the FIRST on_body chunk — bound the
         // scan to the body head so a large download can't false-tag
@@ -365,6 +372,42 @@ object HttpParser {
         head.contains("password=") || head.contains("passwd=") ||
           head.contains("pass=")
       }))
+  }
+
+  /** One XFF list member → canonical address text. The reference parses
+    * dotted members with inet_aton (field.c:832-847), which accepts
+    * octal/hex octets and partial forms — "10.000.000.03" is 10.0.0.3 —
+    * then renders back through the usual v4 writer.
+    */
+  private def parseXffAddr(s: String): Option[String] = {
+    if (s.isEmpty) return None
+    if (s.contains(".")) {
+      val parts = s.split("\\.", -1)
+      if (parts.isEmpty || parts.length > 4 || parts.exists(_.isEmpty))
+        return None
+      val nums = parts.map { t =>
+        try {
+          val v =
+            if (t.length > 1 && (t.startsWith("0x") || t.startsWith("0X")))
+              java.lang.Long.parseLong(t.substring(2), 16)
+            else if (t.length > 1 && t.charAt(0) == '0')
+              java.lang.Long.parseLong(t, 8)
+            else java.lang.Long.parseLong(t)
+          if (v < 0) return None else v
+        } catch { case _: NumberFormatException => return None }
+      }
+      // inet_aton: the final part fills the remaining bytes
+      val tailBytes = 4 - (nums.length - 1)
+      if (nums.init.exists(_ > 255) ||
+        nums.last >= (1L << (8 * tailBytes))) return None
+      val all = nums.init ++ (tailBytes - 1 to 0 by -1)
+        .map(i => (nums.last >> (8 * i)) & 0xff)
+      Some(all.mkString("."))
+    } else {
+      try Option(graft.functions.IpUtil.toBytes(s))
+        .map(graft.functions.IpUtil.canonical)
+      catch { case _: Exception => None }
+    }
   }
 
   /** Request headers with fields of their own: the three built-ins

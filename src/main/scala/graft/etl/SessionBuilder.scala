@@ -130,6 +130,10 @@ object SessionBuilder {
       dnsMailserverAsn: Seq[String], dnsMailserverGeo: Seq[String],
       dnsMailserverRir: Seq[String],
       emailAsn: Seq[String], emailGeo: Seq[String], emailRir: Seq[String],
+      greIp: Seq[String], greAsn: Seq[String], greGeo: Seq[String],
+      greRir: Seq[String],
+      httpXffIp: Seq[String], httpXffAsn: Seq[String],
+      httpXffGeo: Seq[String], httpXffRir: Seq[String],
       socksAsn: String, socksGeo: String, socksRir: String,
       radiusFramedAsn: Seq[String], radiusFramedGeo: Seq[String],
       radiusFramedRir: Seq[String],
@@ -968,6 +972,8 @@ object SessionBuilder {
     val emailIps = smtp.map(_.ip).getOrElse(Nil)
     val framedIps = radius.map(_.framedIp).getOrElse(Nil)
     val socksIpVal = peeled.flatMap(p => Option(p._3.ip)).orNull
+    val greIps = seg.iterator.flatMap(_.greIps).distinct.toIndexedSeq
+    val xffIps = http.map(_.xffIp).getOrElse(Nil)
     val socksEnrich = enrichIp(socksIpVal)
     val srcEnrich = enrichIp(cliIp)
     val dstEnrich = enrichIp(srvIp)
@@ -1131,6 +1137,10 @@ object SessionBuilder {
       emailIp = emailIps,
       emailAsn = asnArr(emailIps), emailGeo = geoArr(emailIps),
       emailRir = rirArr(emailIps),
+      greIp = greIps, greAsn = asnArr(greIps), greGeo = geoArr(greIps),
+      greRir = rirArr(greIps),
+      httpXffIp = xffIps, httpXffAsn = asnArr(xffIps),
+      httpXffGeo = geoArr(xffIps), httpXffRir = rirArr(xffIps),
       emailUseragent = smtp.map(_.useragent).getOrElse(Nil),
       cert = certSeq,
       vlanId = seg.iterator.flatMap(_.vlanIds).toSeq.distinct.sorted,

@@ -220,7 +220,15 @@ class FieldFidelitySpec extends AnyFunSuite with SparkSpecBase {
     ("radius.framedGEO", ("radius", "framedGEO"), _.radiusFramedGeo),
     ("radius.framedRIR", ("radius", "framedRIR"), _.radiusFramedRir),
     ("tls.ja3string", ("tls", "ja3string"), _.tlsJa3String),
-    ("tls.ja3sstring", ("tls", "ja3sstring"), _.tlsJa3sString))
+    ("tls.ja3sstring", ("tls", "ja3sstring"), _.tlsJa3sString),
+    ("greIp", ("greIp", ""), _.greIp),
+    ("greASN", ("greASN", ""), _.greAsn),
+    ("greGEO", ("greGEO", ""), _.greGeo),
+    ("greRIR", ("greRIR", ""), _.greRir),
+    ("http.xffIp", ("http", "xffIp"), _.httpXffIp),
+    ("http.xffASN", ("http", "xffASN"), _.httpXffAsn),
+    ("http.xffGEO", ("http", "xffGEO"), _.httpXffGeo),
+    ("http.xffRIR", ("http", "xffRIR"), _.httpXffRir))
 
   test("per-field fidelity floors across the golden corpus") {
     val dir = new java.io.File("/root/reference/tests/pcap")
@@ -342,7 +350,12 @@ class FieldFidelitySpec extends AnyFunSuite with SparkSpecBase {
       "socks.ASN" -> 5, "socks.GEO" -> 5, "socks.RIR" -> 4,
       "radius.framedASN" -> 1, "radius.framedGEO" -> 1,
       "radius.framedRIR" -> 1,
-      "tls.ja3string" -> 18, "tls.ja3sstring" -> 22)
+      "tls.ja3string" -> 18, "tls.ja3sstring" -> 22,
+      // GRE carrier endpoints (packet.c:339-343) and X-Forwarded-For
+      // (inet_aton member parse, http.c:131-139), each with enrichment
+      "greIp" -> 3, "greASN" -> 3, "greGEO" -> 3, "greRIR" -> 3,
+      "http.xffIp" -> 1, "http.xffASN" -> 1, "http.xffGEO" -> 1,
+      "http.xffRIR" -> 1)
     for ((label, _, _) <- fields) {
       info(f"$label%-16s ${match_(label)}%3d / ${seen(label)}%3d" +
         (if (misses(label).nonEmpty)
