@@ -24,7 +24,10 @@ object AppProtocols {
       opcode: Seq[String] = Nil, qclass: Seq[String] = Nil,
       ip: Seq[String] = Nil, mailserverHost: Seq[String] = Nil,
       nameserverHost: Seq[String] = Nil, nameserverIp: Seq[String] = Nil,
-      mailserverIp: Seq[String] = Nil)
+      mailserverIp: Seq[String] = Nil,
+      // dns.puny: every dns_add_host'd name containing "xn--", lowered
+      // (parsers/dns.c:160-166)
+      puny: Seq[String] = Nil)
 
   /** Destination the client asked for: exactly one of `ip` (connect-by
     * address, SOCKS4 / v5 atyp 1+4) or `host` (connect-by-name, SOCKS4a /
@@ -682,6 +685,7 @@ object AppProtocols {
         }
       }
     }
+    val allHostAdds = names.toList ++ nsHosts.result() ++ mx.result()
     Some(DnsInfo(names.toList, types.result(),
       if (isResponse) Seq(dnsRcodeName(rcode)) else Seq.empty,
       opcode = Seq(dnsOpcodeName(opcode)),
@@ -690,7 +694,19 @@ object AppProtocols {
       mailserverHost = mx.result().distinct,
       nameserverHost = nsHosts.result().distinct,
       nameserverIp = nsIp.result().distinct,
-      mailserverIp = mxIp.result().distinct))
+      mailserverIp = mxIp.result().distinct,
+      // dns.puny keeps the RAW xn-- form (the host fields store the
+      // decoded unicode). Hosts arrive here already decoded, so re-encode
+      // non-ascii ones; names whose punycode failed to decode still carry
+      // their literal xn-- labels.
+      puny = allHostAdds
+        .filter(n => n.contains("xn--") || n.exists(_ > 127))
+        .map { n =>
+          if (n.exists(_ > 127))
+            try java.net.IDN.toASCII(n).toLowerCase
+            catch { case _: Exception => n.toLowerCase }
+          else n.toLowerCase
+        }.distinct))
   }
 
   def dnsOpcodeName(c: Int): String = c match {

@@ -35,6 +35,7 @@ object Decode {
       payload: Array[Byte],
       tunnels: Seq[String] = Nil, // outer encapsulations (gre, ppp, ...)
       greIps: Seq[String] = Nil,  // v4 endpoints of the GRE carrier header
+      isisMsgType: String = null, // parsers/isis.c message-type label
       vlanIds: Seq[Int] = Nil,
       // non-5-tuple session key (ARP sessions key on the looked-up IP,
       // reference parsers/arp.c:27-39); null for normal flows
@@ -249,9 +250,22 @@ object Decode {
           else if (other <= 1500 && off + 2 <= b.length &&
             (b(off) & 0xff) == 0xfe && (b(off + 1) & 0xff) == 0xfe) Some("isis")
           else None
+        // isis.msgType reads frame byte 21 blindly (parsers/isis.c:36-79)
+        val isisType: String =
+          if (!tag.contains("isis")) null
+          else if (p.inclLen < 22) s"err-len-${p.inclLen}"
+          else (b(21) & 0xff) match {
+            case 15 => "lan-l1-hello"; case 16 => "lan-l2-hello"
+            case 17 => "p2p-hello"
+            case 18 => "l1-lsp"; case 20 => "l2-lsp"
+            case 24 => "l1-csnp"; case 25 => "l2-csnp"
+            case 26 => "l1-psnp"; case 27 => "l2-psnp"
+            case n  => s"unk-$n"
+          }
         // empty srcIp ⇒ session keyed by dst only; every packet counts as
         // the src direction, matching the reference's ether sessions
-        tag.map(t => base(p, mSrc, mDst, 0, "", mDst).copy(tunnels = Seq(t)))
+        tag.map(t => base(p, mSrc, mDst, 0, "", mDst).copy(tunnels = Seq(t),
+          isisMsgType = isisType))
     }
     if (vlans.isEmpty) decoded
     else decoded.map(d => d.copy(vlanIds = vlans.reverse))

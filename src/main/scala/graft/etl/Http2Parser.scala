@@ -293,6 +293,7 @@ object Http2Parser {
       stream: Array[Byte], isReq: Boolean,
       headers: mutable.Builder[Header, Seq[Header]],
       md5s: mutable.Builder[String, Seq[String]],
+      sha256s: mutable.Builder[String, Seq[String]],
       magics: mutable.Builder[String, Seq[String]]): Unit = {
     var p = 0
     if (stream.length >= preface.length &&
@@ -306,6 +307,7 @@ object Http2Parser {
     var fragStream = -1L
     var frag = new java.io.ByteArrayOutputStream()
     val dataMd5 = mutable.Map.empty[Long, java.security.MessageDigest]
+    val dataSha = mutable.Map.empty[Long, java.security.MessageDigest]
     var lastType = -1
 
     def headerBlock(body: Array[Byte], off0: Int, len0: Int, flags: Int,
@@ -359,9 +361,14 @@ object Http2Parser {
               val md = dataMd5.getOrElseUpdate(streamId,
                 java.security.MessageDigest.getInstance("MD5"))
               md.update(stream, off, dlen)
+              val sh = dataSha.getOrElseUpdate(streamId,
+                java.security.MessageDigest.getInstance("SHA-256"))
+              sh.update(stream, off, dlen)
               if ((flags & FlagEndStream) != 0) {
                 md5s += md.digest().map(x => f"${x & 0xff}%02x").mkString
                 dataMd5.remove(streamId)
+                sha256s += sh.digest().map(x => f"${x & 0xff}%02x").mkString
+                dataSha.remove(streamId)
               }
             }
           case FrameHeaders =>
@@ -389,9 +396,10 @@ object Http2Parser {
 
     val headers = Seq.newBuilder[Header]
     val md5s = Seq.newBuilder[String]
+    val sha256s = Seq.newBuilder[String]
     val magics = Seq.newBuilder[String]
-    walkDirection(clientStream, isReq = true, headers, md5s, magics)
-    walkDirection(serverStream, isReq = false, headers, md5s, magics)
+    walkDirection(clientStream, isReq = true, headers, md5s, sha256s, magics)
+    walkDirection(serverStream, isReq = false, headers, md5s, sha256s, magics)
     val hs = headers.result()
     if (hs.isEmpty && md5s.result().isEmpty) return None
 
@@ -442,6 +450,7 @@ object Http2Parser {
       cookieKey = d(cookiePairs.map(_._1)),
       cookieValue = d(cookiePairs.map(_._2).filter(_.nonEmpty)),
       md5 = d(md5s.result()),
+      sha256 = d(sha256s.result()),
       authUser = Nil,
       bodyMagic = d(magics.result()),
       // parseHTTPHeaderAll attribution is by RAW direction (http.c:484

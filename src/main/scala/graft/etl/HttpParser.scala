@@ -25,6 +25,9 @@ object HttpParser {
       cookieKey: Seq[String], cookieValue: Seq[String],
       md5: Seq[String], authUser: Seq[String],
       bodyMagic: Seq[String] = Nil,
+      sha256: Seq[String] = Nil,
+      // http.requestBody (http.c:307-311): small UTF-8 request bodies
+      requestBody: Seq[String] = Nil,
       // parseHTTPHeader{Request,Response}All (http.c:478-492): headers
       // with no field of their own get name → *HeaderField and
       // lowercased value (≤1024) → *HeaderValue
@@ -64,6 +67,8 @@ object HttpParser {
     cookieKey = (a.cookieKey ++ b.cookieKey).distinct,
     cookieValue = (a.cookieValue ++ b.cookieValue).distinct,
     md5 = (a.md5 ++ b.md5).distinct,
+    sha256 = (a.sha256 ++ b.sha256).distinct,
+    requestBody = (a.requestBody ++ b.requestBody).distinct,
     authUser = (a.authUser ++ b.authUser).distinct,
     bodyMagic = (a.bodyMagic ++ b.bodyMagic).distinct,
     requestHeaderField = (a.requestHeaderField ++ b.requestHeaderField).distinct.sorted,
@@ -190,6 +195,19 @@ object HttpParser {
   private def md5hex(b: Array[Byte]): String =
     java.security.MessageDigest.getInstance("MD5").digest(b)
       .map(x => f"${x & 0xff}%02x").mkString
+
+  private def sha256hex(b: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("SHA-256").digest(b)
+      .map(x => f"${x & 0xff}%02x").mkString
+
+  /** Strictly-valid UTF-8 text or None (g_utf8_validate gate). */
+  private def utf8OrNone(b: Array[Byte]): Option[String] =
+    try {
+      val dec = StandardCharsets.UTF_8.newDecoder()
+        .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+        .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+      Some(dec.decode(java.nio.ByteBuffer.wrap(b)).toString)
+    } catch { case _: java.nio.charset.CharacterCodingException => None }
 
   def parse(clientStream: Array[Byte], serverStream: Array[Byte]): Option[HttpInfo] = {
     val reqs = messages(clientStream, isResponse = false)
@@ -334,6 +352,14 @@ object HttpParser {
       cookieKey = d(cookiePairs.map(_._1)),
       cookieValue = d(cookiePairs.map(_._2).filter(_.nonEmpty)),
       md5 = d(bodies.map(md5hex)),
+      sha256 = d(bodies.map(sha256hex)),
+      // small request bodies (first chunk, <= maxReqBody, valid UTF-8;
+      // http.c:307-311 with the test config's maxReqBody=2000)
+      // urlWhich defaults to the src direction, so a response-only
+      // session's body (srcResps) lands in requestBody too
+      requestBody = d((reqs ++ srcResps).map(_.body)
+        .filter(b => b.length > 0 && b.length <= 2000)
+        .flatMap(utf8OrNone)),
       authUser = d(auth),
       // magic runs on every body's head bytes at on_body time - not
       // gated on message completeness (http.c:304)

@@ -134,6 +134,10 @@ object SessionBuilder {
       greRir: Seq[String],
       httpXffIp: Seq[String], httpXffAsn: Seq[String],
       httpXffGeo: Seq[String], httpXffRir: Seq[String],
+      dnsPuny: Seq[String], dhcpOui: Seq[String], isisMsgType: Seq[String],
+      httpSha256: Seq[String], httpRequestBody: Seq[String],
+      emailMd5: Seq[String], emailSha256: Seq[String],
+      emailFilename: Seq[String], emailBodyMagic: Seq[String],
       socksAsn: String, socksGeo: String, socksRir: String,
       radiusFramedAsn: Seq[String], radiusFramedGeo: Seq[String],
       radiusFramedRir: Seq[String],
@@ -704,7 +708,8 @@ object SessionBuilder {
           infos.flatMap(_.mailserverHost).distinct.toIndexedSeq,
           infos.flatMap(_.nameserverHost).distinct.toIndexedSeq,
           infos.flatMap(_.nameserverIp).distinct.toIndexedSeq,
-          infos.flatMap(_.mailserverIp).distinct.toIndexedSeq))
+          infos.flatMap(_.mailserverIp).distinct.toIndexedSeq,
+          infos.flatMap(_.puny).distinct.toIndexedSeq))
       } else None
     val tls =
       if (preRuleProtocols.contains("tls")) {
@@ -1141,6 +1146,17 @@ object SessionBuilder {
       greRir = rirArr(greIps),
       httpXffIp = xffIps, httpXffAsn = asnArr(xffIps),
       httpXffGeo = geoArr(xffIps), httpXffRir = rirArr(xffIps),
+      dnsPuny = dns.map(_.puny).getOrElse(Nil),
+      httpSha256 = http.map(_.sha256).getOrElse(Nil),
+      httpRequestBody = http.map(_.requestBody).getOrElse(Nil),
+      emailMd5 = smtp.map(_.md5).getOrElse(Nil),
+      emailSha256 = smtp.map(_.sha256).getOrElse(Nil),
+      emailFilename = smtp.map(_.filename).getOrElse(Nil),
+      emailBodyMagic = smtp.map(_.bodyMagic).getOrElse(Nil),
+      dhcpOui = dhcp.map(_.mac.flatMap(Fixtures.ouiOf).distinct)
+        .getOrElse(Nil),
+      isisMsgType = seg.iterator.map(_.isisMsgType).filter(_ != null)
+        .distinct.toIndexedSeq,
       emailUseragent = smtp.map(_.useragent).getOrElse(Nil),
       cert = certSeq,
       vlanId = seg.iterator.flatMap(_.vlanIds).toSeq.distinct.sorted,

@@ -28,6 +28,13 @@ object SmtpParser {
       headerValue: Seq[String] = Nil,
       // configured [headers-email] x-elnk-trace → email.header-x-elnk-trace
       headerTrace: Seq[String] = Nil,
+      // base64 MIME parts: digests of the decoded content, emitted at the
+      // part's closing boundary (smtp.c:700-716), magic of the first
+      // decoded chunk, and Content-Disposition filename= values
+      md5: Seq[String] = Nil,
+      sha256: Seq[String] = Nil,
+      filename: Seq[String] = Nil,
+      bodyMagic: Seq[String] = Nil,
       // session tags the parser raises (smtp:authplain, smtp:authlogin,
       // smtp:starttls — smtp.c:479-512)
       tags: Seq[String] = Nil)
@@ -322,6 +329,81 @@ object SmtpParser {
     }
     var headerSection = false
     var pendingHeader: String = null
+    // ---- MIME part machinery (smtp.c EMAIL_MIME* states) -------------
+    var boundaryList: List[String] = Nil
+    def addBoundary(v: String): Unit = {
+      val i = v.toLowerCase.indexOf("boundary=")
+      if (i >= 0) {
+        val b = stripMatching(v.substring(i + 9), '"', '"')
+          .takeWhile(c => c != ';')
+        boundaryList = boundaryList :+ b
+      }
+    }
+    val partMd5 = Seq.newBuilder[String]
+    val partSha = Seq.newBuilder[String]
+    val partFilename = Seq.newBuilder[String]
+    val partMagic = Seq.newBuilder[String]
+    var inPartHeaders = false
+    var base64Part = false
+    var firstInContent = false
+    var md: java.security.MessageDigest = null
+    var sh: java.security.MessageDigest = null
+    // glib g_base64_decode_step equivalent: 6-bit accumulator surviving
+    // across lines, non-alphabet bytes skipped
+    var b64acc = 0
+    var b64bits = 0
+    def b64val(c: Char): Int = c match {
+      case c if c >= 'A' && c <= 'Z' => c - 'A'
+      case c if c >= 'a' && c <= 'z' => c - 'a' + 26
+      case c if c >= '0' && c <= '9' => c - '0' + 52
+      case '+' => 62
+      case '/' => 63
+      case _ => -1
+    }
+    def decodeLine(line: String): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      line.foreach { c =>
+        val v = b64val(c)
+        if (v >= 0) {
+          b64acc = (b64acc << 6) | v
+          b64bits += 6
+          if (b64bits >= 8) {
+            b64bits -= 8
+            out.write((b64acc >> b64bits) & 0xff)
+          }
+        }
+      }
+      out.toByteArray
+    }
+    def isBoundaryLine(line: String): Boolean =
+      line.nonEmpty && line.charAt(0) == '-' &&
+        boundaryList.exists(b => line.length >= b.length + 2 &&
+          line.substring(2).startsWith(b))
+    def closePart(): Unit = {
+      if (base64Part && md != null) {
+        partMd5 += md.digest().map(x => f"${x & 0xff}%02x").mkString
+        partSha += sh.digest().map(x => f"${x & 0xff}%02x").mkString
+      }
+      base64Part = false
+      firstInContent = true
+      md = null; sh = null
+      b64acc = 0; b64bits = 0
+    }
+    var pendingPartHeader: String = null
+    def processPartHeader(h: String): Unit = {
+      val lower = h.toLowerCase
+      if (lower.startsWith("content-type:")) addBoundary(h)
+      else if (lower.startsWith("content-disposition:")) {
+        val i = lower.indexOf("filename=")
+        if (i >= 0)
+          // smtp_email_add_encoded's output buffer is char[0xfff]:
+          // decoded values cap at 4095 bytes (smtp.c:220)
+          partFilename += decodeEncodedWords(
+            stripMatching(h.substring(i + 9), '"', '"')).take(4095)
+      } else if (lower.startsWith("content-transfer-encoding:")) {
+        if (lower.substring(26).contains("base64")) base64Part = true
+      }
+    }
     // unfold first (smtp.c:585-587 joins continuation lines with one
     // ' ', consuming the continuation's first whitespace char), THEN
     // process the complete logical header line
@@ -335,9 +417,12 @@ object SmtpParser {
           // (smtp.c:606-611); the rest goes through RFC 2047 decode
           subject += decodeEncodedWords(
             if (value.startsWith(" ")) value.substring(1) else value)
+            .take(4095)
         case "from"         => src ++= parseAddresses(value)
         case "to" | "cc"    => dst ++= parseAddresses(value)
-        case "content-type" => contentType += value.trim
+        case "content-type" =>
+          contentType += value.trim
+          addBoundary(value)
         case "mime-version" => mimeVersion += value.trim
         case "message-id"   => msgId += stripMatching(value, '<', '>')
         case "received"     => parseReceived(value, relayHosts, relayIps)
@@ -393,8 +478,42 @@ object SmtpParser {
           Option(pendingHeader).foreach(processHeader)
           pendingHeader = line
         }
+      } else if (inPartHeaders) {
+        if (line == ".") {
+          Option(pendingPartHeader).foreach(processPartHeader)
+          pendingPartHeader = null
+          inPartHeaders = false; inData = false
+        } else if (line.isEmpty) {
+          Option(pendingPartHeader).foreach(processPartHeader)
+          pendingPartHeader = null
+          inPartHeaders = false
+          if (base64Part) {
+            md = java.security.MessageDigest.getInstance("MD5")
+            sh = java.security.MessageDigest.getInstance("SHA-256")
+          }
+        } else if (line.startsWith(" ") || line.startsWith("	")) {
+          if (pendingPartHeader != null)
+            pendingPartHeader = pendingPartHeader + line
+        } else {
+          Option(pendingPartHeader).foreach(processPartHeader)
+          pendingPartHeader = line
+        }
       } else if (line == ".") { // end of DATA; another message may follow
+        closePart()
         inData = false
+      } else if (isBoundaryLine(line)) {
+        closePart()
+        inPartHeaders = true
+      } else if (base64Part && md != null) {
+        val decoded = decodeLine(line)
+        if (decoded.nonEmpty) {
+          md.update(decoded)
+          sh.update(decoded)
+          if (firstInContent) {
+            firstInContent = false
+            partMagic ++= Magic.detect(decoded)
+          }
+        }
       }
     }
     Option(pendingHeader).foreach(processHeader)
@@ -414,6 +533,10 @@ object SmtpParser {
       headerField = hdrField.result().distinct,
       headerValue = hdrValue.result().distinct,
       headerTrace = hdrTrace.result().distinct,
+      md5 = partMd5.result().distinct,
+      sha256 = partSha.result().distinct,
+      filename = partFilename.result().distinct,
+      bodyMagic = partMagic.result().distinct,
       tags = sessionTags.result().distinct)
     if (info.hello.isEmpty && info.src.isEmpty && info.subject.isEmpty) None
     else Some(info)

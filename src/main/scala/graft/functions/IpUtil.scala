@@ -77,11 +77,35 @@ object IpUtil {
       val out = new Array[Byte](16); out(10) = -1; out(11) = -1
       System.arraycopy(bytes, 0, out, 12, 4); out
     } else bytes
-    java.net.InetAddress.getByAddress(full) match {
-      case v4m if isV4Mapped(full) =>
-        s"${full(12) & 0xff}.${full(13) & 0xff}.${full(14) & 0xff}.${full(15) & 0xff}"
-      case a => a.getHostAddress.toLowerCase
+    if (isV4Mapped(full))
+      return s"${full(12) & 0xff}.${full(13) & 0xff}.${full(14) & 0xff}.${full(15) & 0xff}"
+    // inet_ntop-style v6: compress the leftmost longest run of >=2 zero
+    // groups with "::" (the reference renders every v6 through
+    // inet_ntop — Java's getHostAddress never compresses)
+    val w = (0 until 8).map(i =>
+      ((full(i * 2) & 0xff) << 8) | (full(i * 2 + 1) & 0xff))
+    var bestBase = -1; var bestLen = 0
+    var base = -1; var len = 0
+    for (i <- 0 until 8) {
+      if (w(i) == 0) {
+        if (base < 0) { base = i; len = 1 } else len += 1
+        if (len > bestLen) { bestBase = base; bestLen = len }
+      } else { base = -1; len = 0 }
     }
+    if (bestLen < 2) bestBase = -1
+    val sb = new StringBuilder
+    var i = 0
+    while (i < 8) {
+      if (i == bestBase) {
+        sb.append("::")
+        i += bestLen
+      } else {
+        if (sb.nonEmpty && sb.charAt(sb.length - 1) != ':') sb.append(':')
+        sb.append(Integer.toHexString(w(i)))
+        i += 1
+      }
+    }
+    if (sb.isEmpty) "::" else sb.toString
   }
 
   def isV4Mapped(b: Array[Byte]): Boolean =

@@ -228,7 +228,36 @@ class FieldFidelitySpec extends AnyFunSuite with SparkSpecBase {
     ("http.xffIp", ("http", "xffIp"), _.httpXffIp),
     ("http.xffASN", ("http", "xffASN"), _.httpXffAsn),
     ("http.xffGEO", ("http", "xffGEO"), _.httpXffGeo),
-    ("http.xffRIR", ("http", "xffRIR"), _.httpXffRir))
+    ("http.xffRIR", ("http", "xffRIR"), _.httpXffRir),
+    ("dns.puny", ("dns", "puny"), _.dnsPuny),
+    ("dhcp.oui", ("dhcp", "oui"), _.dhcpOui),
+    ("isis.msgType", ("isis", "msgType"), _.isisMsgType),
+    ("http.sha256", ("http", "sha256"), _.httpSha256),
+    ("http.requestBody", ("http", "requestBody"), _.httpRequestBody),
+    ("email.md5", ("email", "md5"), _.emailMd5),
+    ("email.sha256", ("email", "sha256"), _.emailSha256),
+    ("email.filename", ("email", "filename"), _.emailFilename),
+    ("email.bodyMagic", ("email", "bodyMagic"), _.emailBodyMagic),
+    // ether-keyed sessions (ipProtocol 0: lldp/isis/arp) carry no
+    // ip/port; port-less ip protocols render port 0 (db.c uint16)
+    ("source.ip", ("source", "ip"), r =>
+      if (r.ipProtocol == 0) Nil
+      else Option(r.srcIp).filter(_.nonEmpty).toSeq),
+    ("destination.ip", ("destination", "ip"), r =>
+      if (r.ipProtocol == 0) Nil
+      else Option(r.dstIp).filter(_.nonEmpty).toSeq),
+    ("source.port", ("source", "port"), r =>
+      if (r.ipProtocol == 0) Nil else Seq(math.max(0, r.srcPort).toString)),
+    ("destination.port", ("destination", "port"), r =>
+      if (r.ipProtocol == 0) Nil else Seq(math.max(0, r.dstPort).toString)),
+    ("ipProtocol", ("ipProtocol", ""), r => Seq(r.ipProtocol.toString)),
+    ("firstPacket", ("firstPacket", ""), r => Seq(r.firstPacket.toString)),
+    ("lastPacket", ("lastPacket", ""), r => Seq(r.lastPacket.toString)),
+    ("network.bytes", ("network", "bytes"), r => Seq(r.totBytes.toString)),
+    ("network.packets", ("network", "packets"), r =>
+      Seq(r.totPackets.toString)),
+    ("packetLen", ("packetLen", ""), r =>
+      r.packetLen.map(_.toString).distinct))
 
   test("per-field fidelity floors across the golden corpus") {
     val dir = new java.io.File("/root/reference/tests/pcap")
@@ -355,7 +384,25 @@ class FieldFidelitySpec extends AnyFunSuite with SparkSpecBase {
       // (inet_aton member parse, http.c:131-139), each with enrichment
       "greIp" -> 3, "greASN" -> 3, "greGEO" -> 3, "greRIR" -> 3,
       "http.xffIp" -> 1, "http.xffASN" -> 1, "http.xffGEO" -> 1,
-      "http.xffRIR" -> 1)
+      "http.xffRIR" -> 1,
+      // raw-punycode hosts, dhcp mac OUI, isis frame-type labels,
+      // http body sha256 (supportSha256) + small UTF-8 request bodies.
+      // http.requestBody floor is 5/6: on http-tcp-seq-issue the
+      // reference's once-only first-chunk gate burned on out-of-order
+      // arrival (its md5 equals ours, so the bytes are identical)
+      "dns.puny" -> 1, "dhcp.oui" -> 1, "isis.msgType" -> 2,
+      "http.sha256" -> 24, "http.requestBody" -> 5,
+      // base64 MIME part digests, 4095-capped RFC2047 filenames,
+      // first-decoded-chunk magic
+      "email.md5" -> 3, "email.sha256" -> 3, "email.filename" -> 2,
+      "email.bodyMagic" -> 1,
+      // session 5-tuple + totals (inet_ntop-compressed v6, port-0 for
+      // portless protocols), ms timestamps, store layout lengths
+      "source.ip" -> 143, "destination.ip" -> 143,
+      "source.port" -> 143, "destination.port" -> 143,
+      "ipProtocol" -> 145, "firstPacket" -> 145, "lastPacket" -> 145,
+      "network.bytes" -> 145, "network.packets" -> 145,
+      "packetLen" -> 145)
     for ((label, _, _) <- fields) {
       info(f"$label%-16s ${match_(label)}%3d / ${seen(label)}%3d" +
         (if (misses(label).nonEmpty)
