@@ -92,6 +92,111 @@ object CertParser {
         curve = curve,
         alt = alt,
         isCA = Option(cert.getKeyUsage).exists(ku => ku.length > 6 && ku(6))))
+    } catch { case _: Exception => parseDerLenient(der) }
+  }
+
+  /** Hand-rolled TBSCertificate walk for certs the JDK refuses (e.g.
+    * CVE-2020-0601-style explicit EC parameters): the reference's ASN.1
+    * reader (tls.c:82-119) keeps such certs, labelling the unreadable
+    * parts "corrupt" — named-curve params longer than an OID render as
+    * curve "corrupt" exactly like tls.c:109.
+    */
+  private def parseDerLenient(der: Array[Byte]): Option[CertInfo] = {
+    import Asn1.{Tlv, getTlv, children}
+    def oidString(t: Tlv): String = {
+      if (t.len == 0) return ""
+      val first = t.buf(t.off) & 0xff
+      val sb = new StringBuilder
+      sb.append(first / 40).append('.').append(first % 40)
+      var v = 0L
+      var i = 1
+      while (i < t.len) {
+        val c = t.buf(t.off + i) & 0xff
+        v = (v << 7) | (c & 0x7f)
+        if ((c & 0x80) == 0) { sb.append('.').append(v); v = 0 }
+        i += 1
+      }
+      sb.toString
+    }
+    def nameValues(t: Tlv, oid: String): Seq[String] =
+      children(t, 64).flatMap(set => children(set, 8)).flatMap { seq =>
+        children(seq, 2) match {
+          case Seq(o, v) if !o.pc && o.tag == 6 && oidString(o) == oid =>
+            Some(new String(v.buf, v.off, v.len,
+              if (v.tag == 12) java.nio.charset.StandardCharsets.UTF_8
+              else java.nio.charset.StandardCharsets.ISO_8859_1))
+          case _ => None
+        }
+      }
+    def asnTime(t: Tlv): Option[Long] =
+      try {
+        val s = t.string
+        val (year, rest) =
+          if (t.tag == 23) {
+            val yy = s.substring(0, 2).toInt
+            (if (yy < 50) 2000 + yy else 1900 + yy, s.substring(2))
+          } else (s.substring(0, 4).toInt, s.substring(4))
+        Some(java.time.LocalDateTime.of(year,
+          rest.substring(0, 2).toInt, rest.substring(2, 4).toInt,
+          rest.substring(4, 6).toInt, rest.substring(6, 8).toInt,
+          if (rest.length > 9) rest.substring(8, 10).toInt else 0)
+          .toEpochSecond(java.time.ZoneOffset.UTC) * 1000L)
+      } catch { case _: Exception => None }
+    try {
+      val (outer, _) = getTlv(der, 0, der.length).getOrElse(return None)
+      val kids = children(outer, 3)
+      if (kids.isEmpty) return None
+      val tbs = children(kids.head, 16)
+      var i = 0
+      if (tbs.nonEmpty && tbs(0).pc && tbs(0).tag == 0) i = 1 // [0] version
+      if (tbs.length < i + 6) return None
+      val serialT = tbs(i)
+      val issuerT = tbs(i + 2)
+      val validityT = tbs(i + 3)
+      val subjectT = tbs(i + 4)
+      val spkiT = tbs(i + 5)
+      val times = children(validityT, 2)
+      val nb = times.headOption.flatMap(asnTime).getOrElse(0L)
+      val na = times.lift(1).flatMap(asnTime).getOrElse(0L)
+      var algo = "corrupt"
+      var curve = ""
+      children(spkiT, 2).headOption.foreach { algT =>
+        val parts = children(algT, 2)
+        parts.headOption.filter(o => !o.pc && o.tag == 6).foreach { o =>
+          algo = oidString(o) match {
+            case "1.2.840.113549.1.1.1" => "rsaEncryption"
+            case "1.2.840.10045.2.1"    => "id-ecPublicKey"
+            case "1.2.840.10040.4.1"    => "dsaEncryption"
+            case _                      => "unknown"
+          }
+          if (algo == "id-ecPublicKey") {
+            curve = parts.lift(1) match {
+              case Some(p) if !p.pc && p.tag == 6 && p.len <= 12 =>
+                oidString(p) match {
+                  case "1.2.840.10045.3.1.7" => "prime256v1"
+                  case "1.3.132.0.34"        => "secp384r1"
+                  case "1.3.132.0.35"        => "secp521r1"
+                  case "1.3.132.0.10"        => "secp256k1"
+                  case _                     => "unknown"
+                }
+              case _ => "corrupt" // explicit params / oversize (tls.c:109)
+            }
+          }
+        }
+      }
+      val sha1 = java.security.MessageDigest.getInstance("SHA-1").digest(der)
+      Some(CertInfo(
+        hash = colonHex(sha1),
+        serial = serialT.bytes.map(x => f"${x & 0xff}%02x").mkString,
+        issuerCN = nameValues(issuerT, "2.5.4.3").map(_.toLowerCase),
+        issuerON = nameValues(issuerT, "2.5.4.10"),
+        subjectCN = nameValues(subjectT, "2.5.4.3").map(_.toLowerCase),
+        subjectON = nameValues(subjectT, "2.5.4.10"),
+        notBefore = nb, notAfter = na,
+        validDays = (na - nb) / 86400000L,
+        publicAlgorithm = algo,
+        curve = curve,
+        alt = Nil))
     } catch { case _: Exception => None }
   }
 

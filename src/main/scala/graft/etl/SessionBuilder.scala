@@ -620,7 +620,12 @@ object SessionBuilder {
       else None
     val dtlsCerts =
       if (baseTags.contains("dtls"))
+        // dtls.c's cert walk records serial/names/validity only — its
+        // sessions carry hash "" and no publicAlgorithm/curve/alt
+        // (wireshark-dtls0 / cloudshark-dtls1 goldens)
         DtlsParser.certs(srcPayloads ++ dstPayloads)
+          .map(_.copy(hash = "", publicAlgorithm = "", curve = "",
+            alt = Nil))
       else Nil
     // In-stream upgrades re-classify the remainder, like the reference's
     // parsers handing post-handshake bytes back to the classify stage:

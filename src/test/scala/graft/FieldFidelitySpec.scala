@@ -285,6 +285,48 @@ class FieldFidelitySpec extends AnyFunSuite with SparkSpecBase {
                 else misses(label) ::= name
               }
             }
+            // cert chains are objects — rendered through a shared
+            // canonical string (remainingDays excluded: it is relative
+            // to the reference's capture-run wall clock)
+            {
+              def goldCert(c: JsonNode): String = {
+                def arr(k: String): Seq[String] =
+                  Option(c.get(k)).toSeq.flatMap(
+                    _.elements().asScala.map(_.asText()).toSeq).sorted
+                def str(k: String): String =
+                  Option(c.get(k)).map(_.asText()).getOrElse("")
+                Seq(str("hash"), str("serial"),
+                  arr("issuerCN").mkString(","), arr("issuerON").mkString(","),
+                  arr("subjectCN").mkString(","), arr("subjectON").mkString(","),
+                  str("notBefore"), str("notAfter"), str("validDays"),
+                  str("publicAlgorithm"), str("curve"),
+                  arr("alt").mkString(",")).mkString("|")
+              }
+              def ourCert(c: graft.etl.CertParser.CertInfo): String =
+                Seq(Option(c.hash).getOrElse(""),
+                  Option(c.serial).getOrElse(""),
+                  c.issuerCN.sorted.mkString(","),
+                  c.issuerON.sorted.mkString(","),
+                  c.subjectCN.sorted.mkString(","),
+                  c.subjectON.sorted.mkString(","),
+                  c.notBefore.toString, c.notAfter.toString,
+                  c.validDays.toString,
+                  Option(c.publicAlgorithm).getOrElse(""),
+                  Option(c.curve).getOrElse(""),
+                  c.alt.sorted.mkString(",")).mkString("|")
+              val want = bodies.map { b =>
+                Option(b.get("cert")).toSeq
+                  .flatMap(_.elements().asScala.map(goldCert).toSeq)
+                  .distinct.sorted
+              }.filter(_.nonEmpty).map(_.mkString(";;")).sorted
+              val got = rows.map(_.cert.map(ourCert).distinct.sorted)
+                .filter(_.nonEmpty).toSeq.map(_.mkString(";;")).sorted
+              if (want.nonEmpty || got.nonEmpty) {
+                seen("cert") += 1
+                if (want == got) match_("cert") += 1
+                else misses("cert") ::= name
+              }
+            }
           } catch { case _: Exception => () }
         }
       }
@@ -402,8 +444,11 @@ class FieldFidelitySpec extends AnyFunSuite with SparkSpecBase {
       "source.port" -> 143, "destination.port" -> 143,
       "ipProtocol" -> 145, "firstPacket" -> 145, "lastPacket" -> 145,
       "network.bytes" -> 145, "network.packets" -> 145,
-      "packetLen" -> 145)
-    for ((label, _, _) <- fields) {
+      "packetLen" -> 145,
+      // full cert chains (lenient ASN.1 fallback for JDK-rejected certs,
+      // dtls.c's reduced field set)
+      "cert" -> 21)
+    for ((label, _, _) <- fields.map(_._1).:+("cert").map(l => (l, (), ()))) {
       info(f"$label%-16s ${match_(label)}%3d / ${seen(label)}%3d" +
         (if (misses(label).nonEmpty)
            s"  missed: ${misses(label).take(6).mkString(", ")}" else ""))
