@@ -219,10 +219,17 @@ object Endpoints {
       portField: Column,
       name: String = "pair",
       maxAggSize: Int = 10000): DataFrame = {
-    val sep = when(ipField.contains(":"), lit(".")).otherwise(lit(":"))
+    // group on the raw (ip, port) pair and render "ip:port" AFTER the
+    // aggregate: the concat runs once per group instead of once per row,
+    // and the partial agg hashes two narrow columns instead of a built
+    // string. The rendered key is injective per pair, so counts match
+    // the reference's nested terms-agg concatenation exactly.
     df.filter(ipField.isNotNull && portField.isNotNull)
-      .groupBy(concat(ipField, sep, portField.cast("string")).as(name))
+      .groupBy(ipField.as("_ip"), portField.as("_port"))
       .agg(count(lit(1)).as("cnt"))
+      .select(concat(col("_ip"),
+        when(col("_ip").contains(":"), lit(".")).otherwise(lit(":")),
+        col("_port").cast("string")).as(name), col("cnt"))
       .orderBy(col("cnt").desc, col(name).asc)
       .limit(maxAggSize)
   }
