@@ -180,6 +180,15 @@ object SparkEntry {
       docs(s, dir).filter(c.compile("text == \"table value\""))
         .select("doc_id").orderBy("doc_id")
     }),
+    // FLAG_CNT companion fields: <field>.cnt compares the array size
+    "q_expr_cnt" -> ((s, dir) => {
+      val c = new Compiler(FieldRegistry(Seq(graft.model.FieldDef(
+        "words", "words", graft.model.FieldKind.TermK,
+        multiValued = true))), now = now)
+      docs(s, dir).withColumn("words", split(col("text"), " "))
+        .filter(c.compile("words.cnt >= 40 && words.cnt <= 60"))
+        .select("doc_id").orderBy("doc_id")
+    }),
 
     // --- E: endpoint operators (SURVEY §2.3) -----------------------------
     "e1_session_query" -> ((s, dir) => {
@@ -816,6 +825,10 @@ object SparkEntry {
       """SELECT doc_id FROM documents
          WHERE regexp_matches(lower(text),
            '(^|[^a-z0-9])\Qtable\E[^a-z0-9]+\Qvalue\E([^a-z0-9]|$)')
+         ORDER BY doc_id""",
+    "q_expr_cnt" ->
+      """SELECT doc_id FROM documents
+         WHERE len(string_split(text, ' ')) BETWEEN 40 AND 60
          ORDER BY doc_id""",
     "q16_fileand" ->
       """WITH d AS (SELECT event_id,

@@ -121,7 +121,7 @@ final class Compiler(
       val value = expandShortcut(value0)
       // must_not(OR over fanned-out fields) = AND of per-field negations
       registry.expand(field)
-        .map(d => !cmpCol(d, op, value) || col(d.dbField).isNull)
+        .map(d => !cmpCol(d, op, value) || fieldCol(d).isNull)
         .reduce(_ && _)
   }
 
@@ -169,8 +169,14 @@ final class Compiler(
         array_contains(col("fileId"), lit(f.id))).reduce(_ || _)
   }
 
+  /** The queryable column: FLAG_CNT companions compare the stored
+    * array's size (field.c:300-316), everything else the column itself.
+    */
+  private def fieldCol(d: FieldDef): Column =
+    if (d.cnt) size(col(d.dbField)) else col(d.dbField)
+
   private def existsCol(d: FieldDef): Column = {
-    val c = col(d.dbField)
+    val c = fieldCol(d)
     if (d.multiValued) c.isNotNull && size(c) > 0 else c.isNotNull
   }
 
@@ -187,7 +193,7 @@ final class Compiler(
   // ---------------------------------------------------------------- numeric
 
   private def numericCmp(d: FieldDef, op: CmpOp, value: Value): Column = {
-    val c = col(d.dbField)
+    val c = fieldCol(d)
     def lits(v: Value): Column = lit(numVal(d, v))
     val rangeRe = "^(-?\\d+)-(-?\\d+)$".r
     (op, value) match {
@@ -284,7 +290,7 @@ final class Compiler(
   }
 
   private def stringCmp(d: FieldDef, op: CmpOp, value: Value): Column = {
-    val c = col(d.dbField)
+    val c = fieldCol(d)
     def apply1(v: Value): Column = {
       val f = stringMatchOne(d, v)
       if (d.multiValued) exists(c, f) else f(c)
@@ -304,7 +310,7 @@ final class Compiler(
   // ------------------------------------------------------------------ date
 
   private def dateCmp(d: FieldDef, op: CmpOp, value: Value): Column = {
-    val c = col(d.dbField)
+    val c = fieldCol(d)
     def secs(v: Value): Long = v match {
       case Value.Bare(s)   => DateParse.parseSeconds(s, now)
       case Value.Quoted(s) => DateParse.parseSeconds(s, now)
@@ -347,7 +353,7 @@ final class Compiler(
         "Wildcard not supported for ip queries")
       case _ =>
     }
-    val c = col(d.dbField)
+    val c = fieldCol(d)
     def one(raw0: String): Column = {
       val raw = raw0.trim
       // :port / .port alone, or trailing port on v4 (`:p`) / v6 (`.p`)

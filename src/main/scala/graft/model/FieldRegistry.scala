@@ -35,7 +35,10 @@ final case class FieldDef(
     kind: FieldKind,
     multiValued: Boolean = false,
     portField: Option[String] = None,
-    transform: Option[String => String] = None)
+    transform: Option[String => String] = None,
+    // FLAG_CNT companion (field.c:300-316): the queryable value is the
+    // stored array's size, exposed as "<expression>.cnt"
+    cnt: Boolean = false)
 
 /** One row of the files dimension (the reference's `files` index): the
   * user-facing capture file name, the capture node that wrote it, and the
@@ -58,7 +61,16 @@ final case class FieldRegistry(
     aliases: Map[String, String] = Map.empty) {
 
   private val byExpr: Map[String, FieldDef] = {
-    val primary = fields.map(f => f.expression -> f).toMap
+    // every multi-valued field gets its FLAG_CNT companion
+    // "<expression>.cnt" (reference field.c:300-316 registers
+    // "<dbField>Cnt" with expression "<exp>.cnt")
+    val withCnt = fields.flatMap { f =>
+      if (f.multiValued)
+        Seq(f, FieldDef(f.expression + ".cnt", f.dbField,
+          FieldKind.IntegerK, cnt = true))
+      else Seq(f)
+    }
+    val primary = withCnt.map(f => f.expression -> f).toMap
     primary ++ aliases.flatMap { case (alias, target) =>
       primary.get(target).map(alias -> _)
     }

@@ -49,4 +49,21 @@ class CompilerSpec extends AnyFunSuite with SparkSpecBase {
   test("queries registry and oracle keys line up") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
+  test("FLAG_CNT companions: <field>.cnt compares array size") {
+    import spark.implicits._
+    import graft.model.{FieldDef, FieldKind}
+    val df = Seq(
+      (Seq("a.com", "b.com"), 1),
+      (Seq("c.com"), 2),
+      (Seq.empty[String], 3)).toDF("httpHost", "id")
+    val reg = FieldRegistry(Seq(
+      FieldDef("http.host", "httpHost", FieldKind.TermK, multiValued = true),
+      FieldDef("id", "id", FieldKind.IntegerK)))
+    val cc = new Compiler(reg, now = SparkEntry.now)
+    assert(df.filter(cc.compile("http.host.cnt == 2")).count() == 1)
+    assert(df.filter(cc.compile("http.host.cnt >= 1")).count() == 2)
+    assert(df.filter(cc.compile("http.host.cnt == 0")).count() == 1)
+    assert(df.filter(cc.compile("http.host.cnt == 1-2")).count() == 2)
+  }
+
 }
