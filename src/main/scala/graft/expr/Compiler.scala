@@ -256,6 +256,15 @@ final class Compiler(
 
   private def stringMatchOne(d: FieldDef, v: Value): Column => Column = {
     def tx(s: String): String = foldCase(d, d.transform.map(_.apply(s)).getOrElse(s))
+    // lo/up termfields match case-insensitively on BOTH sides: the
+    // reference's ES analyzer lowercases stored values at index time,
+    // so original-case storage (ASN org names) still matches lowered
+    // operands (viewer/molochparser.jison:498-518)
+    def foldCol(e: Column): Column = d.kind match {
+      case FieldKind.LoTermK => lower(e)
+      case FieldKind.UpTermK => upper(e)
+      case _                 => e
+    }
     // textfield kind: analyzed phrase match (ES match_phrase on the
     // tokenized column) — the phrase's tokens must appear in order with
     // token boundaries, case-insensitively (jison:670-673,700-702)
@@ -277,13 +286,13 @@ final class Compiler(
         val full = "^(?:" + re + ")$" // ES regexp is anchored
         e => e.rlike(full)
       case Value.Quoted(s) =>
-        val lit0 = tx(s); e => e === lit(lit0)
+        val lit0 = tx(s); e => foldCol(e) === lit(lit0)
       case Value.Bare(s) if s.contains("*") =>
         if (s == "*") throw new IllegalArgumentException(
           "Please use 'EXISTS!' instead of a '*' in expression")
-        val pat = wildcardToLike(tx(s)); e => e.like(pat)
+        val pat = wildcardToLike(tx(s)); e => foldCol(e).like(pat)
       case Value.Bare(s) =>
-        val lit0 = tx(s); e => e === lit(lit0)
+        val lit0 = tx(s); e => foldCol(e) === lit(lit0)
       case Value.Lst(_) =>
         throw new IllegalArgumentException("nested list")
     }

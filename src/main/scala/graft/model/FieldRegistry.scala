@@ -287,7 +287,44 @@ object FieldRegistry {
       FieldDef("oracle.service", "oracleService", LoTermK),
       FieldDef("radius.user",  "radiusUser",   TermK, multiValued = true),
       FieldDef("radius.framed-ip", "radiusFramedIp", IpK, multiValued = true),
-      FieldDef("radius.mac",   "radiusMac",    LoTermK, multiValued = true)
+      FieldDef("radius.mac",   "radiusMac",    LoTermK, multiValued = true),
+      // round-4 surfaces: tunnel/header addresses, attachment digests,
+      // punycode, FLAG_CNT-free per-address enrichment companions
+      FieldDef("gre.ip",       "greIp",        IpK, multiValued = true),
+      FieldDef("ip.xff",       "httpXffIp",    IpK, multiValued = true),
+      FieldDef("ip.dns.mailserver", "dnsMailserverIp", IpK, multiValued = true),
+      FieldDef("dns.puny",     "dnsPuny",      LoTermK, multiValued = true),
+      FieldDef("dhcp.oui",     "dhcpOui",      TermK, multiValued = true),
+      FieldDef("isis.msgType", "isisMsgType",  LoTermK, multiValued = true),
+      FieldDef("http.sha256",  "httpSha256",   LoTermK, multiValued = true),
+      FieldDef("http.reqbody", "httpRequestBody", TermK, multiValued = true),
+      FieldDef("email.fn",     "emailFilename", TermK, multiValued = true),
+      FieldDef("email.md5",    "emailMd5",     LoTermK, multiValued = true),
+      FieldDef("email.sha256", "emailSha256",  LoTermK, multiValued = true),
+      FieldDef("email.bodymagic", "emailBodyMagic", TermK, multiValued = true),
+      FieldDef("tls.ja3string", "tlsJa3String", LoTermK, multiValued = true),
+      FieldDef("tls.ja3sstring", "tlsJa3sString", LoTermK, multiValued = true),
+      FieldDef("country.dns",  "dnsGeo",       TermK, multiValued = true),
+      FieldDef("asn.dns",      "dnsAsn",       LoTermK, multiValued = true),
+      FieldDef("rir.dns",      "dnsRir",       TermK, multiValued = true),
+      FieldDef("country.dns.nameserver", "dnsNameserverGeo", TermK, multiValued = true),
+      FieldDef("asn.dns.nameserver", "dnsNameserverAsn", LoTermK, multiValued = true),
+      FieldDef("rir.dns.nameserver", "dnsNameserverRir", TermK, multiValued = true),
+      FieldDef("country.dns.mailserver", "dnsMailserverGeo", TermK, multiValued = true),
+      FieldDef("asn.dns.mailserver", "dnsMailserverAsn", LoTermK, multiValued = true),
+      FieldDef("rir.dns.mailserver", "dnsMailserverRir", TermK, multiValued = true),
+      FieldDef("country.email", "emailGeo",    TermK, multiValued = true),
+      FieldDef("asn.email",    "emailAsn",     LoTermK, multiValued = true),
+      FieldDef("rir.email",    "emailRir",     TermK, multiValued = true),
+      FieldDef("country.socks", "socksGeo",    TermK),
+      FieldDef("asn.socks",    "socksAsn",     LoTermK),
+      FieldDef("rir.socks",    "socksRir",     TermK),
+      FieldDef("country.xff",  "httpXffGeo",   TermK, multiValued = true),
+      FieldDef("asn.xff",      "httpXffAsn",   LoTermK, multiValued = true),
+      FieldDef("rir.xff",      "httpXffRir",   TermK, multiValued = true),
+      FieldDef("country.gre",  "greGeo",       TermK, multiValued = true),
+      FieldDef("asn.gre",      "greAsn",       LoTermK, multiValued = true),
+      FieldDef("rir.gre",      "greRir",       TermK, multiValued = true)
     ),
     metaFields = Map(
       "ip"   -> Seq("ip.src", "ip.dst"),
@@ -300,9 +337,16 @@ object FieldRegistry {
         "dns.nameserver.host", "host.quic", "host.smb", "host.socks"),
       // the reference's country/asn/rir regex meta-fields fan out over
       // every GEO/AS/RIR-typed column (db/db.pl:749-780)
-      "country" -> Seq("country.src", "country.dst"),
-      "asn" -> Seq("asn.src", "asn.dst"),
-      "rir" -> Seq("rir.src", "rir.dst")),
+      // db.pl's regexes sweep EVERY *GEO/*ASN/*RIR dbField
+      "country" -> Seq("country.src", "country.dst", "country.dns",
+        "country.dns.nameserver", "country.dns.mailserver",
+        "country.email", "country.socks", "country.xff", "country.gre"),
+      "asn" -> Seq("asn.src", "asn.dst", "asn.dns", "asn.dns.nameserver",
+        "asn.dns.mailserver", "asn.email", "asn.socks", "asn.xff",
+        "asn.gre"),
+      "rir" -> Seq("rir.src", "rir.dst", "rir.dns", "rir.dns.nameserver",
+        "rir.dns.mailserver", "rir.email", "rir.socks", "rir.xff",
+        "rir.gre")),
     // the reference's primary expression names are host.<proto> with
     // <proto>.host aliases (db/db.pl "aliases" entries); accept both
     aliases = Map(

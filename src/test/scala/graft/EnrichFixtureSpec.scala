@@ -114,4 +114,35 @@ class EnrichFixtureSpec extends AnyFunSuite with SparkSpecBase {
     assert(Fixtures.asnGeoOf("10.0.0.1", testMode = true)
       .flatMap(_.org).contains("This is neat"))
   }
+  test("enrichment and round-4 fields are queryable through the expression language") {
+    import graft.expr.Compiler
+    import graft.etl.SessionBuilder
+    val c = new Compiler(graft.model.FieldRegistry.sessions,
+      graft.model.FieldRegistry.sessionCol, SparkEntry.now)
+    val dns = SessionBuilder.sessionizeRef(spark,
+      "/root/reference/tests/pcap/dns-udp.pcap").toDF()
+    def n(df: org.apache.spark.sql.DataFrame, e: String): Long =
+      df.filter(c.compile(e)).count()
+    assert(n(dns, "asn.dns == \"as36459 github, inc.\"") >= 1)
+    assert(n(dns, "country.dns == US") >= 1)
+    assert(n(dns, "rir.dns == ARIN") >= 1)
+    assert(n(dns, "asn == *github*") >= 1) // meta-field sweep
+    assert(n(dns, "dns.host.cnt >= 1") >= 1)   // FLAG_CNT companion
+    val mx = SessionBuilder.sessionizeRef(spark,
+      "/root/reference/tests/pcap/dns-wiresharkrepo.pcap").toDF()
+    assert(n(mx, "ip.dns.mailserver == EXISTS!") >= 1)
+    assert(n(mx, "asn.dns.mailserver == \"as15169 google llc\"") >= 1)
+    val gre = SessionBuilder.sessionizeRef(spark,
+      "/root/reference/tests/pcap/gre-sample.pcap").toDF()
+    assert(n(gre, "gre.ip == 66.59.109.137") >= 1)
+    assert(n(gre, "asn.gre == *cumberland*") >= 1)
+    val xff = SessionBuilder.sessionizeRef(spark,
+      "/root/reference/tests/pcap/http-xff.pcap").toDF()
+    assert(n(xff, "ip.xff == 10.0.0.3") == 1)
+    val smtp = SessionBuilder.sessionizeRef(spark,
+      "/root/reference/tests/pcap/smtp-zip.pcap").toDF()
+    assert(n(smtp, "email.md5 == EXISTS!") >= 1)
+    assert(n(smtp, "email.fn == EXISTS!") >= 1)
+  }
+
 }
