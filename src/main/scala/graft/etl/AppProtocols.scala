@@ -238,6 +238,17 @@ object AppProtocols {
       if (srcFirst.nonEmpty) srcFirst else srcStream,
       if (dstFirst.nonEmpty) dstFirst else dstStream)
     def u(b: Array[Byte], i: Int): Int = b(i) & 0xff
+    // tacacs: first-bytes (c0|c1).(01|02|03).(01|02) AND port 49 on either
+    // side, both transports (parsers/misc.c:185-189,470-476)
+    if ((ipProtocol == 6 || ipProtocol == 17) &&
+      (srcPort == 49 || dstPort == 49) &&
+      firsts.exists { f =>
+        f.length >= 3 && {
+          val k = (u(f, 0) << 16) | (u(f, 1) << 8) | u(f, 2)
+          k == 0xc00101 || k == 0xc00102 || k == 0xc00201 ||
+          k == 0xc00301 || k == 0xc00302 || k == 0xc10101 || k == 0xc10102
+        }
+      }) tags += "tacacs"
     if (ipProtocol == 6) {
       if (streams.exists(st => (st.length >= 20 && u(st, 0) == 0x13 &&
         win(st, 20).substring(1) == "BitTorrent protocol") ||

@@ -459,13 +459,14 @@ object Http2Parser {
       // the http2-nghttp2 golden's responseHeaderField/user-agent
       requestHeaderField = d(plain.filter(_.isReq).map(_.name.toLowerCase)
         .filterNot(HttpParser.ReqOwnHeaders)).sorted,
-      requestHeaderValue = d(plain.filter(h =>
+      // values are STR_ARRAY + FLAG_CNT: duplicates survive
+      requestHeaderValue = plain.filter(h =>
         h.isReq && !HttpParser.ReqOwnHeaders(h.name.toLowerCase))
-        .map(_.value.take(1024).toLowerCase).filter(_.nonEmpty)),
+        .map(_.value.take(1024).toLowerCase).filter(_.nonEmpty),
       responseHeaderField = d(plain.filterNot(_.isReq).map(_.name.toLowerCase)
         .filterNot(HttpParser.RespOwnHeaders)).sorted,
-      responseHeaderValue = d(plain.filter(h =>
+      responseHeaderValue = plain.filter(h =>
         !h.isReq && !HttpParser.RespOwnHeaders(h.name.toLowerCase))
-        .map(_.value.take(1024).toLowerCase).filter(_.nonEmpty))))
+        .map(_.value.take(1024).toLowerCase).filter(_.nonEmpty)))
   }
 }

@@ -72,9 +72,9 @@ object HttpParser {
     authUser = (a.authUser ++ b.authUser).distinct,
     bodyMagic = (a.bodyMagic ++ b.bodyMagic).distinct,
     requestHeaderField = (a.requestHeaderField ++ b.requestHeaderField).distinct.sorted,
-    requestHeaderValue = (a.requestHeaderValue ++ b.requestHeaderValue).distinct,
+    requestHeaderValue = a.requestHeaderValue ++ b.requestHeaderValue,
     responseHeaderField = (a.responseHeaderField ++ b.responseHeaderField).distinct.sorted,
-    responseHeaderValue = (a.responseHeaderValue ++ b.responseHeaderValue).distinct,
+    responseHeaderValue = a.responseHeaderValue ++ b.responseHeaderValue,
     authType = (a.authType ++ b.authType).distinct,
     authorization = (a.authorization ++ b.authorization).distinct,
     passwordInBody = a.passwordInBody || b.passwordInBody,
@@ -374,14 +374,17 @@ object HttpParser {
       // still ALSO promote to their own fields separately.
       requestHeaderField = d((reqs ++ srcResps).flatMap(
         _.headers.map(_._1.toLowerCase).filterNot(ReqOwnHeaders))).sorted,
-      requestHeaderValue = d((reqs ++ srcResps).flatMap(
+      // header VALUES are STR_ARRAY (not a set): every occurrence is
+      // appended, so duplicates survive and <field>Cnt counts them
+      // (http.c:896-910 MOLOCH_FIELD_TYPE_STR_ARRAY + FLAG_CNT)
+      requestHeaderValue = (reqs ++ srcResps).flatMap(
         _.headers.filterNot(h => ReqOwnHeaders(h._1.toLowerCase))
-          .map(h => h._2.take(1024).toLowerCase)).filter(_.nonEmpty)),
+          .map(h => h._2.take(1024).toLowerCase)).filter(_.nonEmpty),
       responseHeaderField = d(resps.flatMap(
         _.headers.map(_._1.toLowerCase).filterNot(RespOwnHeaders))).sorted,
-      responseHeaderValue = d(resps.flatMap(
+      responseHeaderValue = resps.flatMap(
         _.headers.filterNot(h => RespOwnHeaders(h._1.toLowerCase))
-          .map(h => h._2.take(1024).toLowerCase)).filter(_.nonEmpty)),
+          .map(h => h._2.take(1024).toLowerCase)).filter(_.nonEmpty),
       // authType = the scheme token, lowered, only when a space follows
       // (moloch_http_parse_authorization early-returns without one)
       authType = d(hs(reqs, "Authorization").map(_.trim)

@@ -531,7 +531,8 @@ object SmtpParser {
       ip = relayIps.result().flatMap(normalizeMailIp).distinct,
       useragent = mailUa.result().distinct,
       headerField = hdrField.result().distinct,
-      headerValue = hdrValue.result().distinct,
+      // STR_ARRAY with FLAG_CNT - duplicates survive (smtp.c:1038-1041)
+      headerValue = hdrValue.result(),
       headerTrace = hdrTrace.result().distinct,
       md5 = partMd5.result().distinct,
       sha256 = partSha.result().distinct,

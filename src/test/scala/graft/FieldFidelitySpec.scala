@@ -285,6 +285,29 @@ class FieldFidelitySpec extends AnyFunSuite with SparkSpecBase {
                 else misses(label) ::= name
               }
             }
+            // FLAG_CNT companions: the reference stores <field>Cnt
+            // alongside every counted field (capture/db.c FLAG_CNT, with
+            // -cnt spelling for ECS dotted names); pin our stored-array
+            // size against the golden count corpus-wide so the compiler's
+            // <field>.cnt queries stay exact. Deliberately NOT distinct:
+            // a duplicate the reference's set-semantics would have
+            // collapsed must fail here.
+            for ((label, (g, k), ours) <- fields) {
+              val cands =
+                if (k.isEmpty) Seq((g + "Cnt", ""))
+                else Seq((g, k + "Cnt"), (g, k + "-cnt"))
+              val want = bodies.map { b =>
+                cands.iterator.map { case (cg, ck) => goldenVals(b, cg, ck) }
+                  .find(_.nonEmpty).getOrElse(Nil)
+              }.filter(_.nonEmpty).map(_.mkString("")).sorted
+              if (want.nonEmpty) {
+                val got = rows.map(ours(_)).filter(_.nonEmpty)
+                  .map(_.length.toString).toSeq.sorted
+                seen(label + ".cnt") += 1
+                if (want == got) match_(label + ".cnt") += 1
+                else misses(label + ".cnt") ::= name
+              }
+            }
             // cert chains are objects — rendered through a shared
             // canonical string (remainingDays excluded: it is relative
             // to the reference's capture-run wall clock)
@@ -325,6 +348,15 @@ class FieldFidelitySpec extends AnyFunSuite with SparkSpecBase {
                 seen("cert") += 1
                 if (want == got) match_("cert") += 1
                 else misses("cert") ::= name
+              }
+              val wantCnt = bodies.flatMap(b =>
+                Option(b.get("certCnt")).map(_.asText())).sorted
+              if (wantCnt.nonEmpty) {
+                val gotCnt = rows.map(_.cert).filter(_.nonEmpty)
+                  .map(_.length.toString).toSeq.sorted
+                seen("cert.cnt") += 1
+                if (wantCnt == gotCnt) match_("cert.cnt") += 1
+                else misses("cert.cnt") ::= name
               }
             }
           } catch { case _: Exception => () }
@@ -447,8 +479,44 @@ class FieldFidelitySpec extends AnyFunSuite with SparkSpecBase {
       "packetLen" -> 145,
       // full cert chains (lenient ASN.1 fallback for JDK-rejected certs,
       // dtls.c's reduced field set)
-      "cert" -> 21)
-    for ((label, _, _) <- fields.map(_._1).:+("cert").map(l => (l, (), ()))) {
+      "cert" -> 21,
+      // FLAG_CNT companions: stored-array sizes (duplicates kept for
+      // STR_ARRAY fields) vs golden <field>Cnt, all at 100%
+      "cert.cnt" -> 21, "destination.mac.cnt" -> 137, "dhcp.id.cnt" -> 1,
+      "dhcp.mac.cnt" -> 1, "dhcp.oui.cnt" -> 1, "dhcp.type.cnt" -> 1,
+      "dns.host.cnt" -> 19, "dns.ip.cnt" -> 9, "dns.mailserverHost.cnt" -> 3,
+      "dns.mailserverIp.cnt" -> 2, "dns.nameserverHost.cnt" -> 8, "dns.nameserverIp.cnt" -> 7,
+      "dns.opcode.cnt" -> 19, "dns.puny.cnt" -> 1, "dns.qc.cnt" -> 18,
+      "dns.qt.cnt" -> 18, "dns.status.cnt" -> 16, "dstOui.cnt" -> 129,
+      "email.bodyMagic.cnt" -> 1, "email.contentType.cnt" -> 11, "email.dst.cnt" -> 17,
+      "email.filename.cnt" -> 2, "email.header.cnt" -> 15, "email.headerValue.cnt" -> 10,
+      "email.host.cnt" -> 9, "email.id.cnt" -> 9, "email.ip.cnt" -> 8,
+      "email.md5.cnt" -> 3, "email.mimeVersion.cnt" -> 11, "email.sha256.cnt" -> 3,
+      "email.smtpHello.cnt" -> 18, "email.src.cnt" -> 17, "email.subject.cnt" -> 15,
+      "email.useragent.cnt" -> 7, "greIp.cnt" -> 3, "http.authType.cnt" -> 2,
+      "http.bodyMagic.cnt" -> 18, "http.clientVersion.cnt" -> 29, "http.cookieKey.cnt" -> 10,
+      "http.cookieValue.cnt" -> 10, "http.host.cnt" -> 36, "http.key.cnt" -> 5,
+      "http.md5.cnt" -> 24, "http.method.cnt" -> 30, "http.path.cnt" -> 28,
+      "http.request-authorization.cnt" -> 2, "http.request-referer.cnt" -> 12, "http.requestHeader.cnt" -> 30,
+      "http.requestHeaderValue.cnt" -> 28, "http.responseHeader.cnt" -> 28, "http.responseHeaderValue.cnt" -> 28,
+      "http.serverVersion.cnt" -> 28, "http.sha256.cnt" -> 24, "http.statuscode.cnt" -> 29,
+      "http.uri.cnt" -> 29, "http.user.cnt" -> 2, "http.useragent.cnt" -> 29,
+      "http.value.cnt" -> 5, "http.xffIp.cnt" -> 1, "irc.channel.cnt" -> 2,
+      "irc.nick.cnt" -> 2, "krb5.cname.cnt" -> 2, "krb5.realm.cnt" -> 2,
+      "krb5.sname.cnt" -> 2, "ldap.authtype.cnt" -> 2, "ldap.bindname.cnt" -> 2,
+      "network.vlan.cnt" -> 24, "protocol.cnt" -> 145, "quic.host.cnt" -> 5,
+      "quic.useragent.cnt" -> 3, "quic.version.cnt" -> 4, "radius.framedIp.cnt" -> 1,
+      "radius.mac.cnt" -> 1, "smb.domain.cnt" -> 4, "smb.filename.cnt" -> 2,
+      "smb.host.cnt" -> 2, "smb.os.cnt" -> 4, "smb.share.cnt" -> 4,
+      "smb.user.cnt" -> 3, "smb.version.cnt" -> 4, "source.mac.cnt" -> 137,
+      "srcOui.cnt" -> 132, "ssh.hassh.cnt" -> 3, "ssh.hasshServer.cnt" -> 3,
+      "ssh.key.cnt" -> 2, "ssh.version.cnt" -> 4, "tags.cnt" -> 72,
+      "tls.cipher.cnt" -> 22, "tls.ja3.cnt" -> 18, "tls.ja3s.cnt" -> 22,
+      "tls.ja3sstring.cnt" -> 22, "tls.ja3string.cnt" -> 18, "tls.version.cnt" -> 22,
+      "user.cnt" -> 5)
+    val allLabels = (fields.map(_._1) :+ "cert")
+      .flatMap(l => Seq(l, l + ".cnt")).filter(l => seen(l) > 0)
+    for (label <- allLabels) {
       info(f"$label%-16s ${match_(label)}%3d / ${seen(label)}%3d" +
         (if (misses(label).nonEmpty)
            s"  missed: ${misses(label).take(6).mkString(", ")}" else ""))

@@ -112,6 +112,19 @@ class MiscClassifierSpec extends AnyFunSuite {
       .contains("dropbox-lan-sync"))
   }
 
+  test("tacacs: needle + port-49 gate, both transports") {
+    val hdr = b(0xc0, 0x01, 0x01) ++ Array.fill[Byte](9)(0)
+    assert(tcp(hdr, dstPort = 49).contains("tacacs"))
+    assert(udp(hdr, srcPort = 49).contains("tacacs"))
+    assert(tcp(b(0xc1, 0x01, 0x02) ++ Array.fill[Byte](9)(0), dstPort = 49)
+      .contains("tacacs"))
+    // needle without the port gate stays untagged (tacacs_classify checks
+    // port1/port2 == 49 — misc.c:185-189)
+    assert(!tcp(hdr, dstPort = 4949).contains("tacacs"))
+    // port without the needle stays untagged
+    assert(!tcp(s("hello"), dstPort = 49).contains("tacacs"))
+  }
+
   test("body magic: split-zip needle replicates the C escape quirk") {
     import graft.etl.Magic
     def bytes(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
