@@ -191,9 +191,15 @@ object Dedup {
       .select(col("doc_id"), explode(array_distinct(
         transform(sequence(lit(1), size(col("hs")) - (window - 1)),
           i => array_min(slice(col("hs"), i, lit(window)))))).as("fp"))
-    val a = fps.select(col("fp"), col("doc_id").as("doc_a"))
-    val b = fps.select(col("fp"), col("doc_id").as("doc_b"))
-    a.join(b, Seq("fp"))
+    // group-then-expand instead of a fp self-join: the shingle kernel and
+    // explode run ONCE over the corpus (a self-join re-computes the whole
+    // subtree on both sides — alias-differing projects defeat
+    // ReuseExchange), and pair expansion happens map-side after the one
+    // (fp) shuffle
+    fps.groupBy("fp").agg(collect_list(col("doc_id")).as("docs"))
+      .filter(size(col("docs")) >= 2)
+      .select(explode(col("docs")).as("doc_a"), col("docs"))
+      .select(col("doc_a"), explode(col("docs")).as("doc_b"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
@@ -225,23 +231,27 @@ object Dedup {
     // the logical plan stays constant-depth across rounds — with plain
     // cache the plan nests once per iteration and analysis/recovery cost
     // grows without bound at cluster scale (the GraphFrames CC pattern)
-    var labels = edges.groupBy(col("src").as("id"))
+    var ckpt = edges.groupBy(col("src").as("id"))
       .agg(least(min(col("dst")), first(col("src"))).as("label"))
       .localCheckpoint()
+    var labels = ckpt
     var round = 0
     var converged = false
     while (round < maxRounds && !converged) {
       // neighborhood min: each node's label offered to every neighbor
       val offered = edges.join(labels, col("dst") === col("id"))
         .groupBy(col("src").as("id")).agg(min(col("label")).as("nmin"))
+      // carry the previous label through the checkpoint so convergence
+      // detection is a filter on the materialized result, not a second
+      // join against the previous round
       val next = labels.join(offered, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("label").as("old"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
         .localCheckpoint()
-      converged = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
-        .filter(col("label") < col("old")).isEmpty
-      labels.unpersist()
-      labels = next
+      converged = next.filter(col("label") < col("old")).isEmpty
+      ckpt.unpersist()
+      ckpt = next
+      labels = next.select("id", "label")
       round += 1
     }
     edges.unpersist()
