@@ -38,5 +38,31 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(exprs.length == 1, "ip_sortable(ipCol)")
         IpSortableExpr(exprs.head)
       }))
+    // The whole session expression language as a SQL predicate:
+    //   SELECT ... FROM sessions WHERE graft_expr('http.uri == *login* && country == US')
+    // The compiled tree contains UnresolvedAttributes for the session
+    // columns; the analyzer resolves them against the enclosing plan, so
+    // the function works over any relation with session-schema columns
+    // (table, view, subquery). Relative dates snap against
+    // `spark.graft.now` (ISO instant) when set — pin it for deterministic
+    // replay — else wall clock.
+    ext.injectFunction((
+      FunctionIdentifier("graft_expr"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "graft_expr"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "graft_expr('<session expression>')")
+        val q = exprs.head match {
+          case Literal(s: UTF8String, _) => s.toString
+          case other => throw new IllegalArgumentException(
+            s"graft_expr: expression must be a string literal, got $other")
+        }
+        val now =
+          try java.time.Instant.parse(org.apache.spark.sql.internal.SQLConf.get
+            .getConfString("spark.graft.now"))
+          catch { case _: Exception => java.time.Instant.now() }
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(
+          new graft.expr.Compiler(graft.model.FieldRegistry.sessions,
+            graft.model.FieldRegistry.sessionCol, now).compile(q))
+      }))
   }
 }

@@ -344,6 +344,19 @@ object SparkEntry {
         col("text"), col("doc_id"), k = 3)
         .orderBy("doc_id", "bench_id")
     }),
+    // D11: the full dedup pipeline — candidates → connected groups →
+    // canonical survivor (min doc_id) per group, i.e. the deduplicated
+    // corpus a training run would actually consume. The groups side holds
+    // only documents that appear in a dup pair (a small fraction of the
+    // corpus at web scale), so AQE turns the left join into a broadcast.
+    "d11_dedup_pipeline" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val groups = Dedup.resolveGroups(
+        Dedup.minhashCandidates(d, col("text"), col("doc_id")))
+      d.join(groups, Seq("doc_id"), "left")
+        .filter(col("group_id").isNull || col("group_id") === col("doc_id"))
+        .select("doc_id").orderBy("doc_id")
+    }),
 
     // --- S: similarity search -------------------------------------------
     "s1_ann_bruteforce" -> ((s, dir) => {
@@ -1052,6 +1065,31 @@ object SparkEntry {
            SELECT e.s, reach.r FROM edges e JOIN reach ON e.d = reach.id)
          SELECT id AS doc_id, min(r) AS group_id FROM reach
          GROUP BY id ORDER BY doc_id""",
+    "d11_dedup_pipeline" ->
+      s"""WITH RECURSIVE tok AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+         sh AS (SELECT doc_id, unnest(${sqlShingles("toks", 3)}) AS s
+                FROM tok WHERE len(toks) >= 3),
+         hs AS (SELECT doc_id, ${sqlHex32("s")} AS h FROM sh),
+         sig AS (SELECT doc_id, $sqlMinhashCols FROM hs GROUP BY doc_id),
+         bandrows AS (
+           SELECT doc_id, b AS band_id, $sqlBandKey AS band_key
+           FROM sig, range(0, 4) t(b)),
+         pairs AS (
+           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM bandrows a JOIN bandrows b
+             ON a.band_id = b.band_id AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id),
+         edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+                   UNION SELECT doc_b, doc_a FROM pairs),
+         reach(id, r) AS (
+           SELECT DISTINCT s, s FROM edges
+           UNION
+           SELECT e.s, reach.r FROM edges e JOIN reach ON e.d = reach.id),
+         groups AS (SELECT id, min(r) AS group_id FROM reach GROUP BY id)
+         SELECT d.doc_id FROM documents d
+         LEFT JOIN groups g ON d.doc_id = g.id
+         WHERE g.group_id IS NULL OR g.group_id = d.doc_id
+         ORDER BY doc_id""",
     "d8_winnow" ->
       s"""WITH tok AS (SELECT doc_id, $sqlToks AS toks FROM documents),
          hs AS (SELECT doc_id,

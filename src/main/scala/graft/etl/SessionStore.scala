@@ -48,6 +48,39 @@ object SessionStore {
     * metadata operation however many rows it holds, which is the only
     * retention model that works at 100 TB. Returns the dropped day keys.
     */
+  /** Compaction: rewrite one day partition's accumulation of small files
+    * (every micro-batch / capture node flush adds some) into
+    * `ceil(bytes/targetBytes)` files, range-clustered and sorted by
+    * `firstPacket` — the analogue of the reference's nightly
+    * `optimizeAndDeleteIndices` forceMerge (db/db.pl). Range partitioning
+    * rather than round-robin so each output file covers a narrow time
+    * span and parquet min/max stats prune sub-day time predicates.
+    * Returns the number of files written (0 = partition absent).
+    */
+  def compact(spark: SparkSession, path: String, day: String,
+      targetBytes: Long = 512L * 1024 * 1024): Int = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dayPath = new org.apache.hadoop.fs.Path(root, s"day=$day")
+    if (!fs.exists(dayPath)) return 0
+    val bytes = fs.getContentSummary(dayPath).getLength
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    val tmp = new org.apache.hadoop.fs.Path(root, s"_compact_tmp_day=$day")
+    spark.read.parquet(dayPath.toString)
+      .repartitionByRange(nFiles, col("firstPacket"))
+      .sortWithinPartitions("firstPacket")
+      .write.mode("overwrite").parquet(tmp.toString)
+    val bak = new org.apache.hadoop.fs.Path(root, s"_compact_old_day=$day")
+    if (!fs.rename(dayPath, bak))
+      throw new java.io.IOException(s"compact: cannot move day=$day aside")
+    if (!fs.rename(tmp, dayPath)) {
+      fs.rename(bak, dayPath) // roll back
+      throw new java.io.IOException(s"compact: cannot swap in day=$day")
+    }
+    fs.delete(bak, true)
+    nFiles
+  }
+
   def expire(spark: SparkSession, path: String, keepDays: Int,
       nowMs: Long = System.currentTimeMillis()): Seq[String] = {
     val cutoff = java.time.Instant.ofEpochMilli(nowMs)

@@ -43,6 +43,30 @@ class StoreAndCidrSpec extends AnyFunSuite with SparkSpecBase {
     assert(left.isEmpty)
   }
 
+  test("compact rewrites a day partition into few time-clustered files") {
+    val sessions = SessionBuilder.sessionizeRef(spark,
+      "/root/reference/tests/pcap/socks-http-example.pcap")
+    val path = java.nio.file.Files.createTempDirectory("sessions-cmp").toString
+    // write deliberately fragmented: one file per session
+    sessions.toDF().repartition(3)
+      .withColumn("day", org.apache.spark.sql.functions.date_format(
+        org.apache.spark.sql.functions.timestamp_millis(
+          org.apache.spark.sql.functions.col("firstPacket")), "yyyy-MM-dd"))
+      .write.mode("overwrite").partitionBy("day").parquet(path)
+    val before = SessionStore.read(spark, path)
+      .orderBy("sessionId").collect().toSeq
+    def files(day: String): Seq[java.io.File] =
+      new java.io.File(path, s"day=$day").listFiles().toSeq
+        .filter(f => f.getName.endsWith(".parquet"))
+    assert(files("2013-12-02").size == 3)
+    assert(SessionStore.compact(spark, path, "2013-12-02") == 1)
+    assert(files("2013-12-02").size == 1)
+    // content identical, absent partition is a no-op
+    assert(SessionStore.read(spark, path)
+      .orderBy("sessionId").collect().toSeq == before)
+    assert(SessionStore.compact(spark, path, "2020-01-01") == 0)
+  }
+
   test("gap0 packetPos decodes like viewer/db.js and round-trips") {
     import graft.etl.Pcap
     // markers reset, 0 repeats the last gap, positive adds to running pos
@@ -133,6 +157,17 @@ class StoreAndCidrSpec extends AnyFunSuite with SparkSpecBase {
           "ip_in_cidr('11.1.2.3', '10.0.0.0/8') AS b, " +
           "ip_sortable('10.1.2.3') < ip_sortable('10.1.2.4') AS c").head()
       assert(r.getBoolean(0) && !r.getBoolean(1) && r.getBoolean(2))
+      // the full expression language as a SQL predicate over any
+      // session-schema relation
+      graft.etl.SessionBuilder
+        .sessionizeRef(s2, "/root/reference/tests/pcap/dns-udp.pcap")
+        .toDF().createOrReplaceTempView("sessions")
+      def cnt(e: String): Long = s2.sql(
+        s"SELECT count(*) AS n FROM sessions WHERE graft_expr('$e')")
+        .head().getLong(0)
+      assert(cnt("dns.host == EXISTS!") >= 1)
+      assert(cnt("dns.host == EXISTS! && port.dst == 53") >= 1)
+      assert(cnt("dns.host == no-such-host.example") == 0)
     } finally {
       org.apache.spark.sql.SparkSession.setDefaultSession(base)
       org.apache.spark.sql.SparkSession.setActiveSession(base)
