@@ -91,8 +91,25 @@ object Enrich {
     * nested `source.*`/`destination.*` document layout of db.c:635-1100).
     * Returns (jsonDoc) strings ready for an `_bulk` sink / ndjson files.
     */
-  def toEsDocs(sessions: DataFrame): DataFrame = {
-    sessions.select(to_json(struct(
+  def toEsDocs(sessions: DataFrame): DataFrame =
+    sessions.select(esDocCol.as("doc"))
+
+  /** One `_bulk` unit per session: the `{"index":{...}}` action line (index
+    * name `sessions3-YYMMDD` from firstPacket — the reference's time-rotated
+    * naming, capture/db.c:538-577) and the document, newline-joined.
+    */
+  def toEsBulkLines(sessions: DataFrame): DataFrame = {
+    val idx = concat(lit("sessions3-"),
+      date_format(timestamp_millis(col("firstPacket")), "yyMMdd"))
+    val action = to_json(struct(struct(
+      idx.as("_index"),
+      concat_ws("-", col("sessionId"), col("firstPacket")).as("_id"))
+      .as("index")))
+    sessions.select(concat(action, lit("\n"), esDocCol).as("bulk"))
+  }
+
+  private def esDocCol: Column = {
+    to_json(struct(
       col("firstPacket"), col("lastPacket"), col("length"), col("ipProtocol"),
       struct(col("srcIp").as("ip"), col("srcPort").as("port"),
         col("srcPackets").as("packets"), col("srcBytes").as("bytes"),
@@ -106,6 +123,6 @@ object Enrich {
       struct(col("dstDataBytes").as("bytes")).as("server"),
       col("totDataBytes"), col("protocol"), col("node"),
       col("segmentCnt"), col("packetPos"), col("packetLen")
-    )).as("doc"))
+    ))
   }
 }

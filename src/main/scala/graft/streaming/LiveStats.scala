@@ -38,6 +38,35 @@ object LiveStats {
       .drop("window")
   }
 
+  /** Streaming spiview top-K: per time window, the k most frequent terms
+    * (the streaming twin of E5 `Endpoints.topTerms`). Two chained
+    * stateful aggregations in append mode (Spark >= 3.4 multi-stateful
+    * support): watermarked (window, term) counts, then a bounded-heap
+    * TopK over each finalized window — at most k rows of state per
+    * partition in the second agg, never a per-window sort of all terms.
+    */
+  def topTerms(
+      stream: DataFrame,
+      termCol: Column,
+      tsCol: Column,
+      intervalSec: Long,
+      watermarkDelay: String,
+      k: Int): DataFrame = {
+    val counts = stream.withColumn("_ts", tsCol)
+      .withWatermark("_ts", watermarkDelay)
+      .groupBy(window(col("_ts"), s"$intervalSec seconds"),
+        termCol.as("term"))
+      .agg(count(lit(1)).as("n"))
+    counts
+      .groupBy(col("window"))
+      .agg(graft.functions.TopK.stringIds(k)(
+        col("n").cast("double"), col("term")).as("top"))
+      .select(col("window.start").as("bucket"),
+        transform(col("top"), s =>
+          struct(s.getField("id").as("term"),
+            s.getField("score").cast("long").as("n"))).as("top"))
+  }
+
   /** Streaming exact-dedup: first occurrence of each key within the
     * watermark horizon survives (the streaming twin of I11 duplicate
     * suppression / d1 exact dedup). State per key is dropped once the

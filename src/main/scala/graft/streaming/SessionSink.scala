@@ -35,6 +35,83 @@ object SessionSink {
       .outputMode("append")
       .start()
 
+  /** Live `_bulk` HTTP sink: each partition serializes its rows to
+    * action+doc ndjson and POSTs chunks of at most `maxBulkBytes` — the
+    * reference's per-thread 200 KB `dbBulkSize` buffers (capture/db.c:
+    * 601-618, config.c:528). Transient failures (429/5xx/IO) back off and
+    * retry up to `maxRetries`; a still-failing chunk throws, failing the
+    * task and ultimately the micro-batch, which the checkpoint re-runs —
+    * at-least-once, like the reference's bulk re-queue. POSTs happen on
+    * the executors: the driver never sees the data, so the sink scales
+    * with the cluster, not the driver's NIC.
+    */
+  def toEsBulkHttp(sessions: Dataset[SessionRow], url: String,
+      checkpoint: String,
+      maxBulkBytes: Int = 200 * 1024,
+      maxRetries: Int = 3,
+      trigger: Trigger = Trigger.ProcessingTime("5 seconds")): StreamingQuery =
+    sessions.toDF()
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        Enrich.toEsBulkLines(batch).as[String]
+          .foreachPartition { it: Iterator[String] =>
+            val buf = new StringBuilder
+            def flush(): Unit = if (buf.nonEmpty) {
+              postBulk(url, buf.toString, maxRetries); buf.clear()
+            }
+            it.foreach { unit =>
+              if (buf.length + unit.length + 1 > maxBulkBytes) flush()
+              buf.append(unit).append('\n')
+            }
+            flush()
+          }
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .outputMode("append")
+      .start()
+
+  /** POST one ndjson chunk, retrying transient failures with exponential
+    * backoff. JDK HttpURLConnection only — no client dependency.
+    */
+  private[streaming] def postBulk(
+      url: String, body: String, maxRetries: Int): Unit = {
+    var attempt = 0
+    var done = false
+    while (!done) {
+      try {
+        val conn = new java.net.URL(url).openConnection()
+          .asInstanceOf[java.net.HttpURLConnection]
+        conn.setRequestMethod("POST")
+        conn.setRequestProperty("Content-Type", "application/x-ndjson")
+        conn.setDoOutput(true)
+        conn.setConnectTimeout(10000)
+        conn.setReadTimeout(30000)
+        val out = conn.getOutputStream
+        try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        val code = conn.getResponseCode
+        try {
+          val in = if (code >= 400) conn.getErrorStream else conn.getInputStream
+          if (in != null) { in.readAllBytes(); in.close() }
+        } catch { case _: java.io.IOException => () }
+        if (code >= 200 && code < 300) done = true
+        else if (code == 429 || code >= 500) throw new java.io.IOException(
+          s"bulk POST $code")
+        else throw new IllegalStateException(
+          s"bulk POST rejected with $code") // 4xx other than 429: no retry
+      } catch {
+        case e: java.io.IOException =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+          Thread.sleep(100L << math.min(attempt, 6))
+      }
+    }
+  }
+
   /** ES-bulk-shaped ndjson via foreachBatch (file-based stand-in for the
     * `_bulk` HTTP sink; the batch boundary is the flush unit).
     */

@@ -51,6 +51,41 @@ class LiveStatsSpec extends AnyFunSuite with SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming topTerms equals the batch top-K per finalized window") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+
+    // 300 s windows align to the epoch, so use a 300 s-aligned base
+    def ats(min: Int) = new Timestamp(1699999800000L + min * 60000L)
+    // bucket 0: a×3 b×2 c×1 → top2 = a,b; bucket 1: c×2 a×1 → top2 = c,a
+    val rows = Seq(
+      (ats(0), "a"), (ats(1), "a"), (ats(2), "a"), (ats(1), "b"), (ats(2), "b"),
+      (ats(3), "c"),
+      (ats(5), "c"), (ats(6), "c"), (ats(7), "a"))
+    val input = MemoryStream[(Timestamp, String)]
+    val top = LiveStats.topTerms(
+      input.toDS().toDF("ts", "term"), col("term"), col("ts"),
+      300, "1 minute", k = 2)
+    val q = top.writeStream.format("memory").queryName("live_top")
+      .outputMode("append").start()
+    try {
+      input.addData(rows)
+      q.processAllAvailable()
+      input.addData(Seq((ats(60), "z")))
+      q.processAllAvailable()
+      val got = spark.table("live_top")
+        .orderBy("bucket")
+        .select(col("bucket"),
+          transform(col("top"), s => s.getField("term")).as("terms"),
+          transform(col("top"), s => s.getField("n")).as("ns"))
+        .collect().map(r => (r.getSeq[String](1), r.getSeq[Long](2)))
+      assert(got.length == 2)
+      assert(got(0) == ((Seq("a", "b"), Seq(3L, 2L))))
+      assert(got(1) == ((Seq("c", "a"), Seq(2L, 1L))))
+    } finally q.stop()
+  }
+
   test("dedupStream keeps first occurrence per key within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
