@@ -457,6 +457,22 @@ object SparkEntry {
     "p2_seeded_shuffle" -> ((s, dir) =>
       Pack.seededShuffle(docs(s, dir), col("doc_id"), seed = "graft-r3",
         nShards = 8).orderBy("doc_id")),
+    // P4: at most N docs per source (crawl per-domain capping)
+    "p4_source_cap" -> ((s, dir) =>
+      TextOps.capPerKey(docs(s, dir), col("source"), col("doc_id"), cap = 10)
+        .withColumnRenamed("key", "source")
+        .orderBy("source", "doc_id")),
+    // T10: boilerplate strip — the corpus text wrapped in HTML chrome on
+    // both engines, then stripped back down
+    "t10_html_strip" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextOps.htmlStrip(concat(
+          lit("<html><head><title>T</title><style>p{color:red}</style>" +
+            "</head><body><p class=\"x\">"),
+          col("text"),
+          lit("</p><script>var x=1;</script><!-- c --></body></html>")))
+          .as("clean"))
+        .orderBy("doc_id")),
 
     // --- M: multimodal column plumbing (stubbed decode kernel) ----------
     "m1_multimodal_meta" -> ((s, dir) =>
@@ -1345,6 +1361,31 @@ object SparkEntry {
               WHEN 'es' THEN 408 WHEN 'de' THEN 408 WHEN 'fr' THEN 289
               ELSE 0 END)
          ORDER BY doc_id""",
+    "p4_source_cap" ->
+      """WITH h AS (SELECT source, doc_id,
+           CAST(('0x' || substr(md5(source || '|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS hv
+         FROM documents),
+         r AS (SELECT source, doc_id,
+           row_number() OVER (PARTITION BY source ORDER BY hv, doc_id) AS rk
+         FROM h)
+         SELECT source, doc_id FROM r WHERE rk <= 10
+         ORDER BY source, doc_id""",
+    "t10_html_strip" ->
+      """SELECT doc_id, trim(regexp_replace(
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+           regexp_replace(regexp_replace(
+             '<html><head><title>T</title><style>p{color:red}</style></head><body><p class="x">'
+               || text ||
+             '</p><script>var x=1;</script><!-- c --></body></html>',
+             '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+             '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+             '(?s)<!--.*?-->', ' ', 'g'),
+             '<[^>]*>', ' ', 'g'),
+             '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g'),
+             '&#39;', '''', 'g'), '&nbsp;', ' ', 'g'), '&amp;', '&', 'g'),
+             '\s+', ' ', 'g')) AS clean
+         FROM documents ORDER BY doc_id""",
     "p2_seeded_shuffle" ->
       """WITH h AS (SELECT doc_id,
            CAST(('0x' || substr(md5('graft-r3' || '|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS hv

@@ -304,4 +304,45 @@ object TextOps {
       .orderBy(col("n").desc, col("a").asc, col("b").asc)
       .limit(topN)
   }
+
+  /** T10: HTML boilerplate strip — the extraction step of a web-corpus
+    * pipeline (script/style/comment blocks out, tags out, common entities
+    * decoded, whitespace collapsed). A pure codegen'd regexp chain:
+    * map-side, no shuffle, no UDF. Patterns avoid backreferences so the
+    * same regexes run on RE2-based engines (the DuckDB oracle) and
+    * java.util.regex identically.
+    */
+  def htmlStrip(c: Column): Column = {
+    val noScript = regexp_replace(c, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle =
+      regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "<[^>]*>", " ")
+    val entities = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+    val decoded = entities.foldLeft(noTags) { case (acc, (e, r)) =>
+      regexp_replace(acc, e, r)
+    }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  /** P4: per-key document cap — the "at most N pages per domain" rule of
+    * crawl curation. Survivors are chosen by deterministic md5 rank
+    * (seedless, reproducible). Selection is a bounded-heap TopK
+    * aggregation: a hot key (a domain with millions of pages) costs
+    * O(cap) state per partition and one merge — never a per-key window
+    * sort of all its rows.
+    */
+  def capPerKey(
+      df: DataFrame, keyCol: Column, idCol: Column, cap: Int): DataFrame = {
+    val hv = hex32(concat(keyCol, lit("|"), idCol.cast("string")))
+    val topk = graft.functions.TopK.longIds(cap)
+    df.select(keyCol.as("key"), idCol.cast("long").as("id"), hv.as("hv"))
+      // rank by (hv asc, id asc): TopK keeps highest score first, so
+      // negate; 32-bit hashes are exact in double
+      .groupBy("key")
+      .agg(topk(-col("hv").cast("double"), col("id")).as("top"))
+      .select(col("key"), explode(col("top")).as("s"))
+      .select(col("key"), col("s.id").as("doc_id"))
+  }
 }
