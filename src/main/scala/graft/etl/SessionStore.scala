@@ -28,6 +28,28 @@ object SessionStore {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Bucketed store variant: additionally pre-hash rows into `nBuckets`
+    * files per partition by sessionId, sorted within buckets. Joins whose
+    * key is sessionId — the segment self-join (E12), hunt-result joins
+    * (E13), federation re-aggregation (E15) — then read both sides
+    * already co-located: the scan reports its bucketing and Catalyst
+    * elides the Exchange on every bucketed side. At 100 TB that removes
+    * the single biggest shuffle in the detail path. Catalog-backed
+    * (`saveAsTable`) because bucketing metadata lives in the table
+    * catalog, not the files.
+    */
+  def writeBucketed(sessions: Dataset[SessionRow], table: String,
+      nBuckets: Int = 64): Unit =
+    sessions.toDF()
+      .withColumn("day",
+        date_format(timestamp_millis(col("firstPacket")), "yyyy-MM-dd"))
+      .write.mode("overwrite")
+      .partitionBy("day")
+      .bucketBy(nBuckets, "sessionId")
+      .sortBy("sessionId")
+      .format("parquet")
+      .saveAsTable(table)
+
   /** Time-bounded read: the day predicate prunes partitions, the
     * millisecond predicate refines within them (reference bounding modes
     * are applied by Endpoints.sessionQuery on top).

@@ -67,6 +67,23 @@ class StoreAndCidrSpec extends AnyFunSuite with SparkSpecBase {
     assert(SessionStore.compact(spark, path, "2020-01-01") == 0)
   }
 
+  test("bucketed store co-locates sessionId joins (no Exchange)") {
+    val sessions = SessionBuilder.sessionizeRef(spark,
+      "/root/reference/tests/pcap/socks-http-example.pcap")
+    SessionStore.writeBucketed(sessions, "graft_bucketed_test", nBuckets = 4)
+    try {
+      val t = spark.table("graft_bucketed_test")
+      val joined = t.as("a").join(t.as("b"), Seq("sessionId"))
+        .groupBy("sessionId")
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"))
+      assert(joined.count() == 3) // 3 single-segment sessions, 1 pair each
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed self-join should not shuffle:\n$plan")
+    } finally spark.sql("DROP TABLE IF EXISTS graft_bucketed_test")
+  }
+
   test("gap0 packetPos decodes like viewer/db.js and round-trips") {
     import graft.etl.Pcap
     // markers reset, 0 repeats the last gap, positive adds to running pos
