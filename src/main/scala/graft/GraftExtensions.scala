@@ -49,20 +49,35 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("graft_expr"),
       new ExpressionInfo(classOf[GraftExtensions].getName, "graft_expr"),
-      (exprs: Seq[Expression]) => {
-        require(exprs.length == 1, "graft_expr('<session expression>')")
-        val q = exprs.head match {
-          case Literal(s: UTF8String, _) => s.toString
-          case other => throw new IllegalArgumentException(
-            s"graft_expr: expression must be a string literal, got $other")
-        }
-        val now =
-          try java.time.Instant.parse(org.apache.spark.sql.internal.SQLConf.get
-            .getConfString("spark.graft.now"))
-          catch { case _: Exception => java.time.Instant.now() }
-        org.apache.spark.sql.graftbridge.ColumnBridge.expression(
-          new graft.expr.Compiler(graft.model.FieldRegistry.sessions,
-            graft.model.FieldRegistry.sessionCol, now).compile(q))
-      }))
+      GraftExtensions.graftExprBuilder))
+  }
+}
+
+object GraftExtensions {
+
+  /** FunctionBuilder for `graft_expr('<session expression>')`. */
+  private[graft] def graftExprBuilder(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 1, "graft_expr('<session expression>')")
+    val q = exprs.head match {
+      case Literal(s: UTF8String, _) => s.toString
+      case other => throw new IllegalArgumentException(
+        s"graft_expr: expression must be a string literal, got $other")
+    }
+    val now =
+      try java.time.Instant.parse(org.apache.spark.sql.internal.SQLConf.get
+        .getConfString("spark.graft.now"))
+      catch { case _: Exception => java.time.Instant.now() }
+    org.apache.spark.sql.graftbridge.ColumnBridge.expression(
+      new graft.expr.Compiler(graft.model.FieldRegistry.sessions,
+        graft.model.FieldRegistry.sessionCol, now).compile(q))
+  }
+
+  /** Imperative twin of the config-only injection, for sessions the
+    * library did build itself (Sessions.builder / tests).
+    */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    graft.functions.CidrExpression.register(spark)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_expr", graftExprBuilder, "built-in")
   }
 }

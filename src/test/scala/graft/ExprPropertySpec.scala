@@ -56,6 +56,46 @@ class ExprPropertySpec extends AnyFunSuite with SparkSpecBase {
     Gen.listOfN(n, g)(Gen.Parameters.default, Seed(seed))
       .getOrElse(fail("generator exhausted"))
 
+  test("graft_expr SQL path equals the compiled Column path") {
+    // random session expressions must count identically through
+    // spark.sql(... WHERE graft_expr('e')) and df.filter(compile(e))
+    GraftExtensions.register(spark)
+    val sessions = Seq(
+      "socks-http-example.pcap", "dns-udp.pcap", "smtp-zip.pcap",
+      "http-301-get.pcap", "ssh2.pcap")
+      .map(p => graft.etl.SessionBuilder
+        .sessionizeRef(spark, s"/root/reference/tests/pcap/$p").toDF())
+      .reduce(_.unionByName(_)).cache()
+    sessions.createOrReplaceTempView("prop_sessions")
+    val sc = new Compiler(FieldRegistry.sessions,
+      FieldRegistry.sessionCol, SparkEntry.now)
+    val sLeaf: Gen[String] = Gen.oneOf(
+      Gen.choose(0, 65535).map(n => s"port.src <= $n"),
+      Gen.choose(0, 65535).map(n => s"port.dst > $n"),
+      Gen.oneOf("10.0.0.0/8", "192.168.0.0/16", "8.8.8.0/24")
+        .map(c => s"ip.src == $c"),
+      Gen.oneOf("tcp", "udp", "dns", "http", "smtp").map(t => s"protocols == $t"),
+      Gen.const("dns.host == EXISTS!"),
+      Gen.const("dns.host == *.com"),
+      Gen.choose(1, 40).map(n => s"packets >= $n"))
+    def sExpr(depth: Int): Gen[String] =
+      if (depth <= 0) sLeaf
+      else Gen.frequency(
+        3 -> sLeaf,
+        2 -> (for { a <- sExpr(depth - 1); b <- sExpr(depth - 1) }
+          yield s"($a && $b)"),
+        2 -> (for { a <- sExpr(depth - 1); b <- sExpr(depth - 1) }
+          yield s"($a || $b)"),
+        1 -> sExpr(depth - 1).map(e => s"!($e)"))
+    samples(sExpr(2), 30, 7L).foreach { e =>
+      val viaColumn = sessions.filter(sc.compile(e)).count()
+      val viaSql = spark.sql(
+        s"SELECT count(*) AS n FROM prop_sessions WHERE graft_expr('$e')")
+        .head().getLong(0)
+      assert(viaSql == viaColumn, s"SQL/Column divergence for: $e")
+    }
+  }
+
   test("random grammar expressions compile and evaluate") {
     samples(expr(3), 40, 1L).foreach { e =>
       val n = rows(e)
