@@ -54,15 +54,19 @@ object Multimodal {
 
   final case class MediaRow(media_id: Long, kind: String, payload: Array[Byte])
   final case class DecodedRow(
-      media_id: Long, kind: String, byte_len: Long,
+      media_id: Long, kind: String, format: String, byte_len: Long,
       width: Int, height: Int, n_frames: Int,
+      channels: Int, sample_rate: Int, duration_ms: Long,
       features: Array[Float])
 
-  /** Batched per-partition decode — the seam where a real decoder plugs
-    * in. The stub emits an 8-dim feature vector derived from the payload
-    * hash; a real implementation would hand each batch to libjpeg/ffmpeg
-    * and must keep this exact signature (Iterator→Iterator, no
-    * materialization of the whole partition).
+  /** Batched per-partition decode. The HEADER half is real: PNG / JPEG /
+    * GIF / BMP dimensions and WAV layout parse from the container bytes
+    * (functions.MediaHeaders, pure JDK). The PIXEL/SAMPLE half — feature
+    * vectors — still needs native codecs not present in this container,
+    * so it remains a deterministic payload-hash fake; a real
+    * implementation hands each batch to libjpeg/ffmpeg and keeps this
+    * exact signature (Iterator→Iterator, never materializing the whole
+    * partition).
     */
   def decodePartition(ds: Dataset[MediaRow]): Dataset[DecodedRow] = {
     implicit val enc = Encoders.product[DecodedRow]
@@ -71,12 +75,21 @@ object Multimodal {
         batch.iterator.map { r =>
           val md5hex = org.apache.commons.codec.digest.DigestUtils.md5Hex(r.payload)
           val h = java.lang.Long.parseLong(md5hex.substring(0, 8), 16)
-          // ??? real decoder goes here — deterministic fake below
+          // ??? real pixel/sample decoder goes here — hash fake below
           val feats = Array.tabulate(8)(i =>
             ((h >> i) % 256).toFloat / 255.0f)
-          DecodedRow(r.media_id, r.kind, r.payload.length.toLong,
-            (h % 512 + 1).toInt, ((h >> 9) % 512 + 1).toInt,
-            ((h >> 18) % 30 + 1).toInt, feats)
+          graft.functions.MediaHeaders.parse(r.payload) match {
+            case Some(info) =>
+              DecodedRow(r.media_id, r.kind, info.format,
+                r.payload.length.toLong, info.width, info.height,
+                n_frames = if (info.channels > 0) 0 else 1,
+                info.channels, info.sampleRate, info.durationMs, feats)
+            case None => // opaque payload: deterministic fake metadata
+              DecodedRow(r.media_id, r.kind, "opaque",
+                r.payload.length.toLong,
+                (h % 512 + 1).toInt, ((h >> 9) % 512 + 1).toInt,
+                ((h >> 18) % 30 + 1).toInt, 0, 0, 0L, feats)
+          }
         }
       }
     }

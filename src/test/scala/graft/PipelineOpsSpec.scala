@@ -121,6 +121,57 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpecBase {
     assert(decoded.length == 50 && decoded.forall(_.features.length == 8))
   }
 
+  test("real container headers parse: png/jpeg/gif/bmp/wav") {
+    import graft.functions.MediaHeaders
+    def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    def be32(v: Int) = b(v >>> 24, (v >> 16) & 0xff, (v >> 8) & 0xff, v & 0xff)
+    def le32(v: Int) = b(v & 0xff, (v >> 8) & 0xff, (v >> 16) & 0xff, v >>> 24)
+    def le16(v: Int) = b(v & 0xff, (v >> 8) & 0xff)
+    val png = b(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+      be32(13) ++ "IHDR".getBytes ++ be32(640) ++ be32(480) ++ b(8, 6, 0, 0, 0)
+    assert(MediaHeaders.parse(png).contains(
+      MediaHeaders.MediaInfo("png", 640, 480, 0, 0, 0L)))
+    // JPEG: SOI, APP0 (16 bytes), SOF0 with h=600 w=800
+    val jpeg = b(0xff, 0xd8) ++ b(0xff, 0xe0, 0x00, 0x10) ++
+      Array.fill[Byte](14)(0) ++
+      b(0xff, 0xc0, 0x00, 0x11, 8) ++ b(0x02, 0x58) ++ b(0x03, 0x20) ++
+      Array.fill[Byte](10)(0)
+    assert(MediaHeaders.parse(jpeg).contains(
+      MediaHeaders.MediaInfo("jpeg", 800, 600, 0, 0, 0L)))
+    val gif = "GIF89a".getBytes ++ le16(320) ++ le16(200) ++ b(0, 0, 0)
+    assert(MediaHeaders.parse(gif).contains(
+      MediaHeaders.MediaInfo("gif", 320, 200, 0, 0, 0L)))
+    // BMP with top-down (negative) height
+    val bmp = "BM".getBytes ++ Array.fill[Byte](16)(0) ++
+      le32(1024) ++ le32(-768) ++ b(0, 0)
+    assert(MediaHeaders.parse(bmp).contains(
+      MediaHeaders.MediaInfo("bmp", 1024, 768, 0, 0, 0L)))
+    // WAV: 2ch 44100Hz 16-bit, 1s of data (176400 bytes declared)
+    val byteRate = 44100 * 2 * 2
+    val wav = "RIFF".getBytes ++ le32(36 + byteRate) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(2) ++ le32(44100) ++
+      le32(byteRate) ++ le16(4) ++ le16(16) ++
+      "data".getBytes ++ le32(byteRate)
+    assert(MediaHeaders.parse(wav).contains(
+      MediaHeaders.MediaInfo("wav", 0, 0, 2, 44100, 1000L)))
+    // truncated / non-media bytes stay opaque
+    assert(MediaHeaders.parse("plain text payload".getBytes).isEmpty)
+    assert(MediaHeaders.parse(png.take(10)).isEmpty)
+    // the decode seam surfaces real headers and keeps opaque fallback
+    import spark.implicits._
+    val rows = Seq(
+      graft.ops.Multimodal.MediaRow(1L, "image", png),
+      graft.ops.Multimodal.MediaRow(2L, "audio", wav),
+      graft.ops.Multimodal.MediaRow(3L, "image", "opaque!!".getBytes))
+    val out = graft.ops.Multimodal.decodePartition(rows.toDS())
+      .collect().map(r => r.media_id -> r).toMap
+    assert(out(1L).format == "png" && out(1L).width == 640 &&
+      out(1L).height == 480)
+    assert(out(2L).format == "wav" && out(2L).channels == 2 &&
+      out(2L).duration_ms == 1000L)
+    assert(out(3L).format == "opaque" && out(3L).features.length == 8)
+  }
+
   test("frame sampling and resize planning respect decode metadata") {
     import graft.ops.Multimodal
     val media = Multimodal.asMedia(docs, col("doc_id"), col("text"), "video")
