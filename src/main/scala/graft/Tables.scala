@@ -44,5 +44,9 @@ object Sessions {
       // arrive as many multi-hundred-MB files.
       .config("spark.sql.files.maxPartitionBytes", (1024 * 1024).toString)
       .config("spark.sql.files.openCostInBytes", (64 * 1024).toString)
+      // Managed tables (the materialized IVF index, bucketed stores) land
+      // in tmp, never in the working tree.
+      .config("spark.sql.warehouse.dir",
+        s"${System.getProperty("java.io.tmpdir")}/graft-warehouse")
       .config("spark.ui.enabled", "false")
 }

@@ -172,6 +172,69 @@ object Similarity {
     perQueryTopK(scored, k)
   }
 
+  /** Materialized IVF index: the corpus cell assignment persisted
+    * `bucketBy(cell)` as a catalog table. At 100 TB the index is written
+    * once; each probe then filters `cell IN (probe cells)` — an equality
+    * predicate on the bucket column, which Spark answers with BUCKET
+    * PRUNING (`SelectedBucketsCount` in the scan): only ~nProbe/nBuckets
+    * of the index files are opened, the rest are never read.
+    */
+  def ivfWriteIndex(
+      corpus: DataFrame, vecCol: String, idCol: String,
+      centroids: Seq[Seq[Double]], table: String, nBuckets: Int = 16): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = centroids.zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("cell", "centv")
+    val topCell = TopK.longIds(1)
+    corpus.select(col(idCol).as("neighbor_id"),
+        toDouble(col(vecCol)).as("v"))
+      .crossJoin(broadcast(cents))
+      .withColumn("cdot", dot(col("v"), col("centv")))
+      .groupBy(col("neighbor_id"))
+      .agg(topCell(col("cdot"), col("cell")).as("cells"),
+        first(col("v")).as("v"))
+      .select(col("neighbor_id"), pack(col("v")).as("neighbor_id_p"),
+        col("cells.id").getItem(0).as("cell"))
+      .write.mode("overwrite")
+      .bucketBy(nBuckets, "cell")
+      .format("parquet")
+      .saveAsTable(table)
+  }
+
+  /** Probe the materialized index: assign each query its nProbe cells,
+    * read ONLY those buckets, score within them. Returns the same rows
+    * as [[ivfTopK]] with the same centroids.
+    */
+  def ivfProbeIndex(
+      spark: org.apache.spark.sql.SparkSession, table: String,
+      queries: DataFrame, vecCol: String, idCol: String, k: Int,
+      centroids: Seq[Seq[Double]], nProbe: Int = 1): DataFrame = {
+    import spark.implicits._
+    val cents = centroids.zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("cell", "centv")
+    val topCells = TopK.longIds(nProbe)
+    val queryCells = queries
+      .select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("v"))
+      .crossJoin(broadcast(cents))
+      .withColumn("cdot", dot(col("v"), col("centv")))
+      .groupBy(col("query_id"))
+      .agg(topCells(col("cdot"), col("cell")).as("cells"),
+        first(col("v")).as("v"))
+      .select(col("query_id"), pack(col("v")).as("query_id_p"),
+        explode(col("cells.id")).as("cell"))
+    // the probed cell set is tiny (≤ nProbe × |queries|); as literals it
+    // becomes a bucket-prunable IN predicate on the index scan
+    val probed = queryCells.select("cell").distinct()
+      .collect().map(_.getLong(0))
+    val index = spark.table(table).filter(col("cell").isin(probed: _*))
+    val scored = index.join(broadcast(queryCells), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", dotBin(col("query_id_p"), col("neighbor_id_p")) /
+        (normBin(col("query_id_p")) * normBin(col("neighbor_id_p"))))
+    perQueryTopK(scored, k)
+  }
+
   /** Lloyd's k-means over the embedding column — the training op that
     * turns [[ivfTopK]]'s stand-in codebook into a real one.
     *

@@ -100,6 +100,26 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpecBase {
     }
   }
 
+  test("materialized IVF index: probe equals ivfTopK and bucket-prunes the scan") {
+    val cents = emb.filter(col("vec_id") < 4).orderBy("vec_id")
+      .select(Similarity.toDouble(col("embedding"))).collect()
+      .map(_.getSeq[Double](0).toSeq).toSeq
+    Similarity.ivfWriteIndex(emb, "embedding", "vec_id", cents,
+      "ivf_idx_spec", nBuckets = 4)
+    val queries = emb.filter(col("vec_id") < 3)
+    val probed = Similarity.ivfProbeIndex(spark, "ivf_idx_spec", queries,
+      "embedding", "vec_id", 5, cents, nProbe = 2)
+    val direct = Similarity.ivfTopK(emb, queries, "embedding", "vec_id", 5,
+      nCells = 4, nProbe = 2, centroids = Some(cents))
+    val p = probed.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val d = direct.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(p.toSeq == d.toSeq) // same rows, bit-identical cosines, same order
+    // the probe reads only the buckets its cells hash to — pruning is in the scan
+    val scan = probed.queryExecution.executedPlan.toString
+    assert(scan.contains("SelectedBucketsCount"),
+      s"expected bucket pruning in scan:\n$scan")
+  }
+
   test("lsh buckets agree between corpus and query side") {
     val res = Similarity.lshTopK(emb, emb.filter(col("vec_id") < 3),
       "embedding", "vec_id", 3)
