@@ -128,20 +128,30 @@ object Dedup {
 
   /** Blocked n-gram Jaccard near-dup pairs: candidate pairs share a
     * blocking key; similarity = |A∩B| / |A∪B| over distinct k-gram sets.
+    *
+    * `maxPostings` caps the posting-list length per (block, shingle): a
+    * shingle shared by more than `maxPostings` documents is boilerplate
+    * (a stop-shingle) — it contributes ~zero near-dup signal but its pair
+    * expansion is quadratic, which is exactly the hot-key skew that kills
+    * this join at 100 TB. Capped postings are dropped BEFORE expansion,
+    * so the worst task emits ≤ maxPostings² rows. The default keeps every
+    * posting (exact |A∩B|).
     */
   def ngramJaccardPairs(
       df: DataFrame, text: Column, idCol: Column, blockKey: Column,
-      shingleK: Int = 3, threshold: Double = 0.5): DataFrame = {
+      shingleK: Int = 3, threshold: Double = 0.5,
+      maxPostings: Int = Int.MaxValue): DataFrame = {
     // Inverted-index formulation: explode distinct 32-bit shingle hashes,
-    // count co-occurrences per pair — |A∩B| with no per-row set structure.
-    // The self-join on (block, shingle) emits rows only for pairs that
-    // actually share shingles (~linear in true overlap), never the O(n²)
-    // block cross-product; both join sides share one Exchange
-    // (ReuseExchange), so tokenize/shingle/hash runs once.
+    // group by (block, shingle), expand each posting list into its pairs
+    // map-side — |A∩B| arrives as a count with no per-row set structure
+    // and no self-join (an aliased self-join re-computes the shingle
+    // kernel on both sides). One shuffle keyed by (block, h) whose
+    // per-group state is the doc-id list (8 bytes/doc — a 1M-doc hot
+    // posting is 8 MB in one task, vs 10¹² join rows), then one shuffle
+    // keyed by the pair.
     val side = df
       .select(idCol.as("doc_id"), blockKey.as("block"),
         explode(graft.functions.ShingleHashes(text, shingleK, distinct = true)).as("h"))
-      .repartition(col("block"), col("h"))
     // |A| per doc via the fused counter — one pass per document, no third
     // evaluation of the explode branch and no extra shuffle
     val szUdf = udf { (s: String) =>
@@ -149,9 +159,11 @@ object Dedup {
     }
     val sizes = df.select(idCol.as("doc_id"), szUdf(text).as("sz"))
       .filter(col("sz") > 0)
-    val a = side.select(col("block"), col("h"), col("doc_id").as("doc_a"))
-    val b = side.select(col("block"), col("h"), col("doc_id").as("doc_b"))
-    a.join(b, Seq("block", "h"))
+    side.groupBy("block", "h")
+      .agg(collect_list(col("doc_id")).as("docs"))
+      .filter(size(col("docs")).between(2, maxPostings))
+      .select(explode(col("docs")).as("doc_a"), col("docs"))
+      .select(col("doc_a"), explode(col("docs")).as("doc_b"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
       .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_a")

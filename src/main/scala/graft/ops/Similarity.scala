@@ -184,6 +184,13 @@ object Similarity {
       centroids: Seq[Seq[Double]], table: String, nBuckets: Int = 16): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    // an in-memory catalog forgets tables across JVMs while their files
+    // survive — clear both so overwrite semantics hold everywhere
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      s"${spark.conf.get("spark.sql.warehouse.dir")}/$table")
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     val cents = centroids.zipWithIndex
       .map { case (v, i) => (i.toLong, v) }.toDF("cell", "centv")
     val topCell = TopK.longIds(1)

@@ -53,6 +53,29 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpecBase {
     assert(r.forall(x => x.getDouble(2) >= 0.5 && x.getDouble(2) <= 1.0))
   }
 
+  test("ngramJaccardPairs posting cap drops only stop-shingle-bonded pairs") {
+    import spark.implicits._
+    // docs 1,2 genuinely near-dup; docs 10..29 share ONLY one boilerplate
+    // phrase (a hot posting of 20 docs) plus unique filler
+    val boiler = "all rights reserved worldwide"
+    val rows =
+      Seq((1L, "alpha beta gamma delta epsilon zeta"),
+          (2L, "alpha beta gamma delta epsilon eta")) ++
+      (10L until 30L).map(i => (i, s"$boiler unique$i filler$i tail$i"))
+    val df = rows.toDF("doc_id", "text")
+    val uncapped = Dedup.ngramJaccardPairs(df, col("text"), col("doc_id"),
+      lit("b"), threshold = 0.0).collect()
+    val capped = Dedup.ngramJaccardPairs(df, col("text"), col("doc_id"),
+      lit("b"), threshold = 0.0, maxPostings = 5).collect()
+    // uncapped: the (1,2) pair plus all 190 boilerplate-only pairs
+    assert(uncapped.length == 1 + 190)
+    // capped: hot postings dropped before expansion — only (1,2) survives,
+    // with its jaccard unchanged (its shingles' postings are small)
+    assert(capped.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
+    val j = uncapped.find(r => r.getLong(0) == 1L && r.getLong(1) == 2L).get.getDouble(2)
+    assert(capped.head.getDouble(2) == j)
+  }
+
   test("simhash of identical texts collide, fingerprint stable") {
     val a = ShingleHashes.hashes("spark hash join window", 1, distinct = false)
     assert(a.sameElements(ShingleHashes.hashes("spark hash join window", 1, distinct = false)))
