@@ -351,8 +351,10 @@ object SparkEntry {
     // corpus at web scale), so AQE turns the left join into a broadcast.
     "d11_dedup_pipeline" -> ((s, dir) => {
       val d = docs(s, dir)
+      // star = true: one edge per (bucket, doc) instead of all in-bucket
+      // pairs — identical connected components, no hot-bucket blow-up
       val groups = Dedup.resolveGroups(
-        Dedup.minhashCandidates(d, col("text"), col("doc_id")))
+        Dedup.minhashCandidates(d, col("text"), col("doc_id"), star = true))
       d.join(groups, Seq("doc_id"), "left")
         .filter(col("group_id").isNull || col("group_id") === col("doc_id"))
         .select("doc_id").orderBy("doc_id")

@@ -93,15 +93,37 @@ object Dedup {
       .withColumnRenamed("col", "band_key")
   }
 
-  /** MinHash-LSH candidate pairs: documents sharing at least one band. */
+  /** MinHash-LSH candidate pairs: documents sharing at least one band.
+    *
+    * Group-then-expand, not a self-join: one shuffle keyed by the band
+    * bucket (an aliased self-join would run the signature kernel twice —
+    * differing projections defeat ReuseExchange), pairs emitted map-side
+    * from each bucket's doc list.
+    *
+    * `star = false` emits every in-bucket pair — what the d2 contract
+    * (all candidate pairs) means, but a bucket of n mutual duplicates
+    * emits n(n-1)/2 rows: at 100 TB a boilerplate page duplicated 1M
+    * times is a 5·10¹¹-row hot bucket. `star = true` links each doc to
+    * its bucket's MINIMUM id instead — O(n) rows per bucket with the
+    * same connected components, which is the only property group
+    * resolution ([[resolveGroups]], the d11 pipeline) consumes.
+    */
   def minhashCandidates(
       df: DataFrame, text: Column, idCol: Column,
-      shingleK: Int = 3, bands: Int = 4, rowsPerBand: Int = 3): DataFrame = {
+      shingleK: Int = 3, bands: Int = 4, rowsPerBand: Int = 3,
+      star: Boolean = false): DataFrame = {
     val b = minhashBands(df, text, idCol, shingleK, bands, rowsPerBand)
-    val l = b.select(col("band_id"), col("band_key"), col("doc_id").as("doc_a"))
-    val r = b.select(col("band_id"), col("band_key"), col("doc_id").as("doc_b"))
-    l.join(r, Seq("band_id", "band_key"))
-      .filter(col("doc_a") < col("doc_b"))
+    val buckets = b.groupBy("band_id", "band_key")
+      .agg(collect_list(col("doc_id")).as("docs"))
+      .filter(size(col("docs")) >= 2)
+    val pairs =
+      if (star)
+        buckets.select(array_min(col("docs")).as("doc_a"),
+            explode(col("docs")).as("doc_b"))
+      else
+        buckets.select(explode(col("docs")).as("doc_a"), col("docs"))
+          .select(col("doc_a"), explode(col("docs")).as("doc_b"))
+    pairs.filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
       .orderBy("doc_a", "doc_b")
   }

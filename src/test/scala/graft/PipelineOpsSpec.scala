@@ -46,6 +46,22 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpecBase {
     assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
   }
 
+  test("minhash star expansion preserves connected components") {
+    val pairs = Dedup.minhashCandidates(docs, col("text"), col("doc_id"))
+    val starred = Dedup.minhashCandidates(docs, col("text"), col("doc_id"),
+      star = true)
+    // star emits a subset of the all-pairs edges…
+    val all = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val st = starred.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(st.subsetOf(all))
+    // …with identical group resolution (what the dedup pipeline consumes)
+    val g1 = Dedup.resolveGroups(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val g2 = Dedup.resolveGroups(starred).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(g1 == g2)
+  }
+
   test("jaccard pairs have jaccard in [0.5, 1]") {
     val r = Dedup.ngramJaccardPairs(docs, col("text"), col("doc_id"),
       concat(col("lang"), lit("|"), floor(col("n_chars") / 100).cast("long").cast("string")))
