@@ -214,7 +214,8 @@ object Dedup {
     */
   def winnowPairs(
       df: DataFrame, text: Column, idCol: Column,
-      shingleK: Int = 3, window: Int = 4, minShared: Int = 2): DataFrame = {
+      shingleK: Int = 3, window: Int = 4, minShared: Int = 2,
+      maxPostings: Int = Int.MaxValue): DataFrame = {
     val hs = graft.functions.ShingleHashes(text, shingleK, distinct = false)
     // window minima over positions 1 .. len-window+1 (order preserved by
     // the hash kernel); docs with fewer than `window` k-grams are skipped
@@ -230,8 +231,12 @@ object Dedup {
     // subtree on both sides — alias-differing projects defeat
     // ReuseExchange), and pair expansion happens map-side after the one
     // (fp) shuffle
+    // maxPostings drops fingerprints shared by more docs than the cap —
+    // a substring THAT common is boilerplate, and its pair expansion is
+    // the only quadratic term here (same stop-key rationale as
+    // [[ngramJaccardPairs]]). Default keeps everything.
     fps.groupBy("fp").agg(collect_list(col("doc_id")).as("docs"))
-      .filter(size(col("docs")) >= 2)
+      .filter(size(col("docs")).between(2, maxPostings))
       .select(explode(col("docs")).as("doc_a"), col("docs"))
       .select(col("doc_a"), explode(col("docs")).as("doc_b"))
       .filter(col("doc_a") < col("doc_b"))
