@@ -359,6 +359,11 @@ object SparkEntry {
         .filter(col("group_id").isNull || col("group_id") === col("doc_id"))
         .select("doc_id").orderBy("doc_id")
     }),
+    // D12: exact-substring shared spans (ExactSubstr) — maximal runs of
+    // corpus-duplicated 5-gram starts covering ≥ 8 tokens.
+    "d12_exact_substring" -> ((s, dir) =>
+      Dedup.sharedSpans(docs(s, dir), col("text"), col("doc_id"),
+        shingleK = 5, minSpan = 8)),
 
     // --- S: similarity search -------------------------------------------
     "s1_ann_bruteforce" -> ((s, dir) => {
@@ -1108,6 +1113,21 @@ object SparkEntry {
          LEFT JOIN groups g ON d.doc_id = g.id
          WHERE g.group_id IS NULL OR g.group_id = d.doc_id
          ORDER BY doc_id""",
+    "d12_exact_substring" ->
+      s"""WITH tok AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+         sh AS (SELECT doc_id, unnest(${sqlShingles("toks", 5)}) AS s,
+                       unnest(range(1, len(toks)-3)) AS pos
+                FROM tok WHERE len(toks) >= 5),
+         hs AS (SELECT doc_id, pos, ${sqlHex32("s")} AS h FROM sh),
+         dup AS (SELECT h FROM hs GROUP BY h HAVING count(*) >= 2),
+         dp AS (SELECT doc_id, pos FROM hs WHERE h IN (SELECT h FROM dup)),
+         g AS (SELECT doc_id, pos, pos - row_number()
+                 OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM dp),
+         sp AS (SELECT doc_id, min(pos) AS span_start, max(pos)+4 AS span_end,
+                       max(pos)-min(pos)+5 AS span_len
+                FROM g GROUP BY doc_id, grp)
+         SELECT doc_id, span_start, span_end, span_len FROM sp
+         WHERE span_len >= 8 ORDER BY doc_id, span_start""",
     "d8_winnow" ->
       s"""WITH tok AS (SELECT doc_id, $sqlToks AS toks FROM documents),
          hs AS (SELECT doc_id,

@@ -390,4 +390,69 @@ object Dedup {
       .groupBy("doc_id", "bench_id")
       .agg(count(lit(1)).as("n_shared"))
   }
+
+  /** Exact-substring shared spans (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better"), re-expressed
+    * relationally: a token k-gram whose hash occurs ≥ 2 times anywhere in
+    * the corpus is a duplicated gram; maximal runs of consecutive
+    * duplicated gram starts are the shared spans, reported when they
+    * cover ≥ `minSpan` tokens. The suffix-array machinery of the paper
+    * collapses to explode → count ≥ 2 semi-join → gaps-and-islands: every
+    * stage linear in token count, the only shuffles keyed by gram hash
+    * and by (doc, island).
+    */
+  def sharedSpans(
+      df: DataFrame, text: Column, idCol: Column,
+      shingleK: Int = 5, minSpan: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pos = df
+      .select(idCol.as("doc_id"),
+        posexplode(graft.functions.ShingleHashes(text, shingleK, distinct = false))
+          .as(Seq("pos0", "h")))
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("h"))
+    // grams whose hash occurs ≥ 2 times ANYWHERE (other docs or a repeat
+    // within the same doc — both are duplication in the ExactSubstr sense)
+    val dup = pos.groupBy("h").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2).select("h")
+    val dp = pos.join(dup, Seq("h"), "left_semi")
+    // gaps-and-islands: consecutive duplicated gram starts share
+    // pos - row_number. The window partitions by doc_id — state bounded
+    // by one document's gram count, never a global gather.
+    val rn = row_number().over(
+      Window.partitionBy(col("doc_id")).orderBy(col("pos")))
+    dp.withColumn("grp", col("pos") - rn)
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).as("s"), max(col("pos")).as("e"))
+      .select(col("doc_id"), col("s").cast("long").as("span_start"),
+        (col("e") + shingleK - 1).cast("long").as("span_end"),
+        (col("e") - col("s") + shingleK).cast("long").as("span_len"))
+      .filter(col("span_len") >= minSpan)
+      .orderBy("doc_id", "span_start")
+  }
+
+  /** Remove the [[sharedSpans]] token ranges from each document — the
+    * "dedup the span, keep the document" half of ExactSubstr. Span
+    * positions are 1-based token indices over [[TextOps.tokens]]; the
+    * surviving tokens re-join with single spaces. Spans broadcast per doc
+    * through a small aggregated frame; token filtering is one HOF pass,
+    * map-side after the join.
+    */
+  def stripSharedSpans(
+      df: DataFrame, text: Column, idCol: Column,
+      shingleK: Int = 5, minSpan: Int = 8): DataFrame = {
+    val spans = sharedSpans(df, text, idCol, shingleK, minSpan)
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("span_start").as("s"),
+        col("span_end").as("e"))).as("spans"))
+    df.select(idCol.as("doc_id"), tokens(text).as("toks"))
+      .join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"), array_join(
+        transform(
+          filter(
+            transform(col("toks"), (t, i) => struct(t.as("t"), (i + 1).as("i"))),
+            x => coalesce(!exists(col("spans"),
+              sp => x("i") >= sp("s") && x("i") <= sp("e")), lit(true))),
+          x => x("t")), " ").as("clean_text"))
+      .orderBy("doc_id")
+  }
 }

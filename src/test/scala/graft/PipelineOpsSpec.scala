@@ -46,6 +46,28 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpecBase {
     assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
   }
 
+  test("sharedSpans finds the planted span; stripSharedSpans removes it") {
+    import spark.implicits._
+    val boiler = (1 to 10).map(i => s"common$i").mkString(" ") // 10 tokens
+    val df = Seq(
+      (1L, s"one two three $boiler four five six"),
+      (2L, s"seven eight nine ten $boiler eleven"),
+      (3L, "twelve thirteen fourteen fifteen sixteen seventeen")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.sharedSpans(df, col("text"), col("doc_id"),
+      shingleK = 5, minSpan = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // doc 1: boiler covers tokens 4..13; duplicated 5-gram starts 4..9
+    // doc 2: boiler covers tokens 5..14; starts 5..10; doc 3: nothing
+    assert(spans.toSeq == Seq((1L, 4L, 13L, 10L), (2L, 5L, 14L, 10L)))
+    val cleaned = Dedup.stripSharedSpans(df, col("text"), col("doc_id"),
+      shingleK = 5, minSpan = 8).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(cleaned(1L) == "one two three four five six")
+    assert(cleaned(2L) == "seven eight nine ten eleven")
+    assert(cleaned(3L) == "twelve thirteen fourteen fifteen sixteen seventeen")
+  }
+
   test("minhash star expansion preserves connected components") {
     val pairs = Dedup.minhashCandidates(docs, col("text"), col("doc_id"))
     val starred = Dedup.minhashCandidates(docs, col("text"), col("doc_id"),
