@@ -469,6 +469,16 @@ object SparkEntry {
       TextOps.capPerKey(docs(s, dir), col("source"), col("doc_id"), cap = 10)
         .withColumnRenamed("key", "source")
         .orderBy("source", "doc_id")),
+    // P5: leakage-safe train/valid split — near-dup groups assigned whole
+    "p5_leakage_split" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val groups = Dedup.resolveGroups(
+        Dedup.minhashCandidates(d, col("text"), col("doc_id"), star = true))
+      Pack.leakageSafeSplit(d, col("doc_id"), groups, validPermille = 100)
+    }),
+    // T11: corpus-trained bigram LM quality score (integer ppm mean)
+    "t11_lm_score" -> ((s, dir) =>
+      TextOps.bigramLikelihood(docs(s, dir), col("text"), col("doc_id"))),
     // T10: boilerplate strip — the corpus text wrapped in HTML chrome on
     // both engines, then stripped back down
     "t10_html_strip" -> ((s, dir) =>
@@ -1383,6 +1393,47 @@ object SparkEntry {
               WHEN 'es' THEN 408 WHEN 'de' THEN 408 WHEN 'fr' THEN 289
               ELSE 0 END)
          ORDER BY doc_id""",
+    "p5_leakage_split" ->
+      s"""WITH RECURSIVE tok AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+         sh AS (SELECT doc_id, unnest(${sqlShingles("toks", 3)}) AS s
+                FROM tok WHERE len(toks) >= 3),
+         hs AS (SELECT doc_id, ${sqlHex32("s")} AS h FROM sh),
+         sig AS (SELECT doc_id, $sqlMinhashCols FROM hs GROUP BY doc_id),
+         bandrows AS (
+           SELECT doc_id, b AS band_id, $sqlBandKey AS band_key
+           FROM sig, range(0, 4) t(b)),
+         pairs AS (
+           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM bandrows a JOIN bandrows b
+             ON a.band_id = b.band_id AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id),
+         edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+                   UNION SELECT doc_b, doc_a FROM pairs),
+         reach(id, r) AS (
+           SELECT DISTINCT s, s FROM edges
+           UNION
+           SELECT e.s, reach.r FROM edges e JOIN reach ON e.d = reach.id),
+         groups AS (SELECT id, min(r) AS group_id FROM reach GROUP BY id)
+         SELECT d.doc_id,
+           CASE WHEN CAST(('0x' || substr(md5('split' || '|' ||
+                 CAST(coalesce(g.group_id, d.doc_id) AS VARCHAR)), 1, 8))
+               AS BIGINT) % 1000 < 100
+             THEN 'valid' ELSE 'train' END AS split
+         FROM documents d LEFT JOIN groups g ON d.doc_id = g.id
+         ORDER BY doc_id""",
+    "t11_lm_score" ->
+      s"""WITH tok AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+         big AS (SELECT doc_id, unnest(${sqlShingles("toks", 2)}) AS bg
+                 FROM tok WHERE len(toks) >= 2),
+         c2 AS (SELECT bg, count(*) AS c2 FROM big GROUP BY bg),
+         uni AS (SELECT unnest(toks) AS w FROM tok),
+         c1 AS (SELECT w, count(*) AS c1 FROM uni GROUP BY w),
+         q AS (SELECT b.doc_id, (1000000 * x.c2) // y.c1 AS q
+               FROM big b JOIN c2 x ON b.bg = x.bg
+               JOIN c1 y ON split_part(b.bg, ' ', 1) = y.w)
+         SELECT doc_id, sum(q) // count(*) AS lm_score,
+                count(*) AS n_bigrams
+         FROM q GROUP BY doc_id ORDER BY doc_id""",
     "p4_source_cap" ->
       """WITH h AS (SELECT source, doc_id,
            CAST(('0x' || substr(md5(source || '|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS hv

@@ -120,6 +120,31 @@ object Pack {
       .select(col("doc_id"), col("shard"), col("pos").cast("long").as("pos"))
   }
 
+  /** Leakage-safe train/validation split: the unit of assignment is the
+    * near-dup GROUP, not the document — two near-duplicates must never
+    * straddle the boundary or the validation loss is measured on
+    * (approximately) training data. `groups` is a (doc_id, group_id)
+    * frame as produced by [[graft.ops.Dedup.resolveGroups]]; ungrouped
+    * documents (no dup pair) key by their own id. Assignment is a
+    * deterministic md5 per-mille threshold on the group key — seedless,
+    * reproducible, and map-side after the one groups join (the groups
+    * side holds only documents appearing in a dup pair, so AQE
+    * broadcasts it at real-world dup fractions).
+    */
+  def leakageSafeSplit(
+      df: DataFrame, idCol: Column, groups: DataFrame,
+      validPermille: Int, seed: String = "split"): DataFrame = {
+    val key = coalesce(col("group_id"), col("doc_id")).cast("string")
+    val h = TextOps.hex32(concat_ws("|", lit(seed), key))
+    df.select(idCol.cast("long").as("doc_id"))
+      .join(groups.select(col("doc_id"), col("group_id")), Seq("doc_id"), "left")
+      .withColumn("split",
+        when(pmod(h, lit(1000L)) < validPermille, lit("valid"))
+          .otherwise(lit("train")))
+      .select(col("doc_id"), col("split"))
+      .orderBy("doc_id")
+  }
+
   /** Materialize the seeded shuffle as training shards on disk: one
     * `shard=N` directory per shard, rows written in `pos` order (parquet
     * preserves in-file row order, so a sequential reader sees the

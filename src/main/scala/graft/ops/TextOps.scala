@@ -305,6 +305,39 @@ object TextOps {
       .limit(topN)
   }
 
+  /** T11: bigram language-model quality score — the CCNet/Gopher-style
+    * "how plausible is this text under a corpus LM" filter, self-trained:
+    * the model is the corpus's own bigram table. Per bigram occurrence,
+    * q = (10⁶ · count(w₁w₂)) div count(w₁) — the conditional probability
+    * in parts-per-million; a document's score is the integer mean of its
+    * bigram q values. All arithmetic is integer (counts and floor
+    * divisions), so results are bit-identical on any engine — no
+    * log/exp, whose last-ulp behavior differs per libm (the monotone
+    * integer mean ranks documents the same way mean log-prob does for
+    * filtering purposes).
+    *
+    * Scale: two count aggregates keyed by gram (map-side partial), two
+    * shuffle hash joins keyed by gram — all linear; hot grams ("the of")
+    * join against ONE count row each, no expansion.
+    */
+  def bigramLikelihood(
+      df: DataFrame, text: Column, idCol: Column): DataFrame = {
+    val toks = tokens(text)
+    val big = df.filter(size(toks) >= 2)
+      .select(idCol.as("doc_id"), explode(shingles(toks, 2)).as("bg"))
+    val c2 = big.groupBy("bg").agg(count(lit(1)).as("c2"))
+    val c1 = df.select(explode(toks).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c1"))
+    big.join(c2, Seq("bg"))
+      .withColumn("w", substring_index(col("bg"), " ", 1))
+      .join(c1, Seq("w"))
+      .withColumn("q", expr("(1000000 * c2) div c1"))
+      .groupBy("doc_id")
+      .agg(expr("sum(q) div count(*)").as("lm_score"),
+        count(lit(1)).as("n_bigrams"))
+      .orderBy("doc_id")
+  }
+
   /** T10: HTML boilerplate strip — the extraction step of a web-corpus
     * pipeline (script/style/comment blocks out, tags out, common entities
     * decoded, whitespace collapsed). A pure codegen'd regexp chain:

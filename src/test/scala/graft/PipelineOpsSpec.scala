@@ -68,6 +68,36 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpecBase {
     assert(cleaned(3L) == "twelve thirteen fourteen fifteen sixteen seventeen")
   }
 
+  test("bigramLikelihood integer ppm scores match hand computation") {
+    import spark.implicits._
+    val df = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val r = TextOps.bigramLikelihood(df, col("text"), col("doc_id"))
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSeq
+    // c1: a=3 b=3 c=1; c2: "a b"=3 "b a"=1 "b c"=1
+    // doc1 qs = [1000000, 333333, 1000000] → 2333333 div 3 = 777777
+    // doc2 qs = [1000000, 333333] → 1333333 div 2 = 666666
+    assert(r == Seq((1L, 777777L, 3L), (2L, 666666L, 2L)))
+  }
+
+  test("leakageSafeSplit keeps near-dup groups on one side") {
+    import spark.implicits._
+    val base = docs.select(col("doc_id"), col("text"))
+    // plant exact duplicates of 20 docs at shifted ids — every planted
+    // pair must land in the same split
+    val dups = base.filter(col("doc_id") < 20)
+      .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+    val all = base.union(dups)
+    val groups = Dedup.resolveGroups(
+      Dedup.minhashCandidates(all, col("text"), col("doc_id"), star = true))
+    val split = graft.ops.Pack.leakageSafeSplit(all, col("doc_id"), groups,
+      validPermille = 300).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    (0L until 20L).foreach { i =>
+      assert(split(i) == split(i + 100000L), s"pair $i straddles the split")
+    }
+    val nValid = split.values.count(_ == "valid")
+    assert(nValid > 0 && nValid < split.size)
+  }
+
   test("minhash star expansion preserves connected components") {
     val pairs = Dedup.minhashCandidates(docs, col("text"), col("doc_id"))
     val starred = Dedup.minhashCandidates(docs, col("text"), col("doc_id"),
