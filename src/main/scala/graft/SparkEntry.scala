@@ -1423,14 +1423,17 @@ object SparkEntry {
          ORDER BY doc_id""",
     "t11_lm_score" ->
       s"""WITH tok AS (SELECT doc_id, $sqlToks AS toks FROM documents),
-         big AS (SELECT doc_id, unnest(${sqlShingles("toks", 2)}) AS bg
+         bg0 AS (SELECT doc_id, unnest(${sqlShingles("toks", 2)}) AS bg
                  FROM tok WHERE len(toks) >= 2),
-         c2 AS (SELECT bg, count(*) AS c2 FROM big GROUP BY bg),
-         uni AS (SELECT unnest(toks) AS w FROM tok),
-         c1 AS (SELECT w, count(*) AS c1 FROM uni GROUP BY w),
+         big AS (SELECT doc_id, ${sqlHex32("bg")} AS h2,
+                        ${sqlHex32("split_part(bg, ' ', 1)")} AS h1 FROM bg0),
+         c2 AS (SELECT h2, count(*) AS c2 FROM big GROUP BY h2),
+         uni AS (SELECT ${sqlHex32("w")} AS h1
+                 FROM (SELECT unnest(toks) AS w FROM tok) u),
+         c1 AS (SELECT h1, count(*) AS c1 FROM uni GROUP BY h1),
          q AS (SELECT b.doc_id, (1000000 * x.c2) // y.c1 AS q
-               FROM big b JOIN c2 x ON b.bg = x.bg
-               JOIN c1 y ON split_part(b.bg, ' ', 1) = y.w)
+               FROM big b JOIN c2 x ON b.h2 = x.h2
+               JOIN c1 y ON b.h1 = y.h1)
          SELECT doc_id, sum(q) // count(*) AS lm_score,
                 count(*) AS n_bigrams
          FROM q GROUP BY doc_id ORDER BY doc_id""",

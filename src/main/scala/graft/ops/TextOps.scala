@@ -322,15 +322,25 @@ object TextOps {
     */
   def bigramLikelihood(
       df: DataFrame, text: Column, idCol: Column): DataFrame = {
-    val toks = tokens(text)
-    val big = df.filter(size(toks) >= 2)
-      .select(idCol.as("doc_id"), explode(shingles(toks, 2)).as("bg"))
-    val c2 = big.groupBy("bg").agg(count(lit(1)).as("c2"))
-    val c1 = df.select(explode(toks).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("c1"))
-    big.join(c2, Seq("bg"))
-      .withColumn("w", substring_index(col("bg"), " ", 1))
-      .join(c1, Seq("w"))
+    // count and join on 32-bit gram hashes, not gram strings: 8-byte
+    // shuffle keys instead of variable-width text (the two count joins
+    // carry every bigram occurrence — key width IS the shuffle). hex32
+    // is the same md5 prefix on both engines, so the rare collision
+    // merges identically and results stay bit-exact. Hashes come from
+    // the fused ShingleHashes kernel — one JVM call per document; an
+    // interpreted per-element HOF md5 chain here measures ~5× slower.
+    val h2s = graft.functions.ShingleHashes(text, 2, distinct = false)
+    val h1s = graft.functions.ShingleHashes(text, 1, distinct = false)
+    val big = df.filter(size(h1s) >= 2)
+      .select(idCol.as("doc_id"),
+        explode(arrays_zip(h2s, slice(h1s, lit(1), size(h1s) - 1))).as("p"))
+      .select(col("doc_id"), col("p.0").as("h2"), col("p.1").as("h1"))
+    val c2 = big.groupBy("h2").agg(count(lit(1)).as("c2"))
+    val c1 = df.select(
+        explode(graft.functions.ShingleHashes(text, 1, distinct = false)).as("h1"))
+      .groupBy("h1").agg(count(lit(1)).as("c1"))
+    big.join(c2, Seq("h2"))
+      .join(c1, Seq("h1"))
       .withColumn("q", expr("(1000000 * c2) div c1"))
       .groupBy("doc_id")
       .agg(expr("sum(q) div count(*)").as("lm_score"),
