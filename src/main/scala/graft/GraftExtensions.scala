@@ -73,11 +73,20 @@ object GraftExtensions {
   }
 
   /** Imperative twin of the config-only injection, for sessions the
-    * library did build itself (Sessions.builder / tests).
+    * library did build itself (Sessions.builder / tests). Also registers
+    * the fused pipeline kernels as SQL UDFs so `spark.sql` users get the
+    * same per-document one-call hashing the Column API uses:
+    * `shingle_hashes(text, k, distinct)` → array<long>,
+    * `graft_simhash(text)` → long.
     */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     graft.functions.CidrExpression.register(spark)
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_expr", graftExprBuilder, "built-in")
+    spark.udf.register("shingle_hashes",
+      (s: String, k: Int, distinct: Boolean) =>
+        graft.functions.ShingleHashes.hashes(s, k, distinct))
+    spark.udf.register("graft_simhash",
+      (s: String) => graft.functions.ShingleHashes.simhash32(s))
   }
 }

@@ -56,6 +56,22 @@ class ExprPropertySpec extends AnyFunSuite with SparkSpecBase {
     Gen.listOfN(n, g)(Gen.Parameters.default, Seed(seed))
       .getOrElse(fail("generator exhausted"))
 
+  test("registered SQL kernels equal their JVM twins") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    Seq("spark hash join window", "a b a b", "").toDF("t")
+      .createOrReplaceTempView("kernel_probe")
+    val rows = spark.sql(
+      """SELECT t, shingle_hashes(t, 2, false) AS h, graft_simhash(t) AS s
+         FROM kernel_probe""").collect()
+    rows.foreach { r =>
+      val t = r.getString(0)
+      assert(r.getSeq[Long](1) ==
+        graft.functions.ShingleHashes.hashes(t, 2, distinct = false).toSeq)
+      assert(r.getLong(2) == graft.functions.ShingleHashes.simhash32(t))
+    }
+  }
+
   test("graft_expr SQL path equals the compiled Column path") {
     // random session expressions must count identically through
     // spark.sql(... WHERE graft_expr('e')) and df.filter(compile(e))
