@@ -128,6 +128,59 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Persist the corpus's LSH band rows as a bucketed catalog table —
+    * the dedup INDEX for incremental ingestion. At 100 TB the corpus is
+    * indexed once; each new batch then joins against it without the
+    * index ever shuffling: the table is `bucketBy(band_id, band_key)`,
+    * so its scan already reports the join's hash partitioning and only
+    * the (small) new batch moves.
+    */
+  def writeBandIndex(
+      df: DataFrame, text: Column, idCol: Column, table: String,
+      shingleK: Int = 3, bands: Int = 4, rowsPerBand: Int = 3,
+      nBuckets: Int = 16): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      s"${spark.conf.get("spark.sql.warehouse.dir")}/$table")
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    minhashBands(df, text, idCol, shingleK, bands, rowsPerBand)
+      .write.mode("overwrite")
+      .bucketBy(nBuckets, "band_id", "band_key")
+      .format("parquet")
+      .saveAsTable(table)
+  }
+
+  /** Candidate pairs for a NEW batch against an indexed corpus — the
+    * incremental form of [[minhashCandidates]]: new-vs-corpus pairs come
+    * from the bucketed index join (index side shuffle-free), new-vs-new
+    * pairs from the in-batch bucket expansion. Emits (doc_a < doc_b)
+    * distinct pairs where at least one side is a new document — exactly
+    * the delta a full recompute over corpus ∪ batch would add, assuming
+    * ids are disjoint. Append the batch's band rows to the index
+    * afterwards (`INSERT INTO`) to fold the batch in.
+    */
+  def incrementalCandidates(
+      newDf: DataFrame, text: Column, idCol: Column, table: String,
+      shingleK: Int = 3, bands: Int = 4, rowsPerBand: Int = 3): DataFrame = {
+    val spark = newDf.sparkSession
+    val fresh = minhashBands(newDf, text, idCol, shingleK, bands, rowsPerBand)
+    val idx = spark.table(table)
+      .withColumnRenamed("doc_id", "corpus_id")
+    val vsOld = fresh.join(idx, Seq("band_id", "band_key"))
+      .select(least(col("doc_id"), col("corpus_id")).as("doc_a"),
+        greatest(col("doc_id"), col("corpus_id")).as("doc_b"))
+      .filter(col("doc_a") < col("doc_b"))
+    val vsNew = fresh.groupBy("band_id", "band_key")
+      .agg(collect_list(col("doc_id")).as("docs"))
+      .filter(size(col("docs")) >= 2)
+      .select(explode(col("docs")).as("doc_a"), col("docs"))
+      .select(col("doc_a"), explode(col("docs")).as("doc_b"))
+      .filter(col("doc_a") < col("doc_b"))
+    vsOld.union(vsNew).distinct().orderBy("doc_a", "doc_b")
+  }
+
   /** 32-bit SimHash over the token multiset (portable hash family). */
   def simhash32(toks: Column): Column = {
     val hashes = transform(toks, t => hex32(t))

@@ -114,6 +114,27 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpecBase {
     assert(g1 == g2)
   }
 
+  test("incremental band-index candidates equal the full-recompute delta") {
+    val corpus = docs.filter(col("doc_id") < 400).select("doc_id", "text")
+    val batch = docs.filter(col("doc_id") >= 400).select("doc_id", "text")
+    Dedup.writeBandIndex(corpus, col("text"), col("doc_id"),
+      "band_index_spec", nBuckets = 8)
+    val inc = Dedup.incrementalCandidates(batch, col("text"), col("doc_id"),
+      "band_index_spec")
+    // full recompute over corpus ∪ batch, restricted to pairs touching
+    // a new doc, must equal the incremental answer
+    val full = Dedup.minhashCandidates(docs, col("text"), col("doc_id"))
+      .filter(col("doc_a") >= 400 || col("doc_b") >= 400)
+    val a = inc.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = full.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b)
+    // the indexed (big) side must not shuffle: every Exchange in the
+    // vs-corpus join sits on the batch side, none above the table scan
+    val plan = inc.queryExecution.executedPlan.toString
+    assert(plan.contains("SelectedBucketsCount") || plan.contains("Bucketed: true"),
+      s"expected bucketed scan in plan:\n$plan")
+  }
+
   test("jaccard pairs have jaccard in [0.5, 1]") {
     val r = Dedup.ngramJaccardPairs(docs, col("text"), col("doc_id"),
       concat(col("lang"), lit("|"), floor(col("n_chars") / 100).cast("long").cast("string")))
