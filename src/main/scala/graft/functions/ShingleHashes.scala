@@ -27,6 +27,13 @@ object ShingleHashes {
 
   private val splitRe = java.util.regex.Pattern.compile("[^a-z0-9]+")
 
+  /** The kernel's tokenization, shared with JVM-side callers — identical
+    * to [[graft.ops.TextOps.tokens]] (the specs pin the parity).
+    */
+  def tokenize(text: String): Array[String] =
+    if (text == null) Array.empty[String]
+    else splitRe.split(text.toLowerCase).filter(_.nonEmpty)
+
   def hashes(text: String, k: Int, distinct: Boolean): Array[Long] = {
     if (text == null) return Array.empty[Long]
     val toks = splitRe.split(text.toLowerCase).filter(_.nonEmpty)

@@ -348,6 +348,49 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Apply a ranked merge table to a document — the ENCODE half of the
+    * tokenizer loop whose training statistic is [[bpePairCounts]] (train:
+    * count pairs → take the top pair → add merge → recount; each round is
+    * one Spark agg, the merge list lives on the driver). Classic BPE
+    * greedy application: repeatedly merge every occurrence of the
+    * lowest-ranked adjacent pair present, left to right, until no ranked
+    * pair remains; merged units join with '_'. Per-document loop bounded
+    * by |merges| rounds — map-side, no shuffle.
+    */
+  def bpeEncode(text: Column, merges: Seq[(String, String)]): Column = {
+    val rank: Map[(String, String), Int] = merges.zipWithIndex.toMap
+    val f = udf { (s: String) =>
+      if (s == null) Array.empty[String]
+      else {
+        var seq = graft.functions.ShingleHashes.tokenize(s)
+        var done = seq.length < 2
+        while (!done) {
+          var best = Int.MaxValue
+          var i = 0
+          while (i < seq.length - 1) {
+            rank.get((seq(i), seq(i + 1))).foreach(r => if (r < best) best = r)
+            i += 1
+          }
+          if (best == Int.MaxValue) done = true
+          else {
+            val (a, b) = merges(best)
+            val out = scala.collection.mutable.ArrayBuffer[String]()
+            var j = 0
+            while (j < seq.length) {
+              if (j < seq.length - 1 && seq(j) == a && seq(j + 1) == b) {
+                out += (a + "_" + b); j += 2
+              } else { out += seq(j); j += 1 }
+            }
+            seq = out.toArray
+            done = seq.length < 2
+          }
+        }
+        seq
+      }
+    }
+    f(text)
+  }
+
   /** T10: HTML boilerplate strip — the extraction step of a web-corpus
     * pipeline (script/style/comment blocks out, tags out, common entities
     * decoded, whitespace collapsed). A pure codegen'd regexp chain:

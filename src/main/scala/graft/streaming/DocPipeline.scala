@@ -1,0 +1,56 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.ops.TextOps
+
+/** Streaming twin of the document-curation path: continuously ingested
+  * documents (a crawl feed) are fingerprinted, exact-deduped, scored and
+  * language-tagged as they arrive — the same per-document kernels the
+  * batch operators use (d1/t1/t2/t3), composed as one incremental plan.
+  *
+  * Scale design: every enrichment is map-side (fused kernels, codegen
+  * built-ins — no shuffle); the only stateful operator is the dedup,
+  * whose state is bounded by the watermark horizon
+  * (`dropDuplicatesWithinWatermark`), never O(stream length). At 100 TB/
+  * day the dedup key is the 32-char md5 — ~50 bytes of state per unique
+  * document inside the horizon; cross-horizon (historical) dedup runs as
+  * the batch d1/d2 over the accumulated store, exactly like the batch
+  * pipeline.
+  */
+object DocPipeline {
+
+  /** Enrich a (streaming or batch) documents frame map-side: content
+    * fingerprint, language guess, token count, and the two cheap quality
+    * signals used for threshold filtering. Pure projection — usable
+    * identically in `readStream` and `read` plans.
+    */
+  def enrich(docs: DataFrame, text: Column): DataFrame = {
+    val toks = TextOps.tokens(text)
+    docs
+      .withColumn("fingerprint", md5(text))
+      .withColumn("lang_guess", TextOps.langGuessFused(text))
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("mean_token_len",
+        when(size(toks) > 0,
+          aggregate(toks, lit(0L), (a, t) => a + length(t)).cast("double") /
+            size(toks)).otherwise(lit(0.0)))
+      .withColumn("alpha_ratio",
+        when(length(text) > 0,
+          (length(regexp_replace(text, "[^a-zA-Z]", "")).cast("double") /
+            length(text))).otherwise(lit(0.0)))
+  }
+
+  /** The live ingest plan: watermark → enrich → exact dedup within the
+    * horizon → minimum-quality gate. Append-mode compatible (no
+    * aggregation — dedup emits each surviving row once).
+    */
+  def ingest(
+      stream: DataFrame, text: Column, tsCol: String,
+      watermarkDelay: String, minTokens: Long = 5): DataFrame = {
+    enrich(stream.withWatermark(tsCol, watermarkDelay), text)
+      .dropDuplicatesWithinWatermark("fingerprint")
+      .filter(col("n_tokens") >= minTokens)
+  }
+}

@@ -132,4 +132,44 @@ class LiveStatsSpec extends AnyFunSuite with SparkSpecBase {
       assert(out("1.1.1.1").isEmpty) // left join: unknown ip passes through
     } finally q.stop()
   }
+
+  test("DocPipeline ingest dedups within the watermark and gates quality") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+
+    val good = "the quick brown fox jumps over the lazy dog"
+    val short = "too short"
+    val rows = Seq(
+      (ts(0), 1L, good),
+      (ts(1), 2L, good),            // exact dup inside horizon -> dropped
+      (ts(2), 3L, short),           // quality gate -> dropped
+      (ts(3), 4L, "ein ganz anderes dokument und zwar auf deutsch bitte"))
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val out = graft.streaming.DocPipeline.ingest(
+      input.toDS().toDF("ts", "doc_id", "text"), col("text"), "ts",
+      "10 minutes", minTokens = 5)
+    val q = out.writeStream.format("memory").queryName("doc_ingest")
+      .outputMode("append").start()
+    try {
+      input.addData(rows)
+      q.processAllAvailable()
+      val got = spark.table("doc_ingest")
+        .select("doc_id", "lang_guess", "n_tokens", "fingerprint")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+      assert(got.map(_._1) == Seq(1L, 4L))
+      assert(got(0)._2 == "en" && got(1)._2 == "de")
+      assert(got(0)._3 == 9L)
+      // enrichment equals the batch twin on the same rows
+      val batch = graft.streaming.DocPipeline.enrich(
+        rows.toDF("ts", "doc_id", "text"), col("text"))
+        .filter(col("doc_id") === 1L).select("fingerprint", "mean_token_len")
+        .head
+      val streamed = spark.table("doc_ingest")
+        .filter(col("doc_id") === 1L).select("fingerprint", "mean_token_len")
+        .head
+      assert(batch == streamed)
+    } finally q.stop()
+  }
 }

@@ -536,6 +536,22 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpecBase {
     }
   }
 
+  test("bpeEncode applies ranked merges greedily, lowest rank first") {
+    import spark.implicits._
+    val merges = Seq(("a", "b"), ("a_b", "c"))
+    val out = Seq("a b c a b", "c c a", "").toDF("t")
+      .select(TextOps.bpeEncode(col("t"), merges).as("e"))
+      .collect().map(_.getSeq[String](0).toSeq)
+    assert(out(0) == Seq("a_b_c", "a_b"))
+    assert(out(1) == Seq("c", "c", "a"))
+    assert(out(2) == Seq())
+    // rank order matters: ("b","c") would fire before ("a","b") if ranked lower
+    val alt = Seq("a b c").toDF("t")
+      .select(TextOps.bpeEncode(col("t"), Seq(("b", "c"), ("a", "b"))).as("e"))
+      .head.getSeq[String](0).toSeq
+    assert(alt == Seq("a", "b_c"))
+  }
+
   test("bpePairCounts counts adjacent pairs exactly on a known doc") {
     import spark.implicits._
     val d = Seq((1L, "a b a b c"), (2L, "a b"), (3L, "solo")).toDF("id", "text")
