@@ -309,6 +309,24 @@ object SparkEntry {
     "i4_sessionize" -> ((s, dir) =>
       Sessionize.sessionize(ev(s, dir), col("user_id"), col("ts"),
         col("event_id"), 1800, Map("sum_value" -> dsum(col("value"))))),
+    // I16: suricata-plugin alert enrichment — out-of-band alerts (the
+    // 'error' events) attached to the flow-session whose key+interval
+    // covers them, via the bucketed interval equi-join
+    "i16_suricata" -> ((s, dir) => {
+      val all = ev(s, dir)
+      val sess = Sessionize.sessionize(all.filter(col("event_type") =!= "error"),
+        col("user_id"), col("ts"), col("event_id"), 86400)
+      val alerts = all.filter(col("event_type") === "error")
+        .select(col("user_id").as("key"),
+          unix_timestamp(col("ts")).as("alert_s"),
+          col("event_id").as("alert_id"))
+      Enrich.alertSessionJoin(sess, alerts, bucketSeconds = 3600)
+        .groupBy("key", "session_seq")
+        .agg(count(lit(1)).as("n_alerts"),
+          min(col("alert_id")).as("first_alert"),
+          max(col("alert_id")).as("last_alert"))
+        .orderBy("key", "session_seq")
+    }),
 
     // --- D: deduplication ------------------------------------------------
     "d1_dedup_exact" -> ((s, dir) =>
@@ -479,6 +497,16 @@ object SparkEntry {
     // T11: corpus-trained bigram LM quality score (integer ppm mean)
     "t11_lm_score" -> ((s, dir) =>
       TextOps.bigramLikelihood(docs(s, dir), col("text"), col("doc_id"))),
+    // T12: corpus-level paragraph dedup (Dolma-style) — a paragraph
+    // survives only at its first (doc, position) occurrence corpus-wide
+    "t12_paragraph_dedup" -> ((s, dir) =>
+      Dedup.paragraphDedup(docs(s, dir), docParas(col("text")),
+        col("doc_id"))),
+    // T13: C4 line+document cleaning rules over synthesized line structure
+    "t13_c4_clean" -> ((s, dir) =>
+      TextOps.c4Clean(docs(s, dir), c4Lines(col("text"), col("doc_id")),
+        col("doc_id"))
+        .withColumn("doc_kept", col("doc_kept").cast("long"))),
     // T10: boilerplate strip — the corpus text wrapped in HTML chrome on
     // both engines, then stripped back down
     "t10_html_strip" -> ((s, dir) =>
@@ -675,6 +703,25 @@ object SparkEntry {
       lit(".0.1 card 4111111111111"),
       ((id % 9000) + 1000).cast("string"))
 
+  /** The corpus has no newlines, so paragraph-level ops segment it into
+    * fixed `n`-token windows — the same segmentation both engines apply.
+    */
+  private def docParas(text: Column, n: Int = 10): Column = {
+    val toks = TextOps.tokens(text)
+    when(size(toks) === 0, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0), floor((size(toks) - 1) / n).cast("int")),
+        i => array_join(slice(toks, i * n + 1, lit(n)), " ")))
+  }
+
+  /** Paragraphs as C4 'lines': deterministic hash decides which get the
+    * terminal punctuation the line rule tests (the corpus has none).
+    */
+  private def c4Lines(text: Column, id: Column, n: Int = 10): Column =
+    transform(docParas(text, n), (p, i) => concat(p,
+      when(TextOps.hex32(concat(id.cast("string"), lit("_"),
+        i.cast("string"))) % 4 =!= 0, lit(".")).otherwise(lit(""))))
+
   /** Blocking key for near-dup joins: language × length bucket. */
   private def docBlockKey: Column =
     concat(col("lang"), lit("|"), floor(col("n_chars") / 100).cast("long").cast("string"))
@@ -702,6 +749,18 @@ object SparkEntry {
     s"list_transform(range(1, len($toks)-${k - 2}), i -> array_to_string($toks[i:i+${k - 1}], ' '))"
   private def sqlHex32(c: String) =
     s"CAST(('0x' || substr(md5($c), 1, 8)) AS BIGINT)"
+  /** The docParas segmentation as CTEs (tok, paras). DuckDB's range()
+    * table function can't take a lateral column, so the paragraph list is
+    * built as a scalar list expression and unnested.
+    */
+  private def sqlParasCte(n: Int = 10): String =
+    s"""tok AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+       plist AS (SELECT doc_id,
+           list_transform(range(0, CAST(ceil(len(toks)/$n.0) AS BIGINT)),
+             i -> {'idx': i, 'para': array_to_string(toks[i*$n+1 : i*$n+$n], ' ')}) AS ps
+         FROM tok),
+       paras AS (SELECT doc_id, CAST(u.idx AS BIGINT) AS idx, u.para AS para
+         FROM (SELECT doc_id, unnest(ps) AS u FROM plist))"""
   private def sqlMinhashCols: String =
     (0 until 12).map { j =>
       s"min((h * ${Dedup.minhashA(j)} + ${Dedup.minhashB(j)}) % ${Dedup.minhashP}) AS mh$j"
@@ -1355,6 +1414,71 @@ object SparkEntry {
            FROM tok WHERE len(toks) >= 2)
          SELECT p.a AS a, p.b AS b, count(*) AS n FROM pr
          GROUP BY a, b ORDER BY n DESC, a ASC, b ASC LIMIT 50""",
+    "t12_paragraph_dedup" ->
+      s"""WITH ${sqlParasCte()},
+         ph AS (SELECT doc_id, idx, para, md5(para) AS h,
+             doc_id * 1048576 + idx AS rnk FROM paras),
+         keeper AS (SELECT h, min(rnk) AS keep_rnk FROM ph GROUP BY h),
+         kept AS (SELECT ph.doc_id, ph.idx, ph.para FROM ph
+           JOIN keeper ON ph.h = keeper.h AND ph.rnk = keeper.keep_rnk),
+         reb AS (SELECT doc_id, count(*) AS n_kept,
+             md5(string_agg(para, chr(10) ORDER BY idx)) AS clean_fp
+           FROM kept GROUP BY doc_id)
+         SELECT d.doc_id,
+           CAST(ceil(len($sqlToks)/10.0) AS BIGINT) AS n_paras,
+           COALESCE(r.n_kept, 0) AS n_kept,
+           COALESCE(r.clean_fp, md5('')) AS clean_fp
+         FROM documents d LEFT JOIN reb r USING (doc_id)
+         ORDER BY doc_id""",
+    "t13_c4_clean" ->
+      s"""WITH ${sqlParasCte()},
+         lns AS (SELECT doc_id, idx,
+             para || (CASE WHEN ${sqlHex32("CAST(doc_id AS VARCHAR) || '_' || CAST(idx AS VARCHAR)")} % 4 <> 0
+               THEN '.' ELSE '' END) AS line
+           FROM paras),
+         flt AS (SELECT doc_id, idx, line,
+             (regexp_matches(line, '[.!?"]$$')
+              AND len(list_filter(string_split(line, ' '), w -> w <> '')) >= 5
+              AND NOT contains(lower(line), 'javascript')) AS keep
+           FROM lns),
+         agg AS (SELECT doc_id, count(*) AS n_lines,
+             CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             md5(COALESCE(string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY idx), '')) AS clean_fp,
+             (contains(string_agg(lower(line), chr(10) ORDER BY idx), '{')
+              OR contains(string_agg(lower(line), chr(10) ORDER BY idx), 'lorem ipsum')) AS bad
+           FROM flt GROUP BY doc_id)
+         SELECT d.doc_id, COALESCE(a.n_lines, 0) AS n_lines,
+           COALESCE(a.n_kept, 0) AS n_kept,
+           CAST(CASE WHEN COALESCE(a.n_kept, 0) >= 3
+             AND NOT COALESCE(a.bad, FALSE) THEN 1 ELSE 0 END AS BIGINT) AS doc_kept,
+           COALESCE(a.clean_fp, md5('')) AS clean_fp
+         FROM documents d LEFT JOIN agg a USING (doc_id)
+         ORDER BY doc_id""",
+    "i16_suricata" ->
+      s"""WITH marked AS (
+           SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 86400
+                  THEN 1 ELSE 0 END AS is_new
+           FROM events WHERE event_type <> 'error'
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         numbered AS (
+           SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING) - 1 AS sid
+           FROM marked),
+         sess AS (SELECT user_id AS key, CAST(sid AS BIGINT) AS session_seq,
+             CAST(floor(epoch(min(ts))) AS BIGINT) AS start_s,
+             CAST(floor(epoch(max(ts))) AS BIGINT) AS end_s
+           FROM numbered GROUP BY key, sid),
+         al AS (SELECT user_id AS key, CAST(floor(epoch(ts)) AS BIGINT) AS alert_s,
+             event_id AS alert_id
+           FROM events WHERE event_type = 'error')
+         SELECT s.key, s.session_seq, count(*) AS n_alerts,
+           min(al.alert_id) AS first_alert, max(al.alert_id) AS last_alert
+         FROM sess s JOIN al ON al.key = s.key
+           AND al.alert_s BETWEEN s.start_s AND s.end_s
+         GROUP BY s.key, s.session_seq
+         ORDER BY s.key, s.session_seq""",
     "s4_kmeans_centroids" ->
       s"""WITH $sqlKmeansCtes
          SELECT cell, CAST(i - 1 AS BIGINT) AS pos, v[i] AS c

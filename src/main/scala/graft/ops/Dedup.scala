@@ -508,4 +508,47 @@ object Dedup {
           x => x("t")), " ").as("clean_text"))
       .orderBy("doc_id")
   }
+
+  /** Corpus-level paragraph dedup (the Dolma/RefinedWeb cleanup step):
+    * a paragraph that occurs anywhere else in the corpus survives only at
+    * its first occurrence — (min doc, then min position) — every other
+    * copy is dropped, and documents are reassembled from the surviving
+    * paragraphs in order. `paraCol` is an array<string> column of the
+    * document's paragraphs (split on '\n' upstream, or any segmentation).
+    *
+    * Scale: one explode (rows = Σ paragraphs, each a bounded string), one
+    * shuffle on the paragraph hash for the keeper agg, one shuffle back on
+    * the hash to filter, one on doc_id to reassemble. Never pairwise —
+    * identical paragraphs collapse in the hash agg no matter how many
+    * copies exist (the boilerplate-paragraph hot key is ONE group whose
+    * agg is a min, not a collect). Keeper rank packs (doc, idx) into one
+    * long: positions per document must stay below 2^20 (~1M paragraphs),
+    * ample for any real document.
+    *
+    * Output: (doc_id, n_paras, n_kept, clean_fp) where clean_fp is the
+    * md5 of the surviving paragraphs re-joined with '\n'.
+    */
+  def paragraphDedup(df: DataFrame, paraCol: Column, idCol: Column): DataFrame = {
+    val paras = df.select(idCol.as("doc_id"), posexplode_outer(paraCol))
+      .select(col("doc_id"), col("pos").cast("long").as("idx"),
+        col("col").as("para"))
+      .withColumn("ph", md5(col("para")))
+      .withColumn("rank", shiftleft(col("doc_id"), 20) + col("idx"))
+    val keeper = paras.filter(col("para").isNotNull)
+      .groupBy("ph").agg(min(col("rank")).as("keep_rank"))
+    val kept = paras.join(keeper, Seq("ph"))
+      .filter(col("rank") === col("keep_rank"))
+    val rebuilt = kept.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("idx"), col("para")))),
+          x => x("para")), "\n")).as("clean_fp"))
+    df.select(idCol.as("doc_id"),
+        coalesce(size(paraCol), lit(0)).cast("long").as("n_paras"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_paras"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_fp"), md5(lit(""))).as("clean_fp"))
+      .orderBy("doc_id")
+  }
 }

@@ -125,4 +125,36 @@ object Enrich {
       col("segmentCnt"), col("packetPos"), col("packetLen")
     ))
   }
+
+  /** Suricata-plugin-style alert enrichment: attach out-of-band alerts to
+    * the session whose key matches and whose [start, end] interval covers
+    * the alert time (reference: capture/plugins/suricata.c — eve.json
+    * alerts matched to live sessions by 5-tuple + packet-time window).
+    *
+    * Interval-join strategy that survives 100 TB: both sides are bucketed
+    * to `bucketSeconds`; a session row fans out to every bucket its span
+    * touches (bounded — long flows are already segment-split by the ETL's
+    * mid-save, so spans are capped), an alert lands in exactly one, and
+    * the join is a plain equi-join on (key, bucket) — no theta-join, no
+    * broadcast requirement, skew bounded by per-bucket traffic. Duplicate
+    * matches from multi-bucket spans collapse via the final distinct on
+    * (session identity, alert identity).
+    *
+    * `sessions` needs `key`, `start_s`, `end_s` columns; `alerts` needs
+    * `key`, `alert_s`, `alert_id` (+ any payload columns, all kept).
+    */
+  def alertSessionJoin(
+      sessions: DataFrame, alerts: DataFrame,
+      bucketSeconds: Long = 3600L): DataFrame = {
+    val s = sessions.withColumn("_bucket",
+      explode(sequence(floor(col("start_s") / bucketSeconds),
+        floor(col("end_s") / bucketSeconds))))
+    val a = alerts.withColumn("_bucket",
+      floor(col("alert_s") / bucketSeconds))
+    s.join(a, Seq("key", "_bucket"))
+      .filter(col("alert_s") >= col("start_s") &&
+        col("alert_s") <= col("end_s"))
+      .drop("_bucket")
+      .distinct()
+  }
 }

@@ -431,4 +431,40 @@ object TextOps {
       .select(col("key"), explode(col("top")).as("s"))
       .select(col("key"), col("s.id").as("doc_id"))
   }
+
+  /** C4-style line-and-document cleaning (the published C4/"colossal
+    * cleaned crawl" heuristics): a LINE survives iff it ends in terminal
+    * punctuation (. ! ? or closing quote), has at least `minWords`
+    * whitespace words, and doesn't mention javascript; a DOCUMENT
+    * survives iff at least `minLines` of its lines survive and the raw
+    * text has no curly brace and no "lorem ipsum". `linesCol` is
+    * array<string> (split on '\n' upstream).
+    *
+    * Pure higher-order-function projection — every rule runs inside
+    * whole-stage codegen, zero shuffle at any corpus size.
+    *
+    * Output: (doc_id, n_lines, n_kept, doc_kept, clean_fp) with clean_fp
+    * = md5 of surviving lines joined with '\n'.
+    */
+  def c4Clean(
+      df: DataFrame, linesCol: Column, idCol: Column,
+      minWords: Int = 5, minLines: Int = 3): DataFrame = {
+    val keepLine = (l: Column) =>
+      l.rlike("[.!?\"]$") &&
+        size(filter(split(l, " "), w => w =!= lit(""))) >= minWords &&
+        !lower(l).contains("javascript")
+    val keptArr = filter(linesCol, keepLine)
+    val raw = lower(array_join(linesCol, "\n"))
+    df.select(idCol.as("doc_id"),
+        coalesce(size(linesCol), lit(0)).cast("long").as("n_lines"),
+        coalesce(size(keptArr), lit(0)).cast("long").as("n_kept"),
+        keptArr.as("_kept"), raw.as("_raw"))
+      .withColumn("doc_kept",
+        col("n_kept") >= minLines && !col("_raw").contains("{") &&
+          !col("_raw").contains("lorem ipsum"))
+      .select(col("doc_id"), col("n_lines"), col("n_kept"), col("doc_kept"),
+        md5(array_join(coalesce(col("_kept"),
+          array().cast("array<string>")), "\n")).as("clean_fp"))
+      .orderBy("doc_id")
+  }
 }

@@ -123,6 +123,29 @@ class OpsSpec extends AnyFunSuite with SparkSpecBase {
     assert(wise.filter(array_contains(col("intel"), "threat=proxy-node")).count() == 3)
   }
 
+  test("enrich: alert-session interval join matches across buckets, bounds inclusive") {
+    import spark.implicits._
+    // session spanning 3 hourly buckets; alert at exact start/end included
+    val sess = Seq(
+      (10L, 0L, 1000L, 8000L),   // spans buckets 0,1,2 at bucket=3600
+      (10L, 1L, 20000L, 20010L),
+      (11L, 0L, 1000L, 2000L)
+    ).toDF("key", "session_seq", "start_s", "end_s")
+    val alerts = Seq(
+      (10L, 1000L, 100L),  // at start boundary
+      (10L, 7500L, 101L),  // mid, second bucket
+      (10L, 8000L, 102L),  // at end boundary
+      (10L, 9999L, 103L),  // between sessions -> no match
+      (11L, 1500L, 104L),
+      (12L, 1500L, 105L)   // unknown key -> no match
+    ).toDF("key", "alert_s", "alert_id")
+    val out = Enrich.alertSessionJoin(sess, alerts, bucketSeconds = 3600)
+      .select("key", "session_seq", "alert_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set((10L, 0L, 100L), (10L, 0L, 101L), (10L, 0L, 102L),
+      (11L, 0L, 104L)))
+  }
+
   test("enrich: packet dedup drops same-hash rows in window") {
     import spark.implicits._
     val df = Seq(

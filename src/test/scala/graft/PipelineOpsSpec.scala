@@ -552,6 +552,49 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpecBase {
     assert(alt == Seq("a", "b_c"))
   }
 
+  test("paragraphDedup keeps first occurrence corpus-wide, reassembles in order") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, Seq("alpha beta", "shared para", "gamma")),
+      (2L, Seq("shared para", "delta")),       // dup para at (2,0) dropped
+      (3L, Seq("shared para", "shared para")), // both copies dropped
+      (4L, Seq.empty[String])
+    ).toDF("doc_id", "paras")
+    val out = Dedup.paragraphDedup(d, col("paras"), col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.map(t => (t._1, t._2, t._3)).toSeq ==
+      Seq((1L, 3L, 3L), (2L, 2L, 1L), (3L, 2L, 0L), (4L, 0L, 0L)))
+    // doc 2 reassembles to just "delta"; doc 3 to the empty string
+    val md5of = (s: String) => java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out(1)._4 == md5of("delta"))
+    assert(out(2)._4 == md5of(""))
+    assert(out(0)._4 == md5of("alpha beta\nshared para\ngamma"))
+  }
+
+  test("c4Clean line and document rules all fire") {
+    import spark.implicits._
+    val d = Seq(
+      // survives: 3 lines pass all line rules
+      (1L, Seq("one two three four five.", "a b c d e f!", "w x y z q?")),
+      // line rules: no terminal punct / too few words / javascript
+      (2L, Seq("one two three four five", "short line.",
+        "calls javascript code here now.", "a b c d e six.")),
+      // doc rules: brace and lorem ipsum kill an otherwise-clean doc
+      (3L, Seq("one two three four five.", "a b c d e f.", "w { x y z q.")),
+      (4L, Seq("one two three four five.", "a b c d e f.", "lorem ipsum dolor sit amet.")),
+      (5L, Seq.empty[String])
+    ).toDF("doc_id", "lines")
+    val out = TextOps.c4Clean(d, col("lines"), col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(out.toSeq == Seq(
+      (1L, 3L, 3L, true),
+      (2L, 4L, 1L, false),   // only the last line survives
+      (3L, 3L, 3L, false),   // brace rule
+      (4L, 3L, 3L, false),   // lorem ipsum rule
+      (5L, 0L, 0L, false)))
+  }
+
   test("bpePairCounts counts adjacent pairs exactly on a known doc") {
     import spark.implicits._
     val d = Seq((1L, "a b a b c"), (2L, "a b"), (3L, "solo")).toDF("id", "text")
