@@ -408,6 +408,16 @@ object SparkEntry {
         centroids = Some(cb))
     }),
 
+    // S6: IVFADC-style product quantization — per-subspace trained
+    // codebooks, corpus held as m codes, ADC table-lookup scoring
+    "s6_ann_ivfpq" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val cb = Similarity.pqFit(e, "embedding", "vec_id",
+        dim = 64, m = 4, ksub = 4, iters = 2)
+      Similarity.pqTopK(e, e.filter(col("vec_id") >= 5 && col("vec_id") < 10),
+        "embedding", "vec_id", k = 3, dim = 64, m = 4, ksub = 4, cb)
+    }),
+
     // --- T: text analysis ------------------------------------------------
     "t1_lang_id" -> ((s, dir) =>
       docs(s, dir)
@@ -790,28 +800,42 @@ object SparkEntry {
     * in double — bit-identical IEEE ops on both engines); an emptied cell
     * keeps its old centroid (COALESCE). c2 = the trained codebook.
     */
-  private def sqlKmeansCtes: String = {
+  private def sqlKmeansCtes: String = sqlKmeansSub("", 0, 64, 4)
+
+  /** The same unrolled Lloyd's over a subspace slice [off+1, off+dsub] of
+    * the embedding, CTE names prefixed — one instance per PQ subspace.
+    * Produces CTEs e$pfx (sliced vectors) and ${pfx}c2 (trained codebook).
+    */
+  private def sqlKmeansSub(pfx: String, off: Int, dsub: Int, k: Int): String = {
+    val e = s"e$pfx"
     def iter(prev: String, assigned: String, means: String, next: String) =
       s"""$assigned AS (SELECT vec_id, v, cell FROM (
-           SELECT e.vec_id, e.v, c.cell, row_number() OVER
-             (PARTITION BY e.vec_id ORDER BY ${sqlDot("e.v", "c.v", 64)} DESC, c.cell ASC) AS rk
-           FROM e, $prev c) WHERE rk = 1),
+           SELECT $e.vec_id, $e.v, c.cell, row_number() OVER
+             (PARTITION BY $e.vec_id ORDER BY ${sqlDot(s"$e.v", "c.v", dsub)} DESC, c.cell ASC) AS rk
+           FROM $e, $prev c) WHERE rk = 1),
          $means AS (SELECT cell, i,
              (CAST(SUM(CAST(floor(v[i] * 1000000000.0) AS BIGINT)) AS DOUBLE)
                / COUNT(*)) / 1000000000.0 AS m
-           FROM $assigned, range(1, 65) t(i) GROUP BY cell, i),
+           FROM $assigned, range(1, ${dsub + 1}) t(i) GROUP BY cell, i),
          $next AS (SELECT g.cell, list(COALESCE(m.m, g.x) ORDER BY g.i) AS v
            FROM (SELECT c.cell, t.i, c.v[t.i] AS x
-                 FROM $prev c, range(1, 65) t(i)) g
+                 FROM $prev c, range(1, ${dsub + 1}) t(i)) g
            LEFT JOIN $means m ON m.cell = g.cell AND m.i = g.i
            GROUP BY g.cell)"""
-    s"""e AS (SELECT vec_id,
-         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-       c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell, v
-         FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 4)),
-       ${iter("c0", "a1", "m1", "c1")},
-       ${iter("c1", "a2", "m2", "c2")}"""
+    s"""$e AS (SELECT vec_id,
+         list_transform(embedding[${off + 1}:${off + dsub}], x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       ${pfx}c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell, v
+         FROM (SELECT vec_id, v FROM $e ORDER BY vec_id LIMIT $k)),
+       ${iter(s"${pfx}c0", s"${pfx}a1", s"${pfx}m1", s"${pfx}c1")},
+       ${iter(s"${pfx}c1", s"${pfx}a2", s"${pfx}m2", s"${pfx}c2")}"""
   }
+
+  /** PQ-encoded subspace centroid per corpus vector (${pfx}cs: vec_id, cv). */
+  private def sqlPqAssign(pfx: String, dsub: Int): String =
+    s"""${pfx}cs AS (SELECT vec_id, v AS cv FROM (
+         SELECT e$pfx.vec_id, c.v, row_number() OVER (PARTITION BY e$pfx.vec_id
+           ORDER BY ${sqlDot(s"e$pfx.v", "c.v", dsub)} DESC, c.cell ASC) AS rk
+         FROM e$pfx, ${pfx}c2 c) WHERE rk = 1)"""
 
   private val sqlSimhash = {
     val hashes = s"list_transform(toks, t -> ${sqlHex32("t")})"
@@ -1504,6 +1528,35 @@ object SparkEntry {
              (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rk
            FROM scored)
          SELECT query_id, neighbor_id, cosine, rk FROM ranked
+         WHERE rk <= 3 ORDER BY query_id, rk""",
+    "s6_ann_ivfpq" ->
+      s"""WITH ${sqlKmeansSub("s0", 0, 16, 4)},
+         ${sqlKmeansSub("s1", 16, 16, 4)},
+         ${sqlKmeansSub("s2", 32, 16, 4)},
+         ${sqlKmeansSub("s3", 48, 16, 4)},
+         ${sqlPqAssign("s0", 16)},
+         ${sqlPqAssign("s1", 16)},
+         ${sqlPqAssign("s2", 16)},
+         ${sqlPqAssign("s3", 16)},
+         qv AS (SELECT q0.vec_id, q0.v AS v0, q1.v AS v1, q2.v AS v2, q3.v AS v3
+           FROM es0 q0
+           JOIN es1 q1 ON q1.vec_id = q0.vec_id
+           JOIN es2 q2 ON q2.vec_id = q0.vec_id
+           JOIN es3 q3 ON q3.vec_id = q0.vec_id
+           WHERE q0.vec_id >= 5 AND q0.vec_id < 10),
+         dv AS (SELECT d0.vec_id, d0.cv AS c0, d1.cv AS c1, d2.cv AS c2, d3.cv AS c3
+           FROM s0cs d0
+           JOIN s1cs d1 ON d1.vec_id = d0.vec_id
+           JOIN s2cs d2 ON d2.vec_id = d0.vec_id
+           JOIN s3cs d3 ON d3.vec_id = d0.vec_id),
+         scored AS (SELECT qv.vec_id AS query_id, dv.vec_id AS neighbor_id,
+             ${sqlDot("qv.v0", "dv.c0", 16)} + ${sqlDot("qv.v1", "dv.c1", 16)}
+               + ${sqlDot("qv.v2", "dv.c2", 16)} + ${sqlDot("qv.v3", "dv.c3", 16)} AS score
+           FROM qv, dv WHERE dv.vec_id <> qv.vec_id),
+         ranked AS (SELECT *, row_number() OVER
+             (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rk
+           FROM scored)
+         SELECT query_id, neighbor_id, score, rk FROM ranked
          WHERE rk <= 3 ORDER BY query_id, rk""",
     "p1_stratified_sample" ->
       """SELECT doc_id, lang FROM documents

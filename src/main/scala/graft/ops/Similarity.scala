@@ -321,4 +321,94 @@ object Similarity {
       .withColumn("cosine", dotBin(col("qv"), col("cv")) / (col("qn") * col("cn")))
     perQueryTopK(scored, k)
   }
+
+  /** Product-quantization codebooks — the memory-compression half of
+    * FAISS-style IVFADC, the ANN path that still works when 100 TB of raw
+    * float vectors no longer fit anywhere: the `dim`-dim space is split
+    * into `m` subspaces of dim/m and a `ksub`-centroid codebook is
+    * trained per subspace with the same deterministic quantized-mean
+    * Lloyd's as [[kmeansFit]]. Returns m codebooks, each ksub × dim/m.
+    */
+  def pqFit(
+      corpus: DataFrame, vecCol: String, idCol: String,
+      dim: Int, m: Int, ksub: Int, iters: Int = 2): Seq[Seq[Seq[Double]]] = {
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val dsub = dim / m
+    (0 until m).map { j =>
+      val sub = corpus.select(col(idCol),
+        slice(toDouble(col(vecCol)), j * dsub + 1, dsub).as("_sub"))
+      kmeansFit(sub, "_sub", idCol, ksub, iters)
+    }
+  }
+
+  /** PQ encode + asymmetric-distance search (dot-product formulation).
+    *
+    * Corpus vectors are encoded ONCE, map-side, as `m` codes (argmax
+    * subspace dot, lowest centroid on ties) — m·log2(ksub) bits per row
+    * instead of dim floats, a 32-128× shrink that is the difference
+    * between "the index fits in cluster memory" and "it doesn't". Each
+    * query computes its m×ksub table of subspace dots against the
+    * driver-held codebooks; every corpus score is then m table lookups
+    * summed (ADC) — no float vector is ever shuffled or broadcast.
+    * Queries (id + table) broadcast; top-k per query via the bounded-heap
+    * aggregator, never a partition-less window.
+    *
+    * Determinism: all dots are sequential left folds (index order), the
+    * ADC sum runs subspace 0→m-1 — bit-identical to the unrolled SQL
+    * oracle.
+    */
+  def pqTopK(
+      corpus: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, k: Int,
+      dim: Int, m: Int, ksub: Int,
+      codebooks: Seq[Seq[Seq[Double]]]): DataFrame = {
+    val dsub = dim / m
+    val cb: Array[Array[Array[Double]]] =
+      codebooks.map(_.map(_.toArray).toArray).toArray
+    val encodeUdf = udf { v: Seq[Double] =>
+      Array.tabulate(m) { j =>
+        var best = 0
+        var bestDot = Double.NegativeInfinity
+        var c = 0
+        while (c < ksub) {
+          var acc = 0.0
+          var i = 0
+          while (i < dsub) { acc += v(j * dsub + i) * cb(j)(c)(i); i += 1 }
+          if (acc > bestDot) { bestDot = acc; best = c }
+          c += 1
+        }
+        best
+      }
+    }
+    val tableUdf = udf { v: Seq[Double] =>
+      Array.tabulate(m * ksub) { t =>
+        val j = t / ksub
+        val c = t % ksub
+        var acc = 0.0
+        var i = 0
+        while (i < dsub) { acc += v(j * dsub + i) * cb(j)(c)(i); i += 1 }
+        acc
+      }
+    }
+    val adcUdf = udf { (codes: Seq[Int], table: Seq[Double]) =>
+      var s = 0.0
+      var j = 0
+      while (j < m) { s += table(j * ksub + codes(j)); j += 1 }
+      s
+    }
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      encodeUdf(toDouble(col(vecCol))).as("codes"))
+    val q = queries.select(col(idCol).as("query_id"),
+      tableUdf(toDouble(col(vecCol))).as("qtab"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("score", adcUdf(col("codes"), col("qtab")))
+    val topk = graft.functions.TopK.longIds(k)
+    scored.groupBy(col("query_id"))
+      .agg(topk(col("score"), col("neighbor_id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("query_id"), col("s.id").as("neighbor_id"),
+        col("s.score").as("score"), (col("pos") + 1).as("rk"))
+      .orderBy("query_id", "rk")
+  }
 }

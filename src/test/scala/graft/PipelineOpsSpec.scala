@@ -552,6 +552,37 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpecBase {
     assert(alt == Seq("a", "b_c"))
   }
 
+  test("pqTopK ADC score equals explicit decode-then-dot recomputation") {
+    val (dim, m, ksub) = (64, 4, 4)
+    val dsub = dim / m
+    val cb = Similarity.pqFit(emb, "embedding", "vec_id", dim, m, ksub, iters = 2)
+    assert(cb.length == m && cb.forall(b => b.length == ksub &&
+      b.forall(_.length == dsub)))
+    val vecs = emb.select(col("vec_id"),
+      Similarity.toDouble(col("embedding")).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def subDot(v: Array[Double], j: Int, cent: Seq[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < dsub) { acc += v(j * dsub + i) * cent(i); i += 1 }
+      acc
+    }
+    def code(v: Array[Double], j: Int): Int =
+      (0 until ksub).maxBy(c => (subDot(v, j, cb(j)(c)), -c))
+    val out = Similarity.pqTopK(emb, emb.filter(col("vec_id") === 5L),
+      "embedding", "vec_id", k = 3, dim, m, ksub, cb)
+      .collect().map(r => (r.getLong(1), r.getDouble(2)))
+    val q = vecs(5L)
+    out.foreach { case (nid, score) =>
+      val expected = (0 until m).map(j => subDot(q, j, cb(j)(code(vecs(nid), j)))).sum
+      assert(math.abs(score - expected) < 1e-12, s"neighbor $nid")
+    }
+    // and the top-1 really is the argmax of the ADC scores over the corpus
+    val best = vecs.keys.filter(_ != 5L).maxBy { nid =>
+      ((0 until m).map(j => subDot(q, j, cb(j)(code(vecs(nid), j)))).sum, -nid)
+    }
+    assert(out.head._1 == best)
+  }
+
   test("paragraphDedup keeps first occurrence corpus-wide, reassembles in order") {
     import spark.implicits._
     val d = Seq(
