@@ -334,11 +334,54 @@ object Similarity {
       dim: Int, m: Int, ksub: Int, iters: Int = 2): Seq[Seq[Seq[Double]]] = {
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val dsub = dim / m
-    (0 until m).map { j =>
-      val sub = corpus.select(col(idCol),
-        slice(toDouble(col(vecCol)), j * dsub + 1, dsub).as("_sub"))
-      kmeansFit(sub, "_sub", idCol, ksub, iters)
+    // All m sub-quantizers train in ONE corpus scan per iteration (not m):
+    // subspace assignments are independent, so each vector contributes its
+    // m (subspace, cell) component sums in a single groupBy. Same
+    // quantized-long mean arithmetic as kmeansFit — per-subspace results
+    // are identical to m separate runs, at 1/m the scan cost.
+    var cents: Array[Array[Array[Double]]] = {
+      val init = corpus.orderBy(col(idCol)).limit(ksub)
+        .select(toDouble(col(vecCol))).collect()
+        .map(_.getSeq[Double](0).toArray)
+      Array.tabulate(m, ksub, dsub)((j, c, i) => init(c)(j * dsub + i))
     }
+    var it = 0
+    while (it < iters) {
+      val cs = cents
+      val codesUdf = udf { v: Seq[Double] =>
+        Array.tabulate(m) { j =>
+          var best = 0
+          var bestDot = Double.NegativeInfinity
+          var c = 0
+          while (c < ksub) {
+            var acc = 0.0
+            var i = 0
+            while (i < dsub) { acc += v(j * dsub + i) * cs(j)(c)(i); i += 1 }
+            if (acc > bestDot) { bestDot = acc; best = c }
+            c += 1
+          }
+          best
+        }
+      }
+      val stats = corpus.select(toDouble(col(vecCol)).as("v"))
+        .withColumn("codes", codesUdf(col("v")))
+        .select(posexplode(col("v")).as(Seq("p", "x")), col("codes"))
+        .select((col("p") / dsub).cast("int").as("j"),
+          element_at(col("codes"), (col("p") / dsub).cast("int") + 1).as("cell"),
+          pmod(col("p"), lit(dsub)).as("i"), col("x"))
+        .groupBy("j", "cell", "i")
+        .agg(sum(floor(col("x") * lit(1e9)).cast("long")).as("sx"),
+          count(lit(1)).as("n"))
+        .collect()
+      val next = cents.map(_.map(_.clone()))
+      stats.foreach { r =>
+        next(r.getInt(0))(r.getInt(1))(r.getInt(2)) =
+          (r.getLong(3).toDouble / r.getLong(4)) / 1e9
+      }
+      cents = next
+      it += 1
+    }
+    cents.map(_.map(_.toSeq).toSeq).toSeq
   }
 
   /** PQ encode + asymmetric-distance search (dot-product formulation).
