@@ -181,6 +181,48 @@ object Dedup {
     vsOld.union(vsNew).distinct().orderBy("doc_a", "doc_b")
   }
 
+  /** Fold a batch's band rows into an existing band index (same bucket
+    * spec as [[writeBandIndex]]) so later batches see it.
+    */
+  def appendBandIndex(
+      df: DataFrame, text: Column, idCol: Column, table: String,
+      shingleK: Int = 3, bands: Int = 4, rowsPerBand: Int = 3): Unit = {
+    // match the existing table's bucketing — a mismatched append corrupts
+    // the co-location contract the incremental join relies on
+    val nBuckets = df.sparkSession.sessionState.catalog
+      .getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .bucketSpec.map(_.numBuckets).getOrElse(16)
+    minhashBands(df, text, idCol, shingleK, bands, rowsPerBand)
+      .write.mode("append")
+      .bucketBy(nBuckets, "band_id", "band_key")
+      .format("parquet")
+      .saveAsTable(table)
+  }
+
+  /** One continuous-ingestion dedup step (the `foreachBatch` body of a
+    * streaming crawl pipeline): candidates for the batch against the
+    * ever-growing band index (index side shuffle-free — bucketed), drop
+    * every batch document that near-dups an earlier one (smaller id, in
+    * the index or earlier in this batch), fold the batch's band rows into
+    * the index, return the survivors. Candidates materialize BEFORE the
+    * append so the batch never matches its own freshly-written rows.
+    *
+    * State across the stream lives in the bucketed index table, not in
+    * stream state — restart-safe and O(corpus bands) on disk, never in
+    * memory.
+    */
+  def incrementalDedup(
+      batch: DataFrame, text: Column, idCol: Column, table: String,
+      shingleK: Int = 3, bands: Int = 4, rowsPerBand: Int = 3): DataFrame = {
+    val dups = incrementalCandidates(batch, text, idCol, table,
+      shingleK, bands, rowsPerBand)
+      .select(col("doc_b").as("_dup_id")).distinct()
+      .localCheckpoint()
+    appendBandIndex(batch, text, idCol, table, shingleK, bands, rowsPerBand)
+    batch.join(dups, idCol === col("_dup_id"), "left_anti")
+  }
+
   /** 32-bit SimHash over the token multiset (portable hash family). */
   def simhash32(toks: Column): Column = {
     val hashes = transform(toks, t => hex32(t))

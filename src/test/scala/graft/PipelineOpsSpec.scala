@@ -135,6 +135,39 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpecBase {
       s"expected bucketed scan in plan:\n$plan")
   }
 
+  test("incrementalDedup over streaming micro-batches equals one-shot batch dedup") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val all = docs.filter(col("doc_id") < 300).select("doc_id", "text")
+    // seed the index with the first 100 docs; stream the rest in 2 batches
+    Dedup.writeBandIndex(all.filter(col("doc_id") < 100),
+      col("text"), col("doc_id"), "band_index_stream", nBuckets = 8)
+    val rows = all.filter(col("doc_id") >= 100)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val input = MemoryStream[(Long, String)]
+    val survivors = scala.collection.mutable.ArrayBuffer[Long]()
+    val q = input.toDS().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        survivors ++= Dedup.incrementalDedup(batch, col("text"),
+          col("doc_id"), "band_index_stream")
+          .select("doc_id").collect().map(_.getLong(0))
+        ()
+      }.start()
+    try {
+      val (b1, b2) = rows.sortBy(_._1).splitAt(rows.length / 2)
+      input.addData(b1.toSeq); q.processAllAvailable()
+      input.addData(b2.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    // one-shot equivalent: candidates over all 300, docs >= 100 that
+    // near-dup ANY smaller doc are dropped
+    val dropped = Dedup.minhashCandidates(all, col("text"), col("doc_id"))
+      .filter(col("doc_b") >= 100).select("doc_b").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val expected = rows.map(_._1).filterNot(dropped).sorted
+    assert(survivors.sorted.toSeq == expected.toSeq)
+  }
+
   test("jaccard pairs have jaccard in [0.5, 1]") {
     val r = Dedup.ngramJaccardPairs(docs, col("text"), col("doc_id"),
       concat(col("lang"), lit("|"), floor(col("n_chars") / 100).cast("long").cast("string")))
