@@ -418,6 +418,20 @@ object SparkEntry {
         "embedding", "vec_id", k = 3, dim = 64, m = 4, ksub = 4, cb)
     }),
 
+    // S7: the complete IVFADC pipeline — trained coarse quantizer routes
+    // vectors to cells, queries probe nProbe cells, in-cell scoring is
+    // PQ/ADC over codes (no raw vector ever joined)
+    "s7_ann_ivfadc" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val coarse = Similarity.kmeansFit(e, "embedding", "vec_id",
+        k = 4, iters = 2)
+      val cb = Similarity.pqFit(e, "embedding", "vec_id",
+        dim = 64, m = 4, ksub = 4, iters = 2)
+      Similarity.ivfpqTopK(e, e.filter(col("vec_id") >= 5 && col("vec_id") < 10),
+        "embedding", "vec_id", k = 3, dim = 64, m = 4, ksub = 4,
+        coarse, nProbe = 2, cb)
+    }),
+
     // --- T: text analysis ------------------------------------------------
     "t1_lang_id" -> ((s, dir) =>
       docs(s, dir)
@@ -1553,6 +1567,48 @@ object SparkEntry {
              ${sqlDot("qv.v0", "dv.c0", 16)} + ${sqlDot("qv.v1", "dv.c1", 16)}
                + ${sqlDot("qv.v2", "dv.c2", 16)} + ${sqlDot("qv.v3", "dv.c3", 16)} AS score
            FROM qv, dv WHERE dv.vec_id <> qv.vec_id),
+         ranked AS (SELECT *, row_number() OVER
+             (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rk
+           FROM scored)
+         SELECT query_id, neighbor_id, score, rk FROM ranked
+         WHERE rk <= 3 ORDER BY query_id, rk""",
+    "s7_ann_ivfadc" ->
+      s"""WITH $sqlKmeansCtes,
+         ${sqlKmeansSub("s0", 0, 16, 4)},
+         ${sqlKmeansSub("s1", 16, 16, 4)},
+         ${sqlKmeansSub("s2", 32, 16, 4)},
+         ${sqlKmeansSub("s3", 48, 16, 4)},
+         ${sqlPqAssign("s0", 16)},
+         ${sqlPqAssign("s1", 16)},
+         ${sqlPqAssign("s2", 16)},
+         ${sqlPqAssign("s3", 16)},
+         cc AS (SELECT vec_id, cell FROM (
+             SELECT e.vec_id, c.cell, row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY ${sqlDot("e.v", "c.v", 64)} DESC, c.cell ASC) AS crk
+             FROM e, c2 c) WHERE crk = 1),
+         qc AS (SELECT vec_id, cell FROM (
+             SELECT e.vec_id, c.cell, row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY ${sqlDot("e.v", "c.v", 64)} DESC, c.cell ASC) AS crk
+             FROM e, c2 c WHERE e.vec_id >= 5 AND e.vec_id < 10) WHERE crk <= 2),
+         qv AS (SELECT q0.vec_id, q0.v AS v0, q1.v AS v1, q2.v AS v2, q3.v AS v3
+           FROM es0 q0
+           JOIN es1 q1 ON q1.vec_id = q0.vec_id
+           JOIN es2 q2 ON q2.vec_id = q0.vec_id
+           JOIN es3 q3 ON q3.vec_id = q0.vec_id
+           WHERE q0.vec_id >= 5 AND q0.vec_id < 10),
+         dv AS (SELECT d0.vec_id, d0.cv AS c0, d1.cv AS c1, d2.cv AS c2, d3.cv AS c3
+           FROM s0cs d0
+           JOIN s1cs d1 ON d1.vec_id = d0.vec_id
+           JOIN s2cs d2 ON d2.vec_id = d0.vec_id
+           JOIN s3cs d3 ON d3.vec_id = d0.vec_id),
+         scored AS (SELECT qv.vec_id AS query_id, dv.vec_id AS neighbor_id,
+             ${sqlDot("qv.v0", "dv.c0", 16)} + ${sqlDot("qv.v1", "dv.c1", 16)}
+               + ${sqlDot("qv.v2", "dv.c2", 16)} + ${sqlDot("qv.v3", "dv.c3", 16)} AS score
+           FROM qv
+           JOIN qc ON qc.vec_id = qv.vec_id
+           JOIN cc ON cc.cell = qc.cell
+           JOIN dv ON dv.vec_id = cc.vec_id
+           WHERE dv.vec_id <> qv.vec_id),
          ranked AS (SELECT *, row_number() OVER
              (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rk
            FROM scored)

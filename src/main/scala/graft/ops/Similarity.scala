@@ -400,11 +400,12 @@ object Similarity {
     * ADC sum runs subspace 0→m-1 — bit-identical to the unrolled SQL
     * oracle.
     */
-  def pqTopK(
-      corpus: DataFrame, queries: DataFrame,
-      vecCol: String, idCol: String, k: Int,
-      dim: Int, m: Int, ksub: Int,
-      codebooks: Seq[Seq[Seq[Double]]]): DataFrame = {
+  /** The three PQ kernels (encode / query table / ADC sum), shared by
+    * [[pqTopK]] and [[ivfpqTopK]]. Sequential left folds throughout —
+    * bit-identical to the unrolled SQL oracle.
+    */
+  private def pqUdfs(dim: Int, m: Int, ksub: Int,
+      codebooks: Seq[Seq[Seq[Double]]]) = {
     val dsub = dim / m
     val cb: Array[Array[Array[Double]]] =
       codebooks.map(_.map(_.toArray).toArray).toArray
@@ -439,6 +440,25 @@ object Similarity {
       while (j < m) { s += table(j * ksub + codes(j)); j += 1 }
       s
     }
+    (encodeUdf, tableUdf, adcUdf)
+  }
+
+  private def pqRank(scored: DataFrame, k: Int): DataFrame = {
+    val topk = TopK.longIds(k)
+    scored.groupBy(col("query_id"))
+      .agg(topk(col("score"), col("neighbor_id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("query_id"), col("s.id").as("neighbor_id"),
+        col("s.score").as("score"), (col("pos") + 1).as("rk"))
+      .orderBy("query_id", "rk")
+  }
+
+  def pqTopK(
+      corpus: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, k: Int,
+      dim: Int, m: Int, ksub: Int,
+      codebooks: Seq[Seq[Seq[Double]]]): DataFrame = {
+    val (encodeUdf, tableUdf, adcUdf) = pqUdfs(dim, m, ksub, codebooks)
     val c = corpus.select(col(idCol).as("neighbor_id"),
       encodeUdf(toDouble(col(vecCol))).as("codes"))
     val q = queries.select(col(idCol).as("query_id"),
@@ -446,12 +466,47 @@ object Similarity {
     val scored = c.crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("score", adcUdf(col("codes"), col("qtab")))
-    val topk = graft.functions.TopK.longIds(k)
-    scored.groupBy(col("query_id"))
-      .agg(topk(col("score"), col("neighbor_id")).as("top"))
-      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "s")))
-      .select(col("query_id"), col("s.id").as("neighbor_id"),
-        col("s.score").as("score"), (col("pos") + 1).as("rk"))
-      .orderBy("query_id", "rk")
+    pqRank(scored, k)
+  }
+
+  /** Full IVFADC (the complete FAISS-style ANN pipeline): a coarse
+    * quantizer routes every corpus vector to one of the trained cells
+    * ([[kmeansFit]] codebook), queries probe their `nProbe` best cells,
+    * and scoring inside a probed cell is PQ/ADC — codes and table
+    * lookups, never raw vectors. The corpus side carries (cell, m codes)
+    * only: at 100 TB that is the entire search state, bucketable by cell
+    * exactly like [[ivfWriteIndex]], with the scan reading ~nProbe/nCells
+    * of it per query batch.
+    */
+  def ivfpqTopK(
+      corpus: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, k: Int,
+      dim: Int, m: Int, ksub: Int,
+      coarse: Seq[Seq[Double]], nProbe: Int,
+      codebooks: Seq[Seq[Seq[Double]]]): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val (encodeUdf, tableUdf, adcUdf) = pqUdfs(dim, m, ksub, codebooks)
+    val cents = coarse.zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("cell", "centv")
+    def cells(df: DataFrame, id: String, keep: Int): DataFrame = {
+      val topCells = TopK.longIds(keep)
+      df.select(col(idCol).as(id), toDouble(col(vecCol)).as("v"))
+        .crossJoin(broadcast(cents))
+        .withColumn("cdot", dot(col("v"), col("centv")))
+        .groupBy(col(id))
+        .agg(topCells(col("cdot"), col("cell")).as("cells"),
+          first(col("v")).as("v"))
+    }
+    val c = cells(corpus, "neighbor_id", 1)
+      .select(col("neighbor_id"), col("cells.id").getItem(0).as("cell"),
+        encodeUdf(col("v")).as("codes"))
+    val q = cells(queries, "query_id", nProbe)
+      .select(col("query_id"), explode(col("cells.id")).as("cell"),
+        tableUdf(col("v")).as("qtab"))
+    val scored = c.join(broadcast(q), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("score", adcUdf(col("codes"), col("qtab")))
+    pqRank(scored, k)
   }
 }

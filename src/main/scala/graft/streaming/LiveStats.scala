@@ -81,4 +81,30 @@ object LiveStats {
       .withWatermark("_ts", watermarkDelay)
       .dropDuplicatesWithinWatermark(keys)
       .drop("_ts")
+
+  /** Streaming twin of the suricata alert enrichment (I16): live session
+    * saves joined to live alerts on key + interval containment, as a
+    * watermarked stream-stream join. The time-range condition is what
+    * lets Spark expire join state: alert state is dropped once the
+    * session-side watermark passes `alert_ts + maxSpan`, session state
+    * once the alert-side watermark passes `end_ts` — bounded on an
+    * unbounded stream. `maxSpan` is the session-duration cap, which the
+    * ETL's mid-save segmenting already enforces upstream.
+    *
+    * `sessions` needs (key, start_ts, end_ts), `alerts` (key, alert_ts)
+    * — timestamp columns, payloads ride along.
+    */
+  def alertJoinStream(
+      sessions: DataFrame, alerts: DataFrame,
+      watermarkDelay: String, maxSpan: String): DataFrame = {
+    val s = sessions.withWatermark("end_ts", watermarkDelay)
+    val a = alerts.withColumnRenamed("key", "a_key")
+      .withWatermark("alert_ts", watermarkDelay)
+    s.join(a,
+      col("key") === col("a_key") &&
+        col("alert_ts") >= col("start_ts") &&
+        col("alert_ts") <= col("end_ts") &&
+        col("end_ts") <= col("alert_ts") + expr(s"interval $maxSpan"))
+      .drop("a_key")
+  }
 }

@@ -133,6 +133,48 @@ class LiveStatsSpec extends AnyFunSuite with SparkSpecBase {
     } finally q.stop()
   }
 
+  test("alertJoinStream equals the batch alertSessionJoin on the same rows") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val sessRows = Seq(
+      (10L, 0L, ts(0), ts(120)),   // alert at 60s lands inside
+      (10L, 1L, ts(600), ts(660)), // no alert inside
+      (11L, 0L, ts(0), ts(60)))    // different key
+    val alertRows = Seq(
+      (10L, ts(60), 100L),   // inside session (10, 0)
+      (10L, ts(300), 101L),  // between sessions -> no match
+      (11L, ts(30), 102L),   // inside (11, 0)
+      (12L, ts(30), 103L))   // unknown key
+    val sess = MemoryStream[(Long, Long, Timestamp, Timestamp)]
+    val alerts = MemoryStream[(Long, Timestamp, Long)]
+    val joined = graft.streaming.LiveStats.alertJoinStream(
+      sess.toDS().toDF("key", "session_seq", "start_ts", "end_ts"),
+      alerts.toDS().toDF("key", "alert_ts", "alert_id"),
+      watermarkDelay = "10 minutes", maxSpan = "1 hour")
+    val q = joined.writeStream.format("memory").queryName("alert_join")
+      .outputMode("append").start()
+    val got = try {
+      sess.addData(sessRows); alerts.addData(alertRows)
+      q.processAllAvailable()
+      spark.table("alert_join").select("key", "session_seq", "alert_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    } finally q.stop()
+    assert(got == Set((10L, 0L, 100L), (11L, 0L, 102L)))
+    // batch twin on the same data agrees
+    val batch = graft.ops.Enrich.alertSessionJoin(
+      sessRows.toDF("key", "session_seq", "start_ts", "end_ts")
+        .select(col("key"), col("session_seq"),
+          unix_timestamp(col("start_ts")).as("start_s"),
+          unix_timestamp(col("end_ts")).as("end_s")),
+      alertRows.toDF("key", "alert_ts", "alert_id")
+        .select(col("key"), unix_timestamp(col("alert_ts")).as("alert_s"),
+          col("alert_id")))
+      .select("key", "session_seq", "alert_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(batch == got)
+  }
+
   test("DocPipeline ingest dedups within the watermark and gates quality") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
