@@ -305,6 +305,37 @@ object TextOps {
       .limit(topN)
   }
 
+  /** Train `nMerges` BPE merges — the full tokenizer-trainer loop whose
+    * single step is [[bpePairCounts]] and whose application half is
+    * [[bpeEncode]]: apply the merges learned so far (map-side), count
+    * adjacent pairs corpus-wide (one distributed agg), adopt the most
+    * frequent pair (ties: lexicographic, deterministic), repeat. The
+    * merge table lives on the driver like every trained artifact here
+    * (k-means codebooks, PQ codebooks); each round is one shuffle-free
+    * scan + one partial-agg count, so cost is nMerges × one pair-count
+    * job — the standard practice at 100 TB is to train on a sample and
+    * [[bpeEncode]] the full corpus, which this API supports directly.
+    */
+  def bpeTrain(
+      df: DataFrame, text: Column, nMerges: Int): Seq[(String, String)] = {
+    var merges = Vector.empty[(String, String)]
+    var done = false
+    while (merges.length < nMerges && !done) {
+      val seqs = bpeEncode(text, merges)
+      val pairs = arrays_zip(
+        slice(seqs, lit(1), size(seqs) - 1), slice(seqs, lit(2), size(seqs) - 1))
+      val top = df.filter(size(seqs) >= 2)
+        .select(explode(pairs).as("p"))
+        .select(col("p").getField("0").as("a"), col("p").getField("1").as("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("a").asc, col("b").asc)
+        .limit(1).collect()
+      if (top.isEmpty) done = true
+      else merges = merges :+ ((top(0).getString(0), top(0).getString(1)))
+    }
+    merges
+  }
+
   /** T11: bigram language-model quality score — the CCNet/Gopher-style
     * "how plausible is this text under a corpus LM" filter, self-trained:
     * the model is the corpus's own bigram table. Per bigram occurrence,

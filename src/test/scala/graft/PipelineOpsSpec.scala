@@ -569,6 +569,21 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpecBase {
     }
   }
 
+  test("bpeTrain learns the classic merge sequence on a known corpus") {
+    import spark.implicits._
+    // "a b" dominates (4), then the merged unit pairs with c (3)
+    val d = Seq("a b c a b c", "a b c a b", "x y").toDF("t")
+    val merges = TextOps.bpeTrain(d, col("t"), nMerges = 3)
+    assert(merges.take(2) == Seq(("a", "b"), ("a_b", "c")))
+    // encoding with the learned merges collapses the training corpus
+    val enc = d.select(TextOps.bpeEncode(col("t"), merges).as("e"))
+      .collect().map(_.getSeq[String](0).toSeq)
+    assert(enc(0) == Seq("a_b_c", "a_b_c") || enc(0).head.startsWith("a_b"))
+    // trainer stops when no pair repeats: tiny corpus exhausts merges
+    val few = TextOps.bpeTrain(Seq("p q").toDF("t"), col("t"), nMerges = 5)
+    assert(few == Seq(("p", "q")))
+  }
+
   test("bpeEncode applies ranked merges greedily, lowest rank first") {
     import spark.implicits._
     val merges = Seq(("a", "b"), ("a_b", "c"))
