@@ -16,8 +16,9 @@ import org.apache.spark.sql.functions._
   *   - `spigraph` does ONE pass (groupBy key×bucket + broadcast semi-join
   *     against the top-K keys) instead of the reference's 2K-query msearch
   *     fan-out (viewer/apiSessions.js:2024-2030);
-  *   - `hierarchy` computes all levels from one grouped aggregate and ranks
-  *     per-prefix with window functions, instead of nested terms aggs.
+  *   - `hierarchy` computes all levels from one grouped aggregate and
+  *     takes per-prefix top-K with bounded-heap aggregates + broadcast
+  *     semi-joins — no ranking windows anywhere in the plan.
   */
 object Endpoints {
 
@@ -141,45 +142,64 @@ object Endpoints {
 
   /** E7: spigraphhierarchy — nested top-K along a field path. Every level
     * requires non-null (the reference adds `exists` per level). One grouped
-    * aggregate + per-prefix dense ranks.
+    * aggregate, then per-level top-K by pure aggregation — no windows.
+    *
+    * Scale shape: after the level-0 semi-join only K prefixes survive, so a
+    * prefix-partitioned ranking window would run on at most K tasks no
+    * matter how many executors exist (and each task sorts every surviving
+    * row of its prefix). Instead each level's top-K nodes come from the
+    * bounded-heap aggregate ([[graft.functions.TopK]]): map-side partials
+    * keep ≤K candidates per prefix per partition, the merged result is at
+    * most K^(i+1) rows — always broadcastable — and survivors are kept with
+    * a broadcast semi-join. Ordering (total desc, value asc) is total, so
+    * the kept set is exactly the reference's dense_rank<=K set.
     */
   def hierarchy(df: DataFrame, fields: Seq[String], k: Int): DataFrame = {
     val nonNull = fields.map(col(_).isNotNull).reduce(_ && _)
     val grouped = df.filter(nonNull)
       .groupBy(fields.map(col): _*)
       .agg(count(lit(1)).as("cnt"))
-    // Level 0 has no parent prefix — ranking it with a window would move
-    // every grouped row to a single task (partition-less WindowExec). Its
-    // top-K is a plain aggregate + TakeOrderedAndProject, semi-joined back
-    // broadcast (the spigraph pattern). The tie-break (total desc, value
-    // asc) is total, so limit(k) keeps exactly the dense_rank<=k rows.
+    // Level 0 has no parent prefix: plain aggregate + TakeOrderedAndProject
+    // (the spigraph pattern), semi-joined back broadcast.
     val top0 = grouped.groupBy(col(fields.head))
       .agg(sum("cnt").as("_tot0"))
       .orderBy(col("_tot0").desc, col(fields.head).asc)
       .limit(k)
       .select(fields.head)
-    val level0 = grouped.join(broadcast(top0), Seq(fields.head), "left_semi")
-    // Levels >= 1 rank within their (non-empty) parent prefix: level total
-    // = window sum over the level's group; rank = dense rank of that total
-    // within the prefix, tie-broken on the value itself.
-    val ranked = (1 until fields.length).foldLeft(level0) { (acc, i) =>
-      val prefix = fields.take(i).map(col)
-      val level = fields.take(i + 1).map(col)
-      // At the deepest level the window partition IS the grouping key —
-      // one row per partition, so the "sum" is just cnt; skipping the
-      // window saves a full exchange+sort on every hierarchy call.
-      val withTot =
-        if (i == fields.length - 1) acc.withColumn(s"_tot$i", col("cnt"))
-        else acc.withColumn(s"_tot$i",
-          sum("cnt").over(Window.partitionBy(level: _*)))
-      withTot.withColumn(s"_rk$i", dense_rank().over(
-        Window.partitionBy(prefix: _*)
-          .orderBy(col(s"_tot$i").desc, col(fields(i)).asc)))
+    var surv = grouped.join(broadcast(top0), Seq(fields.head), "left_semi")
+    // Levels >= 1: node total = sum(cnt) over the level grouping; top-K of
+    // the totals within each parent prefix via the bounded-heap aggregate;
+    // keep descendants of surviving nodes. Filtering level by level is
+    // exact: a node's sibling set (and so its rank) is unchanged by
+    // pruning other prefixes, because ancestors are shared row-wise.
+    for (i <- 1 until fields.length) {
+      val levelCols = fields.take(i + 1)
+      val prefixCols = fields.take(i)
+      val totals =
+        if (i == fields.length - 1)
+          // deepest level: the level grouping IS the full grouping key
+          surv.select((levelCols.map(col) :+ col("cnt").as("_tot")): _*)
+        else surv.groupBy(levelCols.map(col): _*).agg(sum("cnt").as("_tot"))
+      val vCol = totals.schema(fields(i)).dataType match {
+        case _: org.apache.spark.sql.types.StringType => col(fields(i))
+        case _ => col(fields(i)).cast("long")
+      }
+      val topkFn = totals.schema(fields(i)).dataType match {
+        case _: org.apache.spark.sql.types.StringType =>
+          graft.functions.TopK.stringIds(k)
+        case _ => graft.functions.TopK.longIds(k)
+      }
+      val topNodes = totals
+        .groupBy(prefixCols.map(col): _*)
+        .agg(topkFn(col("_tot").cast("double"), vCol).as("_top"))
+        .select((prefixCols.map(col) :+
+          explode(col("_top.id")).as("_id")): _*)
+        .select((prefixCols.map(col) :+
+          col("_id").cast(totals.schema(fields(i)).dataType)
+            .as(fields(i))): _*)
+      surv = surv.join(broadcast(topNodes), levelCols, "left_semi")
     }
-    val keep = (1 until fields.length).map(i => col(s"_rk$i") <= k)
-      .foldLeft(lit(true))(_ && _)
-    ranked.filter(keep)
-      .select((fields.map(col) :+ col("cnt")): _*)
+    surv.select((fields.map(col) :+ col("cnt")): _*)
       .orderBy(fields.map(col): _*)
   }
 

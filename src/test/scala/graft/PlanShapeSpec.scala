@@ -57,8 +57,18 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpecBase {
     }
   }
 
-  test("hierarchy plan has no partition-less window") {
-    assert(partitionlessWindows("e7_hierarchy").isEmpty)
+  test("hierarchy plan has no window at all") {
+    // levels >= 1 rank via bounded-heap top-K aggregates + broadcast
+    // semi-joins; a prefix-partitioned window would cap parallelism at K
+    // tasks after the level-0 semi-join.
+    spark.catalog.clearCache()
+    val p = SparkEntry.queries("e7_hierarchy")(spark, sf)
+      .queryExecution.executedPlan
+    val windows = p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.isEmpty)
+    assert(p.toString.contains("LeftSemi"))
   }
 
   test("ANN top-k plans have no window at all") {
