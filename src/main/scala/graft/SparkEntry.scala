@@ -382,6 +382,14 @@ object SparkEntry {
     "d12_exact_substring" -> ((s, dir) =>
       Dedup.sharedSpans(docs(s, dir), col("text"), col("doc_id"),
         shingleK = 5, minSpan = 8)),
+    // D14: Bloom novelty — odd-id docs not (probably-)present in the
+    // even-id half's membership filter. One broadcast bitset; probe side
+    // never shuffles.
+    "d14_bloom_novel" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.bloomNovel(d.filter(col("doc_id") % 2 === 0),
+        d.filter(col("doc_id") % 2 === 1), col("text"), col("doc_id"))
+    }),
 
     // --- S: similarity search -------------------------------------------
     "s1_ann_bruteforce" -> ((s, dir) => {
@@ -531,6 +539,14 @@ object SparkEntry {
       TextOps.c4Clean(docs(s, dir), c4Lines(col("text"), col("doc_id")),
         col("doc_id"))
         .withColumn("doc_kept", col("doc_kept").cast("long"))),
+    // T14: corpus TF-IDF — top-5 terms per doc, integer-ppm idf
+    "t14_tfidf" -> ((s, dir) =>
+      TextOps.tfidfTopTerms(docs(s, dir), col("text"), col("doc_id"), k = 5)),
+    // T15: NB-style classifier trained on the lang column, applied back
+    // to the corpus (prediction + hit flag per doc)
+    "t15_nb_classify" -> ((s, dir) =>
+      TextOps.nbClassify(docs(s, dir), col("text"), col("doc_id"),
+        col("lang"))),
     // T10: boilerplate strip — the corpus text wrapped in HTML chrome on
     // both engines, then stripped back down
     "t10_html_strip" -> ((s, dir) =>
@@ -1235,6 +1251,21 @@ object SparkEntry {
                 FROM g GROUP BY doc_id, grp)
          SELECT doc_id, span_start, span_end, span_len FROM sp
          WHERE span_len >= 8 ORDER BY doc_id, span_start""",
+    "d14_bloom_novel" ->
+      s"""WITH norm AS (SELECT doc_id,
+             array_to_string($sqlToks, ' ') AS nt FROM documents),
+         refp AS (SELECT DISTINCT
+             ${sqlHex32("nt || '#' || CAST(i AS VARCHAR)")} % 262144 AS pos
+           FROM norm, range(0, 4) r(i) WHERE doc_id % 2 = 0),
+         probe AS (SELECT doc_id,
+             ${sqlHex32("nt || '#' || CAST(i AS VARCHAR)")} % 262144 AS pos
+           FROM norm, range(0, 4) r(i) WHERE doc_id % 2 = 1),
+         hits AS (SELECT p.doc_id, count(*) AS nhit
+           FROM probe p JOIN refp ON p.pos = refp.pos GROUP BY 1)
+         SELECT n.doc_id AS doc_id
+         FROM norm n LEFT JOIN hits h ON n.doc_id = h.doc_id
+         WHERE n.doc_id % 2 = 1 AND coalesce(h.nhit, 0) < 4
+         ORDER BY n.doc_id""",
     "d8_winnow" ->
       s"""WITH tok AS (SELECT doc_id, $sqlToks AS toks FROM documents),
          hs AS (SELECT doc_id,
@@ -1492,6 +1523,46 @@ object SparkEntry {
            COALESCE(a.clean_fp, md5('')) AS clean_fp
          FROM documents d LEFT JOIN agg a USING (doc_id)
          ORDER BY doc_id""",
+    "t14_tfidf" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($sqlToks) AS term FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+         dfq AS (SELECT term, count(*) AS dfc FROM tf GROUP BY 1),
+         n AS (SELECT count(*) AS n FROM documents),
+         sc AS (SELECT tf.doc_id, tf.term,
+             tf.tf * ((1000000 * n.n) // dfq.dfc) AS tfidf
+           FROM tf JOIN dfq USING (term) CROSS JOIN n),
+         r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+             ORDER BY tfidf DESC, term) AS rk FROM sc)
+         SELECT doc_id, term, tfidf FROM r WHERE rk <= 5
+         ORDER BY doc_id, tfidf DESC, term""",
+    "t15_nb_classify" ->
+      s"""WITH tok AS (SELECT doc_id, lang,
+             unnest($sqlToks) AS term FROM documents),
+         ctc AS (SELECT lang AS clazz, term, count(*) AS ctc
+           FROM tok GROUP BY 1, 2),
+         ctot AS (SELECT clazz, sum(ctc) AS ctot FROM ctc GROUP BY 1),
+         v AS (SELECT count(DISTINCT term) AS v FROM ctc),
+         prior AS (SELECT lang AS clazz, count(*) AS cdocs
+           FROM documents GROUP BY 1),
+         n AS (SELECT count(*) AS n FROM documents),
+         cls AS (SELECT DISTINCT lang AS clazz FROM documents),
+         sc AS (SELECT t.doc_id, c.clazz,
+             sum((1000000 * (coalesce(x.ctc, 0) + 1)) // (ct.ctot + v.v)) AS s
+           FROM (SELECT doc_id, term FROM tok) t
+           CROSS JOIN cls c
+           LEFT JOIN ctc x ON x.clazz = c.clazz AND x.term = t.term
+           JOIN ctot ct ON ct.clazz = c.clazz
+           CROSS JOIN v
+           GROUP BY 1, 2),
+         tot AS (SELECT sc.doc_id, sc.clazz,
+             sc.s + ((1000000 * p.cdocs) // n.n) AS score
+           FROM sc JOIN prior p ON p.clazz = sc.clazz CROSS JOIN n),
+         r AS (SELECT doc_id, clazz, row_number() OVER (PARTITION BY doc_id
+             ORDER BY score DESC, clazz) AS rk FROM tot)
+         SELECT r.doc_id, r.clazz AS pred, d.lang AS label,
+           CAST(CASE WHEN r.clazz = d.lang THEN 1 ELSE 0 END AS BIGINT) AS hit
+         FROM r JOIN documents d ON d.doc_id = r.doc_id
+         WHERE r.rk = 1 ORDER BY r.doc_id""",
     "i16_suricata" ->
       s"""WITH marked AS (
            SELECT user_id, ts, event_id,

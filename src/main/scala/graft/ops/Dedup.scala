@@ -593,4 +593,40 @@ object Dedup {
         coalesce(col("clean_fp"), md5(lit(""))).as("clean_fp"))
       .orderBy("doc_id")
   }
+
+  /** D14: Bloom-filter novelty check of `probe` against `ref` — the
+    * continuous-ingestion pattern where the historical corpus is too big
+    * to join against but its membership filter is not: docs whose
+    * token-normalized text misses at least one of its `kHashes` bit
+    * positions in the reference filter are certainly new; the rest are
+    * "probably seen" (FP rate ≈ (bitsSet/m)^k, no false negatives).
+    *
+    * Build is one aggregation ([[graft.functions.BloomBitset]]): map-side
+    * partial bitsets, OR-merge, one m/8-byte row broadcast to the probe
+    * scan — the probe side never shuffles at all. Contrast with an exact
+    * anti-join on content hash: that shuffles BOTH corpora on the hash;
+    * here the 100 TB reference collapses to one filter blob built once
+    * and reused across every incremental batch.
+    *
+    * Hash positions are md5-prefix ([[TextOps.hex32]]) of `norm#i`,
+    * i < kHashes, mod `mBits` — integer-exact cross-engine, so a SQL
+    * oracle reproduces membership bit-for-bit (including any false
+    * positives).
+    */
+  def bloomNovel(
+      ref: DataFrame, probe: DataFrame, text: Column, idCol: Column,
+      mBits: Int = 1 << 18, kHashes: Int = 4): DataFrame = {
+    require(Integer.bitCount(mBits) == 1, "mBits must be a power of two")
+    val norm = concat_ws(" ", tokens(text))
+    def positions(t: Column): Column = array(
+      (0 until kHashes).map(i =>
+        hex32(concat(t, lit("#" + i))) % mBits): _*)
+    val bits = ref.select(explode(positions(norm)).as("pos"))
+      .agg(graft.functions.BloomBitset.build(mBits)(col("pos")).as("bits"))
+    probe.select(idCol.as("doc_id"), positions(norm).as("ps"))
+      .crossJoin(broadcast(bits))
+      .filter(!graft.functions.BloomBitset.allSet(col("bits"), col("ps")))
+      .select("doc_id")
+      .orderBy("doc_id")
+  }
 }

@@ -498,4 +498,90 @@ object TextOps {
           array().cast("array<string>")), "\n")).as("clean_fp"))
       .orderBy("doc_id")
   }
+
+  /** T14: corpus TF-IDF, top-`k` highest-weighted terms per document.
+    *
+    * idf is the integer ppm ratio `(1e6·N) div df` rather than its log —
+    * the same monotone-in-1/df weight with none of the cross-engine
+    * `ln` rounding hazard (ln is not correctly rounded in IEEE; floor of
+    * a quantized ln can flip between libm and the JVM; integer division
+    * cannot). Score = tf · idf_ppm, exact in a long.
+    *
+    * Scale: three shuffles, each on bounded keys — (doc, term) pair
+    * counts, per-term doc frequency (rows = vocab, skew impossible: one
+    * row per term after the first agg), and the final per-doc top-k via
+    * the bounded-heap aggregate (never a ranking window). The tf×df join
+    * keys on term; stop-word heat concentrates many tf rows on one df row,
+    * which AQE skew-split handles (the df side is a single row per key,
+    * so replication is free).
+    */
+  def tfidfTopTerms(
+      df: DataFrame, text: Column, idCol: Column, k: Int = 5): DataFrame = {
+    val tf = df.select(idCol.as("doc_id"), explode(tokens(text)).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("dfc"))
+    val ndocs = df.agg(count(lit(1)).as("n"))
+    val topkFn = graft.functions.TopK.stringIds(k)
+    tf.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(ndocs))
+      .withColumn("tfidf", expr("tf * ((1000000 * n) div dfc)"))
+      .groupBy("doc_id")
+      .agg(topkFn(col("tfidf").cast("double"), col("term")).as("_top"))
+      .select(col("doc_id"), explode(col("_top")).as("t"))
+      .select(col("doc_id"), col("t.id").as("term"),
+        col("t.score").cast("long").as("tfidf"))
+      .orderBy(col("doc_id"), col("tfidf").desc, col("term"))
+  }
+
+  /** T15: Naive-Bayes-style text classifier, trained and applied in one
+    * plan (the fastText-quality-filter shape: label docs by an existing
+    * signal, learn per-class token weights, score everything).
+    *
+    * Per-token class weight is the Laplace-smoothed integer ppm
+    * likelihood `(1e6·(ctc+1)) div (ctot+V)` and a document's class score
+    * is the SUM of its token weights plus the prior ppm `(1e6·cdocs) div
+    * N` — an additive-likelihood variant of NB (true NB sums logs; the
+    * log is replaced by the ppm ratio for the same determinism reason as
+    * [[tfidfTopTerms]]). Exact integer arithmetic end to end, so the SQL
+    * oracle reproduces every prediction bit-for-bit.
+    *
+    * Scale: training is one (class, term) count — vocab·classes rows, a
+    * broadcastable model for any real vocabulary (~10^7 terms · few
+    * classes); scoring re-scans tokens once, joins the broadcast model,
+    * and takes per-doc argmax with the bounded-heap aggregate. Token-less
+    * documents have no evidence and are omitted (same on both engines).
+    */
+  def nbClassify(
+      df: DataFrame, text: Column, idCol: Column,
+      labelCol: Column): DataFrame = {
+    val tok = df.select(idCol.as("doc_id"), labelCol.as("label"),
+      explode(tokens(text)).as("term"))
+    val ctc = tok.groupBy(col("label").as("clazz"), col("term"))
+      .agg(count(lit(1)).as("ctc"))
+    val ctot = ctc.groupBy("clazz").agg(sum("ctc").as("ctot"))
+    val vocab = ctc.select("term").distinct().agg(count(lit(1)).as("v"))
+    val prior = df.groupBy(labelCol.as("clazz"))
+      .agg(count(lit(1)).as("cdocs"))
+    val ndocs = df.agg(count(lit(1)).as("n"))
+    val classes = df.select(labelCol.as("clazz")).distinct()
+    val scored = tok.select("doc_id", "term")
+      .crossJoin(broadcast(classes))
+      .join(broadcast(ctc), Seq("clazz", "term"), "left")
+      .na.fill(0L, Seq("ctc"))
+      .join(broadcast(ctot), Seq("clazz"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("w", expr("(1000000 * (ctc + 1)) div (ctot + v)"))
+      .groupBy("doc_id", "clazz").agg(sum("w").as("s"))
+      .join(broadcast(prior), Seq("clazz"))
+      .crossJoin(broadcast(ndocs))
+      .withColumn("score", expr("s + ((1000000 * cdocs) div n)"))
+    val arg1 = graft.functions.TopK.stringIds(1)
+    scored.groupBy("doc_id")
+      .agg(arg1(col("score").cast("double"), col("clazz")).as("_top"))
+      .select(col("doc_id"), element_at(col("_top.id"), 1).as("pred"))
+      .join(df.select(idCol.as("doc_id"), labelCol.as("label")),
+        Seq("doc_id"))
+      .withColumn("hit", (col("pred") === col("label")).cast("long"))
+      .orderBy("doc_id")
+  }
 }

@@ -41,6 +41,57 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpecBase {
     assert(res.agg(sum(col("n_docs"))).head.getLong(0) == docs.count() + 1)
   }
 
+  test("bloomNovel: no false negatives, planted dup suppressed") {
+    import spark.implicits._
+    val ref = Seq((0L, "the quick brown fox"), (2L, "pack my box")).toDF("doc_id", "text")
+    val probe = Seq(
+      (1L, "THE  quick, brown FOX"), // token-normalizes to a ref doc
+      (3L, "a document nobody has seen before")).toDF("doc_id", "text")
+    val novel = Dedup.bloomNovel(ref, probe, col("text"), col("doc_id"))
+      .as[Long].collect()
+    assert(!novel.contains(1L), "duplicate must never be reported novel")
+    assert(novel.contains(3L))
+  }
+
+  test("bloomNovel matches exact anti-join on the corpus (FP-free at this n/m)") {
+    import spark.implicits._
+    val ref = docs.filter(col("doc_id") % 2 === 0)
+    val probe = docs.filter(col("doc_id") % 2 === 1)
+    val novel = Dedup.bloomNovel(ref, probe, col("text"), col("doc_id"))
+      .as[Long].collect().toSet
+    val norm = (d: org.apache.spark.sql.DataFrame) =>
+      d.select(col("doc_id"), concat_ws(" ", TextOps.tokens(col("text"))).as("n"))
+    val exact = norm(probe).join(norm(ref).select("n").distinct(),
+        Seq("n"), "left_anti")
+      .select("doc_id").as[Long].collect().toSet
+    // bloom ⊆ exact always (no false negatives); equality here because at
+    // ~250 inserts into 2^18 bits the FP probability is ~1e-10
+    assert(novel == exact)
+  }
+
+  test("tfidf: rare term outranks common term within a doc") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "apple banana banana"), (2L, "banana cherry"),
+      (3L, "banana date")).toDF("doc_id", "text")
+    val top = TextOps.tfidfTopTerms(d, col("text"), col("doc_id"), k = 2)
+      .filter(col("doc_id") === 1).select("term").as[String].collect()
+    // 'apple' df=1 beats 'banana' df=3 even at tf 1 vs 2:
+    // 1*(3e6/1) > 2*(1e6/1... 3e6/3=1e6 → 2e6)
+    assert(top.head == "apple")
+    assert(top.toSeq == Seq("apple", "banana"))
+  }
+
+  test("nbClassify: separable vocab is classified perfectly") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "aa aa bb", "x"), (2L, "aa bb bb", "x"), (3L, "aa aa aa", "x"),
+      (4L, "cc cc dd", "y"), (5L, "cc dd dd", "y"), (6L, "dd dd dd", "y"))
+      .toDF("doc_id", "text", "lang")
+    val res = TextOps.nbClassify(d, col("text"), col("doc_id"), col("lang"))
+    assert(res.agg(sum("hit")).head.getLong(0) == 6L)
+  }
+
   test("minhash candidates is symmetric-free and ordered") {
     val pairs = Dedup.minhashCandidates(docs, col("text"), col("doc_id")).collect()
     assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
