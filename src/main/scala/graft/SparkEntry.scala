@@ -440,6 +440,21 @@ object SparkEntry {
         coarse, nProbe = 2, cb)
     }),
 
+    // P7: cluster-balanced subsampling — train a k-means codebook, assign
+    // every embedding to its cell, keep at most N per cell by md5 rank
+    // (the diversity-preserving cap used before pretraining-data pruning)
+    "p7_cluster_balance" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val cb = Similarity.kmeansFit(e, "embedding", "vec_id", k = 4, iters = 2)
+      val assigned = Similarity.assignCells(e, "embedding", "vec_id", cb)
+        .withColumnRenamed("id", "vec_id")
+      TextOps.capPerKey(assigned, col("cell").cast("string"), col("vec_id"),
+          cap = 5)
+        .select(col("key").cast("long").as("cell"),
+          col("doc_id").as("vec_id"))
+        .orderBy("cell", "vec_id")
+    }),
+
     // --- T: text analysis ------------------------------------------------
     "t1_lang_id" -> ((s, dir) =>
       docs(s, dir)
@@ -526,6 +541,12 @@ object SparkEntry {
         Dedup.minhashCandidates(d, col("text"), col("doc_id"), star = true))
       Pack.leakageSafeSplit(d, col("doc_id"), groups, validPermille = 100)
     }),
+    // P6: DSIR importance scoring — target slice = English docs; top 200
+    // most target-like docs from the whole pool (hashed-bigram models)
+    "p6_dsir" -> ((s, dir) =>
+      TextOps.dsirScore(docs(s, dir), col("lang") === "en", col("text"),
+        col("doc_id"))
+        .orderBy(col("dsir_score").desc, col("doc_id").asc).limit(200)),
     // T11: corpus-trained bigram LM quality score (integer ppm mean)
     "t11_lm_score" -> ((s, dir) =>
       TextOps.bigramLikelihood(docs(s, dir), col("text"), col("doc_id"))),
@@ -1614,6 +1635,21 @@ object SparkEntry {
            FROM scored)
          SELECT query_id, neighbor_id, cosine, rk FROM ranked
          WHERE rk <= 3 ORDER BY query_id, rk""",
+    "p7_cluster_balance" ->
+      s"""WITH $sqlKmeansCtes,
+         cents AS (SELECT cell, v AS centv FROM c2),
+         assign AS (SELECT vec_id, cell FROM (
+             SELECT e.vec_id, c.cell, row_number() OVER
+               (PARTITION BY e.vec_id ORDER BY ${sqlDot("e.v", "c.centv", 64)} DESC, c.cell ASC) AS crk
+             FROM e, cents c) WHERE crk = 1),
+         h AS (SELECT cell, vec_id,
+             CAST(('0x' || substr(md5(CAST(cell AS VARCHAR) || '|' ||
+               CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT) AS hv
+           FROM assign),
+         r AS (SELECT cell, vec_id,
+             row_number() OVER (PARTITION BY cell ORDER BY hv, vec_id) AS rk
+           FROM h)
+         SELECT cell, vec_id FROM r WHERE rk <= 5 ORDER BY cell, vec_id""",
     "s6_ann_ivfpq" ->
       s"""WITH ${sqlKmeansSub("s0", 0, 16, 4)},
          ${sqlKmeansSub("s1", 16, 16, 4)},
@@ -1690,6 +1726,25 @@ object SparkEntry {
          WHERE CAST(('0x' || substr(md5(lang || '|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000
            < CAST((CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25 ELSE 0.1 END) * 1000 AS BIGINT)
          ORDER BY doc_id""",
+    "p6_dsir" ->
+      s"""WITH tok AS (SELECT doc_id, lang, $sqlToks AS toks FROM documents),
+         bg AS (SELECT doc_id, lang, unnest(${sqlShingles("toks", 2)}) AS g
+                FROM tok WHERE len(toks) >= 2),
+         f AS (SELECT doc_id, lang = 'en' AS is_t,
+                      (${sqlHex32("g")}) % 4096 AS b FROM bg),
+         m AS (SELECT b, count(*) AS cr,
+                      count(*) FILTER (WHERE is_t) AS ct
+               FROM f GROUP BY b),
+         tots AS (SELECT sum(ct) AS tt, sum(cr) AS tr FROM m),
+         ratio AS (SELECT b,
+             (1000000 * (ct + 1) * (tr + 4096)) // ((cr + 1) * (tt + 4096))
+               AS ratio
+           FROM m, tots),
+         s AS (SELECT doc_id, sum(ratio) // count(*) AS dsir_score,
+                      count(*) AS n_grams
+               FROM f JOIN ratio USING (b) GROUP BY doc_id)
+         SELECT doc_id, dsir_score, n_grams FROM s
+         ORDER BY dsir_score DESC, doc_id ASC LIMIT 200""",
     "p3_temperature_mix" ->
       """SELECT doc_id, lang FROM documents
          WHERE CAST(('0x' || substr(md5(lang || '|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000

@@ -242,6 +242,28 @@ object Similarity {
     perQueryTopK(scored, k)
   }
 
+  /** Nearest-centroid cell per vector — the cluster-assignment step
+    * alone, as a reusable (id, cell) mapping: cluster-balanced sampling,
+    * SemDeDup blocking, and IVF index builds all start here. Broadcast
+    * centroids, one map-side scan, bounded-heap agg keyed by id — no
+    * vector is ever shuffled. Ties break toward the lower cell id (same
+    * contract as the IVF assigns and the unrolled oracle SQL).
+    */
+  def assignCells(df: DataFrame, vecCol: String, idCol: String,
+      centroids: Seq[Seq[Double]]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cents = centroids.zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("cell", "centv")
+    val top1 = TopK.longIds(1)
+    df.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
+      .crossJoin(broadcast(cents))
+      .withColumn("cdot", dot(col("v"), col("centv")))
+      .groupBy("id")
+      .agg(top1(col("cdot"), col("cell")).as("cells"))
+      .select(col("id"), element_at(col("cells.id"), 1).as("cell"))
+  }
+
   /** Lloyd's k-means over the embedding column — the training op that
     * turns [[ivfTopK]]'s stand-in codebook into a real one.
     *

@@ -336,6 +336,54 @@ object TextOps {
     merges
   }
 
+  /** P6: DSIR importance score (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling", arXiv:2302.03169): rank
+    * raw documents by how much more likely their hashed-bigram bag is
+    * under a target-domain bucket model p than under the raw-corpus model
+    * q. Features are the paper's hashed n-grams: word bigrams hashed into
+    * `buckets` buckets. The published weight is exp(Σ_b c_b(log p_b −
+    * log q_b)); here each bucket contributes an integer-ppm add-1
+    * likelihood ratio instead of a log — no log/exp whose last-ulp
+    * behavior differs per libm, so scores are bit-identical on any
+    * engine, and the induced ranking (all selection consumes) orders
+    * target-like text the same way.
+    *
+    * Scale: one count aggregate keyed by bucket (B rows out — the model),
+    * broadcast back over the feature stream; per-doc scoring is a
+    * map-side broadcast join + partial agg keyed by doc_id. Hot buckets
+    * cost one counter via map-side partial agg, never a row expansion.
+    * Integer headroom: ratio ≤ 10⁶·(tr+B)/(tt+B) (ct ≤ cr always), i.e.
+    * 10⁶/target-fraction — per-doc sums stay far under Long range even
+    * for billion-gram documents; the ratio numerator 10⁶·(ct+1)·(tr+B)
+    * bounds Long math to corpora ≤ ~10¹² target grams, past which the
+    * ppm constant drops a digit or the model moves to log-space doubles.
+    *
+    * @param targetPred row predicate selecting the target-domain slice
+    *                   (e.g. a trusted source or language); scored docs
+    *                   are ALL rows, as DSIR scores the raw pool.
+    */
+  def dsirScore(
+      df: DataFrame, targetPred: Column, text: Column, idCol: Column,
+      buckets: Int = 4096): DataFrame = {
+    val h2 = graft.functions.ShingleHashes(text, 2, distinct = false)
+    val feats = df.filter(size(h2) >= 1)
+      .select(idCol.as("doc_id"), targetPred.as("is_t"),
+        explode(h2).as("h"))
+      .withColumn("b", col("h") % buckets.toLong)
+    val model = feats.groupBy("b").agg(
+      count(lit(1)).as("cr"),
+      sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"))
+    val tots = model.agg(sum("ct").as("tt"), sum("cr").as("tr"))
+    val ratio = model.crossJoin(broadcast(tots))
+      .withColumn("ratio", expr(
+        s"(1000000 * (ct + 1) * (tr + $buckets)) div ((cr + 1) * (tt + $buckets))"))
+      .select("b", "ratio")
+    feats.join(broadcast(ratio), Seq("b"))
+      .groupBy("doc_id")
+      .agg(expr("sum(ratio) div count(*)").as("dsir_score"),
+        count(lit(1)).as("n_grams"))
+  }
+
   /** T11: bigram language-model quality score — the CCNet/Gopher-style
     * "how plausible is this text under a corpus LM" filter, self-trained:
     * the model is the corpus's own bigram table. Per bigram occurrence,

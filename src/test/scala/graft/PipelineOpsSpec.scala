@@ -740,4 +740,45 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpecBase {
       emb.repartition(7), "embedding", "vec_id", k = 4, iters = 2)
     assert(c1 == c2) // bit-identical under a different partitioning
   }
+
+  test("dsirScore ranks target-language docs above the rest") {
+    import spark.implicits._
+    val scored = TextOps.dsirScore(docs, col("lang") === "en",
+      col("text"), col("doc_id"))
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+    val means = scored
+      .groupBy(col("lang") === "en")
+      .agg(avg(col("dsir_score"))).as[(Boolean, Double)].collect().toMap
+    assert(means(true) > means(false),
+      s"target mean ${means(true)} must exceed non-target ${means(false)}")
+    // partition-count invariance: integer arithmetic end to end
+    val again = TextOps.dsirScore(docs.repartition(7),
+      col("lang") === "en", col("text"), col("doc_id"))
+    assert(scored.select("doc_id", "dsir_score")
+      .except(again.select("doc_id", "dsir_score")).count() == 0)
+  }
+
+  test("assignCells matches per-row argmax-dot and caps balance per cell") {
+    import spark.implicits._
+    val cb = Similarity.kmeansFit(emb, "embedding", "vec_id", k = 4, iters = 2)
+    val assigned = Similarity.assignCells(emb, "embedding", "vec_id", cb)
+    val rows = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>")).as[(Long, Seq[Double])]
+      .collect().toMap
+    assigned.as[(Long, Long)].collect().foreach { case (id, cell) =>
+      val v = rows(id)
+      val dots = cb.map(c => c.iterator.zip(v.iterator).map {
+        case (a, b) => a * b }.sum)
+      val best = dots.zipWithIndex.maxBy { case (d, i) => (d, -i) }._2
+      assert(cell == best, s"vec $id: got cell $cell want $best")
+    }
+    val capped = TextOps.capPerKey(
+      assigned.withColumnRenamed("id", "vec_id"),
+      col("cell").cast("string"), col("vec_id"), cap = 5)
+    val sizes = capped.groupBy("key").count().as[(String, Long)].collect()
+    assert(sizes.forall(_._2 <= 5))
+    assert(sizes.map(_._1).sorted.sameElements(
+      assigned.select(col("cell").cast("string")).distinct()
+        .as[String].collect().sorted))
+  }
 }
