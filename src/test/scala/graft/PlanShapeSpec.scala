@@ -152,6 +152,23 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpecBase {
       "top-N must be TakeOrderedAndProject")
   }
 
+  test("DSIR scoring joins the bucket model broadcast") {
+    val p = plan("p6_dsir")
+    // the B-row ratio model must come to the feature stream, never the
+    // reverse: a sort-merge join here would shuffle every bigram occurrence
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+    assert(p.contains("TakeOrderedAndProject")) // top-200, no global sort
+  }
+
+  test("cluster-balance: centroids broadcast, vectors never shuffled wide") {
+    val p = plan("p7_cluster_balance")
+    // crossJoin(broadcast(cents)) must plan as a broadcast nested loop;
+    // the only exchanges are the bounded-heap agg keys (id, then key)
+    assert(p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
   test("NO query plan contains a partition-less window (full sweep)") {
     // planning only — nothing executes; guards every current and future
     // driver-contract query against the single-task window anti-pattern
