@@ -547,6 +547,53 @@ object SparkEntry {
       TextOps.dsirScore(docs(s, dir), col("lang") === "en", col("text"),
         col("doc_id"))
         .orderBy(col("dsir_score").desc, col("doc_id").asc).limit(200)),
+    // P8: CCNet head/middle/tail buckets of the t11 LM score, per language
+    "p8_ppl_buckets" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val lm = TextOps.bigramLikelihood(d, col("text"), col("doc_id"))
+      TextOps.scoreBuckets(
+        lm.join(d.select(col("doc_id"), col("lang")), Seq("doc_id")),
+        col("lang"), col("lm_score"), col("doc_id"))
+    }),
+    // P9: greedy token-budget selection by LM score (best docs until the
+    // global budget is spent; exact distributed prefix sum)
+    "p9_token_budget" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val lm = TextOps.bigramLikelihood(d, col("text"), col("doc_id"))
+      val scored = lm.join(
+        d.select(col("doc_id"),
+          size(TextOps.tokens(col("text"))).cast("long").as("toks")),
+        Seq("doc_id"))
+      Pack.tokenBudgetSelect(scored, col("doc_id"), col("lm_score"),
+        col("toks"), budget = 12000L)
+    }),
+    // D14: URL-canonicalization dedup over synthesized crawl URLs (same
+    // construction on both engines; tracking params / port / case /
+    // fragment variants collapse to one canonical key)
+    "d15_url_dedup" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val url = concat(
+        lit("HTTPS://WWW."), col("source"), lit(".Example.COM"),
+        when(col("doc_id") % 5 === 0, lit(":443")).otherwise(lit("")),
+        lit("/p/"), (col("doc_id") % 7).cast("string"),
+        when(col("doc_id") % 4 === 0, lit("/")).otherwise(lit("")),
+        when(col("doc_id") % 3 === 0, lit("?utm_source=feed&b=2&a=1"))
+          .when(col("doc_id") % 3 === 1, lit("?a=1&b=2")).otherwise(lit("")),
+        when(col("doc_id") % 2 === 0, lit("#frag")).otherwise(lit("")))
+      Dedup.urlDedup(d.select(col("doc_id"), url.as("url")),
+        col("url"), col("doc_id"))
+    }),
+    // P10: domain-blocklist filter (exact host + subdomain suffix match)
+    "p10_domain_filter" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val host = concat(lower(col("source")),
+        when(col("doc_id") % 3 === 0, lit(".cdn.example"))
+          .otherwise(lit(".org")))
+      TextOps.domainFilter(
+        d.select(col("doc_id"), host.as("host")), col("host"),
+        Seq("cdn.example", "src4.org"))
+        .orderBy("doc_id")
+    }),
     // T11: corpus-trained bigram LM quality score (integer ppm mean)
     "t11_lm_score" -> ((s, dir) =>
       TextOps.bigramLikelihood(docs(s, dir), col("text"), col("doc_id"))),
@@ -810,6 +857,24 @@ object SparkEntry {
     s"list_transform(range(1, len($toks)-${k - 2}), i -> array_to_string($toks[i:i+${k - 1}], ' '))"
   private def sqlHex32(c: String) =
     s"CAST(('0x' || substr(md5($c), 1, 8)) AS BIGINT)"
+  /** The t11 bigram-LM score as reusable CTEs ending in
+    * `lm(doc_id, lm_score)` — shared by the p8/p9 oracles.
+    */
+  private def sqlLmCtes: String =
+    s"""tok AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+       bg0 AS (SELECT doc_id, unnest(${sqlShingles("toks", 2)}) AS bg
+               FROM tok WHERE len(toks) >= 2),
+       big AS (SELECT doc_id, ${sqlHex32("bg")} AS h2,
+                      ${sqlHex32("split_part(bg, ' ', 1)")} AS h1 FROM bg0),
+       lc2 AS (SELECT h2, count(*) AS c2 FROM big GROUP BY h2),
+       uni AS (SELECT ${sqlHex32("w")} AS h1
+               FROM (SELECT unnest(toks) AS w FROM tok) u),
+       lc1 AS (SELECT h1, count(*) AS c1 FROM uni GROUP BY h1),
+       lq AS (SELECT b.doc_id, (1000000 * x.c2) // y.c1 AS q
+             FROM big b JOIN lc2 x ON b.h2 = x.h2
+             JOIN lc1 y ON b.h1 = y.h1),
+       lm AS (SELECT doc_id, sum(q) // count(*) AS lm_score
+              FROM lq GROUP BY doc_id)"""
   /** The docParas segmentation as CTEs (tok, paras). DuckDB's range()
     * table function can't take a lateral column, so the paragraph list is
     * built as a scalar list expression and unnested.
@@ -1745,6 +1810,82 @@ object SparkEntry {
                FROM f JOIN ratio USING (b) GROUP BY doc_id)
          SELECT doc_id, dsir_score, n_grams FROM s
          ORDER BY dsir_score DESC, doc_id ASC LIMIT 200""",
+    "p8_ppl_buckets" ->
+      s"""WITH $sqlLmCtes,
+         s AS (SELECT l.doc_id, d.lang AS grp, l.lm_score AS score
+               FROM lm l JOIN documents d USING (doc_id)),
+         c AS (SELECT grp, score, count(*) AS cnt FROM s GROUP BY grp, score),
+         cum AS (SELECT grp, score,
+             sum(cnt) OVER (PARTITION BY grp ORDER BY score DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             sum(cnt) OVER (PARTITION BY grp) AS n
+           FROM c),
+         cuts AS (SELECT grp,
+             max(CASE WHEN cum * 3 >= n THEN score END) AS t_head,
+             max(CASE WHEN cum * 3 >= 2 * n THEN score END) AS t_mid
+           FROM cum GROUP BY grp)
+         SELECT s.doc_id, s.grp, s.score,
+           CASE WHEN s.score >= t.t_head THEN 'head'
+                WHEN s.score >= t.t_mid THEN 'middle'
+                ELSE 'tail' END AS bucket
+         FROM s JOIN cuts t USING (grp) ORDER BY doc_id""",
+    "p9_token_budget" ->
+      s"""WITH $sqlLmCtes,
+         tk AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM tok),
+         sel AS (SELECT l.doc_id, l.lm_score AS score, tk.n_tokens,
+             CAST(coalesce(sum(tk.n_tokens) OVER (
+               ORDER BY l.lm_score DESC, l.doc_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS cum_before
+           FROM lm l JOIN tk USING (doc_id))
+         SELECT doc_id, score, n_tokens, cum_before FROM sel
+         WHERE cum_before < 12000 ORDER BY doc_id""",
+    "d15_url_dedup" ->
+      """WITH u AS (SELECT doc_id,
+           'HTTPS://WWW.' || source || '.Example.COM'
+             || CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END
+             || '/p/' || CAST(doc_id % 7 AS VARCHAR)
+             || CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END
+             || CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&b=2&a=1'
+                     WHEN doc_id % 3 = 1 THEN '?a=1&b=2' ELSE '' END
+             || CASE WHEN doc_id % 2 = 0 THEN '#frag' ELSE '' END AS url
+         FROM documents),
+         n1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS nf FROM u),
+         n2 AS (SELECT doc_id,
+             lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+             regexp_replace(nf, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+           FROM n1),
+         n3 AS (SELECT *, regexp_extract(rest, '^([^/?]*)', 1) AS hostport,
+             regexp_replace(rest, '^[^/?]*', '') AS pathq FROM n2),
+         n4 AS (SELECT *,
+             regexp_replace(lower(regexp_replace(hostport, ':[0-9]+$', '')),
+               '^www\.', '') AS host,
+             regexp_extract(hostport, ':([0-9]+)$', 1) AS port FROM n3),
+         n5 AS (SELECT *,
+             CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+                    OR (scheme = 'https' AND port = '443')
+               THEN '' ELSE ':' || port END AS kport,
+             regexp_replace(regexp_extract(pathq, '^([^?]*)', 1), '/+$', '') AS p0,
+             regexp_extract(pathq, '\?(.*)$', 1) AS qs FROM n4),
+         n6 AS (SELECT *, coalesce(array_to_string(list_sort(list_filter(
+             string_split(qs, '&'),
+             x -> x <> '' AND NOT regexp_matches(x, '^(utm_[^=]*|fbclid|gclid)='))),
+             '&'), '') AS qsort FROM n5),
+         n7 AS (SELECT doc_id, scheme || '://' || host || kport
+             || (CASE WHEN p0 = '' THEN '/' ELSE p0 END)
+             || (CASE WHEN qsort = '' THEN '' ELSE '?' || qsort END) AS curl
+           FROM n6)
+         SELECT curl AS url, min(doc_id) AS keeper, count(*) AS n_dups
+         FROM n7 GROUP BY curl ORDER BY url""",
+    "p10_domain_filter" ->
+      """WITH h AS (SELECT doc_id,
+           lower(source) || CASE WHEN doc_id % 3 = 0 THEN '.cdn.example'
+                                 ELSE '.org' END AS host
+         FROM documents)
+         SELECT doc_id, host FROM h
+         WHERE NOT (host = 'cdn.example' OR host LIKE '%.cdn.example'
+                 OR host = 'src4.org' OR host LIKE '%.src4.org')
+         ORDER BY doc_id""",
     "p3_temperature_mix" ->
       """SELECT doc_id, lang FROM documents
          WHERE CAST(('0x' || substr(md5(lang || '|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000

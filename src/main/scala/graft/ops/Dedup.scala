@@ -629,4 +629,23 @@ object Dedup {
       .select("doc_id")
       .orderBy("doc_id")
   }
+
+  /** D15: URL-canonicalization dedup — the first dedup pass of every
+    * crawl pipeline: two fetches of the same page under cosmetically
+    * different URLs (tracking params, param order, `www.`, default
+    * ports, trailing slash, fragment) collapse to one canonical key
+    * ([[TextOps.urlNormalize]]); the keeper is the smallest doc id.
+    *
+    * Scale: normalization is map-side codegen; the dedup itself is one
+    * hash aggregate on the canonical string — the same single-shuffle
+    * shape as [[exact]], with a hot canonical URL collapsing to one
+    * aggregate group, never a pairwise expansion.
+    */
+  def urlDedup(df: DataFrame, urlCol: Column, idCol: Column): DataFrame = {
+    df.select(TextOps.urlNormalize(urlCol).as("url"),
+        idCol.cast("long").as("doc_id"))
+      .groupBy("url")
+      .agg(min("doc_id").as("keeper"), count(lit(1)).as("n_dups"))
+      .orderBy("url")
+  }
 }

@@ -167,4 +167,38 @@ object Pack {
       .sortWithinPartitions("shard", "pos")
       .write.mode("overwrite").partitionBy("shard").parquet(path)
   }
+
+  /** P9: token-budget corpus selection — keep the best-scored documents
+    * until a global token budget is exhausted (the "select top data under
+    * a token budget" step of data-mixing recipes; greedy by score,
+    * deterministic tie-break on doc id). A document is kept iff the total
+    * tokens of all strictly-better documents is still below the budget,
+    * so exactly one document straddles the boundary and is kept.
+    *
+    * Scale: the selection order (score desc, id asc) is packed into one
+    * long key and handed to [[prefixSum]] — deterministic range buckets,
+    * one tiny totals aggregate, one shuffled scan; no global sort and no
+    * single-partition window. Contract: scores are clamped to [0, 2²¹)
+    * (ppm scores fit) and ids must lie in [0, 2⁴²) so the packed key
+    * stays collision-free in a signed long.
+    */
+  def tokenBudgetSelect(
+      df: DataFrame, idCol: Column, scoreCol: Column, tokensCol: Column,
+      budget: Long): DataFrame = {
+    val base = df.select(idCol.cast("long").as("doc_id"),
+      scoreCol.cast("long").as("score"),
+      tokensCol.cast("long").as("n_tokens"))
+    val maxScore = (1L << 21) - 1
+    // okey ascends exactly as (score desc, doc_id asc): strictly-better
+    // documents have strictly-smaller keys, so prev_cumsum = tokens of
+    // all better documents.
+    val keyed = base.withColumn("okey",
+      (lit(maxScore) - least(greatest(col("score"), lit(0L)), lit(maxScore)))
+        * lit(1L << 42) + col("doc_id"))
+    prefixSum(keyed, "okey", "n_tokens")
+      .filter(col("prev_cumsum") < budget)
+      .select(col("doc_id"), col("score"), col("n_tokens"),
+        col("prev_cumsum").as("cum_before"))
+      .orderBy("doc_id")
+  }
 }

@@ -632,4 +632,93 @@ object TextOps {
       .withColumn("hit", (col("pred") === col("label")).cast("long"))
       .orderBy("doc_id")
   }
+
+  /** P8: CCNet-style head/middle/tail perplexity buckets (Wenzek et al.
+    * 2020 split the corpus into thirds by LM score per language; training
+    * recipes then mix the thirds at different rates). `scoreCol` must be
+    * an integer score where HIGHER = better (e.g. [[bigramLikelihood]]'s
+    * ppm `lm_score`); buckets are per `groupCol` (language).
+    *
+    * Cut points are defined on VALUES, not per-doc ranks: T_head = the
+    * largest score v whose descending cumulative doc count reaches
+    * ceil(n/3), T_mid likewise at 2n/3; a document's bucket is then a
+    * pure comparison against the two thresholds. Ties share a bucket, so
+    * the result is deterministic on any engine with no per-doc window.
+    *
+    * Scale: the only window runs over the per-(group, value) count table
+    * — its partition size is the score's value cardinality (≤ ~10⁶ for
+    * ppm scores), never the row count (same argument as
+    * [[lengthQuantiles]]). Thresholds are one tiny frame broadcast back;
+    * bucket assignment is map-side.
+    */
+  def scoreBuckets(
+      df: DataFrame, groupCol: Column, scoreCol: Column, idCol: Column)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(groupCol.as("grp"),
+      scoreCol.cast("long").as("score"), idCol.cast("long").as("doc_id"))
+    val cnt = base.groupBy("grp", "score").agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy(col("grp")).orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("grp"))
+    val cum = cnt.withColumn("cum", sum("cnt").over(wCum))
+      .withColumn("n", sum("cnt").over(wAll))
+    val cuts = cum.groupBy("grp").agg(
+      max(when(col("cum") * 3 >= col("n"), col("score"))).as("t_head"),
+      max(when(col("cum") * 3 >= col("n") * 2, col("score"))).as("t_mid"))
+    base.join(broadcast(cuts), Seq("grp"))
+      .withColumn("bucket",
+        when(col("score") >= col("t_head"), lit("head"))
+          .when(col("score") >= col("t_mid"), lit("middle"))
+          .otherwise(lit("tail")))
+      .select("doc_id", "grp", "score", "bucket")
+      .orderBy("doc_id")
+  }
+
+  /** Canonical URL form for web-corpus dedup: drop the fragment,
+    * lowercase scheme and host, strip a leading `www.`, drop default
+    * ports (`:80` http, `:443` https), collapse trailing slashes to the
+    * bare path (empty path renders `/`), remove tracking parameters
+    * (`utm_*`, `fbclid`, `gclid`) and sort the survivors byte-wise.
+    * Pure codegen'd built-ins (regexp + array HOFs) — map-side at any
+    * scale, and byte-identical to the DuckDB oracle's list_filter/
+    * list_sort chain.
+    */
+  def urlNormalize(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val rest = regexp_replace(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    val hostPort = regexp_extract(rest, "^([^/?]*)", 1)
+    val host = regexp_replace(
+      lower(regexp_replace(hostPort, ":[0-9]+$", "")), "^www\\.", "")
+    val port = regexp_extract(hostPort, ":([0-9]+)$", 1)
+    val keepPort = when(port === "" ||
+        (scheme === "http" && port === "80") ||
+        (scheme === "https" && port === "443"), lit(""))
+      .otherwise(concat(lit(":"), port))
+    val pathQ = regexp_replace(rest, "^[^/?]*", "")
+    val path0 = regexp_replace(regexp_extract(pathQ, "^([^?]*)", 1), "/+$", "")
+    val path = when(path0 === "", lit("/")).otherwise(path0)
+    val query = regexp_extract(pathQ, "\\?(.*)$", 1)
+    val params = filter(split(query, "&"),
+      p => p =!= lit("") && !p.rlike("^(utm_[^=]*|fbclid|gclid)="))
+    val sortedQ = array_join(array_sort(params), "&")
+    concat(scheme, lit("://"), host, keepPort, path,
+      when(sortedQ === "", lit("")).otherwise(concat(lit("?"), sortedQ)))
+  }
+
+  /** P10: domain blocklist filter (spam/ads/adult suffix lists in web
+    * pipelines). An entry blocks the exact host and every subdomain
+    * (`example.com` blocks `a.b.example.com`, not `notexample.com`).
+    * The list is compiled into one codegen'd predicate — like
+    * [[graft.ops.Tagger]], zero joins, map-side; for lists beyond ~10⁴
+    * entries switch to a broadcast join on the reversed-label prefix.
+    */
+  def domainFilter(
+      df: DataFrame, hostCol: Column, blocked: Seq[String]): DataFrame = {
+    val pred = blocked
+      .map(d => hostCol === d || hostCol.endsWith("." + d))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    df.filter(!pred)
+  }
 }

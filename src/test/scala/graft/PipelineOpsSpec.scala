@@ -781,4 +781,71 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpecBase {
       assigned.select(col("cell").cast("string")).distinct()
         .as[String].collect().sorted))
   }
+
+  test("scoreBuckets: thirds by value thresholds, ties share a bucket") {
+    import spark.implicits._
+    // 9 docs, scores 9..1 → head {9,8,7}, middle {6,5,4}, tail {3,2,1}
+    val d = (1L to 9L).map(i => (i, "en", i)).toDF("doc_id", "lang", "s")
+    val out = TextOps.scoreBuckets(d, col("lang"), col("s"), col("doc_id"))
+      .select("doc_id", "bucket").as[(Long, String)].collect().toMap
+    assert((7L to 9L).forall(out(_) == "head"))
+    assert((4L to 6L).forall(out(_) == "middle"))
+    assert((1L to 3L).forall(out(_) == "tail"))
+    // a fat tie straddling the cut stays in one bucket: 6 docs score 10,
+    // 3 docs below — cum at v=10 is 6 ≥ ceil(9/3) AND ≥ 2n/3, so the tie
+    // block is all head and the rest skips middle entirely
+    val t = ((1L to 6L).map(i => (i, "en", 10L)) ++
+      (7L to 9L).map(i => (i, "en", 1L))).toDF("doc_id", "lang", "s")
+    val tb = TextOps.scoreBuckets(t, col("lang"), col("s"), col("doc_id"))
+      .select("doc_id", "bucket").as[(Long, String)].collect().toMap
+    assert((1L to 6L).forall(tb(_) == "head"))
+    assert((7L to 9L).forall(tb(_) == "tail"))
+    // groups are independent
+    val g = ((1L to 3L).map(i => (i, "en", i)) ++
+      (4L to 6L).map(i => (i, "de", i))).toDF("doc_id", "lang", "s")
+    val gb = TextOps.scoreBuckets(g, col("lang"), col("s"), col("doc_id"))
+      .select("doc_id", "bucket").as[(Long, String)].collect().toMap
+    assert(gb(3L) == "head" && gb(6L) == "head")
+    assert(gb(1L) == "tail" && gb(4L) == "tail")
+  }
+
+  test("tokenBudgetSelect: greedy by score, one straddler kept") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, 100L, 40L), (2L, 90L, 40L), (3L, 80L, 40L), (4L, 70L, 40L),
+      (5L, 100L, 40L) // ties with doc 1; id asc breaks the tie
+    ).toDF("doc_id", "sc", "nt")
+    val kept = graft.ops.Pack.tokenBudgetSelect(
+      d, col("doc_id"), col("sc"), col("nt"), budget = 100L)
+      .select("doc_id", "cum_before").as[(Long, Long)].collect().toMap
+    // order: 1 (cum 0), 5 (40), 2 (80 — straddles, kept), 3 (120 — out)
+    assert(kept == Map(1L -> 0L, 5L -> 40L, 2L -> 80L))
+  }
+
+  test("urlNormalize canonical forms") {
+    import spark.implicits._
+    val cases = Seq(
+      ("HTTP://WWW.Example.COM:80/a/b/?b=2&a=1&utm_source=x#frag",
+       "http://example.com/a/b?a=1&b=2"),
+      ("https://example.com:8443/x", "https://example.com:8443/x"),
+      ("https://sub.example.com", "https://sub.example.com/"),
+      ("http://example.com/?fbclid=abc", "http://example.com/"),
+      ("http://example.com/p?gclid=1&z=9&a=2", "http://example.com/p?a=2&z=9"))
+    val out = cases.map(_._1).toDF("u")
+      .select(col("u"), TextOps.urlNormalize(col("u")).as("c"))
+      .as[(String, String)].collect().toMap
+    cases.foreach { case (in, want) =>
+      assert(out(in) == want, s"$in → ${out(in)} want $want") }
+  }
+
+  test("domainFilter blocks exact host and subdomains only") {
+    import spark.implicits._
+    val hosts = Seq("ads.net", "x.ads.net", "a.b.ads.net", "notads.net",
+      "ads.net.evil.org", "clean.org").toDF("host")
+    val kept = TextOps.domainFilter(hosts, col("host"), Seq("ads.net"))
+      .as[String].collect().toSet
+    assert(kept == Set("notads.net", "ads.net.evil.org", "clean.org"))
+    // empty blocklist keeps everything
+    assert(TextOps.domainFilter(hosts, col("host"), Nil).count() == 6)
+  }
 }
