@@ -169,6 +169,22 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpecBase {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("corpus-curation ops: broadcast cuts, zero-join filter, one-agg dedup") {
+    // p8: the per-language threshold frame must come back broadcast —
+    // a shuffle join here would re-shuffle every scored document
+    val p8 = plan("p8_ppl_buckets")
+    assert(p8.contains("BroadcastHashJoin"))
+    // p10: the blocklist compiles into the projection — zero joins
+    val p10 = plan("p10_domain_filter")
+    assert(!p10.contains("Join"))
+    // d15: normalization is map-side; the dedup is exactly ONE hash
+    // aggregate on the canonical key (plus the output range sort)
+    val d15 = plan("d15_url_dedup")
+    assert(!d15.contains("Join"))
+    assert("Exchange hashpartitioning".r.findAllMatchIn(d15).length == 1,
+      "urlDedup must shuffle once, on the canonical key")
+  }
+
   test("NO query plan contains a partition-less window (full sweep)") {
     // planning only — nothing executes; guards every current and future
     // driver-contract query against the single-task window anti-pattern
