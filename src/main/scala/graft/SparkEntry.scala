@@ -486,6 +486,13 @@ object SparkEntry {
     "t7_repetition" -> ((s, dir) =>
       TextOps.repetitionMetrics(docs(s, dir), col("text"), col("doc_id"))
         .orderBy("doc_id")),
+    // T16: the full Gopher keep/drop gate (integer-exact thresholds)
+    "t16_gopher_gate" -> ((s, dir) =>
+      TextOps.gopherGate(docs(s, dir), col("text"), col("doc_id"))),
+    // T17: vocabulary coverage — OOV ppm against the corpus top-500 vocab
+    "t17_oov_rate" -> ((s, dir) =>
+      TextOps.oovRate(docs(s, dir), col("text"), col("doc_id"),
+        vocabSize = 500)),
     // T6: fixed-size token chunking with overlap (context-window prep)
     "t6_chunk" -> ((s, dir) =>
       TextOps.chunkTokens(docs(s, dir), col("text"), col("doc_id"),
@@ -1395,6 +1402,54 @@ object SparkEntry {
                 ELSE 0.0 END AS dup_trigram_frac
          FROM sh s LEFT JOIN m ON s.doc_id = m.doc_id
          ORDER BY s.doc_id""",
+    "t16_gopher_gate" ->
+      s"""WITH tok AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+         sh AS (SELECT doc_id, toks,
+           CASE WHEN len(toks) >= 2 THEN ${sqlShingles("toks", 2)}
+                ELSE []::VARCHAR[] END AS bg,
+           CASE WHEN len(toks) >= 3 THEN ${sqlShingles("toks", 3)}
+                ELSE []::VARCHAR[] END AS tg
+           FROM tok),
+         c AS (SELECT doc_id, g, count(*) AS n FROM
+           (SELECT doc_id, unnest(bg) AS g FROM sh) GROUP BY doc_id, g),
+         m AS (SELECT doc_id, max(n) AS mx FROM c GROUP BY doc_id),
+         f AS (SELECT s.doc_id,
+             CAST(len(s.toks) AS BIGINT) AS ntok,
+             CAST(list_sum(list_transform(s.toks, x -> length(x))) AS BIGINT) AS sumlen,
+             CAST(len(list_filter(s.toks, x -> x IN
+               ('the','be','to','of','and','that','have','with'))) AS BIGINT) AS nstop,
+             CAST(len(list_filter(s.toks, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS nalpha,
+             CAST(coalesce(m.mx, 0) AS BIGINT) AS mx,
+             CAST(len(s.bg) AS BIGINT) AS tot,
+             CAST(len(s.tg) AS BIGINT) AS ntri,
+             CAST(len(s.tg) - len(list_distinct(s.tg)) AS BIGINT) AS duptri
+           FROM sh s LEFT JOIN m ON s.doc_id = m.doc_id)
+         SELECT doc_id,
+           CAST(CASE WHEN ntok >= 50 AND ntok <= 100000 THEN 1 ELSE 0 END AS BIGINT) AS ok_words,
+           CAST(CASE WHEN 3 * ntok <= sumlen AND sumlen <= 10 * ntok THEN 1 ELSE 0 END AS BIGINT) AS ok_len,
+           CAST(CASE WHEN nstop >= 2 THEN 1 ELSE 0 END AS BIGINT) AS ok_stop,
+           CAST(CASE WHEN 10 * nalpha >= 8 * ntok THEN 1 ELSE 0 END AS BIGINT) AS ok_alpha,
+           CAST(CASE WHEN (tot = 0 OR mx * 100 <= 18 * tot)
+                      AND (ntri = 0 OR duptri * 100 <= 30 * ntri)
+                THEN 1 ELSE 0 END AS BIGINT) AS ok_rep,
+           CAST(CASE WHEN ntok >= 50 AND ntok <= 100000
+                      AND 3 * ntok <= sumlen AND sumlen <= 10 * ntok
+                      AND nstop >= 2 AND 10 * nalpha >= 8 * ntok
+                      AND (tot = 0 OR mx * 100 <= 18 * tot)
+                      AND (ntri = 0 OR duptri * 100 <= 30 * ntri)
+                THEN 1 ELSE 0 END AS BIGINT) AS kept
+         FROM f ORDER BY doc_id""",
+    "t17_oov_rate" ->
+      s"""WITH tok AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+         wrds AS (SELECT doc_id, unnest(toks) AS wrd FROM tok),
+         v AS (SELECT wrd FROM (
+             SELECT wrd, count(*) AS c FROM wrds GROUP BY wrd
+             ORDER BY c DESC, wrd ASC LIMIT 500)),
+         j AS (SELECT w.doc_id, w.wrd, v.wrd AS inv
+               FROM wrds w LEFT JOIN v ON w.wrd = v.wrd)
+         SELECT doc_id, count(*) AS n_tokens,
+           (1000000 * count(CASE WHEN inv IS NULL THEN 1 END)) // count(*) AS oov_ppm
+         FROM j GROUP BY doc_id ORDER BY doc_id""",
     "d7_semantic_dedup" ->
       s"""WITH e AS (SELECT vec_id,
            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),

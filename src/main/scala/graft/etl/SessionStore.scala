@@ -17,11 +17,23 @@ import SessionBuilder.SessionRow
   */
 object SessionStore {
 
+  /** Parquet bloom filter on sessionId: the detail fetch (E12
+    * `filter(sessionId === x)`) and segment expansion (the self-join
+    * key) are point lookups on RANDOM hash ids — row-group min/max
+    * stats can never prune them, a bloom filter per row group can skip
+    * almost every group. At 100 TB that turns a day-scan into a handful
+    * of row-group reads. (Time predicates still prune via min/max, see
+    * [[compact]].)
+    */
+  private val bloomOpts = Map(
+    "parquet.bloom.filter.enabled#sessionId" -> "true")
+
   /** Write sessions day-partitioned (day = UTC date of firstPacket). */
   def write(sessions: Dataset[SessionRow], path: String): Unit =
     sessions.toDF()
       .withColumn("day", date_format(timestamp_millis(col("firstPacket")), "yyyy-MM-dd"))
       .write.mode("overwrite")
+      .options(bloomOpts)
       .partitionBy("day")
       .parquet(path)
 
@@ -44,6 +56,7 @@ object SessionStore {
       .withColumn("day",
         date_format(timestamp_millis(col("firstPacket")), "yyyy-MM-dd"))
       .write.mode("overwrite")
+      .options(bloomOpts)
       .partitionBy("day")
       .bucketBy(nBuckets, "sessionId")
       .sortBy("sessionId")
@@ -91,7 +104,7 @@ object SessionStore {
     spark.read.parquet(dayPath.toString)
       .repartitionByRange(nFiles, col("firstPacket"))
       .sortWithinPartitions("firstPacket")
-      .write.mode("overwrite").parquet(tmp.toString)
+      .write.mode("overwrite").options(bloomOpts).parquet(tmp.toString)
     val bak = new org.apache.hadoop.fs.Path(root, s"_compact_old_day=$day")
     if (!fs.rename(dayPath, bak))
       throw new java.io.IOException(s"compact: cannot move day=$day aside")

@@ -93,9 +93,12 @@ object Pack {
     */
   def packSequences(
       df: DataFrame, text: Column, idCol: Column, ctxLen: Int): DataFrame = {
+    // persisted: prefixSum scans twice, and re-tokenizing the whole
+    // corpus for the second pass costs far more than caching 16 B/doc
     val base = df.select(
       idCol.cast("long").as("doc_id"),
       size(TextOps.tokens(text)).cast("long").as("n_tokens"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     prefixSum(base, "doc_id", "n_tokens")
       .select(col("doc_id"), col("n_tokens"),
         (col("prev_cumsum") / ctxLen).cast("long").as("bin"),
@@ -192,9 +195,18 @@ object Pack {
     // okey ascends exactly as (score desc, doc_id asc): strictly-better
     // documents have strictly-smaller keys, so prev_cumsum = tokens of
     // all better documents.
+    //
+    // Persisted because prefixSum scans its input twice (bucket totals,
+    // then the per-row pass) and the scoring pipeline feeding this op is
+    // typically the expensive part (e.g. the bigram-LM joins) — without
+    // the persist it would execute twice. The projection is 4 longs per
+    // document (~32 B/row), so even a 100 TB corpus's keyed frame is a
+    // few hundred GB spread across the cluster — MEMORY_AND_DISK spills
+    // harmlessly.
     val keyed = base.withColumn("okey",
       (lit(maxScore) - least(greatest(col("score"), lit(0L)), lit(maxScore)))
         * lit(1L << 42) + col("doc_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     prefixSum(keyed, "okey", "n_tokens")
       .filter(col("prev_cumsum") < budget)
       .select(col("doc_id"), col("score"), col("n_tokens"),

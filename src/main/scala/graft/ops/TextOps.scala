@@ -707,6 +707,86 @@ object TextOps {
       when(sortedQ === "", lit("")).otherwise(concat(lit("?"), sortedQ)))
   }
 
+  /** T16: the full Gopher document gate (Rae et al. 2021, A1.1/A1.2) —
+    * the keep/drop DECISION layered over the metric ops, with every
+    * threshold compared in INTEGER cross-multiplied form so the verdict
+    * is bit-identical on any engine (no float thresholds):
+    *   ok_words — 50 ≤ |words| ≤ 100 000;
+    *   ok_len   — mean word length in [3, 10] (3n ≤ Σlen ≤ 10n);
+    *   ok_stop  — ≥ 2 of Gopher's 8 stopwords present;
+    *   ok_alpha — ≥ 80 % of words contain a letter;
+    *   ok_rep   — top bigram ≤ 18 % of bigrams AND duplicate trigrams
+    *              ≤ 30 % of trigrams (A1.2 repetition rules on our
+    *              word-gram metrics).
+    * Pure per-document HOF folds — map-side, zero shuffle, same scale
+    * shape as [[repetitionMetrics]].
+    */
+  def gopherGate(df: DataFrame, text: Column, idCol: Column): DataFrame = {
+    val toks = tokens(text)
+    val nTok = size(toks).cast("long")
+    val sumLen = aggregate(toks, lit(0L), (a, t) => a + length(t))
+    val gstops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val nStop = size(filter(toks, t => t.isInCollection(gstops))).cast("long")
+    val nAlphaW = size(filter(toks, t => t.rlike("[a-z]"))).cast("long")
+    val bigrams = array_sort(
+      when(size(toks) >= 2, shingles(toks, 2))
+        .otherwise(array().cast("array<string>")))
+    val trigrams = when(size(toks) >= 3, shingles(toks, 3))
+      .otherwise(array().cast("array<string>"))
+    // longest equal-run of the sorted bigram array = max bigram count
+    val mx = aggregate(bigrams,
+      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1)
+          .otherwise(lit(1))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best")).cast("long")
+    val tot = size(bigrams).cast("long")
+    val nTri = size(trigrams).cast("long")
+    val dupTri = (size(trigrams) - size(array_distinct(trigrams))).cast("long")
+    def flag(c: Column) = when(c, lit(1L)).otherwise(lit(0L))
+    val okWords = flag(nTok >= 50 && nTok <= 100000L)
+    val okLen = flag(lit(3L) * nTok <= sumLen && sumLen <= lit(10L) * nTok)
+    val okStop = flag(nStop >= 2)
+    val okAlpha = flag(lit(10L) * nAlphaW >= lit(8L) * nTok)
+    val okRep = flag(
+      (tot === 0 || mx * 100 <= lit(18L) * tot) &&
+      (nTri === 0 || dupTri * 100 <= lit(30L) * nTri))
+    df.select(idCol.as("doc_id"),
+      okWords.as("ok_words"), okLen.as("ok_len"), okStop.as("ok_stop"),
+      okAlpha.as("ok_alpha"), okRep.as("ok_rep"))
+      .withColumn("kept", col("ok_words") * col("ok_len") * col("ok_stop")
+        * col("ok_alpha") * col("ok_rep"))
+      .orderBy("doc_id")
+  }
+
+  /** T17: vocabulary coverage / OOV rate — the tokenizer-fit diagnostic
+    * run before committing a vocab: share of token occurrences outside
+    * the corpus's own top-`vocabSize` words, in integer ppm. The vocab
+    * is ranked (count desc, word asc) so the cut is deterministic.
+    *
+    * Scale: vocab = one count agg + TakeOrdered(V) — never a global
+    * sort; it then joins back BROADCAST (V rows), so scoring is one
+    * map-side join + per-doc partial agg. No per-word shuffle except
+    * the vocab count itself.
+    */
+  def oovRate(
+      df: DataFrame, text: Column, idCol: Column,
+      vocabSize: Int = 500): DataFrame = {
+    val words = df.select(idCol.as("doc_id"), explode(tokens(text)).as("wrd"))
+    val vocab = words.groupBy("wrd").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("wrd").asc).limit(vocabSize)
+      .select(col("wrd"), lit(1L).as("in_v"))
+    words.join(broadcast(vocab), Seq("wrd"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        expr("(1000000 * sum(CASE WHEN in_v IS NULL THEN 1 ELSE 0 END))" +
+          " div count(*)").as("oov_ppm"))
+      .orderBy("doc_id")
+  }
+
   /** P10: domain blocklist filter (spam/ads/adult suffix lists in web
     * pipelines). An entry blocks the exact host and every subdomain
     * (`example.com` blocks `a.b.example.com`, not `notexample.com`).

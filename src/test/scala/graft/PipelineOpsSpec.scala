@@ -838,6 +838,39 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpecBase {
       assert(out(in) == want, s"$in → ${out(in)} want $want") }
   }
 
+  test("gopherGate: each rule fires on a crafted offender") {
+    import spark.implicits._
+    val stopPad = "the be to of and that have with "
+    val goodDoc = (stopPad +
+      (1 to 52).map(i => s"topic${i}word").mkString(" ")).trim
+    val shortDoc = "too short"
+    val noStop = (1 to 60).map(i => s"word$i").mkString(" ")
+    val repDoc = (stopPad + ("spam ham " * 30)).trim // top bigram dominates
+    val d = Seq((1L, goodDoc), (2L, shortDoc), (3L, noStop), (4L, repDoc))
+      .toDF("doc_id", "text")
+    val out = TextOps.gopherGate(d, col("text"), col("doc_id"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6))).toMap
+    assert(out(1L)._6 == 1L, s"good doc dropped: ${out(1L)}")
+    assert(out(2L)._1 == 0L && out(2L)._6 == 0L) // too few words
+    assert(out(3L)._3 == 0L && out(3L)._6 == 0L) // no stopwords
+    assert(out(4L)._5 == 0L && out(4L)._6 == 0L) // repetition
+  }
+
+  test("oovRate: ppm exact against the top-V cut") {
+    import spark.implicits._
+    // corpus: 'a' x11, 'b' x6, 'c' x2, 'd' x1 — vocab top-2 = {a, b}
+    val d = Seq(
+      (1L, "a a a a a a a a a a"), (2L, "b b b b b c"), (3L, "c d a b")
+    ).toDF("doc_id", "text")
+    val m = TextOps.oovRate(d, col("text"), col("doc_id"), vocabSize = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(m(1L) == ((10L, 0L)))
+    assert(m(2L) == ((6L, 1000000L / 6))) // 'c' is OOV: 1 of 6
+    assert(m(3L) == ((4L, 500000L)))      // c,d OOV: 2 of 4
+  }
+
   test("domainFilter blocks exact host and subdomains only") {
     import spark.implicits._
     val hosts = Seq("ads.net", "x.ads.net", "a.b.ads.net", "notads.net",

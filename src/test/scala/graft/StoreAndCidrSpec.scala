@@ -27,6 +27,30 @@ class StoreAndCidrSpec extends AnyFunSuite with SparkSpecBase {
       "expected non-empty PartitionFilters")
   }
 
+  test("store writes carry sessionId/rootId parquet bloom filters") {
+    import scala.jdk.CollectionConverters._
+    val sessions = SessionBuilder.sessionizeRef(spark,
+      "/root/reference/tests/pcap/socks-http-example.pcap")
+    val path = java.nio.file.Files.createTempDirectory("sessions-bloom").toString
+    SessionStore.write(sessions, path)
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(conf)
+    val part = fs.listStatus(root).filter(_.getPath.getName.startsWith("day="))
+      .flatMap(d => fs.listStatus(d.getPath))
+      .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+    val footer = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(part, conf))
+    try {
+      val cols = footer.getFooter.getBlocks.get(0).getColumns.asScala
+      def bloomOf(name: String) =
+        cols.find(_.getPath.toDotString == name).get.getBloomFilterOffset
+      assert(bloomOf("sessionId") >= 0, "sessionId bloom filter missing")
+      // a column we did NOT enable has none (option is per-column)
+      assert(bloomOf("node") < 0)
+    } finally footer.close()
+  }
+
   test("expire drops only day partitions older than the retention window") {
     val sessions = SessionBuilder.sessionizeRef(spark,
       "/root/reference/tests/pcap/socks-http-example.pcap")
