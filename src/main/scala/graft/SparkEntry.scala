@@ -489,6 +489,21 @@ object SparkEntry {
     // T16: the full Gopher keep/drop gate (integer-exact thresholds)
     "t16_gopher_gate" -> ((s, dir) =>
       TextOps.gopherGate(docs(s, dir), col("text"), col("doc_id"))),
+    // P11: per-source curation report — gate pass rates by source
+    "p11_source_report" -> ((s, dir) => {
+      val d = docs(s, dir)
+      TextOps.gopherGate(d, col("text"), col("doc_id"))
+        .join(d.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("kept").as("n_kept"),
+          sum("ok_words").as("n_ok_words"), sum("ok_len").as("n_ok_len"),
+          sum("ok_stop").as("n_ok_stop"), sum("ok_alpha").as("n_ok_alpha"),
+          sum("ok_rep").as("n_ok_rep"))
+        .orderBy("source")
+    }),
+    // D16: cross-source shared-gram overlap matrix
+    "d16_source_overlap" -> ((s, dir) =>
+      Dedup.sourceOverlap(docs(s, dir), col("text"), col("source"))),
     // T17: vocabulary coverage — OOV ppm against the corpus top-500 vocab
     "t17_oov_rate" -> ((s, dir) =>
       TextOps.oovRate(docs(s, dir), col("text"), col("doc_id"),
@@ -864,6 +879,48 @@ object SparkEntry {
     s"list_transform(range(1, len($toks)-${k - 2}), i -> array_to_string($toks[i:i+${k - 1}], ' '))"
   private def sqlHex32(c: String) =
     s"CAST(('0x' || substr(md5($c), 1, 8)) AS BIGINT)"
+  /** The t16 Gopher gate as reusable CTEs ending in
+    * `gate(doc_id, ok_words, ok_len, ok_stop, ok_alpha, ok_rep, kept)` —
+    * shared by the t16/p11 oracles.
+    */
+  private def sqlGopherCtes: String =
+    s"""tok AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+       sh AS (SELECT doc_id, toks,
+         CASE WHEN len(toks) >= 2 THEN ${sqlShingles("toks", 2)}
+              ELSE []::VARCHAR[] END AS bg,
+         CASE WHEN len(toks) >= 3 THEN ${sqlShingles("toks", 3)}
+              ELSE []::VARCHAR[] END AS tg
+         FROM tok),
+       gc AS (SELECT doc_id, g, count(*) AS n FROM
+         (SELECT doc_id, unnest(bg) AS g FROM sh) GROUP BY doc_id, g),
+       gm AS (SELECT doc_id, max(n) AS mx FROM gc GROUP BY doc_id),
+       gf AS (SELECT s.doc_id,
+           CAST(len(s.toks) AS BIGINT) AS ntok,
+           CAST(list_sum(list_transform(s.toks, x -> length(x))) AS BIGINT) AS sumlen,
+           CAST(len(list_filter(s.toks, x -> x IN
+             ('the','be','to','of','and','that','have','with'))) AS BIGINT) AS nstop,
+           CAST(len(list_filter(s.toks, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS nalpha,
+           CAST(coalesce(gm.mx, 0) AS BIGINT) AS mx,
+           CAST(len(s.bg) AS BIGINT) AS tot,
+           CAST(len(s.tg) AS BIGINT) AS ntri,
+           CAST(len(s.tg) - len(list_distinct(s.tg)) AS BIGINT) AS duptri
+         FROM sh s LEFT JOIN gm ON s.doc_id = gm.doc_id),
+       gate AS (SELECT doc_id,
+           CAST(CASE WHEN ntok >= 50 AND ntok <= 100000 THEN 1 ELSE 0 END AS BIGINT) AS ok_words,
+           CAST(CASE WHEN 3 * ntok <= sumlen AND sumlen <= 10 * ntok THEN 1 ELSE 0 END AS BIGINT) AS ok_len,
+           CAST(CASE WHEN nstop >= 2 THEN 1 ELSE 0 END AS BIGINT) AS ok_stop,
+           CAST(CASE WHEN 10 * nalpha >= 8 * ntok THEN 1 ELSE 0 END AS BIGINT) AS ok_alpha,
+           CAST(CASE WHEN (tot = 0 OR mx * 100 <= 18 * tot)
+                      AND (ntri = 0 OR duptri * 100 <= 30 * ntri)
+                THEN 1 ELSE 0 END AS BIGINT) AS ok_rep,
+           CAST(CASE WHEN ntok >= 50 AND ntok <= 100000
+                      AND 3 * ntok <= sumlen AND sumlen <= 10 * ntok
+                      AND nstop >= 2 AND 10 * nalpha >= 8 * ntok
+                      AND (tot = 0 OR mx * 100 <= 18 * tot)
+                      AND (ntri = 0 OR duptri * 100 <= 30 * ntri)
+                THEN 1 ELSE 0 END AS BIGINT) AS kept
+         FROM gf)"""
+
   /** The t11 bigram-LM score as reusable CTEs ending in
     * `lm(doc_id, lm_score)` — shared by the p8/p9 oracles.
     */
@@ -1403,42 +1460,31 @@ object SparkEntry {
          FROM sh s LEFT JOIN m ON s.doc_id = m.doc_id
          ORDER BY s.doc_id""",
     "t16_gopher_gate" ->
+      s"""WITH $sqlGopherCtes
+         SELECT doc_id, ok_words, ok_len, ok_stop, ok_alpha, ok_rep, kept
+         FROM gate ORDER BY doc_id""",
+    "p11_source_report" ->
+      s"""WITH $sqlGopherCtes
+         SELECT d.source, count(*) AS n_docs, sum(g.kept) AS n_kept,
+           sum(g.ok_words) AS n_ok_words, sum(g.ok_len) AS n_ok_len,
+           sum(g.ok_stop) AS n_ok_stop, sum(g.ok_alpha) AS n_ok_alpha,
+           sum(g.ok_rep) AS n_ok_rep
+         FROM gate g JOIN documents d USING (doc_id)
+         GROUP BY d.source ORDER BY d.source""",
+    "d16_source_overlap" ->
       s"""WITH tok AS (SELECT doc_id, $sqlToks AS toks FROM documents),
-         sh AS (SELECT doc_id, toks,
-           CASE WHEN len(toks) >= 2 THEN ${sqlShingles("toks", 2)}
-                ELSE []::VARCHAR[] END AS bg,
-           CASE WHEN len(toks) >= 3 THEN ${sqlShingles("toks", 3)}
-                ELSE []::VARCHAR[] END AS tg
-           FROM tok),
-         c AS (SELECT doc_id, g, count(*) AS n FROM
-           (SELECT doc_id, unnest(bg) AS g FROM sh) GROUP BY doc_id, g),
-         m AS (SELECT doc_id, max(n) AS mx FROM c GROUP BY doc_id),
-         f AS (SELECT s.doc_id,
-             CAST(len(s.toks) AS BIGINT) AS ntok,
-             CAST(list_sum(list_transform(s.toks, x -> length(x))) AS BIGINT) AS sumlen,
-             CAST(len(list_filter(s.toks, x -> x IN
-               ('the','be','to','of','and','that','have','with'))) AS BIGINT) AS nstop,
-             CAST(len(list_filter(s.toks, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS nalpha,
-             CAST(coalesce(m.mx, 0) AS BIGINT) AS mx,
-             CAST(len(s.bg) AS BIGINT) AS tot,
-             CAST(len(s.tg) AS BIGINT) AS ntri,
-             CAST(len(s.tg) - len(list_distinct(s.tg)) AS BIGINT) AS duptri
-           FROM sh s LEFT JOIN m ON s.doc_id = m.doc_id)
-         SELECT doc_id,
-           CAST(CASE WHEN ntok >= 50 AND ntok <= 100000 THEN 1 ELSE 0 END AS BIGINT) AS ok_words,
-           CAST(CASE WHEN 3 * ntok <= sumlen AND sumlen <= 10 * ntok THEN 1 ELSE 0 END AS BIGINT) AS ok_len,
-           CAST(CASE WHEN nstop >= 2 THEN 1 ELSE 0 END AS BIGINT) AS ok_stop,
-           CAST(CASE WHEN 10 * nalpha >= 8 * ntok THEN 1 ELSE 0 END AS BIGINT) AS ok_alpha,
-           CAST(CASE WHEN (tot = 0 OR mx * 100 <= 18 * tot)
-                      AND (ntri = 0 OR duptri * 100 <= 30 * ntri)
-                THEN 1 ELSE 0 END AS BIGINT) AS ok_rep,
-           CAST(CASE WHEN ntok >= 50 AND ntok <= 100000
-                      AND 3 * ntok <= sumlen AND sumlen <= 10 * ntok
-                      AND nstop >= 2 AND 10 * nalpha >= 8 * ntok
-                      AND (tot = 0 OR mx * 100 <= 18 * tot)
-                      AND (ntri = 0 OR duptri * 100 <= 30 * ntri)
-                THEN 1 ELSE 0 END AS BIGINT) AS kept
-         FROM f ORDER BY doc_id""",
+         gr AS (SELECT doc_id, unnest(${sqlShingles("toks", 3)}) AS g
+                FROM tok WHERE len(toks) >= 3),
+         gs AS (SELECT DISTINCT d.source AS src, ${sqlHex32("g")} AS h
+                FROM gr JOIN documents d USING (doc_id)),
+         t AS (SELECT src, count(*) AS tot FROM gs GROUP BY src),
+         p AS (SELECT a.src AS src_a, b.src AS src_b, count(*) AS shared_grams
+               FROM gs a JOIN gs b ON a.h = b.h AND a.src < b.src
+               GROUP BY 1, 2)
+         SELECT src_a, src_b, shared_grams,
+           (1000000 * shared_grams) // least(ta.tot, tb.tot) AS overlap_ppm
+         FROM p JOIN t ta ON p.src_a = ta.src JOIN t tb ON p.src_b = tb.src
+         ORDER BY src_a, src_b""",
     "t17_oov_rate" ->
       s"""WITH tok AS (SELECT doc_id, $sqlToks AS toks FROM documents),
          wrds AS (SELECT doc_id, unnest(toks) AS wrd FROM tok),

@@ -648,4 +648,42 @@ object Dedup {
       .agg(min("doc_id").as("keeper"), count(lit(1)).as("n_dups"))
       .orderBy("url")
   }
+
+  /** D16: cross-source overlap matrix — the dataset-audit question "how
+    * much of source A is also in source B" answered as shared distinct
+    * k-gram counts per source pair, plus the share in ppm of the SMALLER
+    * side (so a small source fully contained in a big one reads 10⁶).
+    *
+    * Scale: the unit is the distinct (gram, source) pair — a gram
+    * repeated across a million documents of one source is ONE row; per
+    * gram the source set is bounded by the source count (a dozen, not a
+    * row count), so the pair expansion is map-side and the hot-gram
+    * skew collapses into single aggregate groups. Totals come back
+    * broadcast. Never a doc-level or pairwise-doc join.
+    */
+  def sourceOverlap(
+      df: DataFrame, text: Column, sourceCol: Column,
+      shingleK: Int = 3): DataFrame = {
+    val gs = df.select(sourceCol.as("src"),
+        explode(graft.functions.ShingleHashes(text, shingleK,
+          distinct = true)).as("h"))
+      .distinct()
+    val tot = gs.groupBy("src").agg(count(lit(1)).as("tot"))
+    val pairs = gs.groupBy("h")
+      .agg(sort_array(collect_set(col("src"))).as("srcs"))
+      .filter(size(col("srcs")) >= 2)
+      .select(explode(col("srcs")).as("src_a"), col("srcs"))
+      .select(col("src_a"), explode(col("srcs")).as("src_b"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("shared_grams"))
+    pairs
+      .join(broadcast(tot.withColumnRenamed("src", "src_a")
+        .withColumnRenamed("tot", "tot_a")), Seq("src_a"))
+      .join(broadcast(tot.withColumnRenamed("src", "src_b")
+        .withColumnRenamed("tot", "tot_b")), Seq("src_b"))
+      .withColumn("overlap_ppm",
+        expr("(1000000 * shared_grams) div least(tot_a, tot_b)"))
+      .select("src_a", "src_b", "shared_grams", "overlap_ppm")
+      .orderBy("src_a", "src_b")
+  }
 }

@@ -871,6 +871,21 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpecBase {
     assert(m(3L) == ((4L, 500000L)))      // c,d OOV: 2 of 4
   }
 
+  test("sourceOverlap: contained source reads 1e6 ppm, disjoint absent") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", "big"),
+      (2L, "alpha beta gamma delta", "small"),      // ⊂ big's grams
+      (3L, "one two three four five six", "other")  // disjoint
+    ).toDF("doc_id", "text", "source")
+    val out = Dedup.sourceOverlap(d, col("text"), col("source"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    // small has 2 trigrams, both inside big's 4 → ppm = 1e6
+    assert(out(("big", "small")) == ((2L, 1000000L)))
+    assert(!out.contains(("big", "other")) && !out.contains(("other", "small")))
+  }
+
   test("domainFilter blocks exact host and subdomains only") {
     import spark.implicits._
     val hosts = Seq("ads.net", "x.ads.net", "a.b.ads.net", "notads.net",
