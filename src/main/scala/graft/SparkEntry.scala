@@ -407,6 +407,16 @@ object SparkEntry {
       Similarity.lshTopK(e, e.filter(col("vec_id") < 5),
         "embedding", "vec_id", k = 3, planes = 8, dim = 64)
     }),
+    // S8: recall@k of the LSH index against exact brute force — the
+    // quality gate run before an approximate index goes live
+    "s8_ann_recall" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") < 5)
+      Similarity.recallAtK(
+        Similarity.bruteForceTopK(e, q, "embedding", "vec_id", k = 3),
+        Similarity.lshTopK(e, q, "embedding", "vec_id", k = 3,
+          planes = 8, dim = 64))
+    }),
     // S5: the full trained pipeline — kmeansFit codebook feeding ivfTopK
     "s5_ann_ivf_trained" -> ((s, dir) => {
       val e = emb(s, dir)
@@ -508,6 +518,10 @@ object SparkEntry {
     "t17_oov_rate" -> ((s, dir) =>
       TextOps.oovRate(docs(s, dir), col("text"), col("doc_id"),
         vocabSize = 500)),
+    // T18: word2vec skip-gram pair counts (window 2, corpus top-100)
+    "t18_skipgram" -> ((s, dir) =>
+      TextOps.skipgramPairs(docs(s, dir), col("text"), window = 2,
+        topN = 100)),
     // T6: fixed-size token chunking with overlap (context-window prep)
     "t6_chunk" -> ((s, dir) =>
       TextOps.chunkTokens(docs(s, dir), col("text"), col("doc_id"),
@@ -879,6 +893,38 @@ object SparkEntry {
     s"list_transform(range(1, len($toks)-${k - 2}), i -> array_to_string($toks[i:i+${k - 1}], ' '))"
   private def sqlHex32(c: String) =
     s"CAST(('0x' || substr(md5($c), 1, 8)) AS BIGINT)"
+  /** The s1/s2 ANN oracles as standalone statements — also embedded as
+    * subqueries by the s8 recall oracle.
+    */
+  private def sqlS1BruteForce: String =
+    s"""WITH e AS (SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+       scored AS (
+         SELECT q.query_id, c.vec_id AS neighbor_id,
+           ${sqlCos("q.qv", "c.v", 64)} AS cosine
+         FROM e c, q WHERE c.vec_id <> q.query_id),
+       ranked AS (SELECT *, row_number() OVER
+           (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rk
+         FROM scored)
+       SELECT query_id, neighbor_id, cosine, rk FROM ranked
+       WHERE rk <= 3 ORDER BY query_id, rk"""
+  private def sqlS2Lsh: String =
+    s"""WITH e AS (SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         ${sqlLshBucket("list_transform(embedding, x -> CAST(x AS DOUBLE))", 8, 64)} AS bucket
+         FROM embeddings),
+       q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM e WHERE vec_id < 5),
+       scored AS (
+         SELECT q.query_id, c.vec_id AS neighbor_id,
+           ${sqlCos("q.qv", "c.v", 64)} AS cosine
+         FROM e c JOIN q USING (bucket) WHERE c.vec_id <> q.query_id),
+       ranked AS (SELECT *, row_number() OVER
+           (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rk
+         FROM scored)
+       SELECT query_id, neighbor_id, cosine, rk FROM ranked
+       WHERE rk <= 3 ORDER BY query_id, rk"""
+
   /** The t16 Gopher gate as reusable CTEs ending in
     * `gate(doc_id, ok_words, ok_len, ok_stop, ok_alpha, ok_rep, kept)` —
     * shared by the t16/p11 oracles.
@@ -1540,34 +1586,30 @@ object SparkEntry {
              ${sqlCos("a.v", "b.v", 64)} AS cosine
            FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
          WHERE cosine >= 0.4 ORDER BY vec_a, vec_b""",
-    "s1_ann_bruteforce" ->
-      s"""WITH e AS (SELECT vec_id,
-           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-         q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
-         scored AS (
-           SELECT q.query_id, c.vec_id AS neighbor_id,
-             ${sqlCos("q.qv", "c.v", 64)} AS cosine
-           FROM e c, q WHERE c.vec_id <> q.query_id),
-         ranked AS (SELECT *, row_number() OVER
-             (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rk
-           FROM scored)
-         SELECT query_id, neighbor_id, cosine, rk FROM ranked
-         WHERE rk <= 3 ORDER BY query_id, rk""",
-    "s2_ann_lsh" ->
-      s"""WITH e AS (SELECT vec_id,
-           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
-           ${sqlLshBucket("list_transform(embedding, x -> CAST(x AS DOUBLE))", 8, 64)} AS bucket
-           FROM embeddings),
-         q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM e WHERE vec_id < 5),
-         scored AS (
-           SELECT q.query_id, c.vec_id AS neighbor_id,
-             ${sqlCos("q.qv", "c.v", 64)} AS cosine
-           FROM e c JOIN q USING (bucket) WHERE c.vec_id <> q.query_id),
-         ranked AS (SELECT *, row_number() OVER
-             (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rk
-           FROM scored)
-         SELECT query_id, neighbor_id, cosine, rk FROM ranked
-         WHERE rk <= 3 ORDER BY query_id, rk""",
+    "s1_ann_bruteforce" -> sqlS1BruteForce,
+    "s2_ann_lsh" -> sqlS2Lsh,
+    "s8_ann_recall" ->
+      s"""WITH ex AS (SELECT query_id, neighbor_id FROM ($sqlS1BruteForce) s1),
+         ap AS (SELECT query_id, neighbor_id, 1 AS m FROM ($sqlS2Lsh) s2)
+         SELECT ex.query_id, count(*) AS n_exact,
+           sum(coalesce(ap.m, 0)) AS hits,
+           (1000000 * sum(coalesce(ap.m, 0))) // count(*) AS recall_ppm
+         FROM ex LEFT JOIN ap ON ex.query_id = ap.query_id
+           AND ex.neighbor_id = ap.neighbor_id
+         GROUP BY ex.query_id ORDER BY ex.query_id""",
+    "t18_skipgram" ->
+      s"""WITH tok AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+         f AS (SELECT unnest(${sqlShingles("toks", 2)}) AS g, 1 AS d
+               FROM tok WHERE len(toks) >= 2
+               UNION ALL
+               SELECT unnest(${sqlShingles("toks", 3)}) AS g, 2 AS d
+               FROM tok WHERE len(toks) >= 3),
+         pr AS (SELECT split_part(g, ' ', 1) AS c,
+                       split_part(g, ' ', d + 1) AS x FROM f),
+         bi AS (SELECT c, x FROM pr UNION ALL SELECT x, c FROM pr)
+         SELECT c AS center, x AS context, count(*) AS cnt FROM bi
+         GROUP BY 1, 2 ORDER BY cnt DESC, center ASC, context ASC
+         LIMIT 100""",
     "s3_ann_ivf" ->
       s"""WITH e AS (SELECT vec_id,
            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),

@@ -531,4 +531,28 @@ object Similarity {
       .withColumn("score", adcUdf(col("codes"), col("qtab")))
     pqRank(scored, k)
   }
+
+  /** S8: ANN recall evaluation — the quality report every approximate
+    * index needs before it replaces the exact path: per query, the
+    * fraction (integer ppm) of the EXACT top-k that the approximate
+    * top-k recovered. Both inputs are (query_id, neighbor_id, …) top-k
+    * frames as produced by [[bruteForceTopK]] / [[lshTopK]] /
+    * [[ivfTopK]] / [[pqTopK]]. The denominator is the exact list's
+    * actual size (< k near corpus edges).
+    *
+    * Scale: the ground-truth side is |queries|·k rows — evaluation runs
+    * on a query SAMPLE, so both sides are small; one hash join on
+    * (query_id, neighbor_id), one per-query agg.
+    */
+  def recallAtK(exact: DataFrame, approx: DataFrame): DataFrame = {
+    val ex = exact.select(col("query_id"), col("neighbor_id"))
+    val ap = approx.select(col("query_id"), col("neighbor_id"))
+      .withColumn("m", lit(1L))
+    ex.join(ap, Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("m"), lit(0L))).as("hits"))
+      .withColumn("recall_ppm", expr("(1000000 * hits) div n_exact"))
+      .orderBy("query_id")
+  }
 }

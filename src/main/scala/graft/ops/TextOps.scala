@@ -787,6 +787,36 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** T18: skip-gram (center, context) pair counts — the word2vec
+    * training-statistic generator: every ordered pair of words within
+    * `window` positions of each other, counted corpus-wide, top-N by
+    * count. Pair generation is slice+zip HOFs (map-side, codegen);
+    * the count is one partial-agg shuffle keyed by the pair; top-N is
+    * TakeOrdered, never a global sort.
+    */
+  def skipgramPairs(
+      df: DataFrame, text: Column, window: Int = 2,
+      topN: Int = 100): DataFrame = {
+    val toks = tokens(text)
+    val n = size(toks)
+    // forward pairs at each distance d: (w_i, w_{i+d}); a doc shorter
+    // than d+1 tokens yields slice length 0 → empty array, no branch
+    def fwd(d: Int) = {
+      val len = greatest(n - d, lit(0))
+      arrays_zip(slice(toks, lit(1), len), slice(toks, lit(d + 1), len))
+    }
+    val pairs = df.select(
+        explode(flatten(array((1 to window).map(fwd): _*))).as("p"))
+      // a context window is symmetric: emit both directions
+      .select(explode(array(
+        struct(col("p.0").as("center"), col("p.1").as("context")),
+        struct(col("p.1").as("center"), col("p.0").as("context")))).as("b"))
+      .select(col("b.center").as("center"), col("b.context").as("context"))
+    pairs.groupBy("center", "context").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("center").asc, col("context").asc)
+      .limit(topN)
+  }
+
   /** P10: domain blocklist filter (spam/ads/adult suffix lists in web
     * pipelines). An entry blocks the exact host and every subdomain
     * (`example.com` blocks `a.b.example.com`, not `notexample.com`).

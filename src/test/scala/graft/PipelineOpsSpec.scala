@@ -871,6 +871,31 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpecBase {
     assert(m(3L) == ((4L, 500000L)))      // c,d OOV: 2 of 4
   }
 
+  test("skipgramPairs: window-2 pairs on a known doc, both directions") {
+    import spark.implicits._
+    val d = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val out = TextOps.skipgramPairs(d, col("text"), window = 2, topN = 100)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val want = Set(("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"),
+      ("a", "c"), ("c", "a"))
+    assert(out.keySet == want)
+    assert(out.values.forall(_ == 1L))
+  }
+
+  test("recallAtK: identical lists 1e6 ppm, disjoint 0") {
+    import spark.implicits._
+    val ex = Seq((1L, 10L), (1L, 11L), (2L, 20L))
+      .toDF("query_id", "neighbor_id")
+    val same = graft.ops.Similarity.recallAtK(ex, ex)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(same == Map(1L -> 1000000L, 2L -> 1000000L))
+    val ap = Seq((1L, 11L), (2L, 99L)).toDF("query_id", "neighbor_id")
+    val part = graft.ops.Similarity.recallAtK(ex, ap)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(part == Map(1L -> 500000L, 2L -> 0L))
+  }
+
   test("sourceOverlap: contained source reads 1e6 ppm, disjoint absent") {
     import spark.implicits._
     val d = Seq(
