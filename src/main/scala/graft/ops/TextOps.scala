@@ -722,6 +722,21 @@ object TextOps {
     * shape as [[repetitionMetrics]].
     */
   def gopherGate(df: DataFrame, text: Column, idCol: Column): DataFrame = {
+    val g = gopherFlags(text)
+    df.select(idCol.as("doc_id"), g.as("g"))
+      .select(col("doc_id"), col("g.ok_words").as("ok_words"),
+        col("g.ok_len").as("ok_len"), col("g.ok_stop").as("ok_stop"),
+        col("g.ok_alpha").as("ok_alpha"), col("g.ok_rep").as("ok_rep"),
+        col("g.kept").as("kept"))
+      .orderBy("doc_id")
+  }
+
+  /** The T16 flags as ONE map-side struct column — shared by the batch
+    * [[gopherGate]] and the streaming twin
+    * ([[graft.streaming.DocPipeline.ingest]]), so both paths gate with
+    * literally the same expressions.
+    */
+  def gopherFlags(text: Column): Column = {
     val toks = tokens(text)
     val nTok = size(toks).cast("long")
     val sumLen = aggregate(toks, lit(0L), (a, t) => a + length(t))
@@ -754,12 +769,9 @@ object TextOps {
     val okRep = flag(
       (tot === 0 || mx * 100 <= lit(18L) * tot) &&
       (nTri === 0 || dupTri * 100 <= lit(30L) * nTri))
-    df.select(idCol.as("doc_id"),
-      okWords.as("ok_words"), okLen.as("ok_len"), okStop.as("ok_stop"),
-      okAlpha.as("ok_alpha"), okRep.as("ok_rep"))
-      .withColumn("kept", col("ok_words") * col("ok_len") * col("ok_stop")
-        * col("ok_alpha") * col("ok_rep"))
-      .orderBy("doc_id")
+    struct(okWords.as("ok_words"), okLen.as("ok_len"), okStop.as("ok_stop"),
+      okAlpha.as("ok_alpha"), okRep.as("ok_rep"),
+      (okWords * okLen * okStop * okAlpha * okRep).as("kept"))
   }
 
   /** T17: vocabulary coverage / OOV rate — the tokenizer-fit diagnostic

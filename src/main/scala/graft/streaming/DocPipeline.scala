@@ -42,15 +42,37 @@ object DocPipeline {
             length(text))).otherwise(lit(0.0)))
   }
 
-  /** The live ingest plan: watermark → enrich → exact dedup within the
-    * horizon → minimum-quality gate. Append-mode compatible (no
-    * aggregation — dedup emits each surviving row once).
+  /** The live ingest plan: watermark → enrich → (optional) canonical-URL
+    * dedup → exact content dedup within the horizon → minimum-quality
+    * gate → (optional) full Gopher gate. Append-mode compatible (no
+    * aggregation — each dedup emits a surviving row once).
+    *
+    * `urlCol` adds a SECOND watermark-bounded dedup keyed by
+    * [[TextOps.urlNormalize]] — a re-crawl of the same page under a
+    * cosmetically different URL is dropped even when its content changed
+    * (the crawl-frontier contract); content dedup then catches mirrors
+    * under different URLs. Two chained `dropDuplicatesWithinWatermark`
+    * operators = OR-dedup semantics, each with watermark-bounded state.
+    * `gopher = true` applies the full T16 gate with the batch
+    * expressions ([[TextOps.gopherFlags]]), flags kept on the row.
     */
   def ingest(
       stream: DataFrame, text: Column, tsCol: String,
-      watermarkDelay: String, minTokens: Long = 5): DataFrame = {
-    enrich(stream.withWatermark(tsCol, watermarkDelay), text)
-      .dropDuplicatesWithinWatermark("fingerprint")
+      watermarkDelay: String, minTokens: Long = 5,
+      urlCol: Option[Column] = None,
+      gopher: Boolean = false): DataFrame = {
+    val base = enrich(stream.withWatermark(tsCol, watermarkDelay), text)
+    val urlDeduped = urlCol match {
+      case Some(u) =>
+        base.withColumn("url_canon", TextOps.urlNormalize(u))
+          .dropDuplicatesWithinWatermark("url_canon")
+      case None => base
+    }
+    val deduped = urlDeduped.dropDuplicatesWithinWatermark("fingerprint")
       .filter(col("n_tokens") >= minTokens)
+    if (gopher)
+      deduped.withColumn("gopher", TextOps.gopherFlags(text))
+        .filter(col("gopher.kept") === 1L)
+    else deduped
   }
 }

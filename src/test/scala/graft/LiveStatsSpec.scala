@@ -214,4 +214,51 @@ class LiveStatsSpec extends AnyFunSuite with SparkSpecBase {
       assert(batch == streamed)
     } finally q.stop()
   }
+
+  test("DocPipeline ingest: canonical-URL dedup + Gopher gate, batch-equal") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+
+    val stopPad = "the be to of and that have with "
+    val good = (stopPad +
+      (1 to 52).map(i => s"topic${i}word").mkString(" ")).trim
+    val good2 = (stopPad +
+      (1 to 52).map(i => s"other${i}word").mkString(" ")).trim
+    val repetitive = (stopPad + ("spam ham " * 40)).trim
+    val rows = Seq(
+      // same page, cosmetically different URL, CHANGED content → url-dup
+      (ts(0), 1L, good, "http://www.Site.com/p?utm_source=x&a=1"),
+      (ts(1), 2L, good2, "http://site.com/p/?a=1"),
+      // distinct page, passes everything
+      (ts(2), 3L, good2, "http://site.com/q"),
+      // distinct page, fails the Gopher repetition rule
+      (ts(3), 4L, repetitive, "http://site.com/r"))
+    val input = MemoryStream[(Timestamp, Long, String, String)]
+    val out = graft.streaming.DocPipeline.ingest(
+      input.toDS().toDF("ts", "doc_id", "text", "url"), col("text"), "ts",
+      "10 minutes", minTokens = 5, urlCol = Some(col("url")), gopher = true)
+    val q = out.writeStream.format("memory").queryName("doc_ingest_url")
+      .outputMode("append").start()
+    try {
+      input.addData(rows)
+      q.processAllAvailable()
+      val got = spark.table("doc_ingest_url")
+      // doc 2 fell to URL dedup (canonical equals doc 1's, content
+      // differs — the crawl-frontier contract); doc 3 survives (unique
+      // URL, and doc 2 never reached the content-dedup state); doc 4
+      // passes both dedups but fails the Gopher repetition rule
+      assert(got.select("doc_id").as[Long].collect().sorted.toSeq
+        == Seq(1L, 3L))
+      // flags equal the batch twin on a surviving row
+      val streamedFlags = got.filter(col("doc_id") === 1L)
+        .select("gopher.ok_words", "gopher.ok_rep", "gopher.kept")
+        .head.toSeq
+      val batchFlags = graft.ops.TextOps.gopherGate(
+        rows.toDF("ts", "doc_id", "text", "url"), col("text"), col("doc_id"))
+        .filter(col("doc_id") === 1L)
+        .select("ok_words", "ok_rep", "kept").head.toSeq
+      assert(streamedFlags == batchFlags)
+    } finally q.stop()
+  }
 }
