@@ -12,10 +12,13 @@ import scala.collection.mutable
   * of the rule language natively — enough for typical network-content
   * rules (including the reference's tests/rules.yara):
   *
-  *   - `strings:` text (`"..."` with `nocase`/`wide`/`ascii`), hex
-  *     (`{ AA ?? BB }` with `??` wildcards), and regex (`/re/`) entries;
+  *   - `strings:` text (`"..."` with `nocase`/`wide`/`ascii`/
+  *     `fullword`), hex (`{ AA ?? BB }` with `??` wildcards and
+  *     `[n]`/`[lo-hi]` jumps), and regex (`/re/`) entries;
   *   - `condition:` boolean algebra over string ids, `any/all/N of
-  *     them`, and positional `$x in (lo .. hi)`;
+  *     them`, `of ($prefix*)` string sets, positional `$x in (lo .. hi)`
+  *     and `$x at n`, occurrence counts (`#x >= n`), and `filesize`
+  *     comparisons with KB/MB/GB literals;
   *   - rule tags (`rule Name : tag1 tag2`).
   *
   * Scanning is a pure function over byte arrays, so it distributes as a
@@ -32,8 +35,8 @@ object Yara {
   }
 
   /** Text needle; `nocase` folds ASCII case; `wide` also tries UTF-16LE. */
-  final case class TextMatcher(text: String, nocase: Boolean, wide: Boolean)
-      extends Matcher {
+  final case class TextMatcher(text: String, nocase: Boolean, wide: Boolean,
+      fullword: Boolean = false) extends Matcher {
     private val needles: Seq[Array[Byte]] = {
       val ascii = text.getBytes(StandardCharsets.ISO_8859_1)
       if (wide) Seq(ascii, text.flatMap(c => Seq(c, '\u0000')).mkString
@@ -42,6 +45,9 @@ object Yara {
     }
     private def lower(x: Byte): Byte =
       if (x >= 'A' && x <= 'Z') (x + 32).toByte else x
+    private def alnum(x: Byte): Boolean =
+      (x >= '0' && x <= '9') || (x >= 'A' && x <= 'Z') ||
+        (x >= 'a' && x <= 'z')
     def offsets(b: Array[Byte]): Seq[Int] = {
       val out = Seq.newBuilder[Int]
       needles.foreach { n =>
@@ -50,7 +56,11 @@ object Yara {
           var j = 0
           while (j < n.length && (if (nocase) lower(b(i + j)) == lower(n(j))
             else b(i + j) == n(j))) j += 1
-          if (j == n.length) out += i
+          if (j == n.length &&
+            (!fullword ||
+              ((i == 0 || !alnum(b(i - 1))) &&
+               (i + n.length == b.length || !alnum(b(i + n.length))))))
+            out += i
           i += 1
         }
       }
@@ -58,20 +68,54 @@ object Yara {
     }
   }
 
-  /** Hex pattern; -1 entries are `??` wildcards. */
-  final case class HexMatcher(pattern: Array[Int]) extends Matcher {
+  /** Hex pattern token: exact byte, `??` wildcard, or a `[lo-hi]` jump
+    * (YARA's variable-length gap; `[n]` is `[n-n]`).
+    */
+  sealed trait HexTok
+  final case class HexByte(v: Int) extends HexTok
+  case object HexAny extends HexTok
+  final case class HexJump(lo: Int, hi: Int) extends HexTok
+
+  /** Hex pattern with wildcards and jumps (DFS over jump lengths; rule
+    * patterns are short, payloads bounded by the capture snap length).
+    */
+  final case class HexMatcher(pattern: Array[HexTok]) extends Matcher {
+    private def matchAt(b: Array[Byte], i0: Int, t0: Int): Boolean = {
+      var i = i0
+      var t = t0
+      while (t < pattern.length) {
+        pattern(t) match {
+          case HexByte(v) =>
+            if (i >= b.length || (b(i) & 0xff) != v) return false
+            i += 1; t += 1
+          case HexAny =>
+            if (i >= b.length) return false
+            i += 1; t += 1
+          case HexJump(lo, hi) =>
+            var g = lo
+            while (g <= hi && i + g <= b.length) {
+              if (matchAt(b, i + g, t + 1)) return true
+              g += 1
+            }
+            return false
+        }
+      }
+      true
+    }
     def offsets(b: Array[Byte]): Seq[Int] = {
       val out = Seq.newBuilder[Int]
       var i = 0
-      while (i + pattern.length <= b.length) {
-        var j = 0
-        while (j < pattern.length &&
-          (pattern(j) == -1 || (b(i + j) & 0xff) == pattern(j))) j += 1
-        if (j == pattern.length) out += i
+      while (i <= b.length - 1) {
+        if (matchAt(b, i, 0)) out += i
         i += 1
       }
       out.result()
     }
+  }
+  object HexMatcher {
+    def bytes(vs: Int*): HexMatcher =
+      HexMatcher(vs.map(v => if (v == -1) HexAny else HexByte(v))
+        .toArray[HexTok])
   }
 
   /** Regex over the latin-1 view of the bytes (YARA regex semantics). */
@@ -88,23 +132,48 @@ object Yara {
   sealed trait Cond
   final case class Ref(id: String) extends Cond
   final case class InRange(id: String, lo: Int, hi: Int) extends Cond
-  final case class OfThem(n: Option[Int]) extends Cond // None = all
+  final case class At(id: String, offset: Int) extends Cond
+  final case class CountCmp(id: String, op: String, n: Int) extends Cond
+  final case class FilesizeCmp(op: String, n: Long) extends Cond
+  /** `n`: None = all; `prefix`: None = them, Some(p) = `($p*)`. */
+  final case class OfThem(n: Option[Int], prefix: Option[String] = None)
+      extends Cond
   final case class And(a: Cond, b: Cond) extends Cond
   final case class Or(a: Cond, b: Cond) extends Cond
   final case class Not(a: Cond) extends Cond
+
+  private def cmp(op: String, a: Long, b: Long): Boolean = op match {
+    case ">" => a > b
+    case ">=" => a >= b
+    case "<" => a < b
+    case "<=" => a <= b
+    case "==" => a == b
+    case "!=" => a != b
+    case other => throw new IllegalArgumentException(s"bad operator $other")
+  }
 
   final case class Rule(name: String, tags: Seq[String],
       strings: Seq[(String, Matcher)], condition: Cond) {
     def matches(b: Array[Byte]): Boolean = {
       lazy val hit: Map[String, Boolean] =
         strings.map { case (id, m) => id -> m.matches(b) }.toMap
+      def offsetsOf(id: String): Seq[Int] =
+        strings.collectFirst { case (`id`, m) => m }
+          .map(_.offsets(b)).getOrElse(Nil)
+      def subset(prefix: Option[String]) = prefix match {
+        case None => strings
+        case Some(p) => strings.filter(_._1.startsWith(p))
+      }
       def eval(c: Cond): Boolean = c match {
         case Ref(id) => hit.getOrElse(id, false)
         case InRange(id, lo, hi) =>
-          strings.collectFirst { case (`id`, m) => m }
-            .exists(_.offsets(b).exists(o => o >= lo && o <= hi))
-        case OfThem(None) => strings.forall(s => hit(s._1))
-        case OfThem(Some(n)) => strings.count(s => hit(s._1)) >= n
+          offsetsOf(id).exists(o => o >= lo && o <= hi)
+        case At(id, off) => offsetsOf(id).contains(off)
+        case CountCmp(id, op, n) => cmp(op, offsetsOf(id).length.toLong, n)
+        case FilesizeCmp(op, n) => cmp(op, b.length.toLong, n)
+        case OfThem(None, p) =>
+          subset(p).nonEmpty && subset(p).forall(s => hit(s._1))
+        case OfThem(Some(n), p) => subset(p).count(s => hit(s._1)) >= n
         case And(x, y) => eval(x) && eval(y)
         case Or(x, y) => eval(x) || eval(y)
         case Not(x) => !eval(x)
@@ -165,15 +234,26 @@ object Yara {
               val mods = Option(sm.group(3)).getOrElse("")
               TextMatcher(unescape(sm.group(2)),
                 nocase = mods.contains("nocase"),
-                wide = mods.contains("wide"))
+                wide = mods.contains("wide"),
+                fullword = mods.contains("fullword"))
             } else if (sm.group(4) != null) {
-              val toks = sm.group(4).trim.split("\\s+").filter(_.nonEmpty)
-              HexMatcher(toks.map {
-                case "??" => -1
-                case h if h.matches("[0-9a-fA-F]{2}") => Integer.parseInt(h, 16)
-                case other => throw new IllegalArgumentException(
-                  s"rule $name: unsupported hex token '$other'")
-              })
+              val body = sm.group(4).trim
+              val tokRe =
+                "(\\?\\?|[0-9a-fA-F]{2}|\\[\\s*\\d+(?:\\s*-\\s*\\d+)?\\s*\\])".r
+              val parsed = tokRe.findAllIn(body).map {
+                case "??" => HexAny
+                case t if t.startsWith("[") =>
+                  val nums = "\\d+".r.findAllIn(t).map(_.toInt).toSeq
+                  if (nums.length == 2) HexJump(nums(0), nums(1))
+                  else HexJump(nums.head, nums.head)
+                case h => HexByte(Integer.parseInt(h, 16))
+              }.toArray[HexTok]
+              val consumed = tokRe.findAllIn(body).mkString(" ")
+                .replaceAll("\\s+", "")
+              if (consumed != body.replaceAll("\\s+", ""))
+                throw new IllegalArgumentException(
+                  s"rule $name: unsupported hex tokens in '$body'")
+              HexMatcher(parsed)
             } else RegexMatcher(sm.group(5))
           id -> (matcher: Matcher)
         }.toSeq
@@ -187,12 +267,43 @@ object Yara {
     s.replace("\\\"", "\"").replace("\\\\", "\\")
       .replace("\\n", "\n").replace("\\r", "\r").replace("\\t", "\t")
 
+  /** `100`, `64KB`, `2MB` → bytes. */
+  private def sizeLit(rule: String, t: String): Long = {
+    val m = "(\\d+)(KB|MB|GB)?".r
+    t match {
+      case m(n, suf) =>
+        n.toLong * (suf match {
+          case "KB" => 1024L
+          case "MB" => 1024L * 1024
+          case "GB" => 1024L * 1024 * 1024
+          case _ => 1L
+        })
+      case _ => throw new IllegalArgumentException(
+        s"rule $rule: bad size literal '$t'")
+    }
+  }
+
+  private val cmpOps = Set(">", ">=", "<", "<=", "==", "!=")
+
   private def parseCond(rule: String, s: String): Cond = {
     val toks = mutable.Queue(
       s.replace("(", " ( ").replace(")", " ) ")
         .replace("..", " .. ").split("\\s+").filter(_.nonEmpty).toSeq: _*)
     def fail(what: String) = throw new IllegalArgumentException(
       s"rule $rule: unsupported condition near '$what'")
+    // `of them` | `of ($prefix*)`
+    def ofTail(n: Option[Int]): Cond = {
+      if (toks.dequeue() != "of") fail("of")
+      toks.dequeue() match {
+        case "them" => OfThem(n)
+        case "(" =>
+          val set = toks.dequeue()
+          if (!set.startsWith("$") || !set.endsWith("*")) fail(set)
+          if (toks.dequeue() != ")") fail(")")
+          OfThem(n, Some(set.drop(1).dropRight(1)))
+        case other => fail(other)
+      }
+    }
     def primary(): Cond = {
       if (toks.isEmpty) fail("<end>")
       toks.dequeue() match {
@@ -201,26 +312,33 @@ object Yara {
           if (toks.isEmpty || toks.dequeue() != ")") fail(")")
           e
         case "not" => Not(primary())
-        case "any" =>
-          if (toks.dequeue() != "of" || toks.dequeue() != "them") fail("any of them")
-          OfThem(Some(1))
-        case "all" =>
-          if (toks.dequeue() != "of" || toks.dequeue() != "them") fail("all of them")
-          OfThem(None)
-        case t if t.matches("\\d+") =>
-          if (toks.dequeue() != "of" || toks.dequeue() != "them") fail("N of them")
-          OfThem(Some(t.toInt))
+        case "any" => ofTail(Some(1))
+        case "all" => ofTail(None)
+        case "filesize" =>
+          val op = toks.dequeue()
+          if (!cmpOps(op)) fail(op)
+          FilesizeCmp(op, sizeLit(rule, toks.dequeue()))
+        case t if t.matches("\\d+") => ofTail(Some(t.toInt))
+        case t if t.startsWith("#") =>
+          val op = toks.dequeue()
+          if (!cmpOps(op)) fail(op)
+          CountCmp(t.drop(1), op, toks.dequeue().toInt)
         case t if t.startsWith("$") =>
           val id = t.drop(1)
-          if (toks.headOption.contains("in")) {
-            toks.dequeue()
-            if (toks.dequeue() != "(") fail("in (")
-            val lo = toks.dequeue().toInt
-            if (toks.dequeue() != "..") fail("..")
-            val hi = toks.dequeue().toInt
-            if (toks.dequeue() != ")") fail(")")
-            InRange(id, lo, hi)
-          } else Ref(id)
+          toks.headOption match {
+            case Some("in") =>
+              toks.dequeue()
+              if (toks.dequeue() != "(") fail("in (")
+              val lo = toks.dequeue().toInt
+              if (toks.dequeue() != "..") fail("..")
+              val hi = toks.dequeue().toInt
+              if (toks.dequeue() != ")") fail(")")
+              InRange(id, lo, hi)
+            case Some("at") =>
+              toks.dequeue()
+              At(id, toks.dequeue().toInt)
+            case _ => Ref(id)
+          }
         case other => fail(other)
       }
     }
