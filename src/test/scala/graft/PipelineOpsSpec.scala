@@ -911,6 +911,31 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpecBase {
     assert(!out.contains(("big", "other")) && !out.contains(("other", "small")))
   }
 
+  test("urlNormalize is idempotent over generated URL shapes") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val gen: Gen[String] = for {
+      scheme <- Gen.oneOf("http", "HTTPS", "hTTp")
+      www <- Gen.oneOf("", "www.", "WWW.")
+      host <- Gen.oneOf("Example.com", "a.b.example.ORG", "x-1.net")
+      port <- Gen.oneOf("", ":80", ":443", ":8080")
+      path <- Gen.oneOf("", "/", "/a", "/a/b/", "/a//")
+      query <- Gen.oneOf("", "?a=1", "?b=2&a=1", "?utm_source=z&a=1",
+        "?fbclid=f", "?a=1&a=0")
+      frag <- Gen.oneOf("", "#x", "#a?b=2")
+    } yield s"$scheme://$www$host$port$path$query$frag"
+    val urls = (0 until 200).flatMap(i =>
+      gen.apply(Gen.Parameters.default, Seed(i.toLong))).distinct
+    val once = urls.toDF("u")
+      .select(col("u"), TextOps.urlNormalize(col("u")).as("c1"))
+      .withColumn("c2", TextOps.urlNormalize(col("c1")))
+      .filter(col("c1") =!= col("c2"))
+      .collect()
+    assert(once.isEmpty,
+      s"non-idempotent: ${once.take(3).mkString("; ")}")
+  }
+
   test("domainFilter blocks exact host and subdomains only") {
     import spark.implicits._
     val hosts = Seq("ads.net", "x.ads.net", "a.b.ads.net", "notads.net",
