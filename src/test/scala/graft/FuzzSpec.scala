@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.etl.{Decode, Pcap}
+import graft.etl.{Decode, Pcap, SessionBuilder}
 import graft.expr.Parser
 
 /** Robustness under hostile input: at capture scale, truncated and
@@ -39,6 +39,38 @@ class FuzzSpec extends AnyFunSuite {
         b(i) = (b(i) ^ (1 << r.nextInt(8))).toByte
       }
       Pcap.parseFile(b, "fuzz").foreach(p => Decode.decode(p))
+    }
+  }
+
+  test("bit-flipped payloads never crash the app-layer parser chain") {
+    // The full per-session pipeline (classify + every field parser +
+    // reassembly) over mutated captures — parsers see hostile payloads
+    // routinely at capture scale and must tag/skip, never throw. A mix
+    // of protocol fixtures exercises http, dns, tls, smtp, ssh, smb,
+    // krb5/ldap (ASN.1 walkers), quic and the misc classifiers.
+    val fixtures = Seq("socks-http-example.pcap", "dns-mx.pcap",
+      "https-generalizedtime.pcap", "smtp-subject-8859-b.pcap",
+      "ssh2.pcap", "smb-smb1-ascii.pcap", "v6-http.pcap")
+    val r = new scala.util.Random(17)
+    fixtures.foreach { f =>
+      val path = java.nio.file.Paths.get(s"/root/reference/tests/pcap/$f")
+      if (java.nio.file.Files.exists(path)) {
+        val base = java.nio.file.Files.readAllBytes(path)
+        (0 until 12).foreach { _ =>
+          val b = base.clone()
+          // flip only beyond the global header so the record walker runs
+          (0 until 60).foreach { _ =>
+            val i = 24 + r.nextInt(b.length - 24)
+            b(i) = (b(i) ^ (1 << r.nextInt(8))).toByte
+          }
+          val decoded = Pcap.parseFile(b, f).flatMap(Decode.decode(_)).toSeq
+          decoded.groupBy(p => SessionBuilder.sessionKey(p)).foreach {
+            case (key, ps) =>
+              SessionBuilder.buildSessions(key, ps.iterator, "fuzz",
+                testRules = true).foreach(_ => ())
+          }
+        }
+      }
     }
   }
 
