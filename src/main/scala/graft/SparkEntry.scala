@@ -675,6 +675,11 @@ object SparkEntry {
       Multimodal.resizePlan(
         Multimodal.asMedia(docs(s, dir), col("doc_id"), col("text"), "image"),
         maxDim = 256)),
+    // M4: audio chunk planning — 5 s windows, 4 s stride (1 s overlap)
+    "m4_audio_chunks" -> ((s, dir) =>
+      Multimodal.chunkAudio(
+        Multimodal.asMedia(docs(s, dir), col("doc_id"), col("text"), "audio"),
+        winMs = 5000L, strideMs = 4000L)),
 
     // --- I1/I2/I4/I6-I8: pcap ETL (golden-tested; rows-only check here,
     //     DuckDB cannot read pcap) --------------------------------------
@@ -2173,6 +2178,18 @@ object SparkEntry {
            CAST(CASE WHEN greatest(width, height) <= 256 THEN height
              ELSE greatest(1, (height * 256) // greatest(width, height)) END AS INT) AS out_h
          FROM d ORDER BY media_id""",
+    "m4_audio_chunks" ->
+      s"""WITH h AS (SELECT doc_id AS media_id, text,
+           ${sqlHex32("text")} AS hv FROM documents),
+         a AS (SELECT media_id, text,
+           ([8000, 16000, 44100])[CAST(hv % 3 AS INT) + 1] AS sample_rate,
+           CAST((hv >> 2) % 60000 + 1000 AS BIGINT) AS dur FROM h),
+         c AS (SELECT media_id, text, sample_rate, dur,
+           CAST(unnest(range(0, dur, 4000)) AS BIGINT) AS start_ms FROM a)
+         SELECT media_id, start_ms // 4000 AS chunk_idx, sample_rate,
+           start_ms, least(5000, dur - start_ms) AS len_ms,
+           md5(text || '@' || CAST(start_ms AS VARCHAR)) AS chunk_fp
+         FROM c ORDER BY media_id, chunk_idx""",
     "e17_tagging" ->
       """SELECT event_id, concat_ws(',', event_type,
            CASE WHEN coalesce(event_type = 'purchase' AND value > 100, FALSE)

@@ -122,6 +122,46 @@ object Multimodal {
       .orderBy("media_id", "frame_idx")
   }
 
+  /** STUB audio decode, expression form (portable to SQL like
+    * [[stubDecodeMeta]]): sample rate and duration derived
+    * deterministically from the payload hash; real deployments read the
+    * WAV header via `functions.MediaHeaders` / native codecs in
+    * [[decodePartition]].
+    */
+  def stubAudioMeta(payload: Column): Column = {
+    val h = TextOps.hex32(payload)
+    struct(
+      element_at(array(lit(8000), lit(16000), lit(44100)),
+        (h % 3 + 1).cast("int")).as("sample_rate"),
+      (shiftright(h, 2) % 60000 + 1000).cast("long").as("duration_ms"))
+  }
+
+  /** M4: audio chunk planning — fixed windows with stride (the Whisper/
+    * wav2vec prep step): per clip, (start_ms, len_ms) windows where the
+    * last window is truncated at the clip end; chunk fingerprints stand
+    * in for the decoded samples exactly as [[sampleFrames]] does for
+    * frames. Scan-side explode of arithmetic starts — payload read
+    * once, never shuffled.
+    */
+  def chunkAudio(media: DataFrame, winMs: Long, strideMs: Long): DataFrame = {
+    require(winMs > 0 && strideMs > 0, "window and stride must be positive")
+    val m = stubAudioMeta(col("payload"))
+    media
+      .select(col("media_id"), col("payload"),
+        m.getField("sample_rate").as("sample_rate"),
+        m.getField("duration_ms").as("dur"))
+      .select(col("media_id"), col("sample_rate"), col("dur"), col("payload"),
+        explode(sequence(lit(0L), col("dur") - 1, lit(strideMs)))
+          .as("start_ms"))
+      .select(col("media_id"),
+        (col("start_ms") / strideMs).cast("long").as("chunk_idx"),
+        col("sample_rate"), col("start_ms").cast("long").as("start_ms"),
+        least(lit(winMs), col("dur") - col("start_ms")).as("len_ms"),
+        md5(concat(col("payload").cast("string"), lit("@"),
+          col("start_ms").cast("string"))).as("chunk_fp"))
+      .orderBy("media_id", "chunk_idx")
+  }
+
   /** Resize planning: aspect-preserving target dimensions bounding the
     * long side to `maxDim`, in exact integer math (floor division,
     * clamped to ≥ 1). Scan-side metadata only — the pixel resample
