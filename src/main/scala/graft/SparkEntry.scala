@@ -514,6 +514,16 @@ object SparkEntry {
     // D16: cross-source shared-gram overlap matrix
     "d16_source_overlap" -> ((s, dir) =>
       Dedup.sourceOverlap(docs(s, dir), col("text"), col("source"))),
+    // P12: mixture realization — weighted per-source token targets under
+    // a global budget, deterministic seeded fill per source
+    "p12_mixture_budget" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val withTok = d.select(col("source"), col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("toks"))
+      Pack.mixtureSelect(withTok, col("source"), col("doc_id"), col("toks"),
+        weights = Map("src0" -> 3L, "src1" -> 2L, "src2" -> 1L),
+        budget = 3000L)
+    }),
     // T17: vocabulary coverage — OOV ppm against the corpus top-500 vocab
     "t17_oov_rate" -> ((s, dir) =>
       TextOps.oovRate(docs(s, dir), col("text"), col("doc_id"),
@@ -2034,6 +2044,23 @@ object SparkEntry {
          WHERE NOT (host = 'cdn.example' OR host LIKE '%.cdn.example'
                  OR host = 'src4.org' OR host LIKE '%.src4.org')
          ORDER BY doc_id""",
+    "p12_mixture_budget" ->
+      s"""WITH tok AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+         t AS (SELECT d.source, d.doc_id,
+             CAST(len(tok.toks) AS BIGINT) AS n_tokens,
+             ${sqlHex32("'mix|' || CAST(d.doc_id AS VARCHAR)")} AS hv
+           FROM tok JOIN documents d USING (doc_id)
+           WHERE d.source IN ('src0', 'src1', 'src2')),
+         sel AS (SELECT source, doc_id, n_tokens,
+             CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source
+               ORDER BY hv ASC, doc_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS cum_before
+           FROM t)
+         SELECT source, doc_id, n_tokens, cum_before FROM sel
+         WHERE cum_before < CASE source WHEN 'src0' THEN 1500
+           WHEN 'src1' THEN 1000 ELSE 500 END
+         ORDER BY source, doc_id""",
     "p3_temperature_mix" ->
       """SELECT doc_id, lang FROM documents
          WHERE CAST(('0x' || substr(md5(lang || '|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000

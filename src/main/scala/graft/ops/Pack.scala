@@ -83,6 +83,109 @@ object Pack {
       .drop("_ps_bucket").drop("_ps_v")
   }
 
+  /** Per-GROUP exact prefix sum: [[prefixSum]] with an independent
+    * running total per `groupCol` value — `prev_cumsum` = sum of
+    * `valueCol` over same-group rows with a strictly smaller `orderCol`.
+    *
+    * Same two-pass design; totals are keyed (group, bucket) so the
+    * driver holds |groups|·buckets rows — meant for source/domain-style
+    * group counts (dozens to thousands), NOT per-document groups. Rows
+    * shuffle once on the bucket id and are scanned once sorted by
+    * (bucket, group, key); the scan keeps one running counter per
+    * (bucket, group) transition, resuming from the per-group offset.
+    */
+  def prefixSumBy(
+      df: DataFrame,
+      groupCol: String,
+      orderCol: String,
+      valueCol: String,
+      buckets: Int = 64): DataFrame = {
+    val head = df.agg(
+      min(col(orderCol).cast("long")), max(col(orderCol).cast("long"))).head()
+    if (head.isNullAt(0)) return df.withColumn("prev_cumsum", lit(0L))
+    val lo = head.getLong(0)
+    val span = math.max(1L, (head.getLong(1) - lo) / buckets + 1)
+    val withBucket = df
+      .withColumn("_ps_bucket",
+        floor((col(orderCol).cast("long") - lit(lo)) / lit(span)).cast("long"))
+      .withColumn("_ps_v", coalesce(col(valueCol).cast("long"), lit(0L)))
+    val totals = withBucket
+      .groupBy(col(groupCol).cast("string").as("_g"), col("_ps_bucket"))
+      .agg(sum(col("_ps_v")).as("t"))
+      .collect().map(r => ((r.getString(0), r.getLong(1)), r.getLong(2)))
+      .sortBy(_._1)
+    // per-group running offset across its buckets in key order
+    val offsets: Map[(String, Long), Long] = totals
+      .groupBy(_._1._1).toSeq
+      .flatMap { case (_, bs) =>
+        val sorted = bs.sortBy(_._1._2)
+        sorted.map(_._1).zip(sorted.scanLeft(0L)(_ + _._2)).toSeq
+      }.toMap
+    val parted = withBucket
+      .repartition(buckets, col("_ps_bucket"))
+      .sortWithinPartitions(col("_ps_bucket"), col(groupCol), col(orderCol))
+    val gIdx = parted.schema.fieldIndex(groupCol)
+    val bIdx = parted.schema.fieldIndex("_ps_bucket")
+    val vIdx = parted.schema.fieldIndex("_ps_v")
+    val outSchema = StructType(
+      parted.schema.fields :+ StructField("prev_cumsum", LongType, nullable = false))
+    parted.mapPartitions { it =>
+      var curBucket = Long.MinValue
+      var curGroup: String = null
+      var running = 0L
+      it.map { r =>
+        val b = r.getLong(bIdx)
+        val g = String.valueOf(r.get(gIdx))
+        if (b != curBucket || g != curGroup) {
+          curBucket = b; curGroup = g
+          running = offsets.getOrElse((g, b), 0L)
+        }
+        val out = Row.fromSeq(r.toSeq :+ running)
+        running += r.getLong(vIdx)
+        out
+      }
+    }(Encoders.row(outSchema))
+      .drop("_ps_bucket").drop("_ps_v")
+  }
+
+  /** P12: dataset-mixture realization under a global token budget —
+    * "sample each source at weight w_s until budget·w_s/Σw tokens":
+    * per-source integer token targets, then a deterministic seeded
+    * selection (md5-rank order) greedily filling each target; the
+    * straddling document is kept, as in [[tokenBudgetSelect]].
+    *
+    * Scale: one [[prefixSumBy]] keyed by source over a packed
+    * (hash, id) order key — no per-source window, no global sort;
+    * targets are a driver map compiled into the plan. Contract:
+    * 0 ≤ id < 2³¹ (the packed key is hv·2³¹ + id).
+    */
+  def mixtureSelect(
+      df: DataFrame, sourceCol: Column, idCol: Column, tokensCol: Column,
+      weights: Map[String, Long], budget: Long,
+      seed: String = "mix"): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "weights must be positive")
+    val wSum = weights.values.sum
+    val targets: Map[String, Long] =
+      weights.map { case (s, w) => s -> budget * w / wSum }
+    val hv = TextOps.hex32(
+      concat_ws("|", lit(seed), idCol.cast("string")))
+    val base = df
+      .select(sourceCol.as("source"), idCol.cast("long").as("doc_id"),
+        tokensCol.cast("long").as("n_tokens"))
+      .filter(col("source").isInCollection(weights.keys.toSeq))
+      .withColumn("okey", hv * lit(1L << 31) + col("doc_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val target = targets.foldLeft(lit(0L)) { case (acc, (s, t)) =>
+      when(col("source") === s, lit(t)).otherwise(acc)
+    }
+    prefixSumBy(base, "source", "okey", "n_tokens")
+      .filter(col("prev_cumsum") < target)
+      .select(col("source"), col("doc_id"), col("n_tokens"),
+        col("prev_cumsum").as("cum_before"))
+      .orderBy("source", "doc_id")
+  }
+
   /** Cross-document sequence packing: documents are laid out in id order
     * as one concatenated token stream, cut into fixed `ctxLen`-token
     * training contexts. Emits per document its context assignment:

@@ -911,6 +911,38 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpecBase {
     assert(!out.contains(("big", "other")) && !out.contains(("other", "small")))
   }
 
+  test("prefixSumBy equals the per-group window on every row") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val r = new scala.util.Random(23)
+    val rows = (0 until 500).map(i =>
+      (s"g${r.nextInt(5)}", i.toLong * 7 + r.nextInt(3), r.nextInt(40).toLong))
+    val df = rows.toDF("g", "k", "v").dropDuplicates("g", "k")
+    val got = graft.ops.Pack.prefixSumBy(df, "g", "k", "v", buckets = 8)
+      .select("g", "k", "prev_cumsum")
+    val want = df.withColumn("prev_cumsum",
+      coalesce(sum("v").over(Window.partitionBy("g").orderBy("k")
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("g", "k", "prev_cumsum")
+    assert(got.except(want).isEmpty && want.except(got).isEmpty)
+  }
+
+  test("mixtureSelect: per-source targets respected, one straddler each") {
+    import spark.implicits._
+    val d = (0 until 60).map(i =>
+      (s"s${i % 3}", i.toLong, 10L)).toDF("source", "doc_id", "toks")
+    val out = graft.ops.Pack.mixtureSelect(d, col("source"), col("doc_id"),
+      col("toks"), weights = Map("s0" -> 2L, "s1" -> 1L), budget = 90L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+    // targets: s0 = 90*2/3 = 60 tokens → 6 docs; s1 = 30 → 3 docs;
+    // s2 absent (no weight)
+    val bySrc = out.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(bySrc == Map("s0" -> 6, "s1" -> 3))
+    // each kept doc's cum_before is below its source target
+    assert(out.filter(_._1 == "s0").forall(_._3 < 60L))
+    assert(out.filter(_._1 == "s1").forall(_._3 < 30L))
+  }
+
   test("urlNormalize is idempotent over generated URL shapes") {
     import spark.implicits._
     import org.scalacheck.Gen
