@@ -362,6 +362,14 @@ object SparkEntry {
         col("text"), col("doc_id"), k = 3)
         .orderBy("doc_id", "bench_id")
     }),
+    // D17: decontamination removal — corpus minus docs sharing ≥2
+    // trigram hashes with the held-out benchmark slice
+    "d17_decontaminate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.decontaminate(
+        d.filter(col("doc_id") % 97 =!= 0), d.filter(col("doc_id") % 97 === 0),
+        col("text"), col("doc_id"), k = 3, minShared = 2)
+    }),
     // D11: the full dedup pipeline — candidates → connected groups →
     // canonical survivor (min doc_id) per group, i.e. the deduplicated
     // corpus a training run would actually consume. The groups side holds
@@ -1502,6 +1510,21 @@ object SparkEntry {
          FROM corp c JOIN bench b USING(g)
          GROUP BY c.doc_id, b.bench_id
          ORDER BY doc_id, bench_id""",
+    "d17_decontaminate" ->
+      s"""WITH tok AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+         sh AS (SELECT doc_id, list_distinct(list_transform(
+             ${sqlShingles("toks", 3)}, s -> ${sqlHex32("s")})) AS s
+           FROM tok WHERE len(toks) >= 3),
+         bench AS (SELECT doc_id AS bench_id, unnest(s) AS g FROM sh
+           WHERE doc_id % 97 = 0),
+         corp AS (SELECT doc_id, unnest(s) AS g FROM sh
+           WHERE doc_id % 97 <> 0),
+         bad AS (SELECT DISTINCT doc_id FROM (
+           SELECT c.doc_id, b.bench_id FROM corp c JOIN bench b USING (g)
+           GROUP BY c.doc_id, b.bench_id HAVING count(*) >= 2))
+         SELECT doc_id FROM documents
+         WHERE doc_id % 97 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)
+         ORDER BY doc_id""",
     "t7_repetition" ->
       s"""WITH tok AS (SELECT doc_id, $sqlToks AS toks FROM documents),
          sh AS (SELECT doc_id,

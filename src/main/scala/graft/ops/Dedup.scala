@@ -486,6 +486,23 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** D17: benchmark decontamination, the REMOVAL step — drop every
+    * corpus document sharing at least `minShared` distinct k-gram
+    * hashes with any benchmark document ([[contaminationPairs]] is the
+    * detection half). Anti-join on the flagged ids: the flagged side is
+    * the contaminated fraction only, so AQE broadcasts it at real-world
+    * contamination rates.
+    */
+  def decontaminate(corpus: DataFrame, bench: DataFrame, text: Column,
+      idCol: Column, k: Int = 3, minShared: Long = 2): DataFrame = {
+    val bad = contaminationPairs(corpus, bench, text, idCol, k)
+      .filter(col("n_shared") >= minShared)
+      .select("doc_id").distinct()
+    corpus.select(idCol.as("doc_id"))
+      .join(bad, Seq("doc_id"), "left_anti")
+      .orderBy("doc_id")
+  }
+
   /** Exact-substring shared spans (Lee et al. 2022, "Deduplicating
     * Training Data Makes Language Models Better"), re-expressed
     * relationally: a token k-gram whose hash occurs ≥ 2 times anywhere in
