@@ -370,6 +370,16 @@ object SparkEntry {
         d.filter(col("doc_id") % 97 =!= 0), d.filter(col("doc_id") % 97 === 0),
         col("text"), col("doc_id"), k = 3, minShared = 2)
     }),
+    // D18: dup-cluster size histogram — the corpus-health stat every
+    // dedup run reports (how many clusters of each size)
+    "d18_dedup_stats" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.resolveGroups(
+        Dedup.minhashCandidates(d, col("text"), col("doc_id"), star = true))
+        .groupBy("group_id").agg(count(lit(1)).as("group_size"))
+        .groupBy("group_size").agg(count(lit(1)).as("n_groups"))
+        .orderBy("group_size")
+    }),
     // D11: the full dedup pipeline — candidates → connected groups →
     // canonical survivor (min doc_id) per group, i.e. the deduplicated
     // corpus a training run would actually consume. The groups side holds
@@ -916,6 +926,33 @@ object SparkEntry {
     s"list_transform(range(1, len($toks)-${k - 2}), i -> array_to_string($toks[i:i+${k - 1}], ' '))"
   private def sqlHex32(c: String) =
     s"CAST(('0x' || substr(md5($c), 1, 8)) AS BIGINT)"
+  /** The MinHash-LSH → connected-components chain as reusable CTEs
+    * ending in `dgroups(doc_id, group_id)` — shared by the d6/d11/d18
+    * oracles. Use with a `WITH RECURSIVE` prefix.
+    */
+  private def sqlGroupsCtes: String =
+    s"""tok AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+       sh AS (SELECT doc_id, unnest(${sqlShingles("toks", 3)}) AS s
+              FROM tok WHERE len(toks) >= 3),
+       hs AS (SELECT doc_id, ${sqlHex32("s")} AS h FROM sh),
+       sig AS (SELECT doc_id, $sqlMinhashCols FROM hs GROUP BY doc_id),
+       bandrows AS (
+         SELECT doc_id, b AS band_id, $sqlBandKey AS band_key
+         FROM sig, range(0, 4) t(b)),
+       pairs AS (
+         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM bandrows a JOIN bandrows b
+           ON a.band_id = b.band_id AND a.band_key = b.band_key
+           AND a.doc_id < b.doc_id),
+       edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+                 UNION SELECT doc_b, doc_a FROM pairs),
+       reach(id, r) AS (
+         SELECT DISTINCT s, s FROM edges
+         UNION
+         SELECT e.s, reach.r FROM edges e JOIN reach ON e.d = reach.id),
+       dgroups AS (SELECT id AS doc_id, min(r) AS group_id FROM reach
+         GROUP BY id)"""
+
   /** The s1/s2 ANN oracles as standalone statements — also embedded as
     * subqueries by the s8 recall oracle.
     */
@@ -1409,27 +1446,14 @@ object SparkEntry {
            AND a.doc_id < b.doc_id
          ORDER BY doc_a, doc_b""",
     "d6_dedup_groups" ->
-      s"""WITH RECURSIVE tok AS (SELECT doc_id, $sqlToks AS toks FROM documents),
-         sh AS (SELECT doc_id, unnest(${sqlShingles("toks", 3)}) AS s
-                FROM tok WHERE len(toks) >= 3),
-         hs AS (SELECT doc_id, ${sqlHex32("s")} AS h FROM sh),
-         sig AS (SELECT doc_id, $sqlMinhashCols FROM hs GROUP BY doc_id),
-         bandrows AS (
-           SELECT doc_id, b AS band_id, $sqlBandKey AS band_key
-           FROM sig, range(0, 4) t(b)),
-         pairs AS (
-           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-           FROM bandrows a JOIN bandrows b
-             ON a.band_id = b.band_id AND a.band_key = b.band_key
-             AND a.doc_id < b.doc_id),
-         edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
-                   UNION SELECT doc_b, doc_a FROM pairs),
-         reach(id, r) AS (
-           SELECT DISTINCT s, s FROM edges
-           UNION
-           SELECT e.s, reach.r FROM edges e JOIN reach ON e.d = reach.id)
-         SELECT id AS doc_id, min(r) AS group_id FROM reach
-         GROUP BY id ORDER BY doc_id""",
+      s"""WITH RECURSIVE $sqlGroupsCtes
+         SELECT doc_id, group_id FROM dgroups ORDER BY doc_id""",
+    "d18_dedup_stats" ->
+      s"""WITH RECURSIVE $sqlGroupsCtes,
+         g AS (SELECT group_id, count(*) AS group_size FROM dgroups
+               GROUP BY group_id)
+         SELECT group_size, count(*) AS n_groups FROM g
+         GROUP BY group_size ORDER BY group_size""",
     "d11_dedup_pipeline" ->
       s"""WITH RECURSIVE tok AS (SELECT doc_id, $sqlToks AS toks FROM documents),
          sh AS (SELECT doc_id, unnest(${sqlShingles("toks", 3)}) AS s
