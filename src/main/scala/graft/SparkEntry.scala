@@ -370,6 +370,9 @@ object SparkEntry {
         d.filter(col("doc_id") % 97 =!= 0), d.filter(col("doc_id") % 97 === 0),
         col("text"), col("doc_id"), k = 3, minShared = 2)
     }),
+    // D19: estimated Jaccard (ppm) per LSH candidate pair
+    "d19_minhash_estimates" -> ((s, dir) =>
+      Dedup.minhashEstimates(docs(s, dir), col("text"), col("doc_id"))),
     // D18: dup-cluster size histogram — the corpus-health stat every
     // dedup run reports (how many clusters of each size)
     "d18_dedup_stats" -> ((s, dir) => {
@@ -1448,6 +1451,17 @@ object SparkEntry {
     "d6_dedup_groups" ->
       s"""WITH RECURSIVE $sqlGroupsCtes
          SELECT doc_id, group_id FROM dgroups ORDER BY doc_id""",
+    "d19_minhash_estimates" ->
+      s"""WITH RECURSIVE $sqlGroupsCtes,
+         est AS (SELECT p.doc_a, p.doc_b,
+             ${(0 until 12).map(j =>
+               s"(CASE WHEN a.mh$j = b.mh$j THEN 1 ELSE 0 END)")
+               .mkString(" + ")} AS n_equal
+           FROM pairs p JOIN sig a ON p.doc_a = a.doc_id
+           JOIN sig b ON p.doc_b = b.doc_id)
+         SELECT doc_a, doc_b, CAST(n_equal AS BIGINT) AS n_equal,
+           CAST(n_equal * 1000000 // 12 AS BIGINT) AS est_jaccard_ppm
+         FROM est ORDER BY doc_a, doc_b""",
     "d18_dedup_stats" ->
       s"""WITH RECURSIVE $sqlGroupsCtes,
          g AS (SELECT group_id, count(*) AS group_size FROM dgroups

@@ -48,19 +48,19 @@ object Dedup {
   /** LSH band rows: (doc_id, band_id, band_key), `bands` bands of
     * `rowsPerBand` min-hashes each; band key = joined min-hash values.
     */
-  def minhashBands(
+  /** Per-document MinHash signatures as one array column — the fused
+    * kernel behind [[minhashBands]]: one JVM call per document computes
+    * all permutation minima over the shingle hashes (no shingle explode,
+    * no (doc, shingle)-row shuffle; map-side at any scale). Values are
+    * identical to the explode + groupBy(min) formulation.
+    */
+  def minhashSignature(
       df: DataFrame, text: Column, idCol: Column,
-      shingleK: Int, bands: Int, rowsPerBand: Int): DataFrame = {
-    // Fully fused signature: one JVM call per document computes all
-    // bands·rowsPerBand permutation minima over the shingle hashes —
-    // no shingle explode and no (doc, shingle)-row shuffle at all. The
-    // values are identical to the explode + groupBy(min) formulation
-    // (same base hashes, same permutations), the plan is scan → project
-    // → posexplode: signature work stays map-side at any scale.
-    val nh = bands * rowsPerBand
-    val as = (0 until nh).map(minhashA).toArray
-    val bs = (0 until nh).map(minhashB).toArray
+      shingleK: Int, nHashes: Int): DataFrame = {
+    val as = (0 until nHashes).map(minhashA).toArray
+    val bs = (0 until nHashes).map(minhashB).toArray
     val k = shingleK
+    val nh = nHashes
     val sigUdf = udf { (s: String) =>
       val hs = graft.functions.ShingleHashes.hashes(s, k, distinct = false)
       if (hs.isEmpty) null
@@ -82,8 +82,14 @@ object Dedup {
         out
       }
     }
-    val sig = df.select(idCol.as("doc_id"), sigUdf(text).as("sig"))
+    df.select(idCol.as("doc_id"), sigUdf(text).as("sig"))
       .filter(col("sig").isNotNull)
+  }
+
+  def minhashBands(
+      df: DataFrame, text: Column, idCol: Column,
+      shingleK: Int, bands: Int, rowsPerBand: Int): DataFrame = {
+    val sig = minhashSignature(df, text, idCol, shingleK, bands * rowsPerBand)
     val bandCols = (0 until bands).map { b =>
       concat_ws("|", (0 until rowsPerBand).map(r =>
         col("sig").getItem(b * rowsPerBand + r).cast("string")): _*)
@@ -664,6 +670,34 @@ object Dedup {
       .groupBy("url")
       .agg(min("doc_id").as("keeper"), count(lit(1)).as("n_dups"))
       .orderBy("url")
+  }
+
+  /** D19: estimated Jaccard per LSH candidate pair — the similarity
+    * score real dedup runs threshold on before dropping a document:
+    * fraction of equal MinHash components, integer ppm. Candidates come
+    * from [[minhashCandidates]] (never all pairs); the signature frame
+    * joins in twice keyed by doc id — candidate volume is ~linear in
+    * true near-dups, so both joins are small-side at real dup rates.
+    */
+  def minhashEstimates(
+      df: DataFrame, text: Column, idCol: Column,
+      shingleK: Int = 3, bands: Int = 4, rowsPerBand: Int = 3): DataFrame = {
+    val nh = bands * rowsPerBand
+    val pairs = minhashCandidates(df, text, idCol, shingleK, bands, rowsPerBand)
+    val sig = minhashSignature(df, text, idCol, shingleK, nh)
+    val eq = aggregate(
+      zip_with(col("sig_a"), col("sig_b"),
+        (x, y) => when(x === y, 1L).otherwise(0L)),
+      lit(0L), (acc, v) => acc + v)
+    pairs
+      .join(sig.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")),
+        Seq("doc_a"))
+      .join(sig.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        eq.as("n_equal"),
+        (eq * 1000000L / nh).cast("long").as("est_jaccard_ppm"))
+      .orderBy("doc_a", "doc_b")
   }
 
   /** D16: cross-source overlap matrix — the dataset-audit question "how
