@@ -209,6 +209,35 @@ object Similarity {
       .saveAsTable(table)
   }
 
+  /** Incremental index maintenance: fold a NEW batch of vectors into an
+    * existing [[ivfWriteIndex]] table without rebuilding — assign cells
+    * with the SAME frozen codebook and `INSERT INTO` the bucketed table
+    * (the writer re-buckets only the new rows; existing files never
+    * move or re-shuffle). The ANN twin of the incremental dedup index:
+    * at 100 TB the corpus indexes once, each ingest batch appends.
+    * Re-train + full rebuild only when codebook drift degrades recall
+    * (measured via [[recallAtK]]).
+    */
+  def ivfAppendIndex(
+      newVecs: DataFrame, vecCol: String, idCol: String,
+      centroids: Seq[Seq[Double]], table: String): Unit = {
+    val spark = newVecs.sparkSession
+    import spark.implicits._
+    val cents = centroids.zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("cell", "centv")
+    val topCell = TopK.longIds(1)
+    newVecs.select(col(idCol).as("neighbor_id"),
+        toDouble(col(vecCol)).as("v"))
+      .crossJoin(broadcast(cents))
+      .withColumn("cdot", dot(col("v"), col("centv")))
+      .groupBy(col("neighbor_id"))
+      .agg(topCell(col("cdot"), col("cell")).as("cells"),
+        first(col("v")).as("v"))
+      .select(col("neighbor_id"), pack(col("v")).as("neighbor_id_p"),
+        col("cells.id").getItem(0).as("cell"))
+      .write.mode("append").insertInto(table)
+  }
+
   /** Probe the materialized index: assign each query its nProbe cells,
     * read ONLY those buckets, score within them. Returns the same rows
     * as [[ivfTopK]] with the same centroids.

@@ -316,6 +316,25 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpecBase {
       s"expected bucket pruning in scan:\n$scan")
   }
 
+  test("ivfAppendIndex: append equals full rebuild, no index re-shuffle") {
+    val cents = emb.filter(col("vec_id") < 4).orderBy("vec_id")
+      .select(Similarity.toDouble(col("embedding"))).collect()
+      .map(_.getSeq[Double](0).toSeq).toSeq
+    val half = emb.filter(col("vec_id") % 2 === 0)
+    val rest = emb.filter(col("vec_id") % 2 === 1)
+    Similarity.ivfWriteIndex(half, "embedding", "vec_id", cents,
+      "ivf_idx_incr", nBuckets = 4)
+    Similarity.ivfAppendIndex(rest, "embedding", "vec_id", cents,
+      "ivf_idx_incr")
+    Similarity.ivfWriteIndex(emb, "embedding", "vec_id", cents,
+      "ivf_idx_full", nBuckets = 4)
+    val queries = emb.filter(col("vec_id") < 3)
+    def run(t: String) = Similarity.ivfProbeIndex(spark, t, queries,
+      "embedding", "vec_id", 5, cents, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(run("ivf_idx_incr").toSeq == run("ivf_idx_full").toSeq)
+  }
+
   test("lsh buckets agree between corpus and query side") {
     val res = Similarity.lshTopK(emb, emb.filter(col("vec_id") < 3),
       "embedding", "vec_id", 3)
