@@ -370,6 +370,17 @@ object SparkEntry {
         d.filter(col("doc_id") % 97 =!= 0), d.filter(col("doc_id") % 97 === 0),
         col("text"), col("doc_id"), k = 3, minShared = 2)
     }),
+    // S9: time-series pattern search — top-10 windows across all node
+    // series closest to a 3-day spike shape (integer-cents distances)
+    "s9_series_match" -> ((s, dir) => {
+      val e = ev(s, dir).filter(col("user_id").isNotNull)
+      val series = e.groupBy(
+          concat(lit("node"), col("user_id") % 4).as("node"),
+          floor(unix_timestamp(col("ts")) / 86400).cast("long").as("day"))
+        .agg(sum(floor(col("value") * 100).cast("long")).as("cents"))
+      graft.ops.Series.patternMatch(series, col("node"), col("day"),
+        col("cents"), pattern = Seq(100000L, 200000L, 100000L), k = 10)
+    }),
     // D19: estimated Jaccard (ppm) per LSH candidate pair
     "d19_minhash_estimates" -> ((s, dir) =>
       Dedup.minhashEstimates(docs(s, dir), col("text"), col("doc_id"))),
@@ -1451,6 +1462,28 @@ object SparkEntry {
     "d6_dedup_groups" ->
       s"""WITH RECURSIVE $sqlGroupsCtes
          SELECT doc_id, group_id FROM dgroups ORDER BY doc_id""",
+    "s9_series_match" ->
+      """WITH s AS (SELECT 'node' || CAST(user_id % 4 AS VARCHAR) AS key,
+           CAST(floor(epoch(ts) / 86400) AS BIGINT) AS bucket,
+           sum(CAST(floor(value * 100) AS BIGINT)) AS v
+         FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2),
+         ser AS (SELECT key,
+             list_transform(l, x -> x.bucket) AS buckets,
+             list_transform(l, x -> x.v) AS vals
+           FROM (SELECT key,
+               list_sort(list(struct_pack(bucket := bucket, v := v))) AS l
+             FROM s GROUP BY key)
+           WHERE len(l) >= 3),
+         w AS (SELECT key, buckets, vals,
+             CAST(unnest(range(1, len(vals) - 1)) AS INT) AS start FROM ser),
+         d AS (SELECT key, buckets[start] AS start_bucket,
+             (vals[start] - 100000) * (vals[start] - 100000)
+             + (vals[start + 1] - 200000) * (vals[start + 1] - 200000)
+             + (vals[start + 2] - 100000) * (vals[start + 2] - 100000)
+               AS dist
+           FROM w)
+         SELECT key, start_bucket, dist FROM d
+         ORDER BY dist ASC, key ASC, start_bucket ASC LIMIT 10""",
     "d19_minhash_estimates" ->
       s"""WITH RECURSIVE $sqlGroupsCtes,
          est AS (SELECT p.doc_a, p.doc_b,

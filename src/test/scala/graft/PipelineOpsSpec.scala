@@ -335,6 +335,22 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpecBase {
     assert(run("ivf_idx_incr").toSeq == run("ivf_idx_full").toSeq)
   }
 
+  test("Series.patternMatch finds the planted window at distance zero") {
+    import spark.implicits._
+    val pts = Seq.tabulate(20)(i => ("a", i.toLong, 5L)) ++
+      Seq(("b", 0L, 5L), ("b", 1L, 9L), ("b", 2L, 7L), ("b", 3L, 5L)) ++
+      Seq.tabulate(10)(i => ("b", i + 4L, 5L))
+    val df = pts.toDF("k", "t", "v")
+    val out = graft.ops.Series.patternMatch(df, col("k"), col("t"), col("v"),
+      pattern = Seq(9L, 7L, 5L), k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // exact occurrence at b@1; every 'a' window distance = (5-9)²+(5-7)²+0 = 20
+    assert(out.head == (("b", 1L, 0L)))
+    assert(out.tail.forall(_._3 > 0L))
+    assert(out(1) == (("b", 2L, 8L)))  // (7,5,5): 4+4+0
+    assert(out(2) == (("a", 0L, 20L))) // a-windows tie, key+start break
+  }
+
   test("lsh buckets agree between corpus and query side") {
     val res = Similarity.lshTopK(emb, emb.filter(col("vec_id") < 3),
       "embedding", "vec_id", 3)
