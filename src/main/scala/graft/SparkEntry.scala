@@ -305,6 +305,42 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // --- I13/WISE service: multi-source domain lookup with the
+    // exact-first one-label-stripped fallback (simpleSource.js:65-71)
+    // and suffix exclusion (wise.c:510-517) ------------------------------
+    "i18_wise_domain" -> ((s, dir) => {
+      import s.implicits._
+      val f = ev(s, dir).filter(col("user_id").isNotNull)
+        .select(col("event_id"),
+          concat(lit("w"), col("event_id") % 7, lit("."),
+            col("event_type"), col("user_id") % 20, lit(".com")).as("host"))
+      val fileSrc = graft.ops.Wise.Source("filesrc", "domain",
+        Seq(("purchase3.com", "intel", "bad"),
+          ("w1.click7.com", "intel", "worse"),
+          ("click7.com", "intel", "meh")).toDF("key", "field", "value"))
+      val urlSrc = graft.ops.Wise.Source("urlsrc", "domain",
+        Seq(("error5.com", "score", "9"),
+          ("purchase3.com", "score", "7")).toDF("key", "field", "value"))
+      graft.ops.Wise.lookup(f, col("event_id"), col("host"), "domain",
+        Seq(fileSrc, urlSrc), excludes = Seq(".view9.com"))
+        .orderBy("id", "source", "field", "value")
+    }),
+
+    // --- I13/WISE service: CIDR intel with longest-prefix-wins trie
+    // semantics as two hash joins (iptrie / simpleSource.js:60-63) -------
+    "i19_wise_cidr" -> ((s, dir) => {
+      import s.implicits._
+      val geo = graft.ops.Wise.Source("geo", "ip",
+        Seq(("10.0.0.0/8", "scope", "corp"),
+          ("10.5.0.0/16", "scope", "lab"),
+          ("10.5.7.0/24", "scope", "rack")).toDF("key", "field", "value"))
+      val threat = graft.ops.Wise.Source("threat", "ip",
+        Seq(("10.100.0.0/14", "threat", "scan")).toDF("key", "field", "value"))
+      graft.ops.Wise.lookupIp(ipEv(s, dir), col("event_id"), col("srcIp"),
+        Seq(geo, threat))
+        .orderBy("id", "source", "cidr", "field", "value")
+    }),
+
     // --- I4: sessionization (batch gaps-and-islands) ---------------------
     "i4_sessionize" -> ((s, dir) =>
       Sessionize.sessionize(ev(s, dir), col("user_id"), col("ts"),
@@ -1399,6 +1435,53 @@ object SparkEntry {
                  FROM intel GROUP BY key)
          SELECT event_id, intel FROM events
          LEFT JOIN agg ON event_type = key ORDER BY event_id""",
+    "i18_wise_domain" ->
+      """WITH f AS (SELECT event_id,
+           'w' || (event_id % 7) || '.' || event_type || (user_id % 20)
+             || '.com' AS host
+         FROM events WHERE user_id IS NOT NULL),
+         fx AS (SELECT * FROM f WHERE NOT host LIKE '%.view9.com'),
+         intel(source, key, field, value) AS (VALUES
+           ('filesrc', 'purchase3.com', 'intel', 'bad'),
+           ('filesrc', 'w1.click7.com', 'intel', 'worse'),
+           ('filesrc', 'click7.com', 'intel', 'meh'),
+           ('urlsrc', 'error5.com', 'score', '9'),
+           ('urlsrc', 'purchase3.com', 'score', '7')),
+         cands AS (
+           SELECT event_id, 0 AS pref, host AS key FROM fx
+           UNION ALL
+           SELECT event_id, 1, regexp_replace(host, '^[^.]*\.', '')
+           FROM fx WHERE regexp_replace(host, '^[^.]*\.', '') <> host),
+         hits AS (SELECT c.event_id, i.source, c.pref, i.field, i.value
+                  FROM cands c JOIN intel i ON i.key = c.key),
+         best AS (SELECT event_id, source, min(pref) AS mp
+                  FROM hits GROUP BY 1, 2)
+         SELECT h.event_id AS id, h.source, h.field, h.value
+         FROM hits h JOIN best b
+           ON h.event_id = b.event_id AND h.source = b.source
+              AND h.pref = b.mp
+         ORDER BY id, h.source, h.field, h.value""",
+    "i19_wise_cidr" ->
+      """WITH f AS (SELECT event_id,
+           CAST(10 * 16777216 + (user_id % 250) * 65536
+                + (event_id % 200) * 256 + 1 AS BIGINT) AS ipLong
+         FROM events WHERE user_id IS NOT NULL),
+         intel(source, cidr, field, value, plen, net) AS (VALUES
+           ('geo', '10.0.0.0/8', 'scope', 'corp', 8, 10),
+           ('geo', '10.5.0.0/16', 'scope', 'lab', 16, 2565),
+           ('geo', '10.5.7.0/24', 'scope', 'rack', 24, 656647),
+           ('threat', '10.100.0.0/14', 'threat', 'scan', 14, 665)),
+         hits AS (SELECT f.event_id, i.source, i.plen, i.cidr, i.field,
+                         i.value
+                  FROM f JOIN intel i
+                    ON (f.ipLong >> (32 - i.plen)) = i.net),
+         best AS (SELECT event_id, source, max(plen) AS bp
+                  FROM hits GROUP BY 1, 2)
+         SELECT h.event_id AS id, h.source, h.cidr, h.field, h.value
+         FROM hits h JOIN best b
+           ON h.event_id = b.event_id AND h.source = b.source
+              AND h.plen = b.bp
+         ORDER BY id, h.source, h.cidr, h.field, h.value""",
     "e8_unique_ippair" ->
       """WITH d AS (SELECT
            '10.' || (user_id % 250) || '.' || (event_id % 200) || '.1'

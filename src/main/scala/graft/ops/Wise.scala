@@ -1,0 +1,210 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** WISE service model — the reference's standalone intel service plus its
+  * capture-side client (wiseService/wiseService.js, wiseService/
+  * simpleSource.js, capture/plugins/wise.c).
+  *
+  * The service combines many typed sources (file/redis/url/reversedns/…,
+  * wiseService/source.*.js); a lookup dispatches the value to every source
+  * registered for that type and unions the per-source results
+  * (wiseService.js:948-1110). Types and their matching rules:
+  *
+  *   - `ip`     — entries may be CIDRs, kept in an IP trie; a lookup finds
+  *                the most-specific covering entry (simpleSource.js:60-63,
+  *                iptrie).
+  *   - `domain` — the capture client strips any `http[s]://` prefix and
+  *                refuses values that cannot be DNS names
+  *                (wise.c:461-518); each source answers with the EXACT
+  *                domain if it has it, else falls back to the one-label-
+  *                stripped parent (simpleSource.js:65-71). Exclusion is by
+  *                suffix list (wise.c:510-517).
+  *   - `md5`/`sha256`/`email`/`url`/`ja3` — exact-key lookups (url minus
+  *                protocol, funcName wiseService.js:879-885).
+  *
+  * Spark-first shape: intel sources are tiny next to 100 TB of sessions,
+  * so every lookup is a BROADCAST equi-join; the fact side never
+  * shuffles. Non-exact matching never becomes a nested-loop join:
+  *   - domain fallback: the ≤2 candidate keys (exact, parent) are
+  *     exploded map-side, equi-joined, and the exact-first preference is
+  *     resolved by a per-(fact,source) min-preference aggregate;
+  *   - CIDR: the (few) distinct prefix lengths present in the intel are
+  *     compiled into the plan; each fact row emits one truncated-network
+  *     candidate per length (map-side explode), equi-joins on the network
+  *     key, and a max_by(prefixLen) aggregate keeps the most-specific
+  *     entry — the trie's longest-prefix semantics as two narrow
+  *     hash-joins, no BroadcastNestedLoop at any scale.
+  */
+object Wise {
+
+  /** One configured source (a `[section]` in wiseService.ini): typed
+    * entries plus source-level tags applied to every hit
+    * (wiseSource.js tagsSetting).
+    * `entries` columns: `key`, `field`, `value` (string each).
+    */
+  final case class Source(
+      name: String,
+      typ: String,
+      entries: DataFrame,
+      tags: Seq[String] = Nil)
+
+  /** Candidate lookup keys for a value, most-preferred first.
+    * pref 0 = exact (protocol-stripped), pref 1 = one-label-stripped
+    * parent (domain only, simpleSource.js:70).
+    */
+  def candidates(value: Column, typ: String): Column = typ match {
+    case "domain" =>
+      val d = regexp_replace(lower(value), "^https?://", "")
+      // exact first; parent only when stripping changed something
+      filter(
+        array(
+          struct(lit(0).as("pref"), d.as("key")),
+          struct(lit(1).as("pref"),
+            regexp_replace(d, "^[^.]*\\.", "").as("key"))),
+        c => c.getField("pref") === 0 ||
+          c.getField("key") =!= d)
+    case "url" =>
+      array(struct(lit(0).as("pref"),
+        regexp_replace(value, "^https?://", "").as("key")))
+    case _ =>
+      array(struct(lit(0).as("pref"), value.as("key")))
+  }
+
+  /** Per-type exclusion predicate (wise.c:510-517 — domains by suffix,
+    * IPs by covering CIDR, everything else literal).
+    */
+  def excluded(value: Column, typ: String, excludes: Seq[String]): Column =
+    if (excludes.isEmpty) lit(false)
+    else typ match {
+      case "domain" =>
+        // protocol is stripped before the exclude check (wise.c:461-517)
+        val d = regexp_replace(lower(value), "^https?://", "")
+        excludes.map(s => d.endsWith(s)).reduce(_ || _)
+      case "ip" =>
+        excludes.map(c => graft.functions.IpFunctions.ipInCidr(value, c))
+          .reduce(_ || _)
+      case _ => excludes.map(e => value === lit(e)).reduce(_ || _)
+    }
+
+  /** Union the entries of all sources of one type into a single
+    * broadcastable intel frame (source, key, field, value).
+    */
+  private def unionIntel(sources: Seq[Source]): DataFrame = {
+    require(sources.nonEmpty, "at least one source")
+    sources.map { s =>
+      s.entries.select(lit(s.name).as("source"), col("key"),
+        col("field"), col("value"))
+    }.reduce(_ union _)
+  }
+
+  /** Exact / domain-fallback lookup: every hit row is
+    * (idCol, source, field, value), exact-key hits shadowing parent-key
+    * hits per source (simpleSource.js:65-71). `facts` never shuffles on
+    * its own columns: the only exchanges are the broadcast of the intel
+    * and the per-(id, source) preference aggregate over HITS (bounded by
+    * the intel fan-out, a tiny fraction of the fact table).
+    */
+  def lookup(
+      facts: DataFrame,
+      idCol: Column,
+      valueCol: Column,
+      typ: String,
+      sources: Seq[Source],
+      excludes: Seq[String] = Nil): DataFrame = {
+    val intel = unionIntel(sources)
+    val cands = facts
+      .filter(valueCol.isNotNull && !excluded(valueCol, typ, excludes))
+      .select(idCol.as("_id"),
+        explode(candidates(valueCol, typ)).as("_cand"))
+      .select(col("_id"), col("_cand.pref").as("_pref"),
+        col("_cand.key").as("_key"))
+    val hits = cands
+      .join(broadcast(intel), col("_key") === col("key"))
+      .select(col("_id"), col("source"), col("_pref"),
+        col("field"), col("value"))
+    // exact-first fallback: per (fact, source) keep only the rows at the
+    // minimum preference seen. One partial-agg shuffle over hits.
+    hits.groupBy(col("_id"), col("source"))
+      .agg(min(col("_pref")).as("_mp"),
+        collect_list(struct(col("_pref"), col("field"), col("value")))
+          .as("_rows"))
+      .select(col("_id"), col("source"),
+        explode(expr("filter(_rows, r -> r._pref = _mp)")).as("_r"))
+      .select(col("_id").as("id"), col("source"),
+        col("_r.field").as("field"), col("_r.value").as("value"))
+  }
+
+  /** CIDR (`ip` type) lookup with longest-prefix-wins trie semantics.
+    * `sources` entries' `key` column holds v4 CIDRs (`a.b.c.d/len`).
+    * The distinct prefix lengths are read from the intel (driver-side
+    * collect of the already-tiny dimension) and compiled into the plan;
+    * each fact row then emits one `(len, network)` candidate per length.
+    */
+  def lookupIp(
+      facts: DataFrame,
+      idCol: Column,
+      ipCol: Column,
+      sources: Seq[Source],
+      excludes: Seq[String] = Nil): DataFrame = {
+    val intel = unionIntel(sources)
+      .withColumn("_plen",
+        split_part(col("key"), lit("/"), lit(2)).cast("int"))
+      .withColumn("_ipLong",
+        v4ToLong(split_part(col("key"), lit("/"), lit(1))))
+      .withColumn("_net", expr("shiftright(_ipLong, 32 - _plen)"))
+      .withColumn("_netKey", concat_ws(":", col("_plen"), col("_net")))
+    val plens: Seq[Int] = intel.select(col("_plen")).distinct()
+      .collect().map(_.getInt(0)).sorted.toSeq
+    require(plens.nonEmpty, "intel has no CIDR entries")
+
+    val ipLong = v4ToLong(ipCol)
+    val candArr = array(plens.map { l =>
+      struct(lit(l).as("plen"),
+        concat_ws(":", lit(l), shiftright(ipLong, 32 - l)).as("netKey"))
+    }: _*)
+    val cands = facts
+      .filter(ipCol.isNotNull && !excluded(ipCol, "ip", excludes))
+      .select(idCol.as("_id"), explode(candArr).as("_c"))
+      .select(col("_id"), col("_c.plen").as("_plen2"),
+        col("_c.netKey").as("_nk"))
+    val hits = cands
+      .join(broadcast(intel), col("_nk") === col("_netKey"))
+      .select(col("_id"), col("source"), col("_plen2"),
+        col("key").as("cidr"), col("field"), col("value"))
+    // most-specific entry per (fact, source): max prefix length
+    hits.groupBy(col("_id"), col("source"))
+      .agg(max(col("_plen2")).as("_best"),
+        collect_list(struct(col("_plen2"), col("cidr"),
+          col("field"), col("value"))).as("_rows"))
+      .select(col("_id"), col("source"),
+        explode(expr("filter(_rows, r -> r._plen2 = _best)")).as("_r"))
+      .select(col("_id").as("id"), col("source"), col("_r.cidr").as("cidr"),
+        col("_r.field").as("field"), col("_r.value").as("value"))
+  }
+
+  /** v4 dotted-quad → long, pure arithmetic (codegen'd; identical SQL
+    * runs on the oracle side).
+    */
+  def v4ToLong(ip: Column): Column =
+    split(ip, "\\.").getItem(0).cast("long") * 16777216L +
+      split(ip, "\\.").getItem(1).cast("long") * 65536L +
+      split(ip, "\\.").getItem(2).cast("long") * 256L +
+      split(ip, "\\.").getItem(3).cast("long")
+
+  /** Source-level tags for hits (wiseSource.js tagsSetting): one row per
+    * (fact, tag), set-semantics union across sources — feed the result
+    * of `lookup`/`lookupIp`.
+    */
+  def hitTags(hits: DataFrame, sources: Seq[Source]): DataFrame = {
+    val tagRows = sources.filter(_.tags.nonEmpty).map { s =>
+      (s.name, s.tags)
+    }
+    val tagMap = typedLit(tagRows.toMap)
+    hits.select(col("id"), col("source")).distinct()
+      .select(col("id"),
+        explode(try_element_at(tagMap, col("source"))).as("tag"))
+      .distinct()
+  }
+}

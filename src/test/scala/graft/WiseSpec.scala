@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Wise
+
+/** WISE service semantics (wiseService/simpleSource.js, capture/plugins/
+  * wise.c): typed multi-source lookups — exact-first domain fallback,
+  * longest-prefix CIDR matching, per-type exclusions, source tags.
+  */
+class WiseSpec extends AnyFunSuite with SparkSpecBase {
+
+  import spark.implicits._
+
+  private def domainSources = Seq(
+    Wise.Source("a", "domain",
+      Seq(("example.com", "sev", "low"),
+        ("www.example.com", "sev", "high"),
+        ("evil.net", "sev", "crit")).toDF("key", "field", "value"),
+      tags = Seq("src-a")),
+    Wise.Source("b", "domain",
+      Seq(("example.com", "cat", "ads")).toDF("key", "field", "value")))
+
+  test("domain: exact match shadows the stripped parent per source") {
+    val facts = Seq(
+      (1L, "www.example.com"), // a: exact 'high' shadows parent 'low'; b: parent 'ads'
+      (2L, "mail.example.com"), // a: parent 'low'; b: parent 'ads'
+      (3L, "example.com"), // exact in both
+      (4L, "other.org") // no hits
+    ).toDF("id", "host")
+    val out = Wise.lookup(facts, col("id"), col("host"), "domain",
+      domainSources)
+      .orderBy("id", "source", "field")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3)))
+    assert(out.toSeq == Seq(
+      (1L, "a", "sev", "high"), (1L, "b", "cat", "ads"),
+      (2L, "a", "sev", "low"), (2L, "b", "cat", "ads"),
+      (3L, "a", "sev", "low"), (3L, "b", "cat", "ads")))
+  }
+
+  test("domain: protocol prefix is stripped and suffix excludes drop rows") {
+    val facts = Seq(
+      (1L, "https://www.example.com"),
+      (2L, "http://evil.net"),
+      (3L, "sub.evil.net") // excluded by suffix
+    ).toDF("id", "host")
+    val out = Wise.lookup(facts, col("id"), col("host"), "domain",
+      domainSources, excludes = Seq(".evil.net"))
+      .orderBy("id", "source", "field").collect()
+    assert(out.map(r => (r.getLong(0), r.getString(1), r.getString(3))).toSeq
+      == Seq((1L, "a", "high"), (1L, "b", "ads"), (2L, "a", "crit")))
+  }
+
+  test("cidr: most-specific entry wins within a source, sources independent") {
+    val geo = Wise.Source("geo", "ip", Seq(
+      ("10.0.0.0/8", "scope", "corp"),
+      ("10.5.0.0/16", "scope", "lab"),
+      ("10.5.7.0/24", "scope", "rack")).toDF("key", "field", "value"))
+    val threat = Wise.Source("threat", "ip", Seq(
+      ("10.0.0.0/8", "threat", "watch")).toDF("key", "field", "value"))
+    val facts = Seq(
+      (1L, "10.5.7.9"), // geo: /24 rack; threat: /8 watch
+      (2L, "10.5.8.1"), // geo: /16 lab
+      (3L, "10.9.0.1"), // geo: /8 corp
+      (4L, "11.0.0.1") // none
+    ).toDF("id", "ip")
+    val out = Wise.lookupIp(facts, col("id"), col("ip"),
+      Seq(geo, threat))
+      .orderBy("id", "source")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(4)))
+    assert(out.toSeq == Seq(
+      (1L, "geo", "10.5.7.0/24", "rack"),
+      (1L, "threat", "10.0.0.0/8", "watch"),
+      (2L, "geo", "10.5.0.0/16", "lab"),
+      (2L, "threat", "10.0.0.0/8", "watch"),
+      (3L, "geo", "10.0.0.0/8", "corp"),
+      (3L, "threat", "10.0.0.0/8", "watch")))
+  }
+
+  test("hitTags unions source tags per fact with set semantics") {
+    val facts = Seq((1L, "www.example.com"), (2L, "example.com"))
+      .toDF("id", "host")
+    val hits = Wise.lookup(facts, col("id"), col("host"), "domain",
+      domainSources)
+    val tags = Wise.hitTags(hits, domainSources)
+      .orderBy("id", "tag").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // only source 'a' has tags; both facts hit source a once
+    assert(tags.toSeq == Seq((1L, "src-a"), (2L, "src-a")))
+  }
+
+  test("lookup plan broadcasts the intel and never shuffles the fact scan on a fact key") {
+    val facts = spark.range(1000).select(col("id"),
+      concat(lit("h"), col("id") % 10, lit(".example.com")).as("host"))
+    val plan = Wise.lookup(facts, col("id"), col("host"), "domain",
+      domainSources).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin"))
+  }
+}
