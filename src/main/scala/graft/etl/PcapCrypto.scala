@@ -144,6 +144,16 @@ object PcapCrypto {
     * PcapExport use against plain files. Returns null on short reads
     * (mirrors their catch-and-skip behavior).
     */
+  /** Backend-agnostic form: ranged read through any [[PcapStore.Blob]]
+    * (local file or chunked-object store), then in-place decrypt at the
+    * absolute offset — CTR/XOR seek math only depends on `pos`.
+    */
+  def readSlice(blob: PcapStore.Blob, pos: Long, len: Int,
+      k: FileKeys): Array[Byte] = {
+    val b = blob.read(pos, len)
+    if (!k.encrypted) b else decryptAt(b, pos, k)
+  }
+
   def readSlice(raf: RandomAccessFile, pos: Long, len: Int, k: FileKeys): Array[Byte] = {
     if (!k.encrypted) {
       val b = new Array[Byte](len)

@@ -1,0 +1,122 @@
+package graft.etl
+
+import java.io.RandomAccessFile
+import java.nio.file.{Files, Paths, StandardOpenOption}
+
+/** Pcap byte-store backends.
+  *
+  * The reference writes capture files either as plain local files
+  * (capture/writer-simple.c) or as S3 multipart objects
+  * (capture/plugins/writer-s3.c): the capture buffer is flushed part by
+  * part (writer-s3.c:574-581, partNumber up to 2000, :50), and readers
+  * fetch slices with ranged GETs. Both stores serve the same access
+  * pattern — `read(pos, len)` of a `(packetPos, packetLen)` slice — so
+  * Hunt / PcapExport / display decode take a [[PcapStore.Store]] and
+  * never care which backend holds the bytes.
+  *
+  * At 100 TB the only operations that may touch the store are ranged
+  * reads bounded by the slices a task's sessions reference; nothing here
+  * can read a whole capture file.
+  */
+object PcapStore {
+
+  trait Blob extends AutoCloseable {
+    /** Read exactly `len` bytes at absolute offset `pos`. */
+    def read(pos: Long, len: Int): Array[Byte]
+    def size: Long
+  }
+
+  /** A backend resolves a fileId/path to an open blob. Implementations
+    * must be serializable — one instance is captured per task closure
+    * and handles are cached per task (see Hunt.run).
+    */
+  trait Store extends Serializable {
+    def open(path: String): Blob
+  }
+
+  /** Plain local capture files (writer-simple.c). */
+  case object Local extends Store {
+    def open(path: String): Blob = new Blob {
+      private val raf = new RandomAccessFile(path, "r")
+      def read(pos: Long, len: Int): Array[Byte] = {
+        val b = new Array[Byte](len)
+        raf.seek(pos); raf.readFully(b); b
+      }
+      def size: Long = raf.length()
+      def close(): Unit = raf.close()
+    }
+  }
+
+  /** writer-s3.c layout: one logical capture file = an ordered series of
+    * fixed-size parts (the multipart upload's flushed buffers). `path` is
+    * the object prefix — here a directory holding `part-NNNNN` files, the
+    * local stand-in for `s3://bucket/node/…-N.pcap`'s parts. A ranged
+    * read opens only the ⌈len/partSize⌉+1 parts covering the slice — the
+    * ranged-GET cost model of the real thing.
+    */
+  final case class Chunked(partSize: Long) extends Store {
+    require(partSize > 0, "partSize must be positive")
+    def open(path: String): Blob = new Blob {
+      private val dir = Paths.get(path)
+      private val nParts: Int = {
+        var n = 0
+        while (Files.exists(dir.resolve(f"part-$n%05d"))) n += 1
+        n
+      }
+      private val lastSize: Long =
+        if (nParts == 0) 0L
+        else Files.size(dir.resolve(f"part-${nParts - 1}%05d"))
+      // open part channels, lazily, cached for the blob's lifetime
+      private val open = new java.util.HashMap[Int, RandomAccessFile]()
+      private def part(i: Int): RandomAccessFile = {
+        var r = open.get(i)
+        if (r == null) {
+          r = new RandomAccessFile(dir.resolve(f"part-$i%05d").toFile, "r")
+          open.put(i, r)
+        }
+        r
+      }
+      def size: Long =
+        if (nParts == 0) 0L else (nParts - 1).toLong * partSize + lastSize
+      def read(pos: Long, len: Int): Array[Byte] = {
+        if (pos < 0 || pos + len > size)
+          throw new java.io.EOFException(s"read past end: $pos+$len > $size")
+        val out = new Array[Byte](len)
+        var off = 0
+        var p = pos
+        while (off < len) {
+          val i = (p / partSize).toInt
+          val inPart = (p % partSize).toInt
+          val take = math.min(len - off, (partSize - inPart).toInt)
+          val raf = part(i)
+          raf.seek(inPart.toLong)
+          raf.readFully(out, off, take)
+          off += take; p += take
+        }
+        out
+      }
+      def close(): Unit = {
+        open.values.forEach(r => try r.close() catch { case _: Exception => () })
+        open.clear()
+      }
+    }
+
+    /** Writer side: split `src` into parts under `destDir` (the capture
+      * node's multipart flush loop, writer-s3.c:560-581).
+      */
+    def writeParts(src: Array[Byte], destDir: String): Int = {
+      val dir = Paths.get(destDir)
+      Files.createDirectories(dir)
+      var i = 0
+      var off = 0L
+      while (off < src.length || i == 0) {
+        val take = math.min(partSize, src.length - off).toInt
+        Files.write(dir.resolve(f"part-$i%05d"),
+          java.util.Arrays.copyOfRange(src, off.toInt, off.toInt + take),
+          StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+        off += take; i += 1
+      }
+      i
+    }
+  }
+}

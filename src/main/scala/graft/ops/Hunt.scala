@@ -84,17 +84,19 @@ object Hunt {
     * misreads an offset of file A against file B.
     */
   def run(sessions: Dataset[SessionRow], cfg: HuntConfig,
-      keys: String => graft.etl.PcapCrypto.FileKeys = _ => graft.etl.PcapCrypto.Normal): DataFrame = {
+      keys: String => graft.etl.PcapCrypto.FileKeys = _ => graft.etl.PcapCrypto.Normal,
+      store: graft.etl.PcapStore.Store = graft.etl.PcapStore.Local): DataFrame = {
     val spark = sessions.sparkSession
     import spark.implicits._
     val matched = sessions.mapPartitions { rows =>
-      // one open channel + parsed global header per referenced file,
+      // one open blob + parsed global header per referenced file,
       // cached for the task's lifetime, closed on task completion.
       // `keys` resolves a raw fileId to its at-rest encryption material
       // (files-index encoding/dek/iv); slices decrypt in place, so an
       // encrypted store hunts with the same seek-only I/O as a plain one.
+      // `store` picks the byte backend (local file vs chunked object).
       val open = scala.collection.mutable.Map[String, Option[(
-        java.io.RandomAccessFile, graft.etl.Pcap.PcapHeader,
+        graft.etl.PcapStore.Blob, graft.etl.Pcap.PcapHeader,
         graft.etl.PcapCrypto.FileKeys)]]()
       Option(org.apache.spark.TaskContext.get()).foreach(
         _.addTaskCompletionListener[Unit](_ => open.values.flatten.foreach(c =>
@@ -104,16 +106,16 @@ object Hunt {
         val f = if (f0.startsWith("file:")) new java.net.URI(f0).getPath else f0
         open.getOrElseUpdate(f, try {
           val k = keys(f0)
-          val raf = new java.io.RandomAccessFile(f, "r")
-          val hdr = graft.etl.PcapCrypto.readSlice(raf, 0L, 24, k)
-          graft.etl.Pcap.parseHeader(hdr).map((raf, _, k))
+          val blob = store.open(f)
+          val hdr = graft.etl.PcapCrypto.readSlice(blob, 0L, 24, k)
+          graft.etl.Pcap.parseHeader(hdr).map((blob, _, k))
         } catch { case _: Exception => None })
       }
-      def readPacket(raf: java.io.RandomAccessFile,
+      def readPacket(blob: graft.etl.PcapStore.Blob,
           hdr: graft.etl.Pcap.PcapHeader, k: graft.etl.PcapCrypto.FileKeys,
           f: String, pos: Long, len: Int) =
         try {
-          val rec = graft.etl.PcapCrypto.readSlice(raf, pos, len, k)
+          val rec = graft.etl.PcapCrypto.readSlice(blob, pos, len, k)
           graft.etl.Pcap.parseRecord(hdr, rec, f, pos)
         } catch { case _: Exception => None }
       rows.map { s =>

@@ -31,7 +31,8 @@ object PcapExport {
     * reference's write order.
     */
   def records(sessions: Dataset[SessionRow],
-      keys: String => graft.etl.PcapCrypto.FileKeys = _ => graft.etl.PcapCrypto.Normal): DataFrame = {
+      keys: String => graft.etl.PcapCrypto.FileKeys = _ => graft.etl.PcapCrypto.Normal,
+      store: graft.etl.PcapStore.Store = graft.etl.PcapStore.Local): DataFrame = {
     val spark = sessions.sparkSession
     import spark.implicits._
     val slices = sessions.flatMap { s =>
@@ -46,14 +47,14 @@ object PcapExport {
       .as[(Long, String, Int, String, Long, Int)]
       .mapPartitions { rows =>
         val open = scala.collection.mutable.Map[
-          String, Option[(java.io.RandomAccessFile, graft.etl.PcapCrypto.FileKeys)]]()
+          String, Option[(graft.etl.PcapStore.Blob, graft.etl.PcapCrypto.FileKeys)]]()
         Option(org.apache.spark.TaskContext.get()).foreach(
           _.addTaskCompletionListener[Unit](_ => open.values.flatten.foreach(r =>
             try r._1.close() catch { case _: Exception => () })))
         def channelOf(f0: String) = {
           val f = if (f0.startsWith("file:")) new java.net.URI(f0).getPath else f0
           open.getOrElseUpdate(f,
-            try Some((new java.io.RandomAccessFile(f, "r"), keys(f0)))
+            try Some((store.open(f), keys(f0)))
             catch { case _: Exception => None })
         }
         rows.flatMap { case (first, sid, seq, file, pos, len) =>
@@ -74,7 +75,8 @@ object PcapExport {
     * header of the first processed pcap (apiSessions.js:733-736).
     */
   def header(sessions: Dataset[SessionRow],
-      keys: String => graft.etl.PcapCrypto.FileKeys = _ => graft.etl.PcapCrypto.Normal): Array[Byte] = {
+      keys: String => graft.etl.PcapCrypto.FileKeys = _ => graft.etl.PcapCrypto.Normal,
+      store: graft.etl.PcapStore.Store = graft.etl.PcapStore.Local): Array[Byte] = {
     val spark = sessions.sparkSession
     import spark.implicits._
     val first = sessions
@@ -85,9 +87,9 @@ object PcapExport {
     first.headOption.map { r =>
       val f0 = r.getString(1)
       val f = if (f0.startsWith("file:")) new java.net.URI(f0).getPath else f0
-      val raf = new java.io.RandomAccessFile(f, "r")
-      try graft.etl.PcapCrypto.readSlice(raf, 0L, 24, keys(f0))
-      finally raf.close()
+      val blob = store.open(f)
+      try graft.etl.PcapCrypto.readSlice(blob, 0L, 24, keys(f0))
+      finally blob.close()
     }.getOrElse(Array.emptyByteArray)
   }
 
@@ -96,9 +98,10 @@ object PcapExport {
     */
   def writeFile(sessions: Dataset[SessionRow], outPath: String,
       writeHeader: Boolean = true,
-      keys: String => graft.etl.PcapCrypto.FileKeys = _ => graft.etl.PcapCrypto.Normal): Long = {
-    val hdr = if (writeHeader) header(sessions, keys) else Array.emptyByteArray
-    val sorted = records(sessions, keys).orderBy("firstPacket", "sessionId", "seq")
+      keys: String => graft.etl.PcapCrypto.FileKeys = _ => graft.etl.PcapCrypto.Normal,
+      store: graft.etl.PcapStore.Store = graft.etl.PcapStore.Local): Long = {
+    val hdr = if (writeHeader) header(sessions, keys, store) else Array.emptyByteArray
+    val sorted = records(sessions, keys, store).orderBy("firstPacket", "sessionId", "seq")
     val out = new BufferedOutputStream(new FileOutputStream(outPath), 1 << 16)
     var n = 0L
     try {

@@ -1,0 +1,91 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.etl.{PcapCrypto, PcapStore, SessionBuilder}
+import graft.ops.{Hunt, PcapExport}
+
+/** Pcap byte-store backends (writer-simple.c local files vs writer-s3.c
+  * multipart objects): ranged reads through the chunked-object layout
+  * must behave exactly like local-file seeks — Hunt and PcapExport run
+  * unchanged over either.
+  */
+class PcapStoreSpec extends AnyFunSuite with SparkSpecBase {
+
+  private val refPcap = "/root/reference/tests/pcap/socks-http-example.pcap"
+
+  private def unhex(s: String): Array[Byte] =
+    s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+
+  test("chunked blob: reads spanning part boundaries, size, EOF") {
+    val data = Array.tabulate[Byte](10007)(i => (i * 31 + 7).toByte)
+    val dir = Files.createTempDirectory("chunked").toString
+    val store = PcapStore.Chunked(1000)
+    assert(store.writeParts(data, dir) == 11) // 10 full + 7-byte tail
+    val blob = store.open(dir)
+    try {
+      assert(blob.size == 10007)
+      // inside one part
+      assert(blob.read(10, 50).toSeq == data.slice(10, 60).toSeq)
+      // spanning two parts
+      assert(blob.read(995, 10).toSeq == data.slice(995, 1005).toSeq)
+      // spanning several parts
+      assert(blob.read(500, 3000).toSeq == data.slice(500, 3500).toSeq)
+      // tail
+      assert(blob.read(10000, 7).toSeq == data.slice(10000, 10007).toSeq)
+      intercept[java.io.EOFException](blob.read(10001, 7))
+    } finally blob.close()
+  }
+
+  test("hunt over the chunked store equals hunt over the local file") {
+    import spark.implicits._
+    val sessions = SessionBuilder.sessionizeRef(spark, refPcap)
+    val dir = Files.createTempDirectory("chunkedpcap").toString
+    PcapStore.Chunked(777).writeParts(Files.readAllBytes(Paths.get(refPcap)), dir)
+    val remapped = sessions.map(s => s.copy(fileId = s.fileId.map(_ => dir)))
+    val local = Hunt.run(sessions,
+      Hunt.HuntConfig(Hunt.AsciiNeedle("example.com", caseSensitive = false)))
+      .filter(col("huntTag").isNotNull).count()
+    val chunked = Hunt.run(remapped,
+      Hunt.HuntConfig(Hunt.AsciiNeedle("example.com", caseSensitive = false)),
+      store = PcapStore.Chunked(777))
+      .filter(col("huntTag").isNotNull).count()
+    assert(local == 3 && chunked == 3)
+  }
+
+  test("pcap export bytes are identical from local and chunked stores") {
+    import spark.implicits._
+    val sessions = SessionBuilder.sessionizeRef(spark, refPcap)
+    val dir = Files.createTempDirectory("chunkedexp").toString
+    PcapStore.Chunked(513).writeParts(Files.readAllBytes(Paths.get(refPcap)), dir)
+    val remapped = sessions.map(s => s.copy(fileId = s.fileId.map(_ => dir)))
+    val outA = Files.createTempFile("exp", ".pcap").toString
+    val outB = Files.createTempFile("exp", ".pcap").toString
+    val nA = PcapExport.writeFile(sessions, outA)
+    val nB = PcapExport.writeFile(remapped, outB,
+      store = PcapStore.Chunked(513))
+    assert(nA == nB && nA > 0)
+    assert(Files.readAllBytes(Paths.get(outA)).toSeq ==
+      Files.readAllBytes(Paths.get(outB)).toSeq)
+  }
+
+  test("encrypted chunked store: slices decrypt in place through ranged reads") {
+    import spark.implicits._
+    val k = PcapCrypto.FileKeys("aes-256-ctr",
+      unhex("000102030405060708090a0b0c0d0e0f101112131415161718191a1b1c1d1e1f"),
+      unhex("00112233445566778899aabb00000000"))
+    val enc = PcapCrypto.encrypt(Files.readAllBytes(Paths.get(refPcap)), k)
+    val dir = Files.createTempDirectory("chunkedenc").toString
+    PcapStore.Chunked(900).writeParts(enc, dir)
+    val sessions = SessionBuilder.sessionizeRef(spark, refPcap)
+    val remapped = sessions.map(s => s.copy(fileId = s.fileId.map(_ => dir)))
+    val hits = Hunt.run(remapped,
+      Hunt.HuntConfig(Hunt.AsciiNeedle("example.com", caseSensitive = false)),
+      keys = _ => k, store = PcapStore.Chunked(900))
+      .filter(col("huntTag").isNotNull).count()
+    assert(hits == 3)
+  }
+}
