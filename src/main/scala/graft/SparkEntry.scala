@@ -398,6 +398,22 @@ object SparkEntry {
         col("text"), col("doc_id"), k = 3)
         .orderBy("doc_id", "bench_id")
     }),
+    // D20: soft dedup — 1/|cluster| ppm weights instead of removal
+    "d20_soft_dedup" -> ((s, dir) =>
+      Dedup.softDedupWeights(docs(s, dir), col("text"), col("doc_id"))),
+    // T20: curriculum phases by quality score + deterministic intra-phase
+    // order (exact prefix-sum cuts over score values, no global window)
+    "t20_curriculum" -> ((s, dir) =>
+      Pack.curriculum(docs(s, dir), col("n_chars"), col("doc_id"),
+        nPhases = 4)),
+    // P13: power-of-two length-class packing into fixed-shape bins
+    "p13_class_pack" -> ((s, dir) =>
+      Pack.classPack(docs(s, dir), col("doc_id"), col("n_chars"),
+        ctx = 2048, nShards = 8)),
+    // M5: perceptual dHash near-dup over the deterministic stub decode
+    "m5_image_dhash" -> ((s, dir) =>
+      Multimodal.dhashPairs(docs(s, dir), col("doc_id"), col("text"),
+        maxHamming = 16)),
     // D17: decontamination removal — corpus minus docs sharing ≥2
     // trigram hashes with the held-out benchmark slice
     "d17_decontaminate" -> ((s, dir) => {
@@ -976,6 +992,16 @@ object SparkEntry {
     s"list_transform(range(1, len($toks)-${k - 2}), i -> array_to_string($toks[i:i+${k - 1}], ' '))"
   private def sqlHex32(c: String) =
     s"CAST(('0x' || substr(md5($c), 1, 8)) AS BIGINT)"
+  /** One 16-bit dHash band over a 72-sample list `ps` (9×8 grid): bit
+    * j set when p(r,c) > p(r,c+1) for i = b*16+j, r = i/8, c = i%8 —
+    * mirrors Multimodal.dhashSignatures exactly.
+    */
+  private def sqlDhashBand(b: Int): String =
+    (0 until 16).map { j =>
+      val i = b * 16 + j; val r = i / 8; val c = i % 8
+      s"(CASE WHEN ps[${r * 9 + c + 1}] > ps[${r * 9 + c + 2}] " +
+        s"THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" + ")
   /** The MinHash-LSH → connected-components chain as reusable CTEs
     * ending in `dgroups(doc_id, group_id)` — shared by the d6/d11/d18
     * oracles. Use with a `WITH RECURSIVE` prefix.
@@ -1545,6 +1571,78 @@ object SparkEntry {
     "d6_dedup_groups" ->
       s"""WITH RECURSIVE $sqlGroupsCtes
          SELECT doc_id, group_id FROM dgroups ORDER BY doc_id""",
+    "d20_soft_dedup" ->
+      s"""WITH RECURSIVE $sqlGroupsCtes,
+         gs AS (SELECT group_id, count(*) AS gsz FROM dgroups
+                GROUP BY group_id),
+         w AS (SELECT g.doc_id, 1000000 // gs.gsz AS w
+               FROM dgroups g JOIN gs USING (group_id))
+         SELECT d.doc_id, CAST(coalesce(w.w, 1000000) AS BIGINT)
+           AS weight_ppm
+         FROM documents d LEFT JOIN w ON d.doc_id = w.doc_id
+         ORDER BY d.doc_id""",
+    "t20_curriculum" ->
+      """WITH base AS (SELECT doc_id, n_chars AS score FROM documents),
+         cnt AS (SELECT score, count(*) AS cnt FROM base GROUP BY score),
+         cum AS (SELECT score,
+             sum(cnt) OVER (ORDER BY score DESC) - cnt AS prev FROM cnt),
+         tot AS (SELECT count(*) AS n FROM base),
+         cuts AS (SELECT score,
+             CAST(least((prev * 4) // n, 3) AS INT) AS phase
+           FROM cum, tot)
+         SELECT b.doc_id, b.score, c.phase,
+           CAST(('0x' || substr(md5('curriculum|' || b.doc_id), 1, 8))
+             AS BIGINT) AS ord
+         FROM base b JOIN cuts c USING (score)
+         ORDER BY phase, ord, b.doc_id""",
+    "p13_class_pack" ->
+      """WITH base AS (SELECT doc_id, n_chars AS len FROM documents
+           WHERE n_chars > 0 AND n_chars <= 2048),
+         c AS (SELECT doc_id, len,
+             CASE WHEN len <= 64 THEN 64 WHEN len <= 128 THEN 128
+               WHEN len <= 256 THEN 256 WHEN len <= 512 THEN 512
+               WHEN len <= 1024 THEN 1024 ELSE 2048 END AS cls,
+             CAST(('0x' || substr(md5('classpack|' || doc_id), 1, 8))
+               AS BIGINT) AS h
+           FROM base),
+         r AS (SELECT doc_id, len, cls, h % 8 AS shard,
+             row_number() OVER (PARTITION BY cls, h % 8
+               ORDER BY h, doc_id) - 1 AS rk
+           FROM c)
+         SELECT doc_id, CAST(len AS BIGINT) AS len,
+           CAST(cls AS BIGINT) AS cls, CAST(shard AS BIGINT) AS shard,
+           CAST(rk // (2048 // cls) AS BIGINT) AS bin,
+           CAST(rk % (2048 // cls) AS BIGINT) AS slot
+         FROM r ORDER BY cls, shard, bin, slot""",
+    "m5_image_dhash" ->
+      s"""WITH px AS (SELECT doc_id, k,
+           CAST(('0x' || substr(md5('px' || '|'
+             || substr(text, CAST(k * ((length(text) + 71) // 72) + 1 AS INT),
+                  CAST((length(text) + 71) // 72 AS INT))), 1, 8)) AS BIGINT)
+             % 256 AS p
+         FROM documents, range(0, 72) t(k)),
+         l AS (SELECT doc_id, list(p ORDER BY k) AS ps FROM px
+               GROUP BY doc_id),
+         sig AS (SELECT doc_id, ${sqlDhashBand(0)} AS band0,
+             ${sqlDhashBand(1)} AS band1, ${sqlDhashBand(2)} AS band2,
+             ${sqlDhashBand(3)} AS band3 FROM l),
+         bands AS (SELECT doc_id, 0 AS band_id, band0 AS v FROM sig
+           UNION ALL SELECT doc_id, 1, band1 FROM sig
+           UNION ALL SELECT doc_id, 2, band2 FROM sig
+           UNION ALL SELECT doc_id, 3, band3 FROM sig),
+         pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM bands a JOIN bands b
+             ON a.band_id = b.band_id AND a.v = b.v
+                AND a.doc_id < b.doc_id),
+         h AS (SELECT p.doc_a, p.doc_b,
+             bit_count(xor(sa.band0, sb.band0))
+             + bit_count(xor(sa.band1, sb.band1))
+             + bit_count(xor(sa.band2, sb.band2))
+             + bit_count(xor(sa.band3, sb.band3)) AS hamming
+           FROM pairs p JOIN sig sa ON p.doc_a = sa.doc_id
+           JOIN sig sb ON p.doc_b = sb.doc_id)
+         SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming FROM h
+         WHERE hamming <= 16 ORDER BY doc_a, doc_b""",
     "s9_series_match" ->
       """WITH s AS (SELECT 'node' || CAST(user_id % 4 AS VARCHAR) AS key,
            CAST(floor(epoch(ts) / 86400) AS BIGINT) AS bucket,

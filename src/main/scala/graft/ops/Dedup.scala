@@ -737,4 +737,30 @@ object Dedup {
       .select("src_a", "src_b", "shared_grams", "overlap_ppm")
       .orderBy("src_a", "src_b")
   }
+
+  /** D20: soft dedup — down-weight near-duplicate clusters instead of
+    * dropping them (the data-constrained-scaling alternative to hard
+    * removal: repeated content contributes ~one effective copy to the
+    * loss). Every document in a resolved dup cluster gets weight
+    * 1/|cluster| (integer ppm — engine-exact); documents with no
+    * near-dup keep weight 1.
+    *
+    * Scale: the groups frame holds only documents that appear in a dup
+    * pair (the dup fraction), so the left join AQE-broadcasts at
+    * real-world dup rates; the cluster-size agg shuffles the same small
+    * frame. The corpus itself is scanned once, map-side.
+    */
+  def softDedupWeights(
+      df: DataFrame, textCol: Column, idCol: Column): DataFrame = {
+    val groups = resolveGroups(minhashCandidates(df, textCol, idCol))
+    val sizes = groups.groupBy(col("group_id"))
+      .agg(count(lit(1)).as("_gsz"))
+    val w = groups.join(sizes, Seq("group_id"))
+      .select(col("doc_id"), expr("1000000 div _gsz").as("_w"))
+    df.select(idCol.cast("long").as("doc_id"))
+      .join(w, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("_w"), lit(1000000L)).cast("long").as("weight_ppm"))
+      .orderBy("doc_id")
+  }
 }

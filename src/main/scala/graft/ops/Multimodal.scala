@@ -184,4 +184,63 @@ object Multimodal {
           .as("out_h"))
       .orderBy("media_id")
   }
+
+  /** M5: perceptual image near-dup via dHash (difference hash) over the
+    * decoded 9×8 grayscale thumbnail. The pixel source here is the
+    * deterministic stub decode (one hash byte per grid cell — real
+    * deployments swap in the real decoder's thumbnail and keep
+    * everything downstream). 64 difference bits packed as four 16-bit
+    * bands; a candidate pair shares at least one full band (sign-LSH
+    * banding — hot buckets are all-same-image, so the group-then-expand
+    * stays bounded), then the exact Hamming distance gates the pair.
+    */
+  def dhashSignatures(
+      df: DataFrame, idCol: Column, contentCol: Column): DataFrame = {
+    // 72 deterministic grayscale samples (9 cols × 8 rows), each derived
+    // from one stride of the content — the stride scales with length
+    // (a thumbnail rescales the image to the grid), so a local edit
+    // flips only the pixels over the edited region while same-length
+    // unrelated content differs everywhere
+    val stride = floor((length(contentCol) + lit(71)) / lit(72)).cast("int")
+    val px = transform(sequence(lit(0), lit(71)),
+      k => pmod(TextOps.hex32(concat(lit("px|"),
+        contentCol.substr(k * stride + 1, stride))), lit(256L)))
+    val withPx = df.select(idCol.cast("long").as("doc_id"), px.as("_px"))
+    val bands = (0 until 4).map { b =>
+      (0 until 16).map { j =>
+        val i = b * 16 + j; val r = i / 8; val c = i % 8
+        when(element_at(col("_px"), r * 9 + c + 1) >
+          element_at(col("_px"), r * 9 + c + 2), lit(1L << j))
+          .otherwise(lit(0L))
+      }.reduce(_ + _).as(s"band$b")
+    }
+    withPx.select(col("doc_id") +: bands: _*)
+  }
+
+  def dhashPairs(
+      df: DataFrame, idCol: Column, contentCol: Column,
+      maxHamming: Int = 16): DataFrame = {
+    val sig = dhashSignatures(df, idCol, contentCol)
+    val bandRows = sig.select(col("doc_id"),
+      posexplode(array(col("band0"), col("band1"), col("band2"),
+        col("band3"))).as(Seq("band_id", "v")))
+    val pairs = bandRows.groupBy(col("band_id"), col("v"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ids, (a, i) ->
+             transform(slice(ids, i + 2, size(ids) - i - 1),
+               b -> struct(a AS doc_a, b AS doc_b))))""")).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
+      .distinct()
+    val sa = sig.toDF("doc_a", "a0", "a1", "a2", "a3")
+    val sb = sig.toDF("doc_b", "b0", "b1", "b2", "b3")
+    pairs.join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
+      .withColumn("hamming",
+        (0 until 4).map(i => bit_count(col(s"a$i").bitwiseXOR(col(s"b$i"))))
+          .reduce(_ + _).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy("doc_a", "doc_b")
+  }
 }

@@ -316,4 +316,71 @@ object Pack {
         col("prev_cumsum").as("cum_before"))
       .orderBy("doc_id")
   }
+
+  /** T20: curriculum ordering — phase the corpus by a quality score
+    * (cleanest first) and give each phase a deterministic internal
+    * shuffle. Phase cuts are computed on score VALUES via the exact
+    * distributed prefix sum (docs-with-higher-score before each value),
+    * so no window ever sees more rows than the score cardinality and
+    * nothing is partition-less; the per-doc pass is one broadcast join
+    * + map-side hash. Output ordering key = (phase, ord, doc_id).
+    */
+  def curriculum(
+      df: DataFrame, scoreCol: Column, idCol: Column,
+      nPhases: Int, seed: String = "curriculum"): DataFrame = {
+    require(nPhases > 0)
+    val base = df.select(idCol.cast("long").as("doc_id"),
+      scoreCol.cast("long").as("score"))
+    val total = base.count()
+    val cnt = base.groupBy("score").agg(count(lit(1)).as("cnt"))
+      .withColumn("negScore", -col("score"))
+    val cuts = prefixSum(cnt, "negScore", "cnt")
+      .select(col("score"),
+        least(expr(s"(prev_cumsum * $nPhases) div $total"),
+          lit(nPhases - 1L)).cast("int").as("phase"))
+    val ord = graft.ops.TextOps.hex32(
+      concat_ws("|", lit(seed), col("doc_id").cast("string")))
+    base.join(broadcast(cuts), Seq("score"))
+      .select(col("doc_id"), col("score"), col("phase"), ord.as("ord"))
+      .orderBy("phase", "ord", "doc_id")
+  }
+
+  /** P13: length-class context packing — every document rounds up to the
+    * nearest power-of-two length class (min `minClass`, docs longer than
+    * `ctx` are left to the chunker) and bins hold exactly `ctx / class`
+    * same-class documents: fixed-shape batches with bounded padding
+    * waste (< 50% worst case, ~25% expected), the static-shape
+    * alternative to greedy sequence packing.
+    *
+    * Scale: bins never cross a (class, shard) cell, so the rank window
+    * is partitioned by (class, shard) — shard count sets the
+    * parallelism, assignment is deterministic (md5 order), and no global
+    * coordination or partition-less window exists at any size.
+    */
+  def classPack(
+      df: DataFrame, idCol: Column, lenCol: Column, ctx: Int,
+      nShards: Int, minClass: Int = 64,
+      seed: String = "classpack"): DataFrame = {
+    require(ctx >= minClass && Integer.bitCount(ctx) == 1 &&
+      Integer.bitCount(minClass) == 1, "ctx/minClass must be powers of two")
+    val classes = Iterator.iterate(minClass)(_ * 2).takeWhile(_ <= ctx).toSeq
+    val base = df.select(idCol.cast("long").as("doc_id"),
+      lenCol.cast("long").as("len"))
+      .filter(col("len") > 0 && col("len") <= ctx)
+    val cls = classes.foldRight(lit(classes.max.toLong): Column)(
+      (k, acc) => when(col("len") <= k, lit(k.toLong)).otherwise(acc))
+    val h = graft.ops.TextOps.hex32(
+      concat_ws("|", lit(seed), col("doc_id").cast("string")))
+    val ranked = base.withColumn("cls", cls).withColumn("_h", h)
+      .withColumn("shard", pmod(col("_h"), lit(nShards.toLong)))
+      .withColumn("_rank", row_number().over(
+        Window.partitionBy(col("cls"), col("shard"))
+          .orderBy(col("_h"), col("doc_id"))) - 1)
+    ranked
+      .withColumn("bin", expr(s"_rank div ($ctx div cls)"))
+      .withColumn("slot", expr(s"_rank % ($ctx div cls)"))
+      .select(col("doc_id"), col("len"), col("cls"), col("shard"),
+        col("bin"), col("slot"))
+      .orderBy("cls", "shard", "bin", "slot")
+  }
 }

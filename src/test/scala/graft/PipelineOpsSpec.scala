@@ -1003,6 +1003,67 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpecBase {
       s"non-idempotent: ${once.take(3).mkString("; ")}")
   }
 
+  test("softDedupWeights: cluster members weigh 1/|cluster|, singletons full") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (4L, "one two three four five six seven eight nine ten")
+    ).toDF("doc_id", "text")
+    val w = Dedup.softDedupWeights(d, col("text"), col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(w(1L) == 333333 && w(2L) == 333333 && w(3L) == 333333)
+    assert(w(4L) == 1000000)
+  }
+
+  test("curriculum: phase 0 holds the top scores, phases partition the corpus") {
+    import spark.implicits._
+    val d = (1L to 100L).map(i => (i, i * 10)).toDF("doc_id", "score")
+    val out = graft.ops.Pack.curriculum(d, col("score"), col("doc_id"), 4)
+      .collect()
+    assert(out.length == 100)
+    val byPhase = out.groupBy(_.getInt(2)).view.mapValues(_.map(_.getLong(1)))
+    assert(byPhase.keys.toSet == Set(0, 1, 2, 3))
+    assert(byPhase(0).forall(_ > 750) && byPhase(3).forall(_ <= 260))
+    assert(byPhase.values.map(_.length).sum == 100 &&
+      byPhase.values.forall(_.length == 25))
+  }
+
+  test("classPack: slots bounded by ctx/class, assignment deterministic") {
+    import spark.implicits._
+    val d = (1L to 300L).map(i => (i, (i % 500) + 1)).toDF("doc_id", "len")
+    val out = graft.ops.Pack.classPack(d, col("doc_id"), col("len"),
+      ctx = 1024, nShards = 4)
+    val rows = out.collect()
+    assert(rows.length == 300)
+    rows.foreach { r =>
+      val (len, cls, slot) = (r.getLong(1), r.getLong(2), r.getLong(5))
+      assert(len <= cls && (cls == 64 || len > cls / 2))
+      assert(slot < 1024 / cls)
+    }
+    val again = graft.ops.Pack.classPack(d, col("doc_id"), col("len"),
+      ctx = 1024, nShards = 4).collect()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
+  test("dhashPairs: identical content at hamming 0, local edit small, disjoint absent") {
+    import spark.implicits._
+    val base = ("the quick brown fox jumps over the lazy dog " * 10).trim
+    val edited = base.substring(0, base.length - 9) + "lazy cat!"
+    val other = ("completely different words typed here again now " * 10).trim
+    val d = Seq((1L, base), (2L, base), (3L, edited), (4L, other))
+      .toDF("doc_id", "text")
+    val pairs = graft.ops.Multimodal.dhashPairs(d, col("doc_id"),
+      col("text"), maxHamming = 16)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(pairs((1L, 2L)) == 0)
+    // a local tail edit stays within a few bits (an unchanged bit is
+    // legitimate: dHash bits only flip when an adjacent ORDER flips)
+    assert(pairs.contains((1L, 3L)) && pairs((1L, 3L)) <= 8)
+    assert(!pairs.keySet.exists { case (a, b) => b == 4L || a == 4L })
+  }
+
   test("domainFilter blocks exact host and subdomains only") {
     import spark.implicits._
     val hosts = Seq("ads.net", "x.ads.net", "a.b.ads.net", "notads.net",
