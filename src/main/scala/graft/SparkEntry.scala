@@ -341,6 +341,21 @@ object SparkEntry {
         .orderBy("id", "source", "cidr", "field", "value")
     }),
 
+    // --- J1: as-of join — latest signup state at each purchase ----------
+    "j1_asof_join" -> ((s, dir) => {
+      val e = ev(s, dir).filter(col("user_id").isNotNull)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val signups = e.filter(col("event_type") === "signup")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).cast("decimal(18,2)").cast("double").as("sv"))
+        .withColumn("asof_ts", unix_timestamp(col("ts")))
+      graft.ops.AsOf.asofJoin(purchases, col("user_id"), col("ts"),
+        signups, col("user_id"), col("ts"), Seq("sv", "asof_ts"))
+        .select(col("event_id"), col("sv"), col("asof_ts"))
+        .orderBy("event_id")
+    }),
+
     // --- I4: sessionization (batch gaps-and-islands) ---------------------
     "i4_sessionize" -> ((s, dir) =>
       Sessionize.sessionize(ev(s, dir), col("user_id"), col("ts"),
@@ -1461,6 +1476,18 @@ object SparkEntry {
                  FROM intel GROUP BY key)
          SELECT event_id, intel FROM events
          LEFT JOIN agg ON event_type = key ORDER BY event_id""",
+    "j1_asof_join" ->
+      """WITH l AS (SELECT event_id, user_id, ts FROM events
+           WHERE user_id IS NOT NULL AND event_type = 'purchase'),
+         r AS (SELECT user_id, ts,
+             CAST(CAST(max(value) AS DECIMAL(18,2)) AS DOUBLE) AS sv,
+             CAST(floor(epoch(ts)) AS BIGINT) AS asof_ts
+           FROM events WHERE user_id IS NOT NULL
+             AND event_type = 'signup' GROUP BY user_id, ts)
+         SELECT l.event_id, r.sv, r.asof_ts
+         FROM l ASOF LEFT JOIN r
+           ON l.user_id = r.user_id AND r.ts <= l.ts
+         ORDER BY l.event_id""",
     "i18_wise_domain" ->
       """WITH f AS (SELECT event_id,
            'w' || (event_id % 7) || '.' || event_type || (user_id % 20)

@@ -10,6 +10,24 @@ import graft.ops.{Endpoints, Enrich, Hunt, Rules}
 
 class OpsSpec extends AnyFunSuite with SparkSpecBase {
 
+  test("asofJoin: latest earlier right row wins, equal ts matches, none -> null") {
+    import spark.implicits._
+    val left = Seq((1L, "k1", 100L), (2L, "k1", 205L), (3L, "k2", 50L))
+      .toDF("id", "key", "t")
+      .withColumn("ts", timestamp_seconds(col("t"))).drop("t")
+    val right = Seq(("k1", 100L, "a"), ("k1", 200L, "b"), ("k2", 60L, "c"))
+      .toDF("key", "t", "state")
+      .withColumn("ts", timestamp_seconds(col("t"))).drop("t")
+    val out = graft.ops.AsOf.asofJoin(left, col("key"), col("ts"),
+      right, col("key"), col("ts"), Seq("state"))
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), Option(r.getString(3)).orNull))
+    // id 1: right at SAME ts 100 matches (<= convention)
+    // id 2: latest of {100, 200} = "b"
+    // id 3: right only at 60 > 50 -> null
+    assert(out.toSeq == Seq((1L, "a"), (2L, "b"), (3L, null)))
+  }
+
   private lazy val sessions = SessionBuilder.sessionizeRef(spark,
     "/root/reference/tests/pcap/socks-http-example.pcap").cache()
 
