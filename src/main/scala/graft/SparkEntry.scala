@@ -154,6 +154,7 @@ object SparkEntry {
         array().cast("array<string>").as("dnsMailserverHost"),
         array().cast("array<string>").as("dnsNameserverHost"),
         array().cast("array<string>").as("smbHost"),
+        array().cast("array<string>").as("emailHost"),
         lit(null).cast("string").as("socksHost"))
       val c = new Compiler(FieldRegistry.sessions, FieldRegistry.sessionCol, now)
       d.filter(c.compile("host == [h7.example.com, d1*.example.org]"))
@@ -649,6 +650,10 @@ object SparkEntry {
     // D10: BPE trainer step — corpus-wide adjacent-pair frequencies
     "d10_bpe_pairs" -> ((s, dir) =>
       TextOps.bpePairCounts(docs(s, dir), col("text"), topN = 50)),
+    // T21: WordPiece-style greedy longest-match encode over a
+    // corpus-derived top-50 vocabulary (char fallback)
+    "t21_wordpiece" -> ((s, dir) =>
+      TextOps.wordpieceStats(docs(s, dir), col("text"), col("doc_id"))),
     // S4: Lloyd's k-means codebook over the embedding column (the
     // training op behind ivfTopK's cells), emitted per component
     "s4_kmeans_centroids" -> ((s, dir) => {
@@ -1011,6 +1016,12 @@ object SparkEntry {
     * j set when p(r,c) > p(r,c+1) for i = b*16+j, r = i/8, c = i%8 —
     * mirrors Multimodal.dhashSignatures exactly.
     */
+  /** The greedy longest-match CASE chain for the t21 oracle — longest
+    * vocabulary lengths tested first, mirroring TextOps.wordpieceStats.
+    */
+  private def sqlWpCases: String = (12 to 2 by -1).map(l =>
+    s"WHEN substr(lower(text), pos + 1, $l) IN " +
+      s"(SELECT w FROM tokv WHERE length(w) = $l) THEN $l").mkString(" ")
   private def sqlDhashBand(b: Int): String =
     (0 until 16).map { j =>
       val i = b * 16 + j; val r = i / 8; val c = i % 8
@@ -1848,6 +1859,26 @@ object SparkEntry {
            (1000000 * shared_grams) // least(ta.tot, tb.tot) AS overlap_ppm
          FROM p JOIN t ta ON p.src_a = ta.src JOIN t tb ON p.src_b = tb.src
          ORDER BY src_a, src_b""",
+    "t21_wordpiece" ->
+      s"""WITH RECURSIVE
+         tok AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+         wrds AS (SELECT unnest(toks) AS w FROM tok),
+         tokv AS (SELECT w FROM (
+             SELECT w, count(*) AS c FROM wrds
+             WHERE length(w) BETWEEN 2 AND 12 GROUP BY w
+             ORDER BY c DESC, w ASC LIMIT 50)),
+         d0 AS (SELECT doc_id, text, length(text) AS n FROM documents),
+         chain AS (
+           SELECT doc_id, text, n, 0 AS pos, 0 AS ntok, 0 AS nfall FROM d0
+           UNION ALL
+           SELECT doc_id, text, n, pos + ml, ntok + 1,
+                  nfall + CASE WHEN ml = 1 THEN 1 ELSE 0 END
+           FROM (SELECT *, CASE $sqlWpCases ELSE 1 END AS ml
+                 FROM chain WHERE pos < n) s
+         )
+         SELECT doc_id, CAST(ntok AS BIGINT) AS n_tokens,
+           CAST(nfall AS BIGINT) AS n_char_fallbacks
+         FROM chain WHERE pos >= n ORDER BY doc_id""",
     "t17_oov_rate" ->
       s"""WITH tok AS (SELECT doc_id, $sqlToks AS toks FROM documents),
          wrds AS (SELECT doc_id, unnest(toks) AS wrd FROM tok),

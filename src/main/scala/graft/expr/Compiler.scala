@@ -36,10 +36,36 @@ final class Compiler(
     shortcuts: Map[String, Seq[String]] = Map.empty,
     views: Map[String, String] = Map.empty,
     maxDepth: Int = 10,
-    files: Seq[FileEntry] = Nil) {
+    files: Seq[FileEntry] = Nil,
+    // per-user rights (viewer: req.user flattened into parser yy state;
+    // molochparser.jison:308-310/351-353). None = unrestricted (internal
+    // callers); Some(rights) enforces each field's requiredRight: a
+    // direct query on an unpermitted field throws "<field> - permission
+    // denied", while meta-field fan-out skips unpermitted members
+    // silently (jison:318-321).
+    rights: Option[Set[String]] = None) {
 
   import Ast._
   import CmpOp._
+
+  /** [[FieldRegistry.expand]] with the requiredRight gate applied. */
+  private def expandChecked(field: String): Seq[graft.model.FieldDef] = {
+    val defs = registry.expand(field)
+    rights match {
+      case None => defs
+      case Some(rs) =>
+        if (registry.isMeta(field)) {
+          val allowed = defs.filter(_.requiredRight.forall(rs.contains))
+          if (allowed.isEmpty)
+            throw new IllegalArgumentException(s"$field - permission denied")
+          allowed
+        } else {
+          defs.foreach(d => if (!d.requiredRight.forall(rs.contains))
+            throw new IllegalArgumentException(s"$field - permission denied"))
+          defs
+        }
+    }
+  }
 
   def compile(expression: String): Column = compileAt(expression, 0)
 
@@ -84,7 +110,7 @@ final class Compiler(
     case Or(l, r)  => toCol(l, depth) || toCol(r, depth)
     case Not(e)    => neg(e, depth)
     case Exists(field, negated) =>
-      val c = registry.expand(field).map(existsCol).reduce(_ || _)
+      val c = expandChecked(field).map(existsCol).reduce(_ || _)
       if (negated) !c else c // existsCol is never NULL
     case Cmp("view", op, value) =>
       val ast1 = viewAst(value, depth)
@@ -96,7 +122,7 @@ final class Compiler(
       neg(Cmp(field, Eq, value), depth)
     case Cmp(field, op, value0) =>
       val value = expandShortcut(value0)
-      val defs = registry.expand(field)
+      val defs = expandChecked(field)
       defs.map(d => cmpCol(d, op, value)).reduce(_ || _)
   }
 
@@ -108,7 +134,7 @@ final class Compiler(
     // behaves as false, so plain compilation is equivalent.
     case Not(e)    => toCol(e, depth)
     case Exists(field, negated) =>
-      val c = registry.expand(field).map(existsCol).reduce(_ || _)
+      val c = expandChecked(field).map(existsCol).reduce(_ || _)
       if (negated) c else !c
     case Cmp("view", op, value) =>
       val ast1 = viewAst(value, depth)
@@ -120,7 +146,7 @@ final class Compiler(
     case Cmp(field, op, value0) =>
       val value = expandShortcut(value0)
       // must_not(OR over fanned-out fields) = AND of per-field negations
-      registry.expand(field)
+      expandChecked(field)
         .map(d => !cmpCol(d, op, value) || fieldCol(d).isNull)
         .reduce(_ && _)
   }

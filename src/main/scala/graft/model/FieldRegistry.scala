@@ -38,7 +38,13 @@ final case class FieldDef(
     transform: Option[String => String] = None,
     // FLAG_CNT companion (field.c:300-316): the queryable value is the
     // stored array's size, exposed as "<expression>.cnt"
-    cnt: Boolean = false)
+    cnt: Boolean = false,
+    // permission gate: querying this field requires the user right named
+    // here (db.pl marks email fields requiredRight=emailSearch; enforced
+    // at molochparser.jison:308-310/351-353 — lacking it throws
+    // "<field> - permission denied", and regex meta-field fan-out skips
+    // the field silently)
+    requiredRight: Option[String] = None)
 
 /** One row of the files dimension (the reference's `files` index): the
   * user-facing capture file name, the capture node that wrote it, and the
@@ -67,7 +73,7 @@ final case class FieldRegistry(
     val withCnt = fields.flatMap { f =>
       if (f.multiValued)
         Seq(f, FieldDef(f.expression + ".cnt", f.dbField,
-          FieldKind.IntegerK, cnt = true))
+          FieldKind.IntegerK, cnt = true, requiredRight = f.requiredRight))
       else Seq(f)
     }
     val primary = withCnt.map(f => f.expression -> f).toMap
@@ -325,7 +331,10 @@ object FieldRegistry {
       FieldDef("country.gre",  "greGeo",       TermK, multiValued = true),
       FieldDef("asn.gre",      "greAsn",       LoTermK, multiValued = true),
       FieldDef("rir.gre",      "greRir",       TermK, multiValued = true)
-    ),
+      // email fields carry requiredRight=emailSearch, as db.pl marks
+      // every email* field (enforced by Compiler when rights are set)
+    ).map(f => if (f.expression.startsWith("email."))
+      f.copy(requiredRight = Some("emailSearch")) else f),
     metaFields = Map(
       "ip"   -> Seq("ip.src", "ip.dst"),
       "port" -> Seq("port.src", "port.dst"),
@@ -334,7 +343,12 @@ object FieldRegistry {
       // .cnt/.tokens) in db/db.pl:781-788, expanded to an OR at
       // molochparser.jison:356-375.
       "host" -> Seq("http.host", "dns.host", "dns.mailserver.host",
-        "dns.nameserver.host", "host.quic", "host.smb", "host.socks"),
+        "dns.nameserver.host", "host.quic", "host.smb", "host.socks",
+        // db.pl's ^host\. regex sweeps the email host too (dbField
+        // host.email); it carries requiredRight=emailSearch, so a
+        // rights-bearing compiler silently drops it from the fan-out
+        // (jison:318-321)
+        "email.host"),
       // the reference's country/asn/rir regex meta-fields fan out over
       // every GEO/AS/RIR-typed column (db/db.pl:749-780)
       // db.pl's regexes sweep EVERY *GEO/*ASN/*RIR dbField

@@ -843,4 +843,59 @@ object TextOps {
       .reduceOption(_ || _).getOrElse(lit(false))
     df.filter(!pred)
   }
+
+  /** T21: WordPiece-style greedy longest-match encode statistics. The
+    * vocabulary is the corpus's top-`vocabSize` words of length
+    * 2..`maxLen` (count desc, word asc — a total order, so the cut is
+    * engine-exact); any position no vocab word covers consumes one
+    * character (the char-fallback, WordPiece's [UNK]/byte fallback).
+    *
+    * Scale: the vocabulary is one count agg + TakeOrdered, collected
+    * (≤ vocabSize rows) and compiled into the plan as per-length IN
+    * sets; the encode pass is a single codegen'd fold over each
+    * document's characters — map-side, zero shuffle, same shape at any
+    * corpus size. Greedy longest-match is the WordPiece INFERENCE rule
+    * (vs BPE's ranked merges, see [[bpeEncode]]).
+    */
+  def wordpieceStats(
+      df: DataFrame, textCol: Column, idCol: Column,
+      vocabSize: Int = 50, maxLen: Int = 12): DataFrame = {
+    val vocab: Seq[String] = df
+      .select(explode(tokens(textCol)).as("w"))
+      .filter(length(col("w")).between(2, maxLen))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w").asc).limit(vocabSize)
+      .collect().map(_.getString(0)).toSeq
+    val byLen: Map[Int, Seq[String]] = vocab.groupBy(_.length)
+    val t = lower(textCol)
+    val n = length(t)
+    // longest-match length at 0-based position i: a when-chain testing
+    // the longest lengths OUTERMOST (built innermost-first)
+    def mlAt(i: Column): Column =
+      (2 to maxLen).foldLeft(lit(1): Column) { (acc, l) =>
+        byLen.get(l) match {
+          case Some(ws) =>
+            when(t.substr(i + 1, lit(l)).isInCollection(ws), lit(l))
+              .otherwise(acc)
+          case None => acc
+        }
+      }
+    val scan = aggregate(
+      sequence(lit(0), n - 1),
+      struct(lit(0).as("pos"), lit(0L).as("ntok"), lit(0L).as("nfall")),
+      (acc, i) => {
+        val ml = mlAt(i)
+        when(i =!= acc.getField("pos"), acc).otherwise(
+          struct((acc.getField("pos") + ml).as("pos"),
+            (acc.getField("ntok") + 1).as("ntok"),
+            (acc.getField("nfall") +
+              when(ml === 1, 1L).otherwise(0L)).as("nfall")))
+      })
+    df.select(idCol.cast("long").as("doc_id"),
+      when(n === 0, lit(0L)).otherwise(scan.getField("ntok"))
+        .as("n_tokens"),
+      when(n === 0, lit(0L)).otherwise(scan.getField("nfall"))
+        .as("n_char_fallbacks"))
+      .orderBy("doc_id")
+  }
 }

@@ -1064,6 +1064,16 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpecBase {
     assert(!pairs.keySet.exists { case (a, b) => b == 4L || a == 4L })
   }
 
+  test("wordpieceStats: greedy longest match, spaces fall back to chars") {
+    import spark.implicits._
+    val d = Seq((1L, "spark sparkly zz"), (2L, "qqq")).toDF("doc_id", "text")
+    val out = TextOps.wordpieceStats(d, col("text"), col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // vocab = {spark, sparkly, zz, qqq}; doc 1 encodes as
+    // [spark][ ][sparkly][ ][zz] — 5 tokens, 2 single-char fallbacks
+    assert(out.toSeq == Seq((1L, 5L, 2L), (2L, 1L, 0L)))
+  }
+
   test("domainFilter blocks exact host and subdomains only") {
     import spark.implicits._
     val hosts = Seq("ads.net", "x.ads.net", "a.b.ads.net", "notads.net",
