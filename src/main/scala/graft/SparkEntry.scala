@@ -1145,7 +1145,7 @@ object SparkEntry {
        lq AS (SELECT b.doc_id, (1000000 * x.c2) // y.c1 AS q
              FROM big b JOIN lc2 x ON b.h2 = x.h2
              JOIN lc1 y ON b.h1 = y.h1),
-       lm AS (SELECT doc_id, sum(q) // count(*) AS lm_score
+       lm AS (SELECT doc_id, CAST(sum(q) // count(*) AS BIGINT) AS lm_score
               FROM lq GROUP BY doc_id)"""
   /** The docParas segmentation as CTEs (tok, paras). DuckDB's range()
     * table function can't take a lateral column, so the paragraph list is
@@ -1655,7 +1655,9 @@ object SparkEntry {
     "m5_image_dhash" ->
       s"""WITH px AS (SELECT doc_id, k,
            CAST(('0x' || substr(md5('px' || '|'
-             || substr(text, CAST(k * ((length(text) + 71) // 72) + 1 AS INT),
+             || substr(text,
+                  CAST((k * ((length(text) + 71) // 72))
+                    % greatest(length(text), 1) + 1 AS INT),
                   CAST((length(text) + 71) // 72 AS INT))), 1, 8)) AS BIGINT)
              % 256 AS p
          FROM documents, range(0, 72) t(k)),
@@ -1664,27 +1666,37 @@ object SparkEntry {
          sig AS (SELECT doc_id, ${sqlDhashBand(0)} AS band0,
              ${sqlDhashBand(1)} AS band1, ${sqlDhashBand(2)} AS band2,
              ${sqlDhashBand(3)} AS band3 FROM l),
-         bands AS (SELECT doc_id, 0 AS band_id, band0 AS v FROM sig
-           UNION ALL SELECT doc_id, 1, band1 FROM sig
-           UNION ALL SELECT doc_id, 2, band2 FROM sig
-           UNION ALL SELECT doc_id, 3, band3 FROM sig),
-         pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-           FROM bands a JOIN bands b
-             ON a.band_id = b.band_id AND a.v = b.v
-                AND a.doc_id < b.doc_id),
-         h AS (SELECT p.doc_a, p.doc_b,
-             bit_count(xor(sa.band0, sb.band0))
+         reps AS (SELECT band0, band1, band2, band3, min(doc_id) AS rep
+           FROM sig GROUP BY band0, band1, band2, band3),
+         exact AS (SELECT r.rep AS doc_a, s.doc_id AS doc_b,
+             CAST(0 AS BIGINT) AS hamming
+           FROM sig s JOIN reps r USING (band0, band1, band2, band3)
+           WHERE s.doc_id <> r.rep),
+         dsig AS (SELECT rep AS doc_id, band0, band1, band2, band3
+           FROM reps),
+         bands AS (SELECT doc_id, 0 AS band_id, band0 AS v FROM dsig
+           UNION ALL SELECT doc_id, 1, band1 FROM dsig
+           UNION ALL SELECT doc_id, 2, band2 FROM dsig
+           UNION ALL SELECT doc_id, 3, band3 FROM dsig),
+         hubs AS (SELECT band_id, v, min(doc_id) AS hub FROM bands
+           GROUP BY band_id, v),
+         cand AS (SELECT DISTINCT h.hub AS doc_a, b.doc_id AS doc_b
+           FROM bands b JOIN hubs h USING (band_id, v)
+           WHERE b.doc_id <> h.hub),
+         near AS (SELECT p.doc_a, p.doc_b,
+             CAST(bit_count(xor(sa.band0, sb.band0))
              + bit_count(xor(sa.band1, sb.band1))
              + bit_count(xor(sa.band2, sb.band2))
-             + bit_count(xor(sa.band3, sb.band3)) AS hamming
-           FROM pairs p JOIN sig sa ON p.doc_a = sa.doc_id
-           JOIN sig sb ON p.doc_b = sb.doc_id)
-         SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming FROM h
-         WHERE hamming <= 16 ORDER BY doc_a, doc_b""",
+             + bit_count(xor(sa.band3, sb.band3)) AS BIGINT) AS hamming
+           FROM cand p JOIN dsig sa ON p.doc_a = sa.doc_id
+           JOIN dsig sb ON p.doc_b = sb.doc_id)
+         SELECT doc_a, doc_b, hamming FROM near WHERE hamming <= 16
+         UNION ALL SELECT doc_a, doc_b, hamming FROM exact
+         ORDER BY doc_a, doc_b""",
     "s9_series_match" ->
       """WITH s AS (SELECT 'node' || CAST(user_id % 4 AS VARCHAR) AS key,
            CAST(floor(epoch(ts) / 86400) AS BIGINT) AS bucket,
-           sum(CAST(floor(value * 100) AS BIGINT)) AS v
+           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS v
          FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2),
          ser AS (SELECT key,
              list_transform(l, x -> x.bucket) AS buckets,
@@ -1839,10 +1851,13 @@ object SparkEntry {
          FROM gate ORDER BY doc_id""",
     "p11_source_report" ->
       s"""WITH $sqlGopherCtes
-         SELECT d.source, count(*) AS n_docs, sum(g.kept) AS n_kept,
-           sum(g.ok_words) AS n_ok_words, sum(g.ok_len) AS n_ok_len,
-           sum(g.ok_stop) AS n_ok_stop, sum(g.ok_alpha) AS n_ok_alpha,
-           sum(g.ok_rep) AS n_ok_rep
+         SELECT d.source, count(*) AS n_docs,
+           CAST(sum(g.kept) AS BIGINT) AS n_kept,
+           CAST(sum(g.ok_words) AS BIGINT) AS n_ok_words,
+           CAST(sum(g.ok_len) AS BIGINT) AS n_ok_len,
+           CAST(sum(g.ok_stop) AS BIGINT) AS n_ok_stop,
+           CAST(sum(g.ok_alpha) AS BIGINT) AS n_ok_alpha,
+           CAST(sum(g.ok_rep) AS BIGINT) AS n_ok_rep
          FROM gate g JOIN documents d USING (doc_id)
          GROUP BY d.source ORDER BY d.source""",
     "d16_source_overlap" ->
@@ -1940,8 +1955,9 @@ object SparkEntry {
       s"""WITH ex AS (SELECT query_id, neighbor_id FROM ($sqlS1BruteForce) s1),
          ap AS (SELECT query_id, neighbor_id, 1 AS m FROM ($sqlS2Lsh) s2)
          SELECT ex.query_id, count(*) AS n_exact,
-           sum(coalesce(ap.m, 0)) AS hits,
-           (1000000 * sum(coalesce(ap.m, 0))) // count(*) AS recall_ppm
+           CAST(sum(coalesce(ap.m, 0)) AS BIGINT) AS hits,
+           CAST((1000000 * sum(coalesce(ap.m, 0))) // count(*) AS BIGINT)
+             AS recall_ppm
          FROM ex LEFT JOIN ap ON ex.query_id = ap.query_id
            AND ex.neighbor_id = ap.neighbor_id
          GROUP BY ex.query_id ORDER BY ex.query_id""",
@@ -2296,7 +2312,8 @@ object SparkEntry {
              (1000000 * (ct + 1) * (tr + 4096)) // ((cr + 1) * (tt + 4096))
                AS ratio
            FROM m, tots),
-         s AS (SELECT doc_id, sum(ratio) // count(*) AS dsir_score,
+         s AS (SELECT doc_id,
+                      CAST(sum(ratio) // count(*) AS BIGINT) AS dsir_score,
                       count(*) AS n_grams
                FROM f JOIN ratio USING (b) GROUP BY doc_id)
          SELECT doc_id, dsir_score, n_grams FROM s
@@ -2442,7 +2459,7 @@ object SparkEntry {
          q AS (SELECT b.doc_id, (1000000 * x.c2) // y.c1 AS q
                FROM big b JOIN c2 x ON b.h2 = x.h2
                JOIN c1 y ON b.h1 = y.h1)
-         SELECT doc_id, sum(q) // count(*) AS lm_score,
+         SELECT doc_id, CAST(sum(q) // count(*) AS BIGINT) AS lm_score,
                 count(*) AS n_bigrams
          FROM q GROUP BY doc_id ORDER BY doc_id""",
     "p4_source_cap" ->

@@ -63,6 +63,27 @@ object PcapStore {
         while (Files.exists(dir.resolve(f"part-$n%05d"))) n += 1
         n
       }
+      // Trust the layout on disk, not the constructor: a store written
+      // with a different part size would otherwise be silently misread
+      // (offsets land in the wrong part; Hunt's catch-and-skip turns
+      // that into silently missing matches). Derive the size from
+      // part-00000 and fail fast if any interior part disagrees.
+      private val effPartSize: Long =
+        if (nParts == 0) partSize
+        else if (nParts == 1)
+          // one part: any stride ≥ its size routes every offset to it
+          math.max(partSize, Files.size(dir.resolve("part-00000")))
+        else {
+          val p0 = Files.size(dir.resolve("part-00000"))
+          var i = 1
+          while (i < nParts - 1) {
+            val s = Files.size(dir.resolve(f"part-$i%05d"))
+            require(s == p0,
+              s"chunked store $path: part-$i size $s != part-0 size $p0")
+            i += 1
+          }
+          p0
+        }
       private val lastSize: Long =
         if (nParts == 0) 0L
         else Files.size(dir.resolve(f"part-${nParts - 1}%05d"))
@@ -77,7 +98,7 @@ object PcapStore {
         r
       }
       def size: Long =
-        if (nParts == 0) 0L else (nParts - 1).toLong * partSize + lastSize
+        if (nParts == 0) 0L else (nParts - 1).toLong * effPartSize + lastSize
       def read(pos: Long, len: Int): Array[Byte] = {
         if (pos < 0 || pos + len > size)
           throw new java.io.EOFException(s"read past end: $pos+$len > $size")
@@ -85,9 +106,9 @@ object PcapStore {
         var off = 0
         var p = pos
         while (off < len) {
-          val i = (p / partSize).toInt
-          val inPart = (p % partSize).toInt
-          val take = math.min(len - off, (partSize - inPart).toInt)
+          val i = (p / effPartSize).toInt
+          val inPart = (p % effPartSize).toInt
+          val take = math.min(len - off, (effPartSize - inPart).toInt)
           val raf = part(i)
           raf.seek(inPart.toLong)
           raf.readFully(out, off, take)

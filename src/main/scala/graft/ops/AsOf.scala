@@ -40,9 +40,13 @@ object AsOf {
     val l = left.select(leftKey.as("_k"), leftTs.as("_ts"),
       lit(1).as("_side"), lStruct.as("_l"),
       lit(null).cast(rSchema).as("_r"))
+    // NULL keys never match under equi-join (ASOF ... ON l.k = r.k)
+    // semantics: drop null-keyed right rows so a null-keyed left row
+    // gets null values rather than "the latest null-keyed right row".
     val r = right.select(rightKey.as("_k"), rightTs.as("_ts"),
       lit(0).as("_side"), lit(null).cast(lSchema).as("_l"),
       rStruct.as("_r"))
+      .filter(col("_k").isNotNull)
     val w = Window.partitionBy(col("_k"))
       .orderBy(col("_ts"), col("_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -384,17 +384,35 @@ object Dedup {
       // carry the previous label through the checkpoint so convergence
       // detection is a filter on the materialized result, not a second
       // join against the previous round
-      val next = labels.join(offered, Seq("id"), "left")
+      val stepped = labels.join(offered, Seq("id"), "left")
         .select(col("id"), col("label").as("old"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
         .localCheckpoint()
+      // pointer-jumping shortcut: each node adopts its label's label
+      // (labels only decrease, and every label is itself a node id) —
+      // this squares the propagation distance per round, turning
+      // O(diameter) convergence into O(log diameter), so a chain-shaped
+      // component of any realistic depth closes well inside maxRounds
+      val lab2 = stepped.select(col("id").as("_jid"),
+        col("label").as("_jlabel"))
+      val next = stepped.join(lab2, stepped("label") === lab2("_jid"), "left")
+        .select(col("id"), col("old"),
+          least(col("label"), coalesce(col("_jlabel"), col("label")))
+            .as("label"))
+        .localCheckpoint()
       converged = next.filter(col("label") < col("old")).isEmpty
       ckpt.unpersist()
+      stepped.unpersist()
       ckpt = next
       labels = next.select("id", "label")
       round += 1
     }
     edges.unpersist()
+    // a silent stop at maxRounds would return a component split across
+    // labels with no error — fail loudly instead (with log-diameter
+    // rounds, hitting this means the input is pathological)
+    require(converged,
+      s"resolveGroups did not converge within $maxRounds rounds")
     labels.select(col("id").as("doc_id"), col("label").as("group_id"))
       .orderBy("doc_id")
   }

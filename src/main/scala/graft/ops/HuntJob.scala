@@ -1,0 +1,232 @@
+package graft.ops
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.etl.SessionBuilder.SessionRow
+
+/** Hunt job lifecycle — the resumable background form of [[Hunt]]
+  * (reference: viewer/apiHunts.js:370-580 runHuntJob / processHuntJobs):
+  * the reference runs hunts as ES-persisted jobs batched by session,
+  * checkpointing `lastPacketTime` as it goes, pausable by flipping the
+  * job's status (the runner polls it every 2 s), paused-with-error on
+  * failure, and notifier-alerted on completion. At 100 TB a hunt WILL be
+  * interrupted; a one-shot scan would restart from zero.
+  *
+  * This module re-expresses that as a cursor over the session stream:
+  * sessions are processed in `(lastPacket, sessionId, segmentSeq)` order
+  * in bounded batches; after each batch the matched keys are appended to
+  * `<huntDir>/matches` (parquet) and the cursor + counters checkpoint to
+  * `<huntDir>/state.properties` (written atomically: temp + move). The
+  * reference keeps only `lastPacketTime` and re-scans equal-timestamp
+  * ties on restart (apiHunts.js:556 `gte: hunt.lastPacketTime`); the
+  * full triple cursor here resumes exactly, and because the match log is
+  * keyed, a crash BETWEEN the match append and the state write merely
+  * re-appends the same keys — [[matches]] reads distinct, so recovery is
+  * idempotent either way.
+  *
+  * Scale: each batch is a `TakeOrdered(batchSize)` over the
+  * cursor-filtered sessions — the sort is bounded by the batch, never
+  * global — and the packet I/O inside the batch is [[Hunt.run]]'s
+  * seek-only reads. State is O(1) per hunt regardless of corpus size.
+  */
+object HuntJob {
+
+  final case class State(
+      huntId: String,
+      name: String,
+      status: String, // queued | running | paused | finished
+      searchedSessions: Long = 0L,
+      matchedSessions: Long = 0L,
+      totalSessions: Long = -1L, // -1 = not yet counted
+      // exclusive resume cursor: the last processed session key
+      lastPacketTime: Long = Long.MinValue,
+      lastSessionId: String = "",
+      lastSegmentSeq: Long = Long.MinValue,
+      errors: Seq[String] = Nil)
+
+  private def stateFile(huntDir: String) =
+    Paths.get(huntDir, "state.properties")
+
+  def load(huntDir: String): Option[State] = {
+    val f = stateFile(huntDir)
+    if (!Files.exists(f)) None
+    else {
+      val p = new java.util.Properties()
+      val in = Files.newInputStream(f)
+      try p.load(in) finally in.close()
+      val nErr = p.getProperty("nErrors", "0").toInt
+      Some(State(
+        huntId = p.getProperty("huntId"),
+        name = p.getProperty("name"),
+        status = p.getProperty("status"),
+        searchedSessions = p.getProperty("searchedSessions").toLong,
+        matchedSessions = p.getProperty("matchedSessions").toLong,
+        totalSessions = p.getProperty("totalSessions").toLong,
+        lastPacketTime = p.getProperty("lastPacketTime").toLong,
+        lastSessionId = p.getProperty("lastSessionId"),
+        lastSegmentSeq = p.getProperty("lastSegmentSeq").toLong,
+        errors = (0 until nErr).map(i => p.getProperty(s"error.$i"))))
+    }
+  }
+
+  def save(huntDir: String, st: State): Unit = {
+    Files.createDirectories(Paths.get(huntDir))
+    val p = new java.util.Properties()
+    p.setProperty("huntId", st.huntId)
+    p.setProperty("name", st.name)
+    p.setProperty("status", st.status)
+    p.setProperty("searchedSessions", st.searchedSessions.toString)
+    p.setProperty("matchedSessions", st.matchedSessions.toString)
+    p.setProperty("totalSessions", st.totalSessions.toString)
+    p.setProperty("lastPacketTime", st.lastPacketTime.toString)
+    p.setProperty("lastSessionId", st.lastSessionId)
+    p.setProperty("lastSegmentSeq", st.lastSegmentSeq.toString)
+    p.setProperty("nErrors", st.errors.size.toString)
+    st.errors.zipWithIndex.foreach { case (e, i) =>
+      p.setProperty(s"error.$i", e)
+    }
+    val tmp = Paths.get(huntDir, "state.properties.tmp")
+    val out = Files.newOutputStream(tmp)
+    try p.store(out, "graft hunt job state") finally out.close()
+    Files.move(tmp, stateFile(huntDir), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Create a new queued hunt (reference POST /api/hunt → status
+    * `queued`, picked up by processHuntJobs).
+    */
+  def create(huntDir: String, huntId: String, name: String): State = {
+    val st = State(huntId, name, status = "queued")
+    save(huntDir, st)
+    st
+  }
+
+  /** Flip a running/queued hunt to paused (reference PUT
+    * /api/hunt/:id/pause). The runner observes it at its next batch
+    * boundary — the analogue of the reference's 2-second status poll.
+    */
+  def pause(huntDir: String): State = setStatus(huntDir, "paused")
+
+  /** Re-queue a paused hunt (reference PUT /api/hunt/:id/play). Also
+    * clears the paused-with-error state so a failed batch is retried.
+    */
+  def resume(huntDir: String): State = setStatus(huntDir, "queued")
+
+  private def setStatus(huntDir: String, status: String): State = {
+    val st = load(huntDir).getOrElse(
+      throw new IllegalStateException(s"no hunt state at $huntDir"))
+    val next =
+      if (st.status == "finished") st // terminal, like the reference
+      else st.copy(status = status)
+    save(huntDir, next)
+    next
+  }
+
+  /** Run the hunt forward: up to `maxBatches` batches of `batchSize`
+    * sessions each, checkpointing after every batch. Returns the final
+    * state. Safe to call repeatedly (and after a crash): a finished or
+    * paused hunt returns immediately; anything else continues from the
+    * cursor. A batch failure records the error, pauses the hunt
+    * (reference pauseHuntJobWithError) and alerts; completion alerts
+    * with the reference's matched/searched summary message.
+    */
+  def process(
+      sessions: Dataset[SessionRow], cfg: Hunt.HuntConfig, huntDir: String,
+      batchSize: Int = 1000, maxBatches: Int = Int.MaxValue,
+      notifier: Notifier = Notifier.Log,
+      keys: String => graft.etl.PcapCrypto.FileKeys =
+        _ => graft.etl.PcapCrypto.Normal,
+      store: graft.etl.PcapStore.Store = graft.etl.PcapStore.Local): State = {
+    require(batchSize > 0)
+    var st = load(huntDir).getOrElse(
+      throw new IllegalStateException(s"no hunt state at $huntDir"))
+    if (st.status == "finished" || st.status == "paused") return st
+    def pauseWithError(e: Exception): Unit = {
+      st = st.copy(status = "paused",
+        errors = st.errors :+ s"Hunt error: ${e.getMessage}")
+      save(huntDir, st)
+      notifier.notify(s"${st.name} hunt job paused with error",
+        s"${e.getMessage} — ${st.matchedSessions} matched sessions " +
+          s"out of ${st.searchedSessions} searched sessions.")
+    }
+    if (st.totalSessions < 0) {
+      try st = st.copy(totalSessions = sessions.count())
+      catch { case e: Exception => pauseWithError(e); return st }
+    }
+    st = st.copy(status = "running")
+    save(huntDir, st)
+    val matchesDir = Paths.get(huntDir, "matches").toString
+    var batches = 0
+    var done = false
+    while (!done && batches < maxBatches) {
+      // re-read state between batches: an external pause() lands here
+      val cur = load(huntDir).get
+      if (cur.status != "running") { st = cur; done = true }
+      else {
+        try {
+          val after =
+            col("lastPacket") > st.lastPacketTime ||
+              (col("lastPacket") === st.lastPacketTime &&
+                (col("sessionId") > st.lastSessionId ||
+                  (col("sessionId") === st.lastSessionId &&
+                    col("segmentSeq") > st.lastSegmentSeq)))
+          val batch = sessions.filter(after)
+            .orderBy(col("lastPacket"), col("sessionId"), col("segmentSeq"))
+            .limit(batchSize)
+          val hunted = Hunt.run(batch, cfg, keys, store)
+            .select(col("sessionId"), col("segmentSeq").cast("long"),
+              col("lastPacket"), col("huntTag"))
+            .collect() // bounded by batchSize
+          if (hunted.isEmpty) {
+            st = st.copy(status = "finished")
+            save(huntDir, st)
+            notifier.notify(s"${st.name} hunt job finished",
+              s"${st.matchedSessions} matched sessions out of " +
+                s"${st.searchedSessions} searched sessions.")
+            done = true
+          } else {
+            val matched = hunted.filter(!_.isNullAt(3))
+            if (matched.nonEmpty) {
+              val spark = sessions.sparkSession
+              import spark.implicits._
+              matched.map(r => (r.getString(0), r.getLong(1), r.getString(3)))
+                .toSeq.toDF("sessionId", "segmentSeq", "huntTag")
+                .coalesce(1)
+                .write.mode("append").parquet(matchesDir)
+            }
+            val last = hunted.map(r =>
+              (r.getLong(2), r.getString(0), r.getLong(1))).max
+            st = st.copy(
+              searchedSessions = st.searchedSessions + hunted.length,
+              matchedSessions = st.matchedSessions + matched.length,
+              lastPacketTime = last._1, lastSessionId = last._2,
+              lastSegmentSeq = last._3)
+            save(huntDir, st)
+            batches += 1
+          }
+        } catch {
+          case e: Exception => pauseWithError(e); done = true
+        }
+      }
+    }
+    st
+  }
+
+  /** The accumulated match log: distinct (sessionId, segmentSeq,
+    * huntTag) keys — distinct because crash recovery may re-append a
+    * batch (see class doc).
+    */
+  def matches(spark: SparkSession, huntDir: String): DataFrame = {
+    val dir = Paths.get(huntDir, "matches")
+    if (!Files.exists(dir)) {
+      import spark.implicits._
+      Seq.empty[(String, Long, String)]
+        .toDF("sessionId", "segmentSeq", "huntTag")
+    } else
+      spark.read.parquet(dir.toString)
+        .select("sessionId", "segmentSeq", "huntTag").distinct()
+  }
+}

@@ -191,8 +191,7 @@ object Multimodal {
     * deployments swap in the real decoder's thumbnail and keep
     * everything downstream). 64 difference bits packed as four 16-bit
     * bands; a candidate pair shares at least one full band (sign-LSH
-    * banding — hot buckets are all-same-image, so the group-then-expand
-    * stays bounded), then the exact Hamming distance gates the pair.
+    * banding), then the exact Hamming distance gates the pair.
     */
   def dhashSignatures(
       df: DataFrame, idCol: Column, contentCol: Column): DataFrame = {
@@ -200,11 +199,16 @@ object Multimodal {
     // from one stride of the content — the stride scales with length
     // (a thumbnail rescales the image to the grid), so a local edit
     // flips only the pixels over the edited region while same-length
-    // unrelated content differs everywhere
+    // unrelated content differs everywhere. Sample positions wrap
+    // modulo the content length: ceil-division strides overshoot the
+    // end for any length not a multiple of 72, and without the wrap
+    // every short document's tail cells hash the same empty substring —
+    // three identically-zero bands that LSH-collide all short docs.
     val stride = floor((length(contentCol) + lit(71)) / lit(72)).cast("int")
+    val clen = greatest(length(contentCol), lit(1))
     val px = transform(sequence(lit(0), lit(71)),
       k => pmod(TextOps.hex32(concat(lit("px|"),
-        contentCol.substr(k * stride + 1, stride))), lit(256L)))
+        contentCol.substr(pmod(k * stride, clen) + 1, stride))), lit(256L)))
     val withPx = df.select(idCol.cast("long").as("doc_id"), px.as("_px"))
     val bands = (0 until 4).map { b =>
       (0 until 16).map { j =>
@@ -217,30 +221,55 @@ object Multimodal {
     withPx.select(col("doc_id") +: bands: _*)
   }
 
+  /** Near-duplicate edges, scale-safe: the naive form (all pairs within
+    * each LSH band bucket) is quadratic in the bucket — a web corpus has
+    * million-member buckets (the same logo/spacer everywhere) → 10¹²
+    * pairs from one key. Instead:
+    *
+    *  1. collapse exact-duplicate signatures first: every doc whose 64
+    *     bits equal another's links to the signature's minimum doc id
+    *     with hamming 0 (O(n) edges for an n-member exact-dup cloud);
+    *  2. band-bucket only the DISTINCT signatures, star-expanded — each
+    *     bucket links its minimum rep (the hub) to every other rep, the
+    *     same O(n)-per-bucket shape as [[Dedup.minhashCandidates]]
+    *     `star = true`; no `collect_list`, no in-bucket pair explosion;
+    *  3. exact `bit_count(xor)` gates the candidate edges.
+    *
+    * Output (doc_a < doc_b, hamming) edges carry the same connected
+    * components as the all-pairs form — the only property group
+    * resolution ([[Dedup.resolveGroups]]) consumes.
+    */
   def dhashPairs(
       df: DataFrame, idCol: Column, contentCol: Column,
       maxHamming: Int = 16): DataFrame = {
+    val sigCols = Seq("band0", "band1", "band2", "band3")
     val sig = dhashSignatures(df, idCol, contentCol)
-    val bandRows = sig.select(col("doc_id"),
-      posexplode(array(col("band0"), col("band1"), col("band2"),
-        col("band3"))).as(Seq("band_id", "v")))
-    val pairs = bandRows.groupBy(col("band_id"), col("v"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(explode(expr(
-        """flatten(transform(ids, (a, i) ->
-             transform(slice(ids, i + 2, size(ids) - i - 1),
-               b -> struct(a AS doc_a, b AS doc_b))))""")).as("p"))
-      .select(col("p.doc_a"), col("p.doc_b"))
+    // exact-signature collapse: rep = min doc id per 64-bit signature
+    val reps = sig.groupBy(sigCols.map(col): _*)
+      .agg(min(col("doc_id")).as("rep"))
+    val exactEdges = sig.join(reps, sigCols)
+      .filter(col("doc_id") =!= col("rep"))
+      .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"),
+        lit(0L).as("hamming"))
+    // band rows over distinct signatures only; hub = min rep per bucket
+    val dsig = reps.select(col("rep").as("doc_id") +: sigCols.map(col): _*)
+    val bandRows = dsig.select(col("doc_id"),
+      posexplode(array(sigCols.map(col): _*)).as(Seq("band_id", "v")))
+    val hubs = bandRows.groupBy(col("band_id"), col("v"))
+      .agg(min(col("doc_id")).as("hub"))
+    val cand = bandRows.join(hubs, Seq("band_id", "v"))
+      .filter(col("doc_id") =!= col("hub"))
+      .select(col("hub").as("doc_a"), col("doc_id").as("doc_b"))
       .distinct()
-    val sa = sig.toDF("doc_a", "a0", "a1", "a2", "a3")
-    val sb = sig.toDF("doc_b", "b0", "b1", "b2", "b3")
-    pairs.join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
+    val sa = dsig.toDF("doc_a", "a0", "a1", "a2", "a3")
+    val sb = dsig.toDF("doc_b", "b0", "b1", "b2", "b3")
+    val nearEdges = cand.join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
       .withColumn("hamming",
         (0 until 4).map(i => bit_count(col(s"a$i").bitwiseXOR(col(s"b$i"))))
           .reduce(_ + _).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
+    nearEdges.unionByName(exactEdges)
       .orderBy("doc_a", "doc_b")
   }
 }

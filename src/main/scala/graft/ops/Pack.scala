@@ -332,6 +332,11 @@ object Pack {
     val base = df.select(idCol.cast("long").as("doc_id"),
       scoreCol.cast("long").as("score"))
     val total = base.count()
+    // empty input: 0 is not a valid divisor in the phase-cut expression
+    // (null phases, or an error under ANSI mode) — return empty directly
+    if (total == 0)
+      return base.select(col("doc_id"), col("score"),
+        lit(0).as("phase"), lit(0L).as("ord")).limit(0)
     val cnt = base.groupBy("score").agg(count(lit(1)).as("cnt"))
       .withColumn("negScore", -col("score"))
     val cuts = prefixSum(cnt, "negScore", "cnt")

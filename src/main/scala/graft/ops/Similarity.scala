@@ -310,18 +310,32 @@ object Similarity {
     var cents: Array[Array[Double]] = corpus.orderBy(col(idCol)).limit(k)
       .select(toDouble(col(vecCol)))
       .collect().map(_.getSeq[Double](0).toArray)
+    // pack once, scan `iters` times from cache: binary vectors reach the
+    // assign/quantize kernels as raw byte[] with zero per-element boxing
+    // (the same packed-kernel trick the pair-scoring hot path uses)
+    val prepped = corpus.select(pack(toDouble(col(vecCol))).as("vb"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var it = 0
     while (it < iters) {
-      val cs = cents // stable reference for the closure
-      val assignUdf = udf { v: Seq[Double] =>
+      // flatten the codebook to one primitive array in the closure —
+      // the inner loop is pure double arithmetic over byte[]/double[]
+      val dim = if (cents.isEmpty) 0 else cents(0).length
+      val flat: Array[Double] = cents.flatten
+      val kk = cents.length
+      val assignUdf = udf { vb: Array[Byte] =>
+        val bb = java.nio.ByteBuffer.wrap(vb)
+        val n = vb.length / 8
+        val v = new Array[Double](n)
+        var i = 0
+        while (i < n) { v(i) = bb.getDouble(i * 8); i += 1 }
         var best = 0
         var bestDot = Double.NegativeInfinity
         var c = 0
-        while (c < cs.length) {
+        while (c < kk) {
           var acc = 0.0
-          var i = 0
-          val n = math.min(v.length, cs(c).length)
-          while (i < n) { acc += v(i) * cs(c)(i); i += 1 }
+          var j = 0
+          val lim = math.min(n, dim)
+          while (j < lim) { acc += v(j) * flat(c * dim + j); j += 1 }
           if (acc > bestDot) { bestDot = acc; best = c }
           c += 1
         }
@@ -333,12 +347,22 @@ object Similarity {
       // every engine), sum exactly in long, divide in double. Makes the
       // codebook bit-identical run-to-run and across engines; the 1e-9
       // quantization is far below any embedding's meaningful precision.
-      val stats = corpus.select(toDouble(col(vecCol)).as("v"))
-        .withColumn("cell", assignUdf(col("v")))
-        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+      val quantUdf = udf { vb: Array[Byte] =>
+        val bb = java.nio.ByteBuffer.wrap(vb)
+        val n = vb.length / 8
+        val out = new Array[Long](n)
+        var i = 0
+        while (i < n) {
+          out(i) = math.floor(bb.getDouble(i * 8) * 1e9).toLong
+          i += 1
+        }
+        out
+      }
+      val stats = prepped
+        .select(assignUdf(col("vb")).as("cell"),
+          posexplode(quantUdf(col("vb"))).as(Seq("pos", "qx")))
         .groupBy(col("cell"), col("pos"))
-        .agg(sum(floor(col("x") * lit(1e9)).cast("long")).as("sx"),
-          count(lit(1)).as("n"))
+        .agg(sum(col("qx")).as("sx"), count(lit(1)).as("n"))
         .collect()
       val next = cents.map(_.clone())
       stats.foreach { r =>
@@ -349,6 +373,7 @@ object Similarity {
       cents = next
       it += 1
     }
+    prepped.unpersist()
     cents.map(_.toSeq).toSeq
   }
 

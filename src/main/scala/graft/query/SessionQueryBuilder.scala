@@ -40,7 +40,11 @@ final case class SessionQueryBuilder(
     bounding: Endpoints.Bounding = Endpoints.Bounding.Last,
     expressionStr: Option[String] = None,
     forcedStr: Option[String] = None,
-    timeLimitHours: Option[Long] = None) {
+    timeLimitHours: Option[Long] = None,
+    // per-user requiredRight gate forwarded to the expression compiler
+    // (reference: buildSessionQuery always parses with req.user flags,
+    // apiSessions.js:1343-1352); None = unrestricted internal caller
+    rights: Option[Set[String]] = None) {
 
   def timeRange(start: Long, stop: Long,
       b: Endpoints.Bounding = Endpoints.Bounding.Last): SessionQueryBuilder =
@@ -58,7 +62,8 @@ final case class SessionQueryBuilder(
     copy(timeLimitHours = Some(hours))
 
   private def compiler =
-    new Compiler(registry, colResolver, now, shortcuts, views)
+    new Compiler(registry, colResolver, now, shortcuts, views,
+      rights = rights)
 
   private def enforceTimeLimit(): Unit = timeLimitHours.foreach { tl =>
     val exceeded = (startMs, stopMs) match {

@@ -96,7 +96,8 @@ object Users {
     * ACL expression, time-window cap, views and shortcuts.
     */
   def applyTo(builder: SessionQueryBuilder, user: User): SessionQueryBuilder = {
-    val b1 = builder.copy(views = user.views, shortcuts = user.shortcuts)
+    val b1 = builder.copy(views = user.views, shortcuts = user.shortcuts,
+      rights = Some(user.rights))
     val b2 = user.expression.map(b1.forced).getOrElse(b1)
     user.timeLimitHours.map(b2.timeLimit).getOrElse(b2)
   }

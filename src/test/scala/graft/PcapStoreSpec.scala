@@ -40,6 +40,27 @@ class PcapStoreSpec extends AnyFunSuite with SparkSpecBase {
     } finally blob.close()
   }
 
+  test("chunked blob derives part size from disk, rejects inconsistent parts") {
+    val data = Array.tabulate[Byte](2500)(i => (i * 13 + 5).toByte)
+    val dir = Files.createTempDirectory("chunkedwrong").toString
+    PcapStore.Chunked(1000).writeParts(data, dir)
+    // a reader constructed with the WRONG part size still reads
+    // correctly: the layout on disk (part-00000's size) is the truth
+    val blob = PcapStore.Chunked(64).open(dir)
+    try {
+      assert(blob.size == 2500)
+      assert(blob.read(990, 20).toSeq == data.slice(990, 1010).toSeq)
+    } finally blob.close()
+    // hand-laid inconsistent interior parts fail fast at open, not
+    // silently misread
+    val bad = Files.createTempDirectory("chunkedbad")
+    Files.write(bad.resolve("part-00000"), new Array[Byte](100))
+    Files.write(bad.resolve("part-00001"), new Array[Byte](60))
+    Files.write(bad.resolve("part-00002"), new Array[Byte](100))
+    intercept[IllegalArgumentException](
+      PcapStore.Chunked(100).open(bad.toString))
+  }
+
   test("hunt over the chunked store equals hunt over the local file") {
     import spark.implicits._
     val sessions = SessionBuilder.sessionizeRef(spark, refPcap)

@@ -1030,6 +1030,62 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpecBase {
       byPhase.values.forall(_.length == 25))
   }
 
+  test("curriculum: empty input returns an empty frame, not a div-by-zero") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("doc_id", "score")
+    val out = graft.ops.Pack.curriculum(empty, col("score"), col("doc_id"), 4)
+    assert(out.count() == 0)
+    assert(out.columns.toSeq == Seq("doc_id", "score", "phase", "ord"))
+  }
+
+  test("resolveGroups converges on a chain far deeper than maxRounds") {
+    import spark.implicits._
+    // a 100-hop path: plain min-label propagation needs ~100 rounds,
+    // so this only passes because pointer-jumping squares the reach
+    // per round (and the require(converged) guard would throw if not)
+    val pairs = (1L until 100L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val g = Dedup.resolveGroups(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(g.length == 100 && g.forall(_._2 == 1L))
+  }
+
+  test("asofJoin: null keys never match (equi-join NULL semantics)") {
+    import spark.implicits._
+    val left = Seq((1L, Option("k1"), 100L), (2L, Option.empty[String], 100L))
+      .toDF("id", "key", "t")
+      .withColumn("ts", timestamp_seconds(col("t"))).drop("t")
+    val right = Seq((Option("k1"), 50L, "a"), (Option.empty[String], 50L, "NULLSTATE"))
+      .toDF("key", "t", "state")
+      .withColumn("ts", timestamp_seconds(col("t"))).drop("t")
+    val out = graft.ops.AsOf.asofJoin(left, col("key"), col("ts"),
+      right, col("key"), col("ts"), Seq("state"))
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), Option(r.getString(3)).orNull))
+    // null-keyed left row gets NO right value; the null-keyed right row
+    // is never adopted by anyone
+    assert(out.toSeq == Seq((1L, "a"), (2L, null)))
+  }
+
+  test("dhash short documents: tail cells wrap instead of hashing ''") {
+    import spark.implicits._
+    // pre-wrap, every doc shorter than ~2 grid rows had bands 1-3
+    // identically zero: all short docs LSH-collided and their total
+    // hamming was bounded by band0's 16 bits — every short pair
+    // reported as a near-duplicate regardless of content
+    val d = Seq((1L, "tiny alpha"), (2L, "other beta"), (3L, "third gamma"))
+      .toDF("doc_id", "text")
+    val sig = graft.ops.Multimodal.dhashSignatures(d, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // distinct content ⇒ distinct full signatures, and the upper bands
+    // carry real bits (not all zero) for short docs
+    assert(sig.values.toSet.size == 3)
+    assert(sig.values.exists { case (_, b1, b2, b3) => (b1 | b2 | b3) != 0L })
+    val pairs = graft.ops.Multimodal.dhashPairs(d, col("doc_id"),
+      col("text"), maxHamming = 16).collect()
+    assert(pairs.isEmpty, s"unrelated short docs reported near-dup: ${pairs.toSeq}")
+  }
+
   test("classPack: slots bounded by ctx/class, assignment deterministic") {
     import spark.implicits._
     val d = (1L to 300L).map(i => (i, (i % 500) + 1)).toDF("doc_id", "len")

@@ -185,6 +185,14 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpecBase {
       "urlDedup must shuffle once, on the canonical key")
   }
 
+  test("m5 dhash pairs: no in-bucket pair explosion, no collect_list") {
+    // the band buckets must stay O(n): exact-signature collapse + hub
+    // (star) expansion are min-aggregates and joins — a collect_list in
+    // this plan means the quadratic bucket interior came back
+    val p = plan("m5_image_dhash")
+    assert(!p.contains("collect_list"), "unbounded bucket expansion in m5")
+  }
+
   test("NO query plan contains a partition-less window (full sweep)") {
     // planning only — nothing executes; guards every current and future
     // driver-contract query against the single-task window anti-pattern
