@@ -122,6 +122,18 @@ object SparkEntry {
         shortcuts = Map("vips" -> Seq("1", "2", "3")))
       evProjected(ev(s, dir).filter(c.compile("user == $vips && type == purchase")))
     }),
+    // Q14 via the persisted lookups table (apiShortcuts.js CRUD → the
+    // getShortcutsCache map handed to the parser): same query, but the
+    // $vips list round-trips through the store-backed Shortcuts CRUD.
+    "q14_shortcut_store" -> ((s, dir) => {
+      val path = java.nio.file.Files.createTempDirectory("graft-lookups")
+        .resolve("lookups").toString
+      graft.query.Shortcuts.create(s, path, "alice", "vips", "number",
+        "1, 2\n3", shared = true)
+      val c = new Compiler(FieldRegistry.events, now = now,
+        shortcuts = graft.query.Shortcuts.forUser(s, path, "bob"))
+      evProjected(ev(s, dir).filter(c.compile("user == $vips && type == purchase")))
+    }),
     "q15_view" -> ((s, dir) => {
       val c = new Compiler(FieldRegistry.events, now = now,
         views = Map("errors" -> "type == error"))
@@ -765,6 +777,17 @@ object SparkEntry {
     "t15_nb_classify" -> ((s, dir) =>
       TextOps.nbClassify(docs(s, dir), col("text"), col("doc_id"),
         col("lang"))),
+    // T22: BM25 top-5 retrieval — every 100th doc's leading 60 chars as
+    // the query set against the full corpus, exact integer milli/ppm
+    // scoring (broadcast query terms, bounded-heap per-query top-k)
+    "t22_bm25" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val q = d.filter(col("doc_id") % 100 === 0)
+        .select(col("doc_id").as("qid"),
+          substring(col("text"), 1, 60).as("qt"))
+      TextOps.bm25TopK(d, col("text"), col("doc_id"),
+        q, col("qt"), col("qid"), k = 5)
+    }),
     // T10: boilerplate strip — the corpus text wrapped in HTML chrome on
     // both engines, then stripped back down
     "t10_html_strip" -> ((s, dir) =>
@@ -1303,6 +1326,10 @@ object SparkEntry {
          WHERE props IS NOT NULL AND NOT coalesce(event_type = 'error', FALSE)
          ORDER BY event_id""",
     "q14_shortcut" ->
+      s"""SELECT $evCols FROM events
+         WHERE user_id IN (1, 2, 3) AND event_type = 'purchase'
+         ORDER BY event_id""",
+    "q14_shortcut_store" ->
       s"""SELECT $evCols FROM events
          WHERE user_id IN (1, 2, 3) AND event_type = 'purchase'
          ORDER BY event_id""",
@@ -2128,6 +2155,36 @@ object SparkEntry {
              ORDER BY tfidf DESC, term) AS rk FROM sc)
          SELECT doc_id, term, tfidf FROM r WHERE rk <= 5
          ORDER BY doc_id, tfidf DESC, term""",
+    "t22_bm25" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($sqlToks) AS term FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+         dl AS (SELECT doc_id, count(*) AS len FROM tok GROUP BY 1),
+         dfq AS (SELECT term, count(*) AS dfc FROM tf GROUP BY 1),
+         st AS (SELECT count(*) AS n, sum(len) AS tot FROM dl),
+         qd AS (SELECT doc_id AS query_id, substr(text, 1, 60) AS qt
+           FROM documents WHERE doc_id % 100 = 0),
+         qt AS (SELECT DISTINCT query_id,
+             unnest(list_filter(string_split_regex(lower(qt), '[^a-z0-9]+'),
+               x -> x <> '')) AS term FROM qd),
+         sc AS (SELECT q.query_id, tf.doc_id,
+             least((1000 * st.n) // dfq.dfc, 1000000000) AS idf_milli,
+             (1000000 * tf.tf * (1200 + 1000)) //
+               (1000 * tf.tf + (1200 * (1000 - 750 +
+                 (750 * ((1000000 * dl.len) // ((1000 * st.tot) // st.n))) // 1000)) // 1000)
+               AS tfnorm_ppm
+           FROM qt q
+           JOIN tf ON tf.term = q.term
+           JOIN dl ON dl.doc_id = tf.doc_id
+           JOIN dfq ON dfq.term = q.term
+           CROSS JOIN st),
+         agg AS (SELECT query_id, doc_id,
+             sum((idf_milli * tfnorm_ppm) // 1000) AS score_ppm
+           FROM sc GROUP BY 1, 2),
+         r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY score_ppm DESC, doc_id) AS rk FROM agg)
+         SELECT query_id, CAST(rk AS BIGINT) AS rk, doc_id,
+           CAST(score_ppm AS BIGINT) AS score_ppm
+         FROM r WHERE rk <= 5 ORDER BY query_id, rk""",
     "t15_nb_classify" ->
       s"""WITH tok AS (SELECT doc_id, lang,
              unnest($sqlToks) AS term FROM documents),

@@ -37,6 +37,20 @@ object SessionStore {
       .partitionBy("day")
       .parquet(path)
 
+  /** Append sessions into an existing (or new) store — the ingest mode
+    * used by upload ([[graft.ops.Upload]]), cross-cluster forwarding
+    * ([[graft.ops.Forward]]) and live capture flushes: new files land in
+    * the day partitions they belong to, existing files are untouched
+    * (compaction later folds the accumulation, [[compact]]).
+    */
+  def append(sessions: Dataset[SessionRow], path: String): Unit =
+    sessions.toDF()
+      .withColumn("day", date_format(timestamp_millis(col("firstPacket")), "yyyy-MM-dd"))
+      .write.mode("append")
+      .options(bloomOpts)
+      .partitionBy("day")
+      .parquet(path)
+
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 

@@ -48,23 +48,24 @@ object Tagging {
     * `partitionOverwriteMode=dynamic` leaves every other partition's
     * files untouched.
     */
-  def rewriteMatchedDays(spark: SparkSession, path: String, matched: Column)(
+  def rewriteMatchedDays(spark: SparkSession, path: String, matched: Column,
+      partCol: String = "day")(
       transform: DataFrame => DataFrame): Seq[String] = {
     val store = spark.read.parquet(path)
-    // partition discovery may infer `day` as DATE or STRING — keep the
+    // partition discovery may infer the key as DATE or STRING — keep the
     // raw values for the isin filter, stringify only for the return
-    val days = store.filter(matched).select("day").distinct()
+    val days = store.filter(matched).select(partCol).distinct()
       .collect().map(_.get(0)).toSeq
     if (days.isEmpty) return Nil
     // localCheckpoint materializes the updated rows before the write,
     // severing plan lineage to the files being overwritten (Spark rejects
     // an overwrite whose plan still reads the target). On a cluster this
     // would be `checkpoint` to reliable storage.
-    val updated = transform(store.filter(col("day").isin(days: _*)))
+    val updated = transform(store.filter(col(partCol).isin(days: _*)))
       .localCheckpoint()
     updated.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("day")
+      .partitionBy(partCol)
       .parquet(path)
     days.map(String.valueOf)
   }

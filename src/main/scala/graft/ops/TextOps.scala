@@ -581,6 +581,66 @@ object TextOps {
       .orderBy(col("doc_id"), col("tfidf").desc, col("term"))
   }
 
+  /** T22: BM25 top-k retrieval — queries against the document corpus
+    * (Robertson & Spärck Jones's probabilistic ranking; the standard
+    * tf-saturation × inverse-document-frequency form with k1/b length
+    * normalization).
+    *
+    * Arithmetic is exact-integer milli/ppm units end to end (the same
+    * determinism device as [[tfidfTopTerms]]/[[nbClassify]]): the idf is
+    * the capped inverse-frequency ratio `(1000·N) div df` (capped at 1e9
+    * so rare-term scores also bound the 64-bit product), the tf
+    * saturation is `(1e6·tf·(k1+1)) div (1000·tf + K)` with K the usual
+    * `k1·(1-b+b·len/avgdl)` in milli-units — so the SQL oracle
+    * reproduces every score bit-for-bit and no float summation order
+    * matters.
+    *
+    * Scale: posting lists are the (term, doc) tf table — one shuffle to
+    * build, reusable; the query set is small and broadcast, so scoring
+    * is a broadcast-hash join against tf plus one (query, doc) partial
+    * aggregate; per-query top-k is the bounded-heap aggregate (no
+    * ranking window, no global sort). Stop-word-heavy query terms skew
+    * onto big posting lists; AQE skew-split applies, and real
+    * deployments drop df>threshold terms the same way [[ngramJaccardPairs]]
+    * caps postings.
+    */
+  def bm25TopK(
+      docs: DataFrame, text: Column, idCol: Column,
+      queries: DataFrame, qText: Column, qIdCol: Column,
+      k: Int = 5, k1Milli: Long = 1200, bMilli: Long = 750): DataFrame = {
+    val tok = docs.select(idCol.as("doc_id"), explode(tokens(text)).as("term"))
+    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("len"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("dfc"))
+    val stats = dl.agg(count(lit(1)).as("n"), sum("len").as("tot"))
+    val qterms = queries
+      .select(qIdCol.as("query_id"), explode(tokens(qText)).as("term"))
+      .distinct()
+    val scored = broadcast(qterms)
+      .join(tf, Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .join(broadcast(dfreq.join(broadcast(qterms.select("term").distinct()),
+        Seq("term"))), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf_milli",
+        expr("least((1000 * n) div dfc, 1000000000)"))
+      .withColumn("tfnorm_ppm", expr(
+        s"(1000000 * tf * (${k1Milli} + 1000)) div " +
+        s"(1000 * tf + (${k1Milli} * (1000 - ${bMilli} + " +
+        s"(${bMilli} * ((1000000 * len) div ((1000 * tot) div n))) div 1000)) div 1000)"))
+      .withColumn("contrib", expr("(idf_milli * tfnorm_ppm) div 1000"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum("contrib").as("score_ppm"))
+    val topkFn = graft.functions.TopK.longIds(k)
+    scored
+      .groupBy("query_id")
+      .agg(topkFn(col("score_ppm").cast("double"), col("doc_id")).as("_top"))
+      .select(col("query_id"), posexplode(col("_top")).as(Seq("pos", "t")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rk"),
+        col("t.id").as("doc_id"), col("t.score").cast("long").as("score_ppm"))
+      .orderBy("query_id", "rk")
+  }
+
   /** T15: Naive-Bayes-style text classifier, trained and applied in one
     * plan (the fastText-quality-filter shape: label docs by an existing
     * signal, learn per-class token weights, score everything).

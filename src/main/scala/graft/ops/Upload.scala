@@ -1,0 +1,80 @@
+package graft.ops
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+import graft.etl.{SessionBuilder, SessionStore}
+import graft.etl.SessionBuilder.SessionRow
+
+/** PCAP upload ingest — the `/api/upload` endpoint (reference:
+  * viewer/apiMisc.js:200-233): a posted capture file is handed to
+  * `uploadCommand` (conventionally `capture --copy -n {NODE}
+  * -r {TMPFILE} {TAGS}`), i.e. the batch sessionizer runs over the
+  * file with the request's tags and the pcap is copied into the node's
+  * pcap directory so later packet reads (detail, hunts, export) resolve.
+  *
+  * Spark-first: the sessionizer IS the existing batch pipeline
+  * ([[SessionBuilder.sessionize]] — distributed decode + groupByKey
+  * build); upload is glue that (a) copies the capture into the durable
+  * pcap dir first so every stored `fileId` references the copy, not the
+  * caller's temp file, and (b) appends the resulting SPI rows to the
+  * day-partitioned store. An upload only ever appends new files to the
+  * days it touches — at 100 TB it never rewrites existing data.
+  */
+object Upload {
+
+  final case class Result(sessions: Long, packets: Long, pcapPath: String)
+
+  /** Ingest `tmpFile` into `storePath`, with the durable pcap copy under
+    * `pcapDir`. Returns counts and the copied path (the `{TMPFILE}` is
+    * the caller's to delete, as the reference unlinks after the command).
+    */
+  def upload(spark: SparkSession, tmpFile: String, storePath: String,
+      pcapDir: String, tags: Seq[String] = Nil,
+      node: String = "upload"): Result = {
+    val sessions = ingest(spark, tmpFile, pcapDir, tags, node)
+    // localCheckpoint: materialize before the store append so the rows
+    // are computed once (count + write) and the write plan does not
+    // depend on re-reading the temp file after the caller deletes it
+    val rows = sessions.localCheckpoint()
+    SessionStore.append(rows, storePath)
+    import spark.implicits._
+    val n = rows.count()
+    val pkts = if (n == 0) 0L else rows.map(_.totPackets).reduce(_ + _)
+    Result(n, pkts, copiedPath(tmpFile, pcapDir, node))
+  }
+
+  /** The sessionize half, usable standalone: copy + decode + tag,
+    * returning the rows without writing a store.
+    */
+  def ingest(spark: SparkSession, tmpFile: String, pcapDir: String,
+      tags: Seq[String] = Nil, node: String = "upload"): Dataset[SessionRow] = {
+    val dest = copiedPath(tmpFile, pcapDir, node)
+    val destPath = java.nio.file.Paths.get(dest)
+    java.nio.file.Files.createDirectories(destPath.getParent)
+    java.nio.file.Files.copy(java.nio.file.Paths.get(tmpFile), destPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val cleanTags = sanitizeTags(tags)
+    import spark.implicits._
+    SessionBuilder.sessionize(spark, dest, node = node)
+      .map(s => if (cleanTags.isEmpty) s
+        else s.copy(tags = (s.tags ++ cleanTags).distinct))
+  }
+
+  /** Deterministic durable name: `<node>-<basename>.pcap` under
+    * `pcapDir` — the `--copy` landing spot (the staged temp file has no
+    * meaningful name, so the `.pcap` suffix is normalized here; the pcap
+    * reader and hunt path key on it). Re-uploading the same file
+    * overwrites the copy (same bytes) rather than duplicating it.
+    */
+  def copiedPath(tmpFile: String, pcapDir: String, node: String): String = {
+    val base0 = java.nio.file.Paths.get(tmpFile).getFileName.toString
+    val base = if (base0.endsWith(".pcap")) base0 else s"$base0.pcap"
+    java.nio.file.Paths.get(pcapDir, s"$node-$base").toString
+  }
+
+  /** Reference tag sanitation (`apiMisc.js:206`):
+    * `replace(/[^-a-zA-Z0-9_:,]/g, '')` then split, empties dropped.
+    */
+  def sanitizeTags(tags: Seq[String]): Seq[String] =
+    tags.map(_.replaceAll("[^-a-zA-Z0-9_:]", "")).filter(_.nonEmpty)
+}

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.etl.SessionStore
 import graft.expr.Compiler
 import graft.model.FieldRegistry
-import graft.ops.Tagging
+import graft.ops.{Forward, Notifier, Tagging}
 
 /** Periodic saved-search processing — the viewer's cron queries
   * (reference: viewer/viewer.js:2199-2430 processCronQuery /
@@ -14,14 +14,21 @@ import graft.ops.Tagging
   * last-processed watermark (`lpValue`, epoch seconds) and is advanced
   * toward "now" in bounded time windows (≤ 24h per step in the
   * reference); sessions that arrived in the window and match the query's
-  * expression receive its tags, and the query accumulates a hit count
-  * (the notifier trigger, viewer.js:2424-2440).
+  * expression receive the query's action:
+  *  - `tag` (default): the query's tags are unioned into the matched
+  *    sessions (viewer.js:2334-2346);
+  *  - `forward:<cluster>`: the matched sessions — SPI and pcap — are
+  *    copied to the named cluster via the send-session machinery
+  *    (viewer.js:2258-2264 → sendSessionsListQL).
+  * A query with a notifier set issues an alert when its hit count grows,
+  * throttled to one alert per 10 minutes (viewer.js:2424-2440).
   *
   * Scale: each step reads only the window's day partitions
   * ([[SessionStore.readRange]] prunes on the partition key) and the
   * tag write-back rewrites only the matched days
   * ([[Tagging.applyToStore]]) — a cron pass over a 100 TB store touches
-  * the new data, not the store.
+  * the new data, not the store. Forwarded batches stream only the
+  * matched sessions' packet slices ([[Forward.sendSessions]]).
   */
 object CronQueries {
 
@@ -31,37 +38,106 @@ object CronQueries {
       tags: Seq[String],
       enabled: Boolean = true,
       lpValue: Long = 0L,
-      count: Long = 0L)
+      count: Long = 0L,
+      action: String = "tag",
+      creator: String = "",
+      notifier: Option[String] = None,
+      lastNotified: Long = 0L,
+      lastNotifiedCount: Long = 0L)
 
   /** One scheduler pass at `nowSec`. Returns the advanced query states;
-    * tags land in the store as a side effect. Re-running a window is
-    * idempotent (tag sets, not appends) — the crash-recovery property
-    * the reference gets from ES set semantics.
+    * tags / forwarded copies land as side effects. Re-running a window
+    * is idempotent: tag sets merge, and a forward replays under the
+    * same deterministic saveId (same pcap file overwritten; the
+    * reference likewise re-indexes on re-receive).
+    *
+    * `notifiers` maps a [[CronQuery.notifier]] name to a provider;
+    * `clusters` maps a `forward:<name>` target to a destination;
+    * `shortcutsPath` resolves each creator's `$name` shortcuts at parse
+    * time, as the reference fetches `getShortcutsCache(cq.creator)`
+    * (viewer.js:2356-2369).
     */
   def processOnce(
       spark: SparkSession, path: String,
       queries: Seq[CronQuery], nowSec: Long,
-      chunkSecs: Long = 86400L): Seq[CronQuery] =
+      chunkSecs: Long = 86400L,
+      notifiers: Map[String, Notifier] = Map.empty,
+      clusters: Map[String, Forward.Cluster] = Map.empty,
+      shortcutsPath: Option[String] = None): Seq[CronQuery] =
     queries.map { cq =>
       if (!cq.enabled || nowSec <= cq.lpValue) cq
       else {
+        val shortcuts = shortcutsPath
+          .map(p => Shortcuts.forUser(spark, p, cq.creator))
+          .getOrElse(Map.empty[String, Seq[String]])
         val pred = new Compiler(FieldRegistry.sessions,
           FieldRegistry.sessionCol,
-          java.time.Instant.ofEpochSecond(nowSec)).compile(cq.expression)
+          java.time.Instant.ofEpochSecond(nowSec),
+          shortcuts = shortcuts).compile(cq.expression)
+        val forwardTo = if (cq.action.startsWith("forward:"))
+          Some(clusters.getOrElse(cq.action.substring(8),
+            throw new IllegalArgumentException(
+              s"unknown forward cluster in action ${cq.action}")))
+        else None
         var lp = cq.lpValue
         var total = 0L
         while (lp < nowSec) {
           val end = math.min(nowSec, lp + chunkSecs)
           val window =
             col("firstPacket") >= lp * 1000L && col("firstPacket") < end * 1000L
-          val n = SessionStore.readRange(spark, path, lp * 1000L, end * 1000L)
-            .filter(window && pred).count()
-          if (n > 0)
-            Tagging.applyToStore(spark, path, window && pred, cq.tags, add = true)
-          total += n
+          val matched = SessionStore.readRange(spark, path, lp * 1000L, end * 1000L)
+            .filter(window && pred)
+          forwardTo match {
+            case Some(dest) =>
+              import spark.implicits._
+              val rows = matched.drop("day")
+                .as[graft.etl.SessionBuilder.SessionRow]
+              val n = rows.count()
+              if (n > 0)
+                // deterministic per-window saveId — crash-replay of a
+                // window overwrites the same destination file
+                Forward.sendSessions(spark, rows, dest,
+                  saveId = s"${cq.name}-$lp", tags = cq.tags)
+              total += n
+            case None =>
+              val n = matched.count()
+              if (n > 0)
+                Tagging.applyToStore(spark, path, window && pred, cq.tags,
+                  add = true)
+              total += n
+          }
           lp = end
         }
-        cq.copy(lpValue = lp, count = cq.count + total)
+        val advanced = cq.copy(lpValue = lp, count = cq.count + total)
+        notifyIfDue(advanced, cq, nowSec, notifiers)
       }
     }
+
+  /** The viewer.js:2424-2440 alert trigger: notifier configured, hits
+    * this pass, count changed, and ≥600 s since the last alert. The
+    * message mirrors the reference's "N new matches" alert linking the
+    * query's tags.
+    */
+  private def notifyIfDue(advanced: CronQuery, before: CronQuery,
+      nowSec: Long, notifiers: Map[String, Notifier]): CronQuery = {
+    val hits = advanced.count - before.count
+    val due = advanced.notifier.isDefined && hits > 0 &&
+      advanced.count != before.lastNotifiedCount &&
+      (before.lastNotified == 0L || nowSec - before.lastNotified >= 600L)
+    if (!due) advanced
+    else {
+      val newMatches =
+        if (before.lastNotifiedCount > 0) advanced.count - before.lastNotifiedCount
+        else advanced.count
+      notifiers.get(advanced.notifier.get).foreach { n =>
+        try n.notify(s"${advanced.name} periodic query hits",
+          s"*${advanced.name}* periodic query matched $newMatches new " +
+          s"session(s) (total ${advanced.count}); tags: " +
+          advanced.tags.mkString(","))
+        catch { case _: Exception => () } // alerts never fail the pass
+      }
+      advanced.copy(lastNotified = nowSec,
+        lastNotifiedCount = advanced.count)
+    }
+  }
 }

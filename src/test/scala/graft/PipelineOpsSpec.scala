@@ -82,6 +82,25 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpecBase {
     assert(top.toSeq == Seq("apple", "banana"))
   }
 
+  test("bm25TopK: exact-match doc ranks first; longer docs penalized") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "quick brown fox jumps"),
+      (2L, "quick brown fox jumps " + "filler words here only " * 20),
+      (3L, "unrelated text about databases and storage engines"),
+      (4L, "the quick dog")).toDF("doc_id", "text")
+    val q = Seq((100L, "quick brown fox")).toDF("qid", "qt")
+    val res = TextOps.bm25TopK(d, col("text"), col("doc_id"),
+      q, col("qt"), col("qid"), k = 3).collect()
+    // doc 1 has all three terms at minimal length -> rank 1; doc 2 has
+    // the same terms but BM25 length normalization pushes it below; doc 4
+    // shares only "quick"; doc 3 never appears
+    assert(res.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L, 2L, 4L))
+    assert(res.map(_.getAs[Long]("rk")).toSeq == Seq(1L, 2L, 3L))
+    val scores = res.map(_.getAs[Long]("score_ppm"))
+    assert(scores(0) > scores(1) && scores(1) > scores(2))
+  }
+
   test("nbClassify: separable vocab is classified perfectly") {
     import spark.implicits._
     val d = Seq(
