@@ -388,23 +388,36 @@ object Dedup {
         .select(col("id"), col("label").as("old"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
         .localCheckpoint()
-      // pointer-jumping shortcut: each node adopts its label's label
-      // (labels only decrease, and every label is itself a node id) —
-      // this squares the propagation distance per round, turning
-      // O(diameter) convergence into O(log diameter), so a chain-shaped
-      // component of any realistic depth closes well inside maxRounds
-      val lab2 = stepped.select(col("id").as("_jid"),
-        col("label").as("_jlabel"))
-      val next = stepped.join(lab2, stepped("label") === lab2("_jid"), "left")
-        .select(col("id"), col("old"),
-          least(col("label"), coalesce(col("_jlabel"), col("label")))
-            .as("label"))
-        .localCheckpoint()
-      converged = next.filter(col("label") < col("old")).isEmpty
-      ckpt.unpersist()
-      stepped.unpersist()
-      ckpt = next
-      labels = next.select("id", "label")
+      // a propagation fixed point IS full convergence (labels are
+      // monotone non-increasing; unchanged everywhere ⇒ every node
+      // already holds its neighborhood min), so check BEFORE jumping —
+      // the final round never pays the jump join
+      converged = stepped.filter(col("label") < col("old")).isEmpty
+      if (converged || round == 0) {
+        // round 0 also skips the jump: star-shaped candidate graphs
+        // (minhash/dhash hub expansion) converge in 1-2 propagation
+        // rounds and should never pay it; deep chains start jumping
+        // from round 1 and still close in O(log diameter) rounds
+        ckpt.unpersist()
+        ckpt = stepped
+        labels = stepped.select("id", "label")
+      } else {
+        // pointer-jumping shortcut: each node adopts its label's label
+        // (labels only decrease, and every label is itself a node id) —
+        // this multiplies the propagation distance per round, turning
+        // O(diameter) convergence into O(log diameter)
+        val lab2 = stepped.select(col("id").as("_jid"),
+          col("label").as("_jlabel"))
+        val next = stepped.join(lab2, stepped("label") === lab2("_jid"), "left")
+          .select(col("id"),
+            least(col("label"), coalesce(col("_jlabel"), col("label")))
+              .as("label"))
+          .localCheckpoint()
+        ckpt.unpersist()
+        stepped.unpersist()
+        ckpt = next
+        labels = next
+      }
       round += 1
     }
     edges.unpersist()

@@ -243,10 +243,15 @@ object Multimodal {
       df: DataFrame, idCol: Column, contentCol: Column,
       maxHamming: Int = 16): DataFrame = {
     val sigCols = Seq("band0", "band1", "band2", "band3")
-    val sig = dhashSignatures(df, idCol, contentCol)
+    // materialize the signature kernel once: it feeds the exact-collapse
+    // join AND (via reps) the band rows and both sides of the candidate
+    // verify — without the checkpoint Spark recomputes the 72-sample
+    // hash kernel for every consumer (measured 2.4× on the m5 bench)
+    val sig = dhashSignatures(df, idCol, contentCol).localCheckpoint()
     // exact-signature collapse: rep = min doc id per 64-bit signature
     val reps = sig.groupBy(sigCols.map(col): _*)
       .agg(min(col("doc_id")).as("rep"))
+      .localCheckpoint()
     val exactEdges = sig.join(reps, sigCols)
       .filter(col("doc_id") =!= col("rep"))
       .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"),

@@ -609,8 +609,12 @@ object TextOps {
       queries: DataFrame, qText: Column, qIdCol: Column,
       k: Int = 5, k1Milli: Long = 1200, bMilli: Long = 750): DataFrame = {
     val tok = docs.select(idCol.as("doc_id"), explode(tokens(text)).as("term"))
+    // the posting table is the index — materialize it once (a real
+    // deployment persists it); doc lengths, document frequencies and the
+    // corpus stats all derive from it without re-running the tokenizer
     val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("len"))
+      .localCheckpoint()
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("len"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("dfc"))
     val stats = dl.agg(count(lit(1)).as("n"), sum("len").as("tot"))
     val qterms = queries
