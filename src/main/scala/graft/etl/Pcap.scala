@@ -56,8 +56,139 @@ object Pcap {
     Some(PcapHeader(big, nanos, linkType, snapLen))
   }
 
-  /** Iterate packet records of one pcap file (byte array form). */
-  def parseFile(bytes: Array[Byte], file: String): Iterator[RawPacket] = {
+  /** pcapng section-header magic (block type 0x0A0D0D0A). */
+  def isPcapng(bytes: Array[Byte]): Boolean =
+    bytes.length >= 4 &&
+      ByteBuffer.wrap(bytes, 0, 4).order(ByteOrder.LITTLE_ENDIAN)
+        .getInt == 0x0a0d0d0a
+
+  /** Transcode a pcapng capture to classic little-endian µs pcap — the
+    * ingest normalization the reference gets from libpcap (its readers
+    * accept pcapng, its writer-simple store is always classic records;
+    * capture/reader-libpcap-file.c). Handles both byte orders (per
+    * section), multiple IDBs with per-interface `if_tsresol` (decimal
+    * and binary exponents), Enhanced and Simple packet blocks, and
+    * skips every other block type. Returns None when the capture is not
+    * pcapng or its interfaces disagree on link type (classic pcap has
+    * exactly one).
+    */
+  def pcapngToPcap(bytes: Array[Byte]): Option[Array[Byte]] = {
+    if (!isPcapng(bytes) || bytes.length < 28) return None
+    val out = new java.io.ByteArrayOutputStream(bytes.length)
+    var linkType = -1
+    var snapLen = 0
+    // per-section interface table: (linkType, unitsPerSecond)
+    var ifaces = Vector.empty[(Int, Long)]
+    var order = ByteOrder.LITTLE_ENDIAN
+    var off = 0
+    def u32(o: Int): Long =
+      ByteBuffer.wrap(bytes, o, 4).order(order).getInt.toLong & 0xffffffffL
+    def u16(o: Int): Int =
+      ByteBuffer.wrap(bytes, o, 2).order(order).getShort.toInt & 0xffff
+    val rec = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)
+    while (off + 12 <= bytes.length) {
+      // block type reads in the CURRENT section's order except SHB,
+      // whose type bytes are order-independent
+      val rawType = ByteBuffer.wrap(bytes, off, 4)
+        .order(ByteOrder.LITTLE_ENDIAN).getInt
+      val isShb = rawType == 0x0a0d0d0a
+      if (isShb) {
+        // byte-order magic decides this section's endianness
+        if (off + 12 > bytes.length) return finish(out, linkType, snapLen)
+        val bomLE = ByteBuffer.wrap(bytes, off + 8, 4)
+          .order(ByteOrder.LITTLE_ENDIAN).getInt
+        order = if (bomLE == 0x1a2b3c4d) ByteOrder.LITTLE_ENDIAN
+          else if (bomLE == 0x4d3c2b1a) ByteOrder.BIG_ENDIAN
+          else return finish(out, linkType, snapLen)
+        ifaces = Vector.empty
+      }
+      val blockType = u32(off).toInt
+      val totalLen = u32(off + 4)
+      if (totalLen < 12 || totalLen % 4 != 0 ||
+        off + totalLen > bytes.length)
+        return finish(out, linkType, snapLen)
+      blockType match {
+        case 0x00000001 => // IDB
+          val lt = u16(off + 8)
+          val snap = u32(off + 12).toInt
+          if (linkType < 0) linkType = lt
+          else if (linkType != lt) return None // mixed link types
+          if (snap > snapLen) snapLen = snap
+          // walk options for if_tsresol (code 9)
+          var units = 1000000L
+          var o = off + 16
+          val end = off + totalLen.toInt - 4
+          var done = false
+          while (!done && o + 4 <= end) {
+            val code = u16(o); val len = u16(o + 2)
+            if (code == 0) done = true
+            else {
+              if (code == 9 && len >= 1) {
+                val v = bytes(o + 4) & 0xff
+                units = if ((v & 0x80) == 0)
+                  math.pow(10, v & 0x7f).toLong
+                else 1L << (v & 0x7f)
+              }
+              o += 4 + ((len + 3) / 4) * 4
+            }
+          }
+          ifaces :+= ((lt, units))
+        case 0x00000006 => // Enhanced Packet Block
+          val ifId = u32(off + 8).toInt
+          val units = ifaces.lift(ifId).map(_._2).getOrElse(1000000L)
+          val ts = (u32(off + 12) << 32) | u32(off + 16)
+          val cap = u32(off + 20).toInt
+          val orig = u32(off + 24).toInt
+          if (cap >= 0 && off + 28 + cap <= bytes.length) {
+            val micros =
+              (BigInt(ts) * 1000000 / BigInt(units)).toLong
+            rec.clear()
+            rec.putInt((micros / 1000000L).toInt)
+              .putInt((micros % 1000000L).toInt)
+              .putInt(cap).putInt(orig)
+            out.write(rec.array(), 0, 16)
+            out.write(bytes, off + 28, cap)
+          }
+        case 0x00000003 => // Simple Packet Block (no timestamp)
+          val orig = u32(off + 8).toInt
+          val cap = math.min(orig.toLong, totalLen - 16).toInt
+          if (cap >= 0 && off + 12 + cap <= bytes.length) {
+            rec.clear()
+            rec.putInt(0).putInt(0).putInt(cap).putInt(orig)
+            out.write(rec.array(), 0, 16)
+            out.write(bytes, off + 12, cap)
+          }
+        case _ => () // SHB handled above; skip NRB/ISB/custom blocks
+      }
+      off += totalLen.toInt
+    }
+    finish(out, linkType, snapLen)
+  }
+
+  private def finish(body: java.io.ByteArrayOutputStream, linkType: Int,
+      snapLen: Int): Option[Array[Byte]] = {
+    if (linkType < 0) return None
+    val hdr = ByteBuffer.allocate(24).order(ByteOrder.LITTLE_ENDIAN)
+    hdr.putInt(0xa1b2c3d4).putShort(2).putShort(4)
+      .putInt(0).putInt(0)
+      .putInt(if (snapLen > 0) snapLen else 65536).putInt(linkType)
+    val b = body.toByteArray
+    val outBytes = new Array[Byte](24 + b.length)
+    System.arraycopy(hdr.array(), 0, outBytes, 0, 24)
+    System.arraycopy(b, 0, outBytes, 24, b.length)
+    Some(outBytes)
+  }
+
+  /** Iterate packet records of one capture file (byte array form).
+    * pcapng input is transcoded to classic pcap first — offsets then
+    * reference the TRANSCODED image, which is what ingest persists
+    * ([[graft.ops.Upload]] writes the transcoded copy as the durable
+    * file, so stored packetPos/packetLen stay seekable).
+    */
+  def parseFile(bytes0: Array[Byte], file: String): Iterator[RawPacket] = {
+    val bytes =
+      if (isPcapng(bytes0)) pcapngToPcap(bytes0).getOrElse(bytes0)
+      else bytes0
     parseHeader(bytes) match {
       case None => Iterator.empty
       case Some(h) =>
@@ -199,7 +330,7 @@ object Pcap {
   def readPackets(spark: SparkSession, path: String): Dataset[RawPacket] = {
     import spark.implicits._
     spark.read.format("binaryFile")
-      .option("pathGlobFilter", "*.pcap")
+      .option("pathGlobFilter", "*.pcap*") // .pcap and .pcapng
       .load(path)
       .select("path", "content")
       .as[(String, Array[Byte])]

@@ -51,8 +51,18 @@ object Upload {
     val dest = copiedPath(tmpFile, pcapDir, node)
     val destPath = java.nio.file.Paths.get(dest)
     java.nio.file.Files.createDirectories(destPath.getParent)
-    java.nio.file.Files.copy(java.nio.file.Paths.get(tmpFile), destPath,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val raw = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(tmpFile))
+    // pcapng uploads are transcoded to classic pcap at copy time (the
+    // reference accepts pcapng via libpcap but its store is always
+    // classic records) — stored packetPos/packetLen then seek correctly
+    // into the durable copy for hunts/export
+    val durable =
+      if (graft.etl.Pcap.isPcapng(raw))
+        graft.etl.Pcap.pcapngToPcap(raw).getOrElse(
+          throw new IllegalArgumentException(
+            s"unreadable pcapng upload $tmpFile"))
+      else raw
+    java.nio.file.Files.write(destPath, durable)
     val cleanTags = sanitizeTags(tags)
     import spark.implicits._
     SessionBuilder.sessionize(spark, dest, node = node)
