@@ -63,7 +63,8 @@ object CronQueries {
       chunkSecs: Long = 86400L,
       notifiers: Map[String, Notifier] = Map.empty,
       clusters: Map[String, Forward.Cluster] = Map.empty,
-      shortcutsPath: Option[String] = None): Seq[CronQuery] =
+      shortcutsPath: Option[String] = None,
+      forwardBatch: Long = 1000L): Seq[CronQuery] =
     queries.map { cq =>
       if (!cq.enabled || nowSec <= cq.lpValue) cq
       else {
@@ -93,11 +94,24 @@ object CronQueries {
               val rows = matched.drop("day")
                 .as[graft.etl.SessionBuilder.SessionRow]
               val n = rows.count()
-              if (n > 0)
-                // deterministic per-window saveId — crash-replay of a
-                // window overwrites the same destination file
-                Forward.sendSessions(spark, rows, dest,
-                  saveId = s"${cq.name}-$lp", tags = cq.tags)
+              if (n > 0) {
+                // bounded batches, like the reference's size-1000 scroll
+                // pages (viewer.js:2378): each send's offset map and
+                // destination file stay batch-sized however many
+                // sessions a window matches; the split is a
+                // deterministic hash of sessionId, so replay reproduces
+                // the same batches. Per-batch saveId — crash-replay of
+                // a window overwrites the same destination files.
+                val nBatches = math.max(1L,
+                  (n + forwardBatch - 1) / forwardBatch).toInt
+                for (b <- 0 until nBatches) {
+                  val part = if (nBatches == 1) rows
+                    else rows.filter(r =>
+                      math.floorMod(r.sessionId.hashCode, nBatches) == b)
+                  Forward.sendSessions(spark, part, dest,
+                    saveId = s"${cq.name}-$lp-$b", tags = cq.tags)
+                }
+              }
               total += n
             case None =>
               val n = matched.count()

@@ -216,6 +216,36 @@ class ShortcutsUploadForwardSpec extends AnyFunSuite with SparkSpecBase {
     assert(new java.io.File(s"$dir/dstpcap").list().toSet == pcaps1)
   }
 
+  test("cron forward batching: window split into bounded deterministic batches") {
+    val dir = tmp("graft-cronfwdb")
+    val srcStore = s"$dir/src"
+    val dest = Forward.Cluster(s"$dir/dst", s"$dir/dstpcap", node = "dc2")
+    val sessions = SessionBuilder.sessionize(spark, srcPcap)
+    SessionStore.write(sessions, srcStore)
+    val t0 = sessions.collect().map(_.firstPacket).min / 1000L
+    val t1 = sessions.collect().map(_.lastPacket).max / 1000L + 1
+    val total = sessions.count()
+    val qs = Seq(CronQuery("fwd-all", "protocols == tcp", Seq("x"),
+      lpValue = t0 - 1, action = "forward:dc2"))
+    // batch size 1 -> one send (and one pcap) per session
+    val s1 = CronQueries.processOnce(spark, srcStore, qs, nowSec = t1,
+      clusters = Map("dc2" -> dest), forwardBatch = 1L)
+    assert(s1.head.count == total)
+    val pcaps = new java.io.File(s"$dir/dstpcap").list().toSet
+    assert(pcaps.size == total)
+    // the batched forward still lands every session + its packets
+    val fwd = SessionStore.read(spark, dest.storePath)
+    assert(fwd.count() == total)
+    val fwdRows = fwd.drop("day").as[SessionBuilder.SessionRow]
+    assert(PcapExport.records(fwdRows).count() ==
+      sessions.collect().map(_.totPackets).sum)
+    // replay reproduces the identical batch files
+    CronQueries.processOnce(spark, srcStore,
+      Seq(s1.head.copy(lpValue = t0 - 1)), nowSec = t1,
+      clusters = Map("dc2" -> dest), forwardBatch = 1L)
+    assert(new java.io.File(s"$dir/dstpcap").list().toSet == pcaps)
+  }
+
   test("cron notifier throttle: one alert per 600s, resumes after") {
     val dir = tmp("graft-cronnote")
     // minimal store shape: the tag action only needs these columns
