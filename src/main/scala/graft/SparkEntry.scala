@@ -788,6 +788,24 @@ object SparkEntry {
       TextOps.bm25TopK(d, col("text"), col("doc_id"),
         q, col("qt"), col("qid"), k = 5)
     }),
+    // S10: hybrid retrieval — BM25 (sparse, over documents.text) and
+    // exact cosine (dense, over the aligned embeddings table) fused by
+    // reciprocal rank; same doc_id%100==0 query set on both sides
+    "s10_hybrid_rrf" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val q = d.filter(col("doc_id") % 100 === 0)
+        .select(col("doc_id").as("qid"),
+          substring(col("text"), 1, 60).as("qt"))
+      val sparse = TextOps.bm25TopK(d, col("text"), col("doc_id"),
+        q, col("qt"), col("qid"), k = 20)
+        .select(col("query_id"), col("doc_id"), col("rk"))
+      val e = emb(s, dir)
+      val dense = Similarity.bruteForceTopK(e,
+        e.filter(col("vec_id") % 100 === 0), "embedding", "vec_id", k = 20)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"),
+          col("rk").cast("long").as("rk"))
+      Similarity.rrfFuse(Seq(sparse, dense), kRrf = 60, topK = 10)
+    }),
     // T10: boilerplate strip — the corpus text wrapped in HTML chrome on
     // both engines, then stripped back down
     "t10_html_strip" -> ((s, dir) =>
@@ -1081,6 +1099,58 @@ object SparkEntry {
   /** The s1/s2 ANN oracles as standalone statements — also embedded as
     * subqueries by the s8 recall oracle.
     */
+  /** BM25 top-k rows `(query_id, rk, doc_id, score_ppm)` (unordered) —
+    * the t22 scoring, parameterized so s10's fusion reuses it at k=20.
+    */
+  private def sqlBm25TopK(k: Int): String =
+    s"""WITH tok AS (SELECT doc_id, unnest($sqlToks) AS term FROM documents),
+       tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+       dl AS (SELECT doc_id, count(*) AS len FROM tok GROUP BY 1),
+       dfq AS (SELECT term, count(*) AS dfc FROM tf GROUP BY 1),
+       st AS (SELECT count(*) AS n, sum(len) AS tot FROM dl),
+       qd AS (SELECT doc_id AS query_id, substr(text, 1, 60) AS qt
+         FROM documents WHERE doc_id % 100 = 0),
+       qt AS (SELECT DISTINCT query_id,
+           unnest(list_filter(string_split_regex(lower(qt), '[^a-z0-9]+'),
+             x -> x <> '')) AS term FROM qd),
+       sc AS (SELECT q.query_id, tf.doc_id,
+           least((1000 * st.n) // dfq.dfc, 1000000000) AS idf_milli,
+           (1000000 * tf.tf * (1200 + 1000)) //
+             (1000 * tf.tf + (1200 * (1000 - 750 +
+               (750 * ((1000000 * dl.len) // ((1000 * st.tot) // st.n))) // 1000)) // 1000)
+             AS tfnorm_ppm
+         FROM qt q
+         JOIN tf ON tf.term = q.term
+         JOIN dl ON dl.doc_id = tf.doc_id
+         JOIN dfq ON dfq.term = q.term
+         CROSS JOIN st),
+       agg AS (SELECT query_id, doc_id,
+           sum((idf_milli * tfnorm_ppm) // 1000) AS score_ppm
+         FROM sc GROUP BY 1, 2),
+       r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+           ORDER BY score_ppm DESC, doc_id) AS rk FROM agg)
+       SELECT query_id, CAST(rk AS BIGINT) AS rk, doc_id,
+         CAST(score_ppm AS BIGINT) AS score_ppm
+       FROM r WHERE rk <= $k"""
+
+  /** Exact-cosine top-k rows `(query_id, rk, neighbor_id)` for query
+    * vectors matching `queryPred` — the s1 scoring, parameterized for
+    * s10's dense side.
+    */
+  private def sqlCosTopK(queryPred: String, k: Int): String =
+    s"""WITH e AS (SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE $queryPred),
+       scored AS (
+         SELECT q.query_id, c.vec_id AS neighbor_id,
+           ${sqlCos("q.qv", "c.v", 64)} AS cosine
+         FROM e c, q WHERE c.vec_id <> q.query_id),
+       ranked AS (SELECT *, row_number() OVER
+           (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rk
+         FROM scored)
+       SELECT query_id, CAST(rk AS BIGINT) AS rk, neighbor_id
+       FROM ranked WHERE rk <= $k"""
+
   private def sqlS1BruteForce: String =
     s"""WITH e AS (SELECT vec_id,
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
@@ -2156,35 +2226,20 @@ object SparkEntry {
          SELECT doc_id, term, tfidf FROM r WHERE rk <= 5
          ORDER BY doc_id, tfidf DESC, term""",
     "t22_bm25" ->
-      s"""WITH tok AS (SELECT doc_id, unnest($sqlToks) AS term FROM documents),
-         tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
-         dl AS (SELECT doc_id, count(*) AS len FROM tok GROUP BY 1),
-         dfq AS (SELECT term, count(*) AS dfc FROM tf GROUP BY 1),
-         st AS (SELECT count(*) AS n, sum(len) AS tot FROM dl),
-         qd AS (SELECT doc_id AS query_id, substr(text, 1, 60) AS qt
-           FROM documents WHERE doc_id % 100 = 0),
-         qt AS (SELECT DISTINCT query_id,
-             unnest(list_filter(string_split_regex(lower(qt), '[^a-z0-9]+'),
-               x -> x <> '')) AS term FROM qd),
-         sc AS (SELECT q.query_id, tf.doc_id,
-             least((1000 * st.n) // dfq.dfc, 1000000000) AS idf_milli,
-             (1000000 * tf.tf * (1200 + 1000)) //
-               (1000 * tf.tf + (1200 * (1000 - 750 +
-                 (750 * ((1000000 * dl.len) // ((1000 * st.tot) // st.n))) // 1000)) // 1000)
-               AS tfnorm_ppm
-           FROM qt q
-           JOIN tf ON tf.term = q.term
-           JOIN dl ON dl.doc_id = tf.doc_id
-           JOIN dfq ON dfq.term = q.term
-           CROSS JOIN st),
-         agg AS (SELECT query_id, doc_id,
-             sum((idf_milli * tfnorm_ppm) // 1000) AS score_ppm
-           FROM sc GROUP BY 1, 2),
+      s"""SELECT * FROM (${sqlBm25TopK(5)}) ORDER BY query_id, rk""",
+    "s10_hybrid_rrf" ->
+      s"""WITH bm AS (${sqlBm25TopK(20)}),
+         de AS (${sqlCosTopK("vec_id % 100 = 0", 20)}),
+         u AS (SELECT query_id, doc_id, 1000000 // (60 + rk) AS p FROM bm
+               UNION ALL
+               SELECT query_id, neighbor_id AS doc_id, 1000000 // (60 + rk)
+               FROM de),
+         f AS (SELECT query_id, doc_id, CAST(sum(p) AS BIGINT) AS rrf_ppm
+           FROM u GROUP BY 1, 2),
          r AS (SELECT *, row_number() OVER (PARTITION BY query_id
-             ORDER BY score_ppm DESC, doc_id) AS rk FROM agg)
-         SELECT query_id, CAST(rk AS BIGINT) AS rk, doc_id,
-           CAST(score_ppm AS BIGINT) AS score_ppm
-         FROM r WHERE rk <= 5 ORDER BY query_id, rk""",
+             ORDER BY rrf_ppm DESC, doc_id) AS rk FROM f)
+         SELECT query_id, CAST(rk AS BIGINT) AS rk, doc_id, rrf_ppm
+         FROM r WHERE rk <= 10 ORDER BY query_id, rk""",
     "t15_nb_classify" ->
       s"""WITH tok AS (SELECT doc_id, lang,
              unnest($sqlToks) AS term FROM documents),

@@ -27,6 +27,34 @@ object Similarity {
     * the exact rows `row_number over (partition by query_id order by
     * cosine desc, neighbor_id)  <= k` would keep.
     */
+  /** S10: reciprocal-rank fusion of retrieval systems (Cormack et al.
+    * 2009): fused(d) = Σ_systems 1/(k + rank_d), here in exact integer
+    * ppm (`1000000 div (k + rk)`) so sparse (BM25) and dense (cosine)
+    * rankings fuse engine-reproducibly. Each input frame is
+    * `(query_id, doc_id, rk)`; documents absent from a system simply
+    * contribute nothing.
+    *
+    * Scale: inputs are already top-k per query (bounded), so the union
+    * is |queries|·k·systems rows; one (query, doc) partial aggregate
+    * and a bounded-heap per-query top-k — no windows, no full-corpus
+    * pass beyond what the underlying systems did.
+    */
+  def rrfFuse(rankings: Seq[DataFrame], kRrf: Int = 60,
+      topK: Int = 10): DataFrame = {
+    require(rankings.nonEmpty)
+    val u = rankings.map(_.select(col("query_id"), col("doc_id"),
+        expr(s"1000000 div ($kRrf + rk)").as("p")))
+      .reduce(_ unionByName _)
+    val fused = u.groupBy("query_id", "doc_id").agg(sum("p").as("rrf_ppm"))
+    val topkFn = TopK.longIds(topK)
+    fused.groupBy("query_id")
+      .agg(topkFn(col("rrf_ppm").cast("double"), col("doc_id")).as("_top"))
+      .select(col("query_id"), posexplode(col("_top")).as(Seq("pos", "t")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rk"),
+        col("t.id").as("doc_id"), col("t.score").cast("long").as("rrf_ppm"))
+      .orderBy("query_id", "rk")
+  }
+
   private def perQueryTopK(scored: DataFrame, k: Int): DataFrame = {
     val topk = TopK.longIds(k)
     scored

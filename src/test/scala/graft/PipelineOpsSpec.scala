@@ -101,6 +101,17 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpecBase {
     assert(scores(0) > scores(1) && scores(1) > scores(2))
   }
 
+  test("rrfFuse: doc ranked by both systems beats single-system docs") {
+    import spark.implicits._
+    val sys1 = Seq((1L, 10L, 1L), (1L, 11L, 2L)).toDF("query_id", "doc_id", "rk")
+    val sys2 = Seq((1L, 10L, 2L), (1L, 12L, 1L)).toDF("query_id", "doc_id", "rk")
+    val fused = Similarity.rrfFuse(Seq(sys1, sys2), kRrf = 60, topK = 10)
+      .collect()
+    // doc 10: 1e6/61 + 1e6/62 = 16393+16129=32522; doc 12: 16393; doc 11: 16129
+    assert(fused.map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq ==
+      Seq((1L, 10L, 32522L), (2L, 12L, 16393L), (3L, 11L, 16129L)))
+  }
+
   test("nbClassify: separable vocab is classified perfectly") {
     import spark.implicits._
     val d = Seq(
