@@ -57,6 +57,15 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpecBase {
     }
   }
 
+  test("bm25/rrf: query-term joins broadcast, no ranking window") {
+    val p = plan("t22_bm25")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(partitionlessWindows("t22_bm25").isEmpty)
+    val p2 = plan("s10_hybrid_rrf")
+    assert(p2.contains("BroadcastHashJoin"))
+    assert(partitionlessWindows("s10_hybrid_rrf").isEmpty)
+  }
+
   test("hierarchy plan has no window at all") {
     // levels >= 1 rank via bounded-heap top-K aggregates + broadcast
     // semi-joins; a prefix-partitioned window would cap parallelism at K

@@ -79,4 +79,21 @@ class UsersSpec extends AnyFunSuite with SparkSpecBase {
     assert(b.timeLimitHours.contains(72L))
     assert(b.views == u.views && b.shortcuts == u.shortcuts)
   }
+
+  test("facade enforces requiredRight: email query denied without emailSearch") {
+    // the round-4 gap: expressions compiled through the FACADE (not just
+    // Users.compilerFor) must enforce emailSearch like the reference's
+    // buildSessionQuery, which always parses with req.user flags
+    val base = graft.query.SessionQueryBuilder(
+      spark.emptyDataFrame, FieldRegistry.sessions)
+    val denied = Users.applyTo(base, basic)
+      .expression("email.src == x@example.com")
+    val ex = intercept[IllegalArgumentException](denied.frame)
+    assert(ex.getMessage.contains("permission denied"))
+    // with the right, compilation proceeds past the gate
+    val allowed = Users.applyTo(base, emailUser)
+      .expression("email.src == x@example.com")
+    val ex2 = intercept[Exception](allowed.frame.count())
+    assert(!ex2.getMessage.contains("permission denied"))
+  }
 }
