@@ -125,9 +125,13 @@ object Pcap {
             else {
               if (code == 9 && len >= 1) {
                 val v = bytes(o + 4) & 0xff
-                units = if ((v & 0x80) == 0)
-                  math.pow(10, v & 0x7f).toLong
-                else 1L << (v & 0x7f)
+                val exp = v & 0x7f
+                // exponents that overflow units-per-second in a long
+                // (decimal > 18, binary > 62) are invalid per spec use —
+                // keep the µs default rather than a mod-64 shift artifact
+                if ((v & 0x80) == 0) {
+                  if (exp <= 18) units = math.pow(10, exp).toLong
+                } else if (exp <= 62) units = 1L << exp
               }
               o += 4 + ((len + 3) / 4) * 4
             }
@@ -139,7 +143,11 @@ object Pcap {
           val ts = (u32(off + 12) << 32) | u32(off + 16)
           val cap = u32(off + 20).toInt
           val orig = u32(off + 24).toInt
-          if (cap >= 0 && off + 28 + cap <= bytes.length) {
+          // captured bytes must fit inside THIS block (28-byte fixed
+          // part + trailing length word) — a corrupt cap field must not
+          // swallow following blocks' bytes into the record
+          if (cap >= 0 && cap <= totalLen - 32 &&
+            off + 28 + cap <= bytes.length) {
             val micros =
               (BigInt(ts) * 1000000 / BigInt(units)).toLong
             rec.clear()

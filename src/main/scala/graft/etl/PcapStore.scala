@@ -34,16 +34,45 @@ object PcapStore {
     def open(path: String): Blob
   }
 
-  /** Plain local capture files (writer-simple.c). */
+  /** Plain local capture files (writer-simple.c).
+    *
+    * A referenced file may be a pcapng a caller sessionized DIRECTLY
+    * (without the Upload path that persists a classic transcode): the
+    * stored `packetPos`/`packetLen` then address the deterministic
+    * transcoded image ([[Pcap.parseFile]]), not the on-disk block
+    * layout. Serving slices from the raw pcapng would silently return
+    * block-header garbage, so detect the magic and serve from the same
+    * in-memory transcode — correct offsets at the cost of holding that
+    * one file's bytes (the documented trade of skipping Upload;
+    * production stores are always classic records).
+    */
   case object Local extends Store {
-    def open(path: String): Blob = new Blob {
-      private val raf = new RandomAccessFile(path, "r")
-      def read(pos: Long, len: Int): Array[Byte] = {
-        val b = new Array[Byte](len)
-        raf.seek(pos); raf.readFully(b); b
+    def open(path: String): Blob = {
+      val raf = new RandomAccessFile(path, "r")
+      val magic = new Array[Byte](4)
+      val n = raf.read(magic)
+      if (n == 4 && Pcap.isPcapng(magic)) {
+        try {
+          raf.seek(0)
+          val all = new Array[Byte](raf.length().toInt)
+          raf.readFully(all)
+          val classic = Pcap.pcapngToPcap(all).getOrElse(
+            throw new java.io.IOException(s"unreadable pcapng $path"))
+          new Blob {
+            def read(pos: Long, len: Int): Array[Byte] =
+              java.util.Arrays.copyOfRange(classic, pos.toInt, pos.toInt + len)
+            def size: Long = classic.length.toLong
+            def close(): Unit = ()
+          }
+        } finally raf.close()
+      } else new Blob {
+        def read(pos: Long, len: Int): Array[Byte] = {
+          val b = new Array[Byte](len)
+          raf.seek(pos); raf.readFully(b); b
+        }
+        def size: Long = raf.length()
+        def close(): Unit = raf.close()
       }
-      def size: Long = raf.length()
-      def close(): Unit = raf.close()
     }
   }
 

@@ -51,8 +51,17 @@ object Forward {
       keys: String => PcapCrypto.FileKeys = _ => PcapCrypto.Normal,
       store: PcapStore.Store = PcapStore.Local): Result = {
     import spark.implicits._
-    val cleanId = saveId.replaceAll("[^-a-zA-Z0-9_]", "")
-    require(cleanId.nonEmpty, "Missing saveId")
+    // sanitize like the reference's receive side — but when stripping
+    // actually changed the id, append a short content hash so two
+    // DIFFERENT raw saveIds ("fwd one" vs "fwdone") can never collide
+    // onto one destination file after sanitization
+    val stripped = saveId.replaceAll("[^-a-zA-Z0-9_]", "")
+    require(stripped.nonEmpty, "Missing saveId")
+    val cleanId =
+      if (stripped == saveId) stripped
+      else stripped + "-" + java.security.MessageDigest.getInstance("MD5")
+        .digest(saveId.getBytes("UTF-8")).take(4)
+        .map("%02x".format(_)).mkString
     val destFile = java.nio.file.Paths.get(dest.pcapDir,
       s"${dest.node}-$cleanId.pcap").toString
     java.nio.file.Files.createDirectories(
@@ -96,7 +105,13 @@ object Forward {
         sid -> (s.map(_._2).toSeq, s.map(_._3).toSeq)
     }.toMap
     val bc = spark.sparkContext.broadcast(posMap)
-    val cleanTags = Upload.sanitizeTags(tags)
+    // every forwarded row carries a per-saveId marker tag, making the
+    // SPI side replay-idempotent: re-forwarding the same saveId first
+    // purges the previous batch's rows (matched days only), exactly as
+    // the pcap file is overwritten — without it a crash-replay doubles
+    // the destination's rows
+    val marker = s"fwd:$cleanId"
+    val cleanTags = Upload.sanitizeTags(tags) :+ marker
     val destNode = dest.node
     val rewritten = src.map { s =>
       val (pos, len) = bc.value.getOrElse(s.sessionId,
@@ -105,9 +120,17 @@ object Forward {
         fileId = if (pos.isEmpty) Nil else Seq(destFile),
         packetPos = pos, packetLen = len,
         packetFileIdx = Seq.fill(pos.length)(0),
-        tags = if (cleanTags.isEmpty) s.tags
-          else (s.tags ++ cleanTags).distinct)
+        tags = (s.tags ++ cleanTags).distinct)
     }
+    val destRoot = new org.apache.hadoop.fs.Path(dest.storePath)
+    if (destRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(destRoot))
+      Tagging.rewriteMatchedDays(spark, dest.storePath,
+        org.apache.spark.sql.functions.array_contains(
+          org.apache.spark.sql.functions.col("tags"), marker)) { df =>
+        df.filter(!org.apache.spark.sql.functions.array_contains(
+          org.apache.spark.sql.functions.col("tags"), marker))
+      }
     SessionStore.append(rewritten, dest.storePath)
     Result(src.count(), nRec, destFile)
   }

@@ -63,10 +63,22 @@ object Tagging {
     // would be `checkpoint` to reliable storage.
     val updated = transform(store.filter(col(partCol).isin(days: _*)))
       .localCheckpoint()
-    updated.write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy(partCol)
-      .parquet(path)
+    // dynamic overwrite only replaces partitions PRESENT in the output —
+    // a day whose rows were all filtered away (full-day SPI delete,
+    // forward-replay purge) would silently keep its old files. Write the
+    // surviving days, then drop the emptied partitions directly.
+    val daysWithRows = updated.select(partCol).distinct()
+      .collect().map(r => String.valueOf(r.get(0))).toSet
+    if (daysWithRows.nonEmpty)
+      updated.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partCol)
+        .parquet(path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    days.map(String.valueOf).filterNot(daysWithRows).foreach { d =>
+      fs.delete(new org.apache.hadoop.fs.Path(path, s"$partCol=$d"), true)
+    }
     days.map(String.valueOf)
   }
 

@@ -70,21 +70,37 @@ object Upload {
         else s.copy(tags = (s.tags ++ cleanTags).distinct))
   }
 
-  /** Deterministic durable name: `<node>-<basename>.pcap` under
-    * `pcapDir` — the `--copy` landing spot (the staged temp file has no
-    * meaningful name, so the `.pcap` suffix is normalized here; the pcap
-    * reader and hunt path key on it). Re-uploading the same file
-    * overwrites the copy (same bytes) rather than duplicating it.
+  /** Deterministic durable name:
+    * `<node>-<md5-8 of content>-<basename>.pcap` under `pcapDir` — the
+    * `--copy` landing spot (the `.pcap` suffix is normalized; the pcap
+    * reader and hunt path key on it). The content hash makes the name a
+    * function of the BYTES: re-uploading the same capture overwrites
+    * its own copy (idempotent), while two different captures that
+    * happen to share a staged basename land side by side instead of the
+    * second silently replacing the bytes the first upload's stored
+    * offsets point into.
     */
   def copiedPath(tmpFile: String, pcapDir: String, node: String): String = {
     val base0 = java.nio.file.Paths.get(tmpFile).getFileName.toString
     val base = if (base0.endsWith(".pcap")) base0 else s"$base0.pcap"
-    java.nio.file.Paths.get(pcapDir, s"$node-$base").toString
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val in = java.nio.file.Files.newInputStream(
+      java.nio.file.Paths.get(tmpFile))
+    try {
+      val buf = new Array[Byte](1 << 16)
+      var n = in.read(buf)
+      while (n > 0) { md.update(buf, 0, n); n = in.read(buf) }
+    } finally in.close()
+    val h = md.digest().take(4).map("%02x".format(_)).mkString
+    java.nio.file.Paths.get(pcapDir, s"$node-$h-$base").toString
   }
 
-  /** Reference tag sanitation (`apiMisc.js:206`):
-    * `replace(/[^-a-zA-Z0-9_:,]/g, '')` then split, empties dropped.
+  /** Reference tag sanitation (`apiMisc.js:206`): strip to
+    * `[-a-zA-Z0-9_:,]`, split on commas, empties dropped — a caller's
+    * HTTP-style "a,b" value yields tags [a, b], never a merged "ab".
     */
   def sanitizeTags(tags: Seq[String]): Seq[String] =
-    tags.map(_.replaceAll("[^-a-zA-Z0-9_:]", "")).filter(_.nonEmpty)
+    tags.map(_.replaceAll("[^-a-zA-Z0-9_:,]", ""))
+      .flatMap(_.split(","))
+      .filter(_.nonEmpty)
 }

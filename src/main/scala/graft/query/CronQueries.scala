@@ -91,8 +91,13 @@ object CronQueries {
           forwardTo match {
             case Some(dest) =>
               import spark.implicits._
+              // materialize the window's matches once: the count and
+              // every per-batch hash filter below would otherwise each
+              // re-scan the window's day partitions and re-run the
+              // compiled predicate
               val rows = matched.drop("day")
                 .as[graft.etl.SessionBuilder.SessionRow]
+                .localCheckpoint()
               val n = rows.count()
               if (n > 0) {
                 // bounded batches, like the reference's size-1000 scroll

@@ -74,10 +74,15 @@ object History {
     if (!isAdmin && forUserId.exists(_ != userId))
       throw new IllegalStateException("Need admin privileges")
     val base = spark.read.parquet(path)
-    // admin: all, or the requested user; non-admin: own only
-    val scopeUser = if (isAdmin) forUserId else Some(userId)
-    var df = scopeUser.map(u => base.filter(col("userId").contains(u)))
-      .getOrElse(base)
+    // non-admin: own rows ONLY (exact match — the reference's wildcard
+    // '*userId*' would leak "bobby" rows to "bob"; security wins over
+    // bug-compatibility here); admin: all, or a substring filter (the
+    // reference's admin search semantics)
+    var df =
+      if (isAdmin)
+        forUserId.map(u => base.filter(col("userId").contains(u)))
+          .getOrElse(base)
+      else base.filter(col("userId") === userId)
     searchTerm.foreach { t =>
       val needle = lit(t.toLowerCase)
       df = df.filter(

@@ -86,7 +86,10 @@ object Shortcuts {
     val values = splitValues(value)
     require(values.nonEmpty, "Missing shortcut value")
     val all = readAll(spark, path)
-    if (all.exists(_.name == clean))
+    // ids are the ORIGINAL sanitized name and survive renames, so a
+    // freed name may still be live as another shortcut's id — creating
+    // it would mint two rows with one id and corrupt later update/delete
+    if (all.exists(s => s.name == clean || s.id == clean))
       throw new IllegalArgumentException(
         s"A shortcut with the name, $clean, already exists")
     val sc = Shortcut(clean, userId, clean, description, shared, locked,

@@ -36,7 +36,11 @@ class HistorySpec extends AnyFunSuite with SparkSpecBase {
     val weeks = new java.io.File(path).list().filter(_.startsWith("week=")).sorted
     assert(weeks.toSeq == Seq("week=2024-w01", "week=2024-w02"))
 
-    // non-admin: own rows only, forcedExpression blanked
+    // prefix-named users must not leak into each other's scope
+    History.record(spark, path, Entry("", "sessions", "alicesmith", "GET",
+      "/api/sessions", "port == 99", timestamp = w1 + 120))
+
+    // non-admin: own rows only (exact userId match), forcedExpression blanked
     val (mine, nMine) = History.list(spark, path, "alice", isAdmin = false)
     val mineRows = mine.collect()
     assert(nMine == 2 && mineRows.forall(_.getAs[String]("userId") == "alice"))
@@ -50,16 +54,16 @@ class HistorySpec extends AnyFunSuite with SparkSpecBase {
     // admin: all rows, forced expression visible, default sort ts desc
     val (all, nAll) = History.list(spark, path, "admin", isAdmin = true)
     val allRows = all.collect()
-    assert(nAll == 3)
+    assert(nAll == 4)
     assert(allRows.map(_.getAs[Long]("timestamp")).toSeq ==
-      Seq(w2, w1 + 60, w1))
+      Seq(w2, w1 + 120, w1 + 60, w1))
     assert(allRows.exists(_.getAs[String]("forcedExpression") == "node == a1"))
 
     // searchTerm spans expression/userId/api/view; api substring; exists
     assert(History.list(spark, path, "admin", isAdmin = true,
       searchTerm = Some("443"))._2 == 1)
     assert(History.list(spark, path, "admin", isAdmin = true,
-      searchTerm = Some("ALICE"))._2 == 2)
+      searchTerm = Some("ALICE"))._2 == 3)
     assert(History.list(spark, path, "admin", isAdmin = true,
       api = Some("addTags"))._2 == 1)
     assert(History.list(spark, path, "admin", isAdmin = true,
@@ -68,7 +72,7 @@ class HistorySpec extends AnyFunSuite with SparkSpecBase {
     // time range prunes to w1 only
     val (ranged, nRanged) = History.list(spark, path, "admin", isAdmin = true,
       startSec = Some(w1 - 10), stopSec = Some(w1 + 3600))
-    assert(nRanged == 2)
+    assert(nRanged == 3)
     assert(ranged.collect().forall(_.getAs[Long]("timestamp") < w2))
 
     // paging: length 1 from offset 1 of the asc-sorted listing

@@ -55,6 +55,13 @@ class PcapExportSpec extends AnyFunSuite with SparkSpecBase {
     assert(PcapExport.writePcapNg(sessions, ng.toString) > 0)
     // the pcapng re-ingests directly (parseFile transcodes in-memory)
     assert(contentFields(ng.toString) === contentFields(srcPcap))
+    // and a DIRECT pcapng sessionize leaves packet references that the
+    // slice readers resolve (PcapStore.Local serves the transcoded
+    // image for pcapng files, so stored offsets stay meaningful)
+    val direct = SessionBuilder.sessionize(spark, ng.toString)
+    val directOut = dir.resolve("direct-export.pcap").toString
+    assert(PcapExport.writeFile(direct, directOut) > 0)
+    assert(contentFields(directOut) === contentFields(srcPcap))
     // and the transcoder emits classic records bit-identical to the
     // classic exporter's (same packets, same µs timestamps)
     val classic = dir.resolve("all.pcap")

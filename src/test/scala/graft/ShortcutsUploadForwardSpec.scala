@@ -83,6 +83,16 @@ class ShortcutsUploadForwardSpec extends AnyFunSuite with SparkSpecBase {
       searchTerm = Some("PORT")).map(_.name) == Seq("shared_ports"))
     assert(Shortcuts.list(spark, path, "bob",
       fieldType = Some("ip")).map(_.name) == Seq("bobs_ips"))
+
+    // a renamed shortcut keeps its id, so the freed NAME is still a
+    // live id — re-creating it must refuse (two rows sharing one id
+    // would corrupt later update/delete)
+    Shortcuts.create(spark, path, "alice", "orig", "string", "v1")
+    Shortcuts.update(spark, path, "alice", isAdmin = false, "orig",
+      "renamed", "string", "v2")
+    intercept[IllegalArgumentException] {
+      Shortcuts.create(spark, path, "bob", "orig", "string", "v3")
+    }
   }
 
   test("store-backed shortcuts resolve in a compiled $name query") {
@@ -120,6 +130,9 @@ class ShortcutsUploadForwardSpec extends AnyFunSuite with SparkSpecBase {
 
     val stored = SessionStore.read(spark, store)
     assert(stored.count() == r.sessions)
+    // comma values split into separate tags, like the reference
+    assert(Upload.sanitizeTags(Seq("malware,exe", "bad tag!!")) ==
+      Seq("malware", "exe", "badtag"))
     // tags sanitized ([^-a-zA-Z0-9_:] stripped) and applied to every row
     assert(stored.filter(array_contains(col("tags"), "uploaded") &&
       array_contains(col("tags"), "badtag")).count() == r.sessions)
@@ -150,7 +163,8 @@ class ShortcutsUploadForwardSpec extends AnyFunSuite with SparkSpecBase {
       tags = Seq("forwarded"))
     assert(r.sessions == sessions.count())
     assert(r.records == sessions.collect().map(_.totPackets).sum)
-    assert(r.pcapPath.endsWith("dc2-batch7.pcap"))
+    // sanitization changed the raw saveId -> short content hash appended
+    assert(r.pcapPath.matches(".*dc2-batch7-[0-9a-f]{8}\\.pcap"))
 
     val fwd = SessionStore.read(spark, dest.storePath)
     assert(fwd.count() == r.sessions)
@@ -209,11 +223,14 @@ class ShortcutsUploadForwardSpec extends AnyFunSuite with SparkSpecBase {
       == expected)
 
     // replay the same window: same saveId -> same pcap file overwritten
+    // AND the SPI rows replaced, not duplicated (the fwd:<saveId>
+    // marker purge)
     val pcaps1 = new java.io.File(s"$dir/dstpcap").list().toSet
     CronQueries.processOnce(spark, srcStore,
       Seq(s1.head.copy(lpValue = t0 - 1)), nowSec = t1,
       notifiers = Map("mem" -> mem), clusters = Map("dc2" -> dest))
     assert(new java.io.File(s"$dir/dstpcap").list().toSet == pcaps1)
+    assert(SessionStore.read(spark, dest.storePath).count() == expected)
   }
 
   test("cron forward batching: window split into bounded deterministic batches") {
@@ -239,11 +256,12 @@ class ShortcutsUploadForwardSpec extends AnyFunSuite with SparkSpecBase {
     val fwdRows = fwd.drop("day").as[SessionBuilder.SessionRow]
     assert(PcapExport.records(fwdRows).count() ==
       sessions.collect().map(_.totPackets).sum)
-    // replay reproduces the identical batch files
+    // replay reproduces the identical batch files and row counts
     CronQueries.processOnce(spark, srcStore,
       Seq(s1.head.copy(lpValue = t0 - 1)), nowSec = t1,
       clusters = Map("dc2" -> dest), forwardBatch = 1L)
     assert(new java.io.File(s"$dir/dstpcap").list().toSet == pcaps)
+    assert(SessionStore.read(spark, dest.storePath).count() == total)
   }
 
   test("cron notifier throttle: one alert per 600s, resumes after") {

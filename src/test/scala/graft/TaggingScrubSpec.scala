@@ -114,4 +114,21 @@ class TaggingScrubSpec extends AnyFunSuite with SparkSpecBase {
     assert(text.contains("Scrubbed! Hoot! "))
     assert(!text.contains("GET /"))
   }
+
+  test("SPI delete of a whole day drops the emptied partition") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-fullday")
+      .resolve("store").toString
+    Seq((1L, "2024-01-01", Seq.empty[String]),
+      (2L, "2024-01-02", Seq.empty[String]))
+      .toDF("id", "day", "tags")
+      .write.partitionBy("day").parquet(dir)
+    // dynamic overwrite cannot represent an emptied partition — the
+    // rewrite must drop the day directory itself
+    graft.ops.Scrub.deleteSpiFromStore(spark, dir,
+      org.apache.spark.sql.functions.col("day") === "2024-01-01")
+    assert(!new java.io.File(s"$dir/day=2024-01-01").exists())
+    assert(spark.read.parquet(dir).select("id").as[Long].collect().toSeq
+      == Seq(2L))
+  }
 }
