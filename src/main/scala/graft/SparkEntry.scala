@@ -272,6 +272,8 @@ object SparkEntry {
         ev(s, dir).filter(col("user_id").isNotNull),
         concat(lit("node"), col("user_id") % 4), col("ts"), 86400,
         Map("n" -> count(lit(1)), "sum_value" -> dsum(col("value"))))
+        // the op's built-in samples count duplicates this query's n agg
+        .drop("samples")
         .withColumn("bucket_s", epochS(col("bucket"))).drop("bucket")
         .orderBy("node", "bucket_s")),
     "e8_unique_autocomplete" -> ((s, dir) =>

@@ -36,18 +36,6 @@ object Dedup {
   def minhashA(j: Int): Long = ((j * 2654435761L) % 99999989L) | 1L
   def minhashB(j: Int): Long = (j * 40503L * 69069L) % minhashP
 
-  /** MinHash signature columns from an exploded shingle-hash row set.
-    * One md5 per shingle (the base hash), then arithmetic permutations;
-    * partial (map-side) min aggregation makes the shuffle one row per doc.
-    */
-  def minhashSig(hashCol: Column, numHashes: Int): Seq[Column] =
-    (0 until numHashes).map { j =>
-      min((hashCol * minhashA(j) + minhashB(j)) % minhashP).as(s"mh$j")
-    }
-
-  /** LSH band rows: (doc_id, band_id, band_key), `bands` bands of
-    * `rowsPerBand` min-hashes each; band key = joined min-hash values.
-    */
   /** Per-document MinHash signatures as one array column — the fused
     * kernel behind [[minhashBands]]: one JVM call per document computes
     * all permutation minima over the shingle hashes (no shingle explode,
@@ -289,10 +277,14 @@ object Dedup {
       .select(col("doc_a"), explode(col("docs")).as("doc_b"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-      .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_a")
-        .withColumnRenamed("sz", "sa")), Seq("doc_a"))
-      .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_b")
-        .withColumnRenamed("sz", "sb")), Seq("doc_b"))
+      // NO broadcast hint on sizes: it is one row per corpus document,
+      // which at real scale exceeds any broadcast budget — the pair
+      // side is the small one (bounded by true near-dups), so AQE picks
+      // the right side to broadcast at runtime
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("sz", "sa"), Seq("doc_a"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("sz", "sb"), Seq("doc_b"))
       .withColumn("jaccard", col("inter").cast("double") /
         (col("sa") + col("sb") - col("inter")))
       .filter(col("jaccard") >= threshold)
@@ -715,7 +707,11 @@ object Dedup {
       shingleK: Int = 3, bands: Int = 4, rowsPerBand: Int = 3): DataFrame = {
     val nh = bands * rowsPerBand
     val pairs = minhashCandidates(df, text, idCol, shingleK, bands, rowsPerBand)
+    // materialized once: the signature kernel is the dominant cost and
+    // feeds BOTH renamed joins below (differing projections defeat
+    // ReuseExchange, so without this it runs twice)
     val sig = minhashSignature(df, text, idCol, shingleK, nh)
+      .localCheckpoint()
     val eq = aggregate(
       zip_with(col("sig_a"), col("sig_b"),
         (x, y) => when(x === y, 1L).otherwise(0L)),
@@ -783,7 +779,11 @@ object Dedup {
     */
   def softDedupWeights(
       df: DataFrame, textCol: Column, idCol: Column): DataFrame = {
-    val groups = resolveGroups(minhashCandidates(df, textCol, idCol))
+    // star = true: identical connected components (the only property
+    // resolveGroups consumes) without the in-bucket all-pairs expansion
+    // a boilerplate hot bucket would explode under star = false
+    val groups = resolveGroups(
+      minhashCandidates(df, textCol, idCol, star = true))
     val sizes = groups.groupBy(col("group_id"))
       .agg(count(lit(1)).as("_gsz"))
     val w = groups.join(sizes, Seq("group_id"))

@@ -59,8 +59,8 @@ object Endpoints {
   }
 
   /** E2: sessions table — projection, multi-key sort with ES null placement
-    * (missing values sort last on asc, first on desc — matching ES
-    * `missing: _last` defaults), paging.
+    * (missing values sort LAST in both directions — the reference's
+    * addSortToQuery sets `missing: _last`, apiSessions.js:60-145), paging.
     */
   def sessionsTable(
       df: DataFrame,
@@ -89,14 +89,21 @@ object Endpoints {
     * `tsCol` must be a timestamp column; bucket is emitted as `bucket`
     * (timestamp, floor to `intervalSec`).
     */
+  /** Shared time bucket: floor `tsCol` to `intervalSec` — FLOOR, not
+    * cast-truncation, so pre-1970 timestamps land in their own bucket
+    * exactly like ES date_histogram (cast-to-long truncates toward zero
+    * and would merge 1969-12-31T23:59:30 into the epoch bucket).
+    */
+  private def timeBucket(tsCol: Column, intervalSec: Long): Column =
+    timestamp_seconds(
+      floor(unix_timestamp(tsCol) / intervalSec).cast("long") * intervalSec)
+
   def timeHistogram(
       df: DataFrame,
       tsCol: Column,
       intervalSec: Long,
       sums: Map[String, Column] = Map.empty): DataFrame = {
-    val bucket = timestamp_seconds(
-      (unix_timestamp(tsCol) / intervalSec).cast("long") * intervalSec)
-      .as("bucket")
+    val bucket = timeBucket(tsCol, intervalSec).as("bucket")
     val aggs = (count(lit(1)).as("sessions") ::
       sums.toSeq.sortBy(_._1).map { case (n, c) => c.as(n) }.toList)
     df.groupBy(bucket).agg(aggs.head, aggs.tail: _*).orderBy(col("bucket"))
@@ -129,8 +136,7 @@ object Endpoints {
       k: Int,
       metric: Column = count(lit(1))): DataFrame = {
     val top = topTerms(df, field, name, k).select(name)
-    val bucket = timestamp_seconds(
-      (unix_timestamp(tsCol) / intervalSec).cast("long") * intervalSec)
+    val bucket = timeBucket(tsCol, intervalSec)
     df.filter(field.isNotNull)
       .withColumn(name, field)
       .withColumn("bucket", bucket)
@@ -180,14 +186,19 @@ object Endpoints {
           // deepest level: the level grouping IS the full grouping key
           surv.select((levelCols.map(col) :+ col("cnt").as("_tot")): _*)
         else surv.groupBy(levelCols.map(col): _*).agg(sum("cnt").as("_tot"))
-      val vCol = totals.schema(fields(i)).dataType match {
-        case _: org.apache.spark.sql.types.StringType => col(fields(i))
-        case _ => col(fields(i)).cast("long")
-      }
-      val topkFn = totals.schema(fields(i)).dataType match {
-        case _: org.apache.spark.sql.types.StringType =>
-          graft.functions.TopK.stringIds(k)
-        case _ => graft.functions.TopK.longIds(k)
+      // id round-trip by type: integral types keep the numeric id (and
+      // numeric tie-break, matching the oracle's ORDER BY value ASC);
+      // fractional/other types go through their lossless STRING form —
+      // the old cast("long") collapsed fractional values and its
+      // cast-back key matched no original row (empty result)
+      import org.apache.spark.sql.types._
+      val (vCol, topkFn) = totals.schema(fields(i)).dataType match {
+        case StringType =>
+          (col(fields(i)), graft.functions.TopK.stringIds(k))
+        case ByteType | ShortType | IntegerType | LongType =>
+          (col(fields(i)).cast("long"), graft.functions.TopK.longIds(k))
+        case _ =>
+          (col(fields(i)).cast("string"), graft.functions.TopK.stringIds(k))
       }
       val topNodes = totals
         .groupBy(prefixCols.map(col): _*)
@@ -369,11 +380,13 @@ object Endpoints {
   def nodeStats(
       metrics: DataFrame, nodeCol: Column, tsCol: Column,
       intervalSec: Long, aggs: Map[String, Column]): DataFrame = {
-    val bucket = timestamp_seconds(
-      (unix_timestamp(tsCol) / intervalSec).cast("long") * intervalSec)
+    val bucket = timeBucket(tsCol, intervalSec)
+    // count-first like timeHistogram: well-defined on an empty aggs map,
+    // and the sorted agg list is built once
+    val sorted = aggs.toSeq.sortBy(_._1).map { case (n, c) => c.as(n) }
+    val all = count(lit(1)).as("samples") :: sorted.toList
     metrics.groupBy(nodeCol.as("node"), bucket.as("bucket"))
-      .agg(aggs.toSeq.sortBy(_._1).map { case (n, c) => c.as(n) }.head,
-        aggs.toSeq.sortBy(_._1).map { case (n, c) => c.as(n) }.tail: _*)
+      .agg(all.head, all.tail: _*)
       .orderBy(col("node"), col("bucket"))
   }
 

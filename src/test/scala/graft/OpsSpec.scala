@@ -234,4 +234,28 @@ class OpsSpec extends AnyFunSuite with SparkSpecBase {
     assert(log.filter(org.apache.spark.sql.functions.col("uiPage_user") === "u2")
       .select("expression").head.getString(0) == "port == 80")
   }
+
+  test("hierarchy on a fractional-typed level keeps distinct values") {
+    import spark.implicits._
+    // regression: cast("long") collapsed 1.2/1.7 to 1 and the cast-back
+    // semi-join key matched nothing -> empty result
+    val df = Seq(("tcp", 1.2), ("tcp", 1.2), ("tcp", 1.7), ("udp", 3.5))
+      .toDF("proto", "ratio")
+    val h = graft.ops.Endpoints.hierarchy(df, Seq("proto", "ratio"), 3)
+      .collect()
+    assert(h.map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet ==
+      Set(("tcp", 1.2, 2L), ("tcp", 1.7, 1L), ("udp", 3.5, 1L)))
+  }
+
+  test("timeHistogram floors pre-1970 timestamps into their own bucket") {
+    import spark.implicits._
+    val df = Seq(-30L, 30L).toDF("s")
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_seconds(
+        org.apache.spark.sql.functions.col("s")))
+    val b = graft.ops.Endpoints.timeHistogram(df, col("ts"), 60)
+      .select(org.apache.spark.sql.functions.unix_timestamp(col("bucket")))
+      .as[Long].collect().sorted.toSeq
+    // cast-truncation would merge both rows into bucket 0
+    assert(b == Seq(-60L, 0L))
+  }
 }

@@ -992,6 +992,37 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpecBase {
     assert(got.except(want).isEmpty && want.except(got).isEmpty)
   }
 
+  test("prefixSumBy: timestamp-typed and null group keys") {
+    import spark.implicits._
+    // regression: driver offsets were keyed by Catalyst's cast-to-string
+    // while the scan used JVM toString (they disagree for timestamps),
+    // and a null group key NPE'd the offsets sort
+    // groups deliberately SPAN the two buckets so a driver-offset
+    // lookup miss (wrong key form) cannot be masked by a same-bucket 0
+    val df = Seq(
+      (Some("2024-01-01 00:00:00"), 1L, 10L),
+      (None, 2L, 7L),
+      (Some("2024-06-01 12:00:00"), 3L, 5L),
+      (Some("2024-01-01 00:00:00"), 4L, 20L),
+      (None, 5L, 9L))
+      .toDF("g0", "k", "v")
+      .withColumn("g", col("g0").cast("timestamp")).drop("g0")
+    val got = graft.ops.Pack.prefixSumBy(df, "g", "k", "v", buckets = 2)
+      .select("k", "prev_cumsum").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 10L, 5L -> 7L))
+  }
+
+  test("mixtureSelect resolves ids not literally named doc_id") {
+    import spark.implicits._
+    // regression: the seed hash was built from the caller's column and
+    // resolved AFTER the internal rename to doc_id
+    val d = Seq(("a", 1L, 10L), ("a", 2L, 10L), ("b", 3L, 10L))
+      .toDF("src", "my_id", "toks")
+    val out = graft.ops.Pack.mixtureSelect(d, col("src"), col("my_id"),
+      col("toks"), Map("a" -> 1L, "b" -> 1L), budget = 20L)
+    assert(out.count() > 0)
+  }
+
   test("mixtureSelect: per-source targets respected, one straddler each") {
     import spark.implicits._
     val d = (0 until 60).map(i =>
