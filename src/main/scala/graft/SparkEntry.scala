@@ -1200,7 +1200,7 @@ object SparkEntry {
        gf AS (SELECT s.doc_id,
            CAST(len(s.toks) AS BIGINT) AS ntok,
            CAST(list_sum(list_transform(s.toks, x -> length(x))) AS BIGINT) AS sumlen,
-           CAST(len(list_filter(s.toks, x -> x IN
+           CAST(len(list_filter(list_distinct(s.toks), x -> x IN
              ('the','be','to','of','and','that','have','with'))) AS BIGINT) AS nstop,
            CAST(len(list_filter(s.toks, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS nalpha,
            CAST(coalesce(gm.mx, 0) AS BIGINT) AS mx,
@@ -1777,11 +1777,22 @@ object SparkEntry {
            UNION ALL SELECT doc_id, 1, band1 FROM dsig
            UNION ALL SELECT doc_id, 2, band2 FROM dsig
            UNION ALL SELECT doc_id, 3, band3 FROM dsig),
-         hubs AS (SELECT band_id, v, min(doc_id) AS hub FROM bands
+         cnt AS (SELECT band_id, v, count(*) AS n FROM bands
            GROUP BY band_id, v),
-         cand AS (SELECT DISTINCT h.hub AS doc_a, b.doc_id AS doc_b
-           FROM bands b JOIN hubs h USING (band_id, v)
+         smallb AS (SELECT b.band_id, b.v, b.doc_id FROM bands b
+           JOIN cnt c USING (band_id, v) WHERE c.n BETWEEN 2 AND 256),
+         smallp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM smallb a JOIN smallb b USING (band_id, v)
+           WHERE a.doc_id < b.doc_id),
+         bigb AS (SELECT b.band_id, b.v, b.doc_id FROM bands b
+           JOIN cnt c USING (band_id, v) WHERE c.n > 256),
+         hubs AS (SELECT band_id, v, min(doc_id) AS hub FROM bigb
+           GROUP BY band_id, v),
+         bigp AS (SELECT h.hub AS doc_a, b.doc_id AS doc_b
+           FROM bigb b JOIN hubs h USING (band_id, v)
            WHERE b.doc_id <> h.hub),
+         cand AS (SELECT DISTINCT doc_a, doc_b FROM
+           (SELECT * FROM smallp UNION ALL SELECT * FROM bigp)),
          near AS (SELECT p.doc_a, p.doc_b,
              CAST(bit_count(xor(sa.band0, sb.band0))
              + bit_count(xor(sa.band1, sb.band1))
@@ -2199,7 +2210,7 @@ object SparkEntry {
            FROM paras),
          flt AS (SELECT doc_id, idx, line,
              (regexp_matches(line, '[.!?"]$$')
-              AND len(list_filter(string_split(line, ' '), w -> w <> '')) >= 5
+              AND len(list_filter(string_split_regex(line, '\\s+'), w -> w <> '')) >= 5
               AND NOT contains(lower(line), 'javascript')) AS keep
            FROM lns),
          agg AS (SELECT doc_id, count(*) AS n_lines,

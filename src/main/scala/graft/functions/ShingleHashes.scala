@@ -32,11 +32,11 @@ object ShingleHashes {
     */
   def tokenize(text: String): Array[String] =
     if (text == null) Array.empty[String]
-    else splitRe.split(text.toLowerCase).filter(_.nonEmpty)
+    else splitRe.split(text.toLowerCase(java.util.Locale.ROOT)).filter(_.nonEmpty)
 
   def hashes(text: String, k: Int, distinct: Boolean): Array[Long] = {
     if (text == null) return Array.empty[Long]
-    val toks = splitRe.split(text.toLowerCase).filter(_.nonEmpty)
+    val toks = splitRe.split(text.toLowerCase(java.util.Locale.ROOT)).filter(_.nonEmpty)
     if (toks.length < k) return Array.empty[Long]
     val md = MessageDigest.getInstance("MD5")
     val n = toks.length - k + 1
@@ -82,7 +82,7 @@ object ShingleHashes {
     */
   def simhash32(text: String): Long = {
     if (text == null) return 0L
-    val toks = splitRe.split(text.toLowerCase).filter(_.nonEmpty)
+    val toks = splitRe.split(text.toLowerCase(java.util.Locale.ROOT)).filter(_.nonEmpty)
     if (toks.isEmpty) return 0L
     val md = MessageDigest.getInstance("MD5")
     val sums = new Array[Int](32)
@@ -114,7 +114,7 @@ object ShingleHashes {
   /** Non-empty-token guard matching `size(tokens(text)) > 0`. */
   def hasTokens(text: Column): Column = {
     val f = udf((s: String) =>
-      s != null && splitRe.split(s.toLowerCase).exists(_.nonEmpty))
+      s != null && splitRe.split(s.toLowerCase(java.util.Locale.ROOT)).exists(_.nonEmpty))
     f(text)
   }
 }

@@ -73,20 +73,23 @@ object Multimodal {
     ds.mapPartitions { rows =>
       rows.grouped(64).flatMap { batch => // batch shape for vectorized decode
         batch.iterator.map { r =>
-          val md5hex = org.apache.commons.codec.digest.DigestUtils.md5Hex(r.payload)
+          // mediaSchema declares payload nullable - treat null as empty
+          val payload =
+            if (r.payload == null) Array.emptyByteArray else r.payload
+          val md5hex = org.apache.commons.codec.digest.DigestUtils.md5Hex(payload)
           val h = java.lang.Long.parseLong(md5hex.substring(0, 8), 16)
           // ??? real pixel/sample decoder goes here — hash fake below
           val feats = Array.tabulate(8)(i =>
             ((h >> i) % 256).toFloat / 255.0f)
-          graft.functions.MediaHeaders.parse(r.payload) match {
+          graft.functions.MediaHeaders.parse(payload) match {
             case Some(info) =>
               DecodedRow(r.media_id, r.kind, info.format,
-                r.payload.length.toLong, info.width, info.height,
+                payload.length.toLong, info.width, info.height,
                 n_frames = if (info.channels > 0) 0 else 1,
                 info.channels, info.sampleRate, info.durationMs, feats)
             case None => // opaque payload: deterministic fake metadata
               DecodedRow(r.media_id, r.kind, "opaque",
-                r.payload.length.toLong,
+                payload.length.toLong,
                 (h % 512 + 1).toInt, ((h >> 9) % 512 + 1).toInt,
                 ((h >> 18) % 30 + 1).toInt, 0, 0, 0L, feats)
           }
@@ -241,7 +244,7 @@ object Multimodal {
     */
   def dhashPairs(
       df: DataFrame, idCol: Column, contentCol: Column,
-      maxHamming: Int = 16): DataFrame = {
+      maxHamming: Int = 16, maxPostings: Int = 256): DataFrame = {
     val sigCols = Seq("band0", "band1", "band2", "band3")
     // materialize the signature kernel once: it feeds the exact-collapse
     // join AND (via reps) the band rows and both sides of the candidate
@@ -256,16 +259,39 @@ object Multimodal {
       .filter(col("doc_id") =!= col("rep"))
       .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"),
         lit(0L).as("hamming"))
-    // band rows over distinct signatures only; hub = min rep per bucket
+    // band rows over distinct signatures only
     val dsig = reps.select(col("rep").as("doc_id") +: sigCols.map(col): _*)
     val bandRows = dsig.select(col("doc_id"),
       posexplode(array(sigCols.map(col): _*)).as(Seq("band_id", "v")))
-    val hubs = bandRows.groupBy(col("band_id"), col("v"))
+    // In-bucket pairing must stay COMPLETE for the Hamming gate to see
+    // every near pair (a hub-star here would drop A–B whenever both
+    // hub–A and hub–B fail the gate but A–B passes). Buckets of
+    // distinct signatures sharing a 16-bit band are small after the
+    // exact collapse, so complete pairs are generated per bucket with a
+    // BOUNDED TopK collection (cap = maxPostings, never an unbounded
+    // collect_list); a degenerate bucket past the cap falls back to the
+    // hub star — a bounded, explicit recall trade on pathological bands.
+    val counts = bandRows.groupBy("band_id", "v")
+      .agg(count(lit(1)).as("n")).filter(col("n") >= 2)
+    val smallKeys = counts.filter(col("n") <= maxPostings)
+      .select("band_id", "v")
+    val bigKeys = counts.filter(col("n") > maxPostings)
+      .select("band_id", "v")
+    val topIds = graft.functions.TopK.longIds(maxPostings)
+    val smallPairs = bandRows.join(smallKeys, Seq("band_id", "v"))
+      .groupBy("band_id", "v")
+      .agg(topIds(-col("doc_id").cast("double"), col("doc_id")).as("t"))
+      .select(col("t.id").as("docs"))
+      .select(explode(col("docs")).as("doc_a"), col("docs"))
+      .select(col("doc_a"), explode(col("docs")).as("doc_b"))
+      .filter(col("doc_a") < col("doc_b"))
+    val bigRows = bandRows.join(bigKeys, Seq("band_id", "v"))
+    val hubs = bigRows.groupBy("band_id", "v")
       .agg(min(col("doc_id")).as("hub"))
-    val cand = bandRows.join(hubs, Seq("band_id", "v"))
+    val bigStar = bigRows.join(hubs, Seq("band_id", "v"))
       .filter(col("doc_id") =!= col("hub"))
       .select(col("hub").as("doc_a"), col("doc_id").as("doc_b"))
-      .distinct()
+    val cand = smallPairs.unionByName(bigStar).distinct()
     val sa = dsig.toDF("doc_a", "a0", "a1", "a2", "a3")
     val sb = dsig.toDF("doc_b", "b0", "b1", "b2", "b3")
     val nearEdges = cand.join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))

@@ -127,10 +127,14 @@ object Similarity {
   def bruteForceTopK(
       corpus: DataFrame, queries: DataFrame,
       vecCol: String, idCol: String, k: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"),
+    // null embeddings are skipped, not crashed on: the pack/dot kernels
+    // receive reference-typed arguments, so a NULL row would NPE the task
+    val q = queries.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("query_id"),
         pack(toDouble(col(vecCol))).as("qv"))
       .withColumn("qn", normBin(col("qv")))
-    val c = corpus.select(col(idCol).as("neighbor_id"),
+    val c = corpus.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("neighbor_id"),
         pack(toDouble(col(vecCol))).as("cv"))
       .withColumn("cn", normBin(col("cv")))
     val scored = c.crossJoin(broadcast(q))
@@ -182,13 +186,17 @@ object Similarity {
     // the vector id (the vector rides along via first(), constant per id)
     def assign(df: DataFrame, id: String, keep: Int): DataFrame = {
       val topCells = TopK.longIds(keep)
-      df.select(col(idCol).as(id), toDouble(col(vecCol)).as("v"))
+      df.filter(col(vecCol).isNotNull)
+        .select(col(idCol).as(id), toDouble(col(vecCol)).as("v"))
         .crossJoin(broadcast(cents))
         .withColumn("cdot", dot(col("v"), col("centv")))
         .groupBy(col(id))
         .agg(topCells(col("cdot"), col("cell")).as("cells"),
           first(col("v")).as("v"))
+        // norm computed ONCE per vector here — per-pair recomputation
+        // after the cell join would be O(|pairs|·dim) redundant work
         .select(col(id), pack(col("v")).as(s"${id}_p"),
+          normBin(pack(col("v"))).as(s"${id}_n"),
           explode(col("cells.id")).as("cell"))
     }
     val corpusCells = assign(corpus, "neighbor_id", 1)
@@ -196,7 +204,7 @@ object Similarity {
     val scored = corpusCells.join(broadcast(queryCells), Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine", dotBin(col("query_id_p"), col("neighbor_id_p")) /
-        (normBin(col("query_id_p")) * normBin(col("neighbor_id_p"))))
+        (col("query_id_n") * col("neighbor_id_n")))
     perQueryTopK(scored, k)
   }
 
@@ -222,14 +230,18 @@ object Similarity {
     val cents = centroids.zipWithIndex
       .map { case (v, i) => (i.toLong, v) }.toDF("cell", "centv")
     val topCell = TopK.longIds(1)
-    corpus.select(col(idCol).as("neighbor_id"),
+    corpus.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("neighbor_id"),
         toDouble(col(vecCol)).as("v"))
       .crossJoin(broadcast(cents))
       .withColumn("cdot", dot(col("v"), col("centv")))
       .groupBy(col("neighbor_id"))
       .agg(topCell(col("cdot"), col("cell")).as("cells"),
         first(col("v")).as("v"))
+      // the vector norm is part of the index: probes then never
+      // recompute it per candidate pair
       .select(col("neighbor_id"), pack(col("v")).as("neighbor_id_p"),
+        normBin(pack(col("v"))).as("neighbor_id_n"),
         col("cells.id").getItem(0).as("cell"))
       .write.mode("overwrite")
       .bucketBy(nBuckets, "cell")
@@ -254,7 +266,8 @@ object Similarity {
     val cents = centroids.zipWithIndex
       .map { case (v, i) => (i.toLong, v) }.toDF("cell", "centv")
     val topCell = TopK.longIds(1)
-    newVecs.select(col(idCol).as("neighbor_id"),
+    newVecs.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("neighbor_id"),
         toDouble(col(vecCol)).as("v"))
       .crossJoin(broadcast(cents))
       .withColumn("cdot", dot(col("v"), col("centv")))
@@ -262,6 +275,7 @@ object Similarity {
       .agg(topCell(col("cdot"), col("cell")).as("cells"),
         first(col("v")).as("v"))
       .select(col("neighbor_id"), pack(col("v")).as("neighbor_id_p"),
+        normBin(pack(col("v"))).as("neighbor_id_n"),
         col("cells.id").getItem(0).as("cell"))
       .write.mode("append").insertInto(table)
   }
@@ -278,7 +292,10 @@ object Similarity {
     val cents = centroids.zipWithIndex
       .map { case (v, i) => (i.toLong, v) }.toDF("cell", "centv")
     val topCells = TopK.longIds(nProbe)
-    val queryCells = queries
+    // materialized once: the assignment subplan (crossJoin + dot kernel
+    // + TopK) otherwise re-executes for the probed-cell collect AND the
+    // join below
+    val queryCells = queries.filter(col(vecCol).isNotNull)
       .select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("v"))
       .crossJoin(broadcast(cents))
       .withColumn("cdot", dot(col("v"), col("centv")))
@@ -286,7 +303,9 @@ object Similarity {
       .agg(topCells(col("cdot"), col("cell")).as("cells"),
         first(col("v")).as("v"))
       .select(col("query_id"), pack(col("v")).as("query_id_p"),
+        normBin(pack(col("v"))).as("query_id_n"),
         explode(col("cells.id")).as("cell"))
+      .localCheckpoint()
     // the probed cell set is tiny (≤ nProbe × |queries|); as literals it
     // becomes a bucket-prunable IN predicate on the index scan
     val probed = queryCells.select("cell").distinct()
@@ -295,7 +314,7 @@ object Similarity {
     val scored = index.join(broadcast(queryCells), Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine", dotBin(col("query_id_p"), col("neighbor_id_p")) /
-        (normBin(col("query_id_p")) * normBin(col("neighbor_id_p"))))
+        (col("query_id_n") * col("neighbor_id_n")))
     perQueryTopK(scored, k)
   }
 
@@ -313,7 +332,8 @@ object Similarity {
     val cents = centroids.zipWithIndex
       .map { case (v, i) => (i.toLong, v) }.toDF("cell", "centv")
     val top1 = TopK.longIds(1)
-    df.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
+    df.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
       .crossJoin(broadcast(cents))
       .withColumn("cdot", dot(col("v"), col("centv")))
       .groupBy("id")
@@ -412,11 +432,13 @@ object Similarity {
       corpus: DataFrame, queries: DataFrame,
       vecCol: String, idCol: String, k: Int,
       planes: Int = 8, dim: Int = 64): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv0"))
+    val q = queries.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv0"))
       .withColumn("bucket", lshBucket(col("qv0"), planes, dim))
       .withColumn("qv", pack(col("qv0"))).drop("qv0")
       .withColumn("qn", normBin(col("qv")))
-    val c = corpus.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("cv0"))
+    val c = corpus.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("cv0"))
       .withColumn("bucket", lshBucket(col("cv0"), planes, dim))
       .withColumn("cv", pack(col("cv0"))).drop("cv0")
       .withColumn("cn", normBin(col("cv")))
@@ -595,7 +617,8 @@ object Similarity {
       .map { case (v, i) => (i.toLong, v) }.toDF("cell", "centv")
     def cells(df: DataFrame, id: String, keep: Int): DataFrame = {
       val topCells = TopK.longIds(keep)
-      df.select(col(idCol).as(id), toDouble(col(vecCol)).as("v"))
+      df.filter(col(vecCol).isNotNull)
+        .select(col(idCol).as(id), toDouble(col(vecCol)).as("v"))
         .crossJoin(broadcast(cents))
         .withColumn("cdot", dot(col("v"), col("centv")))
         .groupBy(col(id))

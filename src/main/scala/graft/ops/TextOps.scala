@@ -66,7 +66,10 @@ object TextOps {
 
   def langGuessScala(text: String): String = {
     if (text == null) return "und"
-    val distinctToks = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSet
+    // Locale.ROOT: the SQL lower() this must mirror is locale-invariant
+    // (a tr-TR default locale would produce dotless-ı and break parity)
+    val distinctToks = text.toLowerCase(java.util.Locale.ROOT)
+      .split("[^a-z0-9]+").filter(_.nonEmpty).toSet
     val scores = markerSets.map { case (l, ms) => l -> (distinctToks & ms).size }
     val best = scores.map(_._2).max
     if (best == 0) "und"
@@ -530,7 +533,8 @@ object TextOps {
       minWords: Int = 5, minLines: Int = 3): DataFrame = {
     val keepLine = (l: Column) =>
       l.rlike("[.!?\"]$") &&
-        size(filter(split(l, " "), w => w =!= lit(""))) >= minWords &&
+        // WHITESPACE words (tabs count as separators), per the C4 rule
+        size(filter(split(l, "\\s+"), w => w =!= lit(""))) >= minWords &&
         !lower(l).contains("javascript")
     val keptArr = filter(linesCol, keepLine)
     val raw = lower(array_join(linesCol, "\n"))
@@ -805,7 +809,11 @@ object TextOps {
     val nTok = size(toks).cast("long")
     val sumLen = aggregate(toks, lit(0L), (a, t) => a + length(t))
     val gstops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
-    val nStop = size(filter(toks, t => t.isInCollection(gstops))).cast("long")
+    // DISTINCT stopwords present (Rae et al. A1.1: "contains at least
+    // two of" the 8 words) — an occurrence count would pass a document
+    // repeating one stopword twice
+    val nStop = size(array_intersect(array_distinct(toks),
+      array(gstops.map(lit): _*))).cast("long")
     val nAlphaW = size(filter(toks, t => t.rlike("[a-z]"))).cast("long")
     val bigrams = array_sort(
       when(size(toks) >= 2, shingles(toks, 2))
