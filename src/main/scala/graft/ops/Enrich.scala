@@ -73,18 +73,24 @@ object Enrich {
       .drop("key")
   }
 
-  /** I11: exact duplicate suppression on a content hash within a time
-    * window — batch analogue of `dropDuplicatesWithinWatermark`
-    * (reference: capture/dedup.c). Keeps the earliest row per hash per
-    * window.
+  /** I11: exact duplicate suppression on a content hash within a FIXED
+    * time bucket (reference: capture/dedup.c's seconds ring buffer; the
+    * batch analogue uses floor(ts/window) buckets, so duplicates
+    * straddling a bucket boundary are intentionally both kept — the
+    * price of a shuffle-free-deterministic batch form). Keeps the
+    * EARLIEST row per (bucket, hash) deterministically: the aggregate
+    * takes the struct-min ordered by (ts, full row), never
+    * dropDuplicates' partition-order-dependent pick.
     */
   def dedupPackets(
       df: DataFrame, hashCols: Seq[String], tsCol: Column,
       windowSecs: Long): DataFrame = {
     val bucket = (unix_timestamp(tsCol) / windowSecs).cast("long")
+    val cols = df.columns.toSeq
     df.withColumn("_w", bucket)
-      .dropDuplicates("_w" +: hashCols)
-      .drop("_w")
+      .groupBy(("_w" +: hashCols).map(col): _*)
+      .agg(min(struct((tsCol.as("_k") +: cols.map(col)): _*)).as("_r"))
+      .select(cols.map(c => col(s"_r.`$c`").as(c)): _*)
   }
 
   /** I14: serialize session rows to ES-bulk-shaped JSON documents (the

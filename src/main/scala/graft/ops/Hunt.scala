@@ -30,8 +30,12 @@ object Hunt {
     * `asciicase` hunt types).
     */
   final case class AsciiNeedle(s: String, caseSensitive: Boolean) extends Needle {
+    // Locale.ROOT: the haystack fold below is ASCII-only, so a default
+    // Turkish locale lowercasing 'I' to dotless-ı would make the needle
+    // unmatchable
     private val needle =
-      (if (caseSensitive) s else s.toLowerCase).getBytes(StandardCharsets.ISO_8859_1)
+      (if (caseSensitive) s else s.toLowerCase(java.util.Locale.ROOT))
+        .getBytes(StandardCharsets.ISO_8859_1)
     def matches(hay: Array[Byte]): Boolean = {
       val h = if (caseSensitive) hay else hay.map(b =>
         if (b >= 'A' && b <= 'Z') (b + 32).toByte else b)
@@ -88,7 +92,12 @@ object Hunt {
       store: graft.etl.PcapStore.Store = graft.etl.PcapStore.Local): DataFrame = {
     val spark = sessions.sparkSession
     import spark.implicits._
-    val matched = sessions.mapPartitions { rows =>
+    // materialize the input once: it feeds both the packet-scanning
+    // mapPartitions below AND the join back — without this, a HuntJob
+    // batch (filter + sort + limit) re-executes per join subtree, one
+    // of them repeating all the packet I/O
+    val src = sessions.localCheckpoint()
+    val matched = src.mapPartitions { rows =>
       // one open blob + parsed global header per referenced file,
       // cached for the task's lifetime, closed on task completion.
       // `keys` resolves a raw fileId to its at-rest encryption material
@@ -141,7 +150,7 @@ object Hunt {
         (s.sessionId, s.segmentSeq, hit)
       }
     }.toDF("sessionId", "segmentSeq", "hit")
-    sessions.toDF().join(matched, Seq("sessionId", "segmentSeq"))
+    src.toDF().join(matched, Seq("sessionId", "segmentSeq"))
       .withColumn("huntTag", when(col("hit"), lit(cfg.tag)))
       .drop("hit")
   }

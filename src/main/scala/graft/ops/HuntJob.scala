@@ -156,6 +156,9 @@ object HuntJob {
       try st = st.copy(totalSessions = sessions.count())
       catch { case e: Exception => pauseWithError(e); return st }
     }
+    // preserve a pause that raced the totalSessions count above
+    val raced = load(huntDir)
+    if (raced.exists(_.status == "paused")) return raced.get
     st = st.copy(status = "running")
     save(huntDir, st)
     val matchesDir = Paths.get(huntDir, "matches").toString
@@ -204,6 +207,13 @@ object HuntJob {
               matchedSessions = st.matchedSessions + matched.length,
               lastPacketTime = last._1, lastSessionId = last._2,
               lastSegmentSeq = last._3)
+            // a pause() written DURING this batch must survive the
+            // checkpoint save - re-read and preserve an external status
+            // change instead of clobbering it with "running"
+            load(huntDir).filter(_.status != "running").foreach { ext =>
+              st = st.copy(status = ext.status)
+              done = true
+            }
             save(huntDir, st)
             batches += 1
           }

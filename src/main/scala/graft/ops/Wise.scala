@@ -149,10 +149,16 @@ object Wise {
       sources: Seq[Source],
       excludes: Seq[String] = Nil): DataFrame = {
     val intel = unionIntel(sources)
-      .withColumn("_plen",
-        split_part(col("key"), lit("/"), lit(2)).cast("int"))
+      // bare-IP keys (the common plain threat-list format; the
+      // reference iptrie accepts them) are /32 — try_cast because a
+      // missing '/len' yields '' and ANSI cast would fail the job
+      .withColumn("_plen", coalesce(
+        expr("try_cast(split_part(key, '/', 2) AS INT)"), lit(32)))
       .withColumn("_ipLong",
         v4ToLong(split_part(col("key"), lit("/"), lit(1))))
+      // non-v4 intel keys (v6 feeds) have no place in the v4 trie — drop
+      // them instead of crashing the build
+      .filter(col("_ipLong").isNotNull)
       .withColumn("_net", expr("shiftright(_ipLong, 32 - _plen)"))
       .withColumn("_netKey", concat_ws(":", col("_plen"), col("_net")))
     val plens: Seq[Int] = intel.select(col("_plen")).distinct()
@@ -165,7 +171,10 @@ object Wise {
         concat_ws(":", lit(l), shiftright(ipLong, 32 - l)).as("netKey"))
     }: _*)
     val cands = facts
-      .filter(ipCol.isNotNull && !excluded(ipCol, "ip", excludes))
+      // a non-dotted-quad fact value (any v6 session) must be a
+      // non-match, not an ANSI cast crash of the whole job
+      .filter(ipCol.isNotNull && ipLong.isNotNull &&
+        !excluded(ipCol, "ip", excludes))
       .select(idCol.as("_id"), explode(candArr).as("_c"))
       .select(col("_id"), col("_c.plen").as("_plen2"),
         col("_c.netKey").as("_nk"))
@@ -187,11 +196,20 @@ object Wise {
   /** v4 dotted-quad → long, pure arithmetic (codegen'd; identical SQL
     * runs on the oracle side).
     */
-  def v4ToLong(ip: Column): Column =
-    split(ip, "\\.").getItem(0).cast("long") * 16777216L +
-      split(ip, "\\.").getItem(1).cast("long") * 65536L +
-      split(ip, "\\.").getItem(2).cast("long") * 256L +
-      split(ip, "\\.").getItem(3).cast("long")
+  def v4ToLong(ip: Column): Column = {
+    // try_element/try_cast form: '::1' or garbage yields NULL (a
+    // non-match), never an ANSI SparkNumberFormatException; exactly 4
+    // numeric octets in range required
+    val parts = split(ip, "\\.")
+    def octet(i: Int): Column = {
+      val v = try_to_number(get(parts, lit(i)), lit("999"))
+      when(v.between(0, 255), v.cast("long")).otherwise(lit(null))
+    }
+    when(size(parts) === 4,
+      octet(0) * 16777216L + octet(1) * 65536L +
+        octet(2) * 256L + octet(3))
+      .otherwise(lit(null).cast("long"))
+  }
 
   /** Source-level tags for hits (wiseSource.js tagsSetting): one row per
     * (fact, tag), set-semantics union across sources — feed the result

@@ -94,13 +94,23 @@ object SessionSink {
         try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         finally out.close()
         val code = conn.getResponseCode
-        try {
+        val respBody = try {
           val in = if (code >= 400) conn.getErrorStream else conn.getInputStream
-          if (in != null) { in.readAllBytes(); in.close() }
-        } catch { case _: java.io.IOException => () }
-        if (code >= 200 && code < 300) done = true
-        else if (code == 429 || code >= 500) throw new java.io.IOException(
-          s"bulk POST $code")
+          if (in != null) {
+            val b = in.readAllBytes(); in.close()
+            new String(b, java.nio.charset.StandardCharsets.UTF_8)
+          } else ""
+        } catch { case _: java.io.IOException => "" }
+        // a 200 _bulk response still reports PER-ITEM failures
+        // ("errors":true with per-action rejections, e.g. item-level 429
+        // under load) — treating it as success silently drops documents;
+        // retry the batch like a top-level 429 (idempotent: docs are
+        // indexed by id)
+        if (code >= 200 && code < 300 &&
+          !respBody.contains("\"errors\":true")) done = true
+        else if ((code >= 200 && code < 300) || code == 429 || code >= 500)
+          throw new java.io.IOException(
+            s"bulk POST $code (item errors: ${code < 300})")
         else throw new IllegalStateException(
           s"bulk POST rejected with $code") // 4xx other than 429: no retry
       } catch {
@@ -121,8 +131,11 @@ object SessionSink {
     sessions.toDF()
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // overwrite, not append: the directory is keyed by batchId, so a
+        // checkpoint replay of a failed micro-batch rewrites the same
+        // files instead of appending a duplicate copy of every doc
         Enrich.toEsDocs(batch)
-          .write.mode("append").text(s"$path/batch=$batchId")
+          .write.mode("overwrite").text(s"$path/batch=$batchId")
       }
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)

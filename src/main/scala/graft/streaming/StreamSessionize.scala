@@ -28,41 +28,60 @@ import graft.etl.SessionBuilder.SessionRow
   */
 object StreamSessionize {
 
-  final case class StreamState(packets: Seq[DecodedPacket], segBase: Int)
+  /** `firstTsMicros` carries the SESSION's first packet time across
+    * mid-save flushes (-1 = no segment emitted yet), so continuation
+    * segments report the session-start firstPacket/length exactly like
+    * the batch builder's cross-segment state (the reference keeps
+    * session->firstPacket over mid-saves). Residual known divergence
+    * from batch on mid-saved sessions: per-slice protocol/mac
+    * accumulation and the TCP port-reuse suffix restart at each flush —
+    * the batch path sees the whole packet list at once.
+    */
+  final case class StreamState(packets: Seq[DecodedPacket], segBase: Int,
+      firstTsMicros: Long = -1L)
 
   val WatermarkDelay = "10 seconds"
 
   def maxPackets: Int = SessionBuilder.MaxPackets
 
-  def processGroup(
+  def processGroup(node: String)(
       key: String,
       newPackets: Iterator[DecodedPacket],
       state: GroupState[StreamState]): Iterator[SessionRow] = {
-    val node = "test"
+    // continuation segments keep the session-start firstPacket/length
+    def patch(r: SessionRow, firstUs: Long): SessionRow =
+      if (firstUs < 0) r
+      else {
+        val firstMs = firstUs / 1000
+        r.copy(firstPacket = math.min(r.firstPacket, firstMs),
+          length = r.lastPacket - math.min(r.firstPacket, firstMs))
+      }
     if (state.hasTimedOut) {
       val st = state.get
       state.remove()
       val rows = SessionBuilder
         .buildSessions(key, st.packets.iterator, node)
-        .map(r => r.copy(segmentSeq = r.segmentSeq + st.segBase,
-          segmentCnt = r.segmentCnt + st.segBase))
+        .map(r => patch(r.copy(segmentSeq = r.segmentSeq + st.segBase,
+          segmentCnt = r.segmentCnt + st.segBase), st.firstTsMicros))
       return rows
     }
     val prev = state.getOption.getOrElse(StreamState(Nil, 0))
     var packets = prev.packets ++ newPackets
     var segBase = prev.segBase
+    var firstUs = prev.firstTsMicros
     val out = Seq.newBuilder[SessionRow]
     // mid-save: flush full segments, keep the session open
     while (packets.length >= maxPackets) {
       val (seg, rest) = packets.splitAt(maxPackets)
+      if (firstUs < 0) firstUs = seg.map(_.tsMicros).min
       val rows = SessionBuilder.buildSessions(key, seg.iterator, node).toSeq
-      out ++= rows.map(r => r.copy(segmentSeq = r.segmentSeq + segBase,
-        segmentCnt = r.segmentCnt + segBase))
+      out ++= rows.map(r => patch(r.copy(segmentSeq = r.segmentSeq + segBase,
+        segmentCnt = r.segmentCnt + segBase), firstUs))
       segBase += rows.length
       packets = rest
     }
     if (packets.nonEmpty) {
-      state.update(StreamState(packets, segBase))
+      state.update(StreamState(packets, segBase, firstUs))
       val timeoutMs =
         SessionBuilder.timeoutSecs(packets.head.ipProtocol) * 1000
       val lastEventMs = packets.map(_.tsMicros).max / 1000
@@ -73,8 +92,12 @@ object StreamSessionize {
     out.result().iterator
   }
 
-  /** Wire a (possibly streaming) packet Dataset into session rows. */
-  def sessions(packets: Dataset[DecodedPacket]): Dataset[SessionRow] = {
+  /** Wire a (possibly streaming) packet Dataset into session rows.
+    * `node` stamps every emitted row (a capture node passes its
+    * configured name; the default matches the batch sessionizer's).
+    */
+  def sessions(packets: Dataset[DecodedPacket],
+      node: String = "test"): Dataset[SessionRow] = {
     val spark = packets.sparkSession
     import spark.implicits._
     packets
@@ -83,7 +106,7 @@ object StreamSessionize {
       .as[DecodedPacket]
       .groupByKey(SessionBuilder.sessionKey)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
-        processGroup)
+        processGroup(node))
   }
 
   /** Streaming pipeline over a live pcap-over-ip endpoint — the I1 live
@@ -93,7 +116,8 @@ object StreamSessionize {
     * file clock.
     */
   def fromPcapOverIp(
-      spark: SparkSession, host: String, port: Int): Dataset[SessionRow] = {
+      spark: SparkSession, host: String, port: Int,
+      node: String = "test"): Dataset[SessionRow] = {
     import spark.implicits._
     val raw = spark.readStream.format("pcap-over-ip")
       .option("host", host).option("port", port.toString).load()
@@ -102,11 +126,12 @@ object StreamSessionize {
       Decode.decode(graft.etl.Pcap.RawPacket(
         s"pcap-over-ip://$host:$port", 0, ts, incl, orig, 0L, link, data, ts))
     }
-    sessions(packets)
+    sessions(packets, node)
   }
 
   /** Streaming pipeline over a directory of pcap files (file-source). */
-  def fromPcapDir(spark: SparkSession, dir: String): Dataset[SessionRow] = {
+  def fromPcapDir(spark: SparkSession, dir: String,
+      node: String = "test"): Dataset[SessionRow] = {
     import spark.implicits._
     val files = spark.readStream.format("binaryFile")
       .option("pathGlobFilter", "*.pcap")
@@ -116,6 +141,6 @@ object StreamSessionize {
     val packets = files.flatMap { case (p, bytes) =>
       graft.etl.Pcap.assembleFrags4(graft.etl.Pcap.parseFile(bytes, p)).flatMap(Decode.decode(_))
     }
-    sessions(packets)
+    sessions(packets, node)
   }
 }

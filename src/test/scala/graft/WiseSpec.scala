@@ -81,6 +81,23 @@ class WiseSpec extends AnyFunSuite with SparkSpecBase {
       (3L, "threat", "10.0.0.0/8", "watch")))
   }
 
+  test("bare-IP intel keys are /32; v6 facts and keys are non-matches, not crashes") {
+    val threat = Wise.Source("threat", "ip", Seq(
+      ("1.2.3.4", "risk", "bad"), // plain-IP feed entry -> /32
+      ("10.0.0.0/8", "risk", "med"),
+      ("::1/128", "risk", "v6")   // v6 intel: dropped by the v4 trie
+    ).toDF("key", "field", "value"))
+    val facts = Seq(
+      (1L, "1.2.3.4"),  // exact /32 hit
+      (2L, "1.2.3.5"),  // neighbor: no /32 match
+      (3L, "::ffff:1"), // v6 fact: skipped (previously ANSI cast crash)
+      (4L, "garbage")   // malformed: skipped
+    ).toDF("id", "ip")
+    val out = Wise.lookupIp(facts, col("id"), col("ip"), Seq(threat))
+      .collect().map(r => (r.getLong(0), r.getString(2), r.getString(4)))
+    assert(out.toSeq == Seq((1L, "1.2.3.4", "bad")))
+  }
+
   test("hitTags unions source tags per fact with set semantics") {
     val facts = Seq((1L, "www.example.com"), (2L, "example.com"))
       .toDF("id", "host")
