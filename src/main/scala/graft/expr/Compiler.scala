@@ -226,7 +226,13 @@ final class Compiler(
       case (Eq | Ne, Value.Bare(rangeRe(lo, hi))) =>
         inRange(d, c, lo.toDouble, hi.toDouble)
       case (Eq | Ne, Value.Lst(items)) =>
-        items.map(i => eqOne(d, c, lits(i))).reduce(_ || _)
+        // a list item may itself be the 10-20 range shorthand (the
+        // reference's termOrTermsInt handles each element)
+        items.map {
+          case Value.Bare(rangeRe(lo, hi)) =>
+            inRange(d, c, lo.toDouble, hi.toDouble)
+          case i => eqOne(d, c, lits(i))
+        }.reduce(_ || _)
       case (Eq | Ne, v) =>
         eqOne(d, c, lits(v))
       case (Lt, v)  => ineq(d, c, _ < lits(v))
@@ -309,8 +315,11 @@ final class Compiler(
     }
     v match {
       case Value.Regex(re) =>
-        val full = "^(?:" + re + ")$" // ES regexp is anchored
-        e => e.rlike(full)
+        // lo/up termfields fold BOTH sides like every other value shape
+        // (the jison formatValue lowercases the whole operand, regexes
+        // included — bug-compatible: character classes fold too)
+        val full = "^(?:" + foldCase(d, re) + ")$" // ES regexp is anchored
+        e => foldCol(e).rlike(full)
       case Value.Quoted(s) =>
         val lit0 = tx(s); e => foldCol(e) === lit(lit0)
       case Value.Bare(s) if s.contains("*") =>
@@ -400,7 +409,12 @@ final class Compiler(
       val portMatch: Option[Column] = portPart.map { p =>
         val pf = d.portField.getOrElse(throw new IllegalArgumentException(
           s"${d.expression} doesn't support port"))
-        col(pf) === lit(p.toInt)
+        // null-intolerant: the must_not guard in toCol only null-guards
+        // the IP column; a NULL port (ICMP) must make this sub-predicate
+        // FALSE so `ip != a.b.c.d:p` still includes the row (ES: a term
+        // on a missing field fails, so the inner bool fails and must_not
+        // matches)
+        coalesce(col(pf) === lit(p.toInt), lit(false))
       }
       (ipMatch, portMatch) match {
         case (Some(a), Some(b)) => a && b
@@ -442,7 +456,10 @@ final class Compiler(
   }
 
   /** Split the reference's ip:port forms (jison parseIpPort:150-293):
-    * `:80` → (None, 80); `10.1.2.3:80`; v6 `1::2.80`.
+    * `:80` → (None, 80); `10.1.2.3:80`; v6 `1::2.80`. Deliberately
+    * bug-compatible on v4-mapped v6 literals: `::ffff:8.8.8.8` splits at
+    * the first dot exactly like parseIpPort's `dots = str.split('.')`
+    * (jison:246-251), yielding ip `::ffff:8` + port 8.
     */
   private[expr] def splitIpPort(raw: String): (Option[String], Option[String]) = {
     if (raw.startsWith(":") || raw.startsWith("."))

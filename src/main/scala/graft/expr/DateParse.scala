@@ -90,7 +90,15 @@ object DateParse {
           catch { case _: Exception =>
             try ZonedDateTime.parse(s).toEpochSecond
             catch { case _: Exception =>
-              LocalDateTime.parse(s).atZone(zone).toEpochSecond
+              try LocalDateTime.parse(s).atZone(zone).toEpochSecond
+              catch { case _: Exception =>
+                // user-input errors stay in the one documented
+                // IllegalArgumentException family (Parser.scala) — a
+                // DateTimeParseException escaping here would turn an
+                // HTTP-400-class error into a 500
+                throw new IllegalArgumentException(
+                  s"unparseable date value '$s'")
+              }
             }
           }
         }

@@ -81,7 +81,14 @@ object Parser {
         var j = i + 1
         var done = false
         while (j < n && !done) {
-          if (in(j) == '\\' && j + 1 < n) { sb.append(in(j + 1)); j += 2 }
+          if (in(j) == '\\' && j + 1 < n) {
+            // keep escape sequences INSIDE the pattern (\d, \., \w …);
+            // only the delimiter escape collapses — the jison REGEXSTR
+            // strips nothing but the surrounding slashes
+            if (in(j + 1) == '/') sb.append('/')
+            else { sb.append(in(j)); sb.append(in(j + 1)) }
+            j += 2
+          }
           else if (in(j) == '/') done = true
           else { sb.append(in(j)); j += 1 }
         }
@@ -123,7 +130,13 @@ object Parser {
     var i = 0
     while (i < raw.length) {
       val c = raw(i)
-      if (c == '\\' && i + 1 < raw.length) { sb.append(raw(i + 1)); i += 2 }
+      if (c == '\\' && i + 1 < raw.length) {
+        // escaped comma joins the item; any other escape is preserved
+        // verbatim so regex items keep their \d/\. sequences
+        if (raw(i + 1) == ',') sb.append(',')
+        else { sb.append(c); sb.append(raw(i + 1)) }
+        i += 2
+      }
       else if (c == ',') { parts += sb.toString; sb.clear(); i += 1 }
       else { sb.append(c); i += 1 }
     }

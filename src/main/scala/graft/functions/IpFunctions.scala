@@ -28,8 +28,15 @@ object IpFunctions {
   def ipInCidr(ipCol: Column, cidr: String): Column = {
     val norm = IpUtil.expandShorthand(cidr)
     if (!norm.contains('/')) {
-      // Exact ip equality — plain string compare on the canonical form.
-      ipCol === lit(norm)
+      // Exact ip equality — compare CANONICAL forms: columns store
+      // IpUtil.canonical output, so a non-canonical user spelling
+      // (2001:0DB8::1, fully-expanded v6) must be normalized first or
+      // it matches zero rows while ES's ip type parses and matches.
+      val canon =
+        try IpUtil.canonical(IpUtil.toBytes(norm)) catch {
+          case _: Exception => norm // unparsable: keep the raw compare
+        }
+      ipCol === lit(canon)
     } else {
       org.apache.spark.sql.SparkSession.getActiveSession match {
         case Some(spark) =>

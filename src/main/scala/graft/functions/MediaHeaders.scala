@@ -84,7 +84,14 @@ object MediaHeaders {
         rate = le32(b, i + 12).toInt
         byteRate = le32(b, i + 16)
       } else if (id == "data") dataLen = len
-      i += 8 + len.toInt + (len.toInt & 1) // chunks are word-aligned
+      // chunks are word-aligned. Advance in LONG math: the old
+      // `len.toInt` on a corrupt 32-bit length (e.g. 0xFFFFFFF8)
+      // stepped 0 or backwards and hung the scan-side walk forever.
+      // step >= 8 always holds now; jump to the end when no further
+      // chunk can fit (also guards int overflow of the add).
+      val step = 8L + len + (len & 1L)
+      if (i.toLong + step + 8L > b.length) i = b.length
+      else i += step.toInt
     }
     if (channels == 0) None
     else Some(MediaInfo("wav", 0, 0, channels, rate,

@@ -17,7 +17,10 @@ import graft.ops.Endpoints
   *
   * Usage:
   * {{{
-  * val q = SessionQueryBuilder(sessions, FieldRegistry.sessions)
+  * // pass FieldRegistry.sessionCol: derived dbFields (firstPacketSec,
+  * // cert.* projections) only resolve through it, not functions.col
+  * val q = SessionQueryBuilder(sessions, FieldRegistry.sessions,
+  *     FieldRegistry.sessionCol)
   *   .timeRange(start, stop, Endpoints.Bounding.Last)
   *   .expression("http.method == GET && ip.dst == 10.0.0.0/8")
   *   .forced("node == test")        // admin-injected, ANDed in
@@ -44,7 +47,11 @@ final case class SessionQueryBuilder(
     // per-user requiredRight gate forwarded to the expression compiler
     // (reference: buildSessionQuery always parses with req.user flags,
     // apiSessions.js:1343-1352); None = unrestricted internal caller
-    rights: Option[Set[String]] = None) {
+    rights: Option[Set[String]] = None,
+    // Q16 fileand: without the files dimension a `file == name` query
+    // would fall through to a fileId-array term and silently match
+    // nothing; populated from the files index like Users.compilerFor
+    files: Seq[graft.model.FileEntry] = Nil) {
 
   def timeRange(start: Long, stop: Long,
       b: Endpoints.Bounding = Endpoints.Bounding.Last): SessionQueryBuilder =
@@ -63,7 +70,7 @@ final case class SessionQueryBuilder(
 
   private def compiler =
     new Compiler(registry, colResolver, now, shortcuts, views,
-      rights = rights)
+      files = files, rights = rights)
 
   private def enforceTimeLimit(): Unit = timeLimitHours.foreach { tl =>
     val exceeded = (startMs, stopMs) match {

@@ -34,6 +34,28 @@ class CompilerSpec extends AnyFunSuite with SparkSpecBase {
       events.filter(col("user_id").between(1, 5)).count())
   }
 
+  test("regex escapes reach the engine; lo-kinds fold both sides") {
+    // \\d survives lexing: matches digits, not the literal 'd'
+    assert(n("type == /p.rchas\\w/") ==
+      events.filter(col("event_type").rlike("^(?:p.rchas\\w)$")).count())
+    assert(n("type == /error|signup/") ==
+      events.filter(col("event_type").isin("error", "signup")).count())
+    // lotermfield regex: pattern and column both lowercased (jison
+    // formatValue folds the whole operand, regexes included)
+    assert(n("type.lower == /CLI.K/") ==
+      events.filter(lower(col("event_type")).rlike("^(?:cli.k)$")).count())
+  }
+
+  test("range shorthand inside a list") {
+    assert(n("user == [1-5, 9]") ==
+      events.filter(col("user_id").between(1, 5) ||
+        col("user_id") === 9).count())
+  }
+
+  test("unparseable date raises IllegalArgumentException") {
+    intercept[IllegalArgumentException](c.compile("ts >= 2019-13-99x"))
+  }
+
   test("relative date against injected now") {
     // now = 2024-02-01; events span all of January → -7d keeps last week
     val cutoff = java.sql.Timestamp.from(SparkEntry.now.minusSeconds(7 * 86400))

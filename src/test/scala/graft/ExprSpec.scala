@@ -43,6 +43,18 @@ class ParserSpec extends AnyFunSuite {
       Value.Regex("d+"), Value.Bare("e*")))
   }
 
+  test("regex escapes are preserved; only the delimiter escape collapses") {
+    // \d must survive into the pattern — stripping it made /AS\d+/
+    // match the literal string "ASd+"
+    assert(Parser.parse("f == /AS\\d+/") ==
+      Cmp("f", CmpOp.Eq, Value.Regex("AS\\d+")))
+    assert(Parser.parse("f == /a\\/b/") ==
+      Cmp("f", CmpOp.Eq, Value.Regex("a/b"))) // escaped delimiter
+    val Cmp(_, _, Value.Lst(items)) =
+      Parser.parse("f == [/1\\.2/, x]"): @unchecked
+    assert(items == Seq(Value.Regex("1\\.2"), Value.Bare("x")))
+  }
+
   test("EXISTS! forms") {
     assert(Parser.parse("f == EXISTS!") == Exists("f", negated = false))
     assert(Parser.parse("f != EXISTS!") == Exists("f", negated = true))

@@ -214,4 +214,30 @@ class StoreAndCidrSpec extends AnyFunSuite with SparkSpecBase {
       org.apache.spark.sql.SparkSession.setActiveSession(base)
     }
   }
+
+  test("exact ip equality canonicalizes non-canonical v6 spellings") {
+    import spark.implicits._
+    val df = Seq("2001:db8::1", "10.0.0.1").toDF("ip") // canonical storage
+    // expanded / uppercase / zero-padded spellings must all match
+    for (q <- Seq("2001:0db8::1", "2001:DB8::1",
+        "2001:0db8:0:0:0:0:0:1")) {
+      assert(df.filter(graft.functions.IpFunctions.ipInCidr(col("ip"), q))
+        .count() == 1, q)
+    }
+  }
+
+  test("ip:port negation includes rows whose port is null (must_not)") {
+    import spark.implicits._
+    val reg = graft.model.FieldRegistry.sessions
+    val c = new graft.expr.Compiler(reg, graft.model.FieldRegistry.sessionCol)
+    val df = Seq(
+      ("1.2.3.4", Some(80)),   // matches ip:port -> excluded by !=
+      ("1.2.3.4", None),       // ICMP: port null -> ES must_not INCLUDES
+      ("9.9.9.9", Some(80)))   // different ip -> included
+      .toDF("srcIp", "p")
+      .withColumn("srcPort", col("p").cast("int")).drop("p")
+    val out = df.filter(c.compile("ip.src != 1.2.3.4:80"))
+      .select("srcIp").as[String].collect().sorted.toSeq
+    assert(out == Seq("1.2.3.4", "9.9.9.9")) // null-port row included
+  }
 }
