@@ -14,11 +14,6 @@ import java.nio.charset.StandardCharsets
   */
 object AppProtocols {
 
-  final case class HttpInfo(
-      method: Seq[String], uri: Seq[String], host: Seq[String], path: Seq[String],
-      statuscode: Seq[Int], useragent: Seq[String],
-      clientVersion: Seq[String], serverVersion: Seq[String])
-
   final case class DnsInfo(
       qname: Seq[String], qtype: Seq[String], rcode: Seq[String],
       opcode: Seq[String] = Nil, qclass: Seq[String] = Nil,
@@ -524,31 +519,6 @@ object AppProtocols {
       i += 1
     }
     false
-  }
-
-  /** Parse HTTP requests from the client stream and statuses from the
-    * server stream (reference parser: capture/parsers/http.c).
-    */
-  def parseHttp(clientStream: Array[Byte], serverStream: Array[Byte]): Option[HttpInfo] = {
-    val req = new String(clientStream, StandardCharsets.ISO_8859_1)
-    val resp = new String(serverStream, StandardCharsets.ISO_8859_1)
-    val reqLine = "(?m)^(GET|POST|HEAD|PUT|DELETE|OPTIONS|PATCH|CONNECT|TRACE) ([^ \r\n]+) HTTP/(\\d\\.\\d)\r?$".r
-    val statusLine = "(?m)^HTTP/(\\d\\.\\d) (\\d{3})".r
-    val hostHdr = "(?mi)^Host: *([^\r\n]+)\r?$".r
-    val uaHdr = "(?mi)^User-Agent: *([^\r\n]+)\r?$".r
-    val reqs = reqLine.findAllMatchIn(req).toSeq
-    val resps = statusLine.findAllMatchIn(resp).toSeq
-    if (reqs.isEmpty && resps.isEmpty) return None
-    def distinctKeepOrder[T](xs: Seq[T]): Seq[T] = xs.distinct
-    Some(HttpInfo(
-      method = distinctKeepOrder(reqs.map(_.group(1))),
-      uri = distinctKeepOrder(reqs.map(_.group(2))),
-      host = distinctKeepOrder(hostHdr.findAllMatchIn(req).map(_.group(1).trim).toSeq),
-      path = distinctKeepOrder(reqs.map(m => m.group(2).takeWhile(_ != '?'))),
-      statuscode = distinctKeepOrder(resps.map(_.group(2).toInt)),
-      useragent = distinctKeepOrder(uaHdr.findAllMatchIn(req).map(_.group(1).trim).toSeq),
-      clientVersion = distinctKeepOrder(reqs.map(_.group(3))),
-      serverVersion = distinctKeepOrder(resps.map(_.group(1)))))
   }
 
   /** Parse DNS query names/types from raw DNS messages (UDP payloads).

@@ -66,7 +66,7 @@ object Decode {
       case 0 | 108 => // 4-byte AF header, host order: 2 = INET, 24/28/30 = INET6
         if (b.length < 5) None
         else {
-          val af = (b(0) & 0xff) | ((b(3) & 0xff) << 24) // tolerate either order
+          // AF in host order — either byte position, tested directly
           if ((b(0) & 0xff) == 2 || (b(3) & 0xff) == 2)
             decodeIp4(p, b, 4, "", "")
           else decodeIp6(p, b, 4, "", "")
@@ -367,6 +367,7 @@ object Decode {
     if (proto == 0x880b && off < b.length) { // PPP
       if (off + 1 < b.length && (b(off) & 0xff) == 0xff &&
           (b(off + 1) & 0xff) == 0x03) off += 2 // HDLC framing
+      if (off >= b.length) return None // truncated after HDLC bytes
       val p1 = b(off) & 0xff
       val pppProto =
         if ((p1 & 1) == 1) { off += 1; p1 }

@@ -91,11 +91,18 @@ object HttpParser {
   private val methods = Set("GET", "POST", "HEAD", "PUT", "DELETE",
     "OPTIONS", "PATCH", "CONNECT", "TRACE")
 
-  /** Walk one direction's stream into messages (header block + body). */
-  private def messages(stream: Array[Byte], isResponse: Boolean): Seq[Message] = {
+  /** Walk one direction's stream into messages (header block + body).
+    * `reqMethods`: the client direction's request-method sequence — a
+    * response to HEAD carries a Content-Length but NO body (RFC 7230
+    * 3.3.3), so framing it by the header would swallow the next
+    * response's bytes.
+    */
+  private def messages(stream: Array[Byte], isResponse: Boolean,
+      reqMethods: Seq[String] = Nil): Seq[Message] = {
     val out = Seq.newBuilder[Message]
     var off = 0
     var guard = 0
+    var respIdx = 0
     while (off < stream.length && guard < 200) {
       guard += 1
       val text = new String(stream, off,
@@ -125,8 +132,11 @@ object HttpParser {
         val status = if (isResponse)
           firstLine.split(" ").lift(1).flatMap(_.toIntOption).getOrElse(0)
         else 0
+        val isHeadResp = isResponse && firstLine.startsWith("HTTP/") &&
+          reqMethods.lift(respIdx).contains("HEAD")
+        if (isResponse && firstLine.startsWith("HTTP/")) respIdx += 1
         val noBody = isResponse &&
-          (status / 100 == 1 || status == 204 || status == 304)
+          (status / 100 == 1 || status == 204 || status == 304 || isHeadResp)
         if (!noBody) {
           if (h("Transfer-Encoding").exists(_.toLowerCase.contains("chunked"))) {
             // de-chunk: hex-size CRLF data CRLF ... 0 CRLF [trailers] CRLF
@@ -152,7 +162,21 @@ object HttpParser {
                 else if (size == 0) {
                   ok = false
                   sawZeroChunk = true
-                  bodyEnd = math.min(lineEnd + 2 + 2, stream.length) // 0-chunk + blank
+                  // trailers may follow the 0-chunk: the message ends at
+                  // the next blank line, not a fixed 4 bytes — otherwise
+                  // trailer headers re-parse as a bogus next message that
+                  // swallows the rest of the stream
+                  var q = lineEnd + 2
+                  var end = -1
+                  while (end < 0 && q + 1 < stream.length) {
+                    if (stream(q) == '\r' && stream(q + 1) == '\n') {
+                      end = q + 2 // blank line right here (no trailers)
+                    } else {
+                      val nl = indexOfCrlf(stream, q)
+                      if (nl < 0) q = stream.length else q = nl + 2
+                    }
+                  }
+                  bodyEnd = if (end >= 0) end else stream.length
                 } else {
                   val dStart = lineEnd + 2
                   val dEnd = math.min(dStart + size, stream.length)
@@ -212,7 +236,8 @@ object HttpParser {
   def parse(clientStream: Array[Byte], serverStream: Array[Byte]): Option[HttpInfo] = {
     val reqs = messages(clientStream, isResponse = false)
       .filter(m => methods.contains(m.firstLine.takeWhile(_ != ' ')))
-    val resps = messages(serverStream, isResponse = true)
+    val resps = messages(serverStream, isResponse = true,
+      reqMethods = reqs.map(_.firstLine.takeWhile(_ != ' ')))
       .filter(_.firstLine.startsWith("HTTP/"))
     // single-packet / response-only captures: the responder IS the
     // session src; the reference still records status + headers, with
@@ -235,7 +260,16 @@ object HttpParser {
     // raw via the configured-header add (http.c:1033), port-stripped at
     // message complete (http.c:605-609)
     val hosts = hs(reqs, "Host").map(_.toLowerCase)
-      .flatMap(h => if (h.contains(':')) Seq(h, h.takeWhile(_ != ':')) else Seq(h))
+      .flatMap { h =>
+        // bracketed v6 literals keep their colons: [::1]:8080 strips to
+        // [::1], never to the '[' a first-colon cut would produce
+        val portless =
+          if (h.startsWith("[")) {
+            val i = h.indexOf(']')
+            if (i >= 0) h.substring(0, i + 1) else h
+          } else h.takeWhile(_ != ':')
+        if (portless != h) Seq(h, portless) else Seq(h)
+      }
     // moloch urlString assembly (http.c:604-667): with a Host header,
     // origin-form targets get host prepended; an absolute/authority
     // target keeps the url alone when the host appears in its first 8

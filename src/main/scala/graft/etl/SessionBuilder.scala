@@ -197,7 +197,11 @@ object SessionBuilder {
     sorted.foreach { p =>
       val r = rel(p.tcpSeq)
       val len = p.payload.length.toLong
-      if (r >= nextRel) {
+      // bytes BEFORE the stream base wrap to ~2^32 (a keep-alive probe
+      // at seq base-1) — dropping them keeps them off the stream tail,
+      // where they corrupted dataBytes/payload8/body digests
+      if (r >= (1L << 31)) ()
+      else if (r >= nextRel) {
         out.write(p.payload)
         nextRel = r + len
       } else if (r + len > nextRel) { // partial overlap: new suffix only
@@ -517,10 +521,15 @@ object SessionBuilder {
         case 6 => if (tcpAnchored) stream.length.toLong else 0L
         case 17 =>
           side.iterator.map(p =>
-            math.max(0, p.wireLen - p.l4Offset - 8).toLong).sum
+            // l4Offset = -1 marks an undecoded transport header (a
+            // non-first IP fragment that missed reassembly): no L4
+            // payload attributable, not wireLen+7 bytes
+            if (p.l4Offset < 0) 0L
+            else math.max(0, p.wireLen - p.l4Offset - 8).toLong).sum
         case 1 | 58 =>
           side.iterator.map(p =>
-            math.max(0, p.wireLen - p.l4Offset).toLong).sum
+            if (p.l4Offset < 0) 0L
+            else math.max(0, p.wireLen - p.l4Offset).toLong).sum
         case 132 =>
           side.iterator.map(p => math.max(0, p.wireLen - 8).toLong).sum
         case _ => 0L
@@ -696,11 +705,27 @@ object SessionBuilder {
     val dns =
       if (Seq("dns", "mdns", "llmnr").exists(preRuleProtocols.contains)) {
         val messages = (src ++ dst).filter(_.payload.nonEmpty).map(_.payload)
-        // TCP DNS frames with a 2-byte length prefix
-        val deframed =
+        // TCP DNS: walk each REASSEMBLED direction stream by its 2-byte
+        // length prefix — per-packet stripping broke messages split
+        // across segments and lost coalesced second messages
+        def deframeTcp(stream: Array[Byte]): Seq[Array[Byte]] = {
+          val out = Seq.newBuilder[Array[Byte]]
+          var i = 0
+          while (i + 2 <= stream.length) {
+            val len = ((stream(i) & 0xff) << 8) | (stream(i + 1) & 0xff)
+            if (len == 0) i = stream.length
+            else {
+              val end = math.min(i + 2 + len, stream.length)
+              out += java.util.Arrays.copyOfRange(stream, i + 2, end)
+              i += 2 + len
+            }
+          }
+          out.result()
+        }
+        val deframed: Seq[Array[Byte]] =
           if (first.ipProtocol == 6)
-            messages.map(m => if (m.length > 2) m.drop(2) else m)
-          else messages
+            Seq(effSrc, effDst).filter(_.nonEmpty).flatMap(deframeTcp)
+          else messages.toSeq
         val infos = deframed.flatMap(AppProtocols.parseDnsMessage)
         if (infos.isEmpty) None
         else Some(AppProtocols.DnsInfo(
@@ -936,8 +961,16 @@ object SessionBuilder {
           seg.length >= 2)
           out += "truncated-pcap"
         // filenameOps: tags=/gre-(.*)\.pcap%gretest-\1; tags=dns-error%error-dns
-        fileIds.map(f => new java.io.File(
-          if (f.startsWith("file:")) new java.net.URI(f).getPath else f).getName)
+        fileIds.map { f =>
+          // raw paths with spaces are not legal URIs — fall back to the
+          // string form instead of an unchecked URISyntaxException
+          val p = if (f.startsWith("file:"))
+            try new java.net.URI(f).getPath catch {
+              case _: java.net.URISyntaxException => f.stripPrefix("file:")
+            }
+          else f
+          new java.io.File(p).getName
+        }
           .foreach { n =>
             "^gre-(.*)\\.pcap$".r.findFirstMatchIn(n)
               .foreach(m => out += s"gretest-${m.group(1)}")
