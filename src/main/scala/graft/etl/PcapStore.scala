@@ -53,6 +53,12 @@ object PcapStore {
       val n = raf.read(magic)
       if (n == 4 && Pcap.isPcapng(magic)) {
         try {
+          // the in-memory transcode only serves files an int array can
+          // hold; a >=2 GB pcapng must be ingested via Upload (persisted
+          // classic transcode) — fail loudly, never a silent wrong read
+          if (raf.length() > Int.MaxValue - 8)
+            throw new java.io.IOException(
+              s"pcapng $path too large for direct reads; ingest via Upload")
           raf.seek(0)
           val all = new Array[Byte](raf.length().toInt)
           raf.readFully(all)
@@ -136,10 +142,13 @@ object PcapStore {
         var p = pos
         while (off < len) {
           val i = (p / effPartSize).toInt
-          val inPart = (p % effPartSize).toInt
-          val take = math.min(len - off, (effPartSize - inPart).toInt)
+          // stay in LONG math until after the min: a part size over
+          // 2 GB (S3 allows 5 GB parts) would wrap the int casts and
+          // make every read throw
+          val inPart = p % effPartSize
+          val take = math.min((len - off).toLong, effPartSize - inPart).toInt
           val raf = part(i)
-          raf.seek(inPart.toLong)
+          raf.seek(inPart)
           raf.readFully(out, off, take)
           off += take; p += take
         }

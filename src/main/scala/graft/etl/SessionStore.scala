@@ -28,10 +28,19 @@ object SessionStore {
   private val bloomOpts = Map(
     "parquet.bloom.filter.enabled#sessionId" -> "true")
 
+  /** UTC calendar date of an epoch-millis column, independent of
+    * spark.sql.session.timeZone — date_format on a timestamp would
+    * shift the partition key under a non-UTC session while [[expire]]
+    * computes its cutoff in UTC (off-by-a-day retention).
+    */
+  private def utcDay(ms: org.apache.spark.sql.Column) =
+    date_format(date_add(lit("1970-01-01").cast("date"),
+      floor(ms / 86400000L).cast("int")), "yyyy-MM-dd")
+
   /** Write sessions day-partitioned (day = UTC date of firstPacket). */
   def write(sessions: Dataset[SessionRow], path: String): Unit =
     sessions.toDF()
-      .withColumn("day", date_format(timestamp_millis(col("firstPacket")), "yyyy-MM-dd"))
+      .withColumn("day", utcDay(col("firstPacket")))
       .write.mode("overwrite")
       .options(bloomOpts)
       .partitionBy("day")
@@ -45,7 +54,7 @@ object SessionStore {
     */
   def append(sessions: Dataset[SessionRow], path: String): Unit =
     sessions.toDF()
-      .withColumn("day", date_format(timestamp_millis(col("firstPacket")), "yyyy-MM-dd"))
+      .withColumn("day", utcDay(col("firstPacket")))
       .write.mode("append")
       .options(bloomOpts)
       .partitionBy("day")
@@ -67,8 +76,7 @@ object SessionStore {
   def writeBucketed(sessions: Dataset[SessionRow], table: String,
       nBuckets: Int = 64): Unit =
     sessions.toDF()
-      .withColumn("day",
-        date_format(timestamp_millis(col("firstPacket")), "yyyy-MM-dd"))
+      .withColumn("day", utcDay(col("firstPacket")))
       .write.mode("overwrite")
       .options(bloomOpts)
       .partitionBy("day")
@@ -83,8 +91,8 @@ object SessionStore {
     */
   def readRange(spark: SparkSession, path: String,
       startMs: Long, stopMs: Long): DataFrame = {
-    val startDay = date_format(timestamp_millis(lit(startMs)), "yyyy-MM-dd")
-    val stopDay = date_format(timestamp_millis(lit(stopMs)), "yyyy-MM-dd")
+    val startDay = utcDay(lit(startMs))
+    val stopDay = utcDay(lit(stopMs))
     read(spark, path)
       .filter(col("day") >= startDay && col("day") <= stopDay)
       .filter(col("lastPacket") >= startMs && col("firstPacket") <= stopMs)

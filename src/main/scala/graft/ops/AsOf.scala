@@ -46,7 +46,10 @@ object AsOf {
     val r = right.select(rightKey.as("_k"), rightTs.as("_ts"),
       lit(0).as("_side"), lit(null).cast(lSchema).as("_l"),
       rStruct.as("_r"))
-      .filter(col("_k").isNotNull)
+      // null keys never match (equi-join semantics) and a null right
+      // TIMESTAMP would sort first and "precede" every left row — under
+      // ASOF <= semantics it can match nothing
+      .filter(col("_k").isNotNull && col("_ts").isNotNull)
     val w = Window.partitionBy(col("_k"))
       .orderBy(col("_ts"), col("_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -35,7 +35,9 @@ object DisplayDecode {
       var n = in.read(buf)
       while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
     } catch { case _: java.io.IOException => }
-    out.toByteArray
+    // an immediately-corrupt gzip header inflates nothing: best-effort
+    // display must return the ORIGINAL bytes, not destroy the body
+    if (out.size() == 0) b else out.toByteArray
   }
 
   /** BODY-UNBASE64 (decode.js:163-167); non-base64 bytes are skipped
@@ -78,7 +80,14 @@ object DisplayDecode {
     */
   def unxorBruteGzip(b: Array[Byte]): Array[Byte] = {
     if (b == null) return b
-    val gz = Array(0x1f, 0x8b, 0x08, 0, 0, 0, 0, 0, 0, 2).map(_.toByte).take(9)
+    // both common 9-byte headers: XFL=2 (zlib/gzip -9, the reference's
+    // literal 1f8b08000000000002) and XFL=0 (Java GZIPOutputStream) —
+    // a take(9) of the XFL=2 form previously dropped the 02 and matched
+    // neither shape as documented
+    val needles = Seq(
+      Array(0x1f, 0x8b, 0x08, 0, 0, 0, 0, 0, 2).map(_.toByte),
+      Array(0x1f, 0x8b, 0x08, 0, 0, 0, 0, 0, 0).map(_.toByte))
+    for (gz <- needles) {
     var klen = 1
     while (klen <= 4) {
       var d = 0
@@ -94,6 +103,7 @@ object DisplayDecode {
         d += 1
       }
       klen += 1
+    }
     }
     b
   }

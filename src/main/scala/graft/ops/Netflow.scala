@@ -29,6 +29,7 @@ object Netflow {
       .bitwiseOR(bit("tcpflagsPsh", 0x08))
       .bitwiseOR(bit("tcpflagsAck", 0x10))
       .bitwiseOR(bit("tcpflagsSynAck", 0x12))
+      .bitwiseOR(bit("tcpflagsUrg", 0x20))
       .cast("int")
   }
 

@@ -112,21 +112,31 @@ object Scrub {
         rows.foreach { r =>
           val f0 = r.getString(0); val pos = r.getLong(1); val len = r.getInt(2)
           val f = if (f0.startsWith("file:")) new java.net.URI(f0).getPath else f0
-          val hdr = hdrs.getOrElseUpdate(f, try {
+          val hdr = hdrs.getOrElseUpdate(f, {
             val raf = new java.io.RandomAccessFile(f, "rw")
             open(f) = raf
             val b = new Array[Byte](24); raf.seek(0); raf.readFully(b)
-            graft.etl.Pcap.parseHeader(b)
-          } catch { case _: Exception => None })
+            val h = graft.etl.Pcap.parseHeader(b)
+            // an unreadable header means an encrypted-at-rest or non-pcap
+            // store: silently skipping would stamp sessions scrubbed
+            // while the payload bytes remain readable — refuse loudly
+            if (h.isEmpty) throw new IllegalStateException(
+              s"scrub requires a plaintext local pcap store; cannot parse $f")
+            h
+          })
           hdr.foreach { h =>
             val raf = open(f)
             val data = new Array[Byte](len - 16)
             raf.seek(pos + 16); raf.readFully(data)
+            // a truncated record that cannot be walked is skipped like
+            // the reference's per-packet throw-and-skip — never crashes
+            // the scrub job
             val start =
               if (entire) 0
-              else payloadOffset(data, h.linkType) match {
+              else (try payloadOffset(data, h.linkType)
+                catch { case _: ArrayIndexOutOfBoundsException => -1 }) match {
                 case -1 => data.length // unknown shape: nothing to scrub
-                case o => o
+                case o => math.min(o, data.length)
               }
             val n = data.length - start
             if (n > 0) pats.foreach { pat =>

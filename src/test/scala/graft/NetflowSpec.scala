@@ -15,6 +15,7 @@ class NetflowSpec extends AnyFunSuite with SparkSpecBase {
       "firstPacket", "lastPacket", "ipProtocol",
       "tcpflagsFin", "tcpflagsSyn", "tcpflagsSynAck",
       "tcpflagsAck", "tcpflagsPsh", "tcpflagsRst")
+      .withColumn("tcpflagsUrg", org.apache.spark.sql.functions.lit(0))
   }
 
   test("v5 record bytes match the reference wire layout exactly") {
