@@ -41,6 +41,7 @@ object Asn1 {
     if ((lb & 0x80) != 0) {
       var cnt = lb & 0x7f
       if (cnt > 4) return None
+      if (p + cnt > end) return None // truncated long-form length
       while (cnt > 0 && p < end) {
         len = (len << 8) | (buf(p) & 0xff); p += 1; cnt -= 1
       }
@@ -114,7 +115,11 @@ object Krb5Parser {
     val out = Seq.newBuilder[Array[Byte]]
     var p = 0
     while (p + 4 <= stream.length) {
-      val len = ((stream(p + 2) & 0xff) << 8) | (stream(p + 3) & 0xff)
+      // FULL 32-bit big-endian record length — reading only the low 16
+      // bits resumed the walk 64 KiB early inside any KDC message over
+      // 65535 bytes (large PACs) and lost every following message
+      val len = ((stream(p) & 0xff) << 24) | ((stream(p + 1) & 0xff) << 16) |
+        ((stream(p + 2) & 0xff) << 8) | (stream(p + 3) & 0xff)
       if (len <= 0 || p + 4 + len > stream.length) { p = stream.length }
       else {
         out += java.util.Arrays.copyOfRange(stream, p + 4, p + 4 + len)

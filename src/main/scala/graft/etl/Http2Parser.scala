@@ -321,7 +321,13 @@ object Http2Parser {
       }
       if ((flags & FlagPriority) != 0) { off += 5; len -= 5 }
       if (skipPromised) { off += 4; len -= 4 }
-      if (len < 0) return
+      if (len < 0) {
+        // undecodable fragment: drop the WHOLE block — appending the
+        // next block onto stale bytes would desync the HPACK table
+        frag = new java.io.ByteArrayOutputStream()
+        fragStream = -1L
+        return
+      }
       frag.write(body, off, len)
       fragStream = streamId
       if ((flags & FlagEndHeaders) != 0) {
@@ -372,9 +378,18 @@ object Http2Parser {
               }
             }
           case FrameHeaders =>
-            headerBlock(stream, body, len, flags, streamId, skipPromised = false)
+            // a CONTINUATION re-dispatched here carries a bare fragment:
+            // PADDED/PRIORITY/Promised-Stream-Id live only in the
+            // block's FIRST frame (RFC 7540 §6.10)
+            val cont = tpe0 == FrameContinuation
+            headerBlock(stream, body, len,
+              if (cont) flags & FlagEndHeaders else flags,
+              streamId, skipPromised = false)
           case FramePushPromise =>
-            headerBlock(stream, body, len, flags, streamId, skipPromised = true)
+            val cont = tpe0 == FrameContinuation
+            headerBlock(stream, body, len,
+              if (cont) flags & FlagEndHeaders else flags,
+              streamId, skipPromised = !cont)
           case _ => // SETTINGS / PING / WINDOW_UPDATE / RST / GOAWAY: skip
         }
         lastType = tpe

@@ -334,8 +334,17 @@ object SmtpParser {
     def addBoundary(v: String): Unit = {
       val i = v.toLowerCase.indexOf("boundary=")
       if (i >= 0) {
-        val b = stripMatching(v.substring(i + 9), '"', '"')
-          .takeWhile(c => c != ';')
+        // a quoted boundary may be followed by further parameters
+        // (boundary="b"; charset=...): cut the parameter FIRST, then
+        // strip the quotes — the reverse order kept the quotes and the
+        // boundary never matched any part line
+        val raw = v.substring(i + 9)
+        val b =
+          if (raw.startsWith("\"")) {
+            val close = raw.indexOf('"', 1)
+            if (close > 0) raw.substring(1, close)
+            else stripMatching(raw, '"', '"').takeWhile(_ != ';')
+          } else raw.takeWhile(_ != ';')
         boundaryList = boundaryList :+ b
       }
     }

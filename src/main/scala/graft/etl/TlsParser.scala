@@ -172,24 +172,29 @@ object TlsParser {
         while (off + 4 <= extEnd) {
           val et = u16(b, off); val el = u16(b, off + 2)
           val dataOff = off + 4
+          // every sub-parse is bounded by THIS extension's end — an
+          // internal length larger than el must neither read the next
+          // extension's bytes (wrong JA3) nor run past the buffer
+          // (exception voiding the whole hello)
+          val dEnd = math.min(dataOff + el, b.length)
           exts :+= et
-          if (et == 10 && dataOff + 2 <= b.length) { // supported_groups
-            val l = u16(b, dataOff)
+          if (et == 10 && dataOff + 2 <= dEnd) { // supported_groups
+            val l = math.min(u16(b, dataOff), math.max(0, dEnd - dataOff - 2))
             curves = (0 until l / 2).map(i => u16(b, dataOff + 2 + i * 2))
           }
-          if (et == 11 && dataOff + 1 <= b.length) { // ec_point_formats
-            val l = b(dataOff) & 0xff
+          if (et == 11 && dataOff + 1 <= dEnd) { // ec_point_formats
+            val l = math.min(b(dataOff) & 0xff, math.max(0, dEnd - dataOff - 1))
             formats = (0 until l).map(i => b(dataOff + 1 + i) & 0xff)
           }
-          if (et == 0 && dataOff + 5 <= b.length) { // server_name
+          if (et == 0 && dataOff + 5 <= dEnd) { // server_name
             val nameLen = u16(b, dataOff + 3)
-            if (dataOff + 5 + nameLen <= b.length)
+            if (dataOff + 5 + nameLen <= dEnd)
               sni :+= new String(b, dataOff + 5, nameLen,
                 java.nio.charset.StandardCharsets.ISO_8859_1)
           }
-          if (et == 16 && dataOff + 2 <= b.length) { // ALPN
+          if (et == 16 && dataOff + 2 <= dEnd) { // ALPN
             var ap = dataOff + 2
-            val apEnd = math.min(dataOff + 2 + u16(b, dataOff), b.length)
+            val apEnd = math.min(dataOff + 2 + u16(b, dataOff), dEnd)
             while (ap < apEnd) {
               val l = b(ap) & 0xff
               if (ap + 1 + l <= apEnd)
@@ -199,10 +204,11 @@ object TlsParser {
             }
           }
           if (et == 43) { // supported_versions
-            if (isClient && dataOff + 1 <= b.length) {
-              val l = b(dataOff) & 0xff
+            if (isClient && dataOff + 1 <= dEnd) {
+              val l = math.min(b(dataOff) & 0xff,
+                math.max(0, dEnd - dataOff - 1))
               supported = (0 until l / 2).map(i => u16(b, dataOff + 1 + i * 2))
-            } else if (!isClient && dataOff + 2 <= b.length) {
+            } else if (!isClient && dataOff + 2 <= dEnd) {
               supported = Seq(u16(b, dataOff))
             }
           }

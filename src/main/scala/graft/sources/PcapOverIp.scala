@@ -55,11 +55,17 @@ class PcapOverIpProvider extends TableProvider
   override def getTable(
       schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
+    {
+    // DSv2 options are case-insensitive everywhere else (the other
+    // entry points receive CaseInsensitiveStringMap) — honor that here
+    val opts =
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(properties)
     new PcapOverIpTable(
-      properties.getOrDefault("host", "127.0.0.1"),
-      Integer.parseInt(properties.getOrDefault("port", "57013")),
+      opts.getOrDefault("host", "127.0.0.1"),
+      Integer.parseInt(opts.getOrDefault("port", "57013")),
       java.lang.Long.parseLong(
-        properties.getOrDefault("maxBufferedBytes", (256L << 20).toString)))
+        opts.getOrDefault("maxbufferedbytes", (256L << 20).toString)))
+    }
 }
 
 final class PcapOverIpTable(host: String, port: Int, maxBufferedBytes: Long)
@@ -137,11 +143,17 @@ final class PcapOverIpStream(host: String, port: Int, maxBufferedBytes: Long)
           }
         }
       } catch {
-        case _: java.io.IOException => // refused / peer closed: retry below
+        case _: InterruptedException => stopped = true // stop() interrupt
+        case scala.util.control.NonFatal(_) =>
+          // refused / peer closed / bad endpoint: retry below — a
+          // non-IOException escaping here used to kill the reader
+          // thread silently, leaving the stream empty forever
       } finally {
         try { if (socket != null) socket.close() } catch { case _: Exception => }
       }
-      if (!stopped) Thread.sleep(250)
+      if (!stopped)
+        try Thread.sleep(250)
+        catch { case _: InterruptedException => stopped = true }
     }
   }, s"pcap-over-ip-$host:$port")
   reader.setDaemon(true)
