@@ -114,8 +114,14 @@ object TlsParser {
     * messages (type, body) — messages may span records.
     */
   private def handshakeMessages(stream: Array[Byte]): Iterator[(Int, Array[Byte])] = {
-    val hs = records(stream).collect { case (22, _, body) => body }
-      .foldLeft(Array.empty[Byte])(_ ++ _)
+    // linear concatenation: the foldLeft array append copied the
+    // accumulated buffer once per record — quadratic in record count on
+    // a large certificate chain
+    val hsBuf = new java.io.ByteArrayOutputStream()
+    records(stream).foreach { case (ct, _, body) =>
+      if (ct == 22) hsBuf.write(body)
+    }
+    val hs = hsBuf.toByteArray
     new Iterator[(Int, Array[Byte])] {
       private var off = 0
       def hasNext: Boolean = off + 4 <= hs.length
@@ -254,7 +260,10 @@ object TlsParser {
     val dstStream = fromTls(dstStream0)
     val client = handshakeMessages(srcStream)
       .collectFirst { case (1, body) => body }.flatMap(parseHello(_, isClient = true))
-    val server = handshakeMessages(dstStream)
+    // one server-direction walk serves both the ServerHello and the
+    // certificate chain below
+    val serverMsgs = handshakeMessages(dstStream).toSeq
+    val server = serverMsgs
       .collectFirst { case (2, body) => body }.flatMap(parseHello(_, isClient = false))
     if (client.isEmpty && server.isEmpty) return None
 
@@ -280,7 +289,7 @@ object TlsParser {
       else "TLSv1.2"
     }.orElse(client.map(c => versionName(c.version)))
     val cipher = server.flatMap(_.chosenCipher).map(cipherName)
-    val certs = handshakeMessages(dstStream)
+    val certs = serverMsgs
       .collect { case (11, body) => CertParser.fromCertificateMessage(body) }
       .flatten.toSeq
     Some(TlsInfo(
