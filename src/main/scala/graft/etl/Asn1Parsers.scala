@@ -120,7 +120,10 @@ object Krb5Parser {
       // 65535 bytes (large PACs) and lost every following message
       val len = ((stream(p) & 0xff) << 24) | ((stream(p + 1) & 0xff) << 16) |
         ((stream(p + 2) & 0xff) << 8) | (stream(p + 3) & 0xff)
-      if (len <= 0 || p + 4 + len > stream.length) { p = stream.length }
+      // long arithmetic: len near 2^31 overflows p + 4 + len in Int, the
+      // negative sum passes the guard and copyOfRange throws on a crafted
+      // stream — which would fail the whole sessionize task
+      if (len <= 0 || p + 4L + len > stream.length) { p = stream.length }
       else {
         out += java.util.Arrays.copyOfRange(stream, p + 4, p + 4 + len)
         p += 4 + len

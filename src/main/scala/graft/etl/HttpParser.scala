@@ -134,7 +134,11 @@ object HttpParser {
         else 0
         val isHeadResp = isResponse && firstLine.startsWith("HTTP/") &&
           reqMethods.lift(respIdx).contains("HEAD")
-        if (isResponse && firstLine.startsWith("HTTP/")) respIdx += 1
+        // interim 1xx responses are not final answers to a request: bumping
+        // respIdx for them shifts response-to-request alignment off by one
+        // and breaks HEAD framing for the rest of the stream
+        if (isResponse && firstLine.startsWith("HTTP/") && status / 100 != 1)
+          respIdx += 1
         val noBody = isResponse &&
           (status / 100 == 1 || status == 204 || status == 304 || isHeadResp)
         if (!noBody) {

@@ -65,8 +65,15 @@ object PcapStore {
           val classic = Pcap.pcapngToPcap(all).getOrElse(
             throw new java.io.IOException(s"unreadable pcapng $path"))
           new Blob {
-            def read(pos: Long, len: Int): Array[Byte] =
+            def read(pos: Long, len: Int): Array[Byte] = {
+              // match RandomAccessFile.readFully semantics: a stale or
+              // corrupt packetPos past the transcoded image must throw,
+              // not zero-pad (copyOfRange pads silently)
+              if (pos < 0 || len < 0 || pos + len > classic.length)
+                throw new java.io.EOFException(
+                  s"read [$pos,+$len) past transcoded pcapng of ${classic.length} bytes")
               java.util.Arrays.copyOfRange(classic, pos.toInt, pos.toInt + len)
+            }
             def size: Long = classic.length.toLong
             def close(): Unit = ()
           }

@@ -113,8 +113,12 @@ object CronQueries {
                   val part = if (nBatches == 1) rows
                     else rows.filter(r =>
                       math.floorMod(r.sessionId.hashCode, nBatches) == b)
-                  Forward.sendSessions(spark, part, dest,
-                    saveId = s"${cq.name}-$lp-$b", tags = cq.tags)
+                  // the hash split can leave a batch empty under skew;
+                  // sending it would write a spurious 0-byte destination
+                  // pcap and an empty store append
+                  if (nBatches == 1 || !part.isEmpty)
+                    Forward.sendSessions(spark, part, dest,
+                      saveId = s"${cq.name}-$lp-$b", tags = cq.tags)
                 }
               }
               total += n

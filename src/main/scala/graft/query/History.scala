@@ -51,7 +51,26 @@ object History {
     */
   def record(spark: SparkSession, path: String, entry: Entry): Entry = {
     val e = if (entry.id.nonEmpty) entry
-      else entry.copy(id = s"${entry.userId}-${entry.api.replaceAll("[^a-zA-Z0-9]", "_")}-${entry.timestamp}-${entry.queryTime}")
+      else {
+        val base = s"${entry.userId}-${entry.api.replaceAll("[^a-zA-Z0-9]", "_")}-${entry.timestamp}-${entry.queryTime}"
+        // two requests by the same user to the same api in the same
+        // second with equal queryTime would collide, and delete(id)
+        // would remove both rows — bump a suffix within the target week
+        // until the id is free (the week is one small parquet partition)
+        val week = weekOf(entry.timestamp)
+        val taken: Set[String] =
+          try {
+            import spark.implicits._
+            spark.read.parquet(path)
+              .filter(col("week") === week &&
+                col("id").startsWith(base))
+              .select("id").as[String].collect().toSet
+          } catch { case _: org.apache.spark.sql.AnalysisException => Set.empty }
+        val id =
+          if (!taken(base)) base
+          else Iterator.from(2).map(n => s"$base-$n").find(!taken(_)).get
+        entry.copy(id = id)
+      }
     spark.createDataset(Seq(e))(Encoders.product[Entry])
       .withColumn("week", lit(weekOf(e.timestamp)))
       .coalesce(1)
