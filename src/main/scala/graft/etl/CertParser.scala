@@ -32,7 +32,7 @@ object CertParser {
       isCA: Boolean = false)
 
   private def colonHex(b: Array[Byte]): String =
-    b.map(x => f"${x & 0xff}%02x").mkString(":")
+    Hex.hexColon(b)
 
   /** RDN attribute values for a given attribute from an X.500 name. */
   private def rdnValues(name: javax.security.auth.x500.X500Principal,
@@ -47,7 +47,35 @@ object CertParser {
     } catch { case _: Exception => Nil }
   }
 
+  /** DER-keyed parse cache. Real traffic repeats the same server
+    * certificates across thousands of sessions (the same CDN/CA chain),
+    * and `CertificateFactory.generateCertificate` is ~100 µs per cert —
+    * the hottest single call in the ingest profile. Keyed on the full
+    * DER bytes (content equality, not hash-only), bounded per executor,
+    * dropped wholesale when full — correctness never depends on it.
+    */
+  private final class DerKey(val der: Array[Byte]) {
+    override val hashCode: Int = java.util.Arrays.hashCode(der)
+    override def equals(o: Any): Boolean = o match {
+      case k: DerKey => java.util.Arrays.equals(der, k.der)
+      case _         => false
+    }
+  }
+  private val derCache =
+    new java.util.concurrent.ConcurrentHashMap[DerKey, Option[CertInfo]]()
+  private val DerCacheMax = 16384
+
   def parseDer(der: Array[Byte]): Option[CertInfo] = {
+    val k = new DerKey(der)
+    val hit = derCache.get(k)
+    if (hit != null) return hit
+    val parsed = parseDerUncached(der)
+    if (derCache.size >= DerCacheMax) derCache.clear()
+    derCache.put(k, parsed)
+    parsed
+  }
+
+  private def parseDerUncached(der: Array[Byte]): Option[CertInfo] = {
     try {
       val cf = CertificateFactory.getInstance("X.509")
       val cert = cf.generateCertificate(new java.io.ByteArrayInputStream(der))
@@ -56,8 +84,7 @@ object CertParser {
         .digest(cert.getEncoded)
       // raw DER serial bytes incl. any leading sign byte — the reference
       // hex-dumps the encoded value verbatim (cloudshark-dtls1 keeps 00)
-      val serial = cert.getSerialNumber.toByteArray
-        .map(x => f"${x & 0xff}%02x").mkString
+      val serial = Hex.hex(cert.getSerialNumber.toByteArray)
       val algo = cert.getPublicKey.getAlgorithm match {
         case "RSA" => "rsaEncryption"
         case "EC"  => "id-ecPublicKey"
@@ -187,7 +214,7 @@ object CertParser {
       val sha1 = java.security.MessageDigest.getInstance("SHA-1").digest(der)
       Some(CertInfo(
         hash = colonHex(sha1),
-        serial = serialT.bytes.map(x => f"${x & 0xff}%02x").mkString,
+        serial = Hex.hex(serialT.bytes),
         issuerCN = nameValues(issuerT, "2.5.4.3").map(_.toLowerCase),
         issuerON = nameValues(issuerT, "2.5.4.10"),
         subjectCN = nameValues(subjectT, "2.5.4.3").map(_.toLowerCase),

@@ -49,8 +49,35 @@ object Decode {
       // databytes accounting (udp.c:73, icmp.c:100)
       l4Offset: Int = -1)
 
-  private def mac(b: Array[Byte], off: Int): String =
-    (0 until 6).map(i => f"${b(off + i) & 0xff}%02x").mkString(":")
+  private val HexLo = "0123456789abcdef".toCharArray
+
+  // hand-rolled hex: the f-interpolator version cost ~12 format calls
+  // per ethernet packet and showed up first in the ingest profile
+  private def mac(b: Array[Byte], off: Int): String = {
+    val c = new Array[Char](17)
+    var i = 0
+    while (i < 6) {
+      val v = b(off + i) & 0xff
+      val o = i * 3
+      c(o) = HexLo(v >> 4)
+      c(o + 1) = HexLo(v & 0xf)
+      if (i < 5) c(o + 2) = ':'
+      i += 1
+    }
+    new String(c)
+  }
+
+  /** Dotted-quad without Range/boxing/mkString — per-packet hot. */
+  private[etl] def ip4String(b: Array[Byte], off: Int): String = {
+    val sb = new java.lang.StringBuilder(15)
+    var i = 0
+    while (i < 4) {
+      if (i > 0) sb.append('.')
+      sb.append(b(off + i) & 0xff)
+      i += 1
+    }
+    sb.toString
+  }
 
   val TH_FIN = 0x01; val TH_SYN = 0x02; val TH_RST = 0x04
   val TH_PSH = 0x08; val TH_ACK = 0x10; val TH_URG = 0x20
@@ -238,7 +265,7 @@ object Decode {
         else {
           val op = b(off + 7) & 0xff
           val kOff = if (op == 1) off + 24 else off + 14
-          val keyIp = (0 until 4).map(i => (b(kOff + i) & 0xff).toString).mkString(".")
+          val keyIp = ip4String(b, kOff)
           Some(base(p, mSrc, mDst, 0, "", "").copy(
             tunnels = Seq("arp"), keyOverride = s"arp|$keyIp"))
         }
@@ -282,8 +309,8 @@ object Decode {
     val fragField = ((b(ipOff + 6) & 0xff) << 8) | (b(ipOff + 7) & 0xff)
     val fragOffset = fragField & 0x1fff
     val proto = b(ipOff + 9) & 0xff
-    val srcIp = (12 to 15).map(i => (b(ipOff + i) & 0xff).toString).mkString(".")
-    val dstIp = (16 to 19).map(i => (b(ipOff + i) & 0xff).toString).mkString(".")
+    val srcIp = ip4String(b, ipOff + 12)
+    val dstIp = ip4String(b, ipOff + 16)
     val l4Off = ipOff + ihl
     val l4End = math.min(ipOff + totalLen, b.length)
     if (fragOffset > 0) // non-first fragment: counters only, no L4 decode

@@ -371,9 +371,9 @@ object Http2Parser {
                 java.security.MessageDigest.getInstance("SHA-256"))
               sh.update(stream, off, dlen)
               if ((flags & FlagEndStream) != 0) {
-                md5s += md.digest().map(x => f"${x & 0xff}%02x").mkString
+                md5s += Hex.hex(md.digest())
                 dataMd5.remove(streamId)
-                sha256s += sh.digest().map(x => f"${x & 0xff}%02x").mkString
+                sha256s += Hex.hex(sh.digest())
                 dataSha.remove(streamId)
               }
             }

@@ -221,12 +221,10 @@ object HttpParser {
   }
 
   private def md5hex(b: Array[Byte]): String =
-    java.security.MessageDigest.getInstance("MD5").digest(b)
-      .map(x => f"${x & 0xff}%02x").mkString
+    Hex.hex(java.security.MessageDigest.getInstance("MD5").digest(b))
 
   private def sha256hex(b: Array[Byte]): String =
-    java.security.MessageDigest.getInstance("SHA-256").digest(b)
-      .map(x => f"${x & 0xff}%02x").mkString
+    Hex.hex(java.security.MessageDigest.getInstance("SHA-256").digest(b))
 
   /** Strictly-valid UTF-8 text or None (g_utf8_validate gate). */
   private def utf8OrNone(b: Array[Byte]): Option[String] =

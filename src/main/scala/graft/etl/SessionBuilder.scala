@@ -41,9 +41,15 @@ object SessionBuilder {
     else p.ipProtocol match {
       case 2 | 89 | 103 => s"${p.ipProtocol}|lumped"
       case _ =>
-        val a = s"${p.srcIp}:${p.srcPort}"
-        val b = s"${p.dstIp}:${p.dstPort}"
-        if (a <= b) s"${p.ipProtocol}|$a|$b" else s"${p.ipProtocol}|$b|$a"
+        // one builder, no intermediate interpolated strings — per-packet hot
+        val sb = new java.lang.StringBuilder(
+          p.srcIp.length + p.dstIp.length + 18)
+        val a = p.srcIp + ":" + p.srcPort
+        val b = p.dstIp + ":" + p.dstPort
+        sb.append(p.ipProtocol).append('|')
+        if (a <= b) sb.append(a).append('|').append(b)
+        else sb.append(b).append('|').append(a)
+        sb.toString
     }
 
   /** Inactivity timeouts. `icmpTimeoutSecs` defaults to the reference's
@@ -488,7 +494,7 @@ object SessionBuilder {
     val srcStream = reassemble(dataSrc.toIndexedSeq)
     val dstStream = reassemble(dataDst.toIndexedSeq)
     def payload8(b: Array[Byte]): String =
-      b.take(8).map(x => f"${x & 0xff}%02x").mkString
+      Hex.hex(b, 0, math.min(8, b.length))
     // firstBytes are filled ONLY by the tcp/udp parsers (tcp.c:105-108
     // accumulates DELIVERED bytes to 8 — so an unanchored no-SYN session
     // that delivers nothing has none; udp.c:86-88 copies the first
@@ -1249,10 +1255,16 @@ object SessionBuilder {
       node: String = "test", testRules: Boolean = false,
       yaraRules: Seq[graft.ops.Yara.Rule] = Nil): Dataset[SessionRow] = {
     import spark.implicits._
+    // shuffle leg rides the compact binary codec: (key, packed) is a
+    // two-column row, vs the 25-field product encoding of DecodedPacket
+    // whose per-field UnsafeRow conversion dominated ingest (PacketCodec)
     Pcap.readPackets(spark, pcapPath)
       .flatMap(Decode.decode(_))
-      .groupByKey(sessionKey)
-      .flatMapGroups((k, ps) => buildSessions(k, ps, node, testRules, yaraRules))
+      .map(p => (sessionKey(p), PacketCodec.pack(p)))
+      .groupByKey(_._1)
+      .flatMapGroups((k, ps) =>
+        buildSessions(k, ps.map(t => PacketCodec.unpack(t._2)), node,
+          testRules, yaraRules))
   }
 
   /** Golden-fidelity sessionize: replays the reference test rules, as the

@@ -390,8 +390,8 @@ object SmtpParser {
           line.substring(2).startsWith(b))
     def closePart(): Unit = {
       if (base64Part && md != null) {
-        partMd5 += md.digest().map(x => f"${x & 0xff}%02x").mkString
-        partSha += sh.digest().map(x => f"${x & 0xff}%02x").mkString
+        partMd5 += Hex.hex(md.digest())
+        partSha += Hex.hex(sh.digest())
       }
       base64Part = false
       firstInContent = true

@@ -34,7 +34,7 @@ object TlsParser {
     org.apache.commons.codec.digest.DigestUtils.md5Hex(s)
 
   private def hex(b: Array[Byte], from: Int, len: Int): String =
-    (from until from + len).map(i => f"${b(i) & 0xff}%02x").mkString
+    Hex.hex(b, from, len)
 
   def versionName(v: Int): String = v match {
     case 0x0300 => "SSLv3"
