@@ -45,6 +45,11 @@ object HuntJob {
       lastPacketTime: Long = Long.MinValue,
       lastSessionId: String = "",
       lastSegmentSeq: Long = Long.MinValue,
+      // store-backed hunts ([[processStore]]) walk day partitions in
+      // order; the cursor day makes each batch scan ONE partition and a
+      // resume re-enter exactly where the crash left off. Empty for
+      // frame-based hunts.
+      lastDay: String = "",
       errors: Seq[String] = Nil)
 
   private def stateFile(huntDir: String) =
@@ -68,6 +73,7 @@ object HuntJob {
         lastPacketTime = p.getProperty("lastPacketTime").toLong,
         lastSessionId = p.getProperty("lastSessionId"),
         lastSegmentSeq = p.getProperty("lastSegmentSeq").toLong,
+        lastDay = p.getProperty("lastDay", ""),
         errors = (0 until nErr).map(i => p.getProperty(s"error.$i"))))
     }
   }
@@ -84,6 +90,7 @@ object HuntJob {
     p.setProperty("lastPacketTime", st.lastPacketTime.toString)
     p.setProperty("lastSessionId", st.lastSessionId)
     p.setProperty("lastSegmentSeq", st.lastSegmentSeq.toString)
+    p.setProperty("lastDay", st.lastDay)
     p.setProperty("nErrors", st.errors.size.toString)
     st.errors.zipWithIndex.foreach { case (e, i) =>
       p.setProperty(s"error.$i", e)
@@ -161,14 +168,37 @@ object HuntJob {
     if (raced.exists(_.status == "paused")) return raced.get
     st = st.copy(status = "running")
     save(huntDir, st)
+    runBatches(sessions, cfg, huntDir, batchSize, maxBatches, notifier,
+      keys, store, st, finishOnEmpty = true).st
+  }
+
+  /** Outcome of a bounded batch walk over one frame: `exhausted` means
+    * an empty batch was seen (the frame has no sessions past the
+    * cursor); `stopped` covers pause / error / finished; `budget` means
+    * the batch allowance ran out mid-frame.
+    */
+  private final case class BatchRun(st: State, used: Int, reason: String)
+
+  private def runBatches(
+      sessions: Dataset[SessionRow], cfg: Hunt.HuntConfig, huntDir: String,
+      batchSize: Int, maxBatches: Int, notifier: Notifier,
+      keys: String => graft.etl.PcapCrypto.FileKeys,
+      store: graft.etl.PcapStore.Store,
+      st0: State, finishOnEmpty: Boolean): BatchRun = {
+    var st = st0
     val matchesDir = Paths.get(huntDir, "matches").toString
     var batches = 0
+    var reason = "budget"
     var done = false
     while (!done && batches < maxBatches) {
       // re-read state between batches: an external pause() lands here
       val cur = load(huntDir).get
-      if (cur.status != "running") { st = cur; done = true }
-      else {
+      if (cur.status != "running") {
+        // keep THIS walk's cursor day: an external pause only flips the
+        // status byte, it doesn't know about day carving
+        st = cur.copy(lastDay = st.lastDay)
+        reason = "stopped"; done = true
+      } else {
         try {
           val after =
             col("lastPacket") > st.lastPacketTime ||
@@ -184,11 +214,14 @@ object HuntJob {
               col("lastPacket"), col("huntTag"))
             .collect() // bounded by batchSize
           if (hunted.isEmpty) {
-            st = st.copy(status = "finished")
-            save(huntDir, st)
-            notifier.notify(s"${st.name} hunt job finished",
-              s"${st.matchedSessions} matched sessions out of " +
-                s"${st.searchedSessions} searched sessions.")
+            if (finishOnEmpty) {
+              st = st.copy(status = "finished")
+              save(huntDir, st)
+              notifier.notify(s"${st.name} hunt job finished",
+                s"${st.matchedSessions} matched sessions out of " +
+                  s"${st.searchedSessions} searched sessions.")
+              reason = "stopped"
+            } else reason = "exhausted"
             done = true
           } else {
             val matched = hunted.filter(!_.isNullAt(3))
@@ -212,17 +245,120 @@ object HuntJob {
             // change instead of clobbering it with "running"
             load(huntDir).filter(_.status != "running").foreach { ext =>
               st = st.copy(status = ext.status)
-              done = true
+              reason = "stopped"; done = true
             }
             save(huntDir, st)
             batches += 1
           }
         } catch {
-          case e: Exception => pauseWithError(e); done = true
+          case e: Exception =>
+            st = st.copy(status = "paused",
+              errors = st.errors :+ s"Hunt error: ${e.getMessage}")
+            save(huntDir, st)
+            notifier.notify(s"${st.name} hunt job paused with error",
+              s"${e.getMessage} — ${st.matchedSessions} matched sessions " +
+                s"out of ${st.searchedSessions} searched sessions.")
+            reason = "stopped"; done = true
         }
       }
     }
+    BatchRun(st, batches, reason)
+  }
+
+  /** Store-backed hunt: like [[process]], but over a day-partitioned
+    * [[graft.etl.SessionStore]] with the cursor walk carved BY PARTITION
+    * — each batch's `TakeOrdered` scans exactly one day directory, not
+    * the whole store. The frame-based walk re-scans the full store for
+    * every `totalSessions/batchSize` batch (the reference pays one
+    * indexed ES query per batch; a 100 TB store cannot pay a full scan
+    * per 1000 sessions). Processing order is days ascending, then
+    * `(lastPacket, sessionId, segmentSeq)` within the day — a different
+    * total order than [[process]]'s global one, but the match log and
+    * counters are order-independent, and `State.lastDay` makes a crashed
+    * walk resume inside the exact partition it died in.
+    */
+  def processStore(
+      spark: SparkSession, storePath: String, cfg: Hunt.HuntConfig,
+      huntDir: String, batchSize: Int = 1000,
+      maxBatches: Int = Int.MaxValue,
+      notifier: Notifier = Notifier.Log,
+      keys: String => graft.etl.PcapCrypto.FileKeys =
+        _ => graft.etl.PcapCrypto.Normal,
+      store: graft.etl.PcapStore.Store = graft.etl.PcapStore.Local): State = {
+    require(batchSize > 0)
+    import spark.implicits._
+    var st = load(huntDir).getOrElse(
+      throw new IllegalStateException(s"no hunt state at $huntDir"))
+    if (st.status == "finished" || st.status == "paused") return st
+    def pauseWithError(e: Exception): Unit = {
+      st = st.copy(status = "paused",
+        errors = st.errors :+ s"Hunt error: ${e.getMessage}")
+      save(huntDir, st)
+      notifier.notify(s"${st.name} hunt job paused with error",
+        s"${e.getMessage} — ${st.matchedSessions} matched sessions " +
+          s"out of ${st.searchedSessions} searched sessions.")
+    }
+    // partition listing + parquet-footer count: metadata-scale work
+    val days =
+      try listDays(spark, storePath)
+      catch { case e: Exception => pauseWithError(e); return st }
+    if (st.totalSessions < 0) {
+      try st = st.copy(totalSessions =
+        if (days.isEmpty) 0L
+        else graft.etl.SessionStore.read(spark, storePath).count())
+      catch { case e: Exception => pauseWithError(e); return st }
+    }
+    val raced = load(huntDir)
+    if (raced.exists(_.status == "paused")) return raced.get
+    st = st.copy(status = "running")
+    save(huntDir, st)
+    if (days.isEmpty) {
+      st = st.copy(status = "finished")
+      save(huntDir, st)
+      notifier.notify(s"${st.name} hunt job finished",
+        s"${st.matchedSessions} matched sessions out of " +
+          s"${st.searchedSessions} searched sessions.")
+      return st
+    }
+    val todo = if (st.lastDay.isEmpty) days else days.filter(_ >= st.lastDay)
+    var remaining = maxBatches
+    var stopped = false
+    for (day <- todo if !stopped && remaining > 0) {
+      if (day != st.lastDay) {
+        // fresh partition: reset the in-day triple, record the day so a
+        // crash resumes here
+        st = st.copy(lastDay = day, lastPacketTime = Long.MinValue,
+          lastSessionId = "", lastSegmentSeq = Long.MinValue)
+        save(huntDir, st)
+      }
+      val frame = graft.etl.SessionStore.read(spark, storePath)
+        .filter(col("day") === day)
+        .drop("day")
+        .as[SessionRow]
+      val out = runBatches(frame, cfg, huntDir, batchSize, remaining,
+        notifier, keys, store, st,
+        finishOnEmpty = day == todo.last)
+      st = out.st
+      remaining -= out.used
+      if (out.reason == "stopped") stopped = true
+      else if (out.reason == "budget" && remaining <= 0) stopped = true
+    }
     st
+  }
+
+  /** Day partition keys of a session store, from the directory listing
+    * only — no data files touched.
+    */
+  private def listDays(spark: SparkSession, path: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return Nil
+    fs.listStatus(p).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(_.startsWith("day="))
+      .map(_.stripPrefix("day="))
+      .sorted
   }
 
   /** The accumulated match log: distinct (sessionId, segmentSeq,

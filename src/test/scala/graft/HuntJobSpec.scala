@@ -69,6 +69,79 @@ class HuntJobSpec extends AnyFunSuite with SparkSpecBase {
     assert(got == oneShotKeys)
   }
 
+  test("store-backed hunt: day-carved walk ≡ one-shot; resume scans only the cursor's partition") {
+    import graft.etl.SessionStore
+    import spark.implicits._
+    val base = sessions.collect().toSeq
+    val n = base.size
+    val dayMs = 86400000L
+    // three day partitions: day 1 is 50 replicas (the "big history"),
+    // days 2 and 3 one replica each
+    def shifted(copy: Int, dayOff: Int) = base.map(r => r.copy(
+      sessionId = s"${r.sessionId}#$dayOff-$copy",
+      firstPacket = r.firstPacket + dayOff * dayMs,
+      lastPacket = r.lastPacket + dayOff * dayMs))
+    val rows = (0 until 50).flatMap(shifted(_, 0)) ++
+      shifted(0, 1) ++ shifted(0, 2)
+    val storeDir = Files.createTempDirectory("huntstore").toString
+    SessionStore.write(
+      spark.createDataset(rows)(org.apache.spark.sql.Encoders
+        .product[SessionBuilder.SessionRow]), storeDir)
+    val days = new java.io.File(storeDir).listFiles()
+      .filter(_.getName.startsWith("day=")).map(_.getName).sorted
+    assert(days.length == 3)
+    val day1Bytes = new java.io.File(storeDir, days.head).listFiles()
+      .map(_.length).sum
+
+    // one-shot over the whole store
+    val dirA = Files.createTempDirectory("huntjobS1").toString
+    HuntJob.create(dirA, "hs1", "store hunt")
+    val stA = HuntJob.processStore(spark, storeDir, cfg, dirA,
+      batchSize = n)
+    assert(stA.status == "finished")
+    assert(stA.searchedSessions == rows.size)
+    val wantKeys = rows.filter(r => oneShotKeys.exists(_._1 ==
+      r.sessionId.takeWhile(_ != '#')))
+      .map(r => (r.sessionId, r.segmentSeq.toLong)).toSet
+    val gotA = HuntJob.matches(spark, dirA).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(gotA == wantKeys)
+
+    // interrupted walk: budget lands the cursor inside day 3
+    val dirB = Files.createTempDirectory("huntjobS2").toString
+    HuntJob.create(dirB, "hs2", "resumable store hunt")
+    val stB1 = HuntJob.processStore(spark, storeDir, cfg, dirB,
+      batchSize = n, maxBatches = 52)
+    assert(stB1.status == "running")
+    assert(stB1.lastDay == days.last.stripPrefix("day="))
+    // the finishing run must touch ONLY the cursor's day partition:
+    // measure parquet bytes read while it runs
+    val bytesRead = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (e.taskMetrics != null)
+          bytesRead.addAndGet(e.taskMetrics.inputMetrics.bytesRead)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val stB2 =
+      try HuntJob.processStore(spark, storeDir, cfg, dirB, batchSize = n)
+      finally {
+        Thread.sleep(1500) // listener bus is async
+        spark.sparkContext.removeSparkListener(listener)
+      }
+    assert(stB2.status == "finished")
+    assert(stB2.searchedSessions == rows.size)
+    val gotB = HuntJob.matches(spark, dirB).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(gotB == wantKeys)
+    // day 1 holds 50/52 of the store; a finishing run that re-scanned
+    // the store would read ≥ day1Bytes. One-partition reads stay far
+    // under it.
+    assert(bytesRead.get < day1Bytes / 5,
+      s"finishing run read ${bytesRead.get} bytes; day1 is $day1Bytes")
+  }
+
   test("a failing batch pauses the hunt with an error and alerts") {
     val dir = Files.createTempDirectory("huntjob3").toString
     HuntJob.create(dir, "h3", "failing hunt")
