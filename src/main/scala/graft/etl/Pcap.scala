@@ -74,117 +74,166 @@ object Pcap {
     */
   def pcapngToPcap(bytes: Array[Byte]): Option[Array[Byte]] = {
     if (!isPcapng(bytes) || bytes.length < 28) return None
-    val out = new java.io.ByteArrayOutputStream(bytes.length)
+    val body = new java.io.ByteArrayOutputStream(bytes.length)
+    pcapngToPcapStream(new java.io.ByteArrayInputStream(bytes), body).map {
+      case (lt, snap) =>
+        val b = body.toByteArray
+        val outBytes = new Array[Byte](24 + b.length)
+        System.arraycopy(classicHeader(lt, snap), 0, outBytes, 0, 24)
+        System.arraycopy(b, 0, outBytes, 24, b.length)
+        outBytes
+    }
+  }
+
+  /** The 24-byte classic little-endian µs global header the transcoder
+    * emits (snapLen 0 normalizes to 65536, like libpcap's default).
+    */
+  def classicHeader(linkType: Int, snapLen: Int): Array[Byte] = {
+    val hdr = ByteBuffer.allocate(24).order(ByteOrder.LITTLE_ENDIAN)
+    hdr.putInt(0xa1b2c3d4).putShort(2).putShort(4)
+      .putInt(0).putInt(0)
+      .putInt(if (snapLen > 0) snapLen else 65536).putInt(linkType)
+    hdr.array()
+  }
+
+  /** Streaming form of the pcapng transcode: reads block-by-block with a
+    * bounded buffer (one block resident at a time, blocks over 256 MiB
+    * treated as corrupt), writes classic RECORDS to `out`, and returns
+    * `Some((linkType, snapLen))` for the caller to prepend/backpatch the
+    * [[classicHeader]] — or None when the capture is not transcodable
+    * (no interface block, or mixed link types; on None whatever was
+    * already written to `out` must be discarded by the caller). This is
+    * what lets a multi-GB posted pcapng ingest without a heap
+    * proportional to the file ([[graft.ops.Upload]]).
+    */
+  def pcapngToPcapStream(in: java.io.InputStream,
+      out: java.io.OutputStream): Option[(Int, Int)] = {
     var linkType = -1
     var snapLen = 0
     // per-section interface table: (linkType, unitsPerSecond)
     var ifaces = Vector.empty[(Int, Long)]
     var order = ByteOrder.LITTLE_ENDIAN
-    var off = 0
-    def u32(o: Int): Long =
-      ByteBuffer.wrap(bytes, o, 4).order(order).getInt.toLong & 0xffffffffL
-    def u16(o: Int): Int =
-      ByteBuffer.wrap(bytes, o, 2).order(order).getShort.toInt & 0xffff
+    var buf = new Array[Byte](1 << 16)
+    val hdr8 = new Array[Byte](8)
+    val bom4 = new Array[Byte](4)
     val rec = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)
-    while (off + 12 <= bytes.length) {
-      // block type reads in the CURRENT section's order except SHB,
-      // whose type bytes are order-independent
-      val rawType = ByteBuffer.wrap(bytes, off, 4)
-        .order(ByteOrder.LITTLE_ENDIAN).getInt
-      val isShb = rawType == 0x0a0d0d0a
-      if (isShb) {
-        // byte-order magic decides this section's endianness
-        if (off + 12 > bytes.length) return finish(out, linkType, snapLen)
-        val bomLE = ByteBuffer.wrap(bytes, off + 8, 4)
-          .order(ByteOrder.LITTLE_ENDIAN).getInt
-        order = if (bomLE == 0x1a2b3c4d) ByteOrder.LITTLE_ENDIAN
-          else if (bomLE == 0x4d3c2b1a) ByteOrder.BIG_ENDIAN
-          else return finish(out, linkType, snapLen)
-        ifaces = Vector.empty
+    val MaxBlock = 256 << 20
+    def readFullyOpt(b: Array[Byte], o: Int, len: Int): Boolean = {
+      var p = o
+      val end = o + len
+      while (p < end) {
+        val n = in.read(b, p, end - p)
+        if (n < 0) return false
+        p += n
       }
-      val blockType = u32(off).toInt
-      val totalLen = u32(off + 4)
-      if (totalLen < 12 || totalLen % 4 != 0 ||
-        off + totalLen > bytes.length)
-        return finish(out, linkType, snapLen)
-      blockType match {
-        case 0x00000001 => // IDB
-          val lt = u16(off + 8)
-          val snap = u32(off + 12).toInt
-          if (linkType < 0) linkType = lt
-          else if (linkType != lt) return None // mixed link types
-          if (snap > snapLen) snapLen = snap
-          // walk options for if_tsresol (code 9)
-          var units = 1000000L
-          var o = off + 16
-          val end = off + totalLen.toInt - 4
-          var done = false
-          while (!done && o + 4 <= end) {
-            val code = u16(o); val len = u16(o + 2)
-            if (code == 0) done = true
-            else {
-              if (code == 9 && len >= 1) {
-                val v = bytes(o + 4) & 0xff
-                val exp = v & 0x7f
-                // exponents that overflow units-per-second in a long
-                // (decimal > 18, binary > 62) are invalid per spec use —
-                // keep the µs default rather than a mod-64 shift artifact
-                if ((v & 0x80) == 0) {
-                  if (exp <= 18) units = math.pow(10, exp).toLong
-                } else if (exp <= 62) units = 1L << exp
+      true
+    }
+    def u32(b: Array[Byte], o: Int): Long =
+      ByteBuffer.wrap(b, o, 4).order(order).getInt.toLong & 0xffffffffL
+    def u16(b: Array[Byte], o: Int): Int =
+      ByteBuffer.wrap(b, o, 2).order(order).getShort.toInt & 0xffff
+    var stop = false
+    while (!stop) {
+      if (!readFullyOpt(hdr8, 0, 8)) stop = true
+      else {
+        // block type reads in the CURRENT section's order except SHB,
+        // whose type bytes are order-independent
+        val rawType = ByteBuffer.wrap(hdr8, 0, 4)
+          .order(ByteOrder.LITTLE_ENDIAN).getInt
+        val isShb = rawType == 0x0a0d0d0a
+        var consumed = 8
+        if (isShb) {
+          // byte-order magic decides this section's endianness
+          if (!readFullyOpt(bom4, 0, 4)) stop = true
+          else {
+            val bomLE = ByteBuffer.wrap(bom4, 0, 4)
+              .order(ByteOrder.LITTLE_ENDIAN).getInt
+            if (bomLE == 0x1a2b3c4d) order = ByteOrder.LITTLE_ENDIAN
+            else if (bomLE == 0x4d3c2b1a) order = ByteOrder.BIG_ENDIAN
+            else stop = true
+            ifaces = Vector.empty
+            consumed = 12
+          }
+        }
+        if (!stop) {
+          val totalLen = u32(hdr8, 4)
+          if (totalLen < 12 || totalLen % 4 != 0 || totalLen > MaxBlock)
+            stop = true
+          else {
+            // one block resident at a time; body index k = file off + consumed + k
+            val bodyLen = totalLen.toInt - consumed
+            if (buf.length < bodyLen) buf = new Array[Byte](bodyLen)
+            if (!readFullyOpt(buf, 0, bodyLen)) stop = true
+            else if (!isShb) {
+              val blockType = ByteBuffer.wrap(hdr8, 0, 4).order(order).getInt
+              blockType match {
+                case 0x00000001 => // IDB
+                  val lt = u16(buf, 0)
+                  val snap = u32(buf, 4).toInt
+                  if (linkType < 0) linkType = lt
+                  else if (linkType != lt) return None // mixed link types
+                  if (snap > snapLen) snapLen = snap
+                  // walk options for if_tsresol (code 9)
+                  var units = 1000000L
+                  var o = 8
+                  val end = bodyLen - 4
+                  var done = false
+                  while (!done && o + 4 <= end) {
+                    val code = u16(buf, o); val len = u16(buf, o + 2)
+                    if (code == 0) done = true
+                    else {
+                      if (code == 9 && len >= 1) {
+                        val v = buf(o + 4) & 0xff
+                        val exp = v & 0x7f
+                        // exponents that overflow units-per-second in a
+                        // long (decimal > 18, binary > 62) are invalid
+                        // per spec use — keep the µs default rather than
+                        // a mod-64 shift artifact
+                        if ((v & 0x80) == 0) {
+                          if (exp <= 18) units = math.pow(10, exp).toLong
+                        } else if (exp <= 62) units = 1L << exp
+                      }
+                      o += 4 + ((len + 3) / 4) * 4
+                    }
+                  }
+                  ifaces :+= ((lt, units))
+                case 0x00000006 => // Enhanced Packet Block
+                  val ifId = u32(buf, 0).toInt
+                  val units = ifaces.lift(ifId).map(_._2).getOrElse(1000000L)
+                  val ts = (u32(buf, 4) << 32) | u32(buf, 8)
+                  val cap = u32(buf, 12).toInt
+                  val orig = u32(buf, 16).toInt
+                  // captured bytes must fit inside THIS block (28-byte
+                  // fixed part + trailing length word) — a corrupt cap
+                  // field must not swallow following blocks' bytes
+                  if (cap >= 0 && cap <= totalLen - 32) {
+                    val micros =
+                      (BigInt(ts) * 1000000 / BigInt(units)).toLong
+                    rec.clear()
+                    rec.putInt((micros / 1000000L).toInt)
+                      .putInt((micros % 1000000L).toInt)
+                      .putInt(cap).putInt(orig)
+                    out.write(rec.array(), 0, 16)
+                    out.write(buf, 20, cap)
+                  }
+                case 0x00000003 => // Simple Packet Block (no timestamp)
+                  val orig = u32(buf, 0).toInt
+                  val cap = math.min(orig.toLong, totalLen - 16).toInt
+                  if (cap >= 0 && 4 + cap <= bodyLen) {
+                    rec.clear()
+                    rec.putInt(0).putInt(0).putInt(cap).putInt(orig)
+                    out.write(rec.array(), 0, 16)
+                    out.write(buf, 4, cap)
+                  }
+                case _ => () // SHB handled above; skip NRB/ISB/custom
               }
-              o += 4 + ((len + 3) / 4) * 4
             }
           }
-          ifaces :+= ((lt, units))
-        case 0x00000006 => // Enhanced Packet Block
-          val ifId = u32(off + 8).toInt
-          val units = ifaces.lift(ifId).map(_._2).getOrElse(1000000L)
-          val ts = (u32(off + 12) << 32) | u32(off + 16)
-          val cap = u32(off + 20).toInt
-          val orig = u32(off + 24).toInt
-          // captured bytes must fit inside THIS block (28-byte fixed
-          // part + trailing length word) — a corrupt cap field must not
-          // swallow following blocks' bytes into the record
-          if (cap >= 0 && cap <= totalLen - 32 &&
-            off + 28 + cap <= bytes.length) {
-            val micros =
-              (BigInt(ts) * 1000000 / BigInt(units)).toLong
-            rec.clear()
-            rec.putInt((micros / 1000000L).toInt)
-              .putInt((micros % 1000000L).toInt)
-              .putInt(cap).putInt(orig)
-            out.write(rec.array(), 0, 16)
-            out.write(bytes, off + 28, cap)
-          }
-        case 0x00000003 => // Simple Packet Block (no timestamp)
-          val orig = u32(off + 8).toInt
-          val cap = math.min(orig.toLong, totalLen - 16).toInt
-          if (cap >= 0 && off + 12 + cap <= bytes.length) {
-            rec.clear()
-            rec.putInt(0).putInt(0).putInt(cap).putInt(orig)
-            out.write(rec.array(), 0, 16)
-            out.write(bytes, off + 12, cap)
-          }
-        case _ => () // SHB handled above; skip NRB/ISB/custom blocks
+        }
       }
-      off += totalLen.toInt
     }
-    finish(out, linkType, snapLen)
-  }
-
-  private def finish(body: java.io.ByteArrayOutputStream, linkType: Int,
-      snapLen: Int): Option[Array[Byte]] = {
-    if (linkType < 0) return None
-    val hdr = ByteBuffer.allocate(24).order(ByteOrder.LITTLE_ENDIAN)
-    hdr.putInt(0xa1b2c3d4).putShort(2).putShort(4)
-      .putInt(0).putInt(0)
-      .putInt(if (snapLen > 0) snapLen else 65536).putInt(linkType)
-    val b = body.toByteArray
-    val outBytes = new Array[Byte](24 + b.length)
-    System.arraycopy(hdr.array(), 0, outBytes, 0, 24)
-    System.arraycopy(b, 0, outBytes, 24, b.length)
-    Some(outBytes)
+    if (linkType < 0) None
+    else Some((linkType, snapLen))
   }
 
   /** Iterate packet records of one capture file (byte array form).
@@ -201,42 +250,58 @@ object Pcap {
       case None => Iterator.empty
       case Some(h) =>
         val order = if (h.bigEndian) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN
-        // A corrupt record header (negative or absurd incl_len) stops
-        // iteration for this file instead of throwing — the reference
-        // reader degrades per file the same way (capture/reader-libpcap-
-        // file.c record-length checks). Bound: snapLen when sane, else 64 MiB.
-        val maxIncl =
-          if (h.snapLen > 0 && h.snapLen <= (64 << 20)) h.snapLen else (64 << 20)
-        new Iterator[RawPacket] {
-          private var off = 24L
-          private var idx = 0
-          private var dead = false
-          private var prevTs = 0L
-          def hasNext: Boolean =
-            !dead && off + 16 <= bytes.length && {
-              val incl = ByteBuffer.wrap(bytes, off.toInt + 8, 4).order(order).getInt
-              if (incl < 0 || incl > maxIncl) { dead = true; false } else true
-            }
-          def next(): RawPacket = {
-            val bb = ByteBuffer.wrap(bytes, off.toInt, 16).order(order)
-            val sec = bb.getInt.toLong & 0xffffffffL
-            val frac = bb.getInt.toLong & 0xffffffffL
-            val inclLen = bb.getInt
-            val origLen = bb.getInt
-            val micros = sec * 1000000L + (if (h.nanos) frac / 1000 else frac)
-            val start = off + 16
-            val end = math.min(start + inclLen, bytes.length.toLong)
-            val data = java.util.Arrays.copyOfRange(bytes, start.toInt, end.toInt)
-            val p = RawPacket(file, idx, micros, inclLen, origLen, off,
-              h.linkType, data, if (idx == 0) micros else prevTs)
-            prevTs = micros
-            off = start + inclLen
-            idx += 1
-            p
-          }
-        }
+        recordIterator(bytes, 24, file, order, h.nanos, maxInclOf(h.snapLen),
+          h.linkType, baseIdx = 0, prevTs0 = -1L, offsetBase = 0L)
     }
   }
+
+  /** snapLen-derived record-length sanity bound: snapLen when sane, else
+    * 64 MiB. A corrupt record header (negative or absurd incl_len) stops
+    * iteration for its file instead of throwing — the reference reader
+    * degrades per file the same way (capture/reader-libpcap-file.c
+    * record-length checks).
+    */
+  private def maxInclOf(snapLen: Int): Int =
+    if (snapLen > 0 && snapLen <= (64 << 20)) snapLen else (64 << 20)
+
+  /** Walk classic records in `bytes` starting at `from`. `offsetBase`
+    * rebases emitted fileOffsets when `bytes` is a mid-file slice (the
+    * chunked reader); `prevTs0 = -1` means "first record uses its own
+    * timestamp" (whole-file semantics), otherwise it seeds the
+    * previous-packet clock across a chunk boundary.
+    */
+  private def recordIterator(bytes: Array[Byte], from: Int, file: String,
+      order: ByteOrder, nanos: Boolean, maxIncl: Int, linkType: Int,
+      baseIdx: Int, prevTs0: Long, offsetBase: Long): Iterator[RawPacket] =
+    new Iterator[RawPacket] {
+      private var off = from.toLong
+      private var idx = baseIdx
+      private var dead = false
+      private var prevTs = prevTs0
+      def hasNext: Boolean =
+        !dead && off + 16 <= bytes.length && {
+          val incl = ByteBuffer.wrap(bytes, off.toInt + 8, 4).order(order).getInt
+          if (incl < 0 || incl > maxIncl) { dead = true; false } else true
+        }
+      def next(): RawPacket = {
+        val bb = ByteBuffer.wrap(bytes, off.toInt, 16).order(order)
+        val sec = bb.getInt.toLong & 0xffffffffL
+        val frac = bb.getInt.toLong & 0xffffffffL
+        val inclLen = bb.getInt
+        val origLen = bb.getInt
+        val micros = sec * 1000000L + (if (nanos) frac / 1000 else frac)
+        val start = off + 16
+        val end = math.min(start + inclLen, bytes.length.toLong)
+        val data = java.util.Arrays.copyOfRange(bytes, start.toInt, end.toInt)
+        val p = RawPacket(file, idx, micros, inclLen, origLen,
+          offsetBase + off, linkType, data,
+          if (prevTs < 0) micros else prevTs)
+        prevTs = micros
+        off = start + inclLen
+        idx += 1
+        p
+      }
+    }
 
   /** Parse one record slice fetched from `fileOffset` (16-byte record
     * header + capped packet data) — the random-access counterpart of
@@ -332,17 +397,155 @@ object Pcap {
     }
   }
 
+  /** One unit of distributed pcap reading: either a whole (small) file
+    * or a record-aligned byte range of a big one, with the per-file
+    * header facts and cursor seeds ([[recordIterator]]) it needs to
+    * parse standalone.
+    */
+  final case class ChunkSpec(
+      file: String, start: Long, end: Long, baseIdx: Int, prevTs: Long,
+      bigEndian: Boolean, nanos: Boolean, linkType: Int, snapLen: Int,
+      whole: Boolean)
+
+  /** Files up to this read as one task (the pre-chunking behavior);
+    * bigger ones are record-walked into [[SplitBytes]]-sized chunks.
+    */
+  private val WholeFileMax = 400L << 20
+  private val SplitBytes = 256L << 20
+
   /** Read a directory (or single file) of pcaps as a packet Dataset,
-    * with per-file IPv4 fragment reassembly.
+    * with per-chunk IPv4 fragment reassembly.
+    *
+    * pcap files are not splittable blindly, and reading a whole file as
+    * one value caps at a 2 GiB JVM array — but the reference's capture
+    * nodes rotate files at maxFileSizeG (default 12G), so big files are
+    * the NORM at scale. Big classic files therefore get a cheap
+    * record-header walk (16 bytes read + seek per record, distributed
+    * one task per file) that plans record-aligned ~256 MiB chunks; the
+    * chunks then shuffle across the cluster and parse independently,
+    * so one 12 GB capture decodes on ~48 cores instead of one.
+    * Fragment reassembly runs per chunk — an IPv4 fragment group
+    * spanning a chunk boundary is dropped, the same degradation the
+    * reference accepts for frags spanning capture-file rotation.
+    * Big pcapng files must ingest via [[graft.ops.Upload]] (which
+    * persists a streamed classic transcode).
     */
   def readPackets(spark: SparkSession, path: String): Dataset[RawPacket] = {
     import spark.implicits._
-    spark.read.format("binaryFile")
-      .option("pathGlobFilter", "*.pcap*") // .pcap and .pcapng
-      .load(path)
-      .select("path", "content")
-      .as[(String, Array[Byte])]
-      .flatMap { case (p, bytes) => assembleFrags4(parseFile(bytes, p)) }
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val st = fs.getFileStatus(p)
+    val metas: Seq[(String, Long)] =
+      if (st.isDirectory)
+        fs.listStatus(p).toSeq
+          .filter(_.isFile)
+          .filter(_.getPath.getName.contains(".pcap")) // .pcap and .pcapng
+          .map(s => (s.getPath.toString, s.getLen))
+          .sortBy(_._1)
+      else Seq((st.getPath.toString, st.getLen))
+    val shufflePartitions = spark.sessionState.conf.numShufflePartitions
+    def whole(f: String, size: Long) =
+      ChunkSpec(f, 0L, size, 0, -1L, bigEndian = false,
+        nanos = false, linkType = 0, snapLen = 0, whole = true)
+    if (metas.forall(_._2 <= WholeFileMax))
+      // all-small fast path: chunks == files, plan on the driver and
+      // parallelize directly — zero shuffles, like the pre-chunked read
+      spark.createDataset(metas.map { case (f, s) => whole(f, s) })
+        .flatMap(readChunk(_))
+    else
+      spark.createDataset(metas)
+        .repartition(math.max(1, math.min(metas.size, shufflePartitions)))
+        .flatMap { case (f, size) =>
+          if (size <= WholeFileMax) Seq(whole(f, size))
+          else planChunks(f, size)
+        }
+        // chunk specs are tiny rows: rebalance them so one big file's
+        // chunks decode across the cluster, not inside the planning task
+        .repartition(shufflePartitions)
+        .flatMap(readChunk(_))
+  }
+
+  /** Record-walk one big classic pcap into record-aligned chunk specs.
+    * Reads 16 bytes per record and skips the payloads — a metadata pass.
+    */
+  private def planChunks(file: String, size: Long): Seq[ChunkSpec] = {
+    val path = new org.apache.hadoop.fs.Path(file)
+    val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val in = new java.io.DataInputStream(
+      new java.io.BufferedInputStream(fs.open(path), 1 << 20))
+    try {
+      val head = new Array[Byte](24)
+      in.readFully(head)
+      if (isPcapng(head))
+        throw new java.io.IOException(
+          s"pcapng $file exceeds the whole-file bound ($WholeFileMax B); " +
+            "ingest it via Upload, which persists a streamed classic transcode")
+      val h = parseHeader(head) match {
+        case Some(x) => x
+        case None =>
+          // unparseable header: defer to parseFile's empty-iterator path
+          return Seq(ChunkSpec(file, 0L, size, 0, -1L, bigEndian = false,
+            nanos = false, linkType = 0, snapLen = 0, whole = true))
+      }
+      val order = if (h.bigEndian) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN
+      val maxIncl = maxInclOf(h.snapLen)
+      val rec = new Array[Byte](16)
+      val out = Seq.newBuilder[ChunkSpec]
+      var off = 24L
+      var idx = 0
+      var chunkStart = 24L
+      var chunkIdx = 0
+      var chunkPrev = -1L
+      var prevTs = -1L
+      var dead = false
+      while (!dead && off + 16 <= size) {
+        in.readFully(rec)
+        val bb = ByteBuffer.wrap(rec).order(order)
+        val sec = bb.getInt.toLong & 0xffffffffL
+        val frac = bb.getInt.toLong & 0xffffffffL
+        val incl = bb.getInt
+        if (incl < 0 || incl > maxIncl || off + 16 + incl > size) dead = true
+        else {
+          if (off - chunkStart >= SplitBytes) {
+            out += ChunkSpec(file, chunkStart, off, chunkIdx, chunkPrev,
+              h.bigEndian, h.nanos, h.linkType, h.snapLen, whole = false)
+            chunkStart = off
+            chunkIdx = idx
+            chunkPrev = prevTs
+          }
+          var toSkip = incl.toLong
+          while (toSkip > 0) {
+            val s = in.skip(toSkip)
+            if (s <= 0) { dead = true; toSkip = 0 } else toSkip -= s
+          }
+          if (!dead) {
+            prevTs = sec * 1000000L + (if (h.nanos) frac / 1000 else frac)
+            off += 16 + incl
+            idx += 1
+          }
+        }
+      }
+      if (off > chunkStart)
+        out += ChunkSpec(file, chunkStart, off, chunkIdx, chunkPrev,
+          h.bigEndian, h.nanos, h.linkType, h.snapLen, whole = false)
+      out.result()
+    } finally in.close()
+  }
+
+  private def readChunk(c: ChunkSpec): Iterator[RawPacket] = {
+    val path = new org.apache.hadoop.fs.Path(c.file)
+    val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val len = (c.end - c.start).toInt
+    val bytes = new Array[Byte](len)
+    val in = fs.open(path)
+    try in.readFully(c.start, bytes, 0, len) finally in.close()
+    if (c.whole) assembleFrags4(parseFile(bytes, c.file))
+    else {
+      val order =
+        if (c.bigEndian) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN
+      assembleFrags4(recordIterator(bytes, 0, c.file, order, c.nanos,
+        maxInclOf(c.snapLen), c.linkType, c.baseIdx, c.prevTs, c.start))
+    }
   }
 
   /** `packetPosEncoding: gap0` decode (viewer/db.js:353-370): the

@@ -51,18 +51,43 @@ object Upload {
     val dest = copiedPath(tmpFile, pcapDir, node)
     val destPath = java.nio.file.Paths.get(dest)
     java.nio.file.Files.createDirectories(destPath.getParent)
-    val raw = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(tmpFile))
+    val src = java.nio.file.Paths.get(tmpFile)
+    val magic = new Array[Byte](4)
+    val mIn = java.nio.file.Files.newInputStream(src)
+    val mRead = try mIn.read(magic) finally mIn.close()
     // pcapng uploads are transcoded to classic pcap at copy time (the
     // reference accepts pcapng via libpcap but its store is always
     // classic records) — stored packetPos/packetLen then seek correctly
-    // into the durable copy for hunts/export
-    val durable =
-      if (graft.etl.Pcap.isPcapng(raw))
-        graft.etl.Pcap.pcapngToPcap(raw).getOrElse(
+    // into the durable copy for hunts/export. Both paths STREAM with a
+    // bounded buffer: a posted capture is routinely multi-GB (the
+    // reference rotates at 12G) and a whole-file read caps at the 2 GiB
+    // JVM array limit, doubling memory well before that.
+    if (mRead == 4 && graft.etl.Pcap.isPcapng(magic)) {
+      val in = new java.io.BufferedInputStream(
+        java.nio.file.Files.newInputStream(src), 1 << 20)
+      val out = new java.io.BufferedOutputStream(
+        java.nio.file.Files.newOutputStream(destPath), 1 << 20)
+      val res =
+        try {
+          out.write(new Array[Byte](24)) // header backpatched below
+          try graft.etl.Pcap.pcapngToPcapStream(in, out)
+          finally out.close()
+        } finally in.close()
+      res match {
+        case Some((lt, snap)) =>
+          val raf = new java.io.RandomAccessFile(dest, "rw")
+          try {
+            raf.seek(0)
+            raf.write(graft.etl.Pcap.classicHeader(lt, snap))
+          } finally raf.close()
+        case None =>
+          java.nio.file.Files.deleteIfExists(destPath)
           throw new IllegalArgumentException(
-            s"unreadable pcapng upload $tmpFile"))
-      else raw
-    java.nio.file.Files.write(destPath, durable)
+            s"unreadable pcapng upload $tmpFile")
+      }
+    } else
+      java.nio.file.Files.copy(src, destPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     val cleanTags = sanitizeTags(tags)
     import spark.implicits._
     SessionBuilder.sessionize(spark, dest, node = node)
