@@ -325,6 +325,30 @@ object Similarity {
     * vector is ever shuffled. Ties break toward the lower cell id (same
     * contract as the IVF assigns and the unrolled oracle SQL).
     */
+  /** THE centroid-argmax kernel: sequential left-fold dot of
+    * `v[vOff, vOff+len)` against each of `cells` contiguous
+    * `stride`-wide rows of `flat`, strict `>` so ties keep the LOWEST
+    * cell — the contract shared by [[assignCells]], [[kmeansFit]], the
+    * PQ encoders and the unrolled oracle SQL. Every trainer/encoder
+    * delegates here; the fold order is part of the bit-for-bit
+    * determinism story, so there is exactly one copy to keep right.
+    */
+  private[ops] def argmaxDot(v: Array[Double], vOff: Int, len: Int,
+      flat: Array[Double], stride: Int, cells: Int): Int = {
+    var best = 0
+    var bestDot = Double.NegativeInfinity
+    var c = 0
+    while (c < cells) {
+      var acc = 0.0
+      var j = 0
+      val base = c * stride
+      while (j < len) { acc += v(vOff + j) * flat(base + j); j += 1 }
+      if (acc > bestDot) { bestDot = acc; best = c }
+      c += 1
+    }
+    best
+  }
+
   def assignCells(df: DataFrame, vecCol: String, idCol: String,
       centroids: Seq[Seq[Double]]): DataFrame = {
     val spark = df.sparkSession
@@ -376,18 +400,7 @@ object Similarity {
         val v = new Array[Double](n)
         var i = 0
         while (i < n) { v(i) = bb.getDouble(i * 8); i += 1 }
-        var best = 0
-        var bestDot = Double.NegativeInfinity
-        var c = 0
-        while (c < kk) {
-          var acc = 0.0
-          var j = 0
-          val lim = math.min(n, dim)
-          while (j < lim) { acc += v(j) * flat(c * dim + j); j += 1 }
-          if (acc > bestDot) { bestDot = acc; best = c }
-          c += 1
-        }
-        best
+        argmaxDot(v, 0, math.min(n, dim), flat, dim, kk)
       }
       // double addition is order-sensitive and Spark's partial-agg merge
       // order is not deterministic — quantize each component to an
@@ -473,21 +486,11 @@ object Similarity {
     }
     var it = 0
     while (it < iters) {
-      val cs = cents
-      val codesUdf = udf { v: Seq[Double] =>
-        Array.tabulate(m) { j =>
-          var best = 0
-          var bestDot = Double.NegativeInfinity
-          var c = 0
-          while (c < ksub) {
-            var acc = 0.0
-            var i = 0
-            while (i < dsub) { acc += v(j * dsub + i) * cs(j)(c)(i); i += 1 }
-            if (acc > bestDot) { bestDot = acc; best = c }
-            c += 1
-          }
-          best
-        }
+      val flatSub: Array[Array[Double]] = cents.map(_.flatten)
+      val codesUdf = udf { v0: Seq[Double] =>
+        val v = v0.toArray
+        Array.tabulate(m)(j =>
+          argmaxDot(v, j * dsub, dsub, flatSub(j), dsub, ksub))
       }
       val stats = corpus.select(toDouble(col(vecCol)).as("v"))
         .withColumn("codes", codesUdf(col("v")))
@@ -535,20 +538,11 @@ object Similarity {
     val dsub = dim / m
     val cb: Array[Array[Array[Double]]] =
       codebooks.map(_.map(_.toArray).toArray).toArray
-    val encodeUdf = udf { v: Seq[Double] =>
-      Array.tabulate(m) { j =>
-        var best = 0
-        var bestDot = Double.NegativeInfinity
-        var c = 0
-        while (c < ksub) {
-          var acc = 0.0
-          var i = 0
-          while (i < dsub) { acc += v(j * dsub + i) * cb(j)(c)(i); i += 1 }
-          if (acc > bestDot) { bestDot = acc; best = c }
-          c += 1
-        }
-        best
-      }
+    val cbFlat: Array[Array[Double]] = cb.map(_.flatten)
+    val encodeUdf = udf { v0: Seq[Double] =>
+      val v = v0.toArray
+      Array.tabulate(m)(j =>
+        argmaxDot(v, j * dsub, dsub, cbFlat(j), dsub, ksub))
     }
     val tableUdf = udf { v: Seq[Double] =>
       Array.tabulate(m * ksub) { t =>

@@ -661,19 +661,35 @@ object TextOps {
     * [[tfidfTopTerms]]). Exact integer arithmetic end to end, so the SQL
     * oracle reproduces every prediction bit-for-bit.
     *
-    * Scale: training is one (class, term) count — vocab·classes rows, a
-    * broadcastable model for any real vocabulary (~10^7 terms · few
-    * classes); scoring re-scans tokens once, joins the broadcast model,
-    * and takes per-doc argmax with the bounded-heap aggregate. Token-less
+    * Scale: training is one (class, term) count — vocab·classes rows.
+    * The model join is left to Catalyst/AQE: at runtime it broadcasts
+    * when the model fits `spark.sql.autoBroadcastJoinThreshold` and
+    * falls back to a shuffle join when a 100 TB corpus's raw vocabulary
+    * doesn't — scores are identical either way (spec-pinned). `minDf`
+    * optionally cuts the model vocabulary to terms appearing in at
+    * least that many documents (per-class counts, total `ctot` and
+    * smoothing `v` all follow the cut model; cut terms score like
+    * unseen ones) — the standard lever for keeping the model
+    * broadcastable on web-scale text. Scoring re-scans tokens once and
+    * takes per-doc argmax with the bounded-heap aggregate. Token-less
     * documents have no evidence and are omitted (same on both engines).
     */
   def nbClassify(
       df: DataFrame, text: Column, idCol: Column,
-      labelCol: Column): DataFrame = {
+      labelCol: Column, minDf: Int = 1): DataFrame = {
     val tok = df.select(idCol.as("doc_id"), labelCol.as("label"),
       explode(tokens(text)).as("term"))
-    val ctc = tok.groupBy(col("label").as("clazz"), col("term"))
+    val ctcAll = tok.groupBy(col("label").as("clazz"), col("term"))
       .agg(count(lit(1)).as("ctc"))
+    val ctc =
+      if (minDf <= 1) ctcAll
+      else {
+        val kept = tok.groupBy("term")
+          .agg(countDistinct(col("doc_id")).as("_df"))
+          .filter(col("_df") >= minDf)
+          .select("term")
+        ctcAll.join(kept, Seq("term"), "left_semi")
+      }
     val ctot = ctc.groupBy("clazz").agg(sum("ctc").as("ctot"))
     val vocab = ctc.select("term").distinct().agg(count(lit(1)).as("v"))
     val prior = df.groupBy(labelCol.as("clazz"))
@@ -682,7 +698,9 @@ object TextOps {
     val classes = df.select(labelCol.as("clazz")).distinct()
     val scored = tok.select("doc_id", "term")
       .crossJoin(broadcast(classes))
-      .join(broadcast(ctc), Seq("clazz", "term"), "left")
+      // NO broadcast hint: the (class, term) model is the one frame
+      // here that scales with the corpus
+      .join(ctc, Seq("clazz", "term"), "left")
       .na.fill(0L, Seq("ctc"))
       .join(broadcast(ctot), Seq("clazz"))
       .crossJoin(broadcast(vocab))

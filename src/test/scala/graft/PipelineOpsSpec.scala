@@ -122,6 +122,38 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpecBase {
     assert(res.agg(sum("hit")).head.getLong(0) == 6L)
   }
 
+  test("nbClassify: model-join strategy and minDf vocabulary cut preserve scores") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "aa aa bb", "x"), (2L, "aa bb bb", "x"), (3L, "aa aa aa", "x"),
+      (4L, "cc cc dd", "y"), (5L, "cc dd dd", "y"), (6L, "dd dd dd", "y"))
+      .toDF("doc_id", "text", "lang")
+    def run() = TextOps.nbClassify(d, col("text"), col("doc_id"), col("lang"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    // the (class, term) model join must give bit-identical predictions
+    // whether AQE broadcasts it or shuffles it (forced here by disabling
+    // auto-broadcast) — the 100 TB fallback path
+    val broadcastRes = run()
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val shuffleRes = try run()
+      finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert(shuffleRes == broadcastRes)
+    // every term above has df >= 2, so a minDf=2 cut is a no-op —
+    // pins that the cut keeps boundary terms (df == minDf)
+    val cut = TextOps.nbClassify(d, col("text"), col("doc_id"), col("lang"),
+      minDf = 2).collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(cut == broadcastRes)
+    // singleton terms drop from the model: with 'zz' appearing once, a
+    // minDf=2 model treats it as unseen but still classifies doc 7 by
+    // its in-vocab 'aa' tokens
+    val d2 = d.union(Seq((7L, "aa aa zz", "x")).toDF("doc_id", "text", "lang"))
+    val cut2 = TextOps.nbClassify(d2, col("text"), col("doc_id"),
+      col("lang"), minDf = 2)
+    assert(cut2.filter(col("doc_id") === 7L).head.getString(1) == "x")
+    assert(cut2.agg(sum("hit")).head.getLong(0) == 7L)
+  }
+
   test("minhash candidates is symmetric-free and ordered") {
     val pairs = Dedup.minhashCandidates(docs, col("text"), col("doc_id")).collect()
     assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
