@@ -241,12 +241,53 @@ object SessionBuilder {
     */
   def buildSessions(key: String, packets: Iterator[DecodedPacket],
       node: String, testRules: Boolean = false,
-      yaraRules: Seq[graft.ops.Yara.Rule] = Nil): Iterator[SessionRow] = {
+      yaraRules: Seq[graft.ops.Yara.Rule] = Nil): Iterator[SessionRow] =
+    buildSessionsCarry(key, packets, node, testRules, yaraRules, None)
+      ._1.iterator
+
+  /** Cross-slice session state for the STREAMING sessionizer
+    * ([[graft.streaming.StreamSessionize]]): what a mid-save flush
+    * boundary must not lose — the batch builder keeps all of this as
+    * locals because it sees the whole packet list at once.
+    */
+  final case class GroupCarry(
+      // orientation, fixed at session creation
+      cliIp: String, cliPort: Int, srvIp: String, srvPort: Int,
+      // a SYN was seen in the open group (tcp delivery anchor + BGP gate)
+      synSeen: Boolean,
+      // walk flag state at the slice edge, for port-reuse detection
+      rstSeen: Boolean, finDirs: Int,
+      // accumulators of the open group (protocols/macs/firstBytes
+      // survive mid-saves — db.c keeps them on the session)
+      protoAcc: Seq[String], srcMacAcc: Seq[String], dstMacAcc: Seq[String],
+      src8Acc: String, dst8Acc: String,
+      // session-start µs (firstPacket survives mid-saves), emitted
+      // segment count, and the port-reuse ordinal of the open group
+      firstTsMicros: Long, segBase: Int, reuseBase: Int)
+
+  /** [[buildSessions]] with explicit cross-call state: `carry` seeds the
+    * open group (orientation, accumulators, flag state, ordinals) and
+    * the returned carry reflects the LAST group after this slice, ready
+    * for the next flush. Semantics with `carry = None` are exactly the
+    * batch builder's (the public overload delegates here).
+    *
+    * Boundary port reuse: a slice that STARTS with a bare SYN while the
+    * carried state shows a FIN-closed or RST-closed stream starts a new
+    * session (new `|rN` suffix, fresh accumulators). In the FIN case the
+    * batch walk files that SYN inside the OLD session's final segment
+    * (closingQ semantics) — at a flush boundary that segment is already
+    * emitted, so the SYN opens the new group directly; the one-packet
+    * placement difference is the documented stream-vs-batch residue.
+    */
+  def buildSessionsCarry(key: String, packets: Iterator[DecodedPacket],
+      node: String, testRules: Boolean = false,
+      yaraRules: Seq[graft.ops.Yara.Rule] = Nil,
+      carry: Option[GroupCarry]): (Seq[SessionRow], Option[GroupCarry]) = {
     // arrival order (file, index), not timestamp order: the reference
     // processes packets as captured, so a response recorded before its
     // query (dns-flags0110) makes the RESPONDER the session source
     val sorted = packets.toArray.sortBy(p => (p.file, p.index))
-    if (sorted.isEmpty) return Iterator.empty
+    if (sorted.isEmpty) return (Nil, carry)
     val head = sorted.head
     val timeoutUs = timeoutSecs(head.ipProtocol) * 1000000L
     val saveTimeoutUs = 480L * 1000000L
@@ -273,12 +314,21 @@ object SessionBuilder {
     // in the old save while its tcp flags and payload are processed into
     // the next one (cloudshark-bgp-md5: seg1 has 14 packets but only 8
     // psh / 102+102 databytes; the 15th packet's psh+19 bytes open seg2).
+    // boundary port reuse vs the CARRIED stream state: the slice's very
+    // first packet is a bare SYN against a closed (FIN both dirs / RST)
+    // carried connection → this slice opens a NEW session
+    val headSynNoAck = isTcp && (head.tcpFlags & Decode.TH_SYN) != 0 &&
+      (head.tcpFlags & Decode.TH_ACK) == 0
+    val boundaryReuse = carry.exists(c =>
+      headSynNoAck && (c.finDirs == 3 || c.rstSeen))
+    // the open group continues into this slice unless boundary reuse cut it
+    val continuing = carry.isDefined && !boundaryReuse
     val segments = Seq.newBuilder[(Array[DecodedPacket], Boolean, Boolean)]
     var curSegNew = true // the first slice always opens a session
     var start = 0
-    var rstSeen = false
-    var finDirs = 0
-    var sawSyn = false
+    var rstSeen = if (continuing) carry.get.rstSeen else false
+    var finDirs = if (continuing) carry.get.finDirs else 0
+    var sawSyn = continuing && carry.get.synSeen
     var bgpActive = false
     var bgpArmedTs = -1L // ts of last BGP data packet (pq deadline base)
     var splitAfterPrevNew = false // port reuse after FIN close
@@ -366,28 +416,52 @@ object SessionBuilder {
     // segmentCnt is the save ordinal (1, 2, …); orientation is fixed at
     // session creation. Port-reused groups beyond the first get a
     // distinct sessionId suffix — the reference gives each its own ES id.
-    groups.zipWithIndex.iterator.flatMap { case (gsegs, gIdx) =>
-      val gKey = if (gIdx == 0) key else s"$key|r$gIdx"
-      val gFirstUs = gsegs.head._1.head.tsMicros
-      var protoAcc = Set.empty[String]
-      val o0 = {
-        val f = gsegs.head._1.head
-        val synAckSwap = f.ipProtocol == 6 &&
-          (f.tcpFlags & (Decode.TH_SYN | Decode.TH_ACK)) ==
-            (Decode.TH_SYN | Decode.TH_ACK)
-        if (synAckSwap) (f.dstIp, f.dstPort, f.srcIp, f.srcPort)
-        else (f.srcIp, f.srcPort, f.dstIp, f.dstPort)
+    // flag state at the walk's end belongs to the OPEN segment — what a
+    // following slice must resume from
+    val endRst = rstSeen
+    val endFin = finDirs
+    val rows = Seq.newBuilder[SessionRow]
+    var outCarry: Option[GroupCarry] = carry
+    groups.zipWithIndex.foreach { case (gsegs, gIdx) =>
+      // continuing group 0 keeps the carried reuse ordinal; boundary
+      // reuse (and every in-slice reuse split) bumps it
+      val ordinal = carry match {
+        case Some(c) => c.reuseBase + gIdx + (if (boundaryReuse) 1 else 0)
+        case None    => gIdx
       }
-      var srcMacAcc = Set.empty[String]
-      var dstMacAcc = Set.empty[String]
-      var src8Acc = ""
-      var dst8Acc = ""
-      var synSeen = false
-      gsegs.zipWithIndex.iterator.map { case ((seg, pqCut), idx) =>
+      val gKey = if (ordinal == 0) key else s"$key|r$ordinal"
+      val seeded = continuing && gIdx == 0
+      val gFirstUs =
+        if (seeded && carry.get.firstTsMicros >= 0) carry.get.firstTsMicros
+        else gsegs.head._1.head.tsMicros
+      val segBase = if (seeded) carry.get.segBase else 0
+      var protoAcc: Set[String] =
+        if (seeded) carry.get.protoAcc.toSet else Set.empty
+      val o0 =
+        if (seeded && carry.get.cliIp != null)
+          (carry.get.cliIp, carry.get.cliPort,
+            carry.get.srvIp, carry.get.srvPort)
+        else {
+          val f = gsegs.head._1.head
+          val synAckSwap = f.ipProtocol == 6 &&
+            (f.tcpFlags & (Decode.TH_SYN | Decode.TH_ACK)) ==
+              (Decode.TH_SYN | Decode.TH_ACK)
+          if (synAckSwap) (f.dstIp, f.dstPort, f.srcIp, f.srcPort)
+          else (f.srcIp, f.srcPort, f.dstIp, f.dstPort)
+        }
+      var srcMacAcc: Set[String] =
+        if (seeded) carry.get.srcMacAcc.toSet else Set.empty
+      var dstMacAcc: Set[String] =
+        if (seeded) carry.get.dstMacAcc.toSet else Set.empty
+      var src8Acc = if (seeded) carry.get.src8Acc else ""
+      var dst8Acc = if (seeded) carry.get.dst8Acc else ""
+      var synSeen = seeded && carry.get.synSeen
+      var emitted = 0
+      gsegs.zipWithIndex.foreach { case ((seg, pqCut), idx) =>
         val carryIn: Array[DecodedPacket] =
           if (idx > 0 && gsegs(idx - 1)._2) Array(gsegs(idx - 1)._1.last)
           else Array.empty
-        val row = buildOne(gKey, seg, node, idx + 1, idx,
+        val row = buildOne(gKey, seg, node, segBase + idx + 1, segBase + idx,
           bgpSession = bgpActive, testRules = testRules,
           yaraRules = yaraRules, orient = Some(o0),
           synSeenBefore = synSeen,
@@ -403,7 +477,8 @@ object SessionBuilder {
           if (row.ipProtocol == 6) (dst8Acc + row.dstPayload8).take(16)
           else if (dst8Acc.nonEmpty) dst8Acc else row.dstPayload8
         val segLastUs = seg.last.tsMicros
-        row.copy(protocol = protoAcc.toSeq.sorted,
+        emitted += 1
+        rows += row.copy(protocol = protoAcc.toSeq.sorted,
           srcMac = srcMacAcc.toSeq.sorted,
           dstMac = dstMacAcc.toSeq.sorted,
           srcPayload8 = src8Acc, dstPayload8 = dst8Acc,
@@ -411,7 +486,18 @@ object SessionBuilder {
           length = ((segLastUs / 1000000 - gFirstUs / 1000000) * 1000 +
             (segLastUs % 1000000 - gFirstUs % 1000000) / 1000) & 0xffffffffL)
       }
+      if (gIdx == groups.length - 1)
+        outCarry = Some(GroupCarry(
+          cliIp = o0._1, cliPort = o0._2, srvIp = o0._3, srvPort = o0._4,
+          synSeen = synSeen, rstSeen = endRst, finDirs = endFin,
+          protoAcc = protoAcc.toSeq.sorted,
+          srcMacAcc = srcMacAcc.toSeq.sorted,
+          dstMacAcc = dstMacAcc.toSeq.sorted,
+          src8Acc = src8Acc, dst8Acc = dst8Acc,
+          firstTsMicros = gFirstUs, segBase = segBase + emitted,
+          reuseBase = ordinal))
     }
+    (rows.result(), outCarry)
   }
 
   import Decode.{TH_ACK, TH_FIN, TH_PSH, TH_RST, TH_SYN, TH_URG}

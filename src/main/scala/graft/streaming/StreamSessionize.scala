@@ -28,17 +28,20 @@ import graft.etl.SessionBuilder.SessionRow
   */
 object StreamSessionize {
 
-  /** `firstTsMicros` carries the SESSION's first packet time across
-    * mid-save flushes (-1 = no segment emitted yet), so continuation
-    * segments report the session-start firstPacket/length exactly like
-    * the batch builder's cross-segment state (the reference keeps
-    * session->firstPacket over mid-saves). Residual known divergence
-    * from batch on mid-saved sessions: per-slice protocol/mac
-    * accumulation and the TCP port-reuse suffix restart at each flush —
-    * the batch path sees the whole packet list at once.
+  /** `carry` is the batch builder's cross-segment session state
+    * ([[SessionBuilder.GroupCarry]]) threaded across mid-save flushes:
+    * orientation, the protocol/mac/firstBytes accumulators, session
+    * firstPacket, segment ordinals, SYN/FIN/RST flag state and the
+    * port-reuse suffix ordinal all survive a flush exactly as they
+    * survive a mid-save in the batch walk. Remaining known divergence
+    * from batch on mid-saved sessions: flush edges force segment
+    * boundaries at buffer multiples (the reference's maxPackets save
+    * does the same from segment start), and a FIN-close port-reuse SYN
+    * lands in the NEW session's first segment instead of the old one's
+    * last (see [[SessionBuilder.buildSessionsCarry]]).
     */
-  final case class StreamState(packets: Seq[DecodedPacket], segBase: Int,
-      firstTsMicros: Long = -1L)
+  final case class StreamState(packets: Seq[DecodedPacket],
+      carry: Option[SessionBuilder.GroupCarry])
 
   val WatermarkDelay = "10 seconds"
 
@@ -48,40 +51,28 @@ object StreamSessionize {
       key: String,
       newPackets: Iterator[DecodedPacket],
       state: GroupState[StreamState]): Iterator[SessionRow] = {
-    // continuation segments keep the session-start firstPacket/length
-    def patch(r: SessionRow, firstUs: Long): SessionRow =
-      if (firstUs < 0) r
-      else {
-        val firstMs = firstUs / 1000
-        r.copy(firstPacket = math.min(r.firstPacket, firstMs),
-          length = r.lastPacket - math.min(r.firstPacket, firstMs))
-      }
     if (state.hasTimedOut) {
       val st = state.get
       state.remove()
-      val rows = SessionBuilder
-        .buildSessions(key, st.packets.iterator, node)
-        .map(r => patch(r.copy(segmentSeq = r.segmentSeq + st.segBase,
-          segmentCnt = r.segmentCnt + st.segBase), st.firstTsMicros))
-      return rows
+      return SessionBuilder.buildSessionsCarry(key, st.packets.iterator,
+        node, carry = st.carry)._1.iterator
     }
-    val prev = state.getOption.getOrElse(StreamState(Nil, 0))
+    val prev = state.getOption.getOrElse(StreamState(Nil, None))
     var packets = prev.packets ++ newPackets
-    var segBase = prev.segBase
-    var firstUs = prev.firstTsMicros
+    var carry = prev.carry
     val out = Seq.newBuilder[SessionRow]
-    // mid-save: flush full segments, keep the session open
+    // mid-save: flush full segments, keep the session open; the carry
+    // threads the open group's state into the next flush
     while (packets.length >= maxPackets) {
       val (seg, rest) = packets.splitAt(maxPackets)
-      if (firstUs < 0) firstUs = seg.map(_.tsMicros).min
-      val rows = SessionBuilder.buildSessions(key, seg.iterator, node).toSeq
-      out ++= rows.map(r => patch(r.copy(segmentSeq = r.segmentSeq + segBase,
-        segmentCnt = r.segmentCnt + segBase), firstUs))
-      segBase += rows.length
+      val (rows, c2) = SessionBuilder.buildSessionsCarry(key, seg.iterator,
+        node, carry = carry)
+      out ++= rows
+      carry = c2
       packets = rest
     }
     if (packets.nonEmpty) {
-      state.update(StreamState(packets, segBase, firstUs))
+      state.update(StreamState(packets, carry))
       val timeoutMs =
         SessionBuilder.timeoutSecs(packets.head.ipProtocol) * 1000
       val lastEventMs = packets.map(_.tsMicros).max / 1000

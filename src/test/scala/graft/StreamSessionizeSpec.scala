@@ -52,4 +52,103 @@ class StreamSessionizeSpec extends AnyFunSuite with SparkSpecBase {
       }
     } finally q.stop()
   }
+
+  test("3-flush session: protocol/mac accumulation and port-reuse suffix match batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val base = 1700000000L * 1000000L
+    def pkt(i: Int, src: Boolean, flags: Int, seq: Long,
+        payload: Array[Byte], mac: String): Decode.DecodedPacket =
+      Decode.DecodedPacket(
+        file = "synthetic", index = i, tsMicros = base + i * 1000L,
+        fileOffset = i.toLong * 100, recLen = 70 + payload.length,
+        wireLen = 54 + payload.length,
+        macSrc = mac, macDst = "ff:ff:ff:ff:ff:ff",
+        ipProtocol = 6,
+        srcIp = if (src) "1.1.1.1" else "2.2.2.2",
+        dstIp = if (src) "2.2.2.2" else "1.1.1.1",
+        srcPort = if (src) 1234 else 80, dstPort = if (src) 80 else 1234,
+        tcpFlags = flags, tcpWindow = 1000, tcpSeq = seq, tcpAck = 0L,
+        payload = payload,
+        prevTsMicros = base + math.max(0, i - 1) * 1000L, l4Offset = 54)
+
+    val S = Decode.TH_SYN; val A = Decode.TH_ACK
+    val P = Decode.TH_PSH; val R = Decode.TH_RST
+    val get = "GET / HTTP/1.1\r\nHost: h\r\n\r\n".getBytes("ISO-8859-1")
+    val resp = "HTTP/1.1 200 OK\r\n\r\n".getBytes("ISO-8859-1")
+    val none = Array.emptyByteArray
+    val m1 = "aa:aa:aa:aa:aa:01"
+    val m2 = "aa:aa:aa:aa:aa:02"
+    val n = StreamSessionize.maxPackets // one flush's worth
+    val packets: Seq[Decode.DecodedPacket] =
+      Seq(
+        pkt(0, src = true, S, 1000L, none, m1),
+        pkt(1, src = false, S | A, 5000L, none, m1),
+        pkt(2, src = true, P | A, 1001L, get, m1),
+        pkt(3, src = false, P | A, 5001L, resp, m1)) ++
+        // fill flush 1 with bare ACKs on mac m1
+        (4 until n).map(i => pkt(i, src = true, A, 1001L + get.length, none, m1)) ++
+        // flush 2: the src mac changes — its rows must still carry m1 too
+        (n until 2 * n - 1).map(i =>
+          pkt(i, src = true, A, 1001L + get.length, none, m2)) ++
+        // last packet of flush 2: client RST-closes the connection
+        Seq(pkt(2 * n - 1, src = true, R | A, 1001L + get.length, none, m2)) ++
+        // tail (third flush, emitted at timeout): port reuse — a bare
+        // SYN against the RST-closed carry opens session |r1
+        Seq(
+          pkt(2 * n, src = true, S, 9000L, none, m2),
+          pkt(2 * n + 1, src = false, S | A, 7000L, none, m2),
+          pkt(2 * n + 2, src = true, P | A, 9001L, get, m2),
+          pkt(2 * n + 3, src = true, A, 9001L + get.length, none, m2))
+
+    val key = SessionBuilder.sessionKey(packets.head)
+    val batch = SessionBuilder.buildSessions(key, packets.iterator, "test")
+      .toSeq.sortBy(r => (r.sessionId, r.segmentSeq))
+    assert(batch.map(_.sessionId).distinct.sorted == Seq(key, s"$key|r1"),
+      "batch must see the port reuse as a second session")
+    assert(batch.length == 3, "2 mid-save segments + the reused session")
+
+    val input = MemoryStream[Decode.DecodedPacket]
+    val q = StreamSessionize.sessions(input.toDS())
+      .writeStream.format("memory").queryName("stream_sessions3")
+      .outputMode("append").start()
+    try {
+      input.addData(packets)
+      q.processAllAvailable()
+      val late = packets.last.copy(
+        tsMicros = packets.last.tsMicros + 1000L * 1000000L,
+        srcIp = "203.0.113.99", srcPort = 1)
+      input.addData(Seq(late))
+      q.processAllAvailable()
+      input.addData(Seq(late.copy(tsMicros = late.tsMicros + 1)))
+      q.processAllAvailable()
+
+      val streamed = spark.table("stream_sessions3")
+        .as[SessionBuilder.SessionRow].collect()
+        .filter(_.srcIp != "203.0.113.99")
+        .sortBy(r => (r.sessionId, r.segmentSeq))
+      assert(streamed.length == batch.length)
+      streamed.zip(batch).foreach { case (s, b) =>
+        assert(s.sessionId == b.sessionId)
+        assert(s.segmentSeq == b.segmentSeq && s.segmentCnt == b.segmentCnt)
+        // the three verdict fields: protocol and macs accumulate across
+        // flushes, the reuse suffix continues across the flush boundary
+        assert(s.protocol == b.protocol, s"protocol of ${b.sessionId}/${b.segmentSeq}")
+        assert(s.srcMac == b.srcMac, s"srcMac of ${b.sessionId}/${b.segmentSeq}")
+        assert(s.dstMac == b.dstMac)
+        assert(s.srcPayload8 == b.srcPayload8)
+        assert(s.dstPayload8 == b.dstPayload8)
+        assert(s.firstPacket == b.firstPacket && s.length == b.length)
+        assert(s.totPackets == b.totPackets)
+      }
+      // the continuation segment (no GET of its own) still carries http
+      // and both macs — the accumulation under test
+      val seg2 = streamed.find(r => r.sessionId == key && r.segmentSeq == 1).get
+      assert(seg2.protocol.contains("http"))
+      // m1 and m2 both present (plus the broadcast dst of the server
+      // direction, which folds into srcMac like the reference)
+      assert(Set(m1, m2).subsetOf(seg2.srcMac.toSet))
+    } finally q.stop()
+  }
 }
