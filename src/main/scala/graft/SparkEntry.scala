@@ -276,6 +276,20 @@ object SparkEntry {
         .drop("samples")
         .withColumn("bucket_s", epochS(col("bucket"))).drop("bucket")
         .orderBy("node", "bucket_s")),
+    // E38 parliament-lite: the instant issue rules over a synthetic
+    // node-stats snapshot derived from events (the stateful noPackets
+    // persistence + ack/ignore workflow is ParliamentSpec-pinned)
+    "e38_parliament" -> ((s, dir) => {
+      val stats = ev(s, dir).filter(col("user_id").isNotNull)
+        .groupBy(concat(lit("node"), col("user_id") % 4).as("nodeName"))
+        .agg(
+          (lit(1000000L) - (max(col("user_id")) % 100L) * lit(40L))
+            .as("currentTime"),
+          (sum(col("user_id")) % 5L).as("deltaPacketsPerSec"),
+          (count(lit(1)) % 3L).as("deltaESDroppedPerSec"))
+        .withColumn("cluster", lit("c1"))
+      graft.ops.Parliament.instantIssues(stats, nowSec = 1000000L)
+    }),
     "e8_unique_autocomplete" -> ((s, dir) =>
       Endpoints.unique(ev(s, dir), col("event_type"), "event_type",
         counts = true, autocompletePrefix = Some("p"))),
@@ -1468,6 +1482,27 @@ object SparkEntry {
             OR hh LIKE 'd1%.example.org' OR dh LIKE 'd1%.example.org'
             OR qh LIKE 'd1%.example.org'
          ORDER BY event_id""",
+    "e38_parliament" ->
+      """WITH stats AS (
+           SELECT 'c1' AS cluster, 'node' || (user_id % 4) AS nodeName,
+                  1000000 - (max(user_id) % 100) * 40 AS currentTime,
+                  sum(user_id) % 5 AS deltaPacketsPerSec,
+                  count(*) % 3 AS deltaESDroppedPerSec
+           FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2)
+         SELECT cluster, node, issue_type, severity, value_s FROM (
+           SELECT cluster, nodeName AS node, 'outOfDate' AS issue_type,
+                  'red' AS severity,
+                  CAST(currentTime * 1000 AS VARCHAR) AS value_s
+           FROM stats WHERE 1000000 - currentTime > 30
+           UNION ALL
+           SELECT cluster, nodeName, 'esDropped', 'yellow',
+                  CAST(deltaESDroppedPerSec AS VARCHAR)
+           FROM stats WHERE deltaESDroppedPerSec > 0
+           UNION ALL
+           SELECT cluster, nodeName, 'noPackets', 'red',
+                  CAST(deltaPacketsPerSec AS VARCHAR)
+           FROM stats WHERE deltaPacketsPerSec <= 0)
+         ORDER BY cluster, issue_type, node""",
     "e16_node_stats" ->
       s"""SELECT 'node' || (user_id % 4) AS node, count(*) AS n,
          ${sqlDsum("value")} AS sum_value,

@@ -138,6 +138,75 @@ object SessionStore {
     nFiles
   }
 
+  /** One day partition's description, from METADATA only. */
+  final case class PartitionInfo(
+      day: String, files: Long, bytes: Long, rows: Long,
+      minFirstPacket: Long, maxFirstPacket: Long, bucketed: Boolean)
+
+  // Spark names bucketed output files part-…_NNNNN.c000…: the 5-digit
+  // bucket ordinal before the .cN section
+  private val BucketFilePattern = ".*_\\d{5}\\.c\\d+.*\\.parquet$".r
+
+  /** Store inspection — the `/api/esindices` analogue (reference:
+    * viewer/apiStats.js index listing: per-index docs/bytes/time-range/
+    * health). One row per day partition with file count, byte size, row
+    * count and the firstPacket time range, assembled ENTIRELY from
+    * filesystem listings and parquet footers — no data page is read, so
+    * it answers in seconds on a 100 TB store. `bucketed` reports
+    * whether the partition's files carry Spark's bucket-ordinal naming
+    * (the [[writeBucketed]] layout).
+    */
+  def inspect(spark: SparkSession, path: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val root = new org.apache.hadoop.fs.Path(path)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = root.getFileSystem(conf)
+    val infos: Seq[PartitionInfo] =
+      if (!fs.exists(root)) Nil
+      else fs.listStatus(root).toSeq
+        .filter(_.isDirectory)
+        .filter(_.getPath.getName.startsWith("day="))
+        .map { dayDir =>
+          val day = dayDir.getPath.getName.stripPrefix("day=")
+          val files = fs.listStatus(dayDir.getPath).toSeq
+            .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+          var rows = 0L
+          var minFp = Long.MaxValue
+          var maxFp = Long.MinValue
+          files.foreach { f =>
+            val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+              org.apache.parquet.hadoop.util.HadoopInputFile
+                .fromPath(f.getPath, conf))
+            try reader.getFooter.getBlocks.asScala.foreach { block =>
+              rows += block.getRowCount
+              block.getColumns.asScala
+                .find(_.getPath.toDotString == "firstPacket")
+                .foreach { c =>
+                  val st = c.getStatistics
+                  if (st != null && !st.isEmpty) {
+                    (st.genericGetMin, st.genericGetMax) match {
+                      case (mn: java.lang.Long, mx: java.lang.Long) =>
+                        minFp = math.min(minFp, mn)
+                        maxFp = math.max(maxFp, mx)
+                      case _ => ()
+                    }
+                  }
+                }
+            } finally reader.close()
+          }
+          PartitionInfo(day,
+            files = files.size.toLong,
+            bytes = files.map(_.getLen).sum,
+            rows = rows,
+            minFirstPacket = if (minFp == Long.MaxValue) -1L else minFp,
+            maxFirstPacket = if (maxFp == Long.MinValue) -1L else maxFp,
+            bucketed = files.nonEmpty && files.forall(f =>
+              BucketFilePattern.matches(f.getPath.getName)))
+        }
+        .sortBy(_.day)
+    spark.createDataFrame(infos)
+  }
+
   def expire(spark: SparkSession, path: String, keepDays: Int,
       nowMs: Long = System.currentTimeMillis()): Seq[String] = {
     val cutoff = java.time.Instant.ofEpochMilli(nowMs)

@@ -108,6 +108,64 @@ class StoreAndCidrSpec extends AnyFunSuite with SparkSpecBase {
     } finally spark.sql("DROP TABLE IF EXISTS graft_bucketed_test")
   }
 
+  test("store inspection: per-day metadata rows with zero data pages read") {
+    import spark.implicits._
+    val base = SessionBuilder.sessionizeRef(spark,
+      "/root/reference/tests/pcap/socks-http-example.pcap").collect().toSeq
+    val dayMs = 86400000L
+    val rows = (0 until 3).flatMap(d => base.map(r => r.copy(
+      sessionId = s"${r.sessionId}#$d",
+      firstPacket = r.firstPacket + d * dayMs,
+      lastPacket = r.lastPacket + d * dayMs)))
+    val path = java.nio.file.Files.createTempDirectory("inspect").toString
+    SessionStore.write(spark.createDataset(rows)(
+      org.apache.spark.sql.Encoders.product[SessionBuilder.SessionRow]), path)
+    val bytesRead = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (e.taskMetrics != null)
+          bytesRead.addAndGet(e.taskMetrics.inputMetrics.bytesRead)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val got =
+      try {
+        val g = SessionStore.inspect(spark, path).collect()
+        Thread.sleep(1500) // listener bus is async
+        g
+      } finally spark.sparkContext.removeSparkListener(listener)
+    assert(bytesRead.get == 0,
+      s"inspection must be metadata-only, read ${bytesRead.get} bytes")
+    assert(got.length == 3)
+    val byDay = got.map(r => r.getString(0) -> r).toMap
+    assert(byDay.keys.toSeq.sorted == Seq("2013-12-02", "2013-12-03",
+      "2013-12-04"))
+    got.foreach { r =>
+      assert(r.getLong(1) >= 1) // files
+      assert(r.getLong(2) > 0) // bytes
+      assert(r.getLong(3) == base.size.toLong) // rows per day
+      assert(!r.getBoolean(6)) // plain store: not bucketed
+    }
+    // footer min/max firstPacket match the data
+    val d0 = byDay("2013-12-02")
+    assert(d0.getLong(4) == base.map(_.firstPacket).min)
+    assert(d0.getLong(5) == base.map(_.firstPacket).max)
+    val d2 = byDay("2013-12-04")
+    assert(d2.getLong(4) == base.map(_.firstPacket).min + 2 * dayMs)
+    // bucketed layout is reported
+    SessionStore.writeBucketed(spark.createDataset(rows)(
+      org.apache.spark.sql.Encoders.product[SessionBuilder.SessionRow]),
+      "graft_inspect_bucketed", nBuckets = 4)
+    try {
+      val loc = spark.sql("DESCRIBE TABLE EXTENDED graft_inspect_bucketed")
+        .filter(col("col_name") === "Location")
+        .head.getString(1)
+      val b = SessionStore.inspect(spark, loc).collect()
+      assert(b.length == 3 && b.forall(_.getBoolean(6)),
+        "bucket-ordinal file naming must report bucketed=true")
+    } finally spark.sql("DROP TABLE IF EXISTS graft_inspect_bucketed")
+  }
+
   test("gap0 packetPos decodes like viewer/db.js and round-trips") {
     import graft.etl.Pcap
     // markers reset, 0 repeats the last gap, positive adds to running pos
