@@ -91,6 +91,10 @@ object HttpParser {
   private val methods = Set("GET", "POST", "HEAD", "PUT", "DELETE",
     "OPTIONS", "PATCH", "CONNECT", "TRACE")
 
+  // precompiled "\r?\n" — String.split(regex) recompiles per call, and
+  // this runs once per HTTP message
+  private val LineSplit = java.util.regex.Pattern.compile("\r?\n")
+
   /** Walk one direction's stream into messages (header block + body).
     * `reqMethods`: the client direction's request-method sequence — a
     * response to HEAD carries a Content-Length but NO body (RFC 7230
@@ -105,19 +109,30 @@ object HttpParser {
     var respIdx = 0
     while (off < stream.length && guard < 200) {
       guard += 1
-      val text = new String(stream, off,
-        math.min(stream.length - off, 64 * 1024), StandardCharsets.ISO_8859_1)
       // header terminator: CRLFCRLF or bare LFLF — http_parser (and so
-      // the reference) accepts LF-only messages (http-empty-useragent)
-      val crlfEnd = text.indexOf("\r\n\r\n")
-      val lfEnd = text.indexOf("\n\n")
-      val (hEnd, sepLen) =
-        if (crlfEnd >= 0 && (lfEnd < 0 || crlfEnd < lfEnd)) (crlfEnd, 4)
-        else (lfEnd, 2)
+      // the reference) accepts LF-only messages (http-empty-useragent).
+      // Byte scan (first match wins; the two patterns can't start at the
+      // same index) instead of materializing a 64 KiB string per message
+      val limit = math.min(stream.length - off, 64 * 1024)
+      var hEnd = -1
+      var sepLen = 0
+      var si = 0
+      while (hEnd < 0 && si < limit) {
+        val c = stream(off + si)
+        if (c == '\r' && si + 3 < limit && stream(off + si + 1) == '\n' &&
+          stream(off + si + 2) == '\r' && stream(off + si + 3) == '\n') {
+          hEnd = si; sepLen = 4
+        } else if (c == '\n' && si + 1 < limit &&
+          stream(off + si + 1) == '\n') {
+          hEnd = si; sepLen = 2
+        }
+        si += 1
+      }
       if (hEnd < 0) { off = stream.length }
       else {
-        val headerBlock = text.substring(0, hEnd)
-        val lines = headerBlock.split("\r?\n")
+        val headerBlock = new String(stream, off, hEnd,
+          StandardCharsets.ISO_8859_1)
+        val lines = LineSplit.split(headerBlock)
         val firstLine = lines.headOption.getOrElse("")
         val headers = lines.drop(1).toSeq.flatMap { l =>
           val i = l.indexOf(':')

@@ -7,11 +7,22 @@ package graft.etl
   */
 object Magic {
 
-  private def at(b: Array[Byte], off: Int, needle: Array[Int]): Boolean =
-    b.length >= off + needle.length &&
-      needle.indices.forall(i => (b(off + i) & 0xff) == needle(i))
+  private def at(b: Array[Byte], off: Int, needle: Array[Int]): Boolean = {
+    if (b.length < off + needle.length) return false
+    var i = 0
+    while (i < needle.length) {
+      if ((b(off + i) & 0xff) != needle(i)) return false
+      i += 1
+    }
+    true
+  }
 
-  private def s2a(s: String): Array[Int] = s.map(_.toInt & 0xff).toArray
+  // needles are constant strings probed per HTTP body — converting them
+  // per call allocated in the hottest classify loop
+  private val needleCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Int]]()
+  private def s2a(s: String): Array[Int] =
+    needleCache.computeIfAbsent(s, k => k.map(_.toInt & 0xff).toArray)
 
   /** MAGIC_MATCH — prefix at offset. */
   private def m(b: Array[Byte], off: Int, s: String): Boolean =
@@ -22,10 +33,16 @@ object Magic {
     b.length > off + s.length && m(b, off, s)
 
   /** MAGIC_STRCASE — case-insensitive ASCII prefix. */
-  private def cas(b: Array[Byte], off: Int, s: String): Boolean =
-    b.length >= off + s.length && s.indices.forall { i =>
-      Character.toLowerCase(b(off + i) & 0xff) == Character.toLowerCase(s(i))
+  private def cas(b: Array[Byte], off: Int, s: String): Boolean = {
+    if (b.length < off + s.length) return false
+    var i = 0
+    while (i < s.length) {
+      if (Character.toLowerCase(b(off + i) & 0xff) !=
+        Character.toLowerCase(s(i))) return false
+      i += 1
     }
+    true
+  }
 
   private def casLen(b: Array[Byte], off: Int, s: String): Boolean =
     b.length > off + s.length && cas(b, off, s)
@@ -34,9 +51,12 @@ object Magic {
   private def memstrLen(b: Array[Byte], off: Int, s: String): Boolean = {
     if (b.length <= off + s.length) return false
     val needle = s2a(s)
+    val first = needle(0)
     var i = off
-    while (i + needle.length <= b.length) {
-      if (at(b, i, needle)) return true
+    val last = b.length - needle.length
+    while (i <= last) {
+      // first-byte skip loop: the common miss costs one compare
+      if ((b(i) & 0xff) == first && at(b, i, needle)) return true
       i += 1
     }
     false
