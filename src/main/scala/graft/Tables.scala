@@ -54,8 +54,12 @@ object Sessions {
       // sessionization from ~165 to ~265 MB/s (the shuffle leg stops
       // paying ext4 writeback for 250 MB of per-packet blocks).
       .config("spark.local.dir", {
+        // only when the tmpfs has real capacity: container defaults give
+        // /dev/shm 64 MB, where electing it would fail the first shuffle
+        // with ENOSPC instead of just running slower
         val shm = new java.io.File("/dev/shm")
-        if (shm.isDirectory && shm.canWrite) "/dev/shm/graft-scratch"
+        if (shm.isDirectory && shm.canWrite &&
+          shm.getUsableSpace >= (16L << 30)) "/dev/shm/graft-scratch"
         else System.getProperty("java.io.tmpdir")
       })
       // Prefer the serialized sort shuffle writer over bypass-merge:

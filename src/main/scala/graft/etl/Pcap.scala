@@ -413,6 +413,25 @@ object Pcap {
   private val WholeFileMax = 400L << 20
   private val SplitBytes = 256L << 20
 
+  /** Hadoop Configuration is not java-serializable; chunk tasks must
+    * still see the JOB's configuration (spark.hadoop.* — s3a
+    * credentials, endpoints), not classpath defaults, or a remote-FS
+    * read that listed fine on the driver fails on every executor.
+    */
+  private final class SerializableConf(
+      @transient var value: org.apache.hadoop.conf.Configuration)
+      extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject()
+      value.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      value = new org.apache.hadoop.conf.Configuration(false)
+      value.readFields(in)
+    }
+  }
+
   /** Read a directory (or single file) of pcaps as a packet Dataset,
     * with per-chunk IPv4 fragment reassembly.
     *
@@ -444,6 +463,8 @@ object Pcap {
           .sortBy(_._1)
       else Seq((st.getPath.toString, st.getLen))
     val shufflePartitions = spark.sessionState.conf.numShufflePartitions
+    val sconf = new SerializableConf(
+      spark.sparkContext.hadoopConfiguration)
     def whole(f: String, size: Long) =
       ChunkSpec(f, 0L, size, 0, -1L, bigEndian = false,
         nanos = false, linkType = 0, snapLen = 0, whole = true)
@@ -451,26 +472,27 @@ object Pcap {
       // all-small fast path: chunks == files, plan on the driver and
       // parallelize directly — zero shuffles, like the pre-chunked read
       spark.createDataset(metas.map { case (f, s) => whole(f, s) })
-        .flatMap(readChunk(_))
+        .flatMap(readChunk(_, sconf))
     else
       spark.createDataset(metas)
         .repartition(math.max(1, math.min(metas.size, shufflePartitions)))
         .flatMap { case (f, size) =>
           if (size <= WholeFileMax) Seq(whole(f, size))
-          else planChunks(f, size)
+          else planChunks(f, size, sconf)
         }
         // chunk specs are tiny rows: rebalance them so one big file's
         // chunks decode across the cluster, not inside the planning task
         .repartition(shufflePartitions)
-        .flatMap(readChunk(_))
+        .flatMap(readChunk(_, sconf))
   }
 
   /** Record-walk one big classic pcap into record-aligned chunk specs.
     * Reads 16 bytes per record and skips the payloads — a metadata pass.
     */
-  private def planChunks(file: String, size: Long): Seq[ChunkSpec] = {
+  private def planChunks(file: String, size: Long,
+      sconf: SerializableConf): Seq[ChunkSpec] = {
     val path = new org.apache.hadoop.fs.Path(file)
-    val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = path.getFileSystem(sconf.value)
     val in = new java.io.DataInputStream(
       new java.io.BufferedInputStream(fs.open(path), 1 << 20))
     try {
@@ -532,9 +554,10 @@ object Pcap {
     } finally in.close()
   }
 
-  private def readChunk(c: ChunkSpec): Iterator[RawPacket] = {
+  private def readChunk(c: ChunkSpec,
+      sconf: SerializableConf): Iterator[RawPacket] = {
     val path = new org.apache.hadoop.fs.Path(c.file)
-    val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = path.getFileSystem(sconf.value)
     val len = (c.end - c.start).toInt
     val bytes = new Array[Byte](len)
     val in = fs.open(path)

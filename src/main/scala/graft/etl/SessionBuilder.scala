@@ -255,8 +255,17 @@ object SessionBuilder {
       cliIp: String, cliPort: Int, srvIp: String, srvPort: Int,
       // a SYN was seen in the open group (tcp delivery anchor + BGP gate)
       synSeen: Boolean,
-      // walk flag state at the slice edge, for port-reuse detection
+      // walk flag state at the slice edge, for port-reuse detection.
+      // finDirs bits are measured against (finRefIp, finRefPort): the
+      // reference endpoint must stay FIXED across slices or one
+      // endpoint's FINs land on both bits (fake close) / one bit
+      // (missed close) — see the walk's finRef seeding.
       rstSeen: Boolean, finDirs: Int,
+      finRefIp: String, finRefPort: Int,
+      // a port-reuse split was pending when the slice ended (the bare
+      // SYN was the slice's last packet): the next slice starts a new
+      // session (splitAfterPrevNew, closingQ semantics)
+      splitPendingNew: Boolean,
       // accumulators of the open group (protocols/macs/firstBytes
       // survive mid-saves — db.c keeps them on the session)
       protoAcc: Seq[String], srcMacAcc: Seq[String], dstMacAcc: Seq[String],
@@ -320,7 +329,10 @@ object SessionBuilder {
     val headSynNoAck = isTcp && (head.tcpFlags & Decode.TH_SYN) != 0 &&
       (head.tcpFlags & Decode.TH_ACK) == 0
     val boundaryReuse = carry.exists(c =>
-      headSynNoAck && (c.finDirs == 3 || c.rstSeen))
+      // the pending split from the previous slice (its last packet was
+      // the reuse SYN) cuts unconditionally; otherwise the slice's own
+      // first packet being a bare SYN against a closed stream does
+      c.splitPendingNew || (headSynNoAck && (c.finDirs == 3 || c.rstSeen)))
     // the open group continues into this slice unless boundary reuse cut it
     val continuing = carry.isDefined && !boundaryReuse
     val segments = Seq.newBuilder[(Array[DecodedPacket], Boolean, Boolean)]
@@ -333,10 +345,21 @@ object SessionBuilder {
     var bgpArmedTs = -1L // ts of last BGP data packet (pq deadline base)
     var splitAfterPrevNew = false // port reuse after FIN close
     var splitAfterPrevMid = false // BGP pq fired
+    // FIN-direction reference: carried across slices so both slices
+    // label a given endpoint with the SAME bit; fresh sessions anchor it
+    // like the orientation (synAckSwap-adjusted first packet)
+    val (finRefIp, finRefPort) =
+      if (continuing && carry.get.finRefIp != null)
+        (carry.get.finRefIp, carry.get.finRefPort)
+      else if (isTcp &&
+        (head.tcpFlags & (Decode.TH_SYN | Decode.TH_ACK)) ==
+          (Decode.TH_SYN | Decode.TH_ACK))
+        (head.dstIp, head.dstPort)
+      else (head.srcIp, head.srcPort)
     def noteFlags(p: DecodedPacket): Unit = if (isTcp) {
       if ((p.tcpFlags & Decode.TH_RST) != 0) rstSeen = true
       if ((p.tcpFlags & Decode.TH_FIN) != 0)
-        finDirs |= (if (p.srcIp == head.srcIp && p.srcPort == head.srcPort) 1 else 2)
+        finDirs |= (if (p.srcIp == finRefIp && p.srcPort == finRefPort) 1 else 2)
     }
     def noteBgp(p: DecodedPacket): Unit = if (mayBgp) {
       if ((p.tcpFlags & Decode.TH_SYN) != 0) sawSyn = true
@@ -417,9 +440,12 @@ object SessionBuilder {
     // session creation. Port-reused groups beyond the first get a
     // distinct sessionId suffix — the reference gives each its own ES id.
     // flag state at the walk's end belongs to the OPEN segment — what a
-    // following slice must resume from
+    // following slice must resume from. A port-reuse split still pending
+    // (the reuse SYN was the slice's LAST packet) must survive too, or
+    // the next slice silently continues the closed session.
     val endRst = rstSeen
     val endFin = finDirs
+    val endSplitPendingNew = splitAfterPrevNew
     val rows = Seq.newBuilder[SessionRow]
     var outCarry: Option[GroupCarry] = carry
     groups.zipWithIndex.foreach { case (gsegs, gIdx) =>
@@ -490,6 +516,8 @@ object SessionBuilder {
         outCarry = Some(GroupCarry(
           cliIp = o0._1, cliPort = o0._2, srvIp = o0._3, srvPort = o0._4,
           synSeen = synSeen, rstSeen = endRst, finDirs = endFin,
+          finRefIp = finRefIp, finRefPort = finRefPort,
+          splitPendingNew = endSplitPendingNew,
           protoAcc = protoAcc.toSeq.sorted,
           srcMacAcc = srcMacAcc.toSeq.sorted,
           dstMacAcc = dstMacAcc.toSeq.sorted,

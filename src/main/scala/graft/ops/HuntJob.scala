@@ -151,17 +151,9 @@ object HuntJob {
     var st = load(huntDir).getOrElse(
       throw new IllegalStateException(s"no hunt state at $huntDir"))
     if (st.status == "finished" || st.status == "paused") return st
-    def pauseWithError(e: Exception): Unit = {
-      st = st.copy(status = "paused",
-        errors = st.errors :+ s"Hunt error: ${e.getMessage}")
-      save(huntDir, st)
-      notifier.notify(s"${st.name} hunt job paused with error",
-        s"${e.getMessage} — ${st.matchedSessions} matched sessions " +
-          s"out of ${st.searchedSessions} searched sessions.")
-    }
     if (st.totalSessions < 0) {
       try st = st.copy(totalSessions = sessions.count())
-      catch { case e: Exception => pauseWithError(e); return st }
+      catch { case e: Exception => return pauseError(huntDir, st, e, notifier) }
     }
     // preserve a pause that raced the totalSessions count above
     val raced = load(huntDir)
@@ -178,6 +170,31 @@ object HuntJob {
     * the batch allowance ran out mid-frame.
     */
   private final case class BatchRun(st: State, used: Int, reason: String)
+
+  /** The one pause-with-error path (reference pauseHuntJobWithError):
+    * record, checkpoint, alert. Returns the paused state.
+    */
+  private def pauseError(huntDir: String, st: State, e: Exception,
+      notifier: Notifier): State = {
+    val paused = st.copy(status = "paused",
+      errors = st.errors :+ s"Hunt error: ${e.getMessage}")
+    save(huntDir, paused)
+    notifier.notify(s"${paused.name} hunt job paused with error",
+      s"${e.getMessage} — ${paused.matchedSessions} matched sessions " +
+        s"out of ${paused.searchedSessions} searched sessions.")
+    paused
+  }
+
+  /** Completion: mark finished, checkpoint, alert. */
+  private def finish(huntDir: String, st: State,
+      notifier: Notifier): State = {
+    val fin = st.copy(status = "finished")
+    save(huntDir, fin)
+    notifier.notify(s"${fin.name} hunt job finished",
+      s"${fin.matchedSessions} matched sessions out of " +
+        s"${fin.searchedSessions} searched sessions.")
+    fin
+  }
 
   private def runBatches(
       sessions: Dataset[SessionRow], cfg: Hunt.HuntConfig, huntDir: String,
@@ -215,11 +232,7 @@ object HuntJob {
             .collect() // bounded by batchSize
           if (hunted.isEmpty) {
             if (finishOnEmpty) {
-              st = st.copy(status = "finished")
-              save(huntDir, st)
-              notifier.notify(s"${st.name} hunt job finished",
-                s"${st.matchedSessions} matched sessions out of " +
-                  s"${st.searchedSessions} searched sessions.")
+              st = finish(huntDir, st, notifier)
               reason = "stopped"
             } else reason = "exhausted"
             done = true
@@ -252,12 +265,7 @@ object HuntJob {
           }
         } catch {
           case e: Exception =>
-            st = st.copy(status = "paused",
-              errors = st.errors :+ s"Hunt error: ${e.getMessage}")
-            save(huntDir, st)
-            notifier.notify(s"${st.name} hunt job paused with error",
-              s"${e.getMessage} — ${st.matchedSessions} matched sessions " +
-                s"out of ${st.searchedSessions} searched sessions.")
+            st = pauseError(huntDir, st, e, notifier)
             reason = "stopped"; done = true
         }
       }
@@ -290,37 +298,26 @@ object HuntJob {
     var st = load(huntDir).getOrElse(
       throw new IllegalStateException(s"no hunt state at $huntDir"))
     if (st.status == "finished" || st.status == "paused") return st
-    def pauseWithError(e: Exception): Unit = {
-      st = st.copy(status = "paused",
-        errors = st.errors :+ s"Hunt error: ${e.getMessage}")
-      save(huntDir, st)
-      notifier.notify(s"${st.name} hunt job paused with error",
-        s"${e.getMessage} — ${st.matchedSessions} matched sessions " +
-          s"out of ${st.searchedSessions} searched sessions.")
-    }
     // partition listing + parquet-footer count: metadata-scale work
     val days =
       try listDays(spark, storePath)
-      catch { case e: Exception => pauseWithError(e); return st }
+      catch { case e: Exception => return pauseError(huntDir, st, e, notifier) }
     if (st.totalSessions < 0) {
       try st = st.copy(totalSessions =
         if (days.isEmpty) 0L
         else graft.etl.SessionStore.read(spark, storePath).count())
-      catch { case e: Exception => pauseWithError(e); return st }
+      catch { case e: Exception => return pauseError(huntDir, st, e, notifier) }
     }
     val raced = load(huntDir)
     if (raced.exists(_.status == "paused")) return raced.get
     st = st.copy(status = "running")
     save(huntDir, st)
-    if (days.isEmpty) {
-      st = st.copy(status = "finished")
-      save(huntDir, st)
-      notifier.notify(s"${st.name} hunt job finished",
-        s"${st.matchedSessions} matched sessions out of " +
-          s"${st.searchedSessions} searched sessions.")
-      return st
-    }
+    if (days.isEmpty) return finish(huntDir, st, notifier)
     val todo = if (st.lastDay.isEmpty) days else days.filter(_ >= st.lastDay)
+    // the cursor day (and everything after it) may have been expired
+    // from the store since the crash: nothing left to scan is a
+    // completed hunt, not a forever-'running' one
+    if (todo.isEmpty) return finish(huntDir, st, notifier)
     var remaining = maxBatches
     var stopped = false
     for (day <- todo if !stopped && remaining > 0) {

@@ -50,7 +50,11 @@ object Parliament {
       title: String, severity: String, value: String,
       firstNoticedMs: Long, lastNoticedMs: Long,
       acknowledgedMs: Long = -1L, ignoreUntilMs: Long = -1L,
-      alertedMs: Long = -1L)
+      alertedMs: Long = -1L,
+      // first-notice issues are provisional (parliament.js:469): they
+      // alert only when re-noticed, and vanish if not seen again within
+      // 10 s — so a one-cycle blip never pages anyone
+      provisional: Boolean = true)
 
   /** noPacketsMap analogue: when a node was first seen low. */
   final case class NoPacketsMark(cluster: String, node: String, sinceMs: Long)
@@ -179,32 +183,62 @@ object Parliament {
 
     val prev = readIssues(spark, dir)
       .map(i => (i.cluster, i.issueType, i.node) -> i).toMap
+    // setIssue (parliament.js:460-507): an EXISTING issue re-noticed is
+    // persistent (provisional off); an expired ignore clears both the
+    // ignore and the alert stamp so it alerts again; a NEW issue is
+    // provisional and does NOT alert on first notice.
     val upserted = cands.map { case (cluster, tpe, node, value) =>
       val (title, severity, _) = issueTypes(tpe)
       prev.get((cluster, tpe, node)) match {
-        case Some(old) => old.copy(value = value, lastNoticedMs = nowMs)
+        case Some(old0) =>
+          var old = old0.copy(value = value, lastNoticedMs = nowMs,
+            provisional = false)
+          if (old.ignoreUntilMs != -1L && old.ignoreUntilMs != Long.MaxValue
+            && nowMs > old.ignoreUntilMs)
+            old = old.copy(ignoreUntilMs = -1L, alertedMs = -1L)
+          old
         case None => Issue(cluster, tpe, node, title, severity, value,
           firstNoticedMs = nowMs, lastNoticedMs = nowMs)
       }
     }
     val candKeys = cands.map(c => (c._1, c._2, c._3)).toSet
-    val kept = prev.values.toSeq
-      .filterNot(i => candKeys((i.cluster, i.issueType, i.node)))
-      // timed cleanup (settingsDefault removeIssuesAfter /
-      // removeAcknowledgedAfter, in minutes)
-      .filter(i => nowMs - i.lastNoticedMs <
-        settings.removeIssuesAfterMin * 60000)
-      .filter(i => i.acknowledgedMs < 0 ||
-        nowMs - i.acknowledgedMs < settings.removeAcknowledgedAfterMin * 60000)
-    val merged = (upserted ++ kept).map { i =>
-      if (i.alertedMs < 0 && i.acknowledgedMs < 0 &&
-        (i.ignoreUntilMs < 0 || i.ignoreUntilMs <= nowMs)) {
+    val prevKeys = prev.keySet
+    // alert pass BEFORE cleanup, like setIssue firing inside the poll:
+    // only re-noticed persistent issues alert, each exactly once while
+    // un-acknowledged and un-ignored
+    val alerted = upserted.map { i =>
+      val reNoticed = prevKeys((i.cluster, i.issueType, i.node))
+      if (reNoticed && i.alertedMs < 0 && i.acknowledgedMs < 0 &&
+        i.ignoreUntilMs == -1L) {
         val text = issueTypes(i.issueType)._3
         notifier.notify(s"${i.cluster} ${i.issueType}",
           s"${i.cluster}${if (i.node.nonEmpty) " " + i.node else ""} " +
             s"$text (${i.value})")
         i.copy(alertedMs = nowMs)
       } else i
+    }
+    val kept = prev.values.toSeq
+      .filterNot(i => candKeys((i.cluster, i.issueType, i.node)))
+    // cleanUpIssues (parliament.js:877-907), ignored issues exempt:
+    // drop un-re-seen provisionals after 10 s, drop unacknowledged
+    // issues unseen for removeIssuesAfter and acknowledged ones unseen
+    // for removeAcknowledgedAfter, and UN-acknowledge (and re-arm the
+    // alert of) a still-persisting issue acknowledged longer than
+    // removeAcknowledgedAfter ago — an acknowledged outage must not
+    // stay silent forever.
+    val merged = (alerted ++ kept).flatMap { i =>
+      val ignored = i.ignoreUntilMs != -1L
+      val sinceLast = nowMs - i.lastNoticedMs
+      if (ignored) Some(i)
+      else if (i.provisional && sinceLast >= 10000L) None
+      else if (i.acknowledgedMs < 0 &&
+        sinceLast > settings.removeIssuesAfterMin * 60000) None
+      else if (i.acknowledgedMs >= 0 &&
+        sinceLast > settings.removeAcknowledgedAfterMin * 60000) None
+      else if (i.acknowledgedMs >= 0 &&
+        nowMs - i.acknowledgedMs > settings.removeAcknowledgedAfterMin * 60000)
+        Some(i.copy(alertedMs = -1L, acknowledgedMs = -1L))
+      else Some(i)
     }.sortBy(i => (i.cluster, i.issueType, i.node))
     writeTable(spark, issuesPath(dir), merged)(Encoders.product[Issue])
     writeTable(spark, marksPath(dir), marks)(Encoders.product[NoPacketsMark])
@@ -245,11 +279,13 @@ object Parliament {
       Some(i.copy(ignoreUntilMs =
         if (forMs < 0) Long.MaxValue else nowMs + forMs)))
 
-  /** PUT …/removeIgnoreIssues. */
+  /** PUT …/removeIgnoreIssues — also re-arms the alert
+    * (parliament.js:1838-1839 "reset alert time so it can alert again").
+    */
   def removeIgnore(spark: SparkSession, dir: String, cluster: String,
       issueType: String, node: String): Seq[Issue] =
     mutate(spark, dir, cluster, issueType, node)(i =>
-      Some(i.copy(ignoreUntilMs = -1L)))
+      Some(i.copy(ignoreUntilMs = -1L, alertedMs = -1L)))
 
   /** DELETE …/issues: drop one issue outright. */
   def remove(spark: SparkSession, dir: String, cluster: String,

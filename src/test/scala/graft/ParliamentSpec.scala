@@ -44,18 +44,37 @@ class ParliamentSpec extends AnyFunSuite with SparkSpecBase {
       .forall(_.severity == "red"))
     assert(first.find(_.issueType == "esDown").get.value ==
       "connect ECONNREFUSED")
-    assert(mem.alerts.size == 4)
-    // 11 s later, n4 is still low → promoted; nothing re-alerts
+    // first notice is PROVISIONAL: no alert yet (parliament.js:502-507)
+    assert(first.forall(_.provisional))
+    assert(mem.alerts.isEmpty)
+    // 11 s later, n4 is still low → promoted; the four re-noticed
+    // issues turn persistent and alert exactly once
     val second = Parliament.processCycle(spark, dir, health, stats,
       t0 + 11000, notifier = mem)
     assert(second.map(i => (i.issueType, i.node)).toSet ==
       first.map(i => (i.issueType, i.node)).toSet + (("noPackets", "n4")))
-    assert(mem.alerts.size == 5) // only the new noPackets alerted
+    assert(mem.alerts.size == 4)
     val np = second.find(_.issueType == "noPackets").get
-    assert(np.value == "0" && np.severity == "red")
+    assert(np.value == "0" && np.severity == "red" && np.provisional)
     // firstNoticed survives re-noticing, lastNoticed advances
     val ood = second.find(_.issueType == "outOfDate").get
     assert(ood.firstNoticedMs == t0 && ood.lastNoticedMs == t0 + 11000)
+    assert(!ood.provisional)
+    // third cycle: the promoted noPackets re-notices and alerts; the
+    // rest are already alerted
+    Parliament.processCycle(spark, dir, health, stats, t0 + 12000,
+      notifier = mem)
+    assert(mem.alerts.size == 5)
+    // a blip that never recurs: provisional issues vanish after 10 s —
+    // fresh dir, one degraded cycle, then healthy cycles only
+    val dir2 = Files.createTempDirectory("parliament-blip").toString
+    val mem2 = new Notifier.Memory
+    Parliament.processCycle(spark, dir2, Nil, stats, t0, notifier = mem2)
+    val afterBlip = Parliament.processCycle(spark, dir2, Nil,
+      statsDf(Seq(("c1", "n1", t0 / 1000 + 20 - 1, 100L, 0L))),
+      t0 + 20000, notifier = mem2)
+    assert(afterBlip.isEmpty && mem2.alerts.isEmpty,
+      "a one-cycle blip never alerts and is swept")
   }
 
   test("acknowledge suppresses and sweeps; resolved issues expire after removeIssuesAfter") {
@@ -68,21 +87,38 @@ class ParliamentSpec extends AnyFunSuite with SparkSpecBase {
     def good(atMs: Long) = statsDf(Seq(("c1", "n1", atMs / 1000 - 1, 100L, 0L)))
     val mem = new Notifier.Memory
     Parliament.processCycle(spark, dir, Nil, bad(t0), t0, notifier = mem)
-    assert(mem.alerts.size == 1)
-    // acknowledged: never alerts again, swept removeAcknowledgedAfter later
-    Parliament.acknowledge(spark, dir, "c1", "outOfDate", "n1", t0 + 1000)
-    val after = Parliament.processCycle(spark, dir, Nil, bad(t0 + 2000),
-      t0 + 2000, notifier = mem)
-    assert(mem.alerts.size == 1)
-    assert(after.head.acknowledgedMs == t0 + 1000)
-    val t16 = t0 + 16 * 60000
-    val swept = Parliament.processCycle(spark, dir, Nil, good(t16), t16,
+    assert(mem.alerts.isEmpty) // provisional
+    Parliament.processCycle(spark, dir, Nil, bad(t0 + 2000), t0 + 2000,
       notifier = mem)
-    assert(swept.isEmpty, "acknowledged issue swept after 15 min")
-    // a fresh occurrence is a NEW issue and alerts again
-    val t17 = t0 + 17 * 60000
-    Parliament.processCycle(spark, dir, Nil, bad(t17), t17, notifier = mem)
+    assert(mem.alerts.size == 1)
+    // acknowledged: silent while the ack is fresh
+    Parliament.acknowledge(spark, dir, "c1", "outOfDate", "n1", t0 + 3000)
+    val after = Parliament.processCycle(spark, dir, Nil, bad(t0 + 4000),
+      t0 + 4000, notifier = mem)
+    assert(mem.alerts.size == 1)
+    assert(after.head.acknowledgedMs == t0 + 3000)
+    // …but a STILL-FIRING issue un-acknowledges after
+    // removeAcknowledgedAfter and alerts again (parliament.js:903-906) —
+    // an acknowledged outage must not stay silent forever
+    val t16 = t0 + 16 * 60000
+    val unacked = Parliament.processCycle(spark, dir, Nil, bad(t16), t16,
+      notifier = mem)
+    assert(unacked.head.acknowledgedMs == -1L)
+    Parliament.processCycle(spark, dir, Nil, bad(t16 + 2000), t16 + 2000,
+      notifier = mem)
     assert(mem.alerts.size == 2)
+    // an acknowledged issue that RESOLVES is swept removeAcknowledgedAfter
+    // after it was last seen
+    val dirB = Files.createTempDirectory("parliament2b").toString
+    val memB = new Notifier.Memory
+    Parliament.processCycle(spark, dirB, Nil, bad(t0), t0, notifier = memB)
+    Parliament.processCycle(spark, dirB, Nil, bad(t0 + 2000), t0 + 2000,
+      notifier = memB)
+    Parliament.acknowledge(spark, dirB, "c1", "outOfDate", "n1", t0 + 3000)
+    val tB = t0 + 16 * 60000
+    val sweptB = Parliament.processCycle(spark, dirB, Nil, good(tB), tB,
+      notifier = memB)
+    assert(sweptB.isEmpty, "acknowledged + resolved issue swept")
     // resolved (node recovers): issue lingers until removeIssuesAfter
     val t18 = t0 + 18 * 60000
     val lingering = Parliament.processCycle(spark, dir, Nil, good(t18), t18,
@@ -94,20 +130,36 @@ class ParliamentSpec extends AnyFunSuite with SparkSpecBase {
     assert(gone.isEmpty, "unresolved-for-60min issue removed")
   }
 
-  test("ignore/removeIgnore round-trip; remove deletes outright") {
+  test("ignore suppresses until expiry/unignore, both re-arm the alert; remove deletes") {
     val dir = Files.createTempDirectory("parliament3").toString
     val t0 = 3000000000L * 1000
-    val nowSec = t0 / 1000
-    val bad = statsDf(Seq(("c1", "n1", nowSec - 120, 100L, 0L)))
-    Parliament.processCycle(spark, dir, Nil, bad, t0)
+    def bad(atMs: Long) = statsDf(Seq(("c1", "n1", atMs / 1000 - 120, 100L, 0L)))
+    val mem = new Notifier.Memory
+    Parliament.processCycle(spark, dir, Nil, bad(t0), t0, notifier = mem)
+    Parliament.processCycle(spark, dir, Nil, bad(t0 + 1000), t0 + 1000,
+      notifier = mem)
+    assert(mem.alerts.size == 1)
     val ignored = Parliament.ignore(spark, dir, "c1", "outOfDate", "n1",
-      t0, forMs = 3600000)
-    assert(ignored.head.ignoreUntilMs == t0 + 3600000)
+      t0 + 1000, forMs = 3600000)
+    assert(ignored.head.ignoreUntilMs == t0 + 1000 + 3600000)
+    // still ignored: re-noticing neither alerts nor expires the issue
+    Parliament.processCycle(spark, dir, Nil, bad(t0 + 2000), t0 + 2000,
+      notifier = mem)
+    assert(mem.alerts.size == 1)
+    // expiry while still firing: the ignore and the alert stamp clear
+    // and the persisting issue alerts in the SAME poll ("the ignore has
+    // expired, so alert!", parliament.js:484-487)
+    val tExp = t0 + 1000 + 3600000 + 1000
+    val expired = Parliament.processCycle(spark, dir, Nil, bad(tExp), tExp,
+      notifier = mem)
+    assert(expired.head.ignoreUntilMs == -1L && expired.head.alertedMs == tExp)
+    assert(mem.alerts.size == 2)
     val forever = Parliament.ignore(spark, dir, "c1", "outOfDate", "n1",
-      t0, forMs = -1)
+      tExp, forMs = -1)
     assert(forever.head.ignoreUntilMs == Long.MaxValue)
+    // unignore re-arms the alert (parliament.js:1838-1839)
     val cleared = Parliament.removeIgnore(spark, dir, "c1", "outOfDate", "n1")
-    assert(cleared.head.ignoreUntilMs == -1L)
+    assert(cleared.head.ignoreUntilMs == -1L && cleared.head.alertedMs == -1L)
     assert(Parliament.remove(spark, dir, "c1", "outOfDate", "n1").isEmpty)
     intercept[IllegalArgumentException] {
       Parliament.remove(spark, dir, "c1", "outOfDate", "n1")

@@ -53,6 +53,63 @@ class StreamSessionizeSpec extends AnyFunSuite with SparkSpecBase {
     } finally q.stop()
   }
 
+  test("carry: FIN direction stays consistent when a slice starts with the other endpoint") {
+    // client FIN ends slice 1; slice 2 STARTS with the server's FIN —
+    // with head-relative direction bits both FINs would land on bit 1
+    // and the reuse SYN would not split (reviewed bug)
+    def pkt(i: Int, src: Boolean, flags: Int, seq: Long): Decode.DecodedPacket =
+      Decode.DecodedPacket("s", i, 1700000000000000L + i * 1000L,
+        i.toLong * 100, 70, 54, "aa:aa:aa:aa:aa:01", "ff:ff:ff:ff:ff:ff", 6,
+        if (src) "1.1.1.1" else "2.2.2.2", if (src) "2.2.2.2" else "1.1.1.1",
+        if (src) 1234 else 80, if (src) 80 else 1234,
+        flags, 1000, seq, 0L, Array.emptyByteArray,
+        prevTsMicros = 1700000000000000L + math.max(0, i - 1) * 1000L,
+        l4Offset = 54)
+    val S = Decode.TH_SYN; val A = Decode.TH_ACK; val F = Decode.TH_FIN
+    val key = SessionBuilder.sessionKey(pkt(0, src = true, S, 1000L))
+    val slice1 = Seq(
+      pkt(0, src = true, S, 1000L), pkt(1, src = false, S | A, 5000L),
+      pkt(2, src = true, F | A, 1001L)) // client FIN
+    val slice2 = Seq(
+      pkt(3, src = false, F | A, 5001L), // server FIN — head of this slice
+      pkt(4, src = true, S, 9000L), // bare SYN: port reuse
+      pkt(5, src = false, S | A, 7000L))
+    val (rows1, c1) = SessionBuilder.buildSessionsCarry(key,
+      slice1.iterator, "test", carry = None)
+    assert(c1.get.finDirs == 1)
+    val (rows2, _) = SessionBuilder.buildSessionsCarry(key,
+      slice2.iterator, "test", carry = c1)
+    // batch over the whole list splits the reuse into |r1
+    val batch = SessionBuilder.buildSessions(key,
+      (slice1 ++ slice2).iterator, "test").toSeq
+    assert(batch.map(_.sessionId).distinct.sorted == Seq(key, s"$key|r1"))
+    assert((rows1 ++ rows2).exists(_.sessionId == s"$key|r1"),
+      "carried FIN bits must detect the cross-slice close + reuse")
+
+    // pending-split carry: the reuse SYN is the LAST packet of a slice
+    // (it files into the OLD session per closingQ), and the next slice
+    // must open |r1 even though it starts with a SYN-ACK
+    val sliceA = Seq(
+      pkt(0, src = true, S, 1000L), pkt(1, src = false, S | A, 5000L),
+      pkt(2, src = true, F | A, 1001L), pkt(3, src = false, F | A, 5001L),
+      pkt(4, src = true, S, 9000L)) // reuse SYN, last of the slice
+    val sliceB = Seq(
+      pkt(5, src = false, S | A, 7000L),
+      pkt(6, src = true, A, 9001L))
+    val (rowsA, cA) = SessionBuilder.buildSessionsCarry(key,
+      sliceA.iterator, "test", carry = None)
+    assert(cA.get.splitPendingNew, "pending reuse split must be carried")
+    val (rowsB, _) = SessionBuilder.buildSessionsCarry(key,
+      sliceB.iterator, "test", carry = cA)
+    assert(rowsB.nonEmpty && rowsB.forall(_.sessionId == s"$key|r1"),
+      s"next slice must open the reused session: ${rowsB.map(_.sessionId)}")
+    val batchA = SessionBuilder.buildSessions(key,
+      (sliceA ++ sliceB).iterator, "test").toSeq
+    assert(batchA.map(_.sessionId).distinct.sorted == Seq(key, s"$key|r1"))
+    // and the old session's rows in the slice walk match batch's count
+    assert(rowsA.map(_.sessionId).distinct == Seq(key))
+  }
+
   test("3-flush session: protocol/mac accumulation and port-reuse suffix match batch") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
