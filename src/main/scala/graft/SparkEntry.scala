@@ -290,6 +290,22 @@ object SparkEntry {
         .withColumn("cluster", lit("c1"))
       graft.ops.Parliament.instantIssues(stats, nowSec = 1000000L)
     }),
+    // E38 rollup: getStats' per-cluster aggregates (summed rates, live
+    // node count, monitoring total) over the same synthetic snapshot
+    "e38_parliament_rollup" -> ((s, dir) => {
+      val stats = ev(s, dir).filter(col("user_id").isNotNull)
+        .groupBy(
+          concat(lit("c"), col("user_id") % 2).as("cluster"),
+          concat(lit("node"), col("user_id") % 4).as("nodeName"))
+        .agg(
+          (lit(1000000L) - (max(col("user_id")) % 100L) * lit(40L))
+            .as("currentTime"),
+          (sum(col("user_id")) % 5L).as("deltaPacketsPerSec"),
+          (sum(col("event_id")) % 1000L).as("deltaBytesPerSec"),
+          (count(lit(1)) % 7L).as("deltaTotalDroppedPerSec"),
+          (count(lit(1)) % 2L).as("monitoring"))
+      graft.ops.Parliament.clusterRollup(stats, nowSec = 1000000L)
+    }),
     "e8_unique_autocomplete" -> ((s, dir) =>
       Endpoints.unique(ev(s, dir), col("event_type"), "event_type",
         counts = true, autocompletePrefix = Some("p"))),
@@ -1503,6 +1519,24 @@ object SparkEntry {
                   CAST(deltaPacketsPerSec AS VARCHAR)
            FROM stats WHERE deltaPacketsPerSec <= 0)
          ORDER BY cluster, issue_type, node""",
+    "e38_parliament_rollup" ->
+      """WITH stats AS (
+           SELECT 'c' || (user_id % 2) AS cluster,
+                  'node' || (user_id % 4) AS nodeName,
+                  1000000 - (max(user_id) % 100) * 40 AS currentTime,
+                  sum(user_id) % 5 AS deltaPacketsPerSec,
+                  sum(event_id) % 1000 AS deltaBytesPerSec,
+                  count(*) % 7 AS deltaTotalDroppedPerSec,
+                  count(*) % 2 AS monitoring
+           FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2)
+         SELECT cluster,
+                CAST(sum(deltaBytesPerSec) AS BIGINT) AS deltaBPS,
+                CAST(sum(deltaTotalDroppedPerSec) AS BIGINT) AS deltaTDPS,
+                CAST(sum(CASE WHEN 1000000 - currentTime <= 30
+                     AND deltaPacketsPerSec > 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS liveNodes,
+                CAST(sum(monitoring) AS BIGINT) AS monitoring
+         FROM stats GROUP BY cluster ORDER BY cluster""",
     "e16_node_stats" ->
       s"""SELECT 'node' || (user_id % 4) AS node, count(*) AS n,
          ${sqlDsum("value")} AS sum_value,

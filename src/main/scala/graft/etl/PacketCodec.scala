@@ -28,7 +28,15 @@ object PacketCodec {
   private def utf8(s: String): Array[Byte] =
     if (s == null || s.isEmpty) Empty else s.getBytes(StandardCharsets.UTF_8)
 
-  /** Pack one decoded packet. Field order must match [[unpack]]. */
+  /** Pack one decoded packet. Field order must match [[unpack]].
+    *
+    * The three repeated fields (tunnels, greIps, vlanIds) carry a one-byte
+    * count, so they are truncated to 255 entries: Decode's VLAN/GRE unwrap
+    * loops are input-bounded, and a crafted frame with >255 stacked tags
+    * would otherwise wrap the count byte while every entry was still
+    * written, misaligning the stream on unpack. Real traffic never nests
+    * past single digits; keeping the first 255 loses nothing analytic.
+    */
   def pack(p: DecodedPacket): Array[Byte] = {
     val file = utf8(p.file)
     val macSrc = utf8(p.macSrc)
@@ -37,15 +45,16 @@ object PacketCodec {
     val dstIp = utf8(p.dstIp)
     val keyOverride = utf8(p.keyOverride)
     val isis = utf8(p.isisMsgType)
-    val tunnels = p.tunnels.map(utf8)
-    val greIps = p.greIps.map(utf8)
+    val tunnels = p.tunnels.take(255).map(utf8)
+    val greIps = p.greIps.take(255).map(utf8)
+    val vlanIds = p.vlanIds.take(255)
     var size = 4 + 8 + 8 + 8 + 4 + 4 + 2 + 4 + 4 + 1 + 2 + 4 + 4 + 2 + 2 + 4 +
       2 + file.length + 1 + macSrc.length + 1 + macDst.length +
       1 + srcIp.length + 1 + dstIp.length +
       1 + keyOverride.length + 1 + isis.length +
       1 + tunnels.map(_.length + 1).sum +
       1 + greIps.map(_.length + 1).sum +
-      1 + 2 * p.vlanIds.length +
+      1 + 2 * vlanIds.length +
       4 + p.payload.length
     val out = new Array[Byte](size)
     var o = 0
@@ -75,12 +84,12 @@ object PacketCodec {
     System.arraycopy(file, 0, out, o, file.length); o += file.length
     bytes8(macSrc); bytes8(macDst); bytes8(srcIp); bytes8(dstIp)
     bytes8(keyOverride); bytes8(isis)
-    out(o) = p.tunnels.length.toByte; o += 1
+    out(o) = tunnels.length.toByte; o += 1
     tunnels.foreach(bytes8)
-    out(o) = p.greIps.length.toByte; o += 1
+    out(o) = greIps.length.toByte; o += 1
     greIps.foreach(bytes8)
-    out(o) = p.vlanIds.length.toByte; o += 1
-    p.vlanIds.foreach(i16)
+    out(o) = vlanIds.length.toByte; o += 1
+    vlanIds.foreach(i16)
     i32(p.payload.length)
     System.arraycopy(p.payload, 0, out, o, p.payload.length)
     o += p.payload.length

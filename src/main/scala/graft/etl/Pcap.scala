@@ -334,9 +334,58 @@ object Pcap {
     * IPv4 is examined — tunneled fragments pass through untouched.
     */
   def assembleFrags4(packets: Iterator[RawPacket]): Iterator[RawPacket] = {
-    final case class Frag(off: Int, mf: Boolean, payload: Array[Byte], raw: RawPacket)
-    val pending = scala.collection.mutable.LinkedHashMap[String, scala.collection.mutable.ArrayBuffer[Frag]]()
-    def ipOffOf(p: RawPacket): Int = {
+    val asm = new FragAssembler
+    packets.flatMap(asm.offer)
+  }
+
+  /** [[assembleFrags4]] over ONE record-aligned chunk of a bigger file,
+    * with boundary repair: a fragment group whose offset-0 fragment this
+    * chunk saw ("owned") but which is still incomplete at chunk end is
+    * finished by reading a bounded overlap past the chunk boundary
+    * (`overlap`, built lazily — only incomplete owned groups pay the
+    * extra read). The NEXT chunk sees the same overlap records but drops
+    * fragments of groups whose start it never saw, so each spanning
+    * group assembles exactly once, in the owning chunk, with the
+    * completing fragment's index/timestamp — the same row the
+    * single-pass whole-file walk emits. Residual drop (was: every
+    * spanning group, Pcap.scala's documented chunk-boundary degradation):
+    * only groups whose offset-0 fragment arrives out of order on the far
+    * side of the boundary, or that span more than the overlap cap.
+    */
+  def assembleFrags4Chunked(packets: Iterator[RawPacket],
+      overlap: () => Iterator[RawPacket]): Iterator[RawPacket] = {
+    val asm = new FragAssembler
+    packets.flatMap(asm.offer) ++ {
+      // built only after the main iterator is exhausted (++ is by-name)
+      asm.retainOwned()
+      if (!asm.hasPending) Iterator.empty
+      else {
+        val it = overlap()
+        // check pending BEFORE pulling: stop reading overlap records the
+        // moment the last owned group completes
+        new Iterator[Iterator[RawPacket]] {
+          def hasNext: Boolean = asm.hasPending && it.hasNext
+          def next(): Iterator[RawPacket] = asm.offerBoundary(it.next())
+        }.flatten
+      }
+    }
+  }
+
+  /** moloch_packet_frags4/frags_process (capture/packet.c:470-600) as
+    * incremental state: fragments buffer keyed (src, dst, ipId); once
+    * the no-MF fragment has arrived and offsets are contiguous, the
+    * completing packet is rewritten with the full payload (ip_len fixed
+    * up, frag bits cleared) and emitted at its position; consumed
+    * fragments emit nothing. Only plain-Ethernet IPv4 is examined —
+    * tunneled fragments pass through untouched.
+    */
+  private final class FragAssembler {
+    private final case class Frag(off: Int, mf: Boolean,
+        payload: Array[Byte], raw: RawPacket)
+    private val pending = scala.collection.mutable.LinkedHashMap[
+      String, scala.collection.mutable.ArrayBuffer[Frag]]()
+
+    private def ipOffOf(p: RawPacket): Int = {
       if (p.linkType != 1 || p.data.length < 34) return -1
       var off = 12
       var et = ((p.data(off) & 0xff) << 8) | (p.data(off + 1) & 0xff)
@@ -347,7 +396,37 @@ object Pcap {
       }
       if (et != 0x0800) -1 else off
     }
-    packets.flatMap { p =>
+
+    /** Drop pending groups whose offset-0 fragment was never seen: at a
+      * chunk boundary those belong to (and were consumed by) an earlier
+      * chunk's overlap read.
+      */
+    def retainOwned(): Unit =
+      pending.filterInPlace((_, frags) => frags.exists(_.off == 0))
+
+    def hasPending: Boolean = pending.nonEmpty
+
+    /** Boundary mode: only fragments of already-pending groups are
+      * consumed; everything else — non-fragments, new groups (their
+      * offset-0 fragment) — belongs to the next chunk and is skipped.
+      */
+    def offerBoundary(p: RawPacket): Iterator[RawPacket] = {
+      val ipOff = ipOffOf(p)
+      if (ipOff < 0 || (p.data(ipOff) & 0xf0) != 0x40) return Iterator.empty
+      val b = p.data
+      val fragField = ((b(ipOff + 6) & 0xff) << 8) | (b(ipOff + 7) & 0xff)
+      val fragOff = (fragField & 0x1fff) * 8
+      // off-0 covers both plain packets and a NEW group's first fragment
+      if (fragOff == 0) return Iterator.empty
+      if (!pending.contains(keyOf(b, ipOff))) return Iterator.empty
+      offer(p)
+    }
+
+    private def keyOf(b: Array[Byte], ipOff: Int): String =
+      (ipOff + 12 to ipOff + 19).map(b(_)).mkString(",") +
+        "|" + (((b(ipOff + 4) & 0xff) << 8) | (b(ipOff + 5) & 0xff))
+
+    def offer(p: RawPacket): Iterator[RawPacket] = {
       val ipOff = ipOffOf(p)
       if (ipOff < 0 || (p.data(ipOff) & 0xf0) != 0x40) Iterator.single(p)
       else {
@@ -359,11 +438,12 @@ object Pcap {
         if (!mf && fragOff == 0) Iterator.single(p)
         else {
           val ipLen = ((b(ipOff + 2) & 0xff) << 8) | (b(ipOff + 3) & 0xff)
-          val key = (ipOff + 12 to ipOff + 19).map(b(_)).mkString(",") +
-            "|" + (((b(ipOff + 4) & 0xff) << 8) | (b(ipOff + 5) & 0xff))
+          val key = keyOf(b, ipOff)
           val payEnd = math.min(ipOff + ipLen, b.length)
-          val payload = java.util.Arrays.copyOfRange(b, ipOff + ihl, math.max(ipOff + ihl, payEnd))
-          val frags = pending.getOrElseUpdate(key, scala.collection.mutable.ArrayBuffer())
+          val payload = java.util.Arrays.copyOfRange(
+            b, ipOff + ihl, math.max(ipOff + ihl, payEnd))
+          val frags = pending.getOrElseUpdate(
+            key, scala.collection.mutable.ArrayBuffer())
           frags += Frag(fragOff, mf, payload, p)
           if (frags.exists(!_.mf)) {
             val sorted = frags.sortBy(_.off)
@@ -418,7 +498,7 @@ object Pcap {
     * credentials, endpoints), not classpath defaults, or a remote-FS
     * read that listed fine on the driver fails on every executor.
     */
-  private final class SerializableConf(
+  private[etl] final class SerializableConf(
       @transient var value: org.apache.hadoop.conf.Configuration)
       extends Serializable {
     private def writeObject(out: java.io.ObjectOutputStream): Unit = {
@@ -443,9 +523,12 @@ object Pcap {
     * one task per file) that plans record-aligned ~256 MiB chunks; the
     * chunks then shuffle across the cluster and parse independently,
     * so one 12 GB capture decodes on ~48 cores instead of one.
-    * Fragment reassembly runs per chunk — an IPv4 fragment group
-    * spanning a chunk boundary is dropped, the same degradation the
-    * reference accepts for frags spanning capture-file rotation.
+    * Fragment reassembly runs per chunk, with boundary repair: a group
+    * that starts in a chunk but completes past its end is finished via
+    * a bounded overlap read ([[assembleFrags4Chunked]]); only groups
+    * spanning more than [[FragOverlapBytes]] (or whose first fragment
+    * arrives out of order on the far side) still drop — the degradation
+    * the reference accepts for frags spanning capture-file rotation.
     * Big pcapng files must ingest via [[graft.ops.Upload]] (which
     * persists a streamed classic transcode).
     */
@@ -453,15 +536,25 @@ object Pcap {
     import spark.implicits._
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val st = fs.getFileStatus(p)
-    val metas: Seq[(String, Long)] =
+    // globStatus handles literal paths, directories AND glob patterns
+    // (the binaryFile reader this replaced accepted globs); hidden /
+    // bookkeeping siblings (.foo.pcap.crc, _SUCCESS) are skipped the way
+    // Hadoop's own input formats do
+    @inline def visible(name: String): Boolean =
+      !name.startsWith(".") && !name.startsWith("_")
+    val matched = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Nil)
+    if (matched.isEmpty)
+      throw new java.io.FileNotFoundException(s"no pcap input matches $path")
+    val metas: Seq[(String, Long)] = matched.flatMap { st =>
       if (st.isDirectory)
-        fs.listStatus(p).toSeq
+        fs.listStatus(st.getPath).toSeq
           .filter(_.isFile)
-          .filter(_.getPath.getName.contains(".pcap")) // .pcap and .pcapng
+          .filter(f => visible(f.getPath.getName) &&
+            f.getPath.getName.contains(".pcap")) // .pcap and .pcapng
           .map(s => (s.getPath.toString, s.getLen))
-          .sortBy(_._1)
-      else Seq((st.getPath.toString, st.getLen))
+      else if (visible(st.getPath.getName)) Seq((st.getPath.toString, st.getLen))
+      else Nil
+    }.sortBy(_._1)
     val shufflePartitions = spark.sessionState.conf.numShufflePartitions
     val sconf = new SerializableConf(
       spark.sparkContext.hadoopConfiguration)
@@ -554,6 +647,12 @@ object Pcap {
     } finally in.close()
   }
 
+  /** Bound on the boundary-repair overlap read: a fragment group that
+    * spans more than this past its chunk's end is dropped (same
+    * degradation the reference accepts at capture-file rotation).
+    */
+  private val FragOverlapBytes = 8L << 20
+
   private def readChunk(c: ChunkSpec,
       sconf: SerializableConf): Iterator[RawPacket] = {
     val path = new org.apache.hadoop.fs.Path(c.file)
@@ -566,8 +665,26 @@ object Pcap {
     else {
       val order =
         if (c.bigEndian) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN
-      assembleFrags4(recordIterator(bytes, 0, c.file, order, c.nanos,
-        maxInclOf(c.snapLen), c.linkType, c.baseIdx, c.prevTs, c.start))
+      val maxIncl = maxInclOf(c.snapLen)
+      // track the tail record's index/ts so overlap records continue the
+      // file's numbering exactly as the next chunk will assign it
+      var lastIdx = c.baseIdx - 1
+      var lastTs = c.prevTs
+      val main = recordIterator(bytes, 0, c.file, order, c.nanos,
+        maxIncl, c.linkType, c.baseIdx, c.prevTs, c.start)
+        .map { p => lastIdx = p.index; lastTs = p.tsMicros; p }
+      assembleFrags4Chunked(main, () => {
+        val fileLen = fs.getFileStatus(path).getLen
+        val oLen = math.min(FragOverlapBytes, fileLen - c.end).toInt
+        if (oLen <= 0) Iterator.empty
+        else {
+          val ob = new Array[Byte](oLen)
+          val oin = fs.open(path)
+          try oin.readFully(c.end, ob, 0, oLen) finally oin.close()
+          recordIterator(ob, 0, c.file, order, c.nanos, maxIncl,
+            c.linkType, lastIdx + 1, lastTs, c.end)
+        }
+      })
     }
   }
 

@@ -272,7 +272,12 @@ object SessionBuilder {
       src8Acc: String, dst8Acc: String,
       // session-start µs (firstPacket survives mid-saves), emitted
       // segment count, and the port-reuse ordinal of the open group
-      firstTsMicros: Long, segBase: Int, reuseBase: Int)
+      firstTsMicros: Long, segBase: Int, reuseBase: Int,
+      // BGP 5 s pq timer state: classification and the last-data
+      // timestamp the pq deadline is measured from must survive a flush
+      // or a long BGP session's keepalive saves restart their clock at
+      // every flush edge (parsers/tcp.c:229 pq re-arm)
+      bgpActive: Boolean = false, bgpArmedTs: Long = -1L)
 
   /** [[buildSessions]] with explicit cross-call state: `carry` seeds the
     * open group (orientation, accumulators, flag state, ordinals) and
@@ -306,7 +311,12 @@ object SessionBuilder {
     // TCP parser has no sequence base, never delivers data to classifiers,
     // and the 5 s keepalive queue never arms (parsers/tcp.c:229,368) —
     // mid-capture BGP flows stay plain 'tcp' and never mid-save.
-    val mayBgp = isTcp && head.dstPort == 179
+    // mid-stream slices (streaming flush) may start with the SERVER's
+    // packet or already-classified carry, so either port or a carried
+    // classification qualifies; the sawSyn + marker gates below keep
+    // false positives out
+    val mayBgp = isTcp && (head.dstPort == 179 || head.srcPort == 179 ||
+      carry.exists(_.bgpActive))
     def bgpMarker(p: DecodedPacket): Boolean =
       p.payload.length >= 16 && p.payload.take(16).forall(_ == -1)
     // Each emitted slice is tagged with whether it STARTS A NEW SESSION
@@ -341,8 +351,10 @@ object SessionBuilder {
     var rstSeen = if (continuing) carry.get.rstSeen else false
     var finDirs = if (continuing) carry.get.finDirs else 0
     var sawSyn = continuing && carry.get.synSeen
-    var bgpActive = false
-    var bgpArmedTs = -1L // ts of last BGP data packet (pq deadline base)
+    var bgpActive = continuing && carry.get.bgpActive
+    // ts of last BGP data packet (pq deadline base); carried across
+    // flushes so the 5 s keepalive-save clock spans slice edges
+    var bgpArmedTs = if (continuing) carry.get.bgpArmedTs else -1L
     var splitAfterPrevNew = false // port reuse after FIN close
     var splitAfterPrevMid = false // BGP pq fired
     // FIN-direction reference: carried across slices so both slices
@@ -367,6 +379,12 @@ object SessionBuilder {
       if (bgpActive && p.payload.nonEmpty) bgpArmedTs = p.tsMicros
     }
     noteFlags(head)
+    // a carried pq deadline can fire on the slice's FIRST packet — the
+    // in-loop check below only sees packets 1…n
+    if (bgpActive && bgpArmedTs >= 0 && head.tsMicros > bgpArmedTs + bgpPqUs) {
+      splitAfterPrevMid = true
+      bgpArmedTs = -1L
+    }
     noteBgp(head)
     var i = 1
     while (i < sorted.length) {
@@ -523,7 +541,8 @@ object SessionBuilder {
           dstMacAcc = dstMacAcc.toSeq.sorted,
           src8Acc = src8Acc, dst8Acc = dst8Acc,
           firstTsMicros = gFirstUs, segBase = segBase + emitted,
-          reuseBase = ordinal))
+          reuseBase = ordinal,
+          bgpActive = bgpActive, bgpArmedTs = bgpArmedTs))
     }
     (rows.result(), outCarry)
   }

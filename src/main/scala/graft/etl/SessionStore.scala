@@ -151,60 +151,89 @@ object SessionStore {
     * viewer/apiStats.js index listing: per-index docs/bytes/time-range/
     * health). One row per day partition with file count, byte size, row
     * count and the firstPacket time range, assembled ENTIRELY from
-    * filesystem listings and parquet footers — no data page is read, so
-    * it answers in seconds on a 100 TB store. `bucketed` reports
-    * whether the partition's files carry Spark's bucket-ordinal naming
-    * (the [[writeBucketed]] layout).
+    * filesystem listings and parquet footers — no data page is read.
+    * The driver does one listing per day directory (metadata-only); the
+    * footer opens — one RPC per file, the actual latency — run as a
+    * distributed job over the file list, so a 100 TB store with a few
+    * hundred thousand files answers in seconds on a cluster instead of
+    * minutes of single-threaded driver RPCs. `bucketed` reports whether
+    * the partition's files carry Spark's bucket-ordinal naming (the
+    * [[writeBucketed]] layout).
     */
   def inspect(spark: SparkSession, path: String): DataFrame = {
-    import scala.jdk.CollectionConverters._
+    import spark.implicits._
     val root = new org.apache.hadoop.fs.Path(path)
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = root.getFileSystem(conf)
-    val infos: Seq[PartitionInfo] =
-      if (!fs.exists(root)) Nil
-      else fs.listStatus(root).toSeq
-        .filter(_.isDirectory)
-        .filter(_.getPath.getName.startsWith("day="))
-        .map { dayDir =>
-          val day = dayDir.getPath.getName.stripPrefix("day=")
-          val files = fs.listStatus(dayDir.getPath).toSeq
-            .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-          var rows = 0L
-          var minFp = Long.MaxValue
-          var maxFp = Long.MinValue
-          files.foreach { f =>
-            val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
-              org.apache.parquet.hadoop.util.HadoopInputFile
-                .fromPath(f.getPath, conf))
-            try reader.getFooter.getBlocks.asScala.foreach { block =>
-              rows += block.getRowCount
-              block.getColumns.asScala
-                .find(_.getPath.toDotString == "firstPacket")
-                .foreach { c =>
-                  val st = c.getStatistics
-                  if (st != null && !st.isEmpty) {
-                    (st.genericGetMin, st.genericGetMax) match {
-                      case (mn: java.lang.Long, mx: java.lang.Long) =>
-                        minFp = math.min(minFp, mn)
-                        maxFp = math.max(maxFp, mx)
-                      case _ => ()
-                    }
-                  }
+    if (!fs.exists(root)) return spark.createDataFrame(Seq.empty[PartitionInfo])
+    val dayDirs = fs.listStatus(root).toSeq
+      .filter(_.isDirectory)
+      .filter(_.getPath.getName.startsWith("day="))
+    val files: Seq[(String, String, Long)] = dayDirs.flatMap { dayDir =>
+      val day = dayDir.getPath.getName.stripPrefix("day=")
+      fs.listStatus(dayDir.getPath).toSeq
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        .map(f => (day, f.getPath.toString, f.getLen))
+    }
+    // day dirs with zero parquet files still report (empty partitions)
+    val emptyDays = (dayDirs.map(_.getPath.getName.stripPrefix("day=")).toSet
+      -- files.map(_._1)).toSeq
+      .map(PartitionInfo(_, 0L, 0L, 0L, -1L, -1L, bucketed = false))
+    if (files.isEmpty)
+      return spark.createDataFrame(emptyDays.sortBy(_.day))
+    val sconf = new Pcap.SerializableConf(conf)
+    val slots = math.max(1,
+      math.min(files.size, spark.sparkContext.defaultParallelism * 4))
+    val perFile = spark.createDataset(files)
+      .repartition(slots)
+      .map { case (day, fpath, len) =>
+        import scala.jdk.CollectionConverters._
+        val p = new org.apache.hadoop.fs.Path(fpath)
+        var rows = 0L
+        var minFp = Long.MaxValue
+        var maxFp = Long.MinValue
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, sconf.value))
+        try reader.getFooter.getBlocks.asScala.foreach { block =>
+          rows += block.getRowCount
+          block.getColumns.asScala
+            .find(_.getPath.toDotString == "firstPacket")
+            .foreach { c =>
+              val st = c.getStatistics
+              if (st != null && !st.isEmpty) {
+                (st.genericGetMin, st.genericGetMax) match {
+                  case (mn: java.lang.Long, mx: java.lang.Long) =>
+                    minFp = math.min(minFp, mn)
+                    maxFp = math.max(maxFp, mx)
+                  case _ => ()
                 }
-            } finally reader.close()
-          }
-          PartitionInfo(day,
-            files = files.size.toLong,
-            bytes = files.map(_.getLen).sum,
-            rows = rows,
-            minFirstPacket = if (minFp == Long.MaxValue) -1L else minFp,
-            maxFirstPacket = if (maxFp == Long.MinValue) -1L else maxFp,
-            bucketed = files.nonEmpty && files.forall(f =>
-              BucketFilePattern.matches(f.getPath.getName)))
-        }
-        .sortBy(_.day)
-    spark.createDataFrame(infos)
+              }
+            }
+        } finally reader.close()
+        (day, len, rows, minFp, maxFp,
+          BucketFilePattern.matches(p.getName))
+      }
+      .toDF("day", "bytes", "rows", "minFp", "maxFp", "isBucketFile")
+    val agg = perFile.groupBy("day")
+      .agg(
+        count(lit(1)).as("files"),
+        sum("bytes").as("bytes"),
+        sum("rows").as("rows"),
+        min("minFp").as("minFp"),
+        max("maxFp").as("maxFp"),
+        min(col("isBucketFile").cast("int")).as("allBucketed"))
+      .select(
+        col("day"),
+        col("files"),
+        col("bytes"),
+        col("rows"),
+        when(col("minFp") === Long.MaxValue, -1L).otherwise(col("minFp"))
+          .as("minFirstPacket"),
+        when(col("maxFp") === Long.MinValue, -1L).otherwise(col("maxFp"))
+          .as("maxFirstPacket"),
+        (col("allBucketed") === 1).as("bucketed"))
+    (if (emptyDays.isEmpty) agg
+     else agg.unionByName(spark.createDataFrame(emptyDays))).orderBy("day")
   }
 
   def expire(spark: SparkSession, path: String, keepDays: Int,

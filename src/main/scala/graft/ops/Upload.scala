@@ -31,7 +31,7 @@ object Upload {
   def upload(spark: SparkSession, tmpFile: String, storePath: String,
       pcapDir: String, tags: Seq[String] = Nil,
       node: String = "upload"): Result = {
-    val sessions = ingest(spark, tmpFile, pcapDir, tags, node)
+    val (sessions, dest) = ingestWithPath(spark, tmpFile, pcapDir, tags, node)
     // localCheckpoint: materialize before the store append so the rows
     // are computed once (count + write) and the write plan does not
     // depend on re-reading the temp file after the caller deletes it
@@ -40,21 +40,37 @@ object Upload {
     import spark.implicits._
     val n = rows.count()
     val pkts = if (n == 0) 0L else rows.map(_.totPackets).reduce(_ + _)
-    Result(n, pkts, copiedPath(tmpFile, pcapDir, node))
+    Result(n, pkts, dest)
   }
 
   /** The sessionize half, usable standalone: copy + decode + tag,
     * returning the rows without writing a store.
     */
   def ingest(spark: SparkSession, tmpFile: String, pcapDir: String,
-      tags: Seq[String] = Nil, node: String = "upload"): Dataset[SessionRow] = {
-    val dest = copiedPath(tmpFile, pcapDir, node)
-    val destPath = java.nio.file.Paths.get(dest)
-    java.nio.file.Files.createDirectories(destPath.getParent)
+      tags: Seq[String] = Nil, node: String = "upload"): Dataset[SessionRow] =
+    ingestWithPath(spark, tmpFile, pcapDir, tags, node)._1
+
+  /** [[ingest]] plus the durable copy's path. The copy is SINGLE-PASS:
+    * the source streams through an MD5 digest while being copied
+    * (classic) or transcoded (pcapng) into a dot-prefixed temp name —
+    * invisible to [[graft.etl.Pcap.readPackets]]'s hidden-file filter —
+    * and the finished digest names the durable file the temp renames
+    * into. A multi-GB posted capture is read exactly once, where the
+    * previous shape scanned it three times (name hash, copy, name hash
+    * again for the result).
+    */
+  def ingestWithPath(spark: SparkSession, tmpFile: String, pcapDir: String,
+      tags: Seq[String] = Nil,
+      node: String = "upload"): (Dataset[SessionRow], String) = {
+    val dir = java.nio.file.Paths.get(pcapDir)
+    java.nio.file.Files.createDirectories(dir)
     val src = java.nio.file.Paths.get(tmpFile)
     val magic = new Array[Byte](4)
     val mIn = java.nio.file.Files.newInputStream(src)
     val mRead = try mIn.read(magic) finally mIn.close()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val tmpDest = dir.resolve(
+      s".upload-${java.util.UUID.randomUUID().toString.take(8)}.tmp")
     // pcapng uploads are transcoded to classic pcap at copy time (the
     // reference accepts pcapng via libpcap but its store is always
     // classic records) — stored packetPos/packetLen then seek correctly
@@ -62,37 +78,53 @@ object Upload {
     // bounded buffer: a posted capture is routinely multi-GB (the
     // reference rotates at 12G) and a whole-file read caps at the 2 GiB
     // JVM array limit, doubling memory well before that.
-    if (mRead == 4 && graft.etl.Pcap.isPcapng(magic)) {
-      val in = new java.io.BufferedInputStream(
-        java.nio.file.Files.newInputStream(src), 1 << 20)
+    val isNg = mRead == 4 && graft.etl.Pcap.isPcapng(magic)
+    val in = new java.security.DigestInputStream(
+      new java.io.BufferedInputStream(
+        java.nio.file.Files.newInputStream(src), 1 << 20), md)
+    var ngHeader: Option[(Int, Int)] = None
+    try {
       val out = new java.io.BufferedOutputStream(
-        java.nio.file.Files.newOutputStream(destPath), 1 << 20)
-      val res =
-        try {
+        java.nio.file.Files.newOutputStream(tmpDest), 1 << 20)
+      try {
+        if (isNg) {
           out.write(new Array[Byte](24)) // header backpatched below
-          try graft.etl.Pcap.pcapngToPcapStream(in, out)
-          finally out.close()
-        } finally in.close()
-      res match {
-        case Some((lt, snap)) =>
-          val raf = new java.io.RandomAccessFile(dest, "rw")
-          try {
-            raf.seek(0)
-            raf.write(graft.etl.Pcap.classicHeader(lt, snap))
-          } finally raf.close()
-        case None =>
-          java.nio.file.Files.deleteIfExists(destPath)
-          throw new IllegalArgumentException(
-            s"unreadable pcapng upload $tmpFile")
-      }
-    } else
-      java.nio.file.Files.copy(src, destPath,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          ngHeader = graft.etl.Pcap.pcapngToPcapStream(in, out)
+        } else {
+          val buf = new Array[Byte](1 << 20)
+          var n = in.read(buf)
+          while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
+        }
+      } finally out.close()
+      // the transcoder may stop before EOF on a truncated tail; drain so
+      // the digest is always the FULL source content (the name contract)
+      val drain = new Array[Byte](1 << 16)
+      while (in.read(drain) > 0) ()
+    } finally in.close()
+    if (isNg && ngHeader.isEmpty) {
+      java.nio.file.Files.deleteIfExists(tmpDest)
+      throw new IllegalArgumentException(s"unreadable pcapng upload $tmpFile")
+    }
+    ngHeader.foreach { case (lt, snap) =>
+      val raf = new java.io.RandomAccessFile(tmpDest.toFile, "rw")
+      try {
+        raf.seek(0)
+        raf.write(graft.etl.Pcap.classicHeader(lt, snap))
+      } finally raf.close()
+    }
+    val h = md.digest().take(4).map("%02x".format(_)).mkString
+    val base0 = src.getFileName.toString
+    val base = if (base0.endsWith(".pcap")) base0 else s"$base0.pcap"
+    val destPath = dir.resolve(s"$node-$h-$base")
+    java.nio.file.Files.move(tmpDest, destPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val dest = destPath.toString
     val cleanTags = sanitizeTags(tags)
     import spark.implicits._
-    SessionBuilder.sessionize(spark, dest, node = node)
+    val rows = SessionBuilder.sessionize(spark, dest, node = node)
       .map(s => if (cleanTags.isEmpty) s
         else s.copy(tags = (s.tags ++ cleanTags).distinct))
+    (rows, dest)
   }
 
   /** Deterministic durable name:

@@ -60,6 +60,8 @@ object StreamSessionize {
     val prev = state.getOption.getOrElse(StreamState(Nil, None))
     var packets = prev.packets ++ newPackets
     var carry = prev.carry
+    var lastTsMicros = 0L
+    var lastProto = 6
     val out = Seq.newBuilder[SessionRow]
     // mid-save: flush full segments, keep the session open; the carry
     // threads the open group's state into the next flush
@@ -69,6 +71,8 @@ object StreamSessionize {
         node, carry = carry)
       out ++= rows
       carry = c2
+      lastTsMicros = math.max(lastTsMicros, seg.map(_.tsMicros).max)
+      lastProto = seg.head.ipProtocol
       packets = rest
     }
     if (packets.nonEmpty) {
@@ -77,6 +81,18 @@ object StreamSessionize {
         SessionBuilder.timeoutSecs(packets.head.ipProtocol) * 1000
       val lastEventMs = packets.map(_.tsMicros).max / 1000
       state.setTimeoutTimestamp(lastEventMs + timeoutMs)
+    } else if (carry.isDefined) {
+      // the buffer drained to an exact maxPackets multiple: the session
+      // is still open and the carry (segment ordinals, orientation,
+      // accumulators) must survive to the next micro-batch — dropping it
+      // here would restart the key at segmentSeq 1 and emit duplicate
+      // (sessionId, segmentSeq) rows. Keep an empty-buffer state with the
+      // same inactivity timeout; at timeout the empty buffer emits
+      // nothing (matching batch, where a group ending exactly on a
+      // mid-save boundary adds no extra row) and the state is dropped.
+      state.update(StreamState(Nil, carry))
+      val timeoutMs = SessionBuilder.timeoutSecs(lastProto) * 1000
+      state.setTimeoutTimestamp(lastTsMicros / 1000 + timeoutMs)
     } else {
       state.remove()
     }

@@ -60,6 +60,22 @@ class PacketCodecSpec extends AnyFunSuite {
       Array.fill(70000)(0x5a.toByte), icmpType = -1, icmpCode = -1))
   }
 
+  test("truncates >255-entry repeated fields instead of wrapping the count") {
+    val p = DecodedPacket("f", 1, 2L, 3L, 4, 5, "", "", 6,
+      "10.0.0.1", "10.0.0.2", 1, 2, 0, 0, 0L, 0L, Array.emptyByteArray,
+      tunnels = Seq.tabulate(300)(i => s"t$i"),
+      greIps = Seq.tabulate(260)(i => s"10.0.${i % 256}.1"),
+      vlanIds = Seq.tabulate(400)(_ % 4096))
+    val q = PacketCodec.unpack(PacketCodec.pack(p))
+    assert(q.tunnels === p.tunnels.take(255))
+    assert(q.greIps === p.greIps.take(255))
+    assert(q.vlanIds === p.vlanIds.take(255))
+    // the rest of the stream stays aligned past the truncated lists
+    assert(q.srcIp === p.srcIp)
+    assert(q.dstIp === p.dstIp)
+    assert(q.l4Offset === p.l4Offset)
+  }
+
   test("real decode → codec round-trip over a reference capture") {
     val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
       "/root/reference/tests/pcap/socks-http-example.pcap"))

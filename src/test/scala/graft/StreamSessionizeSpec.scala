@@ -110,6 +110,104 @@ class StreamSessionizeSpec extends AnyFunSuite with SparkSpecBase {
     assert(rowsA.map(_.sessionId).distinct == Seq(key))
   }
 
+  test("carry: BGP 5s pq timer spans a flush boundary") {
+    val base = 1700000000L * 1000000L
+    val keepalive = Array.fill(16)(0xff.toByte) ++ Array[Byte](0, 19, 4)
+    def pkt(i: Int, tsOffUs: Long, src: Boolean, flags: Int,
+        payload: Array[Byte]): Decode.DecodedPacket =
+      Decode.DecodedPacket("s", i, base + tsOffUs, i.toLong * 100,
+        70 + payload.length, 54 + payload.length,
+        "aa:aa:aa:aa:aa:01", "ff:ff:ff:ff:ff:ff", 6,
+        if (src) "1.1.1.1" else "2.2.2.2", if (src) "2.2.2.2" else "1.1.1.1",
+        if (src) 1234 else 179, if (src) 179 else 1234,
+        flags, 1000, 1000L + i, 0L, payload,
+        prevTsMicros = base + tsOffUs, l4Offset = 54)
+    val S = Decode.TH_SYN; val A = Decode.TH_ACK; val P = Decode.TH_PSH
+    val slice1 = Seq(
+      pkt(0, 0L, src = true, S, Array.emptyByteArray),
+      pkt(1, 100000L, src = false, S | A, Array.emptyByteArray),
+      pkt(2, 200000L, src = true, P | A, keepalive), // marker → bgpActive
+      pkt(3, 1000000L, src = true, P | A, keepalive)) // arms pq at t=1.0s
+    // next flush: first packet lands 6 s after the armed ts — the
+    // carried deadline must fire a pq save exactly as the batch walk
+    // would have, ending a segment at that packet
+    val slice2 = Seq(
+      pkt(4, 7000000L, src = true, P | A, keepalive),
+      pkt(5, 7500000L, src = true, P | A, keepalive),
+      pkt(6, 8000000L, src = true, P | A, keepalive))
+    val key = SessionBuilder.sessionKey(slice1.head)
+    val (rows1, c1) = SessionBuilder.buildSessionsCarry(key,
+      slice1.iterator, "test", carry = None)
+    assert(rows1.length == 1)
+    assert(c1.get.bgpActive, "BGP classification must be carried")
+    assert(c1.get.bgpArmedTs == base + 1000000L, "pq deadline base carried")
+    val (rows2, c2) = SessionBuilder.buildSessionsCarry(key,
+      slice2.iterator, "test", carry = c1)
+    // pq fires on packet 4: [p4] saves, [p5,p6] continues — two rows,
+    // same session, consecutive segment ordinals after slice1's
+    assert(rows2.length == 2,
+      s"carried pq timer must split: ${rows2.map(_.totPackets)}")
+    assert(rows2.forall(_.sessionId == key))
+    assert((rows1 ++ rows2).map(_.segmentSeq) == Seq(0, 1, 2))
+    assert(c2.get.bgpActive && c2.get.bgpArmedTs == base + 8000000L)
+  }
+
+  test("exact-drain flush keeps the carry: next micro-batch continues segmentSeq") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val base = 1700000000L * 1000000L
+    def pkt(i: Int, src: Boolean, flags: Int, seq: Long): Decode.DecodedPacket =
+      Decode.DecodedPacket("s", i, base + i * 1000L, i.toLong * 100, 70, 54,
+        "aa:aa:aa:aa:aa:01", "ff:ff:ff:ff:ff:ff", 6,
+        if (src) "1.1.1.1" else "2.2.2.2", if (src) "2.2.2.2" else "1.1.1.1",
+        if (src) 1234 else 80, if (src) 80 else 1234,
+        flags, 1000, seq, 0L, Array.emptyByteArray,
+        prevTsMicros = base + math.max(0, i - 1) * 1000L, l4Offset = 54)
+    val S = Decode.TH_SYN; val A = Decode.TH_ACK
+    val n = StreamSessionize.maxPackets
+    // micro-batch 1 holds EXACTLY one flush: the buffer drains to zero
+    // and the carry must survive in state (reviewed bug: state.remove()
+    // here restarted the key at segmentSeq 0)
+    val first: Seq[Decode.DecodedPacket] =
+      Seq(pkt(0, src = true, S, 1000L), pkt(1, src = false, S | A, 5000L)) ++
+        (2 until n).map(i => pkt(i, src = true, A, 1001L))
+    val tail = (n until n + 3).map(i => pkt(i, src = true, A, 1001L))
+    val key = SessionBuilder.sessionKey(first.head)
+    val batch = SessionBuilder.buildSessions(key, (first ++ tail).iterator,
+      "test").toSeq.sortBy(_.segmentSeq)
+    assert(batch.map(_.segmentSeq) == Seq(0, 1))
+
+    val input = MemoryStream[Decode.DecodedPacket]
+    val q = StreamSessionize.sessions(input.toDS())
+      .writeStream.format("memory").queryName("stream_sessions_drain")
+      .outputMode("append").start()
+    try {
+      input.addData(first)
+      q.processAllAvailable()
+      input.addData(tail)
+      q.processAllAvailable()
+      val late = tail.last.copy(tsMicros = tail.last.tsMicros + 1000L * 1000000L,
+        srcIp = "203.0.113.99", srcPort = 1)
+      input.addData(Seq(late)); q.processAllAvailable()
+      input.addData(Seq(late.copy(tsMicros = late.tsMicros + 1)))
+      q.processAllAvailable()
+
+      val streamed = spark.table("stream_sessions_drain")
+        .as[SessionBuilder.SessionRow].collect()
+        .filter(_.srcIp != "203.0.113.99").sortBy(_.segmentSeq)
+      assert(streamed.map(r => (r.sessionId, r.segmentSeq)).distinct.length ==
+        streamed.length, "no duplicate (sessionId, segmentSeq)")
+      assert(streamed.length == batch.length)
+      streamed.zip(batch).foreach { case (s, b) =>
+        assert(s.sessionId == b.sessionId)
+        assert(s.segmentSeq == b.segmentSeq)
+        assert(s.totPackets == b.totPackets)
+        assert(s.firstPacket == b.firstPacket)
+      }
+    } finally q.stop()
+  }
+
   test("3-flush session: protocol/mac accumulation and port-reuse suffix match batch") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
