@@ -582,8 +582,8 @@ object Pcap {
   /** Record-walk one big classic pcap into record-aligned chunk specs.
     * Reads 16 bytes per record and skips the payloads — a metadata pass.
     */
-  private def planChunks(file: String, size: Long,
-      sconf: SerializableConf): Seq[ChunkSpec] = {
+  private[etl] def planChunks(file: String, size: Long,
+      sconf: SerializableConf, splitBytes: Long = SplitBytes): Seq[ChunkSpec] = {
     val path = new org.apache.hadoop.fs.Path(file)
     val fs = path.getFileSystem(sconf.value)
     val in = new java.io.DataInputStream(
@@ -621,7 +621,7 @@ object Pcap {
         val incl = bb.getInt
         if (incl < 0 || incl > maxIncl || off + 16 + incl > size) dead = true
         else {
-          if (off - chunkStart >= SplitBytes) {
+          if (off - chunkStart >= splitBytes) {
             out += ChunkSpec(file, chunkStart, off, chunkIdx, chunkPrev,
               h.bigEndian, h.nanos, h.linkType, h.snapLen, whole = false)
             chunkStart = off
@@ -653,7 +653,7 @@ object Pcap {
     */
   private val FragOverlapBytes = 8L << 20
 
-  private def readChunk(c: ChunkSpec,
+  private[etl] def readChunk(c: ChunkSpec,
       sconf: SerializableConf): Iterator[RawPacket] = {
     val path = new org.apache.hadoop.fs.Path(c.file)
     val fs = path.getFileSystem(sconf.value)
