@@ -250,6 +250,51 @@ object HttpParser {
       Some(dec.decode(java.nio.ByteBuffer.wrap(b)).toString)
     } catch { case _: java.nio.charset.CharacterCodingException => None }
 
+  /** Complete message bodies with display names, for the body-download
+    * endpoints (viewer/decode.js:319-601 naming): a `filename=` /
+    * `name=` on the message's content-disposition/content-type wins,
+    * else the owning request URI's last `/?=`-separated component
+    * (decode.js:547), else `http<n>`. Bodies are de-chunked but NOT
+    * content-decoded — exactly the bytes ITEM-HASH digests
+    * (decode.js:766-773). The nth non-interim response pairs with the
+    * nth request for URI naming.
+    */
+  def namedBodies(clientStream: Array[Byte],
+      serverStream: Array[Byte]): Seq[(String, Array[Byte])] = {
+    val reqs = messages(clientStream, isResponse = false)
+      .filter(m => methods.contains(m.firstLine.takeWhile(_ != ' ')))
+    val resps = messages(serverStream, isResponse = true,
+      reqMethods = reqs.map(_.firstLine.takeWhile(_ != ' ')))
+      .filter(_.firstLine.startsWith("HTTP/"))
+    def hdr(m: Message, name: String): Option[String] =
+      m.headers.collectFirst { case (k, v) if k.equalsIgnoreCase(name) => v }
+    val nameRe = "(?i)(?:filename|name)\\s*=\\s*\"?([^\";]+)".r
+    def headerName(m: Message): Option[String] =
+      Seq("Content-Disposition", "Content-Type").flatMap(hdr(m, _))
+        .flatMap(v => nameRe.findFirstMatchIn(v).map(_.group(1).trim))
+        .find(_.nonEmpty)
+    def uriName(i: Int): Option[String] =
+      reqs.lift(i).flatMap(_.firstLine.split(" ").lift(1))
+        .flatMap(_.split("[/?=]").lastOption).filter(_.nonEmpty)
+    val finalResps = resps.filter(r =>
+      r.firstLine.split(" ").lift(1).flatMap(_.toIntOption)
+        .forall(_ / 100 != 1))
+    var n = 0
+    val out = Seq.newBuilder[(String, Array[Byte])]
+    def add(m: Message, reqIdx: Int): Unit =
+      if (m.complete && m.body.nonEmpty) {
+        n += 1
+        out += ((headerName(m).orElse(uriName(reqIdx)).getOrElse(s"http$n"),
+          m.body))
+      }
+    reqs.zipWithIndex.foreach { case (m, i) => add(m, i) }
+    finalResps.zipWithIndex.foreach { case (m, i) => add(m, i) }
+    out.result()
+  }
+
+  /** Hex digests of a body as ITEM-HASH computes them. */
+  def bodyDigests(b: Array[Byte]): (String, String) = (md5hex(b), sha256hex(b))
+
   def parse(clientStream: Array[Byte], serverStream: Array[Byte]): Option[HttpInfo] = {
     val reqs = messages(clientStream, isResponse = false)
       .filter(m => methods.contains(m.firstLine.takeWhile(_ != ' ')))

@@ -498,7 +498,7 @@ object Pcap {
     * credentials, endpoints), not classpath defaults, or a remote-FS
     * read that listed fine on the driver fails on every executor.
     */
-  private[etl] final class SerializableConf(
+  private[graft] final class SerializableConf(
       @transient var value: org.apache.hadoop.conf.Configuration)
       extends Serializable {
     private def writeObject(out: java.io.ObjectOutputStream): Unit = {

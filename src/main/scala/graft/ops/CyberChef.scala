@@ -32,14 +32,14 @@ object CyberChef {
     * whose sessionId matches are all used (a long session's segments
     * share the id; the cap still bounds the read).
     */
-  def sessionData(sessions: Dataset[SessionRow], sessionId: String,
-      dataType: String = "src",
-      keys: String => graft.etl.PcapCrypto.FileKeys = _ => graft.etl.PcapCrypto.Normal,
-      store: graft.etl.PcapStore.Store = graft.etl.PcapStore.Local): String = {
-    val segs = sessions.filter(_.sessionId == sessionId)
-      .collect().sortBy(_.segmentSeq)
-    if (segs.isEmpty) return ""
-    val wantDst = dataType == "dst"
+  /** Read one session's decoded packets from the pcap store via its
+    * stored `packetPos` references — seek-only blob I/O on the calling
+    * thread, capped at [[MaxPackets]]. Shared by the interactive
+    * single-session endpoints (this one, [[BodyHash]]).
+    */
+  private[ops] def readSessionPackets(segs: Seq[SessionRow],
+      keys: String => graft.etl.PcapCrypto.FileKeys,
+      store: graft.etl.PcapStore.Store): IndexedSeq[Decode.DecodedPacket] = {
     val open = scala.collection.mutable.Map[String, Option[(
       graft.etl.PcapStore.Blob, graft.etl.Pcap.PcapHeader,
       graft.etl.PcapCrypto.FileKeys)]]()
@@ -53,8 +53,7 @@ object CyberChef {
           graft.etl.Pcap.parseHeader(hdr).map((blob, _, k))
         } catch { case _: Exception => None })
       }
-      val s0 = segs.head
-      val packets = segs.iterator.flatMap { s =>
+      segs.iterator.flatMap { s =>
         s.packetPos.indices.iterator.flatMap { i =>
           s.fileId.lift(s.packetFileIdx(i)).toSeq.flatMap { f =>
             channelOf(f).toSeq.flatMap { case (blob, hdr, k) =>
@@ -68,12 +67,24 @@ object CyberChef {
           }
         }
       }.take(MaxPackets).toIndexedSeq
-      def dirOf(p: Decode.DecodedPacket): Int =
-        if (p.srcIp == s0.srcIp && p.srcPort == s0.srcPort) 0 else 1
-      val side = packets.filter(p => dirOf(p) == (if (wantDst) 1 else 0))
-      Hex.hex(SessionBuilder.reassemble(side))
     } finally open.values.flatten.foreach(c =>
       try c._1.close() catch { case _: Exception => () })
+  }
+
+  def sessionData(sessions: Dataset[SessionRow], sessionId: String,
+      dataType: String = "src",
+      keys: String => graft.etl.PcapCrypto.FileKeys = _ => graft.etl.PcapCrypto.Normal,
+      store: graft.etl.PcapStore.Store = graft.etl.PcapStore.Local): String = {
+    val segs = sessions.filter(_.sessionId == sessionId)
+      .collect().sortBy(_.segmentSeq)
+    if (segs.isEmpty) return ""
+    val wantDst = dataType == "dst"
+    val s0 = segs.head
+    val packets = readSessionPackets(segs.toIndexedSeq, keys, store)
+    def dirOf(p: Decode.DecodedPacket): Int =
+      if (p.srcIp == s0.srcIp && p.srcPort == s0.srcPort) 0 else 1
+    val side = packets.filter(p => dirOf(p) == (if (wantDst) 1 else 0))
+    Hex.hex(SessionBuilder.reassemble(side))
   }
 
   /** The endpoint's full response body: `{"data":"<hex>"}`. */

@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.etl.SessionBuilder
+import graft.ops.{BodyHash, FilesTable}
+
+/** E41 bodyhash (apiSessions.js:2878 + decode.js ITEM-HASH) and E42
+  * /api/files (apiMisc.js:34-92).
+  */
+class BodyFilesApiSpec extends AnyFunSuite with SparkSpecBase {
+
+  private val srcPcap = "/root/reference/tests/pcap/socks-http-example.pcap"
+
+  test("bodyhash finds the HTTP body by md5 and sha256; miss is None") {
+    val sessions = SessionBuilder.sessionize(spark, srcPcap)
+    val withBody = sessions.collect().filter(_.httpMd5.nonEmpty)
+    assert(withBody.nonEmpty)
+    val s = withBody.head
+    val md5 = s.httpMd5.head
+    val one = sessions.filter(_.sessionId == s.sessionId)
+    val hit = BodyHash.find(one, md5)
+    assert(hit.isDefined, s"md5 $md5 of ${s.sessionId} must resolve")
+    val (name, body) = hit.get
+    assert(graft.etl.HttpParser.bodyDigests(body)._1 == md5)
+    assert(name.nonEmpty)
+    // the same body resolves by its sha256 too (ITEM-HASH checks both)
+    val sha = graft.etl.HttpParser.bodyDigests(body)._2
+    assert(BodyHash.find(one, sha).map(_._2.toSeq).contains(body.toSeq))
+    assert(BodyHash.find(one, "0" * 32).isEmpty)
+    // over the full result set, the NEWEST matching session serves
+    assert(BodyHash.find(sessions, md5).isDefined)
+  }
+
+  test("files table lists the capture with size, ordinal and paging") {
+    val sessions = SessionBuilder.sessionize(spark, srcPcap)
+    val all = FilesTable.filesTable(sessions).collect()
+    assert(all.length == 1)
+    val r = all.head
+    assert(r.getAs[String]("name").endsWith(srcPcap)) // file: URI or path
+    assert(r.getAs[Long]("filesize") ==
+      java.nio.file.Files.size(java.nio.file.Paths.get(srcPcap)))
+    assert(r.getAs[Int]("num") == 1)
+    assert(r.getAs[Long]("first") ==
+      sessions.collect().map(_.firstPacket).min)
+    assert(r.getAs[String]("packetPosEncoding") == "gap0")
+
+    val page = FilesTable.files(sessions, filter = Some("socks-http"))
+    assert(page.recordsTotal == 1 && page.recordsFiltered == 1)
+    assert(page.data.count() == 1)
+    val miss = FilesTable.files(sessions, filter = Some("nope"))
+    assert(miss.recordsTotal == 1 && miss.recordsFiltered == 0)
+    val off = FilesTable.files(sessions, start = 1)
+    assert(off.data.count() == 0, "offset past the single row")
+  }
+}
