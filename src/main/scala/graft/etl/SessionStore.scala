@@ -236,6 +236,19 @@ object SessionStore {
      else agg.unionByName(spark.createDataFrame(emptyDays))).orderBy("day")
   }
 
+  /** Targeted single-partition delete — the `DELETE /api/esindices/
+    * :index` analogue (reference: viewer/apiStats.js deleteIndex; the
+    * admin page's per-index delete, distinct from retention). One
+    * metadata operation regardless of partition size. Returns false if
+    * the day partition does not exist.
+    */
+  def dropDay(spark: SparkSession, path: String, day: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(path), s"day=$day")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.delete(p, true)
+  }
+
   def expire(spark: SparkSession, path: String, keepDays: Int,
       nowMs: Long = System.currentTimeMillis()): Seq[String] = {
     val cutoff = java.time.Instant.ofEpochMilli(nowMs)

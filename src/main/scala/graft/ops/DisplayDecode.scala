@@ -152,6 +152,42 @@ object DisplayDecode {
     b => fns.foldLeft(b)((acc, f) => f(acc))
   }
 
+  /** `POST /api/sessions/decodings` (apiSessions.js:2962-2964 →
+    * decode.js:716-718 `exports.settings`): the UI-configurable decode
+    * registry entries, exactly the three the reference registers with
+    * settings (decode.js:720-732) — the response body is this map as
+    * JSON.
+    */
+  final case class DecodingField(key: String, name: String, fieldType: String)
+  final case class DecodingSetting(name: String, title: Option[String],
+      fields: Seq[DecodingField])
+
+  val settings: Map[String, DecodingSetting] = Map(
+    "BODY-UNXORBRUTEGZ" ->
+      DecodingSetting("UnXOR Brute GZip Header", None, Nil),
+    "BODY-UNXOR" -> DecodingSetting("UnXOR",
+      Some("Only set keyLength or key"),
+      Seq(DecodingField("skip", "Skip Bytes", "text"),
+        DecodingField("keyLength", "Key is in data length", "text"),
+        DecodingField("key", "Fixed key in hex", "text"))),
+    "BODY-UNBASE64" -> DecodingSetting("Unbase64", None, Nil))
+
+  /** The endpoint's JSON body (stable key order). */
+  def settingsJson: String = {
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    Seq("BODY-UNXORBRUTEGZ", "BODY-UNXOR", "BODY-UNBASE64").map { k =>
+      val d = settings(k)
+      val title = d.title.fold("")(t => s""","title":"${esc(t)}"""")
+      val fields =
+        if (d.fields.isEmpty) ""
+        else d.fields.map(f =>
+          s"""{"key":"${esc(f.key)}","name":"${esc(f.name)}"""" +
+            s""","type":"${esc(f.fieldType)}"}""")
+          .mkString(""","fields":[""", ",", "]")
+      s""""$k":{"name":"${esc(d.name)}"$title$fields}"""
+    }.mkString("{", ",", "}")
+  }
+
   // ----- column forms for at-scale decode over a body column ----------
   val uncompressCol: Column => Column = {
     val u = udf(uncompress _)

@@ -60,6 +60,20 @@ class DisplayDecodeSpec extends AnyFunSuite {
       .startsWith("exfiltrated configuration"))
   }
 
+  test("decodings settings mirror decode.js registrations") {
+    val j = DisplayDecode.settingsJson
+    // the three settings-carrying registrations (decode.js:720-732),
+    // field keys verbatim
+    assert(j.startsWith("""{"BODY-UNXORBRUTEGZ":{"name":"UnXOR Brute GZip Header"}"""))
+    assert(j.contains(""""BODY-UNXOR":{"name":"UnXOR","title":"Only set keyLength or key","fields":["""))
+    assert(j.contains(""""key":"keyLength","name":"Key is in data length","type":"text""""))
+    assert(j.endsWith(""""BODY-UNBASE64":{"name":"Unbase64"}}"""))
+    // parses as JSON (no escaping mistakes)
+    assert(j.count(_ == '{') == j.count(_ == '}'))
+    assert(DisplayDecode.settings("BODY-UNXOR").fields.map(_.key) ==
+      Seq("skip", "keyLength", "key"))
+  }
+
   test("hex view formats the classic gutter layout") {
     val v = DisplayDecode.hexView("0123456789abcdefGH".getBytes)
     val lines = v.split("\n")

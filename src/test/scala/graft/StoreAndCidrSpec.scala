@@ -67,6 +67,19 @@ class StoreAndCidrSpec extends AnyFunSuite with SparkSpecBase {
     assert(left.isEmpty)
   }
 
+  test("dropDay deletes exactly the named partition (esindices DELETE analogue)") {
+    val sessions = SessionBuilder.sessionizeRef(spark,
+      "/root/reference/tests/pcap/socks-http-example.pcap")
+    val path = java.nio.file.Files.createTempDirectory("sessions-drop").toString
+    SessionStore.write(sessions, path) // fixture day: 2013-12-02
+    assert(!SessionStore.dropDay(spark, path, "2099-01-01"))
+    assert(SessionStore.read(spark, path).count() == 3)
+    assert(SessionStore.dropDay(spark, path, "2013-12-02"))
+    assert(new java.io.File(path).listFiles()
+      .count(_.getName.startsWith("day=")) == 0)
+    assert(!SessionStore.dropDay(spark, path, "2013-12-02"), "already gone")
+  }
+
   test("compact rewrites a day partition into few time-clustered files") {
     val sessions = SessionBuilder.sessionizeRef(spark,
       "/root/reference/tests/pcap/socks-http-example.pcap")
