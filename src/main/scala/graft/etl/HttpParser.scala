@@ -263,9 +263,16 @@ object HttpParser {
       serverStream: Array[Byte]): Seq[(String, Array[Byte])] = {
     val reqs = messages(clientStream, isResponse = false)
       .filter(m => methods.contains(m.firstLine.takeWhile(_ != ' ')))
-    val resps = messages(serverStream, isResponse = true,
+    val resps0 = messages(serverStream, isResponse = true,
       reqMethods = reqs.map(_.firstLine.takeWhile(_ != ' ')))
       .filter(_.firstLine.startsWith("HTTP/"))
+    // response-only captures: responses on the CLIENT stream (the same
+    // srcResps path parse() digests into httpMd5 — a stored hash must
+    // resolve here too)
+    val resps =
+      if (reqs.nonEmpty) resps0
+      else resps0 ++ messages(clientStream, isResponse = true)
+        .filter(_.firstLine.startsWith("HTTP/"))
     def hdr(m: Message, name: String): Option[String] =
       m.headers.collectFirst { case (k, v) if k.equalsIgnoreCase(name) => v }
     val nameRe = "(?i)(?:filename|name)\\s*=\\s*\"?([^\";]+)".r

@@ -545,6 +545,9 @@ object Pcap {
     val matched = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Nil)
     if (matched.isEmpty)
       throw new java.io.FileNotFoundException(s"no pcap input matches $path")
+    // the hidden-file skip applies to DIRECTORY listings only: a file
+    // the caller named (or glob-matched) explicitly is always read,
+    // whatever its name
     val metas: Seq[(String, Long)] = matched.flatMap { st =>
       if (st.isDirectory)
         fs.listStatus(st.getPath).toSeq
@@ -552,8 +555,7 @@ object Pcap {
           .filter(f => visible(f.getPath.getName) &&
             f.getPath.getName.contains(".pcap")) // .pcap and .pcapng
           .map(s => (s.getPath.toString, s.getLen))
-      else if (visible(st.getPath.getName)) Seq((st.getPath.toString, st.getLen))
-      else Nil
+      else Seq((st.getPath.toString, st.getLen))
     }.sortBy(_._1)
     val shufflePartitions = spark.sessionState.conf.numShufflePartitions
     val sconf = new SerializableConf(

@@ -276,7 +276,16 @@ object SessionBuilder {
       // BGP 5 s pq timer state: classification and the last-data
       // timestamp the pq deadline is measured from must survive a flush
       // or a long BGP session's keepalive saves restart their clock at
-      // every flush edge (parsers/tcp.c:229 pq re-arm)
+      // every flush edge (parsers/tcp.c:229 pq re-arm).
+      // Known residue: when the pq fires on a slice's LAST packet, the
+      // flush boundary realizes the segment split itself, but the
+      // reference's save-before-processing placement (that packet's
+      // flags/payload deferring into the NEXT save, deferTail/carryIn)
+      // is not carried — the packet counts fully in the flushed row.
+      // Carrying it would require the batch walk's final segment to
+      // defer a packet that, at end-of-capture, has no next save to land
+      // in; this one-packet placement skew at a >5 s-gap flush edge
+      // stays in the documented flush-residue class instead.
       bgpActive: Boolean = false, bgpArmedTs: Long = -1L)
 
   /** [[buildSessions]] with explicit cross-call state: `carry` seeds the

@@ -243,6 +243,10 @@ object SessionStore {
     * the day partition does not exist.
     */
   def dropDay(spark: SparkSession, path: String, day: String): Boolean = {
+    // `day` is request input (the endpoint's :index): a strict format
+    // gate, or "x/../.." would normalize past day= and delete the store
+    require(day.matches("\\d{4}-\\d{2}-\\d{2}"),
+      s"dropDay: malformed day '$day'")
     val p = new org.apache.hadoop.fs.Path(
       new org.apache.hadoop.fs.Path(path), s"day=$day")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)

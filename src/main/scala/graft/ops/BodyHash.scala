@@ -34,11 +34,15 @@ object BodyHash {
       keys: String => graft.etl.PcapCrypto.FileKeys = _ => graft.etl.PcapCrypto.Normal,
       store: graft.etl.PcapStore.Store = graft.etl.PcapStore.Local): Option[(String, Array[Byte])] = {
     val want = hash.toLowerCase
-    // newest matching session (query.size = 1, sort lastPacket desc)
-    val rows = sessions.collect()
-    if (rows.isEmpty) return None
-    val newestId = rows.maxBy(_.lastPacket).sessionId
-    val segs = rows.filter(_.sessionId == newestId).sortBy(_.segmentSeq)
+    // newest matching session: top-1 ON THE CLUSTER (the reference's
+    // `size 1, sort lastPacket desc`) — a broad query result is never
+    // collected whole to the driver
+    val newest = sessions.orderBy(org.apache.spark.sql.functions
+      .col("lastPacket").desc).limit(1).collect()
+    if (newest.isEmpty) return None
+    val newestId = newest.head.sessionId
+    val segs = sessions.filter(_.sessionId == newestId)
+      .collect().sortBy(_.segmentSeq)
     val s0 = segs.head
     val packets = CyberChef.readSessionPackets(segs.toIndexedSeq, keys, store)
     def side(d: Int): IndexedSeq[Decode.DecodedPacket] = packets.filter(p =>

@@ -40,35 +40,19 @@ object CyberChef {
   private[ops] def readSessionPackets(segs: Seq[SessionRow],
       keys: String => graft.etl.PcapCrypto.FileKeys,
       store: graft.etl.PcapStore.Store): IndexedSeq[Decode.DecodedPacket] = {
-    val open = scala.collection.mutable.Map[String, Option[(
-      graft.etl.PcapStore.Blob, graft.etl.Pcap.PcapHeader,
-      graft.etl.PcapCrypto.FileKeys)]]()
+    val open = PcapChannels.newOpenMap()
     try {
-      def channelOf(f0: String) = {
-        val f = if (f0.startsWith("file:")) new java.net.URI(f0).getPath else f0
-        open.getOrElseUpdate(f, try {
-          val k = keys(f0)
-          val blob = store.open(f)
-          val hdr = graft.etl.PcapCrypto.readSlice(blob, 0L, 24, k)
-          graft.etl.Pcap.parseHeader(hdr).map((blob, _, k))
-        } catch { case _: Exception => None })
-      }
       segs.iterator.flatMap { s =>
         s.packetPos.indices.iterator.flatMap { i =>
           s.fileId.lift(s.packetFileIdx(i)).toSeq.flatMap { f =>
-            channelOf(f).toSeq.flatMap { case (blob, hdr, k) =>
-              try {
-                val rec = graft.etl.PcapCrypto.readSlice(
-                  blob, s.packetPos(i), s.packetLen(i), k)
-                graft.etl.Pcap.parseRecord(hdr, rec, f, s.packetPos(i))
-                  .toSeq.flatMap(Decode.decode(_))
-              } catch { case _: Exception => Nil }
+            PcapChannels.channelOf(open, f, keys, store).toSeq.flatMap { ch =>
+              PcapChannels.readPacket(ch, f, s.packetPos(i), s.packetLen(i))
+                .toSeq.flatMap(Decode.decode(_))
             }
           }
         }
       }.take(MaxPackets).toIndexedSeq
-    } finally open.values.flatten.foreach(c =>
-      try c._1.close() catch { case _: Exception => () })
+    } finally PcapChannels.closeAll(open)
   }
 
   def sessionData(sessions: Dataset[SessionRow], sessionId: String,

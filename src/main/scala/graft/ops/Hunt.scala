@@ -104,37 +104,18 @@ object Hunt {
       // (files-index encoding/dek/iv); slices decrypt in place, so an
       // encrypted store hunts with the same seek-only I/O as a plain one.
       // `store` picks the byte backend (local file vs chunked object).
-      val open = scala.collection.mutable.Map[String, Option[(
-        graft.etl.PcapStore.Blob, graft.etl.Pcap.PcapHeader,
-        graft.etl.PcapCrypto.FileKeys)]]()
+      // The open/read machinery itself is the shared PcapChannels path.
+      val open = PcapChannels.newOpenMap()
       Option(org.apache.spark.TaskContext.get()).foreach(
-        _.addTaskCompletionListener[Unit](_ => open.values.flatten.foreach(c =>
-          try c._1.close() catch { case _: Exception => () })))
-      def channelOf(f0: String) = {
-        // fileId may be a URI from the binaryFile source (file:/…)
-        val f = if (f0.startsWith("file:")) new java.net.URI(f0).getPath else f0
-        open.getOrElseUpdate(f, try {
-          val k = keys(f0)
-          val blob = store.open(f)
-          val hdr = graft.etl.PcapCrypto.readSlice(blob, 0L, 24, k)
-          graft.etl.Pcap.parseHeader(hdr).map((blob, _, k))
-        } catch { case _: Exception => None })
-      }
-      def readPacket(blob: graft.etl.PcapStore.Blob,
-          hdr: graft.etl.Pcap.PcapHeader, k: graft.etl.PcapCrypto.FileKeys,
-          f: String, pos: Long, len: Int) =
-        try {
-          val rec = graft.etl.PcapCrypto.readSlice(blob, pos, len, k)
-          graft.etl.Pcap.parseRecord(hdr, rec, f, pos)
-        } catch { case _: Exception => None }
+        _.addTaskCompletionListener[Unit](_ => PcapChannels.closeAll(open)))
       rows.map { s =>
         def dirOf(p: graft.etl.Decode.DecodedPacket): Int =
           if (p.srcIp == s.srcIp && p.srcPort == s.srcPort) 0 else 1
         // exists short-circuits: a session stops reading at its first hit
         val hit = s.packetPos.indices.exists { i =>
           s.fileId.lift(s.packetFileIdx(i)).exists { f =>
-            channelOf(f).exists { case (raf, hdr, k) =>
-              readPacket(raf, hdr, k, f, s.packetPos(i), s.packetLen(i))
+            PcapChannels.channelOf(open, f, keys, store).exists { ch =>
+              PcapChannels.readPacket(ch, f, s.packetPos(i), s.packetLen(i))
                 .toSeq.flatMap(graft.etl.Decode.decode(_))
                 .exists { p =>
                   p.payload.nonEmpty &&

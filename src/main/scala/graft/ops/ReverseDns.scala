@@ -21,15 +21,25 @@ object ReverseDns {
     * `1.2.3.4` → `4.3.2.1.in-addr.arpa`; v6 expands to 32 reversed
     * nibbles under `ip6.arpa` (RFC 1035 §3.5, RFC 3596 §2.5).
     */
+  private val V4 = "(\\d{1,3})\\.(\\d{1,3})\\.(\\d{1,3})\\.(\\d{1,3})".r
+
   def ptrName(ip: String): Option[String] = {
+    // strict literal parse before InetAddress: a lookalike hostname
+    // ("ad.be", "1.2.3.4.5") must never reach getByName, which would
+    // itself issue the forward DNS query this endpoint must not make.
+    // v4 = exactly four in-range octets; v6 = contains ':' (hostnames
+    // cannot), hex/colon/dot chars only
+    val literal = ip match {
+      case V4(a, b, c, d) =>
+        Seq(a, b, c, d).forall(o => o.toInt <= 255 &&
+          (o.length == 1 || !o.startsWith("0")))
+      case _ => ip.contains(':') && ip.forall(ch => ch.isDigit ||
+        ch == ':' || ch == '.' || ('a' <= ch.toLower && ch.toLower <= 'f'))
+    }
+    if (!literal) return None
     val addr =
-      try {
-        // reject hostnames outright: only literal IPs may reach
-        // InetAddress, or this would itself do a forward lookup
-        if (!ip.forall(c => c.isDigit || c == '.' || c == ':' ||
-          ('a' <= c.toLower && c.toLower <= 'f'))) return None
-        Some(java.net.InetAddress.getByName(ip))
-      } catch { case _: Exception => None }
+      try Some(java.net.InetAddress.getByName(ip))
+      catch { case _: Exception => None }
     addr.map { a =>
       val b = a.getAddress
       if (b.length == 4)

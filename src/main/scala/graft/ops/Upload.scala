@@ -112,10 +112,7 @@ object Upload {
         raf.write(graft.etl.Pcap.classicHeader(lt, snap))
       } finally raf.close()
     }
-    val h = md.digest().take(4).map("%02x".format(_)).mkString
-    val base0 = src.getFileName.toString
-    val base = if (base0.endsWith(".pcap")) base0 else s"$base0.pcap"
-    val destPath = dir.resolve(s"$node-$h-$base")
+    val destPath = durableName(tmpFile, pcapDir, node, md.digest())
     java.nio.file.Files.move(tmpDest, destPath,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     val dest = destPath.toString
@@ -138,8 +135,6 @@ object Upload {
     * offsets point into.
     */
   def copiedPath(tmpFile: String, pcapDir: String, node: String): String = {
-    val base0 = java.nio.file.Paths.get(tmpFile).getFileName.toString
-    val base = if (base0.endsWith(".pcap")) base0 else s"$base0.pcap"
     val md = java.security.MessageDigest.getInstance("MD5")
     val in = java.nio.file.Files.newInputStream(
       java.nio.file.Paths.get(tmpFile))
@@ -148,8 +143,19 @@ object Upload {
       var n = in.read(buf)
       while (n > 0) { md.update(buf, 0, n); n = in.read(buf) }
     } finally in.close()
-    val h = md.digest().take(4).map("%02x".format(_)).mkString
-    java.nio.file.Paths.get(pcapDir, s"$node-$h-$base").toString
+    durableName(tmpFile, pcapDir, node, md.digest()).toString
+  }
+
+  /** The single source of the durable-name contract — [[copiedPath]]
+    * (standalone, scans the file) and [[ingestWithPath]] (digest built
+    * during the copy) must always agree.
+    */
+  private def durableName(tmpFile: String, pcapDir: String, node: String,
+      digest: Array[Byte]): java.nio.file.Path = {
+    val base0 = java.nio.file.Paths.get(tmpFile).getFileName.toString
+    val base = if (base0.endsWith(".pcap")) base0 else s"$base0.pcap"
+    val h = digest.take(4).map("%02x".format(_)).mkString
+    java.nio.file.Paths.get(pcapDir, s"$node-$h-$base")
   }
 
   /** Reference tag sanitation (`apiMisc.js:206`): strip to

@@ -32,6 +32,20 @@ class BodyFilesApiSpec extends AnyFunSuite with SparkSpecBase {
     assert(BodyHash.find(sessions, md5).isDefined)
   }
 
+  test("namedBodies serves response-only captures (srcResps parity with parse)") {
+    // responses on the CLIENT stream, no requests — the same srcResps
+    // path parse() digests into httpMd5 (single-packets golden class)
+    val client = ("HTTP/1.1 200 OK\r\nContent-Length: 5\r\n\r\nhello")
+      .getBytes("ISO-8859-1")
+    val bodies = graft.etl.HttpParser.namedBodies(client, Array.emptyByteArray)
+    assert(bodies.map(_._2.toSeq) == Seq("hello".getBytes("ISO-8859-1").toSeq))
+    // and a content-disposition filename wins the name
+    val named = ("HTTP/1.1 200 OK\r\nContent-Disposition: attachment; " +
+      "filename=\"r.bin\"\r\nContent-Length: 2\r\n\r\nok").getBytes("ISO-8859-1")
+    assert(graft.etl.HttpParser.namedBodies(named, Array.emptyByteArray)
+      .map(_._1) == Seq("r.bin"))
+  }
+
   test("files table lists the capture with size, ordinal and paging") {
     val sessions = SessionBuilder.sessionize(spark, srcPcap)
     val all = FilesTable.filesTable(sessions).collect()

@@ -17,6 +17,14 @@ class ReverseDnsSpec extends AnyFunSuite {
     assert(ReverseDns.ptrName("not-an-ip").isEmpty)
     assert(ReverseDns.ptrName("example.com").isEmpty,
       "hostnames must never reach the resolver")
+    // hex-lookalike hostnames, wrong octet counts, out-of-range and
+    // ambiguous-octal octets are NOT literals (reviewed: they would
+    // otherwise trigger the forward lookup this endpoint must not make)
+    assert(ReverseDns.ptrName("ad.be").isEmpty)
+    assert(ReverseDns.ptrName("cafe.df").isEmpty)
+    assert(ReverseDns.ptrName("1.2.3.4.5").isEmpty)
+    assert(ReverseDns.ptrName("999.0.0.1").isEmpty)
+    assert(ReverseDns.ptrName("01.2.3.4").isEmpty)
   }
 
   test("lookup joins hostnames; failures answer the literal reference string") {

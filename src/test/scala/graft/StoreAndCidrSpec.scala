@@ -72,6 +72,13 @@ class StoreAndCidrSpec extends AnyFunSuite with SparkSpecBase {
       "/root/reference/tests/pcap/socks-http-example.pcap")
     val path = java.nio.file.Files.createTempDirectory("sessions-drop").toString
     SessionStore.write(sessions, path) // fixture day: 2013-12-02
+    // request input: traversal-shaped day values must never reach the fs
+    intercept[IllegalArgumentException] {
+      SessionStore.dropDay(spark, path, "x/../..")
+    }
+    intercept[IllegalArgumentException] {
+      SessionStore.dropDay(spark, path, "2013-12-02/../..")
+    }
     assert(!SessionStore.dropDay(spark, path, "2099-01-01"))
     assert(SessionStore.read(spark, path).count() == 3)
     assert(SessionStore.dropDay(spark, path, "2013-12-02"))
