@@ -49,6 +49,17 @@ final class Compiler(
   import CmpOp._
 
   /** [[FieldRegistry.expand]] with the requiredRight gate applied. */
+  /** A `[...]` list (or an expanded shortcut) must carry at least one
+    * item: an empty one would otherwise escape as
+    * UnsupportedOperationException from `reduce` — outside the
+    * IllegalArgumentException family HTTP callers map to 400.
+    */
+  private def items1(items: Seq[Value]): Seq[Value] = {
+    if (items.isEmpty)
+      throw new IllegalArgumentException("empty list value")
+    items
+  }
+
   private def expandChecked(field: String): Seq[graft.model.FieldDef] = {
     val defs = registry.expand(field)
     rights match {
@@ -228,7 +239,7 @@ final class Compiler(
       case (Eq | Ne, Value.Lst(items)) =>
         // a list item may itself be the 10-20 range shorthand (the
         // reference's termOrTermsInt handles each element)
-        items.map {
+        items1(items).map {
           case Value.Bare(rangeRe(lo, hi)) =>
             inRange(d, c, lo.toDouble, hi.toDouble)
           case i => eqOne(d, c, lits(i))
@@ -340,7 +351,7 @@ final class Compiler(
       if (d.multiValued) exists(c, f) else f(c)
     }
     val m = value match {
-      case Value.Lst(items) => items.map(apply1).reduce(_ || _)
+      case Value.Lst(items) => items1(items).map(apply1).reduce(_ || _)
       case v                => apply1(v)
     }
     op match {
@@ -368,7 +379,7 @@ final class Compiler(
       else dateEq(d, c, bound(v))
     (op, value) match {
       case (Eq | Ne, Value.Lst(items)) =>
-        items.map(dateEqM).reduce(_ || _)
+        items1(items).map(dateEqM).reduce(_ || _)
       case (Eq | Ne, v) =>
         dateEqM(v)
       case (Lt, v)  => ineq(d, c, _ < bound(v))
@@ -429,7 +440,7 @@ final class Compiler(
     }
     (op, value) match {
       case (Eq | Ne, Value.Lst(items)) =>
-        items.map(i => one(strOf(i))).reduce(_ || _)
+        items1(items).map(i => one(strOf(i))).reduce(_ || _)
       case (Eq | Ne, v) =>
         one(strOf(v))
       case (rangeOp, v) =>
@@ -438,9 +449,15 @@ final class Compiler(
         // v4-mapped form (ip_sortable) whose unsigned BinaryType ordering
         // is numeric IP order — a lexicographic compare of the canonical
         // strings would put '9.0.0.1' above '10.0.0.0'.
-        val base = IpUtil.expandShorthand(strOf(v)).split('/').head
+        // an unparseable operand (including a `:port` suffix, which has
+        // no meaning on an order compare) must surface as a 400-class
+        // parse error — not compile to lit(false) and silently return
+        // zero rows (ES likewise rejects a bad ip range value)
+        val raw = strOf(v)
+        val base = IpUtil.expandShorthand(raw).split('/').head
         val bytes = IpUtil.toBytes(base)
-        if (bytes == null) lit(false)
+        if (bytes == null)
+          throw new IllegalArgumentException(s"bad ip range value '$raw'")
         else {
           val target = lit(bytes)
           def cmp(e: Column): Column = rangeOp match {

@@ -71,7 +71,10 @@ object Endpoints {
     val sortCols = sortKeys.map { case (c, asc) =>
       if (asc) col(c).asc_nulls_last else col(c).desc_nulls_last
     }
-    val sorted = df.select(projection.map(col): _*).orderBy(sortCols: _*)
+    // order BEFORE projecting: the reference sorts on any db field,
+    // projected or not (addSortToQuery); Spark still plans this as one
+    // TakeOrderedAndProject
+    val sorted = df.orderBy(sortCols: _*).select(projection.map(col): _*)
     (if (offset > 0) sorted.offset(offset) else sorted).limit(limit)
   }
 
@@ -295,10 +298,13 @@ object Endpoints {
         sums.toSeq.sortBy(_._1).map { case (n, c) => c.as(n) }: _*)
     if (minConn <= 1) links.orderBy(col("src"), col("dst"))
     else {
-      // node degree = number of distinct peers over both directions
-      val deg = links.select(col("src").as("node"), col("dst").as("peer"))
-        .union(links.select(col("dst"), col("src")))
-        .distinct()
+      // node cnt = number of distinct DIRECTED links the node touches —
+      // the reference bumps both endpoints once per new `src->dst` key
+      // (apiConnections.js:295-299 doProcess), so A⇄B gives each node
+      // cnt 2, and a self-loop counts twice. `links` is already one row
+      // per directed pair, so the union counts exactly that.
+      val deg = links.select(col("src").as("node"))
+        .union(links.select(col("dst").as("node")))
         .groupBy("node").agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= minConn)
         .select("node")
@@ -347,10 +353,23 @@ object Endpoints {
     * aggregations (the reference runs one terms agg per field).
     */
   def spiview(df: DataFrame, fields: Seq[String], k: Int): DataFrame = {
+    // multivalued fields count per ELEMENT (the reference runs one ES
+    // terms agg per field, and terms aggs unnest arrays) — stringifying
+    // the whole array would rank distinct array renderings instead.
+    // Every field normalizes to array<string> so ONE scan feeds all the
+    // (field, value) pairs: outer explode fans out fields, inner one
+    // elements.
+    def valuesOf(f: String): Column = {
+      val dt = df.select(col(f)).schema.head.dataType
+      dt match {
+        case _: org.apache.spark.sql.types.ArrayType =>
+          col(f).cast("array<string>")
+        case _ => array(col(f).cast("string"))
+      }
+    }
     val pairs = df.select(explode(array(fields.map(f =>
-      struct(lit(f).as("field"), col(f).cast("string").as("value"))): _*))
-      .as("p"))
-      .select(col("p.field"), col("p.value"))
+      struct(lit(f).as("field"), valuesOf(f).as("values"))): _*)).as("p"))
+      .select(col("p.field"), explode(col("p.values")).as("value"))
       .filter(col("value").isNotNull)
     val counted = pairs.groupBy("field", "value").agg(count(lit(1)).as("cnt"))
     // per-field top-K via the bounded-heap aggregate: a window partitioned
@@ -390,11 +409,19 @@ object Endpoints {
       .orderBy(col("node"), col("bucket"))
   }
 
-  /** E17: append-only query-audit log entry (history index analogue). */
-  def historyEntry(spark: org.apache.spark.sql.SparkSession,
-      user: String, api: String, expression: String, tookMs: Long): DataFrame = {
-    import spark.implicits._
-    Seq((user, api, expression, tookMs, System.currentTimeMillis()))
-      .toDF("uiPage_user", "api", "expression", "queryTime", "timestamp")
-  }
+  /** E17 convenience: record one query-audit entry through the REAL
+    * history log ([[graft.query.History]] — week-partitioned, id'd,
+    * listable/deletable). A previous stub here emitted an incompatible
+    * ad-hoc schema (mashed uiPage_user column, ms timestamps) whose rows
+    * History.list could never read; endpoints must log through one
+    * shape.
+    */
+  def recordHistory(spark: org.apache.spark.sql.SparkSession, path: String,
+      user: String, api: String, expression: String, tookMs: Long,
+      nowSec: Long = System.currentTimeMillis() / 1000)
+      : graft.query.History.Entry =
+    graft.query.History.record(spark, path, graft.query.History.Entry(
+      id = "", uiPage = api.stripPrefix("/api/").takeWhile(_ != '/'),
+      userId = user, method = "GET", api = api, expression = expression,
+      timestamp = nowSec, queryTime = tookMs))
 }

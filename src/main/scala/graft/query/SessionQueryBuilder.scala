@@ -51,7 +51,13 @@ final case class SessionQueryBuilder(
     // Q16 fileand: without the files dimension a `file == name` query
     // would fall through to a fileId-array term and silently match
     // nothing; populated from the files index like Users.compilerFor
-    files: Seq[graft.model.FileEntry] = Nil) {
+    files: Seq[graft.model.FileEntry] = Nil,
+    // Bounding.Database column — the reference ranges on the DB
+    // insertion `timestamp`, which can trail lastPacket by minutes
+    // (apiSessions.js:1175). This store carries no insertion stamp by
+    // default, so None falls back to lastCol (documented approximation);
+    // a store that records one passes its column here.
+    dbTimeCol: Option[String] = None) {
 
   def timeRange(start: Long, stop: Long,
       b: Endpoints.Bounding = Endpoints.Bounding.Last): SessionQueryBuilder =
@@ -93,20 +99,53 @@ final case class SessionQueryBuilder(
     (startMs, stopMs) match {
       case (Some(s), Some(e)) =>
         Endpoints.sessionQuery(sessions, col(firstCol), col(lastCol),
-          col(lastCol), lit(s), lit(e), bounding, exprPred)
+          col(dbTimeCol.getOrElse(lastCol)), lit(s), lit(e), bounding,
+          exprPred)
       case _ => exprPred.map(sessions.filter).getOrElse(sessions)
     }
   }
 
   // ----- endpoint-shaped results over the filtered frame ---------------
 
+  /** The histogram/graph time column follows the bounding mode, exactly
+    * as the reference picks the dbHisto field (apiSessions.js:1319-1330:
+    * first → firstPacket, database → timestamp, else lastPacket) — so a
+    * First-bounded query never emits buckets outside its window.
+    */
+  private def histoCol: Column = bounding match {
+    case Endpoints.Bounding.First    => col(firstCol)
+    case Endpoints.Bounding.Database => col(dbTimeCol.getOrElse(lastCol))
+    case _                           => col(lastCol)
+  }
+
+  /** `field` resolved through `colResolver` (derived dbFields —
+    * firstPacketSec, cert.* projections — never resolve via plain
+    * functions.col), flattened to one row per element when multivalued:
+    * the reference's terms aggs count array fields per ELEMENT.
+    * `extra` columns ride along unrenamed.
+    */
+  private def fieldFrame(field: String,
+      extra: Seq[Column] = Nil): DataFrame = {
+    val f = frame
+    val c = colResolver(field)
+    val isArray = f.select(c).schema.head.dataType
+      .isInstanceOf[org.apache.spark.sql.types.ArrayType]
+    val head = if (isArray) explode(c).as(field) else c.as(field)
+    f.select(head +: extra: _*)
+  }
+
   def table(projection: Seq[String], sortKeys: Seq[(String, Boolean)],
-      limit: Int, offset: Int = 0): DataFrame =
+      limit: Int, offset: Int = 0): DataFrame = {
     // page cap: at most 2M results per listing, like the reference's
-    // `Math.min(2000000, length)` (apiSessions.js:1219)
-    Endpoints.sessionsTable(frame, projection, sortKeys,
-      math.min(limit, SessionQueryBuilder.PageCap),
-      math.min(offset, SessionQueryBuilder.PageCap))
+    // `Math.min(2000000, length)` (apiSessions.js:1219); an offset past
+    // the window is an ERROR (ES rejects it), never a remapped page
+    require(offset <= SessionQueryBuilder.PageCap,
+      s"offset $offset exceeds the ${SessionQueryBuilder.PageCap} result window")
+    val cols = (projection ++ sortKeys.map(_._1)).distinct
+    val resolved = frame.select(cols.map(f => colResolver(f).as(f)): _*)
+    Endpoints.sessionsTable(resolved, projection, sortKeys,
+      math.min(limit, SessionQueryBuilder.PageCap), offset)
+  }
 
   /** E5 spiview with the reference's index-count policy: an unbounded
     * time range is refused, and a window spanning more day partitions
@@ -124,28 +163,31 @@ final case class SessionQueryBuilder(
         (stopMs.get / dayMs - startMs.get / dayMs) >= spiDataMaxDays)
         copy(startMs = Some((stopMs.get / dayMs - (spiDataMaxDays - 1)) * dayMs))
       else this
-    Endpoints.topTerms(narrowed.frame, col(field), field, k)
+    Endpoints.topTerms(narrowed.fieldFrame(field), col(field), field, k)
   }
 
   def timeHistogram(intervalSec: Long, sums: Map[String, Column] = Map.empty): DataFrame =
-    Endpoints.timeHistogram(frame, timestamp_millis(col(lastCol)), intervalSec, sums)
+    Endpoints.timeHistogram(frame, timestamp_millis(histoCol), intervalSec, sums)
 
   def unique(field: String, counts: Boolean = true): DataFrame =
-    Endpoints.unique(frame, col(field), field, counts)
+    Endpoints.unique(fieldFrame(field), col(field), field, counts)
 
   def multiunique(fields: Seq[String]): DataFrame =
-    Endpoints.multiunique(frame, fields)
+    Endpoints.multiunique(
+      frame.select(fields.map(f => colResolver(f).as(f)): _*), fields)
 
   def topTerms(field: String, k: Int): DataFrame =
-    Endpoints.topTerms(frame, col(field), field, k)
+    Endpoints.topTerms(fieldFrame(field), col(field), field, k)
 
   def spigraph(field: String, intervalSec: Long, k: Int): DataFrame =
-    Endpoints.spigraph(frame, col(field), field,
-      timestamp_millis(col(lastCol)), intervalSec, k)
+    Endpoints.spigraph(fieldFrame(field, Seq(histoCol.as("_graft_ts"))),
+      col(field), field,
+      timestamp_millis(col("_graft_ts")), intervalSec, k)
 
   def connections(srcField: String, dstField: String,
       sums: Map[String, Column] = Map.empty): DataFrame =
-    Endpoints.connectionsLinks(frame, col(srcField), col(dstField), sums)
+    Endpoints.connectionsLinks(frame, colResolver(srcField),
+      colResolver(dstField), sums)
 
   def count(): Long = frame.count()
 }

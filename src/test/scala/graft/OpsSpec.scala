@@ -210,6 +210,21 @@ class OpsSpec extends AnyFunSuite with SparkSpecBase {
     assert(out.count(_.getString(0) == "event_type") == 3)
   }
 
+  test("spiview counts array fields per element, not per array rendering") {
+    import spark.implicits._
+    val df = Seq(
+      (Seq("tcp", "http"), "a"),
+      (Seq("tcp"), "b"),
+      (Seq.empty[String], "c"))
+      .toDF("protocol", "k")
+    val out = Endpoints.spiview(df, Seq("protocol", "k"), 5).collect()
+    val prot = out.filter(_.getString(0) == "protocol")
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(prot == Map("tcp" -> 2L, "http" -> 1L),
+      s"per-element counts expected, got $prot")
+    assert(out.count(_.getString(0) == "k") == 3)
+  }
+
   test("E11 CSV export round-trips values with quoting and header") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_csv").toString
@@ -225,14 +240,20 @@ class OpsSpec extends AnyFunSuite with SparkSpecBase {
 
   test("E17 history entries accumulate as an append-only queryable log") {
     val dir = java.nio.file.Files.createTempDirectory("graft_hist").toString
-    Endpoints.historyEntry(spark, "u1", "/api/sessions", "ip == 1.2.3.4", 12L)
-      .write.mode("append").parquet(dir)
-    Endpoints.historyEntry(spark, "u2", "/api/unique", "port == 80", 7L)
-      .write.mode("append").parquet(dir)
-    val log = spark.read.parquet(dir)
-    assert(log.count() == 2)
-    assert(log.filter(org.apache.spark.sql.functions.col("uiPage_user") === "u2")
-      .select("expression").head.getString(0) == "port == 80")
+    Endpoints.recordHistory(spark, dir, "u1", "/api/sessions",
+      "ip == 1.2.3.4", 12L, nowSec = 1700000000L)
+    Endpoints.recordHistory(spark, dir, "u2", "/api/unique",
+      "port == 80", 7L, nowSec = 1700000001L)
+    // rows are listable through the REAL history API (the old stub's
+    // ad-hoc schema was invisible to History.list)
+    val (rows, total) = graft.query.History.list(spark, dir,
+      userId = "admin", isAdmin = true)
+    assert(total == 2)
+    val u2 = rows.filter(org.apache.spark.sql.functions
+      .col("userId") === "u2").collect()
+    assert(u2.length == 1)
+    assert(u2.head.getAs[String]("expression") == "port == 80")
+    assert(u2.head.getAs[String]("uiPage") == "unique")
   }
 
   test("hierarchy on a fractional-typed level keeps distinct values") {

@@ -29,6 +29,73 @@ class QueryFacadeSpec extends AnyFunSuite with SparkSpecBase {
     assert(q2.count() == 0)
   }
 
+  test("builder endpoints resolve derived fields and flatten arrays") {
+    val q = SessionQueryBuilder(sessions, FieldRegistry.sessions,
+      FieldRegistry.sessionCol)
+    // derived dbField: firstPacketSec only exists through the resolver
+    // (reviewed: plain functions.col threw AnalysisException here)
+    val u = q.unique("firstPacketSec").collect()
+    assert(u.nonEmpty)
+    val expected = sessions
+      .select(floor(col("firstPacket") / 1000).cast("long").as("s"))
+      .collect().map(_.getLong(0)).toSet
+    assert(u.map(_.getLong(0)).toSet == expected)
+    // multivalued field: per-ELEMENT counts (the ES terms-agg shape),
+    // never whole-array rows
+    val prot = q.unique("protocol").collect()
+    assert(prot.forall(r => !r.get(0).isInstanceOf[Seq[_]]))
+    assert(prot.map(_.getString(0)).contains("socks"))
+    val tt = q.topTerms("protocol", 5).collect()
+    assert(tt.map(_.getString(0)).contains("socks"))
+    // table: sort by a NON-projected column works (reference sorts on
+    // any db field), and an offset past the window errors
+    val t = q.table(Seq("srcPort"), Seq(("firstPacket", true)), 3)
+    assert(t.columns.toSeq == Seq("srcPort"))
+    assert(t.count() == 3)
+    intercept[IllegalArgumentException] {
+      q.table(Seq("srcIp"), Nil, 10, offset = 2000001)
+    }
+  }
+
+  test("histogram bucket column follows the bounding mode") {
+    val first = sessions.select(min("firstPacket")).head.getLong(0)
+    val q = SessionQueryBuilder(sessions, FieldRegistry.sessions,
+      FieldRegistry.sessionCol)
+      .timeRange(first, first + 1500, Endpoints.Bounding.First)
+    // First bounding: buckets come from firstPacket, so every bucket
+    // lies inside the window even when lastPacket is after it
+    val h = q.timeHistogram(1).collect()
+    assert(h.nonEmpty)
+    val ts = h.map(_.getTimestamp(0).getTime)
+    assert(ts.forall(t => t >= first - 1000 && t <= first + 2500),
+      s"bucket outside First-bounded window: ${ts.toSeq}")
+  }
+
+  test("empty list and bad ip-range values raise parse errors, not crashes") {
+    import graft.expr.Compiler
+    val c = new Compiler(FieldRegistry.sessions, FieldRegistry.sessionCol,
+      SparkEntry.now)
+    intercept[IllegalArgumentException] { c.compile("tags == []") }
+    intercept[IllegalArgumentException] { c.compile("port == []") }
+    intercept[IllegalArgumentException] { c.compile("ip.src > garbage") }
+    intercept[IllegalArgumentException] { c.compile("ip.src > 1.2.3.4:80") }
+    // the plain forms still compile
+    assert(sessions.filter(c.compile("ip.src > 1.2.3.3")).count() > 0)
+  }
+
+  test("connections minConn counts distinct directed links per node") {
+    import spark.implicits._
+    // A→B and B→A: each node touches TWO directed links (reference
+    // doProcess bumps both endpoints once per new src->dst key)
+    val df = Seq(("A", "B"), ("B", "A"), ("C", "D"))
+      .toDF("s", "d")
+    val kept = Endpoints.connectionsLinks(df, col("s"), col("d"),
+      minConn = 2).collect()
+    assert(kept.map(r => (r.getAs[String]("src"), r.getAs[String]("dst")))
+      .toSet == Set(("A", "B"), ("B", "A")),
+      "A and B have 2 directed links each; C/D have 1 and drop")
+  }
+
   test("host meta-field fans out across protocol hostname columns") {
     import graft.expr.Compiler
     // three pcaps whose hostnames land in different columns:
@@ -152,14 +219,14 @@ class QueryFacadeSpec extends AnyFunSuite with SparkSpecBase {
 
   test("E17 history entries accumulate as an append-only audit log") {
     val out = java.nio.file.Files.createTempDirectory("graft-hist").toString
-    Endpoints.historyEntry(spark, "alice", "/api/sessions",
-      "http.method == GET", 12L)
-      .write.mode("append").parquet(out)
-    Endpoints.historyEntry(spark, "bob", "/api/spiview", "port == 443", 7L)
-      .write.mode("append").parquet(out)
-    val hist = spark.read.parquet(out)
-    assert(hist.count() == 2)
-    assert(hist.filter(col("uiPage_user") === "alice").count() == 1)
+    Endpoints.recordHistory(spark, out, "alice", "/api/sessions",
+      "http.method == GET", 12L, nowSec = 1700000000L)
+    Endpoints.recordHistory(spark, out, "bob", "/api/spiview",
+      "port == 443", 7L, nowSec = 1700000001L)
+    val (rows, total) = graft.query.History.list(spark, out,
+      userId = "admin", isAdmin = true)
+    assert(total == 2)
+    assert(rows.filter(col("userId") === "alice").count() == 1)
   }
 
   test("cancellation: job-group cancel interrupts a running query") {
