@@ -542,7 +542,13 @@ object Pcap {
     // Hadoop's own input formats do
     @inline def visible(name: String): Boolean =
       !name.startsWith(".") && !name.startsWith("_")
-    val matched = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Nil)
+    // a path that exists LITERALLY is taken as-is before any glob
+    // expansion: upload filenames are user-controlled and may contain
+    // glob metacharacters (`capture[1].pcap`) that globStatus would
+    // otherwise reinterpret
+    val matched =
+      if (fs.exists(p)) Seq(fs.getFileStatus(p))
+      else Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Nil)
     if (matched.isEmpty)
       throw new java.io.FileNotFoundException(s"no pcap input matches $path")
     // the hidden-file skip applies to DIRECTORY listings only: a file
@@ -683,8 +689,13 @@ object Pcap {
           val ob = new Array[Byte](oLen)
           val oin = fs.open(path)
           try oin.readFully(c.end, ob, 0, oLen) finally oin.close()
+          // the overlap buffer is NOT record-aligned at its end: a record
+          // cut mid-payload by the 8 MiB window must be dropped, not
+          // emitted with clipped data — a truncated final fragment would
+          // otherwise assemble into a silently corrupted packet
           recordIterator(ob, 0, c.file, order, c.nanos, maxIncl,
             c.linkType, lastIdx + 1, lastTs, c.end)
+            .filter(p => p.data.length >= p.inclLen)
         }
       })
     }

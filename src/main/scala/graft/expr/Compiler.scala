@@ -48,7 +48,6 @@ final class Compiler(
   import Ast._
   import CmpOp._
 
-  /** [[FieldRegistry.expand]] with the requiredRight gate applied. */
   /** A `[...]` list (or an expanded shortcut) must carry at least one
     * item: an empty one would otherwise escape as
     * UnsupportedOperationException from `reduce` — outside the
@@ -60,6 +59,7 @@ final class Compiler(
     items
   }
 
+  /** [[FieldRegistry.expand]] with the requiredRight gate applied. */
   private def expandChecked(field: String): Seq[graft.model.FieldDef] = {
     val defs = registry.expand(field)
     rights match {

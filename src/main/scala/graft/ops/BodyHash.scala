@@ -36,13 +36,18 @@ object BodyHash {
     val want = hash.toLowerCase
     // newest matching session: top-1 ON THE CLUSTER (the reference's
     // `size 1, sort lastPacket desc`) — a broad query result is never
-    // collected whole to the driver
-    val newest = sessions.orderBy(org.apache.spark.sql.functions
-      .col("lastPacket").desc).limit(1).collect()
-    if (newest.isEmpty) return None
-    val newestId = newest.head.sessionId
-    val segs = sessions.filter(_.sessionId == newestId)
-      .collect().sortBy(_.segmentSeq)
+    // collected whole to the driver. The frame is persisted across the
+    // two passes (top-1, then that session's segments) so the expensive
+    // query predicate scans the store ONCE, not twice per hash lookup.
+    val pinned = sessions.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val segs = try {
+      val newest = pinned.orderBy(org.apache.spark.sql.functions
+        .col("lastPacket").desc).limit(1).collect()
+      if (newest.isEmpty) return None
+      val newestId = newest.head.sessionId
+      pinned.filter(_.sessionId == newestId).collect().sortBy(_.segmentSeq)
+    } finally pinned.unpersist(blocking = false)
     val s0 = segs.head
     val packets = CyberChef.readSessionPackets(segs.toIndexedSeq, keys, store)
     def side(d: Int): IndexedSeq[Decode.DecodedPacket] = packets.filter(p =>

@@ -26,12 +26,6 @@ object CyberChef {
   /** The reference handler's 10 000-packet decode cap (apiMisc.js:271). */
   val MaxPackets = 10000
 
-  /** One direction's session payload, hex-encoded — the `data` field of
-    * the endpoint's response. `dataType` mirrors the query param: any
-    * value but "dst" selects src (apiMisc.js:278). Rows of `sessions`
-    * whose sessionId matches are all used (a long session's segments
-    * share the id; the cap still bounds the read).
-    */
   /** Read one session's decoded packets from the pcap store via its
     * stored `packetPos` references — seek-only blob I/O on the calling
     * thread, capped at [[MaxPackets]]. Shared by the interactive
@@ -55,6 +49,12 @@ object CyberChef {
     } finally PcapChannels.closeAll(open)
   }
 
+  /** One direction's session payload, hex-encoded — the `data` field of
+    * the endpoint's response. `dataType` mirrors the query param: any
+    * value but "dst" selects src (apiMisc.js:278). Rows of `sessions`
+    * whose sessionId matches are all used (a long session's segments
+    * share the id; the cap still bounds the read).
+    */
   def sessionData(sessions: Dataset[SessionRow], sessionId: String,
       dataType: String = "src",
       keys: String => graft.etl.PcapCrypto.FileKeys = _ => graft.etl.PcapCrypto.Normal,

@@ -79,6 +79,10 @@ object Upload {
     // reference rotates at 12G) and a whole-file read caps at the 2 GiB
     // JVM array limit, doubling memory well before that.
     val isNg = mRead == 4 && graft.etl.Pcap.isPcapng(magic)
+    // any failure from here until the rename must remove the temp: a
+    // multi-GB `.upload-*.tmp` leaked per failed post (disk full, I/O
+    // error mid-copy) would otherwise accumulate in the capture dir
+    val destPath = try {
     val in = new java.security.DigestInputStream(
       new java.io.BufferedInputStream(
         java.nio.file.Files.newInputStream(src), 1 << 20), md)
@@ -112,9 +116,15 @@ object Upload {
         raf.write(graft.etl.Pcap.classicHeader(lt, snap))
       } finally raf.close()
     }
-    val destPath = durableName(tmpFile, pcapDir, node, md.digest())
-    java.nio.file.Files.move(tmpDest, destPath,
+    val dp = durableName(tmpFile, pcapDir, node, md.digest())
+    java.nio.file.Files.move(tmpDest, dp,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    dp
+    } catch {
+      case t: Throwable =>
+        java.nio.file.Files.deleteIfExists(tmpDest)
+        throw t
+    }
     val dest = destPath.toString
     val cleanTags = sanitizeTags(tags)
     import spark.implicits._

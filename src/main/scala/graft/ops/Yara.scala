@@ -463,7 +463,7 @@ object Yara {
 
   private def parseCond(rule: String, s: String): Cond = {
     val toks = mutable.Queue(
-      s.replace("(", " ( ").replace(")", " ) ")
+      s.replace("(", " ( ").replace(")", " ) ").replace(",", " , ")
         .replace("..", " .. ").split("\\s+").filter(_.nonEmpty).toSeq: _*)
     def fail(what: String) = throw new IllegalArgumentException(
       s"rule $rule: unsupported condition near '$what'")
@@ -480,6 +480,7 @@ object Yara {
             if (toks.isEmpty) fail(")")
             toks.dequeue() match {
               case ")" => done = true
+              case "," => // separator — ids may also arrive pre-split
               case t =>
                 val id = t.stripSuffix(",")
                 if (!id.startsWith("$") || id.length < 2) fail(t)

@@ -150,6 +150,31 @@ class ShortcutsUploadForwardSpec extends AnyFunSuite with SparkSpecBase {
     assert(SessionBuilder.sessionize(spark, out).count() == r.sessions)
   }
 
+  test("upload: a failed ingest never leaks a .upload-*.tmp in the pcap dir") {
+    val dir = tmp("graft-upload-fail")
+    val pcapDir = s"$dir/pcap"
+    val posted = s"$dir/posted.pcap"
+    Files.copy(Paths.get(srcPcap), Paths.get(posted))
+    // force the final rename to fail deterministically: a NON-EMPTY
+    // directory pre-exists at the durable name (Files.move cannot
+    // replace it) — the copy itself succeeds, so the temp exists at the
+    // moment of failure and must be cleaned up by the error path
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update(Files.readAllBytes(Paths.get(posted)))
+    val h = md.digest().take(4).map("%02x".format(_)).mkString
+    val blocker = Paths.get(pcapDir, s"upl-$h-posted.pcap")
+    Files.createDirectories(blocker)
+    Files.write(blocker.resolve("occupant"), Array[Byte](1))
+    intercept[java.nio.file.FileSystemException] {
+      Upload.ingestWithPath(spark, posted, pcapDir, node = "upl")
+    }
+    val leaked = Files.list(Paths.get(pcapDir)).iterator()
+    val names = new scala.collection.mutable.ArrayBuffer[String]
+    while (leaked.hasNext) names += leaked.next().getFileName.toString
+    assert(!names.exists(_.startsWith(".upload-")),
+      s"temp file leaked: $names")
+  }
+
   // ------------------------------------------------------------------
   // Forward
   // ------------------------------------------------------------------

@@ -95,4 +95,27 @@ class UploadScaleSpec extends AnyFunSuite with SparkSpecBase {
         .foreach(p => try Files.delete(p) catch { case _: Exception => () })
     }
   }
+
+  test("a literal filename with glob metacharacters reads as-is") {
+    // upload names are user-controlled: `capture[1].pcap` must read the
+    // named file, not be reinterpreted as a character class (which would
+    // match only a nonexistent `capture1.pcap` and throw NotFound)
+    val dir = Files.createTempDirectory("graft-globname")
+    val f = dir.resolve("capture[1].pcap")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(graft.etl.Pcap.classicHeader(1, 65535))
+    val data = new Array[Byte](60)
+    val b = ByteBuffer.wrap(data)
+    b.position(12); b.putShort(0x0800.toShort)
+    b.put(0x45.toByte).put(0.toByte).putShort(46.toShort)
+    b.putShort(1.toShort).putShort(0.toShort)
+    b.put(64.toByte).put(17.toByte).putShort(0.toShort)
+    b.putInt(0x0a000001).putInt(0x0a000002)
+    val rec = ByteBuffer.allocate(16 + 60).order(ByteOrder.LITTLE_ENDIAN)
+    rec.putInt(1700000000).putInt(0).putInt(60).putInt(60).put(data)
+    out.write(rec.array())
+    Files.write(f, out.toByteArray)
+    val got = graft.etl.Pcap.readPackets(spark, f.toString).collect()
+    assert(got.length == 1 && got.head.file.endsWith("capture[1].pcap"))
+  }
 }

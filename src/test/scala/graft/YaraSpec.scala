@@ -159,6 +159,13 @@ class YaraSpec extends AnyFunSuite with SparkSpecBase {
         "condition: any of ($a, $b) }")
     assert(Yara.scan(any, b("bar only")).nonEmpty)
     assert(Yara.scan(any, b("zap only")).isEmpty)
+    // the no-space comma form is equally valid YARA (was a silent
+    // never-match: the ids tokenized as one bogus `$a,$c*` entry)
+    val tight = Yara.parse(
+      "rule U { strings: $a = \"foo\" $b = \"bar\" $c1 = \"zap\" " +
+        "$c2 = \"zip\" condition: 2 of ($a,$c*) }")
+    assert(Yara.scan(tight, b("foo zap")).nonEmpty)
+    assert(Yara.scan(tight, b("foo bar")).isEmpty)
   }
 
   test("masked hex nibbles ?A / A? match by half byte") {

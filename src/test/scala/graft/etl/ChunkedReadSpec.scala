@@ -90,4 +90,55 @@ class ChunkedReadSpec extends AnyFunSuite {
         a.data.toSeq == b.data.toSeq, s"packet ${b.index}")
     }
   }
+
+  test("a record clipped at the overlap-window edge drops, never corrupts") {
+    // layout: [frag A0 | ~8 MiB filler | final frag A1], split so chunk 1
+    // ends after A0 and A1's record STRADDLES chunk1.end + FragOverlapBytes
+    // (8 MiB): the overlap read sees A1's headers but only part of its
+    // payload. The truncated record must be skipped — assembling it would
+    // emit a silently short packet — so group A drops entirely (the
+    // documented >overlap-span degradation) and only the filler survives.
+    val overlapBytes = 8L << 20
+    val a0 = record(1000000L, frame(500, 0, mf = true,
+      Array.tabulate[Byte](64)(_.toByte)))
+    val a1 = record(9000000L, frame(500, 64, mf = false,
+      Array.tabulate[Byte](16)(j => (100 + j).toByte)))
+    val chunk1End = 24L + a0.length
+    // A1's data must clip to >=34 bytes (parseable eth+ip headers, short
+    // payload) — the worst case: a fragment that still LOOKS assemblable
+    val clipAt = 44
+    val a1Start = chunk1End + overlapBytes - (16 + clipAt)
+    // pad with snaplen-bounded filler records up to exactly a1Start
+    val span = (a1Start - chunk1End).toInt
+    val full = span / 65050          // 16 hdr + 34 frame + 65000 payload
+    val rem = span % 65050
+    assert(rem >= 66, "remainder filler must fit a minimal record")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Pcap.classicHeader(1, 65535))
+    out.write(a0)
+    var t = 2000000L
+    for (_ <- 0 until full) {
+      out.write(record(t, frame(7, 0, mf = false, new Array[Byte](65000))))
+      t += 1000
+    }
+    out.write(record(t, frame(8, 0, mf = false, new Array[Byte](rem - 50))))
+    assert(out.size().toLong == a1Start,
+      "fillers must place A1's record straddling the overlap edge")
+    out.write(a1)
+    val bytes = out.toByteArray
+    val dir = java.nio.file.Files.createTempDirectory("graft-clip")
+    val f = dir.resolve("clip.pcap")
+    java.nio.file.Files.write(f, bytes)
+    val sconf = new Pcap.SerializableConf(
+      new org.apache.hadoop.conf.Configuration())
+    val chunks = Pcap.planChunks(f.toString, bytes.length.toLong, sconf,
+      splitBytes = 64L)
+    assert(chunks.head.end == chunk1End, "chunk 1 must end right after A0")
+    val got = chunks.flatMap(c => Pcap.readChunk(c, sconf).toSeq)
+      .sortBy(_.index)
+    val fillerCount = full + 1
+    assert(got.map(_.index) == (1 to fillerCount),
+      s"only fillers survive; got indices ${got.map(_.index).take(5)}... " +
+        s"count ${got.size} (A truncated-assembled emit would add index 0)")
+  }
 }
