@@ -72,18 +72,9 @@ object NotifierStore {
   }
 
   private def writeAll(spark: SparkSession, path: String,
-      rows: Seq[StoredNotifier]): Unit = {
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new org.apache.hadoop.fs.Path(path + "_tmp")
-    spark.createDataset(rows)(Encoders.product[StoredNotifier])
-      .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-    val target = new org.apache.hadoop.fs.Path(path)
-    if (fs.exists(target) && !fs.delete(target, true))
-      throw new java.io.IOException(s"notifiers: cannot replace $path")
-    if (!fs.rename(tmp, target))
-      throw new java.io.IOException(s"notifiers: cannot swap in $path")
-  }
+      rows: Seq[StoredNotifier]): Unit =
+    graft.model.TinyTable.write(spark, path, rows,
+      "notifiers")(Encoders.product[StoredNotifier])
 
   private def validate(name: String, ntype: String,
       fields: Map[String, String]): Unit = {

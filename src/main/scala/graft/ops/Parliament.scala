@@ -124,30 +124,8 @@ object Parliament {
       .as[NoPacketsMark](Encoders.product[NoPacketsMark]).collect().toSeq
 
   private def writeTable[T <: Product: org.apache.spark.sql.Encoder](
-      spark: SparkSession, path: String, rows: Seq[T]): Unit = {
-    // temp-and-swap: write aside, move the live table out of the way,
-    // move the new one in, roll back if the swap fails (the
-    // SessionStore.compact pattern). HDFS rename won't replace an
-    // existing directory, so the aside move is mandatory; the
-    // no-table window is the gap between the two renames — two
-    // metadata ops — rather than a full delete + rename.
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new org.apache.hadoop.fs.Path(path + "_tmp")
-    spark.createDataset(rows).coalesce(1)
-      .write.mode("overwrite").parquet(tmp.toString)
-    val target = new org.apache.hadoop.fs.Path(path)
-    val bak = new org.apache.hadoop.fs.Path(path + "_old")
-    fs.delete(bak, true) // leftover from a crashed prior swap
-    val hadOld = fs.exists(target)
-    if (hadOld && !fs.rename(target, bak))
-      throw new java.io.IOException(s"parliament: cannot move $path aside")
-    if (!fs.rename(tmp, target)) {
-      if (hadOld) fs.rename(bak, target) // roll back
-      throw new java.io.IOException(s"parliament: cannot swap in $path")
-    }
-    if (hadOld) fs.delete(bak, true)
-  }
+      spark: SparkSession, path: String, rows: Seq[T]): Unit =
+    graft.model.TinyTable.write(spark, path, rows, "parliament")
 
   /** One monitoring cycle (the reference's updateParliament interval):
     * evaluate rules over health + stats, upsert into the registry

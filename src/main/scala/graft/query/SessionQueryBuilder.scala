@@ -206,14 +206,68 @@ object SessionQueryBuilder {
   * cluster-wide.
   */
 object QueryControl {
+
+  /** One live query as the `/api/estasks` analogue reports it
+    * (apiStats.js:727-795: taskId, action, user, running time,
+    * cancellable; the reference parses the user from the request's
+    * `X-Opaque-Id: user::id` header — here it is carried explicitly).
+    * Job/task progress comes from Spark's status tracker for this
+    * query's job group.
+    */
+  final case class TaskRow(taskId: String, action: String, user: String,
+      startMs: Long, runningMs: Long, activeJobs: Int, totalTasks: Int,
+      completedTasks: Int, cancellable: Boolean = true)
+
+  private val registry = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, String, Long)]() // queryId -> (action, user, startMs)
+
   def run[T](spark: org.apache.spark.sql.SparkSession, queryId: String,
-      description: String)(body: => T): T = {
+      description: String, user: String = "")(body: => T): T = {
+    registry.put(queryId, (description, user, System.currentTimeMillis()))
     spark.sparkContext.setJobGroup(queryId, description,
       interruptOnCancel = true)
     try body
-    finally spark.sparkContext.clearJobGroup()
+    finally {
+      spark.sparkContext.clearJobGroup()
+      registry.remove(queryId)
+    }
   }
 
   def cancel(spark: org.apache.spark.sql.SparkSession, queryId: String): Unit =
     spark.sparkContext.cancelJobGroup(queryId)
+
+  /** GET /api/estasks (apiStats.js getESTasks): the running queries,
+    * optionally filtered by a regex over action/user — driver-side
+    * registry plus status-tracker progress, no jobs launched.
+    */
+  def tasks(spark: org.apache.spark.sql.SparkSession,
+      filter: Option[String] = None,
+      nowMs: Long = System.currentTimeMillis()): Seq[TaskRow] = {
+    val re = filter.map(_.r)
+    val st = spark.sparkContext.statusTracker
+    import scala.jdk.CollectionConverters._
+    registry.asScala.toSeq.collect {
+      case (id, (action, user, start))
+          if re.forall(r => r.findFirstIn(action).isDefined ||
+            r.findFirstIn(user).isDefined) =>
+        val jobs = st.getJobIdsForGroup(id)
+        val stages = jobs.flatMap(j => st.getJobInfo(j))
+          .flatMap(_.stageIds()).distinct
+          .flatMap(s => st.getStageInfo(s))
+        TaskRow(id, action, user, start, math.max(0L, nowMs - start),
+          activeJobs = jobs.length,
+          totalTasks = stages.map(_.numTasks()).sum,
+          completedTasks = stages.map(_.numCompletedTasks()).sum)
+    }.sortBy(_.startMs)
+  }
+
+  /** POST /api/estasks/cancelall (apiStats.js:872): cancel every
+    * registered query's job group; returns how many were signalled.
+    */
+  def cancelAll(spark: org.apache.spark.sql.SparkSession): Int = {
+    import scala.jdk.CollectionConverters._
+    val ids = registry.keys().asScala.toSeq
+    ids.foreach(cancel(spark, _))
+    ids.length
+  }
 }

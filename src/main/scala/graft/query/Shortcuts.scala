@@ -59,19 +59,9 @@ object Shortcuts {
   }
 
   private def writeAll(spark: SparkSession, path: String,
-      rows: Seq[Shortcut]): Unit = {
-    // temp-and-swap so a concurrent reader never sees a half table
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new org.apache.hadoop.fs.Path(path + "_tmp")
-    spark.createDataset(rows)(Encoders.product[Shortcut])
-      .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-    val target = new org.apache.hadoop.fs.Path(path)
-    if (fs.exists(target) && !fs.delete(target, true))
-      throw new java.io.IOException(s"shortcuts: cannot replace $path")
-    if (!fs.rename(tmp, target))
-      throw new java.io.IOException(s"shortcuts: cannot swap in $path")
-  }
+      rows: Seq[Shortcut]): Unit =
+    graft.model.TinyTable.write(spark, path, rows,
+      "shortcuts")(Encoders.product[Shortcut])
 
   /** Create; returns the stored shortcut (id = sanitized name — names are
     * globally unique so the name IS a stable id).

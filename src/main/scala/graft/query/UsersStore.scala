@@ -126,18 +126,9 @@ object UsersStore {
   }
 
   private def writeAll(spark: SparkSession, path: String,
-      rows: Seq[StoredUser]): Unit = {
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new org.apache.hadoop.fs.Path(path + "_tmp")
-    spark.createDataset(rows)(Encoders.product[StoredUser])
-      .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-    val target = new org.apache.hadoop.fs.Path(path)
-    if (fs.exists(target) && !fs.delete(target, true))
-      throw new java.io.IOException(s"users: cannot replace $path")
-    if (!fs.rename(tmp, target))
-      throw new java.io.IOException(s"users: cannot swap in $path")
-  }
+      rows: Seq[StoredUser]): Unit =
+    graft.model.TinyTable.write(spark, path, rows,
+      "users")(Encoders.product[StoredUser])
 
   /** createUser (apiUsers.js:246-300): admin only, userId must be new.
     * `userId` is sanitized like the reference (no leading/trailing

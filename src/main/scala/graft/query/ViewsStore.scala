@@ -43,18 +43,9 @@ object ViewsStore {
   }
 
   private def writeAll(spark: SparkSession, path: String,
-      rows: Seq[View]): Unit = {
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new org.apache.hadoop.fs.Path(path + "_tmp")
-    spark.createDataset(rows)(Encoders.product[View])
-      .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-    val target = new org.apache.hadoop.fs.Path(path)
-    if (fs.exists(target) && !fs.delete(target, true))
-      throw new java.io.IOException(s"views: cannot replace $path")
-    if (!fs.rename(tmp, target))
-      throw new java.io.IOException(s"views: cannot swap in $path")
-  }
+      rows: Seq[View]): Unit =
+    graft.model.TinyTable.write(spark, path, rows,
+      "views")(Encoders.product[View])
 
   private def dup(all: Seq[View], v: View): Boolean =
     if (v.shared) all.exists(x => x.shared && x.name == v.name)

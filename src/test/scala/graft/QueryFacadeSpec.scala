@@ -237,7 +237,7 @@ class QueryFacadeSpec extends AnyFunSuite with SparkSpecBase {
     val qid = "facade-cancel-test"
     val slow = Future {
       intercept[org.apache.spark.SparkException] {
-        QueryControl.run(spark, qid, "slow cartesian") {
+        QueryControl.run(spark, qid, "slow cartesian", user = "alice") {
           // unbounded-ish work: ~10^10 row cartesian count
           spark.range(100000).toDF("a")
             .crossJoin(spark.range(100000).toDF("b"))
@@ -246,8 +246,21 @@ class QueryFacadeSpec extends AnyFunSuite with SparkSpecBase {
       }
     }
     Thread.sleep(1500) // let stages launch
+    // E47 estasks analogue: the running query is listed with its
+    // action/user and live progress, and regex filtering works like the
+    // reference's ?filter=
+    val listed = QueryControl.tasks(spark)
+    val mine = listed.filter(_.taskId == qid)
+    assert(mine.length == 1, s"running query must be listed: $listed")
+    assert(mine.head.action == "slow cartesian" && mine.head.user == "alice")
+    assert(mine.head.runningMs >= 1000 && mine.head.cancellable)
+    assert(QueryControl.tasks(spark, filter = Some("cartes")).nonEmpty)
+    assert(QueryControl.tasks(spark, filter = Some("nomatch-xyz"))
+      .forall(_.taskId != qid))
     QueryControl.cancel(spark, qid)
     val ex = Await.result(slow, 60.seconds)
     assert(ex.getMessage.toLowerCase.contains("cancel"))
+    // the finished query drops out of the registry
+    assert(QueryControl.tasks(spark).forall(_.taskId != qid))
   }
 }
