@@ -267,6 +267,24 @@ object SparkEntry {
     }),
     "e8_cardinality" -> ((s, dir) =>
       graft.ops.Cnt.cardinality(ev(s, dir), Seq("user_id", "event_type"))),
+    // E16b dstats: the cubism grid for one derived metric over a
+    // synthetic per-node hourly dstats frame (nodes from user_id%4,
+    // deltaBytes = sample count so every value is integral and the
+    // floor() arithmetic is oracle-exact)
+    "e16b_dstats" -> ((s, dir) => {
+      val m = ev(s, dir).filter(col("user_id").isNotNull)
+        .groupBy(
+          concat(lit("node"), col("user_id") % 4).as("nodeName"),
+          (floor(epochS(col("ts")) / 3600) * 3600).cast("long")
+            .as("currentTime"),
+          (lit(60000L) + (col("user_id") % 4) * 1000L).as("deltaMS"))
+        .agg(count(lit(1)).as("deltaBytes"))
+        .withColumn("interval", lit(60L))
+      Endpoints.dstats(m, "deltaBitsPerSec",
+        startSec = 1704067200L, stopSec = 1706659200L,
+        stepSec = 86400L, intervalSec = 60L)
+        .withColumn("value", col("value").cast("long"))
+    }),
     "e16_node_stats" -> ((s, dir) =>
       Endpoints.nodeStats(
         ev(s, dir).filter(col("user_id").isNotNull),
@@ -1537,6 +1555,34 @@ object SparkEntry {
                   AS BIGINT) AS liveNodes,
                 CAST(sum(monitoring) AS BIGINT) AS monitoring
          FROM stats GROUP BY cluster ORDER BY cluster""",
+    "e16b_dstats" ->
+      """WITH m AS (
+           SELECT 'node' || (user_id % 4) AS node,
+                  CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS currentTime,
+                  count(*) AS deltaBytes,
+                  60000 + (user_id % 4) * 1000 AS deltaMS
+           FROM events WHERE user_id IS NOT NULL
+           GROUP BY 1, 2, 4),
+         v AS (
+           SELECT node, currentTime,
+                  CAST(floor((currentTime - 1704067200) / 86400) AS INT) AS pos,
+                  floor(deltaBytes * 1000.0 / deltaMS * 8) AS value
+           FROM m
+           WHERE currentTime BETWEEN 1704067200 AND 1706659200
+             AND floor((currentTime - 1704067200) / 86400) BETWEEN 0 AND 29),
+         newest AS (
+           SELECT node, pos, value, row_number() OVER
+             (PARTITION BY node, pos ORDER BY currentTime DESC) AS rn
+           FROM v),
+         grid AS (
+           SELECT n.node, g.pos
+           FROM (SELECT DISTINCT node FROM v) n
+           CROSS JOIN (SELECT CAST(unnest(generate_series(0, 29)) AS INT) AS pos) g)
+         SELECT grid.node, grid.pos,
+                CAST(coalesce(newest.value, 0) AS BIGINT) AS value
+         FROM grid LEFT JOIN newest
+           ON newest.node = grid.node AND newest.pos = grid.pos AND newest.rn = 1
+         ORDER BY grid.node, grid.pos""",
     "e16_node_stats" ->
       s"""SELECT 'node' || (user_id % 4) AS node, count(*) AS n,
          ${sqlDsum("value")} AS sum_value,

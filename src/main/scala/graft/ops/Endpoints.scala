@@ -409,6 +409,107 @@ object Endpoints {
       .orderBy(col("node"), col("bucket"))
   }
 
+  /** The `/api/dstats` derived-metric catalogue
+    * (viewer/apiStats.js:256-276 `mapping`): each named metric is an
+    * expression over the raw per-sample delta columns the capture node
+    * reports. Unknown names read the column of the same name verbatim,
+    * exactly like the reference's fallback.
+    */
+  private def dstatValue(name: String): Column = {
+    def perSec(c: Column) = floor(c * 1000.0 / col("deltaMS"))
+    name match {
+      case "deltaBits" => floor(col("deltaBytes") * 8.0)
+      case "deltaTotalDropped" =>
+        floor(col("deltaDropped") + col("deltaOverloadDropped"))
+      case "deltaBytesPerSec" => perSec(col("deltaBytes"))
+      case "deltaBitsPerSec" =>
+        floor(col("deltaBytes") * 1000.0 / col("deltaMS") * 8)
+      case "deltaWrittenBytesPerSec" => perSec(col("deltaWrittenBytes"))
+      case "deltaUnwrittenBytesPerSec" => perSec(col("deltaUnwrittenBytes"))
+      case "deltaPacketsPerSec" => perSec(col("deltaPackets"))
+      case "deltaSessionsPerSec" => perSec(col("deltaSessions"))
+      case "deltaSessionBytesPerSec" => perSec(col("deltaSessionBytes"))
+      case "sessionSizePerSec" =>
+        floor(col("deltaSessionBytes") / col("deltaSessions"))
+      case "deltaDroppedPerSec" => perSec(col("deltaDropped"))
+      case "deltaFragsDroppedPerSec" => perSec(col("deltaFragsDropped"))
+      case "deltaOverloadDroppedPerSec" => perSec(col("deltaOverloadDropped"))
+      case "deltaESDroppedPerSec" => perSec(col("deltaESDropped"))
+      case "deltaDupDroppedPerSec" => perSec(col("deltaDupDropped"))
+      case "deltaTotalDroppedPerSec" =>
+        perSec(col("deltaDropped") + col("deltaOverloadDropped"))
+      case "cpu" => col("cpu") * 0.01
+      // space metrics come back in MB and are scaled to bytes
+      // (apiStats.js:292 `mult = 1000000`)
+      case "freeSpaceM" | "usedSpaceM" => col(name) * 1000000.0
+      case other => col(other)
+    }
+  }
+
+  /** E16b: `GET /api/dstats` (viewer/apiStats.js:226-337
+    * getDetailedStats) — the cubism time-grid for one named metric:
+    * samples in `[startSec, stopSec]` at collection interval
+    * `intervalSec` land in cell `floor((currentTime-start)/step)`, the
+    * newest sample wins a cell, and every (node, cell) of the grid is
+    * emitted zero-filled. `metrics` carries the reference dstats
+    * document columns (`nodeName`, `currentTime` epoch-sec, `interval`,
+    * `delta*`/gauge columns).
+    *
+    * Scale: the value pass is one filtered scan + a (node,pos)-keyed
+    * window (partition-pruned and bounded by the grid, never
+    * partition-less); the zero-fill joins a distinct-node frame against
+    * a `sequence()` literal of at most `size` cells — both sides are
+    * UI-graph sized (≤ nodes × 1440), nothing collects to the driver.
+    */
+  def dstats(metrics: DataFrame, name: String, startSec: Long,
+      stopSec: Long, stepSec: Long, intervalSec: Long = 60): DataFrame = {
+    require(stepSec > 0 && stopSec > startSec,
+      s"dstats: empty grid [$startSec,$stopSec] step $stepSec")
+    val num = ((stopSec - startSec) / stepSec).toInt
+    val vals = metrics
+      .filter(col("currentTime").between(startSec, stopSec) &&
+        col("interval") === intervalSec)
+      .select(col("nodeName").as("node"), col("currentTime"),
+        floor((col("currentTime") - startSec) / stepSec).cast("int")
+          .as("pos"),
+        dstatValue(name).cast("double").as("value"))
+      .filter(col("pos") >= 0 && col("pos") < num)
+    val newest = vals
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("node", "pos")
+          .orderBy(col("currentTime").desc)))
+      .filter(col("rn") === 1).select("node", "pos", "value")
+    val grid = vals.select("node").distinct()
+      .crossJoin(spark_grid(num))
+    grid.join(newest, Seq("node", "pos"), "left")
+      .na.fill(0.0, Seq("value"))
+      .orderBy("node", "pos")
+  }
+
+  private def spark_grid(num: Int): DataFrame = {
+    // sequence() literal → explode: the zero-fill axis without a
+    // driver-side range collect
+    import org.apache.spark.sql.SparkSession
+    SparkSession.active.range(1)
+      .select(explode(sequence(lit(0), lit(num - 1))).as("pos"))
+      .select(col("pos").cast("int").as("pos"))
+  }
+
+  /** The Total / Average rows the reference synthesizes when
+    * `nodeName=Total|Average` (apiStats.js:316-331): per grid cell, the
+    * sum over every node's (zero-filled) value — Average divides by the
+    * number of nodes that reported at all.
+    */
+  def dstatsRollup(grid: DataFrame, average: Boolean): DataFrame = {
+    val agg = grid.groupBy(col("pos"))
+      .agg(sum(col("value")).as("total"),
+        countDistinct(col("node")).as("nodes"))
+    (if (average)
+      agg.select(col("pos"), (col("total") / col("nodes")).as("value"))
+    else agg.select(col("pos"), col("total").as("value")))
+      .orderBy("pos")
+  }
+
   /** E17 convenience: record one query-audit entry through the REAL
     * history log ([[graft.query.History]] — week-partitioned, id'd,
     * listable/deletable). A previous stub here emitted an incompatible

@@ -50,7 +50,11 @@ object HuntJob {
       // resume re-enter exactly where the crash left off. Empty for
       // frame-based hunts.
       lastDay: String = "",
-      errors: Seq[String] = Nil)
+      errors: Seq[String] = Nil,
+      // non-creator users granted access (POST /api/hunt/:id/users)
+      users: Seq[String] = Nil,
+      // match annotations were withdrawn (removefromsessions)
+      removed: Boolean = false)
 
   private def stateFile(huntDir: String) =
     Paths.get(huntDir, "state.properties")
@@ -74,7 +78,10 @@ object HuntJob {
         lastSessionId = p.getProperty("lastSessionId"),
         lastSegmentSeq = p.getProperty("lastSegmentSeq").toLong,
         lastDay = p.getProperty("lastDay", ""),
-        errors = (0 until nErr).map(i => p.getProperty(s"error.$i"))))
+        errors = (0 until nErr).map(i => p.getProperty(s"error.$i")),
+        users = p.getProperty("users", "").split(",").toSeq
+          .filter(_.nonEmpty),
+        removed = p.getProperty("removed", "false").toBoolean))
     }
   }
 
@@ -91,6 +98,8 @@ object HuntJob {
     p.setProperty("lastSessionId", st.lastSessionId)
     p.setProperty("lastSegmentSeq", st.lastSegmentSeq.toString)
     p.setProperty("lastDay", st.lastDay)
+    p.setProperty("users", st.users.mkString(","))
+    p.setProperty("removed", st.removed.toString)
     p.setProperty("nErrors", st.errors.size.toString)
     st.errors.zipWithIndex.foreach { case (e, i) =>
       p.setProperty(s"error.$i", e)
@@ -121,6 +130,67 @@ object HuntJob {
     * clears the paused-with-error state so a failed batch is retried.
     */
   def resume(huntDir: String): State = setStatus(huntDir, "queued")
+
+  /** POST /api/hunt/:id/users (apiHunts.js:1035-1080 addUsers): grant
+    * hunt visibility to more users. Ids are validated against the user
+    * registry (`knownUser`, typically
+    * `UsersStore.readAll(...).map(_.userId).toSet`); valid ids are
+    * appended set-wise, invalid ones reported back — the reference's
+    * `{users, invalidUsers}` answer. All-invalid is an error (404).
+    */
+  def addUsers(huntDir: String, userIds: Seq[String],
+      knownUser: String => Boolean): (State, Seq[String]) = {
+    require(userIds.nonEmpty,
+      "You must provide users in a comma separated string")
+    val st = load(huntDir).getOrElse(
+      throw new IllegalStateException(s"no hunt state at $huntDir"))
+    val (valid, invalid) = userIds.map(_.trim).filter(_.nonEmpty)
+      .partition(knownUser)
+    if (valid.isEmpty)
+      throw new NoSuchElementException("Unable to validate user IDs provided")
+    val next = st.copy(users = (st.users ++ valid).distinct)
+    save(huntDir, next)
+    (next, invalid)
+  }
+
+  /** DELETE /api/hunt/:id/user/:user (apiHunts.js:1090-1117): the user
+    * must currently have access.
+    */
+  def removeUser(huntDir: String, userId: String): State = {
+    val st = load(huntDir).getOrElse(
+      throw new IllegalStateException(s"no hunt state at $huntDir"))
+    if (!st.users.contains(userId))
+      throw new NoSuchElementException(
+        "That user does not have access to this hunt")
+    val next = st.copy(users = st.users.filterNot(_ == userId))
+    save(huntDir, next)
+    next
+  }
+
+  /** PUT /api/hunt/:id/removefromsessions (apiHunts.js:970-1023):
+    * withdraw this hunt's match annotations. The reference strips
+    * huntId/huntName from every matched session doc; here the
+    * annotations live in the hunt's own match log, so the withdrawal is
+    * one recursive delete of `matches/` — O(1) metadata work at any
+    * store scale — plus the `removed` flag. A hunt with no matches is
+    * an error (the reference's 202 "Nothing to do").
+    */
+  def removeFromSessions(huntDir: String): State = {
+    val st = load(huntDir).getOrElse(
+      throw new IllegalStateException(s"no hunt state at $huntDir"))
+    if (st.matchedSessions == 0)
+      throw new IllegalStateException(
+        "Nothing to do: this hunt has not matched any sessions.")
+    val dir = Paths.get(huntDir, "matches")
+    if (Files.exists(dir)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(Files.deleteIfExists(_))
+    }
+    val next = st.copy(removed = true)
+    save(huntDir, next)
+    next
+  }
 
   private def setStatus(huntDir: String, status: String): State = {
     val st = load(huntDir).getOrElse(

@@ -46,7 +46,12 @@ object UsersStore {
       disablePcapDownload: Boolean = false,
       expression: String = "",
       timeLimitHours: Long = -1L, // -1 = unlimited
-      lastUsed: Long = 0L)
+      lastUsed: Long = 0L,
+      // /api/user/settings blob (apiUsers.js:602-650) — typed as a
+      // string map instead of opaque JSON; list-valued settings keep
+      // their JSON text as the value
+      settings: Map[String, String] = Map.empty,
+      welcomeMsgNum: Long = 1L)
 
   // ----------------------------------------------------------- crypto
 
@@ -190,6 +195,62 @@ object UsersStore {
     val stored = old.copy(
       passStore = pass2store(userId, newPassword, realm, secret))
     writeAll(spark, path, all.map(u => if (u.userId == userId) stored else u))
+  }
+
+  /** The reference's settingDefaults (viewer/internals.js:70-83): what
+    * `GET /api/user/settings` answers before a user customizes anything;
+    * stored settings shallow-merge over these per key.
+    */
+  val settingDefaults: Map[String, String] = Map(
+    "timezone" -> "local",
+    "detailFormat" -> "last",
+    "showTimestamps" -> "last",
+    "sortColumn" -> "firstPacket",
+    "sortDirection" -> "desc",
+    "spiGraph" -> "node",
+    "connSrcField" -> "source.ip",
+    "connDstField" -> "ip.dst:port",
+    "numPackets" -> "last",
+    "theme" -> "default-theme",
+    "manualQuery" -> "false",
+    "timelineDataFilters" ->
+      """["network.packets","network.bytes","totDataBytes"]""")
+
+  /** getUserSettings (apiUsers.js:602-623): defaults overlaid with the
+    * user's stored keys; an unknown or settings-less user gets pure
+    * defaults, like the reference's settings-less settingUser.
+    */
+  def getSettings(spark: SparkSession, path: String,
+      userId: String): Map[String, String] =
+    settingDefaults ++ readAll(spark, path)
+      .find(_.userId == userId).map(_.settings).getOrElse(Map.empty)
+
+  /** updateUserSettings (apiUsers.js:633-650): replace the user's
+    * settings wholesale; the auth `token` key is stripped before
+    * storage exactly like the reference's `delete settings.token`.
+    */
+  def updateSettings(spark: SparkSession, path: String, userId: String,
+      settings: Map[String, String]): Unit = {
+    val all = readAll(spark, path)
+    val old = all.find(_.userId == userId).getOrElse(
+      throw new NoSuchElementException(s"User $userId not found"))
+    val stored = old.copy(settings = settings - "token")
+    writeAll(spark, path, all.map(u => if (u.userId == userId) stored else u))
+  }
+
+  /** acknowledgeMsg (apiUsers.js:1525-1556): only the user themself can
+    * dismiss their welcome message; records the dismissed number.
+    */
+  def acknowledgeMsg(spark: SparkSession, path: String, actorId: String,
+      userId: String, msgNum: Long): Unit = {
+    require(msgNum > 0, "Message number required")
+    if (actorId != userId)
+      throw new IllegalStateException("Can not change other users msg")
+    val all = readAll(spark, path)
+    val old = all.find(_.userId == userId).getOrElse(
+      throw new NoSuchElementException(s"User $userId not found"))
+    writeAll(spark, path, all.map(u =>
+      if (u.userId == userId) old.copy(welcomeMsgNum = msgNum) else u))
   }
 
   /** deleteUser: admin only; the reference also refuses self-delete. */

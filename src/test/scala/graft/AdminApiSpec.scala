@@ -68,6 +68,70 @@ class AdminApiSpec extends AnyFunSuite with SparkSpecBase {
     }
   }
 
+  test("user settings: defaults, per-key overlay, token strip, ack") {
+    import graft.query.UsersStore
+    val path = tmp("graft-usettings") + "/users"
+    UsersStore.create(spark, path, actorIsAdmin = true,
+      UsersStore.StoredUser("alice", "Alice", ""), "pw")
+    // a settings-less user answers pure defaults (internals.js:70-83)
+    val d = UsersStore.getSettings(spark, path, "alice")
+    assert(d("timezone") == "local" && d("theme") == "default-theme")
+    assert(d("sortColumn") == "firstPacket")
+    // unknown user: also defaults, like the reference's missing settingUser
+    assert(UsersStore.getSettings(spark, path, "ghost") == d)
+    // stored keys overlay defaults; the auth token never persists
+    UsersStore.updateSettings(spark, path, "alice",
+      Map("timezone" -> "UTC", "token" -> "secret"))
+    val s = UsersStore.getSettings(spark, path, "alice")
+    assert(s("timezone") == "UTC" && s("theme") == "default-theme")
+    assert(!s.contains("token"))
+    // acknowledge: self-only, records the message number
+    intercept[IllegalStateException] {
+      UsersStore.acknowledgeMsg(spark, path, "bob", "alice", 2)
+    }
+    UsersStore.acknowledgeMsg(spark, path, "alice", "alice", 2)
+    assert(UsersStore.readAll(spark, path)
+      .find(_.userId == "alice").get.welcomeMsgNum == 2)
+  }
+
+  test("dstats: derived metric, newest-wins cells, zero-fill, rollups") {
+    import graft.ops.Endpoints
+    import spark.implicits._
+    // two nodes, interval-60 samples on a [0, 40) grid of step 10 (4
+    // cells); n1 has two samples in cell 1 (newest wins), n2 only one
+    // sample so its other cells zero-fill; an interval-5 row and an
+    // out-of-range row must be ignored
+    val m = Seq(
+      ("n1", 5L, 60L, 1000L, 500L),   // cell 0: floor(1000*1000/500*8)=16000
+      ("n1", 12L, 60L, 100L, 500L),   // cell 1, older
+      ("n1", 18L, 60L, 200L, 500L),   // cell 1, newest → 3200
+      ("n2", 25L, 60L, 300L, 1000L),  // cell 2: 2400
+      ("n1", 26L, 5L, 999L, 1L),      // wrong interval — ignored
+      ("n2", 99L, 60L, 999L, 1L))     // out of range — ignored
+      .toDF("nodeName", "currentTime", "interval", "deltaBytes", "deltaMS")
+    val grid = Endpoints.dstats(m, "deltaBitsPerSec",
+      startSec = 0L, stopSec = 40L, stepSec = 10L, intervalSec = 60L)
+    val rows = grid.collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getDouble(2)))
+    assert(rows.length == 8) // 2 nodes × 4 cells, zero-filled
+    val by = rows.map(t => (t._1, t._2) -> t._3).toMap
+    assert(by(("n1", 0)) == 16000.0 && by(("n1", 1)) == 3200.0)
+    assert(by(("n1", 2)) == 0.0 && by(("n1", 3)) == 0.0)
+    assert(by(("n2", 2)) == 2400.0 && by(("n2", 0)) == 0.0)
+    // Total sums across nodes per cell; Average divides by node count
+    val tot = Endpoints.dstatsRollup(grid, average = false).collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(tot(0) == 16000.0 && tot(2) == 2400.0 && tot(3) == 0.0)
+    val avg = Endpoints.dstatsRollup(grid, average = true).collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(avg(0) == 8000.0 && avg(3) == 0.0)
+    // the gauge scaling path (apiStats.js mult): freeSpaceM × 1e6
+    val g = Seq(("n1", 5L, 60L, 2.5)).toDF(
+      "nodeName", "currentTime", "interval", "freeSpaceM")
+    val fs = Endpoints.dstats(g, "freeSpaceM", 0L, 10L, 10L, 60L).collect()
+    assert(fs.length == 1 && fs(0).getDouble(2) == 2500000.0)
+  }
+
   test("health: yellow on an empty store, green once days exist, red on failure") {
     val dir = tmp("graft-health")
     val store = s"$dir/store"

@@ -164,4 +164,38 @@ class HuntJobSpec extends AnyFunSuite with SparkSpecBase {
       .map(r => (r.getString(0), r.getLong(1))).toSet
     assert(got == oneShotKeys)
   }
+
+  test("hunt user grants: validated set-wise add, remove, persistence") {
+    val dir = Files.createTempDirectory("huntjob-users").toString
+    HuntJob.create(dir, "h5", "shared hunt")
+    val known = Set("alice", "bob")
+    // invalid ids are reported, valid ones deduped in
+    val (st1, bad1) = HuntJob.addUsers(dir, Seq("alice", "ghost"), known)
+    assert(st1.users == Seq("alice") && bad1 == Seq("ghost"))
+    val (st2, _) = HuntJob.addUsers(dir, Seq("bob", "alice"), known)
+    assert(st2.users == Seq("alice", "bob"))
+    // the grant list survives a reload (a fresh runner / viewer)
+    assert(HuntJob.load(dir).get.users == Seq("alice", "bob"))
+    // all-invalid is the reference's 404
+    intercept[NoSuchElementException] {
+      HuntJob.addUsers(dir, Seq("nobody"), known)
+    }
+    assert(HuntJob.removeUser(dir, "alice").users == Seq("bob"))
+    intercept[NoSuchElementException] { HuntJob.removeUser(dir, "alice") }
+  }
+
+  test("removefromsessions withdraws the match log and flags the hunt") {
+    val dir = Files.createTempDirectory("huntjob-rm").toString
+    HuntJob.create(dir, "h6", "removable hunt")
+    // no matches yet → the reference's 202 "Nothing to do"
+    intercept[IllegalStateException] { HuntJob.removeFromSessions(dir) }
+    val st = HuntJob.process(sessions, cfg, dir, batchSize = 2)
+    assert(st.status == "finished" && st.matchedSessions > 0)
+    assert(HuntJob.matches(spark, dir).count() == oneShotKeys.size)
+    val removed = HuntJob.removeFromSessions(dir)
+    assert(removed.removed && removed.matchedSessions == st.matchedSessions)
+    // the annotations are gone; counters and state survive
+    assert(HuntJob.matches(spark, dir).count() == 0)
+    assert(HuntJob.load(dir).get.removed)
+  }
 }
