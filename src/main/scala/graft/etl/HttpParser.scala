@@ -86,7 +86,10 @@ object HttpParser {
       // by Content-Length / a 0-chunk, or EOF-terminated. A truncated
       // capture leaves complete=false and suppresses body md5 (http.c
       // only emits md5 at on_message_complete).
-      complete: Boolean = true)
+      complete: Boolean = true,
+      // stream offsets of the message start / framed-body start, for
+      // the display split (PacketsView maps them to run timestamps)
+      start: Int = 0, bodyOff: Int = 0)
 
   private val methods = Set("GET", "POST", "HEAD", "PUT", "DELETE",
     "OPTIONS", "PATCH", "CONNECT", "TRACE")
@@ -219,7 +222,7 @@ object HttpParser {
             case None => // request without length: no body
           }
         }
-        out += Message(firstLine, headers, body, complete)
+        out += Message(firstLine, headers, body, complete, off, bodyStart)
         off = math.max(bodyEnd, bodyStart)
       }
     }
@@ -298,6 +301,29 @@ object HttpParser {
     finalResps.zipWithIndex.foreach { case (m, i) => add(m, i) }
     out.result()
   }
+
+  /** ITEM-HTTP's display split (viewer/decode.js ItemHTTPStream): per
+    * message, the raw header block (incl. separator bytes) at its
+    * stream offset, then — when a framed body exists — the de-chunked
+    * body at the body's offset. The Boolean flags body items.
+    */
+  def displayItems(stream: Array[Byte],
+      isResponse: Boolean): Seq[(Long, Array[Byte], Boolean)] =
+    messages(stream, isResponse).flatMap { m =>
+      val header = (m.start.toLong,
+        java.util.Arrays.copyOfRange(stream, m.start,
+          math.min(m.bodyOff, stream.length)), false)
+      if (m.body.nonEmpty) Seq(header, (m.bodyOff.toLong, m.body, true))
+      else Seq(header)
+    }
+
+  /** Request-target of each client-direction message, in order (names
+    * the HTTP body items, decode.js onHeadersComplete).
+    */
+  def requestUris(stream: Array[Byte]): Seq[String] =
+    messages(stream, isResponse = false)
+      .filter(m => methods.contains(m.firstLine.takeWhile(_ != ' ')))
+      .flatMap(m => m.firstLine.split(" ").lift(1))
 
   /** Hex digests of a body as ITEM-HASH computes them. */
   def bodyDigests(b: Array[Byte]): (String, String) = (md5hex(b), sha256hex(b))
