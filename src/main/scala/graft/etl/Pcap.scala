@@ -350,7 +350,13 @@ object Pcap {
     * single-pass whole-file walk emits. Residual drop (was: every
     * spanning group, Pcap.scala's documented chunk-boundary degradation):
     * only groups whose offset-0 fragment arrives out of order on the far
-    * side of the boundary, or that span more than the overlap cap.
+    * side of the boundary, or that span more than the overlap cap, or —
+    * after the ipId-reuse repair below (offset-colliding stale replays
+    * are overridden by the live group via latest-wins dedupe) — a reused
+    * ipId whose stale replayed fragments extend BEYOND the new group's
+    * end (different fragmentation pattern): the leftover tail fragment
+    * keeps the contiguity walk from terminating and the group ages out
+    * exactly like the reference's per-group timeout would.
     */
   def assembleFrags4Chunked(packets: Iterator[RawPacket],
       overlap: () => Iterator[RawPacket]): Iterator[RawPacket] = {
@@ -446,16 +452,22 @@ object Pcap {
             key, scala.collection.mutable.ArrayBuffer())
           frags += Frag(fragOff, mf, payload, p)
           if (frags.exists(!_.mf)) {
-            val sorted = frags.sortBy(_.off)
+            // Dedupe by offset, keeping the LATEST arrival: a duplicate
+            // offset is either a retransmitted fragment or a stale entry
+            // replayed from a previous chunk's overlap window whose ipId
+            // a fresh group now reuses — in both cases the newest copy is
+            // the live group's bytes (packet.c frags_process likewise
+            // drops fragments whose offset is already buffered).
+            val latest = scala.collection.mutable.LinkedHashMap[Int, Frag]()
+            frags.foreach(f => latest(f.off) = f)
+            val sorted = latest.values.toIndexedSeq.sortBy(_.off)
             var expect = 0
-            var total = 0
             var ok = true
             sorted.foreach { f =>
-              if (ok && f.off == expect) {
-                expect += f.payload.length
-                total = math.max(total, f.off + f.payload.length)
-              } else if (f.off != expect) ok = false
+              if (f.off != expect) ok = false
+              if (ok) expect += f.payload.length
             }
+            val total = expect
             if (ok && !sorted.last.mf) {
               pending.remove(key)
               // rebuild: completing packet's link+ip header + full payload

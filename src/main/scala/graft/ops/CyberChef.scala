@@ -33,7 +33,8 @@ object CyberChef {
     */
   private[ops] def readSessionPackets(segs: Seq[SessionRow],
       keys: String => graft.etl.PcapCrypto.FileKeys,
-      store: graft.etl.PcapStore.Store): IndexedSeq[Decode.DecodedPacket] = {
+      store: graft.etl.PcapStore.Store,
+      maxPackets: Int = MaxPackets): IndexedSeq[Decode.DecodedPacket] = {
     val open = PcapChannels.newOpenMap()
     try {
       segs.iterator.flatMap { s =>
@@ -45,7 +46,7 @@ object CyberChef {
             }
           }
         }
-      }.take(MaxPackets).toIndexedSeq
+      }.take(maxPackets).toIndexedSeq
     } finally PcapChannels.closeAll(open)
   }
 

@@ -7,11 +7,15 @@ import org.apache.spark.sql.types._
 /** Multimodal-column plumbing: image/audio/video payloads as opaque
   * `binary` columns with typed metadata structs.
   *
-  * The real decoders (JPEG, PCM, H.264 frame sampling) are not available
-  * in this container, so the decode kernel is STUBBED with a deterministic
-  * fake (metadata derived from md5 of the payload bytes). Everything
-  * around it — schema, batched per-partition execution, partitioning,
-  * column pruning — is real and is what matters at 100 TB:
+  * The decode kernel is real for everything the JDK can read without
+  * native codecs: container headers (`functions.MediaHeaders`), ImageIO
+  * pixels for bmp/png/jpeg/gif and integer-PCM WAV samples
+  * (`functions.MediaDecode`) feed real feature vectors. Only payloads no
+  * pure-JVM reader claims (video containers, arbitrary blobs) fall back
+  * to a deterministic fake (metadata/features derived from md5 of the
+  * payload bytes). Everything around the kernel — schema, batched
+  * per-partition execution, partitioning, column pruning — is what
+  * matters at 100 TB:
   *   - payloads stay in executor memory, never shuffled (all derived
   *     metadata is computed scan-side);
   *   - the `mapPartitions` path processes payloads in batches, the shape
@@ -59,14 +63,15 @@ object Multimodal {
       channels: Int, sample_rate: Int, duration_ms: Long,
       features: Array[Float])
 
-  /** Batched per-partition decode. The HEADER half is real: PNG / JPEG /
-    * GIF / BMP dimensions and WAV layout parse from the container bytes
-    * (functions.MediaHeaders, pure JDK). The PIXEL/SAMPLE half — feature
-    * vectors — still needs native codecs not present in this container,
-    * so it remains a deterministic payload-hash fake; a real
-    * implementation hands each batch to libjpeg/ffmpeg and keeps this
-    * exact signature (Iterator→Iterator, never materializing the whole
-    * partition).
+  /** Batched per-partition decode. The HEADER half parses PNG / JPEG /
+    * GIF / BMP dimensions and WAV layout from the container bytes
+    * (functions.MediaHeaders, pure JDK). The PIXEL/SAMPLE half is real
+    * for those same formats (functions.MediaDecode: ImageIO pixels,
+    * integer-PCM samples → 8-dim grid-luminance / slice-RMS features);
+    * only payloads neither reader claims keep the deterministic
+    * payload-hash fake. Exotic codecs (H.264 frame extraction, MP3)
+    * would hand each batch to ffmpeg with this exact signature
+    * (Iterator→Iterator, never materializing the whole partition).
     */
   def decodePartition(ds: Dataset[MediaRow]): Dataset[DecodedRow] = {
     implicit val enc = Encoders.product[DecodedRow]
@@ -78,11 +83,19 @@ object Multimodal {
             if (r.payload == null) Array.emptyByteArray else r.payload
           val md5hex = org.apache.commons.codec.digest.DigestUtils.md5Hex(payload)
           val h = java.lang.Long.parseLong(md5hex.substring(0, 8), 16)
-          // ??? real pixel/sample decoder goes here — hash fake below
-          val feats = Array.tabulate(8)(i =>
+          // payloads no real decoder claims keep the deterministic
+          // payload-hash features (oracle-stable for text stand-ins)
+          val hashFeats = Array.tabulate(8)(i =>
             ((h >> i) % 256).toFloat / 255.0f)
           graft.functions.MediaHeaders.parse(payload) match {
             case Some(info) =>
+              // REAL pixel/sample decode (pure JVM): ImageIO pixels for
+              // bmp/png/jpeg/gif, integer-PCM samples for wav; the hash
+              // fake survives only for payloads neither can read
+              val feats = (info.format match {
+                case "wav" => graft.functions.MediaDecode.wavFeatures(payload)
+                case _ => graft.functions.MediaDecode.imageFeatures(payload)
+              }).getOrElse(hashFeats)
               DecodedRow(r.media_id, r.kind, info.format,
                 payload.length.toLong, info.width, info.height,
                 n_frames = if (info.channels > 0) 0 else 1,
@@ -91,7 +104,7 @@ object Multimodal {
               DecodedRow(r.media_id, r.kind, "opaque",
                 payload.length.toLong,
                 (h % 512 + 1).toInt, ((h >> 9) % 512 + 1).toInt,
-                ((h >> 18) % 30 + 1).toInt, 0, 0, 0L, feats)
+                ((h >> 18) % 30 + 1).toInt, 0, 0, 0L, hashFeats)
           }
         }
       }

@@ -205,11 +205,7 @@ object PacketsView {
       needgzip: Boolean = false): Seq[Rendered] = {
     val decodes: Array[Byte] => Array[Byte] =
       if (needgzip) DisplayDecode.uncompress else identity
-    val items: Seq[Item] =
-      if (looksHttp(chunks)) httpItems(chunks, decodes)
-      else chunks.zipWithIndex.map { case (c, i) =>
-        Item(c.key, c.tsMs, i % 2 == 0, c.data)
-      }
+    val items: Seq[Item] = itemsOf(chunks, decodes)
     val rendered = items.map { it =>
       val html = base match {
         case "hex" => hexHtml(it.data, showOffsets)
@@ -224,6 +220,49 @@ object PacketsView {
     rendered.zipWithIndex
       .sortBy { case (r, pos) => (r.tsMs, pos) }.map(_._1)
   }
+
+  private def itemsOf(chunks: IndexedSeq[RawPackets.Chunk],
+      decodes: Array[Byte] => Array[Byte]): Seq[Item] =
+    if (looksHttp(chunks)) httpItems(chunks, decodes)
+    else chunks.zipWithIndex.map { case (c, i) =>
+      Item(c.key, c.tsMs, i % 2 == 0, c.data)
+    }
+
+  /** The packets pane's file-download link:
+    * `GET /api/session/:node/:id/body/:bodyType/:bodyNum/:bodyName`
+    * (apiSessions.js:323-371 reqGetRawBody — the same item pipeline
+    * with ITEM-RAWBODY keeping only the item whose body ordinal equals
+    * `bodyNum`). Returns that body's (bodyName, bytes); None is the
+    * reference's 'No match'. `needgzip` = BODY-UNCOMPRESS, exactly as
+    * in [[render]]. Ordinals are the 1-based `bodyNum` values
+    * [[render]] stamped on the pane the link came from.
+    */
+  def body(sessions: Dataset[SessionRow], sessionId: String, bodyNum: Int,
+      needgzip: Boolean = false,
+      keys: String => graft.etl.PcapCrypto.FileKeys = _ => graft.etl.PcapCrypto.Normal,
+      store: graft.etl.PcapStore.Store = graft.etl.PcapStore.Local): Option[(String, Array[Byte])] = {
+    val segs = sessions.filter(_.sessionId == sessionId)
+      .collect().sortBy(_.segmentSeq)
+    if (segs.isEmpty) return None
+    val s0 = segs.head
+    val pkts = CyberChef.readSessionPackets(segs.toIndexedSeq, keys, store)
+    val decodes: Array[Byte] => Array[Byte] =
+      if (needgzip) DisplayDecode.uncompress else identity
+    itemsOf(RawPackets.chunks(pkts, s"${s0.srcIp}:${s0.srcPort}"), decodes)
+      .find(it => it.bodyNum == bodyNum && bodyNum > 0)
+      .map(it => (it.bodyName, it.data))
+  }
+
+  /** `GET /api/session/:node/:id/bodypng/...` (viewer.js:1786): the
+    * body's bytes as the grayscale bitmap, empty placeholder on miss.
+    */
+  def bodyPng(sessions: Dataset[SessionRow], sessionId: String,
+      bodyNum: Int,
+      keys: String => graft.etl.PcapCrypto.FileKeys = _ => graft.etl.PcapCrypto.Normal,
+      store: graft.etl.PcapStore.Store = graft.etl.PcapStore.Local): Array[Byte] =
+    body(sessions, sessionId, bodyNum, needgzip = false, keys, store)
+      .map(b => RawPackets.renderPng(Seq(b._2)))
+      .getOrElse(RawPackets.emptyPng)
 
   /** The endpoint: fetch + divide + render one stored session. */
   def packets(sessions: Dataset[SessionRow], sessionId: String,

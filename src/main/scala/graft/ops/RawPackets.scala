@@ -160,14 +160,21 @@ object RawPackets {
 
   private def sessionChunks(sessions: Dataset[SessionRow], sessionId: String,
       keys: String => graft.etl.PcapCrypto.FileKeys,
-      store: graft.etl.PcapStore.Store): IndexedSeq[Chunk] = {
+      store: graft.etl.PcapStore.Store,
+      maxPackets: Int = CyberChef.MaxPackets): IndexedSeq[Chunk] = {
     val segs = sessions.filter(_.sessionId == sessionId)
       .collect().sortBy(_.segmentSeq)
     if (segs.isEmpty) return IndexedSeq.empty
     val s0 = segs.head
-    val packets = CyberChef.readSessionPackets(segs.toIndexedSeq, keys, store)
+    val packets =
+      CyberChef.readSessionPackets(segs.toIndexedSeq, keys, store, maxPackets)
     chunks(packets, s"${s0.srcIp}:${s0.srcPort}")
   }
+
+  /** The reference's getPacketPNG caps the bitmap at 1000 packets
+    * (apiSessions.js:2814), a tenth of the text endpoints' decode cap.
+    */
+  val PngMaxPackets = 1000
 
   /** One direction of the alternating chunks: even indices are the
     * source, odd the destination (getRawPackets' `i += 2` walk —
@@ -200,7 +207,8 @@ object RawPackets {
       dataType: String = "src",
       keys: String => graft.etl.PcapCrypto.FileKeys = _ => graft.etl.PcapCrypto.Normal,
       store: graft.etl.PcapStore.Store = graft.etl.PcapStore.Local): Array[Byte] =
-    renderPng(sideData(sessionChunks(sessions, sessionId, keys, store), dataType))
+    renderPng(sideData(
+      sessionChunks(sessions, sessionId, keys, store, PngMaxPackets), dataType))
 
   private[graft] def renderPng(side: Seq[Array[Byte]]): Array[Byte] = {
     val w = PngLineWidth

@@ -123,12 +123,16 @@ object UsersStore {
 
   // ------------------------------------------------------------ store
 
-  def readAll(spark: SparkSession, path: String): Seq[StoredUser] = {
-    import spark.implicits._
-    val p = new org.apache.hadoop.fs.Path(path)
-    if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)) Nil
-    else spark.read.parquet(path).as[StoredUser].collect().toSeq
-  }
+  /** Reads tolerate stores written before a field existed (e.g. tables
+    * from before `settings`/`welcomeMsgNum`): [[graft.model.TinyTable]]
+    * fills absent columns with these defaults instead of throwing on the
+    * narrower parquet schema.
+    */
+  def readAll(spark: SparkSession, path: String): Seq[StoredUser] =
+    graft.model.TinyTable.read[StoredUser](spark, path,
+      defaults = Map(
+        "welcomeMsgNum" -> org.apache.spark.sql.functions.lit(1L)))(
+      Encoders.product[StoredUser])
 
   private def writeAll(spark: SparkSession, path: String,
       rows: Seq[StoredUser]): Unit =

@@ -32,6 +32,41 @@ class BodyFilesApiSpec extends AnyFunSuite with SparkSpecBase {
     assert(BodyHash.find(sessions, md5).isDefined)
   }
 
+  test("body-by-ordinal fetch returns the same bytes as the hash lookup") {
+    // plain HTTP (no tunnel): the display pipeline and the hash path see
+    // the same stream, so ordinal and digest must address the same body
+    val sessions = SessionBuilder.sessionize(spark,
+      "/root/reference/tests/pcap/http-post-upload.pcap")
+    val s = sessions.collect().find(_.httpMd5.nonEmpty).get
+    val one = sessions.filter(_.sessionId == s.sessionId)
+    val md5 = s.httpMd5.head
+    val (hashName, hashBytes) = BodyHash.find(one, md5).get
+
+    // the packets pane stamps 1-based body ordinals; find the one whose
+    // bytes carry the digest, then fetch it BY NUMBER like the download
+    // link does (apiSessions.js:323-371 ITEM-RAWBODY)
+    val pane = graft.ops.PacketsView.packets(one, s.sessionId)
+    val bodies = pane.filter(_.bodyNum > 0)
+    assert(bodies.nonEmpty, "pane must expose at least one body item")
+    val matching = bodies.find { r =>
+      val raw = graft.ops.PacketsView.body(one, s.sessionId, r.bodyNum)
+      raw.exists(b => graft.etl.HttpParser.bodyDigests(b._2)._1 == md5)
+    }
+    assert(matching.isDefined, s"some pane ordinal must carry md5 $md5")
+    val (name, bytes) = graft.ops.PacketsView
+      .body(one, s.sessionId, matching.get.bodyNum).get
+    assert(bytes.toSeq == hashBytes.toSeq)
+    assert(name == hashName || name.nonEmpty)
+    // out-of-range ordinal and ordinal 0 are the reference's 'No match'
+    assert(graft.ops.PacketsView.body(one, s.sessionId, 0).isEmpty)
+    assert(graft.ops.PacketsView.body(one, s.sessionId, 999).isEmpty)
+    // bodypng renders the matched bytes, placeholder on miss
+    assert(graft.ops.PacketsView.bodyPng(one, s.sessionId,
+      matching.get.bodyNum).length > 8)
+    assert(graft.ops.PacketsView.bodyPng(one, s.sessionId, 999).toSeq ==
+      graft.ops.RawPackets.emptyPng.toSeq)
+  }
+
   test("namedBodies serves response-only captures (srcResps parity with parse)") {
     // responses on the CLIENT stream, no requests — the same srcResps
     // path parse() digests into httpMd5 (single-packets golden class)

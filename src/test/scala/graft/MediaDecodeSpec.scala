@@ -1,0 +1,94 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.MediaDecode
+import graft.ops.Multimodal
+import graft.ops.Multimodal.MediaRow
+
+/** The real pure-JVM decoders behind the Multimodal seam: ImageIO
+  * pixels and WAV PCM samples produce exact, asserted feature vectors
+  * through `decodePartition` itself (fixtures generated deterministically
+  * in-test — a BMP written by ImageIO, a WAV built byte-by-byte), while
+  * text payloads keep the payload-hash features the m1–m4 oracles pin.
+  */
+class MediaDecodeSpec extends AnyFunSuite with SparkSpecBase {
+
+  /** 8×2 BMP, left half black, right half white: the 2×4 grid means
+    * must be exactly (0,0,1,1) per row.
+    */
+  private def halfBmp(): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(8, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 2; x <- 0 until 8)
+      img.setRGB(x, y, if (x < 4) 0x000000 else 0xffffff)
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "bmp", out))
+    out.toByteArray
+  }
+
+  /** Mono 16-bit PCM, 800 samples: first half silence, second half a
+    * full-scale square wave — slice RMS must be ~0 then ~1.
+    */
+  private def halfWav(): Array[Byte] = {
+    val n = 800
+    val data = new Array[Byte](n * 2)
+    for (i <- n / 2 until n) {
+      val v = if (i % 2 == 0) 32767 else -32767
+      data(i * 2) = (v & 0xff).toByte
+      data(i * 2 + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val bb = java.nio.ByteBuffer.allocate(44 + data.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("ISO-8859-1")).putInt(36 + data.length)
+      .put("WAVE".getBytes("ISO-8859-1"))
+      .put("fmt ".getBytes("ISO-8859-1")).putInt(16)
+      .putShort(1).putShort(1).putInt(8000).putInt(16000)
+      .putShort(2).putShort(16)
+      .put("data".getBytes("ISO-8859-1")).putInt(data.length)
+      .put(data)
+    bb.array()
+  }
+
+  test("imageFeatures: grid luminance means from real BMP pixels") {
+    val feats = MediaDecode.imageFeatures(halfBmp()).get
+    assert(feats.toSeq == Seq(0f, 0f, 1f, 1f, 0f, 0f, 1f, 1f))
+    assert(MediaDecode.imageFeatures("not an image".getBytes).isEmpty)
+  }
+
+  test("wavFeatures: per-slice RMS from real PCM samples") {
+    val feats = MediaDecode.wavFeatures(halfWav()).get
+    assert(feats.take(4).forall(_ < 0.001f), feats.toSeq)
+    assert(feats.drop(4).forall(_ > 0.99f), feats.toSeq)
+    assert(MediaDecode.wavFeatures("RIFFxxxxJUNK".getBytes).isEmpty)
+  }
+
+  test("decodePartition routes real decoders by format and keeps the hash fake for opaque payloads") {
+    import spark.implicits._
+    val text = "just a document body".getBytes("UTF-8")
+    val rows = Seq(
+      MediaRow(1L, "image", halfBmp()),
+      MediaRow(2L, "audio", halfWav()),
+      MediaRow(3L, "image", text))
+    val out = Multimodal.decodePartition(spark.createDataset(rows))
+      .collect().sortBy(_.media_id)
+
+    val bmp = out(0)
+    assert(bmp.format == "bmp" && bmp.width == 8 && bmp.height == 2)
+    assert(bmp.features.toSeq == Seq(0f, 0f, 1f, 1f, 0f, 0f, 1f, 1f))
+
+    val wav = out(1)
+    assert(wav.format == "wav" && wav.channels == 1 && wav.sample_rate == 8000)
+    assert(wav.features.take(4).forall(_ < 0.001f))
+    assert(wav.features.drop(4).forall(_ > 0.99f))
+
+    // the oracle-pinned stand-in: text payloads still get payload-hash
+    // features, bit-for-bit what m1–m4 hashed before the real decoders
+    val opaque = out(2)
+    val h = java.lang.Long.parseLong(org.apache.commons.codec.digest
+      .DigestUtils.md5Hex(text).substring(0, 8), 16)
+    assert(opaque.format == "opaque")
+    assert(opaque.features.toSeq ==
+      Seq.tabulate(8)(i => ((h >> i) % 256).toFloat / 255.0f))
+  }
+}

@@ -1,0 +1,60 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Linearity guard for the heaviest text kernels: a 10× documents
+  * corpus must not cost more than ~15× (superlinear blowups — an
+  * accidental cross join, an uncapped candidate expansion — show up as
+  * 50–100× here long before the sf0.1 bench would catch them).
+  *
+  * Replica doc_ids are `orig*10 + r + 1_000_000` (r = 1..9): unique,
+  * and never ≡ 0 (mod 100), so t22_bm25's `doc_id % 100 == 0` query
+  * set stays EXACTLY the base corpus's — scaling documents without
+  * scaling queries, the shape a real corpus growth has. Timing is
+  * min-of-2 after a warmup pass, the same steady-state policy as
+  * graft.Bench.
+  */
+class ScaleProbeSpec extends AnyFunSuite with SparkSpecBase {
+
+  private val probes = Seq("t18_skipgram", "t21_wordpiece", "t22_bm25")
+
+  private def writeCorpus(mult: Int): String = {
+    val dir = Files.createTempDirectory("graft-scale").toString
+    val base = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val out =
+      if (mult <= 1) base
+      else (0 until mult).map { r =>
+        if (r == 0) base
+        else base.withColumn("doc_id",
+          col("doc_id") * 10 + lit(r) + lit(1000000L))
+      }.reduce(_ unionAll _)
+    out.coalesce(8).write.parquet(dir + "/documents.parquet")
+    dir
+  }
+
+  test("t18/t21/t22 grow ~linearly on a 10x corpus") {
+    val small = writeCorpus(1)
+    val big = writeCorpus(10)
+    val ratios = probes.map { name =>
+      val fn = SparkEntry.queries(name)
+      def time(dir: String): Double = {
+        fn(spark, dir).count() // warmup: codegen + exchange init
+        (0 until 2).map { _ =>
+          val t0 = System.nanoTime()
+          fn(spark, dir).count()
+          (System.nanoTime() - t0) / 1e9
+        }.min
+      }
+      val s = time(small)
+      val b = time(big)
+      info(f"$name%-14s small=$s%.2fs big=$b%.2fs ratio=${b / s}%.1fx")
+      name -> b / s
+    }
+    ratios.foreach { case (name, r) =>
+      assert(r < 15.0, s"$name grew ${r}x on a 10x corpus — superlinear")
+    }
+  }
+}

@@ -95,6 +95,24 @@ class UsersStoreSpec extends AnyFunSuite with SparkSpecBase {
       .map(_.userId) == Seq("bob"))
   }
 
+  test("readAll tolerates stores written before settings/welcomeMsgNum existed") {
+    // a pre-upgrade table: same rows minus the columns added later
+    val p = path()
+    UsersStore.create(spark, p, actorIsAdmin = true,
+      UsersStore.StoredUser("old-user", "Old User", ""), "pw")
+    val narrowed = spark.read.parquet(p)
+      .drop("settings", "welcomeMsgNum")
+    val tmp = p + "-narrow"
+    narrowed.write.parquet(tmp)
+    val back = UsersStore.readAll(spark, tmp)
+    assert(back.map(_.userId) == Seq("old-user"))
+    assert(back.head.settings == Map.empty[String, String])
+    assert(back.head.welcomeMsgNum == 1L) // domain default, not type zero
+    // and every operation over the old store works, not just the read
+    assert(UsersStore.getSettings(spark, tmp, "old-user") ==
+      UsersStore.settingDefaults)
+  }
+
   test("stored account feeds the query facade with its permissions") {
     val p = path()
     UsersStore.create(spark, p, actorIsAdmin = true,
