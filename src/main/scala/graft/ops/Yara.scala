@@ -219,24 +219,56 @@ object Yara {
   final case class InRange(id: String, lo: Int, hi: Int) extends Cond
   final case class At(id: String, offset: Int) extends Cond
   final case class CountCmp(id: String, op: String, n: Int) extends Cond
+  /** `#a in (lo..hi)` (YARA 4.x): occurrences within the byte range. */
+  final case class CountInRange(id: String, op: String, n: Int,
+      lo: Int, hi: Int) extends Cond
   final case class FilesizeCmp(op: String, n: Long) extends Cond
   /** Reference to another rule's verdict (must be defined earlier in the
     * file, as YARA requires).
     */
   final case class RuleRef(name: String) extends Cond
   /** `uint8/16/32[be](offset) op value` — the magic-number reads used by
-    * network/file-type rules. Default little-endian like YARA.
+    * network/file-type rules. Default little-endian like YARA;
+    * `signed` sign-extends the read (the `intN` forms).
     */
   final case class UIntCmp(width: Int, bigEndian: Boolean, offset: Int,
-      op: String, value: Long) extends Cond
-  /** `n`: None = all; `prefix`: None = them, Some(p) = `($p*)`. */
+      op: String, value: Long, signed: Boolean = false) extends Cond
   /** `N of them` / `of ($p*)` / `of ($a, $b, $p*)`: `prefix` is the
     * single-star form, `ids` the explicit set (entries ending `*` match
-    * by prefix); both empty = `them`.
+    * by prefix); both empty = `them`. `range` is the 4.3 `of … in
+    * (lo..hi)` form — a string only counts if one of its offsets falls
+    * inside the range.
     */
   final case class OfThem(n: Option[Int], prefix: Option[String] = None,
-      ids: Seq[String] = Nil)
+      ids: Seq[String] = Nil, range: Option[(Int, Int)] = None)
       extends Cond
+  /** A numeric operand inside a `for` body / loop bound: a literal or a
+    * string's occurrence count (`#a`).
+    */
+  sealed trait NumE
+  final case class NumLit(v: Long) extends NumE
+  final case class NumCount(id: String) extends NumE
+  /** `@id[k]` as a numeric operand; `ord` None = the enclosing loop
+    * variable. Undefined ordinals make the enclosing comparison false
+    * (YARA's undefined-value propagation).
+    */
+  final case class NumOffset(id: String, ord: Option[Int]) extends NumE
+  /** `for <q> i in (lo..hi) : ( … )` over occurrence ordinals (1-based,
+    * like YARA's `@a[i]`). The body is a Cond tree whose
+    * [[OffIdxCmp]]/[[OffIdxIn]] leaves read `@id[i]` under the binding.
+    */
+  final case class ForIndex(n: Option[Int], lo: NumE, hi: NumE,
+      body: Cond) extends Cond
+  /** `@id[i] op rhs` — only valid inside a [[ForIndex]] body. */
+  final case class OffIdxCmp(id: String, op: String, rhs: NumE) extends Cond
+  /** `@id[i] in (lo..hi)` — only valid inside a [[ForIndex]] body. */
+  final case class OffIdxIn(id: String, lo: Int, hi: Int) extends Cond
+  /** `for <q> of <set> : ( … )`: the body is an ordinary Cond over the
+    * placeholder id `$` (`$`, `$ at`, `$ in`, `#` all parse to id "$"),
+    * re-bound to each string of the set in turn.
+    */
+  final case class ForOf(n: Option[Int], prefix: Option[String],
+      ids: Seq[String], body: Cond) extends Cond
   final case class And(a: Cond, b: Cond) extends Cond
   final case class Or(a: Cond, b: Cond) extends Cond
   final case class Not(a: Cond) extends Cond
@@ -273,36 +305,87 @@ object Yara {
           case None => strings
           case Some(p) => strings.filter(_._1.startsWith(p))
         }
-      def eval(c: Cond): Boolean = c match {
-        case Ref(id) => hit.getOrElse(id, false)
-        case InRange(id, lo, hi) =>
-          offsetsOf(id).exists(o => o >= lo && o <= hi)
-        case At(id, off) => offsetsOf(id).contains(off)
-        case CountCmp(id, op, n) => cmp(op, offsetsOf(id).length.toLong, n)
-        case FilesizeCmp(op, n) => cmp(op, b.length.toLong, n)
-        case RuleRef(r) => env.getOrElse(r,
-          throw new IllegalArgumentException(
-            s"condition references undefined rule $r"))
-        case UIntCmp(w, be, off, op, v) =>
-          val nBytes = w / 8
-          if (off < 0 || off + nBytes > b.length) false
-          else {
-            var x = 0L
-            var k = 0
-            while (k < nBytes) {
-              val byte = b(off + k) & 0xffL
-              x |= (if (be) byte << (8 * (nBytes - 1 - k)) else byte << (8 * k))
-              k += 1
+      // `sBind` re-points the placeholder id "$" inside a ForOf body;
+      // `iBind` is the 1-based occurrence ordinal inside a ForIndex body
+      def eval(c: Cond, sBind: String = "$", iBind: Int = 0): Boolean = {
+        def rid(id: String): String = if (id == "$") sBind else id
+        // None = undefined (out-of-range ordinal) — comparisons on it
+        // are false, like YARA's undefined propagation
+        def num(e: NumE): Option[Long] = e match {
+          case NumLit(v) => Some(v)
+          case NumCount(id) => Some(offsetsOf(rid(id)).length.toLong)
+          case NumOffset(id, ord) =>
+            offsetsOf(rid(id)).lift(ord.getOrElse(iBind) - 1).map(_.toLong)
+        }
+        c match {
+          case Ref(id) => hit.getOrElse(rid(id), false)
+          case InRange(id, lo, hi) =>
+            offsetsOf(rid(id)).exists(o => o >= lo && o <= hi)
+          case At(id, off) => offsetsOf(rid(id)).contains(off)
+          case CountCmp(id, op, n) =>
+            cmp(op, offsetsOf(rid(id)).length.toLong, n)
+          case CountInRange(id, op, n, lo, hi) =>
+            cmp(op, offsetsOf(rid(id)).count(o => o >= lo && o <= hi).toLong, n)
+          case FilesizeCmp(op, n) => cmp(op, b.length.toLong, n)
+          case RuleRef(r) => env.getOrElse(r,
+            throw new IllegalArgumentException(
+              s"condition references undefined rule $r"))
+          case UIntCmp(w, be, off, op, v, signed) =>
+            val nBytes = w / 8
+            if (off < 0 || off + nBytes > b.length) false
+            else {
+              var x = 0L
+              var k = 0
+              while (k < nBytes) {
+                val byte = b(off + k) & 0xffL
+                x |= (if (be) byte << (8 * (nBytes - 1 - k)) else byte << (8 * k))
+                k += 1
+              }
+              if (signed) x = (x << (64 - w)) >> (64 - w) // sign-extend
+              cmp(op, x, v)
             }
-            cmp(op, x, v)
-          }
-        case OfThem(None, p, ids) =>
-          subset(p, ids).nonEmpty && subset(p, ids).forall(s => hit(s._1))
-        case OfThem(Some(n), p, ids) =>
-          subset(p, ids).count(s => hit(s._1)) >= n
-        case And(x, y) => eval(x) && eval(y)
-        case Or(x, y) => eval(x) || eval(y)
-        case Not(x) => !eval(x)
+          case OfThem(n, p, ids, range) =>
+            val sel = subset(p, ids)
+            def ok(id: String): Boolean = range match {
+              case None => hit(id)
+              case Some((lo, hi)) =>
+                offsetsOf(id).exists(o => o >= lo && o <= hi)
+            }
+            n match {
+              case None => sel.nonEmpty && sel.forall(s => ok(s._1))
+              case Some(k) => sel.count(s => ok(s._1)) >= k
+            }
+          case ForIndex(n, loE, hiE, body) =>
+            val idxs = (num(loE), num(hiE)) match {
+              case (Some(lo), Some(hi)) =>
+                (math.max(1L, lo) to hi).map(_.toInt)
+              case _ => Seq.empty[Int]
+            }
+            n match {
+              case None => idxs.nonEmpty &&
+                idxs.forall(i => eval(body, sBind, i))
+              case Some(k) => idxs.count(i => eval(body, sBind, i)) >= k
+            }
+          case OffIdxCmp(id, op, rhs) =>
+            // @a[i] is 1-based; out-of-range ordinal = undefined = false
+            (offsetsOf(rid(id)).lift(iBind - 1), num(rhs)) match {
+              case (Some(o), Some(r)) => cmp(op, o.toLong, r)
+              case _ => false
+            }
+          case OffIdxIn(id, lo, hi) =>
+            offsetsOf(rid(id)).lift(iBind - 1)
+              .exists(o => o >= lo && o <= hi)
+          case ForOf(n, p, ids, body) =>
+            val sel = subset(p, ids)
+            n match {
+              case None => sel.nonEmpty &&
+                sel.forall(s => eval(body, s._1, iBind))
+              case Some(k) => sel.count(s => eval(body, s._1, iBind)) >= k
+            }
+          case And(x, y) => eval(x, sBind, iBind) && eval(y, sBind, iBind)
+          case Or(x, y) => eval(x, sBind, iBind) || eval(y, sBind, iBind)
+          case Not(x) => !eval(x, sBind, iBind)
+        }
       }
       eval(condition)
     }
@@ -464,13 +547,41 @@ object Yara {
   private def parseCond(rule: String, s: String): Cond = {
     val toks = mutable.Queue(
       s.replace("(", " ( ").replace(")", " ) ").replace(",", " , ")
+        .replace("[", " [ ").replace("]", " ] ").replace(":", " : ")
         .replace("..", " .. ").split("\\s+").filter(_.nonEmpty).toSeq: _*)
     def fail(what: String) = throw new IllegalArgumentException(
       s"rule $rule: unsupported condition near '$what'")
-    // `of them` | `of ($prefix*)`
+    // the `for` loop variable in scope, for `@a[i]` validation
+    var boundVar: Option[String] = None
+    def expect(t: String): Unit =
+      if (toks.isEmpty || toks.dequeue() != t) fail(t)
+    // literal, `#a`, or `@a[k]` — the numeric operands `for`
+    // bounds/bodies take (k = constant ordinal or the loop variable)
+    def numE(): NumE = toks.dequeue() match {
+      case t if t.startsWith("#") && t.length > 1 => NumCount(t.drop(1))
+      case "#" => NumCount("$")
+      case t if t.startsWith("@") =>
+        val id = if (t == "@") "$" else t.drop(1)
+        expect("[")
+        val idxTok = toks.dequeue()
+        expect("]")
+        if (boundVar.contains(idxTok)) NumOffset(id, None)
+        else if (idxTok.matches("\\d+")) NumOffset(id, Some(idxTok.toInt))
+        else fail(idxTok)
+      case t => NumLit(numLit(t))
+    }
+    def rangeTail(): (Int, Int) = {
+      expect("(")
+      val lo = numLit(toks.dequeue()).toInt
+      expect("..")
+      val hi = numLit(toks.dequeue()).toInt
+      expect(")")
+      (lo, hi)
+    }
+    // `of them` | `of ($prefix*)` | trailing `in (lo..hi)` (YARA 4.3)
     def ofTail(n: Option[Int]): Cond = {
-      if (toks.dequeue() != "of") fail("of")
-      toks.dequeue() match {
+      expect("of")
+      val base = toks.dequeue() match {
         case "them" => OfThem(n)
         case "(" =>
           // `($a, $b, $p*)` — comma-separated ids, `*` = prefix match
@@ -495,6 +606,70 @@ object Yara {
           else OfThem(n, None, set)
         case other => fail(other)
       }
+      if (toks.headOption.contains("in")) {
+        toks.dequeue()
+        base.copy(range = Some(rangeTail()))
+      } else base
+    }
+    // `for any|all|N (of <set> | i in (lo..hi)) : ( body )`
+    def forTail(): Cond = {
+      val n = toks.dequeue() match {
+        case "any" => Some(1)
+        case "all" => None
+        case t if t.matches("\\d+") => Some(t.toInt)
+        case other => fail(other)
+      }
+      toks.headOption match {
+        case Some("of") =>
+          val of = ofTail(n) match {
+            case o: OfThem =>
+              if (o.range.isDefined) fail("in") // no range on for-of
+              o
+            case _ => fail("of")
+          }
+          expect(":"); expect("(")
+          val body = or()
+          expect(")")
+          ForOf(n, of.prefix, of.ids, body)
+        case Some(v) if v.matches("[A-Za-z_]\\w*") =>
+          toks.dequeue()
+          expect("in"); expect("(")
+          val lo = numE()
+          expect("..")
+          val hi = numE()
+          expect(")")
+          expect(":"); expect("(")
+          val saved = boundVar
+          boundVar = Some(v)
+          val body = try or() finally boundVar = saved
+          expect(")")
+          ForIndex(n, lo, hi, body)
+        case other => fail(other.getOrElse("<end>"))
+      }
+    }
+    // `@a[i]` / `@a[2]` offset term: inside a for body the index must be
+    // the loop variable; outside, a constant ordinal desugars to a
+    // single-iteration ForIndex over that ordinal
+    def atTail(t: String): Cond = {
+      val id = if (t == "@") "$" else t.drop(1)
+      expect("[")
+      val idxTok = toks.dequeue()
+      expect("]")
+      def leaf(): Cond =
+        if (toks.headOption.contains("in")) {
+          toks.dequeue()
+          val (lo, hi) = rangeTail()
+          OffIdxIn(id, lo, hi)
+        } else {
+          val op = toks.dequeue()
+          if (!cmpOps(op)) fail(op)
+          OffIdxCmp(id, op, numE())
+        }
+      if (boundVar.contains(idxTok)) leaf()
+      else if (idxTok.matches("\\d+")) {
+        val k = idxTok.toInt
+        ForIndex(Some(1), NumLit(k), NumLit(k), leaf())
+      } else fail(idxTok)
     }
     def primary(): Cond = {
       if (toks.isEmpty) fail("<end>")
@@ -506,6 +681,7 @@ object Yara {
         case "not" => Not(primary())
         case "any" => ofTail(Some(1))
         case "all" => ofTail(None)
+        case "for" => forTail()
         case "filesize" =>
           val op = toks.dequeue()
           if (!cmpOps(op)) fail(op)
@@ -518,22 +694,32 @@ object Yara {
           if (toks.dequeue() != ")") fail(")")
           val op = toks.dequeue()
           if (!cmpOps(op)) fail(op)
-          UIntCmp(width, be, off, op, numLit(toks.dequeue()))
+          UIntCmp(width, be, off, op, numLit(toks.dequeue()),
+            signed = !t.startsWith("u"))
         case t if t.matches("\\d+") => ofTail(Some(t.toInt))
+        case t if t.startsWith("@") => atTail(t)
         case t if t.startsWith("#") =>
-          val op = toks.dequeue()
-          if (!cmpOps(op)) fail(op)
-          CountCmp(t.drop(1), op, numLit(toks.dequeue()).toInt)
+          // `#` bare = the for-of placeholder's count
+          val id = if (t == "#") "$" else t.drop(1)
+          if (toks.headOption.contains("in")) {
+            // `#a in (lo..hi) op n` — occurrences within the range
+            toks.dequeue()
+            val (lo, hi) = rangeTail()
+            val op = toks.dequeue()
+            if (!cmpOps(op)) fail(op)
+            CountInRange(id, op, numLit(toks.dequeue()).toInt, lo, hi)
+          } else {
+            val op = toks.dequeue()
+            if (!cmpOps(op)) fail(op)
+            CountCmp(id, op, numLit(toks.dequeue()).toInt)
+          }
         case t if t.startsWith("$") =>
-          val id = t.drop(1)
+          // `$` bare = the for-of placeholder string
+          val id = if (t == "$") "$" else t.drop(1)
           toks.headOption match {
             case Some("in") =>
               toks.dequeue()
-              if (toks.dequeue() != "(") fail("in (")
-              val lo = numLit(toks.dequeue()).toInt
-              if (toks.dequeue() != "..") fail("..")
-              val hi = numLit(toks.dequeue()).toInt
-              if (toks.dequeue() != ")") fail(")")
+              val (lo, hi) = rangeTail()
               InRange(id, lo, hi)
             case Some("at") =>
               toks.dequeue()

@@ -99,11 +99,14 @@ class YaraSpec extends AnyFunSuite with SparkSpecBase {
   }
 
   test("unsupported constructs fail loudly, not silently") {
-    // for-loops over match offsets are outside the supported subset
+    // match-length operands (!a[i]) are outside the supported subset
     intercept[IllegalArgumentException] {
       Yara.parse(
-        "rule U { strings: $a = \"x\" " +
-          "condition: for all i in (1..#a) : ( @a[i] < 100 ) }")
+        "rule U { strings: $a = \"x\" condition: !a[1] > 5 }")
+    }
+    // module references (pe, math, …) are too
+    intercept[IllegalArgumentException] {
+      Yara.parse("rule M { condition: pe.entry_point == 0 }")
     }
   }
 
@@ -256,5 +259,65 @@ class YaraSpec extends AnyFunSuite with SparkSpecBase {
     assert(Yara.scan(gated, b("x")).toSet ==
       Set("yara:SizeGate", "yara:Hit"))
     assert(Yara.scan(gated, b("x" * 200)).isEmpty) // global gate fails
+  }
+
+  test("intN is signed (uintN stays unsigned)") {
+    val rules = Yara.parse(
+      """rule S { condition: int8(0) == -1 }
+        |rule U { condition: uint8(0) == 255 }
+        |rule S16 { condition: int16be(0) < 0 }""".stripMargin)
+    val ff = Array[Byte](0xff.toByte, 0x00)
+    assert(Yara.scan(rules, ff).toSet ==
+      Set("yara:S", "yara:U", "yara:S16"))
+    assert(Yara.scan(rules, Array[Byte](0x7f, 0x00)).isEmpty)
+  }
+
+  test("count-in-range and of-them-in-range (YARA 4.x)") {
+    val rules = Yara.parse(
+      """rule C { strings: $a = "ab" condition: #a in (0..9) == 2 }
+        |rule R { strings: $x = "cd" $y = "ef"
+        | condition: any of them in (0..3) }""".stripMargin)
+    // "ab" at 0 and 8 → two in [0..9]; "abab…" beyond doesn't count
+    assert(Yara.scan(rules, b("ab....  ab....ab")).contains("yara:C"))
+    assert(Yara.scan(rules, b("ab only once")).isEmpty)
+    // "ef" inside [0..3] → R fires; both needles only past 3 → not
+    assert(Yara.scan(rules, b(".ef..cd")).contains("yara:R"))
+    assert(Yara.scan(rules, b("....cd..ef")).filter(_ == "yara:R").isEmpty)
+  }
+
+  test("for i in (1..#a): offset-ordinal bodies, any/all quantifiers") {
+    val rules = Yara.parse(
+      """rule F1 { strings: $a = "x"
+        | condition: for all i in (1..#a) : ( @a[i] < 10 ) }
+        |rule F2 { strings: $a = "x"
+        | condition: for any i in (1..#a) : ( @a[i] in (5..6) ) }
+        |rule F3 { strings: $a = "x" $b = "ab"
+        | condition: for 2 i in (1..#a) : ( @a[i] > @b[1] ) }""".stripMargin)
+    // all x's below offset 10
+    assert(Yara.scan(rules, b("x.x.x")).contains("yara:F1"))
+    assert(!Yara.scan(rules, b("x" + "." * 11 + "x")).contains("yara:F1"))
+    // some x at offset 5 or 6
+    assert(Yara.scan(rules, b(".....x")).contains("yara:F2"))
+    assert(!Yara.scan(rules, b("x...x...")).contains("yara:F2"))
+    // at least two x's after the first "ab"
+    assert(Yara.scan(rules, b("ab..x..x")).contains("yara:F3"))
+    assert(!Yara.scan(rules, b("x.x.ab")).contains("yara:F3"))
+    // constant ordinal outside a loop desugars to a one-shot check
+    val c = Yara.parse(
+      "rule K { strings: $a = \"z\" condition: @a[2] == 4 }")
+    assert(Yara.scan(c, b("z...z")).nonEmpty)
+    assert(Yara.scan(c, b("z....z")).isEmpty)
+  }
+
+  test("for of with $ / # placeholder bodies") {
+    val rules = Yara.parse(
+      """rule P { strings: $a = "foo" $b = "bar"
+        | condition: for all of them : ( $ in (0..7) ) }
+        |rule Q { strings: $p1 = "aa" $p2 = "bb"
+        | condition: for any of ($p*) : ( # >= 2 ) }""".stripMargin)
+    assert(Yara.scan(rules, b("foo bar")).contains("yara:P"))
+    assert(!Yara.scan(rules, b("foo     bar")).contains("yara:P"))
+    assert(Yara.scan(rules, b("aa..aa")).contains("yara:Q"))
+    assert(!Yara.scan(rules, b("aa..bb")).contains("yara:Q"))
   }
 }
