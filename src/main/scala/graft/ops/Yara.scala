@@ -29,9 +29,15 @@ object Yara {
 
   // ------------------------------------------------------------- model
   sealed trait Matcher {
+    /** All (offset, length) matches of this string in `b`, offset-sorted
+      * and offset-distinct (when needle variants — wide, xor keys,
+      * base64 alignments — collide on an offset, the first variant's
+      * length is reported, like YARA's first-match bookkeeping).
+      */
+    def hits(b: Array[Byte]): Seq[(Int, Int)]
     /** All match offsets (start positions) of this string in `b`. */
-    def offsets(b: Array[Byte]): Seq[Int]
-    def matches(b: Array[Byte]): Boolean = offsets(b).nonEmpty
+    final def offsets(b: Array[Byte]): Seq[Int] = hits(b).map(_._1)
+    def matches(b: Array[Byte]): Boolean = hits(b).nonEmpty
   }
 
   /** Text needle; `nocase` folds ASCII case; `wide` also tries UTF-16LE. */
@@ -48,8 +54,8 @@ object Yara {
     private def alnum(x: Byte): Boolean =
       (x >= '0' && x <= '9') || (x >= 'A' && x <= 'Z') ||
         (x >= 'a' && x <= 'z')
-    def offsets(b: Array[Byte]): Seq[Int] = {
-      val out = Seq.newBuilder[Int]
+    def hits(b: Array[Byte]): Seq[(Int, Int)] = {
+      val out = Seq.newBuilder[(Int, Int)]
       needles.foreach { n =>
         var i = 0
         while (i + n.length <= b.length) {
@@ -60,11 +66,11 @@ object Yara {
             (!fullword ||
               ((i == 0 || !alnum(b(i - 1))) &&
                (i + n.length == b.length || !alnum(b(i + n.length))))))
-            out += i
+            out += ((i, n.length))
           i += 1
         }
       }
-      out.result().distinct.sorted
+      out.result().sortBy(_._1).distinctBy(_._1)
     }
   }
 
@@ -82,36 +88,42 @@ object Yara {
     * patterns are short, payloads bounded by the capture snap length).
     */
   final case class HexMatcher(pattern: Array[HexTok]) extends Matcher {
-    private def matchAt(b: Array[Byte], i0: Int, t0: Int): Boolean = {
+    /** End index of the match starting at i0, or -1; jumps try the
+      * SHORTEST gap first, so a variable pattern reports its shortest
+      * match length at each offset.
+      */
+    private def matchAt(b: Array[Byte], i0: Int, t0: Int): Int = {
       var i = i0
       var t = t0
       while (t < pattern.length) {
         pattern(t) match {
           case HexByte(v) =>
-            if (i >= b.length || (b(i) & 0xff) != v) return false
+            if (i >= b.length || (b(i) & 0xff) != v) return -1
             i += 1; t += 1
           case HexAny =>
-            if (i >= b.length) return false
+            if (i >= b.length) return -1
             i += 1; t += 1
           case HexMasked(v, mask) =>
-            if (i >= b.length || (b(i) & mask) != v) return false
+            if (i >= b.length || (b(i) & mask) != v) return -1
             i += 1; t += 1
           case HexJump(lo, hi) =>
             var g = lo
             while (g <= hi && i + g <= b.length) {
-              if (matchAt(b, i + g, t + 1)) return true
+              val e = matchAt(b, i + g, t + 1)
+              if (e >= 0) return e
               g += 1
             }
-            return false
+            return -1
         }
       }
-      true
+      i
     }
-    def offsets(b: Array[Byte]): Seq[Int] = {
-      val out = Seq.newBuilder[Int]
+    def hits(b: Array[Byte]): Seq[(Int, Int)] = {
+      val out = Seq.newBuilder[(Int, Int)]
       var i = 0
       while (i <= b.length - 1) {
-        if (matchAt(b, i, 0)) out += i
+        val e = matchAt(b, i, 0)
+        if (e >= 0) out += ((i, e - i))
         i += 1
       }
       out.result()
@@ -135,8 +147,8 @@ object Yara {
         .getBytes(StandardCharsets.ISO_8859_1))
       else Seq(ascii)
     }
-    def offsets(b: Array[Byte]): Seq[Int] = {
-      val out = Seq.newBuilder[Int]
+    def hits(b: Array[Byte]): Seq[(Int, Int)] = {
+      val out = Seq.newBuilder[(Int, Int)]
       plains.foreach { p =>
         var key = lo
         while (key <= hi) {
@@ -144,13 +156,13 @@ object Yara {
           while (i + p.length <= b.length) {
             var j = 0
             while (j < p.length && (b(i + j) ^ key).toByte == p(j)) j += 1
-            if (j == p.length) out += i
+            if (j == p.length) out += ((i, p.length))
             i += 1
           }
           key += 1
         }
       }
-      out.result().distinct.sorted
+      out.result().sortBy(_._1).distinctBy(_._1)
     }
   }
 
@@ -184,18 +196,18 @@ object Yara {
         else v.getBytes(StandardCharsets.ISO_8859_1)
       }
     }
-    def offsets(b: Array[Byte]): Seq[Int] = {
-      val out = Seq.newBuilder[Int]
+    def hits(b: Array[Byte]): Seq[(Int, Int)] = {
+      val out = Seq.newBuilder[(Int, Int)]
       needles.filter(_.nonEmpty).foreach { n =>
         var i = 0
         while (i + n.length <= b.length) {
           var j = 0
           while (j < n.length && b(i + j) == n(j)) j += 1
-          if (j == n.length) out += i
+          if (j == n.length) out += ((i, n.length))
           i += 1
         }
       }
-      out.result().distinct.sorted
+      out.result().sortBy(_._1).distinctBy(_._1)
     }
   }
 
@@ -206,10 +218,10 @@ object Yara {
       extends Matcher {
     private val p = java.util.regex.Pattern.compile(re,
       if (nocase) java.util.regex.Pattern.CASE_INSENSITIVE else 0)
-    def offsets(b: Array[Byte]): Seq[Int] = {
+    def hits(b: Array[Byte]): Seq[(Int, Int)] = {
       val m = p.matcher(new String(b, StandardCharsets.ISO_8859_1))
-      val out = Seq.newBuilder[Int]
-      while (m.find()) out += m.start()
+      val out = Seq.newBuilder[(Int, Int)]
+      while (m.find()) out += ((m.start(), m.end() - m.start()))
       out.result()
     }
   }
@@ -248,24 +260,30 @@ object Yara {
   sealed trait NumE
   final case class NumLit(v: Long) extends NumE
   final case class NumCount(id: String) extends NumE
-  /** `@id[k]` as a numeric operand; `ord` None = the enclosing loop
-    * variable. Undefined ordinals make the enclosing comparison false
-    * (YARA's undefined-value propagation).
+  /** `@id[k]` (offset) or `!id[k]` (match length, `len = true`) as a
+    * numeric operand; `ord` None = the enclosing loop variable.
+    * Undefined ordinals make the enclosing comparison false (YARA's
+    * undefined-value propagation).
     */
-  final case class NumOffset(id: String, ord: Option[Int]) extends NumE
+  final case class NumOffset(id: String, ord: Option[Int],
+      len: Boolean = false) extends NumE
   /** `for <q> i in (lo..hi) : ( … )` over occurrence ordinals (1-based,
     * like YARA's `@a[i]`). The body is a Cond tree whose
     * [[OffIdxCmp]]/[[OffIdxIn]] leaves read `@id[i]` under the binding.
     */
   final case class ForIndex(n: Option[Int], lo: NumE, hi: NumE,
       body: Cond) extends Cond
-  /** `@id[i] op rhs` — only valid inside a [[ForIndex]] body. */
-  final case class OffIdxCmp(id: String, op: String, rhs: NumE) extends Cond
-  /** `@id[i] in (lo..hi)` — only valid inside a [[ForIndex]] body. */
-  final case class OffIdxIn(id: String, lo: Int, hi: Int) extends Cond
+  /** `@id[i] op rhs` (offset) / `!id[i] op rhs` (match length,
+    * `len = true`) under a [[ForIndex]] binding.
+    */
+  final case class OffIdxCmp(id: String, op: String, rhs: NumE,
+      len: Boolean = false) extends Cond
+  /** `@id[i] in (lo..hi)` / `!id[i] in (lo..hi)` under a binding. */
+  final case class OffIdxIn(id: String, lo: Int, hi: Int,
+      len: Boolean = false) extends Cond
   /** `for <q> of <set> : ( … )`: the body is an ordinary Cond over the
-    * placeholder id `$` (`$`, `$ at`, `$ in`, `#` all parse to id "$"),
-    * re-bound to each string of the set in turn.
+    * placeholder id `$` (`$`, `$ at`, `$ in`, `#`, `@[k]`, `![k]` all
+    * parse to id "$"), re-bound to each string of the set in turn.
     */
   final case class ForOf(n: Option[Int], prefix: Option[String],
       ids: Seq[String], body: Cond) extends Cond
@@ -293,9 +311,10 @@ object Yara {
         env: Map[String, Boolean] = Map.empty): Boolean = {
       lazy val hit: Map[String, Boolean] =
         strings.map { case (id, m) => id -> m.matches(b) }.toMap
-      def offsetsOf(id: String): Seq[Int] =
+      def hitsOf(id: String): Seq[(Int, Int)] =
         strings.collectFirst { case (`id`, m) => m }
-          .map(_.offsets(b)).getOrElse(Nil)
+          .map(_.hits(b)).getOrElse(Nil)
+      def offsetsOf(id: String): Seq[Int] = hitsOf(id).map(_._1)
       def subset(prefix: Option[String], ids: Seq[String]) =
         if (ids.nonEmpty)
           strings.filter(s => ids.exists(sel =>
@@ -314,8 +333,9 @@ object Yara {
         def num(e: NumE): Option[Long] = e match {
           case NumLit(v) => Some(v)
           case NumCount(id) => Some(offsetsOf(rid(id)).length.toLong)
-          case NumOffset(id, ord) =>
-            offsetsOf(rid(id)).lift(ord.getOrElse(iBind) - 1).map(_.toLong)
+          case NumOffset(id, ord, len) =>
+            hitsOf(rid(id)).lift(ord.getOrElse(iBind) - 1)
+              .map(h => (if (len) h._2 else h._1).toLong)
         }
         c match {
           case Ref(id) => hit.getOrElse(rid(id), false)
@@ -366,15 +386,17 @@ object Yara {
                 idxs.forall(i => eval(body, sBind, i))
               case Some(k) => idxs.count(i => eval(body, sBind, i)) >= k
             }
-          case OffIdxCmp(id, op, rhs) =>
+          case OffIdxCmp(id, op, rhs, len) =>
             // @a[i] is 1-based; out-of-range ordinal = undefined = false
-            (offsetsOf(rid(id)).lift(iBind - 1), num(rhs)) match {
-              case (Some(o), Some(r)) => cmp(op, o.toLong, r)
+            (hitsOf(rid(id)).lift(iBind - 1), num(rhs)) match {
+              case (Some(h), Some(r)) =>
+                cmp(op, (if (len) h._2 else h._1).toLong, r)
               case _ => false
             }
-          case OffIdxIn(id, lo, hi) =>
-            offsetsOf(rid(id)).lift(iBind - 1)
-              .exists(o => o >= lo && o <= hi)
+          case OffIdxIn(id, lo, hi, len) =>
+            hitsOf(rid(id)).lift(iBind - 1)
+              .map(h => if (len) h._2 else h._1)
+              .exists(v => v >= lo && v <= hi)
           case ForOf(n, p, ids, body) =>
             val sel = subset(p, ids)
             n match {
@@ -555,18 +577,21 @@ object Yara {
     var boundVar: Option[String] = None
     def expect(t: String): Unit =
       if (toks.isEmpty || toks.dequeue() != t) fail(t)
-    // literal, `#a`, or `@a[k]` — the numeric operands `for`
-    // bounds/bodies take (k = constant ordinal or the loop variable)
+    // literal, `#a`, `@a[k]` (offset), or `!a[k]` (match length) — the
+    // numeric operands `for` bounds/bodies take (k = constant ordinal
+    // or the loop variable)
     def numE(): NumE = toks.dequeue() match {
       case t if t.startsWith("#") && t.length > 1 => NumCount(t.drop(1))
       case "#" => NumCount("$")
-      case t if t.startsWith("@") =>
-        val id = if (t == "@") "$" else t.drop(1)
+      case t if (t.startsWith("@") || t.startsWith("!")) && t != "!=" =>
+        val isLen = t.startsWith("!")
+        val id = if (t.length == 1) "$" else t.drop(1)
         expect("[")
         val idxTok = toks.dequeue()
         expect("]")
-        if (boundVar.contains(idxTok)) NumOffset(id, None)
-        else if (idxTok.matches("\\d+")) NumOffset(id, Some(idxTok.toInt))
+        if (boundVar.contains(idxTok)) NumOffset(id, None, isLen)
+        else if (idxTok.matches("\\d+"))
+          NumOffset(id, Some(idxTok.toInt), isLen)
         else fail(idxTok)
       case t => NumLit(numLit(t))
     }
@@ -647,11 +672,13 @@ object Yara {
         case other => fail(other.getOrElse("<end>"))
       }
     }
-    // `@a[i]` / `@a[2]` offset term: inside a for body the index must be
-    // the loop variable; outside, a constant ordinal desugars to a
-    // single-iteration ForIndex over that ordinal
+    // `@a[i]` / `@a[2]` offset term, `!a[i]` / `!a[2]` match-length
+    // term: inside a for body the index must be the loop variable;
+    // outside, a constant ordinal desugars to a single-iteration
+    // ForIndex over that ordinal
     def atTail(t: String): Cond = {
-      val id = if (t == "@") "$" else t.drop(1)
+      val isLen = t.startsWith("!")
+      val id = if (t.length == 1) "$" else t.drop(1)
       expect("[")
       val idxTok = toks.dequeue()
       expect("]")
@@ -659,11 +686,11 @@ object Yara {
         if (toks.headOption.contains("in")) {
           toks.dequeue()
           val (lo, hi) = rangeTail()
-          OffIdxIn(id, lo, hi)
+          OffIdxIn(id, lo, hi, isLen)
         } else {
           val op = toks.dequeue()
           if (!cmpOps(op)) fail(op)
-          OffIdxCmp(id, op, numE())
+          OffIdxCmp(id, op, numE(), isLen)
         }
       if (boundVar.contains(idxTok)) leaf()
       else if (idxTok.matches("\\d+")) {
@@ -697,7 +724,8 @@ object Yara {
           UIntCmp(width, be, off, op, numLit(toks.dequeue()),
             signed = !t.startsWith("u"))
         case t if t.matches("\\d+") => ofTail(Some(t.toInt))
-        case t if t.startsWith("@") => atTail(t)
+        case t if (t.startsWith("@") || t.startsWith("!")) && t != "!=" =>
+          atTail(t)
         case t if t.startsWith("#") =>
           // `#` bare = the for-of placeholder's count
           val id = if (t == "#") "$" else t.drop(1)

@@ -99,15 +99,33 @@ class YaraSpec extends AnyFunSuite with SparkSpecBase {
   }
 
   test("unsupported constructs fail loudly, not silently") {
-    // match-length operands (!a[i]) are outside the supported subset
-    intercept[IllegalArgumentException] {
-      Yara.parse(
-        "rule U { strings: $a = \"x\" condition: !a[1] > 5 }")
-    }
-    // module references (pe, math, …) are too
+    // module references (pe, math, …) are outside the supported subset
     intercept[IllegalArgumentException] {
       Yara.parse("rule M { condition: pe.entry_point == 0 }")
     }
+    intercept[IllegalArgumentException] {
+      Yara.parse("rule E { condition: math.entropy(0, 10) > 7 }")
+    }
+  }
+
+  test("match lengths: !a[i] with fixed, regex and hex-jump strings") {
+    // regex: per-occurrence length
+    val re = Yara.parse(
+      """rule L { strings: $a = /ab+/
+        | condition: for any i in (1..#a) : ( !a[i] == 4 ) }""".stripMargin)
+    assert(Yara.scan(re, b("ab..abbb..")).nonEmpty) // "abbb" has len 4
+    assert(Yara.scan(re, b("ab..abb...")).isEmpty)
+    // hex jump: shortest match length reported
+    val hx = Yara.parse(
+      "rule J { strings: $h = { 41 [0-4] 42 } condition: !h[1] == 3 }")
+    assert(Yara.scan(hx, b("A.B")).nonEmpty) // len 3 (one gap byte)
+    assert(Yara.scan(hx, b("AB")).isEmpty) // len 2
+    // constant ordinal outside a loop + length as a for-of body operand
+    val fo = Yara.parse(
+      """rule W { strings: $p1 = "xy" $p2 = "longer!"
+        | condition: for all of ($p*) : ( ![1] >= 2 ) }""".stripMargin)
+    assert(Yara.scan(fo, b("xy longer!")).nonEmpty)
+    assert(Yara.scan(fo, b("xy only")).isEmpty) // p2 undefined -> false
   }
 
   test("hex jumps: fixed and ranged gaps match YARA semantics") {
