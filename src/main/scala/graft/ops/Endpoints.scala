@@ -38,6 +38,28 @@ object Endpoints {
     * session's first/last timestamp columns (a single-timestamp table can
     * pass the same column for all three).
     */
+  /** The combined time+expression predicate [[sessionQuery]] filters
+    * by — exposed separately for the E49 `/api/buildquery` transparency
+    * surface, which returns the query instead of running it.
+    */
+  def sessionQueryPred(
+      firstCol: Column,
+      lastCol: Column,
+      dbCol: Column,
+      startTime: Column,
+      stopTime: Column,
+      bounding: Bounding = Bounding.Last,
+      expression: Option[Column] = None): Column = {
+    val timePred = bounding match {
+      case Bounding.First    => firstCol >= startTime && firstCol <= stopTime
+      case Bounding.Last     => lastCol >= startTime && lastCol <= stopTime
+      case Bounding.Both     => firstCol >= startTime && lastCol <= stopTime
+      case Bounding.Either   => firstCol <= stopTime && lastCol >= startTime
+      case Bounding.Database => dbCol >= startTime && dbCol <= stopTime
+    }
+    expression.map(timePred && _).getOrElse(timePred)
+  }
+
   def sessionQuery(
       df: DataFrame,
       firstCol: Column,
@@ -46,17 +68,9 @@ object Endpoints {
       startTime: Column,
       stopTime: Column,
       bounding: Bounding = Bounding.Last,
-      expression: Option[Column] = None): DataFrame = {
-    val timePred = bounding match {
-      case Bounding.First    => firstCol >= startTime && firstCol <= stopTime
-      case Bounding.Last     => lastCol >= startTime && lastCol <= stopTime
-      case Bounding.Both     => firstCol >= startTime && lastCol <= stopTime
-      case Bounding.Either   => firstCol <= stopTime && lastCol >= startTime
-      case Bounding.Database => dbCol >= startTime && dbCol <= stopTime
-    }
-    val full = expression.map(timePred && _).getOrElse(timePred)
-    df.filter(full)
-  }
+      expression: Option[Column] = None): DataFrame =
+    df.filter(sessionQueryPred(firstCol, lastCol, dbCol, startTime,
+      stopTime, bounding, expression))
 
   /** E2: sessions table — projection, multi-key sort with ES null placement
     * (missing values sort LAST in both directions — the reference's

@@ -57,6 +57,17 @@ object FilesTable {
         lit("gap0").as("packetPosEncoding"))
   }
 
+  /** `GET /api/:nodeName/:fileNum/filesize` (apiMisc.js:94-110
+    * getFileSize): one file's size by its per-node ordinal. None = the
+    * reference's "file not found"; -1 size = file referenced by the
+    * store but missing on disk, like the reference's stat failure.
+    */
+  def fileSize(sessions: Dataset[SessionRow], node: String,
+      num: Int): Option[Long] =
+    filesTable(sessions)
+      .filter(col("node") === node && col("num") === num)
+      .select(col("filesize")).collect().headOption.map(_.getLong(0))
+
   final case class Page(recordsTotal: Long, recordsFiltered: Long,
       data: DataFrame)
 

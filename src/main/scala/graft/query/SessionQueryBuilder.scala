@@ -105,6 +105,46 @@ final case class SessionQueryBuilder(
     }
   }
 
+  /** E49 `/api/buildquery` (apiSessions.js:1578-1603 getQuery): the
+    * query-transparency surface — return what WOULD run instead of
+    * running it. `filterSql` is the full compiled predicate (time
+    * bounding + expression + forced ACL) rendered as Spark SQL, the
+    * analogue of the reference's `esquery`; applying it with
+    * `df.where(expr(filterSql))` reproduces [[frame]] exactly (spec-
+    * pinned). `days` lists the UTC day partitions the bounded window
+    * prunes the store to — the analogue of the reference's
+    * `sessions2-*` index list — empty when unbounded (= all).
+    * `fields` echoes the optional projection, like `query.fields`.
+    */
+  def buildQuery(fields: Seq[String] = Nil): SessionQueryBuilder.BuiltQuery = {
+    enforceTimeLimit()
+    val exprPred: Option[Column] = (expressionStr, forcedStr) match {
+      case (Some(e), f)    => Some(compiler.compileWithForced(e, f))
+      case (None, Some(f)) => Some(compiler.compile(f))
+      case (None, None)    => None
+    }
+    val pred: Option[Column] = (startMs, stopMs) match {
+      case (Some(s), Some(e)) =>
+        Some(Endpoints.sessionQueryPred(col(firstCol), col(lastCol),
+          col(dbTimeCol.getOrElse(lastCol)), lit(s), lit(e), bounding,
+          exprPred))
+      case _ => exprPred
+    }
+    val days = (startMs, stopMs) match {
+      case (Some(s), Some(e)) if e >= s =>
+        val d0 = java.time.Instant.ofEpochMilli(s)
+          .atZone(java.time.ZoneOffset.UTC).toLocalDate
+        val d1 = java.time.Instant.ofEpochMilli(e)
+          .atZone(java.time.ZoneOffset.UTC).toLocalDate
+        Iterator.iterate(d0)(_.plusDays(1)).takeWhile(!_.isAfter(d1))
+          .take(100000).map(_.toString).toSeq
+      case _ => Nil
+    }
+    SessionQueryBuilder.BuiltQuery(
+      pred.map(p => org.apache.spark.sql.graftbridge.ColumnBridge
+        .filterSql(sessions, p)).getOrElse("true"), days, fields)
+  }
+
   // ----- endpoint-shaped results over the filtered frame ---------------
 
   /** The histogram/graph time column follows the bounding mode, exactly
@@ -195,6 +235,13 @@ final case class SessionQueryBuilder(
 object SessionQueryBuilder {
   /** Listing page cap (reference apiSessions.js:1219). */
   val PageCap = 2000000
+
+  /** `/api/buildquery`'s response shape: the compiled predicate as
+    * Spark SQL, the day partitions the window prunes to, and the echoed
+    * projection (the reference's esquery / indices / fields).
+    */
+  final case class BuiltQuery(filterSql: String, days: Seq[String],
+      fields: Seq[String])
 }
 
 /** Per-query cancellation, the Spark analogue of the viewer's ES task

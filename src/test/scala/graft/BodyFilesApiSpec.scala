@@ -94,6 +94,11 @@ class BodyFilesApiSpec extends AnyFunSuite with SparkSpecBase {
       sessions.collect().map(_.firstPacket).min)
     assert(r.getAs[String]("packetPosEncoding") == "gap0")
 
+    // the per-node ordinal point lookup answers the same size
+    assert(FilesTable.fileSize(sessions, r.getAs[String]("node"), 1)
+      .contains(r.getAs[Long]("filesize")))
+    assert(FilesTable.fileSize(sessions, r.getAs[String]("node"), 99).isEmpty)
+
     val page = FilesTable.files(sessions, filter = Some("socks-http"))
     assert(page.recordsTotal == 1 && page.recordsFiltered == 1)
     assert(page.data.count() == 1)

@@ -29,6 +29,34 @@ class QueryFacadeSpec extends AnyFunSuite with SparkSpecBase {
     assert(q2.count() == 0)
   }
 
+  test("buildquery: the returned SQL reproduces frame; days span the window") {
+    val q = SessionQueryBuilder(sessions, FieldRegistry.sessions,
+      FieldRegistry.sessionCol)
+      .timeRange(1386004309000L, 1386004313000L)
+      .expression("protocols == socks")
+      .forced("node == test")
+    val built = q.buildQuery(fields = Seq("srcIp", "srcPort"))
+    // the esquery analogue round-trips: where(expr(sql)) ≡ frame
+    assert(sessions.where(expr(built.filterSql)).count() == q.count())
+    assert(built.fields == Seq("srcIp", "srcPort"))
+    // the indices analogue: UTC day partitions of the bounded window
+    assert(built.days == Seq("2013-12-02"))
+    val multi = SessionQueryBuilder(sessions, FieldRegistry.sessions,
+      FieldRegistry.sessionCol)
+      .timeRange(1386004309000L, 1386004309000L + 2 * 86400000L)
+    assert(multi.buildQuery().days ==
+      Seq("2013-12-02", "2013-12-03", "2013-12-04"))
+    // unbounded: no pruning (all partitions), bare expression SQL
+    val unb = SessionQueryBuilder(sessions, FieldRegistry.sessions,
+      FieldRegistry.sessionCol).expression("protocols == socks")
+    val ub = unb.buildQuery()
+    assert(ub.days.isEmpty)
+    assert(sessions.where(expr(ub.filterSql)).count() == unb.count())
+    // no window, no expression: the run-everything predicate
+    assert(SessionQueryBuilder(sessions, FieldRegistry.sessions,
+      FieldRegistry.sessionCol).buildQuery().filterSql == "true")
+  }
+
   test("builder endpoints resolve derived fields and flatten arrays") {
     val q = SessionQueryBuilder(sessions, FieldRegistry.sessions,
       FieldRegistry.sessionCol)
