@@ -59,59 +59,47 @@ object MediaDecode {
 
   /** Decode a RIFF/WAVE integer-PCM payload to 8 per-slice RMS values.
     * None = not a WAV, or a compressed/float encoding this pure-JVM
-    * reader doesn't handle.
+    * reader doesn't handle. The chunk walk is
+    * [[MediaHeaders.wavLayout]] — the hardened shared one, so a corrupt
+    * 32-bit chunk length can't hang an executor task here either.
     */
   def wavFeatures(payload: Array[Byte]): Option[Array[Float]] = {
     try {
-      val b = payload
-      if (b.length < 44 || !tag(b, 0, "RIFF") || !tag(b, 8, "WAVE")) return None
-      var off = 12
-      var fmtCode, bits = -1
-      var dataOff, dataLen = -1
-      while (off + 8 <= b.length && (fmtCode < 0 || dataOff < 0)) {
-        val id = new String(b, off, 4, "ISO-8859-1")
-        val sz = le32(b, off + 4)
-        if (id == "fmt " && sz >= 16 && off + 8 + 16 <= b.length) {
-          fmtCode = le16(b, off + 8)
-          bits = le16(b, off + 8 + 14)
-        } else if (id == "data") {
-          dataOff = off + 8
-          dataLen = math.min(sz.toLong, (b.length - dataOff).toLong).toInt
+      MediaHeaders.wavLayout(payload).flatMap { w =>
+        val b = payload
+        // 1 = integer PCM; 0xFFFE (extensible) commonly wraps PCM too
+        // but needs the sub-format GUID — treat as undecodable here
+        val bytesPer = w.bits / 8
+        val avail =
+          if (w.dataOff < 0) 0
+          else math.min(w.dataLen, (b.length - w.dataOff).toLong).toInt
+        val n = if (bytesPer >= 1) avail / bytesPer else 0
+        if (w.fmtCode != 1 || bytesPer < 1 || bytesPer > 4 || n <= 0) None
+        else {
+          val dataOff = w.dataOff
+          val full = (1L << (w.bits - 1)).toDouble // full-scale amplitude
+          val sums = new Array[Double](FeatureDim)
+          val counts = new Array[Long](FeatureDim)
+          var i = 0
+          while (i < n) {
+            val slice = ((i.toLong * FeatureDim) / n).toInt min (FeatureDim - 1)
+            val v: Double = bytesPer match {
+              case 1 => ((b(dataOff + i) & 0xff) - 128).toDouble / 128.0 // u8
+              case 2 => le16s(b, dataOff + i * 2) / full
+              case 3 => le24s(b, dataOff + i * 3) / full
+              case _ => le32(b, dataOff + i * 4).toDouble / full
+            }
+            sums(slice) += v * v
+            counts(slice) += 1
+            i += 1
+          }
+          Some(Array.tabulate(FeatureDim)(s =>
+            if (counts(s) == 0) 0f else math.sqrt(sums(s) / counts(s)).toFloat))
         }
-        off += 8 + sz + (sz & 1) // chunks are word-aligned
       }
-      // 1 = integer PCM; 0xFFFE (extensible) commonly wraps PCM too but
-      // needs the sub-format GUID — treat as undecodable here
-      if (fmtCode != 1 || dataOff < 0 || dataLen <= 0) return None
-      val bytesPer = bits / 8
-      if (bytesPer < 1 || bytesPer > 4) return None
-      val n = dataLen / bytesPer
-      if (n == 0) return None
-      val full = (1L << (bits - 1)).toDouble // full-scale amplitude
-      val sums = new Array[Double](FeatureDim)
-      val counts = new Array[Long](FeatureDim)
-      var i = 0
-      while (i < n) {
-        val slice = ((i.toLong * FeatureDim) / n).toInt min (FeatureDim - 1)
-        val v: Double = bytesPer match {
-          case 1 => ((b(dataOff + i) & 0xff) - 128).toDouble / 128.0 // u8
-          case 2 => le16s(b, dataOff + i * 2) / full
-          case 3 => le24s(b, dataOff + i * 3) / full
-          case _ => le32(b, dataOff + i * 4).toDouble / full
-        }
-        sums(slice) += v * v
-        counts(slice) += 1
-        i += 1
-      }
-      Some(Array.tabulate(FeatureDim)(s =>
-        if (counts(s) == 0) 0f else math.sqrt(sums(s) / counts(s)).toFloat))
     } catch { case _: Exception => None }
   }
 
-  private def tag(b: Array[Byte], off: Int, t: String): Boolean =
-    b.length >= off + 4 && new String(b, off, 4, "ISO-8859-1") == t
-  private def le16(b: Array[Byte], o: Int): Int =
-    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
   private def le16s(b: Array[Byte], o: Int): Short =
     ((b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)).toShort
   private def le24s(b: Array[Byte], o: Int): Int =

@@ -70,20 +70,37 @@ object MediaHeaders {
     None
   }
 
-  /** RIFF chunk walk: `fmt ` gives the sample layout, `data` gives the
-    * payload size; duration follows from byteRate.
+  /** Parsed RIFF/WAVE layout — the single hardened chunk walk shared by
+    * the header parse here and [[MediaDecode.wavFeatures]]' sample
+    * decode (one walk, one place for the corrupt-length guards).
+    * `dataOff` = -1 when no data chunk was seen; `dataLen` is the RAW
+    * chunk size (may exceed the buffer — decoders clamp).
     */
-  private def parseWav(b: Array[Byte]): Option[MediaInfo] = {
+  private[functions] final case class WavLayout(fmtCode: Int,
+      channels: Int, rate: Int, byteRate: Long, bits: Int,
+      dataOff: Int, dataLen: Long)
+
+  private[functions] def wavLayout(b: Array[Byte]): Option[WavLayout] = {
+    if (b == null || b.length < 12 || b(0) != 'R' || b(1) != 'I' ||
+      b(2) != 'F' || b(3) != 'F' || b(8) != 'W' || b(9) != 'A' ||
+      b(10) != 'V' || b(11) != 'E') return None
     var i = 12
-    var channels = 0; var rate = 0; var byteRate = 0L; var dataLen = -1L
-    while (i + 8 <= b.length && (channels == 0 || dataLen < 0)) {
+    var fmtCode = -1; var channels = 0; var rate = 0
+    var byteRate = 0L; var bits = -1
+    var dataOff = -1; var dataLen = -1L
+    while (i + 8 <= b.length && (fmtCode < 0 || dataOff < 0)) {
       val id = new String(b, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
       val len = le32(b, i + 4)
       if (id == "fmt " && i + 8 + 16 <= b.length) {
+        fmtCode = le16(b, i + 8)
         channels = le16(b, i + 10)
         rate = le32(b, i + 12).toInt
         byteRate = le32(b, i + 16)
-      } else if (id == "data") dataLen = len
+        bits = le16(b, i + 22)
+      } else if (id == "data" && dataOff < 0) {
+        dataOff = i + 8
+        dataLen = len
+      }
       // chunks are word-aligned. Advance in LONG math: the old
       // `len.toInt` on a corrupt 32-bit length (e.g. 0xFFFFFFF8)
       // stepped 0 or backwards and hung the scan-side walk forever.
@@ -93,8 +110,17 @@ object MediaHeaders {
       if (i.toLong + step + 8L > b.length) i = b.length
       else i += step.toInt
     }
-    if (channels == 0) None
-    else Some(MediaInfo("wav", 0, 0, channels, rate,
-      if (byteRate > 0 && dataLen >= 0) dataLen * 1000L / byteRate else 0L))
+    if (fmtCode < 0) None
+    else Some(WavLayout(fmtCode, channels, rate, byteRate, bits,
+      dataOff, dataLen))
   }
+
+  /** RIFF chunk walk: `fmt ` gives the sample layout, `data` gives the
+    * payload size; duration follows from byteRate.
+    */
+  private def parseWav(b: Array[Byte]): Option[MediaInfo] =
+    wavLayout(b).filter(_.channels != 0).map(w =>
+      MediaInfo("wav", 0, 0, w.channels, w.rate,
+        if (w.byteRate > 0 && w.dataLen >= 0) w.dataLen * 1000L / w.byteRate
+        else 0L))
 }

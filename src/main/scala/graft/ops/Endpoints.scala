@@ -34,10 +34,6 @@ object Endpoints {
     case object Database extends Bounding // timestamp in [start, stop]
   }
 
-  /** E1: canonical bounded+filtered scan. `firstCol`/`lastCol` are the
-    * session's first/last timestamp columns (a single-timestamp table can
-    * pass the same column for all three).
-    */
   /** The combined time+expression predicate [[sessionQuery]] filters
     * by — exposed separately for the E49 `/api/buildquery` transparency
     * surface, which returns the query instead of running it.
@@ -60,6 +56,10 @@ object Endpoints {
     expression.map(timePred && _).getOrElse(timePred)
   }
 
+  /** E1: canonical bounded+filtered scan. `firstCol`/`lastCol` are the
+    * session's first/last timestamp columns (a single-timestamp table can
+    * pass the same column for all three).
+    */
   def sessionQuery(
       df: DataFrame,
       firstCol: Column,

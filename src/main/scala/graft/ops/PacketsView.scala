@@ -241,26 +241,24 @@ object PacketsView {
       needgzip: Boolean = false,
       keys: String => graft.etl.PcapCrypto.FileKeys = _ => graft.etl.PcapCrypto.Normal,
       store: graft.etl.PcapStore.Store = graft.etl.PcapStore.Local): Option[(String, Array[Byte])] = {
-    val segs = sessions.filter(_.sessionId == sessionId)
-      .collect().sortBy(_.segmentSeq)
-    if (segs.isEmpty) return None
-    val s0 = segs.head
-    val pkts = CyberChef.readSessionPackets(segs.toIndexedSeq, keys, store)
     val decodes: Array[Byte] => Array[Byte] =
       if (needgzip) DisplayDecode.uncompress else identity
-    itemsOf(RawPackets.chunks(pkts, s"${s0.srcIp}:${s0.srcPort}"), decodes)
+    itemsOf(RawPackets.sessionChunks(sessions, sessionId, keys, store),
+      decodes)
       .find(it => it.bodyNum == bodyNum && bodyNum > 0)
       .map(it => (it.bodyName, it.data))
   }
 
   /** `GET /api/session/:node/:id/bodypng/...` (viewer.js:1786): the
-    * body's bytes as the grayscale bitmap, empty placeholder on miss.
+    * body's bytes as the grayscale bitmap, empty placeholder on miss;
+    * `needgzip` decodes compressed bodies exactly as the /body twin
+    * does, so the bitmap shows the bytes the pane shows.
     */
   def bodyPng(sessions: Dataset[SessionRow], sessionId: String,
-      bodyNum: Int,
+      bodyNum: Int, needgzip: Boolean = false,
       keys: String => graft.etl.PcapCrypto.FileKeys = _ => graft.etl.PcapCrypto.Normal,
       store: graft.etl.PcapStore.Store = graft.etl.PcapStore.Local): Array[Byte] =
-    body(sessions, sessionId, bodyNum, needgzip = false, keys, store)
+    body(sessions, sessionId, bodyNum, needgzip, keys, store)
       .map(b => RawPackets.renderPng(Seq(b._2)))
       .getOrElse(RawPackets.emptyPng)
 
@@ -269,15 +267,9 @@ object PacketsView {
       base: String = "natural", showOffsets: Boolean = false,
       needgzip: Boolean = false,
       keys: String => graft.etl.PcapCrypto.FileKeys = _ => graft.etl.PcapCrypto.Normal,
-      store: graft.etl.PcapStore.Store = graft.etl.PcapStore.Local): Seq[Rendered] = {
-    val segs = sessions.filter(_.sessionId == sessionId)
-      .collect().sortBy(_.segmentSeq)
-    if (segs.isEmpty) return Seq.empty
-    val s0 = segs.head
-    val pkts = CyberChef.readSessionPackets(segs.toIndexedSeq, keys, store)
-    render(RawPackets.chunks(pkts, s"${s0.srcIp}:${s0.srcPort}"),
+      store: graft.etl.PcapStore.Store = graft.etl.PcapStore.Local): Seq[Rendered] =
+    render(RawPackets.sessionChunks(sessions, sessionId, keys, store),
       base, showOffsets, needgzip)
-  }
 
   // --------------------------------------------------------- showFrames
 

@@ -158,7 +158,7 @@ object RawPackets {
 
   // ------------------------------------------------------- session fetch
 
-  private def sessionChunks(sessions: Dataset[SessionRow], sessionId: String,
+  private[ops] def sessionChunks(sessions: Dataset[SessionRow], sessionId: String,
       keys: String => graft.etl.PcapCrypto.FileKeys,
       store: graft.etl.PcapStore.Store,
       maxPackets: Int = CyberChef.MaxPackets): IndexedSeq[Chunk] = {

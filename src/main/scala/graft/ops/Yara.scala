@@ -291,6 +291,12 @@ object Yara {
   final case class Or(a: Cond, b: Cond) extends Cond
   final case class Not(a: Cond) extends Cond
 
+  /** `for i in (lo..hi)` iteration clamp — YARA likewise bounds loop
+    * iterations so a rule can't stall the scanner; payload offsets are
+    * snap-length-bounded, so real rules sit far below this.
+    */
+  val MaxLoopIterations = 100000L
+
   private def cmp(op: String, a: Long, b: Long): Boolean = op match {
     case ">" => a > b
     case ">=" => a >= b
@@ -311,9 +317,13 @@ object Yara {
         env: Map[String, Boolean] = Map.empty): Boolean = {
       lazy val hit: Map[String, Boolean] =
         strings.map { case (id, m) => id -> m.matches(b) }.toMap
-      def hitsOf(id: String): Seq[(Int, Int)] =
-        strings.collectFirst { case (`id`, m) => m }
-          .map(_.hits(b)).getOrElse(Nil)
+      // memoized per payload: for-loop bodies read the same string's
+      // matches once per iteration — never rescan
+      val hitsCache = scala.collection.mutable.Map[String, IndexedSeq[(Int, Int)]]()
+      def hitsOf(id: String): IndexedSeq[(Int, Int)] =
+        hitsCache.getOrElseUpdate(id,
+          strings.collectFirst { case (`id`, m) => m }
+            .map(_.hits(b).toIndexedSeq).getOrElse(IndexedSeq.empty))
       def offsetsOf(id: String): Seq[Int] = hitsOf(id).map(_._1)
       def subset(prefix: Option[String], ids: Seq[String]) =
         if (ids.nonEmpty)
@@ -376,15 +386,24 @@ object Yara {
               case Some(k) => sel.count(s => ok(s._1)) >= k
             }
           case ForIndex(n, loE, hiE, body) =>
-            val idxs = (num(loE), num(hiE)) match {
-              case (Some(lo), Some(hi)) =>
-                (math.max(1L, lo) to hi).map(_.toInt)
-              case _ => Seq.empty[Int]
-            }
-            n match {
-              case None => idxs.nonEmpty &&
-                idxs.forall(i => eval(body, sBind, i))
-              case Some(k) => idxs.count(i => eval(body, sBind, i)) >= k
+            // lazy, capped iteration: a rule may write any literal
+            // bounds (`for any i in (1..0x7fffffff)`), so the range is
+            // never materialized and is clamped like YARA's own loop
+            // iteration limit; `any`/`N` short-circuit at N hits, `all`
+            // at the first miss
+            (num(loE), num(hiE)) match {
+              case (Some(lo0), Some(hi0)) =>
+                val lo = math.max(1L, lo0)
+                val hi = math.min(hi0, lo + MaxLoopIterations - 1)
+                def idxs = Iterator.iterate(lo)(_ + 1)
+                  .takeWhile(_ <= hi).map(_.toInt)
+                n match {
+                  case None => lo <= hi &&
+                    idxs.forall(i => eval(body, sBind, i))
+                  case Some(k) =>
+                    idxs.filter(i => eval(body, sBind, i)).take(k).size >= k
+                }
+              case _ => false
             }
           case OffIdxCmp(id, op, rhs, len) =>
             // @a[i] is 1-based; out-of-range ordinal = undefined = false

@@ -117,12 +117,15 @@ object CronStore {
     * (description/notifier cleared when omitted, exactly like the
     * reference's `notifier: undefined, description: ''` doc);
     * watermark/count/creator/created preserved; an enabled flip records
-    * the toggling actor and time.
+    * the toggling actor and time. Mutation is owner-or-admin, the same
+    * discipline as every sibling config store ([[Shortcuts]],
+    * [[ViewsStore]]) and the reference's creator-scoped queries.
     */
   def update(spark: SparkSession, path: String, actorId: String,
       key: String, name: String, expression: String, tags: Seq[String],
       action: String, enabled: Boolean, description: String = "",
-      notifier: String = "", nowSec: Long = 0L): StoredCronQuery = {
+      notifier: String = "", nowSec: Long = 0L,
+      actorIsAdmin: Boolean = false): StoredCronQuery = {
     require(key.nonEmpty, "Missing query key")
     require(name.trim.nonEmpty, "Missing query name")
     require(expression.trim.nonEmpty, "Missing query expression")
@@ -131,6 +134,9 @@ object CronStore {
     val all = readAll(spark, path)
     val old = all.find(_.key == key).getOrElse(
       throw new NoSuchElementException(s"Query $key not found"))
+    if (old.creator != actorId && !actorIsAdmin)
+      throw new IllegalStateException(
+        s"Query $key belongs to ${old.creator}")
     val toggled = old.enabled != enabled
     val q = old.copy(name = name, expression = expression, tags = tags,
       action = action, enabled = enabled, description = description,
@@ -141,12 +147,18 @@ object CronStore {
     q
   }
 
-  /** deleteUserCron (apiUsers.js:1087-1103). */
-  def delete(spark: SparkSession, path: String, key: String): Unit = {
+  /** deleteUserCron (apiUsers.js:1087-1103); owner-or-admin like
+    * [[update]].
+    */
+  def delete(spark: SparkSession, path: String, actorId: String,
+      key: String, actorIsAdmin: Boolean = false): Unit = {
     require(key.nonEmpty, "Missing query key")
     val all = readAll(spark, path)
-    if (!all.exists(_.key == key))
-      throw new NoSuchElementException(s"Query $key not found")
+    val old = all.find(_.key == key).getOrElse(
+      throw new NoSuchElementException(s"Query $key not found"))
+    if (old.creator != actorId && !actorIsAdmin)
+      throw new IllegalStateException(
+        s"Query $key belongs to ${old.creator}")
     writeAll(spark, path, all.filterNot(_.key == key))
   }
 

@@ -88,14 +88,19 @@ final case class SessionQueryBuilder(
         s"User time limit ($tl hours) exceeded")
   }
 
+  /** The compiled expression+forced predicate (None = no expression),
+    * shared by [[frame]] and [[buildQuery]] so the transparency surface
+    * can never diverge from the query it describes.
+    */
+  private def exprPred: Option[Column] = (expressionStr, forcedStr) match {
+    case (Some(e), f)    => Some(compiler.compileWithForced(e, f))
+    case (None, Some(f)) => Some(compiler.compile(f))
+    case (None, None)    => None
+  }
+
   /** The bounded, filtered session frame all endpoints run over. */
   def frame: DataFrame = {
     enforceTimeLimit()
-    val exprPred: Option[Column] = (expressionStr, forcedStr) match {
-      case (Some(e), f)    => Some(compiler.compileWithForced(e, f))
-      case (None, Some(f)) => Some(compiler.compile(f))
-      case (None, None)    => None
-    }
     (startMs, stopMs) match {
       case (Some(s), Some(e)) =>
         Endpoints.sessionQuery(sessions, col(firstCol), col(lastCol),
@@ -118,11 +123,6 @@ final case class SessionQueryBuilder(
     */
   def buildQuery(fields: Seq[String] = Nil): SessionQueryBuilder.BuiltQuery = {
     enforceTimeLimit()
-    val exprPred: Option[Column] = (expressionStr, forcedStr) match {
-      case (Some(e), f)    => Some(compiler.compileWithForced(e, f))
-      case (None, Some(f)) => Some(compiler.compile(f))
-      case (None, None)    => None
-    }
     val pred: Option[Column] = (startMs, stopMs) match {
       case (Some(s), Some(e)) =>
         Some(Endpoints.sessionQueryPred(col(firstCol), col(lastCol),

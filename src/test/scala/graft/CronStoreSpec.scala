@@ -76,27 +76,35 @@ class CronStoreSpec extends AnyFunSuite with SparkSpecBase {
       nowSec = day1, minTimestampSec = Some(day1))
     val moved = q.copy(lpValue = day2, count = 7L)
     // simulate an advanced watermark persisted by a pass
-    CronStore.delete(spark, store, q.key)
+    CronStore.delete(spark, store, "alice", q.key)
     graft.model.TinyTable.write(spark, store, Seq(moved), "cronqueries")(
       org.apache.spark.sql.Encoders.product[CronStore.StoredCronQuery])
 
     val up = CronStore.update(spark, store, actorId = "admin", key = q.key,
       name = "w2", expression = "tags == y", tags = Seq("t2"),
-      action = "tag", enabled = false, nowSec = day3)
+      action = "tag", enabled = false, nowSec = day3,
+      actorIsAdmin = true)
     assert(up.name == "w2" && up.expression == "tags == y")
     assert(up.description == "" && up.notifier == "") // cleared when omitted
     assert(up.lpValue == day2 && up.count == 7L) // watermark preserved
     assert(up.creator == "alice" && up.created == day1)
     assert(up.lastToggledBy == "admin" && up.lastToggled == day3)
 
-    // a non-toggling update leaves the audit fields alone
-    val up2 = CronStore.update(spark, store, "bob", q.key, "w2",
+    // a non-toggling update (by the owner) leaves the audit fields alone
+    val up2 = CronStore.update(spark, store, "alice", q.key, "w2",
       "tags == y", Seq("t2"), "tag", enabled = false, nowSec = day3 + 5)
     assert(up2.lastToggledBy == "admin" && up2.lastToggled == day3)
 
-    CronStore.delete(spark, store, q.key)
+    // mutation is owner-or-admin, like every sibling config store
+    intercept[IllegalStateException](CronStore.update(spark, store, "bob",
+      q.key, "w2", "tags == y", Seq("t2"), "tag", enabled = true))
+    intercept[IllegalStateException](
+      CronStore.delete(spark, store, "bob", q.key))
+
+    CronStore.delete(spark, store, "alice", q.key)
     assert(CronStore.readAll(spark, store).isEmpty)
-    intercept[NoSuchElementException](CronStore.delete(spark, store, q.key))
+    intercept[NoSuchElementException](
+      CronStore.delete(spark, store, "alice", q.key))
   }
 
   test("processOnce(store) advances and persists the watermark; replay is a no-op") {

@@ -61,6 +61,12 @@ class MediaDecodeSpec extends AnyFunSuite with SparkSpecBase {
     assert(feats.take(4).forall(_ < 0.001f), feats.toSeq)
     assert(feats.drop(4).forall(_ > 0.99f), feats.toSeq)
     assert(MediaDecode.wavFeatures("RIFFxxxxJUNK".getBytes).isEmpty)
+    // corrupt 32-bit chunk length (0xFFFFFFF8 = -8 as Int) must
+    // terminate, not hang the chunk walk (shared MediaHeaders guard)
+    val corrupt = halfWav()
+    corrupt(16) = 0xf8.toByte; corrupt(17) = 0xff.toByte
+    corrupt(18) = 0xff.toByte; corrupt(19) = 0xff.toByte
+    assert(MediaDecode.wavFeatures(corrupt).isEmpty)
   }
 
   test("decodePartition routes real decoders by format and keeps the hash fake for opaque payloads") {

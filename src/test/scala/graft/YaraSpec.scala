@@ -327,6 +327,18 @@ class YaraSpec extends AnyFunSuite with SparkSpecBase {
     assert(Yara.scan(c, b("z....z")).isEmpty)
   }
 
+  test("huge for-loop bounds are capped, lazy and memoized") {
+    val r = Yara.parse(
+      """rule B { strings: $a = "q"
+        | condition: for any i in (1..2147483647) : ( @a[i] < 100 ) }"""
+        .stripMargin)
+    val t0 = System.nanoTime()
+    assert(Yara.scan(r, b("q hit")).nonEmpty) // short-circuits at i=1
+    assert(Yara.scan(r, b("none")).isEmpty) // capped at MaxLoopIterations
+    assert((System.nanoTime() - t0) / 1e9 < 30,
+      "capped loop must not materialize or rescan per iteration")
+  }
+
   test("for of with $ / # placeholder bodies") {
     val rules = Yara.parse(
       """rule P { strings: $a = "foo" $b = "bar"
