@@ -559,9 +559,15 @@ object Yara {
 
   /** Decimal or 0x-hex literal. */
   private def numLit(t: String): Long =
-    if (t.startsWith("0x") || t.startsWith("0X"))
-      java.lang.Long.parseLong(t.substring(2), 16)
-    else t.toLong
+    try {
+      if (t.startsWith("0x") || t.startsWith("0X"))
+        java.lang.Long.parseLong(t.substring(2), 16)
+      else t.toLong
+    } catch {
+      case _: NumberFormatException =>
+        // uniform parse-failure contract (never NumberFormatException)
+        throw new IllegalArgumentException(s"bad numeric literal '$t'")
+    }
 
   private def unescape(s: String): String =
     s.replace("\\\"", "\"").replace("\\\\", "\\")
@@ -592,21 +598,23 @@ object Yara {
         .replace("..", " .. ").split("\\s+").filter(_.nonEmpty).toSeq: _*)
     def fail(what: String) = throw new IllegalArgumentException(
       s"rule $rule: unsupported condition near '$what'")
+    // safe dequeue: a truncated condition fails the parse contract
+    // (IllegalArgumentException), never NoSuchElementException
+    def next(): String = if (toks.isEmpty) fail("<end>") else toks.dequeue()
     // the `for` loop variable in scope, for `@a[i]` validation
     var boundVar: Option[String] = None
-    def expect(t: String): Unit =
-      if (toks.isEmpty || toks.dequeue() != t) fail(t)
+    def expect(t: String): Unit = if (next() != t) fail(t)
     // literal, `#a`, `@a[k]` (offset), or `!a[k]` (match length) — the
     // numeric operands `for` bounds/bodies take (k = constant ordinal
     // or the loop variable)
-    def numE(): NumE = toks.dequeue() match {
+    def numE(): NumE = next() match {
       case t if t.startsWith("#") && t.length > 1 => NumCount(t.drop(1))
       case "#" => NumCount("$")
       case t if (t.startsWith("@") || t.startsWith("!")) && t != "!=" =>
         val isLen = t.startsWith("!")
         val id = if (t.length == 1) "$" else t.drop(1)
         expect("[")
-        val idxTok = toks.dequeue()
+        val idxTok = next()
         expect("]")
         if (boundVar.contains(idxTok)) NumOffset(id, None, isLen)
         else if (idxTok.matches("\\d+"))
@@ -616,16 +624,16 @@ object Yara {
     }
     def rangeTail(): (Int, Int) = {
       expect("(")
-      val lo = numLit(toks.dequeue()).toInt
+      val lo = numLit(next()).toInt
       expect("..")
-      val hi = numLit(toks.dequeue()).toInt
+      val hi = numLit(next()).toInt
       expect(")")
       (lo, hi)
     }
     // `of them` | `of ($prefix*)` | trailing `in (lo..hi)` (YARA 4.3)
     def ofTail(n: Option[Int]): Cond = {
       expect("of")
-      val base = toks.dequeue() match {
+      val base = next() match {
         case "them" => OfThem(n)
         case "(" =>
           // `($a, $b, $p*)` — comma-separated ids, `*` = prefix match
@@ -633,7 +641,7 @@ object Yara {
           var done = false
           while (!done) {
             if (toks.isEmpty) fail(")")
-            toks.dequeue() match {
+            next() match {
               case ")" => done = true
               case "," => // separator — ids may also arrive pre-split
               case t =>
@@ -651,13 +659,13 @@ object Yara {
         case other => fail(other)
       }
       if (toks.headOption.contains("in")) {
-        toks.dequeue()
+        next()
         base.copy(range = Some(rangeTail()))
       } else base
     }
     // `for any|all|N (of <set> | i in (lo..hi)) : ( body )`
     def forTail(): Cond = {
-      val n = toks.dequeue() match {
+      val n = next() match {
         case "any" => Some(1)
         case "all" => None
         case t if t.matches("\\d+") => Some(t.toInt)
@@ -676,7 +684,7 @@ object Yara {
           expect(")")
           ForOf(n, of.prefix, of.ids, body)
         case Some(v) if v.matches("[A-Za-z_]\\w*") =>
-          toks.dequeue()
+          next()
           expect("in"); expect("(")
           val lo = numE()
           expect("..")
@@ -699,15 +707,15 @@ object Yara {
       val isLen = t.startsWith("!")
       val id = if (t.length == 1) "$" else t.drop(1)
       expect("[")
-      val idxTok = toks.dequeue()
+      val idxTok = next()
       expect("]")
       def leaf(): Cond =
         if (toks.headOption.contains("in")) {
-          toks.dequeue()
+          next()
           val (lo, hi) = rangeTail()
           OffIdxIn(id, lo, hi, isLen)
         } else {
-          val op = toks.dequeue()
+          val op = next()
           if (!cmpOps(op)) fail(op)
           OffIdxCmp(id, op, numE(), isLen)
         }
@@ -719,28 +727,28 @@ object Yara {
     }
     def primary(): Cond = {
       if (toks.isEmpty) fail("<end>")
-      toks.dequeue() match {
+      next() match {
         case "(" =>
           val e = or()
-          if (toks.isEmpty || toks.dequeue() != ")") fail(")")
+          if (toks.isEmpty || next() != ")") fail(")")
           e
         case "not" => Not(primary())
         case "any" => ofTail(Some(1))
         case "all" => ofTail(None)
         case "for" => forTail()
         case "filesize" =>
-          val op = toks.dequeue()
+          val op = next()
           if (!cmpOps(op)) fail(op)
-          FilesizeCmp(op, sizeLit(rule, toks.dequeue()))
+          FilesizeCmp(op, sizeLit(rule, next()))
         case t if t.matches("u?int(8|16|32)(be)?") =>
           val width = "\\d+".r.findFirstIn(t).get.toInt
           val be = t.endsWith("be")
-          if (toks.dequeue() != "(") fail(s"$t (")
-          val off = numLit(toks.dequeue()).toInt
-          if (toks.dequeue() != ")") fail(")")
-          val op = toks.dequeue()
+          if (next() != "(") fail(s"$t (")
+          val off = numLit(next()).toInt
+          if (next() != ")") fail(")")
+          val op = next()
           if (!cmpOps(op)) fail(op)
-          UIntCmp(width, be, off, op, numLit(toks.dequeue()),
+          UIntCmp(width, be, off, op, numLit(next()),
             signed = !t.startsWith("u"))
         case t if t.matches("\\d+") => ofTail(Some(t.toInt))
         case t if (t.startsWith("@") || t.startsWith("!")) && t != "!=" =>
@@ -750,27 +758,27 @@ object Yara {
           val id = if (t == "#") "$" else t.drop(1)
           if (toks.headOption.contains("in")) {
             // `#a in (lo..hi) op n` — occurrences within the range
-            toks.dequeue()
+            next()
             val (lo, hi) = rangeTail()
-            val op = toks.dequeue()
+            val op = next()
             if (!cmpOps(op)) fail(op)
-            CountInRange(id, op, numLit(toks.dequeue()).toInt, lo, hi)
+            CountInRange(id, op, numLit(next()).toInt, lo, hi)
           } else {
-            val op = toks.dequeue()
+            val op = next()
             if (!cmpOps(op)) fail(op)
-            CountCmp(id, op, numLit(toks.dequeue()).toInt)
+            CountCmp(id, op, numLit(next()).toInt)
           }
         case t if t.startsWith("$") =>
           // `$` bare = the for-of placeholder string
           val id = if (t == "$") "$" else t.drop(1)
           toks.headOption match {
             case Some("in") =>
-              toks.dequeue()
+              next()
               val (lo, hi) = rangeTail()
               InRange(id, lo, hi)
             case Some("at") =>
-              toks.dequeue()
-              At(id, numLit(toks.dequeue()).toInt)
+              next()
+              At(id, numLit(next()).toInt)
             case _ => Ref(id)
           }
         // bare identifier = reference to an earlier rule's verdict
@@ -780,12 +788,12 @@ object Yara {
     }
     def and(): Cond = {
       var e = primary()
-      while (toks.headOption.contains("and")) { toks.dequeue(); e = And(e, primary()) }
+      while (toks.headOption.contains("and")) { next(); e = And(e, primary()) }
       e
     }
     def or(): Cond = {
       var e = and()
-      while (toks.headOption.contains("or")) { toks.dequeue(); e = Or(e, and()) }
+      while (toks.headOption.contains("or")) { next(); e = Or(e, and()) }
       e
     }
     val e = or()

@@ -95,4 +95,26 @@ class FuzzSpec extends AnyFunSuite {
       catch { case _: IllegalArgumentException => () }
     }
   }
+
+  test("garbage yara rules parse or raise IllegalArgumentException; scans terminate") {
+    val r = new scala.util.Random(77)
+    // biased toward condition-grammar tokens so the parser's deep paths
+    // (for-loops, of-sets, ranges, @/!/#/$ terms) actually get exercised
+    val toks = Seq("rule", "R", "{", "}", "strings:", "condition:",
+      "$a", "=", "\"x\"", "$b", "/a+/", "{ 41 ?? }", "for", "any", "all",
+      "of", "them", "in", "(", ")", "..", ":", "i", "#a", "@a", "!a",
+      "[", "]", "1", "2", "0x7fffffff", "and", "or", "not", "<", ">",
+      "==", "filesize", "uint16", "int8be", "nocase", "wide", ",", "*")
+    val payload = "some payload with x and A bytes".getBytes("ISO-8859-1")
+    (0 until 400).foreach { _ =>
+      val s = Seq.fill(r.nextInt(30))(toks(r.nextInt(toks.length)))
+        .mkString(" ")
+      try {
+        val rules = graft.ops.Yara.parse(s)
+        // whatever parsed must also evaluate without throwing or hanging
+        graft.ops.Yara.scan(rules, payload)
+        ()
+      } catch { case _: IllegalArgumentException => () }
+    }
+  }
 }
