@@ -201,13 +201,95 @@ object Multimodal {
       .orderBy("media_id")
   }
 
+  final case class ResizedRow(media_id: Long, format: String,
+      width: Int, height: Int, out_w: Int, out_h: Int,
+      out_png: Array[Byte])
+
+  /** Resize EXECUTION behind the [[decodePartition]] seam: decode real
+    * pixels (ImageIO), area-average resample to the [[resizePlan]]
+    * target (same floor-division aspect math, over the REAL dimensions),
+    * re-encode as grayscale PNG. Opaque payloads keep the plan-only
+    * stub dims with a null bitmap — the honest boundary: planning is
+    * universal, execution exists where a pure-JVM decoder does.
+    * Iterator→Iterator like every seam op; payload bytes never shuffle
+    * (the output carries the much smaller thumbnail).
+    */
+  def resizeExec(ds: Dataset[MediaRow], maxDim: Int): Dataset[ResizedRow] = {
+    require(maxDim >= 1, "maxDim must be positive")
+    implicit val enc = Encoders.product[ResizedRow]
+    ds.mapPartitions { rows =>
+      rows.map { r =>
+        val payload =
+          if (r.payload == null) Array.emptyByteArray else r.payload
+        graft.functions.MediaDecode.grayPixels(payload) match {
+          case Some((w, h, gray)) =>
+            val long = math.max(w, h)
+            val (ow, oh) =
+              if (long <= maxDim) (w, h)
+              else (math.max(1, w * maxDim / long),
+                math.max(1, h * maxDim / long))
+            val small = graft.functions.MediaDecode
+              .resampleGray(gray, w, h, ow, oh)
+            val fmt = graft.functions.MediaHeaders.parse(payload)
+              .map(_.format).getOrElse("image")
+            ResizedRow(r.media_id, fmt, w, h, ow, oh,
+              graft.functions.MediaDecode.encodeGrayPng(small, ow, oh))
+          case None =>
+            val md5hex =
+              org.apache.commons.codec.digest.DigestUtils.md5Hex(payload)
+            val hv = java.lang.Long.parseLong(md5hex.substring(0, 8), 16)
+            val w = (hv % 512 + 1).toInt
+            val h = ((hv >> 9) % 512 + 1).toInt
+            val long = math.max(w, h)
+            val (ow, oh) =
+              if (long <= maxDim) (w, h)
+              else (math.max(1, w * maxDim / long),
+                math.max(1, h * maxDim / long))
+            ResizedRow(r.media_id, "opaque", w, h, ow, oh, null)
+        }
+      }
+    }
+  }
+
+  /** Real-pixel dHash signatures for ImageIO-readable payloads
+    * (`functions.MediaDecode.dhash64`: decode → 9×8 area-average
+    * thumbnail → difference bits), payload-hash-derived bits for opaque
+    * ones — band packing identical to [[dhashSignatures]], so
+    * [[dhashPairs]]-style banding/verification work unchanged
+    * downstream. The m5 query keeps the SQL-expressible
+    * [[dhashSignatures]] path (its inputs are text stand-ins); this is
+    * the entry point a real image corpus uses.
+    */
+  final case class SigRow(doc_id: Long, band0: Long, band1: Long,
+      band2: Long, band3: Long)
+
+  def dhashSignaturesReal(ds: Dataset[MediaRow]): DataFrame = {
+    implicit val enc = Encoders.product[SigRow]
+    ds.mapPartitions { rows =>
+      rows.map { r =>
+        val payload =
+          if (r.payload == null) Array.emptyByteArray else r.payload
+        val bits = graft.functions.MediaDecode.dhash64(payload)
+          .getOrElse {
+            // opaque: 64 deterministic payload-hash bits (md5 low 64)
+            val md5hex =
+              org.apache.commons.codec.digest.DigestUtils.md5Hex(payload)
+            java.lang.Long.parseUnsignedLong(md5hex.substring(16), 16)
+          }
+        SigRow(r.media_id,
+          bits & 0xffffL, (bits >>> 16) & 0xffffL,
+          (bits >>> 32) & 0xffffL, (bits >>> 48) & 0xffffL)
+      }
+    }.toDF()
+  }
+
   /** M5: perceptual image near-dup via dHash (difference hash) over the
     * decoded 9×8 grayscale thumbnail. The pixel source here is the
     * deterministic stub decode (one hash byte per grid cell — real
-    * deployments swap in the real decoder's thumbnail and keep
-    * everything downstream). 64 difference bits packed as four 16-bit
-    * bands; a candidate pair shares at least one full band (sign-LSH
-    * banding), then the exact Hamming distance gates the pair.
+    * deployments swap in [[dhashSignaturesReal]]'s decoded thumbnail
+    * and keep everything downstream). 64 difference bits packed as four
+    * 16-bit bands; a candidate pair shares at least one full band
+    * (sign-LSH banding), then the exact Hamming distance gates the pair.
     */
   def dhashSignatures(
       df: DataFrame, idCol: Column, contentCol: Column): DataFrame = {

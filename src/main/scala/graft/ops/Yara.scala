@@ -228,23 +228,25 @@ object Yara {
 
   sealed trait Cond
   final case class Ref(id: String) extends Cond
-  final case class InRange(id: String, lo: Int, hi: Int) extends Cond
-  final case class At(id: String, offset: Int) extends Cond
-  final case class CountCmp(id: String, op: String, n: Int) extends Cond
+  /** `$a in (lo..hi)` — bounds are full numeric expressions
+    * (`$a in (0..filesize)` is the idiom real rules use constantly).
+    */
+  final case class InRange(id: String, lo: NumE, hi: NumE) extends Cond
+  final case class At(id: String, offset: NumE) extends Cond
   /** `#a in (lo..hi)` (YARA 4.x): occurrences within the byte range. */
-  final case class CountInRange(id: String, op: String, n: Int,
-      lo: Int, hi: Int) extends Cond
-  final case class FilesizeCmp(op: String, n: Long) extends Cond
+  final case class CountInRange(id: String, op: String, n: NumE,
+      lo: NumE, hi: NumE) extends Cond
   /** Reference to another rule's verdict (must be defined earlier in the
     * file, as YARA requires).
     */
   final case class RuleRef(name: String) extends Cond
-  /** `uint8/16/32[be](offset) op value` — the magic-number reads used by
-    * network/file-type rules. Default little-endian like YARA;
-    * `signed` sign-extends the read (the `intN` forms).
+  /** `<numExpr> op <numExpr>` — the general numeric comparison that
+    * subsumes `uintN(off) == v`, `#a >= n`, `filesize > 1KB`,
+    * `@a[i] + 4 == @b[i]`, `uint32(uint32(0x3c)) == 0x4550`, …
+    * Either side undefined (out-of-range read/ordinal, div by zero)
+    * makes the comparison false — YARA's undefined propagation.
     */
-  final case class UIntCmp(width: Int, bigEndian: Boolean, offset: Int,
-      op: String, value: Long, signed: Boolean = false) extends Cond
+  final case class NumCmp(a: NumE, op: String, b: NumE) extends Cond
   /** `N of them` / `of ($p*)` / `of ($a, $b, $p*)`: `prefix` is the
     * single-star form, `ids` the explicit set (entries ending `*` match
     * by prefix); both empty = `them`. `range` is the 4.3 `of … in
@@ -252,10 +254,12 @@ object Yara {
     * inside the range.
     */
   final case class OfThem(n: Option[Int], prefix: Option[String] = None,
-      ids: Seq[String] = Nil, range: Option[(Int, Int)] = None)
+      ids: Seq[String] = Nil, range: Option[(NumE, NumE)] = None)
       extends Cond
-  /** A numeric operand inside a `for` body / loop bound: a literal or a
-    * string's occurrence count (`#a`).
+  /** A numeric operand inside conditions, `for` bounds/bodies and range
+    * brackets: literal, string count (`#a`), offset/length ordinal,
+    * `filesize`, a (possibly nested) `uintN`/`intN` payload read, or an
+    * arithmetic/bitwise combination of those.
     */
   sealed trait NumE
   final case class NumLit(v: Long) extends NumE
@@ -267,20 +271,36 @@ object Yara {
     */
   final case class NumOffset(id: String, ord: Option[Int],
       len: Boolean = false) extends NumE
+  /** `filesize` as a numeric operand. */
+  case object NumFilesize extends NumE
+  /** `uint8/16/32[be](offsetExpr)` / `intN[be](offsetExpr)` — the
+    * magic-number payload reads; the offset is itself an expression, so
+    * the classic PE idiom `uint32(uint32(0x3c)) == 0x4550` nests.
+    * Default little-endian like YARA; `signed` sign-extends.
+    */
+  final case class NumRead(width: Int, bigEndian: Boolean,
+      signed: Boolean, off: NumE) extends NumE
+  /** Binary arithmetic/bitwise operator: `+ - * \ % & | ^ << >>`
+    * (YARA spells integer division `\`). Division/modulo by zero and
+    * negative shift counts are undefined (None); shifts ≥ 64 yield 0
+    * per the YARA spec.
+    */
+  final case class NumBin(op: String, a: NumE, b: NumE) extends NumE
+  /** Unary `-` / `~`. */
+  final case class NumUn(op: String, a: NumE) extends NumE
   /** `for <q> i in (lo..hi) : ( … )` over occurrence ordinals (1-based,
     * like YARA's `@a[i]`). The body is a Cond tree whose
     * [[OffIdxCmp]]/[[OffIdxIn]] leaves read `@id[i]` under the binding.
     */
   final case class ForIndex(n: Option[Int], lo: NumE, hi: NumE,
       body: Cond) extends Cond
-  /** `@id[i] op rhs` (offset) / `!id[i] op rhs` (match length,
-    * `len = true`) under a [[ForIndex]] binding.
+  /** `@id[i] in (lo..hi)` / `!id[i] in (lo..hi)`; `ord` None = the
+    * enclosing [[ForIndex]] loop variable, Some(k) = constant ordinal.
+    * (The comparison form `@id[i] op rhs` is just [[NumCmp]] over a
+    * [[NumOffset]] operand.)
     */
-  final case class OffIdxCmp(id: String, op: String, rhs: NumE,
-      len: Boolean = false) extends Cond
-  /** `@id[i] in (lo..hi)` / `!id[i] in (lo..hi)` under a binding. */
-  final case class OffIdxIn(id: String, lo: Int, hi: Int,
-      len: Boolean = false) extends Cond
+  final case class OffIdxIn(id: String, lo: NumE, hi: NumE,
+      len: Boolean = false, ord: Option[Int] = None) extends Cond
   /** `for <q> of <set> : ( … )`: the body is an ordinary Cond over the
     * placeholder id `$` (`$`, `$ at`, `$ in`, `#`, `@[k]`, `![k]` all
     * parse to id "$"), re-bound to each string of the set in turn.
@@ -338,48 +358,89 @@ object Yara {
       // `iBind` is the 1-based occurrence ordinal inside a ForIndex body
       def eval(c: Cond, sBind: String = "$", iBind: Int = 0): Boolean = {
         def rid(id: String): String = if (id == "$") sBind else id
-        // None = undefined (out-of-range ordinal) — comparisons on it
-        // are false, like YARA's undefined propagation
+        // None = undefined (out-of-range ordinal/read, div by zero) —
+        // comparisons on it are false, like YARA's undefined propagation
         def num(e: NumE): Option[Long] = e match {
           case NumLit(v) => Some(v)
+          case NumFilesize => Some(b.length.toLong)
           case NumCount(id) => Some(offsetsOf(rid(id)).length.toLong)
           case NumOffset(id, ord, len) =>
             hitsOf(rid(id)).lift(ord.getOrElse(iBind) - 1)
               .map(h => (if (len) h._2 else h._1).toLong)
+          case NumRead(w, be, signed, offE) =>
+            num(offE).flatMap { off0 =>
+              val nBytes = w / 8
+              if (off0 < 0 || off0 + nBytes > b.length) None
+              else {
+                val off = off0.toInt
+                var x = 0L
+                var k = 0
+                while (k < nBytes) {
+                  val byte = b(off + k) & 0xffL
+                  x |= (if (be) byte << (8 * (nBytes - 1 - k))
+                        else byte << (8 * k))
+                  k += 1
+                }
+                Some(if (signed) (x << (64 - w)) >> (64 - w) else x)
+              }
+            }
+          case NumUn("-", a) => num(a).map(v => -v)
+          case NumUn("~", a) => num(a).map(v => ~v)
+          case NumUn(op, _) =>
+            throw new IllegalArgumentException(s"bad unary operator $op")
+          case NumBin(op, aE, bE) =>
+            for {
+              a <- num(aE); c <- num(bE)
+              r <- op match {
+                case "+" => Some(a + c)
+                case "-" => Some(a - c)
+                case "*" => Some(a * c)
+                case "\\" => if (c == 0) None else Some(a / c)
+                case "%" => if (c == 0) None else Some(a % c)
+                case "&" => Some(a & c)
+                case "|" => Some(a | c)
+                case "^" => Some(a ^ c)
+                case "<<" =>
+                  if (c < 0) None else if (c >= 64) Some(0L) else Some(a << c)
+                case ">>" =>
+                  if (c < 0) None else if (c >= 64) Some(0L) else Some(a >> c)
+                case other =>
+                  throw new IllegalArgumentException(s"bad operator $other")
+              }
+            } yield r
         }
+        // range bounds are expressions; an undefined bound = false
+        def inRng(lo: NumE, hi: NumE)(f: (Long, Long) => Boolean): Boolean =
+          (num(lo), num(hi)) match {
+            case (Some(l), Some(h)) => f(l, h)
+            case _ => false
+          }
         c match {
           case Ref(id) => hit.getOrElse(rid(id), false)
-          case InRange(id, lo, hi) =>
-            offsetsOf(rid(id)).exists(o => o >= lo && o <= hi)
-          case At(id, off) => offsetsOf(rid(id)).contains(off)
-          case CountCmp(id, op, n) =>
-            cmp(op, offsetsOf(rid(id)).length.toLong, n)
-          case CountInRange(id, op, n, lo, hi) =>
-            cmp(op, offsetsOf(rid(id)).count(o => o >= lo && o <= hi).toLong, n)
-          case FilesizeCmp(op, n) => cmp(op, b.length.toLong, n)
+          case InRange(id, lo, hi) => inRng(lo, hi) { (l, h) =>
+            offsetsOf(rid(id)).exists(o => o >= l && o <= h)
+          }
+          case At(id, off) =>
+            num(off).exists(o => offsetsOf(rid(id)).contains(o.toInt))
+          case NumCmp(aE, op, bE) =>
+            (num(aE), num(bE)) match {
+              case (Some(a), Some(c)) => cmp(op, a, c)
+              case _ => false
+            }
+          case CountInRange(id, op, nE, lo, hi) =>
+            num(nE).exists(n => inRng(lo, hi) { (l, h) =>
+              cmp(op, offsetsOf(rid(id)).count(o => o >= l && o <= h).toLong, n)
+            })
           case RuleRef(r) => env.getOrElse(r,
             throw new IllegalArgumentException(
               s"condition references undefined rule $r"))
-          case UIntCmp(w, be, off, op, v, signed) =>
-            val nBytes = w / 8
-            if (off < 0 || off + nBytes > b.length) false
-            else {
-              var x = 0L
-              var k = 0
-              while (k < nBytes) {
-                val byte = b(off + k) & 0xffL
-                x |= (if (be) byte << (8 * (nBytes - 1 - k)) else byte << (8 * k))
-                k += 1
-              }
-              if (signed) x = (x << (64 - w)) >> (64 - w) // sign-extend
-              cmp(op, x, v)
-            }
           case OfThem(n, p, ids, range) =>
             val sel = subset(p, ids)
             def ok(id: String): Boolean = range match {
               case None => hit(id)
-              case Some((lo, hi)) =>
-                offsetsOf(id).exists(o => o >= lo && o <= hi)
+              case Some((lo, hi)) => inRng(lo, hi) { (l, h) =>
+                offsetsOf(id).exists(o => o >= l && o <= h)
+              }
             }
             n match {
               case None => sel.nonEmpty && sel.forall(s => ok(s._1))
@@ -405,17 +466,11 @@ object Yara {
                 }
               case _ => false
             }
-          case OffIdxCmp(id, op, rhs, len) =>
+          case OffIdxIn(id, lo, hi, len, ord) =>
             // @a[i] is 1-based; out-of-range ordinal = undefined = false
-            (hitsOf(rid(id)).lift(iBind - 1), num(rhs)) match {
-              case (Some(h), Some(r)) =>
-                cmp(op, (if (len) h._2 else h._1).toLong, r)
-              case _ => false
-            }
-          case OffIdxIn(id, lo, hi, len) =>
-            hitsOf(rid(id)).lift(iBind - 1)
+            hitsOf(rid(id)).lift(ord.getOrElse(iBind) - 1)
               .map(h => if (len) h._2 else h._1)
-              .exists(v => v >= lo && v <= hi)
+              .exists(v => inRng(lo, hi)((l, h) => v >= l && v <= h))
           case ForOf(n, p, ids, body) =>
             val sel = subset(p, ids)
             n match {
@@ -590,12 +645,45 @@ object Yara {
   }
 
   private val cmpOps = Set(">", ">=", "<", "<=", "==", "!=")
+  /** Binary numeric operator precedence (C-like, per the YARA spec);
+    * higher binds tighter. Integer division is spelled `\`.
+    */
+  private val numPrec = Map(
+    "|" -> 1, "^" -> 2, "&" -> 3, "<<" -> 4, ">>" -> 4,
+    "+" -> 5, "-" -> 5, "*" -> 6, "\\" -> 6, "%" -> 6)
+
+  /** Condition lexer: literals (decimal / 0x-hex / `64KB` sizes),
+    * sigiled ids (`$a #a @a !a`, trailing `*` kept for prefix sets),
+    * two-char operators before their one-char prefixes, punctuation.
+    * Any unmatched character fails the uniform parse contract.
+    */
+  private def lexCond(rule: String, s: String): Seq[String] = {
+    val p = java.util.regex.Pattern.compile(
+      "0[xX][0-9A-Fa-f]+" +
+        "|\\d+(?:KB|MB|GB)\\b" +
+        "|\\d+" +
+        "|\\.\\." +
+        "|<<|>>|[<>=!]=" +
+        "|[#@!$]?[A-Za-z_][A-Za-z0-9_]*\\*?" +
+        "|[#@$!]" +
+        "|[-+*\\\\%&|^~<>(),\\[\\]:]")
+    val m = p.matcher(s)
+    val out = Seq.newBuilder[String]
+    var i = 0
+    while (i < s.length) {
+      if (Character.isWhitespace(s.charAt(i))) i += 1
+      else {
+        m.region(i, s.length)
+        if (m.lookingAt()) { out += m.group(); i = m.end() }
+        else throw new IllegalArgumentException(
+          s"rule $rule: unsupported condition near '${s.charAt(i)}'")
+      }
+    }
+    out.result()
+  }
 
   private def parseCond(rule: String, s: String): Cond = {
-    val toks = mutable.Queue(
-      s.replace("(", " ( ").replace(")", " ) ").replace(",", " , ")
-        .replace("[", " [ ").replace("]", " ] ").replace(":", " : ")
-        .replace("..", " .. ").split("\\s+").filter(_.nonEmpty).toSeq: _*)
+    val toks = mutable.Queue(lexCond(rule, s): _*)
     def fail(what: String) = throw new IllegalArgumentException(
       s"rule $rule: unsupported condition near '$what'")
     // safe dequeue: a truncated condition fails the parse contract
@@ -604,29 +692,69 @@ object Yara {
     // the `for` loop variable in scope, for `@a[i]` validation
     var boundVar: Option[String] = None
     def expect(t: String): Unit = if (next() != t) fail(t)
-    // literal, `#a`, `@a[k]` (offset), or `!a[k]` (match length) — the
-    // numeric operands `for` bounds/bodies take (k = constant ordinal
-    // or the loop variable)
-    def numE(): NumE = next() match {
+    // `@a[k]`/`!a[k]` ordinal bracket: loop variable → None (bound at
+    // eval), digit → constant; a missing bracket means ordinal 1
+    // (YARA: bare `@a` ≡ `@a[1]`)
+    def ordTail(): Option[Int] =
+      if (!toks.headOption.contains("[")) Some(1)
+      else {
+        next()
+        val idxTok = next()
+        expect("]")
+        if (boundVar.contains(idxTok)) None
+        else if (idxTok.matches("\\d+")) Some(idxTok.toInt)
+        else fail(idxTok)
+      }
+    // numeric primary: literal / size / filesize / #a / @a[k] / !a[k] /
+    // uintN(expr) / intN(expr) / parenthesized expr / unary - ~
+    def numPrimary(): NumE = next() match {
+      case "(" =>
+        val e = numExpr()
+        expect(")")
+        e
+      case "-" => NumUn("-", numPrimary())
+      case "~" => NumUn("~", numPrimary())
+      case "filesize" => NumFilesize
+      case t if t.matches("u?int(8|16|32)(be)?") =>
+        val width = "\\d+".r.findFirstIn(t).get.toInt
+        expect("(")
+        val off = numExpr()
+        expect(")")
+        NumRead(width, t.endsWith("be"), signed = !t.startsWith("u"), off)
       case t if t.startsWith("#") && t.length > 1 => NumCount(t.drop(1))
       case "#" => NumCount("$")
       case t if (t.startsWith("@") || t.startsWith("!")) && t != "!=" =>
         val isLen = t.startsWith("!")
         val id = if (t.length == 1) "$" else t.drop(1)
-        expect("[")
-        val idxTok = next()
-        expect("]")
-        if (boundVar.contains(idxTok)) NumOffset(id, None, isLen)
-        else if (idxTok.matches("\\d+"))
-          NumOffset(id, Some(idxTok.toInt), isLen)
-        else fail(idxTok)
+        NumOffset(id, ordTail(), isLen)
+      case t if t.matches("\\d+(KB|MB|GB)") => NumLit(sizeLit(rule, t))
       case t => NumLit(numLit(t))
     }
-    def rangeTail(): (Int, Int) = {
+    // precedence climbing over an already-parsed left operand
+    def numExprCont(first: NumE, min: Int): NumE = {
+      var left = first
+      var go = true
+      while (go) toks.headOption.flatMap(numPrec.get) match {
+        case Some(pr) if pr >= min =>
+          val op = next()
+          left = NumBin(op, left, numExprCont(numPrimary(), pr + 1))
+        case _ => go = false
+      }
+      left
+    }
+    def numExpr(min: Int = 1): NumE = numExprCont(numPrimary(), min)
+    // `<numExpr> op <numExpr>` with the left side already parsed
+    def numCmpTail(first: NumE): Cond = {
+      val a = numExprCont(first, 1)
+      val op = next()
+      if (!cmpOps(op)) fail(op)
+      NumCmp(a, op, numExpr())
+    }
+    def rangeTail(): (NumE, NumE) = {
       expect("(")
-      val lo = numLit(next()).toInt
+      val lo = numExpr()
       expect("..")
-      val hi = numLit(next()).toInt
+      val hi = numExpr()
       expect(")")
       (lo, hi)
     }
@@ -685,11 +813,8 @@ object Yara {
           ForOf(n, of.prefix, of.ids, body)
         case Some(v) if v.matches("[A-Za-z_]\\w*") =>
           next()
-          expect("in"); expect("(")
-          val lo = numE()
-          expect("..")
-          val hi = numE()
-          expect(")")
+          expect("in")
+          val (lo, hi) = rangeTail()
           expect(":"); expect("(")
           val saved = boundVar
           boundVar = Some(v)
@@ -698,32 +823,6 @@ object Yara {
           ForIndex(n, lo, hi, body)
         case other => fail(other.getOrElse("<end>"))
       }
-    }
-    // `@a[i]` / `@a[2]` offset term, `!a[i]` / `!a[2]` match-length
-    // term: inside a for body the index must be the loop variable;
-    // outside, a constant ordinal desugars to a single-iteration
-    // ForIndex over that ordinal
-    def atTail(t: String): Cond = {
-      val isLen = t.startsWith("!")
-      val id = if (t.length == 1) "$" else t.drop(1)
-      expect("[")
-      val idxTok = next()
-      expect("]")
-      def leaf(): Cond =
-        if (toks.headOption.contains("in")) {
-          next()
-          val (lo, hi) = rangeTail()
-          OffIdxIn(id, lo, hi, isLen)
-        } else {
-          val op = next()
-          if (!cmpOps(op)) fail(op)
-          OffIdxCmp(id, op, numE(), isLen)
-        }
-      if (boundVar.contains(idxTok)) leaf()
-      else if (idxTok.matches("\\d+")) {
-        val k = idxTok.toInt
-        ForIndex(Some(1), NumLit(k), NumLit(k), leaf())
-      } else fail(idxTok)
     }
     def primary(): Cond = {
       if (toks.isEmpty) fail("<end>")
@@ -736,23 +835,24 @@ object Yara {
         case "any" => ofTail(Some(1))
         case "all" => ofTail(None)
         case "for" => forTail()
-        case "filesize" =>
-          val op = next()
-          if (!cmpOps(op)) fail(op)
-          FilesizeCmp(op, sizeLit(rule, next()))
-        case t if t.matches("u?int(8|16|32)(be)?") =>
-          val width = "\\d+".r.findFirstIn(t).get.toInt
-          val be = t.endsWith("be")
-          if (next() != "(") fail(s"$t (")
-          val off = numLit(next()).toInt
-          if (next() != ")") fail(")")
-          val op = next()
-          if (!cmpOps(op)) fail(op)
-          UIntCmp(width, be, off, op, numLit(next()),
-            signed = !t.startsWith("u"))
-        case t if t.matches("\\d+") => ofTail(Some(t.toInt))
+        case "true" => NumCmp(NumLit(0), "==", NumLit(0))
+        case "false" => NumCmp(NumLit(0), "!=", NumLit(0))
+        // `N of …` — but a digit may also open an arithmetic
+        // comparison (`2 + 2 == 4`), so only the `of` lookahead takes
+        // the string-set form
+        case t if t.matches("\\d+") && toks.headOption.contains("of") =>
+          ofTail(Some(t.toInt))
         case t if (t.startsWith("@") || t.startsWith("!")) && t != "!=" =>
-          atTail(t)
+          // `@a[i] in (lo..hi)` keeps its range leaf; any other
+          // continuation is a general numeric comparison
+          val isLen = t.startsWith("!")
+          val id = if (t.length == 1) "$" else t.drop(1)
+          val ord = ordTail()
+          if (toks.headOption.contains("in")) {
+            next()
+            val (lo, hi) = rangeTail()
+            OffIdxIn(id, lo, hi, isLen, ord)
+          } else numCmpTail(NumOffset(id, ord, isLen))
         case t if t.startsWith("#") =>
           // `#` bare = the for-of placeholder's count
           val id = if (t == "#") "$" else t.drop(1)
@@ -762,12 +862,8 @@ object Yara {
             val (lo, hi) = rangeTail()
             val op = next()
             if (!cmpOps(op)) fail(op)
-            CountInRange(id, op, numLit(next()).toInt, lo, hi)
-          } else {
-            val op = next()
-            if (!cmpOps(op)) fail(op)
-            CountCmp(id, op, numLit(next()).toInt)
-          }
+            CountInRange(id, op, numExpr(), lo, hi)
+          } else numCmpTail(NumCount(id))
         case t if t.startsWith("$") =>
           // `$` bare = the for-of placeholder string
           val id = if (t == "$") "$" else t.drop(1)
@@ -778,9 +874,16 @@ object Yara {
               InRange(id, lo, hi)
             case Some("at") =>
               next()
-              At(id, numLit(next()).toInt)
+              At(id, numExpr())
             case _ => Ref(id)
           }
+        case t if t == "filesize" || t == "-" || t == "~" ||
+            t.matches("u?int(8|16|32)(be)?") || t.matches("0[xX].*") ||
+            t.matches("\\d.*") =>
+          // numeric-expression comparison: re-queue the token and parse
+          // `<numExpr> op <numExpr>`
+          toks.prepend(t)
+          numCmpTail(numPrimary())
         // bare identifier = reference to an earlier rule's verdict
         case t if t.matches("[A-Za-z_]\\w*") => RuleRef(t)
         case other => fail(other)

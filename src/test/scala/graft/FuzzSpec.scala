@@ -104,7 +104,11 @@ class FuzzSpec extends AnyFunSuite {
       "$a", "=", "\"x\"", "$b", "/a+/", "{ 41 ?? }", "for", "any", "all",
       "of", "them", "in", "(", ")", "..", ":", "i", "#a", "@a", "!a",
       "[", "]", "1", "2", "0x7fffffff", "and", "or", "not", "<", ">",
-      "==", "filesize", "uint16", "int8be", "nocase", "wide", ",", "*")
+      "==", "filesize", "uint16", "int8be", "nocase", "wide", ",", "*",
+      // arithmetic/bitwise grammar (round 8): nested reads, precedence
+      // climbing, undefined propagation must all survive token soup
+      "+", "-", "\\", "%", "&", "|", "^", "~", "<<", ">>", "uint32",
+      "64KB", "true", "false")
     val payload = "some payload with x and A bytes".getBytes("ISO-8859-1")
     (0 until 400).foreach { _ =>
       val s = Seq.fill(r.nextInt(30))(toks(r.nextInt(toks.length)))

@@ -339,6 +339,77 @@ class YaraSpec extends AnyFunSuite with SparkSpecBase {
       "capped loop must not materialize or rescan per iteration")
   }
 
+  test("nested uintN reads — the PE header idiom") {
+    // uint32(uint32(0x3c)) == 0x4550: e_lfanew at 0x3c points at "PE\0\0"
+    val rules = Yara.parse(
+      """rule PE { condition:
+        |  uint16(0) == 0x5A4D and uint32(uint32(0x3c)) == 0x4550 }"""
+        .stripMargin)
+    val img = new Array[Byte](0x50)
+    img(0) = 'M'; img(1) = 'Z'
+    img(0x3c) = 0x44 // e_lfanew = 0x44 (little-endian)
+    img(0x44) = 'P'; img(0x45) = 'E'
+    assert(Yara.scan(rules, img).nonEmpty)
+    img(0x45) = 'X' // break the pointed-at signature
+    assert(Yara.scan(rules, img).isEmpty)
+    // pointer past the payload = undefined read = false, not a throw
+    img(0x3c) = 0x7f
+    assert(Yara.scan(rules, img).isEmpty)
+  }
+
+  test("arithmetic operators with C precedence, \\ division, % modulo") {
+    val rules = Yara.parse(
+      """rule A { condition: 2 + 3 * 4 == 14 }
+        |rule B { condition: 7 \ 2 == 3 and 7 % 3 == 1 }
+        |rule C { condition: 1 \ 0 == 0 }
+        |rule D { condition: -3 + 5 == 2 and ~0 == -1 }
+        |rule E { strings: $a = "x"
+        | condition: #a * 2 == 4 and @a[2] - @a[1] == 3 }""".stripMargin)
+    val got = Yara.scan(rules, b("x..x")).toSet
+    assert(got("yara:A") && got("yara:B") && got("yara:D") && got("yara:E"))
+    assert(!got("yara:C"), "division by zero is undefined, not a throw")
+  }
+
+  test("bitwise operators and shift semantics") {
+    val rules = Yara.parse(
+      """rule M { condition: uint32(0) & 0xFFFF == 0x5A4D }
+        |rule S { condition: 1 << 4 == 16 and 256 >> 4 == 16 }
+        |rule O { condition: 1 << 64 == 0 and 5 | 2 == 7 and 5 ^ 1 == 4 }"""
+        .stripMargin)
+    val mz = Array[Byte]('M', 'Z', 0x10, 0x20)
+    assert(Yara.scan(rules, mz).toSet ==
+      Set("yara:M", "yara:S", "yara:O"))
+  }
+
+  test("filesize as an operand and expression range bounds") {
+    val rules = Yara.parse(
+      """rule H { strings: $t = "trailer"
+        | condition: $t in (filesize - 10 .. filesize) }
+        |rule W { strings: $a = "ab" condition: $a in (0..filesize) }
+        |rule F { condition: filesize \ 2 >= 4 }""".stripMargin)
+    assert(Yara.scan(rules, b("....ab....trailer")).toSet ==
+      Set("yara:H", "yara:W", "yara:F"))
+    assert(!Yara.scan(rules, b("trailer junk after..."))
+      .contains("yara:H"))
+  }
+
+  test("unspaced operators lex correctly; bare @a means @a[1]") {
+    val rules = Yara.parse(
+      """rule U { condition: uint32be(0)==0x89504E47 }
+        |rule V { strings: $a = "z" condition: @a+2==@a[2] }
+        |rule T { condition: true and not false }""".stripMargin)
+    val png = Array[Byte](0x89.toByte, 'P', 'N', 'G')
+    assert(Yara.scan(rules, png).toSet == Set("yara:U", "yara:T"))
+    assert(Yara.scan(rules, b("z.z")).contains("yara:V"))
+    assert(!Yara.scan(rules, b("z..z")).contains("yara:V"))
+  }
+
+  test("undefined ordinals propagate through arithmetic to false") {
+    val rules = Yara.parse(
+      """rule N { strings: $a = "k" condition: @a[5] + 1 > 0 }""")
+    assert(Yara.scan(rules, b("k")).isEmpty)
+  }
+
   test("for of with $ / # placeholder bodies") {
     val rules = Yara.parse(
       """rule P { strings: $a = "foo" $b = "bar"
