@@ -809,6 +809,10 @@ object SparkEntry {
     // T11: corpus-trained bigram LM quality score (integer ppm mean)
     "t11_lm_score" -> ((s, dir) =>
       TextOps.bigramLikelihood(docs(s, dir), col("text"), col("doc_id"))),
+    // T23: Kneser-Ney smoothed bigram LM (proper discount +
+    // continuation probability, exact integer ppm)
+    "t23_kn_score" -> ((s, dir) =>
+      TextOps.knBigramScore(docs(s, dir), col("text"), col("doc_id"))),
     // T12: corpus-level paragraph dedup (Dolma-style) — a paragraph
     // survives only at its first (doc, position) occurrence corpus-wide
     "t12_paragraph_dedup" -> ((s, dir) =>
@@ -2700,6 +2704,30 @@ object SparkEntry {
                FROM big b JOIN c2 x ON b.h2 = x.h2
                JOIN c1 y ON b.h1 = y.h1)
          SELECT doc_id, CAST(sum(q) // count(*) AS BIGINT) AS lm_score,
+                count(*) AS n_bigrams
+         FROM q GROUP BY doc_id ORDER BY doc_id""",
+    "t23_kn_score" ->
+      s"""WITH tok AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+         bg0 AS (SELECT doc_id, unnest(${sqlShingles("toks", 2)}) AS bg
+                 FROM tok WHERE len(toks) >= 2),
+         big AS (SELECT doc_id, ${sqlHex32("bg")} AS h2,
+                        ${sqlHex32("split_part(bg, ' ', 1)")} AS h1,
+                        ${sqlHex32("split_part(bg, ' ', 2)")} AS hn FROM bg0),
+         c2 AS (SELECT h2, count(*) AS c12 FROM big GROUP BY h2),
+         c1 AS (SELECT h1, count(*) AS c1 FROM big GROUP BY h1),
+         typ AS (SELECT DISTINCT h1, hn, h2 FROM big),
+         u1 AS (SELECT h1, count(*) AS u1 FROM typ GROUP BY h1),
+         u2 AS (SELECT hn, count(*) AS u2 FROM typ GROUP BY hn),
+         bt AS (SELECT count(*) AS bb FROM typ),
+         q AS (SELECT g.doc_id,
+                 (1000000 * greatest(4*x.c12 - 3, 0)) // (4*y.c1)
+                 + (((750000 * v1.u1) // y.c1)
+                    * ((1000000 * v2.u2) // bt.bb)) // 1000000 AS p
+               FROM big g JOIN c2 x ON g.h2 = x.h2
+               JOIN c1 y ON g.h1 = y.h1
+               JOIN u1 v1 ON g.h1 = v1.h1
+               JOIN u2 v2 ON g.hn = v2.hn, bt)
+         SELECT doc_id, CAST(sum(p) // count(*) AS BIGINT) AS kn_score,
                 count(*) AS n_bigrams
          FROM q GROUP BY doc_id ORDER BY doc_id""",
     "p4_source_cap" ->

@@ -430,6 +430,57 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Kneser-Ney smoothed bigram likelihood (the CCNet/KenLM-grade
+    * upgrade of [[bigramLikelihood]]'s raw ratio): per bigram occurrence
+    *
+    *   P(w2|w1) = max(c(w1w2) − D, 0)/c(w1·)
+    *            + D·N1+(w1·)/c(w1·) · N1+(·w2)/N1+(··)
+    *
+    * with discount D = 0.75, where c(w1·) is the HISTORY count
+    * (Σ_w2 c(w1w2)), N1+(w1·)/N1+(·w2) are continuation type counts and
+    * N1+(··) the distinct-bigram total — so Σ_w2 P(w2|w1) ≈ 1 (proper
+    * smoothing, unlike the raw ratio). All math is exact integer ppm
+    * (D carried as ×4: max(4c−3, 0)/(4c)), bit-identical cross-engine;
+    * grams count and join on 32-bit md5-prefix hashes exactly like
+    * [[bigramLikelihood]] — 8-byte shuffle keys, rare collisions merge
+    * identically on both engines.
+    *
+    * Scale: four count frames derived from the occurrence table (hash
+    * groupBys with map-side partial agg), hash equi-joins back, one
+    * broadcast scalar (the distinct-bigram total). Same shuffle shape
+    * as t11 plus one distinct — no windows, no skew surface beyond the
+    * gram counts themselves.
+    */
+  def knBigramScore(
+      df: DataFrame, text: Column, idCol: Column): DataFrame = {
+    val h2s = graft.functions.ShingleHashes(text, 2, distinct = false)
+    val h1s = graft.functions.ShingleHashes(text, 1, distinct = false)
+    val big = df.filter(size(h1s) >= 2)
+      .select(idCol.as("doc_id"),
+        explode(arrays_zip(h2s, slice(h1s, lit(1), size(h1s) - 1),
+          slice(h1s, lit(2), size(h1s) - 1))).as("p"))
+      .select(col("doc_id"), col("p.0").as("h2"), col("p.1").as("h1"),
+        col("p.2").as("hn"))
+    val c2 = big.groupBy("h2").agg(count(lit(1)).as("c12"))
+    // history count c(w1·) from the bigram table itself (not raw
+    // unigram occurrences): keeps the distribution normalized
+    val c1 = big.groupBy("h1").agg(count(lit(1)).as("c1"))
+    val types = big.select("h1", "hn", "h2").distinct()
+    val u1 = types.groupBy("h1").agg(count(lit(1)).as("u1"))
+    val u2 = types.groupBy("hn").agg(count(lit(1)).as("u2"))
+    val bTot = types.agg(count(lit(1)).as("bb"))
+    big.join(c2, Seq("h2")).join(c1, Seq("h1"))
+      .join(u1, Seq("h1")).join(u2, Seq("hn"))
+      .crossJoin(broadcast(bTot))
+      .withColumn("p",
+        expr("(1000000 * greatest(4*c12 - 3, 0)) div (4*c1)") +
+          expr("(((750000 * u1) div c1) * ((1000000 * u2) div bb)) div 1000000"))
+      .groupBy("doc_id")
+      .agg(expr("sum(p) div count(*)").as("kn_score"),
+        count(lit(1)).as("n_bigrams"))
+      .orderBy("doc_id")
+  }
+
   /** Apply a ranked merge table to a document — the ENCODE half of the
     * tokenizer loop whose training statistic is [[bpePairCounts]] (train:
     * count pairs → take the top pair → add merge → recount; each round is

@@ -192,6 +192,20 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpecBase {
     assert(r == Seq((1L, 777777L, 3L), (2L, 666666L, 2L)))
   }
 
+  test("knBigramScore: Kneser-Ney ppm matches hand computation and normalizes") {
+    import spark.implicits._
+    val df = Seq((1L, "a b"), (2L, "a b"), (3L, "a c")).toDF("doc_id", "text")
+    val r = TextOps.knBigramScore(df, col("text"), col("doc_id"))
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSeq
+    // histories: c(a·)=3; c12: ab=2 ac=1; types (a,b),(a,c): u1(a)=2,
+    // u2(b)=u2(c)=1, B=2; D=0.75 carried ×4:
+    //  ab: (1e6·max(8−3,0))//12 + ((750000·2)//3 · (1e6·1)//2)//1e6
+    //      = 416666 + 250000 = 666666
+    //  ac: (1e6·max(4−3,0))//12 + 250000 = 83333 + 250000 = 333333
+    // Σ_w2 P(w2|a) ≈ 1 — the discount mass is fully redistributed
+    assert(r == Seq((1L, 666666L, 1L), (2L, 666666L, 1L), (3L, 333333L, 1L)))
+  }
+
   test("leakageSafeSplit keeps near-dup groups on one side") {
     import spark.implicits._
     val base = docs.select(col("doc_id"), col("text"))
