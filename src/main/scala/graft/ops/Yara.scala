@@ -19,7 +19,12 @@ import scala.collection.mutable
   *     them`, `of ($prefix*)` string sets, positional `$x in (lo .. hi)`
   *     and `$x at n`, occurrence counts (`#x >= n`), and `filesize`
   *     comparisons with KB/MB/GB literals;
-  *   - rule tags (`rule Name : tag1 tag2`).
+  *   - rule tags (`rule Name : tag1 tag2`);
+  *   - a math/hash module subset: `math.entropy/mean/deviation/
+  *     min/max/abs/in_range`, `math.MEAN_BYTES`, float literals with
+  *     YARA's int→float promotion, and `hash.md5/sha1/sha256(off,
+  *     len) == "hex"` compares (`import` lines outside rule bodies
+  *     are tolerated and ignored).
   *
   * Scanning is a pure function over byte arrays, so it distributes as a
   * UDF over payload columns — each executor compiles nothing and shares
@@ -263,6 +268,21 @@ object Yara {
     */
   sealed trait NumE
   final case class NumLit(v: Long) extends NumE
+  /** Float literal (`7.0`) or float constant (`math.MEAN_BYTES`).
+    * YARA's numeric tower is int64 + double with int→float promotion
+    * at any mixed-type operator; [[NumV]] carries the distinction.
+    */
+  final case class NumFloat(v: Double) extends NumE
+  /** `math.<fn>(args…)` — the math-module subset used by content
+    * rules (the reference links the full libyara module set;
+    * capture/yara.c:141-163 scans with whatever modules the rule
+    * imports): `entropy(off, len)` Shannon bits/byte, `mean(off,
+    * len)`, `deviation(off, len, mean)` (mean absolute deviation,
+    * like libyara's), `min`/`max`/`abs` (type-preserving). Arity is
+    * checked at parse time; an out-of-range (off, len) slice is
+    * undefined (None), like the module's own range checks.
+    */
+  final case class NumFun(name: String, args: Seq[NumE]) extends NumE
   final case class NumCount(id: String) extends NumE
   /** `@id[k]` (offset) or `!id[k]` (match length, `len = true`) as a
     * numeric operand; `ord` None = the enclosing loop variable.
@@ -307,9 +327,32 @@ object Yara {
     */
   final case class ForOf(n: Option[Int], prefix: Option[String],
       ids: Seq[String], body: Cond) extends Cond
+  /** `hash.md5/sha1/sha256(off, len) ==/!= "hex"` — the hash-module
+    * compare form content rules use for known-artifact pinning. The
+    * digest is hex-compared case-insensitively (YARA emits lowercase);
+    * an out-of-range slice is undefined → false.
+    */
+  final case class HashCmp(alg: String, off: NumE, len: NumE,
+      op: String, hex: String) extends Cond
+  /** `math.in_range(expr, lo, hi)` — boolean module function, float
+    * bounds allowed.
+    */
+  final case class MathInRange(x: NumE, lo: NumE, hi: NumE) extends Cond
   final case class And(a: Cond, b: Cond) extends Cond
   final case class Or(a: Cond, b: Cond) extends Cond
   final case class Not(a: Cond) extends Cond
+
+  /** Typed numeric value: YARA's int64/double tower. Mixed-type
+    * arithmetic and comparisons promote to double; bitwise/shift/mod
+    * on a float operand is undefined (libyara rejects it at compile —
+    * here it propagates as undefined, keeping the uniform
+    * undefined-comparisons-are-false contract).
+    */
+  private sealed trait NumV { def d: Double }
+  private final case class IntV(v: Long) extends NumV {
+    def d: Double = v.toDouble
+  }
+  private final case class FltV(v: Double) extends NumV { def d: Double = v }
 
   /** `for i in (lo..hi)` iteration clamp — YARA likewise bounds loop
     * iterations so a rule can't stall the scanner; payload offsets are
@@ -318,6 +361,19 @@ object Yara {
   val MaxLoopIterations = 100000L
 
   private def cmp(op: String, a: Long, b: Long): Boolean = op match {
+    case ">" => a > b
+    case ">=" => a >= b
+    case "<" => a < b
+    case "<=" => a <= b
+    case "==" => a == b
+    case "!=" => a != b
+    case other => throw new IllegalArgumentException(s"bad operator $other")
+  }
+
+  /** Float comparison — used whenever either side of a [[NumCmp]]
+    * evaluates to [[FltV]] (YARA's promotion rule).
+    */
+  private def cmpD(op: String, a: Double, b: Double): Boolean = op match {
     case ">" => a > b
     case ">=" => a >= b
     case "<" => a < b
@@ -358,15 +414,17 @@ object Yara {
       // `iBind` is the 1-based occurrence ordinal inside a ForIndex body
       def eval(c: Cond, sBind: String = "$", iBind: Int = 0): Boolean = {
         def rid(id: String): String = if (id == "$") sBind else id
-        // None = undefined (out-of-range ordinal/read, div by zero) —
-        // comparisons on it are false, like YARA's undefined propagation
-        def num(e: NumE): Option[Long] = e match {
-          case NumLit(v) => Some(v)
-          case NumFilesize => Some(b.length.toLong)
-          case NumCount(id) => Some(offsetsOf(rid(id)).length.toLong)
+        // None = undefined (out-of-range ordinal/read/slice, div by
+        // zero, float bit-op) — comparisons on it are false, like
+        // YARA's undefined propagation
+        def numV(e: NumE): Option[NumV] = e match {
+          case NumLit(v) => Some(IntV(v))
+          case NumFloat(v) => Some(FltV(v))
+          case NumFilesize => Some(IntV(b.length.toLong))
+          case NumCount(id) => Some(IntV(offsetsOf(rid(id)).length.toLong))
           case NumOffset(id, ord, len) =>
             hitsOf(rid(id)).lift(ord.getOrElse(iBind) - 1)
-              .map(h => (if (len) h._2 else h._1).toLong)
+              .map(h => IntV((if (len) h._2 else h._1).toLong))
           case NumRead(w, be, signed, offE) =>
             num(offE).flatMap { off0 =>
               val nBytes = w / 8
@@ -381,34 +439,107 @@ object Yara {
                         else byte << (8 * k))
                   k += 1
                 }
-                Some(if (signed) (x << (64 - w)) >> (64 - w) else x)
+                Some(IntV(if (signed) (x << (64 - w)) >> (64 - w) else x))
               }
             }
-          case NumUn("-", a) => num(a).map(v => -v)
-          case NumUn("~", a) => num(a).map(v => ~v)
+          case NumFun(name, args) => evalFun(name, args)
+          case NumUn("-", a) => numV(a).map {
+            case IntV(v) => IntV(-v)
+            case FltV(v) => FltV(-v)
+          }
+          case NumUn("~", a) => numV(a).collect { case IntV(v) => IntV(~v) }
           case NumUn(op, _) =>
             throw new IllegalArgumentException(s"bad unary operator $op")
           case NumBin(op, aE, bE) =>
             for {
-              a <- num(aE); c <- num(bE)
-              r <- op match {
-                case "+" => Some(a + c)
-                case "-" => Some(a - c)
-                case "*" => Some(a * c)
-                case "\\" => if (c == 0) None else Some(a / c)
-                case "%" => if (c == 0) None else Some(a % c)
-                case "&" => Some(a & c)
-                case "|" => Some(a | c)
-                case "^" => Some(a ^ c)
-                case "<<" =>
-                  if (c < 0) None else if (c >= 64) Some(0L) else Some(a << c)
-                case ">>" =>
-                  if (c < 0) None else if (c >= 64) Some(0L) else Some(a >> c)
-                case other =>
-                  throw new IllegalArgumentException(s"bad operator $other")
+              a <- numV(aE); c <- numV(bE)
+              r <- (a, c) match {
+                case (IntV(x), IntV(y)) => (op match {
+                  case "+" => Some(x + y)
+                  case "-" => Some(x - y)
+                  case "*" => Some(x * y)
+                  case "\\" => if (y == 0) None else Some(x / y)
+                  case "%" => if (y == 0) None else Some(x % y)
+                  case "&" => Some(x & y)
+                  case "|" => Some(x | y)
+                  case "^" => Some(x ^ y)
+                  case "<<" =>
+                    if (y < 0) None else if (y >= 64) Some(0L) else Some(x << y)
+                  case ">>" =>
+                    if (y < 0) None else if (y >= 64) Some(0L) else Some(x >> y)
+                  case other =>
+                    throw new IllegalArgumentException(s"bad operator $other")
+                }).map(IntV.apply)
+                case _ => op match { // promoted: double arithmetic only
+                  case "+" => Some(FltV(a.d + c.d))
+                  case "-" => Some(FltV(a.d - c.d))
+                  case "*" => Some(FltV(a.d * c.d))
+                  case "\\" => if (c.d == 0) None else Some(FltV(a.d / c.d))
+                  case "%" | "&" | "|" | "^" | "<<" | ">>" => None
+                  case other =>
+                    throw new IllegalArgumentException(s"bad operator $other")
+                }
               }
             } yield r
         }
+        def num(e: NumE): Option[Long] = numV(e).collect { case IntV(v) => v }
+        // (off, len) payload slice for math/hash module calls; an
+        // out-of-range slice is undefined like the modules' own checks
+        def sliceOf(offE: NumE, lenE: NumE): Option[(Int, Int)] = for {
+          off <- num(offE)
+          len <- num(lenE)
+          if off >= 0 && len > 0 && off + len <= b.length
+        } yield (off.toInt, len.toInt)
+        def evalFun(name: String, args: Seq[NumE]): Option[NumV] =
+          (name, args) match {
+            case ("entropy", Seq(offE, lenE)) => sliceOf(offE, lenE).map {
+              case (off, len) =>
+                val freq = new Array[Long](256)
+                var i = off
+                while (i < off + len) { freq(b(i) & 0xff) += 1; i += 1 }
+                var h = 0.0
+                var k = 0
+                while (k < 256) {
+                  if (freq(k) > 0) {
+                    val p = freq(k).toDouble / len
+                    h -= p * (math.log(p) / math.log(2.0))
+                  }
+                  k += 1
+                }
+                FltV(h)
+            }
+            case ("mean", Seq(offE, lenE)) => sliceOf(offE, lenE).map {
+              case (off, len) =>
+                var s = 0L
+                var i = off
+                while (i < off + len) { s += (b(i) & 0xff); i += 1 }
+                FltV(s.toDouble / len)
+            }
+            case ("deviation", Seq(offE, lenE, meanE)) =>
+              for {
+                (off, len) <- sliceOf(offE, lenE)
+                m <- numV(meanE).map(_.d)
+              } yield {
+                var s = 0.0
+                var i = off
+                while (i < off + len) { s += math.abs((b(i) & 0xff) - m); i += 1 }
+                FltV(s / len)
+              }
+            case ("abs", Seq(xE)) => numV(xE).map {
+              case IntV(v) => IntV(math.abs(v))
+              case FltV(v) => FltV(math.abs(v))
+            }
+            case ("min" | "max", Seq(xE, yE)) =>
+              val lo = name == "min"
+              for { x <- numV(xE); y <- numV(yE) } yield (x, y) match {
+                case (IntV(a), IntV(c)) =>
+                  IntV(if (lo) math.min(a, c) else math.max(a, c))
+                case _ =>
+                  FltV(if (lo) math.min(x.d, y.d) else math.max(x.d, y.d))
+              }
+            case _ => throw new IllegalArgumentException(
+              s"unsupported math function $name/${args.length}")
+          }
         // range bounds are expressions; an undefined bound = false
         def inRng(lo: NumE, hi: NumE)(f: (Long, Long) => Boolean): Boolean =
           (num(lo), num(hi)) match {
@@ -423,8 +554,26 @@ object Yara {
           case At(id, off) =>
             num(off).exists(o => offsetsOf(rid(id)).contains(o.toInt))
           case NumCmp(aE, op, bE) =>
-            (num(aE), num(bE)) match {
-              case (Some(a), Some(c)) => cmp(op, a, c)
+            (numV(aE), numV(bE)) match {
+              case (Some(IntV(a)), Some(IntV(c))) => cmp(op, a, c)
+              case (Some(a), Some(c)) => cmpD(op, a.d, c.d)
+              case _ => false
+            }
+          case HashCmp(alg, offE, lenE, op, hex) =>
+            sliceOf(offE, lenE).exists { case (off, len) =>
+              val jdk = alg match {
+                case "md5" => "MD5"
+                case "sha1" => "SHA-1"
+                case _ => "SHA-256"
+              }
+              val dig = java.security.MessageDigest.getInstance(jdk)
+              dig.update(b, off, len)
+              val got = dig.digest().map("%02x".format(_)).mkString
+              if (op == "==") got == hex else got != hex
+            }
+          case MathInRange(xE, loE, hiE) =>
+            (numV(xE), numV(loE), numV(hiE)) match {
+              case (Some(x), Some(l), Some(h)) => x.d >= l.d && x.d <= h.d
               case _ => false
             }
           case CountInRange(id, op, nE, lo, hi) =>
@@ -645,6 +794,12 @@ object Yara {
   }
 
   private val cmpOps = Set(">", ">=", "<", "<=", "==", "!=")
+  /** math-module functions (name → arity) accepted by the parser;
+    * anything else under `math.` (or any other module) fails the
+    * uniform unsupported-construct contract.
+    */
+  private val mathArity = Map("entropy" -> 2, "mean" -> 2,
+    "deviation" -> 3, "abs" -> 1, "min" -> 2, "max" -> 2)
   /** Binary numeric operator precedence (C-like, per the YARA spec);
     * higher binds tighter. Integer division is spelled `\`.
     */
@@ -660,11 +815,15 @@ object Yara {
   private def lexCond(rule: String, s: String): Seq[String] = {
     val p = java.util.regex.Pattern.compile(
       "0[xX][0-9A-Fa-f]+" +
+        "|\\d+\\.\\d+" + // float literal — before int, after 0x-hex
         "|\\d+(?:KB|MB|GB)\\b" +
         "|\\d+" +
+        "|\"(?:\\\\.|[^\"\\\\])*\"" + // string literal (hash compares)
         "|\\.\\." +
         "|<<|>>|[<>=!]=" +
-        "|[#@!$]?[A-Za-z_][A-Za-z0-9_]*\\*?" +
+        // dotted tail admits module calls (math.entropy); `..` never
+        // collides because an ident-internal dot is letter-followed
+        "|[#@!$]?[A-Za-z_][A-Za-z0-9_]*(?:\\.[A-Za-z_][A-Za-z0-9_]*)*\\*?" +
         "|[#@$!]" +
         "|[-+*\\\\%&|^~<>(),\\[\\]:]")
     val m = p.matcher(s)
@@ -723,11 +882,24 @@ object Yara {
         NumRead(width, t.endsWith("be"), signed = !t.startsWith("u"), off)
       case t if t.startsWith("#") && t.length > 1 => NumCount(t.drop(1))
       case "#" => NumCount("$")
+      case "math.MEAN_BYTES" => NumFloat(127.5)
+      case t if t.startsWith("math.") =>
+        val fn = t.drop(5)
+        val arity = mathArity.getOrElse(fn, fail(t))
+        expect("(")
+        val args = Seq.newBuilder[NumE]
+        args += numExpr()
+        while (toks.headOption.contains(",")) { next(); args += numExpr() }
+        expect(")")
+        val as = args.result()
+        if (as.length != arity) fail(s"$t/${as.length}")
+        NumFun(fn, as)
       case t if (t.startsWith("@") || t.startsWith("!")) && t != "!=" =>
         val isLen = t.startsWith("!")
         val id = if (t.length == 1) "$" else t.drop(1)
         NumOffset(id, ordTail(), isLen)
       case t if t.matches("\\d+(KB|MB|GB)") => NumLit(sizeLit(rule, t))
+      case t if t.matches("\\d+\\.\\d+") => NumFloat(t.toDouble)
       case t => NumLit(numLit(t))
     }
     // precedence climbing over an already-parsed left operand
@@ -877,9 +1049,31 @@ object Yara {
               At(id, numExpr())
             case _ => Ref(id)
           }
+        case "math.in_range" =>
+          expect("(")
+          val x = numExpr()
+          expect(",")
+          val lo = numExpr()
+          expect(",")
+          val hi = numExpr()
+          expect(")")
+          MathInRange(x, lo, hi)
+        case t if t.matches("hash\\.(md5|sha1|sha256)") =>
+          expect("(")
+          val off = numExpr()
+          expect(",")
+          val len = numExpr()
+          expect(")")
+          val op = next()
+          if (op != "==" && op != "!=") fail(op)
+          val lit = next()
+          if (!(lit.length >= 2 && lit.startsWith("\""))) fail(lit)
+          HashCmp(t.drop(5), off, len, op,
+            unescape(lit.drop(1).dropRight(1))
+              .toLowerCase(java.util.Locale.ROOT))
         case t if t == "filesize" || t == "-" || t == "~" ||
             t.matches("u?int(8|16|32)(be)?") || t.matches("0[xX].*") ||
-            t.matches("\\d.*") =>
+            t.matches("\\d.*") || t.startsWith("math.") =>
           // numeric-expression comparison: re-queue the token and parse
           // `<numExpr> op <numExpr>`
           toks.prepend(t)

@@ -99,12 +99,13 @@ class YaraSpec extends AnyFunSuite with SparkSpecBase {
   }
 
   test("unsupported constructs fail loudly, not silently") {
-    // module references (pe, math, …) are outside the supported subset
+    // module references outside the supported math/hash subset
     intercept[IllegalArgumentException] {
       Yara.parse("rule M { condition: pe.entry_point == 0 }")
     }
     intercept[IllegalArgumentException] {
-      Yara.parse("rule E { condition: math.entropy(0, 10) > 7 }")
+      Yara.parse(
+        "rule E { condition: cuckoo.network.http_request(/evil/) }")
     }
   }
 
@@ -408,6 +409,54 @@ class YaraSpec extends AnyFunSuite with SparkSpecBase {
     val rules = Yara.parse(
       """rule N { strings: $a = "k" condition: @a[5] + 1 > 0 }""")
     assert(Yara.scan(rules, b("k")).isEmpty)
+  }
+
+  test("math module: entropy, mean, deviation, MEAN_BYTES, promotion") {
+    val rules = Yara.parse(
+      """import "math"
+        |rule LowEntropy { condition: math.entropy(0, filesize) < 1.5 }
+        |rule HighEntropy { condition: math.entropy(0, filesize) >= 1.5 }
+        |rule MeanMid { condition:
+        |  math.in_range(math.mean(0, filesize), 96.0, 100.0) }
+        |rule Dev { condition:
+        |  math.deviation(0, filesize, math.MEAN_BYTES) > 20.0 }
+        |rule Mix { condition: filesize * 1.0 >= 4.0 and
+        |  math.max(filesize, 2) == filesize }""".stripMargin)
+    // "aaaa" — one symbol: entropy 0, mean 97, |97-127.5| = 30.5
+    val tags = Yara.scan(rules, b("aaaa")).toSet
+    assert(tags == Set("yara:LowEntropy", "yara:MeanMid", "yara:Dev",
+      "yara:Mix"))
+    // 4 distinct equiprobable bytes: entropy = 2 bits exactly
+    assert(Yara.scan(rules, b("abcd")).contains("yara:HighEntropy"))
+  }
+
+  test("math module: undefined slices and float bit-ops are false") {
+    val rules = Yara.parse(
+      """rule R1 { condition: math.entropy(0, filesize + 1) > 0 }
+        |rule R2 { condition: math.mean(0, 0) >= 0 }
+        |rule R3 { condition: math.abs(0 - 3) == 3 }""".stripMargin)
+    assert(Yara.scan(rules, b("xy")).toSet == Set("yara:R3"))
+    // arity and unknown module functions fail the parse contract
+    intercept[IllegalArgumentException](
+      Yara.parse("""rule B { condition: math.entropy(1) > 0 }"""))
+    intercept[IllegalArgumentException](
+      Yara.parse("""rule B { condition: math.nope(1, 2) > 0 }"""))
+    intercept[IllegalArgumentException](
+      Yara.parse("""rule B { condition: pe.is_dll }"""))
+  }
+
+  test("hash module: md5/sha1/sha256 slice compares") {
+    // md5("abc") / sha256("abc") — RFC 1321 / FIPS 180 test vectors
+    val rules = Yara.parse(
+      """import "hash"
+        |rule M { condition:
+        |  hash.md5(1, 3) == "900150983CD24FB0D6963F7D28E17F72" }
+        |rule S { condition: hash.sha256(1, 3) ==
+        |  "ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad" }
+        |rule N { condition: hash.md5(0, filesize) != "00" }
+        |rule OOB { condition: hash.md5(2, 100) == "00" }""".stripMargin)
+    assert(Yara.scan(rules, b(".abc.")).toSet ==
+      Set("yara:M", "yara:S", "yara:N"))
   }
 
   test("for of with $ / # placeholder bodies") {
