@@ -24,7 +24,13 @@ import scala.collection.mutable
   *     min/max/abs/in_range`, `math.MEAN_BYTES`, float literals with
   *     YARA's int→float promotion, and `hash.md5/sha1/sha256(off,
   *     len) == "hex"` compares (`import` lines outside rule bodies
-  *     are tolerated and ignored).
+  *     are tolerated and ignored);
+  *   - YARA 4.x quantifiers (`none of them`, `50% of them`, also in
+  *     `for` heads) and the `defined` operator;
+  *   - pe/elf module header fields (`pe.machine/entry_point/is_dll()/
+  *     …`, `elf.type/machine/…`) parsed from the payload per the
+  *     public PE/COFF and ELF specs — header-level only, no imports/
+  *     exports/sections arrays.
   *
   * Scanning is a pure function over byte arrays, so it distributes as a
   * UDF over payload columns — each executor compiles nothing and shares
@@ -259,8 +265,8 @@ object Yara {
     * inside the range.
     */
   final case class OfThem(n: Option[Int], prefix: Option[String] = None,
-      ids: Seq[String] = Nil, range: Option[(NumE, NumE)] = None)
-      extends Cond
+      ids: Seq[String] = Nil, range: Option[(NumE, NumE)] = None,
+      pct: Boolean = false) extends Cond
   /** A numeric operand inside conditions, `for` bounds/bodies and range
     * brackets: literal, string count (`#a`), offset/length ordinal,
     * `filesize`, a (possibly nested) `uintN`/`intN` payload read, or an
@@ -283,6 +289,12 @@ object Yara {
     * undefined (None), like the module's own range checks.
     */
   final case class NumFun(name: String, args: Seq[NumE]) extends NumE
+  /** `pe.<field>` / `elf.<field>` module header field (or boolean
+    * function like `pe.is_dll()`, 1/0). Undefined when the payload is
+    * not a parseable PE/ELF image — conditions on it are then false,
+    * like libyara's module undefined propagation.
+    */
+  final case class ModField(name: String) extends NumE
   final case class NumCount(id: String) extends NumE
   /** `@id[k]` (offset) or `!id[k]` (match length, `len = true`) as a
     * numeric operand; `ord` None = the enclosing loop variable.
@@ -326,7 +338,7 @@ object Yara {
     * parse to id "$"), re-bound to each string of the set in turn.
     */
   final case class ForOf(n: Option[Int], prefix: Option[String],
-      ids: Seq[String], body: Cond) extends Cond
+      ids: Seq[String], body: Cond, pct: Boolean = false) extends Cond
   /** `hash.md5/sha1/sha256(off, len) ==/!= "hex"` — the hash-module
     * compare form content rules use for known-artifact pinning. The
     * digest is hex-compared case-insensitively (YARA emits lowercase);
@@ -338,6 +350,11 @@ object Yara {
     * bounds allowed.
     */
   final case class MathInRange(x: NumE, lo: NumE, hi: NumE) extends Cond
+  /** `defined expr` (YARA 4.x) — true iff the operand evaluates to a
+    * defined value (in-range read/ordinal/slice, parseable module
+    * field).
+    */
+  final case class Defined(e: NumE) extends Cond
   final case class And(a: Cond, b: Cond) extends Cond
   final case class Or(a: Cond, b: Cond) extends Cond
   final case class Not(a: Cond) extends Cond
@@ -393,6 +410,10 @@ object Yara {
         env: Map[String, Boolean] = Map.empty): Boolean = {
       lazy val hit: Map[String, Boolean] =
         strings.map { case (id, m) => id -> m.matches(b) }.toMap
+      // module headers parse at most once per payload, and only if a
+      // pe./elf. field is actually referenced
+      lazy val peInfo: Option[PeInfo] = parsePe(b)
+      lazy val elfInfo: Option[ElfInfo] = parseElf(b)
       // memoized per payload: for-loop bodies read the same string's
       // matches once per iteration — never rescan
       val hitsCache = scala.collection.mutable.Map[String, IndexedSeq[(Int, Int)]]()
@@ -443,6 +464,26 @@ object Yara {
               }
             }
           case NumFun(name, args) => evalFun(name, args)
+          case ModField(f) => (f match {
+            case "pe.is_pe" => peInfo.map(_ => 1L)
+            case "pe.machine" => peInfo.map(_.machine)
+            case "pe.number_of_sections" => peInfo.map(_.nSections)
+            case "pe.timestamp" => peInfo.map(_.timestamp)
+            case "pe.characteristics" => peInfo.map(_.characteristics)
+            case "pe.subsystem" => peInfo.flatMap(_.subsystem)
+            case "pe.entry_point" => peInfo.flatMap(_.entryOff)
+            case "pe.image_base" => peInfo.flatMap(_.imageBase)
+            case "pe.is_dll" =>
+              peInfo.map(p => if ((p.characteristics & 0x2000L) != 0) 1L else 0L)
+            case "pe.is_32bit" => peInfo.map(p => if (p.is32) 1L else 0L)
+            case "pe.is_64bit" => peInfo.map(p => if (p.is64) 1L else 0L)
+            case "elf.type" => elfInfo.map(_.etype)
+            case "elf.machine" => elfInfo.map(_.machine)
+            case "elf.entry_point" => elfInfo.flatMap(_.entry)
+            case "elf.number_of_sections" => elfInfo.flatMap(_.nSections)
+            case other => throw new IllegalArgumentException(
+              s"unsupported module field $other")
+          }).map(IntV.apply)
           case NumUn("-", a) => numV(a).map {
             case IntV(v) => IntV(-v)
             case FltV(v) => FltV(-v)
@@ -583,7 +624,7 @@ object Yara {
           case RuleRef(r) => env.getOrElse(r,
             throw new IllegalArgumentException(
               s"condition references undefined rule $r"))
-          case OfThem(n, p, ids, range) =>
+          case OfThem(n, p, ids, range, pct) =>
             val sel = subset(p, ids)
             def ok(id: String): Boolean = range match {
               case None => hit(id)
@@ -591,7 +632,10 @@ object Yara {
                 offsetsOf(id).exists(o => o >= l && o <= h)
               }
             }
-            n match {
+            // pct: matched/total ≥ n% — libyara's OP_OF_PERCENT compare
+            if (pct) sel.nonEmpty &&
+              sel.count(s => ok(s._1)) * 100L >= n.get.toLong * sel.size
+            else n match {
               case None => sel.nonEmpty && sel.forall(s => ok(s._1))
               case Some(k) => sel.count(s => ok(s._1)) >= k
             }
@@ -620,13 +664,17 @@ object Yara {
             hitsOf(rid(id)).lift(ord.getOrElse(iBind) - 1)
               .map(h => if (len) h._2 else h._1)
               .exists(v => inRng(lo, hi)((l, h) => v >= l && v <= h))
-          case ForOf(n, p, ids, body) =>
+          case ForOf(n, p, ids, body, pct) =>
             val sel = subset(p, ids)
-            n match {
+            if (pct) sel.nonEmpty &&
+              sel.count(s => eval(body, s._1, iBind)) * 100L >=
+              n.get.toLong * sel.size
+            else n match {
               case None => sel.nonEmpty &&
                 sel.forall(s => eval(body, s._1, iBind))
               case Some(k) => sel.count(s => eval(body, s._1, iBind)) >= k
             }
+          case Defined(e) => numV(e).isDefined
           case And(x, y) => eval(x, sBind, iBind) && eval(y, sBind, iBind)
           case Or(x, y) => eval(x, sBind, iBind) || eval(y, sBind, iBind)
           case Not(x) => !eval(x, sBind, iBind)
@@ -800,6 +848,110 @@ object Yara {
     */
   private val mathArity = Map("entropy" -> 2, "mean" -> 2,
     "deviation" -> 3, "abs" -> 1, "min" -> 2, "max" -> 2)
+
+  /** Header-level PE facts (public PE/COFF spec layout: MZ at 0,
+    * `e_lfanew` at 0x3c, COFF header after the PE\0\0 signature,
+    * optional-header magic 0x10b/0x20b). `entryOff` is the entry
+    * point's FILE offset — the RVA mapped through the section table,
+    * the same convention libyara's pe module reports.
+    */
+  private final case class PeInfo(machine: Long, nSections: Long,
+      timestamp: Long, characteristics: Long, subsystem: Option[Long],
+      is32: Boolean, is64: Boolean, imageBase: Option[Long],
+      entryOff: Option[Long])
+
+  private def parsePe(b: Array[Byte]): Option[PeInfo] = {
+    def u16(i: Long): Option[Long] =
+      if (i >= 0 && i + 2 <= b.length)
+        Some((b(i.toInt) & 0xffL) | ((b(i.toInt + 1) & 0xffL) << 8))
+      else None
+    def u32(i: Long): Option[Long] =
+      for { lo <- u16(i); hi <- u16(i + 2) } yield lo | (hi << 16)
+    def u64(i: Long): Option[Long] =
+      for { lo <- u32(i); hi <- u32(i + 4) } yield lo | (hi << 32)
+    for {
+      mz <- u16(0) if mz == 0x5a4dL
+      peOff <- u32(0x3c)
+      sig <- u32(peOff) if sig == 0x4550L
+      machine <- u16(peOff + 4)
+      nSec <- u16(peOff + 6)
+      ts <- u32(peOff + 8)
+      optSize <- u16(peOff + 20)
+      chars <- u16(peOff + 22)
+    } yield {
+      val opt = peOff + 24
+      val magic = u16(opt)
+      val is32 = magic.contains(0x10bL)
+      val is64 = magic.contains(0x20bL)
+      val known = is32 || is64
+      // entry RVA → file offset via the section that contains it
+      // (simple containment; libyara additionally rounds by
+      // SectionAlignment for low RVAs)
+      val secs = opt + optSize
+      val entryOff = (if (known) u32(opt + 16) else None).flatMap { rva =>
+        (0 until nSec.toInt).iterator.flatMap { k =>
+          val s = secs + 40L * k
+          for {
+            vsize <- u32(s + 8); va <- u32(s + 12)
+            raw <- u32(s + 16); ptr <- u32(s + 20)
+            if rva >= va && rva < va + math.max(vsize, raw)
+          } yield ptr + (rva - va)
+        }.take(1).toSeq.headOption
+      }
+      PeInfo(machine, nSec, ts, chars,
+        subsystem = if (known) u16(opt + 68) else None,
+        is32 = is32, is64 = is64,
+        imageBase =
+          if (is64) u64(opt + 24) else if (is32) u32(opt + 28) else None,
+        entryOff = entryOff)
+    }
+  }
+
+  /** Header-level ELF facts; `ei_data` (byte 5) picks the byte order,
+    * `ei_class` (byte 4) the 32/64-bit field layout.
+    */
+  private final case class ElfInfo(etype: Long, machine: Long,
+      entry: Option[Long], nSections: Option[Long])
+
+  private def parseElf(b: Array[Byte]): Option[ElfInfo] = {
+    if (b.length < 52 || b(0) != 0x7f.toByte || b(1) != 'E' ||
+      b(2) != 'L' || b(3) != 'F') None
+    else {
+      val is64 = b(4) == 2
+      val be = b(5) == 2
+      def u16(i: Int): Option[Long] =
+        if (i + 2 <= b.length) Some(
+          if (be) ((b(i) & 0xffL) << 8) | (b(i + 1) & 0xffL)
+          else (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8))
+        else None
+      def u32(i: Int): Option[Long] =
+        for { a <- u16(i); c <- u16(i + 2) } yield
+          if (be) (a << 16) | c else a | (c << 16)
+      def u64(i: Int): Option[Long] =
+        for { a <- u32(i); c <- u32(i + 4) } yield
+          if (be) (a << 32) | c else a | (c << 32)
+      for { t <- u16(16); m <- u16(18) } yield ElfInfo(t, m,
+        entry = if (is64) u64(24) else u32(24),
+        nSections = u16(if (is64) 60 else 48))
+    }
+  }
+
+  /** Module numeric constants usable anywhere a literal is. */
+  private val modConsts = Map(
+    "pe.MACHINE_I386" -> 0x14cL, "pe.MACHINE_AMD64" -> 0x8664L,
+    "pe.MACHINE_ARM" -> 0x1c0L, "pe.MACHINE_ARM64" -> 0xaa64L,
+    "pe.SUBSYSTEM_WINDOWS_GUI" -> 2L, "pe.SUBSYSTEM_WINDOWS_CUI" -> 3L,
+    "elf.ET_REL" -> 1L, "elf.ET_EXEC" -> 2L, "elf.ET_DYN" -> 3L,
+    "elf.EM_386" -> 3L, "elf.EM_ARM" -> 40L, "elf.EM_X86_64" -> 62L,
+    "elf.EM_AARCH64" -> 183L)
+  /** Module numeric header fields (undefined on a non-image payload). */
+  private val modNumFields = Set("pe.is_pe", "pe.machine",
+    "pe.number_of_sections", "pe.timestamp", "pe.characteristics",
+    "pe.subsystem", "pe.entry_point", "pe.image_base",
+    "elf.type", "elf.machine", "elf.entry_point",
+    "elf.number_of_sections")
+  /** Module boolean functions — parse with optional `()`, yield 1/0. */
+  private val modBoolFuns = Set("pe.is_dll", "pe.is_32bit", "pe.is_64bit")
   /** Binary numeric operator precedence (C-like, per the YARA spec);
     * higher binds tighter. Integer division is spelled `\`.
     */
@@ -900,6 +1052,13 @@ object Yara {
         NumOffset(id, ordTail(), isLen)
       case t if t.matches("\\d+(KB|MB|GB)") => NumLit(sizeLit(rule, t))
       case t if t.matches("\\d+\\.\\d+") => NumFloat(t.toDouble)
+      case t if modConsts.contains(t) => NumLit(modConsts(t))
+      case t if modNumFields.contains(t) => ModField(t)
+      case t if modBoolFuns.contains(t) =>
+        // YARA spells these as calls (`pe.is_dll()`); the parens are
+        // optional here
+        if (toks.headOption.contains("(")) { next(); expect(")") }
+        ModField(t)
       case t => NumLit(numLit(t))
     }
     // precedence climbing over an already-parsed left operand
@@ -930,11 +1089,12 @@ object Yara {
       expect(")")
       (lo, hi)
     }
-    // `of them` | `of ($prefix*)` | trailing `in (lo..hi)` (YARA 4.3)
-    def ofTail(n: Option[Int]): Cond = {
+    // `of them` | `of ($prefix*)` | trailing `in (lo..hi)` (YARA 4.3);
+    // `pct` marks n as a percentage of the set (YARA 4.2 `N% of`)
+    def ofTail(n: Option[Int], pct: Boolean = false): Cond = {
       expect("of")
       val base = next() match {
-        case "them" => OfThem(n)
+        case "them" => OfThem(n, pct = pct)
         case "(" =>
           // `($a, $b, $p*)` — comma-separated ids, `*` = prefix match
           val ids = Seq.newBuilder[String]
@@ -954,8 +1114,8 @@ object Yara {
           if (set.isEmpty) fail("()")
           // single star entry keeps the classic prefix form
           if (set.length == 1 && set.head.endsWith("*"))
-            OfThem(n, Some(set.head.dropRight(1)))
-          else OfThem(n, None, set)
+            OfThem(n, Some(set.head.dropRight(1)), pct = pct)
+          else OfThem(n, None, set, pct = pct)
         case other => fail(other)
       }
       if (toks.headOption.contains("in")) {
@@ -963,17 +1123,27 @@ object Yara {
         base.copy(range = Some(rangeTail()))
       } else base
     }
-    // `for any|all|N (of <set> | i in (lo..hi)) : ( body )`
+    // `for any|all|none|N|N% (of <set> | i in (lo..hi)) : ( body )`
     def forTail(): Cond = {
+      // `none` ≡ `not any` (matched-count == 0); `N%` carries pct
+      var none = false
+      var pct = false
       val n = next() match {
         case "any" => Some(1)
         case "all" => None
+        case "none" => none = true; Some(1)
+        case t if t.matches("\\d+") && toks.headOption.contains("%") =>
+          next()
+          pct = true
+          if (t.toInt < 1 || t.toInt > 100) fail(t + "%")
+          Some(t.toInt)
         case t if t.matches("\\d+") => Some(t.toInt)
         case other => fail(other)
       }
+      def wrap(c: Cond): Cond = if (none) Not(c) else c
       toks.headOption match {
         case Some("of") =>
-          val of = ofTail(n) match {
+          val of = ofTail(n, pct) match {
             case o: OfThem =>
               if (o.range.isDefined) fail("in") // no range on for-of
               o
@@ -982,8 +1152,9 @@ object Yara {
           expect(":"); expect("(")
           val body = or()
           expect(")")
-          ForOf(n, of.prefix, of.ids, body)
+          wrap(ForOf(n, of.prefix, of.ids, body, pct = pct))
         case Some(v) if v.matches("[A-Za-z_]\\w*") =>
+          if (pct) fail("%") // N% quantifies string sets, not ranges
           next()
           expect("in")
           val (lo, hi) = rangeTail()
@@ -992,7 +1163,7 @@ object Yara {
           boundVar = Some(v)
           val body = try or() finally boundVar = saved
           expect(")")
-          ForIndex(n, lo, hi, body)
+          wrap(ForIndex(n, lo, hi, body))
         case other => fail(other.getOrElse("<end>"))
       }
     }
@@ -1006,9 +1177,17 @@ object Yara {
         case "not" => Not(primary())
         case "any" => ofTail(Some(1))
         case "all" => ofTail(None)
+        case "none" => Not(ofTail(Some(1))) // none ≡ zero matched
         case "for" => forTail()
+        case "defined" => Defined(numExpr())
         case "true" => NumCmp(NumLit(0), "==", NumLit(0))
         case "false" => NumCmp(NumLit(0), "!=", NumLit(0))
+        // `N% of …` — two-token lookahead keeps `4 % 2 == 0` numeric
+        case t if t.matches("\\d+") && toks.headOption.contains("%") &&
+            toks.lift(1).contains("of") =>
+          next()
+          if (t.toInt < 1 || t.toInt > 100) fail(t + "%")
+          ofTail(Some(t.toInt), pct = true)
         // `N of …` — but a digit may also open an arithmetic
         // comparison (`2 + 2 == 4`), so only the `of` lookahead takes
         // the string-set form
@@ -1071,6 +1250,15 @@ object Yara {
           HashCmp(t.drop(5), off, len, op,
             unescape(lit.drop(1).dropRight(1))
               .toLowerCase(java.util.Locale.ROOT))
+        case t if modConsts.contains(t) || modNumFields.contains(t) ||
+            modBoolFuns.contains(t) =>
+          // `pe.is_dll()` / bare `pe.is_pe` as a truth test, or a
+          // module field opening a numeric comparison
+          toks.prepend(t)
+          val left = numPrimary()
+          if (toks.headOption.exists(h => cmpOps(h) || numPrec.contains(h)))
+            numCmpTail(left)
+          else NumCmp(left, "!=", NumLit(0))
         case t if t == "filesize" || t == "-" || t == "~" ||
             t.matches("u?int(8|16|32)(be)?") || t.matches("0[xX].*") ||
             t.matches("\\d.*") || t.startsWith("math.") =>

@@ -99,9 +99,9 @@ class YaraSpec extends AnyFunSuite with SparkSpecBase {
   }
 
   test("unsupported constructs fail loudly, not silently") {
-    // module references outside the supported math/hash subset
+    // module references outside the supported math/hash/pe/elf subset
     intercept[IllegalArgumentException] {
-      Yara.parse("rule M { condition: pe.entry_point == 0 }")
+      Yara.parse("rule M { condition: pe.imports(\"kernel32.dll\") }")
     }
     intercept[IllegalArgumentException] {
       Yara.parse(
@@ -442,7 +442,7 @@ class YaraSpec extends AnyFunSuite with SparkSpecBase {
     intercept[IllegalArgumentException](
       Yara.parse("""rule B { condition: math.nope(1, 2) > 0 }"""))
     intercept[IllegalArgumentException](
-      Yara.parse("""rule B { condition: pe.is_dll }"""))
+      Yara.parse("""rule B { condition: dotnet.is_dotnet }"""))
   }
 
   test("hash module: md5/sha1/sha256 slice compares") {
@@ -469,5 +469,102 @@ class YaraSpec extends AnyFunSuite with SparkSpecBase {
     assert(!Yara.scan(rules, b("foo     bar")).contains("yara:P"))
     assert(Yara.scan(rules, b("aa..aa")).contains("yara:Q"))
     assert(!Yara.scan(rules, b("aa..bb")).contains("yara:Q"))
+  }
+
+  test("none / percentage quantifiers and defined operator") {
+    val rules = Yara.parse(
+      """rule None0 { strings: $a = "xx" $b = "yy"
+        | condition: none of them }
+        |rule Pct50 { strings: $a = "foo" $b = "bar" $c = "baz"
+        | condition: 50% of them }
+        |rule Pct100 { strings: $a = "foo" $b = "bar" $c = "baz"
+        | condition: 100% of them }
+        |rule ForNone { strings: $a = "foo" $b = "bar"
+        | condition: for none of them : ( $ at 0 ) }
+        |rule Def { condition: defined uint16(0) and
+        |  not defined uint32(100) and not defined pe.is_pe }""".stripMargin)
+    // "foo bar" hits $a,$b of Pct*'s three (2/3 = 66%)
+    val tags = Yara.scan(rules, b("foo bar")).toSet
+    assert(tags.contains("yara:Pct50"))
+    assert(!tags.contains("yara:Pct100"))
+    // neither xx nor yy occurs → none-of holds; add one → it breaks
+    assert(tags.contains("yara:None0"))
+    assert(!Yara.scan(rules, b("foo xx")).contains("yara:None0"))
+    // $a at 0 matches, so "for none : at 0" fails; shift input → holds
+    assert(!tags.contains("yara:ForNone"))
+    assert(Yara.scan(rules, b(" foo bar")).contains("yara:ForNone"))
+    // defined: payload has ≥2 bytes, <104; not a PE
+    assert(tags.contains("yara:Def"))
+    // percentage bounds and misuse on index loops fail the parse
+    intercept[IllegalArgumentException](Yara.parse(
+      "rule B { strings: $a = \"x\" condition: 0% of them }"))
+    intercept[IllegalArgumentException](Yara.parse(
+      "rule B { condition: for 50% i in (1..3) : ( true ) }"))
+    // `%` stays arithmetic when not followed by `of`
+    assert(Yara.scan(Yara.parse("rule M { condition: 5 % 2 == 1 }"),
+      b("")).nonEmpty)
+  }
+
+  test("pe module: header fields on a synthetic PE32+ image") {
+    // minimal PE32+: MZ stub, e_lfanew=0x40, COFF, optional header,
+    // one section mapping the entry RVA 0x1000 to file offset 0x400
+    val img = new Array[Byte](0x40 + 24 + 240 + 40)
+    def w16(i: Int, v: Int): Unit = {
+      img(i) = (v & 0xff).toByte; img(i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    def w32(i: Int, v: Long): Unit = {
+      w16(i, (v & 0xffff).toInt); w16(i + 2, ((v >> 16) & 0xffff).toInt)
+    }
+    w16(0, 0x5a4d)            // MZ
+    w32(0x3c, 0x40)           // e_lfanew
+    w32(0x40, 0x4550)         // PE\0\0
+    w16(0x44, 0x8664)         // machine AMD64
+    w16(0x46, 1)              // sections
+    w32(0x48, 0x5f000000L)    // timestamp
+    w16(0x54, 240)            // optional header size
+    w16(0x56, 0x2022)         // characteristics: EXE | DLL | LARGE
+    val opt = 0x40 + 24
+    w16(opt, 0x20b)           // PE32+
+    w32(opt + 16, 0x1000)     // entry RVA
+    w32(opt + 24, 0x40000000L) // image base lo (u64)
+    w32(opt + 28, 0x1L)       //            hi
+    w16(opt + 68, 2)          // subsystem GUI
+    val sec = opt + 240
+    w32(sec + 8, 0x200)       // virtual size
+    w32(sec + 12, 0x1000)     // virtual address
+    w32(sec + 16, 0x200)      // raw size
+    w32(sec + 20, 0x400)      // raw pointer
+    val rules = Yara.parse(
+      """import "pe"
+        |rule IsDll { condition: pe.is_pe and pe.is_dll() and
+        |  pe.is_64bit() and not pe.is_32bit() }
+        |rule Hdr { condition: pe.machine == pe.MACHINE_AMD64 and
+        |  pe.number_of_sections == 1 and pe.timestamp == 0x5f000000 and
+        |  pe.subsystem == pe.SUBSYSTEM_WINDOWS_GUI and
+        |  pe.image_base == 0x140000000 }
+        |rule Entry { condition: pe.entry_point == 0x400 }""".stripMargin)
+    assert(Yara.scan(rules, img).toSet ==
+      Set("yara:IsDll", "yara:Hdr", "yara:Entry"))
+    // non-PE payload: every pe.* field undefined → no rule fires
+    assert(Yara.scan(rules, b("plain text payload")).isEmpty)
+  }
+
+  test("elf module: header fields on a synthetic ELF64 image") {
+    val img = new Array[Byte](64)
+    img(0) = 0x7f
+    img(1) = 'E'.toByte; img(2) = 'L'.toByte; img(3) = 'F'.toByte
+    img(4) = 2 // 64-bit
+    img(5) = 1 // little-endian
+    img(16) = 3 // ET_DYN
+    img(18) = 62 // EM_X86_64
+    img(24) = 0x00; img(25) = 0x10; img(26) = 0x40 // entry 0x401000
+    img(60) = 5 // e_shnum
+    val rules = Yara.parse(
+      """rule SharedObj { condition: elf.type == elf.ET_DYN and
+        |  elf.machine == elf.EM_X86_64 and
+        |  elf.entry_point == 0x401000 and
+        |  elf.number_of_sections == 5 }""".stripMargin)
+    assert(Yara.scan(rules, img).nonEmpty)
+    assert(Yara.scan(rules, b("not an elf")).isEmpty)
   }
 }
