@@ -404,6 +404,34 @@ object SparkEntry {
         .orderBy("id", "source", "cidr", "field", "value")
     }),
 
+    // --- I20: BPF capture/save filter (etl/Bpf — the reference's bpf= /
+    // dontSaveBPFs language) compiled to a codegen'd Column over a flow
+    // frame derived deterministically from lineitem (the SF tables carry
+    // no IPs); CIDR terms ride the native ip_in_cidr expression
+    "i20_bpf_filter" -> ((s, dir) => {
+      val f = li(s, dir).select(
+        (col("l_orderkey") * 10 + col("l_linenumber")).cast("long")
+          .as("row_id"),
+        concat_ws(".", lit("10"), (col("l_orderkey") % 200).cast("int"),
+          (col("l_partkey") % 250).cast("int"),
+          (col("l_suppkey") % 250).cast("int")).as("src_ip"),
+        concat_ws(".", lit("192.168"), (col("l_partkey") % 250).cast("int"),
+          (col("l_linenumber") % 250).cast("int")).as("dst_ip"),
+        ((col("l_orderkey") * 7 + col("l_suppkey") * 613) % 50000 + 1024)
+          .cast("long").as("src_port"),
+        when(col("l_linenumber") % 2 === 0, 443).otherwise(80)
+          .cast("int").as("dst_port"),
+        when(col("l_orderkey") % 3 === 0, 6).otherwise(17)
+          .cast("int").as("proto"))
+      val keep = graft.etl.Bpf.column(
+        "tcp and dst port 443 and src portrange 20000-40000 " +
+          "and net 10.64.0.0/10 and not src host 10.65.3.3",
+        graft.etl.Bpf.Fields(col("src_ip"), col("dst_ip"),
+          col("src_port"), col("dst_port"), col("proto")))
+      f.filter(keep).select("row_id", "src_ip", "src_port")
+        .orderBy("row_id")
+    }),
+
     // --- J1: as-of join — latest signup state at each purchase ----------
     "j1_asof_join" -> ((s, dir) => {
       val e = ev(s, dir).filter(col("user_id").isNotNull)
@@ -1764,6 +1792,23 @@ object SparkEntry {
            ON h.event_id = b.event_id AND h.source = b.source
               AND h.plen = b.bp
          ORDER BY id, h.source, h.cidr, h.field, h.value""",
+    "i20_bpf_filter" ->
+      """WITH f AS (SELECT
+           CAST(l_orderkey * 10 + l_linenumber AS BIGINT) AS row_id,
+           '10.' || (l_orderkey % 200) || '.' || (l_partkey % 250)
+             || '.' || (l_suppkey % 250) AS src_ip,
+           CAST((l_orderkey * 7 + l_suppkey * 613) % 50000 + 1024
+             AS BIGINT) AS src_port,
+           l_orderkey % 3 AS pk, l_linenumber % 2 AS dk,
+           l_orderkey % 200 AS o2, l_partkey % 250 AS o3,
+           l_suppkey % 250 AS o4
+         FROM lineitem)
+         SELECT row_id, src_ip, src_port FROM f
+         WHERE pk = 0 AND dk = 0
+           AND src_port BETWEEN 20000 AND 40000
+           AND o2 BETWEEN 64 AND 127
+           AND NOT (o2 = 65 AND o3 = 3 AND o4 = 3)
+         ORDER BY row_id""",
     "e8_unique_ippair" ->
       """WITH d AS (SELECT
            '10.' || (user_id % 250) || '.' || (event_id % 200) || '.1'

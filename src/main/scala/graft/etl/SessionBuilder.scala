@@ -1392,16 +1392,21 @@ object SessionBuilder {
 
   /** Batch pipeline: pcap path → session rows. `testRules` opts into the
     * reference test deployment's rules.yaml marker tags (golden fidelity).
+    * `bpf` is the capture-filter config (`bpf=`, capture/config.c:480):
+    * non-matching packets drop map-side, before the codec pack and the
+    * sessionize shuffle ever see them.
     */
   def sessionize(spark: SparkSession, pcapPath: String,
       node: String = "test", testRules: Boolean = false,
-      yaraRules: Seq[graft.ops.Yara.Rule] = Nil): Dataset[SessionRow] = {
+      yaraRules: Seq[graft.ops.Yara.Rule] = Nil,
+      bpf: Option[String] = None): Dataset[SessionRow] = {
     import spark.implicits._
+    val capture = bpf.map(Bpf.packetPredicate(_))
     // shuffle leg rides the compact binary codec: (key, packed) is a
     // two-column row, vs the 25-field product encoding of DecodedPacket
     // whose per-field UnsafeRow conversion dominated ingest (PacketCodec)
     Pcap.readPackets(spark, pcapPath)
-      .flatMap(Decode.decode(_))
+      .flatMap(p => Decode.decode(p).filter(d => capture.forall(_(d))))
       .map(p => (sessionKey(p), PacketCodec.pack(p)))
       .groupByKey(_._1)
       .flatMapGroups((k, ps) =>

@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.etl.{Bpf, Decode, SessionBuilder}
+
+/** BPF capture-filter subset (etl/Bpf): parser shapes, tcpdump
+  * semantics (qualifier inheritance, directions, CIDR nets), agreement
+  * between the packet-predicate and Column backends, the
+  * dontSaveBPFs-style `expr:N` lists, and capture-filter integration
+  * into batch sessionize.
+  */
+class BpfSpec extends AnyFunSuite with SparkSpecBase {
+
+  private def pkt(srcIp: String = "10.1.2.3", dstIp: String = "10.9.9.9",
+      srcPort: Int = 40000, dstPort: Int = 443, proto: Int = 6,
+      vlans: Seq[Int] = Nil, wire: Int = 100): Decode.DecodedPacket =
+    Decode.DecodedPacket("f", 0, 0L, 0L, wire + 16, wire, "", "",
+      proto, srcIp, dstIp, srcPort, dstPort, 0, 0, 0L, 0L,
+      Array.emptyByteArray, vlanIds = vlans)
+
+  test("primitives, directions and protocol keywords") {
+    assert(Bpf.packetPredicate("host 10.1.2.3")(pkt()))
+    assert(Bpf.packetPredicate("host 10.9.9.9")(pkt()))
+    assert(!Bpf.packetPredicate("src host 10.9.9.9")(pkt()))
+    assert(Bpf.packetPredicate("dst host 10.9.9.9")(pkt()))
+    assert(Bpf.packetPredicate("src or dst host 10.1.2.3")(pkt()))
+    // bare `src <ip>` defaults the type to host
+    assert(Bpf.packetPredicate("src 10.1.2.3")(pkt()))
+    assert(Bpf.packetPredicate("net 10.0.0.0/8")(pkt()))
+    assert(!Bpf.packetPredicate("net 10.64.0.0/10")(pkt()))
+    assert(Bpf.packetPredicate("net 10.64.0.0/10")(pkt(srcIp = "10.100.0.1")))
+    // reference shorthand net form
+    assert(Bpf.packetPredicate("net 10.1")(pkt()))
+    assert(Bpf.packetPredicate("port 443")(pkt()))
+    assert(!Bpf.packetPredicate("src port 443")(pkt()))
+    assert(Bpf.packetPredicate("portrange 30000-50000")(pkt()))
+    assert(Bpf.packetPredicate("tcp")(pkt()))
+    assert(!Bpf.packetPredicate("udp")(pkt()))
+    assert(Bpf.packetPredicate("ip")(pkt()))
+    assert(Bpf.packetPredicate("ip6")(pkt(srcIp = "2001:db8::1",
+      dstIp = "2001:db8::2")))
+    assert(Bpf.packetPredicate("vlan")(pkt(vlans = Seq(7))))
+    assert(Bpf.packetPredicate("vlan 7")(pkt(vlans = Seq(7))))
+    assert(!Bpf.packetPredicate("vlan 8")(pkt(vlans = Seq(7))))
+    assert(Bpf.packetPredicate("less 200")(pkt(wire = 100)))
+    assert(!Bpf.packetPredicate("greater 200")(pkt(wire = 100)))
+  }
+
+  test("boolean algebra, proto qualifiers and inheritance") {
+    val p = pkt()
+    assert(Bpf.packetPredicate("tcp and dst port 443 and net 10.0.0.0/8")(p))
+    assert(Bpf.packetPredicate("udp or dst port 443")(p))
+    assert(!Bpf.packetPredicate("not dst port 443")(p))
+    assert(Bpf.packetPredicate("!(udp and port 53)")(p))
+    // `tcp dst port 443` — single tcpdump primitive, proto AND port
+    assert(Bpf.packetPredicate("tcp dst port 443")(p))
+    assert(!Bpf.packetPredicate("udp dst port 443")(p))
+    // qualifier inheritance: the bare 40000 reuses `src port`
+    assert(Bpf.packetPredicate("src port 39999 or 40000")(p))
+    assert(!Bpf.packetPredicate("src port 39999 or 40001")(p))
+    // inherited qualifier carries the proto conjunct too
+    assert(!Bpf.packetPredicate("udp src port 39999 or 40000")(p))
+    // && / || spellings
+    assert(Bpf.packetPredicate("tcp && port 443 || udp")(p))
+  }
+
+  test("malformed and unsupported forms fail loudly") {
+    for (bad <- Seq("", "port", "host notanip", "port 99999",
+      "portrange 50-20", "frobnicate 7", "ether host aa:bb",
+      "tcp[13] == 2", "port 80 or", "(tcp", "80"))
+      intercept[IllegalArgumentException](Bpf.parse(bad))
+    // vlan / len terms require their columns in the Column backend
+    val f = Bpf.Fields(col("s"), col("d"), col("sp"), col("dp"), col("pr"))
+    intercept[IllegalArgumentException](Bpf.column("vlan 3", f))
+    intercept[IllegalArgumentException](Bpf.column("less 60", f))
+  }
+
+  test("packet predicate and Column backend agree") {
+    import spark.implicits._
+    val rows = for {
+      o2 <- 0 until 16; port <- Seq(53, 80, 443, 31000)
+      proto <- Seq(6, 17)
+    } yield (s"10.${o2 * 16}.1.2", "192.168.0.9", 20000 + o2 * 1000,
+      port, proto)
+    val df = rows.toDF("src_ip", "dst_ip", "src_port", "dst_port", "proto")
+    val fields = Bpf.Fields(col("src_ip"), col("dst_ip"), col("src_port"),
+      col("dst_port"), col("proto"))
+    for (expr <- Seq(
+      "tcp and dst port 443",
+      "net 10.64.0.0/10 or dst port 53",
+      "src portrange 24000-29000 and not host 10.128.1.2",
+      "ip and (udp or src port 20000)")) {
+      val viaColumn = df.filter(Bpf.column(expr, fields))
+        .as[(String, String, Int, Int, Int)].collect().toSet
+      val pred = Bpf.packetPredicate(expr)
+      val viaPacket = rows.filter { case (s, d, sp, dp, pr) =>
+        pred(pkt(srcIp = s, dstIp = d, srcPort = sp, dstPort = dp,
+          proto = pr))
+      }.toSet
+      assert(viaColumn == viaPacket, s"backends disagree on '$expr'")
+    }
+  }
+
+  test("dontSaveBPFs-style lists: expr:N caps, minimum wins") {
+    val entries = Seq("port 12345", "net 10.64.0.0/10:4", "tcp port 9:2")
+    val parsed = Bpf.parseSaveList(entries)
+    assert(parsed.map(_._2) == Seq(1, 4, 2))
+    import spark.implicits._
+    val df = Seq(
+      ("10.65.0.1", "10.9.9.9", 12345, 80, 6), // port rule + net rule → 1
+      ("10.65.0.1", "10.9.9.9", 1000, 80, 6), // net rule only → 4
+      ("10.2.0.1", "10.9.9.9", 1000, 9, 6), // tcp:2 rule → 2
+      ("10.2.0.1", "10.9.9.9", 1000, 80, 17)) // none → null
+      .toDF("src_ip", "dst_ip", "src_port", "dst_port", "proto")
+    val cap = Bpf.maxPacketsToSave(entries, Bpf.Fields(col("src_ip"),
+      col("dst_ip"), col("src_port"), col("dst_port"), col("proto")))
+    assert(df.select(cap).as[Option[Int]].collect().toSeq ==
+      Seq(Some(1), Some(4), Some(2), None))
+  }
+
+  test("capture filter drops flows before sessionize") {
+    val pcap = "/root/reference/tests/pcap/socks-http-example.pcap"
+    val all = SessionBuilder.sessionize(spark, pcap)
+    val one = SessionBuilder.sessionize(spark, pcap,
+      bpf = Some("tcp port 53533"))
+    val a = all.collect()
+    val f = one.collect()
+    assert(a.length == 3) // all three flows target :1080; ephemerals differ
+    assert(f.nonEmpty && f.length < a.length)
+    assert(f.forall(s => s.srcPort == 53533 || s.dstPort == 53533))
+    // equivalent post-hoc filter on full sessions keeps the same flows
+    val expect = a.filter(s => s.srcPort == 53533 || s.dstPort == 53533)
+      .map(s => (s.srcIp, s.srcPort, s.dstIp, s.dstPort)).toSet
+    assert(f.map(s => (s.srcIp, s.srcPort, s.dstIp, s.dstPort)).toSet
+      == expect)
+  }
+}

@@ -19,7 +19,13 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class ScaleProbeSpec extends AnyFunSuite with SparkSpecBase {
 
-  private val probes = Seq("t18_skipgram", "t21_wordpiece", "t22_bm25")
+  // t*: heaviest text kernels; d2/m5: the near-dup candidate kernels,
+  // where the replicated corpus is the adversarial case — every doc
+  // gains 9 exact-content twins, so LSH buckets grow 10× and only the
+  // star-expansion edge shape keeps candidates O(bucket) instead of
+  // O(bucket²) (a pairwise regression would read ~100× here)
+  private val probes = Seq("t18_skipgram", "t21_wordpiece", "t22_bm25",
+    "d2_dedup_minhash", "m5_image_dhash")
 
   private def writeCorpus(mult: Int): String = {
     val dir = Files.createTempDirectory("graft-scale").toString
@@ -35,7 +41,7 @@ class ScaleProbeSpec extends AnyFunSuite with SparkSpecBase {
     dir
   }
 
-  test("t18/t21/t22 grow ~linearly on a 10x corpus") {
+  test("heaviest kernels grow ~linearly on a 10x corpus") {
     val small = writeCorpus(1)
     val big = writeCorpus(10)
     val ratios = probes.map { name =>
