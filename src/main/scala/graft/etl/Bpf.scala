@@ -301,4 +301,23 @@ object Bpf {
       when(column(n, f), lit(cap)).otherwise(lit(null).cast("int"))
     }.reduce(least(_, _))
   }
+
+  /** `minPacketsSaveBPFs` gate: keep a session's SPI row unless a
+    * matching entry demands more packets than the session carried (the
+    * reference's `_minPacketsBeforeSavingSPI` drop of scanner noise,
+    * capture/rules.c:597-620 + session save check). The LARGEST
+    * matching threshold governs — the conservative mirror of
+    * [[maxPacketsToSave]]'s minimum.
+    */
+  def keepSpi(entries: Seq[String], f: Fields,
+      totPackets: Column): Column = {
+    val rules = parseSaveList(entries)
+    if (rules.isEmpty) lit(true)
+    else {
+      val need = rules.map { case (n, min) =>
+        when(column(n, f), lit(min)).otherwise(lit(null).cast("int"))
+      }.reduce(greatest(_, _))
+      need.isNull || totPackets >= need
+    }
+  }
 }

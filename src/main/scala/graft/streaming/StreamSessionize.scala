@@ -124,29 +124,37 @@ object StreamSessionize {
     */
   def fromPcapOverIp(
       spark: SparkSession, host: String, port: Int,
-      node: String = "test"): Dataset[SessionRow] = {
+      node: String = "test", bpf: Option[String] = None):
+      Dataset[SessionRow] = {
     import spark.implicits._
+    // the live-capture role of the reference's `bpf=` filter: compiled
+    // once on the driver, applied map-side before any stateful work
+    val capture = bpf.map(graft.etl.Bpf.packetPredicate(_))
     val raw = spark.readStream.format("pcap-over-ip")
       .option("host", host).option("port", port.toString).load()
       .as[(Long, Int, Int, Int, Array[Byte])]
     val packets = raw.flatMap { case (ts, incl, orig, link, data) =>
       Decode.decode(graft.etl.Pcap.RawPacket(
         s"pcap-over-ip://$host:$port", 0, ts, incl, orig, 0L, link, data, ts))
+        .filter(d => capture.forall(_(d)))
     }
     sessions(packets, node)
   }
 
   /** Streaming pipeline over a directory of pcap files (file-source). */
   def fromPcapDir(spark: SparkSession, dir: String,
-      node: String = "test"): Dataset[SessionRow] = {
+      node: String = "test", bpf: Option[String] = None):
+      Dataset[SessionRow] = {
     import spark.implicits._
+    val capture = bpf.map(graft.etl.Bpf.packetPredicate(_))
     val files = spark.readStream.format("binaryFile")
       .option("pathGlobFilter", "*.pcap")
       .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
       .load(dir)
       .select("path", "content").as[(String, Array[Byte])]
     val packets = files.flatMap { case (p, bytes) =>
-      graft.etl.Pcap.assembleFrags4(graft.etl.Pcap.parseFile(bytes, p)).flatMap(Decode.decode(_))
+      graft.etl.Pcap.assembleFrags4(graft.etl.Pcap.parseFile(bytes, p))
+        .flatMap(Decode.decode(_)).filter(d => capture.forall(_(d)))
     }
     sessions(packets, node)
   }

@@ -120,6 +120,64 @@ class BpfSpec extends AnyFunSuite with SparkSpecBase {
       Seq(Some(1), Some(4), Some(2), None))
   }
 
+  test("minPacketsSaveBPFs gate: largest matching threshold governs") {
+    import spark.implicits._
+    val entries = Seq("udp port 53:3", "net 10.0.0.0/8:5")
+    val df = Seq(
+      ("10.1.1.1", "8.8.8.8", 5000, 53, 17, 2L), // both rules: need 5 → drop
+      ("10.1.1.1", "8.8.8.8", 5000, 53, 17, 5L), // meets 5 → keep
+      ("172.16.0.1", "8.8.8.8", 5000, 53, 17, 4L), // dns rule: need 3 → keep
+      ("172.16.0.1", "9.9.9.9", 5000, 80, 6, 1L)) // no rule → keep
+      .toDF("src_ip", "dst_ip", "src_port", "dst_port", "proto", "pkts")
+    val keep = Bpf.keepSpi(entries, Bpf.Fields(col("src_ip"),
+      col("dst_ip"), col("src_port"), col("dst_port"), col("proto")),
+      col("pkts"))
+    assert(df.select(keep).as[Boolean].collect().toSeq ==
+      Seq(false, true, true, true))
+  }
+
+  test("streaming ingest honors the capture filter (batch parity)") {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("bpf-stream").toString
+    val src = Files.readAllBytes(Paths.get(
+      "/root/reference/tests/pcap/socks-http-example.pcap"))
+    Files.write(Paths.get(dir, "a.pcap"), src)
+    // a single-record pcap whose first packet is shifted `plusSec` into
+    // the future AND given a fresh src-ip octet: it passes the filter
+    // (src port still 53533) but opens its OWN session, so the earlier
+    // flows' state can time out as the watermark passes them
+    def latePcap(name: String, plusSec: Int, srcOctet: Int): Unit = {
+      val incl = java.nio.ByteBuffer.wrap(src, 32, 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+      val out = java.util.Arrays.copyOfRange(src, 0, 24 + 16 + incl)
+      val bb = java.nio.ByteBuffer.wrap(out)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(24, bb.getInt(24) + plusSec)
+      out(40 + 14 + 12 + 3) = srcOctet.toByte // ipv4 saddr last octet
+      Files.write(Paths.get(dir, name), out)
+    }
+    val q = graft.streaming.StreamSessionize
+      .fromPcapDir(spark, dir, bpf = Some("tcp port 53533"))
+      .writeStream.format("memory").queryName("bpf_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      latePcap("b.pcap", 5000, 7); q.processAllAvailable()
+      latePcap("c.pcap", 10000, 8); q.processAllAvailable()
+    } finally q.stop()
+    // only sessions from the original capture window (the late
+    // watermark-driver packets open their own far-future sessions)
+    val origMax = SessionBuilder.sessionize(spark, dir + "/a.pcap")
+      .collect().map(_.lastPacket).max
+    val got = spark.table("bpf_stream")
+      .filter(col("firstPacket") <= origMax)
+      .select("srcIp", "srcPort", "dstIp", "dstPort").collect().toSet
+    val want = SessionBuilder.sessionize(spark,
+      dir + "/a.pcap", bpf = Some("tcp port 53533"))
+      .toDF().select("srcIp", "srcPort", "dstIp", "dstPort").collect().toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("capture filter drops flows before sessionize") {
     val pcap = "/root/reference/tests/pcap/socks-http-example.pcap"
     val all = SessionBuilder.sessionize(spark, pcap)
