@@ -1401,12 +1401,18 @@ object SessionBuilder {
       yaraRules: Seq[graft.ops.Yara.Rule] = Nil,
       bpf: Option[String] = None): Dataset[SessionRow] = {
     import spark.implicits._
-    val capture = bpf.map(Bpf.packetPredicate(_))
+    // branch once on the driver: the no-filter path keeps the exact
+    // per-packet code of the throughput-pinned ingest
+    val decodeFn: Pcap.RawPacket => Iterator[Decode.DecodedPacket] =
+      bpf.map(Bpf.packetPredicate(_)) match {
+        case Some(keep) => p => Decode.decode(p).iterator.filter(keep)
+        case None => p => Decode.decode(p).iterator
+      }
     // shuffle leg rides the compact binary codec: (key, packed) is a
     // two-column row, vs the 25-field product encoding of DecodedPacket
     // whose per-field UnsafeRow conversion dominated ingest (PacketCodec)
     Pcap.readPackets(spark, pcapPath)
-      .flatMap(p => Decode.decode(p).filter(d => capture.forall(_(d))))
+      .flatMap(decodeFn)
       .map(p => (sessionKey(p), PacketCodec.pack(p)))
       .groupByKey(_._1)
       .flatMapGroups((k, ps) =>

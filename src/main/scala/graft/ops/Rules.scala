@@ -23,6 +23,15 @@ object Rules {
 
   final case class Rule(name: String, predicate: Column, actions: Seq[Action])
 
+  /** Rule predicated on a BPF filter string — the reference's per-rule
+    * `bpf:` field (capture/rules.c:380): the filter text compiles to
+    * the same codegen'd Column as any field expression, so BPF rules
+    * ride the single withColumn chain like every other rule.
+    */
+  def bpfRule(name: String, bpf: String, fields: graft.etl.Bpf.Fields,
+      actions: Seq[Action]): Rule =
+    Rule(name, graft.etl.Bpf.column(bpf, fields), actions)
+
   /** Apply rules in order. Tag actions accumulate; set-field later rules
     * win; drop removes rows after all sets/tags.
     */

@@ -178,6 +178,24 @@ class BpfSpec extends AnyFunSuite with SparkSpecBase {
     assert(got == want && got.nonEmpty)
   }
 
+  test("bpf: rule fields drive the rules engine") {
+    import spark.implicits._
+    val df = Seq(
+      ("10.1.1.1", "8.8.8.8", 5000, 53, 17),
+      ("10.1.1.1", "9.9.9.9", 5000, 80, 6))
+      .toDF("src_ip", "dst_ip", "src_port", "dst_port", "proto")
+    val fields = graft.etl.Bpf.Fields(col("src_ip"), col("dst_ip"),
+      col("src_port"), col("dst_port"), col("proto"))
+    val out = graft.ops.Rules(df, Seq(
+      graft.ops.Rules.bpfRule("tag-dns", "udp port 53", fields,
+        Seq(graft.ops.Rules.AddTag("dns-traffic"))),
+      graft.ops.Rules.bpfRule("drop-web", "tcp port 80", fields,
+        Seq(graft.ops.Rules.DropSession))))
+    val rows = out.select("dst_port", "tags")
+      .as[(Int, Seq[String])].collect().toSeq
+    assert(rows == Seq((53, Seq("dns-traffic"))))
+  }
+
   test("capture filter drops flows before sessionize") {
     val pcap = "/root/reference/tests/pcap/socks-http-example.pcap"
     val all = SessionBuilder.sessionize(spark, pcap)
