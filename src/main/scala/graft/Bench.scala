@@ -101,6 +101,14 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = Sessions.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warmup + two timed sweeps run every query ≥3× in one JVM; ops that
+    // persist() intermediates (IVF index, pack prefix sums) re-submit an
+    // identical plan and CacheManager WARNs "already cached" once per
+    // re-run — benign, but dozens of lines eat the driver's bounded
+    // stdout tail, so drop that logger to ERROR for the bench JVM only.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.CacheManager",
+      org.apache.logging.log4j.Level.ERROR)
     Tables.all.foreach(t => Tables.load(spark, sfDir, t).count())
     // Exercise shuffle, sort and window machinery once so first-query
     // codegen/exchange initialization isn't charged to the first
@@ -118,6 +126,17 @@ object Bench {
     // min-of-2 discards any one-off stall, and the per-pass GC deltas in
     // bench_full.json let a reader attribute a remaining outlier to
     // collector time rather than query cost.
+    //
+    // The two passes are INTERLEAVED at sweep granularity: the whole
+    // query list runs once, then runs again, and each query's number is
+    // the min of its two sweep samples. Back-to-back passes (pass 1 then
+    // pass 2 of the same query) proved useless against SUSTAINED host
+    // contention — a multi-minute stall on a shared host lands on both
+    // consecutive samples of whichever query it overlaps (observed four
+    // rounds running: 15–39× inflations with gc_ms 0 that never
+    // reproduce). Separating a query's samples by a full sweep (~tens of
+    // minutes) means only contention that recurs at exactly that spacing
+    // can corrupt a min.
     def gcMillis(): Long = {
       import scala.jdk.CollectionConverters._
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
@@ -126,16 +145,20 @@ object Bench {
     case class Timing(name: String, passesSec: Seq[Double], gcMs: Seq[Long]) {
       def best: Double = passesSec.min
     }
-    val timings = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filterNot(q => fixtureOnly(q._1)).map { case (name, fn) =>
-        val passes = (0 until 2).map { _ =>
-          val gc0 = gcMillis()
-          val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-          ((System.nanoTime() - t0) / 1e9, gcMillis() - gc0)
-        }
-        Timing(name, passes.map(_._1), passes.map(_._2))
-      }
+    val timedQueries = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot(q => fixtureOnly(q._1))
+    val sweeps = (0 until 2).map { _ =>
+      timedQueries.map { case (name, fn) =>
+        val gc0 = gcMillis()
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        name -> (((System.nanoTime() - t0) / 1e9, gcMillis() - gc0))
+      }.toMap
+    }
+    val timings = timedQueries.map { case (name, _) =>
+      val samples = sweeps.map(_(name))
+      Timing(name, samples.map(_._1), samples.map(_._2))
+    }
     val results = timings.map(t => t.name -> t.best)
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // sessionize throughput vs the reference's capture-rate baseline:
