@@ -64,9 +64,28 @@ object Bpf {
   private val protoKw = protoNum.keySet ++ Set("ip", "ip6")
 
   // ------------------------------------------------------------- parse
+  /** Tokenize with an anchored scan so NO character can slip through
+    * unmatched: `findAllIn` would silently skip a lone `&`/`|` (turning
+    * `tcp &` into `tcp`), violating the fail-loudly contract.
+    */
+  private def lex(expr: String): Seq[String] = {
+    val m = java.util.regex.Pattern
+      .compile("\\s+|\\(|\\)|&&|\\|\\||!|[^\\s()!|&]+").matcher(expr)
+    val out = Seq.newBuilder[String]
+    var i = 0
+    while (i < expr.length) {
+      m.region(i, expr.length)
+      if (!m.lookingAt()) throw new IllegalArgumentException(
+        s"bpf: unexpected character '${expr(i)}' in '$expr'")
+      val t = m.group()
+      if (!t.charAt(0).isWhitespace) out += t
+      i = m.end()
+    }
+    out.result()
+  }
+
   def parse(expr: String): Node = {
-    val toks = scala.collection.mutable.Queue(
-      "\\(|\\)|!|&&|\\|\\||[^\\s()!|&]+".r.findAllIn(expr).toSeq: _*)
+    val toks = scala.collection.mutable.Queue(lex(expr): _*)
     def fail(what: String): Nothing = throw new IllegalArgumentException(
       s"bpf: unsupported or malformed near '$what' in '$expr'")
     def next(): String = if (toks.isEmpty) fail("<end>") else toks.dequeue()
@@ -291,32 +310,35 @@ object Bpf {
     }
 
   /** The per-session packet-save cap a dontSaveBPFs list implies: the
-    * MINIMUM cap across matching entries (the conservative reading of
-    * the reference's sequential field-set), null when none match.
+    * LAST matching entry's cap, null when none match. The reference
+    * loads each list entry as a session-setup rule in order and each
+    * matching rule's field-op overwrites `_maxPacketsToSave`
+    * (capture/rules.c:573-596), so with several matching entries the
+    * last one listed governs.
     */
   def maxPacketsToSave(entries: Seq[String], f: Fields): Column = {
     val rules = parseSaveList(entries)
     if (rules.isEmpty) lit(null).cast("int")
-    else rules.map { case (n, cap) =>
-      when(column(n, f), lit(cap)).otherwise(lit(null).cast("int"))
-    }.reduce(least(_, _))
+    else coalesce(rules.reverse.map { case (n, cap) =>
+      when(column(n, f), lit(cap))
+    } :+ lit(null).cast("int"): _*)
   }
 
   /** `minPacketsSaveBPFs` gate: keep a session's SPI row unless a
     * matching entry demands more packets than the session carried (the
     * reference's `_minPacketsBeforeSavingSPI` drop of scanner noise,
-    * capture/rules.c:597-620 + session save check). The LARGEST
-    * matching threshold governs — the conservative mirror of
-    * [[maxPacketsToSave]]'s minimum.
+    * capture/rules.c:597-620 + session save check). As with
+    * [[maxPacketsToSave]], the LAST matching entry's threshold governs
+    * (in-order field-op overwrite).
     */
   def keepSpi(entries: Seq[String], f: Fields,
       totPackets: Column): Column = {
     val rules = parseSaveList(entries)
     if (rules.isEmpty) lit(true)
     else {
-      val need = rules.map { case (n, min) =>
-        when(column(n, f), lit(min)).otherwise(lit(null).cast("int"))
-      }.reduce(greatest(_, _))
+      val need = coalesce(rules.reverse.map { case (n, min) =>
+        when(column(n, f), lit(min))
+      } :+ lit(null).cast("int"): _*)
       need.isNull || totPackets >= need
     }
   }

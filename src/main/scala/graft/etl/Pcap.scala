@@ -352,11 +352,11 @@ object Pcap {
     * only groups whose offset-0 fragment arrives out of order on the far
     * side of the boundary, or that span more than the overlap cap, or —
     * after the ipId-reuse repair below (offset-colliding stale replays
-    * are overridden by the live group via latest-wins dedupe) — a reused
-    * ipId whose stale replayed fragments extend BEYOND the new group's
-    * end (different fragmentation pattern): the leftover tail fragment
-    * keeps the contiguity walk from terminating and the group ages out
-    * exactly like the reference's per-group timeout would.
+    * lose to the live group via the epoch split in [[FragAssembler]]) —
+    * a reused ipId whose stale replayed fragments extend BEYOND the new
+    * group's end (different fragmentation pattern): the leftover tail
+    * fragment keeps the contiguity walk from terminating and the group
+    * ages out exactly like the reference's per-group timeout would.
     */
   def assembleFrags4Chunked(packets: Iterator[RawPacket],
       overlap: () => Iterator[RawPacket]): Iterator[RawPacket] = {
@@ -386,8 +386,16 @@ object Pcap {
     * tunneled fragments pass through untouched.
     */
   private final class FragAssembler {
+    /** `epoch` 0 = arrived before the group's first offset-0 fragment,
+      * 1 = the offset-0 fragment and everything after it. The split is
+      * what lets a chunk distinguish stale replays (fragments a previous
+      * chunk's overlap window already consumed, colliding here because a
+      * fresh group reused the ipId — always epoch 0, since the stale
+      * group's offset-0 lived in the previous chunk) from duplicates
+      * within the live group itself.
+      */
     private final case class Frag(off: Int, mf: Boolean,
-        payload: Array[Byte], raw: RawPacket)
+        payload: Array[Byte], raw: RawPacket, epoch: Int)
     private val pending = scala.collection.mutable.LinkedHashMap[
       String, scala.collection.mutable.ArrayBuffer[Frag]]()
 
@@ -450,19 +458,31 @@ object Pcap {
             b, ipOff + ihl, math.max(ipOff + ihl, payEnd))
           val frags = pending.getOrElseUpdate(
             key, scala.collection.mutable.ArrayBuffer())
-          frags += Frag(fragOff, mf, payload, p)
+          val epoch = if (frags.exists(_.epoch == 1) || fragOff == 0) 1 else 0
+          frags += Frag(fragOff, mf, payload, p, epoch)
           if (frags.exists(!_.mf)) {
-            // Dedupe by offset, keeping the LATEST arrival: a duplicate
-            // offset is either a retransmitted fragment or a stale entry
-            // replayed from a previous chunk's overlap window whose ipId
-            // a fresh group now reuses — in both cases the newest copy is
-            // the live group's bytes (packet.c frags_process likewise
-            // drops fragments whose offset is already buffered).
-            val latest = scala.collection.mutable.LinkedHashMap[Int, Frag]()
-            frags.foreach(f => latest(f.off) = f)
-            val sorted = latest.values.toIndexedSeq.sortBy(_.off)
+            // Duplicate-offset handling, two distinct cases:
+            //  - ACROSS epochs (a stale epoch-0 replay from a previous
+            //    chunk's overlap window colliding with the live group
+            //    that reused its ipId): the live epoch-1 copy wins — in
+            //    the whole-file walk the stale group completed earlier
+            //    and was evicted, so no collision would exist at all;
+            //  - WITHIN an epoch (a genuine duplicate in the live
+            //    group): reference parity — packet.c inserts the
+            //    duplicate and the contiguity walk then always breaks on
+            //    it (fip_off != off, packet.c:540), so the group never
+            //    reassembles and ages out; we likewise emit nothing.
+            // Residual divergence (documented): a retransmit whose two
+            // copies straddle the group's offset-0 arrival is
+            // indistinguishable from ipId reuse and reassembles here
+            // where the reference stalls.
+            val byOff = frags.groupBy(_.off)
+            val dupInEpoch = byOff.valuesIterator.exists(fs =>
+              fs.size > 1 && fs.map(_.epoch).distinct.size < fs.size)
+            val live = byOff.map { case (_, fs) => fs.maxBy(_.epoch) }
+            val sorted = live.toIndexedSeq.sortBy(_.off)
             var expect = 0
-            var ok = true
+            var ok = !dupInEpoch
             sorted.foreach { f =>
               if (f.off != expect) ok = false
               if (ok) expect += f.payload.length

@@ -188,8 +188,15 @@ object CronStore {
     val advanced = CronQueries.processOnce(spark, sessionPath,
       all.map(toCronQuery), nowSec, chunkSecs, notifiers, clusters,
       shortcutsPath, forwardBatch)
-    // processOnce maps order-preserving, so zip merges state by position
+    // processOnce maps order-preserving, so zip merges state by position —
+    // but nothing else pins that contract, so assert it: a future
+    // filter/reorder inside CronQueries.processOnce must fail loudly here
+    // rather than silently cross-wire watermarks between stored queries.
+    require(advanced.size == all.size,
+      s"cron state misalignment: ${all.size} stored vs ${advanced.size} advanced")
     val merged = all.zip(advanced).map { case (s, a) =>
+      require(a.name == s.name,
+        s"cron state misalignment: stored '${s.name}' paired with '${a.name}'")
       if (!s.enabled) s
       else s.copy(lpValue = a.lpValue, count = a.count,
         lastRun = if (a.lpValue != s.lpValue) nowSec else s.lastRun,

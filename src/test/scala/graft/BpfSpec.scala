@@ -69,7 +69,9 @@ class BpfSpec extends AnyFunSuite with SparkSpecBase {
   test("malformed and unsupported forms fail loudly") {
     for (bad <- Seq("", "port", "host notanip", "port 99999",
       "portrange 50-20", "frobnicate 7", "ether host aa:bb",
-      "tcp[13] == 2", "port 80 or", "(tcp", "80"))
+      "tcp[13] == 2", "port 80 or", "(tcp", "80",
+      // stray single & / | must not vanish in the lexer
+      "tcp &", "& tcp", "tcp | udp"))
       intercept[IllegalArgumentException](Bpf.parse(bad))
     // vlan / len terms require their columns in the Column backend
     val f = Bpf.Fields(col("s"), col("d"), col("sp"), col("dp"), col("pr"))
@@ -103,37 +105,55 @@ class BpfSpec extends AnyFunSuite with SparkSpecBase {
     }
   }
 
-  test("dontSaveBPFs-style lists: expr:N caps, minimum wins") {
+  test("dontSaveBPFs-style lists: expr:N caps, last matching entry wins") {
     val entries = Seq("port 12345", "net 10.64.0.0/10:4", "tcp port 9:2")
     val parsed = Bpf.parseSaveList(entries)
     assert(parsed.map(_._2) == Seq(1, 4, 2))
     import spark.implicits._
     val df = Seq(
-      ("10.65.0.1", "10.9.9.9", 12345, 80, 6), // port rule + net rule → 1
+      ("10.65.0.1", "10.9.9.9", 12345, 80, 6), // port:1 then net:4 → last = 4
       ("10.65.0.1", "10.9.9.9", 1000, 80, 6), // net rule only → 4
       ("10.2.0.1", "10.9.9.9", 1000, 9, 6), // tcp:2 rule → 2
       ("10.2.0.1", "10.9.9.9", 1000, 80, 17)) // none → null
       .toDF("src_ip", "dst_ip", "src_port", "dst_port", "proto")
-    val cap = Bpf.maxPacketsToSave(entries, Bpf.Fields(col("src_ip"),
-      col("dst_ip"), col("src_port"), col("dst_port"), col("proto")))
+    val fields = Bpf.Fields(col("src_ip"),
+      col("dst_ip"), col("src_port"), col("dst_port"), col("proto"))
+    // rules.c:573-596 loads entries as in-order session-setup rules whose
+    // field-ops overwrite _maxPacketsToSave — so the LAST match governs
+    val cap = Bpf.maxPacketsToSave(entries, fields)
     assert(df.select(cap).as[Option[Int]].collect().toSeq ==
+      Seq(Some(4), Some(4), Some(2), None))
+    // order sensitivity: reversing the list flips the both-match row to
+    // the port rule's default cap of 1
+    val rev = Bpf.maxPacketsToSave(entries.reverse, fields)
+    assert(df.select(rev).as[Option[Int]].collect().toSeq ==
       Seq(Some(1), Some(4), Some(2), None))
   }
 
-  test("minPacketsSaveBPFs gate: largest matching threshold governs") {
+  test("minPacketsSaveBPFs gate: last matching threshold governs") {
     import spark.implicits._
     val entries = Seq("udp port 53:3", "net 10.0.0.0/8:5")
     val df = Seq(
-      ("10.1.1.1", "8.8.8.8", 5000, 53, 17, 2L), // both rules: need 5 → drop
+      ("10.1.1.1", "8.8.8.8", 5000, 53, 17, 2L), // both: last = net:5 → drop
       ("10.1.1.1", "8.8.8.8", 5000, 53, 17, 5L), // meets 5 → keep
       ("172.16.0.1", "8.8.8.8", 5000, 53, 17, 4L), // dns rule: need 3 → keep
       ("172.16.0.1", "9.9.9.9", 5000, 80, 6, 1L)) // no rule → keep
       .toDF("src_ip", "dst_ip", "src_port", "dst_port", "proto", "pkts")
-    val keep = Bpf.keepSpi(entries, Bpf.Fields(col("src_ip"),
-      col("dst_ip"), col("src_port"), col("dst_port"), col("proto")),
-      col("pkts"))
+    val fields = Bpf.Fields(col("src_ip"),
+      col("dst_ip"), col("src_port"), col("dst_port"), col("proto"))
+    val keep = Bpf.keepSpi(entries, fields, col("pkts"))
     assert(df.select(keep).as[Boolean].collect().toSeq ==
       Seq(false, true, true, true))
+    // reversed list: the both-match row now needs only 3 (udp rule last)
+    val keepRev = Bpf.keepSpi(entries.reverse, fields, col("pkts"))
+    assert(df.select(keepRev).as[Boolean].collect().toSeq ==
+      Seq(false, true, true, true))
+    val df2 = Seq(("10.1.1.1", "8.8.8.8", 5000, 53, 17, 3L))
+      .toDF("src_ip", "dst_ip", "src_port", "dst_port", "proto", "pkts")
+    assert(df2.select(Bpf.keepSpi(entries, fields, col("pkts")))
+      .as[Boolean].collect().toSeq == Seq(false)) // net:5 last → 3 < 5
+    assert(df2.select(Bpf.keepSpi(entries.reverse, fields, col("pkts")))
+      .as[Boolean].collect().toSeq == Seq(true)) // udp:3 last → 3 >= 3
   }
 
   test("streaming ingest honors the capture filter (batch parity)") {

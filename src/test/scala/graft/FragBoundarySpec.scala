@@ -81,6 +81,55 @@ class FragBoundarySpec extends AnyFunSuite {
     assert(!pulled, "unowned pending groups must not trigger the overlap read")
   }
 
+  test("genuine duplicate-offset fragment stalls the group (reference parity)") {
+    // packet.c inserts the duplicate and its contiguity walk then always
+    // breaks on it (fip_off != off, packet.c:540): the group never
+    // reassembles. Two copies of the middle fragment, different bytes
+    // (fragment-overwrite evasion) — nothing may come out.
+    val mid = pkt(2, frame(0x4242, 16, mf = true, 17,
+      Array.fill[Byte](8)(0x22)))
+    val midEvil = pkt(3, frame(0x4242, 16, mf = true, 17,
+      Array.fill[Byte](8)(0x66)))
+    val head = pkt(1, frame(0x4242, 0, mf = true, 17,
+      Array.tabulate[Byte](16)(_.toByte)))
+    val fin = pkt(4, frame(0x4242, 24, mf = false, 17,
+      Array.fill[Byte](8)(0x33)))
+    val out = Pcap.assembleFrags4(
+      Iterator(plain0, head, mid, midEvil, fin, plain1)).toSeq
+    assert(ids(out) == Seq(0, 3))
+  }
+
+  test("ipId-reuse stale replay loses to the live group (epoch split)") {
+    // A stale tail fragment (replayed from a previous chunk's overlap
+    // window, its group's offset-0 never seen here) collides with a
+    // fresh group reusing the ipId: the live group's bytes must win,
+    // because in the whole-file walk the stale group completed earlier
+    // and was evicted — no collision would exist at all.
+    val stale = pkt(1, frame(0x7777, 16, mf = true, 17,
+      Array.fill[Byte](8)(0x0f)))
+    val newHead = pkt(2, frame(0x7777, 0, mf = true, 17,
+      Array.tabulate[Byte](16)(_.toByte)))
+    val newMid = pkt(3, frame(0x7777, 16, mf = true, 17,
+      Array.fill[Byte](8)(0x55)))
+    val newFin = pkt(4, frame(0x7777, 24, mf = false, 17,
+      Array.fill[Byte](8)(0x66)))
+    val out = Pcap.assembleFrags4(
+      Iterator(stale, newHead, newMid, newFin)).toSeq
+    assert(ids(out) == Seq(4))
+    val asm = out.head
+    // payload bytes 16..23 are the live group's 0x55, not the stale 0x0f
+    assert((16 until 24).forall(i => asm.data(14 + 20 + i) == 0x55.toByte))
+  }
+
+  test("out-of-order early fragments still assemble once offset-0 arrives") {
+    // legitimate reorder: tail fragments before the head — epoch 0 frags
+    // must be usable by the epoch-1 group they belong to
+    val out = Pcap.assembleFrags4(
+      Iterator(fragA1, fragA0, plain1)).toSeq
+    assert(ids(out) == Seq(1, 3)) // completes at fragA0's arrival (index 1)
+    assert(out.head.data.length == 14 + 20 + 24)
+  }
+
   test("overlap consumption stops at completion and skips foreign packets") {
     var served = 0
     val lazyOverlap = () => new Iterator[RawPacket] {
