@@ -27,10 +27,19 @@ import scala.collection.mutable
   *     are tolerated and ignored);
   *   - YARA 4.x quantifiers (`none of them`, `50% of them`, also in
   *     `for` heads) and the `defined` operator;
-  *   - pe/elf module header fields (`pe.machine/entry_point/is_dll()/
-  *     …`, `elf.type/machine/…`) parsed from the payload per the
-  *     public PE/COFF and ELF specs — header-level only, no imports/
-  *     exports/sections arrays.
+  *   - pe/elf module fields (`pe.machine/entry_point/is_dll()/…`,
+  *     `elf.type/machine/…`) parsed from the payload per the public
+  *     PE/COFF and ELF specs, including the section table
+  *     (`pe.sections[i].name/virtual_address/virtual_size/
+  *     raw_data_offset/raw_data_size/characteristics`, index loops
+  *     welcome), the import table (`pe.number_of_imports`,
+  *     `pe.number_of_imported_functions`) and `pe.imphash()` (the
+  *     public pefile/Mandiant normalization; ordinal imports hash as
+  *     `ordN` — no baked-in ws2_32/oleaut32 ordinal-name table);
+  *   - a `magic` module subset (`magic.type()`/`magic.mime_type()`)
+  *     over a deterministic signature table, plus YARA string
+  *     operators (`contains/icontains/startswith/…`) on module
+  *     strings.
   *
   * Scanning is a pure function over byte arrays, so it distributes as a
   * UDF over payload columns — each executor compiles nothing and shares
@@ -305,6 +314,10 @@ object Yara {
       len: Boolean = false) extends NumE
   /** `filesize` as a numeric operand. */
   case object NumFilesize extends NumE
+  /** The enclosing `for` loop's index variable as a numeric operand
+    * (`pe.sections[i].raw_data_size` inside `for any i in (0..n)`).
+    */
+  case object NumLoopVar extends NumE
   /** `uint8/16/32[be](offsetExpr)` / `intN[be](offsetExpr)` — the
     * magic-number payload reads; the offset is itself an expression, so
     * the classic PE idiom `uint32(uint32(0x3c)) == 0x4550` nests.
@@ -355,6 +368,26 @@ object Yara {
     * field).
     */
   final case class Defined(e: NumE) extends Cond
+  /** `pe.sections[<idx>].<member>` numeric members (virtual_address,
+    * virtual_size, raw_data_offset, raw_data_size, characteristics);
+    * the index is a full expression (loop variables ride through it).
+    * Undefined out of range / on a non-PE payload.
+    */
+  final case class SecField(field: String, idx: NumE) extends NumE
+  /** String-valued module expression. */
+  sealed trait StrE
+  /** `pe.sections[<idx>].name` — the 8-byte short name, NUL-cut. */
+  final case class SecNameE(idx: NumE) extends StrE
+  /** String module function: `pe.imphash()`, `magic.type()`,
+    * `magic.mime_type()`.
+    */
+  final case class ModStrFun(name: String) extends StrE
+  /** `<strE> op "literal"` — YARA's string operators over module
+    * strings: `== != contains icontains startswith istartswith
+    * endswith iendswith`. An undefined left side (non-PE payload,
+    * out-of-range section index) makes the comparison false.
+    */
+  final case class StrCmp(a: StrE, op: String, b: String) extends Cond
   final case class And(a: Cond, b: Cond) extends Cond
   final case class Or(a: Cond, b: Cond) extends Cond
   final case class Not(a: Cond) extends Cond
@@ -464,6 +497,20 @@ object Yara {
               }
             }
           case NumFun(name, args) => evalFun(name, args)
+          case NumLoopVar => Some(IntV(iBind.toLong))
+          case SecField(f, idxE) =>
+            for {
+              i <- num(idxE)
+              p <- peInfo
+              s <- if (i >= 0 && i < p.sections.size)
+                Some(p.sections(i.toInt)) else None
+            } yield IntV(f match {
+              case "virtual_address" => s.virtualAddress
+              case "virtual_size" => s.virtualSize
+              case "raw_data_offset" => s.rawDataOffset
+              case "raw_data_size" => s.rawDataSize
+              case _ => s.characteristics
+            })
           case ModField(f) => (f match {
             case "pe.is_pe" => peInfo.map(_ => 1L)
             case "pe.machine" => peInfo.map(_.machine)
@@ -477,6 +524,9 @@ object Yara {
               peInfo.map(p => if ((p.characteristics & 0x2000L) != 0) 1L else 0L)
             case "pe.is_32bit" => peInfo.map(p => if (p.is32) 1L else 0L)
             case "pe.is_64bit" => peInfo.map(p => if (p.is64) 1L else 0L)
+            case "pe.number_of_imports" => peInfo.map(_.imports.size.toLong)
+            case "pe.number_of_imported_functions" =>
+              peInfo.map(_.numberOfImportedFunctions)
             case "elf.type" => elfInfo.map(_.etype)
             case "elf.machine" => elfInfo.map(_.machine)
             case "elf.entry_point" => elfInfo.flatMap(_.entry)
@@ -593,12 +643,47 @@ object Yara {
             offsetsOf(rid(id)).exists(o => o >= l && o <= h)
           }
           case At(id, off) =>
-            num(off).exists(o => offsetsOf(rid(id)).contains(o.toInt))
+            // guard the Int narrowing: a 64-bit offset (`$a at
+            // 0x100000000`) can never match a bounded payload — in YARA
+            // the comparison is simply false, never a wrapped offset
+            num(off).exists(o => o >= 0 && o <= Int.MaxValue &&
+              offsetsOf(rid(id)).contains(o.toInt))
           case NumCmp(aE, op, bE) =>
             (numV(aE), numV(bE)) match {
               case (Some(IntV(a)), Some(IntV(c))) => cmp(op, a, c)
               case (Some(a), Some(c)) => cmpD(op, a.d, c.d)
               case _ => false
+            }
+          case StrCmp(aE, op, lit) =>
+            val sv: Option[String] = aE match {
+              case SecNameE(idxE) =>
+                for {
+                  i <- num(idxE)
+                  p <- peInfo
+                  s <- if (i >= 0 && i < p.sections.size)
+                    Some(p.sections(i.toInt)) else None
+                } yield s.name
+              case ModStrFun("pe.imphash") => peInfo.map(_.imphash)
+              case ModStrFun("magic.type") =>
+                Some(magicDescribe(b, peInfo, elfInfo)._1)
+              case ModStrFun("magic.mime_type") =>
+                Some(magicDescribe(b, peInfo, elfInfo)._2)
+              case ModStrFun(other) => throw new IllegalArgumentException(
+                s"unsupported string function $other")
+            }
+            sv.exists { s0 =>
+              val fold = op.startsWith("i") && op != "!="
+              def lc(x: String) = x.toLowerCase(java.util.Locale.ROOT)
+              val (s, l) = if (fold) (lc(s0), lc(lit)) else (s0, lit)
+              op match {
+                case "==" => s == l
+                case "!=" => s != l
+                case "contains" | "icontains" => s.contains(l)
+                case "startswith" | "istartswith" => s.startsWith(l)
+                case "endswith" | "iendswith" => s.endsWith(l)
+                case other => throw new IllegalArgumentException(
+                  s"bad string operator $other")
+              }
             }
           case HashCmp(alg, offE, lenE, op, hex) =>
             sliceOf(offE, lenE).exists { case (off, len) =>
@@ -647,8 +732,14 @@ object Yara {
             // at the first miss
             (num(loE), num(hiE)) match {
               case (Some(lo0), Some(hi0)) =>
-                val lo = math.max(1L, lo0)
-                val hi = math.min(hi0, lo + MaxLoopIterations - 1)
+                // 0-based module iteration (`for any i in
+                // (0..pe.number_of_sections - 1)`) is legal, so the
+                // range is NOT clamped to 1 — a body reading a 1-based
+                // string ordinal at i <= 0 is simply undefined → false,
+                // the same verdict the old clamp produced by skipping
+                val lo = math.max(Int.MinValue.toLong, lo0)
+                val hi = math.min(math.min(Int.MaxValue.toLong, hi0),
+                  lo + MaxLoopIterations - 1)
                 def idxs = Iterator.iterate(lo)(_ + 1)
                   .takeWhile(_ <= hi).map(_.toInt)
                 n match {
@@ -849,16 +940,50 @@ object Yara {
   private val mathArity = Map("entropy" -> 2, "mean" -> 2,
     "deviation" -> 3, "abs" -> 1, "min" -> 2, "max" -> 2)
 
+  /** One section-table row (`pe.sections[i]` members). `name` is the
+    * 8-byte short name cut at the first NUL, exactly what libyara's
+    * pe module exposes.
+    */
+  private final case class PeSection(name: String, virtualAddress: Long,
+      virtualSize: Long, rawDataOffset: Long, rawDataSize: Long,
+      characteristics: Long)
+
   /** Header-level PE facts (public PE/COFF spec layout: MZ at 0,
     * `e_lfanew` at 0x3c, COFF header after the PE\0\0 signature,
     * optional-header magic 0x10b/0x20b). `entryOff` is the entry
     * point's FILE offset — the RVA mapped through the section table,
-    * the same convention libyara's pe module reports.
+    * the same convention libyara's pe module reports. `imports` maps
+    * each import-descriptor DLL to its imported function names in
+    * table order (ordinal imports as `ordN`); `imphash` is the MD5
+    * over the normalized list — the public pefile/Mandiant algorithm
+    * libyara's `pe.imphash()` implements (lowercase, `.dll/.ocx/.sys`
+    * extension stripped, `dll.func` comma-joined). Divergence, noted:
+    * libyara additionally maps ws2_32/oleaut32 ORDINAL imports to
+    * names through a baked-in table; here ordinals always hash as
+    * `ordN`, so imphashes agree whenever imports are by name.
     */
   private final case class PeInfo(machine: Long, nSections: Long,
       timestamp: Long, characteristics: Long, subsystem: Option[Long],
       is32: Boolean, is64: Boolean, imageBase: Option[Long],
-      entryOff: Option[Long])
+      entryOff: Option[Long],
+      sections: IndexedSeq[PeSection] = IndexedSeq.empty,
+      imports: IndexedSeq[(String, Seq[String])] = IndexedSeq.empty) {
+    def numberOfImportedFunctions: Long = imports.map(_._2.size.toLong).sum
+    lazy val imphash: String = {
+      val parts = imports.flatMap { case (dll, funcs) =>
+        val lib0 = dll.toLowerCase(java.util.Locale.ROOT)
+        val lib = lib0.lastIndexOf('.') match {
+          case k if k > 0 && Set("dll", "ocx", "sys")(lib0.substring(k + 1)) =>
+            lib0.substring(0, k)
+          case _ => lib0
+        }
+        funcs.map(f => s"$lib.${f.toLowerCase(java.util.Locale.ROOT)}")
+      }
+      val dig = java.security.MessageDigest.getInstance("MD5")
+      dig.update(parts.mkString(",").getBytes(StandardCharsets.ISO_8859_1))
+      dig.digest().map("%02x".format(_)).mkString
+    }
+  }
 
   private def parsePe(b: Array[Byte]): Option[PeInfo] = {
     def u16(i: Long): Option[Long] =
@@ -884,26 +1009,99 @@ object Yara {
       val is32 = magic.contains(0x10bL)
       val is64 = magic.contains(0x20bL)
       val known = is32 || is64
-      // entry RVA → file offset via the section that contains it
-      // (simple containment; libyara additionally rounds by
-      // SectionAlignment for low RVAs)
       val secs = opt + optSize
-      val entryOff = (if (known) u32(opt + 16) else None).flatMap { rva =>
+      val sections: IndexedSeq[PeSection] =
         (0 until nSec.toInt).iterator.flatMap { k =>
           val s = secs + 40L * k
           for {
             vsize <- u32(s + 8); va <- u32(s + 12)
             raw <- u32(s + 16); ptr <- u32(s + 20)
-            if rva >= va && rva < va + math.max(vsize, raw)
-          } yield ptr + (rva - va)
-        }.take(1).toSeq.headOption
-      }
+            ch <- u32(s + 36)
+          } yield {
+            val name = new String(b, s.toInt, 8,
+              StandardCharsets.ISO_8859_1).takeWhile(_ != '\u0000')
+            PeSection(name, va, vsize, ptr, raw, ch)
+          }
+        }.toIndexedSeq
+      // RVA → file offset via the section that contains it (simple
+      // containment; libyara additionally rounds by SectionAlignment
+      // for low RVAs)
+      def rvaToOff(rva: Long): Option[Long] = sections.iterator
+        .filter(s => rva >= s.virtualAddress && rva < s.virtualAddress +
+          math.max(s.virtualSize, s.rawDataSize))
+        .map(s => s.rawDataOffset + (rva - s.virtualAddress))
+        .take(1).toSeq.headOption
+      val entryOff =
+        (if (known) u32(opt + 16) else None).flatMap(rvaToOff)
+      // import table: DataDirectory[1] of the optional header
+      // (PE32 base opt+96, PE32+ base opt+112); descriptors are
+      // 20-byte rows terminated all-zero; per descriptor, the name RVA
+      // at +12 and the (original-)first-thunk array of hint/name RVAs
+      // or high-bit ordinals. Caps bound hostile headers.
+      def asciiAt(off: Long, cap: Int = 256): Option[String] =
+        if (off < 0 || off >= b.length) None
+        else {
+          var i = off.toInt
+          val sb = new java.lang.StringBuilder
+          while (i < b.length && b(i) != 0 && sb.length < cap) {
+            sb.append((b(i) & 0xff).toChar); i += 1
+          }
+          if (sb.length == 0) None else Some(sb.toString)
+        }
+      val imports: IndexedSeq[(String, Seq[String])] = (for {
+        impRva <- if (known)
+          u32(if (is64) opt + 120 else opt + 104).filter(_ != 0L)
+        else None
+        impOff <- rvaToOff(impRva)
+      } yield {
+        val out = IndexedSeq.newBuilder[(String, Seq[String])]
+        var d = 0
+        var stop = false
+        while (!stop && d < 1024) {
+          val desc = impOff + 20L * d
+          (u32(desc), u32(desc + 12), u32(desc + 16)) match {
+            case (Some(oft), Some(nameRva), Some(ft))
+                if nameRva != 0 || ft != 0 || oft != 0 =>
+              val dll = nameRva match {
+                case 0 => None
+                case r => rvaToOff(r).flatMap(asciiAt(_))
+              }
+              val thunks = Seq(oft, ft).find(_ != 0).flatMap(rvaToOff)
+              val funcs = thunks.map { t0 =>
+                val w = if (is64) 8 else 4
+                val fs = Seq.newBuilder[String]
+                var k = 0
+                var end = false
+                while (!end && k < 16384) {
+                  val v = if (is64) u64(t0 + w.toLong * k)
+                          else u32(t0 + w.toLong * k)
+                  v match {
+                    case Some(0L) | None => end = true
+                    case Some(x) if (is64 && x < 0) ||
+                        (!is64 && (x & 0x80000000L) != 0) =>
+                      fs += s"ord${x & 0xffffL}"
+                    case Some(rva) =>
+                      rvaToOff(rva).flatMap(o => asciiAt(o + 2))
+                        .foreach(fs += _)
+                  }
+                  k += 1
+                }
+                fs.result()
+              }.getOrElse(Nil)
+              dll.foreach(n => out += ((n, funcs)))
+              d += 1
+            case _ => stop = true
+          }
+        }
+        out.result()
+      }).getOrElse(IndexedSeq.empty)
       PeInfo(machine, nSec, ts, chars,
         subsystem = if (known) u16(opt + 68) else None,
         is32 = is32, is64 = is64,
         imageBase =
           if (is64) u64(opt + 24) else if (is32) u32(opt + 28) else None,
-        entryOff = entryOff)
+        entryOff = entryOff,
+        sections = sections, imports = imports)
     }
   }
 
@@ -936,6 +1134,98 @@ object Yara {
     }
   }
 
+  /** `magic` module subset — `magic.type()` / `magic.mime_type()`
+    * over a deterministic signature table (libyara delegates to
+    * libmagic; this models libmagic's descriptions for the formats a
+    * capture payload plausibly carries, and rules should match with
+    * `contains`). Executable formats reuse the already-parsed PE/ELF
+    * facts for the detail words (PE32+/DLL/console, ELF class/endian/
+    * type/machine).
+    */
+  private def magicDescribe(b: Array[Byte], pe: Option[PeInfo],
+      elf: Option[ElfInfo]): (String, String) = {
+    def has(off: Int, sig: Int*): Boolean =
+      off + sig.length <= b.length &&
+        sig.indices.forall(i => (b(off + i) & 0xff) == sig(i))
+    def ascii(off: Int, s: String): Boolean =
+      has(off, s.map(_.toInt): _*)
+    pe match {
+      case Some(p) =>
+        val cls = if (p.is64) "PE32+" else "PE32"
+        val dll = if ((p.characteristics & 0x2000L) != 0) " (DLL)" else ""
+        val sub = p.subsystem match {
+          case Some(2L) => " (GUI)"
+          case Some(3L) => " (console)"
+          case Some(1L) => " (native)"
+          case _ => ""
+        }
+        val mach = p.machine match {
+          case 0x14cL => "Intel 80386"
+          case 0x8664L => "x86-64"
+          case 0x1c0L => "ARM"
+          case 0xaa64L => "Aarch64"
+          case m => f"unknown arch 0x$m%x"
+        }
+        return (s"$cls executable$dll$sub $mach, for MS Windows",
+          "application/x-dosexec")
+      case None if ascii(0, "MZ") =>
+        return ("MS-DOS executable", "application/x-dosexec")
+      case None =>
+    }
+    elf match {
+      case Some(e) if b.length > 5 =>
+        val cls = if (b(4) == 2) "64-bit" else "32-bit"
+        val end = if (b(5) == 2) "MSB" else "LSB"
+        val (kind, mime) = e.etype match {
+          case 1L => ("relocatable", "application/x-object")
+          case 2L => ("executable", "application/x-executable")
+          case 3L => ("shared object", "application/x-sharedlib")
+          case 4L => ("core file", "application/x-coredump")
+          case _ => ("data", "application/octet-stream")
+        }
+        val mach = e.machine match {
+          case 3L => "Intel 80386"
+          case 40L => "ARM"
+          case 62L => "x86-64"
+          case 183L => "ARM aarch64"
+          case m => s"unknown machine $m"
+        }
+        return (s"ELF $cls $end $kind, $mach", mime)
+      case _ =>
+    }
+    if (has(0, 0x89, 'P', 'N', 'G')) ("PNG image data", "image/png")
+    else if (has(0, 0xff, 0xd8, 0xff)) ("JPEG image data", "image/jpeg")
+    else if (ascii(0, "GIF87a") || ascii(0, "GIF89a"))
+      ("GIF image data", "image/gif")
+    else if (ascii(0, "BM") && b.length > 14) ("PC bitmap", "image/bmp")
+    else if (ascii(0, "%PDF-")) ("PDF document", "application/pdf")
+    else if (has(0, 'P', 'K', 3, 4)) ("Zip archive data", "application/zip")
+    else if (has(0, 0x1f, 0x8b)) ("gzip compressed data", "application/gzip")
+    else if (ascii(0, "BZh"))
+      ("bzip2 compressed data", "application/x-bzip2")
+    else if (has(0, 0xfd, '7', 'z', 'X', 'Z', 0))
+      ("XZ compressed data", "application/x-xz")
+    else if (has(0, 0x28, 0xb5, 0x2f, 0xfd))
+      ("Zstandard compressed data", "application/zstd")
+    else if (ascii(0, "7z") && has(2, 0xbc, 0xaf, 0x27, 0x1c))
+      ("7-zip archive data", "application/x-7z-compressed")
+    else if (ascii(0, "Rar!")) ("RAR archive data", "application/x-rar")
+    else if (ascii(257, "ustar")) ("POSIX tar archive", "application/x-tar")
+    else if (ascii(0, "RIFF") && ascii(8, "WAVE"))
+      ("RIFF (little-endian) data, WAVE audio", "audio/x-wav")
+    else if (ascii(0, "OggS")) ("Ogg data", "audio/ogg")
+    else if (has(0, 0xd4, 0xc3, 0xb2, 0xa1) ||
+      has(0, 0xa1, 0xb2, 0xc3, 0xd4))
+      ("tcpdump capture file", "application/vnd.tcpdump.pcap")
+    else if (has(0, 0x0a, 0x0d, 0x0d, 0x0a))
+      ("pcapng capture file", "application/x-pcapng")
+    else if (b.nonEmpty && b.forall(c =>
+      (c >= 0x20 && c < 0x7f) || c == '\n' || c == '\r' || c == '\t')) {
+      if (ascii(0, "#!")) ("ASCII text executable", "text/plain")
+      else ("ASCII text", "text/plain")
+    } else ("data", "application/octet-stream")
+  }
+
   /** Module numeric constants usable anywhere a literal is. */
   private val modConsts = Map(
     "pe.MACHINE_I386" -> 0x14cL, "pe.MACHINE_AMD64" -> 0x8664L,
@@ -948,8 +1238,18 @@ object Yara {
   private val modNumFields = Set("pe.is_pe", "pe.machine",
     "pe.number_of_sections", "pe.timestamp", "pe.characteristics",
     "pe.subsystem", "pe.entry_point", "pe.image_base",
+    "pe.number_of_imports", "pe.number_of_imported_functions",
     "elf.type", "elf.machine", "elf.entry_point",
     "elf.number_of_sections")
+  /** `pe.sections[i].<member>` numeric members. */
+  private val secNumFields = Set("virtual_address", "virtual_size",
+    "raw_data_offset", "raw_data_size", "characteristics")
+  /** String operators usable on module strings (i-prefix folds case). */
+  private val strOps = Set("==", "!=", "contains", "icontains",
+    "startswith", "istartswith", "endswith", "iendswith")
+  /** String module functions (called with parens, like YARA). */
+  private val modStrFuns = Set("pe.imphash", "magic.type",
+    "magic.mime_type")
   /** Module boolean functions — parse with optional `()`, yield 1/0. */
   private val modBoolFuns = Set("pe.is_dll", "pe.is_32bit", "pe.is_64bit")
   /** Binary numeric operator precedence (C-like, per the YARA spec);
@@ -976,6 +1276,9 @@ object Yara {
         // dotted tail admits module calls (math.entropy); `..` never
         // collides because an ident-internal dot is letter-followed
         "|[#@!$]?[A-Za-z_][A-Za-z0-9_]*(?:\\.[A-Za-z_][A-Za-z0-9_]*)*\\*?" +
+        // leading-dot member selector after an index bracket
+        // (`pe.sections[i].name`)
+        "|\\.[A-Za-z_][A-Za-z0-9_]*" +
         "|[#@$!]" +
         "|[-+*\\\\%&|^~<>(),\\[\\]:]")
     val m = p.matcher(s)
@@ -1059,7 +1362,21 @@ object Yara {
         // optional here
         if (toks.headOption.contains("(")) { next(); expect(")") }
         ModField(t)
+      case "pe.sections" =>
+        val (fld, idx) = secMember()
+        if (!secNumFields(fld)) fail("." + fld)
+        SecField(fld, idx)
+      case t if boundVar.contains(t) => NumLoopVar
       case t => NumLit(numLit(t))
+    }
+    // `[ idxExpr ] .member` tail of a pe.sections reference
+    def secMember(): (String, NumE) = {
+      expect("[")
+      val idx = numExpr()
+      expect("]")
+      val fld = next()
+      if (!fld.startsWith(".") || fld.length < 2) fail(fld)
+      (fld.drop(1), idx)
     }
     // precedence climbing over an already-parsed left operand
     def numExprCont(first: NumE, min: Int): NumE = {
@@ -1080,6 +1397,14 @@ object Yara {
       val op = next()
       if (!cmpOps(op)) fail(op)
       NumCmp(a, op, numExpr())
+    }
+    // `<strE> op "literal"` — module-string comparison
+    def strCmpTail(a: StrE): Cond = {
+      val op = next()
+      if (!strOps(op)) fail(op)
+      val lit = next()
+      if (!(lit.length >= 2 && lit.startsWith("\""))) fail(lit)
+      StrCmp(a, op, unescape(lit.drop(1).dropRight(1)))
     }
     def rangeTail(): (NumE, NumE) = {
       expect("(")
@@ -1250,6 +1575,20 @@ object Yara {
           HashCmp(t.drop(5), off, len, op,
             unescape(lit.drop(1).dropRight(1))
               .toLowerCase(java.util.Locale.ROOT))
+        case "pe.sections" =>
+          // `.name` opens a string comparison; numeric members open a
+          // general numeric comparison
+          val (fld, idx) = secMember()
+          fld match {
+            case "name" => strCmpTail(SecNameE(idx))
+            case f if secNumFields(f) => numCmpTail(SecField(f, idx))
+            case other => fail("." + other)
+          }
+        case t if modStrFuns.contains(t) =>
+          // `pe.imphash()` / `magic.type()` / `magic.mime_type()` —
+          // YARA spells these as calls
+          expect("("); expect(")")
+          strCmpTail(ModStrFun(t))
         case t if modConsts.contains(t) || modNumFields.contains(t) ||
             modBoolFuns.contains(t) =>
           // `pe.is_dll()` / bare `pe.is_pe` as a truth test, or a

@@ -158,6 +158,17 @@ class YaraSpec extends AnyFunSuite with SparkSpecBase {
     assert(!tags("concatenate").contains("yara:C4"))
   }
 
+  test("at with a 64-bit offset expression is false, never a wrapped Int") {
+    // 0x100000000 truncated to Int is 0 — YARA evaluates the comparison
+    // as plain false for any offset beyond the payload, so a string that
+    // DOES occur at offset 0 must not match
+    val rules = Yara.parse(
+      """rule W1 { strings: $m = "MZ" condition: $m at 0x100000000 }
+        rule W2 { strings: $m = "MZ" condition: $m at 2147483648 }
+        rule W3 { strings: $m = "MZ" condition: $m at (0 - 4) }""")
+    assert(Yara.scan(rules, "MZdata".getBytes("ISO-8859-1")).isEmpty)
+  }
+
   test("of ($prefix*) string-set conditions") {
     val rules = Yara.parse(
       "rule P { strings: $a1 = \"foo\" $a2 = \"bar\" $b1 = \"zap\" " +
@@ -547,6 +558,134 @@ class YaraSpec extends AnyFunSuite with SparkSpecBase {
       Set("yara:IsDll", "yara:Hdr", "yara:Entry"))
     // non-PE payload: every pe.* field undefined → no rule fires
     assert(Yara.scan(rules, b("plain text payload")).isEmpty)
+  }
+
+  test("pe module: sections, imports, imphash and magic on a PE32 image") {
+    // PE32, two named sections, one import descriptor (KERNEL32.dll →
+    // LoadLibraryA, GetProcAddress) laid out per the public PE/COFF spec
+    val img = new Array[Byte](0x800)
+    def w16(i: Int, v: Int): Unit = {
+      img(i) = (v & 0xff).toByte; img(i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    def w32(i: Int, v: Long): Unit = {
+      w16(i, (v & 0xffff).toInt); w16(i + 2, ((v >> 16) & 0xffff).toInt)
+    }
+    def ws(i: Int, s: String): Unit =
+      s.getBytes("ISO-8859-1").zipWithIndex.foreach {
+        case (c, k) => img(i + k) = c
+      }
+    w16(0, 0x5a4d); w32(0x3c, 0x80)
+    w32(0x80, 0x4550)
+    w16(0x84, 0x14c) // Intel 80386
+    w16(0x86, 2) // two sections
+    w16(0x94, 0xe0) // optional header size
+    w16(0x96, 0x0102) // EXECUTABLE | 32BIT (not a DLL)
+    val opt = 0x98
+    w16(opt, 0x10b) // PE32
+    w32(opt + 16, 0x1000) // entry RVA (.text)
+    w32(opt + 28, 0x400000L) // image base
+    w16(opt + 68, 3) // subsystem console
+    w32(opt + 104, 0x2000) // DataDirectory[1]: import table RVA
+    w32(opt + 108, 0x80)
+    val s0 = opt + 0xe0
+    ws(s0, ".text")
+    w32(s0 + 8, 0x1000); w32(s0 + 12, 0x1000)
+    w32(s0 + 16, 0x200); w32(s0 + 20, 0x400)
+    w32(s0 + 36, 0x60000020L) // CODE | EXECUTE | READ
+    val s1 = s0 + 40
+    ws(s1, ".idata")
+    w32(s1 + 8, 0x1000); w32(s1 + 12, 0x2000)
+    w32(s1 + 16, 0x200); w32(s1 + 20, 0x600)
+    w32(s1 + 36, 0xc0000040L) // INITIALIZED | READ | WRITE
+    // import descriptor (rva 0x2000 → file 0x600) + terminator
+    w32(0x600, 0x2040) // OriginalFirstThunk
+    w32(0x60c, 0x2030) // Name
+    w32(0x610, 0x2050) // FirstThunk
+    ws(0x630, "KERNEL32.dll")
+    w32(0x640, 0x2060); w32(0x644, 0x2070) // OFT thunks, 0-terminated
+    w32(0x650, 0x2060); w32(0x654, 0x2070)
+    ws(0x662, "LoadLibraryA") // hint/name: u16 hint then name
+    ws(0x672, "GetProcAddress")
+
+    val rules = Yara.parse(
+      """import "pe"
+        |import "magic"
+        |rule Secs { condition: pe.number_of_sections == 2 and
+        |  pe.sections[0].name == ".text" and
+        |  pe.sections[1].name == ".idata" and
+        |  pe.sections[1].virtual_address == 0x2000 and
+        |  pe.sections[0].raw_data_size == 0x200 and
+        |  pe.sections[0].raw_data_offset == 0x400 and
+        |  pe.sections[0].virtual_size == 0x1000 and
+        |  pe.sections[0].characteristics & 0x20000000 != 0 }
+        |rule SecLoop { condition:
+        |  for any i in (0..pe.number_of_sections - 1) :
+        |    ( pe.sections[i].name startswith ".ida" ) }
+        |rule SecLoopAll { condition:
+        |  for all i in (0..pe.number_of_sections - 1) :
+        |    ( pe.sections[i].raw_data_size == 0x200 ) }
+        |rule OutOfRange { condition:
+        |  pe.sections[5].name == ".text" or
+        |  pe.sections[0 - 1].raw_data_size == 0 }
+        |rule Imports { condition: pe.number_of_imports == 1 and
+        |  pe.number_of_imported_functions == 2 }
+        |rule Imphash { condition:
+        |  pe.imphash() == "87bed5a7cba00c7e1f4015f1bdae2183" }
+        |rule Magic { condition:
+        |  magic.type() contains "PE32 executable" and
+        |  magic.type() contains "(console)" and
+        |  magic.type() icontains "intel 80386" and
+        |  magic.mime_type() == "application/x-dosexec" }""".stripMargin)
+    val got = Yara.scan(rules, img).toSet
+    assert(got == Set("yara:Secs", "yara:SecLoop", "yara:SecLoopAll",
+      "yara:Imports", "yara:Imphash", "yara:Magic"),
+      s"got $got")
+    // OutOfRange absent: pe.sections[5] / [-1] are undefined = false,
+    // never a throw or a wrapped index; non-PE payload leaves all cold
+    assert(Yara.scan(rules, b("plain text")).isEmpty)
+  }
+
+  test("pe module: no import table yields imphash of the empty list") {
+    val img = new Array[Byte](0x200)
+    def w16(i: Int, v: Int): Unit = {
+      img(i) = (v & 0xff).toByte; img(i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    w16(0, 0x5a4d); w16(0x3c, 0x80)
+    img(0x80) = 'P'; img(0x81) = 'E' // PE\0\0
+    w16(0x84, 0x14c); w16(0x86, 0) // zero sections
+    w16(0x94, 0xe0); w16(0x96, 0x0102)
+    w16(0x98, 0x10b)
+    val rules = Yara.parse(
+      """rule NoImp { condition: pe.number_of_imports == 0 and
+        |  pe.imphash() == "d41d8cd98f00b204e9800998ecf8427e" }"""
+        .stripMargin)
+    assert(Yara.scan(rules, img).nonEmpty)
+  }
+
+  test("magic module signatures: text, png, pcap, gzip, elf") {
+    val rules = Yara.parse(
+      """rule Txt { condition: magic.type() == "ASCII text" and
+        |  magic.mime_type() == "text/plain" }
+        |rule Png { condition: magic.mime_type() == "image/png" }
+        |rule Cap { condition:
+        |  magic.type() contains "tcpdump capture" }
+        |rule Gz { condition: magic.mime_type() == "application/gzip" }
+        |rule SharedElf { condition:
+        |  magic.type() contains "ELF 64-bit LSB shared object" and
+        |  magic.mime_type() == "application/x-sharedlib" }"""
+        .stripMargin)
+    def only(bs: Array[Byte], want: String) =
+      assert(Yara.scan(rules, bs).toSet == Set(want))
+    only(b("hello, world\n"), "yara:Txt")
+    only(Array[Byte](0x89.toByte, 'P', 'N', 'G', 13, 10, 26, 10),
+      "yara:Png")
+    only(Array[Byte](0xd4.toByte, 0xc3.toByte, 0xb2.toByte, 0xa1.toByte),
+      "yara:Cap")
+    only(Array[Byte](0x1f, 0x8b.toByte, 8), "yara:Gz")
+    val elf = new Array[Byte](64)
+    elf(0) = 0x7f; elf(1) = 'E'; elf(2) = 'L'; elf(3) = 'F'
+    elf(4) = 2; elf(5) = 1; elf(16) = 3; elf(18) = 62
+    only(elf, "yara:SharedElf")
   }
 
   test("elf module: header fields on a synthetic ELF64 image") {
