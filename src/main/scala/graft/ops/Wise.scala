@@ -214,6 +214,128 @@ object Wise {
       .otherwise(lit(null).cast("long"))
   }
 
+  // --------------------------------------------------- concrete loaders
+  /** One field mapping of a simpleSource feed: `path` is the
+    * dotted path into each JSON item (the reference's `shortcut`),
+    * `field` the session-field expression the value lands in, `mod`
+    * the case fold (0 none, 1 lower, 2 upper — `kind:lotermfield` /
+    * `kind:uptermfield`, wiseSource.js:155-165).
+    */
+  final case class FeedField(path: String, field: String, mod: Int = 0)
+
+  /** Parse one reference `fields=` definition line —
+    * `field:<exp>;db:…;kind:lotermfield;…;shortcut:<path>`
+    * (wiseSource.js parseFieldDef:146-170). Lines without a
+    * `shortcut:` map no JSON value and yield nothing; `view:` lines are
+    * UI-side and skipped.
+    */
+  def parseFieldDef(line: String): Option[FeedField] = {
+    val l = line.stripPrefix("#")
+    if (!l.startsWith("field:")) return None
+    val exp = l.substring("field:".length).takeWhile(_ != ';')
+    val shortcut = "shortcut:([^;]+)".r.findFirstMatchIn(l).map(_.group(1))
+    val mod = "kind:([^;]+)".r.findFirstMatchIn(l).map(_.group(1)) match {
+      case Some("lotermfield") => 1
+      case Some("uptermfield") => 2
+      case _ => 0
+    }
+    shortcut.map(s => FeedField(s, exp, mod))
+  }
+
+  /** url-json source adapter — source.url.js + the simpleSource base
+    * class with `format=json` (wiseSource.js parseJSON:263-330): fetch
+    * the whole feed, walk `arrayPath` to the item array, take each
+    * item's `keyPath` value as the lookup key (an array key fans out,
+    * parseJSON:318-323), and map each [[FeedField]]'s path to a
+    * (field, value) pair, case-folded per its kind. `url`-typed keys
+    * drop a leading `http://` (simpleSource.js load():148-151). Items
+    * whose key resolves but match no field still register the key
+    * (the reference's emptyResult — the source's tags apply on hit) as
+    * a row with null field/value.
+    *
+    * The feed is an intel dimension — tiny by definition — so the body
+    * is read and walked on the driver, exactly like the reference
+    * service holds it in memory; the resulting entries frame then rides
+    * the normal broadcast-join path of [[lookup]]/[[lookupIp]].
+    * `url` accepts `http(s)://` (with optional request headers,
+    * source.url.js:36-48), `file://`, or a bare filesystem path.
+    */
+  def fromJsonUrl(
+      spark: org.apache.spark.sql.SparkSession,
+      name: String,
+      typ: String,
+      url: String,
+      keyPath: String,
+      arrayPath: Option[String] = None,
+      fieldDefs: Seq[String] = Nil,
+      tags: Seq[String] = Nil,
+      headers: Map[String, String] = Map.empty): Source = {
+    val body = readBody(url, headers)
+    val defs = fieldDefs.flatMap(parseFieldDef)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    var node = mapper.readTree(body)
+    for (p <- arrayPath.toSeq; seg <- p.split('.')) {
+      node = node.path(seg)
+      require(!node.isMissingNode, s"wise $name: no '$seg' in feed")
+    }
+    require(node.isArray, s"wise $name: feed is not an array")
+    def walk(item: com.fasterxml.jackson.databind.JsonNode,
+        path: String): com.fasterxml.jackson.databind.JsonNode =
+      path.split('.').foldLeft(item)((n, seg) => n.path(seg))
+    def keyText(k: com.fasterxml.jackson.databind.JsonNode): String = {
+      val s = k.asText()
+      if (typ == "url" && s.startsWith("http://")) s.substring(7) else s
+    }
+    val rows = Seq.newBuilder[(String, String, String)]
+    node.forEach { item =>
+      val k = walk(item, keyPath)
+      if (!k.isMissingNode && !k.isNull) {
+        val keys =
+          if (k.isArray) {
+            val b = Seq.newBuilder[String]
+            k.forEach(e => b += keyText(e))
+            b.result()
+          } else Seq(keyText(k))
+        val kvs = defs.flatMap { d =>
+          val v = walk(item, d.path)
+          if (v.isMissingNode || v.isNull || v.asText().isEmpty) None
+          else Some((d.field, d.mod match {
+            case 1 => v.asText().toLowerCase(java.util.Locale.ROOT)
+            case 2 => v.asText().toUpperCase(java.util.Locale.ROOT)
+            case _ => v.asText()
+          }))
+        }
+        keys.filter(_.nonEmpty).foreach { key =>
+          if (kvs.isEmpty) rows += ((key, null, null))
+          else kvs.foreach { case (f, v) => rows += ((key, f, v)) }
+        }
+      }
+    }
+    import spark.implicits._
+    Source(name, typ, rows.result().toDF("key", "field", "value"), tags)
+  }
+
+  /** Fetch a feed body: http(s) GET with headers, or a local file. */
+  private def readBody(url: String, headers: Map[String, String]): String = {
+    if (url.startsWith("http://") || url.startsWith("https://")) {
+      val conn = new java.net.URL(url).openConnection()
+        .asInstanceOf[java.net.HttpURLConnection]
+      headers.foreach { case (k, v) => conn.setRequestProperty(k, v) }
+      conn.setConnectTimeout(30000)
+      conn.setReadTimeout(60000)
+      try {
+        require(conn.getResponseCode == 200,
+          s"wise feed $url: HTTP ${conn.getResponseCode}")
+        new String(conn.getInputStream.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8)
+      } finally conn.disconnect()
+    } else {
+      val p = if (url.startsWith("file://")) url.substring(7) else url
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(p)), java.nio.charset.StandardCharsets.UTF_8)
+    }
+  }
+
   /** Source-level tags for hits (wiseSource.js tagsSetting): one row per
     * (fact, tag), set-semantics union across sources — feed the result
     * of `lookup`/`lookupIp`.
