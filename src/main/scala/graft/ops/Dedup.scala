@@ -469,18 +469,78 @@ object Dedup {
 
   /** Embedding near-dup pairs within a blocking key (label, LSH bucket, …):
     * cosine ≥ threshold. Fold order matches the SQL oracle exactly.
+    *
+    * Hot-block guard: all-pairs within a block is quadratic, which is
+    * the contract (SURVEY D5 block-local pairs) — but the API would
+    * otherwise let a careless block key (one giant block) blow up at
+    * scale. Blocks over `maxBlockExact` rows route through a sign-LSH
+    * banding pre-filter INSIDE the block: `nBands` bands of
+    * `bandSigBits` hyperplane signs each ([[Similarity.lshBucket]]),
+    * with each band signature folded into `ceil(blockRows /
+    * targetBucket)` buckets — the bucket count scales WITH the block,
+    * so candidate pairs stay ~(rows × targetBucket × nBands) — linear
+    * in the block, not quadratic — and the (block, band, bucket) join
+    * key also spreads the hot block across the shuffle instead of
+    * landing it in one task. Only pairs agreeing on at least one band
+    * bucket are cosine-verified: exact verification still applies to
+    * every candidate, so the trade on an oversized block is recall of
+    * the pre-filter (identical vectors always collide; recall decays
+    * with angle — the same banding bet every LSH dedupe in this file
+    * makes), never precision. Blocks at or under the cap are
+    * bit-identical to the all-pairs oracle.
     */
   def embeddingNearDup(
       df: DataFrame, vec: Column, idCol: Column, blockKey: Column,
-      threshold: Double): DataFrame = {
-    val side = df.select(idCol.as("vec_a"), blockKey.as("block"),
-      Similarity.pack(Similarity.toDouble(vec)).as("va"))
-      .withColumn("na", Similarity.normBin(col("va")))
-    val other = df.select(idCol.as("vec_b"), blockKey.as("block"),
-      Similarity.pack(Similarity.toDouble(vec)).as("vb"))
-      .withColumn("nb", Similarity.normBin(col("vb")))
-    side.join(other, Seq("block"))
+      threshold: Double, maxBlockExact: Int = 10000,
+      nBands: Int = 4, bandSigBits: Int = 12,
+      targetBucket: Int = 64): DataFrame = {
+    val base = df.select(idCol.as("_vid"), blockKey.as("block"),
+      Similarity.toDouble(vec).as("_vd"))
+    // per-block row counts: tiny agg frame, equi-joined back (AQE
+    // broadcasts it at real block cardinalities)
+    val sizes = base.groupBy("block").agg(count(lit(1)).as("_bn"))
+    val sized = base.join(sizes, "block")
+    def packSide(src: DataFrame, keys: Seq[String],
+        suffix: String): DataFrame =
+      src.select((keys.map(col) :+ col("_vid").as(s"vec_$suffix") :+
+        col("_vp").as(s"v$suffix") :+ col("_n").as(s"n$suffix")): _*)
+    // blocks at/under the cap: the original all-pairs shape
+    val small = sized.filter(col("_bn") <= maxBlockExact)
+      .select(col("block"), col("_vid"),
+        Similarity.pack(col("_vd")).as("_vp"))
+      .withColumn("_n", Similarity.normBin(col("_vp")))
+    val smallPairs = packSide(small, Seq("block"), "a")
+      .join(packSide(small, Seq("block"), "b"), Seq("block"))
       .filter(col("vec_a") < col("vec_b"))
+    // oversized blocks: band the sign signature, fold each band into a
+    // block-size-scaled bucket count, join on (block, band, bucket),
+    // dedupe multi-band candidates
+    val dim = df.select(size(vec)).limit(1).collect()
+      .headOption.map(_.getInt(0)).getOrElse(1)
+    val bandMask = (1L << bandSigBits) - 1
+    val nBuckets = greatest(
+      ceil(col("_bn").cast("double") / targetBucket).cast("long"), lit(16L))
+    val banded = sized.filter(col("_bn") > maxBlockExact)
+      .withColumn("_sig", Similarity.lshBucket(col("_vd"),
+        nBands * bandSigBits, math.max(dim, 1)))
+      .select(col("block"), col("_vid"),
+        Similarity.pack(col("_vd")).as("_vp"), col("_sig"),
+        nBuckets.as("_nbk"))
+      .withColumn("_n", Similarity.normBin(col("_vp")))
+      .select(col("block"), col("_vid"), col("_vp"), col("_n"),
+        explode(array((0 until nBands).map(k => struct(lit(k).as("band"),
+          pmod(shiftright(col("_sig"), k * bandSigBits)
+            .bitwiseAND(bandMask), col("_nbk")).as("bkey"))): _*)).as("_b"))
+      .select(col("block"), col("_vid"), col("_vp"), col("_n"),
+        col("_b.band").as("band"), col("_b.bkey").as("bkey"))
+    val bigPairs = packSide(banded, Seq("block", "band", "bkey"), "a")
+      .join(packSide(banded, Seq("block", "band", "bkey"), "b"),
+        Seq("block", "band", "bkey"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b", "va", "vb", "na", "nb")
+      .dropDuplicates("vec_a", "vec_b")
+    smallPairs.select("vec_a", "vec_b", "va", "vb", "na", "nb")
+      .unionByName(bigPairs)
       .withColumn("cosine",
         Similarity.dotBin(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("cosine") >= threshold)

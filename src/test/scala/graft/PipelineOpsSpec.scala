@@ -154,6 +154,39 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpecBase {
     assert(cut2.agg(sum("hit")).head.getLong(0) == 7L)
   }
 
+  test("embeddingNearDup: exact under cap; hot block banding keeps identical pairs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val baseVecs = (0 until 40).map(i =>
+      (i, Array.fill(16)(rnd.nextFloat() * 2 - 1)))
+    // every base vector appears twice (ids i and i+1000) in ONE block
+    val rows = baseVecs.flatMap { case (i, v) =>
+      Seq((i.toLong, v.toSeq), (i + 1000L, v.toSeq))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+      .withColumn("block", lit("hot"))
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      d / (math.sqrt(a.map(x => x.toDouble * x).sum) *
+        math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    val expected = (for {
+      (ia, va) <- rows; (ib, vb) <- rows
+      if ia < ib && cos(va, vb) >= 0.999
+    } yield (ia, ib)).toSet
+    assert(expected.size == 40, "seed sanity: only the planted twins")
+    def run(cap: Int): Set[(Long, Long)] =
+      Dedup.embeddingNearDup(df, col("embedding"), col("vec_id"),
+        col("block"), threshold = 0.999, maxBlockExact = cap)
+        .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    // under the cap: the all-pairs oracle shape, bit-exact
+    assert(run(1000) == expected)
+    // over the cap: banding pre-filter — identical vectors agree on
+    // every sign band, so all twins survive; cosine verify keeps
+    // precision exact
+    assert(run(5) == expected)
+  }
+
   test("minhash candidates is symmetric-free and ordered") {
     val pairs = Dedup.minhashCandidates(docs, col("text"), col("doc_id")).collect()
     assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))

@@ -63,4 +63,33 @@ class ScaleProbeSpec extends AnyFunSuite with SparkSpecBase {
       assert(r < 15.0, s"$name grew ${r}x on a 10x corpus — superlinear")
     }
   }
+
+  test("embeddingNearDup hot block grows ~linearly under the cap guard") {
+    // one giant block of DISTINCT vectors — the adversarial case the
+    // maxBlockExact guard exists for: all-pairs would be 100x here;
+    // the count-scaled band buckets keep candidates ~linear
+    import graft.ops.Dedup
+    def frame(n: Int) = spark.range(n)
+      .select(col("id").as("vec_id"), expr(
+        "transform(sequence(1,16), k -> " +
+          "cast(pmod(hash(id, k), 1000) as double)/1000 - 0.5)")
+        .as("embedding"))
+      .withColumn("block", lit("hot"))
+    def time(n: Int): Double = {
+      def q = Dedup.embeddingNearDup(frame(n), col("embedding"),
+        col("vec_id"), col("block"), threshold = 0.95,
+        maxBlockExact = 500)
+      q.count() // warmup
+      (0 until 2).map { _ =>
+        val t0 = System.nanoTime()
+        q.count()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    }
+    val s = time(2000)
+    val b = time(20000)
+    info(f"hot-block neardup small=$s%.2fs big=$b%.2fs ratio=${b / s}%.1fx")
+    assert(b / s < 15.0,
+      s"hot block grew ${b / s}x on 10x rows — the cap guard is not linear")
+  }
 }
