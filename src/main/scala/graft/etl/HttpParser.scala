@@ -119,15 +119,21 @@ object HttpParser {
       val limit = math.min(stream.length - off, 64 * 1024)
       var hEnd = -1
       var sepLen = 0
+      // anchored on '\n' (every terminator contains one): one compare
+      // per byte instead of the four-way check — this scan is the
+      // hottest loop of the whole ingest profile. First-match-wins
+      // order is preserved: for an '\n' at j the CRLFCRLF candidate
+      // (hEnd = j-1) precedes the LFLF candidate (hEnd = j), and '\n's
+      // are visited ascending.
       var si = 0
       while (hEnd < 0 && si < limit) {
-        val c = stream(off + si)
-        if (c == '\r' && si + 3 < limit && stream(off + si + 1) == '\n' &&
-          stream(off + si + 2) == '\r' && stream(off + si + 3) == '\n') {
-          hEnd = si; sepLen = 4
-        } else if (c == '\n' && si + 1 < limit &&
-          stream(off + si + 1) == '\n') {
-          hEnd = si; sepLen = 2
+        if (stream(off + si) == '\n') {
+          if (si >= 1 && si + 2 < limit && stream(off + si - 1) == '\r' &&
+            stream(off + si + 1) == '\r' && stream(off + si + 2) == '\n') {
+            hEnd = si - 1; sepLen = 4
+          } else if (si + 1 < limit && stream(off + si + 1) == '\n') {
+            hEnd = si; sepLen = 2
+          }
         }
         si += 1
       }
