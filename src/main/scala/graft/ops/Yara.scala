@@ -31,8 +31,10 @@ import scala.collection.mutable
   *     `elf.type/machine/…`) parsed from the payload per the public
   *     PE/COFF and ELF specs, including the section table
   *     (`pe.sections[i].name/virtual_address/virtual_size/
-  *     raw_data_offset/raw_data_size/characteristics`, index loops
-  *     welcome), the import table (`pe.number_of_imports`,
+  *     raw_data_offset/raw_data_size/characteristics`, via indexed
+  *     loops or the `for any section in pe.sections : (…)` iterator
+  *     form), the export table (`pe.number_of_exports`, `pe.dll_name`,
+  *     `pe.exports("name")`), the import table (`pe.number_of_imports`,
   *     `pe.number_of_imported_functions`) and `pe.imphash()` (the
   *     public pefile/Mandiant normalization; ordinal imports hash as
   *     `ordN` — no baked-in ws2_32/oleaut32 ordinal-name table);
@@ -379,9 +381,14 @@ object Yara {
   /** `pe.sections[<idx>].name` — the 8-byte short name, NUL-cut. */
   final case class SecNameE(idx: NumE) extends StrE
   /** String module function: `pe.imphash()`, `magic.type()`,
-    * `magic.mime_type()`.
+    * `magic.mime_type()`; also the string FIELD `pe.dll_name`.
     */
   final case class ModStrFun(name: String) extends StrE
+  /** Module function of one string argument returning 1/0 —
+    * `pe.exports("name")` (case-sensitive export-name membership, like
+    * libyara's strcmp walk).
+    */
+  final case class ModStrArgFun(name: String, arg: String) extends NumE
   /** `<strE> op "literal"` — YARA's string operators over module
     * strings: `== != contains icontains startswith istartswith
     * endswith iendswith`. An undefined left side (non-PE payload,
@@ -497,6 +504,11 @@ object Yara {
               }
             }
           case NumFun(name, args) => evalFun(name, args)
+          case ModStrArgFun("pe.exports", arg) =>
+            peInfo.map(p => IntV(if (p.exports.contains(arg)) 1L else 0L))
+          case ModStrArgFun(other, _) =>
+            throw new IllegalArgumentException(
+              s"unsupported module function $other")
           case NumLoopVar => Some(IntV(iBind.toLong))
           case SecField(f, idxE) =>
             for {
@@ -527,6 +539,7 @@ object Yara {
             case "pe.number_of_imports" => peInfo.map(_.imports.size.toLong)
             case "pe.number_of_imported_functions" =>
               peInfo.map(_.numberOfImportedFunctions)
+            case "pe.number_of_exports" => peInfo.map(_.numberOfExports)
             case "elf.type" => elfInfo.map(_.etype)
             case "elf.machine" => elfInfo.map(_.machine)
             case "elf.entry_point" => elfInfo.flatMap(_.entry)
@@ -664,6 +677,7 @@ object Yara {
                     Some(p.sections(i.toInt)) else None
                 } yield s.name
               case ModStrFun("pe.imphash") => peInfo.map(_.imphash)
+              case ModStrFun("pe.dll_name") => peInfo.flatMap(_.dllName)
               case ModStrFun("magic.type") =>
                 Some(magicDescribe(b, peInfo, elfInfo)._1)
               case ModStrFun("magic.mime_type") =>
@@ -967,7 +981,10 @@ object Yara {
       is32: Boolean, is64: Boolean, imageBase: Option[Long],
       entryOff: Option[Long],
       sections: IndexedSeq[PeSection] = IndexedSeq.empty,
-      imports: IndexedSeq[(String, Seq[String])] = IndexedSeq.empty) {
+      imports: IndexedSeq[(String, Seq[String])] = IndexedSeq.empty,
+      exports: IndexedSeq[String] = IndexedSeq.empty,
+      numberOfExports: Long = 0L,
+      dllName: Option[String] = None) {
     def numberOfImportedFunctions: Long = imports.map(_._2.size.toLong).sum
     lazy val imphash: String = {
       val parts = imports.flatMap { case (dll, funcs) =>
@@ -1095,13 +1112,33 @@ object Yara {
         }
         out.result()
       }).getOrElse(IndexedSeq.empty)
+      // export table: DataDirectory[0] (PE32 base opt+96, PE32+
+      // opt+112): image name RVA at +12, ordinal base +16, function
+      // count +20, name count +24, name-pointer array RVA at +32
+      val (expDll, expNames, nExp) = (for {
+        expRva <- if (known)
+          u32(if (is64) opt + 112 else opt + 96).filter(_ != 0L)
+        else None
+        expOff <- rvaToOff(expRva)
+      } yield {
+        val dll = u32(expOff + 12).filter(_ != 0L)
+          .flatMap(rvaToOff).flatMap(asciiAt(_))
+        val nFuncs = u32(expOff + 20).getOrElse(0L)
+        val nNames = math.min(u32(expOff + 24).getOrElse(0L), 16384L).toInt
+        val names = u32(expOff + 32).flatMap(rvaToOff).map { n0 =>
+          (0 until nNames).flatMap(k =>
+            u32(n0 + 4L * k).flatMap(rvaToOff).flatMap(asciiAt(_)))
+        }.getOrElse(Seq.empty)
+        (dll, names.toIndexedSeq, nFuncs)
+      }).getOrElse((None, IndexedSeq.empty[String], 0L))
       PeInfo(machine, nSec, ts, chars,
         subsystem = if (known) u16(opt + 68) else None,
         is32 = is32, is64 = is64,
         imageBase =
           if (is64) u64(opt + 24) else if (is32) u32(opt + 28) else None,
         entryOff = entryOff,
-        sections = sections, imports = imports)
+        sections = sections, imports = imports,
+        exports = expNames, numberOfExports = nExp, dllName = expDll)
     }
   }
 
@@ -1239,6 +1276,7 @@ object Yara {
     "pe.number_of_sections", "pe.timestamp", "pe.characteristics",
     "pe.subsystem", "pe.entry_point", "pe.image_base",
     "pe.number_of_imports", "pe.number_of_imported_functions",
+    "pe.number_of_exports",
     "elf.type", "elf.machine", "elf.entry_point",
     "elf.number_of_sections")
   /** `pe.sections[i].<member>` numeric members. */
@@ -1305,6 +1343,14 @@ object Yara {
     def next(): String = if (toks.isEmpty) fail("<end>") else toks.dequeue()
     // the `for` loop variable in scope, for `@a[i]` validation
     var boundVar: Option[String] = None
+    // the `for … in pe.sections` iterator variable in scope: body tokens
+    // `<var>.<member>` resolve to pe.sections[<loop index>].<member>
+    var boundSecVar: Option[String] = None
+    def secVarField(t: String): Option[String] =
+      boundSecVar.collect {
+        case sv if t.startsWith(sv + ".") && t.length > sv.length + 1 =>
+          t.substring(sv.length + 1)
+      }
     def expect(t: String): Unit = if (next() != t) fail(t)
     // `@a[k]`/`!a[k]` ordinal bracket: loop variable → None (bound at
     // eval), digit → constant; a missing bracket means ordinal 1
@@ -1366,7 +1412,16 @@ object Yara {
         val (fld, idx) = secMember()
         if (!secNumFields(fld)) fail("." + fld)
         SecField(fld, idx)
+      case "pe.exports" =>
+        // `pe.exports("name")` — 1/0 like libyara's numeric return
+        expect("(")
+        val lit = next()
+        if (!(lit.length >= 2 && lit.startsWith("\""))) fail(lit)
+        expect(")")
+        ModStrArgFun("pe.exports", unescape(lit.drop(1).dropRight(1)))
       case t if boundVar.contains(t) => NumLoopVar
+      case t if secVarField(t).exists(secNumFields) =>
+        SecField(secVarField(t).get, NumLoopVar)
       case t => NumLit(numLit(t))
     }
     // `[ idxExpr ] .member` tail of a pe.sections reference
@@ -1482,13 +1537,29 @@ object Yara {
           if (pct) fail("%") // N% quantifies string sets, not ranges
           next()
           expect("in")
-          val (lo, hi) = rangeTail()
-          expect(":"); expect("(")
-          val saved = boundVar
-          boundVar = Some(v)
-          val body = try or() finally boundVar = saved
-          expect(")")
-          wrap(ForIndex(n, lo, hi, body))
+          if (toks.headOption.contains("pe.sections")) {
+            // `for any section in pe.sections : ( section.name … )` —
+            // the iterator form public rulesets use; desugars to an
+            // index loop over 0..number_of_sections-1 with the
+            // variable's members reading pe.sections[<loop index>]
+            next()
+            expect(":"); expect("(")
+            val savedS = boundSecVar
+            boundSecVar = Some(v)
+            val body = try or() finally boundSecVar = savedS
+            expect(")")
+            wrap(ForIndex(n, NumLit(0),
+              NumBin("-", ModField("pe.number_of_sections"), NumLit(1)),
+              body))
+          } else {
+            val (lo, hi) = rangeTail()
+            expect(":"); expect("(")
+            val saved = boundVar
+            boundVar = Some(v)
+            val body = try or() finally boundVar = saved
+            expect(")")
+            wrap(ForIndex(n, lo, hi, body))
+          }
         case other => fail(other.getOrElse("<end>"))
       }
     }
@@ -1584,6 +1655,24 @@ object Yara {
             case f if secNumFields(f) => numCmpTail(SecField(f, idx))
             case other => fail("." + other)
           }
+        case t if secVarField(t).isDefined =>
+          // section-iterator variable member (`section.name`, bound by
+          // `for … in pe.sections`)
+          secVarField(t).get match {
+            case "name" => strCmpTail(SecNameE(NumLoopVar))
+            case f if secNumFields(f) => numCmpTail(SecField(f, NumLoopVar))
+            case other => fail("." + other)
+          }
+        case "pe.exports" =>
+          // truth test or numeric comparison, like the bool functions
+          toks.prepend("pe.exports")
+          val left = numPrimary()
+          if (toks.headOption.exists(h => cmpOps(h) || numPrec.contains(h)))
+            numCmpTail(left)
+          else NumCmp(left, "!=", NumLit(0))
+        case "pe.dll_name" =>
+          // export-directory image name — a string FIELD (no parens)
+          strCmpTail(ModStrFun("pe.dll_name"))
         case t if modStrFuns.contains(t) =>
           // `pe.imphash()` / `magic.type()` / `magic.mime_type()` —
           // YARA spells these as calls

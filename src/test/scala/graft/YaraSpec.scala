@@ -585,6 +585,8 @@ class YaraSpec extends AnyFunSuite with SparkSpecBase {
     w32(opt + 16, 0x1000) // entry RVA (.text)
     w32(opt + 28, 0x400000L) // image base
     w16(opt + 68, 3) // subsystem console
+    w32(opt + 96, 0x2100) // DataDirectory[0]: export table RVA
+    w32(opt + 100, 0x80)
     w32(opt + 104, 0x2000) // DataDirectory[1]: import table RVA
     w32(opt + 108, 0x80)
     val s0 = opt + 0xe0
@@ -606,6 +608,15 @@ class YaraSpec extends AnyFunSuite with SparkSpecBase {
     w32(0x650, 0x2060); w32(0x654, 0x2070)
     ws(0x662, "LoadLibraryA") // hint/name: u16 hint then name
     ws(0x672, "GetProcAddress")
+    // export directory (rva 0x2100 → file 0x700)
+    w32(0x70c, 0x2130) // image name RVA
+    w32(0x710, 1) // ordinal base
+    w32(0x714, 2) // number of functions
+    w32(0x718, 2) // number of names
+    w32(0x720, 0x2150) // AddressOfNames RVA
+    ws(0x730, "payload.dll")
+    w32(0x750, 0x2160); w32(0x754, 0x2170) // name-pointer array
+    ws(0x760, "EvilFunc"); ws(0x770, "GetStuff")
 
     val rules = Yara.parse(
       """import "pe"
@@ -629,6 +640,18 @@ class YaraSpec extends AnyFunSuite with SparkSpecBase {
         |  pe.sections[0 - 1].raw_data_size == 0 }
         |rule Imports { condition: pe.number_of_imports == 1 and
         |  pe.number_of_imported_functions == 2 }
+        |rule SecIter { condition:
+        |  for any section in pe.sections :
+        |    ( section.name == ".idata" and
+        |      section.virtual_address == 0x2000 ) }
+        |rule SecIterAll { condition:
+        |  for all s in pe.sections : ( s.raw_data_size == 0x200 ) }
+        |rule SecIterMiss { condition:
+        |  for any section in pe.sections : ( section.name == ".evil" ) }
+        |rule Exports { condition: pe.number_of_exports == 2 and
+        |  pe.exports("EvilFunc") and not pe.exports("evilfunc") and
+        |  not pe.exports("Nope") and pe.dll_name == "payload.dll" and
+        |  pe.dll_name iendswith ".DLL" }
         |rule Imphash { condition:
         |  pe.imphash() == "87bed5a7cba00c7e1f4015f1bdae2183" }
         |rule Magic { condition:
@@ -638,7 +661,8 @@ class YaraSpec extends AnyFunSuite with SparkSpecBase {
         |  magic.mime_type() == "application/x-dosexec" }""".stripMargin)
     val got = Yara.scan(rules, img).toSet
     assert(got == Set("yara:Secs", "yara:SecLoop", "yara:SecLoopAll",
-      "yara:Imports", "yara:Imphash", "yara:Magic"),
+      "yara:Imports", "yara:Imphash", "yara:Magic",
+      "yara:SecIter", "yara:SecIterAll", "yara:Exports"),
       s"got $got")
     // OutOfRange absent: pe.sections[5] / [-1] are undefined = false,
     // never a throw or a wrapped index; non-PE payload leaves all cold
