@@ -494,17 +494,42 @@ object Dedup {
       threshold: Double, maxBlockExact: Int = 10000,
       nBands: Int = 4, bandSigBits: Int = 12,
       targetBucket: Int = 64): DataFrame = {
-    val base = df.select(idCol.as("_vid"), blockKey.as("block"),
-      Similarity.toDouble(vec).as("_vd"))
-    // per-block row counts: tiny agg frame, equi-joined back (AQE
-    // broadcasts it at real block cardinalities)
-    val sizes = base.groupBy("block").agg(count(lit(1)).as("_bn"))
-    val sized = base.join(sizes, "block")
+    // plan-time statistic, like lookupIp's prefix-length collect: one
+    // column-pruned scan of the block key decides which plan to build.
+    // The common no-hot-block case then pays ZERO plan overhead vs the
+    // plain all-pairs shape (no sizes join, no union of two subtrees),
+    // and the guarded case spends the scan it was going to spend on
+    // block counts anyway.
+    val maxBlock: Long = df.select(blockKey.as("block"))
+      .groupBy("block").count().agg(max("count")).collect()
+      .headOption.flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long]))
+      .getOrElse(0L)
+    def finish(pairs: DataFrame): DataFrame = pairs
+      .withColumn("cosine",
+        Similarity.dotBin(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cosine") >= threshold)
+      .select("vec_a", "vec_b", "cosine")
+      .orderBy("vec_a", "vec_b")
     def packSide(src: DataFrame, keys: Seq[String],
         suffix: String): DataFrame =
       src.select((keys.map(col) :+ col("_vid").as(s"vec_$suffix") :+
         col("_vp").as(s"v$suffix") :+ col("_n").as(s"n$suffix")): _*)
-    // blocks at/under the cap: the original all-pairs shape
+    val base = df.select(idCol.as("_vid"), blockKey.as("block"),
+      Similarity.toDouble(vec).as("_vd"))
+    if (maxBlock <= maxBlockExact) {
+      // every block at/under the cap: the original all-pairs shape
+      val packed = base.select(col("block"), col("_vid"),
+        Similarity.pack(col("_vd")).as("_vp"))
+        .withColumn("_n", Similarity.normBin(col("_vp")))
+      return finish(packSide(packed, Seq("block"), "a")
+        .join(packSide(packed, Seq("block"), "b"), Seq("block"))
+        .filter(col("vec_a") < col("vec_b")))
+    }
+    // hot blocks present: per-block row counts ride a tiny agg frame,
+    // equi-joined back (AQE broadcasts it at real block cardinalities);
+    // at/under-cap blocks keep the exact all-pairs branch
+    val sizes = base.groupBy("block").agg(count(lit(1)).as("_bn"))
+    val sized = base.join(sizes, "block")
     val small = sized.filter(col("_bn") <= maxBlockExact)
       .select(col("block"), col("_vid"),
         Similarity.pack(col("_vd")).as("_vp"))
@@ -539,13 +564,8 @@ object Dedup {
       .filter(col("vec_a") < col("vec_b"))
       .select("vec_a", "vec_b", "va", "vb", "na", "nb")
       .dropDuplicates("vec_a", "vec_b")
-    smallPairs.select("vec_a", "vec_b", "va", "vb", "na", "nb")
-      .unionByName(bigPairs)
-      .withColumn("cosine",
-        Similarity.dotBin(col("va"), col("vb")) / (col("na") * col("nb")))
-      .filter(col("cosine") >= threshold)
-      .select("vec_a", "vec_b", "cosine")
-      .orderBy("vec_a", "vec_b")
+    finish(smallPairs.select("vec_a", "vec_b", "va", "vb", "na", "nb")
+      .unionByName(bigPairs))
   }
 
   /** Benchmark-contamination pairs: corpus documents sharing at least one
