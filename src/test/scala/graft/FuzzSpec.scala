@@ -96,6 +96,57 @@ class FuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("garbage bpf filters parse or raise IllegalArgumentException; predicates run") {
+    val r = new scala.util.Random(29)
+    val toks = Seq("tcp", "udp", "ip", "ip6", "host", "net", "port",
+      "portrange", "src", "dst", "or", "and", "not", "!", "&&", "||",
+      "(", ")", "vlan", "less", "greater", "10.1.2.3", "10.0.0.0/8",
+      "443", "80-90", "7", "&", "|", "frob", "2001:db8::1", ":")
+    val pkt = graft.etl.Decode.DecodedPacket("f", 0, 0L, 0L, 116, 100,
+      "", "", 6, "10.1.2.3", "10.9.9.9", 40000, 443, 0, 0, 0L, 0L,
+      Array.emptyByteArray)
+    (0 until 500).foreach { _ =>
+      val s = Seq.fill(r.nextInt(12))(toks(r.nextInt(toks.length)))
+        .mkString(" ")
+      try {
+        val n = graft.etl.Bpf.parse(s)
+        // whatever parsed must evaluate on a packet without throwing
+        graft.etl.Bpf.packetPredicate(n)(pkt)
+        ()
+      } catch { case _: IllegalArgumentException => () }
+    }
+    // raw character soup exercises the lexer's fail-loudly contract
+    val alphabet = "tcpudporandhstne()!&|0123456789./: "
+    (0 until 300).foreach { _ =>
+      val s = Seq.fill(r.nextInt(25))(alphabet(r.nextInt(alphabet.length)))
+        .mkString
+      try { graft.etl.Bpf.parse(s); () }
+      catch { case _: IllegalArgumentException => () }
+    }
+  }
+
+  test("pe/magic module rules survive random payloads and header soup") {
+    val r = new scala.util.Random(31)
+    val rules = graft.ops.Yara.parse(
+      """rule P { condition: pe.number_of_sections > 0 and
+        |  pe.number_of_imports >= 0 and
+        |  pe.imphash() != "x" and
+        |  pe.exports("f") or pe.dll_name contains "d" or
+        |  for any s in pe.sections : ( s.raw_data_size > 0 ) or
+        |  magic.type() contains "executable" }""".stripMargin)
+    (0 until 300).foreach { i =>
+      val len = r.nextInt(2048)
+      val b = new Array[Byte](len)
+      r.nextBytes(b)
+      if (i % 2 == 0 && len > 0x40) {
+        // plant MZ + a random e_lfanew so the PE walker actually runs
+        b(0) = 'M'; b(1) = 'Z'
+        b(0x3c) = (r.nextInt(256) - 128).toByte
+      }
+      graft.ops.Yara.scan(rules, b) // must not throw or hang
+    }
+  }
+
   test("garbage yara rules parse or raise IllegalArgumentException; scans terminate") {
     val r = new scala.util.Random(77)
     // biased toward condition-grammar tokens so the parser's deep paths
@@ -108,7 +159,12 @@ class FuzzSpec extends AnyFunSuite {
       // arithmetic/bitwise grammar (round 8): nested reads, precedence
       // climbing, undefined propagation must all survive token soup
       "+", "-", "\\", "%", "&", "|", "^", "~", "<<", ">>", "uint32",
-      "64KB", "true", "false")
+      "64KB", "true", "false",
+      // round-9 module grammar: section/import/export/magic tokens
+      "pe.sections", ".name", ".raw_data_size", "pe.exports",
+      "pe.imphash", "pe.dll_name", "magic.type", "magic.mime_type",
+      "contains", "startswith", "iendswith", "section",
+      "pe.number_of_sections", "pe.number_of_exports")
     val payload = "some payload with x and A bytes".getBytes("ISO-8859-1")
     (0 until 400).foreach { _ =>
       val s = Seq.fill(r.nextInt(30))(toks(r.nextInt(toks.length)))
