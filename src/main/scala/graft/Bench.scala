@@ -147,44 +147,54 @@ object Bench {
     }
     val timedQueries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(q => fixtureOnly(q._1))
-    val sweeps = (0 until 2).map { _ =>
+    // Sessionize-throughput passes are SPREAD across the run for the
+    // same reason the query sweeps are interleaved: five back-to-back
+    // passes all land inside one sustained contention window (observed:
+    // a clean-host 310 MB/s measuring 237 under load). One pass before
+    // sweep 1 (also the JIT warm pass — min discards it), two between
+    // the sweeps, two at the end: samples ~25 minutes apart. Each block
+    // collects first so throughput measures the ingest path, not the
+    // tail of query-state garbage.
+    var tputBest = Double.MaxValue
+    var tputSessions = 0L
+    val tputCorpus = try Some(ensureThroughputCorpus())
+      catch { case _: Throwable => None }
+    def tputPasses(k: Int): Unit = tputCorpus.foreach { case (dir, _) =>
+      try {
+        System.gc()
+        Thread.sleep(200)
+        for (_ <- 0 until k) {
+          val t0 = System.nanoTime()
+          tputSessions = graft.etl.SessionBuilder.sessionize(spark, dir)
+            .count()
+          tputBest = math.min(tputBest, (System.nanoTime() - t0) / 1e9)
+        }
+      } catch { case _: Throwable => () }
+    }
+    def sweep(): Map[String, (Double, Long)] =
       timedQueries.map { case (name, fn) =>
         val gc0 = gcMillis()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         name -> (((System.nanoTime() - t0) / 1e9, gcMillis() - gc0))
       }.toMap
-    }
+    tputPasses(1)
+    val sweep1 = sweep()
+    tputPasses(2)
+    val sweep2 = sweep()
+    tputPasses(2)
+    val sweeps = Seq(sweep1, sweep2)
     val timings = timedQueries.map { case (name, _) =>
       val samples = sweeps.map(_(name))
       Timing(name, samples.map(_._1), samples.map(_._2))
     }
     val results = timings.map(t => t.name -> t.best)
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    // sessionize throughput vs the reference's capture-rate baseline:
-    // full batch pipeline (decode + reassembly + parsers + build) over a
-    // synthetic multi-file capture directory
-    val (tputMbps, tputSessions) = try {
-      val (dir, bytes) = ensureThroughputCorpus()
-      // five passes, report the fastest: the first pays one-time JIT
-      // of the decode/parser/build path at this scale (C2 needs a few
-      // iterations through the parser tail) — the same steady-state
-      // policy as the query warmup above; a long-lived capture node
-      // runs warm permanently. The preceding 123 queries leave the heap
-      // full of old-gen query state, so collect it first — throughput
-      // here should measure the ingest path, not the tail of someone
-      // else's garbage.
-      System.gc()
-      Thread.sleep(200)
-      var n = 0L
-      var best = Double.MaxValue
-      for (_ <- 0 until 5) {
-        val t0 = System.nanoTime()
-        n = graft.etl.SessionBuilder.sessionize(spark, dir).count()
-        best = math.min(best, (System.nanoTime() - t0) / 1e9)
-      }
-      (bytes / 1e6 / best, n)
-    } catch { case _: Throwable => (0.0, 0L) }
+    val tputMbps = tputCorpus match {
+      case Some((_, bytes)) if tputBest < Double.MaxValue =>
+        bytes / 1e6 / tputBest
+      case _ => 0.0
+    }
     def line(entries: Seq[(String, Double)]): String = {
       val qs = entries.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
         .mkString("{", ",", "}")
