@@ -432,6 +432,40 @@ object SparkEntry {
         .orderBy("row_id")
     }),
 
+    // --- I13/WISE url-json source adapter end-to-end (source.url.js +
+    // simpleSource parseJSON): a constant feed body → fromJsonUrl field
+    // mapping (arrayPath/keyPath walk, lotermfield fold, array-key
+    // fan-out, key-only items) → the same broadcast domain-lookup path
+    "i21_wise_feed" -> ((s, dir) => {
+      val feed =
+        """{"meta":{"gen":1},"data":[
+          {"ind":{"d":"Purchase3.com"},"mal":{"type":"C2"},"score":7},
+          {"ind":{"d":"w1.click7.com"},"mal":{"type":"Phish"}},
+          {"ind":{"d":"click7.com"}},
+          {"ind":{"d":["error5.com","view2.com"]},"score":9}]}"""
+      val p = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft-i21-feed.json")
+      java.nio.file.Files.write(p, feed.getBytes("UTF-8"))
+      val src0 = graft.ops.Wise.fromJsonUrl(s, "feed", "domain",
+        p.toString, keyPath = "ind.d", arrayPath = Some("data"),
+        fieldDefs = Seq(
+          "field:mal.type;db:mal.type;kind:lotermfield;shortcut:mal.type",
+          "field:score;db:score;shortcut:score"))
+      // domain keys fold lowercase at insert (lotermfield db type)
+      val src = src0.copy(entries = src0.entries
+        .withColumn("key", lower(col("key"))))
+      val f = ev(s, dir).filter(col("user_id").isNotNull)
+        .select(col("event_id"),
+          concat(lit("w"), col("event_id") % 7, lit("."),
+            col("event_type"), col("user_id") % 20, lit(".com")).as("host"))
+      graft.ops.Wise.lookup(f, col("event_id"), col("host"), "domain",
+        Seq(src))
+        .select(col("id"), col("source"),
+          coalesce(col("field"), lit("")).as("field"),
+          coalesce(col("value"), lit("")).as("value"))
+        .orderBy("id", "field", "value")
+    }),
+
     // --- J1: as-of join — latest signup state at each purchase ----------
     "j1_asof_join" -> ((s, dir) => {
       val e = ev(s, dir).filter(col("user_id").isNotNull)
@@ -1771,6 +1805,32 @@ object SparkEntry {
            ON h.event_id = b.event_id AND h.source = b.source
               AND h.pref = b.mp
          ORDER BY id, h.source, h.field, h.value""",
+    "i21_wise_feed" ->
+      """WITH f AS (SELECT event_id,
+           'w' || (event_id % 7) || '.' || event_type || (user_id % 20)
+             || '.com' AS host
+         FROM events WHERE user_id IS NOT NULL),
+         intel(key, field, value) AS (VALUES
+           ('purchase3.com', 'mal.type', 'c2'),
+           ('purchase3.com', 'score', '7'),
+           ('w1.click7.com', 'mal.type', 'phish'),
+           ('click7.com', NULL, NULL),
+           ('error5.com', 'score', '9'),
+           ('view2.com', 'score', '9')),
+         cands AS (
+           SELECT event_id, 0 AS pref, host AS key FROM f
+           UNION ALL
+           SELECT event_id, 1, regexp_replace(host, '^[^.]*\.', '')
+           FROM f WHERE regexp_replace(host, '^[^.]*\.', '') <> host),
+         hits AS (SELECT c.event_id, c.pref, i.field, i.value
+                  FROM cands c JOIN intel i ON i.key = c.key),
+         best AS (SELECT event_id, min(pref) AS mp
+                  FROM hits GROUP BY 1)
+         SELECT h.event_id AS id, 'feed' AS source,
+           coalesce(h.field, '') AS field, coalesce(h.value, '') AS value
+         FROM hits h JOIN best b
+           ON h.event_id = b.event_id AND h.pref = b.mp
+         ORDER BY id, field, value""",
     "i19_wise_cidr" ->
       """WITH f AS (SELECT event_id,
            CAST(10 * 16777216 + (user_id % 250) * 65536
