@@ -40,8 +40,8 @@ import scala.collection.mutable
   *     `ordN` — no baked-in ws2_32/oleaut32 ordinal-name table);
   *   - a `magic` module subset (`magic.type()`/`magic.mime_type()`)
   *     over a deterministic signature table, plus YARA string
-  *     operators (`contains/icontains/startswith/…`) on module
-  *     strings.
+  *     operators (`contains/icontains/startswith/…` and
+  *     `matches /re/[is]`, unanchored search) on module strings.
   *
   * Scanning is a pure function over byte arrays, so it distributes as a
   * UDF over payload columns — each executor compiles nothing and shares
@@ -695,6 +695,10 @@ object Yara {
                 case "contains" | "icontains" => s.contains(l)
                 case "startswith" | "istartswith" => s.startsWith(l)
                 case "endswith" | "iendswith" => s.endsWith(l)
+                case "matches" =>
+                  // `lit` is the raw /re/[is] literal (validated at
+                  // parse); unanchored search, like YARA's regex engine
+                  compiledRe(lit).matcher(s).find()
                 case other => throw new IllegalArgumentException(
                   s"bad string operator $other")
               }
@@ -1263,6 +1267,23 @@ object Yara {
     } else ("data", "application/octet-stream")
   }
 
+  /** Compile-once cache for `matches` regex literals (`/re/[is]`):
+    * rules are broadcast and evaluated per payload, so the pattern must
+    * not recompile per scan. Keyed by the raw literal token.
+    */
+  private val reCache =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      java.util.regex.Pattern]()
+  private def compiledRe(lit: String): java.util.regex.Pattern =
+    reCache.computeIfAbsent(lit, { l =>
+      val end = l.lastIndexOf('/')
+      val flags = l.substring(end + 1)
+      var f = 0
+      if (flags.contains('i')) f |= java.util.regex.Pattern.CASE_INSENSITIVE
+      if (flags.contains('s')) f |= java.util.regex.Pattern.DOTALL
+      java.util.regex.Pattern.compile(l.substring(1, end), f)
+    })
+
   /** Module numeric constants usable anywhere a literal is. */
   private val modConsts = Map(
     "pe.MACHINE_I386" -> 0x14cL, "pe.MACHINE_AMD64" -> 0x8664L,
@@ -1282,9 +1303,11 @@ object Yara {
   /** `pe.sections[i].<member>` numeric members. */
   private val secNumFields = Set("virtual_address", "virtual_size",
     "raw_data_offset", "raw_data_size", "characteristics")
-  /** String operators usable on module strings (i-prefix folds case). */
+  /** String operators usable on module strings (i-prefix folds case);
+    * `matches` takes a `/re/[is]` literal instead of a quoted string.
+    */
   private val strOps = Set("==", "!=", "contains", "icontains",
-    "startswith", "istartswith", "endswith", "iendswith")
+    "startswith", "istartswith", "endswith", "iendswith", "matches")
   /** String module functions (called with parens, like YARA). */
   private val modStrFuns = Set("pe.imphash", "magic.type",
     "magic.mime_type")
@@ -1309,6 +1332,9 @@ object Yara {
         "|\\d+(?:KB|MB|GB)\\b" +
         "|\\d+" +
         "|\"(?:\\\\.|[^\"\\\\])*\"" + // string literal (hash compares)
+        // regex literal (`matches /re/i`) — '/' appears in no other
+        // condition token (integer division is spelled '\')
+        "|/(?:\\\\.|[^/\\\\])+/[is]{0,2}" +
         "|\\.\\." +
         "|<<|>>|[<>=!]=" +
         // dotted tail admits module calls (math.entropy); `..` never
@@ -1453,13 +1479,22 @@ object Yara {
       if (!cmpOps(op)) fail(op)
       NumCmp(a, op, numExpr())
     }
-    // `<strE> op "literal"` — module-string comparison
+    // `<strE> op "literal"` / `<strE> matches /re/[is]` — module-string
+    // comparison; the regex rides in `b` as its raw literal token
     def strCmpTail(a: StrE): Cond = {
       val op = next()
       if (!strOps(op)) fail(op)
       val lit = next()
-      if (!(lit.length >= 2 && lit.startsWith("\""))) fail(lit)
-      StrCmp(a, op, unescape(lit.drop(1).dropRight(1)))
+      if (op == "matches") {
+        if (!lit.startsWith("/")) fail(lit)
+        try compiledRe(lit) catch {
+          case _: java.util.regex.PatternSyntaxException => fail(lit)
+        }
+        StrCmp(a, op, lit)
+      } else {
+        if (!(lit.length >= 2 && lit.startsWith("\""))) fail(lit)
+        StrCmp(a, op, unescape(lit.drop(1).dropRight(1)))
+      }
     }
     def rangeTail(): (NumE, NumE) = {
       expect("(")

@@ -652,6 +652,11 @@ class YaraSpec extends AnyFunSuite with SparkSpecBase {
         |  pe.exports("EvilFunc") and not pe.exports("evilfunc") and
         |  not pe.exports("Nope") and pe.dll_name == "payload.dll" and
         |  pe.dll_name iendswith ".DLL" }
+        |rule Matches { condition:
+        |  for any section in pe.sections :
+        |    ( section.name matches /\.(text|idata)$/ ) and
+        |  pe.dll_name matches /^PAY.*dll$/i and
+        |  not pe.dll_name matches /^dll/ }
         |rule Imphash { condition:
         |  pe.imphash() == "87bed5a7cba00c7e1f4015f1bdae2183" }
         |rule Magic { condition:
@@ -662,8 +667,11 @@ class YaraSpec extends AnyFunSuite with SparkSpecBase {
     val got = Yara.scan(rules, img).toSet
     assert(got == Set("yara:Secs", "yara:SecLoop", "yara:SecLoopAll",
       "yara:Imports", "yara:Imphash", "yara:Magic",
-      "yara:SecIter", "yara:SecIterAll", "yara:Exports"),
+      "yara:SecIter", "yara:SecIterAll", "yara:Exports", "yara:Matches"),
       s"got $got")
+    // a malformed matches-regex fails the parse, not the scan
+    intercept[IllegalArgumentException](Yara.parse(
+      "rule B { condition: pe.dll_name matches /[unclosed/ }"))
     // OutOfRange absent: pe.sections[5] / [-1] are undefined = false,
     // never a throw or a wrapped index; non-PE payload leaves all cold
     assert(Yara.scan(rules, b("plain text")).isEmpty)
