@@ -389,6 +389,11 @@ object Yara {
     * libyara's strcmp walk).
     */
   final case class ModStrArgFun(name: String, arg: String) extends NumE
+  /** `pe.version_info["CompanyName"]` — a StringFileInfo value from the
+    * version resource; undefined (comparison false) when the payload is
+    * not a PE or carries no such key.
+    */
+  final case class VerInfo(key: String) extends StrE
   /** `<strE> op "literal"` — YARA's string operators over module
     * strings: `== != contains icontains startswith istartswith
     * endswith iendswith`. An undefined left side (non-PE payload,
@@ -678,6 +683,7 @@ object Yara {
                 } yield s.name
               case ModStrFun("pe.imphash") => peInfo.map(_.imphash)
               case ModStrFun("pe.dll_name") => peInfo.flatMap(_.dllName)
+              case VerInfo(k) => peInfo.flatMap(_.versionInfo.get(k))
               case ModStrFun("magic.type") =>
                 Some(magicDescribe(b, peInfo, elfInfo)._1)
               case ModStrFun("magic.mime_type") =>
@@ -988,7 +994,8 @@ object Yara {
       imports: IndexedSeq[(String, Seq[String])] = IndexedSeq.empty,
       exports: IndexedSeq[String] = IndexedSeq.empty,
       numberOfExports: Long = 0L,
-      dllName: Option[String] = None) {
+      dllName: Option[String] = None,
+      versionInfo: Map[String, String] = Map.empty) {
     def numberOfImportedFunctions: Long = imports.map(_._2.size.toLong).sum
     lazy val imphash: String = {
       val parts = imports.flatMap { case (dll, funcs) =>
@@ -1135,6 +1142,110 @@ object Yara {
         }.getOrElse(Seq.empty)
         (dll, names.toIndexedSeq, nFuncs)
       }).getOrElse((None, IndexedSeq.empty[String], 0L))
+      // version resource: DataDirectory[2] → resource tree → the first
+      // RT_VERSION (type 16) leaf → VS_VERSIONINFO → StringFileInfo →
+      // StringTable → String entries (all per the public VERSIONINFO
+      // layout: wLength/wValueLength/wType headers, UTF-16LE szKey,
+      // 4-byte alignment between members; wValueLength of a text-typed
+      // String counts 16-bit words)
+      val versionInfo: Map[String, String] = (for {
+        rsrcRva <- if (known)
+          u32(if (is64) opt + 128 else opt + 112).filter(_ != 0L)
+        else None
+        rsrcOff <- rvaToOff(rsrcRva)
+        blob <- {
+          // dir header: entry count at +12 (named) + +14 (id); entries
+          // of 8 bytes follow; high bit of the offset = subdirectory,
+          // offsets relative to the resource section start
+          def entries(dir: Long): Seq[(Long, Long)] =
+            (for { nn <- u16(dir + 12); ni <- u16(dir + 14) } yield {
+              val n = math.min(nn + ni, 256L).toInt
+              (0 until n).flatMap { k =>
+                for { id <- u32(dir + 16 + 8L * k)
+                      off <- u32(dir + 20 + 8L * k) } yield (id, off)
+              }
+            }).getOrElse(Seq.empty)
+          for {
+            (_, tOff) <- entries(rsrcOff)
+              .find(e => e._1 == 16L && (e._2 & 0x80000000L) != 0)
+            (_, nOff) <- entries(rsrcOff + (tOff & 0x7fffffffL)).headOption
+              .filter(_._2 != 0L)
+            leaf <- if ((nOff & 0x80000000L) != 0)
+              entries(rsrcOff + (nOff & 0x7fffffffL)).headOption.map(_._2)
+            else Some(nOff)
+            dataRva <- u32(rsrcOff + (leaf & 0x7fffffffL))
+            size <- u32(rsrcOff + (leaf & 0x7fffffffL) + 4)
+            dataOff <- rvaToOff(dataRva)
+            if size > 0 && dataOff + size <= b.length
+          } yield (dataOff, math.min(size, 65536L))
+        }
+      } yield {
+        val (v0, vLen) = blob
+        val end0 = v0 + vLen
+        def align4(p: Long): Long = (p + 3) & ~3L
+        // UTF-16LE NUL-terminated string at p → (text, next offset)
+        def wsz(p: Long, cap: Int = 128): Option[(String, Long)] = {
+          val sb = new java.lang.StringBuilder
+          var q = p
+          while (q + 2 <= end0 && sb.length < cap) {
+            val c = ((b(q.toInt) & 0xff) | ((b(q.toInt + 1) & 0xff) << 8))
+            q += 2
+            if (c == 0) return Some((sb.toString, q))
+            sb.append(c.toChar)
+          }
+          None
+        }
+        // member header at p: (wLength, wValueLength, wType, szKey, after)
+        def member(p: Long): Option[(Long, Long, Long, String, Long)] =
+          for {
+            wl <- u16(p) if wl >= 6 && p + wl <= end0
+            wvl <- u16(p + 2)
+            wt <- u16(p + 4)
+            (key, after) <- wsz(p + 6)
+          } yield (wl, wvl, wt, key, align4(after))
+        val out = scala.collection.mutable.LinkedHashMap[String, String]()
+        for {
+          (rootLen, rootVl, _, rootKey, rootAfter) <- member(v0)
+          if rootKey == "VS_VERSION_INFO"
+        } {
+          // skip the binary VS_FIXEDFILEINFO value (wValueLength bytes)
+          var p = align4(rootAfter + rootVl)
+          val rootEnd = v0 + rootLen
+          while (p + 6 <= rootEnd && out.size < 64) {
+            member(p) match {
+              case Some((cl, _, _, cKey, cAfter)) if cl > 0 =>
+                if (cKey == "StringFileInfo") {
+                  var t = cAfter
+                  val cEnd = p + cl
+                  while (t + 6 <= cEnd && out.size < 64) {
+                    member(t) match {
+                      case Some((tl, _, _, _, tAfter)) if tl > 0 =>
+                        var sp = tAfter
+                        val tEnd = t + tl
+                        while (sp + 6 <= tEnd && out.size < 64) {
+                          member(sp) match {
+                            case Some((sl, svl, st, sKey, sAfter))
+                                if sl > 0 =>
+                              if (st == 1L && svl > 0)
+                                wsz(sAfter).foreach { case (v, _) =>
+                                  out.getOrElseUpdate(sKey, v)
+                                }
+                              sp = align4(sp + sl)
+                            case _ => sp = tEnd
+                          }
+                        }
+                        t = align4(t + tl)
+                      case _ => t = cEnd
+                    }
+                  }
+                }
+                p = align4(p + cl)
+              case _ => p = rootEnd
+            }
+          }
+        }
+        out.toMap
+      }).getOrElse(Map.empty)
       PeInfo(machine, nSec, ts, chars,
         subsystem = if (known) u16(opt + 68) else None,
         is32 = is32, is64 = is64,
@@ -1142,7 +1253,8 @@ object Yara {
           if (is64) u64(opt + 24) else if (is32) u32(opt + 28) else None,
         entryOff = entryOff,
         sections = sections, imports = imports,
-        exports = expNames, numberOfExports = nExp, dllName = expDll)
+        exports = expNames, numberOfExports = nExp, dllName = expDll,
+        versionInfo = versionInfo)
     }
   }
 
@@ -1708,6 +1820,13 @@ object Yara {
         case "pe.dll_name" =>
           // export-directory image name — a string FIELD (no parens)
           strCmpTail(ModStrFun("pe.dll_name"))
+        case "pe.version_info" =>
+          // `pe.version_info["CompanyName"] <op> …`
+          expect("[")
+          val k = next()
+          if (!(k.length >= 2 && k.startsWith("\""))) fail(k)
+          expect("]")
+          strCmpTail(VerInfo(unescape(k.drop(1).dropRight(1))))
         case t if modStrFuns.contains(t) =>
           // `pe.imphash()` / `magic.type()` / `magic.mime_type()` —
           // YARA spells these as calls

@@ -694,6 +694,78 @@ class YaraSpec extends AnyFunSuite with SparkSpecBase {
     assert(Yara.scan(rules, img).nonEmpty)
   }
 
+  test("pe module: version_info strings from the resource tree") {
+    val img = new Array[Byte](0x600)
+    def w16(i: Int, v: Int): Unit = {
+      img(i) = (v & 0xff).toByte; img(i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    def w32(i: Int, v: Long): Unit = {
+      w16(i, (v & 0xffff).toInt); w16(i + 2, ((v >> 16) & 0xffff).toInt)
+    }
+    def ws(i: Int, s: String): Unit =
+      s.getBytes("ISO-8859-1").zipWithIndex.foreach {
+        case (c, k) => img(i + k) = c
+      }
+    w16(0, 0x5a4d); w32(0x3c, 0x80)
+    w32(0x80, 0x4550)
+    w16(0x84, 0x14c); w16(0x86, 1)
+    w16(0x94, 0xe0); w16(0x96, 0x0102)
+    val opt = 0x98
+    w16(opt, 0x10b)
+    w32(opt + 112, 0x1000) // DataDirectory[2]: resource tree RVA
+    w32(opt + 116, 0x200)
+    val s0 = opt + 0xe0
+    ws(s0, ".rsrc")
+    w32(s0 + 8, 0x1000); w32(s0 + 12, 0x1000)
+    w32(s0 + 16, 0x200); w32(s0 + 20, 0x400)
+    // resource tree: root → type 16 (RT_VERSION) → name id 1 → lang
+    // 0x409 → data entry; subdir offsets carry the high bit
+    w16(0x400 + 14, 1)
+    w32(0x410, 16); w32(0x414, 0x80000018L)
+    w16(0x418 + 14, 1)
+    w32(0x428, 1); w32(0x42c, 0x80000030L)
+    w16(0x430 + 14, 1)
+    w32(0x440, 0x409); w32(0x444, 0x48)
+    // VS_VERSIONINFO per the public VERSIONINFO layout
+    def wstrz(s: String): Array[Byte] =
+      (s + "\u0000").flatMap(c => Seq((c & 0xff).toByte,
+        ((c >> 8) & 0xff).toByte)).toArray
+    def pad4(n: Int): Int = (4 - n % 4) % 4
+    def vsMember(key: String, wType: Int, value: Option[String],
+        children: Seq[Array[Byte]]): Array[Byte] = {
+      val k = wstrz(key)
+      val padK = new Array[Byte](pad4(6 + k.length))
+      val v = value.map(wstrz).getOrElse(Array.emptyByteArray)
+      val kids = children.foldLeft(Array.emptyByteArray)(_ ++ _)
+      val total = 6 + k.length + padK.length + v.length + kids.length
+      val hdr = new Array[Byte](6)
+      hdr(0) = (total & 0xff).toByte; hdr(1) = ((total >> 8) & 0xff).toByte
+      val wvl = value.map(_.length + 1).getOrElse(0) // words incl NUL
+      hdr(2) = (wvl & 0xff).toByte; hdr(3) = ((wvl >> 8) & 0xff).toByte
+      hdr(4) = (wType & 0xff).toByte; hdr(5) = ((wType >> 8) & 0xff).toByte
+      hdr ++ k ++ padK ++ v ++ kids
+    }
+    val blob = vsMember("VS_VERSION_INFO", 0, None, Seq(
+      vsMember("StringFileInfo", 1, None, Seq(
+        vsMember("040904b0", 1, None, Seq(
+          vsMember("CompanyName", 1, Some("Evil Corp"), Nil),
+          vsMember("ProductName", 1, Some("Implant"), Nil)))))))
+    assert(blob.length % 4 == 0) // children land 4-aligned
+    w32(0x448, 0x1060); w32(0x44c, blob.length)
+    System.arraycopy(blob, 0, img, 0x460, blob.length)
+    val rules = Yara.parse(
+      """rule V1 { condition:
+        |  pe.version_info["CompanyName"] == "Evil Corp" and
+        |  pe.version_info["ProductName"] icontains "IMPLANT" and
+        |  pe.version_info["CompanyName"] matches /corp$/i }
+        |rule V2 { condition:
+        |  pe.version_info["FileDescription"] == "Evil Corp" }"""
+        .stripMargin)
+    assert(Yara.scan(rules, img).toSet == Set("yara:V1"))
+    // missing key / non-PE payload: undefined, never a throw
+    assert(Yara.scan(rules, b("plain")).isEmpty)
+  }
+
   test("magic module signatures: text, png, pcap, gzip, elf") {
     val rules = Yara.parse(
       """rule Txt { condition: magic.type() == "ASCII text" and
