@@ -132,6 +132,7 @@ class FuzzSpec extends AnyFunSuite {
         |  pe.number_of_imports >= 0 and
         |  pe.imphash() != "x" and
         |  pe.exports("f") or pe.dll_name contains "d" or
+        |  pe.version_info["CompanyName"] matches /corp/i or
         |  for any s in pe.sections : ( s.raw_data_size > 0 ) or
         |  magic.type() contains "executable" }""".stripMargin)
     (0 until 300).foreach { i =>
