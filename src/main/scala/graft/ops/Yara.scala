@@ -545,6 +545,16 @@ object Yara {
             case "pe.number_of_imported_functions" =>
               peInfo.map(_.numberOfImportedFunctions)
             case "pe.number_of_exports" => peInfo.map(_.numberOfExports)
+            // overlay: bytes past the last section's raw data — the
+            // classic appended-payload hide. Undefined without sections.
+            case "pe.overlay.offset" => peInfo.flatMap(p =>
+              if (p.sections.isEmpty) None
+              else Some(p.sections
+                .map(s => s.rawDataOffset + s.rawDataSize).max))
+            case "pe.overlay.size" => peInfo.flatMap(p =>
+              if (p.sections.isEmpty) None
+              else Some(math.max(0L, b.length - p.sections
+                .map(s => s.rawDataOffset + s.rawDataSize).max)))
             case "elf.type" => elfInfo.map(_.etype)
             case "elf.machine" => elfInfo.map(_.machine)
             case "elf.entry_point" => elfInfo.flatMap(_.entry)
@@ -1409,7 +1419,7 @@ object Yara {
     "pe.number_of_sections", "pe.timestamp", "pe.characteristics",
     "pe.subsystem", "pe.entry_point", "pe.image_base",
     "pe.number_of_imports", "pe.number_of_imported_functions",
-    "pe.number_of_exports",
+    "pe.number_of_exports", "pe.overlay.offset", "pe.overlay.size",
     "elf.type", "elf.machine", "elf.entry_point",
     "elf.number_of_sections")
   /** `pe.sections[i].<member>` numeric members. */

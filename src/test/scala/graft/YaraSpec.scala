@@ -657,6 +657,11 @@ class YaraSpec extends AnyFunSuite with SparkSpecBase {
         |    ( section.name matches /\.(text|idata)$/ ) and
         |  pe.dll_name matches /^PAY.*dll$/i and
         |  not pe.dll_name matches /^dll/ }
+        |rule Overlay { condition:
+        |  pe.overlay.offset == 0x800 and pe.overlay.size == 0 }
+        |rule Ovl16 { condition:
+        |  pe.overlay.size == 16 and
+        |  uint8(pe.overlay.offset) == 0x45 }
         |rule Imphash { condition:
         |  pe.imphash() == "87bed5a7cba00c7e1f4015f1bdae2183" }
         |rule Magic { condition:
@@ -666,9 +671,13 @@ class YaraSpec extends AnyFunSuite with SparkSpecBase {
         |  magic.mime_type() == "application/x-dosexec" }""".stripMargin)
     val got = Yara.scan(rules, img).toSet
     assert(got == Set("yara:Secs", "yara:SecLoop", "yara:SecLoopAll",
-      "yara:Imports", "yara:Imphash", "yara:Magic",
-      "yara:SecIter", "yara:SecIterAll", "yara:Exports", "yara:Matches"),
+      "yara:Imports", "yara:Imphash", "yara:Magic", "yara:SecIter",
+      "yara:SecIterAll", "yara:Exports", "yara:Matches", "yara:Overlay"),
       s"got $got")
+    // appended payload past the last section = the overlay
+    val img2 = img ++ ("E" * 16).getBytes("ISO-8859-1")
+    assert(Yara.scan(rules, img2).contains("yara:Ovl16"))
+    assert(!Yara.scan(rules, img2).contains("yara:Overlay"))
     // a malformed matches-regex fails the parse, not the scan
     intercept[IllegalArgumentException](Yara.parse(
       "rule B { condition: pe.dll_name matches /[unclosed/ }"))
