@@ -394,6 +394,13 @@ object Yara {
     * not a PE or carries no such key.
     */
   final case class VerInfo(key: String) extends StrE
+  /** `pe.rich_signature.version(build[, toolid])` /
+    * `.toolid(toolid[, version])` — the summed entry count of matching
+    * Rich-header entries (YARA 4.2 semantics: an int, nonzero = truthy);
+    * undefined without a Rich header.
+    */
+  final case class RichFun(byVersion: Boolean, a: NumE,
+      b: Option[NumE]) extends NumE
   /** `<strE> op "literal"` — YARA's string operators over module
     * strings: `== != contains icontains startswith istartswith
     * endswith iendswith`. An undefined left side (non-PE payload,
@@ -511,6 +518,22 @@ object Yara {
           case NumFun(name, args) => evalFun(name, args)
           case ModStrArgFun("pe.exports", arg) =>
             peInfo.map(p => IntV(if (p.exports.contains(arg)) 1L else 0L))
+          case RichFun(byVersion, aE, bE) =>
+            // summed counts of matching entries (prodid, build, count)
+            for {
+              a <- num(aE)
+              b2 <- bE match {
+                case Some(e) => num(e).map(Some(_))
+                case None => Some(None)
+              }
+              (_, _, _, ents) <- peInfo.flatMap(_.rich)
+            } yield IntV(ents.collect {
+              case (prodid, build, cnt)
+                  if (if (byVersion) build == a else prodid == a) &&
+                    b2.forall(x =>
+                      if (byVersion) prodid == x else build == x) =>
+                cnt
+            }.sum)
           case ModStrArgFun(other, _) =>
             throw new IllegalArgumentException(
               s"unsupported module function $other")
@@ -555,6 +578,12 @@ object Yara {
               if (p.sections.isEmpty) None
               else Some(math.max(0L, b.length - p.sections
                 .map(s => s.rawDataOffset + s.rawDataSize).max)))
+            case "pe.rich_signature.offset" =>
+              peInfo.flatMap(_.rich).map(_._1)
+            case "pe.rich_signature.length" =>
+              peInfo.flatMap(_.rich).map(_._2)
+            case "pe.rich_signature.key" =>
+              peInfo.flatMap(_.rich).map(_._3)
             case "elf.type" => elfInfo.map(_.etype)
             case "elf.machine" => elfInfo.map(_.machine)
             case "elf.entry_point" => elfInfo.flatMap(_.entry)
@@ -1005,7 +1034,13 @@ object Yara {
       exports: IndexedSeq[String] = IndexedSeq.empty,
       numberOfExports: Long = 0L,
       dllName: Option[String] = None,
-      versionInfo: Map[String, String] = Map.empty) {
+      versionInfo: Map[String, String] = Map.empty,
+      /** Rich header: (offset of the XORed DanS block, length up to but
+        * not including the "Rich" marker and key — the YARA docs'
+        * convention — XOR key, entries as (prodid, build, count)).
+        */
+      rich: Option[(Long, Long, Long,
+        IndexedSeq[(Long, Long, Long)])] = None) {
     def numberOfImportedFunctions: Long = imports.map(_._2.size.toLong).sum
     lazy val imphash: String = {
       val parts = imports.flatMap { case (dll, funcs) =>
@@ -1256,6 +1291,45 @@ object Yara {
         }
         out.toMap
       }).getOrElse(Map.empty)
+      // Rich header (the undocumented-but-public MSVC metadata between
+      // the DOS stub and the PE header): find the literal "Rich" + XOR
+      // key, then decode backwards in 8-byte pairs to the "DanS" start;
+      // entries are (compid = prodid<<16 | build, count), zero pairs
+      // are the DanS padding
+      val rich = {
+        var found: Option[(Long, Long, Long,
+          IndexedSeq[(Long, Long, Long)])] = None
+        var r = 0x40L
+        while (found.isEmpty && r + 8 <= peOff) {
+          if (b(r.toInt) == 'R' && b(r.toInt + 1) == 'i' &&
+            b(r.toInt + 2) == 'c' && b(r.toInt + 3) == 'h') {
+            for (key <- u32(r + 4)) {
+              val ents = List.newBuilder[(Long, Long, Long)]
+              var p = r - 8
+              var dans = -1L
+              var steps = 0
+              while (dans < 0 && p >= 0 && steps < 512) {
+                u32(p) match {
+                  case Some(v) if (v ^ key) == 0x536e6144L => dans = p
+                  case Some(v) =>
+                    val cnt = u32(p + 4).map(_ ^ key).getOrElse(0L)
+                    val compid = v ^ key
+                    if (compid != 0 || cnt != 0)
+                      ents += ((compid >> 16, compid & 0xffffL, cnt))
+                    p -= 8
+                  case None => p = -1
+                }
+                steps += 1
+              }
+              if (dans >= 0)
+                found = Some((dans, r - dans, key,
+                  ents.result().reverse.toIndexedSeq))
+            }
+          }
+          r += 4
+        }
+        found
+      }
       PeInfo(machine, nSec, ts, chars,
         subsystem = if (known) u16(opt + 68) else None,
         is32 = is32, is64 = is64,
@@ -1264,7 +1338,7 @@ object Yara {
         entryOff = entryOff,
         sections = sections, imports = imports,
         exports = expNames, numberOfExports = nExp, dllName = expDll,
-        versionInfo = versionInfo)
+        versionInfo = versionInfo, rich = rich)
     }
   }
 
@@ -1420,8 +1494,13 @@ object Yara {
     "pe.subsystem", "pe.entry_point", "pe.image_base",
     "pe.number_of_imports", "pe.number_of_imported_functions",
     "pe.number_of_exports", "pe.overlay.offset", "pe.overlay.size",
+    "pe.rich_signature.offset", "pe.rich_signature.length",
+    "pe.rich_signature.key",
     "elf.type", "elf.machine", "elf.entry_point",
     "elf.number_of_sections")
+  /** Rich-header count functions (`version`/`toolid`). */
+  private val richFuns = Set("pe.rich_signature.version",
+    "pe.rich_signature.toolid")
   /** `pe.sections[i].<member>` numeric members. */
   private val secNumFields = Set("virtual_address", "virtual_size",
     "raw_data_offset", "raw_data_size", "characteristics")
@@ -1567,6 +1646,14 @@ object Yara {
         if (!(lit.length >= 2 && lit.startsWith("\""))) fail(lit)
         expect(")")
         ModStrArgFun("pe.exports", unescape(lit.drop(1).dropRight(1)))
+      case t if richFuns(t) =>
+        expect("(")
+        val a = numExpr()
+        val b2 = if (toks.headOption.contains(",")) {
+          next(); Some(numExpr())
+        } else None
+        expect(")")
+        RichFun(t.endsWith(".version"), a, b2)
       case t if boundVar.contains(t) => NumLoopVar
       case t if secVarField(t).exists(secNumFields) =>
         SecField(secVarField(t).get, NumLoopVar)
@@ -1820,9 +1907,10 @@ object Yara {
             case f if secNumFields(f) => numCmpTail(SecField(f, NumLoopVar))
             case other => fail("." + other)
           }
-        case "pe.exports" =>
+        case t @ ("pe.exports" | "pe.rich_signature.version" |
+            "pe.rich_signature.toolid") =>
           // truth test or numeric comparison, like the bool functions
-          toks.prepend("pe.exports")
+          toks.prepend(t)
           val left = numPrimary()
           if (toks.headOption.exists(h => cmpOps(h) || numPrec.contains(h)))
             numCmpTail(left)

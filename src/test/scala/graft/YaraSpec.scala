@@ -575,6 +575,15 @@ class YaraSpec extends AnyFunSuite with SparkSpecBase {
         case (c, k) => img(i + k) = c
       }
     w16(0, 0x5a4d); w32(0x3c, 0x80)
+    // Rich header in the DOS stub: XORed DanS + 3 pads, two entries
+    // (prodid, build, count) = (0x5d, 0x2264, 3), (0x101, 0x1f00, 1),
+    // then the clear "Rich" marker + key
+    val rKey = 0x12345678L
+    w32(0x40, 0x536e6144L ^ rKey)
+    w32(0x44, rKey); w32(0x48, rKey); w32(0x4c, rKey) // pads (0 ^ key)
+    w32(0x50, 0x005d2264L ^ rKey); w32(0x54, 3L ^ rKey)
+    w32(0x58, 0x01011f00L ^ rKey); w32(0x5c, 1L ^ rKey)
+    ws(0x60, "Rich"); w32(0x64, rKey)
     w32(0x80, 0x4550)
     w16(0x84, 0x14c) // Intel 80386
     w16(0x86, 2) // two sections
@@ -659,6 +668,15 @@ class YaraSpec extends AnyFunSuite with SparkSpecBase {
         |  not pe.dll_name matches /^dll/ }
         |rule Overlay { condition:
         |  pe.overlay.offset == 0x800 and pe.overlay.size == 0 }
+        |rule Rich { condition:
+        |  pe.rich_signature.offset == 0x40 and
+        |  pe.rich_signature.length == 0x20 and
+        |  pe.rich_signature.key == 0x12345678 and
+        |  pe.rich_signature.toolid(0x5d) == 3 and
+        |  pe.rich_signature.version(0x2264, 0x5d) == 3 and
+        |  pe.rich_signature.version(0x1f00) and
+        |  not pe.rich_signature.toolid(0x99) and
+        |  not pe.rich_signature.version(0x2264, 0x101) }
         |rule Ovl16 { condition:
         |  pe.overlay.size == 16 and
         |  uint8(pe.overlay.offset) == 0x45 }
@@ -672,7 +690,8 @@ class YaraSpec extends AnyFunSuite with SparkSpecBase {
     val got = Yara.scan(rules, img).toSet
     assert(got == Set("yara:Secs", "yara:SecLoop", "yara:SecLoopAll",
       "yara:Imports", "yara:Imphash", "yara:Magic", "yara:SecIter",
-      "yara:SecIterAll", "yara:Exports", "yara:Matches", "yara:Overlay"),
+      "yara:SecIterAll", "yara:Exports", "yara:Matches", "yara:Overlay",
+      "yara:Rich"),
       s"got $got")
     // appended payload past the last section = the overlay
     val img2 = img ++ ("E" * 16).getBytes("ISO-8859-1")
