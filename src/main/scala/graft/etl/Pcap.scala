@@ -356,7 +356,12 @@ object Pcap {
     * a reused ipId whose stale replayed fragments extend BEYOND the new
     * group's end (different fragmentation pattern): the leftover tail
     * fragment keeps the contiguity walk from terminating and the group
-    * ages out exactly like the reference's per-group timeout would.
+    * ages out exactly like the reference's per-group timeout would. A
+    * stale replayed FINAL fragment whose offset+length happen to align
+    * with the live group's layout can conversely complete the group a
+    * packet early — indistinguishable from a legitimate out-of-order
+    * final fragment of the same group, and bounded to the reused-ipId
+    * window.
     */
   def assembleFrags4Chunked(packets: Iterator[RawPacket],
       overlap: () => Iterator[RawPacket]): Iterator[RawPacket] = {

@@ -562,8 +562,11 @@ object Dedup {
       .join(packSide(banded, Seq("block", "band", "bkey"), "b"),
         Seq("block", "band", "bkey"))
       .filter(col("vec_a") < col("vec_b"))
+      // multi-band candidates dedupe WITHIN a block only: an id pair
+      // recurring across two different blocks is two legitimate pairs,
+      // exactly as the exact branch (and the all-pairs oracle) emits it
+      .dropDuplicates("block", "vec_a", "vec_b")
       .select("vec_a", "vec_b", "va", "vb", "na", "nb")
-      .dropDuplicates("vec_a", "vec_b")
     finish(smallPairs.select("vec_a", "vec_b", "va", "vb", "na", "nb")
       .unionByName(bigPairs))
   }

@@ -318,7 +318,7 @@ object Wise {
   /** Fetch a feed body: http(s) GET with headers, or a local file. */
   private def readBody(url: String, headers: Map[String, String]): String = {
     if (url.startsWith("http://") || url.startsWith("https://")) {
-      val conn = new java.net.URL(url).openConnection()
+      val conn = java.net.URI.create(url).toURL.openConnection()
         .asInstanceOf[java.net.HttpURLConnection]
       headers.foreach { case (k, v) => conn.setRequestProperty(k, v) }
       conn.setConnectTimeout(30000)
