@@ -1227,6 +1227,10 @@ object Yara {
       } yield {
         val (v0, vLen) = blob
         val end0 = v0 + vLen
+        // VERSIONINFO members align on 32-bit boundaries relative to the
+        // structure start; aligning ABSOLUTE file offsets is equivalent
+        // because section raw pointers are FileAlignment(≥512)-aligned
+        // and version data RVAs are 4-aligned, so v0 ≡ 0 (mod 4)
         def align4(p: Long): Long = (p + 3) & ~3L
         // UTF-16LE NUL-terminated string at p → (text, next offset)
         def wsz(p: Long, cap: Int = 128): Option[(String, Long)] = {

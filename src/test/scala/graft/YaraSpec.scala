@@ -818,6 +818,33 @@ class YaraSpec extends AnyFunSuite with SparkSpecBase {
     elf(0) = 0x7f; elf(1) = 'E'; elf(2) = 'L'; elf(3) = 'F'
     elf(4) = 2; elf(5) = 1; elf(16) = 3; elf(18) = 62
     only(elf, "yara:SharedElf")
+    // the rest of the signature table, pinned via mime_type
+    def mime(bs: Array[Byte], want: String) = {
+      val r = Yara.parse(
+        s"""rule M { condition: magic.mime_type() == "$want" }""")
+      assert(Yara.scan(r, bs).nonEmpty, want)
+    }
+    mime(b("%PDF-1.7 ..."), "application/pdf")
+    mime(Array[Byte]('P', 'K', 3, 4, 9, 9), "application/zip")
+    mime(b("BZh91AY&SY......"), "application/x-bzip2")
+    mime(Array[Byte](0xfd.toByte, '7', 'z', 'X', 'Z', 0),
+      "application/x-xz")
+    mime(Array[Byte](0x28, 0xb5.toByte, 0x2f, 0xfd.toByte),
+      "application/zstd")
+    mime(Array[Byte]('7', 'z', 0xbc.toByte, 0xaf.toByte, 0x27, 0x1c),
+      "application/x-7z-compressed")
+    mime(b("Rar!....."), "application/x-rar")
+    mime(b(" " * 257 + "ustar something"), "application/x-tar")
+    mime(b("RIFF....WAVEfmt "), "audio/x-wav")
+    mime(b("OggS binary here "), "audio/ogg")
+    mime(Array[Byte](0x0a, 0x0d, 0x0d, 0x0a), "application/x-pcapng")
+    mime(b("BM") ++ new Array[Byte](20), "image/bmp")
+    mime(b("GIF89a..."), "image/gif")
+    mime(Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xe0.toByte),
+      "image/jpeg")
+    mime(Array[Byte](1, 2, 3), "application/octet-stream")
+    mime(b("#!/bin/sh\necho hi\n"), "text/plain")
+    mime(b("MZ") ++ new Array[Byte](80), "application/x-dosexec")
   }
 
   test("elf module: header fields on a synthetic ELF64 image") {
