@@ -376,10 +376,17 @@ object Yara {
     * Undefined out of range / on a non-PE payload.
     */
   final case class SecField(field: String, idx: NumE) extends NumE
+  /** `elf.sections[<idx>].<member>` numeric members (type, flags,
+    * address, offset, size). Undefined out of range / on a non-ELF
+    * payload.
+    */
+  final case class ElfSecField(field: String, idx: NumE) extends NumE
   /** String-valued module expression. */
   sealed trait StrE
   /** `pe.sections[<idx>].name` — the 8-byte short name, NUL-cut. */
   final case class SecNameE(idx: NumE) extends StrE
+  /** `elf.sections[<idx>].name` — resolved via the shstrtab. */
+  final case class ElfSecNameE(idx: NumE) extends StrE
   /** String module function: `pe.imphash()`, `magic.type()`,
     * `magic.mime_type()`; also the string FIELD `pe.dll_name`.
     */
@@ -551,6 +558,19 @@ object Yara {
               case "raw_data_size" => s.rawDataSize
               case _ => s.characteristics
             })
+          case ElfSecField(f, idxE) =>
+            for {
+              i <- num(idxE)
+              e <- elfInfo
+              s <- if (i >= 0 && i < e.sections.size)
+                Some(e.sections(i.toInt)) else None
+            } yield IntV(f match {
+              case "type" => s.stype
+              case "flags" => s.flags
+              case "address" => s.address
+              case "offset" => s.offset
+              case _ => s.size
+            })
           case ModField(f) => (f match {
             case "pe.is_pe" => peInfo.map(_ => 1L)
             case "pe.machine" => peInfo.map(_.machine)
@@ -588,6 +608,7 @@ object Yara {
             case "elf.machine" => elfInfo.map(_.machine)
             case "elf.entry_point" => elfInfo.flatMap(_.entry)
             case "elf.number_of_sections" => elfInfo.flatMap(_.nSections)
+            case "elf.number_of_segments" => elfInfo.flatMap(_.nSegments)
             case other => throw new IllegalArgumentException(
               s"unsupported module field $other")
           }).map(IntV.apply)
@@ -723,6 +744,13 @@ object Yara {
               case ModStrFun("pe.imphash") => peInfo.map(_.imphash)
               case ModStrFun("pe.dll_name") => peInfo.flatMap(_.dllName)
               case VerInfo(k) => peInfo.flatMap(_.versionInfo.get(k))
+              case ElfSecNameE(idxE) =>
+                for {
+                  i <- num(idxE)
+                  e <- elfInfo
+                  s <- if (i >= 0 && i < e.sections.size)
+                    Some(e.sections(i.toInt)) else None
+                } yield s.name
               case ModStrFun("magic.type") =>
                 Some(magicDescribe(b, peInfo, elfInfo)._1)
               case ModStrFun("magic.mime_type") =>
@@ -1346,11 +1374,18 @@ object Yara {
     }
   }
 
+  /** One ELF section-header row (`elf.sections[i]` members). */
+  private final case class ElfSection(name: String, stype: Long,
+      flags: Long, address: Long, offset: Long, size: Long)
+
   /** Header-level ELF facts; `ei_data` (byte 5) picks the byte order,
-    * `ei_class` (byte 4) the 32/64-bit field layout.
+    * `ei_class` (byte 4) the 32/64-bit field layout. The section table
+    * resolves names through the `e_shstrndx` string-table section.
     */
   private final case class ElfInfo(etype: Long, machine: Long,
-      entry: Option[Long], nSections: Option[Long])
+      entry: Option[Long], nSections: Option[Long],
+      nSegments: Option[Long] = None,
+      sections: IndexedSeq[ElfSection] = IndexedSeq.empty)
 
   private def parseElf(b: Array[Byte]): Option[ElfInfo] = {
     if (b.length < 52 || b(0) != 0x7f.toByte || b(1) != 'E' ||
@@ -1358,20 +1393,63 @@ object Yara {
     else {
       val is64 = b(4) == 2
       val be = b(5) == 2
-      def u16(i: Int): Option[Long] =
-        if (i + 2 <= b.length) Some(
-          if (be) ((b(i) & 0xffL) << 8) | (b(i + 1) & 0xffL)
-          else (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8))
-        else None
-      def u32(i: Int): Option[Long] =
+      def u16(i: Long): Option[Long] =
+        if (i >= 0 && i + 2 <= b.length) Some {
+          val j = i.toInt
+          if (be) ((b(j) & 0xffL) << 8) | (b(j + 1) & 0xffL)
+          else (b(j) & 0xffL) | ((b(j + 1) & 0xffL) << 8)
+        } else None
+      def u32(i: Long): Option[Long] =
         for { a <- u16(i); c <- u16(i + 2) } yield
           if (be) (a << 16) | c else a | (c << 16)
-      def u64(i: Int): Option[Long] =
+      def u64(i: Long): Option[Long] =
         for { a <- u32(i); c <- u32(i + 4) } yield
           if (be) (a << 32) | c else a | (c << 32)
-      for { t <- u16(16); m <- u16(18) } yield ElfInfo(t, m,
-        entry = if (is64) u64(24) else u32(24),
-        nSections = u16(if (is64) 60 else 48))
+      def word(i: Long): Option[Long] = if (is64) u64(i) else u32(i)
+      for { t <- u16(16); m <- u16(18) } yield {
+        val shoff = word(if (is64) 40 else 32).getOrElse(0L)
+        val shentsize = u16(if (is64) 58 else 46).getOrElse(0L)
+        val shnum = u16(if (is64) 60 else 48)
+        val shstrndx = u16(if (is64) 62 else 50).getOrElse(0L)
+        val sections: IndexedSeq[ElfSection] =
+          if (shoff <= 0 || shentsize < (if (is64) 64 else 40)) IndexedSeq.empty
+          else {
+            val n = math.min(shnum.getOrElse(0L), 4096L).toInt
+            def hdr(k: Int): Long = shoff + shentsize * k
+            // string table for names: section[e_shstrndx].sh_offset
+            val strOff =
+              if (shstrndx < n) word(hdr(shstrndx.toInt) + (if (is64) 24 else 16))
+              else None
+            def nameAt(rel: Long): String = strOff.flatMap { s0 =>
+              val p = s0 + rel
+              if (p < 0 || p >= b.length) None
+              else {
+                var q = p.toInt
+                val sb = new java.lang.StringBuilder
+                while (q < b.length && b(q) != 0 && sb.length < 64) {
+                  sb.append((b(q) & 0xff).toChar); q += 1
+                }
+                Some(sb.toString)
+              }
+            }.getOrElse("")
+            (0 until n).iterator.flatMap { k =>
+              val h = hdr(k)
+              for {
+                nameRel <- u32(h)
+                st <- u32(h + 4)
+                fl <- word(h + 8)
+                addr <- word(h + (if (is64) 16 else 12))
+                off <- word(h + (if (is64) 24 else 16))
+                sz <- word(h + (if (is64) 32 else 20))
+              } yield ElfSection(nameAt(nameRel), st, fl, addr, off, sz)
+            }.toIndexedSeq
+          }
+        ElfInfo(t, m,
+          entry = if (is64) u64(24) else u32(24),
+          nSections = shnum,
+          nSegments = u16(if (is64) 56 else 44),
+          sections = sections)
+      }
     }
   }
 
@@ -1501,7 +1579,10 @@ object Yara {
     "pe.rich_signature.offset", "pe.rich_signature.length",
     "pe.rich_signature.key",
     "elf.type", "elf.machine", "elf.entry_point",
-    "elf.number_of_sections")
+    "elf.number_of_sections", "elf.number_of_segments")
+  /** `elf.sections[i].<member>` numeric members. */
+  private val elfSecNumFields = Set("type", "flags", "address",
+    "offset", "size")
   /** Rich-header count functions (`version`/`toolid`). */
   private val richFuns = Set("pe.rich_signature.version",
     "pe.rich_signature.toolid")
@@ -1643,6 +1724,10 @@ object Yara {
         val (fld, idx) = secMember()
         if (!secNumFields(fld)) fail("." + fld)
         SecField(fld, idx)
+      case "elf.sections" =>
+        val (fld, idx) = secMember()
+        if (!elfSecNumFields(fld)) fail("." + fld)
+        ElfSecField(fld, idx)
       case "pe.exports" =>
         // `pe.exports("name")` — 1/0 like libyara's numeric return
         expect("(")
@@ -1909,6 +1994,13 @@ object Yara {
           secVarField(t).get match {
             case "name" => strCmpTail(SecNameE(NumLoopVar))
             case f if secNumFields(f) => numCmpTail(SecField(f, NumLoopVar))
+            case other => fail("." + other)
+          }
+        case "elf.sections" =>
+          val (fld, idx) = secMember()
+          fld match {
+            case "name" => strCmpTail(ElfSecNameE(idx))
+            case f if elfSecNumFields(f) => numCmpTail(ElfSecField(f, idx))
             case other => fail("." + other)
           }
         case t @ ("pe.exports" | "pe.rich_signature.version" |

@@ -834,7 +834,7 @@ class YaraSpec extends AnyFunSuite with SparkSpecBase {
     mime(Array[Byte]('7', 'z', 0xbc.toByte, 0xaf.toByte, 0x27, 0x1c),
       "application/x-7z-compressed")
     mime(b("Rar!....."), "application/x-rar")
-    mime(b(" " * 257 + "ustar something"), "application/x-tar")
+    mime(b(" " * 257 + "ustar! something"), "application/x-tar")
     mime(b("RIFF....WAVEfmt "), "audio/x-wav")
     mime(b("OggS binary here "), "audio/ogg")
     mime(Array[Byte](0x0a, 0x0d, 0x0d, 0x0a), "application/x-pcapng")
@@ -864,5 +864,59 @@ class YaraSpec extends AnyFunSuite with SparkSpecBase {
         |  elf.number_of_sections == 5 }""".stripMargin)
     assert(Yara.scan(rules, img).nonEmpty)
     assert(Yara.scan(rules, b("not an elf")).isEmpty)
+  }
+
+  test("elf module: section table with shstrtab names and segments") {
+    val img = new Array[Byte](0x140)
+    def w16(i: Int, v: Int): Unit = {
+      img(i) = (v & 0xff).toByte; img(i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    def w32(i: Int, v: Long): Unit = {
+      w16(i, (v & 0xffff).toInt); w16(i + 2, ((v >> 16) & 0xffff).toInt)
+    }
+    img(0) = 0x7f; img(1) = 'E'; img(2) = 'L'; img(3) = 'F'
+    img(4) = 2; img(5) = 1 // 64-bit LSB
+    img(16) = 2 // ET_EXEC
+    img(18) = 62 // x86-64
+    w32(40, 0x40) // e_shoff (u64 low half)
+    w16(56, 2) // e_phnum
+    w16(58, 64) // e_shentsize
+    w16(60, 3) // e_shnum
+    w16(62, 2) // e_shstrndx
+    // shdr[1] (.text): name 1, type PROGBITS, flags AX, addr/off/size
+    val s1 = 0x40 + 64
+    w32(s1, 1); w32(s1 + 4, 1)
+    w32(s1 + 8, 6) // sh_flags (u64 low)
+    w32(s1 + 16, 0x401000L)
+    w32(s1 + 24, 0x200)
+    w32(s1 + 32, 0x80)
+    // shdr[2] (.shstrtab): name 7, type STRTAB, offset of the strings
+    val s2 = 0x40 + 128
+    w32(s2, 7); w32(s2 + 4, 3)
+    w32(s2 + 24, 0x100); w32(s2 + 32, 0x20)
+    // "\0.text\0.shstrtab\0" -- spaces stand in for NULs, zeroed here
+    " .text .shstrtab".getBytes("ISO-8859-1")
+      .zipWithIndex.foreach { case (c, k) =>
+        img(0x100 + k) = if (c == ' ') 0 else c
+      }
+    val rules = Yara.parse(
+      """rule Sec { condition: elf.number_of_sections == 3 and
+        |  elf.number_of_segments == 2 and
+        |  elf.sections[1].name == ".text" and
+        |  elf.sections[2].name == ".shstrtab" and
+        |  elf.sections[1].type == 1 and
+        |  elf.sections[1].flags == 6 and
+        |  elf.sections[1].address == 0x401000 and
+        |  elf.sections[1].offset == 0x200 and
+        |  elf.sections[1].size == 0x80 and
+        |  elf.sections[0].name == "" }
+        |rule SecLoop { condition:
+        |  for any i in (0..elf.number_of_sections - 1) :
+        |    ( elf.sections[i].name matches /shstr/ ) }
+        |rule OutOfRange { condition: elf.sections[9].size == 0 }"""
+        .stripMargin)
+    assert(Yara.scan(rules, img).toSet ==
+      Set("yara:Sec", "yara:SecLoop"))
+    assert(Yara.scan(rules, b("plain")).isEmpty)
   }
 }
