@@ -396,6 +396,14 @@ object Yara {
     * libyara's strcmp walk).
     */
   final case class ModStrArgFun(name: String, arg: String) extends NumE
+  /** `pe.imports("dll.dll"[, "Func"])` — the count of matching imports
+    * (YARA 4.2 semantics, nonzero truthy): one arg counts every
+    * function imported from the DLL, two args count the exact function.
+    * DLL names compare case-insensitively (libyara strcasecmp),
+    * function names case-sensitively.
+    */
+  final case class ImportsFun(dll: String, func: Option[String])
+    extends NumE
   /** `pe.version_info["CompanyName"]` — a StringFileInfo value from the
     * version resource; undefined (comparison false) when the payload is
     * not a PE or carries no such key.
@@ -525,6 +533,18 @@ object Yara {
           case NumFun(name, args) => evalFun(name, args)
           case ModStrArgFun("pe.exports", arg) =>
             peInfo.map(p => IntV(if (p.exports.contains(arg)) 1L else 0L))
+          case ImportsFun(dll, fn) =>
+            peInfo.map { p =>
+              val d = dll.toLowerCase(java.util.Locale.ROOT)
+              IntV(p.imports.collect {
+                case (name, funcs)
+                    if name.toLowerCase(java.util.Locale.ROOT) == d =>
+                  fn match {
+                    case Some(f) => funcs.count(_ == f).toLong
+                    case None => funcs.size.toLong
+                  }
+              }.sum)
+            }
           case RichFun(byVersion, aE, bE) =>
             // summed counts of matching entries (prodid, build, count)
             for {
@@ -1743,6 +1763,19 @@ object Yara {
         } else None
         expect(")")
         RichFun(t.endsWith(".version"), a, b2)
+      case "pe.imports" =>
+        expect("(")
+        def strLit(): String = {
+          val lit = next()
+          if (!(lit.length >= 2 && lit.startsWith("\""))) fail(lit)
+          unescape(lit.drop(1).dropRight(1))
+        }
+        val dll = strLit()
+        val fn = if (toks.headOption.contains(",")) {
+          next(); Some(strLit())
+        } else None
+        expect(")")
+        ImportsFun(dll, fn)
       case t if boundVar.contains(t) => NumLoopVar
       case t if secVarField(t).exists(secNumFields) =>
         SecField(secVarField(t).get, NumLoopVar)
@@ -2003,8 +2036,8 @@ object Yara {
             case f if elfSecNumFields(f) => numCmpTail(ElfSecField(f, idx))
             case other => fail("." + other)
           }
-        case t @ ("pe.exports" | "pe.rich_signature.version" |
-            "pe.rich_signature.toolid") =>
+        case t @ ("pe.exports" | "pe.imports" |
+            "pe.rich_signature.version" | "pe.rich_signature.toolid") =>
           // truth test or numeric comparison, like the bool functions
           toks.prepend(t)
           val left = numPrimary()

@@ -101,7 +101,7 @@ class YaraSpec extends AnyFunSuite with SparkSpecBase {
   test("unsupported constructs fail loudly, not silently") {
     // module references outside the supported math/hash/pe/elf subset
     intercept[IllegalArgumentException] {
-      Yara.parse("rule M { condition: pe.imports(\"kernel32.dll\") }")
+      Yara.parse("rule M { condition: pe.signatures[0].subject }")
     }
     intercept[IllegalArgumentException] {
       Yara.parse(
@@ -649,6 +649,11 @@ class YaraSpec extends AnyFunSuite with SparkSpecBase {
         |  pe.sections[0 - 1].raw_data_size == 0 }
         |rule Imports { condition: pe.number_of_imports == 1 and
         |  pe.number_of_imported_functions == 2 }
+        |rule ImportsFn { condition:
+        |  pe.imports("kernel32.dll", "LoadLibraryA") and
+        |  pe.imports("KERNEL32.DLL") == 2 and
+        |  not pe.imports("kernel32.dll", "loadlibrarya") and
+        |  not pe.imports("user32.dll") }
         |rule SecIter { condition:
         |  for any section in pe.sections :
         |    ( section.name == ".idata" and
@@ -689,9 +694,9 @@ class YaraSpec extends AnyFunSuite with SparkSpecBase {
         |  magic.mime_type() == "application/x-dosexec" }""".stripMargin)
     val got = Yara.scan(rules, img).toSet
     assert(got == Set("yara:Secs", "yara:SecLoop", "yara:SecLoopAll",
-      "yara:Imports", "yara:Imphash", "yara:Magic", "yara:SecIter",
-      "yara:SecIterAll", "yara:Exports", "yara:Matches", "yara:Overlay",
-      "yara:Rich"),
+      "yara:Imports", "yara:ImportsFn", "yara:Imphash", "yara:Magic",
+      "yara:SecIter", "yara:SecIterAll", "yara:Exports", "yara:Matches",
+      "yara:Overlay", "yara:Rich"),
       s"got $got")
     // appended payload past the last section = the overlay
     val img2 = img ++ ("E" * 16).getBytes("ISO-8859-1")
