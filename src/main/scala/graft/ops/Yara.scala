@@ -33,11 +33,15 @@ import scala.collection.mutable
   *     (`pe.sections[i].name/virtual_address/virtual_size/
   *     raw_data_offset/raw_data_size/characteristics`, via indexed
   *     loops or the `for any section in pe.sections : (…)` iterator
-  *     form), the export table (`pe.number_of_exports`, `pe.dll_name`,
+  *     form; `elf.sections[i].*` via the shstrtab likewise), the
+  *     export table (`pe.number_of_exports`, `pe.dll_name`,
   *     `pe.exports("name")`), the import table (`pe.number_of_imports`,
-  *     `pe.number_of_imported_functions`) and `pe.imphash()` (the
-  *     public pefile/Mandiant normalization; ordinal imports hash as
-  *     `ordN` — no baked-in ws2_32/oleaut32 ordinal-name table);
+  *     `pe.number_of_imported_functions`, `pe.imports("dll"[, "func"])`)
+  *     and `pe.imphash()` (the public pefile/Mandiant normalization;
+  *     ordinal imports hash as `ordN` — no baked-in ws2_32/oleaut32
+  *     ordinal-name table), `pe.version_info["Key"]`,
+  *     `pe.overlay.offset/size` and the Rich header
+  *     (`pe.rich_signature.*`);
   *   - a `magic` module subset (`magic.type()`/`magic.mime_type()`)
   *     over a deterministic signature table, plus YARA string
   *     operators (`contains/icontains/startswith/…` and
