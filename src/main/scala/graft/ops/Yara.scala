@@ -1679,14 +1679,16 @@ object Yara {
     def next(): String = if (toks.isEmpty) fail("<end>") else toks.dequeue()
     // the `for` loop variable in scope, for `@a[i]` validation
     var boundVar: Option[String] = None
-    // the `for … in pe.sections` iterator variable in scope: body tokens
-    // `<var>.<member>` resolve to pe.sections[<loop index>].<member>
-    var boundSecVar: Option[String] = None
+    // the `for … in pe.sections` / `elf.sections` iterator variable in
+    // scope (name, isPe): body tokens `<var>.<member>` resolve to
+    // <module>.sections[<loop index>].<member>
+    var boundSecVar: Option[(String, Boolean)] = None
     def secVarField(t: String): Option[String] =
       boundSecVar.collect {
-        case sv if t.startsWith(sv + ".") && t.length > sv.length + 1 =>
+        case (sv, _) if t.startsWith(sv + ".") && t.length > sv.length + 1 =>
           t.substring(sv.length + 1)
       }
+    def secVarIsPe: Boolean = boundSecVar.exists(_._2)
     def expect(t: String): Unit = if (next() != t) fail(t)
     // `@a[k]`/`!a[k]` ordinal bracket: loop variable → None (bound at
     // eval), digit → constant; a missing bracket means ordinal 1
@@ -1781,8 +1783,10 @@ object Yara {
         expect(")")
         ImportsFun(dll, fn)
       case t if boundVar.contains(t) => NumLoopVar
-      case t if secVarField(t).exists(secNumFields) =>
-        SecField(secVarField(t).get, NumLoopVar)
+      case t if secVarField(t).exists(f =>
+          if (secVarIsPe) secNumFields(f) else elfSecNumFields(f)) =>
+        if (secVarIsPe) SecField(secVarField(t).get, NumLoopVar)
+        else ElfSecField(secVarField(t).get, NumLoopVar)
       case t => NumLit(numLit(t))
     }
     // `[ idxExpr ] .member` tail of a pe.sections reference
@@ -1907,19 +1911,22 @@ object Yara {
           if (pct) fail("%") // N% quantifies string sets, not ranges
           next()
           expect("in")
-          if (toks.headOption.contains("pe.sections")) {
+          if (toks.headOption.exists(h =>
+            h == "pe.sections" || h == "elf.sections")) {
             // `for any section in pe.sections : ( section.name … )` —
             // the iterator form public rulesets use; desugars to an
             // index loop over 0..number_of_sections-1 with the
-            // variable's members reading pe.sections[<loop index>]
-            next()
+            // variable's members reading <module>.sections[<loop index>]
+            val isPe = next() == "pe.sections"
             expect(":"); expect("(")
             val savedS = boundSecVar
-            boundSecVar = Some(v)
+            boundSecVar = Some((v, isPe))
             val body = try or() finally boundSecVar = savedS
             expect(")")
             wrap(ForIndex(n, NumLit(0),
-              NumBin("-", ModField("pe.number_of_sections"), NumLit(1)),
+              NumBin("-", ModField(
+                if (isPe) "pe.number_of_sections"
+                else "elf.number_of_sections"), NumLit(1)),
               body))
           } else {
             val (lo, hi) = rangeTail()
@@ -2027,10 +2034,15 @@ object Yara {
           }
         case t if secVarField(t).isDefined =>
           // section-iterator variable member (`section.name`, bound by
-          // `for … in pe.sections`)
+          // `for … in pe.sections` / `elf.sections`)
           secVarField(t).get match {
-            case "name" => strCmpTail(SecNameE(NumLoopVar))
-            case f if secNumFields(f) => numCmpTail(SecField(f, NumLoopVar))
+            case "name" =>
+              strCmpTail(if (secVarIsPe) SecNameE(NumLoopVar)
+                else ElfSecNameE(NumLoopVar))
+            case f if secVarIsPe && secNumFields(f) =>
+              numCmpTail(SecField(f, NumLoopVar))
+            case f if !secVarIsPe && elfSecNumFields(f) =>
+              numCmpTail(ElfSecField(f, NumLoopVar))
             case other => fail("." + other)
           }
         case "elf.sections" =>

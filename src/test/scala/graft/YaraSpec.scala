@@ -918,10 +918,13 @@ class YaraSpec extends AnyFunSuite with SparkSpecBase {
         |rule SecLoop { condition:
         |  for any i in (0..elf.number_of_sections - 1) :
         |    ( elf.sections[i].name matches /shstr/ ) }
+        |rule SecIter { condition:
+        |  for any s in elf.sections :
+        |    ( s.name == ".text" and s.size == 0x80 ) }
         |rule OutOfRange { condition: elf.sections[9].size == 0 }"""
         .stripMargin)
     assert(Yara.scan(rules, img).toSet ==
-      Set("yara:Sec", "yara:SecLoop"))
+      Set("yara:Sec", "yara:SecLoop", "yara:SecIter"))
     assert(Yara.scan(rules, b("plain")).isEmpty)
   }
 }
