@@ -385,12 +385,25 @@ object Yara {
     * payload.
     */
   final case class ElfSecField(field: String, idx: NumE) extends NumE
+  /** `elf.segments[<idx>].<member>` numeric members (type, flags,
+    * offset, virtual_address, file_size, memory_size).
+    */
+  final case class ElfSegField(field: String, idx: NumE) extends NumE
+  /** `pe.resources[<idx>].<member>` numeric members (type, id,
+    * language, offset, length); numeric type/id are undefined on
+    * string-named levels (use the `_string` forms).
+    */
+  final case class ResField(field: String, idx: NumE) extends NumE
   /** String-valued module expression. */
   sealed trait StrE
   /** `pe.sections[<idx>].name` — the 8-byte short name, NUL-cut. */
   final case class SecNameE(idx: NumE) extends StrE
   /** `elf.sections[<idx>].name` — resolved via the shstrtab. */
   final case class ElfSecNameE(idx: NumE) extends StrE
+  /** `pe.resources[<idx>].type_string` / `.name_string` — the UTF-16
+    * names of string-named resource levels.
+    */
+  final case class ResStrE(field: String, idx: NumE) extends StrE
   /** String module function: `pe.imphash()`, `magic.type()`,
     * `magic.mime_type()`; also the string FIELD `pe.dll_name`.
     */
@@ -595,6 +608,34 @@ object Yara {
               case "offset" => s.offset
               case _ => s.size
             })
+          case ElfSegField(f, idxE) =>
+            for {
+              i <- num(idxE)
+              e <- elfInfo
+              s <- if (i >= 0 && i < e.segments.size)
+                Some(e.segments(i.toInt)) else None
+            } yield IntV(f match {
+              case "type" => s.ptype
+              case "flags" => s.flags
+              case "offset" => s.offset
+              case "virtual_address" => s.vaddr
+              case "file_size" => s.fileSize
+              case _ => s.memSize
+            })
+          case ResField(f, idxE) =>
+            for {
+              i <- num(idxE)
+              p <- peInfo
+              r <- if (i >= 0 && i < p.resources.size)
+                Some(p.resources(i.toInt)) else None
+              v <- f match {
+                case "type" => r.rtype
+                case "id" => r.id
+                case "language" => Some(r.language)
+                case "offset" => Some(r.offset)
+                case _ => Some(r.length)
+              }
+            } yield IntV(v)
           case ModField(f) => (f match {
             case "pe.is_pe" => peInfo.map(_ => 1L)
             case "pe.machine" => peInfo.map(_.machine)
@@ -612,6 +653,8 @@ object Yara {
             case "pe.number_of_imported_functions" =>
               peInfo.map(_.numberOfImportedFunctions)
             case "pe.number_of_exports" => peInfo.map(_.numberOfExports)
+            case "pe.number_of_resources" =>
+              peInfo.map(_.resources.size.toLong)
             // overlay: bytes past the last section's raw data — the
             // classic appended-payload hide. Undefined without sections.
             case "pe.overlay.offset" => peInfo.flatMap(p =>
@@ -775,6 +818,15 @@ object Yara {
                   s <- if (i >= 0 && i < e.sections.size)
                     Some(e.sections(i.toInt)) else None
                 } yield s.name
+              case ResStrE(f, idxE) =>
+                for {
+                  i <- num(idxE)
+                  p <- peInfo
+                  r <- if (i >= 0 && i < p.resources.size)
+                    Some(p.resources(i.toInt)) else None
+                  v <- if (f == "type_string") r.typeString
+                       else r.nameString
+                } yield v
               case ModStrFun("magic.type") =>
                 Some(magicDescribe(b, peInfo, elfInfo)._1)
               case ModStrFun("magic.mime_type") =>
@@ -1063,6 +1115,14 @@ object Yara {
       virtualSize: Long, rawDataOffset: Long, rawDataSize: Long,
       characteristics: Long)
 
+  /** One resource-tree leaf (`pe.resources[i]` members): numeric
+    * type/id are None when the level uses a string name (the
+    * `type_string`/`name_string` alternative, like libyara).
+    */
+  private final case class PeResource(rtype: Option[Long],
+      id: Option[Long], language: Long, offset: Long, length: Long,
+      typeString: Option[String], nameString: Option[String])
+
   /** Header-level PE facts (public PE/COFF spec layout: MZ at 0,
     * `e_lfanew` at 0x3c, COFF header after the PE\0\0 signature,
     * optional-header magic 0x10b/0x20b). `entryOff` is the entry
@@ -1087,6 +1147,7 @@ object Yara {
       numberOfExports: Long = 0L,
       dllName: Option[String] = None,
       versionInfo: Map[String, String] = Map.empty,
+      resources: IndexedSeq[PeResource] = IndexedSeq.empty,
       /** Rich header: (offset of the XORed DanS block, length up to but
         * not including the "Rich" marker and key — the YARA docs'
         * convention — XOR key, entries as (prodid, build, count)).
@@ -1239,44 +1300,76 @@ object Yara {
         }.getOrElse(Seq.empty)
         (dll, names.toIndexedSeq, nFuncs)
       }).getOrElse((None, IndexedSeq.empty[String], 0L))
-      // version resource: DataDirectory[2] → resource tree → the first
-      // RT_VERSION (type 16) leaf → VS_VERSIONINFO → StringFileInfo →
-      // StringTable → String entries (all per the public VERSIONINFO
-      // layout: wLength/wValueLength/wType headers, UTF-16LE szKey,
-      // 4-byte alignment between members; wValueLength of a text-typed
-      // String counts 16-bit words)
-      val versionInfo: Map[String, String] = (for {
+      // resource tree (DataDirectory[2]): three levels — type, id/name,
+      // language — each a directory of 8-byte entries (entry count at
+      // +12 named + +14 id; high bit of the second word = subdirectory;
+      // offsets relative to the resource section start; a high-bit
+      // FIRST word points at a counted UTF-16 name string). Leaves are
+      // data entries (data RVA, size).
+      val resources: IndexedSeq[PeResource] = (for {
         rsrcRva <- if (known)
           u32(if (is64) opt + 128 else opt + 112).filter(_ != 0L)
         else None
         rsrcOff <- rvaToOff(rsrcRva)
-        blob <- {
-          // dir header: entry count at +12 (named) + +14 (id); entries
-          // of 8 bytes follow; high bit of the offset = subdirectory,
-          // offsets relative to the resource section start
-          def entries(dir: Long): Seq[(Long, Long)] =
-            (for { nn <- u16(dir + 12); ni <- u16(dir + 14) } yield {
-              val n = math.min(nn + ni, 256L).toInt
-              (0 until n).flatMap { k =>
-                for { id <- u32(dir + 16 + 8L * k)
-                      off <- u32(dir + 20 + 8L * k) } yield (id, off)
-              }
-            }).getOrElse(Seq.empty)
+      } yield {
+        def entries(dir: Long): Seq[(Long, Long)] =
+          (for { nn <- u16(dir + 12); ni <- u16(dir + 14) } yield {
+            val n = math.min(nn + ni, 256L).toInt
+            (0 until n).flatMap { k =>
+              for { id <- u32(dir + 16 + 8L * k)
+                    off <- u32(dir + 20 + 8L * k) } yield (id, off)
+            }
+          }).getOrElse(Seq.empty)
+        def strName(rel: Long): Option[String] = for {
+          n0 <- u16(rsrcOff + rel)
+          n = math.min(n0, 64L).toInt
+          if rsrcOff + rel + 2 + 2L * n <= b.length
+        } yield {
+          val sb = new java.lang.StringBuilder
+          var k = 0
+          while (k < n) {
+            val p = (rsrcOff + rel + 2 + 2L * k).toInt
+            sb.append((((b(p) & 0xff) | ((b(p + 1) & 0xff) << 8))).toChar)
+            k += 1
+          }
+          sb.toString
+        }
+        def idOrName(raw: Long): (Option[Long], Option[String]) =
+          if ((raw & 0x80000000L) != 0) (None, strName(raw & 0x7fffffffL))
+          else (Some(raw), None)
+        val out = IndexedSeq.newBuilder[PeResource]
+        var total = 0
+        for {
+          (tid, tOff) <- entries(rsrcOff) if (tOff & 0x80000000L) != 0
+          (nid, nOff) <- entries(rsrcOff + (tOff & 0x7fffffffL))
+            if (nOff & 0x80000000L) != 0
+          (lid, lOff) <- entries(rsrcOff + (nOff & 0x7fffffffL))
+            if (lOff & 0x80000000L) == 0 && total < 4096
+        } {
           for {
-            (_, tOff) <- entries(rsrcOff)
-              .find(e => e._1 == 16L && (e._2 & 0x80000000L) != 0)
-            (_, nOff) <- entries(rsrcOff + (tOff & 0x7fffffffL)).headOption
-              .filter(_._2 != 0L)
-            leaf <- if ((nOff & 0x80000000L) != 0)
-              entries(rsrcOff + (nOff & 0x7fffffffL)).headOption.map(_._2)
-            else Some(nOff)
-            dataRva <- u32(rsrcOff + (leaf & 0x7fffffffL))
-            size <- u32(rsrcOff + (leaf & 0x7fffffffL) + 4)
+            dataRva <- u32(rsrcOff + lOff)
+            size <- u32(rsrcOff + lOff + 4)
             dataOff <- rvaToOff(dataRva)
             if size > 0 && dataOff + size <= b.length
-          } yield (dataOff, math.min(size, 65536L))
+          } {
+            val (t, ts) = idOrName(tid)
+            val (i2, ns) = idOrName(nid)
+            out += PeResource(t, i2, lid & 0x7fffffffL,
+              dataOff, size, ts, ns)
+            total += 1
+          }
         }
+        out.result()
+      }).getOrElse(IndexedSeq.empty)
+      // version resource: the first RT_VERSION (type 16) leaf →
+      // VS_VERSIONINFO → StringFileInfo → StringTable → String entries
+      // (per the public VERSIONINFO layout: wLength/wValueLength/wType
+      // headers, UTF-16LE szKey, 4-byte alignment between members;
+      // wValueLength of a text-typed String counts 16-bit words)
+      val versionInfo: Map[String, String] = (for {
+        r <- resources.find(_.rtype.contains(16L))
       } yield {
+        val blob = (r.offset, math.min(r.length, 65536L))
         val (v0, vLen) = blob
         val end0 = v0 + vLen
         // VERSIONINFO members align on 32-bit boundaries relative to the
@@ -1394,13 +1487,17 @@ object Yara {
         entryOff = entryOff,
         sections = sections, imports = imports,
         exports = expNames, numberOfExports = nExp, dllName = expDll,
-        versionInfo = versionInfo, rich = rich)
+        versionInfo = versionInfo, resources = resources, rich = rich)
     }
   }
 
   /** One ELF section-header row (`elf.sections[i]` members). */
   private final case class ElfSection(name: String, stype: Long,
       flags: Long, address: Long, offset: Long, size: Long)
+
+  /** One ELF program-header row (`elf.segments[i]` members). */
+  private final case class ElfSegment(ptype: Long, flags: Long,
+      offset: Long, vaddr: Long, fileSize: Long, memSize: Long)
 
   /** Header-level ELF facts; `ei_data` (byte 5) picks the byte order,
     * `ei_class` (byte 4) the 32/64-bit field layout. The section table
@@ -1409,7 +1506,8 @@ object Yara {
   private final case class ElfInfo(etype: Long, machine: Long,
       entry: Option[Long], nSections: Option[Long],
       nSegments: Option[Long] = None,
-      sections: IndexedSeq[ElfSection] = IndexedSeq.empty)
+      sections: IndexedSeq[ElfSection] = IndexedSeq.empty,
+      segments: IndexedSeq[ElfSegment] = IndexedSeq.empty)
 
   private def parseElf(b: Array[Byte]): Option[ElfInfo] = {
     if (b.length < 52 || b(0) != 0x7f.toByte || b(1) != 'E' ||
@@ -1468,11 +1566,31 @@ object Yara {
               } yield ElfSection(nameAt(nameRel), st, fl, addr, off, sz)
             }.toIndexedSeq
           }
+        // program headers: e_phoff/e_phentsize/e_phnum; 32-bit puts
+        // p_flags AFTER the addresses, 64-bit right after p_type
+        val phoff = word(if (is64) 32 else 28).getOrElse(0L)
+        val phentsize = u16(if (is64) 54 else 42).getOrElse(0L)
+        val phnum = u16(if (is64) 56 else 44)
+        val segments: IndexedSeq[ElfSegment] =
+          if (phoff <= 0 || phentsize < (if (is64) 56 else 32))
+            IndexedSeq.empty
+          else (0 until math.min(phnum.getOrElse(0L), 4096L).toInt)
+            .iterator.flatMap { k =>
+              val h = phoff + phentsize * k
+              for {
+                pt <- u32(h)
+                fl <- u32(h + (if (is64) 4 else 24))
+                off <- word(h + (if (is64) 8 else 4))
+                va <- word(h + (if (is64) 16 else 8))
+                fsz <- word(h + (if (is64) 32 else 16))
+                msz <- word(h + (if (is64) 40 else 20))
+              } yield ElfSegment(pt, fl, off, va, fsz, msz)
+            }.toIndexedSeq
         ElfInfo(t, m,
           entry = if (is64) u64(24) else u32(24),
           nSections = shnum,
-          nSegments = u16(if (is64) 56 else 44),
-          sections = sections)
+          nSegments = phnum,
+          sections = sections, segments = segments)
       }
     }
   }
@@ -1599,7 +1717,8 @@ object Yara {
     "pe.number_of_sections", "pe.timestamp", "pe.characteristics",
     "pe.subsystem", "pe.entry_point", "pe.image_base",
     "pe.number_of_imports", "pe.number_of_imported_functions",
-    "pe.number_of_exports", "pe.overlay.offset", "pe.overlay.size",
+    "pe.number_of_exports", "pe.number_of_resources",
+    "pe.overlay.offset", "pe.overlay.size",
     "pe.rich_signature.offset", "pe.rich_signature.length",
     "pe.rich_signature.key",
     "elf.type", "elf.machine", "elf.entry_point",
@@ -1607,6 +1726,13 @@ object Yara {
   /** `elf.sections[i].<member>` numeric members. */
   private val elfSecNumFields = Set("type", "flags", "address",
     "offset", "size")
+  /** `elf.segments[i].<member>` numeric members. */
+  private val elfSegNumFields = Set("type", "flags", "offset",
+    "virtual_address", "file_size", "memory_size")
+  /** `pe.resources[i].<member>` numeric / string members. */
+  private val resNumFields = Set("type", "id", "language",
+    "offset", "length")
+  private val resStrFields = Set("type_string", "name_string")
   /** Rich-header count functions (`version`/`toolid`). */
   private val richFuns = Set("pe.rich_signature.version",
     "pe.rich_signature.toolid")
@@ -1754,6 +1880,14 @@ object Yara {
         val (fld, idx) = secMember()
         if (!elfSecNumFields(fld)) fail("." + fld)
         ElfSecField(fld, idx)
+      case "elf.segments" =>
+        val (fld, idx) = secMember()
+        if (!elfSegNumFields(fld)) fail("." + fld)
+        ElfSegField(fld, idx)
+      case "pe.resources" =>
+        val (fld, idx) = secMember()
+        if (!resNumFields(fld)) fail("." + fld)
+        ResField(fld, idx)
       case "pe.exports" =>
         // `pe.exports("name")` — 1/0 like libyara's numeric return
         expect("(")
@@ -2050,6 +2184,17 @@ object Yara {
           fld match {
             case "name" => strCmpTail(ElfSecNameE(idx))
             case f if elfSecNumFields(f) => numCmpTail(ElfSecField(f, idx))
+            case other => fail("." + other)
+          }
+        case "elf.segments" =>
+          val (fld, idx) = secMember()
+          if (!elfSegNumFields(fld)) fail("." + fld)
+          numCmpTail(ElfSegField(fld, idx))
+        case "pe.resources" =>
+          val (fld, idx) = secMember()
+          fld match {
+            case f if resStrFields(f) => strCmpTail(ResStrE(f, idx))
+            case f if resNumFields(f) => numCmpTail(ResField(f, idx))
             case other => fail("." + other)
           }
         case t @ ("pe.exports" | "pe.imports" |

@@ -792,9 +792,20 @@ class YaraSpec extends AnyFunSuite with SparkSpecBase {
         |  pe.version_info["ProductName"] icontains "IMPLANT" and
         |  pe.version_info["CompanyName"] matches /corp$/i }
         |rule V2 { condition:
-        |  pe.version_info["FileDescription"] == "Evil Corp" }"""
-        .stripMargin)
-    assert(Yara.scan(rules, img).toSet == Set("yara:V1"))
+        |  pe.version_info["FileDescription"] == "Evil Corp" }
+        |rule Res { condition: pe.number_of_resources == 1 and
+        |  pe.resources[0].type == 16 and pe.resources[0].id == 1 and
+        |  pe.resources[0].language == 0x409 and
+        |  pe.resources[0].offset == 0x460 and
+        |  pe.resources[0].length > 0 and
+        |  uint16(pe.resources[0].offset + 6) == 0x56 }
+        |rule ResStr { condition:
+        |  pe.resources[0].name_string == "x" or
+        |  pe.resources[1].type == 16 }""".stripMargin)
+    // ResStr stays cold: numeric-named levels have no name_string and
+    // index 1 is out of range — both undefined, never a throw.
+    // uint16(offset+6) reads the 'V' of the blob's UTF-16 szKey.
+    assert(Yara.scan(rules, img).toSet == Set("yara:V1", "yara:Res"))
     // missing key / non-PE payload: undefined, never a throw
     assert(Yara.scan(rules, b("plain")).isEmpty)
   }
@@ -872,7 +883,7 @@ class YaraSpec extends AnyFunSuite with SparkSpecBase {
   }
 
   test("elf module: section table with shstrtab names and segments") {
-    val img = new Array[Byte](0x140)
+    val img = new Array[Byte](0x1c0)
     def w16(i: Int, v: Int): Unit = {
       img(i) = (v & 0xff).toByte; img(i + 1) = ((v >> 8) & 0xff).toByte
     }
@@ -883,11 +894,17 @@ class YaraSpec extends AnyFunSuite with SparkSpecBase {
     img(4) = 2; img(5) = 1 // 64-bit LSB
     img(16) = 2 // ET_EXEC
     img(18) = 62 // x86-64
+    w32(32, 0x140) // e_phoff (u64 low half)
     w32(40, 0x40) // e_shoff (u64 low half)
-    w16(56, 2) // e_phnum
+    w16(54, 56) // e_phentsize
+    w16(56, 1) // e_phnum
     w16(58, 64) // e_shentsize
     w16(60, 3) // e_shnum
     w16(62, 2) // e_shstrndx
+    // phdr[0]: PT_LOAD, R+X, off 0, vaddr 0x400000, filesz/memsz
+    w32(0x140, 1); w32(0x144, 5)
+    w32(0x150, 0x400000L)
+    w32(0x160, 0x140); w32(0x168, 0x200)
     // shdr[1] (.text): name 1, type PROGBITS, flags AX, addr/off/size
     val s1 = 0x40 + 64
     w32(s1, 1); w32(s1 + 4, 1)
@@ -905,8 +922,14 @@ class YaraSpec extends AnyFunSuite with SparkSpecBase {
         img(0x100 + k) = if (c == ' ') 0 else c
       }
     val rules = Yara.parse(
-      """rule Sec { condition: elf.number_of_sections == 3 and
-        |  elf.number_of_segments == 2 and
+      """rule Seg { condition: elf.number_of_segments == 1 and
+        |  elf.segments[0].type == 1 and elf.segments[0].flags == 5 and
+        |  elf.segments[0].offset == 0 and
+        |  elf.segments[0].virtual_address == 0x400000 and
+        |  elf.segments[0].file_size == 0x140 and
+        |  elf.segments[0].memory_size == 0x200 and
+        |  not elf.segments[7].type == 1 }
+        |rule Sec { condition: elf.number_of_sections == 3 and
         |  elf.sections[1].name == ".text" and
         |  elf.sections[2].name == ".shstrtab" and
         |  elf.sections[1].type == 1 and
@@ -924,7 +947,7 @@ class YaraSpec extends AnyFunSuite with SparkSpecBase {
         |rule OutOfRange { condition: elf.sections[9].size == 0 }"""
         .stripMargin)
     assert(Yara.scan(rules, img).toSet ==
-      Set("yara:Sec", "yara:SecLoop", "yara:SecIter"))
+      Set("yara:Sec", "yara:SecLoop", "yara:SecIter", "yara:Seg"))
     assert(Yara.scan(rules, b("plain")).isEmpty)
   }
 }
