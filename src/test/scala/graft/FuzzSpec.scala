@@ -133,6 +133,12 @@ class FuzzSpec extends AnyFunSuite {
         |  pe.imphash() != "x" and
         |  pe.exports("f") or pe.dll_name contains "d" or
         |  pe.version_info["CompanyName"] matches /corp/i or
+        |  pe.imports("kernel32.dll") > 0 or
+        |  pe.number_of_resources > 0 or
+        |  pe.resources[0].type == 16 or
+        |  pe.resources[0].name_string iendswith "x" or
+        |  pe.rich_signature.toolid(0x5d) or
+        |  pe.overlay.size > 0 or
         |  for any s in pe.sections : ( s.raw_data_size > 0 ) or
         |  magic.type() contains "executable" }""".stripMargin)
     (0 until 300).foreach { i =>
