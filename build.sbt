@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `runMain` output goes straight to sbt's own stdout/stderr instead
+// of through the logger: the driver tail-parses Bench's JSON stdout line,
+// and the logger's "[info] " prefix breaks a plain json-per-line parse.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
@@ -23,6 +28,15 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Quiet logging from JVM start for the driver-contract mains: Spark's
+// SparkSession-creation INFO lines print before programmatic setLogLevel
+// and have front-truncated Bench's JSON line out of the driver's bounded
+// output tail. Scoped to `run` via system property (not a packaged
+// src/main/resources config) so the library never overrides a consumer's.
+run / javaOptions +=
+  s"-Dlog4j2.configurationFile=${baseDirectory.value / "conf" / "log4j2-run.properties"}"
+Compile / run / javaOptions +=
+  s"-Dlog4j2.configurationFile=${baseDirectory.value / "conf" / "log4j2-run.properties"}"
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",

@@ -88,6 +88,54 @@ object Bench {
     (dir.toString, totalBytes)
   }
 
+  /** Host-contention probe: a fixed single-threaded xxh64 pass over a
+    * fixed 256 MB heap buffer — pure CPU + memory bandwidth, no Spark, no
+    * allocation inside the timed region. Timed before/between/after every
+    * measurement block and reported as `contention_idx`, the ratio of the
+    * observed per-pass seconds to a committed quiet-host constant. Five
+    * straight rounds of bench adjudication reduced to "was the host busy
+    * during that sweep?" — this answers it arithmetically from the
+    * artifact itself: idx ≈ 1 means the co-timed queries ran on a quiet
+    * host and their numbers are trustworthy; idx ≫ 1 brands the
+    * neighboring samples as contention-inflated.
+    */
+  private object ContentionKernel {
+    private val Bytes = 256 << 20
+    private lazy val buf: Array[Byte] = {
+      val b = new Array[Byte](Bytes)
+      var i = 0
+      while (i < b.length) { b(i) = (i * 31).toByte; i += 1 }
+      b
+    }
+    /** Quiet-host constant: seconds for ONE single-thread xxh64 pass over
+      * the 256 MB buffer, calibrated as the min of 60 samples across two
+      * runs on the 32-cpu builder host (floor 0.0624–0.0634 s ≈ 4.0 GB/s).
+      * The min is the right calibration: contention only ever ADDS time,
+      * so idx ≈ 1.0 reads "as quiet as this host gets" and idx ≫ 1 brands
+      * the bracketed samples as load-inflated.
+      */
+    val QuietSec = 0.0625
+    /** One sample = mean of 4 passes (~0.12 s quiet). Mean, not min: the
+      * probe's job is to MEASURE load present during the sample window,
+      * so a stall inside it must raise the number, not be discarded.
+      */
+    def sample(): Double = {
+      val b = buf // force one-time fill outside the timed region
+      var sink = 0L
+      val reps = 4
+      val t0 = System.nanoTime()
+      var r = 0
+      while (r < reps) {
+        sink ^= org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+          b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, b.length, 42L + r)
+        r += 1
+      }
+      val sec = (System.nanoTime() - t0) / 1e9 / reps
+      if (sink == 0x5eed) Console.err.println("") // keep the hash live
+      sec
+    }
+  }
+
   private def warmup(spark: SparkSession): Unit = {
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory)
@@ -178,11 +226,23 @@ object Bench {
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         name -> (((System.nanoTime() - t0) / 1e9, gcMillis() - gc0))
       }.toMap
+    // Kernel samples bracket every measurement block, so each query pass
+    // and each throughput pass sits between two contention readings.
+    val kernelSec = Seq.newBuilder[Double]
+    def probe(): Unit = kernelSec += ContentionKernel.sample()
+    probe()
     tputPasses(1)
+    probe()
     val sweep1 = sweep()
+    probe()
     tputPasses(2)
+    probe()
     val sweep2 = sweep()
+    probe()
     tputPasses(2)
+    probe()
+    val kernels = kernelSec.result()
+    val contentionIdx = kernels.map(_ / ContentionKernel.QuietSec)
     val sweeps = Seq(sweep1, sweep2)
     val timings = timedQueries.map { case (name, _) =>
       val samples = sweeps.map(_(name))
@@ -198,8 +258,10 @@ object Bench {
     def line(entries: Seq[(String, Double)]): String = {
       val qs = entries.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
         .mkString("{", ",", "}")
+      val cidx = contentionIdx.map(v => f"$v%.2f").mkString("[", ",", "]")
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,""" +
-        f""""sessionize_mbps":$tputMbps%.1f,"sessionize_sessions":$tputSessions,"sf":"$sfDir"}"""
+        f""""sessionize_mbps":$tputMbps%.1f,"sessionize_sessions":$tputSessions,""" +
+        f""""contention_idx":$cidx,"sf":"$sfDir"}"""
     }
     // Full per-query detail goes to a sidecar file; stdout gets a line
     // guaranteed to fit the driver's bounded output tail (slowest queries
@@ -214,7 +276,9 @@ object Bench {
         "\"" + t.name + "\":{\"sec\":" + arr[Double](t.passesSec, v => f"$v%.3f") +
           ",\"gc_ms\":" + arr[Long](t.gcMs, _.toString) + "}"
       }.mkString("{", ",", "}")
-      line(results).dropRight(1) + s""","passes":$detail}"""
+      val kRaw = arr[Double](kernels, v => f"$v%.4f")
+      line(results).dropRight(1) +
+        s""","kernel_sec":$kRaw,"kernel_quiet_sec":${ContentionKernel.QuietSec},"passes":$detail}"""
     }
     try {
       val w = new java.io.PrintWriter("bench_full.json")
@@ -225,7 +289,15 @@ object Bench {
     var kept = slowestFirst.length
     while (kept > 0 && line(slowestFirst.take(kept).sortBy(_._1)).length > budget)
       kept -= 1
-    println(line(slowestFirst.take(kept).sortBy(_._1)))
+    // Printed twice: the driver keeps only a bounded tail of the combined
+    // output, and stray late log lines have previously pushed a single
+    // copy out of the window. Two copies a flush apart guarantee at least
+    // one complete line survives any one interleaved write.
+    val out = line(slowestFirst.take(kept).sortBy(_._1))
+    println(out)
+    Console.out.flush()
+    println(out)
+    Console.out.flush()
     spark.stop()
   }
 }
