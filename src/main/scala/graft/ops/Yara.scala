@@ -409,15 +409,15 @@ object Yara {
     */
   final case class ModStrFun(name: String) extends StrE
   /** Module function of one string argument returning 1/0 —
-    * `pe.exports("name")` (case-sensitive export-name membership, like
-    * libyara's strcmp walk).
+    * `pe.exports("name")` (case-INsensitive export-name membership,
+    * matching libyara 4.x's ss_icompare walk over the export table).
     */
   final case class ModStrArgFun(name: String, arg: String) extends NumE
   /** `pe.imports("dll.dll"[, "Func"])` — the count of matching imports
     * (YARA 4.2 semantics, nonzero truthy): one arg counts every
     * function imported from the DLL, two args count the exact function.
-    * DLL names compare case-insensitively (libyara strcasecmp),
-    * function names case-sensitively.
+    * Both DLL and function names compare case-insensitively (libyara
+    * 4.x strcasecmp on each).
     */
   final case class ImportsFun(dll: String, func: Option[String])
     extends NumE
@@ -498,6 +498,10 @@ object Yara {
       // pe./elf. field is actually referenced
       lazy val peInfo: Option[PeInfo] = parsePe(b)
       lazy val elfInfo: Option[ElfInfo] = parseElf(b)
+      // magic's fallback path scans the whole payload (ASCII check), so
+      // the (type, mime) pair is computed at most once per payload even
+      // when a rule reads both functions or calls one in a loop body
+      lazy val magicInfo: (String, String) = magicDescribe(b, peInfo, elfInfo)
       // memoized per payload: for-loop bodies read the same string's
       // matches once per iteration — never rescan
       val hitsCache = scala.collection.mutable.Map[String, IndexedSeq[(Int, Int)]]()
@@ -549,7 +553,8 @@ object Yara {
             }
           case NumFun(name, args) => evalFun(name, args)
           case ModStrArgFun("pe.exports", arg) =>
-            peInfo.map(p => IntV(if (p.exports.contains(arg)) 1L else 0L))
+            peInfo.map(p =>
+              IntV(if (p.exports.exists(_.equalsIgnoreCase(arg))) 1L else 0L))
           case ImportsFun(dll, fn) =>
             peInfo.map { p =>
               val d = dll.toLowerCase(java.util.Locale.ROOT)
@@ -557,7 +562,7 @@ object Yara {
                 case (name, funcs)
                     if name.toLowerCase(java.util.Locale.ROOT) == d =>
                   fn match {
-                    case Some(f) => funcs.count(_ == f).toLong
+                    case Some(f) => funcs.count(_.equalsIgnoreCase(f)).toLong
                     case None => funcs.size.toLong
                   }
               }.sum)
@@ -656,15 +661,25 @@ object Yara {
             case "pe.number_of_resources" =>
               peInfo.map(_.resources.size.toLong)
             // overlay: bytes past the last section's raw data — the
-            // classic appended-payload hide. Undefined without sections.
+            // classic appended-payload hide. Both fields are undefined
+            // unless the payload actually extends past the last section
+            // (libyara's pe_parse_overlay guard: overlay-free PEs get
+            // UNDEFINED, not offset=end/size=0, so `defined
+            // pe.overlay.offset` distinguishes the two cases).
             case "pe.overlay.offset" => peInfo.flatMap(p =>
               if (p.sections.isEmpty) None
-              else Some(p.sections
-                .map(s => s.rawDataOffset + s.rawDataSize).max))
+              else {
+                val end = p.sections
+                  .map(s => s.rawDataOffset + s.rawDataSize).max
+                if (b.length > end) Some(end) else None
+              })
             case "pe.overlay.size" => peInfo.flatMap(p =>
               if (p.sections.isEmpty) None
-              else Some(math.max(0L, b.length - p.sections
-                .map(s => s.rawDataOffset + s.rawDataSize).max)))
+              else {
+                val end = p.sections
+                  .map(s => s.rawDataOffset + s.rawDataSize).max
+                if (b.length > end) Some(b.length - end) else None
+              })
             case "pe.rich_signature.offset" =>
               peInfo.flatMap(_.rich).map(_._1)
             case "pe.rich_signature.length" =>
@@ -827,10 +842,8 @@ object Yara {
                   v <- if (f == "type_string") r.typeString
                        else r.nameString
                 } yield v
-              case ModStrFun("magic.type") =>
-                Some(magicDescribe(b, peInfo, elfInfo)._1)
-              case ModStrFun("magic.mime_type") =>
-                Some(magicDescribe(b, peInfo, elfInfo)._2)
+              case ModStrFun("magic.type") => Some(magicInfo._1)
+              case ModStrFun("magic.mime_type") => Some(magicInfo._2)
               case ModStrFun(other) => throw new IllegalArgumentException(
                 s"unsupported string function $other")
             }

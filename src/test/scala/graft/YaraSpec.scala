@@ -652,7 +652,8 @@ class YaraSpec extends AnyFunSuite with SparkSpecBase {
         |rule ImportsFn { condition:
         |  pe.imports("kernel32.dll", "LoadLibraryA") and
         |  pe.imports("KERNEL32.DLL") == 2 and
-        |  not pe.imports("kernel32.dll", "loadlibrarya") and
+        |  pe.imports("kernel32.dll", "loadlibrarya") and
+        |  not pe.imports("kernel32.dll", "LoadLibraryZ") and
         |  not pe.imports("user32.dll") }
         |rule SecIter { condition:
         |  for any section in pe.sections :
@@ -663,7 +664,7 @@ class YaraSpec extends AnyFunSuite with SparkSpecBase {
         |rule SecIterMiss { condition:
         |  for any section in pe.sections : ( section.name == ".evil" ) }
         |rule Exports { condition: pe.number_of_exports == 2 and
-        |  pe.exports("EvilFunc") and not pe.exports("evilfunc") and
+        |  pe.exports("EvilFunc") and pe.exports("evilfunc") and
         |  not pe.exports("Nope") and pe.dll_name == "payload.dll" and
         |  pe.dll_name iendswith ".DLL" }
         |rule Matches { condition:
@@ -671,8 +672,9 @@ class YaraSpec extends AnyFunSuite with SparkSpecBase {
         |    ( section.name matches /\.(text|idata)$/ ) and
         |  pe.dll_name matches /^PAY.*dll$/i and
         |  not pe.dll_name matches /^dll/ }
-        |rule Overlay { condition:
-        |  pe.overlay.offset == 0x800 and pe.overlay.size == 0 }
+        |rule Overlay { condition: pe.is_pe == 1 and
+        |  not defined pe.overlay.offset and
+        |  not defined pe.overlay.size }
         |rule Rich { condition:
         |  pe.rich_signature.offset == 0x40 and
         |  pe.rich_signature.length == 0x20 and
