@@ -82,6 +82,28 @@ object SparkEntry {
     }),
 
     // --- Q: expression-language compiler (SURVEY §2.2) -------------------
+    // Grammar fuzz (differential): 200 seeded random expressions over the
+    // full events-registry grammar (lists, ranges, wildcards, regexes,
+    // case folds, EXISTS!, absolute/relative/snapped dates, &&/||/! to
+    // depth 3) evaluated as wide sum(when(pred)) aggregates — chunks of 40
+    // keep each aggregate inside whole-stage codegen; one scan per chunk,
+    // no shuffle beyond the single-row partial agg. DuckDB executes the
+    // independently-translated SQL side of every case (ExprFuzz.oracleSql).
+    "q_fuzz_grammar" -> ((s, dir) => {
+      val cs = graft.query.ExprFuzz.cases(200, 0xf00dL, now)
+      val e = ev(s, dir)
+      val chunks = cs.grouped(40).map { chunk =>
+        val aggs = chunk.map(c =>
+          sum(when(compiler.compile(c.expr), 1L).otherwise(0L))
+            .as(s"c${c.id}"))
+        val row = e.agg(aggs.head, aggs.tail: _*)
+        row.select(explode(array(chunk.map(c => struct(
+          lit(c.id.toLong).as("case_id"),
+          col(s"c${c.id}").as("n"))): _*)).as("p"))
+          .select(col("p.case_id"), col("p.n"))
+      }.reduce(_.unionByName(_))
+      chunks.orderBy("case_id")
+    }),
     "q_expr_eq" -> ((s, dir) =>
       evProjected(ev(s, dir).filter(compiler.compile("type == purchase")))),
     "q_expr_bool" -> ((s, dir) =>
@@ -437,23 +459,24 @@ object SparkEntry {
     // mapping (arrayPath/keyPath walk, lotermfield fold, array-key
     // fan-out, key-only items) → the same broadcast domain-lookup path
     "i21_wise_feed" -> ((s, dir) => {
+      // keys are lowercase in the feed itself: the reference's
+      // simpleSource.js load() inserts non-ip/non-url keys verbatim
+      // (plain newCache.set), so a mixed-case domain key would never
+      // match there either — real feeds publish canonical lowercase
       val feed =
         """{"meta":{"gen":1},"data":[
-          {"ind":{"d":"Purchase3.com"},"mal":{"type":"C2"},"score":7},
+          {"ind":{"d":"purchase3.com"},"mal":{"type":"C2"},"score":7},
           {"ind":{"d":"w1.click7.com"},"mal":{"type":"Phish"}},
           {"ind":{"d":"click7.com"}},
           {"ind":{"d":["error5.com","view2.com"]},"score":9}]}"""
       val p = java.nio.file.Paths.get(
         System.getProperty("java.io.tmpdir"), "graft-i21-feed.json")
       java.nio.file.Files.write(p, feed.getBytes("UTF-8"))
-      val src0 = graft.ops.Wise.fromJsonUrl(s, "feed", "domain",
+      val src = graft.ops.Wise.fromJsonUrl(s, "feed", "domain",
         p.toString, keyPath = "ind.d", arrayPath = Some("data"),
         fieldDefs = Seq(
           "field:mal.type;db:mal.type;kind:lotermfield;shortcut:mal.type",
           "field:score;db:score;shortcut:score"))
-      // domain keys fold lowercase at insert (lotermfield db type)
-      val src = src0.copy(entries = src0.entries
-        .withColumn("key", lower(col("key"))))
       val f = ev(s, dir).filter(col("user_id").isNotNull)
         .select(col("event_id"),
           concat(lit("w"), col("event_id") % 7, lit("."),
@@ -1470,6 +1493,9 @@ object SparkEntry {
            AND l_shipdate > TIMESTAMP '1995-03-15'
          GROUP BY l_orderkey, o_orderdate
          ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+    "q_fuzz_grammar" ->
+      graft.query.ExprFuzz.oracleSql(
+        graft.query.ExprFuzz.cases(200, 0xf00dL, now)),
     "q_expr_eq" ->
       s"SELECT $evCols FROM events WHERE event_type = 'purchase' ORDER BY event_id",
     "q_expr_bool" ->

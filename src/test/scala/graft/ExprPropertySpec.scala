@@ -112,6 +112,61 @@ class ExprPropertySpec extends AnyFunSuite with SparkSpecBase {
     }
   }
 
+  test("meta-field fan-out laws under negation and transforms in lists") {
+    // the two jison corner interactions called out in round 9: a
+    // meta-field under must_not, and an operand transform applied to
+    // every member of a list. Checked as algebraic laws against the
+    // manually-expanded equivalent over a real sessionized corpus.
+    val sessions = Seq(
+      "socks-http-example.pcap", "dns-udp.pcap", "smtp-zip.pcap",
+      "http-301-get.pcap", "ssh2.pcap")
+      .map(p => graft.etl.SessionBuilder
+        .sessionizeRef(spark, s"/root/reference/tests/pcap/$p").toDF())
+      .reduce(_.unionByName(_)).cache()
+    val sc = new Compiler(FieldRegistry.sessions,
+      FieldRegistry.sessionCol, SparkEntry.now)
+    def srows(e: String): Long = sessions.filter(sc.compile(e)).count()
+    val tot = sessions.count()
+    for (v <- Seq("10.0.0.0/8", "8.8.8.8", "192.168.0.0/16", "10.180.0.0/16")) {
+      // meta-field == fans out to an OR over members
+      assert(srows(s"ip == $v") == srows(s"ip.src == $v || ip.dst == $v"),
+        s"ip fan-out broke for $v")
+      // meta-field != is must_not(OR) = AND of member negations
+      assert(srows(s"ip != $v") == srows(s"ip.src != $v && ip.dst != $v"),
+        s"ip must_not fan-out broke for $v")
+      assert(srows(s"ip == $v") + srows(s"ip != $v") == tot,
+        s"ip ==/!= must partition all rows for $v (must_not includes null)")
+    }
+    for (p <- Seq(53, 80, 443, 1080)) {
+      assert(srows(s"port == $p") ==
+        srows(s"port.src == $p || port.dst == $p"))
+      assert(srows(s"port != $p") ==
+        srows(s"port.src != $p && port.dst != $p"))
+    }
+    // operand transform inside a list: ip.protocol names → numbers must
+    // apply per member (jison:712-762 applies the transform to each
+    // list item), so the list equals the OR of transformed singles
+    assert(srows("ip.protocol == [tcp, udp]") ==
+      srows("ip.protocol == 6 || ip.protocol == 17"))
+    assert(srows("ip.protocol == [tcp, icmp]") ==
+      srows("ip.protocol == tcp || ip.protocol == 1"))
+    // and under negation: != [list] = none of the members
+    assert(srows("ip.protocol != [tcp, udp]") ==
+      srows("ip.protocol != 6 && ip.protocol != 17"))
+    // dash2Colon transform on mac lists (multi-valued field + transform)
+    val macs = sessions.selectExpr("explode(srcMac) AS m")
+      .limit(2).collect().map(_.getString(0)).toSeq
+    if (macs.nonEmpty) {
+      val dashed = macs.map(_.replace(':', '-'))
+      assert(srows(s"mac.src == [${dashed.mkString(",")}]") ==
+        srows(dashed.map(m => s"mac.src == $m").mkString(" || ")),
+        "mac list with dash2colon transform must match the OR of singles")
+      assert(srows(s"mac.src == ${dashed.head}") ==
+        srows(s"mac.src == ${macs.head}"),
+        "dashed and colon mac forms must match the same rows")
+    }
+  }
+
   test("random grammar expressions compile and evaluate") {
     samples(expr(3), 40, 1L).foreach { e =>
       val n = rows(e)
