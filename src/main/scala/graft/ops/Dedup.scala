@@ -496,12 +496,15 @@ object Dedup {
       targetBucket: Int = 64): DataFrame = {
     // plan-time statistic, like lookupIp's prefix-length collect: one
     // column-pruned scan of the block key decides which plan to build.
-    // The common no-hot-block case then pays ZERO plan overhead vs the
-    // plain all-pairs shape (no sizes join, no union of two subtrees),
-    // and the guarded case spends the scan it was going to spend on
-    // block counts anyway.
-    val maxBlock: Long = df.select(blockKey.as("block"))
-      .groupBy("block").count().agg(max("count")).collect()
+    // The per-block counts frame is built ONCE and persisted before the
+    // decision max is collected from it: the common no-hot-block case
+    // unpersists it immediately and pays ZERO plan overhead vs the plain
+    // all-pairs shape (no sizes join, no union of two subtrees), while
+    // the guarded case joins the already-materialized frame — one count
+    // agg total, not a pre-scan plus a second identical agg.
+    val sizes = df.select(blockKey.as("block"))
+      .groupBy("block").agg(count(lit(1)).as("_bn")).persist()
+    val maxBlock: Long = sizes.agg(max("_bn")).collect()
       .headOption.flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long]))
       .getOrElse(0L)
     def finish(pairs: DataFrame): DataFrame = pairs
@@ -518,6 +521,7 @@ object Dedup {
       Similarity.toDouble(vec).as("_vd"))
     if (maxBlock <= maxBlockExact) {
       // every block at/under the cap: the original all-pairs shape
+      sizes.unpersist()
       val packed = base.select(col("block"), col("_vid"),
         Similarity.pack(col("_vd")).as("_vp"))
         .withColumn("_n", Similarity.normBin(col("_vp")))
@@ -525,10 +529,12 @@ object Dedup {
         .join(packSide(packed, Seq("block"), "b"), Seq("block"))
         .filter(col("vec_a") < col("vec_b")))
     }
-    // hot blocks present: per-block row counts ride a tiny agg frame,
-    // equi-joined back (AQE broadcasts it at real block cardinalities);
-    // at/under-cap blocks keep the exact all-pairs branch
-    val sizes = base.groupBy("block").agg(count(lit(1)).as("_bn"))
+    // hot blocks present: the per-block counts computed for the plan
+    // decision ride the same tiny persisted frame, equi-joined back (AQE
+    // broadcasts it at real block cardinalities); at/under-cap blocks
+    // keep the exact all-pairs branch. The frame stays persisted — the
+    // returned plan reads it lazily, and it is one long per block (the
+    // same bounded-intermediate pattern as the IVF index persist).
     val sized = base.join(sizes, "block")
     val small = sized.filter(col("_bn") <= maxBlockExact)
       .select(col("block"), col("_vid"),

@@ -202,6 +202,46 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpecBase {
     assert(!p.contains("collect_list"), "unbounded bucket expansion in m5")
   }
 
+  test("batch sessionize over a multi-file dir: parallel scan, one shuffle, no funnel") {
+    // Pins the 100×-ingest shape the same way the query tests pin query
+    // plans: a capture DIRECTORY must decode with one task per
+    // file/chunk, shuffle exactly once (the sessionId hash partition),
+    // and never pass through a single-task stage or a coalesce(1) — a
+    // driver-side funnel here caps ingest at one core no matter the
+    // cluster.
+    val dir = java.nio.file.Files.createTempDirectory("graft-plan-ingest")
+    val srcs = Seq("socks-http-example.pcap", "socks-https-example.pcap",
+      "smtp-zip.pcap", "wireshark-retrans.pcap")
+    srcs.zipWithIndex.foreach { case (n, i) =>
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get("/root/reference/tests/pcap", n),
+        dir.resolve(f"f$i%02d.pcap"))
+    }
+    // map side: decode parallelism equals the file count (all files sit
+    // under the whole-file bound, so chunks == files), never one task
+    val raw = graft.etl.Pcap.readPackets(spark, dir.toString)
+    val scanParts = raw.rdd.getNumPartitions
+    assert(scanParts >= math.min(srcs.length,
+      spark.sparkContext.defaultParallelism) && scanParts > 1,
+      s"decode stage has $scanParts partitions for ${srcs.length} files")
+    val ds = graft.etl.SessionBuilder.sessionize(spark, dir.toString)
+    // string-level like the query-plan tests: AQE wraps the tree, so
+    // node collects see only the adaptive root until execution
+    val planStr = ds.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllMatchIn(planStr).length == 1,
+      s"sessionize must shuffle exactly once, on the session key:\n$planStr")
+    val width = spark.sessionState.conf.numShufflePartitions
+    assert(s"hashpartitioning\\([^)]*, $width\\)".r
+      .findFirstIn(planStr).isDefined,
+      s"the sessionize shuffle must plan at the configured width $width")
+    assert(!planStr.contains("Coalesce"),
+      "coalesce in the batch ingest plan")
+    assert(!planStr.contains("SinglePartition"),
+      "single-partition exchange in the batch ingest plan")
+    // and the result is real: the fixtures contribute sessions
+    assert(ds.count() > 0)
+  }
+
   test("NO query plan contains a partition-less window (full sweep)") {
     // planning only — nothing executes; guards every current and future
     // driver-contract query against the single-task window anti-pattern
