@@ -98,6 +98,29 @@ object HttpParser {
   // this runs once per HTTP message
   private val LineSplit = java.util.regex.Pattern.compile("\r?\n")
 
+  /** First '\n' in `a[from, to)`, or -1 — long-at-a-time memchr: the
+    * classic SWAR zero-byte test `(x^pat)-0x01.. & ~(x^pat) & 0x80..`
+    * over little-endian 8-byte loads (ByteBuffer.getLong is JIT-
+    * intrinsified to a single load), ~8× fewer iterations than a
+    * per-byte scan on header-dense streams.
+    */
+  private def indexOfNl(a: Array[Byte], from: Int, to: Int): Int = {
+    val bb = java.nio.ByteBuffer.wrap(a).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var i = from
+    while (i + 8 <= to) {
+      val x = bb.getLong(i) ^ 0x0a0a0a0a0a0a0a0aL
+      val z = (x - 0x0101010101010101L) & ~x & 0x8080808080808080L
+      if (z != 0L)
+        return i + (java.lang.Long.numberOfTrailingZeros(z) >> 3)
+      i += 8
+    }
+    while (i < to) {
+      if (a(i) == '\n') return i
+      i += 1
+    }
+    -1
+  }
+
   /** Walk one direction's stream into messages (header block + body).
     * `reqMethods`: the client direction's request-method sequence — a
     * response to HEAD carries a Content-Length but NO body (RFC 7230
@@ -119,23 +142,27 @@ object HttpParser {
       val limit = math.min(stream.length - off, 64 * 1024)
       var hEnd = -1
       var sepLen = 0
-      // anchored on '\n' (every terminator contains one): one compare
-      // per byte instead of the four-way check — this scan is the
-      // hottest loop of the whole ingest profile. First-match-wins
-      // order is preserved: for an '\n' at j the CRLFCRLF candidate
-      // (hEnd = j-1) precedes the LFLF candidate (hEnd = j), and '\n's
-      // are visited ascending.
+      // anchored on '\n' (every terminator contains one), located 8
+      // bytes at a time with the SWAR zero-byte test over a
+      // little-endian long view — this scan is the hottest loop of the
+      // whole ingest profile (it visits every header byte of every HTTP
+      // message). First-match-wins order is preserved: '\n's are
+      // visited ascending, and for an '\n' at j the CRLFCRLF candidate
+      // (hEnd = j-1) precedes the LFLF candidate (hEnd = j).
       var si = 0
       while (hEnd < 0 && si < limit) {
-        if (stream(off + si) == '\n') {
-          if (si >= 1 && si + 2 < limit && stream(off + si - 1) == '\r' &&
-            stream(off + si + 1) == '\r' && stream(off + si + 2) == '\n') {
-            hEnd = si - 1; sepLen = 4
-          } else if (si + 1 < limit && stream(off + si + 1) == '\n') {
-            hEnd = si; sepLen = 2
+        val abs = indexOfNl(stream, off + si, off + limit)
+        if (abs < 0) si = limit
+        else {
+          val j = abs - off
+          if (j >= 1 && j + 2 < limit && stream(off + j - 1) == '\r' &&
+            stream(off + j + 1) == '\r' && stream(off + j + 2) == '\n') {
+            hEnd = j - 1; sepLen = 4
+          } else if (j + 1 < limit && stream(off + j + 1) == '\n') {
+            hEnd = j; sepLen = 2
           }
+          si = j + 1
         }
-        si += 1
       }
       if (hEnd < 0) { off = stream.length }
       else {

@@ -187,8 +187,19 @@ object SessionBuilder {
   def reassemble(packets: Seq[DecodedPacket]): Array[Byte] = {
     val withPayload = packets.filter(_.payload.nonEmpty)
     if (withPayload.isEmpty) return Array.empty
-    if (withPayload.head.ipProtocol != 6)
-      return withPayload.iterator.map(_.payload).reduce(_ ++ _)
+    // exact-size concat for the non-tcp path: the old pairwise ++ fold
+    // re-copied the prefix per datagram (quadratic on chatty UDP flows)
+    var cap = 0
+    withPayload.foreach(cap += _.payload.length)
+    if (withPayload.head.ipProtocol != 6) {
+      val flat = new Array[Byte](cap)
+      var o = 0
+      withPayload.foreach { p =>
+        System.arraycopy(p.payload, 0, flat, o, p.payload.length)
+        o += p.payload.length
+      }
+      return flat
+    }
     // anchor at the handshake when captured: stream start = SYN seq + 1
     // (parsers/tcp.c:166-199 sets tcpSeq from the SYN); a mid-stream
     // first payload packet (http-tcp-seq-issue golden) would otherwise
@@ -198,7 +209,13 @@ object SessionBuilder {
       .getOrElse(withPayload.head.tcpSeq)
     def rel(seq: Long): Long = (seq - base) & 0xffffffffL
     val sorted = withPayload.sortBy(p => (rel(p.tcpSeq), p.index))
-    val out = new java.io.ByteArrayOutputStream()
+    // delivered bytes ≤ cap (the payload sum), so the stream assembles
+    // into one pre-sized array — no growth cycles, no synchronized
+    // ByteArrayOutputStream writes, and zero copies on the common
+    // nothing-dropped stream (the trim copy only fires after a
+    // retransmission or pre-base drop)
+    val buf = new Array[Byte](cap)
+    var written = 0
     var nextRel = 0L
     sorted.foreach { p =>
       val r = rel(p.tcpSeq)
@@ -208,14 +225,17 @@ object SessionBuilder {
       // where they corrupted dataBytes/payload8/body digests
       if (r >= (1L << 31)) ()
       else if (r >= nextRel) {
-        out.write(p.payload)
+        System.arraycopy(p.payload, 0, buf, written, len.toInt)
+        written += len.toInt
         nextRel = r + len
       } else if (r + len > nextRel) { // partial overlap: new suffix only
-        out.write(p.payload, (nextRel - r).toInt, (r + len - nextRel).toInt)
+        val n = (r + len - nextRel).toInt
+        System.arraycopy(p.payload, (nextRel - r).toInt, buf, written, n)
+        written += n
         nextRel = r + len
       } // else: full retransmission, drop
     }
-    out.toByteArray
+    if (written == cap) buf else java.util.Arrays.copyOf(buf, written)
   }
 
   /** Build the session rows for one key's packets (already sorted).
@@ -628,8 +648,30 @@ object SessionBuilder {
         !directedProtos.contains(first.ipProtocol)) 0 // lumped: arp & co.
       else if (p.srcIp == cliIp && p.srcPort == cliPort) 0
       else 1
-    val src = seg.filter(dirOf(_) == 0)
-    val dst = seg.filter(dirOf(_) == 1)
+    // one dirOf pass (it compares endpoint strings) + one fill, instead
+    // of two filter passes each re-deriving the direction per packet
+    val dirIsSrc = new Array[Boolean](seg.length)
+    val (src, dst) = {
+      var srcN = 0
+      var i = 0
+      while (i < seg.length) {
+        val d0 = dirOf(seg(i)) == 0
+        dirIsSrc(i) = d0
+        if (d0) srcN += 1
+        i += 1
+      }
+      val s = new Array[DecodedPacket](srcN)
+      val d = new Array[DecodedPacket](seg.length - srcN)
+      var si = 0
+      var di = 0
+      i = 0
+      while (i < seg.length) {
+        if (dirIsSrc(i)) { s(si) = seg(i); si += 1 }
+        else { d(di) = seg(i); di += 1 }
+        i += 1
+      }
+      (s, d)
+    }
     // data-side (parser-visible) per-direction packets — see dataSeg
     val dataSrc = if (dataSeg eq seg) src else dataSeg.filter(dirOf(_) == 0)
     val dataDst = if (dataSeg eq seg) dst else dataSeg.filter(dirOf(_) == 1)
@@ -985,19 +1027,37 @@ object SessionBuilder {
 
     val firstMs = first.tsMicros / 1000
     val lastMs = seg.last.tsMicros / 1000
-    // first-seen order (NOT sorted — packetPos file refs index into this)
+    // ONE walk over seg for every per-packet output column: file ids in
+    // first-seen order (NOT sorted — packetPos file refs index into
+    // this), packetPos/packetLen/packetFileIdx as primitive arrays, and
+    // the wire-byte sum. These were five separate walks; each one chases
+    // seg.length object pointers, and the repeated traversal (not the
+    // per-element work) was ~30% of buildOne's self time in the ingest
+    // profile. The file-id compare tries `eq` first — within a chunk
+    // every packet carries the same path INSTANCE, so the common case is
+    // one pointer compare.
+    val packetPosArr = new Array[Long](seg.length)
+    val packetLenArr = new Array[Int](seg.length)
+    val packetFileIdxArr = new Array[Int](seg.length)
+    var totWireBytes = 0L
     val fileIds: IndexedSeq[String] = {
       val out = new scala.collection.mutable.ArrayBuffer[String](1)
       var i = 0
       while (i < seg.length) {
-        val f = seg(i).file
+        val p = seg(i)
+        val f = p.file
         var j = 0
-        var found = false
-        while (j < out.length && !found) {
-          if (out(j) == f) found = true
+        var idx = -1
+        while (j < out.length && idx < 0) {
+          val o = out(j)
+          if ((o eq f) || o == f) idx = j
           j += 1
         }
-        if (!found) out += f
+        if (idx < 0) { idx = out.length; out += f }
+        packetPosArr(i) = p.fileOffset
+        packetLenArr(i) = p.recLen
+        packetFileIdxArr(i) = idx
+        totWireBytes += p.wireLen.toLong
         i += 1
       }
       out.toIndexedSeq
@@ -1252,7 +1312,7 @@ object SessionBuilder {
       dstCountry = dstEnrich.country.orNull,
       srcAsn = srcEnrich.asnFull.orNull,
       dstAsn = dstEnrich.asnFull.orNull,
-      totPackets = seg.length, totBytes = seg.map(_.wireLen.toLong).sum,
+      totPackets = seg.length, totBytes = totWireBytes,
       totDataBytes = srcData + dstData,
       tcpflagsSyn = syn, tcpflagsSynAck = synAck, tcpflagsAck = ack,
       tcpflagsPsh = psh, tcpflagsRst = rst, tcpflagsFin = fin,
@@ -1271,9 +1331,9 @@ object SessionBuilder {
         else graft.ops.Yara.tags(yaraRules, effSrc, effDst)) ++
         captureTags).distinct,
       fileId = fileIds,
-      packetPos = seg.map(_.fileOffset).toIndexedSeq,
-      packetLen = seg.map(_.recLen).toIndexedSeq,
-      packetFileIdx = seg.map(p => fileIds.indexOf(p.file)).toIndexedSeq,
+      packetPos = scala.collection.immutable.ArraySeq.unsafeWrapArray(packetPosArr),
+      packetLen = scala.collection.immutable.ArraySeq.unsafeWrapArray(packetLenArr),
+      packetFileIdx = scala.collection.immutable.ArraySeq.unsafeWrapArray(packetFileIdxArr),
       segmentCnt = segmentCnt, segmentSeq = segmentSeq,
       socksIp = socksIpVal,
       // scalar IP fields omit enrichment keys the lookup misses
