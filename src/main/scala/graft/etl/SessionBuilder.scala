@@ -99,12 +99,18 @@ object SessionBuilder {
       protocol: Seq[String],
       tags: Seq[String],
       fileId: Seq[String],
-      packetPos: Seq[Long], packetLen: Seq[Int],
+      // primitive arrays, not Seq: these are the only per-PACKET columns
+      // (hundreds of elements per row), and the Catalyst encoder writes a
+      // primitive array as one bulk copy where a Seq walks a boxed
+      // element loop — the row-encode leg of ingest measured ~20% of
+      // sessionize wall before this change. SQL schema is identical
+      // (array<bigint>/array<int>).
+      packetPos: Array[Long], packetLen: Array[Int],
       // per-packet index into fileId — the flat analogue of the
       // reference's negative file markers inside packetPos
       // (viewer/apiSessions.js:1122-1125); lets consumers (hunts, packet
       // detail) seek (file, offset, len) without re-reading whole files
-      packetFileIdx: Seq[Int],
+      packetFileIdx: Array[Int],
       segmentCnt: Int, segmentSeq: Int,
       socksIp: String, socksHost: String, socksPort: Int,
       socksUser: Seq[String],
@@ -1331,9 +1337,9 @@ object SessionBuilder {
         else graft.ops.Yara.tags(yaraRules, effSrc, effDst)) ++
         captureTags).distinct,
       fileId = fileIds,
-      packetPos = scala.collection.immutable.ArraySeq.unsafeWrapArray(packetPosArr),
-      packetLen = scala.collection.immutable.ArraySeq.unsafeWrapArray(packetLenArr),
-      packetFileIdx = scala.collection.immutable.ArraySeq.unsafeWrapArray(packetFileIdxArr),
+      packetPos = packetPosArr,
+      packetLen = packetLenArr,
+      packetFileIdx = packetFileIdxArr,
       segmentCnt = segmentCnt, segmentSeq = segmentSeq,
       socksIp = socksIpVal,
       // scalar IP fields omit enrichment keys the lookup misses

@@ -118,8 +118,8 @@ object Forward {
         (Seq.empty[Long], Seq.empty[Int]))
       s.copy(node = destNode,
         fileId = if (pos.isEmpty) Nil else Seq(destFile),
-        packetPos = pos, packetLen = len,
-        packetFileIdx = Seq.fill(pos.length)(0),
+        packetPos = pos.toArray, packetLen = len.toArray,
+        packetFileIdx = new Array[Int](pos.length),
         tags = (s.tags ++ cleanTags).distinct)
     }
     val destRoot = new org.apache.hadoop.fs.Path(dest.storePath)

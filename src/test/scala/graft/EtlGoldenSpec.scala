@@ -75,8 +75,8 @@ class EtlGoldenSpec extends AnyFunSuite with SparkSpecBase {
       assert(g.tcpflagsRst == tf.get("rst").asInt())
       assert(g.tcpflagsSrcZero == tf.get("srcZero").asInt())
       assert(g.tcpflagsDstZero == tf.get("dstZero").asInt())
-      assert(g.packetPos == longs(w.get("packetPos")))
-      assert(g.packetLen.map(_.toLong) == longs(w.get("packetLen")))
+      assert(g.packetPos.toSeq == longs(w.get("packetPos")))
+      assert(g.packetLen.toSeq.map(_.toLong) == longs(w.get("packetLen")))
       assert(g.protocol.sorted == strs(w.get("protocol")).sorted)
       assert(g.srcMac == strs(w.get("source").get("mac")).sorted)
       assert(g.dstMac == strs(w.get("destination").get("mac")).sorted)
