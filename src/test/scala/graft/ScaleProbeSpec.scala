@@ -92,4 +92,44 @@ class ScaleProbeSpec extends AnyFunSuite with SparkSpecBase {
     assert(b / s < 15.0,
       s"hot block grew ${b / s}x on 10x rows — the cap guard is not linear")
   }
+
+  test("embeddingNearDup plan decision costs exactly one count-agg job") {
+    // the guarded branch must reuse the persisted per-block counts frame
+    // for both the plan-time max AND the sizes join — a regression back
+    // to two identical aggregates shows up as an extra Spark job here
+    import graft.ops.Dedup
+    def frame(n: Int) = spark.range(n)
+      .select(col("id").as("vec_id"), expr(
+        "transform(sequence(1,8), k -> " +
+          "cast(pmod(hash(id, k), 1000) as double)/1000 - 0.5)")
+        .as("embedding"))
+      .withColumn("block", lit("hot"))
+    // job-group ids from the status tracker: synchronous, no listener
+    // race — every job the plan decision submits lands in the group
+    def jobsFor(group: String)(body: => Unit): Int = {
+      spark.sparkContext.setJobGroup(group, group)
+      try body finally spark.sparkContext.clearJobGroup()
+      spark.sparkContext.statusTracker.getJobIdsForGroup(group).length
+    }
+    // Both paths must spend exactly the same plan-time work: ONE counts
+    // aggregate + its 1-row max collect (AQE splits that into several
+    // jobs, so the assertion is relative, not an absolute count). A
+    // regression back to a second full aggregate in the guarded branch
+    // shows up as guarded > exact.
+    val exact = jobsFor("d5-exact") {
+      Dedup.embeddingNearDup(frame(100), col("embedding"),
+        col("vec_id"), col("block"), threshold = 0.95, maxBlockExact = 500)
+    }
+    val guarded = jobsFor("d5-guarded") {
+      Dedup.embeddingNearDup(frame(800), col("embedding"),
+        col("vec_id"), col("block"), threshold = 0.95, maxBlockExact = 500)
+    }
+    info(s"plan-decision jobs: exact=$exact guarded=$guarded")
+    // +1: the banded branch alone runs the limit-1 vector-dimension
+    // probe. A duplicated counts agg would add its whole AQE job chain
+    // (≈ the exact path's full count again), far past this bound.
+    assert(guarded <= exact + 1,
+      s"guarded plan decision ran $guarded jobs vs $exact on the exact " +
+        "path — the per-block counts agg is being computed twice")
+  }
 }
