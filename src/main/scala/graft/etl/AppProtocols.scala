@@ -181,9 +181,21 @@ object AppProtocols {
       case 132 => tags += "sctp"
       case _   =>
     }
+    // direct byte compare (prefixes are ASCII): the old per-prefix
+    // `new String(b, 0, len)` allocated up to 27 short strings per
+    // stream per session just for the HTTP method check
     def startsWithAny(b: Array[Byte], prefixes: Seq[String]): Boolean =
-      prefixes.exists(p => b.length >= p.length &&
-        new String(b, 0, p.length, StandardCharsets.ISO_8859_1) == p)
+      prefixes.exists { p =>
+        b.length >= p.length && {
+          var i = 0
+          var ok = true
+          while (ok && i < p.length) {
+            if (b(i) != p.charAt(i).toByte) ok = false
+            i += 1
+          }
+          ok
+        }
+      }
     val streams = Seq(srcStream, dstStream)
     if (streams.exists(s => startsWithAny(s, httpMethods) ||
         startsWithAny(s, Seq("HTTP/")))) tags += "http"

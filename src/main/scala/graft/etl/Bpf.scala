@@ -224,8 +224,10 @@ object Bpf {
     case PortP(dir, lo, hi) =>
       dirPred(dir, p => p.srcPort >= lo && p.srcPort <= hi,
         p => p.dstPort >= lo && p.dstPort <= hi)
-    case ProtoP("ip") => p => p.srcIp != null && !p.srcIp.contains(':')
-    case ProtoP("ip6") => p => p.srcIp != null && p.srcIp.contains(':')
+    // indexOf, not contains(char): this predicate runs per PACKET on the
+    // capture-filter map side, and Scala's Char contains boxes
+    case ProtoP("ip") => p => p.srcIp != null && p.srcIp.indexOf(':') < 0
+    case ProtoP("ip6") => p => p.srcIp != null && p.srcIp.indexOf(':') >= 0
     case ProtoP(name) =>
       val num = protoNum(name); p => p.ipProtocol == num
     case VlanP(None) => p => p.vlanIds.nonEmpty

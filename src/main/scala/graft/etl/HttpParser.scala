@@ -424,7 +424,10 @@ object HttpParser {
     // g_uri_unescape_segment; '+' is NOT a space there), invalid
     // escapes keep the raw text, and empty segments are skipped
     def unescape(s: String): String = {
-      if (!s.contains('%')) return s
+      // indexOf(char), not contains(char): Scala routes a Char contains
+      // through boxed SeqOps elem search — this fast path runs per URI
+      // path segment and query key/value and was visible in the profile
+      if (s.indexOf('%') < 0) return s
       val out = new java.lang.StringBuilder(s.length)
       var i = 0
       while (i < s.length) {
