@@ -5,6 +5,10 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.etl.{Bpf, Decode, SessionBuilder}
 
+/** Top-level for the Spark encoder (nested case classes don't encode). */
+final case class BpfFuzzRow(id: Long, src_ip: String, dst_ip: String,
+    src_port: Int, dst_port: Int, proto: Int, vlans: Seq[Int], wire: Int)
+
 /** BPF capture-filter subset (etl/Bpf): parser shapes, tcpdump
   * semantics (qualifier inheritance, directions, CIDR nets), agreement
   * between the packet-predicate and Column backends, the
@@ -231,5 +235,86 @@ class BpfSpec extends AnyFunSuite with SparkSpecBase {
       .map(s => (s.srcIp, s.srcPort, s.dstIp, s.dstPort)).toSet
     assert(f.map(s => (s.srcIp, s.srcPort, s.dstIp, s.dstPort)).toSet
       == expect)
+  }
+
+  test("fuzz: packet-predicate and Column backends agree on random filters") {
+    // the same filter compiles to TWO independent implementations — the
+    // map-side DecodedPacket predicate and the codegen'd session Column
+    // (ip_in_cidr expression) — so random well-formed expressions over
+    // the whole grammar form a self-differential oracle: any divergence
+    // (direction inheritance, CIDR edge, vlan/len plumbing, negation) is
+    // a real bug in one of them. Seeded LCG: failures reproduce.
+    import spark.implicits._
+    var seed = 0xb5f5eedL
+    def nextInt(bound: Int): Int = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      (((seed >>> 33) % bound + bound) % bound).toInt
+    }
+    def oneOf[T](xs: Seq[T]): T = xs(nextInt(xs.length))
+    val ips4 = Seq("10.1.2.3", "10.9.9.9", "10.100.0.1", "192.168.7.7",
+      "172.16.3.4", "8.8.8.8")
+    val ips6 = Seq("2001:db8::1", "2001:db8::2", "fd00::9")
+    val cidrs = Seq("10.0.0.0/8", "10.64.0.0/10", "192.168.0.0/16",
+      "172.16.0.0/12", "8.8.8.0/24", "2001:db8::/32", "10.1", "10.9")
+    // packet universe: every combination the grammar can discriminate
+    val pkts = (0 until 400).map { i =>
+      val v6 = nextInt(100) < 25
+      val sIp = if (v6) oneOf(ips6) else oneOf(ips4)
+      val dIp = if (v6) oneOf(ips6) else oneOf(ips4)
+      val sPort = oneOf(Seq(53, 80, 443, 1080, 40000, 53533, nextInt(65536)))
+      val dPort = oneOf(Seq(53, 80, 443, 1080, 40000, 53533, nextInt(65536)))
+      val proto = oneOf(Seq(6, 6, 17, 1, 47))
+      val vlans = nextInt(3) match {
+        case 0 => Nil
+        case 1 => Seq(7)
+        case _ => Seq(7, 12)
+      }
+      val wire = 40 + nextInt(1500)
+      (i.toLong, pkt(srcIp = sIp, dstIp = dIp, srcPort = sPort,
+        dstPort = dPort, proto = proto, vlans = vlans, wire = wire),
+        BpfFuzzRow(i.toLong, sIp, dIp, sPort, dPort, proto, vlans, wire))
+    }
+    val df = pkts.map(_._3).toDF().cache()
+    val fields = Bpf.Fields(col("src_ip"), col("dst_ip"), col("src_port"),
+      col("dst_port"), col("proto"), vlans = Some(col("vlans")),
+      len = Some(col("wire")))
+    def leaf(): String = nextInt(8) match {
+      case 0 =>
+        val d = oneOf(Seq("", "src ", "dst ", "src or dst "))
+        s"${d}host ${oneOf(ips4 ++ ips6)}"
+      case 1 =>
+        val d = oneOf(Seq("", "src ", "dst "))
+        s"${d}net ${oneOf(cidrs)}"
+      case 2 =>
+        val d = oneOf(Seq("", "src ", "dst "))
+        s"${d}port ${oneOf(Seq(53, 80, 443, 1080, 40000, 53533))}"
+      case 3 =>
+        val lo = nextInt(50000)
+        s"portrange $lo-${lo + 1 + nextInt(15000)}"
+      case 4 => oneOf(Seq("tcp", "udp", "icmp", "ip", "ip6"))
+      case 5 => oneOf(Seq("vlan", "vlan 7", "vlan 12", "vlan 99"))
+      case 6 => s"${oneOf(Seq("less", "greater"))} ${40 + nextInt(1500)}"
+      case _ =>
+        // bare src/dst ip defaults the type to host
+        s"${oneOf(Seq("src", "dst"))} ${oneOf(ips4)}"
+    }
+    def gen(depth: Int): String =
+      if (depth <= 0 || nextInt(100) < 40) leaf()
+      else nextInt(5) match {
+        case 0 | 1 => s"(${gen(depth - 1)}) and (${gen(depth - 1)})"
+        case 2 | 3 => s"(${gen(depth - 1)}) or (${gen(depth - 1)})"
+        case _     => s"not (${gen(depth - 1)})"
+      }
+    for (k <- 0 until 150) {
+      val e = gen(3)
+      val viaPred = pkts.filter(t => Bpf.packetPredicate(e)(t._2))
+        .map(_._1).toSet
+      val viaCol = df.filter(Bpf.column(e, fields))
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(viaCol == viaPred,
+        s"backend divergence on case $k: $e\n  pred-only: ${
+          (viaPred -- viaCol).take(5)}\n  col-only: ${
+          (viaCol -- viaPred).take(5)}")
+    }
   }
 }

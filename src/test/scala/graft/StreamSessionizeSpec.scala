@@ -53,6 +53,67 @@ class StreamSessionizeSpec extends AnyFunSuite with SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming equals batch under RANDOM flush boundaries (seeded)") {
+    // the fixed 3-flush golden pins one boundary placement; state-carry
+    // bugs live at arbitrary ones (a flush mid-handshake, mid-reassembly,
+    // between a FIN and its ACK). Random contiguous splits of the same
+    // capture must all converge to the batch answer. Seeded LCG —
+    // failures reproduce.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val pcap = "/root/reference/tests/pcap/socks-http-example.pcap"
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(pcap))
+    val packets = Pcap.parseFile(bytes, pcap).flatMap(Decode.decode(_)).toSeq
+    val batch = SessionBuilder.sessionizeRef(spark, pcap)
+      .collect().sortBy(_.firstPacket)
+    var seed = 0xcafef00dL
+    def nextInt(bound: Int): Int = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      (((seed >>> 33) % bound + bound) % bound).toInt
+    }
+    for (trial <- 0 until 3) {
+      val nCuts = 1 + nextInt(6)
+      val cuts = Seq.fill(nCuts)(1 + nextInt(packets.length - 1))
+        .distinct.sorted
+      val chunks = (Seq(0) ++ cuts ++ Seq(packets.length))
+        .sliding(2).map { case Seq(a, b) => packets.slice(a, b) }
+        .filter(_.nonEmpty).toSeq
+      val input = MemoryStream[Decode.DecodedPacket]
+      val name = s"stream_sessions_rnd_$trial"
+      val q = StreamSessionize.sessions(input.toDS())
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        chunks.foreach { c =>
+          input.addData(c)
+          q.processAllAvailable()
+        }
+        val late = packets.last.copy(
+          tsMicros = packets.map(_.tsMicros).max + 1000L * 1000000L,
+          srcIp = "203.0.113.99", srcPort = 1)
+        input.addData(Seq(late))
+        q.processAllAvailable()
+        input.addData(Seq(late.copy(tsMicros = late.tsMicros + 1)))
+        q.processAllAvailable()
+        val streamed = spark.table(name)
+          .as[SessionBuilder.SessionRow].collect()
+          .filter(_.srcIp != "203.0.113.99")
+          .sortBy(_.firstPacket)
+        assert(streamed.length == batch.length,
+          s"trial $trial (cuts at $cuts): ${streamed.length} sessions " +
+            s"vs batch ${batch.length}")
+        streamed.zip(batch).foreach { case (s, b) =>
+          assert(s.sessionId == b.sessionId, s"trial $trial cuts $cuts")
+          assert(s.totPackets == b.totPackets, s"trial $trial cuts $cuts")
+          assert(s.totBytes == b.totBytes, s"trial $trial cuts $cuts")
+          assert(s.srcPayload8 == b.srcPayload8, s"trial $trial cuts $cuts")
+          assert(s.httpMethod == b.httpMethod, s"trial $trial cuts $cuts")
+          assert(s.protocol == b.protocol, s"trial $trial cuts $cuts")
+        }
+      } finally q.stop()
+    }
+  }
+
   test("carry: FIN direction stays consistent when a slice starts with the other endpoint") {
     // client FIN ends slice 1; slice 2 STARTS with the server's FIN —
     // with head-relative direction bits both FINs would land on bit 1
