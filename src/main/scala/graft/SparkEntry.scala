@@ -25,6 +25,11 @@ object SparkEntry {
 
   /** Fixed reference instant for relative-date expressions (determinism). */
   val now: Instant = Instant.parse("2024-02-01T00:00:00Z")
+  /** Fuzz-only comparison instant: mid-range and NOT on a unit boundary,
+    * so `@d`/`@h` snapping in generated relative dates actually moves —
+    * the shared midnight `now` snaps to itself.
+    */
+  val fuzzNow: Instant = Instant.parse("2024-01-28T13:47:23Z")
 
   private def ev(s: SparkSession, dir: String) = Tables.load(s, dir, "events")
   private def li(s: SparkSession, dir: String) = Tables.load(s, dir, "lineitem")
@@ -90,11 +95,16 @@ object SparkEntry {
     // no shuffle beyond the single-row partial agg. DuckDB executes the
     // independently-translated SQL side of every case (ExprFuzz.oracleSql).
     "q_fuzz_grammar" -> ((s, dir) => {
-      val cs = graft.query.ExprFuzz.cases(200, 0xf00dL, now)
+      // deliberately NOT the shared midnight-aligned `now`: on a day
+      // boundary every @d/@h snap is the identity, so snapped relative
+      // dates would fuzz as plain offsets. An odd instant makes
+      // snap-then-offset observable on both sides.
+      val cs = graft.query.ExprFuzz.cases(200, 0xf00dL, fuzzNow)
+      val fc = new Compiler(FieldRegistry.events, now = fuzzNow)
       val e = ev(s, dir)
       val chunks = cs.grouped(40).map { chunk =>
         val aggs = chunk.map(c =>
-          sum(when(compiler.compile(c.expr), 1L).otherwise(0L))
+          sum(when(fc.compile(c.expr), 1L).otherwise(0L))
             .as(s"c${c.id}"))
         val row = e.agg(aggs.head, aggs.tail: _*)
         row.select(explode(array(chunk.map(c => struct(
@@ -1495,7 +1505,7 @@ object SparkEntry {
          ORDER BY revenue DESC, l_orderkey LIMIT 10""",
     "q_fuzz_grammar" ->
       graft.query.ExprFuzz.oracleSql(
-        graft.query.ExprFuzz.cases(200, 0xf00dL, now)),
+        graft.query.ExprFuzz.cases(200, 0xf00dL, fuzzNow)),
     "q_expr_eq" ->
       s"SELECT $evCols FROM events WHERE event_type = 'purchase' ORDER BY event_id",
     "q_expr_bool" ->
