@@ -114,6 +114,38 @@ object SparkEntry {
       }.reduce(_.unionByName(_))
       chunks.orderBy("case_id")
     }),
+    // Endpoint-kernel fuzz (differential): 24 seeded (interval, field,
+    // top-k, filter) combos through ops/Endpoints vs an independent SQL
+    // translation — sweeps interval snapping, top-k tie-breaks, and the
+    // spigraph semi-join across the parameter space the fixed e3/e5/e6
+    // queries pin at one point each.
+    "e_fuzz_endpoints" -> ((s, dir) => {
+      import graft.query.EndpointFuzz
+      import graft.query.EndpointFuzz.{Hist, Spi, Top}
+      val e = ev(s, dir)
+      val frames = EndpointFuzz.cases(24, 0xe9d0cafeL).map { c =>
+        val base = c.filterExpr
+          .map(fx => e.filter(compiler.compile(fx))).getOrElse(e)
+        c.kind match {
+          case Hist =>
+            Endpoints.timeHistogram(base, col("ts"), c.interval)
+              .select(lit(c.id.toLong).as("case_id"), lit("").as("k"),
+                epochS(col("bucket")).as("b"), col("sessions").as("n"))
+          case Top =>
+            Endpoints.topTerms(base, col(c.fieldSql), c.fieldSql, c.k)
+              .select(lit(c.id.toLong).as("case_id"),
+                col(c.fieldSql).cast("string").as("k"),
+                lit(0L).as("b"), col("cnt").as("n"))
+          case Spi =>
+            Endpoints.spigraph(base, col(c.fieldSql), c.fieldSql,
+              col("ts"), c.interval, c.k)
+              .select(lit(c.id.toLong).as("case_id"),
+                col(c.fieldSql).cast("string").as("k"),
+                epochS(col("bucket")).as("b"), col("value").as("n"))
+        }
+      }
+      frames.reduce(_.unionByName(_)).orderBy("case_id", "k", "b")
+    }),
     "q_expr_eq" -> ((s, dir) =>
       evProjected(ev(s, dir).filter(compiler.compile("type == purchase")))),
     "q_expr_bool" -> ((s, dir) =>
@@ -1506,6 +1538,9 @@ object SparkEntry {
     "q_fuzz_grammar" ->
       graft.query.ExprFuzz.oracleSql(
         graft.query.ExprFuzz.cases(200, 0xf00dL, fuzzNow)),
+    "e_fuzz_endpoints" ->
+      graft.query.EndpointFuzz.oracleSql(
+        graft.query.EndpointFuzz.cases(24, 0xe9d0cafeL)),
     "q_expr_eq" ->
       s"SELECT $evCols FROM events WHERE event_type = 'purchase' ORDER BY event_id",
     "q_expr_bool" ->
