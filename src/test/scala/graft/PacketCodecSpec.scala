@@ -85,6 +85,71 @@ class PacketCodecSpec extends AnyFunSuite {
     pkts.foreach(roundTrip)
   }
 
+  test("round-trips 300 seeded random packets over the decode domain") {
+    // the codec is the sessionize shuffle wire format: every field
+    // combination Decode can produce must survive pack→unpack exactly.
+    // Random packets over the full value domain (sentinels, empty and
+    // unicode strings, v4/v6, 32-bit seq wraps, list fields, payloads
+    // up to 70 KB) — seeded LCG, failures reproduce.
+    var seed = 0x9ac4e77L
+    def nextInt(bound: Int): Int = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      (((seed >>> 33) % bound + bound) % bound).toInt
+    }
+    def oneOf[T](xs: Seq[T]): T = xs(nextInt(xs.length))
+    val files = Seq("f", "/a/b.pcap", "/data/caps/día-β.pcap",
+      "x" * 300 + ".pcap", "")
+    val macs = Seq("", "aa:bb:cc:dd:ee:ff", "00:00:00:00:00:00")
+    val ips = Seq("", "10.0.0.1", "255.255.255.255", "2001:db8::1",
+      "::1", "fe80::1%0", "8.8.8.8")
+    // the nullable string fields' domain is null-or-NON-EMPTY (Decode
+    // only ever sets a real label); the codec normalizes "" back to
+    // null, pinned by its own test below
+    val strs = Seq(null, "lan-l1-hello", "arp|10.1.2.3", "δ|x")
+    for (_ <- 0 until 300) {
+      val payLen = oneOf(Seq(0, 1, 7, 64, 1500, 70000, nextInt(4096)))
+      val pay = Array.tabulate(payLen)(i => (i * 31 + nextInt(256)).toByte)
+      roundTrip(DecodedPacket(
+        file = oneOf(files),
+        index = oneOf(Seq(0, 1, 123456, Int.MaxValue, nextInt(1 << 30))),
+        tsMicros = math.abs(nextInt(1 << 30).toLong * nextInt(1 << 20)),
+        fileOffset = math.abs(nextInt(1 << 30).toLong * nextInt(1 << 10)),
+        recLen = nextInt(1 << 20),
+        wireLen = nextInt(1 << 17),
+        macSrc = oneOf(macs), macDst = oneOf(macs),
+        ipProtocol = oneOf(Seq(0, 1, 2, 6, 17, 47, 58, 132, 255)),
+        srcIp = oneOf(ips), dstIp = oneOf(ips),
+        srcPort = oneOf(Seq(-1, 0, 80, 65535, nextInt(65536))),
+        dstPort = oneOf(Seq(-1, 0, 443, 65535, nextInt(65536))),
+        tcpFlags = nextInt(256),
+        tcpWindow = oneOf(Seq(0, 1, 65535, nextInt(65536))),
+        tcpSeq = oneOf(Seq(0L, 1L, 0x7fffffffL, 0x80000000L, 0xffffffffL,
+          nextInt(Int.MaxValue).toLong)),
+        tcpAck = oneOf(Seq(0L, 0xffffffffL, nextInt(Int.MaxValue).toLong)),
+        payload = pay,
+        tunnels = Seq.fill(nextInt(4))(oneOf(Seq("gre", "ppp", "vxlan",
+          "mpls", "ipip"))),
+        greIps = Seq.fill(nextInt(3))(oneOf(ips.filter(_.nonEmpty))),
+        isisMsgType = oneOf(strs),
+        vlanIds = Seq.fill(nextInt(3))(nextInt(4096)),
+        keyOverride = oneOf(strs),
+        icmpType = oneOf(Seq(-1, 0, 8, 255)),
+        icmpCode = oneOf(Seq(-1, 0, 255)),
+        prevTsMicros = math.abs(nextInt(1 << 30).toLong),
+        l4Offset = oneOf(Seq(-1, 0, 14, 54, nextInt(1 << 16)))))
+    }
+  }
+
+  test("empty nullable strings normalize to null across the wire") {
+    // isisMsgType/keyOverride are null-or-non-empty in Decode's output;
+    // the codec writes null and "" identically and unpacks both as null
+    val p = DecodedPacket("f", 0, 1L, 2L, 3, 4, "", "", 6, "1.2.3.4",
+      "5.6.7.8", 1, 2, 0, 0, 0L, 0L, Array.emptyByteArray,
+      isisMsgType = "", keyOverride = "")
+    val q = PacketCodec.unpack(PacketCodec.pack(p))
+    assert(q.isisMsgType == null && q.keyOverride == null)
+  }
+
   test("Hex matches the format-string rendering") {
     val b = Array[Byte](0, 1, 0x7f, -128, -1, 0x5a)
     assert(Hex.hex(b) === b.map(x => f"${x & 0xff}%02x").mkString)
