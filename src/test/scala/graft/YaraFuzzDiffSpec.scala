@@ -72,6 +72,104 @@ class YaraFuzzDiffSpec extends AnyFunSuite {
     else occursPattern(asciiPat, 1)
   }
 
+  // ---- hex patterns: ?? wildcards, ?A/A? masked nibbles, [n]/[lo-hi] ----
+
+  private sealed trait HTok
+  private final case class HLit(mask: Int, value: Int) extends HTok
+  private final case class HJump(lo: Int, hi: Int) extends HTok
+
+  /** Naive backtracking hex matcher — the independent oracle. */
+  private def naiveHex(data: Array[Byte], toks: IndexedSeq[HTok]): Boolean = {
+    def from(i: Int, t: Int): Boolean =
+      if (t == toks.length) true
+      else toks(t) match {
+        case HLit(m, v) =>
+          i < data.length && (data(i) & m) == v && from(i + 1, t + 1)
+        case HJump(lo, hi) =>
+          (lo to hi).exists(k => i + k <= data.length && from(i + k, t + 1))
+      }
+    (0 to data.length).exists(s => from(s, 0))
+  }
+
+  private def hexSrc(toks: Seq[HTok]): String = toks.map {
+    case HLit(0xff, v) => f"$v%02X"
+    case HLit(0x0f, v) => f"?${v & 0xf}%X"
+    case HLit(0xf0, v) => f"${(v >> 4) & 0xf}%X?"
+    case HLit(0x00, _) => "??"
+    case HLit(m, v) => throw new IllegalStateException(f"mask $m%02x")
+    case HJump(lo, hi) if lo == hi => s"[$lo]"
+    case HJump(lo, hi) => s"[$lo-$hi]"
+  }.mkString("{ ", " ", " }")
+
+  test("hex engine agrees with a naive backtracking matcher on 200 pairs") {
+    for (trial <- 0 until 200) {
+      val data = new Array[Byte](128 + nextInt(1024))
+      for (i <- data.indices) data(i) = nextInt(256).toByte
+      // ~60% of patterns derive from a real payload slice (guaranteed
+      // present before mutation), rest are random (usually absent) —
+      // the naive matcher decides either way
+      val fromPayload = nextInt(100) < 60
+      val nTok = 3 + nextInt(8)
+      val toks = scala.collection.mutable.ArrayBuffer[HTok]()
+      if (fromPayload) {
+        var pos = nextInt(math.max(1, data.length - 4 * nTok))
+        var t = 0
+        while (t < nTok) {
+          val last = t == nTok - 1
+          // jumps only interior (YARA forbids leading/trailing jumps)
+          if (!last && t > 0 && toks.last.isInstanceOf[HLit] &&
+            nextInt(100) < 25) {
+            val k = 1 + nextInt(4)
+            val slack = nextInt(3) // widen the range around the true gap
+            toks += HJump(math.max(0, k - slack), k + nextInt(3))
+            pos += k
+          } else {
+            val b = data(pos) & 0xff
+            toks += (nextInt(4) match {
+              case 0 => HLit(0x00, 0x00) // ??
+              case 1 => HLit(0x0f, b & 0x0f)
+              case 2 => HLit(0xf0, b & 0xf0)
+              case _ => HLit(0xff, b)
+            })
+            pos += 1
+          }
+          t += 1
+        }
+        // mutate one literal in ~40% of derived patterns (may break it)
+        if (nextInt(100) < 40) {
+          val lits = toks.indices.filter(i => toks(i) match {
+            case HLit(0xff, _) => true; case _ => false })
+          if (lits.nonEmpty) {
+            val i = lits(nextInt(lits.length))
+            toks(i) = HLit(0xff, nextInt(256))
+          }
+        }
+      } else {
+        for (t <- 0 until nTok) {
+          val last = t == nTok - 1
+          if (!last && t > 0 && toks.last.isInstanceOf[HLit] &&
+            nextInt(100) < 20)
+            toks += HJump(nextInt(3), 2 + nextInt(5))
+          else toks += (nextInt(4) match {
+            case 0 => HLit(0x00, 0x00)
+            case 1 => HLit(0x0f, nextInt(16))
+            case 2 => HLit(0xf0, nextInt(16) << 4)
+            case _ => HLit(0xff, nextInt(256))
+          })
+        }
+      }
+      // normalize: never end on a jump
+      while (toks.nonEmpty && toks.last.isInstanceOf[HJump])
+        toks.remove(toks.length - 1)
+      if (toks.isEmpty) toks += HLit(0xff, nextInt(256))
+      val expected = naiveHex(data, toks.toIndexedSeq)
+      val src = s"rule H { strings: $$h = ${hexSrc(toks.toSeq)} condition: $$h }"
+      val got = Yara.scan(Yara.parse(src), data).nonEmpty
+      assert(got == expected,
+        s"trial $trial: engine=$got naive=$expected\n$src")
+    }
+  }
+
   test("engine agrees with the naive matcher on 200 random rule/payload pairs") {
     for (trial <- 0 until 200) {
       // payload: binary noise with spaced printable runs
