@@ -183,7 +183,31 @@ object SessionBuilder {
       user: Seq[String],
       oracleUser: String, oracleHost: String, oracleService: String,
       radiusUser: Seq[String], radiusFramedIp: Seq[String],
-      radiusMac: Seq[String])
+      radiusMac: Seq[String]) {
+
+    // packetPos/packetLen/packetFileIdx are primitive arrays (one bulk
+    // copy in the Catalyst encoder), which would make the synthesized
+    // case-class equals/hashCode compare those three fields by REFERENCE
+    // — a `row == row`, `Set[SessionRow]`, or `.distinct` over rebuilt
+    // rows would silently mismatch. Override with content comparison so
+    // value semantics hold for every field.
+    override def equals(other: Any): Boolean = other match {
+      case that: SessionRow =>
+        productIterator.zip(that.productIterator).forall {
+          case (a, b) => java.util.Objects.deepEquals(a, b)
+        }
+      case _ => false
+    }
+    override def hashCode(): Int =
+      productIterator.foldLeft(0) { (h, v) =>
+        31 * h + (v match {
+          case a: Array[Long]   => java.util.Arrays.hashCode(a)
+          case a: Array[Int]    => java.util.Arrays.hashCode(a)
+          case null             => 0
+          case x                => x.hashCode
+        })
+      }
+  }
 
   /** Reassemble one direction's TCP payload stream: order by sequence
     * number (handling 32-bit wrap relative to the first seq), drop

@@ -507,6 +507,11 @@ object Dedup {
     val maxBlock: Long = sizes.agg(max("_bn")).collect()
       .headOption.flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long]))
       .getOrElse(0L)
+    // the hot-block branch hands the persisted frame to the returned
+    // lazy plan; release it when that plan first executes so repeated
+    // calls in one session don't accumulate cached frames (the exact
+    // branch below unpersists immediately instead)
+    if (maxBlock > maxBlockExact) unpersistAfterFirstUse(sizes)
     def finish(pairs: DataFrame): DataFrame = pairs
       .withColumn("cosine",
         Similarity.dotBin(col("va"), col("vb")) / (col("na") * col("nb")))
@@ -532,9 +537,9 @@ object Dedup {
     // hot blocks present: the per-block counts computed for the plan
     // decision ride the same tiny persisted frame, equi-joined back (AQE
     // broadcasts it at real block cardinalities); at/under-cap blocks
-    // keep the exact all-pairs branch. The frame stays persisted — the
-    // returned plan reads it lazily, and it is one long per block (the
-    // same bounded-intermediate pattern as the IVF index persist).
+    // keep the exact all-pairs branch. The frame stays persisted until
+    // the returned plan's first action (listener release above); a
+    // SECOND action on the same result recomputes the one count agg.
     val sized = base.join(sizes, "block")
     val small = sized.filter(col("_bn") <= maxBlockExact)
       .select(col("block"), col("_vid"),
@@ -882,5 +887,42 @@ object Dedup {
       .select(col("doc_id"),
         coalesce(col("_w"), lit(1000000L)).cast("long").as("weight_ppm"))
       .orderBy("doc_id")
+  }
+
+  /** Release a persisted helper frame once any query that read it
+    * completes: a QueryExecutionListener matches the cached plan inside
+    * the finished execution (cache substitution puts an
+    * `InMemoryRelation` in the optimized plan whose builder carries the
+    * original logical plan), unpersists, and deregisters itself. Bounds
+    * cache growth across repeated calls without making the caller
+    * cache-aware; if the returned plan is never executed the one tiny
+    * frame stays cached — the same footprint as before the hook.
+    */
+  private def unpersistAfterFirstUse(frame: DataFrame): Unit = {
+    val spark = frame.sparkSession
+    val target = frame.queryExecution.analyzed
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      private val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+      private def check(
+          qe: org.apache.spark.sql.execution.QueryExecution): Unit = {
+        val hit =
+          try qe.optimizedPlan.exists {
+            case r: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+              r.cacheBuilder.logicalPlan.sameResult(target)
+            case _ => false
+          } catch { case _: Exception => false }
+        if (hit && done.compareAndSet(false, true)) {
+          frame.unpersist(blocking = false)
+          spark.listenerManager.unregister(this)
+        }
+      }
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = check(qe)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = check(qe)
+    }
+    spark.listenerManager.register(listener)
   }
 }

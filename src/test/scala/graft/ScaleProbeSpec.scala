@@ -132,4 +132,29 @@ class ScaleProbeSpec extends AnyFunSuite with SparkSpecBase {
       s"guarded plan decision ran $guarded jobs vs $exact on the exact " +
         "path — the per-block counts agg is being computed twice")
   }
+
+  test("embeddingNearDup guarded branch releases its cached counts after first use") {
+    // the hot-block branch persists the per-block counts frame for the
+    // plan decision + sizes join; the listener hook must unpersist it
+    // once the returned plan executes, so repeated calls in one session
+    // don't accumulate cached frames
+    import graft.ops.Dedup
+    def frame(n: Int) = spark.range(n)
+      .select(col("id").as("vec_id"), expr(
+        "transform(sequence(1,8), k -> " +
+          "cast(pmod(hash(id, k), 1000) as double)/1000 - 0.5)")
+        .as("embedding"))
+      .withColumn("block", lit("hot"))
+    def cachedRdds: Int = spark.sparkContext.getPersistentRDDs.size
+    val before = cachedRdds
+    val q = Dedup.embeddingNearDup(frame(800), col("embedding"),
+      col("vec_id"), col("block"), threshold = 0.95, maxBlockExact = 500)
+    q.count() // consume: the listener fires on the async listener bus
+    val deadline = System.currentTimeMillis + 30000
+    while (cachedRdds > before && System.currentTimeMillis < deadline)
+      Thread.sleep(100)
+    assert(cachedRdds <= before,
+      s"counts frame still cached ($cachedRdds RDDs vs $before before) " +
+        "30s after the guarded plan was consumed")
+  }
 }

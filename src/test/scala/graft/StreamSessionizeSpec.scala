@@ -367,4 +367,28 @@ class StreamSessionizeSpec extends AnyFunSuite with SparkSpecBase {
       assert(Set(m1, m2).subsetOf(seg2.srcMac.toSet))
     } finally q.stop()
   }
+
+  test("SessionRow equality is by content, not array reference") {
+    // packetPos/packetLen/packetFileIdx are primitive Array fields —
+    // the synthesized case-class equals would compare them by reference
+    // identity, so two independent builds of the same packets would
+    // compare unequal and Set/distinct would silently keep duplicates.
+    def pkt(i: Int, src: Boolean): Decode.DecodedPacket =
+      Decode.DecodedPacket("s", i, 1700000000000000L + i * 1000L,
+        i.toLong * 100, 70, 54, "aa:aa:aa:aa:aa:01", "ff:ff:ff:ff:ff:ff", 6,
+        if (src) "1.1.1.1" else "2.2.2.2", if (src) "2.2.2.2" else "1.1.1.1",
+        if (src) 1234 else 80, if (src) 80 else 1234,
+        Decode.TH_ACK, 1000, 1000L + i, 0L, Array.emptyByteArray,
+        prevTsMicros = 1700000000000000L + math.max(0, i - 1) * 1000L,
+        l4Offset = 54)
+    val packets = Seq(pkt(0, src = true), pkt(1, src = false),
+      pkt(2, src = true))
+    val key = SessionBuilder.sessionKey(packets.head)
+    val a = SessionBuilder.buildSessions(key, packets.iterator, "test").toSeq
+    val b = SessionBuilder.buildSessions(key, packets.iterator, "test").toSeq
+    assert(a == b, "independently built identical sessions must compare ==")
+    assert(a.head.hashCode == b.head.hashCode)
+    assert((a ++ b).toSet.size == a.size, "Set must dedupe rebuilt rows")
+    assert(a.head != a.head.copy(totPackets = a.head.totPackets + 1))
+  }
 }
