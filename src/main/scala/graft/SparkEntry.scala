@@ -114,6 +114,31 @@ object SparkEntry {
       }.reduce(_.unionByName(_))
       chunks.orderBy("case_id")
     }),
+    // Extended grammar fuzz (differential): 240 seeded cases over the
+    // four leaf kinds the Q1–Q13 fuzz can't reach on raw events —
+    // ip/CIDR/prefix-shorthand with `:port` conjuncts, `ip`/`port`/
+    // `host` meta-field fan-out (incl. under must_not), ipProtocol and
+    // mac dash→colon operand transforms, and `$shortcut` expansion —
+    // evaluated on a derived frame with injected NULLs/empty arrays.
+    // Same wide sum(when) chunking as q_fuzz_grammar; DuckDB runs the
+    // independently-translated SQL (ExprFuzz.oracleSqlExt).
+    "q_fuzz_grammar_ext" -> ((s, dir) => {
+      val cs = graft.query.ExprFuzz.extCases(240, 0xbead5eedL)
+      val fc = new Compiler(graft.query.ExprFuzz.extRegistry, now = fuzzNow,
+        shortcuts = graft.query.ExprFuzz.extShortcuts)
+      val e = fuzzExtEv(s, dir)
+      val chunks = cs.grouped(40).map { chunk =>
+        val aggs = chunk.map(c =>
+          sum(when(fc.compile(c.expr), 1L).otherwise(0L))
+            .as(s"c${c.id}"))
+        val row = e.agg(aggs.head, aggs.tail: _*)
+        row.select(explode(array(chunk.map(c => struct(
+          lit(c.id.toLong).as("case_id"),
+          col(s"c${c.id}").as("n"))): _*)).as("p"))
+          .select(col("p.case_id"), col("p.n"))
+      }.reduce(_.unionByName(_))
+      chunks.orderBy("case_id")
+    }),
     // Endpoint-kernel fuzz (differential): 24 seeded (interval, field,
     // top-k, filter) combos through ops/Endpoints vs an independent SQL
     // translation — sweeps interval snapping, top-k tie-breaks, and the
@@ -142,6 +167,63 @@ object SparkEntry {
               .select(lit(c.id.toLong).as("case_id"),
                 col(c.fieldSql).cast("string").as("k"),
                 epochS(col("bucket")).as("b"), col("value").as("n"))
+        }
+      }
+      frames.reduce(_.unionByName(_)).orderBy("case_id", "k", "b")
+    }),
+    // Extended endpoint fuzz (differential): 48 seeded combos through
+    // the remaining kernels — unique (counts/no-counts/autocomplete-
+    // prefix/limit), ip:port pair mode, multiunique, hierarchy (per-
+    // level top-K with per-level exists), connections links (minConn
+    // degree filter) and nodes (baseline bitmask) — on the NULL-
+    // injected connEv frame vs EndpointFuzz.oracleSql2's independent
+    // SQL (per-level row_number, IN-subquery degree filter).
+    "e_fuzz_endpoints2" -> ((s, dir) => {
+      import graft.query.EndpointFuzz
+      import graft.query.EndpointFuzz.{ConnL, ConnN, Hier, Multi, Pair, Uniq}
+      val e = connEv(s, dir)
+      val frames = EndpointFuzz.cases2(48, 0x5eedf00dL).map { c =>
+        val base = c.filterExpr
+          .map(fx => e.filter(compiler.compile(fx))).getOrElse(e)
+        c.kind match {
+          case Uniq =>
+            val f = c.fields.head
+            Endpoints.unique(base, col(f), f, counts = c.counts,
+              autocompletePrefix = c.prefix, maxAggSize = c.k)
+              .select(lit(c.id.toLong).as("case_id"),
+                col(f).cast("string").as("k"), lit(0L).as("b"),
+                (if (c.counts) col("cnt") else lit(0L)).as("n"))
+          case Pair =>
+            Endpoints.uniquePairs(base, col("pairIp"), col("pairPort"),
+              name = "pair", maxAggSize = c.k)
+              .select(lit(c.id.toLong).as("case_id"), col("pair").as("k"),
+                lit(0L).as("b"), col("cnt").as("n"))
+          case Multi =>
+            Endpoints.multiunique(base, c.fields, maxAggSize = c.k)
+              .select(lit(c.id.toLong).as("case_id"),
+                concat_ws("|",
+                  c.fields.map(f => col(f).cast("string")): _*).as("k"),
+                lit(0L).as("b"), col("cnt").as("n"))
+          case Hier =>
+            Endpoints.hierarchy(base, c.fields, c.k)
+              .select(lit(c.id.toLong).as("case_id"),
+                concat_ws("|",
+                  c.fields.map(f => col(f).cast("string")): _*).as("k"),
+                lit(0L).as("b"), col("cnt").as("n"))
+          case ConnL =>
+            Endpoints.connectionsLinks(base, col("srcN"), col("dstN"),
+              minConn = c.minConn)
+              .select(lit(c.id.toLong).as("case_id"),
+                concat(col("src"), lit(">"), col("dst")).as("k"),
+                lit(0L).as("b"), col("cnt").as("n"))
+          case ConnN =>
+            val split = f"2024-01-${c.splitDay}%02d 00:00:00"
+            val cur = base.filter(col("ts") >= lit(split).cast("timestamp"))
+            val bl = base.filter(col("ts") < lit(split).cast("timestamp"))
+            Endpoints.connectionsNodes(cur, Some(bl), col("srcN"), col("dstN"))
+              .select(lit(c.id.toLong).as("case_id"), col("node").as("k"),
+                col("flag").cast("long").as("b"),
+                col("sessions").cast("long").as("n"))
         }
       }
       frames.reduce(_.unionByName(_)).orderBy("case_id", "k", "b")
@@ -1173,6 +1255,68 @@ object SparkEntry {
     FieldRegistry(Seq(graft.model.FieldDef("ip.src", "srcIp",
       graft.model.FieldKind.IpK))), now = now)
 
+  /** Derived frame for the extended endpoint fuzz — the Spark twin of
+    * [[graft.query.EndpointFuzz.frame2Sql]] (keep in lockstep): graph
+    * nodes, pair ip/port, bucketed hierarchy levels, NULL-injected.
+    */
+  private def connEv(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir).filter(col("user_id").isNotNull).select(
+      col("event_id"), col("user_id"), col("event_type"), col("value"),
+      col("props"), col("ts"),
+      concat(lit("n"), (col("event_id") % 997).cast("string")).as("srcN"),
+      when(col("event_id") % 41 === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("n"),
+          ((col("event_id") * 7 + col("user_id")) % 997).cast("string")))
+        .as("dstN"),
+      when(col("user_id") % 23 === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("10.0."), (col("user_id") % 30).cast("string"),
+          lit(".1"))).as("pairIp"),
+      when(col("event_id") % 31 === 0, lit(null).cast("long"))
+        .otherwise((col("event_id") % 9) * 100 + 80).as("pairPort"),
+      when(col("user_id") % 11 === 0, lit(null).cast("long"))
+        .otherwise(col("user_id") % 20).as("ub"),
+      (col("event_id") % 7).as("eb"))
+
+  /** Derived frame for the extended grammar fuzz — the Spark twin of
+    * [[graft.query.ExprFuzz.extFrameSql]] (keep the two in lockstep):
+    * synthesized v4 endpoints, ports, protocol, mac/host arrays, WITH
+    * injected NULLs and empty arrays so negated cases exercise the ES
+    * must_not three-valued-logic corners on every column kind.
+    */
+  private def fuzzExtEv(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir).filter(col("user_id").isNotNull).select(
+      col("event_id"), col("user_id"), col("event_type"),
+      when(col("event_id") % 13 === 0, lit(null).cast("string"))
+        .otherwise(concat_ws(".", lit("10"),
+          (col("user_id") % 250).cast("string"),
+          (col("event_id") % 200).cast("string"), lit("1"))).as("srcIp"),
+      when(col("event_id") % 17 === 0, lit(null).cast("string"))
+        .otherwise(concat_ws(".", lit("10"),
+          (col("event_id") % 250).cast("string"),
+          (col("user_id") % 200).cast("string"), lit("2"))).as("dstIp"),
+      when(col("event_id") % 7 === 0, lit(null).cast("int"))
+        .otherwise((col("event_id") % 1000 + 1000).cast("int")).as("srcPort"),
+      when(col("event_id") % 7 === 0, lit(null).cast("int"))
+        .otherwise((col("user_id") % 500 + 80).cast("int")).as("dstPort"),
+      when(col("event_id") % 4 === 0, lit(6))
+        .when(col("event_id") % 4 === 1, lit(17))
+        .when(col("event_id") % 4 === 2, lit(1))
+        .otherwise(lit(47)).as("ipProtocol"),
+      when(col("event_id") % 11 === 0, lit(null).cast("array<string>"))
+        .otherwise(array(concat(lit("00:11:22:33:44:"),
+          lpad((col("event_id") % 60).cast("string"), 2, "0"))))
+        .as("srcMac"),
+      when(col("event_id") % 19 === 0, lit(null).cast("array<string>"))
+        .when(col("event_id") % 23 === 0, array().cast("array<string>"))
+        .otherwise(array(concat(lit("h"),
+          (col("user_id") % 50).cast("string"), lit(".example.com"))))
+        .as("httpHost"),
+      array(concat(lit("d"), (col("event_id") % 97).cast("string"),
+        lit(".example.org"))).as("dnsQname"),
+      when(col("user_id") % 5 === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("h"), (col("event_id") % 50).cast("string"),
+          lit(".example.com"))).as("socksHost"))
+
   private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
   private def emb(s: SparkSession, dir: String) = Tables.load(s, dir, "embeddings")
 
@@ -1538,9 +1682,15 @@ object SparkEntry {
     "q_fuzz_grammar" ->
       graft.query.ExprFuzz.oracleSql(
         graft.query.ExprFuzz.cases(200, 0xf00dL, fuzzNow)),
+    "q_fuzz_grammar_ext" ->
+      graft.query.ExprFuzz.oracleSqlExt(
+        graft.query.ExprFuzz.extCases(240, 0xbead5eedL)),
     "e_fuzz_endpoints" ->
       graft.query.EndpointFuzz.oracleSql(
         graft.query.EndpointFuzz.cases(24, 0xe9d0cafeL)),
+    "e_fuzz_endpoints2" ->
+      graft.query.EndpointFuzz.oracleSql2(
+        graft.query.EndpointFuzz.cases2(48, 0x5eedf00dL)),
     "q_expr_eq" ->
       s"SELECT $evCols FROM events WHERE event_type = 'purchase' ORDER BY event_id",
     "q_expr_bool" ->

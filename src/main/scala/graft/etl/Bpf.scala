@@ -288,7 +288,13 @@ object Bpf {
       if (greater) c >= v else c <= v
     case AndN(a, b) => column(a, f) && column(b, f)
     case OrN(a, b) => column(a, f) || column(b, f)
-    case NotN(a) => !column(a, f)
+    // is-not-true, not three-valued NOT: a term over a NULL field (no
+    // ports on ICMP, no vlan ids) is FALSE on the packet backend, so
+    // its negation must be TRUE here too — bare `!` would keep NULL and
+    // silently drop the row in a filter. NULL ≡ FALSE already holds
+    // through and/or in filter context, so the coalesce is only needed
+    // at the negation boundary.
+    case NotN(a) => !coalesce(column(a, f), lit(false))
   }
 
   private def dirCol(dir: Dir, src: Column, dst: Column): Column =

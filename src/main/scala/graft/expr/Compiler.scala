@@ -157,9 +157,29 @@ final class Compiler(
     case Cmp(field, op, value0) =>
       val value = expandShortcut(value0)
       // must_not(OR over fanned-out fields) = AND of per-field negations
+      val porty = ipValueHasPort(value)
       expandChecked(field)
-        .map(d => !cmpCol(d, op, value) || fieldCol(d).isNull)
+        .map { d =>
+          if (d.kind == FieldKind.IpK && porty)
+            // a `:port` / `ip:port` form (jison parseIpPort:150-293)
+            // references the PORT column, which the ip-column null-guard
+            // below doesn't cover: ES must_not is is-not-true of the
+            // inner bool, so a row with a NULL ip but a matching port is
+            // still EXCLUDED — the generic guard would include it
+            !coalesce(cmpCol(d, op, value), lit(false))
+          else !cmpCol(d, op, value) || fieldCol(d).isNull
+        }
         .reduce(_ && _)
+  }
+
+  /** Does an (expanded) ip operand carry a `:port` conjunct or port-only
+    * form anywhere? Decides the null-guard shape in [[neg]].
+    */
+  private def ipValueHasPort(v: Value): Boolean = v match {
+    case Value.Bare(s)   => splitIpPort(s.trim)._2.isDefined
+    case Value.Quoted(s) => splitIpPort(s.trim)._2.isDefined
+    case Value.Lst(xs)   => xs.exists(ipValueHasPort)
+    case _               => false
   }
 
   /** Resolve a `view == name` value to its stored expression's AST

@@ -105,4 +105,210 @@ object EndpointFuzz {
     branches.mkString("SELECT case_id, k, b, n FROM (", " UNION ALL ",
       ") ORDER BY case_id, k, b")
   }
+
+  // ===================================================================
+  // Extended endpoint fuzz: the remaining kernels — unique (counts /
+  // no-counts / autocomplete-prefix / small maxAggSize), ip:port pair
+  // mode, multiunique, hierarchy (per-level top-K + per-level exists),
+  // connections links (minConn degree filter) and nodes (baseline
+  // bitmask) — against independent SQL over a derived frame with
+  // injected NULLs so the exists/notNull semantics bite.
+  // ===================================================================
+
+  sealed trait Kind2
+  case object Uniq extends Kind2
+  case object Pair extends Kind2
+  case object Multi extends Kind2
+  case object Hier extends Kind2
+  case object ConnL extends Kind2
+  case object ConnN extends Kind2
+
+  final case class EpCase2(id: Int, kind: Kind2,
+      fields: Seq[String], k: Int, counts: Boolean,
+      prefix: Option[String], minConn: Int, splitDay: Int,
+      filterExpr: Option[String], filterSql: Option[String])
+
+  /** DuckDB derivation of the endpoint fuzz frame — independent twin of
+    * SparkEntry's connEv: graph nodes, pair ip/port, bucketed hierarchy
+    * levels, each with NULL injection.
+    */
+  val frame2Sql: String =
+    """SELECT event_id, user_id, event_type, value, props, ts,
+       'n' || (event_id % 997) AS srcN,
+       CASE WHEN event_id % 41 = 0 THEN NULL
+            ELSE 'n' || ((event_id * 7 + user_id) % 997) END AS dstN,
+       CASE WHEN user_id % 23 = 0 THEN NULL
+            ELSE '10.0.' || (user_id % 30) || '.1' END AS pairIp,
+       CASE WHEN event_id % 31 = 0 THEN NULL
+            ELSE (event_id % 9) * 100 + 80 END AS pairPort,
+       CASE WHEN user_id % 11 = 0 THEN NULL
+            ELSE user_id % 20 END AS ub,
+       event_id % 7 AS eb
+     FROM events WHERE user_id IS NOT NULL"""
+
+  private val uniqFields = Seq(("event_type", "event_type"),
+    ("user_id", "user_id"), ("props", "props"))
+  private val prefixes = Seq("c", "p", "s", "e", "v", "cl", "pu")
+  private val multiSets = Seq(
+    Seq("event_type", "ub"), Seq("event_type", "eb"),
+    Seq("ub", "eb"), Seq("event_type", "ub", "eb"))
+
+  def cases2(n: Int, seed: Long): Seq[EpCase2] = {
+    val r = new Rng(seed)
+    (0 until n).map { i =>
+      val (fe, fq) = r.oneOf(filters)
+      r.nextInt(6) match {
+        case 0 => // unique: counts / no-counts / autocomplete / limit
+          val (f, _) = r.oneOf(uniqFields)
+          val counts = r.nextInt(3) != 0
+          val prefix =
+            if (f == "event_type" && r.nextInt(3) == 0)
+              Some(r.oneOf(prefixes))
+            else None
+          val k = r.oneOf(Seq(3, 5, 17, 10000))
+          EpCase2(i, Uniq, Seq(f), k, counts, prefix, 0, 0, fe, fq)
+        case 1 => // ip:port pair mode
+          val k = r.oneOf(Seq(5, 25, 10000))
+          EpCase2(i, Pair, Nil, k, counts = true, None, 0, 0, fe, fq)
+        case 2 => // multiunique over 2–3 fields
+          val fs = r.oneOf(multiSets)
+          val k = r.oneOf(Seq(5, 20, 10000))
+          EpCase2(i, Multi, fs, k, counts = true, None, 0, 0, fe, fq)
+        case 3 => // hierarchy at depth 2–3
+          val depth = 2 + r.nextInt(2)
+          val fs = Seq("event_type", "ub", "eb").take(depth)
+          EpCase2(i, Hier, fs, 2 + r.nextInt(2), counts = true,
+            None, 0, 0, fe, fq)
+        case 4 => // connections links with minConn
+          // thin the graph so the degree filter actually bites
+          val (fe2, fq2) = r.oneOf(Seq(
+            (Some("value >= 450"), Some("value >= 450")),
+            (Some("value >= 400 && type == click"),
+              Some("(value >= 400 AND event_type = 'click')")),
+            (Some("user == 10-25"), Some("user_id BETWEEN 10 AND 25"))))
+          EpCase2(i, ConnL, Nil, 0, counts = true, None,
+            1 + r.nextInt(4), 0, fe2, fq2)
+        case _ => // connections nodes with a baseline window
+          val day = 8 + r.nextInt(14)
+          EpCase2(i, ConnN, Nil, 0, counts = true, None, 0, day, fe, fq)
+      }
+    }
+  }
+
+  def oracleSql2(cs: Seq[EpCase2]): String = {
+    def whereAnd(extra: Seq[String]): String =
+      if (extra.isEmpty) "" else extra.mkString("WHERE ", " AND ", "")
+    val branches = cs.map { c =>
+      val cid = s"CAST(${c.id} AS BIGINT)"
+      val fil = c.filterSql.toSeq
+      c.kind match {
+        case Uniq =>
+          val f = c.fields.head
+          val conds = fil ++ Seq(s"$f IS NOT NULL") ++
+            c.prefix.map(p => s"CAST($f AS VARCHAR) LIKE '$p%'")
+          if (c.counts)
+            s"""SELECT $cid AS case_id, CAST($f AS VARCHAR) AS k,
+                CAST(0 AS BIGINT) AS b, CAST(cnt AS BIGINT) AS n FROM (
+                  SELECT $f, count(*) AS cnt FROM d ${whereAnd(conds)}
+                  GROUP BY $f ORDER BY cnt DESC, $f ASC LIMIT ${c.k})"""
+          else
+            s"""SELECT $cid AS case_id, CAST($f AS VARCHAR) AS k,
+                CAST(0 AS BIGINT) AS b, CAST(0 AS BIGINT) AS n FROM (
+                  SELECT DISTINCT $f FROM d ${whereAnd(conds)}
+                  ORDER BY $f ASC LIMIT ${c.k})"""
+        case Pair =>
+          val conds = fil ++ Seq("pairIp IS NOT NULL", "pairPort IS NOT NULL")
+          s"""SELECT $cid AS case_id, pairIp || ':' || pairPort AS k,
+              CAST(0 AS BIGINT) AS b, CAST(cnt AS BIGINT) AS n FROM (
+                SELECT pairIp, pairPort, count(*) AS cnt FROM d
+                ${whereAnd(conds)} GROUP BY 1, 2
+                ORDER BY cnt DESC, (pairIp || ':' || pairPort) ASC
+                LIMIT ${c.k})"""
+        case Multi =>
+          val conds = fil ++ c.fields.map(f => s"$f IS NOT NULL")
+          val key = c.fields.map(f => s"CAST($f AS VARCHAR)")
+            .mkString(" || '|' || ")
+          s"""SELECT $cid AS case_id, $key AS k, CAST(0 AS BIGINT) AS b,
+              CAST(cnt AS BIGINT) AS n FROM (
+                SELECT ${c.fields.mkString(", ")}, count(*) AS cnt FROM d
+                ${whereAnd(conds)} GROUP BY ${c.fields.mkString(", ")}
+                ORDER BY cnt DESC, ${c.fields.map(_ + " ASC").mkString(", ")}
+                LIMIT ${c.k})"""
+        case Hier =>
+          // per-level top-K: level 0 by global total, deeper levels by
+          // row_number within the parent prefix (total DESC, value ASC),
+          // descendants of survivors only — the reference's nested
+          // terms-agg shape (viewer/apiSessions.js:2159-2271)
+          val fs = c.fields
+          val conds = fil ++ fs.map(f => s"$f IS NOT NULL")
+          val sb = new StringBuilder
+          sb.append(s"""WITH g AS (SELECT ${fs.mkString(", ")},
+            count(*) AS cnt FROM d ${whereAnd(conds)}
+            GROUP BY ${fs.mkString(", ")}),
+            s0 AS (SELECT g.* FROM g JOIN (
+              SELECT ${fs.head} FROM (
+                SELECT ${fs.head}, sum(cnt) AS tot FROM g GROUP BY 1
+                ORDER BY tot DESC, ${fs.head} ASC LIMIT ${c.k})) t0
+              USING (${fs.head}))""")
+          for (i <- 1 until fs.length) {
+            val lvl = fs.take(i + 1).mkString(", ")
+            val pfx = fs.take(i).mkString(", ")
+            sb.append(s""", s$i AS (SELECT s${i - 1}.* FROM s${i - 1} JOIN (
+              SELECT $lvl FROM (
+                SELECT $lvl, row_number() OVER (PARTITION BY $pfx
+                  ORDER BY sum(cnt) DESC, ${fs(i)} ASC) AS rk
+                FROM s${i - 1} GROUP BY $lvl) WHERE rk <= ${c.k}) t$i
+              USING ($lvl))""")
+          }
+          val key = fs.map(f => s"CAST($f AS VARCHAR)")
+            .mkString(" || '|' || ")
+          sb.append(s""" SELECT $cid AS case_id, $key AS k,
+            CAST(0 AS BIGINT) AS b, CAST(cnt AS BIGINT) AS n
+            FROM s${fs.length - 1}""")
+          sb.toString
+        case ConnL =>
+          val conds = fil ++ Seq("srcN IS NOT NULL", "dstN IS NOT NULL")
+          val links = s"""SELECT srcN AS src, dstN AS dst, count(*) AS cnt
+            FROM d ${whereAnd(conds)} GROUP BY 1, 2"""
+          if (c.minConn <= 1)
+            s"""SELECT $cid AS case_id, src || '>' || dst AS k,
+                CAST(0 AS BIGINT) AS b, CAST(cnt AS BIGINT) AS n
+                FROM ($links)"""
+          else
+            s"""WITH l AS ($links), deg AS (
+                  SELECT node FROM (
+                    SELECT node, count(*) AS dg FROM (
+                      SELECT src AS node FROM l
+                      UNION ALL SELECT dst FROM l) GROUP BY 1)
+                  WHERE dg >= ${c.minConn})
+                SELECT $cid AS case_id, src || '>' || dst AS k,
+                CAST(0 AS BIGINT) AS b, CAST(cnt AS BIGINT) AS n FROM l
+                WHERE src IN (SELECT node FROM deg)
+                  AND dst IN (SELECT node FROM deg)"""
+        case ConnN =>
+          val cur = (fil :+
+            s"ts >= TIMESTAMP '2024-01-${f"${c.splitDay}%02d"} 00:00:00'")
+            .mkString(" AND ")
+          val base = (fil :+
+            s"ts < TIMESTAMP '2024-01-${f"${c.splitDay}%02d"} 00:00:00'")
+            .mkString(" AND ")
+          def win(cond: String, flag: Int) =
+            s"""SELECT node, count(*) AS sessions, $flag AS flag FROM (
+                 SELECT srcN AS node FROM d WHERE $cond
+                 UNION ALL SELECT dstN FROM d WHERE $cond)
+               WHERE node IS NOT NULL GROUP BY node"""
+          s"""SELECT $cid AS case_id, node AS k,
+              CAST(sum(flag) AS BIGINT) AS b,
+              CAST(sum(CASE WHEN flag = 1 THEN sessions ELSE 0 END)
+                AS BIGINT) AS n
+              FROM (${win(cur, 1)} UNION ALL ${win(base, 2)})
+              GROUP BY node"""
+      }
+    }
+    // parenthesize each branch: Hier/ConnL carry their own WITH, which
+    // is only set-operation-legal inside parens
+    branches.map(b => s"($b)")
+      .mkString(s"WITH d AS ($frame2Sql) SELECT case_id, k, b, n FROM (",
+        " UNION ALL ", ") ORDER BY case_id, k, b")
+  }
 }

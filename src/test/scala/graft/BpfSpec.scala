@@ -9,6 +9,13 @@ import graft.etl.{Bpf, Decode, SessionBuilder}
 final case class BpfFuzzRow(id: Long, src_ip: String, dst_ip: String,
     src_port: Int, dst_port: Int, proto: Int, vlans: Seq[Int], wire: Int)
 
+/** Null-bearing variant: Option fields encode as NULL columns — the
+  * session-row shape for port-less (ICMP) and vlan-less traffic.
+  */
+final case class BpfFuzzNullRow(id: Long, src_ip: String, dst_ip: String,
+    src_port: Option[Int], dst_port: Option[Int], proto: Int,
+    vlans: Option[Seq[Int]], wire: Int)
+
 /** BPF capture-filter subset (etl/Bpf): parser shapes, tcpdump
   * semantics (qualifier inheritance, directions, CIDR nets), agreement
   * between the packet-predicate and Column backends, the
@@ -313,6 +320,91 @@ class BpfSpec extends AnyFunSuite with SparkSpecBase {
         .select("id").collect().map(_.getLong(0)).toSet
       assert(viaCol == viaPred,
         s"backend divergence on case $k: $e\n  pred-only: ${
+          (viaPred -- viaCol).take(5)}\n  col-only: ${
+          (viaCol -- viaPred).take(5)}")
+    }
+  }
+
+  test("fuzz: backends agree on NULL/absent fields (three-valued logic)") {
+    // port-less (ICMP/GRE) traffic decodes with port 0 on the packet
+    // side but stores NULL port columns on the session side; vlan-less
+    // rows store a NULL array. The Column backend's negation must be
+    // is-not-true (classical) over those NULLs — a bare three-valued
+    // `!` keeps NULL and silently drops every ICMP session from
+    // `not port 53`, diverging from the map-side predicate (and from
+    // rules.c's C semantics, where a missing field just fails the term).
+    import spark.implicits._
+    var seed = 0x3f01dbeeL
+    def nextInt(bound: Int): Int = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      (((seed >>> 33) % bound + bound) % bound).toInt
+    }
+    def oneOf[T](xs: Seq[T]): T = xs(nextInt(xs.length))
+    val ips4 = Seq("10.1.2.3", "10.9.9.9", "10.100.0.1", "192.168.7.7",
+      "8.8.8.8")
+    val ips6 = Seq("2001:db8::1", "fd00::9")
+    val cidrs = Seq("10.0.0.0/8", "10.64.0.0/10", "192.168.0.0/16",
+      "8.8.8.0/24", "2001:db8::/32", "10.1")
+    val ports = Seq(53, 80, 443, 1080, 40000)
+    val pkts = (0 until 400).map { i =>
+      val proto = oneOf(Seq(6, 17, 1, 1, 47, 58)) // icmp/gre-heavy
+      val hasPorts = proto == 6 || proto == 17
+      val v6 = proto == 58 || nextInt(100) < 20
+      val sIp = if (v6) oneOf(ips6) else oneOf(ips4)
+      val dIp = if (v6) oneOf(ips6) else oneOf(ips4)
+      val sPort = if (hasPorts) oneOf(ports :+ nextInt(65535) + 1) else 0
+      val dPort = if (hasPorts) oneOf(ports :+ nextInt(65535) + 1) else 0
+      val vlans = nextInt(3) match {
+        case 0 => None
+        case 1 => Some(Seq(7))
+        case _ => Some(Seq(7, 12))
+      }
+      val wire = 40 + nextInt(1500)
+      (i.toLong,
+        pkt(srcIp = sIp, dstIp = dIp, srcPort = sPort, dstPort = dPort,
+          proto = proto, vlans = vlans.getOrElse(Nil), wire = wire),
+        BpfFuzzNullRow(i.toLong, sIp, dIp,
+          if (hasPorts) Some(sPort) else None,
+          if (hasPorts) Some(dPort) else None, proto, vlans, wire))
+    }
+    val df = pkts.map(_._3).toDF().cache()
+    val fields = Bpf.Fields(col("src_ip"), col("dst_ip"), col("src_port"),
+      col("dst_port"), col("proto"), vlans = Some(col("vlans")),
+      len = Some(col("wire")))
+    def leaf(): String = nextInt(8) match {
+      case 0 =>
+        val d = oneOf(Seq("", "src ", "dst ", "src or dst "))
+        s"${d}host ${oneOf(ips4 ++ ips6)}"
+      case 1 =>
+        val d = oneOf(Seq("", "src ", "dst "))
+        s"${d}net ${oneOf(cidrs)}"
+      case 2 =>
+        val d = oneOf(Seq("", "src ", "dst "))
+        s"${d}port ${oneOf(ports)}"
+      case 3 =>
+        val lo = 1 + nextInt(50000) // 0 is indistinguishable from "no port"
+        s"portrange $lo-${lo + 1 + nextInt(15000)}"
+      case 4 => oneOf(Seq("tcp", "udp", "icmp", "icmp6", "gre", "ip", "ip6"))
+      case 5 => oneOf(Seq("vlan", "vlan 7", "vlan 12", "vlan 99"))
+      case 6 => s"${oneOf(Seq("less", "greater"))} ${40 + nextInt(1500)}"
+      case _ => s"${oneOf(Seq("src", "dst"))} ${oneOf(ips4)}"
+    }
+    def gen(depth: Int): String =
+      if (depth <= 0 || nextInt(100) < 35) leaf()
+      else nextInt(5) match {
+        case 0 | 1 => s"(${gen(depth - 1)}) and (${gen(depth - 1)})"
+        case 2     => s"(${gen(depth - 1)}) or (${gen(depth - 1)})"
+        // negation-heavy: the NULL corners live under `not`
+        case _     => s"not (${gen(depth - 1)})"
+      }
+    for (k <- 0 until 150) {
+      val e = gen(3)
+      val viaPred = pkts.filter(t => Bpf.packetPredicate(e)(t._2))
+        .map(_._1).toSet
+      val viaCol = df.filter(Bpf.column(e, fields))
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(viaCol == viaPred,
+        s"3VL backend divergence on case $k: $e\n  pred-only: ${
           (viaPred -- viaCol).take(5)}\n  col-only: ${
           (viaCol -- viaPred).take(5)}")
     }

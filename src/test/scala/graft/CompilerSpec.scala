@@ -88,4 +88,38 @@ class CompilerSpec extends AnyFunSuite with SparkSpecBase {
     assert(df.filter(cc.compile("http.host.cnt == 1-2")).count() == 2)
   }
 
+  test("negated port-only ip leaf excludes NULL-ip rows with matching port") {
+    // `ip.src != :8080` compiles (jison parseIpPort `:80` form) to a
+    // must_not over a PORT term only — a row whose srcIp is NULL but
+    // whose srcPort is 8080 matches the inner bool, so ES excludes it.
+    // The generic neg null-guard on the ip column would wrongly include
+    // it (the leaf never references srcIp).
+    import spark.implicits._
+    import graft.model.{FieldDef, FieldKind}
+    val df = Seq(
+      (1, Option("10.0.0.1"), Option(8080)),
+      (2, Option.empty[String], Option(8080)), // NULL ip, matching port
+      (3, Option("10.0.0.3"), Option(443)),
+      (4, Option.empty[String], Option(443)),
+      (5, Option("10.0.0.5"), Option.empty[Int]) // NULL port (ICMP)
+    ).toDF("id", "srcIp", "srcPort")
+    val reg = FieldRegistry(Seq(
+      FieldDef("ip.src", "srcIp", FieldKind.IpK, portField = Some("srcPort")),
+      FieldDef("id", "id", FieldKind.IntegerK)))
+    val cc = new Compiler(reg, now = SparkEntry.now)
+    def ids(e: String): Set[Int] =
+      df.filter(cc.compile(e)).select("id").as[Int].collect().toSet
+    assert(ids("ip.src == :8080") == Set(1, 2))
+    assert(ids("ip.src != :8080") == Set(3, 4, 5))
+    // ip:port conjunct under negation: NULL-ip rows are INCLUDED (the
+    // inner bool needs the ip term too, which a missing field fails)
+    assert(ids("ip.src == 10.0.0.1:8080") == Set(1))
+    assert(ids("ip.src != 10.0.0.1:8080") == Set(2, 3, 4, 5))
+    // list mixing an ip-only and a port-only member: must_not of the
+    // should — row 2 (NULL ip, port 8080) matches the port member, so
+    // the negation excludes it
+    assert(ids("ip.src == [10.0.0.3, :8080]") == Set(1, 2, 3))
+    assert(ids("ip.src != [10.0.0.3, :8080]") == Set(4, 5))
+  }
+
 }

@@ -202,4 +202,26 @@ class ExprPropertySpec extends AnyFunSuite with SparkSpecBase {
       assert(rows(s"type == $t") + rows(s"type != $t") == nnType)
     }
   }
+
+  test("extended fuzz cases all compile at the committed seed") {
+    // the driver's q_fuzz_grammar_ext hash-compare pins the VALUES; this
+    // pins that every generated expression is grammar-legal (a generator
+    // drift into unparseable syntax should fail here, not in the driver)
+    import graft.query.ExprFuzz
+    val fc = new graft.expr.Compiler(ExprFuzz.extRegistry,
+      now = SparkEntry.fuzzNow, shortcuts = ExprFuzz.extShortcuts)
+    val cs = ExprFuzz.extCases(240, 0xbead5eedL)
+    assert(cs.size == 240)
+    cs.foreach(c => fc.compile(c.expr))
+    // determinism: the same seed yields the same cases
+    val again = ExprFuzz.extCases(240, 0xbead5eedL)
+    assert(cs.map(_.expr) == again.map(_.expr))
+    assert(cs.map(_.sql) == again.map(_.sql))
+    // every leaf family is actually present in the committed case list
+    val all = cs.map(_.expr).mkString("\n")
+    for (needle <- Seq("ip.src", "ip.dst", "ip ==", "port", "host",
+        "mac.src", "ip.protocol", "$vips", "$kinds", "$nets", ":",
+        "EXISTS!", "/"))
+      assert(all.contains(needle), s"no case exercises '$needle'")
+  }
 }

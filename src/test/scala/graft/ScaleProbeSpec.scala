@@ -64,6 +64,90 @@ class ScaleProbeSpec extends AnyFunSuite with SparkSpecBase {
     }
   }
 
+  test("packing, budget-select and exact-substring grow ~linearly on a 10x corpus") {
+    // the distributed-prefix-sum ops (t8 packing, p9 token budget) and
+    // the posting-capped exact-substring spans (d12): the 100×-scale
+    // claim for these rested on the static plan census; this measures
+    // the curve. Same min-of-2 / warmup policy as above.
+    val small = writeCorpus(1)
+    val big = writeCorpus(10)
+    val ratios = Seq("t8_seq_pack", "p9_token_budget", "d12_exact_substring")
+      .map { name =>
+        val fn = SparkEntry.queries(name)
+        def time(dir: String): Double = {
+          fn(spark, dir).count()
+          (0 until 2).map { _ =>
+            val t0 = System.nanoTime()
+            fn(spark, dir).count()
+            (System.nanoTime() - t0) / 1e9
+          }.min
+        }
+        val s = time(small)
+        val b = time(big)
+        info(f"$name%-20s small=$s%.2fs big=$b%.2fs ratio=${b / s}%.1fx")
+        name -> b / s
+      }
+    ratios.foreach { case (name, r) =>
+      assert(r < 15.0, s"$name grew ${r}x on a 10x corpus — superlinear")
+    }
+  }
+
+  test("incremental MinHash candidates scale with the BATCH, not the index") {
+    // d19's continuous-ingestion shape: candidates for a new batch against
+    // a bucketed band index must cost ~the batch (index side is
+    // shuffle-free). Measured two ways: (a) 10× batch vs fixed index ≈
+    // linear; (b) same batch vs a 10× index must NOT cost 10× — the
+    // index join is bucket-pruned co-located, so the growth is the scan
+    // of matching buckets, bounded here by the duplicate structure.
+    import graft.ops.Dedup
+    val base = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    def replicate(df: org.apache.spark.sql.DataFrame, mult: Int) =
+      if (mult <= 1) df
+      else (0 until mult).map { r =>
+        if (r == 0) df
+        else df.withColumn("doc_id", col("doc_id") * 10 + lit(r) + lit(1000000L))
+      }.reduce(_ unionAll _)
+    def batchOf(df: org.apache.spark.sql.DataFrame, mult: Int) =
+      replicate(df, mult).withColumn("doc_id", col("doc_id") + lit(50000000L))
+    // the 10× index adds NOISE documents (distinct pseudo-text → distinct
+    // band buckets): the candidate OUTPUT stays that of the 1× index, so
+    // any time growth is pure index-side scan/shuffle cost — exactly the
+    // thing the bucketed-index design promises to bound
+    val noise = (1 until 10).map { r =>
+      base.select(
+        (col("doc_id") * 10 + lit(r) + lit(1000000L)).as("doc_id"),
+        expr("concat_ws(' ', transform(sequence(1, 25), " +
+          s"k -> substr(md5(concat(doc_id, '_$r', '_', k)), 1, 8)))")
+          .as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.reduce(_ unionAll _)
+    Dedup.writeBandIndex(base, col("text"), col("doc_id"), "scale_idx_1x")
+    Dedup.writeBandIndex(base.unionByName(noise), col("text"),
+      col("doc_id"), "scale_idx_10x")
+    def time(batchMult: Int, table: String): Double = {
+      def q = Dedup.incrementalCandidates(batchOf(base, batchMult),
+        col("text"), col("doc_id"), table)
+      q.count() // warmup
+      (0 until 2).map { _ =>
+        val t0 = System.nanoTime()
+        q.count()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    }
+    val s = time(1, "scale_idx_1x")
+    val bigBatch = time(10, "scale_idx_1x")
+    val bigIndex = time(1, "scale_idx_10x")
+    info(f"incremental: base=$s%.2fs 10x-batch=${bigBatch}%.2fs " +
+      f"(${bigBatch / s}%.1fx) 10x-index=${bigIndex}%.2fs (${bigIndex / s}%.1fx)")
+    assert(bigBatch / s < 15.0,
+      s"10x batch cost ${bigBatch / s}x — batch side is superlinear")
+    assert(bigIndex / s < 8.0,
+      s"10x index cost ${bigIndex / s}x on the SAME batch — the index " +
+        "side is being rescanned/shuffled instead of bucket-joined")
+    spark.sql("DROP TABLE IF EXISTS scale_idx_1x")
+    spark.sql("DROP TABLE IF EXISTS scale_idx_10x")
+  }
+
   test("embeddingNearDup hot block grows ~linearly under the cap guard") {
     // one giant block of DISTINCT vectors — the adversarial case the
     // maxBlockExact guard exists for: all-pairs would be 100x here;
