@@ -136,6 +136,109 @@ object Bench {
     }
   }
 
+  /** Streaming-latency micro-bench: loopback pcap-over-ip → decode →
+    * stateful sessionize → memory sink, one single-packet UDP session
+    * every `gapMs`, event timestamps marching 600 s apart so each new
+    * packet's watermark flushes the PREVIOUS session (the reference's
+    * ingest-to-visible analogue of its 5 s index-refresh gate,
+    * db/db.pl:4130). Reported latency = wall clock from the packet's
+    * socket WRITE to its session row's first visibility in the sink —
+    * so the floor is one inter-packet gap (the flush trigger) plus the
+    * engine's micro-batch round, which is exactly the user-visible lag.
+    * Returns (p50_ms, p99_ms, measured count).
+    */
+  private def streamLatency(spark: SparkSession, nSessions: Int = 60,
+      gapMs: Long = 50): Option[(Double, Double, Int)] = {
+    val extra = 5 // tail pushers so the last measured session flushes
+    def packet(i: Int): Array[Byte] = {
+      val payload = Array[Byte](0x68, 0x69)
+      val udpLen = 8 + payload.length
+      val ipLen = 20 + udpLen
+      val f = new Array[Byte](14 + ipLen)
+      f(12) = 0x08; f(13) = 0x00 // ethertype ipv4
+      f(14) = 0x45 // v4, ihl 5
+      f(16) = ((ipLen >> 8) & 0xff).toByte; f(17) = (ipLen & 0xff).toByte
+      f(22) = 64; f(23) = 17 // ttl, udp
+      f(26) = 10; f(27) = 0 // src 10.0.hi.lo — i is recoverable from the row
+      f(28) = ((i >> 8) & 0xff).toByte; f(29) = (i & 0xff).toByte
+      f(30) = 10; f(31) = 99; f(32) = 99; f(33) = 99
+      f(34) = (4000 >> 8).toByte; f(35) = (4000 & 0xff).toByte
+      f(36) = (9999 >> 8).toByte; f(37) = (9999 & 0xff).toByte
+      f(38) = ((udpLen >> 8) & 0xff).toByte; f(39) = (udpLen & 0xff).toByte
+      System.arraycopy(payload, 0, f, 42, payload.length)
+      val rec = java.nio.ByteBuffer.allocate(16 + f.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      rec.putInt((1700000000L + i * 600L).toInt).putInt(0)
+        .putInt(f.length).putInt(f.length)
+      rec.put(f)
+      rec.array()
+    }
+    val sendNanos = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+    var server: java.net.ServerSocket = null
+    var q: org.apache.spark.sql.streaming.StreamingQuery = null
+    try {
+      server = new java.net.ServerSocket(0, 1,
+        java.net.InetAddress.getLoopbackAddress)
+      val serve = new Thread(() => {
+        try {
+          val s = server.accept()
+          val o = s.getOutputStream
+          val hdr = java.nio.ByteBuffer.allocate(24)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          hdr.putInt(0xa1b2c3d4).putShort(2).putShort(4)
+            .putInt(0).putInt(0).putInt(65535).putInt(1)
+          o.write(hdr.array()); o.flush()
+          for (i <- 0 until nSessions + extra) {
+            val rec = packet(i)
+            sendNanos.put(i, System.nanoTime())
+            o.write(rec); o.flush()
+            Thread.sleep(gapMs)
+          }
+          Thread.sleep(60000)
+          s.close()
+        } catch { case _: Exception => () }
+      })
+      serve.setDaemon(true)
+      serve.start()
+      q = graft.streaming.StreamSessionize
+        .fromPcapOverIp(spark, "127.0.0.1", server.getLocalPort)
+        .writeStream.format("memory").queryName("bench_latency")
+        .outputMode("append").start()
+      val firstSeen = new java.util.HashMap[Int, Long]()
+      val deadline = System.nanoTime() + 90L * 1000 * 1000 * 1000
+      while (firstSeen.size < nSessions && System.nanoTime() < deadline) {
+        val rows = spark.table("bench_latency")
+          .selectExpr("srcIp").collect()
+        val now = System.nanoTime()
+        rows.foreach { r =>
+          val ip = r.getString(0)
+          val oct = ip.split('.')
+          if (oct.length == 4 && oct(0) == "10" && oct(1) == "0") {
+            val i = oct(2).toInt * 256 + oct(3).toInt
+            if (i < nSessions && !firstSeen.containsKey(i))
+              firstSeen.put(i, now)
+          }
+        }
+        Thread.sleep(5)
+      }
+      import scala.jdk.CollectionConverters._
+      val lats = firstSeen.asScala.toSeq
+        .filter { case (i, _) => i > 0 } // session 0 pays stream startup
+        .map { case (i, seen) => (seen - sendNanos.get(i)) / 1e6 }
+        .sorted
+      if (lats.size < 10) None
+      else {
+        val p50 = lats(lats.size / 2)
+        val p99 = lats(math.min(lats.size - 1, (lats.size * 99) / 100))
+        Some((p50, p99, lats.size))
+      }
+    } catch { case _: Throwable => None }
+    finally {
+      try if (q != null) q.stop() catch { case _: Throwable => () }
+      try if (server != null) server.close() catch { case _: Throwable => () }
+    }
+  }
+
   private def warmup(spark: SparkSession): Unit = {
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory)
@@ -163,9 +266,13 @@ object Bench {
     // alphabetical query (results discarded).
     warmup(spark)
     // time only the queries that scale with SPARK_GRAFT_SF_DIR — the
-    // pcap-fixture queries read fixed reference files, not the SF tables
+    // pcap-fixture queries read fixed reference files, not the SF tables,
+    // and the correctness fuzz harnesses (hundreds of generated cases in
+    // one query) measure coverage, not an operator: timing them would
+    // inflate the headline total and break round-over-round comparability
     val fixtureOnly = Set("i1_pcap_sessions", "i8_pcap_expression",
-      "i10_protocol_fields")
+      "i10_protocol_fields", "q_fuzz_grammar", "q_fuzz_grammar_ext",
+      "e_fuzz_endpoints", "e_fuzz_endpoints2")
     // Each query is timed as the MIN of two passes, with the GC time the
     // pass absorbed recorded alongside. One pass per query makes the
     // artifact a lottery on a noisy host: a single GC pause or scheduler
@@ -203,7 +310,16 @@ object Bench {
     // the sweeps, two at the end: samples ~25 minutes apart. Each block
     // collects first so throughput measures the ingest path, not the
     // tail of query-state garbage.
-    var tputBest = Double.MaxValue
+    // Every sessionize pass carries its OWN kernel bracket (pre + post
+    // samples), so the published number is attributable: the winning
+    // pass's bracket is `sessionize_idx` in the stdout line, and a
+    // quiet-gated best (min over passes whose bracket stayed < 1.10)
+    // proves — or denies — the quiet floor from the artifact itself.
+    // The block-level probes below still bracket the sweeps.
+    final case class TputPass(sec: Double, preK: Double, postK: Double) {
+      def idx: Double = math.max(preK, postK) / ContentionKernel.QuietSec
+    }
+    val tputPassList = Seq.newBuilder[TputPass]
     var tputSessions = 0L
     val tputCorpus = try Some(ensureThroughputCorpus())
       catch { case _: Throwable => None }
@@ -212,10 +328,12 @@ object Bench {
         System.gc()
         Thread.sleep(200)
         for (_ <- 0 until k) {
+          val pre = ContentionKernel.sample()
           val t0 = System.nanoTime()
           tputSessions = graft.etl.SessionBuilder.sessionize(spark, dir)
             .count()
-          tputBest = math.min(tputBest, (System.nanoTime() - t0) / 1e9)
+          val sec = (System.nanoTime() - t0) / 1e9
+          tputPassList += TputPass(sec, pre, ContentionKernel.sample())
         }
       } catch { case _: Throwable => () }
     }
@@ -241,6 +359,10 @@ object Bench {
     probe()
     tputPasses(2)
     probe()
+    // streaming packet-to-row-visible latency, with its own bracket
+    val latPreK = ContentionKernel.sample()
+    val latency = streamLatency(spark)
+    val latPostK = ContentionKernel.sample()
     val kernels = kernelSec.result()
     val contentionIdx = kernels.map(_ / ContentionKernel.QuietSec)
     val sweeps = Seq(sweep1, sweep2)
@@ -250,18 +372,38 @@ object Bench {
     }
     val results = timings.map(t => t.name -> t.best)
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val tputMbps = tputCorpus match {
-      case Some((_, bytes)) if tputBest < Double.MaxValue =>
-        bytes / 1e6 / tputBest
-      case _ => 0.0
-    }
+    val passes = tputPassList.result()
+    val corpusBytes = tputCorpus.map(_._2).getOrElse(0L)
+    def mbpsOf(sec: Double): Double =
+      if (sec > 0) corpusBytes / 1e6 / sec else 0.0
+    // headline number = fastest pass; its OWN bracket is published as
+    // sessionize_idx (the attribution the block-level index can't give)
+    val winner = passes.sortBy(_.sec).headOption
+    val tputMbps = winner.map(p => mbpsOf(p.sec)).getOrElse(0.0)
+    val tputIdx = winner.map(_.idx).getOrElse(0.0)
+    // quiet-gated best: min over passes whose bracket stayed < 1.10 —
+    // 0.0 means NO pass ran on a quiet host (read the raw pass list)
+    val quietBest = passes.filter(_.idx < 1.10).sortBy(_.sec).headOption
+    val tputMbpsQuiet = quietBest.map(p => mbpsOf(p.sec)).getOrElse(0.0)
+    // A4 cross-check: the committed QuietSec is calibrated to ONE host;
+    // the in-run kernel floor exposes a uniformly slower/faster host as
+    // a constant bias (floor_ratio ≈ 1 ⇒ the constant fits this host)
+    val allKernels = kernels ++ passes.flatMap(p => Seq(p.preK, p.postK))
+    val floorRatio =
+      if (allKernels.nonEmpty) allKernels.min / ContentionKernel.QuietSec
+      else 0.0
     def line(entries: Seq[(String, Double)]): String = {
       val qs = entries.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
         .mkString("{", ",", "}")
       val cidx = contentionIdx.map(v => f"$v%.2f").mkString("[", ",", "]")
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,""" +
-        f""""sessionize_mbps":$tputMbps%.1f,"sessionize_sessions":$tputSessions,""" +
-        f""""contention_idx":$cidx,"sf":"$sfDir"}"""
+        f""""sessionize_mbps":$tputMbps%.1f,"sessionize_idx":$tputIdx%.2f,""" +
+        f""""sessionize_mbps_quiet":$tputMbpsQuiet%.1f,""" +
+        f""""sessionize_sessions":$tputSessions,""" +
+        f""""stream_p50_ms":${latency.map(_._1).getOrElse(0.0)}%.0f,""" +
+        f""""stream_p99_ms":${latency.map(_._2).getOrElse(0.0)}%.0f,""" +
+        f""""contention_idx":$cidx,"kernel_floor_ratio":$floorRatio%.2f,""" +
+        f""""sf":"$sfDir"}"""
     }
     // Full per-query detail goes to a sidecar file; stdout gets a line
     // guaranteed to fit the driver's bounded output tail (slowest queries
@@ -277,8 +419,16 @@ object Bench {
           ",\"gc_ms\":" + arr[Long](t.gcMs, _.toString) + "}"
       }.mkString("{", ",", "}")
       val kRaw = arr[Double](kernels, v => f"$v%.4f")
+      val tputRaw = arr[TputPass](passes, p =>
+        f"""{"sec":${p.sec}%.3f,"pre_k":${p.preK}%.4f,"post_k":${p.postK}%.4f,"idx":${p.idx}%.2f}""")
+      val lat = latency.map { case (p50, p99, n) =>
+        f"""{"p50_ms":$p50%.1f,"p99_ms":$p99%.1f,"n":$n,""" +
+          f""""pre_k":$latPreK%.4f,"post_k":$latPostK%.4f,""" +
+          f""""idx":${math.max(latPreK, latPostK) / ContentionKernel.QuietSec}%.2f}"""
+      }.getOrElse("null")
       line(results).dropRight(1) +
-        s""","kernel_sec":$kRaw,"kernel_quiet_sec":${ContentionKernel.QuietSec},"passes":$detail}"""
+        s""","kernel_sec":$kRaw,"kernel_quiet_sec":${ContentionKernel.QuietSec},""" +
+        s""""tput_passes":$tputRaw,"stream_latency":$lat,"passes":$detail}"""
     }
     try {
       val w = new java.io.PrintWriter("bench_full.json")
