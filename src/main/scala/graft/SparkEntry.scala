@@ -125,7 +125,8 @@ object SparkEntry {
     "q_fuzz_grammar_ext" -> ((s, dir) => {
       val cs = graft.query.ExprFuzz.extCases(240, 0xbead5eedL)
       val fc = new Compiler(graft.query.ExprFuzz.extRegistry, now = fuzzNow,
-        shortcuts = graft.query.ExprFuzz.extShortcuts)
+        shortcuts = graft.query.ExprFuzz.extShortcuts,
+        views = graft.query.ExprFuzz.extViews)
       val e = fuzzExtEv(s, dir)
       val chunks = cs.grouped(40).map { chunk =>
         val aggs = chunk.map(c =>

@@ -242,6 +242,17 @@ object ExprFuzz {
     "kinds" -> Seq("click", "purchase"),
     "nets"  -> Seq("10.32.0.0/11", "10.200.7.0/24", "10.77.3.1"))
 
+  /** Fixed saved views (Q15's viewand expansion under test — including
+    * under `view !=` negation, which negates the resolved AST).
+    */
+  val extViews: Map[String, String] = Map(
+    "vipsrc" -> "ip.src == 10.32/11 || user >= 120",
+    "clicky" -> "type == click && port.src >= 1500")
+  // independent SQL of each view body (NOT derived from the compiler)
+  private val extViewSql: Map[String, String] = Map(
+    "vipsrc" -> "(srcNum BETWEEN 169869312 AND 171966463 OR user_id >= 120)",
+    "clicky" -> "(event_type = 'click' AND srcPort >= 1500)")
+
   /** DuckDB derivation of the fuzz frame — the independent twin of
     * SparkEntry.fuzzExtEv. NULL/empty injection: srcIp (id%13), dstIp
     * (id%17), ports (id%7 — the "ICMP rows"), srcMac (id%11), httpHost
@@ -539,12 +550,53 @@ object ExprFuzz {
     }
   }
 
-  private def extLeaf(r: Rng): (String, String) = r.nextInt(10) match {
+  /** FLAG_CNT companion leaves: `<field>.cnt` compares the stored
+    * array's size — NULL array ⇒ NULL size (non-legacy sizeOfNull), so
+    * negated cnt leaves exercise the must_not guard over size().
+    */
+  private def cntLeaf(r: Rng): (String, String) = {
+    val (f, lenSql) = r.oneOf(Seq(
+      ("http.host.cnt", "len(httpHost)"),   // sizes: NULL / 0 / 1
+      ("mac.src.cnt",   "len(srcMac)"),     // sizes: NULL / 1
+      ("dns.host.cnt",  "len(dnsQname)"))) // size: 1
+    r.nextInt(4) match {
+      case 0 =>
+        val n = r.nextInt(3)
+        if (r.chance(40)) (s"$f != $n", mustNot(s"$lenSql = $n"))
+        else (s"$f == $n", s"$lenSql = $n")
+      case 1 =>
+        val cmp = r.oneOf(Seq("<", "<=", ">", ">="))
+        val n = r.nextInt(2)
+        (s"$f $cmp $n", s"$lenSql $cmp $n")
+      case 2 =>
+        if (r.chance(40)) (s"$f != 0-1", mustNot(s"$lenSql BETWEEN 0 AND 1"))
+        else (s"$f == 0-1", s"$lenSql BETWEEN 0 AND 1")
+      case _ =>
+        val a = r.nextInt(2); val b = r.nextInt(2)
+        val pos = s"($lenSql = $a OR $lenSql = $b)"
+        if (r.chance(40)) (s"$f != [$a, $b]", mustNot(pos))
+        else (s"$f == [$a, $b]", pos)
+    }
+  }
+
+  /** Saved-view leaves: `view == name` resolves the stored expression's
+    * AST in place; `view !=` negates the RESOLVED ast (is-not-true).
+    */
+  private def viewLeaf(r: Rng): (String, String) = {
+    val name = r.oneOf(extViews.keys.toSeq.sorted)
+    val sql = extViewSql(name)
+    if (r.chance(40)) (s"view != $name", mustNot(sql))
+    else (s"view == $name", sql)
+  }
+
+  private def extLeaf(r: Rng): (String, String) = r.nextInt(12) match {
     case 0 | 1 | 2 => ipLeaf(r)
     case 3 | 4     => hostLeaf(r)
     case 5         => portLeaf(r)
     case 6 | 7     => transformLeaf(r)
     case 8         => shortcutLeaf(r)
+    case 9         => cntLeaf(r)
+    case 10        => viewLeaf(r)
     case _ => // plain leaves for interplay inside composites
       if (r.chance(50)) {
         val n = r.nextInt(160)

@@ -209,7 +209,8 @@ class ExprPropertySpec extends AnyFunSuite with SparkSpecBase {
     // drift into unparseable syntax should fail here, not in the driver)
     import graft.query.ExprFuzz
     val fc = new graft.expr.Compiler(ExprFuzz.extRegistry,
-      now = SparkEntry.fuzzNow, shortcuts = ExprFuzz.extShortcuts)
+      now = SparkEntry.fuzzNow, shortcuts = ExprFuzz.extShortcuts,
+      views = ExprFuzz.extViews)
     val cs = ExprFuzz.extCases(240, 0xbead5eedL)
     assert(cs.size == 240)
     cs.foreach(c => fc.compile(c.expr))
@@ -221,7 +222,7 @@ class ExprPropertySpec extends AnyFunSuite with SparkSpecBase {
     val all = cs.map(_.expr).mkString("\n")
     for (needle <- Seq("ip.src", "ip.dst", "ip ==", "port", "host",
         "mac.src", "ip.protocol", "$vips", "$kinds", "$nets", ":",
-        "EXISTS!", "/"))
+        "EXISTS!", "/", ".cnt", "view "))
       assert(all.contains(needle), s"no case exercises '$needle'")
   }
 }
