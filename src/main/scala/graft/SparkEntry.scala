@@ -1316,7 +1316,13 @@ object SparkEntry {
         lit(".example.org"))).as("dnsQname"),
       when(col("user_id") % 5 === 0, lit(null).cast("string"))
         .otherwise(concat(lit("h"), (col("event_id") % 50).cast("string"),
-          lit(".example.com"))).as("socksHost"))
+          lit(".example.com"))).as("socksHost"),
+      when(col("user_id") % 7 === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("h"), (col("event_id") % 50).cast("string"),
+          lit(".example.com/p"), (col("event_id") % 5).cast("string")))
+        .as("httpUri"),
+      lower(hex(concat(lit("P"), (col("event_id") % 3).cast("string"))))
+        .as("srcPayload8"))
 
   private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
   private def emb(s: SparkSession, dir: String) = Tables.load(s, dir, "embeddings")

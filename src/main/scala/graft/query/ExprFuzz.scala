@@ -228,7 +228,11 @@ object ExprFuzz {
         transform = Some(FieldRegistry.dash2Colon)),
       FieldDef("http.host",   "httpHost",   LoTermK, multiValued = true),
       FieldDef("dns.host",    "dnsQname",   LoTermK, multiValued = true),
-      FieldDef("host.socks",  "socksHost",  LoTermK)),
+      FieldDef("host.socks",  "socksHost",  LoTermK),
+      FieldDef("http.uri",    "httpUri",    LoTermK,
+        transform = Some(FieldRegistry.removeProtocol)),
+      FieldDef("payload8.src.utf8", "srcPayload8", LoTermK,
+        transform = Some(FieldRegistry.utf8ToHex))),
     metaFields = Map(
       "ip"   -> Seq("ip.src", "ip.dst"),
       "port" -> Seq("port.src", "port.dst"),
@@ -286,7 +290,11 @@ object ExprFuzz {
             ELSE ['h' || (user_id % 50) || '.example.com'] END AS httpHost,
        ['d' || (event_id % 97) || '.example.org'] AS dnsQname,
        CASE WHEN user_id % 5 = 0 THEN NULL
-            ELSE 'h' || (event_id % 50) || '.example.com' END AS socksHost
+            ELSE 'h' || (event_id % 50) || '.example.com' END AS socksHost,
+       CASE WHEN user_id % 7 = 0 THEN NULL
+            ELSE 'h' || (event_id % 50) || '.example.com/p' || (event_id % 5)
+       END AS httpUri,
+       lower(hex('P' || (event_id % 3))) AS srcPayload8
      FROM events WHERE user_id IS NOT NULL"""
 
   /** One endpoint's columns/domains for operand + SQL generation. */
@@ -535,6 +543,40 @@ object ExprFuzz {
     }
   }
 
+  /** The two remaining operand transforms: removeProtocol on http.uri
+    * (scheme stripped case-insensitively BEFORE the lowercase fold) and
+    * utf8ToHex on payload8.src.utf8 (operand utf8 → lowercase hex with
+    * `*` preserved as a wildcard, compared against the hex column).
+    */
+  private def transform2Leaf(r: Rng): (String, String) = {
+    if (r.chance(55)) { // http.uri with a scheme-prefixed operand
+      val k = r.nextInt(50); val pn = r.nextInt(5)
+      val scheme = r.oneOf(Seq("http://", "HTTPS://", "hTtP://", ""))
+      if (r.chance(65)) {
+        val v = s"h$k.example.com/p$pn"
+        val pos = s"httpUri = '$v'"
+        if (r.chance(40)) (s"http.uri != $scheme$v", mustNot(pos))
+        else (s"http.uri == $scheme$v", pos)
+      } else { // wildcard survives the strip
+        val pos = s"httpUri LIKE 'h$k.example.com/%'"
+        if (r.chance(40))
+          (s"http.uri != ${scheme}h$k.example.com/*", mustNot(pos))
+        else (s"http.uri == ${scheme}h$k.example.com/*", pos)
+      }
+    } else { // payload8 utf8 operand → hex compare
+      val n = r.nextInt(3)
+      if (r.chance(65)) {
+        val pos = s"srcPayload8 = '503$n'" // hex('P') = 50, hex('N') = 3N
+        if (r.chance(40)) (s"payload8.src.utf8 != P$n", mustNot(pos))
+        else (s"payload8.src.utf8 == P$n", pos)
+      } else {
+        val pos = "srcPayload8 LIKE '50%'"
+        if (r.chance(40)) ("payload8.src.utf8 != P*", mustNot(pos))
+        else ("payload8.src.utf8 == P*", pos)
+      }
+    }
+  }
+
   /** `$shortcut` leaves over number and string lookup lists. */
   private def shortcutLeaf(r: Rng): (String, String) = {
     if (r.chance(50)) {
@@ -589,7 +631,7 @@ object ExprFuzz {
     else (s"view == $name", sql)
   }
 
-  private def extLeaf(r: Rng): (String, String) = r.nextInt(12) match {
+  private def extLeaf(r: Rng): (String, String) = r.nextInt(13) match {
     case 0 | 1 | 2 => ipLeaf(r)
     case 3 | 4     => hostLeaf(r)
     case 5         => portLeaf(r)
@@ -597,6 +639,7 @@ object ExprFuzz {
     case 8         => shortcutLeaf(r)
     case 9         => cntLeaf(r)
     case 10        => viewLeaf(r)
+    case 11        => transform2Leaf(r)
     case _ => // plain leaves for interplay inside composites
       if (r.chance(50)) {
         val n = r.nextInt(160)

@@ -222,7 +222,7 @@ class ExprPropertySpec extends AnyFunSuite with SparkSpecBase {
     val all = cs.map(_.expr).mkString("\n")
     for (needle <- Seq("ip.src", "ip.dst", "ip ==", "port", "host",
         "mac.src", "ip.protocol", "$vips", "$kinds", "$nets", ":",
-        "EXISTS!", "/", ".cnt", "view "))
+        "EXISTS!", "/", ".cnt", "view ", "http.uri", "payload8.src.utf8"))
       assert(all.contains(needle), s"no case exercises '$needle'")
   }
 }
