@@ -889,40 +889,6 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  /** Release a persisted helper frame once any query that read it
-    * completes: a QueryExecutionListener matches the cached plan inside
-    * the finished execution (cache substitution puts an
-    * `InMemoryRelation` in the optimized plan whose builder carries the
-    * original logical plan), unpersists, and deregisters itself. Bounds
-    * cache growth across repeated calls without making the caller
-    * cache-aware; if the returned plan is never executed the one tiny
-    * frame stays cached — the same footprint as before the hook.
-    */
-  private def unpersistAfterFirstUse(frame: DataFrame): Unit = {
-    val spark = frame.sparkSession
-    val target = frame.queryExecution.analyzed
-    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
-      private val done = new java.util.concurrent.atomic.AtomicBoolean(false)
-      private def check(
-          qe: org.apache.spark.sql.execution.QueryExecution): Unit = {
-        val hit =
-          try qe.optimizedPlan.exists {
-            case r: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
-              r.cacheBuilder.logicalPlan.sameResult(target)
-            case _ => false
-          } catch { case _: Exception => false }
-        if (hit && done.compareAndSet(false, true)) {
-          frame.unpersist(blocking = false)
-          spark.listenerManager.unregister(this)
-        }
-      }
-      override def onSuccess(funcName: String,
-          qe: org.apache.spark.sql.execution.QueryExecution,
-          durationNs: Long): Unit = check(qe)
-      override def onFailure(funcName: String,
-          qe: org.apache.spark.sql.execution.QueryExecution,
-          exception: Exception): Unit = check(qe)
-    }
-    spark.listenerManager.register(listener)
-  }
+  private def unpersistAfterFirstUse(frame: DataFrame): Unit =
+    CacheHooks.unpersistAfterFirstUse(frame)
 }

@@ -188,11 +188,17 @@ object Pack {
     val target = targets.foldLeft(lit(0L)) { case (acc, (s, t)) =>
       when(col("source") === s, lit(t)).otherwise(acc)
     }
-    prefixSumBy(base, "source", "okey", "n_tokens")
+    val out = prefixSumBy(base, "source", "okey", "n_tokens")
       .filter(col("prev_cumsum") < target)
       .select(col("source"), col("doc_id"), col("n_tokens"),
         col("prev_cumsum").as("cum_before"))
       .orderBy("source", "doc_id")
+    // release after the returned plan's first action — registered AFTER
+    // prefixSumBy's build-time actions (min/max head, totals collect)
+    // already consumed the cache, so only the caller's action matches;
+    // repeated calls in one session must not accumulate cached frames
+    CacheHooks.unpersistAfterFirstUse(base)
+    out
   }
 
   /** Cross-document sequence packing: documents are laid out in id order
@@ -211,10 +217,14 @@ object Pack {
       idCol.cast("long").as("doc_id"),
       size(TextOps.tokens(text)).cast("long").as("n_tokens"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    prefixSum(base, "doc_id", "n_tokens")
+    val out = prefixSum(base, "doc_id", "n_tokens")
       .select(col("doc_id"), col("n_tokens"),
         (col("prev_cumsum") / ctxLen).cast("long").as("bin"),
         (col("prev_cumsum") % ctxLen).as("off_in_bin"))
+    // release after the first action on the result — registered AFTER
+    // prefixSum's build-time actions so only the caller's run matches
+    CacheHooks.unpersistAfterFirstUse(base)
+    out
   }
 
   /** Deterministic seeded global shuffle into `nShards` shards:
@@ -319,11 +329,15 @@ object Pack {
       (lit(maxScore) - least(greatest(col("score"), lit(0L)), lit(maxScore)))
         * lit(1L << 42) + col("doc_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    prefixSum(keyed, "okey", "n_tokens")
+    val out = prefixSum(keyed, "okey", "n_tokens")
       .filter(col("prev_cumsum") < budget)
       .select(col("doc_id"), col("score"), col("n_tokens"),
         col("prev_cumsum").as("cum_before"))
       .orderBy("doc_id")
+    // release after the first action on the result — registered AFTER
+    // prefixSum's build-time actions so only the caller's run matches
+    CacheHooks.unpersistAfterFirstUse(keyed)
+    out
   }
 
   /** T20: curriculum ordering — phase the corpus by a quality score

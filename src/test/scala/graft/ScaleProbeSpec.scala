@@ -241,4 +241,28 @@ class ScaleProbeSpec extends AnyFunSuite with SparkSpecBase {
       s"counts frame still cached ($cachedRdds RDDs vs $before before) " +
         "30s after the guarded plan was consumed")
   }
+
+  test("pack prefix-sum inputs stay cached through build, release after first use") {
+    // prefixSum runs two EAGER actions at plan-build time (min/max head,
+    // bucket-totals collect); the release hook must register after them
+    // — firing on the head() would force the per-row pass to recompute
+    // the tokenized input, the exact cost the persist exists to avoid
+    import graft.ops.Pack
+    def cachedRdds: Int = spark.sparkContext.getPersistentRDDs.size
+    val docs = spark.range(2000).select(col("id").as("doc_id"),
+      pmod(hash(col("id")), lit(1000)).as("score"),
+      (pmod(hash(col("id"), lit(7)), lit(200)) + 1).as("n_tokens"))
+    val before = cachedRdds
+    val q = Pack.tokenBudgetSelect(docs, col("doc_id"), col("score"),
+      col("n_tokens"), budget = 50000)
+    assert(cachedRdds > before,
+      "keyed frame must still be cached after the build-time actions")
+    val n = q.count()
+    assert(n > 0)
+    val deadline = System.currentTimeMillis + 30000
+    while (cachedRdds > before && System.currentTimeMillis < deadline)
+      Thread.sleep(100)
+    assert(cachedRdds <= before,
+      "keyed frame still cached 30s after the result was consumed")
+  }
 }
