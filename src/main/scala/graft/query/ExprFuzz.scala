@@ -138,9 +138,39 @@ object ExprFuzz {
           if (r.chance(50)) (s"${f._1} == EXISTS!", s"${f._2} IS NOT NULL")
           else (s"${f._1} != EXISTS!", s"${f._2} IS NULL")
         }
-      case _ => // dates: absolute and relative/snapped, range ops only
-        val op = r.oneOf(Seq(">=", "<", ">", "<="))
-        if (r.chance(40)) {
+      case _ => // dates: absolute and relative/snapped; range AND the
+        // within-second equality semantics (termOrTermsDate: ts == d is
+        // the [d, d+1s) window, lists OR the windows, != is must_not)
+        def eqWindow(i: Instant): String =
+          s"(ts >= ${tsLit(i)} AND ts < ${tsLit(i.plusSeconds(1))})"
+        if (r.chance(30)) { // equality / list / negation
+          def one(): (String, Instant) = {
+            if (r.chance(50)) {
+              val day = 1 + r.nextInt(30); val hour = r.nextInt(24)
+              val min = r.nextInt(60); val sec = r.nextInt(60)
+              (f""""2024/01/$day%02d $hour%02d:$min%02d:$sec%02d"""",
+                Instant.parse(
+                  f"2024-01-$day%02dT$hour%02d:$min%02d:$sec%02dZ"))
+            } else {
+              val (n, unit) = r.oneOf(Seq(
+                (1 + r.nextInt(40), 'd'), (1 + r.nextInt(800), 'h')))
+              val snap = r.oneOf(Seq(None, Some('d'), Some('h')))
+              val snapStr = snap.map("@" + _).getOrElse("")
+              (s"-$n$unit$snapStr", relInstant(now, n, unit, snap))
+            }
+          }
+          if (r.chance(30)) { // list of two date windows
+            val (t1, i1) = one(); val (t2, i2) = one()
+            val pos = s"(${eqWindow(i1)} OR ${eqWindow(i2)})"
+            if (r.chance(40)) (s"ts != [$t1, $t2]", mustNot(pos))
+            else (s"ts == [$t1, $t2]", pos)
+          } else {
+            val (t1, i1) = one()
+            if (r.chance(40)) (s"ts != $t1", mustNot(eqWindow(i1)))
+            else (s"ts == $t1", eqWindow(i1))
+          }
+        } else if (r.chance(55)) {
+          val op = r.oneOf(Seq(">=", "<", ">", "<="))
           val day = 1 + r.nextInt(30)
           val hour = r.nextInt(24)
           if (r.chance(50))
@@ -150,6 +180,7 @@ object ExprFuzz {
             (f"""ts $op%s "2024/01/$day%02d $hour%02d:00:00"""",
               f"ts $op%s TIMESTAMP '2024-01-$day%02d $hour%02d:00:00'")
         } else {
+          val op = r.oneOf(Seq(">=", "<", ">", "<="))
           val (n, unit) = r.oneOf(Seq(
             (1 + r.nextInt(40), 'd'), (1 + r.nextInt(800), 'h'),
             (1 + r.nextInt(2000), 'm')))
