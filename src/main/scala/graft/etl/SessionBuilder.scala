@@ -201,10 +201,14 @@ object SessionBuilder {
     override def hashCode(): Int =
       productIterator.foldLeft(0) { (h, v) =>
         31 * h + (v match {
-          case a: Array[Long]   => java.util.Arrays.hashCode(a)
-          case a: Array[Int]    => java.util.Arrays.hashCode(a)
-          case null             => 0
-          case x                => x.hashCode
+          // generic arm: deepHashCode handles EVERY array kind (primitive
+          // or ref), keeping this consistent with deepEquals above even if
+          // a future field adds e.g. Array[Byte] — a per-type match would
+          // silently fall through to identity hashCode instead
+          case a: Array[_] =>
+            java.util.Arrays.deepHashCode(Array[AnyRef](a))
+          case null        => 0
+          case x           => x.hashCode
         })
       }
   }

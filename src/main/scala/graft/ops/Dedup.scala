@@ -495,23 +495,18 @@ object Dedup {
       nBands: Int = 4, bandSigBits: Int = 12,
       targetBucket: Int = 64): DataFrame = {
     // plan-time statistic, like lookupIp's prefix-length collect: one
-    // column-pruned scan of the block key decides which plan to build.
-    // The per-block counts frame is built ONCE and persisted before the
-    // decision max is collected from it: the common no-hot-block case
-    // unpersists it immediately and pays ZERO plan overhead vs the plain
-    // all-pairs shape (no sizes join, no union of two subtrees), while
-    // the guarded case joins the already-materialized frame — one count
-    // agg total, not a pre-scan plus a second identical agg.
+    // column-pruned count agg decides which plan to build. Only the HOT
+    // rows (blocks over the cap) are collected — provably bounded at
+    // ≤ totalRows / maxBlockExact entries, each a (key, long) pair — so
+    // the common no-hot-block case pays one tiny agg and zero plan
+    // overhead vs the plain all-pairs shape, while the guarded case
+    // gets its per-block counts as an explicitly broadcast LOCAL frame:
+    // no persisted helper in the returned plan, no release hook, and a
+    // second action on the returned result recomputes nothing (the
+    // counts ride the plan as a local relation).
     val sizes = df.select(blockKey.as("block"))
-      .groupBy("block").agg(count(lit(1)).as("_bn")).persist()
-    val maxBlock: Long = sizes.agg(max("_bn")).collect()
-      .headOption.flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long]))
-      .getOrElse(0L)
-    // the hot-block branch hands the persisted frame to the returned
-    // lazy plan; release it when that plan first executes so repeated
-    // calls in one session don't accumulate cached frames (the exact
-    // branch below unpersists immediately instead)
-    if (maxBlock > maxBlockExact) unpersistAfterFirstUse(sizes)
+      .groupBy("block").agg(count(lit(1)).as("_bn"))
+    val hotRows = sizes.filter(col("_bn") > maxBlockExact).collect()
     def finish(pairs: DataFrame): DataFrame = pairs
       .withColumn("cosine",
         Similarity.dotBin(col("va"), col("vb")) / (col("na") * col("nb")))
@@ -524,9 +519,8 @@ object Dedup {
         col("_vp").as(s"v$suffix") :+ col("_n").as(s"n$suffix")): _*)
     val base = df.select(idCol.as("_vid"), blockKey.as("block"),
       Similarity.toDouble(vec).as("_vd"))
-    if (maxBlock <= maxBlockExact) {
+    if (hotRows.isEmpty) {
       // every block at/under the cap: the original all-pairs shape
-      sizes.unpersist()
       val packed = base.select(col("block"), col("_vid"),
         Similarity.pack(col("_vd")).as("_vp"))
         .withColumn("_n", Similarity.normBin(col("_vp")))
@@ -534,14 +528,15 @@ object Dedup {
         .join(packSide(packed, Seq("block"), "b"), Seq("block"))
         .filter(col("vec_a") < col("vec_b")))
     }
-    // hot blocks present: the per-block counts computed for the plan
-    // decision ride the same tiny persisted frame, equi-joined back (AQE
-    // broadcasts it at real block cardinalities); at/under-cap blocks
-    // keep the exact all-pairs branch. The frame stays persisted until
-    // the returned plan's first action (listener release above); a
-    // SECOND action on the same result recomputes the one count agg.
-    val sized = base.join(sizes, "block")
-    val small = sized.filter(col("_bn") <= maxBlockExact)
+    // hot blocks present: the collected (block, count) rows become a
+    // local frame broadcast-joined back (left join — a miss means the
+    // block is at/under the cap and keeps the exact all-pairs branch).
+    // Null-keyed blocks fall to the small side and, exactly as before,
+    // produce no pairs: an equi-self-join on a null key never matches.
+    val hot = df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(hotRows: _*), sizes.schema)
+    val sized = base.join(broadcast(hot), Seq("block"), "left")
+    val small = sized.filter(col("_bn").isNull)
       .select(col("block"), col("_vid"),
         Similarity.pack(col("_vd")).as("_vp"))
       .withColumn("_n", Similarity.normBin(col("_vp")))
@@ -556,7 +551,7 @@ object Dedup {
     val bandMask = (1L << bandSigBits) - 1
     val nBuckets = greatest(
       ceil(col("_bn").cast("double") / targetBucket).cast("long"), lit(16L))
-    val banded = sized.filter(col("_bn") > maxBlockExact)
+    val banded = sized.filter(col("_bn").isNotNull)
       .withColumn("_sig", Similarity.lshBucket(col("_vd"),
         nBands * bandSigBits, math.max(dim, 1)))
       .select(col("block"), col("_vid"),
@@ -888,7 +883,4 @@ object Dedup {
         coalesce(col("_w"), lit(1000000L)).cast("long").as("weight_ppm"))
       .orderBy("doc_id")
   }
-
-  private def unpersistAfterFirstUse(frame: DataFrame): Unit =
-    CacheHooks.unpersistAfterFirstUse(frame)
 }

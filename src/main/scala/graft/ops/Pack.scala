@@ -193,10 +193,11 @@ object Pack {
       .select(col("source"), col("doc_id"), col("n_tokens"),
         col("prev_cumsum").as("cum_before"))
       .orderBy("source", "doc_id")
-    // release after the returned plan's first action — registered AFTER
-    // prefixSumBy's build-time actions (min/max head, totals collect)
-    // already consumed the cache, so only the caller's action matches;
-    // repeated calls in one session must not accumulate cached frames
+    // release after the returned plan's first action: the hook's
+    // execution-id gate ignores prefixSumBy's build-time actions
+    // (min/max head, totals collect) even if their async completion
+    // events arrive after registration; repeated calls in one session
+    // must not accumulate cached frames
     CacheHooks.unpersistAfterFirstUse(base)
     out
   }
@@ -221,8 +222,8 @@ object Pack {
       .select(col("doc_id"), col("n_tokens"),
         (col("prev_cumsum") / ctxLen).cast("long").as("bin"),
         (col("prev_cumsum") % ctxLen).as("off_in_bin"))
-    // release after the first action on the result — registered AFTER
-    // prefixSum's build-time actions so only the caller's run matches
+    // release after the first action on the result (the hook's id gate
+    // screens out prefixSum's build-time actions)
     CacheHooks.unpersistAfterFirstUse(base)
     out
   }
@@ -334,8 +335,8 @@ object Pack {
       .select(col("doc_id"), col("score"), col("n_tokens"),
         col("prev_cumsum").as("cum_before"))
       .orderBy("doc_id")
-    // release after the first action on the result — registered AFTER
-    // prefixSum's build-time actions so only the caller's run matches
+    // release after the first action on the result (the hook's id gate
+    // screens out prefixSum's build-time actions)
     CacheHooks.unpersistAfterFirstUse(keyed)
     out
   }
