@@ -333,7 +333,7 @@ object Bench {
     // inflate the headline total and break round-over-round comparability
     val fixtureOnly = Set("i1_pcap_sessions", "i8_pcap_expression",
       "i10_protocol_fields", "q_fuzz_grammar", "q_fuzz_grammar_ext",
-      "e_fuzz_endpoints", "e_fuzz_endpoints2")
+      "e_fuzz_endpoints", "e_fuzz_endpoints2", "e_fuzz_endpoints3")
     // Each query is timed as the MIN of two passes, with the GC time the
     // pass absorbed recorded alongside. One pass per query makes the
     // artifact a lottery on a noisy host: a single GC pause or scheduler

@@ -229,6 +229,29 @@ object SparkEntry {
       }
       frames.reduce(_.unionByName(_)).orderBy("case_id", "k", "b")
     }),
+    // E2 sort/paging fuzz: the sessions-table kernel under random
+    // multi-key sorts (asc→nulls last, desc→nulls first — the
+    // reference's missing rule, apiSessions.js:111), from/size paging
+    // incl. past-the-end offsets and the pinned 2 M cap window, on the
+    // NULL-injected pageEv frame vs EndpointFuzz.oracleSql3's
+    // independent ORDER BY … NULLS FIRST/LAST + LIMIT/OFFSET SQL.
+    // Every case appends event_id as the final tiebreak on BOTH sides
+    // so paging windows are deterministic under heavy ties.
+    "e_fuzz_endpoints3" -> ((s, dir) => {
+      import graft.query.EndpointFuzz
+      val e = pageEv(s, dir)
+      val frames = EndpointFuzz.cases3(36, 0x3eedbeefL).map { c =>
+        val base = c.filterExpr
+          .map(fx => e.filter(compiler.compile(fx))).getOrElse(e)
+        Endpoints.sessionsTable(base,
+          Seq("event_id", "sv", "su", "st", "sb"),
+          c.sortKeys :+ (("event_id", true)),
+          limit = c.limit, offset = c.offset)
+          .withColumn("case_id", lit(c.id.toLong))
+          .select("case_id", "event_id", "sv", "su", "st", "sb")
+      }
+      frames.reduce(_.unionByName(_)).orderBy("case_id", "event_id")
+    }),
     "q_expr_eq" -> ((s, dir) =>
       evProjected(ev(s, dir).filter(compiler.compile("type == purchase")))),
     "q_expr_bool" -> ((s, dir) =>
@@ -1278,6 +1301,26 @@ object SparkEntry {
         .otherwise(col("user_id") % 20).as("ub"),
       (col("event_id") % 7).as("eb"))
 
+  /** Derived frame for the E2 sort/paging fuzz — the Spark twin of
+    * [[graft.query.EndpointFuzz.frame3Sql]] (keep in lockstep): nullable
+    * sort columns at several tie densities, plus `hid` which the fuzz
+    * sorts on but never projects.
+    */
+  private def pageEv(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir).filter(col("user_id").isNotNull).select(
+      col("event_id"), col("user_id"), col("event_type"), col("value"),
+      col("props"), col("ts"),
+      when(col("event_id") % 13 === 0, lit(null).cast("double"))
+        .otherwise(col("value")).as("sv"),
+      when(col("event_id") % 7 === 0, lit(null).cast("long"))
+        .otherwise(col("user_id") % 50).as("su"),
+      when(col("event_id") % 11 === 0, lit(null).cast("string"))
+        .otherwise(col("event_type")).as("st"),
+      when(col("user_id") % 17 === 0, lit(null).cast("long"))
+        .otherwise(col("event_id") % 3).as("sb"),
+      when(col("event_id") % 5 === 0, lit(null).cast("long"))
+        .otherwise(floor(col("value")).cast("long") % 25).as("hid"))
+
   /** Derived frame for the extended grammar fuzz — the Spark twin of
     * [[graft.query.ExprFuzz.extFrameSql]] (keep the two in lockstep):
     * synthesized v4 endpoints, ports, protocol, mac/host arrays, WITH
@@ -1698,6 +1741,9 @@ object SparkEntry {
     "e_fuzz_endpoints2" ->
       graft.query.EndpointFuzz.oracleSql2(
         graft.query.EndpointFuzz.cases2(48, 0x5eedf00dL)),
+    "e_fuzz_endpoints3" ->
+      graft.query.EndpointFuzz.oracleSql3(
+        graft.query.EndpointFuzz.cases3(36, 0x3eedbeefL)),
     "q_expr_eq" ->
       s"SELECT $evCols FROM events WHERE event_type = 'purchase' ORDER BY event_id",
     "q_expr_bool" ->
@@ -1905,7 +1951,7 @@ object SparkEntry {
     "e2_sessions_table" ->
       """SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, user_id, event_type, value
          FROM events
-         ORDER BY value DESC NULLS LAST, event_id ASC
+         ORDER BY value DESC NULLS FIRST, event_id ASC
          LIMIT 20 OFFSET 10""",
     "e3_time_histogram" ->
       s"""SELECT count(*) AS sessions, ${sqlDsum("value")} AS sum_value,

@@ -72,9 +72,12 @@ object Endpoints {
     df.filter(sessionQueryPred(firstCol, lastCol, dbCol, startTime,
       stopTime, bounding, expression))
 
-  /** E2: sessions table — projection, multi-key sort with ES null placement
-    * (missing values sort LAST in both directions — the reference's
-    * addSortToQuery sets `missing: _last`, apiSessions.js:60-145), paging.
+  /** E2: sessions table — projection, multi-key sort with ES null placement,
+    * paging. The reference's addSortToQuery sets `missing` to `_last` for
+    * ascending keys and `_first` for descending (apiSessions.js:111) —
+    * i.e. a missing value sorts as +∞ in BOTH directions: after everything
+    * ascending, before everything descending. asc_nulls_last /
+    * desc_nulls_first is the exact Spark spelling of that.
     */
   def sessionsTable(
       df: DataFrame,
@@ -83,7 +86,7 @@ object Endpoints {
       limit: Int,
       offset: Int = 0): DataFrame = {
     val sortCols = sortKeys.map { case (c, asc) =>
-      if (asc) col(c).asc_nulls_last else col(c).desc_nulls_last
+      if (asc) col(c).asc_nulls_last else col(c).desc_nulls_first
     }
     // order BEFORE projecting: the reference sorts on any db field,
     // projected or not (addSortToQuery); Spark still plans this as one

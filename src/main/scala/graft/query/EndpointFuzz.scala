@@ -311,4 +311,77 @@ object EndpointFuzz {
       .mkString(s"WITH d AS ($frame2Sql) SELECT case_id, k, b, n FROM (",
         " UNION ALL ", ") ORDER BY case_id, k, b")
   }
+
+  // ===================================================================
+  // E2 sort/paging fuzz: the sessions-table kernel — multi-key sort
+  // with the reference's null placement (addSortToQuery sets `missing`
+  // to `_last` for asc and `_first` for desc, apiSessions.js:111 — a
+  // missing value sorts as +∞ in both directions), from/size paging
+  // windows including past-the-end offsets and the 2 M result cap —
+  // against an independent ORDER BY … NULLS FIRST/LAST + LIMIT/OFFSET
+  // translation over a NULL-injected frame. Sort keys may include a
+  // column OUTSIDE the projection (the reference sorts on any db
+  // field, projected or not).
+  // ===================================================================
+
+  final case class EpCase3(id: Int, sortKeys: Seq[(String, Boolean)],
+      limit: Int, offset: Int,
+      filterExpr: Option[String], filterSql: Option[String])
+
+  /** DuckDB derivation of the paging fuzz frame — independent twin of
+    * SparkEntry's pageEv: nullable sort columns at several tie
+    * densities (`st` 4 values, `sb` 3, `hid` 25, `su` 50, `sv`
+    * near-unique), plus `hid` which is sorted on but never projected.
+    */
+  val frame3Sql: String =
+    """SELECT event_id, user_id, event_type, value, props, ts,
+       CASE WHEN event_id % 13 = 0 THEN NULL ELSE value END AS sv,
+       CASE WHEN event_id % 7 = 0 THEN NULL ELSE user_id % 50 END AS su,
+       CASE WHEN event_id % 11 = 0 THEN NULL ELSE event_type END AS st,
+       CASE WHEN user_id % 17 = 0 THEN NULL ELSE event_id % 3 END AS sb,
+       CASE WHEN event_id % 5 = 0 THEN NULL
+            ELSE CAST(floor(value) AS BIGINT) % 25 END AS hid
+     FROM events WHERE user_id IS NOT NULL"""
+
+  private val sortPool = Seq("sv", "su", "st", "sb", "hid")
+  private val limits = Seq(5, 20, 101, 1000)
+  private val offsets = Seq(0, 0, 3, 17, 250, 5000)
+
+  def cases3(n: Int, seed: Long): Seq[EpCase3] = {
+    val r = new Rng(seed)
+    (0 until n).map { i =>
+      if (i == 0)
+        // pinned: the full 2 M cap window (apiSessions.js:1219) — the
+        // whole frame in one page, exercising the cap-sized limit path
+        EpCase3(0, Seq(("sv", false)), 2000000, 0, None, None)
+      else {
+        val nKeys = 1 + r.nextInt(3)
+        val keys = scala.collection.mutable.LinkedHashSet.empty[String]
+        while (keys.size < nKeys) keys += r.oneOf(sortPool)
+        val sk = keys.toSeq.map(f => (f, r.nextInt(2) == 0))
+        val (fe, fq) = r.oneOf(filters)
+        EpCase3(i, sk, r.oneOf(limits), r.oneOf(offsets), fe, fq)
+      }
+    }
+  }
+
+  def oracleSql3(cs: Seq[EpCase3]): String = {
+    val branches = cs.map { c =>
+      val order = (c.sortKeys.map { case (f, asc) =>
+        // the reference's rule: missing = asc ? _last : _first
+        if (asc) s"$f ASC NULLS LAST" else s"$f DESC NULLS FIRST"
+      } :+ "event_id ASC").mkString(", ")
+      val where = c.filterSql.map(f => s"WHERE $f").getOrElse("")
+      // inner SELECT * keeps unprojected sort columns (hid) visible to
+      // the ORDER BY; the outer projection mirrors the kernel's
+      // sort-before-project shape
+      s"""SELECT CAST(${c.id} AS BIGINT) AS case_id, event_id, sv, su,
+          st, sb FROM (
+            SELECT * FROM d $where
+            ORDER BY $order LIMIT ${c.limit} OFFSET ${c.offset})"""
+    }
+    branches.map(b => s"($b)")
+      .mkString(s"WITH d AS ($frame3Sql) SELECT * FROM (",
+        " UNION ALL ", ") ORDER BY case_id, event_id")
+  }
 }
