@@ -126,7 +126,8 @@ object SparkEntry {
       val cs = graft.query.ExprFuzz.extCases(240, 0xbead5eedL)
       val fc = new Compiler(graft.query.ExprFuzz.extRegistry, now = fuzzNow,
         shortcuts = graft.query.ExprFuzz.extShortcuts,
-        views = graft.query.ExprFuzz.extViews)
+        views = graft.query.ExprFuzz.extViews,
+        files = graft.query.ExprFuzz.extFiles)
       val e = fuzzExtEv(s, dir)
       val chunks = cs.grouped(40).map { chunk =>
         val aggs = chunk.map(c =>
@@ -1365,7 +1366,15 @@ object SparkEntry {
           lit(".example.com/p"), (col("event_id") % 5).cast("string")))
         .as("httpUri"),
       lower(hex(concat(lit("P"), (col("event_id") % 3).cast("string"))))
-        .as("srcPayload8"))
+        .as("srcPayload8"),
+      when(col("user_id") % 13 === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("node"), (col("event_id") % 3).cast("string")))
+        .as("node"),
+      when(col("user_id") % 19 === 0, lit(null).cast("array<string>"))
+        .when(col("event_id") % 29 === 0, array().cast("array<string>"))
+        .otherwise(array(concat(lit("/data/pcap/cap-"),
+          (col("event_id") % 7).cast("string"), lit(".pcap"))))
+        .as("fileId"))
 
   private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
   private def emb(s: SparkSession, dir: String) = Tables.load(s, dir, "embeddings")

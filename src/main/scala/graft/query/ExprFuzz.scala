@@ -278,15 +278,40 @@ object ExprFuzz {
     "nets"  -> Seq("10.32.0.0/11", "10.200.7.0/24", "10.77.3.1"))
 
   /** Fixed saved views (Q15's viewand expansion under test — including
-    * under `view !=` negation, which negates the resolved AST).
+    * under `view !=` negation, which negates the resolved AST, and
+    * RECURSIVE chains: vip2 references vipsrc, vip3 references vip2
+    * (3 deep), negchain carries a `view !=` INSIDE a view body — the
+    * jison viewand production re-enters the parser on the stored
+    * expression, so chains compose to the depth guard).
     */
   val extViews: Map[String, String] = Map(
     "vipsrc" -> "ip.src == 10.32/11 || user >= 120",
-    "clicky" -> "type == click && port.src >= 1500")
-  // independent SQL of each view body (NOT derived from the compiler)
-  private val extViewSql: Map[String, String] = Map(
-    "vipsrc" -> "(srcNum BETWEEN 169869312 AND 171966463 OR user_id >= 120)",
-    "clicky" -> "(event_type = 'click' AND srcPort >= 1500)")
+    "clicky" -> "type == click && port.src >= 1500",
+    "vip2" -> "view == vipsrc && type != error",
+    "vip3" -> "view == vip2 || port.dst >= 500",
+    "negchain" -> "view != clicky && user < 140")
+  // independent SQL of each view body (NOT derived from the compiler):
+  // chain SQLs re-expand the referenced view's SQL textually, and a
+  // nested `view !=`/`type !=` is must_not (is-not-true) of the
+  // resolved body, per the ES bool semantics the leaves already pin
+  private val extViewSql: Map[String, String] = {
+    val vipsrc = "(srcNum BETWEEN 169869312 AND 171966463 OR user_id >= 120)"
+    val clicky = "(event_type = 'click' AND srcPort >= 1500)"
+    val vip2 = s"($vipsrc AND NOT coalesce(event_type = 'error', FALSE))"
+    val vip3 = s"($vip2 OR dstPort >= 500)"
+    val negchain = s"(NOT coalesce($clicky, FALSE) AND user_id < 140)"
+    Map("vipsrc" -> vipsrc, "clicky" -> clicky, "vip2" -> vip2,
+      "vip3" -> vip3, "negchain" -> negchain)
+  }
+
+  /** Fixed files dimension for `file ==` fileand leaves: 3 nodes × 7
+    * capture files, ids = on-disk paths (the shape viewerUtils.js
+    * resolves to before querying).
+    */
+  val extFiles: Seq[graft.model.FileEntry] =
+    for (n <- 0 until 3; k <- 0 until 7)
+      yield graft.model.FileEntry(
+        s"cap-$k.pcap", s"node$n", s"/data/pcap/cap-$k.pcap")
 
   /** DuckDB derivation of the fuzz frame — the independent twin of
     * SparkEntry.fuzzExtEv. NULL/empty injection: srcIp (id%13), dstIp
@@ -325,7 +350,13 @@ object ExprFuzz {
        CASE WHEN user_id % 7 = 0 THEN NULL
             ELSE 'h' || (event_id % 50) || '.example.com/p' || (event_id % 5)
        END AS httpUri,
-       lower(hex('P' || (event_id % 3))) AS srcPayload8
+       lower(hex('P' || (event_id % 3))) AS srcPayload8,
+       CASE WHEN user_id % 13 = 0 THEN NULL
+            ELSE 'node' || (event_id % 3) END AS node,
+       CASE WHEN user_id % 19 = 0 THEN NULL
+            WHEN event_id % 29 = 0 THEN CAST([] AS VARCHAR[])
+            ELSE ['/data/pcap/cap-' || (event_id % 7) || '.pcap']
+       END AS fileId
      FROM events WHERE user_id IS NOT NULL"""
 
   /** One endpoint's columns/domains for operand + SQL generation. */
@@ -654,6 +685,8 @@ object ExprFuzz {
 
   /** Saved-view leaves: `view == name` resolves the stored expression's
     * AST in place; `view !=` negates the RESOLVED ast (is-not-true).
+    * The pool includes 2- and 3-deep chains and a view with `view !=`
+    * inside its body.
     */
   private def viewLeaf(r: Rng): (String, String) = {
     val name = r.oneOf(extViews.keys.toSeq.sorted)
@@ -662,7 +695,31 @@ object ExprFuzz {
     else (s"view == $name", sql)
   }
 
-  private def extLeaf(r: Rng): (String, String) = r.nextInt(13) match {
+  /** Q16 fileand leaves: `file == name` resolves through the files
+    * dimension to an OR of (node == n && fileId contains id) terms
+    * (viewerUtils.js:152-170); `*` wildcards and /regex/ match file
+    * NAMES at resolve time, every node carrying a matched name
+    * contributes a term. `file !=` is must_not of the expansion. The
+    * frame injects NULL node, NULL fileId and empty fileId rows so
+    * the negated form exercises the three-valued guard.
+    */
+  private def fileLeaf(r: Rng): (String, String) = {
+    val (txt, ks) = r.nextInt(4) match {
+      case 0 => val k = r.nextInt(7); (s"cap-$k.pcap", Seq(k))
+      case 1 => val k = r.nextInt(7); (s"cap-$k*", Seq(k)) // glob tail
+      case 2 => ("cap-*", 0 until 7) // match-all glob
+      case _ => // regex over names, anchored by the resolver
+        val hi = 1 + r.nextInt(5); (s"/cap-[0-$hi].pcap/", 0 to hi)
+    }
+    val pos = (for (n <- 0 until 3; k <- ks) yield
+      s"(node = 'node$n' AND " +
+        s"list_contains(fileId, '/data/pcap/cap-$k.pcap'))")
+      .mkString("(", " OR ", ")")
+    if (r.chance(40)) (s"file != $txt", mustNot(pos))
+    else (s"file == $txt", pos)
+  }
+
+  private def extLeaf(r: Rng): (String, String) = r.nextInt(14) match {
     case 0 | 1 | 2 => ipLeaf(r)
     case 3 | 4     => hostLeaf(r)
     case 5         => portLeaf(r)
@@ -671,6 +728,7 @@ object ExprFuzz {
     case 9         => cntLeaf(r)
     case 10        => viewLeaf(r)
     case 11        => transform2Leaf(r)
+    case 12        => fileLeaf(r)
     case _ => // plain leaves for interplay inside composites
       if (r.chance(50)) {
         val n = r.nextInt(160)
