@@ -391,4 +391,65 @@ class StreamSessionizeSpec extends AnyFunSuite with SparkSpecBase {
     assert((a ++ b).toSet.size == a.size, "Set must dedupe rebuilt rows")
     assert(a.head != a.head.copy(totPackets = a.head.totPackets + 1))
   }
+
+  test("soak: state-store row count plateaus over many timeout horizons") {
+    // A long-lived capture node sees an unbounded stream of NEW session
+    // keys; the only thing keeping state bounded is the event-time
+    // timeout eviction. Push 12 waves of 50 fresh single-packet UDP
+    // sessions, each wave 120 s of event time apart (2x the 60 s UDP
+    // timeout), and assert the state store PLATEAUS near one-to-two
+    // waves of live sessions instead of growing with the 600 total —
+    // i.e. evictions keep pace with arrivals.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val waves = 12
+    val perWave = 50
+    val baseMicros = 1700000000000000L
+    def pkt(wave: Int, i: Int): Decode.DecodedPacket = {
+      val ts = baseMicros + wave * 120L * 1000000L + i * 1000L
+      Decode.DecodedPacket("s", wave * perWave + i, ts,
+        0L, 70, 54, "aa:aa:aa:aa:aa:01", "ff:ff:ff:ff:ff:ff", 17,
+        s"10.7.${wave}.${i % 250}", "10.99.99.99",
+        10000 + i, 53, 0, 0, 0L, 0L, Array[Byte](0x68, 0x69),
+        prevTsMicros = ts, l4Offset = 54)
+    }
+    val input = MemoryStream[Decode.DecodedPacket]
+    val q = StreamSessionize.sessions(input.toDS())
+      .writeStream.format("memory").queryName("stream_soak")
+      .outputMode("append").start()
+    try {
+      val stateRows = Seq.newBuilder[Long]
+      for (w <- 0 until waves) {
+        input.addData((0 until perWave).map(i => pkt(w, i)))
+        q.processAllAvailable()
+        val p = q.lastProgress
+        if (p != null && p.stateOperators.nonEmpty)
+          stateRows += p.stateOperators.head.numRowsTotal
+      }
+      // flush the tail: advance the watermark far past the last timeout
+      val late = pkt(waves + 20, 0).copy(srcIp = "203.0.113.99")
+      input.addData(Seq(late))
+      q.processAllAvailable()
+      input.addData(Seq(late.copy(tsMicros = late.tsMicros + 1)))
+      q.processAllAvailable()
+
+      val series = stateRows.result()
+      assert(series.nonEmpty)
+      // the plateau: by wave 3 the store holds at most ~2 waves of live
+      // sessions (the watermark lags one batch) — 3x one wave is the
+      // pinned ceiling, 4x under the 600-key linear-growth failure mode
+      val steady = series.drop(3)
+      assert(steady.max <= 3L * perWave,
+        s"state must plateau near $perWave live rows, got $series")
+      assert(series.max >= perWave,
+        s"soak must actually hold a wave of live state, got $series")
+      // every session seen was emitted exactly once after its timeout
+      val out = spark.table("stream_soak")
+        .as[SessionBuilder.SessionRow].collect()
+        .filter(_.srcIp != "203.0.113.99")
+      assert(out.length == waves * perWave,
+        s"expected ${waves * perWave} sessions, got ${out.length}")
+      assert(out.map(_.sessionId).distinct.length == out.length)
+    } finally q.stop()
+  }
 }
