@@ -34,7 +34,13 @@ object CertParser {
   private def colonHex(b: Array[Byte]): String =
     Hex.hexColon(b)
 
-  /** RDN attribute values for a given attribute from an X.500 name. */
+  /** RDN attribute values for a given attribute from an X.500 name, in
+    * DER encoding order — the reference pushes each value as its ASN.1
+    * walk encounters it (tls.c:64-77 DLL_PUSH_TAIL). LdapName.getRdns
+    * indexes the RFC 2253 string right-to-left, and RFC 2253 renders
+    * the RDNSequence last-encoded-first, so index order IS encoding
+    * order; reversing here would flip multi-valued names.
+    */
   private def rdnValues(name: javax.security.auth.x500.X500Principal,
       attr: String): Seq[String] = {
     try {
@@ -43,7 +49,7 @@ object CertParser {
           rdn.toAttributes.getAll.asScala.collect {
             case a if a.getID.equalsIgnoreCase(attr) => a.get().toString
           }
-        }.toSeq.reverse
+        }.toSeq
     } catch { case _: Exception => Nil }
   }
 
