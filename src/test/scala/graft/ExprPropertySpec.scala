@@ -210,7 +210,7 @@ class ExprPropertySpec extends AnyFunSuite with SparkSpecBase {
     import graft.query.ExprFuzz
     val fc = new graft.expr.Compiler(ExprFuzz.extRegistry,
       now = SparkEntry.fuzzNow, shortcuts = ExprFuzz.extShortcuts,
-      views = ExprFuzz.extViews)
+      views = ExprFuzz.extViews, files = ExprFuzz.extFiles)
     val cs = ExprFuzz.extCases(240, 0xbead5eedL)
     assert(cs.size == 240)
     cs.foreach(c => fc.compile(c.expr))
@@ -222,7 +222,8 @@ class ExprPropertySpec extends AnyFunSuite with SparkSpecBase {
     val all = cs.map(_.expr).mkString("\n")
     for (needle <- Seq("ip.src", "ip.dst", "ip ==", "port", "host",
         "mac.src", "ip.protocol", "$vips", "$kinds", "$nets", ":",
-        "EXISTS!", "/", ".cnt", "view ", "http.uri", "payload8.src.utf8"))
+        "EXISTS!", "/", ".cnt", "view ", "file ", "http.uri",
+        "payload8.src.utf8"))
       assert(all.contains(needle), s"no case exercises '$needle'")
   }
 }
