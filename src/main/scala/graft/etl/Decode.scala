@@ -212,37 +212,37 @@ object Decode {
       etherType = ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
       off += 4
     }
-    // MPLS (0x8847/0x8848): pop labels to bottom-of-stack, then IP
-    if (etherType == 0x8847 || etherType == 0x8848) {
-      var mOff = off
-      var bos = false
-      var guard = 0
-      while (!bos && guard < 8 && mOff + 4 <= b.length) {
-        bos = (b(mOff + 2) & 0x01) != 0
-        mOff += 4
-        guard += 1
-      }
-      if (bos && mOff < b.length) {
-        val v = (b(mOff) & 0xf0) >> 4
-        val inner =
-          if (v == 4) decodeIp4(p, b, mOff, mSrc, mDst)
-          else if (v == 6) decodeIp6(p, b, mOff, mSrc, mDst)
-          else None
-        return inner.map(d => d.copy(tunnels = "mpls" +: d.tunnels))
-      }
-      return None
-    }
-    // PPPoE session (0x8864): 6-byte header + 2-byte PPP protocol
-    if (etherType == 0x8864 && off + 8 <= b.length) {
-      val ppp = ((b(off + 6) & 0xff) << 8) | (b(off + 7) & 0xff)
-      val inner = off + 8
-      return (ppp match {
-        case 0x0021 => decodeIp4(p, b, inner, mSrc, mDst)
-        case 0x0057 => decodeIp6(p, b, inner, mSrc, mDst)
-        case _      => None
-      }).map(d => d.copy(tunnels = "pppoe" +: d.tunnels))
-    }
+    // NOTE: tunnel branches must NOT return early — VLAN tags collected
+    // above apply to every path (the reference records the outermost
+    // header's vlans regardless of what follows, packet.c:328-333)
     val decoded = etherType match {
+      // MPLS (0x8847/0x8848): pop labels to bottom-of-stack, then IP
+      case 0x8847 | 0x8848 =>
+        var mOff = off
+        var bos = false
+        var guard = 0
+        while (!bos && guard < 8 && mOff + 4 <= b.length) {
+          bos = (b(mOff + 2) & 0x01) != 0
+          mOff += 4
+          guard += 1
+        }
+        if (bos && mOff < b.length) {
+          val v = (b(mOff) & 0xf0) >> 4
+          val inner =
+            if (v == 4) decodeIp4(p, b, mOff, mSrc, mDst)
+            else if (v == 6) decodeIp6(p, b, mOff, mSrc, mDst)
+            else None
+          inner.map(d => d.copy(tunnels = "mpls" +: d.tunnels))
+        } else None
+      // PPPoE session (0x8864): 6-byte header + 2-byte PPP protocol
+      case 0x8864 if off + 8 <= b.length =>
+        val ppp = ((b(off + 6) & 0xff) << 8) | (b(off + 7) & 0xff)
+        val inner = off + 8
+        (ppp match {
+          case 0x0021 => decodeIp4(p, b, inner, mSrc, mDst)
+          case 0x0057 => decodeIp6(p, b, inner, mSrc, mDst)
+          case _      => None
+        }).map(d => d.copy(tunnels = "pppoe" +: d.tunnels))
       case 0x0800 => decodeIp4(p, b, off, mSrc, mDst)
       case 0x86dd => decodeIp6(p, b, off, mSrc, mDst)
       case 0x8909 =>
@@ -386,9 +386,11 @@ object Decode {
       val hdr = if (proto == 0x88be) 8 else 12
       // MAC fields keep the OUTERMOST ethernet header — the reference
       // reads pcapData+0 regardless of tunnels (packet.c:318-326)
+      // VLANs come only from the OUTERMOST ethernet header (packet.c:
+      // 328-333 walks pcapData+12) — drop any the inner frame carried
       return decodeEthernetAt(p, b, off + hdr)
         .map(d => d.copy(tunnels = tunnels.reverse ++ d.tunnels,
-          macSrc = mSrc, macDst = mDst,
+          macSrc = mSrc, macDst = mDst, vlanIds = Nil,
           greIps = if (d.greIps.nonEmpty) d.greIps else carrierIps))
     }
     if (proto == 0x880b && off < b.length) { // PPP
@@ -462,10 +464,11 @@ object Decode {
               if (d.keyOverride != null)
                 d.copy(srcIp = srcIp, dstIp = dstIp, ipProtocol = proto)
               else d
-            // MAC fields always record the OUTERMOST ethernet header
-            // (packet.c:318-326 reads pcapData+0 regardless of tunnels)
+            // MAC and VLAN fields always record the OUTERMOST ethernet
+            // header (packet.c:318-333 reads pcapData+0/+12 regardless
+            // of tunnels) — inner-frame values are dropped
             d2.copy(tunnels = "vxlan" +: d2.tunnels,
-              macSrc = mSrc, macDst = mDst)
+              macSrc = mSrc, macDst = mDst, vlanIds = Nil)
           }
         }
         if (dstPort == 2152 && payStart + 12 <= l4End &&
