@@ -222,7 +222,15 @@ object AppProtocols {
       if (srcPort == 5353 || dstPort == 5353) tags += "mdns"
       if (srcPort == 5355 || dstPort == 5355) tags += "llmnr"
     }
-    if (ipProtocol == 17 && Seq(srcPort, dstPort).exists(p => p == 67 || p == 68))
+    // dhcp: port 67 on either side (the reference registers only 67, not
+    // 68), v4 only, a full 256+-byte BOOTP request/reply with the magic
+    // cookie at 236 (parsers/dhcp.c:134-142,187)
+    if (ipProtocol == 17 && !isV6 && (srcPort == 67 || dstPort == 67) &&
+      Seq(if (srcFirst.nonEmpty) srcFirst else srcStream,
+        if (dstFirst.nonEmpty) dstFirst else dstStream)
+        .exists(f => f.length >= 256 && (f(0) == 1 || f(0) == 2) &&
+          (f(236) & 0xff) == 0x63 && (f(237) & 0xff) == 0x82 &&
+          (f(238) & 0xff) == 0x53 && (f(239) & 0xff) == 0x63))
       tags += "dhcp"
     if (streams.exists(s => startsWithAny(s, Seq("SSH-")))) tags += "ssh"
     if (SmtpParser.isSmtp(srcStream, dstStream)) tags += "smtp"
@@ -265,7 +273,10 @@ object AppProtocols {
       if (streams.exists(st => startsWithAny(st, Seq("* OK ")) &&
         win(st).contains("IMAP"))) tags += "imap"
       if (streams.exists(st => startsWithAny(st, Seq("+OK ")))) tags += "pop3"
-      streams.filter(st => startsWithAny(st, Seq("220 "))).take(1).foreach { st =>
+      // the reference classifies each direction's first data independently
+      // (misc.c other220_classify runs per matching packet), so BOTH "220 "
+      // banners are inspected, not just the first
+      streams.filter(st => startsWithAny(st, Seq("220 "))).foreach { st =>
         val w = win(st)
         if (w.contains("LMTP")) tags += "lmtp"
         else if (!w.contains("SMTP") && !w.contains(" TLS")) tags += "ftp"
@@ -277,7 +288,9 @@ object AppProtocols {
       if (streams.exists(st => startsWithAny(st, Seq("+PONG", "-NOAUTH ")) ||
         (st.length >= 5 && st(0) == '*' && st(1) >= '1' && st(1) <= '5' &&
           st(2) == '\r' && st(3) == '\n' && st(4) == '$'))) tags += "redis"
-      if (streams.exists(st => st.length > 16 &&
+      // needle at offset 8, matchlen 8 -> dispatch gate remaining >= 16
+      // exactly (parsers.c:1084), not 17
+      if (streams.exists(st => st.length >= 16 &&
         ((st(8) == 0 && st(9) == 0 && st(10) == 0 && st(11) == 0) ||
           (st(8) == -1 && st(9) == -1 && st(10) == -1 && st(11) == -1)) &&
         u(st, 12) == 0xd4 && st(13) == 7 && st(14) == 0 && st(15) == 0))
@@ -293,15 +306,19 @@ object AppProtocols {
         st(6) == 0) ||
         (st.length > 20 && st(0) == 0 && st(1) == 0 && u(st, 4) == 0x80 &&
           st(5) == 1 && st(6) == 0))) tags += "thrift"
-      // cassandra: framed thrift set_/desc calls (misc.c:423-424)
-      if (streams.exists(st => st.length >= 16 && st(0) == 0 && st(1) == 0 &&
-        st(2) == 0 && (u(st, 3) == 0x25 || u(st, 3) == 0x1d) &&
-        u(st, 4) == 0x80 && st(5) == 1 && st(6) == 0 && st(7) == 1 &&
-        (win(st, 16).substring(12) == "set_" ||
-          win(st, 16).substring(12) == "desc"))) tags += "cassandra"
+      // cassandra: framed thrift set_/desc calls — exact 16-byte needles
+      // incl. the method-name length pairing (misc.c:424-425)
+      if (streams.exists(st => startsWithAny(st, Seq(
+        "\u0000\u0000\u0000\u0025\u0080\u0001\u0000\u0001" +
+          "\u0000\u0000\u0000\u000cset_",
+        "\u0000\u0000\u0000\u001d\u0080\u0001\u0000\u0001" +
+          "\u0000\u0000\u0000\u0010desc")))) tags += "cassandra"
       if (dstPort == 23 && streams.exists(st => st.length >= 3 &&
         u(st, 0) == 0xff && u(st, 1) >= 0xfa)) tags += "telnet"
-      if (firsts.exists(f => f.length >= 10 && f(4) == 0 && u(f, 5) <= 6 &&
+      // the \x00\x00 needle (the high half of the 32-bit frame length)
+      // gates before the callback (misc.c:490 CLASSIFY_TCP kafka)
+      if (firsts.exists(f => f.length >= 10 && f(0) == 0 && f(1) == 0 &&
+        f(4) == 0 && u(f, 5) <= 6 &&
         f(7) == 0 && f.length == 4 + ((u(f, 2) << 8) | u(f, 3))))
         tags += "kafka"
       if (MiscParsers.isTds(srcStream)) tags += "tds"
@@ -382,9 +399,13 @@ object AppProtocols {
         ((0 to 3).forall(f(_) == 0) ||
           new String(f, 0, 15, StandardCharsets.ISO_8859_1) ==
             "\u000eSwarm protocol"))) tags += "wudo"
-      if (dstPort == 43 && streams.exists(_.nonEmpty)) tags += "whois"
-      // nfs over tcp: record mark + RPC call v2 prog 100003 (nfs.c:38)
+      // the tcp classify dispatcher refuses payloads under 2 bytes
+      // before any port classifier runs (parsers.c:1114-1115)
+      if (dstPort == 43 && streams.exists(_.length >= 2)) tags += "whois"
+      // nfs over tcp: record mark + RPC call v2 prog 100003 (nfs.c:39 —
+      // the needle carries the \x00\x01 program-number high bytes too)
       if (firsts.exists(f => f.length >= 20 && rpcCallAt(f, 8) &&
+        f(16) == 0 && f(17) == 1 &&
         u(f, 18) == 0x86 && u(f, 19) == 0xa3)) tags += "nfs"
     }
     if (ipProtocol == 17) {
@@ -429,19 +450,25 @@ object AppProtocols {
             systime >= 1000000000L
         }
       }) tags += "netflow"
-      if (firsts.exists(f => f.length >= 11 && f(4) == 0 && f(5) == 0 &&
-        (new String(f, 6, 5, StandardCharsets.ISO_8859_1) == "stats" ||
-          new String(f, 6, 5, StandardCharsets.ISO_8859_1) == "gets ")))
+      // udp memcached: needle "\x00\x00stats"/"\x00\x00gets " at OFFSET 6
+      // (misc.c:510-511) — the reserved half of the 8-byte frame header
+      // is bytes 6-7 and the command starts at 8; minlen 6+7=13
+      if (firsts.exists(f => f.length >= 13 && f(6) == 0 && f(7) == 0 &&
+        (new String(f, 8, 5, StandardCharsets.ISO_8859_1) == "stats" ||
+          new String(f, 8, 5, StandardCharsets.ISO_8859_1) == "gets ")))
         tags += "memcached"
-      // nfs/rpc over udp: RPC call v2 at offset 4 (nfs.c:37, rpc.c:22-60)
+      // nfs/rpc over udp: RPC call v2 at offset 4 (nfs.c:38, rpc.c:69 —
+      // both needles include the \x00\x01 program-number high bytes)
       if (firsts.exists(f => f.length >= 16 && rpcCallAt(f, 4) &&
-        u(f, 14) == 0x86)) {
+        f(12) == 0 && f(13) == 1 && u(f, 14) == 0x86)) {
         if (f16(firsts) == 0xa3) tags += "nfs"
         else rpcProgramNames.get(f16(firsts)).foreach(tags += _)
       }
-      // dhcpv6: udp 546/547, msg-type SOLICIT(1)/INFO-REQUEST(11), v6 only
-      if (isV6 && Seq(srcPort, dstPort).exists(p => p == 546 || p == 547) &&
-        firsts.exists(f => f.length >= 1 && (f(0) == 1 || f(0) == 11)))
+      // dhcpv6: udp 547 on either side (the reference registers only the
+      // server port, dhcp.c:186), msg-type SOLICIT(1)/INFO-REQUEST(11),
+      // v6 only; the dispatcher's 2-byte floor applies (parsers.c:1066)
+      if (isV6 && (srcPort == 547 || dstPort == 547) &&
+        firsts.exists(f => f.length >= 2 && (f(0) == 1 || f(0) == 11)))
         tags += "dhcpv6"
       // isakmp: udp 500/4500, exchange type + version (misc.c:224-232)
       if (Seq(srcPort, dstPort).exists(p => p == 500 || p == 4500) &&
@@ -472,7 +499,9 @@ object AppProtocols {
       if (streams.exists(st => startsWithAny(st,
         Seq("SIP/2.0", "REGISTER sip:", "NOTIFY sip:")))) tags += "sip"
       if (firsts.exists(isSyslog)) tags += "syslog"
-      if (streams.exists(st => st.length > 11 && startsWithAny(st, Seq("RSP/")) &&
+      // memstr(data+7, len-7, "STUN"): minimum hit is STUN at 7..10 in an
+      // 11-byte payload (misc.c:164-168)
+      if (streams.exists(st => st.length >= 11 && startsWithAny(st, Seq("RSP/")) &&
         win(st).indexOf("STUN", 7) >= 0)) tags += "stun"
     }
     tags.toSeq.sorted
@@ -489,7 +518,8 @@ object AppProtocols {
   /** Last byte of the RPC program number for the udp rpc classifier. */
   private def f16(firsts: Seq[Array[Byte]]): Int =
     firsts.collectFirst {
-      case f if f.length >= 16 && rpcCallAt(f, 4) && (f(14) & 0xff) == 0x86 =>
+      case f if f.length >= 16 && rpcCallAt(f, 4) && f(12) == 0 &&
+          f(13) == 1 && (f(14) & 0xff) == 0x86 =>
         f(15) & 0xff
     }.getOrElse(-1)
 
@@ -499,16 +529,22 @@ object AppProtocols {
     0xa5 -> "mount", 0xa7 -> "ypbind", 0xa8 -> "wall", 0xa9 -> "yppasswd",
     0xab -> "rquota", 0xb1 -> "rexec", 0xc5 -> "tfs")
 
-  /** SNMP: BER SEQ { INTEGER version <= 3 ... } (misc.c snmp_classify). */
+  /** SNMP: BER SEQ { INTEGER version <= 3 ... } (misc.c snmp_classify).
+    * The dispatcher's needle is the literal first byte \x30 (universal
+    * constructed SEQUENCE — an application-class tag 16 does NOT
+    * classify); the callback then checks only tag/len on the inner TLV,
+    * never the constructed bit (misc.c:112-130).
+    */
   private def isSnmp(f: Array[Byte]): Boolean =
-    Asn1.getTlv(f, 0, f.length) match {
-      case Some((outer, _)) if outer.pc && outer.tag == 16 && outer.len >= 16 =>
-        Asn1.getTlv(outer.buf, outer.off, outer.off + outer.len) match {
-          case Some((v, _)) => !v.pc && v.tag == 2 && v.len == 1 && v.lastByte <= 3
-          case None => false
-        }
-      case _ => false
-    }
+    f.length >= 2 && (f(0) & 0xff) == 0x30 &&
+      (Asn1.getTlv(f, 0, f.length) match {
+        case Some((outer, _)) if outer.tag == 16 && outer.len >= 16 =>
+          Asn1.getTlv(outer.buf, outer.off, outer.off + outer.len) match {
+            case Some((v, _)) => v.tag == 2 && v.len == 1 && v.lastByte <= 3
+            case None => false
+          }
+        case _ => false
+      })
 
   /** Classic/RFC5389 STUN binding checks (misc.c stun_classify). */
   private def isStun(f: Array[Byte]): Boolean = {

@@ -85,7 +85,14 @@ class MiscClassifierSpec extends AnyFunSuite {
     // netflow v5: count=2, systime 2020-ish
     val nf = b(0, 5, 0, 2, 0, 0, 0, 1, 0x5e, 0, 0, 0) ++ Array.fill[Byte](36)(0)
     assert(udp(nf).contains("netflow"))
-    assert(udp(b(0, 0, 0, 0, 0, 0) ++ s("stats") ++ s("junk"))
+    // 8-byte frame header (id, seq, count, reserved=0) then the command —
+    // the needle sits at offset 6 (misc.c:510)
+    assert(udp(b(0, 7, 0, 0, 0, 1, 0, 0) ++ s("stats\r\n"))
+      .contains("memcached"))
+    assert(udp(b(0, 7, 0, 0, 0, 1, 0, 0) ++ s("gets k\r\n"))
+      .contains("memcached"))
+    // command at the OLD wrong offset (6) must not classify
+    assert(!udp(b(0, 0, 0, 0, 0, 0) ++ s("stats") ++ s("junk"))
       .contains("memcached"))
     // nfs/rpc over udp: xid + call v2 at offset 4, prog 1000xx
     def rpc(last: Int) = b(9, 9, 9, 9, 0, 0, 0, 0, 0, 0, 0, 2,
