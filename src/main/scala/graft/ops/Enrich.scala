@@ -34,8 +34,17 @@ object Enrich {
   def cidrJoin(
       facts: DataFrame, ipCol: Column, dim: Seq[(String, String)],
       outCol: String): DataFrame = {
+    // Longest prefix first: a CASE chain takes the FIRST matching arm, so
+    // overlapping entries (10.0.0.0/8 and 10.1.2.0/24) must be ordered
+    // most-specific-first regardless of caller order; a bare address is
+    // a host route (/32, or /128 for v6). Ties keep caller order.
+    def prefixLen(cidr: String): Int = cidr.split('/') match {
+      case Array(_, n) => n.toInt
+      case Array(ip) => if (ip.contains(':')) 128 else 32
+    }
+    val ordered = dim.sortBy(e => -prefixLen(e._1))
     // Build a CASE chain over the (few) CIDR rows: stays codegen'd.
-    val chain = dim.foldRight(lit(null).cast("string")) {
+    val chain = ordered.foldRight(lit(null).cast("string")) {
       case ((cidr, value), acc) =>
         when(graft.functions.IpFunctions.ipInCidr(ipCol, cidr), lit(value))
           .otherwise(acc)

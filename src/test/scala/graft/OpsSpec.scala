@@ -141,6 +141,27 @@ class OpsSpec extends AnyFunSuite with SparkSpecBase {
     assert(wise.filter(array_contains(col("intel"), "threat=proxy-node")).count() == 3)
   }
 
+  test("enrich: cidr join is longest-prefix regardless of dim order") {
+    import spark.implicits._
+    val facts = Seq("10.1.2.3", "10.9.9.9", "8.8.8.8", "fd00::1")
+      .toDF("ip")
+    // least-specific FIRST on purpose: the /24 must still beat the /8,
+    // the bare v4 host the /24, and the bare v6 host the v6 /8
+    val dim = Seq(
+      "0.0.0.0/0" -> "default",
+      "10.0.0.0/8" -> "net8",
+      "10.1.2.0/24" -> "net24",
+      "10.1.2.3" -> "host",
+      "fd00::/8" -> "v6net",
+      "fd00::1" -> "v6host")
+    val out = Enrich.cidrJoin(facts, col("ip"), dim, "label")
+      .as[(String, String)].collect().toMap
+    assert(out("10.1.2.3") == "host")
+    assert(out("10.9.9.9") == "net8")
+    assert(out("8.8.8.8") == "default")
+    assert(out("fd00::1") == "v6host")
+  }
+
   test("enrich: alert-session interval join matches across buckets, bounds inclusive") {
     import spark.implicits._
     // session spanning 3 hourly buckets; alert at exact start/end included
