@@ -155,9 +155,17 @@ object AppProtocols {
     } else None
   }
 
+  /** The reference registers every http_parser method as a BARE needle
+    * (strlen, no trailing separator — "GETX…" classifies as http) plus
+    * bare "HTTP" (parsers/http.c:1038-1042, thirdparty/http_parser.h:79
+    * HTTP_METHOD_MAP: the 8 RFC methods + webdav/subversion/upnp/
+    * RFC-5789 extensions).
+    */
   private val httpMethods =
-    Seq("GET", "POST", "HEAD", "PUT", "DELETE", "OPTIONS", "PATCH",
-      "CONNECT", "TRACE").flatMap(m => Seq(m + " ", m + "\r", m + "\n"))
+    Seq("DELETE", "GET", "HEAD", "POST", "PUT", "CONNECT", "OPTIONS",
+      "TRACE", "COPY", "LOCK", "MKCOL", "MOVE", "PROPFIND", "PROPPATCH",
+      "SEARCH", "UNLOCK", "REPORT", "MKACTIVITY", "CHECKOUT", "MERGE",
+      "M-SEARCH", "NOTIFY", "SUBSCRIBE", "UNSUBSCRIBE", "PATCH", "PURGE")
 
   /** Protocol tags from payloads/ports — returns a sorted distinct list
     * like the reference's `protocol` field.
@@ -197,8 +205,12 @@ object AppProtocols {
         }
       }
     val streams = Seq(srcStream, dstStream)
-    if (streams.exists(s => startsWithAny(s, httpMethods) ||
-        startsWithAny(s, Seq("HTTP/")))) tags += "http"
+    // TCP only: the reference registers the method/"HTTP" needles via
+    // classifier_register_tcp exclusively (http.c:1038-1042) — a UDP
+    // payload that happens to start with NOTIFY/M-SEARCH is not http
+    if (ipProtocol == 6 &&
+      streams.exists(s => startsWithAny(s, httpMethods) ||
+        startsWithAny(s, Seq("HTTP")))) tags += "http"
     // SOCKS: tag when the handshake PROGRESSES past method negotiation
     // (full peel, or a username-auth/request message follows) — a bare
     // aborted method offer stays plain tcp, like the reference's
@@ -234,11 +246,18 @@ object AppProtocols {
       tags += "dhcp"
     if (streams.exists(s => startsWithAny(s, Seq("SSH-")))) tags += "ssh"
     if (SmtpParser.isSmtp(srcStream, dstStream)) tags += "smtp"
-    if (ipProtocol == 6 && MiscParsers.isIrc(srcStream)) tags += "irc"
+    // either direction: the irc needles include server-side banners
+    // (":server NOTICE ...", "NOTICE AUTH", irc.c:134-138)
+    if (ipProtocol == 6 && streams.exists(MiscParsers.isIrc)) tags += "irc"
     if (ipProtocol == 6 && MiscParsers.isPostgres(srcStream)) tags += "postgresql"
-    if (ipProtocol == 6 && MiscParsers.isMysql(dstStream)) tags += "mysql"
-    if (streams.exists(s => s.length >= 3 && (s(0) & 0xff) == 0x16 &&
-        (s(1) & 0xff) == 0x03)) tags += "tls"
+    if (ipProtocol == 6 && MiscParsers.isMysql(srcStream, dstStream))
+      tags += "mysql"
+    // tls: needle \x16\x03 then version minor <= 3 and a CLIENT/SERVER
+    // HELLO handshake type at 5 — a stream opening on any other record
+    // (mid-capture certificate, alert) does not classify (tls.c:749-763)
+    if (streams.exists(s => s.length >= 6 && (s(0) & 0xff) == 0x16 &&
+        (s(1) & 0xff) == 0x03 && (s(2) & 0xff) <= 3 &&
+        (s(5) == 1 || s(5) == 2))) tags += "tls"
     // SMB: NetBIOS frame then 0xff/0xfe 'SMB' (parsers/smb.c:582-595)
     if (ipProtocol == 6 && streams.exists(SmbParser.isSmb)) tags += "smb"
     // LDAP: BER SEQUENCE { messageID INTEGER, protocolOp [0..25] }

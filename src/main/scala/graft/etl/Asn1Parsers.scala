@@ -198,19 +198,25 @@ object LdapParser {
   final case class LdapInfo(authtype: Seq[String], bindname: Seq[String],
       restOffset: Int)
 
+  /** The dispatcher's needle is the literal byte \x30 (ldap.c:179-180):
+    * an application-class constructed tag-16 TLV (0x70) never reaches
+    * the callback even though its tag number parses as 16; the 2-byte
+    * dispatch floor applies.
+    */
   def isLdap(data: Array[Byte]): Boolean =
-    Asn1.getTlv(data, 0, data.length) match {
-      case Some((outer, _)) if outer.pc && outer.tag == 16 =>
-        Asn1.getTlv(outer.buf, outer.off, outer.off + outer.len) match {
-          case Some((mid, np)) if !mid.pc && mid.tag == 2 =>
-            Asn1.getTlv(outer.buf, np, outer.off + outer.len) match {
-              case Some((op, _)) => op.pc && op.tag <= 25
-              case None => false
-            }
-          case _ => false
-        }
-      case _ => false
-    }
+    data.length >= 2 && (data(0) & 0xff) == 0x30 &&
+      (Asn1.getTlv(data, 0, data.length) match {
+        case Some((outer, _)) if outer.pc && outer.tag == 16 =>
+          Asn1.getTlv(outer.buf, outer.off, outer.off + outer.len) match {
+            case Some((mid, np)) if !mid.pc && mid.tag == 2 =>
+              Asn1.getTlv(outer.buf, np, outer.off + outer.len) match {
+                case Some((op, _)) => op.pc && op.tag <= 25
+                case None => false
+              }
+            case _ => false
+          }
+        case _ => false
+      })
 
   def parse(stream: Array[Byte]): Option[LdapInfo] = {
     val auth = Seq.newBuilder[String]

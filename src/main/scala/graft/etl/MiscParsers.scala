@@ -9,14 +9,24 @@ object MiscParsers {
 
   final case class IrcInfo(nick: Seq[String], channel: Seq[String])
 
+  /** IRC classification (parsers/irc.c:95-138): needles `:`,
+    * `NOTICE AUTH`, `NICK `, `USER `, `CAP REQ ` over either direction,
+    * 8-byte floor, then two callback guards — a `:`-led server line must
+    * carry ` NOTICE ` somewhere, and a `USER ` command must come with a
+    * `\nNICK ` or ` +iw ` so plain FTP logins don't classify.
+    */
   def isIrc(src: Array[Byte]): Boolean = {
-    // the reference keys IRC on a NICK command (parsers/irc.c classify) —
-    // a bare `USER ` line is the generic user classifier, e.g. ftp
-    val head = new String(src.take(512), StandardCharsets.ISO_8859_1)
-    val lines = head.split("\r?\n")
-    lines.exists(l => l.startsWith("NICK ")) ||
-      (lines.exists(l => l.startsWith("CAP ")) &&
-        lines.exists(l => l.startsWith("USER ")))
+    if (src.length < 8) return false
+    val head = new String(src, 0, math.min(src.length, 512),
+      StandardCharsets.ISO_8859_1)
+    val needle = head.charAt(0) == ':' || head.startsWith("NOTICE AUTH") ||
+      head.startsWith("NICK ") || head.startsWith("USER ") ||
+      head.startsWith("CAP REQ ")
+    if (!needle) return false
+    if (head.charAt(0) == ':' && !head.contains(" NOTICE ")) return false
+    if (head.charAt(0) == 'U' && !head.contains("\nNICK ") &&
+      !head.contains(" +iw ")) return false
+    true
   }
 
   def parseIrc(src: Array[Byte]): Option[IrcInfo] = {
@@ -45,8 +55,12 @@ object MiscParsers {
     if (src.length >= 8 && u32(src, 0) == 8 && u32(src, 4) == 80877103L) off = 8
     if (src.length < off + 8) return None
     val len = u32(src, off)
-    if (len < 8 || len > 10000 || u32(src, off + 4) != 0x00030000L) return None
-    val end = math.min(off + len, src.length.toLong).toInt
+    // any 3.x protocol minor is accepted (postgresql.c:52 version>>16==3);
+    // a declared length under 16 or past the received bytes rejects
+    // (postgresql.c:47 plen > len || plen < 16)
+    if (len < 16 || len > src.length - off ||
+      (u32(src, off + 4) >> 16) != 3L) return None
+    val end = (off + len).toInt
     var p = off + 8
     val kv = scala.collection.mutable.Map[String, String]()
     while (p < end && src(p) != 0) {
@@ -98,11 +112,47 @@ object MiscParsers {
     Some(MysqlInfo(version.getOrElse(""), user.getOrElse("")))
   }
 
-  def isMysql(dstStream: Array[Byte]): Boolean =
-    dstStream.length >= 6 && (dstStream(3) & 0xff) == 0 &&
-      (dstStream(4) & 0xff) == 0x0a &&
-      (((dstStream(0) & 0xff) | ((dstStream(1) & 0xff) << 8) |
-        ((dstStream(2) & 0xff) << 16)) < 1000)
+  /** MySQL classification (parsers/mysql.c:30-117): the tag lands only
+    * after BOTH sides pass — the server greeting matches the literal
+    * needle `\x00\x00\x00\x0a` at offset 1 (so greetings over 255 bytes
+    * never classify) and carries a non-empty printable NUL-terminated
+    * version from 5; then the CLIENT packet must be a plausible login /
+    * SSLRequest (packet length >= 35 or == 8, seq <= 2, a printable run
+    * from 36 inside the declared packet). A greeting alone is not mysql.
+    */
+  def isMysql(srcStream: Array[Byte], dstStream: Array[Byte]): Boolean = {
+    def printableTo(a: Array[Byte], from: Int, end: Int): Int = {
+      // index of the first NUL in [from,end), or -1 when a non-printable
+      // byte appears first / no NUL before end
+      var i = from
+      while (i < end) {
+        if (a(i) == 0) return i
+        val c = a(i) & 0xff
+        if (c < 0x20 || c > 0x7e) return -1
+        i += 1
+      }
+      -1
+    }
+    val d = dstStream
+    val greeting = d.length >= 6 && d(1) == 0 && d(2) == 0 && d(3) == 0 &&
+      (d(4) & 0xff) == 0x0a && printableTo(d, 5, d.length) > 5
+    if (!greeting) return false
+    val s = srcStream
+    if (s.length < 8 || s(1) != 0 || s(2) != 0 || (s(3) & 0xff) > 2)
+      return false
+    val pktEnd = math.min(s.length, 4 + (s(0) & 0xff))
+    if (pktEnd < 35 && pktEnd != 8) return false
+    // printable run from 36 up to the first NUL or the packet end; a
+    // non-printable byte inside the window rejects (mysql.c:48-57)
+    var i = 36
+    var ok = true
+    while (ok && i < pktEnd && s(i) != 0) {
+      val c = s(i) & 0xff
+      if (c < 0x20 || c > 0x7e) ok = false
+      i += 1
+    }
+    ok
+  }
 
   /** BGP message types from marker-framed messages in both streams
     * (reference parsers/bgp.c: 16x 0xff marker, u16 length, type byte).

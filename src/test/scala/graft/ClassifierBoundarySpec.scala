@@ -104,7 +104,14 @@ class ClassifierBoundarySpec extends AnyFunSuite {
     simple("rtsp", 6, s("RTSP/1.0 ")),
     simple("bjnp", 17, s("BJNP")),
     simple("ssh", 6, s("SSH-")),
-    simple("http2", 6, s("PRI * HTTP/2.0")))
+    simple("http2", 6, s("PRI * HTTP/2.0"))) ++
+    // every http_parser method is a BARE needle, no separator required
+    // (http.c:1038-1042 registers strlen(method)); "HTTP" likewise
+    (Seq("DELETE", "GET", "HEAD", "POST", "PUT", "CONNECT", "OPTIONS",
+      "TRACE", "COPY", "LOCK", "MKCOL", "MOVE", "PROPFIND", "PROPPATCH",
+      "SEARCH", "UNLOCK", "REPORT", "MKACTIVITY", "CHECKOUT", "MERGE",
+      "M-SEARCH", "NOTIFY", "SUBSCRIBE", "UNSUBSCRIBE", "PATCH", "PURGE",
+      "HTTP").map(m => simple("http", 6, s(m))))
 
   test("simple needles: tag at the needle length exactly, never below") {
     simples.foreach { e =>
@@ -216,7 +223,19 @@ class ClassifierBoundarySpec extends AnyFunSuite {
       E("rpc-portmap", "portmap", 17, portmap, _ >= 16),
       E("dhcpv6", "dhcpv6", 17, dhcpv6, _ >= 2, srcPort = 547,
         isV6 = true),
-      E("dhcp", "dhcp", 17, dhcp, _ >= 256, srcPort = 67))
+      E("dhcp", "dhcp", 17, dhcp, _ >= 256, srcPort = 67),
+      // dtls: 4 needles + len >= 100 + handshake type 1 at 13
+      // (dtls.c:314-327)
+      E("dtls", "dtls", 17,
+        b(0x16, 0xfe, 0xfd) ++ fill(10) ++ b(1) ++ fill(86), _ >= 100),
+      // irc needles + the ':'/'U' callback guards (irc.c:95-138)
+      E("irc-nick", "irc", 6, s("NICK joe99"), _ >= 8),
+      E("irc-server-notice", "irc", 6, s(":irc.x NOTICE AUTH hi"),
+        _ >= 14),
+      E("irc-notice-auth", "irc", 6, s("NOTICE AUTH :checking"), _ >= 11),
+      E("irc-cap-req", "irc", 6, s("CAP REQ :sasl"), _ >= 8),
+      E("irc-user-nick", "irc", 6, s("USER a 0 * :x\nNICK b99"), _ >= 19),
+      E("irc-user-iw", "irc", 6, s("USER guest +iw guest :r"), _ >= 15))
   }
 
   test("gated classifiers: the reference's length gates, per truncation") {
@@ -332,6 +351,41 @@ class ClassifierBoundarySpec extends AnyFunSuite {
       fill(20)).contains("netflow"))
     // dropbox-lan-sync: memstr starts at offset 1 — a needle AT 0 only
     assert(!tagsOf(17, 1, 17500, s("host_int")).contains("dropbox-lan-sync"))
+    // http needles are TCP-only registrations (http.c:1038-1042): a UDP
+    // payload with a method prefix (SSDP NOTIFY, SIP-over-UDP) is not http
+    assert(!tagsOf(17, 1, 2, s("GET /index HTTP/1.1")).contains("http"))
+    assert(!tagsOf(17, 1, 2, s("NOTIFY sip:a@b SIP/2.0")).contains("http"))
+    // bare-prefix semantics on tcp: no separator needed after the method
+    assert(tagsOf(6, 1, 2, s("GETX")).contains("http"))
+    assert(tagsOf(6, 1, 2, s("HTTPX")).contains("http"))
+    // tls: hello types 1/2 only, version minor <= 3, len >= 6
+    // (tls.c:749-763)
+    assert(tagsOf(6, 1, 2, b(0x16, 3, 1, 0, 5, 1) ++ fill(5))
+      .contains("tls"))
+    assert(tagsOf(6, 1, 2, b(0x16, 3, 3, 0, 5, 2) ++ fill(5))
+      .contains("tls"))
+    assert(!tagsOf(6, 1, 2, b(0x16, 3, 1, 0, 5, 11) ++ fill(5))
+      .contains("tls")) // certificate-first stream
+    assert(!tagsOf(6, 1, 2, b(0x16, 3, 4, 0, 5, 1) ++ fill(5))
+      .contains("tls")) // version minor 4
+    assert(!tagsOf(6, 1, 2, b(0x16, 3, 1, 0, 5)).contains("tls")) // len 5
+    // irc guards: plain USER login (ftp) and a ':' line without NOTICE
+    assert(!tagsOf(6, 1, 2, s("USER guest 0 * :real name")).contains("irc"))
+    assert(!tagsOf(6, 1, 2, s(":server 001 welcome")).contains("irc"))
+    assert(!tagsOf(6, 1, 2, s("CAP LS 302\r\n")).contains("irc"))
+    // mysql: the tag needs BOTH the server greeting (needle 00 00 00 0a
+    // at 1, printable version) AND a plausible client login packet
+    // (mysql.c:30-117) — a greeting alone is not mysql
+    val greet = b(10, 0, 0, 0, 0x0a) ++ s("5.7.30") ++ b(0) ++ fill(3)
+    val login = b(60, 0, 0, 1) ++ fill(32) ++ s("root") ++ b(0) ++ fill(23)
+    def my(src: Array[Byte], dst: Array[Byte]): Boolean =
+      AppProtocols.classify(6, 40000, 3306, src, dst, src, dst)
+        .contains("mysql")
+    assert(my(login, greet))
+    assert(!my(empty, greet)) // greeting alone
+    assert(!my(login, b(10, 1, 0, 0, 0x0a) ++ s("8.0") ++ b(0))) // len>255
+    assert(!my(b(60, 0, 0, 3) ++ login.drop(4), greet)) // seq 3
+    assert(!my(b(60, 0, 0, 1) ++ fill(32) ++ b(7, 0) ++ fill(26), greet))
     // rdp: version byte, length > payload, cookie offset byte
     assert(!tagsOf(6, 1, 2, b(3, 1, 0, 11, 6, 0xe0) ++ fill(9))
       .contains("rdp"))
