@@ -1076,18 +1076,27 @@ object SessionBuilder {
     var totWireBytes = 0L
     val fileIds: IndexedSeq[String] = {
       val out = new scala.collection.mutable.ArrayBuffer[String](1)
+      // consecutive packets almost always come from the same file (and
+      // after a boundary, from the new one): one cached (ref, idx) pair
+      // collapses the per-packet list scan to a single pointer compare
+      var lastFile: String = null
+      var lastIdx = -1
       var i = 0
       while (i < seg.length) {
         val p = seg(i)
         val f = p.file
-        var j = 0
-        var idx = -1
-        while (j < out.length && idx < 0) {
-          val o = out(j)
-          if ((o eq f) || o == f) idx = j
-          j += 1
+        var idx = if (f eq lastFile) lastIdx else -1
+        if (idx < 0) {
+          var j = 0
+          while (j < out.length && idx < 0) {
+            val o = out(j)
+            if ((o eq f) || o == f) idx = j
+            j += 1
+          }
+          if (idx < 0) { idx = out.length; out += f }
+          lastFile = f
+          lastIdx = idx
         }
-        if (idx < 0) { idx = out.length; out += f }
         packetPosArr(i) = p.fileOffset
         packetLenArr(i) = p.recLen
         packetFileIdxArr(i) = idx
