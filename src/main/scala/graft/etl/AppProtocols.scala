@@ -205,6 +205,12 @@ object AppProtocols {
         }
       }
     val streams = Seq(srcStream, dstStream)
+    // first packet per direction when the caller has them, else the
+    // stream prefix — the unit several per-packet reference classifiers
+    // are defined over
+    val firsts = Seq(
+      if (srcFirst.nonEmpty) srcFirst else srcStream,
+      if (dstFirst.nonEmpty) dstFirst else dstStream)
     // TCP only: the reference registers the method/"HTTP" needles via
     // classifier_register_tcp exclusively (http.c:1038-1042) — a UDP
     // payload that happens to start with NOTIFY/M-SEARCH is not http
@@ -226,11 +232,20 @@ object AppProtocols {
         (progressed(srcStream) && (dstStream.isEmpty || dstStream(0) == 5)))
         tags += "socks"
     }
-    if ((ipProtocol == 17 || ipProtocol == 6) &&
-      (srcPort == 53 || dstPort == 53)) tags += "dns"
+    // dns over tcp: DST port 53 alone tags (dns.c:498-504 — the tcp
+    // classify adds the protocol before any parse; src-side 53 with an
+    // ephemeral dst is not registered)
+    if (ipProtocol == 6 && dstPort == 53) tags += "dns"
+    // dns over udp tags only when a datagram passes the parser's header
+    // gate (dns.c:211-245: 17-byte floor, opcode <= 5, 1..10 questions) —
+    // never on port alone
+    if (ipProtocol == 17 && (srcPort == 53 || dstPort == 53) &&
+      firsts.exists(dnsHeaderOk))
+      tags += "dns"
     // port-based DNS variants; suppressed when port 53 is one endpoint
-    // (parsers/dns.c:509,688-690)
-    if (ipProtocol == 17 && srcPort != 53 && dstPort != 53) {
+    // (parsers/dns.c:509,688-690), same header gate as dns
+    if (ipProtocol == 17 && srcPort != 53 && dstPort != 53 &&
+      firsts.exists(dnsHeaderOk)) {
       if (srcPort == 5353 || dstPort == 5353) tags += "mdns"
       if (srcPort == 5355 || dstPort == 5355) tags += "llmnr"
     }
@@ -238,13 +253,13 @@ object AppProtocols {
     // 68), v4 only, a full 256+-byte BOOTP request/reply with the magic
     // cookie at 236 (parsers/dhcp.c:134-142,187)
     if (ipProtocol == 17 && !isV6 && (srcPort == 67 || dstPort == 67) &&
-      Seq(if (srcFirst.nonEmpty) srcFirst else srcStream,
-        if (dstFirst.nonEmpty) dstFirst else dstStream)
-        .exists(f => f.length >= 256 && (f(0) == 1 || f(0) == 2) &&
+      firsts.exists(f => f.length >= 256 && (f(0) == 1 || f(0) == 2) &&
           (f(236) & 0xff) == 0x63 && (f(237) & 0xff) == 0x82 &&
           (f(238) & 0xff) == 0x53 && (f(239) & 0xff) == 0x63))
       tags += "dhcp"
-    if (streams.exists(s => startsWithAny(s, Seq("SSH-")))) tags += "ssh"
+    // bare "SSH" needle, unconditional callback (ssh.c:213-223,251)
+    if (ipProtocol == 6 &&
+      streams.exists(s => startsWithAny(s, Seq("SSH")))) tags += "ssh"
     if (SmtpParser.isSmtp(srcStream, dstStream)) tags += "smtp"
     // either direction: the irc needles include server-side banners
     // (":server NOTICE ...", "NOTICE AUTH", irc.c:134-138)
@@ -268,9 +283,6 @@ object AppProtocols {
     // --- misc first-bytes classifiers (parsers/misc.c:380-450) ---------
     def win(b: Array[Byte], n: Int = 512): String =
       new String(b, 0, math.min(n, b.length), StandardCharsets.ISO_8859_1)
-    val firsts = Seq(
-      if (srcFirst.nonEmpty) srcFirst else srcStream,
-      if (dstFirst.nonEmpty) dstFirst else dstStream)
     def u(b: Array[Byte], i: Int): Int = b(i) & 0xff
     // tacacs: first-bytes (c0|c1).(01|02|03).(01|02) AND port 49 on either
     // side, both transports (parsers/misc.c:185-189,470-476)
@@ -343,7 +355,10 @@ object AppProtocols {
       if (MiscParsers.isTds(srcStream)) tags += "tds"
       if (MiscParsers.isOracle(if (srcFirst.nonEmpty) srcFirst else srcStream))
         tags += "oracle"
-      if (startsWithAny(srcStream, Seq("PRI * HTTP/2.0"))) tags += "http2"
+      // the needle is the FULL 24-byte connection preface incl. the
+      // "SM\r\n\r\n" tail (http2.c:493)
+      if (startsWithAny(srcStream, Seq("PRI * HTTP/2.0\r\n\r\nSM\r\n\r\n")))
+        tags += "http2"
       // --- remaining misc.c TCP first-bytes classifiers (misc.c:380-556)
       if (streams.exists(st => st.length >= 4 && u(st, 0) == 0xf9 &&
         u(st, 1) == 0xbe && u(st, 2) == 0xb4 &&
@@ -547,6 +562,16 @@ object AppProtocols {
     0xa0 -> "portmap", 0xa1 -> "rstat", 0xa2 -> "rusers", 0xa4 -> "ypprog",
     0xa5 -> "mount", 0xa7 -> "ypbind", 0xa8 -> "wall", 0xa9 -> "yppasswd",
     0xab -> "rquota", 0xb1 -> "rexec", 0xc5 -> "tfs")
+
+  /** dns_parser's tag gate (dns.c:211-245): 17-byte floor, opcode <= 5,
+    * question count 1..10 — udp dns/mdns/llmnr tag only when a datagram
+    * passes this, never on port alone.
+    */
+  private def dnsHeaderOk(f: Array[Byte]): Boolean =
+    f.length >= 17 && ((f(2) >> 3) & 0xf) <= 5 && {
+      val qd = ((f(4) & 0xff) << 8) | (f(5) & 0xff)
+      qd >= 1 && qd <= 10
+    }
 
   /** SNMP: BER SEQ { INTEGER version <= 3 ... } (misc.c snmp_classify).
     * The dispatcher's needle is the literal first byte \x30 (universal

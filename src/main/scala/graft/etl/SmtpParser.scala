@@ -274,12 +274,21 @@ object SmtpParser {
     out.toByteArray
   }
 
+  /** SMTP classification (smtp.c:884-897): exact-case `HELO ` / `EHLO `
+    * (with the trailing space) on either direction, or a `220 ` banner
+    * carrying "SMTP" anywhere in it — so a server-banner-only capture
+    * still tags; a lowercase `helo` does not.
+    */
   def isSmtp(srcStream: Array[Byte], dstStream: Array[Byte]): Boolean = {
-    // the reference classifies on the HELO/EHLO command alone (parsers/
-    // smtp.c classify) — one-sided captures still tag smtp
-    def head(b: Array[Byte]) =
-      new String(b.take(64), StandardCharsets.ISO_8859_1).toUpperCase
-    head(srcStream).startsWith("HELO") || head(srcStream).startsWith("EHLO")
+    def hit(b: Array[Byte]): Boolean =
+      b.length >= 5 && {
+        val h = new String(b, 0, 5, StandardCharsets.ISO_8859_1)
+        h == "HELO " || h == "EHLO " ||
+          (h.startsWith("220 ") &&
+            new String(b, 0, math.min(b.length, 512),
+              StandardCharsets.ISO_8859_1).contains("SMTP"))
+      }
+    hit(srcStream) || hit(dstStream)
   }
 
   def parse(srcStream: Array[Byte]): Option[SmtpInfo] = {

@@ -103,8 +103,9 @@ class ClassifierBoundarySpec extends AnyFunSuite {
     simple("elasticsearch", 6, s("ES") ++ b(0, 0)),
     simple("rtsp", 6, s("RTSP/1.0 ")),
     simple("bjnp", 17, s("BJNP")),
-    simple("ssh", 6, s("SSH-")),
-    simple("http2", 6, s("PRI * HTTP/2.0"))) ++
+    simple("ssh", 6, s("SSH")), // bare needle: "SSHX" is ssh (ssh.c:251)
+    // the full 24-byte preface is the needle (http2.c:493)
+    simple("http2", 6, s("PRI * HTTP/2.0\r\n\r\nSM\r\n\r\n"))) ++
     // every http_parser method is a BARE needle, no separator required
     // (http.c:1038-1042 registers strlen(method)); "HTTP" likewise
     (Seq("DELETE", "GET", "HEAD", "POST", "PUT", "CONNECT", "OPTIONS",
@@ -235,7 +236,12 @@ class ClassifierBoundarySpec extends AnyFunSuite {
       E("irc-notice-auth", "irc", 6, s("NOTICE AUTH :checking"), _ >= 11),
       E("irc-cap-req", "irc", 6, s("CAP REQ :sasl"), _ >= 8),
       E("irc-user-nick", "irc", 6, s("USER a 0 * :x\nNICK b99"), _ >= 19),
-      E("irc-user-iw", "irc", 6, s("USER guest +iw guest :r"), _ >= 15))
+      E("irc-user-iw", "irc", 6, s("USER guest +iw guest :r"), _ >= 15),
+      // smtp: exact-case HELO /EHLO with the space, or a 220 banner
+      // carrying "SMTP" (smtp.c:884-897)
+      E("smtp-helo", "smtp", 6, s("HELO x.com\r\n"), _ >= 5),
+      E("smtp-ehlo", "smtp", 6, s("EHLO x.com\r\n"), _ >= 5),
+      E("smtp-banner", "smtp", 6, s("220 77SMTP ready"), _ >= 10))
   }
 
   test("gated classifiers: the reference's length gates, per truncation") {
@@ -373,6 +379,23 @@ class ClassifierBoundarySpec extends AnyFunSuite {
     assert(!tagsOf(6, 1, 2, s("USER guest 0 * :real name")).contains("irc"))
     assert(!tagsOf(6, 1, 2, s(":server 001 welcome")).contains("irc"))
     assert(!tagsOf(6, 1, 2, s("CAP LS 302\r\n")).contains("irc"))
+    // smtp: lowercase helo and a missing trailing space never classify
+    assert(!tagsOf(6, 1, 2, s("helo x.com\r\n")).contains("smtp"))
+    assert(!tagsOf(6, 1, 2, s("HELOX.com\r\n")).contains("smtp"))
+    assert(!tagsOf(6, 1, 2, s("220 mail ready")).contains("smtp"))
+    // dns: udp tags only on the parser's header gate — 17-byte floor,
+    // opcode <= 5, 1..10 questions (dns.c:211-245); tcp tags on DST
+    // port 53 alone (dns.c:498-504), never src-side 53
+    val q = b(0, 1, 1, 0, 0, 1, 0, 0, 0, 0, 0, 0) ++ fill(5)
+    assert(tagsOf(17, 40000, 53, q).contains("dns"))
+    assert(!tagsOf(17, 40000, 53, q.take(16)).contains("dns")) // 16 bytes
+    assert(!tagsOf(17, 40000, 53, fill(17)).contains("dns")) // opcode 7
+    val q0 = q.clone(); q0(4) = 0; q0(5) = 0 // zero questions
+    assert(!tagsOf(17, 40000, 53, q0).contains("dns"))
+    assert(tagsOf(6, 40000, 53, fill(3)).contains("dns")) // tcp dst 53
+    assert(!tagsOf(6, 53, 40000, fill(3)).contains("dns")) // tcp src 53
+    assert(tagsOf(17, 5353, 40000, q).contains("mdns"))
+    assert(!tagsOf(17, 5353, 40000, q0).contains("mdns"))
     // mysql: the tag needs BOTH the server greeting (needle 00 00 00 0a
     // at 1, printable version) AND a plausible client login packet
     // (mysql.c:30-117) — a greeting alone is not mysql
