@@ -1160,6 +1160,56 @@ object SparkEntry {
     }),
 
     // --- I10: declarative rules engine (field-set / tag / drop) ---------
+    // --- I10b: the capture rules-FILE loader (tests/rules.yaml format,
+    //     capture/rules.c semantics) driving the same batch engine — a
+    //     synthesized session-shaped frame, one field rule per match
+    //     kind (CIDR, int set, modifier substring) plus a _dontSaveSPI
+    //     save-stage rule ---------------------------------------------
+    "r2_rules_yaml" -> ((s, dir) => {
+      import graft.query.RulesLoader
+      val yaml =
+        """version: 1
+          |rules:
+          |  - name: mark-net
+          |    when: fieldSet
+          |    fields:
+          |      ip.src:
+          |        - 10.32.0.0/11
+          |      port.dst:
+          |        - 4400
+          |        - 4401
+          |    ops:
+          |      protocols: "netmark"
+          |  - name: mark-host
+          |    when: fieldSet
+          |    fields:
+          |      host.http,endsWith:
+          |        - le.com
+          |    ops:
+          |      protocols: "hostmark"
+          |  - name: drop-neither
+          |    when: beforeFinalSave
+          |    fields:
+          |      port.dst: 4402
+          |    ops:
+          |      _dontSaveSPI: 1
+          |""".stripMargin
+      val rules = RulesLoader.load(yaml, graft.model.FieldRegistry.sessions)
+      val frame = ev(s, dir).filter(col("user_id").isNotNull)
+        .select(col("event_id"),
+          concat_ws(".", lit("10"), col("user_id") % 64, lit("0"), lit("1"))
+            .as("srcIp"),
+          (lit(4400) + col("event_id") % 4).cast("int").as("dstPort"),
+          array(concat(lit("h"), col("user_id") % 4,
+            when(col("user_id") % 2 === 0, lit(".example.com"))
+              .otherwise(lit(".other.org")))).as("httpHost"),
+          array(lit("udp")).as("protocol"))
+      RulesLoader.applySpi(frame, rules)
+        .select(col("event_id"),
+          concat_ws(",", col("protocol")).as("tags"))
+        .orderBy("event_id")
+    }),
+
     "r1_rules_engine" -> ((s, dir) => {
       import graft.ops.Rules
       val rules = Seq(
@@ -1826,6 +1876,16 @@ object SparkEntry {
          FROM events WHERE user_id IS NOT NULL)
          SELECT event_id, srcIp FROM e
          WHERE ipnum BETWEEN 176160768 AND 180355071 ORDER BY event_id""",
+    "r2_rules_yaml" ->
+      """SELECT event_id,
+         concat_ws(',',
+           CASE WHEN (user_id % 2) = 0 THEN 'hostmark' END,
+           CASE WHEN (user_id % 64) BETWEEN 32 AND 63
+                 AND (event_id % 4) IN (0, 1) THEN 'netmark' END,
+           'udp') AS tags
+         FROM events
+         WHERE user_id IS NOT NULL AND (event_id % 4) <> 2
+         ORDER BY event_id""",
     "r1_rules_engine" ->
       """SELECT event_id,
          concat_ws(',',

@@ -133,8 +133,21 @@ final class Compiler(
       neg(Cmp(field, Eq, value), depth)
     case Cmp(field, op, value0) =>
       val value = expandShortcut(value0)
-      val defs = expandChecked(field)
+      val defs = expandPortAware(field, value)
       defs.map(d => cmpCol(d, op, value)).reduce(_ || _)
+  }
+
+  /** Meta fan-out with a `:port`-bearing ip operand keeps only the
+    * portField carriers (molochparser.js:311-330 getIpInfoList needPort —
+    * `ip == a.b.c.d:80` never consults dns/xff ips, which have no paired
+    * port to test).
+    */
+  private def expandPortAware(field: String, value: Value): Seq[FieldDef] = {
+    val defs = expandChecked(field)
+    if (registry.isMeta(field) && defs.exists(_.kind == FieldKind.IpK) &&
+      ipValueHasPort(value))
+      defs.filter(_.portField.isDefined)
+    else defs
   }
 
   /** Compile "ast is NOT true" (false-or-null matches). */
@@ -158,7 +171,7 @@ final class Compiler(
       val value = expandShortcut(value0)
       // must_not(OR over fanned-out fields) = AND of per-field negations
       val porty = ipValueHasPort(value)
-      expandChecked(field)
+      expandPortAware(field, value)
         .map { d =>
           if (d.kind == FieldKind.IpK && porty)
             // a `:port` / `ip:port` form (jison parseIpPort:150-293)

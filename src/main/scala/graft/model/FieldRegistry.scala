@@ -220,9 +220,12 @@ object FieldRegistry {
         multiValued = true),
       FieldDef("ip.dns.nameserver", "dnsNameserverIp", IpK,
         multiValued = true),
-      FieldDef("socks.ip",     "socksIp",      IpK, portField = Some("socksPort")),
+      // the reference's primary expressions are ip.socks/port.socks
+      // (parsers/socks.c:296-322); the db-style socks.* spellings stay
+      // usable through aliases below
+      FieldDef("ip.socks",     "socksIp",      IpK, portField = Some("socksPort")),
       FieldDef("host.socks",   "socksHost",    LoTermK),
-      FieldDef("socks.port",   "socksPort",    IntegerK),
+      FieldDef("port.socks",   "socksPort",    IntegerK),
       FieldDef("tls.version",  "tlsVersion",   TermK, multiValued = true),
       FieldDef("tls.cipher",   "tlsCipher",    UpTermK, multiValued = true),
       FieldDef("tls.ja3",      "tlsJa3",       LoTermK, multiValued = true),
@@ -244,7 +247,7 @@ object FieldRegistry {
       FieldDef("email.content-type", "emailContentType", LoTermK, multiValued = true),
       FieldDef("email.message-id", "emailId", TermK, multiValued = true),
       FieldDef("email.host",   "emailHost",    LoTermK, multiValued = true),
-      FieldDef("email.ip",     "emailIp",      IpK, multiValued = true),
+      FieldDef("ip.email",     "emailIp",      IpK, multiValued = true),
       FieldDef("email.x-mailer", "emailUseragent", TermK, multiValued = true),
       FieldDef("vlan",         "vlanId",       IntegerK, multiValued = true),
       // cert.* fields over the struct array: scalar-per-cert extracts
@@ -333,11 +336,18 @@ object FieldRegistry {
       FieldDef("rir.gre",      "greRir",       TermK, multiValued = true)
       // email fields carry requiredRight=emailSearch, as db.pl marks
       // every email* field (enforced by Compiler when rights are set)
-    ).map(f => if (f.expression.startsWith("email."))
+    ).map(f => if (f.expression.startsWith("email.") ||
+      f.dbField.startsWith("email"))
       f.copy(requiredRight = Some("emailSearch")) else f),
     metaFields = Map(
-      "ip"   -> Seq("ip.src", "ip.dst"),
-      "port" -> Seq("port.src", "port.dst"),
+      // `ip` is the viewer's ipall special: EVERY ip-typed field
+      // (molochparser.js:311-330 getIpInfoList — with a `:port` operand
+      // only the portField carriers stay, enforced in the Compiler)
+      "ip"   -> Seq("ip.src", "ip.dst", "ip.dns", "ip.dns.nameserver",
+        "ip.dns.mailserver", "ip.socks", "ip.email", "ip.xff",
+        "radius.framed-ip", "gre.ip"),
+      // port regex `^port\.|\.port$` over expressions (db/db.pl:755)
+      "port" -> Seq("port.src", "port.dst", "port.socks"),
       // `host` fans out over every hostname expression — the reference
       // defines it by the dbField regex (^host\..*|\.host$, minus
       // .cnt/.tokens) in db/db.pl:781-788, expanded to an OR at
@@ -367,7 +377,11 @@ object FieldRegistry {
       "host.http" -> "http.host",
       "host.dns" -> "dns.host",
       "host.dns.mailserver" -> "dns.mailserver.host",
-      "host.dns.nameserver" -> "dns.nameserver.host"))
+      "host.dns.nameserver" -> "dns.nameserver.host",
+      // db-style spellings of the socks/email primaries
+      "socks.ip" -> "ip.socks",
+      "socks.port" -> "port.socks",
+      "email.ip" -> "ip.email"))
 
   /** Column resolver for session tables: derived epoch-second views of the
     * millisecond timestamp columns.

@@ -127,21 +127,33 @@ class ExprPropertySpec extends AnyFunSuite with SparkSpecBase {
       FieldRegistry.sessionCol, SparkEntry.now)
     def srows(e: String): Long = sessions.filter(sc.compile(e)).count()
     val tot = sessions.count()
+    // members come from the registry so these laws track the full ipall/
+    // port fan-out (every ip-typed field; port.src/dst/socks)
+    val ipMembers = FieldRegistry.sessions.expand("ip").map(_.expression)
+    val portMembers = FieldRegistry.sessions.expand("port").map(_.expression)
+    assert(ipMembers.size >= 10 && portMembers.size == 3)
     for (v <- Seq("10.0.0.0/8", "8.8.8.8", "192.168.0.0/16", "10.180.0.0/16")) {
       // meta-field == fans out to an OR over members
-      assert(srows(s"ip == $v") == srows(s"ip.src == $v || ip.dst == $v"),
+      assert(srows(s"ip == $v") ==
+        srows(ipMembers.map(m => s"$m == $v").mkString(" || ")),
         s"ip fan-out broke for $v")
       // meta-field != is must_not(OR) = AND of member negations
-      assert(srows(s"ip != $v") == srows(s"ip.src != $v && ip.dst != $v"),
+      assert(srows(s"ip != $v") ==
+        srows(ipMembers.map(m => s"$m != $v").mkString(" && ")),
         s"ip must_not fan-out broke for $v")
       assert(srows(s"ip == $v") + srows(s"ip != $v") == tot,
         s"ip ==/!= must partition all rows for $v (must_not includes null)")
+      // a :port operand keeps only the portField carriers
+      // (molochparser.js getIpInfoList needPort)
+      assert(srows(s"ip == $v:80") == srows(
+        s"ip.src == $v:80 || ip.dst == $v:80 || ip.socks == $v:80"),
+        s"ip:port fan-out broke for $v")
     }
     for (p <- Seq(53, 80, 443, 1080)) {
       assert(srows(s"port == $p") ==
-        srows(s"port.src == $p || port.dst == $p"))
+        srows(portMembers.map(m => s"$m == $p").mkString(" || ")))
       assert(srows(s"port != $p") ==
-        srows(s"port.src != $p && port.dst != $p"))
+        srows(portMembers.map(m => s"$m != $p").mkString(" && ")))
     }
     // operand transform inside a list: ip.protocol names → numbers must
     // apply per member (jison:712-762 applies the transform to each
