@@ -278,6 +278,17 @@ object FieldRegistry {
       FieldDef("ldap.authtype", "ldapAuthtype", TermK, multiValued = true),
       FieldDef("ldap.bindname", "ldapBindname", TermK, multiValued = true),
       FieldDef("host.quic",    "quicHost",     LoTermK, multiValued = true),
+      // lotextfield `.tokens` companions (FLAG_FAKE twins of the host/
+      // uri fields — http.c:838-842, dns.c, smtp.c:928-933, quic.c,
+      // socks.c:313-318, oracle.c): same stored column, analyzed-phrase
+      // semantics
+      FieldDef("host.http.tokens", "httpHost",  TextK, multiValued = true),
+      FieldDef("http.uri.tokens",  "httpUri",   TextK, multiValued = true),
+      FieldDef("host.dns.tokens",  "dnsQname",  TextK, multiValued = true),
+      FieldDef("host.quic.tokens", "quicHost",  TextK, multiValued = true),
+      FieldDef("host.socks.tokens", "socksHost", TextK),
+      FieldDef("host.email.tokens", "emailHost", TextK, multiValued = true),
+      FieldDef("oracle.host.tokens", "oracleHost", TextK),
       FieldDef("quic.user-agent", "quicUseragent", TermK, multiValued = true),
       FieldDef("quic.version", "quicVersion",  TermK, multiValued = true),
       FieldDef("smb.domain",   "smbDomain",    TermK, multiValued = true),
@@ -381,7 +392,9 @@ object FieldRegistry {
       // db-style spellings of the socks/email primaries
       "socks.ip" -> "ip.socks",
       "socks.port" -> "port.socks",
-      "email.ip" -> "ip.email"))
+      "email.ip" -> "ip.email",
+      // smtp.c:932 registers this alias for the tokens twin
+      "email.host.tokens" -> "host.email.tokens"))
 
   /** Column resolver for session tables: derived epoch-second views of the
     * millisecond timestamp columns.

@@ -160,6 +160,12 @@ class ExprPropertySpec extends AnyFunSuite with SparkSpecBase {
     // list item), so the list equals the OR of transformed singles
     assert(srows("ip.protocol == [tcp, udp]") ==
       srows("ip.protocol == 6 || ip.protocol == 17"))
+    // `.tokens` companions: analyzed-phrase over the SAME column — the
+    // in-order token sequence matches, the reversed one doesn't
+    assert(srows("host.http.tokens == \"example com\"") > 0)
+    assert(srows("host.http.tokens == \"com example\"") == 0)
+    // db-style alias spellings of the renamed primaries still resolve
+    assert(srows("socks.ip == EXISTS!") == srows("ip.socks == EXISTS!"))
     assert(srows("ip.protocol == [tcp, icmp]") ==
       srows("ip.protocol == tcp || ip.protocol == 1"))
     // and under negation: != [list] = none of the members
