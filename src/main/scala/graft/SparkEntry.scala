@@ -338,6 +338,8 @@ object SparkEntry {
         array().cast("array<string>").as("dnsNameserverHost"),
         array().cast("array<string>").as("smbHost"),
         array().cast("array<string>").as("emailHost"),
+        array().cast("array<string>").as("dhcpHost"),
+        lit(null).cast("string").as("oracleHost"),
         lit(null).cast("string").as("socksHost"))
       val c = new Compiler(FieldRegistry.sessions, FieldRegistry.sessionCol, now)
       d.filter(c.compile("host == [h7.example.com, d1*.example.org]"))

@@ -160,6 +160,7 @@ object SessionBuilder {
       sshVersion: Seq[String], sshHassh: Seq[String],
       sshHasshServer: Seq[String], sshKey: Seq[String],
       dhcpId: Seq[String], dhcpMac: Seq[String], dhcpType: Seq[String],
+      dhcpHost: Seq[String],
       smtpHello: Seq[String], emailSrc: Seq[String], emailDst: Seq[String],
       emailSubject: Seq[String], emailContentType: Seq[String],
       emailMimeVersion: Seq[String], emailHeader: Seq[String],
@@ -1458,6 +1459,7 @@ object SessionBuilder {
       sshHasshServer = ssh.map(_.hasshServer).getOrElse(Nil),
       sshKey = ssh.map(_.key).getOrElse(Nil),
       dhcpId = dhcp.map(_.id).getOrElse(Nil),
+      dhcpHost = dhcp.map(_.host).getOrElse(Nil),
       dhcpMac = dhcp.map(_.mac).getOrElse(Nil),
       dhcpType = dhcp.map(_.dhcpType).getOrElse(Nil),
       smtpHello = smtp.map(_.hello).getOrElse(Nil),

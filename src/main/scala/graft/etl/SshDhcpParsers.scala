@@ -118,42 +118,86 @@ object SshParser {
   */
 object DhcpParser {
 
-  final case class DhcpInfo(id: Seq[String], mac: Seq[String], dhcpType: Seq[String])
+  final case class DhcpInfo(id: Seq[String], mac: Seq[String],
+      dhcpType: Seq[String], host: Seq[String])
 
-  private val typeNames = Map(1 -> "DISCOVER", 2 -> "OFFER", 3 -> "REQUEST",
-    4 -> "DECLINE", 5 -> "ACK", 6 -> "NAK", 7 -> "RELEASE", 8 -> "INFORM")
+  // names[0] is the empty string — a (bogus) option-53 value of 0 adds
+  // it verbatim, as the reference's `value <= 18` check does
+  private val typeNames = Array("", "DISCOVER", "OFFER", "REQUEST",
+    "DECLINE", "ACK", "NAK", "RELEASE", "INFORM", "FORCERENEW",
+    "LEASEQUERY", "LEASEUNASSIGNED", "LEASEUNKNOWN", "LEASEACTIVE",
+    "BULKLEASEQUERY", "LEASEQUERYDONE", "ACTIVELEASEQUERY",
+    "LEASEQUERYSTATUS", "TLS")
 
-  /** Parse one BOOTP/DHCP message (a UDP payload). */
-  def parseMessage(b: Array[Byte]): Option[(String, String, String)] = {
-    if (b.length < 240) return None
-    // magic cookie at 236
-    if ((b(236) & 0xff) != 0x63 || (b(237) & 0xff) != 0x82 ||
-        (b(238) & 0xff) != 0x53 || (b(239) & 0xff) != 0x63) return None
+  final case class Msg(id: String, mac: Seq[String],
+      types: Seq[String], hosts: Seq[String])
+
+  /** Parse one BOOTP/DHCP message exactly as dhcp_udp_parser walks it
+    * (dhcp.c:33-132): 256-byte floor; the xid records even without a
+    * message type; the chaddr MAC records for hardware type 1 (six
+    * bytes, regardless of hlen); the option walk takes host names from
+    * options 12 and 81 (FQDN, ascii encoding only) and a client-id MAC
+    * from option 61 — including the reference's two parse quirks, kept
+    * bug-compatible: a 0x00 pad byte is treated as an option WITH a
+    * length byte (no case 0), and a non-ascii FQDN consumes l+2 bytes
+    * (the flags/rcode skip happens before the `l - 1` skip).
+    */
+  def parseMessage(b: Array[Byte]): Option[Msg] = {
+    if (b.length < 256) return None
     val xid = ((b(4) & 0xffL) << 24) | ((b(5) & 0xffL) << 16) |
       ((b(6) & 0xffL) << 8) | (b(7) & 0xffL)
-    val hlen = b(2) & 0xff
-    val mac = (0 until math.min(hlen, 6))
-      .map(i => f"${b(28 + i) & 0xff}%02x").mkString(":")
+    val macs = Seq.newBuilder[String]
+    val types = Seq.newBuilder[String]
+    val hosts = Seq.newBuilder[String]
+    def macAt(off: Int): String =
+      (0 until 6).map(i => f"${b(off + i) & 0xff}%02x").mkString(":")
+    if ((b(1) & 0xff) == 1) macs += macAt(28)
     var off = 240
-    var msgType = -1
-    while (off + 2 <= b.length && (b(off) & 0xff) != 255 && msgType < 0) {
-      val opt = b(off) & 0xff
-      if (opt == 0) { off += 1 }
+    var done = false
+    while (!done && off + 2 <= b.length) {
+      val t = b(off) & 0xff
+      if (t == 255) done = true
       else {
-        val len = b(off + 1) & 0xff
-        if (opt == 53 && len >= 1 && off + 2 < b.length) msgType = b(off + 2) & 0xff
-        off += 2 + len
+        val l = b(off + 1) & 0xff
+        if (l > b.length - off - 2 || l == 0) done = true
+        else {
+          t match {
+            case 12 =>
+              hosts += new String(b, off + 2, l,
+                java.nio.charset.StandardCharsets.ISO_8859_1).toLowerCase
+              off += 2 + l
+            case 53 =>
+              if (l == 1) {
+                val v = b(off + 2) & 0xff
+                if (v <= 18) types += typeNames(v)
+              }
+              off += 2 + l
+            case 61 =>
+              if (l == 7 && (b(off + 2) & 0xff) == 1) macs += macAt(off + 3)
+              off += 2 + l
+            case 81 =>
+              if (l < 3) off += 2 + l
+              else if ((b(off + 2) & 0xff) != 0) off += 2 + l + 2 // quirk
+              else {
+                hosts += new String(b, off + 5, l - 3,
+                  java.nio.charset.StandardCharsets.ISO_8859_1).toLowerCase
+                off += 2 + l
+              }
+            case _ => off += 2 + l
+          }
+        }
       }
     }
-    typeNames.get(msgType).map(t => (f"$xid%x", mac, t))
+    Some(Msg(f"$xid%x", macs.result(), types.result(), hosts.result()))
   }
 
   def parse(payloads: Seq[Array[Byte]]): Option[DhcpInfo] = {
     val parsed = payloads.flatMap(parseMessage)
     if (parsed.isEmpty) None
     else Some(DhcpInfo(
-      id = parsed.map(_._1).distinct.sorted,
-      mac = parsed.map(_._2).distinct.sorted,
-      dhcpType = parsed.map(_._3).distinct.sorted))
+      id = parsed.map(_.id).distinct.sorted,
+      mac = parsed.flatMap(_.mac).distinct.sorted,
+      dhcpType = parsed.flatMap(_.types).distinct.sorted,
+      host = parsed.flatMap(_.hosts).distinct.sorted))
   }
 }

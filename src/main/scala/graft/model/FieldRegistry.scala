@@ -240,6 +240,8 @@ object FieldRegistry {
       FieldDef("dhcp.mac",     "dhcpMac",      LoTermK, multiValued = true,
         transform = Some(dash2Colon)),
       FieldDef("dhcp.type",    "dhcpType",     UpTermK, multiValued = true),
+      FieldDef("dhcp.host",    "dhcpHost",     LoTermK, multiValued = true),
+      FieldDef("dhcp.host.tokens", "dhcpHost", TextK, multiValued = true),
       FieldDef("email.smtp-hello", "smtpHello", LoTermK, multiValued = true),
       FieldDef("email.src",    "emailSrc",     LoTermK, multiValued = true),
       FieldDef("email.dst",    "emailDst",     LoTermK, multiValued = true),
@@ -365,6 +367,9 @@ object FieldRegistry {
       // molochparser.jison:356-375.
       "host" -> Seq("http.host", "dns.host", "dns.mailserver.host",
         "dns.nameserver.host", "host.quic", "host.smb", "host.socks",
+        // the `\.host$` half of the regex also sweeps dhcp.host and
+        // oracle.host (db.pl:787)
+        "dhcp.host", "oracle.host",
         // db.pl's ^host\. regex sweeps the email host too (dbField
         // host.email); it carries requiredRight=emailSearch, so a
         // rights-bearing compiler silently drops it from the fan-out

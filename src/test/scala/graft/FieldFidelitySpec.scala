@@ -143,6 +143,7 @@ class FieldFidelitySpec extends AnyFunSuite with SparkSpecBase {
     ("dhcp.id", ("dhcp", "id"), _.dhcpId),
     ("dhcp.mac", ("dhcp", "mac"), _.dhcpMac),
     ("dhcp.type", ("dhcp", "type"), _.dhcpType),
+    ("dhcp.host", ("dhcp", "host"), _.dhcpHost),
     ("length", ("length", ""), r => Seq(r.length.toString)),
     ("totDataBytes", ("totDataBytes", ""), r => Seq(r.totDataBytes.toString)),
     ("segmentCnt", ("segmentCnt", ""), r => Seq(r.segmentCnt.toString)),

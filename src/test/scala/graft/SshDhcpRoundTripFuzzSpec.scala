@@ -126,15 +126,19 @@ class SshDhcpRoundTripFuzzSpec extends AnyFunSuite {
     }
   }
 
-  test("dhcp bootp messages round-trip xid, mac and option-53 type") {
-    val typeNames = Map(1 -> "DISCOVER", 2 -> "OFFER", 3 -> "REQUEST",
-      4 -> "DECLINE", 5 -> "ACK", 6 -> "NAK", 7 -> "RELEASE", 8 -> "INFORM")
+  test("dhcp bootp messages round-trip xid, macs, types and hosts") {
+    // full names table incl. the leasequery family (dhcp.c:35-54)
+    val typeNames = Array("", "DISCOVER", "OFFER", "REQUEST", "DECLINE",
+      "ACK", "NAK", "RELEASE", "INFORM", "FORCERENEW", "LEASEQUERY",
+      "LEASEUNASSIGNED", "LEASEUNKNOWN", "LEASEACTIVE", "BULKLEASEQUERY",
+      "LEASEQUERYDONE", "ACTIVELEASEQUERY", "LEASEQUERYSTATUS", "TLS")
     for (trial <- 0 until 150) {
       val n = 1 + nextInt(4)
+      final case class Want(id: String, macs: Seq[String],
+          types: Seq[String], hosts: Seq[String])
       val msgs = (0 until n).map { _ =>
         val xid = (nextInt(1 << 30).toLong << 2) | nextInt(4)
         val mac = Array.tabulate(6)(_ => nextInt(256))
-        val t = 1 + nextInt(8)
         val b = new java.io.ByteArrayOutputStream()
         b.write(1); b.write(1); b.write(6); b.write(0) // op htype hlen hops
         (0 until 4).foreach(k => b.write(((xid >> (24 - k * 8)) & 0xff).toInt))
@@ -143,20 +147,53 @@ class SshDhcpRoundTripFuzzSpec extends AnyFunSuite {
         b.write(new Array[Byte](10)) // chaddr pad
         b.write(new Array[Byte](192)) // sname + file
         b.write(Array[Byte](0x63, 0x82.toByte, 0x53, 0x63)) // magic
-        // leading pad options + a non-53 option before the message type
-        if (chance(40)) b.write(0)
-        if (chance(50)) { b.write(12); b.write(4); b.write("host".getBytes) }
-        b.write(53); b.write(1); b.write(t)
-        b.write(255.toByte.toInt)
-        (b.toByteArray, f"$xid%x", mac.map(m => f"$m%02x").mkString(":"),
-          typeNames(t))
+        val macs = Seq.newBuilder[String]
+        val types = Seq.newBuilder[String]
+        val hosts = Seq.newBuilder[String]
+        macs += mac.map(m => f"$m%02x").mkString(":")
+        // an unknown option the walk must skip
+        if (chance(40)) { b.write(43); b.write(2); b.write(9); b.write(9) }
+        if (chance(50)) { // option 12 host name, mixed case → lowered
+          val h = s"Host${nextInt(90)}"
+          b.write(12); b.write(h.length); b.write(h.getBytes)
+          hosts += h.toLowerCase
+        }
+        if (chance(40)) { // option 61 client identifier (type 1 + mac)
+          val cm = Array.tabulate(6)(_ => nextInt(256))
+          b.write(61); b.write(7); b.write(1); cm.foreach(b.write)
+          macs += cm.map(m => f"$m%02x").mkString(":")
+        }
+        if (chance(40)) { // option 81 FQDN, ascii encoding (flags 0)
+          val f = s"Fq${nextInt(90)}.example"
+          b.write(81); b.write(3 + f.length); b.write(0); b.write(0)
+          b.write(0); b.write(f.getBytes)
+          hosts += f.toLowerCase
+        }
+        if (chance(70)) { // option 53 message type — optional: a plain
+          // BOOTP message still contributes its xid and chaddr mac
+          val t = 1 + nextInt(18)
+          b.write(53); b.write(1); b.write(t)
+          types += typeNames(t)
+        }
+        b.write(255)
+        // the parser's floor is 256 bytes (dhcp.c:56) — real messages
+        // pad past it; zeros after the end tag are never walked
+        while (b.size() < 260) b.write(0)
+        (b.toByteArray,
+          Want(f"$xid%x", macs.result(), types.result(), hosts.result()))
       }
       val info = DhcpParser.parse(msgs.map(_._1))
         .getOrElse(fail(s"trial $trial: no DhcpInfo"))
-      assert(info.id == msgs.map(_._2).distinct.sorted, s"trial $trial id")
-      assert(info.mac == msgs.map(_._3).distinct.sorted, s"trial $trial mac")
-      assert(info.dhcpType == msgs.map(_._4).distinct.sorted,
+      assert(info.id == msgs.map(_._2.id).distinct.sorted, s"trial $trial id")
+      assert(info.mac == msgs.flatMap(_._2.macs).distinct.sorted,
+        s"trial $trial mac")
+      assert(info.dhcpType == msgs.flatMap(_._2.types).distinct.sorted,
         s"trial $trial type")
+      assert(info.host == msgs.flatMap(_._2.hosts).distinct.sorted,
+        s"trial $trial host")
+      // an under-floor message (dhcp.c:56 len < 256) contributes nothing
+      assert(DhcpParser.parse(Seq(msgs.head._1.take(250))).isEmpty,
+        s"trial $trial floor")
     }
   }
 }

@@ -41,6 +41,8 @@ class UsersSpec extends AnyFunSuite with SparkSpecBase {
       .withColumn("dnsNameserverHost", array().cast("array<string>"))
       .withColumn("smbHost", array().cast("array<string>"))
       .withColumn("socksHost", lit(null).cast("string"))
+      .withColumn("dhcpHost", array().cast("array<string>"))
+      .withColumn("oracleHost", lit(null).cast("string"))
     val noRight = Users.compilerFor(basic, FieldRegistry.sessions,
       FieldRegistry.sessionCol)
     val withRight = Users.compilerFor(emailUser, FieldRegistry.sessions,
