@@ -399,7 +399,16 @@ object FieldRegistry {
       "socks.port" -> "port.socks",
       "email.ip" -> "ip.email",
       // smtp.c:932 registers this alias for the tokens twin
-      "email.host.tokens" -> "host.email.tokens"))
+      "email.host.tokens" -> "host.email.tokens",
+      // per-parser "aliases" registrations: both spellings of every
+      // host field resolve (smtp.c host.email↔email.host, smb.c,
+      // socks.c, quic.c, dhcp.c:158, oracle.c:57)
+      "host.email" -> "email.host",
+      "smb.host" -> "host.smb",
+      "socks.host" -> "host.socks",
+      "quic.host" -> "host.quic",
+      "host.dhcp" -> "dhcp.host",
+      "host.oracle" -> "oracle.host"))
 
   /** Column resolver for session tables: derived epoch-second views of the
     * millisecond timestamp columns.

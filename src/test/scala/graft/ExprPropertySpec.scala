@@ -166,6 +166,12 @@ class ExprPropertySpec extends AnyFunSuite with SparkSpecBase {
     assert(srows("host.http.tokens == \"com example\"") == 0)
     // db-style alias spellings of the renamed primaries still resolve
     assert(srows("socks.ip == EXISTS!") == srows("ip.socks == EXISTS!"))
+    // both spellings of every aliased host field resolve to one column
+    for ((a, b) <- Seq("host.email" -> "email.host", "smb.host" -> "host.smb",
+      "socks.host" -> "host.socks", "quic.host" -> "host.quic",
+      "host.dhcp" -> "dhcp.host", "host.oracle" -> "oracle.host",
+      "host.http" -> "http.host"))
+      assert(srows(s"$a == EXISTS!") == srows(s"$b == EXISTS!"), s"$a/$b")
     assert(srows("ip.protocol == [tcp, icmp]") ==
       srows("ip.protocol == tcp || ip.protocol == 1"))
     // and under negation: != [list] = none of the members
