@@ -223,9 +223,12 @@ object Bench {
       // flush: everything earlier queued behind query start + state-store
       // init (measured 30 s+ when the stream follows the sf0.1 sweeps) —
       // deployment cost a long-lived capture node pays once, not lag
+      // warmStart = the first visibility timestamp ever recorded; values
+      // are inserted with a monotonically increasing `now`, so the first
+      // insert IS the min — track it once instead of re-scanning per poll
+      var warmStart = Long.MaxValue
       def steadyPool(): Seq[Int] = {
         if (firstSeen.isEmpty) return Nil
-        val warmStart = firstSeen.asScala.values.min
         firstSeen.asScala.keys.toSeq
           .filter(i => sendNanos.get(i) > warmStart)
       }
@@ -240,8 +243,10 @@ object Bench {
           val oct = ip.split('.')
           if (oct.length == 4 && oct(0) == "10" && oct(1) == "0") {
             val i = oct(2).toInt * 256 + oct(3).toInt
-            if (i < maxSessions && !firstSeen.containsKey(i))
+            if (i < maxSessions && !firstSeen.containsKey(i)) {
+              if (warmStart == Long.MaxValue) warmStart = now
               firstSeen.put(i, now)
+            }
           }
         }
         Thread.sleep(5)
@@ -386,7 +391,7 @@ object Bench {
     final case class TputPass(sec: Double, preK: Double, postK: Double) {
       def idx: Double = math.max(preK, postK) / ContentionKernel.QuietSec
     }
-    val tputPassList = Seq.newBuilder[TputPass]
+    val tputPassList = scala.collection.mutable.ArrayBuffer[TputPass]()
     var tputSessions = 0L
     val tputCorpus = try Some(ensureThroughputCorpus())
       catch { case _: Throwable => None }
@@ -432,6 +437,32 @@ object Bench {
     probe()
     tputPasses(2)
     probe()
+    // Stall rejection + bounded retry — the defense streamLatency already
+    // had (see the latAttempt loop above), now applied to throughput: a
+    // quiet-BRACKETED pass whose time is far above the overall winner is
+    // a bracket-straddling stall (the ~0.07 s kernel samples around a
+    // ~1 s pass can both land outside a mid-window load burst), not a
+    // quiet floor. r12 published exactly that: an 11.05 s pass at idx
+    // 1.11 became sessionize_mbps_quiet 24.2 while the winner ran 1.089 s.
+    // Credible quiet = bracket idx < 1.15 AND time within 1.5× of the
+    // fastest pass of the run. When no credible quiet pass exists, retry
+    // (bounded, with a settle sleep so a contention burst can pass); if
+    // none ever runs, publish 0.0 — the raw pass list in bench_full.json
+    // keeps every rejected pass readable.
+    def credibleQuiet(): Option[TputPass] = {
+      val ps = tputPassList.toSeq
+      ps.map(_.sec).minOption.flatMap { fastest =>
+        ps.filter(p => p.idx < 1.15 && p.sec <= fastest * 1.5)
+          .sortBy(_.sec).headOption
+      }
+    }
+    var tputAttempt = 0
+    while (tputAttempt < 3 && tputPassList.nonEmpty &&
+        credibleQuiet().isEmpty) {
+      Thread.sleep(10000) // let a contention burst pass
+      tputPasses(1)
+      tputAttempt += 1
+    }
     val kernels = kernelSec.result()
     val contentionIdx = kernels.map(_ / ContentionKernel.QuietSec)
     val sweeps = Seq(sweep1, sweep2)
@@ -441,7 +472,7 @@ object Bench {
     }
     val results = timings.map(t => t.name -> t.best)
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val passes = tputPassList.result()
+    val passes = tputPassList.toSeq
     val corpusBytes = tputCorpus.map(_._2).getOrElse(0L)
     def mbpsOf(sec: Double): Double =
       if (sec > 0) corpusBytes / 1e6 / sec else 0.0
@@ -450,11 +481,12 @@ object Bench {
     val winner = passes.sortBy(_.sec).headOption
     val tputMbps = winner.map(p => mbpsOf(p.sec)).getOrElse(0.0)
     val tputIdx = winner.map(_.idx).getOrElse(0.0)
-    // quiet-gated best: min over passes whose bracket stayed < 1.15 —
-    // 0.0 means NO pass ran on a quiet host (read the raw pass list).
-    // 1.15, not 1.10: inside a working Spark JVM the kernel reads a few
-    // percent above the process-free floor even on an idle host
-    val quietBest = passes.filter(_.idx < 1.15).sortBy(_.sec).headOption
+    // quiet-gated best: min over CREDIBLE quiet passes (bracket < 1.15
+    // AND within 1.5× of the winner — see credibleQuiet above). 0.0 means
+    // no credible quiet pass ran (read the raw pass list). 1.15, not
+    // 1.10: inside a working Spark JVM the kernel reads a few percent
+    // above the process-free floor even on an idle host
+    val quietBest = credibleQuiet()
     val tputMbpsQuiet = quietBest.map(p => mbpsOf(p.sec)).getOrElse(0.0)
     // A4 cross-check: the committed QuietSec is calibrated to ONE host;
     // the in-run kernel floor exposes a uniformly slower/faster host as
@@ -475,8 +507,10 @@ object Bench {
         f""""stream_p50_ms":${latBest.map(_.p50).getOrElse(0.0)}%.0f,""" +
         f""""stream_p99_ms":${latBest.map(_.p99).getOrElse(0.0)}%.0f,""" +
         f""""stream_idx":${latBest.map(_.idx).getOrElse(0.0)}%.2f,""" +
+        f""""stream_n":${latBest.map(_.n).getOrElse(0)},""" +
         f""""stream_p50_ms_quiet":${latQuiet.map(_.p50).getOrElse(0.0)}%.0f,""" +
         f""""stream_p99_ms_quiet":${latQuiet.map(_.p99).getOrElse(0.0)}%.0f,""" +
+        f""""stream_n_quiet":${latQuiet.map(_.n).getOrElse(0)},""" +
         f""""contention_idx":$cidx,"kernel_floor_ratio":$floorRatio%.2f,""" +
         f""""sf":"$sfDir"}"""
     }
