@@ -44,7 +44,15 @@ final case class FieldDef(
     // at molochparser.jison:308-310/351-353 — lacking it throws
     // "<field> - permission denied", and regex meta-field fan-out skips
     // the field silently)
-    requiredRight: Option[String] = None)
+    requiredRight: Option[String] = None,
+    // storage kind for multi-valued fields: the reference distinguishes
+    // *_ARRAY (append-order list, duplicates allowed — field.c:561-565
+    // g_ptr_array_add unconditionally) from *_HASH/*_GHASH (set — dup
+    // insert returns NULL, field.c:566-581). Almost every multi-valued
+    // field is a set; only the hasheader VALUE fields are arrays
+    // (http.c:891-909, smtp.c:1035-1042). Rule field-ops consult this:
+    // set-kinded adds canonicalize (sort+dedup), array-kinded append.
+    arrayKind: Boolean = false)
 
 /** One row of the files dimension (the reference's `files` index): the
   * user-facing capture file name, the capture node that wrote it, and the
@@ -203,6 +211,12 @@ object FieldRegistry {
       FieldDef("http.uri.value", "httpValue",    LoTermK, multiValued = true),
       FieldDef("http.hasheader.src", "httpRequestHeader", LoTermK, multiValued = true),
       FieldDef("http.hasheader.dst", "httpResponseHeader", LoTermK, multiValued = true),
+      // the hasheader VALUE fields are STR_ARRAY (append-order,
+      // duplicates allowed), not sets — http.c:894-898/906-909
+      FieldDef("http.hasheader.src.value", "httpRequestHeaderValue",
+        LoTermK, multiValued = true, arrayKind = true),
+      FieldDef("http.hasheader.dst.value", "httpResponseHeaderValue",
+        LoTermK, multiValued = true, arrayKind = true),
       FieldDef("http.referer", "httpReferer",    LoTermK, multiValued = true),
       FieldDef("http.location", "httpLocation",  LoTermK, multiValued = true),
       FieldDef("http.cookie.key", "httpCookieKey", LoTermK, multiValued = true),
@@ -251,6 +265,9 @@ object FieldRegistry {
       FieldDef("email.host",   "emailHost",    LoTermK, multiValued = true),
       FieldDef("ip.email",     "emailIp",      IpK, multiValued = true),
       FieldDef("email.x-mailer", "emailUseragent", TermK, multiValued = true),
+      // STR_ARRAY like the http hasheader values (smtp.c:1038-1042)
+      FieldDef("email.has-header.value", "emailHeaderValue", TermK,
+        multiValued = true, arrayKind = true),
       FieldDef("vlan",         "vlanId",       IntegerK, multiValued = true),
       // cert.* fields over the struct array: scalar-per-cert extracts
       // directly; nested arrays (CN/ON/alt) flatten via sessionCol

@@ -37,9 +37,14 @@ object RulesLoader {
 
   // ------------------------------------------------------------- model
   sealed trait RuleOp
-  /** Append `value` to a (multi-valued) field when the rule matches. */
+  /** Append `value` to a (multi-valued) field when the rule matches.
+    * `arrayKind` mirrors the registry's STR_ARRAY/STR_HASH split
+    * (field.c:561-581): set-kinded fields dedup (a duplicate insert is a
+    * no-op) so the batch form canonicalizes sort+dedup; array-kinded
+    * fields append unconditionally, order and duplicates preserved.
+    */
   final case class AddToField(expression: String, dbField: String,
-      value: String) extends RuleOp
+      value: String, arrayKind: Boolean = false) extends RuleOp
   /** `-field: value` — withdraw a value. */
   final case class RemoveFromField(expression: String, dbField: String,
       value: String) extends RuleOp
@@ -215,7 +220,7 @@ object RulesLoader {
             throw new IllegalArgumentException(
               s"rule '$name': unknown op field '$expr'"))
           if (remove) RemoveFromField(expr, d.dbField, value)
-          else AddToField(expr, d.dbField, value)
+          else AddToField(expr, d.dbField, value, d.arrayKind)
       }
     }
     val log = one("log").flatMap(_.value).exists(_.equalsIgnoreCase("true"))
@@ -317,12 +322,18 @@ object RulesLoader {
       val pred = r.predicate.getOrElse(throw new IllegalArgumentException(
         s"rule '${r.name}': bpf rules apply at capture, not on SPI rows"))
       r.ops.foreach {
-        case AddToField(_, dbField, value) =>
+        case AddToField(_, dbField, value, arrayKind) =>
           val cur = coalesce(col(dbField),
             array().cast(df.schema(dbField).dataType))
+          // set-kinded fields canonicalize (dup insert is a no-op in the
+          // reference, field.c:566-581, and set order is unobservable);
+          // array-kinded fields append — order and duplicates are the
+          // reference semantics (field.c:561-565 g_ptr_array_add)
+          val added =
+            if (arrayKind) concat(cur, array(lit(value)))
+            else array_sort(array_union(cur, array(lit(value))))
           df = df.withColumn(dbField,
-            when(pred, array_sort(array_union(cur, array(lit(value)))))
-              .otherwise(col(dbField)))
+            when(pred, added).otherwise(col(dbField)))
         case RemoveFromField(_, dbField, value) =>
           df = df.withColumn(dbField,
             when(pred, array_remove(coalesce(col(dbField),

@@ -142,6 +142,42 @@ class RulesLoaderSpec extends AnyFunSuite with SparkSpecBase {
     assert(out(4) == Seq(10L))
   }
 
+  test("AddToField: set fields canonicalize, ARRAY fields append in order") {
+    val sess = spark
+    import sess.implicits._
+    val yaml =
+      """version: 1
+        |rules:
+        |  - name: "mark"
+        |    when: "fieldSet"
+        |    fields:
+        |      port.dst: 80
+        |    ops:
+        |      protocols: "zzz-proto"
+        |      http.hasheader.src.value: "aaa-appended"
+        |""".stripMargin
+    val rs = RulesLoader.load(yaml, FieldRegistry.sessions)
+    val df = Seq(
+      // protocols already holds the value → set semantics: dup is a no-op
+      (1, 80, Seq("tcp", "zzz-proto"), Seq("zzz", "aaa-appended")),
+      (2, 80, Seq("tcp"), Seq("zzz")),
+      (3, 443, Seq("tcp"), Seq("zzz"))
+    ).toDF("id", "dstPort", "protocol", "httpRequestHeaderValue")
+    val out = RulesLoader.applySpi(df, rs)
+      .select(col("id"), col("protocol"), col("httpRequestHeaderValue"))
+      .as[(Int, Seq[String], Seq[String])].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    // set-kinded (protocols, STR_HASH): dedup + canonical order
+    assert(out(1)._1 == Seq("tcp", "zzz-proto"))
+    assert(out(2)._1 == Seq("tcp", "zzz-proto"))
+    // array-kinded (hasheader value, STR_ARRAY http.c:897): APPENDED —
+    // "aaa-appended" sorts before "zzz", so order proves no array_sort
+    // ran, and the pre-existing duplicate on id=1 is preserved
+    assert(out(1)._2 == Seq("zzz", "aaa-appended", "aaa-appended"))
+    assert(out(2)._2 == Seq("zzz", "aaa-appended"))
+    assert(out(3) == (Seq("tcp"), Seq("zzz"))) // rule didn't match
+  }
+
   test("fail-loud: the reference's LOGEXIT cases") {
     val reg = FieldRegistry.sessions
     def bad(y: String): String =
