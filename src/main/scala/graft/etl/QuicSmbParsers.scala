@@ -169,7 +169,11 @@ object QuicParser {
       }
     }
 
-    srcPayloads.foreach { d =>
+    // BOTH directions: the reference's classify needles fire on any
+    // packet regardless of `which` (quic.c:323-329), and the registered
+    // parser then reads every packet — a server-side PRST or long-header
+    // flow must still tag quic
+    (srcPayloads ++ dstPayloads).foreach { d =>
       if (d.length > 100 && (d(0) & 0x83) == 0x01 &&
           (at(d, 9, "Q02") || at(d, 9, "Q03") || at(d, 9, "Q04"))) parse2445(d)
       else if (d.length > 100 && (d(0) & 0xc0) == 0xc0 && at(d, 1, "Q04")) parse4648(d)

@@ -381,8 +381,11 @@ object SessionBuilder {
     // false positives out
     val mayBgp = isTcp && (head.dstPort == 179 || head.srcPort == 179 ||
       carry.exists(_.bgpActive))
+    // 19-byte floor: both bgp_tcp_classify and bgp_parser refuse a
+    // marker without the length+type header (bgp.c:27,41) — a 16-18
+    // byte all-ff payload neither registers nor arms the pq
     def bgpMarker(p: DecodedPacket): Boolean =
-      p.payload.length >= 16 && p.payload.take(16).forall(_ == -1)
+      p.payload.length >= 19 && p.payload.take(16).forall(_ == -1)
     // Each emitted slice is tagged with whether it STARTS A NEW SESSION
     // (idle-timeout save+free, port-reuse) or continues the previous one
     // as a mid-save segment (tcpSaveTimeout, maxPackets, BGP pq). The
@@ -827,8 +830,10 @@ object SessionBuilder {
         isV6 = cliIp.indexOf(':') >= 0) ++
         (if (first.ipProtocol == 6 && srvPort == 179 &&
           (bgpSession || ((syn > 0 || synAck > 0) &&
+            // 19-byte floor, not 16: bgp_tcp_classify refuses a bare
+            // marker without the length+type header (bgp.c:41-43)
             Seq(srcStream, dstStream).exists(st =>
-              st.length >= 16 && st.take(16).forall(_ == -1))))) Seq("bgp")
+              st.length >= 19 && st.take(16).forall(_ == -1))))) Seq("bgp")
         else Nil)
     val innerTags =
       if (peeled.isDefined)
@@ -1106,6 +1111,25 @@ object SessionBuilder {
       }
       out.toIndexedSeq
     }
+    // stopSaving truncation of the STORED packet arrays: ESP hard-codes
+    // stopSaving=1 on every packet (esp.c:69), and the tests config's
+    // dontSaveBPFs=port 12345 sets 1 at session setup. The count is
+    // session-cumulative (packet.c:264-265 `packets <= stopSaving`), so a
+    // later segment of a stop-saved session stores nothing. totPackets/
+    // totBytes keep counting — only the store references are capped.
+    val stopSaving =
+      if (first.ipProtocol == 50 ||
+        (testRules && (cliPort == 12345 || srvPort == 12345))) 1
+      else Int.MaxValue
+    val savedN =
+      if (stopSaving == Int.MaxValue) seg.length
+      else if (segmentSeq > 0) 0
+      else math.min(stopSaving, seg.length)
+    val (stopSavedPos, stopSavedLen, stopSavedIdx) =
+      if (savedN == seg.length) (packetPosArr, packetLenArr, packetFileIdxArr)
+      else (java.util.Arrays.copyOf(packetPosArr, savedN),
+        java.util.Arrays.copyOf(packetLenArr, savedN),
+        java.util.Arrays.copyOf(packetFileIdxArr, savedN))
     val certSeq = (tls.map(_.cert).getOrElse(Nil) ++ dtlsCerts).distinct
 
     // tests/plugins/test.c pre_save: when the session source is 10.0.0.1
@@ -1375,9 +1399,9 @@ object SessionBuilder {
         else graft.ops.Yara.tags(yaraRules, effSrc, effDst)) ++
         captureTags).distinct,
       fileId = fileIds,
-      packetPos = packetPosArr,
-      packetLen = packetLenArr,
-      packetFileIdx = packetFileIdxArr,
+      packetPos = stopSavedPos,
+      packetLen = stopSavedLen,
+      packetFileIdx = stopSavedIdx,
       segmentCnt = segmentCnt, segmentSeq = segmentSeq,
       socksIp = socksIpVal,
       // scalar IP fields omit enrichment keys the lookup misses

@@ -229,6 +229,34 @@ class ClassifierBoundarySpec extends AnyFunSuite {
       // (dtls.c:314-327)
       E("dtls", "dtls", 17,
         b(0x16, 0xfe, 0xfd) ++ fill(10) ++ b(1) ++ fill(86), _ >= 100),
+      E("dtls-feff", "dtls", 17,
+        b(0x16, 0xfe, 0xff) ++ fill(10) ++ b(1) ++ fill(86), _ >= 100),
+      E("dtls-fefe", "dtls", 17,
+        b(0x16, 0xfe, 0xfe) ++ fill(10) ++ b(1) ++ fill(86), _ >= 100),
+      E("dtls-0100", "dtls", 17,
+        b(0x16, 0x01, 0x00) ++ fill(10) ++ b(1) ++ fill(86), _ >= 100),
+      // radius: needle 01-05 at 0, EXACT u16 length echo at 2-3, a
+      // 1812-1813/1645-1646 port on either side (radius.c:91-104,134-138)
+      E("radius-1812", "radius", 17,
+        b(1, 0x2a, 0, 20) ++ fill(16), _ == 20, srcPort = 1812),
+      E("radius-1646", "radius", 17,
+        b(5, 0x2a, 0, 20) ++ fill(16), _ == 20, dstPort = 1646),
+      E("radius-1813", "radius", 17,
+        b(3, 0x2a, 0, 20) ++ fill(16), _ == 20, dstPort = 1813),
+      // llmnr/mdns: the dns header gate (17-byte floor, opcode <= 5,
+      // 1..10 questions — dns.c:211-245) behind ports 5355/5353, port
+      // 53 absent on both sides (dns.c:509,687-688)
+      E("llmnr", "llmnr", 17,
+        b(0x12, 0x34, 0, 0, 0, 1, 0, 0, 0, 0, 0, 0) ++ fill(5), _ >= 17,
+        dstPort = 5355),
+      E("mdns", "mdns", 17,
+        b(0x12, 0x34, 0, 0, 0, 1, 0, 0, 0, 0, 0, 0) ++ fill(5), _ >= 17,
+        srcPort = 5353, dstPort = 5353),
+      // cldap: \x30 needle, then SEQ { INTEGER messageID, constructed
+      // protocolOp tag <= 25 } with asn lengths CLAMPED to the buffer
+      // (ldap.c:145-180, parsers.c:413-414) — three TLV headers = 7 bytes
+      E("cldap", "ldap", 17,
+        b(0x30, 0x0b, 0x02, 0x01, 0x07, 0x61, 0x06) ++ fill(6), _ >= 7),
       // irc needles + the ':'/'U' callback guards (irc.c:95-138)
       E("irc-nick", "irc", 6, s("NICK joe99"), _ >= 8),
       E("irc-server-notice", "irc", 6, s(":irc.x NOTICE AUTH hi"),
@@ -343,6 +371,33 @@ class ClassifierBoundarySpec extends AnyFunSuite {
     // stun: length echo off by one
     assert(!tagsOf(17, 1, 2,
       b(0, 1, 0, 9, 0x21, 0x12, 0xa4, 0x42) ++ fill(20)).contains("stun"))
+    // radius: code 6 is past the five registered needles (radius.c:134-138)
+    assert(!tagsOf(17, 1812, 40000, b(6, 0x2a, 0, 20) ++ fill(16))
+      .contains("radius"))
+    // radius: length echo off by one, and a non-radius port pair
+    assert(!tagsOf(17, 1812, 40000, b(1, 0x2a, 0, 21) ++ fill(16))
+      .contains("radius"))
+    assert(!tagsOf(17, 1814, 40000, b(1, 0x2a, 0, 20) ++ fill(16))
+      .contains("radius"))
+    // dtls: fe fc is not a registered needle; handshake type 2 at 13
+    assert(!tagsOf(17, 1, 2,
+      b(0x16, 0xfe, 0xfc) ++ fill(10) ++ b(1) ++ fill(86)).contains("dtls"))
+    assert(!tagsOf(17, 1, 2,
+      b(0x16, 0xfe, 0xfd) ++ fill(10) ++ b(2) ++ fill(86)).contains("dtls"))
+    // llmnr: suppressed when port 53 sits on either side (dns.c:509)
+    val dnsHdr = b(0x12, 0x34, 0, 0, 0, 1, 0, 0, 0, 0, 0, 0) ++ fill(5)
+    assert(!tagsOf(17, 53, 5355, dnsHdr).contains("llmnr"))
+    assert(tagsOf(17, 53, 5355, dnsHdr).contains("dns"))
+    // cldap near-misses: application-class outer tag fails the \x30
+    // needle; constructed messageID; primitive protocolOp; op tag 26
+    assert(!tagsOf(17, 1, 2, b(0x70, 0x0b, 0x02, 0x01, 0x07, 0x61, 0x06)
+      ++ fill(6)).contains("ldap"))
+    assert(!tagsOf(17, 1, 2, b(0x30, 0x0b, 0x22, 0x01, 0x07, 0x61, 0x06)
+      ++ fill(6)).contains("ldap"))
+    assert(!tagsOf(17, 1, 2, b(0x30, 0x0b, 0x02, 0x01, 0x07, 0x41, 0x06)
+      ++ fill(6)).contains("ldap"))
+    assert(!tagsOf(17, 1, 2, b(0x30, 0x0b, 0x02, 0x01, 0x07, 0x7a, 0x06)
+      ++ fill(6)).contains("ldap"))
     // telnet: second byte below 0xfa
     assert(!tagsOf(6, 1, 23, b(0xff, 0xf0, 1) ++ fill(2))
       .contains("telnet"))

@@ -258,7 +258,31 @@ class FieldFidelitySpec extends AnyFunSuite with SparkSpecBase {
     ("network.packets", ("network", "packets"), r =>
       Seq(r.totPackets.toString)),
     ("packetLen", ("packetLen", ""), r =>
-      r.packetLen.map(_.toString).distinct))
+      r.packetLen.map(_.toString).distinct),
+    // full-field census additions (r13): every remaining comparable key
+    // the 145 goldens carry. Excluded as canonicalized-away by the
+    // reference's own harness (tests/tests.pl:168-177 doFix): @timestamp
+    // ("SET"), fileId (emptied in test mode), rootId (value "SET" —
+    // PRESENCE is compared in its own block below).
+    ("node", ("node", ""), r => Option(r.node).filter(_.nonEmpty).toSeq),
+    // byte offset of each packet's record header in the capture file
+    // (db.c packetPos; 24 = first record after the pcap global header)
+    ("packetPos", ("packetPos", ""), r =>
+      r.packetPos.map(_.toString).distinct),
+    // as.full "AS36459 GitHub, Inc." splits into number + organization
+    // (db.c:903-918 LLmsearch asn split)
+    ("source.as.number", ("source", "as/number"), r =>
+      Option(r.srcAsn).toSeq
+        .map(_.stripPrefix("AS").takeWhile(_.isDigit)).filter(_.nonEmpty)),
+    ("destination.as.number", ("destination", "as/number"), r =>
+      Option(r.dstAsn).toSeq
+        .map(_.stripPrefix("AS").takeWhile(_.isDigit)).filter(_.nonEmpty)),
+    ("source.as.organization", ("source", "as/organization/name"), r =>
+      Option(r.srcAsn).toSeq.map(_.split(" ", 2)).collect {
+        case Array(_, org) => org }),
+    ("destination.as.organization", ("destination", "as/organization/name"),
+      r => Option(r.dstAsn).toSeq.map(_.split(" ", 2)).collect {
+        case Array(_, org) => org }))
 
   test("per-field fidelity floors across the golden corpus") {
     val dir = new java.io.File("/root/reference/tests/pcap")
@@ -358,6 +382,22 @@ class FieldFidelitySpec extends AnyFunSuite with SparkSpecBase {
                 seen("cert.cnt") += 1
                 if (wantCnt == gotCnt) match_("cert.cnt") += 1
                 else misses("cert.cnt") ::= name
+              }
+            }
+            // rootId: the value is canonicalized to "SET" by tests.pl,
+            // but its PRESENCE marks every save of a multi-save session
+            // (db.c rootId on mid-saved sessions) — compare the count of
+            // rootId-bearing bodies against our rows whose sessionId has
+            // more than one emitted segment
+            {
+              val want = bodies.count(_.has("rootId"))
+              val perSession = rows.groupBy(_.sessionId)
+                .view.mapValues(_.length).toMap
+              val got = rows.count(r => perSession(r.sessionId) > 1)
+              if (want > 0 || got > 0) {
+                seen("rootId") += 1
+                if (want == got) match_("rootId") += 1
+                else misses("rootId") ::= name
               }
             }
           } catch { case _: Exception => () }
@@ -514,8 +554,17 @@ class FieldFidelitySpec extends AnyFunSuite with SparkSpecBase {
       "ssh.key.cnt" -> 2, "ssh.version.cnt" -> 4, "tags.cnt" -> 72,
       "tls.cipher.cnt" -> 22, "tls.ja3.cnt" -> 18, "tls.ja3s.cnt" -> 22,
       "tls.ja3sstring.cnt" -> 22, "tls.ja3string.cnt" -> 18, "tls.version.cnt" -> 22,
-      "user.cnt" -> 5)
-    val allLabels = (fields.map(_._1) :+ "cert")
+      "user.cnt" -> 5,
+      // r13 full-census additions: node, store positions (after the
+      // stopSaving truncation fix for ESP), the as.number/organization
+      // components, and multi-save rootId presence — the census over all
+      // 290 golden keys is now either compared here or excluded with a
+      // written tests.pl canonicalization reason (@timestamp, fileId)
+      "node" -> 145, "packetPos" -> 145,
+      "source.as.number" -> 66, "destination.as.number" -> 76,
+      "source.as.organization" -> 66, "destination.as.organization" -> 76,
+      "rootId" -> 2)
+    val allLabels = (fields.map(_._1) ++ Seq("cert", "rootId"))
       .flatMap(l => Seq(l, l + ".cnt")).filter(l => seen(l) > 0)
     for (label <- allLabels) {
       info(f"$label%-16s ${match_(label)}%3d / ${seen(label)}%3d" +

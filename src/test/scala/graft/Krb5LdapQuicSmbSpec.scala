@@ -68,6 +68,28 @@ class Krb5LdapQuicSmbSpec extends AnyFunSuite with SparkSpecBase {
     }
   }
 
+  test("quic: classify needles fire on EITHER direction (quic.c:323-329)") {
+    import graft.etl.QuicParser
+    def bs(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    val prst = Array.fill[Byte](9)(0x40) ++ "PRST".getBytes ++
+      Array.fill[Byte](8)(0)
+    // a PRST from the server side alone tags quic (quic_add, either which)
+    assert(QuicParser.parse(Nil, Seq(prst)).exists(_.tagged))
+    assert(QuicParser.parse(Seq(prst), Nil).exists(_.tagged))
+    // dispatch floor: the needle sits at 9..12, 12 bytes can't match
+    assert(QuicParser.parse(Seq(prst.take(12)), Nil).isEmpty)
+    // a dst-side Q043 long-header packet with a readable frame header
+    // tags too (the registered parser reads both directions)
+    val q43 = bs(0x0d) ++ bs(1, 2, 3, 4, 5, 6, 7, 8) ++ "Q043".getBytes ++
+      bs(9) ++ Array.fill[Byte](12)(0) ++
+      bs(0xa0, 1) ++ Array.fill[Byte](100)('x')
+    assert(QuicParser.parse(Nil, Seq(q43)).exists(_.tagged))
+    // Q05x still needs BOTH directions (quic.c:220-239)
+    val q5 = bs(0x41) ++ "Q050".getBytes ++ Array.fill[Byte](110)(0)
+    assert(QuicParser.parse(Seq(q5), Nil).isEmpty)
+    assert(QuicParser.parse(Seq(q5), Seq(q5)).exists(_.tagged))
+  }
+
   test("smb: domain/user/host/os/version/share/filename") {
     // smb-port80 has no smb body in its golden (classification only)
     for (name <- Seq("smb-smbclient", "smb-smb1-ascii", "smb-port80",

@@ -36,6 +36,45 @@ class MiscProtocolSpec extends AnyFunSuite with SparkSpecBase {
     }
   }
 
+  test("bgp classify floor: 16-byte marker alone is not bgp (bgp.c:41)") {
+    import graft.etl.Decode
+    def pkt(i: Int, src: Boolean, flags: Int, seq: Long,
+        payload: Array[Byte]): Decode.DecodedPacket =
+      Decode.DecodedPacket("s", i, 1700000000000000L + i * 1000L,
+        i.toLong * 100, 70 + payload.length, 54,
+        "aa:aa:aa:aa:aa:01", "ff:ff:ff:ff:ff:ff", 6,
+        if (src) "1.1.1.1" else "2.2.2.2", if (src) "2.2.2.2" else "1.1.1.1",
+        if (src) 1234 else 179, if (src) 179 else 1234,
+        flags, 1000, seq, 0L, payload,
+        prevTsMicros = 1700000000000000L + math.max(0, i - 1) * 1000L,
+        l4Offset = 54)
+    val S = Decode.TH_SYN; val A = Decode.TH_ACK
+    def tags(markerLen: Int): Seq[String] = {
+      val marker = Array.fill[Byte](markerLen)(-1)
+      val ps = Seq(
+        pkt(0, src = true, S, 1000L, Array.emptyByteArray),
+        pkt(1, src = false, S | A, 5000L, Array.emptyByteArray),
+        pkt(2, src = true, A, 1001L, marker))
+      val key = SessionBuilder.sessionKey(ps.head)
+      SessionBuilder.buildSessionsCarry(key, ps.iterator, "test", carry = None)._1
+        .flatMap(_.protocol)
+    }
+    // bgp_tcp_classify: len < 19 refuses — the bare 16-byte marker and
+    // a 17/18-byte prefix never tag; the full 19-byte header does
+    assert(!tags(16).contains("bgp"))
+    assert(!tags(18).contains("bgp"))
+    assert(tags(19).contains("bgp"))
+    // marker with a cleared byte never tags at any length
+    val broken = Array.fill[Byte](19)(-1); broken(7) = 0
+    val ps = Seq(
+      pkt(0, src = true, S, 1000L, Array.emptyByteArray),
+      pkt(1, src = false, S | A, 5000L, Array.emptyByteArray),
+      pkt(2, src = true, A, 1001L, broken))
+    val key = SessionBuilder.sessionKey(ps.head)
+    assert(!SessionBuilder.buildSessionsCarry(key, ps.iterator, "test", carry = None)._1
+      .flatMap(_.protocol).contains("bgp"))
+  }
+
   test("bgp types match golden") {
     val want = bodies("cloudshark-bgp-md5")
       .map(b => strs(b.get("bgp").get("type"))).sortBy(_.toString)
