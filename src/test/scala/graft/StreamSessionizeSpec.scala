@@ -452,4 +452,100 @@ class StreamSessionizeSpec extends AnyFunSuite with SparkSpecBase {
       assert(out.map(_.sessionId).distinct.length == out.length)
     } finally q.stop()
   }
+
+  test("checkpoint kill-and-restart: GroupCarry state and segmentSeq survive recovery") {
+    // The reference survives a capture restart by losing only in-flight
+    // sessions; our claim is STRONGER — a killed query restarted from its
+    // Structured Streaming checkpoint recovers the open sessions (packet
+    // buffers, GroupCarry orientation/accumulators/segment ordinals, the
+    // restored watermark) and the union of rows emitted before and after
+    // the kill equals the uninterrupted batch answer, with no duplicate
+    // (sessionId, segmentSeq) and no loss. Seeded split points put the
+    // kill mid-session (open TCP state at every cut of this capture).
+    // The memory sink refuses checkpoint recovery in append mode, so the
+    // sink is foreachBatch into a driver buffer — batches are only
+    // appended once committed (clean stop between micro-batches), which
+    // is exactly the exactly-once contract being asserted.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val pcap = "/root/reference/tests/pcap/socks-http-example.pcap"
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(pcap))
+    val packets = Pcap.parseFile(bytes, pcap).flatMap(Decode.decode(_)).toSeq
+    val batch = SessionBuilder.sessionizeRef(spark, pcap)
+      .collect().sortBy(_.firstPacket)
+    var seed = 0x5eedb00fL
+    def nextInt(bound: Int): Int = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      (((seed >>> 33) % bound + bound) % bound).toInt
+    }
+    for (trial <- 0 until 3) {
+      // two kills per trial: both cuts land strictly inside the capture
+      val cuts = Seq.fill(2)(1 + nextInt(packets.length - 1)).distinct.sorted
+      val phases = (Seq(0) ++ cuts ++ Seq(packets.length))
+        .sliding(2).map { case Seq(a, b) => packets.slice(a, b) }
+        .filter(_.nonEmpty).toSeq
+      val ckpt = java.nio.file.Files
+        .createTempDirectory(s"graft_ckpt_$trial").toString
+      val buf = new scala.collection.mutable.ArrayBuffer[
+        SessionBuilder.SessionRow]()
+      val input = MemoryStream[Decode.DecodedPacket]
+      def startQuery() = StreamSessionize.sessions(input.toDS())
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (ds: org.apache.spark.sql.Dataset[
+            SessionBuilder.SessionRow], _: Long) =>
+          val rows = ds.collect()
+          buf.synchronized { buf ++= rows }
+          ()
+        }
+        .start()
+      var q = startQuery()
+      try {
+        phases.zipWithIndex.foreach { case (chunk, i) =>
+          input.addData(chunk)
+          q.processAllAvailable()
+          if (i < phases.length - 1) {
+            // kill mid-session: open TCP groups sit in the state store
+            q.stop()
+            q.awaitTermination()
+            q = startQuery() // recover from the checkpoint
+          }
+        }
+        val late = packets.last.copy(
+          tsMicros = packets.map(_.tsMicros).max + 1000L * 1000000L,
+          srcIp = "203.0.113.99", srcPort = 1)
+        input.addData(Seq(late))
+        q.processAllAvailable()
+        input.addData(Seq(late.copy(tsMicros = late.tsMicros + 1)))
+        q.processAllAvailable()
+        val streamed = buf.synchronized { buf.toSeq }
+          .filter(_.srcIp != "203.0.113.99")
+          .sortBy(_.firstPacket)
+        // no duplicate emission across the kills (exactly-once sink view)
+        val segKeys = streamed.map(s => (s.sessionId, s.segmentSeq))
+        assert(segKeys.distinct.length == segKeys.length,
+          s"trial $trial cuts $cuts: duplicate (sessionId, segmentSeq) " +
+            "rows across restart")
+        assert(streamed.length == batch.length,
+          s"trial $trial (cuts at $cuts): ${streamed.length} sessions " +
+            s"vs batch ${batch.length}")
+        streamed.zip(batch).foreach { case (s, b) =>
+          assert(s.sessionId == b.sessionId, s"trial $trial cuts $cuts")
+          assert(s.totPackets == b.totPackets, s"trial $trial cuts $cuts")
+          assert(s.totBytes == b.totBytes, s"trial $trial cuts $cuts")
+          assert(s.srcPayload8 == b.srcPayload8, s"trial $trial cuts $cuts")
+          assert(s.httpMethod == b.httpMethod, s"trial $trial cuts $cuts")
+          assert(s.protocol == b.protocol, s"trial $trial cuts $cuts")
+        }
+      } finally {
+        try q.stop() finally {
+          import scala.jdk.CollectionConverters._
+          val root = java.nio.file.Paths.get(ckpt)
+          java.nio.file.Files.walk(root).iterator().asScala.toSeq
+            .sortBy(-_.getNameCount)
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        }
+      }
+    }
+  }
 }
