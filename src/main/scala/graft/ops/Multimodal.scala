@@ -302,11 +302,19 @@ object Multimodal {
     // end for any length not a multiple of 72, and without the wrap
     // every short document's tail cells hash the same empty substring —
     // three identically-zero bands that LSH-collide all short docs.
-    val stride = floor((length(contentCol) + lit(71)) / lit(72)).cast("int")
-    val clen = greatest(length(contentCol), lit(1))
+    // BYTE-sliced kernel: Substring over a StringType column counts
+    // UTF-8 chars from the string head on every call — 72 samples per
+    // doc made UTF8String.getNumChars 37% of the whole m5 profile. A
+    // BinaryType slice is a bounds-checked copy. Corpus text is hashed
+    // as its UTF-8 bytes either way, so for the 1-byte-per-char corpora
+    // this pipeline targets the signatures are unchanged (and the
+    // DuckDB oracle keeps the same char arithmetic).
+    val bin = contentCol.cast("binary")
+    val stride = floor((length(bin) + lit(71)) / lit(72)).cast("int")
+    val clen = greatest(length(bin), lit(1))
     val px = transform(sequence(lit(0), lit(71)),
-      k => pmod(TextOps.hex32(concat(lit("px|"),
-        contentCol.substr(pmod(k * stride, clen) + 1, stride))), lit(256L)))
+      k => pmod(TextOps.hex32Bin(concat(lit("px|".getBytes),
+        bin.substr(pmod(k * stride, clen) + 1, stride))), lit(256L)))
     val withPx = df.select(idCol.cast("long").as("doc_id"), px.as("_px"))
     val bands = (0 until 4).map { b =>
       (0 until 16).map { j =>

@@ -31,6 +31,12 @@ object TextOps {
   def hex32(c: Column): Column =
     conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long")
 
+  /** hex32 over an already-binary column: md5 hashes the bytes directly
+    * (a string cast would decode + re-encode the same UTF-8 bytes).
+    */
+  def hex32Bin(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
   /** Language-ID by stop-word markers: score = |tokens ∩ markers(lang)|,
     * winner = highest score with fixed priority order on ties.
     */
