@@ -453,6 +453,81 @@ class StreamSessionizeSpec extends AnyFunSuite with SparkSpecBase {
     } finally q.stop()
   }
 
+  test("RocksDB state store: streaming equals batch and survives kill-and-restart") {
+    // HDFSBackedStateStoreProvider holds every key in executor heap —
+    // at capture scale (millions of live sessions per executor) the
+    // 100 TB deployment runs RocksDB. Same pipeline, same checkpoint
+    // recovery contract, state off-heap: one mid-session kill trial
+    // must still converge to the batch answer with no dupes.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val pcap = "/root/reference/tests/pcap/socks-http-example.pcap"
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(pcap))
+    val packets = Pcap.parseFile(bytes, pcap).flatMap(Decode.decode(_)).toSeq
+    val batch = SessionBuilder.sessionizeRef(spark, pcap)
+      .collect().sortBy(_.firstPacket)
+    val confKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(confKey)
+    spark.conf.set(confKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_rocksdb").toString
+    val buf = new scala.collection.mutable.ArrayBuffer[
+      SessionBuilder.SessionRow]()
+    val input = MemoryStream[Decode.DecodedPacket]
+    def startQuery() = StreamSessionize.sessions(input.toDS())
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (ds: org.apache.spark.sql.Dataset[
+          SessionBuilder.SessionRow], _: Long) =>
+        val rows = ds.collect()
+        buf.synchronized { buf ++= rows }
+        ()
+      }
+      .start()
+    var q = startQuery()
+    try {
+      val cut = packets.length / 2
+      input.addData(packets.take(cut))
+      q.processAllAvailable()
+      q.stop(); q.awaitTermination()
+      q = startQuery() // recover RocksDB state from the checkpoint
+      input.addData(packets.drop(cut))
+      q.processAllAvailable()
+      val late = packets.last.copy(
+        tsMicros = packets.map(_.tsMicros).max + 1000L * 1000000L,
+        srcIp = "203.0.113.99", srcPort = 1)
+      input.addData(Seq(late))
+      q.processAllAvailable()
+      input.addData(Seq(late.copy(tsMicros = late.tsMicros + 1)))
+      q.processAllAvailable()
+      val streamed = buf.synchronized { buf.toSeq }
+        .filter(_.srcIp != "203.0.113.99").sortBy(_.firstPacket)
+      val segKeys = streamed.map(s => (s.sessionId, s.segmentSeq))
+      assert(segKeys.distinct.length == segKeys.length)
+      assert(streamed.length == batch.length,
+        s"${streamed.length} sessions vs batch ${batch.length}")
+      streamed.zip(batch).foreach { case (s, b) =>
+        assert(s.sessionId == b.sessionId)
+        assert(s.totPackets == b.totPackets)
+        assert(s.totBytes == b.totBytes)
+        assert(s.srcPayload8 == b.srcPayload8)
+        assert(s.protocol == b.protocol)
+      }
+    } finally {
+      try q.stop() finally {
+        prev match {
+          case Some(v) => spark.conf.set(confKey, v)
+          case None => spark.conf.unset(confKey)
+        }
+        import scala.jdk.CollectionConverters._
+        val root = java.nio.file.Paths.get(ckpt)
+        java.nio.file.Files.walk(root).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount)
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    }
+  }
+
   test("checkpoint kill-and-restart: GroupCarry state and segmentSeq survive recovery") {
     // The reference survives a capture restart by losing only in-flight
     // sessions; our claim is STRONGER — a killed query restarted from its
