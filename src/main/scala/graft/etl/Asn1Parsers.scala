@@ -16,39 +16,55 @@ object Asn1 {
     def lastByte: Int = if (len > 0) buf(off + len - 1) & 0xff else -1
   }
 
-  /** Read one TLV at `pos` (bounded by `end`); returns (tlv, nextPos). */
+  /** Read one TLV at `pos` (bounded by `end`); returns (tlv, nextPos).
+    *
+    * BUG-COMPATIBLE transcription of parsers.c:374-430, quirks included
+    * (pinned by Asn1DifferentialFuzzSpec against an independent model):
+    *   - a multi-byte (high) tag accumulates the FULL continuation
+    *     bytes, bits 7 included (parsers.c:389 `(atag << 7) | ch`), and
+    *     its final tag byte doubles as the LENGTH byte — the reference
+    *     never reads a separate length after the tag loop, so `1f 05 …`
+    *     parses as tag 5 with length 5;
+    *   - a tag loop that exhausts the buffer is NOT an error: the last
+    *     byte read (high bit set) becomes the length byte, usually a
+    *     truncated long form that yields a zero-length value;
+    *   - long-form length reads up to its count while bytes remain —
+    *     a truncated long form keeps whatever accumulated (no error) —
+    *     and wraps as uint32;
+    *   - `tag` carries the same 32-bit pattern as the C uint32 (5+ tag
+    *     bytes wrap; consumers compare small constants, where signed vs
+    *     unsigned agree).
+    */
   def getTlv(buf: Array[Byte], pos: Int, end: Int): Option[(Tlv, Int)] = {
     if (pos + 2 > end) return None
     var p = pos
     val ch0 = buf(p) & 0xff; p += 1
     val pc = ((ch0 >> 5) & 1) == 1
     var tag = 0
+    var lenByte = 0
     if ((ch0 & 0x1f) == 0x1f) {
       var done = false
       while (!done && p < end) {
         val ch = buf(p) & 0xff; p += 1
-        tag = (tag << 7) | (ch & 0x7f)
+        tag = (tag << 7) | ch // full byte, incl. the continuation bit
+        lenByte = ch // the last tag byte IS the length byte
         if ((ch & 0x80) == 0) done = true
       }
-      if (!done) return None
     } else {
       tag = ch0 & 0x1f
+      lenByte = buf(p) & 0xff; p += 1 // pos+2 <= end guarantees this
     }
-    if (p >= end) return None
-    val lb = buf(p) & 0xff; p += 1
-    if (lb == 0x80) return None // indefinite
-    var len = 0
-    if ((lb & 0x80) != 0) {
-      var cnt = lb & 0x7f
-      if (cnt > 4) return None
-      if (p + cnt > end) return None // truncated long-form length
+    if (lenByte == 0x80) return None // indefinite
+    var len = 0L // uint32 in the reference
+    if ((lenByte & 0x80) != 0) {
+      var cnt = lenByte & 0x7f
       while (cnt > 0 && p < end) {
-        len = (len << 8) | (buf(p) & 0xff); p += 1; cnt -= 1
+        len = ((len << 8) | (buf(p) & 0xff)) & 0xffffffffL
+        p += 1; cnt -= 1
       }
-    } else len = lb
-    if (len < 0) return None
-    if (len > end - p) len = end - p // clamp, like the reference
-    Some((Tlv(pc, tag, buf, p, len), p + len))
+    } else len = lenByte
+    val ilen = if (len > (end - p).toLong) end - p else len.toInt
+    Some((Tlv(pc, tag, buf, p, ilen), p + ilen))
   }
 
   /** Children of a wrapper SEQUENCE (pc, tag 16), up to `max`. */
