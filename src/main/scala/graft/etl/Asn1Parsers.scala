@@ -97,6 +97,35 @@ object Asn1 {
   def toStr(t: Tlv): Option[String] =
     if (!t.pc) Some(t.string)
     else getTlv(t.buf, t.off, t.off + t.len).map(_._1.string)
+
+  /** OID rendering, bug-compatible with moloch_parsers_asn_decode_oid
+    * (parsers.c:474-500): the FIRST component accumulates multi-byte
+    * like any other, splits as value/40 "." value%40 only when
+    * value > 40 (a bare "40" stays one number where X.690 would say
+    * 1.0), and the accumulator is a signed int32 — 5+-byte components
+    * wrap negative exactly like the C's %d. A trailing byte with its
+    * continuation bit set never prints.
+    */
+  def decodeOid(buf: Array[Byte], off: Int, len: Int): String = {
+    val sb = new StringBuilder
+    var v = 0
+    var first = true
+    var i = 0
+    while (i < len) {
+      val c = buf(off + i) & 0xff
+      v = (v << 7) | (c & 0x7f)
+      if ((c & 0x80) == 0) {
+        if (first) {
+          first = false
+          if (v > 40) sb.append(v / 40).append('.').append(v % 40)
+          else sb.append(v)
+        } else sb.append('.').append(v)
+        v = 0
+      }
+      i += 1
+    }
+    sb.toString
+  }
 }
 
 /** Kerberos 5 KDC-REQ field extraction (reference: capture/parsers/krb5.c).

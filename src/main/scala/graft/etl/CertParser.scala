@@ -136,21 +136,7 @@ object CertParser {
     */
   private def parseDerLenient(der: Array[Byte]): Option[CertInfo] = {
     import Asn1.{Tlv, getTlv, children}
-    def oidString(t: Tlv): String = {
-      if (t.len == 0) return ""
-      val first = t.buf(t.off) & 0xff
-      val sb = new StringBuilder
-      sb.append(first / 40).append('.').append(first % 40)
-      var v = 0L
-      var i = 1
-      while (i < t.len) {
-        val c = t.buf(t.off + i) & 0xff
-        v = (v << 7) | (c & 0x7f)
-        if ((c & 0x80) == 0) { sb.append('.').append(v); v = 0 }
-        i += 1
-      }
-      sb.toString
-    }
+    def oidString(t: Tlv): String = Asn1.decodeOid(t.buf, t.off, t.len)
     def nameValues(t: Tlv, oid: String): Seq[String] =
       children(t, 64).flatMap(set => children(set, 8)).flatMap { seq =>
         children(seq, 2) match {

@@ -117,6 +117,49 @@ class Asn1DifferentialFuzzSpec extends AnyFunSuite {
     }
   }
 
+  /** Independent transcription of moloch_parsers_asn_decode_oid
+    * (parsers.c:474-500): signed int32 accumulator, first component
+    * printed bare unless value > 40.
+    */
+  private def modelOid(oid: Array[Byte]): String = {
+    var buf = ""
+    var first = true
+    var value = 0
+    for (pos <- oid.indices) {
+      value = (value << 7) | (oid(pos) & 0x7f)
+      if ((oid(pos) & 0x80) == 0) {
+        if (first) {
+          first = false
+          buf = if (value > 40) s"${value / 40}.${value % 40}" else s"$value"
+        } else buf += s".$value"
+        value = 0
+      }
+    }
+    buf
+  }
+
+  test("OID rendering matches the reference model") {
+    var seed = 0x01dbeefL
+    def nextInt(bound: Int): Int = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      (((seed >>> 33) % bound + bound) % bound).toInt
+    }
+    for (trial <- 0 until 2000) {
+      val oid = Array.fill[Byte](nextInt(14))(nextInt(256).toByte)
+      assert(Asn1.decodeOid(oid, 0, oid.length) == modelOid(oid),
+        s"trial $trial " + oid.map(b => f"${b & 0xff}%02x").mkString(" "))
+    }
+    // pinned quirks: bare 40 stays one number (X.690 would say 1.0);
+    // multi-byte FIRST component still splits; int32 wrap goes negative
+    assert(Asn1.decodeOid(Array[Byte](0x28), 0, 1) == "40")
+    assert(Asn1.decodeOid(Array[Byte](0x29), 0, 1) == "1.1")
+    assert(Asn1.decodeOid(Array[Byte](0x55, 4, 3), 0, 3) == "2.5.4.3")
+    assert(Asn1.decodeOid(Array[Byte](0x81.toByte, 0x34), 0, 2) == "4.20")
+    assert(Asn1.decodeOid(
+      Array[Byte](0x2a, 0xff.toByte, 0xff.toByte, 0xff.toByte,
+        0xff.toByte, 0x7f), 0, 6).startsWith("1.2.-"))
+  }
+
   test("pinned quirks from parsers.c") {
     // high-tag final byte doubles as the length: 1f 05 -> tag 5, and the
     // 05 length byte claims 5 which clamps to the 3 remaining bytes
