@@ -29,7 +29,11 @@ object CertParser {
       // the reference's "isCA" is NOT basicConstraints: tls.c:121-132
       // reads the 4-byte keyUsage TLV and keeps bit 0x02 of its last
       // byte — the cRLSign bit. Absent keyUsage → false.
-      isCA: Boolean = false)
+      isCA: Boolean = false,
+      // a validity time parsed to before the epoch: the reference
+      // clamps the stored time to 0 and tags cert:pre-epoch-time
+      // (parsers.c asn_parse_time `if (val < 0)`)
+      preEpoch: Boolean = false)
 
   private def colonHex(b: Array[Byte]): String =
     Hex.hexColon(b)
@@ -110,8 +114,12 @@ object CertParser {
       val alt = Option(cert.getSubjectAlternativeNames).map(_.asScala.toSeq)
         .getOrElse(Nil)
         .collect { case l if l.get(0) == 2 => l.get(1).toString.toLowerCase }
-      val nb = cert.getNotBefore.getTime
-      val na = cert.getNotAfter.getTime
+      // pre-epoch validity times clamp to 0 and flag the session tag,
+      // like the reference (parsers.c asn_parse_time `if (val < 0)`)
+      val nb0 = cert.getNotBefore.getTime
+      val na0 = cert.getNotAfter.getTime
+      val nb = math.max(0L, nb0)
+      val na = math.max(0L, na0)
       Some(CertInfo(
         hash = colonHex(sha1),
         serial = serial,
@@ -124,7 +132,8 @@ object CertParser {
         publicAlgorithm = algo,
         curve = curve,
         alt = alt,
-        isCA = Option(cert.getKeyUsage).exists(ku => ku.length > 6 && ku(6))))
+        isCA = Option(cert.getKeyUsage).exists(ku => ku.length > 6 && ku(6)),
+        preEpoch = nb0 < 0 || na0 < 0))
     } catch { case _: Exception => parseDerLenient(der) }
   }
 
@@ -147,19 +156,77 @@ object CertParser {
           case _ => None
         }
       }
+    // Transcription of moloch_parsers_asn_parse_time (parsers.c:
+    // 508-575), quirks included: non-digit characters read as 0
+    // (char2num), out-of-range fields normalize like timegm (month 00
+    // rolls into the previous December), optional GeneralizedTime
+    // minutes/seconds/fraction, and the timezone offset is computed in
+    // MINUTES but added to the epoch SECONDS — +0130 shifts the time by
+    // 90 seconds, exactly like the C. Returns the RAW possibly-negative
+    // epoch ms; the caller clamps and flags preEpoch. The JDK path
+    // keeps real offset semantics for certs the JDK accepts (no corpus
+    // cert carries an offset time).
     def asnTime(t: Tlv): Option[Long] =
       try {
-        val s = t.string
-        val (year, rest) =
-          if (t.tag == 23) {
-            val yy = s.substring(0, 2).toInt
-            (if (yy < 50) 2000 + yy else 1900 + yy, s.substring(2))
-          } else (s.substring(0, 4).toInt, s.substring(4))
-        Some(java.time.LocalDateTime.of(year,
-          rest.substring(0, 2).toInt, rest.substring(2, 4).toInt,
-          rest.substring(4, 6).toInt, rest.substring(6, 8).toInt,
-          if (rest.length > 9) rest.substring(8, 10).toInt else 0)
-          .toEpochSecond(java.time.ZoneOffset.UTC) * 1000L)
+        def c2n(i: Int): Int = {
+          val ch = t.buf(t.off + i) & 0xff
+          if (ch >= '0' && ch <= '9') ch - '0' else 0
+        }
+        def s2n(i: Int): Int = c2n(i) * 10 + c2n(i + 1)
+        def s4n(i: Int): Int =
+          c2n(i) * 1000 + c2n(i + 1) * 100 + c2n(i + 2) * 10 + c2n(i + 3)
+        def at(i: Int): Int = t.buf(t.off + i) & 0xff
+        def norm(tmYear: Int, mon: Int, mday: Int, hour: Int, min: Int,
+            sec: Int): Long =
+          java.time.LocalDateTime.of(1900 + tmYear, 1, 1, 0, 0, 0)
+            .plusMonths(mon).plusDays(mday - 1L)
+            .plusHours(hour).plusMinutes(min).plusSeconds(sec)
+            .toEpochSecond(java.time.ZoneOffset.UTC)
+        val len = t.len
+        if (t.tag == 23 && len > 12) { // UTCTime
+          var offMin = 0
+          if (len > 17 && at(12) != 'Z') offMin = s2n(13) * 60 + s2n(15)
+          if (at(12) == '-') offMin = -offMin
+          var tmYear = s2n(0)
+          if (tmYear < 50) tmYear += 100
+          val sec = norm(tmYear, s2n(2) - 1, s2n(4), s2n(6), s2n(8),
+            s2n(10)) + offMin // minutes added as seconds, like the C
+          Some(sec * 1000L)
+        } else if (t.tag == 24 && len >= 10) { // GeneralizedTime
+          val tmYear = s4n(0) - 1900
+          val mon = s2n(4) - 1
+          val mday = s2n(6)
+          val hour = s2n(8)
+          var min = 0
+          var sec = 0
+          var pos = 10
+          var done = false
+          if (len < 12 || at(10) == 'Z' || at(10) == '+' || at(10) == '-') {
+            pos = 10; done = true
+          }
+          if (!done) {
+            min = s2n(10)
+            if (len < 14 || at(12) == 'Z' || at(12) == '+' || at(12) == '-') {
+              pos = 12; done = true
+            }
+          }
+          if (!done) {
+            sec = s2n(12)
+            if (len < 15 || at(14) == 'Z' || at(14) == '+' || at(14) == '-') {
+              pos = 14
+            } else if (at(14) == '.') {
+              pos = 18
+            } else {
+              pos = 14
+            }
+          }
+          var off = 0L
+          if (pos != len && pos + 5 < len && (at(pos) == '+' || at(pos) == '-')) {
+            off = s2n(pos + 1) * 60 + s2n(pos + 3)
+            if (at(pos) == '-') off = -off
+          }
+          Some((norm(tmYear, mon, mday, hour, min, sec) + off) * 1000L)
+        } else None // other tags / under the length floor: 0, untagged
       } catch { case _: Exception => None }
     try {
       val (outer, _) = getTlv(der, 0, der.length).getOrElse(return None)
@@ -175,8 +242,12 @@ object CertParser {
       val subjectT = tbs(i + 4)
       val spkiT = tbs(i + 5)
       val times = children(validityT, 2)
-      val nb = times.headOption.flatMap(asnTime).getOrElse(0L)
-      val na = times.lift(1).flatMap(asnTime).getOrElse(0L)
+      val nb0 = times.headOption.flatMap(asnTime).getOrElse(0L)
+      val na0 = times.lift(1).flatMap(asnTime).getOrElse(0L)
+      // pre-epoch clamp + tag flag, like the JDK path (parsers.c
+      // asn_parse_time `if (val < 0)`)
+      val nb = math.max(0L, nb0)
+      val na = math.max(0L, na0)
       var algo = "corrupt"
       var curve = ""
       children(spkiT, 2).headOption.foreach { algT =>
@@ -215,7 +286,8 @@ object CertParser {
         validDays = (na - nb) / 86400000L,
         publicAlgorithm = algo,
         curve = curve,
-        alt = Nil))
+        alt = Nil,
+        preEpoch = nb0 < 0 || na0 < 0))
     } catch { case _: Exception => None }
   }
 

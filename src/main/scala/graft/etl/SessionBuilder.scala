@@ -1306,6 +1306,9 @@ object SessionBuilder {
           out += "socks:password"
         if (smb.exists(_.badSecurityBlob)) out += "smb:bad-security-blob"
         if (http.exists(_.passwordInBody)) out += "http:password"
+        // cert:pre-epoch-time — any validity time parsed below 0 was
+        // clamped (parsers.c asn_parse_time) and tags the session
+        if (certSeq.exists(_.preEpoch)) out += "cert:pre-epoch-time"
         // cert:self-signed — first cert only, not a CA, single equal CN,
         // orgs equal or both absent (tls.c:455-467)
         certSeq.headOption.foreach { c =>

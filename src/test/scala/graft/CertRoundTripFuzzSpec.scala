@@ -87,8 +87,13 @@ class CertRoundTripFuzzSpec extends AnyFunSuite {
     val body =
       if (utc) f"${y % 100}%02d$mo%02d$d%02d$h%02d$mi%02d${secStr}Z"
       else f"$y%04d$mo%02d$d%02d$h%02d$mi%02d${secStr}Z"
-    val ms = java.time.LocalDateTime.of(y, mo, d, h, mi, se)
-      .toEpochSecond(java.time.ZoneOffset.UTC) * 1000L
+    // a seconds-less UTCTime is 11 bytes and fails the reference's
+    // `len > 12` floor (parsers.c:515) — it reads as time 0; the
+    // seconds-less GeneralizedTime form parses (optional fields)
+    val ms =
+      if (utc && !withSeconds) 0L
+      else java.time.LocalDateTime.of(y, mo, d, h, mi, se)
+        .toEpochSecond(java.time.ZoneOffset.UTC) * 1000L
     (tlv(if (utc) 0x17 else 0x18, body.getBytes(StandardCharsets.US_ASCII)), ms)
   }
 
@@ -185,9 +190,14 @@ class CertRoundTripFuzzSpec extends AnyFunSuite {
     assert(c.issuerON == m.issuerON, "issuerON")
     assert(c.subjectCN == m.subjectCN, "subjectCN")
     assert(c.subjectON == m.subjectON, "subjectON")
-    assert(c.notBefore == m.notBefore)
-    assert(c.notAfter == m.notAfter)
-    assert(c.validDays == (m.notAfter - m.notBefore) / 86400000L)
+    // pre-epoch validity times clamp to 0 and flag the session tag
+    // (parsers.c asn_parse_time `if (val < 0)`)
+    val nb = math.max(0L, m.notBefore)
+    val na = math.max(0L, m.notAfter)
+    assert(c.notBefore == nb)
+    assert(c.notAfter == na)
+    assert(c.validDays == (na - nb) / 86400000L)
+    assert(c.preEpoch == (m.notBefore < 0 || m.notAfter < 0), "preEpoch")
     assert(c.publicAlgorithm == m.algo)
     assert(c.curve == m.curve)
     assert(c.alt == m.alt)
