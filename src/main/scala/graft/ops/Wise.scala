@@ -160,7 +160,12 @@ object Wise {
       // them instead of crashing the build
       .filter(col("_ipLong").isNotNull)
       .withColumn("_net", expr("shiftright(_ipLong, 32 - _plen)"))
-      .withColumn("_netKey", concat_ws(":", col("_plen"), col("_net")))
+      // packed LONG join key: plen in the high bits, network below
+      // (plen <= 32 fits above the 33-bit network space) — a long
+      // equi-join with no per-row string rendering (concat_ws keys
+      // measured ~15% of the i19 profile)
+      .withColumn("_netKey",
+        expr("(cast(_plen AS BIGINT) << 33) | _net"))
     val plens: Seq[Int] = intel.select(col("_plen")).distinct()
       .collect().map(_.getInt(0)).sorted.toSeq
     require(plens.nonEmpty, "intel has no CIDR entries")
@@ -170,7 +175,8 @@ object Wise {
     // |prefix lengths|
     val candArr = array(plens.map { l =>
       struct(lit(l).as("plen"),
-        concat_ws(":", lit(l), shiftright(col("_ipl"), 32 - l)).as("netKey"))
+        shiftright(col("_ipl"), 32 - l)
+          .bitwiseOR(lit(l.toLong << 33)).as("netKey"))
     }: _*)
     val cands = facts
       .filter(ipCol.isNotNull && !excluded(ipCol, "ip", excludes))
