@@ -419,10 +419,13 @@ object TextOps {
     // interpreted per-element HOF md5 chain here measures ~5× slower.
     val h2s = graft.functions.ShingleHashes(text, 2, distinct = false)
     val h1s = graft.functions.ShingleHashes(text, 1, distinct = false)
+    // two consumers (c2 and the scoring join) — materialize the
+    // occurrence table instead of re-running the tokenize+hash kernel
     val big = df.filter(size(h1s) >= 2)
       .select(idCol.as("doc_id"),
         explode(arrays_zip(h2s, slice(h1s, lit(1), size(h1s) - 1))).as("p"))
       .select(col("doc_id"), col("p.0").as("h2"), col("p.1").as("h1"))
+      .localCheckpoint()
     val c2 = big.groupBy("h2").agg(count(lit(1)).as("c2"))
     val c1 = df.select(
         explode(graft.functions.ShingleHashes(text, 1, distinct = false)).as("h1"))
@@ -461,17 +464,24 @@ object TextOps {
       df: DataFrame, text: Column, idCol: Column): DataFrame = {
     val h2s = graft.functions.ShingleHashes(text, 2, distinct = false)
     val h1s = graft.functions.ShingleHashes(text, 1, distinct = false)
+    // materialize the occurrence table once: five consumers derive from
+    // it (c2/c1/types and the scoring join) and without the checkpoint
+    // each re-runs the tokenize+hash kernel over the full corpus — the
+    // same recompute the BM25 posting table avoids
     val big = df.filter(size(h1s) >= 2)
       .select(idCol.as("doc_id"),
         explode(arrays_zip(h2s, slice(h1s, lit(1), size(h1s) - 1),
           slice(h1s, lit(2), size(h1s) - 1))).as("p"))
       .select(col("doc_id"), col("p.0").as("h2"), col("p.1").as("h1"),
         col("p.2").as("hn"))
+      .localCheckpoint()
     val c2 = big.groupBy("h2").agg(count(lit(1)).as("c12"))
     // history count c(w1·) from the bigram table itself (not raw
     // unigram occurrences): keeps the distribution normalized
     val c1 = big.groupBy("h1").agg(count(lit(1)).as("c1"))
-    val types = big.select("h1", "hn", "h2").distinct()
+    // the distinct-bigram type table also feeds three consumers
+    // (u1/u2/the scalar total) — one dedup shuffle, not three
+    val types = big.select("h1", "hn", "h2").distinct().localCheckpoint()
     val u1 = types.groupBy("h1").agg(count(lit(1)).as("u1"))
     val u2 = types.groupBy("hn").agg(count(lit(1)).as("u2"))
     val bTot = types.agg(count(lit(1)).as("bb"))
