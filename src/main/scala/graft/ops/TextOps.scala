@@ -636,8 +636,11 @@ object TextOps {
     */
   def tfidfTopTerms(
       df: DataFrame, text: Column, idCol: Column, k: Int = 5): DataFrame = {
+    // two consumers (dfreq and the scoring join): materialize the tf
+    // table once instead of re-running the tokenizer per consumer
     val tf = df.select(idCol.as("doc_id"), explode(tokens(text)).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("dfc"))
     val ndocs = df.agg(count(lit(1)).as("n"))
     val topkFn = graft.functions.TopK.stringIds(k)
@@ -744,8 +747,12 @@ object TextOps {
   def nbClassify(
       df: DataFrame, text: Column, idCol: Column,
       labelCol: Column, minDf: Int = 1): DataFrame = {
+    // the token table feeds training (ctc, and the minDf df-counts) AND
+    // scoring — materialize it once; likewise the (class, term) model
+    // below feeds three consumers (ctot, vocab, the score join)
     val tok = df.select(idCol.as("doc_id"), labelCol.as("label"),
       explode(tokens(text)).as("term"))
+      .localCheckpoint()
     val ctcAll = tok.groupBy(col("label").as("clazz"), col("term"))
       .agg(count(lit(1)).as("ctc"))
     val ctc =
@@ -757,8 +764,9 @@ object TextOps {
           .select("term")
         ctcAll.join(kept, Seq("term"), "left_semi")
       }
-    val ctot = ctc.groupBy("clazz").agg(sum("ctc").as("ctot"))
-    val vocab = ctc.select("term").distinct().agg(count(lit(1)).as("v"))
+    val ctcM = ctc.localCheckpoint()
+    val ctot = ctcM.groupBy("clazz").agg(sum("ctc").as("ctot"))
+    val vocab = ctcM.select("term").distinct().agg(count(lit(1)).as("v"))
     val prior = df.groupBy(labelCol.as("clazz"))
       .agg(count(lit(1)).as("cdocs"))
     val ndocs = df.agg(count(lit(1)).as("n"))
@@ -767,7 +775,7 @@ object TextOps {
       .crossJoin(broadcast(classes))
       // NO broadcast hint: the (class, term) model is the one frame
       // here that scales with the corpus
-      .join(ctc, Seq("clazz", "term"), "left")
+      .join(ctcM, Seq("clazz", "term"), "left")
       .na.fill(0L, Seq("ctc"))
       .join(broadcast(ctot), Seq("clazz"))
       .crossJoin(broadcast(vocab))
