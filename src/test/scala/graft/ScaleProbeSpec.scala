@@ -24,8 +24,11 @@ class ScaleProbeSpec extends AnyFunSuite with SparkSpecBase {
   // gains 9 exact-content twins, so LSH buckets grow 10× and only the
   // star-expansion edge shape keeps candidates O(bucket) instead of
   // O(bucket²) (a pairwise regression would read ~100× here)
+  // t23: the Kneser-Ney scorer pins the r13 checkpointed-occurrence-
+  // table plan (the materialization must scale with the corpus, not
+  // change the kernel's linearity)
   private val probes = Seq("t18_skipgram", "t21_wordpiece", "t22_bm25",
-    "d2_dedup_minhash", "m5_image_dhash")
+    "t23_kn_score", "d2_dedup_minhash", "m5_image_dhash")
 
   private def writeCorpus(mult: Int): String = {
     val dir = Files.createTempDirectory("graft-scale").toString
