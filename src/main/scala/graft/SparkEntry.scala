@@ -1539,16 +1539,18 @@ object SparkEntry {
     * the t22 scoring, parameterized so s10's fusion reuses it at k=20.
     */
   private def sqlBm25TopK(k: Int): String =
-    s"""WITH tok AS (SELECT doc_id, unnest($sqlToks) AS term FROM documents),
+    s"""WITH tok AS (SELECT doc_id, ${sqlHex32("w")} AS term
+         FROM (SELECT doc_id, unnest($sqlToks) AS w FROM documents) _t),
        tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
        dl AS (SELECT doc_id, count(*) AS len FROM tok GROUP BY 1),
        dfq AS (SELECT term, count(*) AS dfc FROM tf GROUP BY 1),
        st AS (SELECT count(*) AS n, sum(len) AS tot FROM dl),
        qd AS (SELECT doc_id AS query_id, substr(text, 1, 60) AS qt
          FROM documents WHERE doc_id % 100 = 0),
-       qt AS (SELECT DISTINCT query_id,
+       qt AS (SELECT DISTINCT query_id, ${sqlHex32("w")} AS term
+         FROM (SELECT query_id,
            unnest(list_filter(string_split_regex(lower(qt), '[^a-z0-9]+'),
-             x -> x <> '')) AS term FROM qd),
+             x -> x <> '')) AS w FROM qd) _q),
        sc AS (SELECT q.query_id, tf.doc_id,
            least((1000 * st.n) // dfq.dfc, 1000000000) AS idf_milli,
            (1000000 * tf.tf * (1200 + 1000)) //

@@ -682,7 +682,15 @@ object TextOps {
       docs: DataFrame, text: Column, idCol: Column,
       queries: DataFrame, qText: Column, qIdCol: Column,
       k: Int = 5, k1Milli: Long = 1200, bMilli: Long = 750): DataFrame = {
-    val tok = docs.select(idCol.as("doc_id"), explode(tokens(text)).as("term"))
+    // postings keyed on 32-bit term hashes, not term strings: 8-byte
+    // shuffle/agg keys instead of variable-width text (the tf agg's
+    // string-key compares were the top of the t22 profile). Same
+    // md5-prefix hash on both engines, so the rare collision merges
+    // document-frequency and tf identically and scores stay bit-exact —
+    // the LM scorers' trick (see bigramLikelihood).
+    val tok = docs.select(idCol.as("doc_id"),
+      explode(graft.functions.ShingleHashes(text, 1, distinct = false))
+        .as("term"))
     // the posting table is the index — materialize it once (a real
     // deployment persists it); doc lengths, document frequencies and the
     // corpus stats all derive from it without re-running the tokenizer
@@ -692,7 +700,9 @@ object TextOps {
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("dfc"))
     val stats = dl.agg(count(lit(1)).as("n"), sum("len").as("tot"))
     val qterms = queries
-      .select(qIdCol.as("query_id"), explode(tokens(qText)).as("term"))
+      .select(qIdCol.as("query_id"),
+        explode(graft.functions.ShingleHashes(qText, 1, distinct = false))
+          .as("term"))
       .distinct()
     val scored = broadcast(qterms)
       .join(tf, Seq("term"))
