@@ -1489,6 +1489,15 @@ object SparkEntry {
     s"list_transform(range(1, len($toks)-${k - 2}), i -> array_to_string($toks[i:i+${k - 1}], ' '))"
   private def sqlHex32(c: String) =
     s"CAST(('0x' || substr(md5($c), 1, 8)) AS BIGINT)"
+  /** 63-bit md5 prefix for term-IDENTITY keys — mirrors TextOps.hex64 /
+    * ShingleHashes.hashes64: bytes 0–7 of md5 with the top bit cleared,
+    * always a non-negative BIGINT so no unsigned casts are needed.
+    * Sketch/bucket semantics (minhash, simhash, DSIR mod-buckets, bloom
+    * positions) stay on [[sqlHex32]] — there the 32-bit space is the spec.
+    */
+  private def sqlHex64(c: String) =
+    s"((CAST(('0x' || substr(md5($c), 1, 8)) AS BIGINT) & 2147483647)" +
+      s" * 4294967296 + CAST(('0x' || substr(md5($c), 9, 8)) AS BIGINT))"
   /** One 16-bit dHash band over a 72-sample list `ps` (9×8 grid): bit
     * j set when p(r,c) > p(r,c+1) for i = b*16+j, r = i/8, c = i%8 —
     * mirrors Multimodal.dhashSignatures exactly.
@@ -1539,7 +1548,7 @@ object SparkEntry {
     * the t22 scoring, parameterized so s10's fusion reuses it at k=20.
     */
   private def sqlBm25TopK(k: Int): String =
-    s"""WITH tok AS (SELECT doc_id, ${sqlHex32("w")} AS term
+    s"""WITH tok AS (SELECT doc_id, ${sqlHex64("w")} AS term
          FROM (SELECT doc_id, unnest($sqlToks) AS w FROM documents) _t),
        tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
        dl AS (SELECT doc_id, count(*) AS len FROM tok GROUP BY 1),
@@ -1547,7 +1556,7 @@ object SparkEntry {
        st AS (SELECT count(*) AS n, sum(len) AS tot FROM dl),
        qd AS (SELECT doc_id AS query_id, substr(text, 1, 60) AS qt
          FROM documents WHERE doc_id % 100 = 0),
-       qt AS (SELECT DISTINCT query_id, ${sqlHex32("w")} AS term
+       qt AS (SELECT DISTINCT query_id, ${sqlHex64("w")} AS term
          FROM (SELECT query_id,
            unnest(list_filter(string_split_regex(lower(qt), '[^a-z0-9]+'),
              x -> x <> '')) AS w FROM qd) _q),
@@ -1667,10 +1676,10 @@ object SparkEntry {
     s"""tok AS (SELECT doc_id, $sqlToks AS toks FROM documents),
        bg0 AS (SELECT doc_id, unnest(${sqlShingles("toks", 2)}) AS bg
                FROM tok WHERE len(toks) >= 2),
-       big AS (SELECT doc_id, ${sqlHex32("bg")} AS h2,
-                      ${sqlHex32("split_part(bg, ' ', 1)")} AS h1 FROM bg0),
+       big AS (SELECT doc_id, ${sqlHex64("bg")} AS h2,
+                      ${sqlHex64("split_part(bg, ' ', 1)")} AS h1 FROM bg0),
        lc2 AS (SELECT h2, count(*) AS c2 FROM big GROUP BY h2),
-       uni AS (SELECT ${sqlHex32("w")} AS h1
+       uni AS (SELECT ${sqlHex64("w")} AS h1
                FROM (SELECT unnest(toks) AS w FROM tok) u),
        lc1 AS (SELECT h1, count(*) AS c1 FROM uni GROUP BY h1),
        lq AS (SELECT b.doc_id, (1000000 * x.c2) // y.c1 AS q
@@ -3146,10 +3155,10 @@ object SparkEntry {
       s"""WITH tok AS (SELECT doc_id, $sqlToks AS toks FROM documents),
          bg0 AS (SELECT doc_id, unnest(${sqlShingles("toks", 2)}) AS bg
                  FROM tok WHERE len(toks) >= 2),
-         big AS (SELECT doc_id, ${sqlHex32("bg")} AS h2,
-                        ${sqlHex32("split_part(bg, ' ', 1)")} AS h1 FROM bg0),
+         big AS (SELECT doc_id, ${sqlHex64("bg")} AS h2,
+                        ${sqlHex64("split_part(bg, ' ', 1)")} AS h1 FROM bg0),
          c2 AS (SELECT h2, count(*) AS c2 FROM big GROUP BY h2),
-         uni AS (SELECT ${sqlHex32("w")} AS h1
+         uni AS (SELECT ${sqlHex64("w")} AS h1
                  FROM (SELECT unnest(toks) AS w FROM tok) u),
          c1 AS (SELECT h1, count(*) AS c1 FROM uni GROUP BY h1),
          q AS (SELECT b.doc_id, (1000000 * x.c2) // y.c1 AS q
@@ -3162,9 +3171,9 @@ object SparkEntry {
       s"""WITH tok AS (SELECT doc_id, $sqlToks AS toks FROM documents),
          bg0 AS (SELECT doc_id, unnest(${sqlShingles("toks", 2)}) AS bg
                  FROM tok WHERE len(toks) >= 2),
-         big AS (SELECT doc_id, ${sqlHex32("bg")} AS h2,
-                        ${sqlHex32("split_part(bg, ' ', 1)")} AS h1,
-                        ${sqlHex32("split_part(bg, ' ', 2)")} AS hn FROM bg0),
+         big AS (SELECT doc_id, ${sqlHex64("bg")} AS h2,
+                        ${sqlHex64("split_part(bg, ' ', 1)")} AS h1,
+                        ${sqlHex64("split_part(bg, ' ', 2)")} AS hn FROM bg0),
          c2 AS (SELECT h2, count(*) AS c12 FROM big GROUP BY h2),
          c1 AS (SELECT h1, count(*) AS c1 FROM big GROUP BY h1),
          typ AS (SELECT DISTINCT h1, hn, h2 FROM big),

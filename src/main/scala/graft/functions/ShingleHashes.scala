@@ -34,7 +34,26 @@ object ShingleHashes {
     if (text == null) Array.empty[String]
     else splitRe.split(text.toLowerCase(java.util.Locale.ROOT)).filter(_.nonEmpty)
 
-  def hashes(text: String, k: Int, distinct: Boolean): Array[Long] = {
+  def hashes(text: String, k: Int, distinct: Boolean): Array[Long] =
+    hashesImpl(text, k, distinct, wide = false)
+
+  /** 63-bit variant for term-IDENTITY keys (posting tables, LM gram
+    * counts): md5 bytes 0–7 with the top bit cleared, so the value is
+    * always a non-negative BIGINT that DuckDB reproduces with plain
+    * signed arithmetic (`(hi & 0x7fffffff) * 2^32 + lo` — see
+    * SparkEntry.sqlHex64). A 32-bit key birthday-collides ~1.1 M term
+    * pairs at a 100 M-term vocabulary, silently merging tf/df across
+    * unrelated terms; at 63 bits the expected collision count at the
+    * same vocabulary is ~5e-4. Same 8-byte key width on the wire, so
+    * the shuffle cost is identical. Sketch semantics (minhash, simhash,
+    * DSIR buckets) deliberately stay on the 32-bit [[hashes]] — there
+    * the 32-bit space IS the spec.
+    */
+  def hashes64(text: String, k: Int, distinct: Boolean): Array[Long] =
+    hashesImpl(text, k, distinct, wide = true)
+
+  private def hashesImpl(
+      text: String, k: Int, distinct: Boolean, wide: Boolean): Array[Long] = {
     if (text == null) return Array.empty[Long]
     val toks = splitRe.split(text.toLowerCase(java.util.Locale.ROOT)).filter(_.nonEmpty)
     if (toks.length < k) return Array.empty[Long]
@@ -53,8 +72,15 @@ object ShingleHashes {
       }
       md.reset()
       val d = md.digest(sb.toString.getBytes(StandardCharsets.UTF_8))
-      out(i) = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
-        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      out(i) =
+        if (wide)
+          ((d(0) & 0x7fL) << 56) | ((d(1) & 0xffL) << 48) |
+            ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
+            ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+            ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+        else
+          ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+            ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
       i += 1
     }
     if (distinct) {
@@ -68,9 +94,14 @@ object ShingleHashes {
     } else out
   }
 
-  /** Column form: array<long> of shingle hashes. */
-  def apply(text: Column, k: Int, distinct: Boolean): Column = {
-    val f = udf((s: String) => hashes(s, k, distinct))
+  /** Column form: array<long> of shingle hashes. `wide = true` selects
+    * the 63-bit term-identity keys of [[hashes64]].
+    */
+  def apply(text: Column, k: Int, distinct: Boolean,
+      wide: Boolean = false): Column = {
+    val f =
+      if (wide) udf((s: String) => hashes64(s, k, distinct))
+      else udf((s: String) => hashes(s, k, distinct))
     f(text)
   }
 

@@ -37,6 +37,20 @@ object TextOps {
   def hex32Bin(c: Column): Column =
     conv(substring(md5(c), 1, 8), 16, 10).cast("long")
 
+  /** First 63 bits of md5(s) as a long: bytes 0–7 with the top bit
+    * cleared, i.e. `(hi32 & 0x7fffffff) * 2^32 + lo32`. Used for term
+    * IDENTITY keys (postings, LM gram counts) where a 32-bit space would
+    * birthday-collide at web-scale vocabularies; always non-negative so
+    * the DuckDB oracle reproduces it with plain signed BIGINT arithmetic
+    * (no unsigned casts). Mirrors [[graft.functions.ShingleHashes.hashes64]].
+    */
+  def hex64(c: Column): Column = {
+    val m = md5(c.cast("string"))
+    conv(substring(m, 1, 8), 16, 10).cast("long")
+      .bitwiseAND(lit(0x7fffffffL)) * lit(4294967296L) +
+      conv(substring(m, 9, 8), 16, 10).cast("long")
+  }
+
   /** Language-ID by stop-word markers: score = |tokens ∩ markers(lang)|,
     * winner = highest score with fixed priority order on ties.
     */
@@ -410,15 +424,16 @@ object TextOps {
     */
   def bigramLikelihood(
       df: DataFrame, text: Column, idCol: Column): DataFrame = {
-    // count and join on 32-bit gram hashes, not gram strings: 8-byte
+    // count and join on 63-bit gram hashes, not gram strings: 8-byte
     // shuffle keys instead of variable-width text (the two count joins
-    // carry every bigram occurrence — key width IS the shuffle). hex32
-    // is the same md5 prefix on both engines, so the rare collision
-    // merges identically and results stay bit-exact. Hashes come from
+    // carry every bigram occurrence — key width IS the shuffle). hex64
+    // is the same md5 prefix on both engines; 63 bits keeps the
+    // collision expectation < 1e-3 even at a 100 M-gram vocabulary
+    // (32 bits would merge ~1.1 M gram pairs there). Hashes come from
     // the fused ShingleHashes kernel — one JVM call per document; an
     // interpreted per-element HOF md5 chain here measures ~5× slower.
-    val h2s = graft.functions.ShingleHashes(text, 2, distinct = false)
-    val h1s = graft.functions.ShingleHashes(text, 1, distinct = false)
+    val h2s = graft.functions.ShingleHashes(text, 2, distinct = false, wide = true)
+    val h1s = graft.functions.ShingleHashes(text, 1, distinct = false, wide = true)
     // two consumers (c2 and the scoring join) — materialize the
     // occurrence table instead of re-running the tokenize+hash kernel
     val big = df.filter(size(h1s) >= 2)
@@ -428,7 +443,8 @@ object TextOps {
       .localCheckpoint()
     val c2 = big.groupBy("h2").agg(count(lit(1)).as("c2"))
     val c1 = df.select(
-        explode(graft.functions.ShingleHashes(text, 1, distinct = false)).as("h1"))
+        explode(graft.functions.ShingleHashes(text, 1, distinct = false,
+          wide = true)).as("h1"))
       .groupBy("h1").agg(count(lit(1)).as("c1"))
     big.join(c2, Seq("h2"))
       .join(c1, Seq("h1"))
@@ -450,9 +466,9 @@ object TextOps {
     * N1+(··) the distinct-bigram total — so Σ_w2 P(w2|w1) ≈ 1 (proper
     * smoothing, unlike the raw ratio). All math is exact integer ppm
     * (D carried as ×4: max(4c−3, 0)/(4c)), bit-identical cross-engine;
-    * grams count and join on 32-bit md5-prefix hashes exactly like
-    * [[bigramLikelihood]] — 8-byte shuffle keys, rare collisions merge
-    * identically on both engines.
+    * grams count and join on 63-bit md5-prefix hashes exactly like
+    * [[bigramLikelihood]] — 8-byte shuffle keys, collision-free in
+    * expectation at web-scale vocabularies.
     *
     * Scale: four count frames derived from the occurrence table (hash
     * groupBys with map-side partial agg), hash equi-joins back, one
@@ -462,8 +478,8 @@ object TextOps {
     */
   def knBigramScore(
       df: DataFrame, text: Column, idCol: Column): DataFrame = {
-    val h2s = graft.functions.ShingleHashes(text, 2, distinct = false)
-    val h1s = graft.functions.ShingleHashes(text, 1, distinct = false)
+    val h2s = graft.functions.ShingleHashes(text, 2, distinct = false, wide = true)
+    val h1s = graft.functions.ShingleHashes(text, 1, distinct = false, wide = true)
     // materialize the occurrence table once: five consumers derive from
     // it (c2/c1/types and the scoring join) and without the checkpoint
     // each re-runs the tokenize+hash kernel over the full corpus — the
@@ -682,15 +698,15 @@ object TextOps {
       docs: DataFrame, text: Column, idCol: Column,
       queries: DataFrame, qText: Column, qIdCol: Column,
       k: Int = 5, k1Milli: Long = 1200, bMilli: Long = 750): DataFrame = {
-    // postings keyed on 32-bit term hashes, not term strings: 8-byte
+    // postings keyed on 63-bit term hashes, not term strings: 8-byte
     // shuffle/agg keys instead of variable-width text (the tf agg's
     // string-key compares were the top of the t22 profile). Same
-    // md5-prefix hash on both engines, so the rare collision merges
-    // document-frequency and tf identically and scores stay bit-exact —
+    // md5-prefix hash on both engines, and 63 bits keeps term identity
+    // collision-free in expectation even at a 100 M-term vocabulary —
     // the LM scorers' trick (see bigramLikelihood).
     val tok = docs.select(idCol.as("doc_id"),
-      explode(graft.functions.ShingleHashes(text, 1, distinct = false))
-        .as("term"))
+      explode(graft.functions.ShingleHashes(text, 1, distinct = false,
+        wide = true)).as("term"))
     // the posting table is the index — materialize it once (a real
     // deployment persists it); doc lengths, document frequencies and the
     // corpus stats all derive from it without re-running the tokenizer
@@ -701,8 +717,8 @@ object TextOps {
     val stats = dl.agg(count(lit(1)).as("n"), sum("len").as("tot"))
     val qterms = queries
       .select(qIdCol.as("query_id"),
-        explode(graft.functions.ShingleHashes(qText, 1, distinct = false))
-          .as("term"))
+        explode(graft.functions.ShingleHashes(qText, 1, distinct = false,
+          wide = true)).as("term"))
       .distinct()
     val scored = broadcast(qterms)
       .join(tf, Seq("term"))
