@@ -27,20 +27,31 @@ class ScaleProbeSpec extends AnyFunSuite with SparkSpecBase {
   // t23: the Kneser-Ney scorer pins the r13 checkpointed-occurrence-
   // table plan (the materialization must scale with the corpus, not
   // change the kernel's linearity)
+  // t22/s10: the two heaviest timed queries — posting-shuffle-bound, so
+  // this pins that 10× docs costs ~10× (a posting-side blowup — an
+  // uncapped query-term fanout, a lost broadcast — reads 50×+ here);
+  // s10 also exercises the dense brute-force side over the replicated
+  // embeddings table (queries × corpus, fixed query set → linear)
   private val probes = Seq("t18_skipgram", "t21_wordpiece", "t22_bm25",
-    "t23_kn_score", "d2_dedup_minhash", "m5_image_dhash")
+    "t23_kn_score", "s10_hybrid_rrf", "d2_dedup_minhash", "m5_image_dhash")
 
   private def writeCorpus(mult: Int): String = {
     val dir = Files.createTempDirectory("graft-scale").toString
-    val base = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
-    val out =
-      if (mult <= 1) base
+    def replicate(df: org.apache.spark.sql.DataFrame, idCol: String) =
+      if (mult <= 1) df
       else (0 until mult).map { r =>
-        if (r == 0) base
-        else base.withColumn("doc_id",
-          col("doc_id") * 10 + lit(r) + lit(1000000L))
+        if (r == 0) df
+        else df.withColumn(idCol,
+          col(idCol) * 10 + lit(r) + lit(1000000L))
       }.reduce(_ unionAll _)
-    out.coalesce(8).write.parquet(dir + "/documents.parquet")
+    val base = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    replicate(base, "doc_id").coalesce(8)
+      .write.parquet(dir + "/documents.parquet")
+    // the embeddings table scales with the same id scheme (replica ids
+    // never ≡ 0 mod 100, so s10's vec_id%100 query set stays fixed)
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    replicate(emb, "vec_id").coalesce(8)
+      .write.parquet(dir + "/embeddings.parquet")
     dir
   }
 
