@@ -99,7 +99,7 @@ object Bench {
     * host and their numbers are trustworthy; idx ≫ 1 brands the
     * neighboring samples as contention-inflated.
     */
-  private object ContentionKernel {
+  private[graft] object ContentionKernel {
     private val Bytes = 256 << 20
     private lazy val buf: Array[Byte] = {
       val b = new Array[Byte](Bytes)

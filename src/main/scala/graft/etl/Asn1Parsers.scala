@@ -106,8 +106,24 @@ object Asn1 {
     * wrap negative exactly like the C's %d. A trailing byte with its
     * continuation bit set never prints.
     */
-  def decodeOid(buf: Array[Byte], off: Int, len: Int): String = {
+  /** `bufsz` mirrors the caller's C buffer: every reference caller passes
+    * either 1000 (the RDN/SPKI walks, tls.c:45/85) or 100 (the alt-name
+    * walks, tls.c:152 / dtls.c:93). The truncation reproduces
+    * decode_oid's snprintf arithmetic exactly: `buflen` accumulates
+    * WOULD-BE lengths (snprintf's return value is the untruncated
+    * length), the append gate is `buflen < bufsz`, and writes are
+    * contiguous until the first truncation — so the rendered string is
+    * the full rendering cut at bufsz-1 chars, possibly mid-component.
+    * (Behaviorally inert in the reference today: every consumer compares
+    * against short literals or maps unknown OIDs to a constant, so a
+    * truncated render and a full render classify identically — the cap
+    * exists so any future field that STORES the string stays
+    * bug-compatible.)
+    */
+  def decodeOid(buf: Array[Byte], off: Int, len: Int,
+      bufsz: Int = 1000): String = {
     val sb = new StringBuilder
+    var wouldBe = 0 // C buflen: cumulative snprintf return values
     var v = 0
     var first = true
     var i = 0
@@ -117,13 +133,19 @@ object Asn1 {
       if ((c & 0x80) == 0) {
         if (first) {
           first = false
-          if (v > 40) sb.append(v / 40).append('.').append(v % 40)
-          else sb.append(v)
-        } else sb.append('.').append(v)
+          val s = if (v > 40) s"${v / 40}.${v % 40}" else v.toString
+          wouldBe = s.length
+          sb.append(s)
+        } else if (wouldBe < bufsz) {
+          val s = s".$v"
+          wouldBe += s.length
+          sb.append(s)
+        }
         v = 0
       }
       i += 1
     }
+    if (sb.length > bufsz - 1) sb.setLength(bufsz - 1)
     sb.toString
   }
 }

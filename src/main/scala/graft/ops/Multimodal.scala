@@ -308,7 +308,11 @@ object Multimodal {
     // BinaryType slice is a bounds-checked copy. Corpus text is hashed
     // as its UTF-8 bytes either way, so for the 1-byte-per-char corpora
     // this pipeline targets the signatures are unchanged (and the
-    // DuckDB oracle keeps the same char arithmetic).
+    // DuckDB oracle keeps the same char arithmetic). The single-byte
+    // assumption is ENFORCED, not hoped: PipelineOpsSpec's
+    // "corpus text is single-byte" guard fails the suite on the first
+    // multi-byte corpus, at which point the oracle ports to byte
+    // arithmetic (octet_length + BLOB substr).
     val bin = contentCol.cast("binary")
     val stride = floor((length(bin) + lit(71)) / lit(72)).cast("int")
     val clen = greatest(length(bin), lit(1))

@@ -51,6 +51,50 @@ object TextOps {
       conv(substring(m, 9, 8), 16, 10).cast("long")
   }
 
+  /** Conf key selecting how the shared token/gram/posting tables are
+    * materialized. Default (false): `localCheckpoint` — raw row blocks,
+    * fastest on a stable single JVM (measured at sf0.1: the persist
+    * path reads ~20-40% slower on t11/t23/t15 — columnar cache
+    * encode/decode on wide long tables — though noisy and t22 read
+    * faster; 8 bracketed passes, 2026-08). TRUE: persist + eager count
+    * + release-after-first-use — keeps lineage, so a lost executor's
+    * blocks recompute instead of failing the query, and dynamic
+    * allocation is safe. A long-lived deployment with executor churn
+    * should set this; a bench/batch run on stable executors should not.
+    */
+  val ReliableMaterializeConf = "spark.graft.reliableMaterialize"
+
+  private def reliable(df: DataFrame): Boolean =
+    df.sparkSession.conf.get(ReliableMaterializeConf, "false").toBoolean
+
+  /** Materialize a multiply-consumed intermediate (token/posting/gram
+    * occurrence tables). Under [[ReliableMaterializeConf]]: persist +
+    * eager count — NOT localCheckpoint, which truncates lineage and
+    * pins blocks to the executors that computed them, so one executor
+    * loss mid-query fails the whole job (at 1000 executors, loss is
+    * routine; a lost PERSISTED block just recomputes from lineage).
+    * Callers pass the frame to [[releaseAfterUse]] AFTER any build-time
+    * consumer (a second materialization derived from the first would
+    * otherwise release it prematurely), so repeated calls in a
+    * long-lived session don't accumulate cached tables.
+    */
+  private def materialize(df: DataFrame): DataFrame =
+    if (reliable(df)) {
+      val p = df.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      p.count()
+      p
+    } else df.localCheckpoint()
+
+  /** Release reliable-mode materializations once the first action that
+    * consumed the returned plan completes (see
+    * [[CacheHooks.unpersistAfterFirstUse]]); localCheckpoint blocks
+    * release via GC/ContextCleaner as before, so default mode is a no-op.
+    */
+  private def releaseAfterUse(frames: DataFrame*): Unit =
+    frames.foreach(f =>
+      if (reliable(f)) CacheHooks.unpersistAfterFirstUse(f))
+
   /** Language-ID by stop-word markers: score = |tokens ∩ markers(lang)|,
     * winner = highest score with fixed priority order on ties.
     */
@@ -436,23 +480,24 @@ object TextOps {
     val h1s = graft.functions.ShingleHashes(text, 1, distinct = false, wide = true)
     // two consumers (c2 and the scoring join) — materialize the
     // occurrence table instead of re-running the tokenize+hash kernel
-    val big = df.filter(size(h1s) >= 2)
+    val big = materialize(df.filter(size(h1s) >= 2)
       .select(idCol.as("doc_id"),
         explode(arrays_zip(h2s, slice(h1s, lit(1), size(h1s) - 1))).as("p"))
-      .select(col("doc_id"), col("p.0").as("h2"), col("p.1").as("h1"))
-      .localCheckpoint()
+      .select(col("doc_id"), col("p.0").as("h2"), col("p.1").as("h1")))
     val c2 = big.groupBy("h2").agg(count(lit(1)).as("c2"))
     val c1 = df.select(
         explode(graft.functions.ShingleHashes(text, 1, distinct = false,
           wide = true)).as("h1"))
       .groupBy("h1").agg(count(lit(1)).as("c1"))
-    big.join(c2, Seq("h2"))
+    val out = big.join(c2, Seq("h2"))
       .join(c1, Seq("h1"))
       .withColumn("q", expr("(1000000 * c2) div c1"))
       .groupBy("doc_id")
       .agg(expr("sum(q) div count(*)").as("lm_score"),
         count(lit(1)).as("n_bigrams"))
       .orderBy("doc_id")
+    releaseAfterUse(big)
+    out
   }
 
   /** Kneser-Ney smoothed bigram likelihood (the CCNet/KenLM-grade
@@ -484,24 +529,25 @@ object TextOps {
     // it (c2/c1/types and the scoring join) and without the checkpoint
     // each re-runs the tokenize+hash kernel over the full corpus — the
     // same recompute the BM25 posting table avoids
-    val big = df.filter(size(h1s) >= 2)
+    val big = materialize(df.filter(size(h1s) >= 2)
       .select(idCol.as("doc_id"),
         explode(arrays_zip(h2s, slice(h1s, lit(1), size(h1s) - 1),
           slice(h1s, lit(2), size(h1s) - 1))).as("p"))
       .select(col("doc_id"), col("p.0").as("h2"), col("p.1").as("h1"),
-        col("p.2").as("hn"))
-      .localCheckpoint()
+        col("p.2").as("hn")))
     val c2 = big.groupBy("h2").agg(count(lit(1)).as("c12"))
     // history count c(w1·) from the bigram table itself (not raw
     // unigram occurrences): keeps the distribution normalized
     val c1 = big.groupBy("h1").agg(count(lit(1)).as("c1"))
     // the distinct-bigram type table also feeds three consumers
-    // (u1/u2/the scalar total) — one dedup shuffle, not three
-    val types = big.select("h1", "hn", "h2").distinct().localCheckpoint()
+    // (u1/u2/the scalar total) — one dedup shuffle, not three.
+    // materialize AFTER big (its build-time count consumes big's cache;
+    // big's release hook registers only below, after this)
+    val types = materialize(big.select("h1", "hn", "h2").distinct())
     val u1 = types.groupBy("h1").agg(count(lit(1)).as("u1"))
     val u2 = types.groupBy("hn").agg(count(lit(1)).as("u2"))
     val bTot = types.agg(count(lit(1)).as("bb"))
-    big.join(c2, Seq("h2")).join(c1, Seq("h1"))
+    val out = big.join(c2, Seq("h2")).join(c1, Seq("h1"))
       .join(u1, Seq("h1")).join(u2, Seq("hn"))
       .crossJoin(broadcast(bTot))
       .withColumn("p",
@@ -511,6 +557,8 @@ object TextOps {
       .agg(expr("sum(p) div count(*)").as("kn_score"),
         count(lit(1)).as("n_bigrams"))
       .orderBy("doc_id")
+    releaseAfterUse(big, types)
+    out
   }
 
   /** Apply a ranked merge table to a document — the ENCODE half of the
@@ -654,13 +702,13 @@ object TextOps {
       df: DataFrame, text: Column, idCol: Column, k: Int = 5): DataFrame = {
     // two consumers (dfreq and the scoring join): materialize the tf
     // table once instead of re-running the tokenizer per consumer
-    val tf = df.select(idCol.as("doc_id"), explode(tokens(text)).as("term"))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
+    val tf = materialize(
+      df.select(idCol.as("doc_id"), explode(tokens(text)).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf")))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("dfc"))
     val ndocs = df.agg(count(lit(1)).as("n"))
     val topkFn = graft.functions.TopK.stringIds(k)
-    tf.join(dfreq, Seq("term"))
+    val out = tf.join(dfreq, Seq("term"))
       .crossJoin(broadcast(ndocs))
       .withColumn("tfidf", expr("tf * ((1000000 * n) div dfc)"))
       .groupBy("doc_id")
@@ -669,6 +717,8 @@ object TextOps {
       .select(col("doc_id"), col("t.id").as("term"),
         col("t.score").cast("long").as("tfidf"))
       .orderBy(col("doc_id"), col("tfidf").desc, col("term"))
+    releaseAfterUse(tf)
+    out
   }
 
   /** T22: BM25 top-k retrieval — queries against the document corpus
@@ -710,8 +760,8 @@ object TextOps {
     // the posting table is the index — materialize it once (a real
     // deployment persists it); doc lengths, document frequencies and the
     // corpus stats all derive from it without re-running the tokenizer
-    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
+    val tf = materialize(
+      tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf")))
     val dl = tf.groupBy("doc_id").agg(sum("tf").as("len"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("dfc"))
     val stats = dl.agg(count(lit(1)).as("n"), sum("len").as("tot"))
@@ -736,13 +786,15 @@ object TextOps {
       .groupBy("query_id", "doc_id")
       .agg(sum("contrib").as("score_ppm"))
     val topkFn = graft.functions.TopK.longIds(k)
-    scored
+    val out = scored
       .groupBy("query_id")
       .agg(topkFn(col("score_ppm").cast("double"), col("doc_id")).as("_top"))
       .select(col("query_id"), posexplode(col("_top")).as(Seq("pos", "t")))
       .select(col("query_id"), (col("pos") + 1).cast("long").as("rk"),
         col("t.id").as("doc_id"), col("t.score").cast("long").as("score_ppm"))
       .orderBy("query_id", "rk")
+    releaseAfterUse(tf)
+    out
   }
 
   /** T15: Naive-Bayes-style text classifier, trained and applied in one
@@ -777,9 +829,8 @@ object TextOps {
     // scoring — materialize it once (solo A/B: 1.46-1.58 s with vs
     // 1.73-1.77 s re-tokenizing at sf0.1); likewise the (class, term)
     // model below feeds three consumers (ctot, vocab, the score join)
-    val tok = df.select(idCol.as("doc_id"), labelCol.as("label"),
-      explode(tokens(text)).as("term"))
-      .localCheckpoint()
+    val tok = materialize(df.select(idCol.as("doc_id"),
+      labelCol.as("label"), explode(tokens(text)).as("term")))
     val ctcAll = tok.groupBy(col("label").as("clazz"), col("term"))
       .agg(count(lit(1)).as("ctc"))
     val ctc =
@@ -791,7 +842,9 @@ object TextOps {
           .select("term")
         ctcAll.join(kept, Seq("term"), "left_semi")
       }
-    val ctcM = ctc.localCheckpoint()
+    // materialized AFTER tok (this build-time count consumes tok's
+    // cache; tok's release hook registers only at the end)
+    val ctcM = materialize(ctc)
     val ctot = ctcM.groupBy("clazz").agg(sum("ctc").as("ctot"))
     val vocab = ctcM.select("term").distinct().agg(count(lit(1)).as("v"))
     val prior = df.groupBy(labelCol.as("clazz"))
@@ -812,13 +865,15 @@ object TextOps {
       .crossJoin(broadcast(ndocs))
       .withColumn("score", expr("s + ((1000000 * cdocs) div n)"))
     val arg1 = graft.functions.TopK.stringIds(1)
-    scored.groupBy("doc_id")
+    val out = scored.groupBy("doc_id")
       .agg(arg1(col("score").cast("double"), col("clazz")).as("_top"))
       .select(col("doc_id"), element_at(col("_top.id"), 1).as("pred"))
       .join(df.select(idCol.as("doc_id"), labelCol.as("label")),
         Seq("doc_id"))
       .withColumn("hit", (col("pred") === col("label")).cast("long"))
       .orderBy("doc_id")
+    releaseAfterUse(tok, ctcM)
+    out
   }
 
   /** P8: CCNet-style head/middle/tail perplexity buckets (Wenzek et al.

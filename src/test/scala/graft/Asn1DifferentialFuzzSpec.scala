@@ -119,10 +119,21 @@ class Asn1DifferentialFuzzSpec extends AnyFunSuite {
 
   /** Independent transcription of moloch_parsers_asn_decode_oid
     * (parsers.c:474-500): signed int32 accumulator, first component
-    * printed bare unless value > 40.
+    * printed bare unless value > 40, and a LITERAL snprintf emulation
+    * for the caller's buffer — writes truncate at bufsz-1 chars while
+    * `buflen` accumulates snprintf's would-be return values, and the
+    * append gate is `buflen < bufsz` (so truncation can land
+    * mid-component and appends stop only once the would-be length
+    * passes the buffer).
     */
-  private def modelOid(oid: Array[Byte]): String = {
-    var buf = ""
+  private def modelOid(oid: Array[Byte], bufsz: Int = 1000): String = {
+    val buf = new Array[Char](bufsz)
+    var buflen = 0
+    def snprintf(at: Int, space: Int, s: String): Int = {
+      var i = 0
+      while (i < s.length && i < space - 1) { buf(at + i) = s(i); i += 1 }
+      s.length // snprintf returns the UNtruncated length
+    }
     var first = true
     var value = 0
     for (pos <- oid.indices) {
@@ -130,12 +141,14 @@ class Asn1DifferentialFuzzSpec extends AnyFunSuite {
       if ((oid(pos) & 0x80) == 0) {
         if (first) {
           first = false
-          buf = if (value > 40) s"${value / 40}.${value % 40}" else s"$value"
-        } else buf += s".$value"
+          val s = if (value > 40) s"${value / 40}.${value % 40}" else s"$value"
+          buflen = snprintf(0, bufsz, s)
+        } else if (buflen < bufsz)
+          buflen += snprintf(buflen, bufsz - buflen, s".$value")
         value = 0
       }
     }
-    buf
+    new String(buf, 0, math.min(buflen, bufsz - 1))
   }
 
   test("OID rendering matches the reference model") {
@@ -158,6 +171,23 @@ class Asn1DifferentialFuzzSpec extends AnyFunSuite {
     assert(Asn1.decodeOid(
       Array[Byte](0x2a, 0xff.toByte, 0xff.toByte, 0xff.toByte,
         0xff.toByte, 0x7f), 0, 6).startsWith("1.2.-"))
+    // caller-buffer truncation (tls.c:152/dtls.c:93 pass bufsz=100, the
+    // RDN/SPKI walks 1000): long OIDs must cut exactly like snprintf —
+    // at bufsz-1 chars, possibly mid-component. bufsz=8 stresses cuts
+    // inside the FIRST component too.
+    for (trial <- 0 until 2000) {
+      val oid = Array.fill[Byte](1 + nextInt(120))(nextInt(256).toByte)
+      for (bufsz <- Seq(8, 100, 1000))
+        assert(Asn1.decodeOid(oid, 0, oid.length, bufsz) ==
+          modelOid(oid, bufsz),
+          s"trunc trial $trial bufsz=$bufsz " +
+            oid.map(b => f"${b & 0xff}%02x").mkString(" "))
+    }
+    // a 100-char-plus rendering truncates mid-component at 99 chars
+    val many = Array.fill[Byte](60)(1) // "1" + 59 × ".1" = 119 chars
+    val t = Asn1.decodeOid(many, 0, many.length, 100)
+    assert(t.length == 99 && t == modelOid(many, 100))
+    assert(Asn1.decodeOid(many, 0, many.length) == "1" + ".1" * 59)
   }
 
   test("pinned quirks from parsers.c") {

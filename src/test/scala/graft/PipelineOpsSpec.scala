@@ -63,6 +63,50 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpecBase {
       ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)))
   }
 
+  test("corpus text is single-byte: m5's byte-sliced kernel matches its char-based oracle") {
+    // Multimodal.dhashSignatures slices a BinaryType cast (byte
+    // offsets/strides) while the m5 DuckDB oracle keeps char-based
+    // substr/length — identical ONLY while every corpus char is one
+    // UTF-8 byte. This guard fails the build the day a multi-byte
+    // corpus lands, instead of letting the A/B parity break silently;
+    // the fix then is porting the oracle to byte arithmetic
+    // (octet_length + BLOB substr).
+    val multiByte = docs.filter(
+      length(col("text")) =!= length(col("text").cast("binary"))).count()
+    assert(multiByte == 0,
+      s"$multiByte documents contain multi-byte UTF-8: m5_image_dhash's " +
+        "byte-sliced kernel no longer matches its char-based SQL oracle " +
+        "— port the oracle to byte arithmetic")
+  }
+
+  test("reliable materialize mode: identical results, lineage kept, cache released") {
+    // r14: spark.graft.reliableMaterialize=true switches the shared
+    // occurrence/token tables from localCheckpoint (lineage-truncating,
+    // executor-loss-fatal) to persist + eager count + CacheHooks
+    // release. Three invariants: results are bit-identical to default
+    // mode, the caches exist while the op builds, and they are GONE
+    // shortly after the first consuming action — repeated queries in
+    // one session must not accumulate cached gram tables.
+    val defaultRows = TextOps.knBigramScore(docs, col("text"), col("doc_id"))
+      .collect().map(_.toString).toSeq
+    def cached: Int = spark.sparkContext.getPersistentRDDs.size
+    spark.conf.set(TextOps.ReliableMaterializeConf, "true")
+    try {
+      val before = cached
+      val q = TextOps.knBigramScore(docs, col("text"), col("doc_id"))
+      assert(cached > before,
+        "occurrence/type tables should be cached during build")
+      assert(q.collect().map(_.toString).toSeq == defaultRows,
+        "reliable mode must produce bit-identical results")
+      val deadline = System.currentTimeMillis + 30000
+      while (cached > before && System.currentTimeMillis < deadline)
+        Thread.sleep(100)
+      assert(cached <= before,
+        s"gram tables still cached ($cached vs $before) 30s after the " +
+          "first action — the release hooks are not firing")
+    } finally spark.conf.unset(TextOps.ReliableMaterializeConf)
+  }
+
   test("ShingleHashes distinct preserves set semantics") {
     val h = ShingleHashes.hashes("a b a b a b a b", 3, distinct = false)
     val d = ShingleHashes.hashes("a b a b a b a b", 3, distinct = true)
