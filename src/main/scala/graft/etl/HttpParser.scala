@@ -3,15 +3,50 @@ package graft.etl
 import java.nio.charset.StandardCharsets
 
 /** Full HTTP/1.x message walker over the per-direction reassembled
-  * streams (reference: capture/parsers/http.c on http-parser callbacks).
+  * streams — a transcription of the reference stack: the embedded joyent
+  * http_parser (capture/thirdparty/http_parser.c, compiled NON-STRICT:
+  * Makefile.in:88 passes -DHTTP_PARSER_STRICT=0, so every STRICT_CHECK
+  * is a no-op, TOKEN(' ') == ' ', tab/np count as URL chars and
+  * NEW_MESSAGE() never enters s_dead) driving the moloch callback layer
+  * (capture/parsers/http.c moloch_hp_cb_*).
   *
-  * Extracts the reference's http.* field surface: request line pieces
-  * (method, path, query keys/values, versions), the url field (host +
-  * origin-form target, as moloch builds urlString), header NAME lists
-  * per direction plus the promoted Referer/Location/Cookie/Authorization
-  * headers, and the MD5 of each message body exactly as delivered —
-  * de-chunked but NOT content-decoded (a gzip body hashes its gzip
-  * bytes, http.c:287-320 feeds on_body to the checksum).
+  * The bug-compatible consequences worth naming (all differential-fuzz
+  * pinned by HttpDifferentialFuzzSpec):
+  *  - header NAMES accumulate into a 40-byte buffer (HTTPInfo_t
+  *    header[2][40], http.c:33) — names truncate at 39 chars, and a
+  *    valueless line's name is NOT cleared, so it PREFIXES the next
+  *    header's recorded name (the reset happens only when a value had
+  *    started, http.c:447-455);
+  *  - folded continuation lines (obs-fold) append to the PREVIOUS
+  *    header's value with the leading whitespace dropped and no
+  *    separator (s_header_value_lws, http_parser.c:1545-1553);
+  *  - a line with no colon splits at the first non-token char (the
+  *    reference's "ALW MOLOCH: assume missing colon" patch,
+  *    http_parser.c:1352-1355);
+  *  - Transfer-Encoding is chunked only when the value STARTS with
+  *    "chunked" (strict char walk, http_parser.c:1476-1484 — a
+  *    "gzip, chunked" list is NOT chunked here);
+  *  - Content-Length re-parses per header (LAST one wins), allows
+  *    embedded spaces ("1 2" = 12) and errors the direction on any
+  *    other non-digit (http_parser.c:1398-1475);
+  *  - no F_SKIPBODY ever: moloch's on_headers_complete returns 0
+  *    (http.c:700), so HEAD/204/304/1xx responses that carry a
+  *    Content-Length have those bytes CONSUMED as a body;
+  *  - chunk-size lines tolerate extensions after ';' or ' '
+  *    (s_chunk_parameters) but any other non-hex char errors the
+  *    direction (HPE_INVALID_CHUNK_SIZE); trailer headers after the
+  *    0-chunk run through the SAME header callbacks (names recorded);
+  *  - a direction-level parse error stops that direction's parsing for
+  *    good (http.c http_parse: len <= 0 clears wParsers), keeping every
+  *    field extracted so far;
+  *  - the full 26-entry method table (http_parser.h:79-107) parses, and
+  *    `if (parser->method)` gates the Host/Cookie/Authorization
+  *    promotions — HTTP_DELETE is enum 0, so DELETE requests never
+  *    populate hostString (http.c:505-528).
+  *
+  * Bodies are de-chunked but NOT content-decoded (a gzip body hashes its
+  * gzip bytes, http.c:287-320 feeds on_body to the checksum); md5/sha256
+  * emit only at on_message_complete (http.c:394-400).
   */
 object HttpParser {
 
@@ -80,195 +115,700 @@ object HttpParser {
     passwordInBody = a.passwordInBody || b.passwordInBody,
     xffIp = (a.xffIp ++ b.xffIp).distinct)
 
-  private final case class Message(
-      firstLine: String, headers: Seq[(String, String)], body: Array[Byte],
-      // message-complete fired (http_parser semantics): body fully framed
-      // by Content-Length / a 0-chunk, or EOF-terminated. A truncated
-      // capture leaves complete=false and suppresses body md5 (http.c
-      // only emits md5 at on_message_complete).
-      complete: Boolean = true,
-      // stream offsets of the message start / framed-body start, for
-      // the display split (PacketsView maps them to run timestamps)
-      start: Int = 0, bodyOff: Int = 0)
+  // -----------------------------------------------------------------
+  // The http_parser machine (one direction, HTTP_BOTH, non-strict)
+  // -----------------------------------------------------------------
 
-  private val methods = Set("GET", "POST", "HEAD", "PUT", "DELETE",
-    "OPTIONS", "PATCH", "CONNECT", "TRACE")
-
-  // precompiled "\r?\n" — String.split(regex) recompiles per call, and
-  // this runs once per HTTP message
-  private val LineSplit = java.util.regex.Pattern.compile("\r?\n")
-
-  /** First '\n' in `a[from, to)`, or -1 — long-at-a-time memchr: the
-    * classic SWAR zero-byte test `(x^pat)-0x01.. & ~(x^pat) & 0x80..`
-    * over little-endian 8-byte loads (ByteBuffer.getLong is JIT-
-    * intrinsified to a single load), ~8× fewer iterations than a
-    * per-byte scan on header-dense streams.
+  /** method_strings, http_parser.h:79-107 (index = enum http_method;
+    * DELETE is 0 — the `if (parser->method)` gate quirk).
     */
-  private def indexOfNl(a: Array[Byte], from: Int, to: Int): Int = {
-    val bb = java.nio.ByteBuffer.wrap(a).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    var i = from
-    while (i + 8 <= to) {
-      val x = bb.getLong(i) ^ 0x0a0a0a0a0a0a0a0aL
-      val z = (x - 0x0101010101010101L) & ~x & 0x8080808080808080L
-      if (z != 0L)
-        return i + (java.lang.Long.numberOfTrailingZeros(z) >> 3)
-      i += 8
-    }
-    while (i < to) {
-      if (a(i) == '\n') return i
-      i += 1
-    }
-    -1
+  private[etl] val MethodStrings: Array[String] = Array(
+    "DELETE", "GET", "HEAD", "POST", "PUT", "CONNECT", "OPTIONS", "TRACE",
+    "COPY", "LOCK", "MKCOL", "MOVE", "PROPFIND", "PROPPATCH", "SEARCH",
+    "UNLOCK", "REPORT", "MKACTIVITY", "CHECKOUT", "MERGE", "M-SEARCH",
+    "NOTIFY", "SUBSCRIBE", "UNSUBSCRIBE", "PATCH", "PURGE")
+
+  /** Callback surface, mirroring http_parser_settings. Spans reference
+    * the stream array directly ([from, until)).
+    */
+  private[etl] trait Events {
+    def messageBegin(off: Int): Unit = {}
+    /** parser->method is live from the request line on — the header
+      * callbacks' `if (parser->method)` gate reads it (http.c:505).
+      * Fires when the method token completes; a later request in the
+      * same direction overwrites it (and a DELETE sets it back to 0).
+      */
+    def methodResolved(methodIdx: Int): Unit = {}
+    def url(data: Array[Byte], from: Int, until: Int): Unit = {}
+    def headerField(data: Array[Byte], from: Int, until: Int): Unit = {}
+    def headerValue(data: Array[Byte], from: Int, until: Int): Unit = {}
+    /** Fires like moloch_hp_cb_on_headers_complete; bodyOff = offset of
+      * the first byte after the header terminator.
+      */
+    def headersComplete(status: Int, methodIdx: Int, major: Int,
+        minor: Int, upgrade: Boolean, bodyOff: Int): Unit = {}
+    def body(data: Array[Byte], from: Int, until: Int): Unit = {}
+    def messageComplete(endOff: Int): Unit = {}
   }
 
-  /** Walk one direction's stream into messages (header block + body).
-    * `reqMethods`: the client direction's request-method sequence — a
-    * response to HEAD carries a Content-Length but NO body (RFC 7230
-    * 3.3.3), so framing it by the header would swallow the next
-    * response's bytes.
+  // tokens[256] (http_parser.c:145-178); non-strict TOKEN() maps ' '→' '
+  private val Tokens: Array[Char] = {
+    val t = new Array[Char](256)
+    for (c <- 'a' to 'z') { t(c) = c; t(c - 32) = c }
+    for (c <- '0' to '9') t(c) = c
+    "!#$%&'*+-.^_`|~".foreach(c => t(c) = c)
+    t(' ') = ' ' // non-strict extension (http_parser.c:375)
+    t
+  }
+
+  // normal_url_char (http_parser.c:198-230) with the non-strict T()
+  // entries (ht, np) and high-bit bytes allowed (http_parser.c:376)
+  private def isUrlChar(ch: Int): Boolean = {
+    if ((ch & 0x80) != 0) return true
+    if (ch == '\t' || ch == 12) return true
+    if (ch <= 32 || ch == 127) return false
+    ch != '#' && ch != '?'
+  }
+  private def isAlpha(ch: Int): Boolean = {
+    val c = ch | 0x20; c >= 'a' && c <= 'z'
+  }
+  private def isNum(ch: Int): Boolean = ch >= '0' && ch <= '9'
+  private def isMark(c: Int): Boolean =
+    c == '-' || c == '_' || c == '.' || c == '!' || c == '~' || c == '*' ||
+      c == '\'' || c == '(' || c == ')'
+  private def isUserinfoChar(c: Int): Boolean =
+    isAlpha(c) || isNum(c) || isMark(c) || c == '%' || c == ';' ||
+      c == ':' || c == '&' || c == '=' || c == '+' || c == '$' || c == ','
+
+  // states (the machine's subset of enum state)
+  private object S {
+    final val Dead = 0
+    final val StartReqOrRes = 1; final val ResOrRespH = 2
+    final val ResH = 3; final val ResHT = 4; final val ResHTT = 5
+    final val ResHTTP = 6
+    final val ResFirstMajor = 7; final val ResMajor = 8
+    final val ResFirstMinor = 9; final val ResMinor = 10
+    final val ResFirstStatus = 11; final val ResStatus = 12
+    final val ResStatusText = 13; final val ResLineAlmostDone = 14
+    final val StartReq = 15; final val ReqMethod = 16
+    final val ReqSpacesBeforeUrl = 17
+    final val ReqSchema = 18; final val ReqSchemaSlash = 19
+    final val ReqSchemaSlashSlash = 20
+    final val ReqServerStart = 21; final val ReqServer = 22
+    final val ReqServerWithAt = 23
+    final val ReqPath = 24; final val ReqQueryStringStart = 25
+    final val ReqQueryString = 26
+    final val ReqFragmentStart = 27; final val ReqFragment = 28
+    final val ReqHttpStart = 29; final val ReqHttpH = 30
+    final val ReqHttpHT = 31; final val ReqHttpHTT = 32
+    final val ReqHttpHTTP = 33
+    final val ReqFirstMajor = 34; final val ReqMajor = 35
+    final val ReqFirstMinor = 36; final val ReqMinor = 37
+    final val ReqLineAlmostDone = 38
+    final val HeaderFieldStart = 39; final val HeaderField = 40
+    final val HeaderValueStart = 41; final val HeaderValue = 42
+    final val HeaderAlmostDone = 43; final val HeaderValueLws = 44
+    final val HeadersAlmostDone = 45; final val HeadersDone = 46
+    final val BodyIdentity = 47; final val BodyIdentityEof = 48
+    final val MessageDone = 49
+    final val ChunkSizeStart = 50; final val ChunkSize = 51
+    final val ChunkParameters = 52; final val ChunkSizeAlmostDone = 53
+    final val ChunkData = 54; final val ChunkDataAlmostDone = 55
+    final val ChunkDataDone = 56
+  }
+  // header_state
+  private object H {
+    final val General = 0; final val C = 1; final val CO = 2
+    final val CON = 3
+    final val MatchingConnection = 4; final val MatchingProxyConnection = 5
+    final val MatchingContentLength = 6
+    final val MatchingTransferEncoding = 7; final val MatchingUpgrade = 8
+    final val Connection = 9; final val ContentLength = 10
+    final val TransferEncoding = 11; final val Upgrade = 12
+    final val MatchingTEChunked = 13; final val MatchingKeepAlive = 14
+    final val MatchingClose = 15
+    final val TEChunked = 16; final val KeepAlive = 17; final val Close = 18
+  }
+  private final val FChunked = 1
+  private final val FTrailing = 2
+  private final val FUpgrade = 4
+
+  /** One-shot http_parser_execute over a full reassembled direction,
+    * followed by the EOF call http_save issues (http.c:744-760). A parse
+    * error stops the walk exactly where the reference's driver clears
+    * wParsers (http.c http_parse, len <= 0).
     */
-  private def messages(stream: Array[Byte], isResponse: Boolean,
-      reqMethods: Seq[String] = Nil): Seq[Message] = {
-    val out = Seq.newBuilder[Message]
-    var off = 0
-    var guard = 0
-    var respIdx = 0
-    while (off < stream.length && guard < 200) {
-      guard += 1
-      // header terminator: CRLFCRLF or bare LFLF — http_parser (and so
-      // the reference) accepts LF-only messages (http-empty-useragent).
-      // Byte scan (first match wins; the two patterns can't start at the
-      // same index) instead of materializing a 64 KiB string per message
-      val limit = math.min(stream.length - off, 64 * 1024)
-      var hEnd = -1
-      var sepLen = 0
-      // anchored on '\n' (every terminator contains one), located 8
-      // bytes at a time with the SWAR zero-byte test over a
-      // little-endian long view — this scan is the hottest loop of the
-      // whole ingest profile (it visits every header byte of every HTTP
-      // message). First-match-wins order is preserved: '\n's are
-      // visited ascending, and for an '\n' at j the CRLFCRLF candidate
-      // (hEnd = j-1) precedes the LFLF candidate (hEnd = j).
-      var si = 0
-      while (hEnd < 0 && si < limit) {
-        val abs = indexOfNl(stream, off + si, off + limit)
-        if (abs < 0) si = limit
-        else {
-          val j = abs - off
-          if (j >= 1 && j + 2 < limit && stream(off + j - 1) == '\r' &&
-            stream(off + j + 1) == '\r' && stream(off + j + 2) == '\n') {
-            hEnd = j - 1; sepLen = 4
-          } else if (j + 1 < limit && stream(off + j + 1) == '\n') {
-            hEnd = j; sepLen = 2
-          }
-          si = j + 1
-        }
-      }
-      if (hEnd < 0) { off = stream.length }
-      else {
-        val headerBlock = new String(stream, off, hEnd,
-          StandardCharsets.ISO_8859_1)
-        val lines = LineSplit.split(headerBlock)
-        val firstLine = lines.headOption.getOrElse("")
-        val headers = lines.drop(1).toSeq.flatMap { l =>
-          val i = l.indexOf(':')
-          if (i <= 0) None else Some((l.substring(0, i).trim, l.substring(i + 1).trim))
-        }
-        def h(name: String): Option[String] =
-          headers.collectFirst { case (k, v) if k.equalsIgnoreCase(name) => v }
-        val bodyStart = off + hEnd + sepLen
-        var bodyEnd = bodyStart
-        var body = Array.emptyByteArray
-        var complete = true
-        val status = if (isResponse)
-          firstLine.split(" ").lift(1).flatMap(_.toIntOption).getOrElse(0)
-        else 0
-        val isHeadResp = isResponse && firstLine.startsWith("HTTP/") &&
-          reqMethods.lift(respIdx).contains("HEAD")
-        // interim 1xx responses are not final answers to a request: bumping
-        // respIdx for them shifts response-to-request alignment off by one
-        // and breaks HEAD framing for the rest of the stream
-        if (isResponse && firstLine.startsWith("HTTP/") && status / 100 != 1)
-          respIdx += 1
-        val noBody = isResponse &&
-          (status / 100 == 1 || status == 204 || status == 304 || isHeadResp)
-        if (!noBody) {
-          if (h("Transfer-Encoding").exists(_.toLowerCase.contains("chunked"))) {
-            // de-chunk: hex-size CRLF data CRLF ... 0 CRLF [trailers] CRLF
-            val buf = new java.io.ByteArrayOutputStream()
-            var p = bodyStart
-            var ok = true
-            var sawZeroChunk = false
-            // default when the stream drains mid-chunk (truncated capture):
-            // without this, bodyEnd stays at bodyStart and the outer walker
-            // re-parses the same message until its iteration guard
-            bodyEnd = stream.length
-            while (ok && p < stream.length) {
-              val lineEnd = indexOfCrlf(stream, p)
-              if (lineEnd < 0) { ok = false; bodyEnd = stream.length }
+  private[etl] def walk(data: Array[Byte], ev: Events): Unit = {
+    import S._
+    var state = StartReqOrRes
+    var headerState = H.General
+    var index = 0
+    var flags = 0
+    var contentLength = -1L // ULLONG_MAX sentinel
+    var httpMajor = 0; var httpMinor = 0
+    var statusCode = 0
+    var method = 0
+    var isResponseMsg = false
+    var dead = false
+    var upgraded = false
+
+    var fieldMark = -1; var valueMark = -1
+    var urlMark = -1; var bodyMark = -1
+    def cbField(endEx: Int): Unit =
+      if (fieldMark >= 0) { ev.headerField(data, fieldMark, endEx); fieldMark = -1 }
+    def cbValue(endEx: Int): Unit =
+      if (valueMark >= 0) { ev.headerValue(data, valueMark, endEx); valueMark = -1 }
+    def cbUrl(endEx: Int): Unit =
+      if (urlMark >= 0) { ev.url(data, urlMark, endEx); urlMark = -1 }
+    def cbBody(endEx: Int): Unit =
+      if (bodyMark >= 0) { ev.body(data, bodyMark, endEx); bodyMark = -1 }
+    def needsEof(): Boolean = {
+      // http_message_needs_eof (http_parser.c:1854-1873); F_SKIPBODY
+      // never set (moloch returns 0 from on_headers_complete)
+      if (statusCode / 100 == 1 || statusCode == 204 || statusCode == 304)
+        return false
+      if ((flags & FChunked) != 0 || contentLength != -1L) return false
+      true
+    }
+
+    var p = 0
+    while (p < data.length && !dead && !upgraded) {
+      val ch = data(p) & 0xff
+      var redo = true
+      while (redo && !dead && !upgraded) {
+        redo = false
+        (state: @annotation.switch) match {
+          case StartReqOrRes =>
+            if (ch != '\r' && ch != '\n') {
+              flags = 0; contentLength = -1L; isResponseMsg = false
+              if (ch == 'H') { state = ResOrRespH; ev.messageBegin(p) }
+              else { state = StartReq; redo = true }
+            }
+          case ResOrRespH =>
+            if (ch == 'T') { isResponseMsg = true; state = ResHT }
+            else if (ch == 'E') { method = 2; index = 2; state = ReqMethod }
+            else dead = true
+          // non-strict: the s_res_H..HTTP constant checks are no-ops
+          case ResH => state = ResHT
+          case ResHT => state = ResHTT
+          case ResHTT => state = ResHTTP
+          case ResHTTP => state = ResFirstMajor
+          case ResFirstMajor =>
+            if (isNum(ch)) { httpMajor = ch - '0'; state = ResMajor }
+            else dead = true
+          case ResMajor =>
+            if (ch == '.') state = ResFirstMinor
+            else if (isNum(ch)) {
+              httpMajor = httpMajor * 10 + (ch - '0')
+              if (httpMajor > 999) dead = true
+            } else dead = true
+          case ResFirstMinor =>
+            if (isNum(ch)) { httpMinor = ch - '0'; state = ResMinor }
+            else dead = true
+          case ResMinor =>
+            if (ch == ' ') state = ResFirstStatus
+            else if (isNum(ch)) {
+              httpMinor = httpMinor * 10 + (ch - '0')
+              if (httpMinor > 999) dead = true
+            } else dead = true
+          case ResFirstStatus =>
+            if (isNum(ch)) { statusCode = ch - '0'; state = ResStatus }
+            else if (ch != ' ') dead = true
+          case ResStatus =>
+            if (isNum(ch)) {
+              statusCode = statusCode * 10 + (ch - '0')
+              if (statusCode > 999) dead = true
+            } else if (ch == ' ') state = ResStatusText
+            else if (ch == '\r') state = ResLineAlmostDone
+            else if (ch == '\n') state = HeaderFieldStart
+            else dead = true
+          case ResStatusText =>
+            if (ch == '\r') state = ResLineAlmostDone
+            else if (ch == '\n') state = HeaderFieldStart
+          case ResLineAlmostDone =>
+            state = HeaderFieldStart // non-strict: any byte stands for LF
+          case StartReq =>
+            if (ch != '\r' && ch != '\n') {
+              flags = 0; contentLength = -1L; isResponseMsg = false
+              val m = ch match {
+                case 'C' => 5; case 'D' => 0; case 'G' => 1; case 'H' => 2
+                case 'L' => 9; case 'M' => 10; case 'N' => 21; case 'O' => 6
+                case 'P' => 3; case 'R' => 16; case 'S' => 22; case 'T' => 7
+                case 'U' => 15
+                case _ => -1
+              }
+              if (m < 0) dead = true
               else {
-                val sizeStr = new String(stream, p, lineEnd - p,
-                  StandardCharsets.ISO_8859_1).trim.takeWhile(c =>
-                  Character.digit(c, 16) >= 0)
-                val size = try java.lang.Long.parseLong(
-                  if (sizeStr.isEmpty) "-1" else sizeStr, 16).toInt
-                catch { case _: Exception => -1 }
-                if (size < 0) { ok = false; bodyEnd = stream.length }
-                else if (size == 0) {
-                  ok = false
-                  sawZeroChunk = true
-                  // trailers may follow the 0-chunk: the message ends at
-                  // the next blank line, not a fixed 4 bytes — otherwise
-                  // trailer headers re-parse as a bogus next message that
-                  // swallows the rest of the stream
-                  var q = lineEnd + 2
-                  var end = -1
-                  while (end < 0 && q + 1 < stream.length) {
-                    if (stream(q) == '\r' && stream(q + 1) == '\n') {
-                      end = q + 2 // blank line right here (no trailers)
-                    } else {
-                      val nl = indexOfCrlf(stream, q)
-                      if (nl < 0) q = stream.length else q = nl + 2
-                    }
-                  }
-                  bodyEnd = if (end >= 0) end else stream.length
-                } else {
-                  val dStart = lineEnd + 2
-                  val dEnd = math.min(dStart + size, stream.length)
-                  buf.write(stream, dStart, math.max(0, dEnd - dStart))
-                  p = dEnd + 2 // skip trailing CRLF
-                  if (dEnd >= stream.length) { ok = false; bodyEnd = stream.length }
+                method = m; index = 1; state = ReqMethod
+                ev.messageBegin(p)
+              }
+            }
+          case ReqMethod =>
+            if (ch == 0) dead = true
+            else {
+              val matcher = MethodStrings(method)
+              if (ch == ' ' && index == matcher.length) {
+                state = ReqSpacesBeforeUrl
+                ev.methodResolved(method)
+              } else if (index < matcher.length &&
+                ch.toChar == matcher.charAt(index)) ()
+              else if (method == 5) { // CONNECT
+                if (index == 1 && ch == 'H') method = 18
+                else if (index == 2 && ch == 'P') method = 8
+                else dead = true
+              } else if (method == 10) { // MKCOL
+                if (index == 1 && ch == 'O') method = 11
+                else if (index == 1 && ch == 'E') method = 19
+                else if (index == 1 && ch == '-') method = 20
+                else if (index == 2 && ch == 'A') method = 17
+                else dead = true
+              } else if (method == 22) { // SUBSCRIBE
+                if (index == 1 && ch == 'E') method = 14 else dead = true
+              } else if (index == 1 && method == 3) { // POST
+                if (ch == 'R') method = 12
+                else if (ch == 'U') method = 4
+                else if (ch == 'A') method = 24
+                else dead = true
+              } else if (index == 2) {
+                if (method == 4 && ch == 'R') method = 25
+                else if (method == 15 && ch == 'S') method = 23
+                else dead = true
+              } else if (index == 4 && method == 12 && ch == 'P')
+                method = 13
+              else dead = true
+              if (!dead) index += 1
+            }
+          case ReqSpacesBeforeUrl =>
+            if (ch != ' ') {
+              urlMark = p
+              val next =
+                if (method == 5) parseUrlChar(ReqServerStart, ch)
+                else parseUrlChar(ReqSpacesBeforeUrl, ch)
+              if (next == Dead) dead = true else state = next
+            }
+          case ReqSchema | ReqSchemaSlash | ReqSchemaSlashSlash |
+              ReqServerStart =>
+            if (ch == ' ' || ch == '\r' || ch == '\n') dead = true
+            else {
+              val next = parseUrlChar(state, ch)
+              if (next == Dead) dead = true else state = next
+            }
+          case ReqServer | ReqServerWithAt | ReqPath |
+              ReqQueryStringStart | ReqQueryString | ReqFragmentStart |
+              ReqFragment =>
+            if (ch == ' ') { state = ReqHttpStart; cbUrl(p) }
+            else if (ch == '\r' || ch == '\n') {
+              httpMajor = 0; httpMinor = 9
+              state = if (ch == '\r') ReqLineAlmostDone else HeaderFieldStart
+              cbUrl(p)
+            } else {
+              val next = parseUrlChar(state, ch)
+              if (next == Dead) dead = true else state = next
+            }
+          case ReqHttpStart =>
+            if (ch == 'H') state = ReqHttpH
+            else if (ch != ' ') dead = true
+          case ReqHttpH => state = ReqHttpHT // non-strict
+          case ReqHttpHT => state = ReqHttpHTT
+          case ReqHttpHTT => state = ReqHttpHTTP
+          case ReqHttpHTTP => state = ReqFirstMajor
+          case ReqFirstMajor =>
+            if (ch >= '1' && ch <= '9') { httpMajor = ch - '0'; state = ReqMajor }
+            else dead = true
+          case ReqMajor =>
+            if (ch == '.') state = ReqFirstMinor
+            else if (isNum(ch)) {
+              httpMajor = httpMajor * 10 + (ch - '0')
+              if (httpMajor > 999) dead = true
+            } else dead = true
+          case ReqFirstMinor =>
+            if (isNum(ch)) { httpMinor = ch - '0'; state = ReqMinor }
+            else dead = true
+          case ReqMinor =>
+            if (ch == '\r') state = ReqLineAlmostDone
+            else if (ch == '\n') state = HeaderFieldStart
+            else if (isNum(ch)) {
+              httpMinor = httpMinor * 10 + (ch - '0')
+              if (httpMinor > 999) dead = true
+            } else dead = true
+          case ReqLineAlmostDone =>
+            if (ch != '\n') dead = true // HPE_LF_EXPECTED (not STRICT-gated)
+            else state = HeaderFieldStart
+          case HeaderFieldStart =>
+            if (ch == '\r') state = HeadersAlmostDone
+            else if (ch == '\n') { state = HeadersAlmostDone; redo = true }
+            else {
+              val c = if (ch < 256) Tokens(ch) else 0.toChar
+              if (c == 0) dead = true // HPE_INVALID_HEADER_TOKEN
+              else {
+                fieldMark = p
+                index = 0
+                state = HeaderField
+                headerState = c match {
+                  case 'c' => H.C
+                  case 'p' => H.MatchingProxyConnection
+                  case 't' => H.MatchingTransferEncoding
+                  case 'u' => H.MatchingUpgrade
+                  case _   => H.General
                 }
               }
             }
-            body = buf.toByteArray
-            complete = sawZeroChunk
-          } else h("Content-Length").flatMap(_.trim.toIntOption) match {
-            case Some(cl) =>
-              bodyEnd = math.min(bodyStart + math.max(0, cl), stream.length)
-              body = java.util.Arrays.copyOfRange(stream, bodyStart, bodyEnd)
-              complete = bodyStart + math.max(0, cl) <= stream.length
-            case None if isResponse =>
-              // no framing on a response: body runs to connection close
-              bodyEnd = stream.length
-              body = java.util.Arrays.copyOfRange(stream, bodyStart, bodyEnd)
-            case None => // request without length: no body
-          }
+          case HeaderField =>
+            val c = if (ch < 256) Tokens(ch) else 0.toChar
+            if (c != 0) {
+              headerState match {
+                case H.General => ()
+                case H.C =>
+                  index += 1
+                  headerState = if (c == 'o') H.CO else H.General
+                case H.CO =>
+                  index += 1
+                  headerState = if (c == 'n') H.CON else H.General
+                case H.CON =>
+                  index += 1
+                  headerState = c match {
+                    case 'n' => H.MatchingConnection
+                    case 't' => H.MatchingContentLength
+                    case _   => H.General
+                  }
+                case H.MatchingConnection =>
+                  index += 1
+                  val t = "connection"
+                  if (index >= t.length || c != t.charAt(index))
+                    headerState = H.General
+                  else if (index == t.length - 1) headerState = H.Connection
+                case H.MatchingProxyConnection =>
+                  index += 1
+                  val t = "proxy-connection"
+                  if (index >= t.length || c != t.charAt(index))
+                    headerState = H.General
+                  else if (index == t.length - 1) headerState = H.Connection
+                case H.MatchingContentLength =>
+                  index += 1
+                  val t = "content-length"
+                  if (index >= t.length || c != t.charAt(index))
+                    headerState = H.General
+                  else if (index == t.length - 1)
+                    headerState = H.ContentLength
+                case H.MatchingTransferEncoding =>
+                  index += 1
+                  val t = "transfer-encoding"
+                  if (index >= t.length || c != t.charAt(index))
+                    headerState = H.General
+                  else if (index == t.length - 1)
+                    headerState = H.TransferEncoding
+                case H.MatchingUpgrade =>
+                  index += 1
+                  val t = "upgrade"
+                  if (index >= t.length || c != t.charAt(index))
+                    headerState = H.General
+                  else if (index == t.length - 1) headerState = H.Upgrade
+                case H.Connection | H.ContentLength | H.TransferEncoding |
+                    H.Upgrade =>
+                  if (ch != ' ') headerState = H.General
+                case _ => ()
+              }
+            } else if (ch == ':') { state = HeaderValueStart; cbField(p) }
+            else if (ch == '\r') { state = HeaderAlmostDone; cbField(p) }
+            else if (ch == '\n') { state = HeaderFieldStart; cbField(p) }
+            else { // ALW MOLOCH: assume missing colon
+              state = HeaderValueStart; cbField(p)
+            }
+          case HeaderValueStart =>
+            if (ch != ' ' && ch != '\t') {
+              valueMark = p
+              state = HeaderValue
+              index = 0
+              if (ch == '\r') {
+                headerState = H.General
+                state = HeaderAlmostDone
+                cbValue(p)
+              } else if (ch == '\n') {
+                state = HeaderFieldStart
+                cbValue(p)
+              } else {
+                val c = (ch | 0x20).toChar
+                headerState match {
+                  case H.Upgrade =>
+                    flags |= FUpgrade; headerState = H.General
+                  case H.TransferEncoding =>
+                    headerState =
+                      if (c == 'c') H.MatchingTEChunked else H.General
+                  case H.ContentLength =>
+                    if (!isNum(ch)) dead = true // HPE_INVALID_CONTENT_LENGTH
+                    else contentLength = (ch - '0').toLong
+                  case H.Connection =>
+                    headerState =
+                      if (c == 'k') H.MatchingKeepAlive
+                      else if (c == 'c') H.MatchingClose
+                      else H.General
+                  case _ => headerState = H.General
+                }
+              }
+            }
+          case HeaderValue =>
+            if (ch == '\r') { state = HeaderAlmostDone; cbValue(p) }
+            else if (ch == '\n') {
+              state = HeaderAlmostDone; cbValue(p); redo = true
+            } else {
+              val c = (ch | 0x20).toChar
+              headerState match {
+                case H.General => ()
+                case H.ContentLength =>
+                  if (ch == ' ') ()
+                  else if (!isNum(ch)) dead = true
+                  else contentLength = contentLength * 10 + (ch - '0')
+                case H.MatchingTEChunked =>
+                  index += 1
+                  val t = "chunked"
+                  if (index >= t.length || c != t.charAt(index))
+                    headerState = H.General
+                  else if (index == t.length - 1) headerState = H.TEChunked
+                case H.MatchingKeepAlive =>
+                  index += 1
+                  val t = "keep-alive"
+                  if (index >= t.length || c != t.charAt(index))
+                    headerState = H.General
+                  else if (index == t.length - 1) headerState = H.KeepAlive
+                case H.MatchingClose =>
+                  index += 1
+                  val t = "close"
+                  if (index >= t.length || c != t.charAt(index))
+                    headerState = H.General
+                  else if (index == t.length - 1) headerState = H.Close
+                case H.TEChunked | H.KeepAlive | H.Close =>
+                  if (ch != ' ') headerState = H.General
+                case _ => headerState = H.General
+              }
+            }
+          case HeaderAlmostDone =>
+            // non-strict: the LF check is a no-op — ANY byte advances
+            state = HeaderValueLws
+            if (headerState == H.TEChunked) flags |= FChunked
+          case HeaderValueLws =>
+            if (ch == ' ' || ch == '\t') state = HeaderValueStart
+            else { state = HeaderFieldStart; redo = true }
+          case HeadersAlmostDone =>
+            // non-strict LF check no-op
+            if ((flags & FTrailing) != 0) {
+              // end of a chunked message (trailers done)
+              state = StartReqOrRes // NEW_MESSAGE(), non-strict
+              ev.messageComplete(p + 1)
+            } else {
+              // moloch's on_headers_complete always returns 0: no
+              // F_SKIPBODY (http.c:700); upgrade set for F_UPGRADE or
+              // CONNECT (http_parser.c:1576-1577)
+              val up = (flags & FUpgrade) != 0 || method == 5
+              state = HeadersDone
+              ev.headersComplete(statusCode,
+                if (isResponseMsg) -1 else method,
+                httpMajor, httpMinor, up, p + 1)
+              redo = true
+            }
+          case HeadersDone =>
+            if ((flags & FUpgrade) != 0 ||
+              (!isResponseMsg && method == 5)) {
+              // upgrade/CONNECT: message complete, rest of the direction
+              // belongs to another protocol (http_parser.c:1605-1610)
+              ev.messageComplete(p + 1)
+              upgraded = true
+            } else if ((flags & FChunked) != 0) state = ChunkSizeStart
+            else if (contentLength == 0L) {
+              state = StartReqOrRes
+              ev.messageComplete(p + 1)
+            } else if (contentLength != -1L) state = BodyIdentity
+            else if (!isResponseMsg || !needsEof()) {
+              state = StartReqOrRes
+              ev.messageComplete(p + 1)
+            } else state = BodyIdentityEof
+          case BodyIdentity =>
+            val toRead =
+              math.min(contentLength, (data.length - p).toLong).toInt
+            bodyMark = p
+            contentLength -= toRead
+            p += toRead - 1
+            if (contentLength == 0L) {
+              cbBody(p + 1)
+              state = MessageDone
+              redo = true
+            }
+          case BodyIdentityEof =>
+            bodyMark = p
+            p = data.length - 1
+          case MessageDone =>
+            state = StartReqOrRes
+            ev.messageComplete(p + 1)
+          case ChunkSizeStart =>
+            val v = Character.digit(ch, 16)
+            if (v == -1) dead = true // HPE_INVALID_CHUNK_SIZE
+            else { contentLength = v.toLong; state = ChunkSize }
+          case ChunkSize =>
+            if (ch == '\r') state = ChunkSizeAlmostDone
+            else {
+              val v = Character.digit(ch, 16)
+              if (v == -1) {
+                if (ch == ';' || ch == ' ') state = ChunkParameters
+                else dead = true
+              } else contentLength = contentLength * 16 + v
+            }
+          case ChunkParameters =>
+            if (ch == '\r') state = ChunkSizeAlmostDone
+          case ChunkSizeAlmostDone =>
+            // non-strict LF no-op
+            if (contentLength == 0L) {
+              flags |= FTrailing
+              state = HeaderFieldStart
+            } else state = ChunkData
+          case ChunkData =>
+            val toRead =
+              math.min(contentLength, (data.length - p).toLong).toInt
+            bodyMark = p
+            contentLength -= toRead
+            p += toRead - 1
+            if (contentLength == 0L) state = ChunkDataAlmostDone
+          case ChunkDataAlmostDone =>
+            // non-strict CR no-op
+            state = ChunkDataDone
+            cbBody(p)
+          case ChunkDataDone =>
+            // non-strict LF no-op
+            state = ChunkSizeStart
+          case _ => dead = true
         }
-        out += Message(firstLine, headers, body, complete, off, bodyStart)
-        off = math.max(bodyEnd, bodyStart)
       }
+      p += 1
     }
-    out.result()
+    if (!dead && !upgraded) {
+      // leftover marks fire NOADVANCE callbacks (http_parser.c:1838-1846)
+      cbField(data.length)
+      cbValue(data.length)
+      cbUrl(data.length)
+      cbBody(data.length)
+      // the EOF call (http_save → execute(parser, 0, 0)) completes only
+      // an EOF-framed body
+      if (state == BodyIdentityEof) ev.messageComplete(data.length)
+    }
   }
 
-  private def indexOfCrlf(b: Array[Byte], from: Int): Int = {
-    var i = from
-    while (i + 1 < b.length) {
-      if (b(i) == '\r' && b(i + 1) == '\n') return i
-      i += 1
+  /** parse_url_char, non-strict (http_parser.c:420-530, with the second
+    * "ALW MOLOCH" patch: a schema char that isn't alpha/':' falls back
+    * to path instead of dying).
+    */
+  private def parseUrlChar(s: Int, ch: Int): Int = {
+    import S._
+    if (ch == ' ' || ch == '\r' || ch == '\n') return Dead
+    s match {
+      case ReqSpacesBeforeUrl =>
+        if (ch == '/' || ch == '*') ReqPath
+        else if (isAlpha(ch)) ReqSchema
+        else Dead
+      case ReqSchema =>
+        if (isAlpha(ch)) s
+        else if (ch == ':') ReqSchemaSlash
+        else ReqPath // ALW MOLOCH: assume a path, bad client
+      case ReqSchemaSlash => if (ch == '/') ReqSchemaSlashSlash else Dead
+      case ReqSchemaSlashSlash => if (ch == '/') ReqServerStart else Dead
+      case ReqServerWithAt if ch == '@' => Dead
+      case ReqServerWithAt | ReqServerStart | ReqServer =>
+        if (ch == '/') ReqPath
+        else if (ch == '?') ReqQueryStringStart
+        else if (ch == '@') ReqServerWithAt
+        else if (isUserinfoChar(ch) || ch == '[' || ch == ']') ReqServer
+        else Dead
+      case ReqPath =>
+        if (isUrlChar(ch)) s
+        else if (ch == '?') ReqQueryStringStart
+        else if (ch == '#') ReqFragmentStart
+        else Dead
+      case ReqQueryStringStart | ReqQueryString =>
+        if (isUrlChar(ch) || ch == '?') ReqQueryString
+        else if (ch == '#') ReqFragmentStart
+        else Dead
+      case ReqFragmentStart =>
+        if (isUrlChar(ch) || ch == '?') ReqFragment
+        else if (ch == '#') s
+        else Dead
+      case ReqFragment =>
+        if (isUrlChar(ch) || ch == '?' || ch == '#') s
+        else Dead
+      case _ => Dead
     }
-    -1
+  }
+
+  // -----------------------------------------------------------------
+  // Framing collector (display/body endpoints)
+  // -----------------------------------------------------------------
+
+  private[etl] final case class Msg(
+      isResponse: Boolean, method: String, status: Int, url: String,
+      headers: Seq[(String, String)], body: Array[Byte],
+      complete: Boolean, start: Int, bodyOff: Int)
+
+  private final class Framing extends Events {
+    private val out = Seq.newBuilder[Msg]
+    private var start = 0
+    private var bodyOff = 0
+    private var headersDone = false
+    private var status = 0
+    private var methodIdx = -1
+    private val urlB = new StringBuilder
+    private val hdrs = Seq.newBuilder[(String, String)]
+    private var name = new StringBuilder
+    private var value = new StringBuilder
+    private var inVal = false
+    private val bodyB = new java.io.ByteArrayOutputStream()
+    private var begun = false
+
+    private def flushHdr(): Unit =
+      if (inVal) {
+        hdrs += ((name.toString, value.toString))
+        name = new StringBuilder; value = new StringBuilder; inVal = false
+      }
+    private def flushMsg(complete: Boolean, endOff: Int): Unit =
+      if (begun && headersDone) {
+        flushHdr()
+        out += Msg(status != 0 || methodIdx < 0,
+          if (methodIdx >= 0) MethodStrings(methodIdx) else "",
+          status, urlB.toString, hdrs.result(), bodyB.toByteArray,
+          complete, start, bodyOff)
+        begun = false
+      }
+    override def messageBegin(off: Int): Unit = {
+      flushMsg(complete = false, off) // a new begin implies the previous completed upstream
+      begun = true; headersDone = false
+      start = off; bodyOff = off
+      status = 0; methodIdx = -1
+      urlB.setLength(0); hdrs.clear(); bodyB.reset()
+      name = new StringBuilder; value = new StringBuilder; inVal = false
+    }
+    override def url(d: Array[Byte], f: Int, u: Int): Unit =
+      urlB.append(new String(d, f, u - f, StandardCharsets.ISO_8859_1))
+    override def headerField(d: Array[Byte], f: Int, u: Int): Unit = {
+      flushHdr()
+      name.append(new String(d, f, u - f, StandardCharsets.ISO_8859_1))
+    }
+    override def headerValue(d: Array[Byte], f: Int, u: Int): Unit = {
+      inVal = true
+      value.append(new String(d, f, u - f, StandardCharsets.ISO_8859_1))
+    }
+    override def headersComplete(st: Int, m: Int, ma: Int, mi: Int,
+        up: Boolean, off: Int): Unit = {
+      headersDone = true; status = st; methodIdx = m; bodyOff = off
+    }
+    override def body(d: Array[Byte], f: Int, u: Int): Unit =
+      bodyB.write(d, f, u - f)
+    override def messageComplete(endOff: Int): Unit =
+      flushMsg(complete = true, endOff)
+    def result(streamLen: Int): Seq[Msg] = {
+      flushMsg(complete = false, streamLen) // truncated tail message
+      out.result()
+    }
+  }
+
+  private[etl] def frame(stream: Array[Byte]): Seq[Msg] = {
+    val f = new Framing
+    walk(stream, f)
+    f.result(stream.length)
   }
 
   private def md5hex(b: Array[Byte]): String =
@@ -297,34 +837,29 @@ object HttpParser {
     */
   def namedBodies(clientStream: Array[Byte],
       serverStream: Array[Byte]): Seq[(String, Array[Byte])] = {
-    val reqs = messages(clientStream, isResponse = false)
-      .filter(m => methods.contains(m.firstLine.takeWhile(_ != ' ')))
-    val resps0 = messages(serverStream, isResponse = true,
-      reqMethods = reqs.map(_.firstLine.takeWhile(_ != ' ')))
-      .filter(_.firstLine.startsWith("HTTP/"))
+    val cMsgs = frame(clientStream)
+    val reqs = cMsgs.filter(!_.isResponse)
+    val resps0 = frame(serverStream).filter(_.isResponse)
     // response-only captures: responses on the CLIENT stream (the same
-    // srcResps path parse() digests into httpMd5 — a stored hash must
-    // resolve here too)
+    // path parse() digests into httpMd5 — a stored hash must resolve
+    // here too)
     val resps =
       if (reqs.nonEmpty) resps0
-      else resps0 ++ messages(clientStream, isResponse = true)
-        .filter(_.firstLine.startsWith("HTTP/"))
-    def hdr(m: Message, name: String): Option[String] =
+      else resps0 ++ cMsgs.filter(_.isResponse)
+    def hdr(m: Msg, name: String): Option[String] =
       m.headers.collectFirst { case (k, v) if k.equalsIgnoreCase(name) => v }
     val nameRe = "(?i)(?:filename|name)\\s*=\\s*\"?([^\";]+)".r
-    def headerName(m: Message): Option[String] =
+    def headerName(m: Msg): Option[String] =
       Seq("Content-Disposition", "Content-Type").flatMap(hdr(m, _))
         .flatMap(v => nameRe.findFirstMatchIn(v).map(_.group(1).trim))
         .find(_.nonEmpty)
     def uriName(i: Int): Option[String] =
-      reqs.lift(i).flatMap(_.firstLine.split(" ").lift(1))
+      reqs.lift(i).map(_.url)
         .flatMap(_.split("[/?=]").lastOption).filter(_.nonEmpty)
-    val finalResps = resps.filter(r =>
-      r.firstLine.split(" ").lift(1).flatMap(_.toIntOption)
-        .forall(_ / 100 != 1))
+    val finalResps = resps.filter(r => r.status / 100 != 1)
     var n = 0
     val out = Seq.newBuilder[(String, Array[Byte])]
-    def add(m: Message, reqIdx: Int): Unit =
+    def add(m: Msg, reqIdx: Int): Unit =
       if (m.complete && m.body.nonEmpty) {
         n += 1
         out += ((headerName(m).orElse(uriName(reqIdx)).getOrElse(s"http$n"),
@@ -339,10 +874,12 @@ object HttpParser {
     * message, the raw header block (incl. separator bytes) at its
     * stream offset, then — when a framed body exists — the de-chunked
     * body at the body's offset. The Boolean flags body items.
+    * (`isResponse` is kept for API stability; the walker self-detects
+    * message types exactly like the HTTP_BOTH parsers it mirrors.)
     */
   def displayItems(stream: Array[Byte],
       isResponse: Boolean): Seq[(Long, Array[Byte], Boolean)] =
-    messages(stream, isResponse).flatMap { m =>
+    frame(stream).flatMap { m =>
       val header = (m.start.toLong,
         java.util.Arrays.copyOfRange(stream, m.start,
           math.min(m.bodyOff, stream.length)), false)
@@ -354,79 +891,355 @@ object HttpParser {
     * the HTTP body items, decode.js onHeadersComplete).
     */
   def requestUris(stream: Array[Byte]): Seq[String] =
-    messages(stream, isResponse = false)
-      .filter(m => methods.contains(m.firstLine.takeWhile(_ != ' ')))
-      .flatMap(m => m.firstLine.split(" ").lift(1))
+    frame(stream).filter(m => !m.isResponse && m.url.nonEmpty).map(_.url)
 
   /** Hex digests of a body as ITEM-HASH computes them. */
   def bodyDigests(b: Array[Byte]): (String, String) = (md5hex(b), sha256hex(b))
 
-  def parse(clientStream: Array[Byte], serverStream: Array[Byte]): Option[HttpInfo] = {
-    val reqs = messages(clientStream, isResponse = false)
-      .filter(m => methods.contains(m.firstLine.takeWhile(_ != ' ')))
-    val resps = messages(serverStream, isResponse = true,
-      reqMethods = reqs.map(_.firstLine.takeWhile(_ != ' ')))
-      .filter(_.firstLine.startsWith("HTTP/"))
-    // single-packet / response-only captures: the responder IS the
-    // session src; the reference still records status + headers, with
-    // header attribution by DIRECTION (src → requestHeader) — see the
-    // single-packets golden
-    val srcResps =
-      if (reqs.nonEmpty) Seq.empty
-      else messages(clientStream, isResponse = true)
-        .filter(_.firstLine.startsWith("HTTP/"))
-    if (reqs.isEmpty && resps.isEmpty && srcResps.isEmpty) return None
+  // -----------------------------------------------------------------
+  // Field collector (the moloch_hp_cb_* layer, http.c)
+  // -----------------------------------------------------------------
 
-    def d[T](xs: Seq[T]): Seq[T] = xs.distinct
-    def hs(ms: Seq[Message], name: String): Seq[String] =
-      ms.flatMap(_.headers.collect {
-        case (k, v) if k.equalsIgnoreCase(name) => v
-      })
+  /** Session-level callback state shared by both directions, exactly
+    * like HTTPInfo_t (urlString/hostString/cookieString/authString are
+    * single GStrings; header[2][40] and the flag bitfields are
+    * per-direction).
+    */
+  private final class FieldSession {
+    import scala.collection.mutable.{ArrayBuffer, LinkedHashSet}
+    val methodL = LinkedHashSet[String]()
+    val statusL = LinkedHashSet[Int]()
+    val verReq = LinkedHashSet[String]()
+    val verRes = LinkedHashSet[String]()
+    val reqHdrNames = LinkedHashSet[String]()
+    val respHdrNames = LinkedHashSet[String]()
+    val uas = LinkedHashSet[String]()
+    val referers = LinkedHashSet[String]()
+    val locations = LinkedHashSet[String]()
+    val hosts = LinkedHashSet[String]()
+    val uris = LinkedHashSet[String]()
+    val paths = LinkedHashSet[String]()
+    val keys = LinkedHashSet[String]()
+    val vals = LinkedHashSet[String]()
+    val cookieKeys = LinkedHashSet[String]()
+    val cookieVals = LinkedHashSet[String]()
+    val md5s = LinkedHashSet[String]()
+    val sha256s = LinkedHashSet[String]()
+    val reqBodies = LinkedHashSet[String]()
+    val magics = LinkedHashSet[String]()
+    val authTypes = LinkedHashSet[String]()
+    val authUsers = LinkedHashSet[String]()
+    val authRaw = LinkedHashSet[String]()
+    val xff = LinkedHashSet[String]()
+    val reqHdrField = LinkedHashSet[String]()
+    val reqHdrValue = ArrayBuffer[String]()
+    val respHdrField = LinkedHashSet[String]()
+    val respHdrValue = ArrayBuffer[String]()
+    var passwordInBody = false
+    var sawMessage = false
 
-    val reqLine = reqs.map(_.firstLine.split(" "))
-    // the Host header lands in http.host TWICE when it carries a port:
-    // raw via the configured-header add (http.c:1033), port-stripped at
-    // message complete (http.c:605-609)
-    val hosts = hs(reqs, "Host").map(_.toLowerCase)
-      .flatMap { h =>
-        // bracketed v6 literals keep their colons: [::1]:8080 strips to
-        // [::1], never to the '[' a first-colon cut would produce
-        val portless =
-          if (h.startsWith("[")) {
-            val i = h.indexOf(']')
-            if (i >= 0) h.substring(0, i + 1) else h
-          } else h.takeWhile(_ != ':')
-        if (portless != h) Seq(h, portless) else Seq(h)
-      }
-    // moloch urlString assembly (http.c:604-667): with a Host header,
-    // origin-form targets get host prepended; an absolute/authority
-    // target keeps the url alone when the host appears in its first 8
-    // bytes, else host ";" url marks the mismatch. WITHOUT a Host header
-    // the raw url is the uri and — reference quirk — the url is never
-    // path-parsed (parse_url runs only in the host+url branch).
-    val reqHostTarget = reqs.map { m =>
-      val t = m.firstLine.split(" ").lift(1).getOrElse("")
-      val host = m.headers.collectFirst {
-        case (k, v) if k.equalsIgnoreCase("Host") => v.toLowerCase
-      }
-      (host, t)
+    var urlString: StringBuilder = null
+    var urlWhich = 0
+    var hostString: StringBuilder = null
+    var cookieString: StringBuilder = null
+    var authString: StringBuilder = null
+    var proxyAuthString: StringBuilder = null
+  }
+
+  // pos values (hstring->uw analogues)
+  private final val PosNone = 0
+  private final val PosUA = 1; private final val PosHost = 2
+  private final val PosReferer = 3; private final val PosXFF = 4
+  private final val PosAuth = 5; private final val PosReqAll = 6
+  private final val PosLocation = 7; private final val PosRespAll = 8
+
+  /** One direction of the callback layer. `which` 0 = the session src
+    * stream, 1 = dst — header attribution keys off urlWhich exactly like
+    * http.c (`http->which == http->urlWhich` → request tables).
+    */
+  private final class FieldDir(sess: FieldSession, which: Int)
+      extends Events {
+    private val headerBuf = new StringBuilder // char header[40]
+    private var inHeader = false
+    private var inValue = false
+    private var inBody = false
+    private var pos = PosNone
+    private val valueString = new StringBuilder
+    private val md5 = java.security.MessageDigest.getInstance("MD5")
+    private val sha = java.security.MessageDigest.getInstance("SHA-256")
+    // parser->method persists across messages (only request parses set
+    // it); HTTP_DELETE == 0, so the promotions skip DELETE requests too
+    private var methodNonzero = false
+
+    override def messageBegin(off: Int): Unit = {
+      inHeader = false; inValue = false; inBody = false
+      md5.reset(); sha.reset()
     }
-    val uris = reqHostTarget.map {
-      case (Some(h), t) if t.startsWith("/") => h + t
-      case (Some(h), t) =>
-        val idx = t.indexOf(h)
-        if (idx >= 0 && idx <= 8) t else h + ";" + t
-      case (None, t) => t
+
+    override def methodResolved(methodIdx: Int): Unit =
+      methodNonzero = methodIdx != 0
+
+    override def url(d: Array[Byte], f: Int, u: Int): Unit = {
+      val s = new String(d, f, u - f, StandardCharsets.ISO_8859_1)
+      if (sess.urlString == null) {
+        sess.urlString = new StringBuilder(s); sess.urlWhich = which
+      } else sess.urlString.append(s)
     }
-    val parsedTargets = reqHostTarget.collect { case (Some(_), t) => t }
-    val paths = parsedTargets.map(_.takeWhile(_ != '?'))
-    // query segments are %XX-decoded before storing (parse_url's
-    // g_uri_unescape_segment; '+' is NOT a space there), invalid
-    // escapes keep the raw text, and empty segments are skipped
-    def unescape(s: String): String = {
-      // indexOf(char), not contains(char): Scala routes a Char contains
-      // through boxed SeqOps elem search — this fast path runs per URI
-      // path segment and query key/value and was visible in the profile
+
+    override def headerField(d: Array[Byte], f: Int, u: Int): Unit = {
+      if (inValue) {
+        inValue = false
+        headerBuf.setLength(0)
+        if (pos != PosNone) addValue()
+      }
+      if (!inHeader) inHeader = true
+      // memcpy into char[40] (http.c:464-470): truncate at 39
+      val remaining = 40 - headerBuf.length
+      if (remaining > 1) {
+        val n = math.min(u - f, remaining - 1)
+        headerBuf.append(new String(d, f, n, StandardCharsets.ISO_8859_1))
+      }
+    }
+
+    override def headerValue(d: Array[Byte], f: Int, u: Int): Unit = {
+      val s = new String(d, f, u - f, StandardCharsets.ISO_8859_1)
+      if (!inValue) {
+        inValue = true
+        val lower = headerBuf.toString.toLowerCase(java.util.Locale.ROOT)
+        // own-header LOOKUP and the name tags key on urlWhich
+        // (http.c:475-479, 496-499); the catch-all *HeaderField adds key
+        // on the RAW direction (http.c:484-492 checks which == 0/1)
+        pos =
+          if (which == sess.urlWhich) lower match {
+            case "x-forwarded-for" => PosXFF
+            case "user-agent"      => PosUA
+            case "host"            => PosHost
+            case "referer"         => PosReferer
+            case "authorization"   => PosAuth
+            case _                 => PosNone
+          } else lower match {
+            case "location" => PosLocation
+            case _          => PosNone
+          }
+        if (pos == PosNone) {
+          if (which == 0) { // parseHTTPHeaderRequestAll
+            sess.reqHdrField += lower
+            pos = PosReqAll
+          } else { // parseHTTPHeaderResponseAll
+            sess.respHdrField += lower
+            pos = PosRespAll
+          }
+        }
+        if (which == sess.urlWhich) sess.reqHdrNames += lower
+        else sess.respHdrNames += lower
+      }
+      // request side (parser->method truthy, http.c:505-528)
+      if (methodNonzero) {
+        val name = headerBuf.toString
+        if (name.equalsIgnoreCase("host")) {
+          if (sess.hostString == null) sess.hostString = new StringBuilder(s)
+          else sess.hostString.append(s)
+        } else if (name.equalsIgnoreCase("cookie")) {
+          if (sess.cookieString == null)
+            sess.cookieString = new StringBuilder(s)
+          else sess.cookieString.append(s)
+        } else if (name.equalsIgnoreCase("authorization")) {
+          if (sess.authString == null) sess.authString = new StringBuilder(s)
+          else sess.authString.append(s)
+        } else if (name.equalsIgnoreCase("proxy-authorization")) {
+          if (sess.proxyAuthString == null)
+            sess.proxyAuthString = new StringBuilder(s)
+          else sess.proxyAuthString.append(s)
+        }
+      }
+      if (pos != PosNone) valueString.append(s)
+    }
+
+    /** http_add_value (http.c:407-416) + http_common_add_header_value
+      * (http.c:108-156): leading isspace stripped, then per-type add.
+      */
+    private def addValue(): Unit = {
+      val raw = valueString.toString
+      val v = raw.dropWhile(c => c == ' ' || c == '\t' || c == '\n' ||
+        c == '\r' || c == 11.toChar || c == 12.toChar)
+      // moloch_field_string_add has no emptiness gate: a valueless
+      // header records an EMPTY string (socks5-reverse golden pins
+      // "request-referer": ["", "http://…"])
+      pos match {
+        case PosUA      => sess.uas += v
+        case PosReferer => sess.referers += v
+        case PosLocation => sess.locations += v
+        // host.http is a lotermfield — the observable value lowercases
+        case PosHost => sess.hosts += v.toLowerCase(java.util.Locale.ROOT)
+        case PosAuth => sess.authRaw += v
+        case PosXFF =>
+          v.split(",", -1).foreach(m => parseXffAddr(m.trim).foreach(sess.xff += _))
+        case PosReqAll =>
+          sess.reqHdrValue +=
+            v.take(1024).toLowerCase(java.util.Locale.ROOT)
+        case PosRespAll =>
+          sess.respHdrValue +=
+            v.take(1024).toLowerCase(java.util.Locale.ROOT)
+        case _ => ()
+      }
+      valueString.setLength(0)
+      pos = PosNone
+    }
+
+    override def headersComplete(status: Int, methodIdx: Int, major: Int,
+        minor: Int, upgrade: Boolean, bodyOff: Int): Unit = {
+      sess.sawMessage = true
+      val version = s"$major.$minor"
+      // http.c keys on parser->status_code (it persists across a
+      // direction's messages); methodIdx == -1 marks a response parse
+      if (status == 0 && methodIdx >= 0) {
+        sess.methodL += MethodStrings(methodIdx)
+        sess.verReq += version
+      } else if (status != 0) {
+        sess.statusL += status
+        sess.verRes += version
+      }
+      if (inValue && pos != PosNone) addValue()
+      headerBuf.setLength(0)
+      if (sess.cookieString != null && sess.cookieString.nonEmpty) {
+        parseCookie(sess.cookieString.toString)
+        sess.cookieString.setLength(0)
+      }
+      if (sess.authString != null && sess.authString.nonEmpty) {
+        parseAuthorization(sess.authString.toString)
+        sess.authString.setLength(0)
+      }
+      if (sess.proxyAuthString != null && sess.proxyAuthString.nonEmpty) {
+        parseAuthorization(sess.proxyAuthString.toString)
+        sess.proxyAuthString.setLength(0)
+      }
+      if (sess.hostString != null)
+        sess.hostString = new StringBuilder(
+          sess.hostString.toString.toLowerCase(java.util.Locale.ROOT))
+      // urlString/hostString assembly (http.c:604-667)
+      if (sess.urlString != null && sess.hostString != null) {
+        val url = sess.urlString.toString
+        val hostS = sess.hostString.toString
+        val colon = hostS.indexOf(':')
+        sess.hosts += (if (colon >= 0) hostS.substring(0, colon) else hostS)
+        parseUrlFields(url)
+        val assembled =
+          if (url.nonEmpty && url.charAt(0) != '/') {
+            val idx = if (hostS.nonEmpty) url.indexOf(hostS) else -1
+            if (idx >= 0 && idx <= 8) url else hostS + ";" + url
+          } else hostS + url
+        sess.uris += assembled.take(4096) // MAX_URL_LENGTH
+        sess.urlString = null; sess.hostString = null
+      } else if (sess.urlString != null) {
+        // reference quirk: without a Host header the url is never
+        // path-parsed (parse_url runs only in the host+url branch)
+        sess.uris += sess.urlString.toString.take(4096)
+        sess.urlString = null
+      } else if (sess.hostString != null) {
+        val hostS = sess.hostString.toString
+        val colon = hostS.indexOf(':')
+        sess.hosts += (if (colon >= 0) hostS.substring(0, colon) else hostS)
+        sess.hostString = null
+      }
+    }
+
+    override def body(d: Array[Byte], f: Int, u: Int): Unit = {
+      if (!inBody) {
+        inBody = true
+        // first-chunk gates (http.c:296-320)
+        val head = new String(d, f, math.min(u - f, 1 << 20),
+          StandardCharsets.ISO_8859_1).toLowerCase(java.util.Locale.ROOT)
+        if (head.contains("password=") || head.contains("passwd=") ||
+          head.contains("pass="))
+          sess.passwordInBody = true
+        Magic.detect(java.util.Arrays.copyOfRange(d, f, u))
+          .foreach(sess.magics += _)
+        val len = u - f
+        if (which == sess.urlWhich && len <= 2000 && len > 0)
+          utf8OrNone(java.util.Arrays.copyOfRange(d, f, u))
+            .foreach(sess.reqBodies += _)
+      }
+      md5.update(d, f, u - f)
+      sha.update(d, f, u - f)
+    }
+
+    override def messageComplete(endOff: Int): Unit =
+      if (inBody) {
+        sess.md5s += Hex.hex(md5.digest())
+        sess.sha256s += Hex.hex(sha.digest())
+      }
+
+    /** moloch_http_parse_authorization (http.c:330-380): scheme token
+      * lowered; basic → base64 user, digest → username="…".
+      */
+    private def parseAuthorization(str0: String): Unit = {
+      val str = str0.dropWhile(c => c == ' ' || c == '\t' || c == '\n' ||
+        c == '\r' || c == 11.toChar || c == 12.toChar)
+      val space = str.indexOf(' ')
+      if (space < 0) return
+      sess.authTypes += str.substring(0, space).toLowerCase(java.util.Locale.ROOT)
+      val rest = str.substring(space + 1)
+      str.substring(0, space).toLowerCase(java.util.Locale.ROOT) match {
+        case "basic" =>
+          try {
+            val dec = new String(
+              java.util.Base64.getDecoder.decode(rest.trim),
+              StandardCharsets.ISO_8859_1)
+            val u = dec.takeWhile(_ != ':')
+            if (u.nonEmpty) sess.authUsers += u
+          } catch { case _: IllegalArgumentException => () }
+        case "digest" =>
+          "username=\"([^\"]*)\"".r.findFirstMatchIn(rest)
+            .map(_.group(1)).filter(_.nonEmpty).foreach(sess.authUsers += _)
+        case _ => ()
+      }
+    }
+
+    /** http_common_parse_cookie: ';'-split, '='-split, trimmed. */
+    private def parseCookie(s: String): Unit =
+      s.split(";").foreach { c =>
+        val i = c.indexOf('=')
+        if (i > 0) {
+          val k = c.substring(0, i).trim
+          val v = c.substring(i + 1).trim
+          if (k.nonEmpty) sess.cookieKeys += k
+          if (v.nonEmpty) sess.cookieVals += v
+        }
+      }
+
+    /** http_common_parse_url (http.c:198-245): path before '?', then
+      * '&'/'=' walk with g_uri_unescape_segment per segment.
+      */
+    private def parseUrlFields(t: String): Unit = {
+      val path = t.takeWhile(_ != '?')
+      if (path.nonEmpty) sess.paths += path
+      val qi = t.indexOf('?')
+      if (qi < 0) return
+      val q = t.substring(qi + 1)
+      var isKey = true
+      var start = 0
+      def flush(endEx: Int): Unit =
+        if (endEx > start) {
+          val seg = unescape(q.substring(start, endEx))
+          if (isKey) { if (seg.nonEmpty) sess.keys += seg }
+          else if (seg.nonEmpty) sess.vals += seg
+        }
+      var i = 0
+      while (i < q.length) {
+        q.charAt(i) match {
+          case '&' => flush(i); start = i + 1; isKey = true
+          case '=' => flush(i); start = i + 1; isKey = false
+          case _   =>
+        }
+        i += 1
+      }
+      if (!isKey) flush(q.length) // C flushes the tail only in value state
+    }
+
+    /** g_uri_unescape_segment transcription: invalid escapes (incl %00)
+      * keep the raw text; '+' is NOT a space.
+      */
+    private def unescape(s: String): String = {
       if (s.indexOf('%') < 0) return s
       val out = new java.lang.StringBuilder(s.length)
       var i = 0
@@ -436,136 +1249,52 @@ object HttpParser {
           if (i + 2 >= s.length) return s
           val hi = Character.digit(s.charAt(i + 1), 16)
           val lo = Character.digit(s.charAt(i + 2), 16)
-          if (hi < 0 || lo < 0 || (hi == 0 && lo == 0)) return s // %00 fails g_uri_unescape
+          if (hi < 0 || lo < 0 || (hi == 0 && lo == 0)) return s
           out.append(((hi << 4) | lo).toChar)
           i += 3
         } else { out.append(c); i += 1 }
       }
       out.toString
     }
-    // exact parse_url walk (http.c:204-243): '&' flushes the segment and
-    // resets to key, '=' flushes and switches to value — so "a=b=c"
-    // yields key a with values b AND c; empty segments are skipped
-    val queryPairs = parsedTargets.flatMap { t =>
-      val q = t.dropWhile(_ != '?').drop(1)
-      if (q.isEmpty) Nil
-      else {
-        val out = Seq.newBuilder[(String, String)]
-        var isKey = true
-        var start = 0
-        def flush(endEx: Int): Unit = {
-          if (endEx > start) {
-            val seg = unescape(q.substring(start, endEx))
-            out += (if (isKey) (seg, "") else ("", seg))
-          }
-        }
-        var i = 0
-        while (i < q.length) {
-          q.charAt(i) match {
-            case '&' => flush(i); start = i + 1; isKey = true
-            case '=' => flush(i); start = i + 1; isKey = false
-            case _   =>
-          }
-          i += 1
-        }
-        if (!isKey) flush(q.length) // C flushes the tail only in value state
-        out.result()
-      }
-    }
-    val cookiePairs = hs(reqs, "Cookie").flatMap(_.split(";").toSeq).flatMap { c =>
-      val i = c.indexOf('=')
-      if (i <= 0) None
-      else Some((c.substring(0, i).trim, c.substring(i + 1).trim))
-    }
-    val auth = hs(reqs, "Authorization").flatMap { v =>
-      val parts = v.trim.split(" ", 2)
-      if (parts.length < 2) None
-      else parts(0).toLowerCase match {
-        case "basic" =>
-          try {
-            val dec = new String(java.util.Base64.getDecoder.decode(parts(1).trim),
-              StandardCharsets.ISO_8859_1)
-            Some(dec.takeWhile(_ != ':'))
-          } catch { case _: IllegalArgumentException => None }
-        case "digest" =>
-          "username=\"([^\"]*)\"".r.findFirstMatchIn(parts(1)).map(_.group(1))
-        case _ => None
-      }
-    }.filter(_.nonEmpty)
-    val bodies = (reqs ++ resps ++ srcResps).filter(_.complete).map(_.body)
-      .filter(_.nonEmpty)
+  }
 
+  def parse(clientStream: Array[Byte], serverStream: Array[Byte]): Option[HttpInfo] = {
+    val sess = new FieldSession
+    walk(clientStream, new FieldDir(sess, 0))
+    walk(serverStream, new FieldDir(sess, 1))
+    if (!sess.sawMessage && sess.reqHdrNames.isEmpty &&
+      sess.respHdrNames.isEmpty && sess.uris.isEmpty) return None
+    def d[T](xs: Iterable[T]): Seq[T] = xs.toSeq.distinct
     Some(HttpInfo(
-      method = d(reqLine.flatMap(_.headOption)),
-      uri = d(uris.filter(_.nonEmpty)),
-      host = d(hosts),
-      path = d(paths.filter(_.nonEmpty)),
-      key = d(queryPairs.map(_._1).filter(_.nonEmpty)),
-      value = d(queryPairs.map(_._2).filter(_.nonEmpty)),
-      statuscode = d((resps ++ srcResps).flatMap(_.firstLine.split(" ").lift(1))
-        .flatMap(_.toIntOption)),
-      useragent = d(hs(reqs, "User-Agent")),
-      clientVersion = d(reqLine.flatMap(_.lift(2))
-        .filter(_.startsWith("HTTP/")).map(_.stripPrefix("HTTP/"))),
-      serverVersion = d((resps ++ srcResps).map(_.firstLine.split(" ").head)
-        .filter(_.startsWith("HTTP/")).map(_.stripPrefix("HTTP/"))),
-      requestHeader = d((reqs ++ srcResps)
-        .flatMap(_.headers.map(_._1.toLowerCase))).sorted,
-      responseHeader = d(resps.flatMap(_.headers.map(_._1.toLowerCase))).sorted,
-      referer = d(hs(reqs, "Referer")),
-      location = d(hs(resps, "Location")),
-      cookieKey = d(cookiePairs.map(_._1)),
-      cookieValue = d(cookiePairs.map(_._2).filter(_.nonEmpty)),
-      md5 = d(bodies.map(md5hex)),
-      sha256 = d(bodies.map(sha256hex)),
-      // small request bodies (first chunk, <= maxReqBody, valid UTF-8;
-      // http.c:307-311 with the test config's maxReqBody=2000)
-      // urlWhich defaults to the src direction, so a response-only
-      // session's body (srcResps) lands in requestBody too
-      requestBody = d((reqs ++ srcResps).map(_.body)
-        .filter(b => b.length > 0 && b.length <= 2000)
-        .flatMap(utf8OrNone)),
-      authUser = d(auth),
-      // magic runs on every body's head bytes at on_body time - not
-      // gated on message completeness (http.c:304)
-      bodyMagic = d((reqs ++ resps ++ srcResps).map(_.body)
-        .filter(_.nonEmpty).flatMap(Magic.detect)),
-      // parseHTTPHeaderRequestAll/ResponseAll (config.test.ini both on):
-      // any header WITHOUT its own field — the built-in request trio
-      // (x-forwarded-for, user-agent, host; http.c:1031-1033) and the
-      // configured headers-http-request/-response entries — lands as
-      // lowercased name in *HeaderField and lowercased ≤1024-byte value
-      // in *HeaderValue (http.c:126-127 add_lower). Cookie/authorization
-      // still ALSO promote to their own fields separately.
-      requestHeaderField = d((reqs ++ srcResps).flatMap(
-        _.headers.map(_._1.toLowerCase).filterNot(ReqOwnHeaders))).sorted,
-      // header VALUES are STR_ARRAY (not a set): every occurrence is
-      // appended, so duplicates survive and <field>Cnt counts them
-      // (http.c:896-910 MOLOCH_FIELD_TYPE_STR_ARRAY + FLAG_CNT)
-      requestHeaderValue = (reqs ++ srcResps).flatMap(
-        _.headers.filterNot(h => ReqOwnHeaders(h._1.toLowerCase))
-          .map(h => h._2.take(1024).toLowerCase)).filter(_.nonEmpty),
-      responseHeaderField = d(resps.flatMap(
-        _.headers.map(_._1.toLowerCase).filterNot(RespOwnHeaders))).sorted,
-      responseHeaderValue = resps.flatMap(
-        _.headers.filterNot(h => RespOwnHeaders(h._1.toLowerCase))
-          .map(h => h._2.take(1024).toLowerCase)).filter(_.nonEmpty),
-      // authType = the scheme token, lowered, only when a space follows
-      // (moloch_http_parse_authorization early-returns without one)
-      authType = d(hs(reqs, "Authorization").map(_.trim)
-        .filter(_.contains(" ")).map(_.split(" ", 2).head.toLowerCase)),
-      authorization = d(hs(reqs, "Authorization")),
-      xffIp = d(hs(reqs ++ srcResps, "X-Forwarded-For")
-        .flatMap(_.split(","))
-        .flatMap(v => parseXffAddr(v.trim))),
-      passwordInBody = (reqs ++ resps ++ srcResps).exists { m =>
-        // the reference checks only the FIRST on_body chunk — bound the
-        // scan to the body head so a large download can't false-tag
-        val head = new String(m.body.take(1460), StandardCharsets.ISO_8859_1)
-          .toLowerCase
-        head.contains("password=") || head.contains("passwd=") ||
-          head.contains("pass=")
-      }))
+      method = d(sess.methodL),
+      uri = d(sess.uris).filter(_.nonEmpty),
+      host = d(sess.hosts),
+      path = d(sess.paths),
+      key = d(sess.keys),
+      value = d(sess.vals),
+      statuscode = d(sess.statusL),
+      useragent = d(sess.uas),
+      clientVersion = d(sess.verReq),
+      serverVersion = d(sess.verRes),
+      requestHeader = d(sess.reqHdrNames).sorted,
+      responseHeader = d(sess.respHdrNames).sorted,
+      referer = d(sess.referers),
+      location = d(sess.locations),
+      cookieKey = d(sess.cookieKeys),
+      cookieValue = d(sess.cookieVals),
+      md5 = d(sess.md5s),
+      sha256 = d(sess.sha256s),
+      requestBody = d(sess.reqBodies),
+      authUser = d(sess.authUsers),
+      bodyMagic = d(sess.magics),
+      requestHeaderField = d(sess.reqHdrField).sorted,
+      requestHeaderValue = sess.reqHdrValue.toSeq.filter(_.nonEmpty),
+      responseHeaderField = d(sess.respHdrField).sorted,
+      responseHeaderValue = sess.respHdrValue.toSeq.filter(_.nonEmpty),
+      authType = d(sess.authTypes),
+      authorization = d(sess.authRaw),
+      passwordInBody = sess.passwordInBody,
+      xffIp = d(sess.xff)))
   }
 
   /** One XFF list member → canonical address text. The reference parses

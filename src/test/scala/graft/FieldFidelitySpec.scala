@@ -261,9 +261,13 @@ class FieldFidelitySpec extends AnyFunSuite with SparkSpecBase {
       r.packetLen.map(_.toString).distinct),
     // full-field census additions (r13): every remaining comparable key
     // the 145 goldens carry. Excluded as canonicalized-away by the
-    // reference's own harness (tests/tests.pl:168-177 doFix): @timestamp
-    // ("SET"), fileId (emptied in test mode), rootId (value "SET" —
-    // PRESENCE is compared in its own block below).
+    // reference's own harness, each re-verified against the cited lines
+    // (r14 re-read): @timestamp/timestamp → literal "SET"
+    // (tests/tests.pl:172-176 fix()), rootId → "SET" (tests.pl:169-171;
+    // its PRESENCE is compared in its own block below), and fileId →
+    // always [] because --tests forces dryRun (main.c:222-224), the
+    // null writer never registers a file, and db.c:898-905 then emits
+    // an empty fileNumArray — a vacuous compare, not a hidden field.
     ("node", ("node", ""), r => Option(r.node).filter(_.nonEmpty).toSeq),
     // byte offset of each packet's record header in the capture file
     // (db.c packetPos; 24 = first record after the pcap global header)

@@ -196,12 +196,15 @@ class HttpRoundTripFuzzSpec extends AnyFunSuite {
         rHdrs.result().foreach { case (k, v) => rMsg.append(s"$k: $v\r\n") }
         rHdrs.result().map(_._1.toLowerCase).foreach(eRespHdr += _)
         if (method == "HEAD") {
-          // HEAD: Content-Length advertised, NO body bytes follow
-          rMsg.append(s"Content-Length: ${77 + nextInt(100)}\r\n\r\n")
+          // HEAD with Content-Length: 0 — the reference never skips a
+          // body for HEAD (moloch's on_headers_complete returns 0, no
+          // F_SKIPBODY), so a HEAD response advertising a NON-zero
+          // length swallows the next responses' bytes as its body;
+          // that quirk is pinned by HttpDifferentialFuzzSpec, while
+          // this round-trip generator keeps its stream well-formed
+          rMsg.append(s"Content-Length: 0\r\n\r\n")
           eRespHdr += "content-length"
           eRespHF += "content-length"
-          // value is the advertised length — appended below after we
-          // know it... simpler: rebuild with a fixed literal instead
         } else if (rBody.isEmpty) {
           rMsg.append("\r\n")
         } else if (chance(35)) {
@@ -238,12 +241,8 @@ class HttpRoundTripFuzzSpec extends AnyFunSuite {
           resp.write(rBody)
         }
         if (method == "HEAD") {
-          // emitted above without a body; patch expectations for the
-          // content-length VALUE (unknown literal) by re-deriving it
-          val s = rMsg.toString
-          val cl = "Content-Length: (\\d+)".r.findFirstMatchIn(s).get.group(1)
-          eRespHV += cl
-          resp.write(s.getBytes(StandardCharsets.ISO_8859_1))
+          eRespHV += "0"
+          resp.write(rMsg.toString.getBytes(StandardCharsets.ISO_8859_1))
         } else if (rBody.isEmpty && status == 204) {
           resp.write(rMsg.toString.getBytes(StandardCharsets.ISO_8859_1))
         }
