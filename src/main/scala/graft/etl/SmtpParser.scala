@@ -117,14 +117,25 @@ object SmtpParser {
     if (octets.contains(-1)) None else Some(octets.mkString("."))
   }
 
-  // empty <> allowed: the null reverse-path "MAIL FROM:<>" records an
-  // empty src, as smtp_remove_matching does (wireshark-bdat golden)
-  private val addrRe = "<([^>]*)>".r
+  private[etl] def isspaceC(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000b' || c == '\f' ||
+      c == '\r'
 
-  private def addr(line: String): Option[String] =
-    addrRe.findFirstMatchIn(line).map(_.group(1))
-      .orElse(line.split(":", 2).lift(1).map(_.trim).filter(_.contains("@")))
-      .map(_.toLowerCase) // envelope adds are _add_lower (smtp.c:462-465)
+  /** smtp_remove_matching (smtp.c:93-108): leading isspace skip, ONE
+    * optional opening char, cut at the closing char — or the string END
+    * when the closing char never appears (an unquoted
+    * `boundary=b; charset=x` keeps `b; charset=x` whole, so such a
+    * boundary never matches a part line; the null reverse-path
+    * "MAIL FROM:<>" records an empty src — wireshark-bdat golden).
+    */
+  private[etl] def removeMatching(s: String, open: Char, close: Char): String = {
+    var i = 0
+    while (i < s.length && isspaceC(s.charAt(i))) i += 1
+    if (i < s.length && s.charAt(i) == open) i += 1
+    val start = i
+    while (i < s.length && s.charAt(i) != close) i += 1
+    s.substring(start, i)
+  }
 
   /** Header address-list walk (smtp.c:343-373): skip leading space and a
     * quoted display name, prefer the `<...>` mailbox, else the bare
@@ -291,272 +302,395 @@ object SmtpParser {
     hit(srcStream) || hit(dstStream)
   }
 
+  /** Parse one direction's stream — a BYTE-exact transcription of the
+    * reference's smtp_parser state machine (smtp.c:430-860, the EMAIL_*
+    * states), differential-fuzz pinned by SmtpDifferentialFuzzSpec.
+    * Consequences worth naming: lines split ONLY on '\r' (LF-only
+    * transcripts never split; a final line without '\r' — and the last
+    * DATA header before EOF, whose processing needs one byte beyond its
+    * newline — is never processed); MIME boundary lines match loosely
+    * (first char '-', second IGNORED, compare at offset 2, trailing
+    * junk allowed — smtp.c:691-697); an unquoted boundary=b; charset=x
+    * keeps the params (remove_matching cuts at '"' or line END) and so
+    * never matches a part line; BDAT counts raw bytes (atoi(arg)+1,
+    * one per byte — smtp.c:845-852) and "." is data inside a BDAT
+    * chunk; AUTH credential lines base64-decode IN PLACE without
+    * truncating the line buffer, so the following command line appends
+    * to the decoded garbage and is swallowed (smtp.c:529-555); base64
+    * content decodes per line with 6-bit state carried across lines,
+    * digests emit only at the part's CLOSING boundary, and lines of
+    * 20000+ chars skip the decode but keep the state (smtp.c:721-737).
+    */
   def parse(srcStream: Array[Byte]): Option[SmtpInfo] = {
-    val text = new String(srcStream, StandardCharsets.ISO_8859_1)
-    val lines = text.split("\r?\n")
-    val hello = Seq.newBuilder[String]
-    val src = Seq.newBuilder[String]
-    val dst = Seq.newBuilder[String]
-    var inData = false
-    var authState = 0 // 1 = next client line is the AUTH LOGIN username
-    val user = Seq.newBuilder[String]
-    def b64user(v: String, plain: Boolean): Unit =
-      try {
-        val d = new String(java.util.Base64.getDecoder.decode(v.trim),
-          StandardCharsets.ISO_8859_1)
-        // PLAIN = authzid \0 authcid \0 password; the user is the
-        // AUTHCID — the field after the first NUL — even when an
-        // authzid is present (smtp.c:536-548)
-        val u = if (plain) {
-          val i = d.indexOf(0)
-          if (i < 0) None
-          else {
-            val rest = d.substring(i + 1)
-            val j = rest.indexOf(0)
-            Some(if (j >= 0) rest.substring(0, j) else rest)
-          }
-        } else Some(d)
-        u.filter(_.nonEmpty).foreach(x => user += x.toLowerCase)
-      } catch { case _: IllegalArgumentException => }
-    val headerNames = Seq.newBuilder[String]
-    val hdrField = Seq.newBuilder[String]
-    val hdrValue = Seq.newBuilder[String]
-    val hdrTrace = Seq.newBuilder[String]
-    val sessionTags = Seq.newBuilder[String]
-    val subject = Seq.newBuilder[String]
-    val contentType = Seq.newBuilder[String]
-    val mimeVersion = Seq.newBuilder[String]
-    val msgId = Seq.newBuilder[String]
+    import scala.collection.mutable.ArrayBuffer
+    val hello = ArrayBuffer[String]()
+    val src = ArrayBuffer[String]()
+    val dst = ArrayBuffer[String]()
+    val subject = ArrayBuffer[String]()
+    val contentType = ArrayBuffer[String]()
+    val mimeVersion = ArrayBuffer[String]()
+    val headerNames = ArrayBuffer[String]()
+    val user = ArrayBuffer[String]()
+    val msgId = ArrayBuffer[String]()
     val relayHosts = Seq.newBuilder[String]
     val relayIps = Seq.newBuilder[String]
-    val mailUa = Seq.newBuilder[String]
-    def stripMatching(v0: String, open: Char, close: Char): String = {
-      val v = v0.dropWhile(_.isWhitespace)
-      if (v.startsWith(open.toString) && v.endsWith(close.toString) && v.length >= 2)
-        v.substring(1, v.length - 1)
-      else v
-    }
-    var headerSection = false
-    var pendingHeader: String = null
-    // ---- MIME part machinery (smtp.c EMAIL_MIME* states) -------------
-    var boundaryList: List[String] = Nil
-    def addBoundary(v: String): Unit = {
-      val i = v.toLowerCase.indexOf("boundary=")
-      if (i >= 0) {
-        // a quoted boundary may be followed by further parameters
-        // (boundary="b"; charset=...): cut the parameter FIRST, then
-        // strip the quotes — the reverse order kept the quotes and the
-        // boundary never matched any part line
-        val raw = v.substring(i + 9)
-        val b =
-          if (raw.startsWith("\"")) {
-            val close = raw.indexOf('"', 1)
-            if (close > 0) raw.substring(1, close)
-            else stripMatching(raw, '"', '"').takeWhile(_ != ';')
-          } else raw.takeWhile(_ != ';')
-        boundaryList = boundaryList :+ b
-      }
-    }
-    val partMd5 = Seq.newBuilder[String]
-    val partSha = Seq.newBuilder[String]
-    val partFilename = Seq.newBuilder[String]
-    val partMagic = Seq.newBuilder[String]
-    var inPartHeaders = false
+    val mailUa = ArrayBuffer[String]()
+    val hdrField = ArrayBuffer[String]()
+    val hdrValue = ArrayBuffer[String]()
+    val hdrTrace = ArrayBuffer[String]()
+    val partMd5 = ArrayBuffer[String]()
+    val partSha = ArrayBuffer[String]()
+    val partFilename = ArrayBuffer[String]()
+    val partMagic = ArrayBuffer[String]()
+    val sessionTags = ArrayBuffer[String]()
+
+    // EMAIL_* states (smtp.c:68-90; order matters: '\r' does (*state)++)
+    val Cmd = 0; val CmdReturn = 1
+    val AuthLogin = 2; val AuthLoginReturn = 3
+    val AuthPlain = 4; val AuthPlainReturn = 5
+    val DataHeader = 6; val DataHeaderReturn = 7; val DataHeaderDone = 8
+    val Data = 9; val DataReturn = 10
+    val Ignore = 11
+    val Mime = 15; val MimeReturn = 16; val MimeDone = 17
+    val MimeData = 18; val MimeDataReturn = 19
+
+    var state = Cmd
+    val line = new StringBuilder // GString: in-place decode keeps length
+    var seenHeaders = false
+    var inBDAT = false
+    var bdatRemaining = 0L
     var base64Part = false
     var firstInContent = false
-    var md: java.security.MessageDigest = null
-    var sh: java.security.MessageDigest = null
-    // glib g_base64_decode_step equivalent: 6-bit accumulator surviving
-    // across lines, non-alphabet bytes skipped
     var b64acc = 0
     var b64bits = 0
-    def b64val(c: Char): Int = c match {
-      case c if c >= 'A' && c <= 'Z' => c - 'A'
-      case c if c >= 'a' && c <= 'z' => c - 'a' + 26
-      case c if c >= '0' && c <= '9' => c - '0' + 52
-      case '+' => 62
-      case '/' => 63
-      case _ => -1
-    }
-    def decodeLine(line: String): Array[Byte] = {
-      val out = new java.io.ByteArrayOutputStream()
-      line.foreach { c =>
-        val v = b64val(c)
+    var md: java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+    var sh: java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("SHA-256")
+    var boundaries: List[String] = Nil
+    var stopped = false
+
+    def b64val(c: Char): Int =
+      if (c >= 'A' && c <= 'Z') c - 'A'
+      else if (c >= 'a' && c <= 'z') c - 'a' + 26
+      else if (c >= '0' && c <= '9') c - '0' + 52
+      else if (c == '+') 62
+      else if (c == '/') 63
+      else -1
+
+    // g_base64_decode_inplace: rewrite the line's PREFIX with decoded
+    // bytes; GString length is NOT updated (the reference never
+    // truncates after an AUTH decode — the tail stays)
+    def decodeInplace(from: Int): Int = {
+      var acc = 0; var bits = 0; var w = from
+      var i = from
+      while (i < line.length) {
+        val v = b64val(line.charAt(i))
         if (v >= 0) {
-          b64acc = (b64acc << 6) | v
-          b64bits += 6
+          acc = (acc << 6) | v; bits += 6
+          if (bits >= 8) {
+            bits -= 8
+            line.setCharAt(w, ((acc >> bits) & 0xff).toChar)
+            w += 1
+          }
+        }
+        i += 1
+      }
+      w - from
+    }
+    def strlenAt(from: Int, limit: Int): Int = {
+      var i = from
+      while (i < limit && line.charAt(i) != 0) i += 1
+      i - from
+    }
+    // AUTH LOGIN: decoded prefix is the user; AUTH PLAIN: authzid NUL
+    // authcid NUL password, strlen-gated (smtp.c:529-555)
+    def addAuthUser(from: Int, plain: Boolean): Unit = {
+      val outLen = if (line.length - from > 1) decodeInplace(from) else 0
+      if (!plain) {
+        if (outLen > 0)
+          user += line.substring(from, from + outLen)
+            .toLowerCase(java.util.Locale.ROOT)
+      } else {
+        val zation = strlenAt(from, from + outLen)
+        if (zation < outLen) {
+          val cation = strlenAt(from + zation + 1, from + outLen)
+          if (cation + zation + 1 < outLen) {
+            val u = line.substring(from + zation + 1,
+              from + zation + 1 + cation)
+            if (u.nonEmpty) user += u.toLowerCase(java.util.Locale.ROOT)
+          }
+        }
+      }
+    }
+    def atoiC(s: String): Long = {
+      var i = 0
+      while (i < s.length && isspaceC(s.charAt(i))) i += 1
+      var sign = 1L
+      if (i < s.length && (s.charAt(i) == '-' || s.charAt(i) == '+')) {
+        if (s.charAt(i) == '-') sign = -1L
+        i += 1
+      }
+      var v = 0L
+      while (i < s.length && s.charAt(i).isDigit && v < Int.MaxValue) {
+        v = v * 10 + (s.charAt(i) - '0'); i += 1
+      }
+      sign * math.min(v, Int.MaxValue)
+    }
+    def addBoundary(sFrom: String): Unit = {
+      val i = sFrom.toLowerCase(java.util.Locale.ROOT).indexOf("boundary=")
+      if (i >= 0)
+        boundaries = boundaries :+ removeMatching(sFrom.substring(i + 9), '"', '"')
+    }
+    def isBoundaryLine(s: String): Boolean =
+      s.nonEmpty && s.charAt(0) == '-' && boundaries.exists(b =>
+        s.length >= b.length + 2 && s.regionMatches(2, b, 0, b.length))
+    def hitBoundary(): Unit = {
+      // emit the previous base64 part's digests (smtp.c:700-716)
+      if (base64Part) {
+        partMd5 += Hex.hex(md.digest())
+        partSha += Hex.hex(sh.digest())
+      }
+      firstInContent = true
+      base64Part = false
+      b64acc = 0; b64bits = 0
+      md = java.security.MessageDigest.getInstance("MD5")
+      sh = java.security.MessageDigest.getInstance("SHA-256")
+      state = Mime
+    }
+    def decodeStep(s: String): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      var i = 0
+      while (i < s.length) {
+        val v = b64val(s.charAt(i))
+        if (v >= 0) {
+          b64acc = (b64acc << 6) | v; b64bits += 6
           if (b64bits >= 8) {
             b64bits -= 8
             out.write((b64acc >> b64bits) & 0xff)
           }
         }
+        i += 1
       }
       out.toByteArray
     }
-    def isBoundaryLine(line: String): Boolean =
-      line.nonEmpty && line.charAt(0) == '-' &&
-        boundaryList.exists(b => line.length >= b.length + 2 &&
-          line.substring(2).startsWith(b))
-    def closePart(): Unit = {
-      if (base64Part && md != null) {
-        partMd5 += Hex.hex(md.digest())
-        partSha += Hex.hex(sh.digest())
-      }
-      base64Part = false
-      firstInContent = true
-      md = null; sh = null
-      b64acc = 0; b64bits = 0
+
+    def cmdReturn(): Unit = {
+      val s = line.toString
+      val u = s.toUpperCase(java.util.Locale.ROOT)
+      if (u.startsWith("MAIL FROM:")) {
+        state = Cmd
+        src += removeMatching(s.substring(10), '<', '>')
+          .toLowerCase(java.util.Locale.ROOT)
+      } else if (u.startsWith("RCPT TO:")) {
+        state = Cmd
+        dst += removeMatching(s.substring(8), '<', '>')
+          .toLowerCase(java.util.Locale.ROOT)
+      } else if (u.startsWith("DATA")) {
+        state = DataHeader
+        seenHeaders = true
+      } else if (u.startsWith("BDAT")) {
+        inBDAT = true
+        bdatRemaining = atoiC(if (s.length > 5) s.substring(5) else "") + 1L
+        if (seenHeaders) state = Data
+        else { seenHeaders = true; state = DataHeader }
+      } else if (u.startsWith("AUTH LOGIN")) {
+        sessionTags += "smtp:authlogin"
+        if (line.length > 11) { addAuthUser(11, plain = false); state = Cmd }
+        else state = AuthLogin
+      } else if (u.startsWith("AUTH PLAIN")) {
+        sessionTags += "smtp:authplain"
+        if (line.length > 11) { addAuthUser(11, plain = true); state = Cmd }
+        else state = AuthPlain
+      } else if (u.startsWith("STARTTLS")) {
+        sessionTags += "smtp:starttls"
+        state = Ignore
+        stopped = true // rest of the direction re-classifies (TLS)
+      } else if (u.startsWith("HELO ") || u.startsWith("EHLO ")) {
+        hello += s.substring(5).toLowerCase(java.util.Locale.ROOT)
+        state = Cmd
+      } else state = Cmd
     }
-    var pendingPartHeader: String = null
-    def processPartHeader(h: String): Unit = {
-      val lower = h.toLowerCase
-      if (lower.startsWith("content-type:")) addBoundary(h)
-      else if (lower.startsWith("content-disposition:")) {
-        val i = lower.indexOf("filename=")
+
+    // EMAIL_DATA_HEADER_DONE (smtp.c:581-670): one complete unfolded
+    // header line
+    def headerDone(): Unit = {
+      val s = line.toString
+      val colon = s.indexOf(':')
+      if (colon < 0) return
+      val lower = s.substring(0, colon).toLowerCase(java.util.Locale.ROOT)
+      headerNames += lower
+      val value = s.substring(colon + 1)
+      lower match {
+        case "subject" =>
+          // after "Subject:", exactly one leading space is consumed;
+          // its absence tags the session (smtp.c:606-611)
+          if (s.length <= 8 || s.charAt(8) != ' ') {
+            sessionTags += "smtp:missing-subject-space"
+            subject += decodeEncodedWords(s.substring(8)).take(4095)
+          } else subject += decodeEncodedWords(s.substring(9)).take(4095)
+        case "to" | "cc" => dst ++= parseAddresses(value)
+        case "from"      => src ++= parseAddresses(value)
+        case "message-id" => msgId += removeMatching(value, '<', '>')
+        case "received"  => parseReceived(value, relayHosts, relayIps)
+        case "content-type" =>
+          // value read from str+13 with isspace skip (smtp.c:615-626)
+          val v = s.substring(13).dropWhile(isspaceC)
+          contentType += v
+          addBoundary(v)
+        case "mime-version" => mimeVersion += value.dropWhile(isspaceC)
+        case "x-mailer" | "user-agent" => mailUa += value.dropWhile(isspaceC)
+        // config.test.ini smtpIpHeaders (colon stripped by
+        // config.c:453-463; smtp.c:639-648 reads past name+colon)
+        case "x-originating-ip" | "x-barracuda-apparent-source-ip" =>
+          relayIps += removeMatching(value, '[', ']')
+        // [headers-email]: x-elnk-trace keeps its value (lotermfield →
+        // lowered), x-priority is consumed into an int field no golden
+        // exercises — both are excluded from headerField/Value
+        case "x-elnk-trace" =>
+          hdrTrace += value.dropWhile(isspaceC)
+            .toLowerCase(java.util.Locale.ROOT)
+        case "x-priority" =>
+        case other =>
+          // parseSMTPHeaderAll (smtp.c:651-655): name + raw value, only
+          // leading whitespace stripped (value may be empty)
+          hdrField += other
+          hdrValue += value.dropWhile(isspaceC)
+      }
+    }
+
+    // EMAIL_MIME_DONE (smtp.c:801-840)
+    def mimeDone(): Unit = {
+      val s = line.toString
+      val lower = s.toLowerCase(java.util.Locale.ROOT)
+      if (lower.startsWith("content-type:")) {
+        addBoundary(s.substring(13).dropWhile(isspaceC))
+      } else if (lower.startsWith("content-disposition:")) {
+        // the reference reads from +13 here too (a copy of the
+        // content-type offset, smtp.c:822) — memcasestr still finds
+        // filename= in the remainder
+        val v = s.substring(13).dropWhile(isspaceC)
+        val i = v.toLowerCase(java.util.Locale.ROOT).indexOf("filename=")
         if (i >= 0)
           // smtp_email_add_encoded's output buffer is char[0xfff]:
           // decoded values cap at 4095 bytes (smtp.c:220)
           partFilename += decodeEncodedWords(
-            stripMatching(h.substring(i + 9), '"', '"')).take(4095)
+            removeMatching(v.substring(i + 9), '"', '"')).take(4095)
       } else if (lower.startsWith("content-transfer-encoding:")) {
         if (lower.substring(26).contains("base64")) base64Part = true
       }
     }
-    // unfold first (smtp.c:585-587 joins continuation lines with one
-    // ' ', consuming the continuation's first whitespace char), THEN
-    // process the complete logical header line
-    def processHeader(h: String): Unit = if (h.contains(":")) {
-      val name = h.takeWhile(_ != ':')
-      val value = h.substring(name.length + 1)
-      headerNames += name.toLowerCase
-      name.toLowerCase match {
-        case "subject" =>
-          // after "Subject:", exactly one leading space is consumed
-          // (smtp.c:606-611); the rest goes through RFC 2047 decode
-          subject += decodeEncodedWords(
-            if (value.startsWith(" ")) value.substring(1) else value)
-            .take(4095)
-        case "from"         => src ++= parseAddresses(value)
-        case "to" | "cc"    => dst ++= parseAddresses(value)
-        case "content-type" =>
-          contentType += value.trim
-          addBoundary(value)
-        case "mime-version" => mimeVersion += value.trim
-        case "message-id"   => msgId += stripMatching(value, '<', '>')
-        case "received"     => parseReceived(value, relayHosts, relayIps)
-        case "x-mailer" | "user-agent" => mailUa += value.trim
-        // config.test.ini smtpIpHeaders (smtp.c:639-648)
-        case "x-originating-ip" | "x-barracuda-apparent-source-ip" =>
-          relayIps += stripMatching(value, '[', ']')
-        // [headers-email]: x-elnk-trace keeps its value (lotermfield →
-        // lowered), x-priority is consumed into an int field no golden
-        // exercises — both are excluded from headerField/Value
-        case "x-elnk-trace" => hdrTrace += value.trim.toLowerCase
-        case "x-priority"   =>
-        case other          =>
-          // parseSMTPHeaderAll (smtp.c:651-655): name + raw value, only
-          // leading whitespace stripped (value may be empty)
-          hdrField += other
-          hdrValue += value.dropWhile(c => c == ' ' || c == '\t')
-      }
-    }
-    lines.foreach { line =>
-      val u = line.toUpperCase
-      if (!inData) {
-        if (authState == 1) { b64user(line, plain = false); authState = 0 }
-        else if (authState == 2) { b64user(line, plain = true); authState = 0 }
-        else if (u.startsWith("AUTH LOGIN")) {
-          sessionTags += "smtp:authlogin"
-          // inline initial-response or username on the next line
-          val arg = line.substring(10).trim
-          if (arg.nonEmpty) b64user(arg, plain = false) else authState = 1
-        } else if (u.startsWith("AUTH PLAIN")) {
-          sessionTags += "smtp:authplain"
-          val arg = line.substring(10).trim
-          if (arg.nonEmpty) b64user(arg, plain = true) else authState = 2
-        } else if (u.startsWith("STARTTLS")) {
-          sessionTags += "smtp:starttls"
-        } else if (u.startsWith("HELO ") || u.startsWith("EHLO "))
-          hello += line.substring(5).trim.toLowerCase
-        else if (u.startsWith("MAIL FROM")) addr(line).foreach(src += _)
-        else if (u.startsWith("RCPT TO")) addr(line).foreach(dst += _)
-        // BDAT (CHUNKING, RFC 3030) carries the message just like DATA
-        else if (u == "DATA" || u.startsWith("BDAT ")) {
-          inData = true; headerSection = true
-        }
-      } else if (headerSection) {
-        if (line.isEmpty) { // blank line ends headers
-          Option(pendingHeader).foreach(processHeader)
-          pendingHeader = null
-          headerSection = false
-        } else if (line.startsWith(" ") || line.startsWith("\t")) {
-          if (pendingHeader != null)
-            pendingHeader = pendingHeader + " " + line.substring(1)
-        } else {
-          Option(pendingHeader).foreach(processHeader)
-          pendingHeader = line
-        }
-      } else if (inPartHeaders) {
-        if (line == ".") {
-          Option(pendingPartHeader).foreach(processPartHeader)
-          pendingPartHeader = null
-          inPartHeaders = false; inData = false
-        } else if (line.isEmpty) {
-          Option(pendingPartHeader).foreach(processPartHeader)
-          pendingPartHeader = null
-          inPartHeaders = false
-          if (base64Part) {
-            md = java.security.MessageDigest.getInstance("MD5")
-            sh = java.security.MessageDigest.getInstance("SHA-256")
-          }
-        } else if (line.startsWith(" ") || line.startsWith("	")) {
-          if (pendingPartHeader != null)
-            pendingPartHeader = pendingPartHeader + line
-        } else {
-          Option(pendingPartHeader).foreach(processPartHeader)
-          pendingPartHeader = line
-        }
-      } else if (line == ".") { // end of DATA; another message may follow
-        closePart()
-        inData = false
-      } else if (isBoundaryLine(line)) {
-        closePart()
-        inPartHeaders = true
-      } else if (base64Part && md != null) {
-        val decoded = decodeLine(line)
-        if (decoded.nonEmpty) {
-          md.update(decoded)
-          sh.update(decoded)
-          if (firstInContent) {
-            firstInContent = false
-            partMagic ++= Magic.detect(decoded)
-          }
+
+    val data = srcStream
+    var i = 0
+    while (i < data.length && !stopped) {
+      val ch = (data(i) & 0xff).toChar
+      var redo = true
+      while (redo && !stopped) {
+        redo = false
+        state match {
+          case 0 /*Cmd*/ | 2 /*AuthLogin*/ | 4 /*AuthPlain*/ =>
+            if (ch == '\r') state += 1
+            else line.append(ch)
+          case 1 /*CmdReturn*/ =>
+            cmdReturn()
+            line.setLength(0)
+            if (ch != '\n' && !stopped) redo = true
+          case 3 /*AuthLoginReturn*/ =>
+            addAuthUser(0, plain = false)
+            state = Cmd // NO truncate (smtp.c:529-537): garbage stays
+          case 5 /*AuthPlainReturn*/ =>
+            addAuthUser(0, plain = true)
+            state = Cmd // NO truncate
+          case 6 /*DataHeader*/ =>
+            if (ch == '\r') state = DataHeaderReturn
+            else line.append(ch)
+          case 7 /*DataHeaderReturn*/ =>
+            if (line.length == 1 && line.charAt(0) == '.') state = Cmd
+            else if (line.isEmpty) state = Data
+            else state = DataHeaderDone
+            if (ch != '\n') redo = true
+          case 8 /*DataHeaderDone*/ =>
+            state = DataHeader
+            if (ch == ' ' || ch == '\t') line.append(' ') // fold: always ' '
+            else {
+              headerDone()
+              line.setLength(0)
+              if (ch != '\n') redo = true
+            }
+          case 9 /*Data*/ | 18 /*MimeData*/ =>
+            if (ch == '\r') state += 1
+            else line.append(ch)
+          case 10 /*DataReturn*/ | 19 /*MimeDataReturn*/ =>
+            val isMime = state == MimeDataReturn
+            val s = line.toString
+            if (!inBDAT && s == ".") state = Cmd
+            else if (isBoundaryLine(s)) hitBoundary()
+            else if (isMime) {
+              // buf[20000] guard: oversized lines skip the decode but
+              // keep the stream state (smtp.c:721-723)
+              if (base64Part && s.length < 20000) {
+                val b = decodeStep(s)
+                md.update(b)
+                sh.update(b)
+                if (firstInContent) {
+                  firstInContent = false
+                  partMagic ++= Magic.detect(b)
+                }
+              }
+              state = MimeData
+            } else state = Data
+            line.setLength(0)
+            if (ch != '\n') redo = true
+          case 15 /*Mime*/ =>
+            if (ch == '\r') state = MimeReturn
+            else line.append(ch)
+          case 16 /*MimeReturn*/ =>
+            if (line.isEmpty) state = MimeData
+            else if (line.length == 1 && line.charAt(0) == '.') state = Cmd
+            else state = MimeDone
+            if (ch != '\n') redo = true
+          case 17 /*MimeDone*/ =>
+            state = Mime
+            if (ch == ' ' || ch == '\t') line.append(ch) // fold: RAW char
+            else {
+              mimeDone()
+              line.setLength(0)
+              if (ch != '\n') redo = true
+            }
+          case _ => stopped = true
         }
       }
+      i += 1
+      // BDAT byte countdown (smtp.c:845-852): once per consumed byte
+      if (inBDAT) {
+        bdatRemaining -= 1
+        if (bdatRemaining == 0) { state = Cmd; inBDAT = false }
+      }
     }
-    Option(pendingHeader).foreach(processHeader)
+
     val info = SmtpInfo(
-      hello = hello.result().distinct,
-      src = src.result().distinct,
-      dst = dst.result().distinct,
-      subject = subject.result().distinct,
-      contentType = contentType.result().distinct,
-      mimeVersion = mimeVersion.result().distinct,
-      headers = headerNames.result().distinct.sorted,
-      user = user.result().distinct,
-      id = msgId.result().distinct,
+      hello = hello.toSeq.distinct,
+      src = src.toSeq.distinct,
+      dst = dst.toSeq.distinct,
+      subject = subject.toSeq.distinct,
+      contentType = contentType.toSeq.distinct,
+      mimeVersion = mimeVersion.toSeq.distinct,
+      headers = headerNames.toSeq.distinct.sorted,
+      user = user.toSeq.distinct,
+      id = msgId.toSeq.distinct,
       host = relayHosts.result().distinct,
       ip = relayIps.result().flatMap(normalizeMailIp).distinct,
-      useragent = mailUa.result().distinct,
-      headerField = hdrField.result().distinct,
+      useragent = mailUa.toSeq.distinct,
+      headerField = hdrField.toSeq.distinct,
       // STR_ARRAY with FLAG_CNT - duplicates survive (smtp.c:1038-1041)
-      headerValue = hdrValue.result(),
-      headerTrace = hdrTrace.result().distinct,
-      md5 = partMd5.result().distinct,
-      sha256 = partSha.result().distinct,
-      filename = partFilename.result().distinct,
-      bodyMagic = partMagic.result().distinct,
-      tags = sessionTags.result().distinct)
+      headerValue = hdrValue.toSeq,
+      headerTrace = hdrTrace.toSeq.distinct,
+      md5 = partMd5.toSeq.distinct,
+      sha256 = partSha.toSeq.distinct,
+      filename = partFilename.toSeq.distinct,
+      bodyMagic = partMagic.toSeq.distinct,
+      tags = sessionTags.toSeq.distinct)
     if (info.hello.isEmpty && info.src.isEmpty && info.subject.isEmpty) None
     else Some(info)
   }

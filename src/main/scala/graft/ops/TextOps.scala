@@ -489,6 +489,11 @@ object TextOps {
         explode(graft.functions.ShingleHashes(text, 1, distinct = false,
           wide = true)).as("h1"))
       .groupBy("h1").agg(count(lit(1)).as("c1"))
+    // register BEFORE constructing the returned Dataset: the hook's
+    // stale-event threshold ignores QueryExecutions constructed earlier
+    // than the registration, and the returned plan's QE is allocated at
+    // Dataset CONSTRUCTION time
+    releaseAfterUse(big)
     val out = big.join(c2, Seq("h2"))
       .join(c1, Seq("h1"))
       .withColumn("q", expr("(1000000 * c2) div c1"))
@@ -496,7 +501,6 @@ object TextOps {
       .agg(expr("sum(q) div count(*)").as("lm_score"),
         count(lit(1)).as("n_bigrams"))
       .orderBy("doc_id")
-    releaseAfterUse(big)
     out
   }
 
@@ -547,6 +551,9 @@ object TextOps {
     val u1 = types.groupBy("h1").agg(count(lit(1)).as("u1"))
     val u2 = types.groupBy("hn").agg(count(lit(1)).as("u2"))
     val bTot = types.agg(count(lit(1)).as("bb"))
+    // register AFTER types' build-time count (it consumes big's cache)
+    // but BEFORE the returned Dataset is constructed (see bigram note)
+    releaseAfterUse(big, types)
     val out = big.join(c2, Seq("h2")).join(c1, Seq("h1"))
       .join(u1, Seq("h1")).join(u2, Seq("hn"))
       .crossJoin(broadcast(bTot))
@@ -557,7 +564,6 @@ object TextOps {
       .agg(expr("sum(p) div count(*)").as("kn_score"),
         count(lit(1)).as("n_bigrams"))
       .orderBy("doc_id")
-    releaseAfterUse(big, types)
     out
   }
 
@@ -708,6 +714,7 @@ object TextOps {
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("dfc"))
     val ndocs = df.agg(count(lit(1)).as("n"))
     val topkFn = graft.functions.TopK.stringIds(k)
+    releaseAfterUse(tf) // before the returned Dataset exists (see bigram)
     val out = tf.join(dfreq, Seq("term"))
       .crossJoin(broadcast(ndocs))
       .withColumn("tfidf", expr("tf * ((1000000 * n) div dfc)"))
@@ -717,7 +724,6 @@ object TextOps {
       .select(col("doc_id"), col("t.id").as("term"),
         col("t.score").cast("long").as("tfidf"))
       .orderBy(col("doc_id"), col("tfidf").desc, col("term"))
-    releaseAfterUse(tf)
     out
   }
 
@@ -770,6 +776,7 @@ object TextOps {
         explode(graft.functions.ShingleHashes(qText, 1, distinct = false,
           wide = true)).as("term"))
       .distinct()
+    releaseAfterUse(tf) // before the returned Dataset exists (see bigram)
     val scored = broadcast(qterms)
       .join(tf, Seq("term"))
       .join(dl, Seq("doc_id"))
@@ -793,7 +800,6 @@ object TextOps {
       .select(col("query_id"), (col("pos") + 1).cast("long").as("rk"),
         col("t.id").as("doc_id"), col("t.score").cast("long").as("score_ppm"))
       .orderBy("query_id", "rk")
-    releaseAfterUse(tf)
     out
   }
 
@@ -851,6 +857,9 @@ object TextOps {
       .agg(count(lit(1)).as("cdocs"))
     val ndocs = df.agg(count(lit(1)).as("n"))
     val classes = df.select(labelCol.as("clazz")).distinct()
+    // after ctcM's build-time count (it consumes tok's cache), before
+    // the returned Dataset exists (see bigram note)
+    releaseAfterUse(tok, ctcM)
     val scored = tok.select("doc_id", "term")
       .crossJoin(broadcast(classes))
       // NO broadcast hint: the (class, term) model is the one frame
@@ -872,7 +881,6 @@ object TextOps {
         Seq("doc_id"))
       .withColumn("hit", (col("pred") === col("label")).cast("long"))
       .orderBy("doc_id")
-    releaseAfterUse(tok, ctcM)
     out
   }
 

@@ -89,21 +89,25 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpecBase {
     // one session must not accumulate cached gram tables.
     val defaultRows = TextOps.knBigramScore(docs, col("text"), col("doc_id"))
       .collect().map(_.toString).toSeq
-    def cached: Int = spark.sparkContext.getPersistentRDDs.size
+    // track OUR RDD ids, not the global count: the full suite runs
+    // specs in parallel against the shared session, and another spec
+    // persisting mid-window would flake a count-based check
+    def ids: Set[Int] = spark.sparkContext.getPersistentRDDs.keySet.toSet
     spark.conf.set(TextOps.ReliableMaterializeConf, "true")
     try {
-      val before = cached
+      val before = ids
       val q = TextOps.knBigramScore(docs, col("text"), col("doc_id"))
-      assert(cached > before,
+      val added = ids -- before
+      assert(added.nonEmpty,
         "occurrence/type tables should be cached during build")
       assert(q.collect().map(_.toString).toSeq == defaultRows,
         "reliable mode must produce bit-identical results")
       val deadline = System.currentTimeMillis + 30000
-      while (cached > before && System.currentTimeMillis < deadline)
+      while ((ids & added).nonEmpty && System.currentTimeMillis < deadline)
         Thread.sleep(100)
-      assert(cached <= before,
-        s"gram tables still cached ($cached vs $before) 30s after the " +
-          "first action — the release hooks are not firing")
+      assert((ids & added).isEmpty,
+        s"gram tables still cached (${(ids & added).size} of ${added.size}) " +
+          "30s after the first action — the release hooks are not firing")
     } finally spark.conf.unset(TextOps.ReliableMaterializeConf)
   }
 

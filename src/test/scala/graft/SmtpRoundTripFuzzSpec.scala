@@ -66,15 +66,24 @@ class SmtpRoundTripFuzzSpec extends AnyFunSuite {
           val tok = java.util.Base64.getEncoder.encodeToString(
             s"\u0000$u\u0000pw".getBytes(StandardCharsets.ISO_8859_1))
           if (chance(50)) line(s"AUTH PLAIN $tok")
-          else { line("AUTH PLAIN"); line(tok) }
+          else {
+            line("AUTH PLAIN"); line(tok)
+            // the reference decodes the credential line IN PLACE without
+            // truncating the line buffer (smtp.c:529-555), so the NEXT
+            // command appends to decoded garbage and is swallowed —
+            // sacrifice a NOOP (differential-fuzz-pinned quirk)
+            line("NOOP")
+          }
         } else {
           val u = s"Bob${nextInt(30)}"
           eTags += "smtp:authlogin"; eUser += u.toLowerCase
           if (chance(50)) line(s"AUTH LOGIN ${b64(u)}")
-          else { line("AUTH LOGIN"); line(b64(u)) }
+          else { line("AUTH LOGIN"); line(b64(u)); line("NOOP") } // see above
         }
       }
-      if (chance(25)) { line("STARTTLS"); eTags += "smtp:starttls" }
+      // (STARTTLS moved to the end of the transcript: the reference
+      // stops parsing the direction there — the rest of the stream is
+      // TLS; differential-fuzz-pinned)
       // ---- envelope ----
       val envFrom = s"Sender${nextInt(40)}@Mail.Example"
       line(s"MAIL FROM:<$envFrom>"); eSrc += envFrom.toLowerCase
@@ -165,6 +174,16 @@ class SmtpRoundTripFuzzSpec extends AnyFunSuite {
         line("plain body zz")
       }
       line(".")
+      // a "." that ends the message through EMAIL_MIME_RETURN (the
+      // multipart path) is NOT truncated from the line buffer
+      // (smtp.c:784-800 has no g_string_truncate, unlike
+      // EMAIL_DATA_RETURN) — the next command line appends to "." and
+      // is swallowed; sacrifice a NOOP (differential-fuzz-pinned)
+      if (multipart) line("NOOP")
+      if (chance(25)) {
+        line("STARTTLS"); eTags += "smtp:starttls"
+        line("tls bytes follow, never parsed")
+      }
       val text = w.toString.getBytes(StandardCharsets.ISO_8859_1)
       val info = SmtpParser.parse(text)
         .getOrElse(fail(s"trial $trial: no SmtpInfo"))
