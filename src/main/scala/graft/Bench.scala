@@ -312,6 +312,13 @@ object Bench {
     spark.stop()
   }
 
+  /** Diagnostics from failed forked latency children (last output lines
+    * / exception), embedded in bench_full.json so a 0.0 line in the
+    * artifact is attributable.
+    */
+  private[graft] val forkDiag =
+    scala.collection.mutable.ArrayBuffer[String]()
+
   /** Fork one latency pass (see [[latencyOnce]]); returns
     * (p50, p99, n, preK, postK) or None on failure/timeout.
     */
@@ -338,6 +345,15 @@ object Bench {
         "--latency-once", backend)).asJava
       val pb = new ProcessBuilder(cmd)
       pb.redirectErrorStream(true)
+      // own shuffle scratch: SPARK_LOCAL_DIRS beats the session's
+      // spark.local.dir election, so the child never contends with the
+      // parent's (possibly /dev/shm-resident) sweep scratch — a full
+      // tmpfs fails the child's first shuffle with ENOSPC and the
+      // artifact line silently reads 0.0
+      val scratch = new java.io.File(
+        System.getProperty("java.io.tmpdir"), s"graft-lat-child-$backend")
+      scratch.mkdirs()
+      pb.environment().put("SPARK_LOCAL_DIRS", scratch.getAbsolutePath)
       val p = pb.start()
       val lines = java.util.Collections.synchronizedList(
         new java.util.ArrayList[String]())
@@ -354,16 +370,27 @@ object Bench {
       // streamLatency's own deadline is 150 s + session/query start; a
       // hung child must not hang the bench
       if (!p.waitFor(480, java.util.concurrent.TimeUnit.SECONDS)) {
-        p.destroyForcibly(); return None
+        p.destroyForcibly()
+        forkDiag += s"$backend: child timed out after 480s"
+        return None
       }
       reader.join(5000)
       val re = ("""LATJSON\{"p50":([0-9.]+),"p99":([0-9.]+),"n":(\d+),""" +
         """"pre_k":([0-9.]+),"post_k":([0-9.]+)\}""").r
-      lines.asScala.reverseIterator.collectFirst {
+      val res = lines.asScala.reverseIterator.collectFirst {
         case re(p50, p99, n, pre, post) =>
           (p50.toDouble, p99.toDouble, n.toInt, pre.toDouble, post.toDouble)
       }
-    } catch { case _: Throwable => None }
+      if (res.isEmpty) {
+        val tail = lines.asScala.takeRight(4).mkString(" | ")
+        forkDiag += s"$backend: exit=${p.exitValue()} tail=$tail"
+      }
+      res
+    } catch {
+      case t: Throwable =>
+        forkDiag += s"$backend: ${t.getClass.getSimpleName}: ${t.getMessage}"
+        None
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -665,9 +692,13 @@ object Bench {
           f""""pre_k":${p.preK}%.4f,"post_k":${p.postK}%.4f,""" +
           f""""idx":${p.idx}%.2f,"backend":"${p.backend}",""" +
           f""""forked":${p.forked}}""")
+      val diag = forkDiag.map(d => "\"" + d.replace("\\", "\\\\")
+        .replace("\"", "\\\"").replaceAll("[\\u0000-\\u001f]", " ") + "\"")
+        .mkString("[", ",", "]")
       line(results).dropRight(1) +
         s""","kernel_sec":$kRaw,"kernel_quiet_sec":${ContentionKernel.QuietSec},""" +
-        s""""tput_passes":$tputRaw,"stream_latency":$lat,"passes":$detail}"""
+        s""""tput_passes":$tputRaw,"stream_latency":$lat,""" +
+        s""""lat_fork_diag":$diag,"passes":$detail}"""
     }
     try {
       val w = new java.io.PrintWriter("bench_full.json")
