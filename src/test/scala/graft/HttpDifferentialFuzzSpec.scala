@@ -135,6 +135,9 @@ class HttpDifferentialFuzzSpec extends AnyFunSuite {
     val location = LinkedHashSet[String]()
     val host = LinkedHashSet[String]()
     val uris = LinkedHashSet[String]()
+    val paths = LinkedHashSet[String]()
+    val keys = LinkedHashSet[String]()
+    val vals = LinkedHashSet[String]()
     val md5s = LinkedHashSet[String]()
     val reqBody = LinkedHashSet[String]()
 
@@ -268,6 +271,52 @@ class HttpDifferentialFuzzSpec extends AnyFunSuite {
         val hostS = hostString.toString
         val colon = hostS.indexOf(':')
         host += (if (colon >= 0) hostS.substring(0, colon) else hostS)
+        // http_common_parse_url (http.c:198-245), run ONLY in the
+        // host+url branch: path before '?', then the '&'/'=' walk with
+        // g_uri_unescape_segment per non-empty segment (tail flushed
+        // only in value state)
+        locally {
+          val path = url.takeWhile(_ != '?')
+          if (path.nonEmpty) paths += path
+          val qi = url.indexOf('?')
+          if (qi >= 0) {
+            val q = url.substring(qi + 1)
+            var isKey = true
+            var start = 0
+            def unesc(seg: String): String = {
+              if (seg.indexOf('%') < 0) return seg
+              val out = new java.lang.StringBuilder(seg.length)
+              var j = 0
+              while (j < seg.length) {
+                val c = seg.charAt(j)
+                if (c == '%') {
+                  if (j + 2 >= seg.length) return seg
+                  val hi = Character.digit(seg.charAt(j + 1), 16)
+                  val lo = Character.digit(seg.charAt(j + 2), 16)
+                  if (hi < 0 || lo < 0 || (hi == 0 && lo == 0)) return seg
+                  out.append(((hi << 4) | lo).toChar)
+                  j += 3
+                } else { out.append(c); j += 1 }
+              }
+              out.toString
+            }
+            def flush(endEx: Int): Unit =
+              if (endEx > start) {
+                val seg = unesc(q.substring(start, endEx))
+                if (seg.nonEmpty) { if (isKey) keys += seg else vals += seg }
+              }
+            var j = 0
+            while (j < q.length) {
+              q.charAt(j) match {
+                case '&' => flush(j); start = j + 1; isKey = true
+                case '=' => flush(j); start = j + 1; isKey = false
+                case _   =>
+              }
+              j += 1
+            }
+            if (!isKey) flush(q.length)
+          }
+        }
         if (url.nonEmpty && url.charAt(0) != '/') {
           val idx = url.indexOf(hostS)
           if (hostS.nonEmpty && idx >= 0 && idx <= 8) uris += url
@@ -820,6 +869,9 @@ class HttpDifferentialFuzzSpec extends AnyFunSuite {
       ("location", srt(m.location), srt(ours.location)),
       ("host", srt(m.host), srt(ours.host)),
       ("uri", srt(m.uris), srt(ours.uri)),
+      ("path", srt(m.paths), srt(ours.path)),
+      ("key", srt(m.keys), srt(ours.key)),
+      ("value", srt(m.vals), srt(ours.value)),
       ("md5", srt(m.md5s), srt(ours.md5)),
       ("reqBody", srt(m.reqBody), srt(ours.requestBody)))
     val diffs = checks.filter { case (_, a, b) => a != b }
@@ -916,13 +968,15 @@ class HttpDifferentialFuzzSpec extends AnyFunSuite {
         "PATCH", "PURGE", "MKCOL", "SEARCH", "UNSUBSCRIBE"))
       methodsUsed += method
       recipe.append(method).append(' ')
-      val target = rng.nextInt(6) match {
+      val target = rng.nextInt(8) match {
         case 0 => "/index.html"
         case 1 => s"/p/${rng.nextInt(100)}?a=1&b=${rng.nextInt(10)}"
         case 2 => "http://site.example/abs/path"
         case 3 => "/with%20escape?k%31=v%32"
         case 4 => "/semi;colon/page#frag"
         case 5 => "*"
+        case 6 => s"/Search?Q=Mixed%20Case${rng.nextInt(9)}&lower=x" // case preserved end to end
+        case 7 => "/q?a=1&&=&b=2=3&tail" // parse_url &/= walk edges
       }
       val ver = rng.pick(Seq(" HTTP/1.1", " HTTP/1.0", "")) // "" → 0.9
       cb.append(s"$method $target$ver$crlf")
