@@ -1173,8 +1173,18 @@ object SessionBuilder {
               needStatus = true
           } else if (needStatus) {
             needStatus = false
-            val code = text.takeWhile(_.isDigit)
-            if (code.length == 3) out += s"smtp:statuscode:${code.toInt}"
+            // atoi(line->str), not a 3-digit gate: the reference tags
+            // whatever atoi reads — "99 foo" → 99, non-numeric → 0
+            // (smtp.c:456-459 snprintf("smtp:statuscode:%d", atoi(...)))
+            val t = text.dropWhile(c => graft.etl.SmtpParser.isspaceC(c))
+            val neg = t.startsWith("-")
+            val digits = (if (neg || t.startsWith("+")) t.drop(1) else t)
+              .takeWhile(_.isDigit).take(18) // int range; SMTP codes are 3
+            val code =
+              if (digits.isEmpty) 0L
+              else (if (neg) -1L else 1L) * digits.toLong
+            out += s"smtp:statuscode:${math.max(Int.MinValue.toLong,
+              math.min(code, Int.MaxValue.toLong))}"
           }
         }
         out.result()
