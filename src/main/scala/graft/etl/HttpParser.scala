@@ -146,7 +146,8 @@ object HttpParser {
       * the first byte after the header terminator.
       */
     def headersComplete(status: Int, methodIdx: Int, major: Int,
-        minor: Int, upgrade: Boolean, bodyOff: Int): Unit = {}
+        minor: Int, upgrade: Boolean, isResponse: Boolean,
+        bodyOff: Int): Unit = {}
     def body(data: Array[Byte], from: Int, until: Int): Unit = {}
     def messageComplete(endOff: Int): Unit = {}
   }
@@ -600,9 +601,14 @@ object HttpParser {
               // CONNECT (http_parser.c:1576-1577)
               val up = (flags & FUpgrade) != 0 || method == 5
               state = HeadersDone
-              ev.headersComplete(statusCode,
-                if (isResponseMsg) -1 else method,
-                httpMajor, httpMinor, up, p + 1)
+              // parser->method and parser->status_code both PERSIST
+              // across a direction's messages; the callback layer keys
+              // ONLY on status_code == 0 (http.c:557-564), so a
+              // response whose status parses to literally 0 records
+              // the persisted method (initially 0 = DELETE) + verReq —
+              // mutation-fuzz pinned
+              ev.headersComplete(statusCode, method,
+                httpMajor, httpMinor, up, isResponseMsg, p + 1)
               redo = true
             }
           case HeadersDone =>
@@ -792,8 +798,10 @@ object HttpParser {
       value.append(new String(d, f, u - f, StandardCharsets.ISO_8859_1))
     }
     override def headersComplete(st: Int, m: Int, ma: Int, mi: Int,
-        up: Boolean, off: Int): Unit = {
-      headersDone = true; status = st; methodIdx = m; bodyOff = off
+        up: Boolean, isResp: Boolean, off: Int): Unit = {
+      headersDone = true; status = st
+      methodIdx = if (isResp) -1 else m
+      bodyOff = off
     }
     override def body(d: Array[Byte], f: Int, u: Int): Unit =
       bodyB.write(d, f, u - f)
@@ -1087,15 +1095,19 @@ object HttpParser {
     }
 
     override def headersComplete(status: Int, methodIdx: Int, major: Int,
-        minor: Int, upgrade: Boolean, bodyOff: Int): Unit = {
+        minor: Int, upgrade: Boolean, isResp: Boolean,
+        bodyOff: Int): Unit = {
       sess.sawMessage = true
       val version = s"$major.$minor"
-      // http.c keys on parser->status_code (it persists across a
-      // direction's messages); methodIdx == -1 marks a response parse
-      if (status == 0 && methodIdx >= 0) {
+      // http.c keys ONLY on parser->status_code (http.c:557-564); both
+      // status_code and method persist across a direction's messages,
+      // so a 0-status response records the persisted method (initially
+      // 0 = DELETE) and a request after a response in the same
+      // direction records the stale statuscode
+      if (status == 0) {
         sess.methodL += MethodStrings(methodIdx)
         sess.verReq += version
-      } else if (status != 0) {
+      } else {
         sess.statusL += status
         sess.verRes += version
       }

@@ -691,7 +691,17 @@ object SmtpParser {
       filename = partFilename.toSeq.distinct,
       bodyMagic = partMagic.toSeq.distinct,
       tags = sessionTags.toSeq.distinct)
-    if (info.hello.isEmpty && info.src.isEmpty && info.subject.isEmpty) None
+    // None only when NOTHING was extracted: the reference records any
+    // parsed field on a classified session (e.g. an AUTH user + tag on
+    // a stream whose classification came from the server's 220 banner —
+    // mutation-fuzz pinned); the gate only suppresses the all-empty case
+    if (info.hello.isEmpty && info.src.isEmpty && info.subject.isEmpty &&
+      info.dst.isEmpty && info.user.isEmpty && info.tags.isEmpty &&
+      info.headers.isEmpty && info.contentType.isEmpty &&
+      info.id.isEmpty && info.host.isEmpty && info.ip.isEmpty &&
+      info.md5.isEmpty && info.filename.isEmpty &&
+      info.headerField.isEmpty && info.useragent.isEmpty &&
+      info.mimeVersion.isEmpty && info.headerTrace.isEmpty) None
     else Some(info)
   }
 }

@@ -1074,6 +1074,26 @@ class HttpDifferentialFuzzSpec extends AnyFunSuite {
       server = server.take(1 + rng.nextInt(server.length - 1))
       recipe.append("truncS ")
     }
+    // byte-level mutations: both sides are byte-exact machines, so the
+    // differential property holds for ARBITRARY bytes — flip/delete/
+    // duplicate a few to reach states no well-formed generator visits
+    def mutate(b: Array[Byte], tag: String): Array[Byte] =
+      if (!rng.chance(15) || b.length < 8) b
+      else {
+        recipe.append(tag)
+        val out = scala.collection.mutable.ArrayBuffer(b: _*)
+        for (_ <- 0 to rng.nextInt(3)) {
+          val i = rng.nextInt(out.length)
+          rng.nextInt(3) match {
+            case 0 => out(i) = rng.nextInt(256).toByte // flip
+            case 1 => out.remove(i)                    // delete
+            case 2 => out.insert(i, out(i))            // duplicate
+          }
+        }
+        out.toArray
+      }
+    client = mutate(client, "mutC ")
+    server = mutate(server, "mutS ")
     (client, server, recipe.toString)
   }
 

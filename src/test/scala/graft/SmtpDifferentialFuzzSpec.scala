@@ -590,6 +590,21 @@ class SmtpDifferentialFuzzSpec extends AnyFunSuite {
       out = out.take(1 + rng.nextInt(out.length - 1))
       recipe.append("trunc ")
     }
+    // byte-level mutations (see HttpDifferentialFuzzSpec): both sides
+    // are byte-exact machines — arbitrary bytes stay comparable
+    if (rng.chance(15) && out.length >= 8) {
+      recipe.append("mut ")
+      val buf = scala.collection.mutable.ArrayBuffer(out: _*)
+      for (_ <- 0 to rng.nextInt(3)) {
+        val i = rng.nextInt(buf.length)
+        rng.nextInt(3) match {
+          case 0 => buf(i) = rng.nextInt(256).toByte
+          case 1 => buf.remove(i)
+          case 2 => buf.insert(i, buf(i))
+        }
+      }
+      out = buf.toArray
+    }
     (out, recipe.toString)
   }
 
