@@ -429,8 +429,26 @@ object Bench {
     def latQuietOf(backend: String): Option[LatPass] =
       latPasses.filter(p => p.backend == backend && p.idx < 1.15)
         .sortBy(_.p50).headOption
+    // forked children bracket systematically ~+0.1 idx hotter: their
+    // kernel runs alongside the PARENT JVM's background activity
+    // (measured: 5/5 rocksdb forks at idx 1.15-1.26 while same-run
+    // in-process brackets read 1.05-1.14). Gate the rocksdb line the
+    // way credibleQuiet gates throughput: a relaxed bracket PLUS a
+    // relative-time credibility check against the heap quiet pass — a
+    // contention stall fails the 2x check even when the short brackets
+    // straddle it. Without a heap quiet reference the strict gate holds.
+    def rocksCredible(): Option[LatPass] = {
+      val rocks = latPasses.filter(_.backend == "rocksdb")
+      latQuietOf("heap") match {
+        case Some(h) => rocks
+          .filter(p => p.idx < 1.30 && p.p50 <= 2 * h.p50)
+          .sortBy(_.p50).headOption
+        case None => latQuietOf("rocksdb")
+      }
+    }
     def needLat(backend: String): Boolean =
-      !latQuietOf(backend).exists(_.p50 <= 5000.0)
+      if (backend == "rocksdb") !rocksCredible().exists(_.p50 <= 5000.0)
+      else !latQuietOf(backend).exists(_.p50 <= 5000.0)
     // Attempts are SPREAD across the whole run — r13 ran all three
     // back-to-back here at run start and one sustained contention window
     // killed every one of them (all brackets 1.25-3.41, honest 0.0
@@ -617,7 +635,7 @@ object Bench {
     val latAll = latPasses.toSeq
     val latBest = latAll.filter(_.backend == "heap").sortBy(_.p50).headOption
     val latQuiet = latQuietOf("heap")
-    val rocksQuiet = latQuietOf("rocksdb")
+    val rocksQuiet = rocksCredible()
     val sweeps = Seq(sweep1, sweep2)
     val timings = timedQueries.map { case (name, _) =>
       val samples = sweeps.map(_(name))
