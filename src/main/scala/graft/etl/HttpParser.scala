@@ -42,7 +42,21 @@ import java.nio.charset.StandardCharsets
   *  - the full 26-entry method table (http_parser.h:79-107) parses, and
   *    `if (parser->method)` gates the Host/Cookie/Authorization
   *    promotions — HTTP_DELETE is enum 0, so DELETE requests never
-  *    populate hostString (http.c:505-528).
+  *    populate hostString (http.c:505-528);
+  *  - method index 2 has NO error path (http_parser.c:964-969): any
+  *    third byte silently advances, so "GEX / HTTP/1.1" is a GET;
+  *  - Content-Length and chunk-size accumulation error the direction on
+  *    uint64 wrap or ULLONG_MAX (HPE_INVALID_CONTENT_LENGTH,
+  *    http_parser.c:1460-1469/1733-1744) — values up to 2^64-2 parse
+  *    and clamp a body read to the remaining bytes (uint64 MIN);
+  *  - header bytes (incl. request line and chunk-size lines) budget
+  *    against HTTP_MAX_HEADER_SIZE = 80 KiB → HPE_HEADER_OVERFLOW
+  *    (http_parser.c:637-643);
+  *  - an Upgrade/CONNECT message completes at headers-done and parsing
+  *    RESUMES at the start state (moloch's driver loop re-invokes
+  *    http_parser_execute with no upgrade gate, http.c:726-740):
+  *    pipelined HTTP after a refused upgrade is recorded, tunnel bytes
+  *    error the direction.
   *
   * Bodies are de-chunked but NOT content-decoded (a gzip body hashes its
   * gzip bytes, http.c:287-320 feeds on_body to the checksum); md5/sha256
@@ -251,7 +265,13 @@ object HttpParser {
     var method = 0
     var isResponseMsg = false
     var dead = false
-    var upgraded = false
+    // parser->nread: header-byte budget (http_parser.c:637-643) —
+    // HPE_HEADER_OVERFLOW past HTTP_MAX_HEADER_SIZE (80 KiB,
+    // http_parser.h:54). PARSING_HEADER covers every state up to and
+    // INCLUDING the chunk-size-line states (the enum places them before
+    // s_headers_done); reset where the C resets (headers done, chunk
+    // size done, chunk data done).
+    var nread = 0
 
     var fieldMark = -1; var valueMark = -1
     var urlMark = -1; var bodyMark = -1
@@ -273,10 +293,15 @@ object HttpParser {
     }
 
     var p = 0
-    while (p < data.length && !dead && !upgraded) {
+    while (p < data.length && !dead) {
       val ch = data(p) & 0xff
+      if (state <= HeadersDone ||
+        (state >= ChunkSizeStart && state <= ChunkSizeAlmostDone)) {
+        nread += 1
+        if (nread > 80 * 1024) dead = true
+      }
       var redo = true
-      while (redo && !dead && !upgraded) {
+      while (redo && !dead) {
         redo = false
         (state: @annotation.switch) match {
           case StartReqOrRes =>
@@ -371,9 +396,12 @@ object HttpParser {
                 else if (ch == 'A') method = 24
                 else dead = true
               } else if (index == 2) {
+                // index==2 only REMAPS PUT+'R'→PURGE and UNLOCK+'S'→
+                // UNSUBSCRIBE — the reference has NO error path here
+                // (http_parser.c:964-969), so any other byte silently
+                // advances: "GEX / HTTP/1.1" parses as a GET request
                 if (method == 4 && ch == 'R') method = 25
                 else if (method == 15 && ch == 'S') method = 23
-                else dead = true
               } else if (index == 4 && method == 12 && ch == 'P')
                 method = 13
               else dead = true
@@ -558,7 +586,14 @@ object HttpParser {
                 case H.ContentLength =>
                   if (ch == ' ') ()
                   else if (!isNum(ch)) dead = true
-                  else contentLength = contentLength * 10 + (ch - '0')
+                  else {
+                    // uint64 overflow → HPE_INVALID_CONTENT_LENGTH
+                    // (http_parser.c:1460-1469: t < old || t == ULLONG_MAX)
+                    val t = contentLength * 10 + (ch - '0')
+                    if (java.lang.Long.compareUnsigned(t, contentLength) < 0
+                      || t == -1L) dead = true
+                    else contentLength = t
+                  }
                 case H.MatchingTEChunked =>
                   index += 1
                   val t = "chunked"
@@ -612,12 +647,20 @@ object HttpParser {
               redo = true
             }
           case HeadersDone =>
-            if ((flags & FUpgrade) != 0 ||
-              (!isResponseMsg && method == 5)) {
-              // upgrade/CONNECT: message complete, rest of the direction
-              // belongs to another protocol (http_parser.c:1605-1610)
+            nread = 0 // http_parser.c:1609
+            // upgrade = F_UPGRADE || method == HTTP_CONNECT
+            // (http_parser.c:1571-1572) — method PERSISTS, so a response
+            // in a direction that earlier parsed CONNECT upgrades too
+            if ((flags & FUpgrade) != 0 || method == 5) {
+              // upgrade/CONNECT: execute returns (p-data)+1 with state
+              // already NEW_MESSAGE (http_parser.c:1610-1615), and
+              // moloch's driver loop re-invokes execute on the remaining
+              // bytes with no upgrade gate (http.c:726-740) — so
+              // pipelined HTTP after an Upgrade-header message keeps
+              // parsing, while tunnel bytes error out at StartReqOrRes
+              // exactly like the reference (direction fields kept).
               ev.messageComplete(p + 1)
-              upgraded = true
+              state = StartReqOrRes
             } else if ((flags & FChunked) != 0) state = ChunkSizeStart
             else if (contentLength == 0L) {
               state = StartReqOrRes
@@ -628,8 +671,14 @@ object HttpParser {
               ev.messageComplete(p + 1)
             } else state = BodyIdentityEof
           case BodyIdentity =>
+            // MIN is uint64 in the reference — a Content-Length ≥ 2^63
+            // (legal past the overflow check) must clamp to the
+            // remaining bytes, not win a signed comparison
+            val rem = (data.length - p).toLong
             val toRead =
-              math.min(contentLength, (data.length - p).toLong).toInt
+              (if (java.lang.Long.compareUnsigned(contentLength, rem) < 0)
+                contentLength
+              else rem).toInt
             bodyMark = p
             contentLength -= toRead
             p += toRead - 1
@@ -655,19 +704,31 @@ object HttpParser {
               if (v == -1) {
                 if (ch == ';' || ch == ' ') state = ChunkParameters
                 else dead = true
-              } else contentLength = contentLength * 16 + v
+              } else {
+                // uint64 overflow → HPE_INVALID_CONTENT_LENGTH
+                // (http_parser.c:1733-1744)
+                val t = contentLength * 16 + v
+                if (java.lang.Long.compareUnsigned(t, contentLength) < 0 ||
+                  t == -1L) dead = true
+                else contentLength = t
+              }
             }
           case ChunkParameters =>
             if (ch == '\r') state = ChunkSizeAlmostDone
           case ChunkSizeAlmostDone =>
             // non-strict LF no-op
+            nread = 0 // http_parser.c:1765
             if (contentLength == 0L) {
               flags |= FTrailing
               state = HeaderFieldStart
             } else state = ChunkData
           case ChunkData =>
+            // uint64 MIN, as in BodyIdentity (chunk sizes ≥ 2^63 parse)
+            val rem = (data.length - p).toLong
             val toRead =
-              math.min(contentLength, (data.length - p).toLong).toInt
+              (if (java.lang.Long.compareUnsigned(contentLength, rem) < 0)
+                contentLength
+              else rem).toInt
             bodyMark = p
             contentLength -= toRead
             p += toRead - 1
@@ -678,13 +739,14 @@ object HttpParser {
             cbBody(p)
           case ChunkDataDone =>
             // non-strict LF no-op
+            nread = 0 // http_parser.c:1810
             state = ChunkSizeStart
           case _ => dead = true
         }
       }
       p += 1
     }
-    if (!dead && !upgraded) {
+    if (!dead) {
       // leftover marks fire NOADVANCE callbacks (http_parser.c:1838-1846)
       cbField(data.length)
       cbValue(data.length)

@@ -1174,17 +1174,10 @@ object SessionBuilder {
           } else if (needStatus) {
             needStatus = false
             // atoi(line->str), not a 3-digit gate: the reference tags
-            // whatever atoi reads — "99 foo" → 99, non-numeric → 0
+            // whatever atoi reads — "99 foo" → 99, non-numeric → 0,
+            // "9999999999" → 1410065407 via the (int)strtol truncation
             // (smtp.c:456-459 snprintf("smtp:statuscode:%d", atoi(...)))
-            val t = text.dropWhile(c => graft.etl.SmtpParser.isspaceC(c))
-            val neg = t.startsWith("-")
-            val digits = (if (neg || t.startsWith("+")) t.drop(1) else t)
-              .takeWhile(_.isDigit).take(18) // int range; SMTP codes are 3
-            val code =
-              if (digits.isEmpty) 0L
-              else (if (neg) -1L else 1L) * digits.toLong
-            out += s"smtp:statuscode:${math.max(Int.MinValue.toLong,
-              math.min(code, Int.MaxValue.toLong))}"
+            out += s"smtp:statuscode:${graft.etl.SmtpParser.atoiC(text)}"
           }
         }
         out.result()

@@ -121,6 +121,36 @@ object SmtpParser {
     c == ' ' || c == '\t' || c == '\n' || c == '\u000b' || c == '\f' ||
       c == '\r'
 
+  /** glibc atoi = (int)strtol(s, NULL, 10): strtol clamps overflow to
+    * LONG_MAX/LONG_MIN, then the int cast TRUNCATES to the low 32 bits —
+    * "9999999999" reads 1410065407, a >LONG_MAX digit string reads
+    * (int)LONG_MAX = -1 (used by smtp.c:458 statuscode, smtp.c:471 BDAT).
+    */
+  private[etl] def atoiC(s: String): Int = {
+    var i = 0
+    while (i < s.length && isspaceC(s.charAt(i))) i += 1
+    var neg = false
+    if (i < s.length && (s.charAt(i) == '-' || s.charAt(i) == '+')) {
+      neg = s.charAt(i) == '-'
+      i += 1
+    }
+    var v = 0L
+    var over = false
+    while (i < s.length && s.charAt(i) >= '0' && s.charAt(i) <= '9') {
+      val d = s.charAt(i) - '0'
+      if (!over) {
+        if (v > (Long.MaxValue - d) / 10) over = true
+        else v = v * 10 + d
+      }
+      i += 1
+    }
+    val l =
+      if (over) { if (neg) Long.MinValue else Long.MaxValue }
+      else if (neg) -v
+      else v
+    l.toInt
+  }
+
   /** smtp_remove_matching (smtp.c:93-108): leading isspace skip, ONE
     * optional opening char, cut at the closing char — or the string END
     * when the closing char never appears (an unquoted
@@ -423,20 +453,7 @@ object SmtpParser {
         }
       }
     }
-    def atoiC(s: String): Long = {
-      var i = 0
-      while (i < s.length && isspaceC(s.charAt(i))) i += 1
-      var sign = 1L
-      if (i < s.length && (s.charAt(i) == '-' || s.charAt(i) == '+')) {
-        if (s.charAt(i) == '-') sign = -1L
-        i += 1
-      }
-      var v = 0L
-      while (i < s.length && s.charAt(i).isDigit && v < Int.MaxValue) {
-        v = v * 10 + (s.charAt(i) - '0'); i += 1
-      }
-      sign * math.min(v, Int.MaxValue)
-    }
+    def atoiC(s: String): Int = SmtpParser.atoiC(s)
     def addBoundary(sFrom: String): Unit = {
       val i = sFrom.toLowerCase(java.util.Locale.ROOT).indexOf("boundary=")
       if (i >= 0)
@@ -491,7 +508,12 @@ object SmtpParser {
         seenHeaders = true
       } else if (u.startsWith("BDAT")) {
         inBDAT = true
-        bdatRemaining = atoiC(if (s.length > 5) s.substring(5) else "") + 1L
+        // guint bdatRemaining = atoi(arg) + 1 (smtp.c:471): the +1 wraps
+        // in int, then converts to unsigned 32-bit — "2147483647"
+        // declares a 2^31-byte chunk, strtol-overflow inputs declare 0
+        bdatRemaining =
+          (atoiC(if (s.length > 5) s.substring(5) else "") + 1).toLong &
+            0xFFFFFFFFL
         if (seenHeaders) state = Data
         else { seenHeaders = true; state = DataHeader }
       } else if (u.startsWith("AUTH LOGIN")) {
@@ -662,9 +684,11 @@ object SmtpParser {
         }
       }
       i += 1
-      // BDAT byte countdown (smtp.c:845-852): once per consumed byte
+      // BDAT byte countdown (smtp.c:845-852): once per consumed byte;
+      // guint arithmetic — a 0 count wraps to 2^32-1 and never resets
+      // within a real stream
       if (inBDAT) {
-        bdatRemaining -= 1
+        bdatRemaining = (bdatRemaining - 1) & 0xFFFFFFFFL
         if (bdatRemaining == 0) { state = Cmd; inBDAT = false }
       }
     }

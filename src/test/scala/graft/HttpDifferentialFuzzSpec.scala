@@ -21,10 +21,15 @@ import graft.etl.HttpParser
   *    reference's requestBody/password/magic first-chunk gates can see —
   *    is out of reach by construction; the generator frames sessions
   *    accordingly).
-  *  - CONNECT and Upgrade are excluded (they unregister/reclassify the
-  *    parser — pinned by goldens instead).
-  *  - urls/headers stay under MAX_URL_LENGTH/HTTP_MAX_HEADER_SIZE and
-  *    numeric values under 2^31 (the u64-overflow branches never fire).
+  *  - CONNECT and Upgrade messages ARE generated: both machines
+  *    complete the message at headers-done and re-enter the start state
+  *    with the remaining bytes, exactly like moloch's driver loop
+  *    (http.c:726-740 has no upgrade gate). The session-level
+  *    reclassify/unregister of LATER packets is SessionBuilder's job,
+  *    pinned by goldens.
+  *  - Content-Length/chunk-size generators reach the u64-overflow
+  *    branches (2^63 parses and clamps, ULLONG_MAX/wrap errors), and a
+  *    rare 90 KiB header exercises HTTP_MAX_HEADER_SIZE.
   */
 class HttpDifferentialFuzzSpec extends AnyFunSuite {
 
@@ -356,6 +361,7 @@ class HttpDifferentialFuzzSpec extends AnyFunSuite {
     var method = 0
     var isResponseMsg = false
     var dead = false
+    var nread = 0
 
     private def err(): Unit = { dead = true }
 
@@ -390,14 +396,24 @@ class HttpDifferentialFuzzSpec extends AnyFunSuite {
       def headersDone(): Unit =
         sess.headersComplete(which, statusCode, method, httpMajor, httpMinor)
       def msgDone(): Unit = sess.messageComplete(which)
-      // NEW_MESSAGE() non-strict = start state (HTTP_BOTH)
+      // NEW_MESSAGE() non-strict = start state (HTTP_BOTH). Nothing else
+      // resets: status_code/method/http_major persist across messages
+      // (the http.c:557-564 keying quirk reads the stale values).
       def newMessage(): Int = {
-        statusCode = 0; httpMajor = 0; httpMinor = 0; isResponseMsg = false
+        isResponseMsg = false
         StartReqOrRes
       }
 
       while (p < data.length && !dead) {
         val ch = data(p) & 0xff
+        // nread budget (http_parser.c:637-643): every state up to and
+        // including s_headers_done — the enum places the chunk-size-line
+        // states BEFORE it — counts toward HTTP_MAX_HEADER_SIZE (80 KiB)
+        if (state <= S.HeadersDone ||
+          (state >= S.ChunkSizeStart && state <= S.ChunkSizeAlmostDone)) {
+          nread += 1
+          if (nread > 80 * 1024) err()
+        }
         var redo = true
         while (redo && !dead) {
           redo = false
@@ -494,9 +510,10 @@ class HttpDifferentialFuzzSpec extends AnyFunSuite {
                   else if (ch == 'A') method = 24 // PATCH
                   else err()
                 } else if (index == 2) {
+                  // no error path at index 2 (http_parser.c:964-969):
+                  // only the PUT→PURGE / UNLOCK→UNSUBSCRIBE remaps
                   if (method == 4 && ch == 'R') method = 25 // PURGE
                   else if (method == 15 && ch == 'S') method = 23 // UNSUBSCRIBE
-                  else err()
                 } else if (index == 4 && method == 12 && ch == 'P')
                   method = 13 // PROPPATCH
                 else err()
@@ -505,8 +522,10 @@ class HttpDifferentialFuzzSpec extends AnyFunSuite {
             case ReqSpacesBeforeUrl =>
               if (ch != ' ') {
                 urlMark = p
-                // CONNECT excluded by the generator
-                state = parseUrlChar(ReqSpacesBeforeUrl, ch)
+                // CONNECT pre-seeds the authority-form server state
+                // (http_parser.c:985-987)
+                state = parseUrlChar(
+                  if (method == 5) ReqServerStart else ReqSpacesBeforeUrl, ch)
                 if (state == Dead) err()
               }
             case ReqSchema | ReqSchemaSlash | ReqSchemaSlashSlash |
@@ -667,7 +686,14 @@ class HttpDifferentialFuzzSpec extends AnyFunSuite {
                   case H.ContentLength =>
                     if (ch == ' ') ()
                     else if (ch < '0' || ch > '9') err()
-                    else contentLength = contentLength * 10 + (ch - '0')
+                    else {
+                      // t = cl*10+d; err on uint64 wrap or ULLONG_MAX
+                      // (http_parser.c:1460-1469)
+                      val t = contentLength * 10 + (ch - '0')
+                      if (java.lang.Long.compareUnsigned(t, contentLength) < 0
+                        || t == -1L) err()
+                      else contentLength = t
+                    }
                   case H.MatchingTEChunked => index += 1
                     val t = "chunked"
                     headerState =
@@ -711,15 +737,25 @@ class HttpDifferentialFuzzSpec extends AnyFunSuite {
                 redo = true
               }
             case HeadersDone =>
-              // upgrade excluded by generator
-              if ((flags & FChunked) != 0) state = ChunkSizeStart
+              nread = 0 // http_parser.c:1609
+              // upgrade = F_UPGRADE || method == HTTP_CONNECT
+              // (http_parser.c:1571-1572, 1610-1615): message completes,
+              // the driver loop re-enters execute at the start state
+              // with the remaining bytes (http.c:726-740)
+              if ((flags & FUpgrade) != 0 || method == 5) {
+                state = newMessage(); msgDone()
+              }
+              else if ((flags & FChunked) != 0) state = ChunkSizeStart
               else if (contentLength == 0) { state = newMessage(); msgDone() }
               else if (contentLength != -1L) state = BodyIdentity
               else if (!isResponseMsg || !needsEof()) {
                 state = newMessage(); msgDone()
               } else state = BodyIdentityEof
             case BodyIdentity =>
-              val toRead = math.min(contentLength, (data.length - p).toLong).toInt
+              // uint64 MIN (a ≥2^63 Content-Length parses legally)
+              val rem = (data.length - p).toLong
+              val toRead = (if (java.lang.Long.compareUnsigned(
+                contentLength, rem) < 0) contentLength else rem).toInt
               bodyMark = p
               contentLength -= toRead
               p += toRead - 1
@@ -745,16 +781,26 @@ class HttpDifferentialFuzzSpec extends AnyFunSuite {
                 if (v == -1) {
                   if (ch == ';' || ch == ' ') state = ChunkParameters
                   else err()
-                } else contentLength = contentLength * 16 + v
+                } else {
+                  // err on uint64 wrap/ULLONG_MAX (http_parser.c:1733-1744)
+                  val t = contentLength * 16 + v
+                  if (java.lang.Long.compareUnsigned(t, contentLength) < 0 ||
+                    t == -1L) err()
+                  else contentLength = t
+                }
               }
             case ChunkParameters =>
               if (ch == '\r') state = ChunkSizeAlmostDone
             case ChunkSizeAlmostDone =>
               // non-strict LF no-op
+              nread = 0 // http_parser.c:1765
               if (contentLength == 0) { flags |= FTrailing; state = HeaderFieldStart }
               else state = ChunkData
             case ChunkData =>
-              val toRead = math.min(contentLength, (data.length - p).toLong).toInt
+              // uint64 MIN, as in BodyIdentity
+              val rem = (data.length - p).toLong
+              val toRead = (if (java.lang.Long.compareUnsigned(
+                contentLength, rem) < 0) contentLength else rem).toInt
               bodyMark = p
               contentLength -= toRead
               p += toRead - 1
@@ -765,6 +811,7 @@ class HttpDifferentialFuzzSpec extends AnyFunSuite {
               cbBody(p)
             case ChunkDataDone =>
               // non-strict LF no-op
+              nread = 0 // http_parser.c:1810
               state = ChunkSizeStart
             case Dead => err()
             case _ => err()
@@ -945,6 +992,14 @@ class HttpDifferentialFuzzSpec extends AnyFunSuite {
         }
         sb.append(f"${piece.length}%x$ext$crlf$piece$crlf")
       }
+      if (rng.chance(6)) {
+        // u64-overflow region: 8000000000000000 = 2^63 (parses, clamps
+        // the read), ffffffffffffffff = ULLONG_MAX (errors), 17 digits
+        // wrap (errors)
+        sb.append(rng.pick(Seq("8000000000000000", "ffffffffffffffff",
+          "fffffffffffffff0", "10000000000000000")) + crlf)
+        recipe.append("hugechunk ")
+      }
       if (badSize) { sb.append(s"zz$crlf"); recipe.append("badchunk ") }
       else {
         val zext = if (rng.chance(25)) ";last" else ""
@@ -963,6 +1018,20 @@ class HttpDifferentialFuzzSpec extends AnyFunSuite {
     val nReq = if (responseOnly) 0 else 1 + rng.nextInt(3)
     val methodsUsed = Seq.newBuilder[String]
     for (i <- 0 until nReq) {
+      if (rng.chance(5)) {
+        // index-2 silent-advance region (no error path in the C):
+        // these all parse as the 2-char-prefix method
+        val broken = rng.pick(Seq("GEX", "PUTX", "HEAX", "POSX", "GETT"))
+        cb.append(s"$broken /x HTTP/1.1$crlf$crlf")
+        recipe.append(s"broken=$broken ")
+      }
+      if (rng.chance(5)) {
+        // CONNECT upgrades at headers-done; the rest of the buffer
+        // re-enters at the start state (http.c:726-740)
+        cb.append(s"CONNECT site.example:443 HTTP/1.1${crlf}Host: site.example$crlf$crlf")
+        if (rng.chance(40)) { cb.append("tls-ish junk"); recipe.append("tunnel ") }
+        recipe.append("connect ")
+      }
       val method = rng.pick(Seq("GET", "POST", "HEAD", "PUT", "DELETE",
         "OPTIONS", "PROPFIND", "M-SEARCH", "NOTIFY", "SUBSCRIBE", "REPORT",
         "PATCH", "PURGE", "MKCOL", "SEARCH", "UNSUBSCRIBE"))
@@ -992,7 +1061,20 @@ class HttpDifferentialFuzzSpec extends AnyFunSuite {
         case "" => "ua/1.0"; case v => "ua-" + v.trim.take(10)
       }))
       if (rng.chance(25)) hs += (("Referer", "http://ref.example/x"))
+      if (rng.chance(6)) {
+        // F_UPGRADE: the message completes at headers-done and the rest
+        // of the direction re-enters at the start state — pipelined
+        // requests after a refused upgrade keep parsing
+        hs += (("Upgrade", rng.pick(Seq("websocket", "h2c"))))
+        recipe.append("upgrade ")
+      }
       for (_ <- 0 until rng.nextInt(3)) hs += ((headerName(), headerValue()))
+      if (rng.chance(2)) {
+        // HTTP_MAX_HEADER_SIZE: one ~90 KiB value blows the 80 KiB nread
+        // budget mid-value (fields before it keep, direction dies)
+        hs += (("X-Big", "B" * (90 * 1024)))
+        recipe.append("hdrcap ")
+      }
       val bodyKind = rng.nextInt(4)
       val sb2 = new StringBuilder
       emitHeaders(sb2, hs.result())
@@ -1005,7 +1087,26 @@ class HttpDifferentialFuzzSpec extends AnyFunSuite {
             cb.append(s"Content-Length: 999$crlf")
             recipe.append("2cl ")
           }
-          cb.append(s"Content-Length: ${body.length}$crlf$crlf$body")
+          val hugeCl =
+            if (rng.chance(10)) {
+              // u64-overflow region: 2^63 parses (clamps the read to the
+              // remaining bytes via the uint64 MIN), 2^64-1 and 20-digit
+              // wraps error the direction
+              recipe.append("hugecl ")
+              Some("Content-Length: " + rng.pick(Seq(
+                "9223372036854775808", "18446744073709551615",
+                "92233720368547758080", "18446744073709551614")) + crlf)
+            } else None
+          // last-wins: before the real CL it only exercises parsing;
+          // after it, the huge value frames the body
+          if (rng.chance(50)) {
+            hugeCl.foreach(cb.append)
+            cb.append(s"Content-Length: ${body.length}$crlf$crlf$body")
+          } else {
+            cb.append(s"Content-Length: ${body.length}$crlf")
+            hugeCl.foreach(cb.append)
+            cb.append(s"$crlf$body")
+          }
         case 2 =>
           cb.append(sb2).append(s"Transfer-Encoding: chunked$crlf$crlf")
           chunkedBody(cb, Seq("part one ", "and two"),
@@ -1098,8 +1199,12 @@ class HttpDifferentialFuzzSpec extends AnyFunSuite {
   }
 
   test("crafted sessions: walker fields match the http_parser/http.c model") {
-    val rng = new Rng(0x7a11ce5L)
-    for (trial <- 0 until 600) {
+    // soak knobs: GRAFT_FUZZ_TRIALS=30000 GRAFT_FUZZ_SEED=0x... sbt test
+    val nTrials =
+      sys.env.get("GRAFT_FUZZ_TRIALS").map(_.toInt).getOrElse(600)
+    val rng = new Rng(sys.env.get("GRAFT_FUZZ_SEED")
+      .map(java.lang.Long.decode(_).longValue).getOrElse(0x7a11ce5L))
+    for (trial <- 0 until nTrials) {
       val (client, server, recipe) = genSession(rng)
       compare(client, server, s"trial $trial: $recipe")
     }

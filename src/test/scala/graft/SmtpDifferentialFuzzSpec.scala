@@ -61,19 +61,31 @@ class SmtpDifferentialFuzzSpec extends AnyFunSuite {
     s.substring(start, i)
   }
 
+  /** glibc atoi = (int)strtol: strtol clamps to LONG_MAX/LONG_MIN on
+    * overflow, then the int cast truncates to the low 32 bits —
+    * "9999999999" reads 1410065407, >LONG_MAX digits read -1.
+    */
   private def atoiC(s: String): Int = {
     var i = 0
     while (i < s.length && isspaceC(s.charAt(i))) i += 1
-    var sign = 1
+    var neg = false
     if (i < s.length && (s.charAt(i) == '-' || s.charAt(i) == '+')) {
-      if (s.charAt(i) == '-') sign = -1
+      neg = s.charAt(i) == '-'
       i += 1
     }
     var v = 0L
-    while (i < s.length && s.charAt(i).isDigit && v < Int.MaxValue) {
-      v = v * 10 + (s.charAt(i) - '0'); i += 1
+    var over = false
+    while (i < s.length && s.charAt(i) >= '0' && s.charAt(i) <= '9') {
+      val d = s.charAt(i) - '0'
+      if (!over) {
+        if (v > (Long.MaxValue - d) / 10) over = true
+        else v = v * 10 + d
+      }
+      i += 1
     }
-    (sign * math.min(v, Int.MaxValue)).toInt
+    (if (over) { if (neg) Long.MinValue else Long.MaxValue }
+    else if (neg) -v
+    else v).toInt
   }
 
   // EMAIL_* states (smtp.c:68-90, order matters for the (*state)++ trick)
@@ -197,7 +209,11 @@ class SmtpDifferentialFuzzSpec extends AnyFunSuite {
         seenHeaders = true
       } else if (u.startsWith("BDAT")) {
         inBDAT = true
-        bdatRemaining = atoiC(if (s.length > 5) s.substring(5) else "") + 1L
+        // guint bdatRemaining = atoi(arg) + 1 (smtp.c:471): int wrap on
+        // +1, then the unsigned 32-bit conversion
+        bdatRemaining =
+          (atoiC(if (s.length > 5) s.substring(5) else "") + 1).toLong &
+            0xFFFFFFFFL
         if (seenHeaders) state = E.Data
         else { seenHeaders = true; state = E.DataHeader }
       } else if (u.startsWith("AUTH LOGIN")) {
@@ -397,7 +413,7 @@ class SmtpDifferentialFuzzSpec extends AnyFunSuite {
         }
         i += 1
         if (inBDAT) {
-          bdatRemaining -= 1
+          bdatRemaining = (bdatRemaining - 1) & 0xFFFFFFFFL // guint wrap
           if (bdatRemaining == 0) { state = E.Cmd; inBDAT = false }
         }
       }
@@ -574,7 +590,14 @@ class SmtpDifferentialFuzzSpec extends AnyFunSuite {
         // the byte count itself — emit the exact count so the model and
         // parser agree on where DATA ends
         val body = allLines.map(_ + "\r\n").mkString
-        sb.append(s"BDAT ${body.length}${crlf()}")
+        if (rng.chance(8)) {
+          // atoi truncation region: (int)strtol — "9999999999" declares
+          // 1410065408 bytes (consumes the rest), huge digits declare 0
+          // (count wraps as guint, also consumes the rest)
+          sb.append("BDAT " + rng.pick(Seq("9999999999", "2147483647",
+            "99999999999999999999", "-3")) + crlf())
+          recipe.append("hugebdat ")
+        } else sb.append(s"BDAT ${body.length}${crlf()}")
         sb.append(body)
         recipe.append("bdat ")
       } else {
@@ -609,8 +632,12 @@ class SmtpDifferentialFuzzSpec extends AnyFunSuite {
   }
 
   test("crafted transcripts: extractor matches the smtp.c state-machine model") {
-    val rng = new Rng(0x5317a9L)
-    for (trial <- 0 until 500) {
+    // soak knobs: GRAFT_FUZZ_TRIALS=30000 GRAFT_FUZZ_SEED=0x... sbt test
+    val nTrials =
+      sys.env.get("GRAFT_FUZZ_TRIALS").map(_.toInt).getOrElse(500)
+    val rng = new Rng(sys.env.get("GRAFT_FUZZ_SEED")
+      .map(java.lang.Long.decode(_).longValue).getOrElse(0x5317a9L))
+    for (trial <- 0 until nTrials) {
       val (stream, recipe) = genTranscript(rng)
       compare(stream, s"trial $trial: $recipe")
     }
