@@ -14,6 +14,65 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
+  /** Latency-pass publication rules, extracted so a spec can pin them
+    * against recorded driver pass lists (LatencyPublishSpec feeds the
+    * r14 list through and asserts the 12.98 s stall is rejected).
+    *
+    * Every published "quiet" number needs BOTH gates:
+    *  - a bracket gate: the pass's own contention index. In-process
+    *    passes must read < 1.15; forked children bracket ~+0.1 hotter
+    *    structurally (their kernel runs beside the parent JVM's
+    *    background threads — measured 5/5 forks at 1.15-1.26 while
+    *    same-run in-process brackets read 1.05-1.14) so they get < 1.30.
+    *  - a relative-time credibility gate: the ~0.07 s kernel samples
+    *    around a multi-second pass can BOTH land outside a mid-window
+    *    load burst, so a quiet bracket alone proves nothing. r12
+    *    published an 11 s sessionize pass at idx 1.11 that way; r14
+    *    published a 12.98 s heap-latency pass at idx 1.147 while four
+    *    passes clustered at 3.0-3.6 s. The time itself must be within
+    *    1.5x the run's best same-backend pass.
+    */
+  private[graft] object LatencyPublish {
+    trait PassLike {
+      def p50: Double
+      def idx: Double
+      def backend: String
+      def forked: Boolean
+    }
+    final case class Pass(p50: Double, idx: Double, backend: String,
+        forked: Boolean) extends PassLike
+    private def bracketOk(p: PassLike): Boolean =
+      if (p.forked) p.idx < 1.30 else p.idx < 1.15
+    private def quietOf[P <: PassLike](passes: Seq[P], backend: String)
+        : Option[P] = {
+      val same = passes.filter(_.backend == backend)
+      same.map(_.p50).minOption.flatMap { best =>
+        same.filter(p => bracketOk(p) && p.p50 <= 1.5 * best)
+          .sortBy(_.p50).headOption
+      }
+    }
+    /** Credible quiet heap pass, or None (publish 0.0 — the raw pass
+      * list in bench_full.json keeps every rejected pass readable).
+      */
+    def heapQuiet[P <: PassLike](passes: Seq[P]): Option[P] =
+      quietOf(passes, "heap")
+    /** RocksDB line: relaxed bracket (rocksdb passes are always forked)
+      * plus credibility against the CREDIBLE heap quiet pass — not the
+      * raw bracket minimum, which r14 showed can be a stall that makes
+      * the 2x check pass trivially. Without a credible heap reference
+      * the rocksdb pass must be self-credible under the same rule.
+      */
+    def rocksQuiet[P <: PassLike](passes: Seq[P]): Option[P] = {
+      val rocks = passes.filter(_.backend == "rocksdb")
+      heapQuiet(passes) match {
+        case Some(h) =>
+          rocks.filter(p => p.idx < 1.30 && p.p50 <= 2 * h.p50)
+            .sortBy(_.p50).headOption
+        case None => quietOf(rocks, "rocksdb")
+      }
+    }
+  }
+
   /** Synthesize a sessionize-throughput corpus once (cached in /tmp):
     * records of four protocol-rich reference fixtures replicated with a
     * per-replica IP-pair rewrite (distinct flows) and a 60 s timestamp
@@ -422,33 +481,26 @@ object Bench {
     // p50 published alone reads as an engine miss of the reference's
     // 5 s refresh gate when it is host contention.
     final case class LatPass(p50: Double, p99: Double, n: Int,
-        preK: Double, postK: Double, backend: String, forked: Boolean) {
+        preK: Double, postK: Double, backend: String, forked: Boolean)
+        extends LatencyPublish.PassLike {
       def idx: Double = math.max(preK, postK) / ContentionKernel.QuietSec
     }
     val latPasses = scala.collection.mutable.ArrayBuffer[LatPass]()
+    // Both quiet-line publishers delegate to LatencyPublish (top of this
+    // file) so LatencyPublishSpec can pin the rules against the recorded
+    // r14 driver pass list. The r14 defect this closes: latQuietOf took
+    // the min-p50 pass with bracket idx < 1.15 and NO relative-time
+    // check, so a 12.98 s bracket-straddling stall (idx 1.147) published
+    // as stream_p50_ms_quiet while four passes clustered at 3.0-3.6 s —
+    // AND fed rocksCredible a bogus 2x reference. Now: quiet = bracket
+    // ok (in-proc < 1.15; forked < 1.30, the measured +0.1 structural
+    // bias) AND p50 <= 1.5x the run's best same-backend pass.
     def latQuietOf(backend: String): Option[LatPass] =
-      latPasses.filter(p => p.backend == backend && p.idx < 1.15)
-        .sortBy(_.p50).headOption
-    // forked children bracket systematically ~+0.1 idx hotter: their
-    // kernel runs alongside the PARENT JVM's background activity
-    // (measured: 5/5 rocksdb forks at idx 1.15-1.26 while same-run
-    // in-process brackets read 1.05-1.14). Gate the rocksdb line the
-    // way credibleQuiet gates throughput: a relaxed bracket PLUS a
-    // relative-time credibility check against the heap quiet pass — a
-    // contention stall fails the 2x check even when the short brackets
-    // straddle it. Without a heap quiet reference the strict gate holds.
-    def rocksCredible(): Option[LatPass] = {
-      val rocks = latPasses.filter(_.backend == "rocksdb")
-      latQuietOf("heap") match {
-        case Some(h) => rocks
-          .filter(p => p.idx < 1.30 && p.p50 <= 2 * h.p50)
-          .sortBy(_.p50).headOption
-        case None => latQuietOf("rocksdb")
-      }
-    }
+      if (backend == "rocksdb") LatencyPublish.rocksQuiet(latPasses.toSeq)
+      else LatencyPublish.heapQuiet(latPasses.toSeq)
+    def rocksCredible(): Option[LatPass] = latQuietOf("rocksdb")
     def needLat(backend: String): Boolean =
-      if (backend == "rocksdb") !rocksCredible().exists(_.p50 <= 5000.0)
-      else !latQuietOf(backend).exists(_.p50 <= 5000.0)
+      !latQuietOf(backend).exists(_.p50 <= 5000.0)
     // Attempts are SPREAD across the whole run — r13 ran all three
     // back-to-back here at run start and one sustained contention window
     // killed every one of them (all brackets 1.25-3.41, honest 0.0
@@ -667,11 +719,22 @@ object Bench {
     val floorRatio =
       if (allKernels.nonEmpty) allKernels.min / ContentionKernel.QuietSec
       else 0.0
+    // Round-over-round comparability defense: r14's driver run landed on
+    // a whole-run-degraded host (floor 1.06, every block probe >= 1.09)
+    // and 40 UNTOUCHED shared queries drifted +18% median — min-of-2
+    // interleaved sweeps defends against bursts, not a uniformly slow
+    // run. Publish a host-corrected companion: total / kernel_floor_ratio.
+    // The floor ratio is the run's QUIETEST kernel sample vs the
+    // committed quiet floor — the host's best case this run — so a
+    // uniform slowdown divides out while a code regression cannot hide
+    // behind it (a regression inflates total without moving the kernel).
+    val totalNorm = if (floorRatio > 0) total / floorRatio else total
     def line(entries: Seq[(String, Double)]): String = {
       val qs = entries.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
         .mkString("{", ",", "}")
       val cidx = contentionIdx.map(v => f"$v%.2f").mkString("[", ",", "]")
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,""" +
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec",""" +
+        f""""total_floor_normalized":$totalNorm%.3f,"queries":$qs,""" +
         f""""sessionize_mbps":$tputMbps%.1f,"sessionize_idx":$tputIdx%.2f,""" +
         f""""sessionize_mbps_quiet":$tputMbpsQuiet%.1f,""" +
         f""""sessionize_sessions":$tputSessions,""" +
