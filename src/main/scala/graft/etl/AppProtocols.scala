@@ -613,174 +613,15 @@ object AppProtocols {
     false
   }
 
-  /** Parse DNS query names/types from raw DNS messages (UDP payloads).
-    * (reference parser: capture/parsers/dns.c)
+  /** Parse one raw DNS message (fresh session state). The walker lives
+    * in [[DnsParser]] — a byte-exact transcription of the reference's
+    * dns.c/bsb.h machine, differentially fuzzed in
+    * DnsDifferentialFuzzSpec. Session-spanning host attribution
+    * (dns_find_host state across datagrams) threads through
+    * [[DnsParser.parseMessage]] with a shared [[DnsParser.State]].
     */
-  /** DNS name at `off` with compression-pointer support; returns
-    * (name, offset after the in-place portion).
-    */
-  /** Punycode labels render as unicode, as the reference's
-    * g_hostname_to_unicode in moloch_field_string_add_host
-    * (capture/field.c:622-642); invalid punycode stays ascii.
-    */
-  private def idnHost(s: String): String =
-    if (!s.contains("xn--")) s
-    else try java.net.IDN.toUnicode(s) catch { case _: Exception => s }
-
-  private def dnsName(msg: Array[Byte], off0: Int): (String, Int) = {
-    val sb = new StringBuilder
-    var off = off0
-    var next = -1 // set at the first pointer jump
-    var guard = 0
-    while (guard < 64 && off < msg.length) {
-      guard += 1
-      val len = msg(off) & 0xff
-      if (len == 0) {
-        if (next < 0) next = off + 1
-        return (idnHost(sb.toString.toLowerCase), next)
-      } else if ((len & 0xc0) == 0xc0) {
-        if (off + 1 >= msg.length)
-          return (idnHost(sb.toString.toLowerCase), off + 2)
-        if (next < 0) next = off + 2
-        off = ((len & 0x3f) << 8) | (msg(off + 1) & 0xff)
-      } else {
-        if (off + 1 + len > msg.length)
-          return (idnHost(sb.toString.toLowerCase), msg.length)
-        if (sb.nonEmpty) sb.append('.')
-        sb.append(new String(msg, off + 1, len, StandardCharsets.ISO_8859_1))
-        off += 1 + len
-      }
-    }
-    (idnHost(sb.toString.toLowerCase), if (next < 0) off else next)
-  }
-
-  def parseDnsMessage(msg: Array[Byte]): Option[DnsInfo] = {
-    if (msg.length < 12) return None
-    val qdCount = ((msg(4) & 0xff) << 8) | (msg(5) & 0xff)
-    val anCount = ((msg(6) & 0xff) << 8) | (msg(7) & 0xff)
-    val nsCount = ((msg(8) & 0xff) << 8) | (msg(9) & 0xff)
-    val arCount = ((msg(10) & 0xff) << 8) | (msg(11) & 0xff)
-    val rcode = msg(3) & 0x0f
-    val opcode = (msg(2) >> 3) & 0x0f
-    val isResponse = (msg(2) & 0x80) != 0
-    // the reference drops messages without a sane question count before
-    // recording ANY field (dns.c:243-244) — mDNS responses with qd=0
-    // contribute nothing, not even dns.status
-    if (qdCount <= 0 || qdCount > 10) return None
-    var off = 12
-    val names = scala.collection.mutable.ListBuffer[String]()
-    val types = Seq.newBuilder[String]
-    val classes = Seq.newBuilder[String]
-    var q = 0
-    while (q < qdCount && off < msg.length) {
-      val (name, next) = dnsName(msg, off)
-      off = next
-      if (off + 4 <= msg.length) {
-        val qtype = ((msg(off) & 0xff) << 8) | (msg(off + 1) & 0xff)
-        val qclass = ((msg(off + 2) & 0xff) << 8) | (msg(off + 3) & 0xff)
-        // UPDATE zone records contribute nothing (dns.c:267-268); ids
-        // outside the reference tables are skipped, not shown numerically
-        if (opcode != 5) {
-          Option(dnsTypeName(qtype)).foreach(types += _)
-          Option(dnsClassName(qclass)).foreach(classes += _)
-        }
-        off += 4
-      }
-      // empty question name is the DNS root (dns.c:258-261)
-      if (opcode != 5) names += (if (name.isEmpty) "<root>" else name)
-      q += 1
-    }
-    // resource records: answers + authority + additional. Host/IP
-    // attribution follows parsers/dns.c:330-430 with parseDNSRecordAll
-    // (tests/config.test.ini:31): CNAME rdata joins dns.host; an A/AAAA
-    // joins dns.ip only when its owner is already a known host (or, for
-    // UPDATE messages, the owner itself joins dns.host); nameserver IPs
-    // attribute by the NS host set.
-    val ip = Seq.newBuilder[String]
-    val mx = Seq.newBuilder[String]
-    val nsHosts = Seq.newBuilder[String]
-    val nsSet = scala.collection.mutable.Set[String]()
-    val mxSet = scala.collection.mutable.Set[String]()
-    val hostSet = scala.collection.mutable.Set[String]()
-    names.foreach(hostSet += _)
-    val nsIp = Seq.newBuilder[String]
-    val mxIp = Seq.newBuilder[String]
-    var rr = 0
-    // queries don't get their record sections walked (dns.c:296-297
-    // returns before the RR loop unless response or UPDATE) — an mDNS
-    // query's known-answer records must not contribute dns.ip
-    val rrTotal =
-      if (isResponse || opcode == 5) anCount + nsCount + arCount else 0
-    var ok = true
-    while (ok && rr < rrTotal && off < msg.length) {
-      val (owner, next) = dnsName(msg, off)
-      off = next
-      if (off + 10 > msg.length) ok = false
-      else {
-        val rtype = ((msg(off) & 0xff) << 8) | (msg(off + 1) & 0xff)
-        val rdLen = ((msg(off + 8) & 0xff) << 8) | (msg(off + 9) & 0xff)
-        val rdOff = off + 10
-        if (rdOff + rdLen > msg.length) ok = false
-        else {
-          rtype match {
-            case 1 if rdLen == 4 => // A
-              val a = (rdOff until rdOff + 4)
-                .map(i => (msg(i) & 0xff).toString).mkString(".")
-              if (opcode == 5) { names += owner; hostSet += owner; ip += a }
-              else {
-                if (hostSet.contains(owner)) ip += a
-                if (nsSet.contains(owner)) nsIp += a
-                if (mxSet.contains(owner)) mxIp += a
-              }
-            case 28 if rdLen == 16 => // AAAA — reference emits the fully
-              // expanded v6 form for answer addresses (dns.ip goldens)
-              val a = graft.functions.IpUtil.expanded(
-                java.util.Arrays.copyOfRange(msg, rdOff, rdOff + 16))
-              if (opcode == 5) { names += owner; hostSet += owner; ip += a }
-              else {
-                if (hostSet.contains(owner)) ip += a
-                if (nsSet.contains(owner)) nsIp += a
-                if (mxSet.contains(owner)) mxIp += a
-              }
-            case 2 => // NS
-              val (h, _) = dnsName(msg, rdOff)
-              if (h.nonEmpty) { nsHosts += h; nsSet += h }
-            case 5 => // CNAME: rdata name joins dns.host
-              val (h, _) = dnsName(msg, rdOff)
-              if (h.nonEmpty) { names += h; hostSet += h }
-            case 15 if rdLen > 2 => // MX: preference(2) + exchange
-              val (h, _) = dnsName(msg, rdOff + 2)
-              if (h.nonEmpty) { mx += h; mxSet += h }
-            case _ =>
-          }
-          off = rdOff + rdLen
-          rr += 1
-        }
-      }
-    }
-    val allHostAdds = names.toList ++ nsHosts.result() ++ mx.result()
-    Some(DnsInfo(names.toList, types.result(),
-      if (isResponse) Seq(dnsRcodeName(rcode)) else Seq.empty,
-      opcode = Seq(dnsOpcodeName(opcode)),
-      qclass = classes.result(),
-      ip = ip.result().distinct,
-      mailserverHost = mx.result().distinct,
-      nameserverHost = nsHosts.result().distinct,
-      nameserverIp = nsIp.result().distinct,
-      mailserverIp = mxIp.result().distinct,
-      // dns.puny keeps the RAW xn-- form (the host fields store the
-      // decoded unicode). Hosts arrive here already decoded, so re-encode
-      // non-ascii ones; names whose punycode failed to decode still carry
-      // their literal xn-- labels.
-      puny = allHostAdds
-        .filter(n => n.contains("xn--") || n.exists(_ > 127))
-        .map { n =>
-          if (n.exists(_ > 127))
-            try java.net.IDN.toASCII(n).toLowerCase
-            catch { case _: Exception => n.toLowerCase }
-          else n.toLowerCase
-        }.distinct))
-  }
+  def parseDnsMessage(msg: Array[Byte]): Option[DnsInfo] =
+    DnsParser.parseMessage(msg, new DnsParser.State)
 
   def dnsOpcodeName(c: Int): String = c match {
     case 0 => "QUERY"; case 1 => "IQUERY"; case 2 => "STATUS"

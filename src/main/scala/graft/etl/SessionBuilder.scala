@@ -986,7 +986,12 @@ object SessionBuilder {
           if (first.ipProtocol == 6)
             Seq(effSrc, effDst).filter(_.nonEmpty).flatMap(deframeTcp)
           else messages.toSeq
-        val infos = deframed.flatMap(AppProtocols.parseDnsMessage)
+        // one State per session: dns_find_host's host hashes span every
+        // message of the session (a response datagram attributes A
+        // records against names the QUERY datagram added)
+        val dnsState = new DnsParser.State
+        val infos =
+          deframed.flatMap(m => DnsParser.parseMessage(m, dnsState))
         if (infos.isEmpty) None
         else Some(AppProtocols.DnsInfo(
           infos.flatMap(_.qname).distinct.toIndexedSeq,
