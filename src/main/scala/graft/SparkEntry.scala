@@ -2334,10 +2334,12 @@ object SparkEntry {
     "m5_image_dhash" ->
       s"""WITH px AS (SELECT doc_id, k,
            CAST(('0x' || substr(md5('px' || '|'
-             || substr(text,
-                  CAST((k * ((length(text) + 71) // 72))
-                    % greatest(length(text), 1) + 1 AS INT),
-                  CAST((length(text) + 71) // 72 AS INT))), 1, 8)) AS BIGINT)
+             || substr(hex(encode(text)),
+                  CAST((k * ((octet_length(encode(text)) + 71) // 72))
+                    % greatest(octet_length(encode(text)), 1) * 2 + 1
+                    AS INT),
+                  CAST(((octet_length(encode(text)) + 71) // 72) * 2
+                    AS INT))), 1, 8)) AS BIGINT)
              % 256 AS p
          FROM documents, range(0, 72) t(k)),
          l AS (SELECT doc_id, list(p ORDER BY k) AS ps FROM px

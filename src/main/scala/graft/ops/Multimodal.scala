@@ -305,21 +305,29 @@ object Multimodal {
     // BYTE-sliced kernel: Substring over a StringType column counts
     // UTF-8 chars from the string head on every call — 72 samples per
     // doc made UTF8String.getNumChars 37% of the whole m5 profile. A
-    // BinaryType slice is a bounds-checked copy. Corpus text is hashed
-    // as its UTF-8 bytes either way, so for the 1-byte-per-char corpora
-    // this pipeline targets the signatures are unchanged (and the
-    // DuckDB oracle keeps the same char arithmetic). The single-byte
-    // assumption is ENFORCED, not hoped: PipelineOpsSpec's
-    // "corpus text is single-byte" guard fails the suite on the first
-    // multi-byte corpus, at which point the oracle ports to byte
-    // arithmetic (octet_length + BLOB substr).
-    val bin = contentCol.cast("binary")
-    val stride = floor((length(bin) + lit(71)) / lit(72)).cast("int")
-    val clen = greatest(length(bin), lit(1))
+    // BinaryType slice is a bounds-checked copy. The hashed sample is
+    // the HEX of the byte slice (not the raw bytes): a byte stride can
+    // split a multi-byte UTF-8 sequence, and DuckDB's md5/substr only
+    // take VARCHAR — hex makes the exact same byte window expressible
+    // on both engines (`hex(encode(text))` + 2x offsets in the oracle),
+    // so multi-byte corpora are first-class instead of guarded away
+    // (the pre-r15 kernel hashed raw bytes and pinned a single-byte
+    // corpus assumption in PipelineOpsSpec; the guard is now a
+    // multi-byte parity test).
+    // hex is projected FIRST so it runs once per row: referenced
+    // directly inside the transform lambda it re-evaluates per sample
+    // (72x per row — measured +25% on the m5 bench)
+    val pre = df.select(idCol.cast("long").as("doc_id"),
+      contentCol.cast("binary").as("_bin"))
+      .select(col("doc_id"), hex(col("_bin")).as("_hex"),
+        length(col("_bin")).as("_blen"))
+    val stride = floor((col("_blen") + lit(71)) / lit(72)).cast("int")
+    val clen = greatest(col("_blen"), lit(1))
     val px = transform(sequence(lit(0), lit(71)),
-      k => pmod(TextOps.hex32Bin(concat(lit("px|".getBytes),
-        bin.substr(pmod(k * stride, clen) + 1, stride))), lit(256L)))
-    val withPx = df.select(idCol.cast("long").as("doc_id"), px.as("_px"))
+      k => pmod(TextOps.hex32(concat(lit("px|"),
+        col("_hex").substr(pmod(k * stride, clen) * 2 + 1, stride * 2))),
+        lit(256L)))
+    val withPx = pre.select(col("doc_id"), px.as("_px"))
     val bands = (0 until 4).map { b =>
       (0 until 16).map { j =>
         val i = b * 16 + j; val r = i / 8; val c = i % 8

@@ -63,20 +63,49 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpecBase {
       ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)))
   }
 
-  test("corpus text is single-byte: m5's byte-sliced kernel matches its char-based oracle") {
-    // Multimodal.dhashSignatures slices a BinaryType cast (byte
-    // offsets/strides) while the m5 DuckDB oracle keeps char-based
-    // substr/length — identical ONLY while every corpus char is one
-    // UTF-8 byte. This guard fails the build the day a multi-byte
-    // corpus lands, instead of letting the A/B parity break silently;
-    // the fix then is porting the oracle to byte arithmetic
-    // (octet_length + BLOB substr).
-    val multiByte = docs.filter(
-      length(col("text")) =!= length(col("text").cast("binary"))).count()
-    assert(multiByte == 0,
-      s"$multiByte documents contain multi-byte UTF-8: m5_image_dhash's " +
-        "byte-sliced kernel no longer matches its char-based SQL oracle " +
-        "— port the oracle to byte arithmetic")
+  test("m5 dhash kernel: byte windows verified on multi-byte UTF-8 docs") {
+    // r15: the kernel hashes the HEX of each byte slice (so the DuckDB
+    // oracle expresses the identical byte window via hex(encode(text))
+    // — multi-byte corpora are first-class now, replacing the pre-r15
+    // single-byte-corpus guard). Verify the full 72-sample pipeline on
+    // multi-byte docs against an independent JVM re-derivation of the
+    // byte arithmetic.
+    import spark.implicits._
+    val texts = Seq(
+      (1L, "héllo wörld ünïcode " * 7), // 2-byte seqs, stride splits them
+      (2L, "日本語のテキスト標本" * 5), // 3-byte seqs
+      (3L, "mixed ascii and 🎉 emoji 🚀" * 4), // 4-byte seqs
+      (4L, "plain single byte text only " * 6))
+    val df = texts.toDF("doc_id", "text")
+    val got = graft.ops.Multimodal
+      .dhashSignatures(df, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) ->
+        (0 until 4).map(i => r.getLong(i + 1))).toMap
+    def hex32(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val d = md.digest(s.getBytes("UTF-8"))
+      ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    }
+    texts.foreach { case (id, text) =>
+      val bytes = text.getBytes("UTF-8")
+      val hexAll = bytes.map(b => f"${b & 0xff}%02X").mkString
+      val stride = (bytes.length + 71) / 72
+      val clen = math.max(bytes.length, 1)
+      val px = (0 until 72).map { k =>
+        val start0 = (k * stride) % clen // 0-based byte offset
+        val slice = hexAll.slice(start0 * 2,
+          math.min(start0 * 2 + stride * 2, hexAll.length))
+        math.floorMod(hex32("px|" + slice), 256L)
+      }
+      val expect = (0 until 4).map { b =>
+        (0 until 16).map { j =>
+          val i = b * 16 + j; val r = i / 8; val c = i % 8
+          if (px(r * 9 + c) > px(r * 9 + c + 1)) 1L << j else 0L
+        }.sum
+      }
+      assert(got(id) == expect, s"doc $id signature mismatch")
+    }
   }
 
   test("reliable materialize mode: identical results, lineage kept, cache released") {
