@@ -418,9 +418,18 @@ object Dedup {
     // rounds, hitting this means the input is pathological)
     require(converged,
       s"resolveGroups did not converge within $maxRounds rounds")
+    lastResolveRounds = round
     labels.select(col("id").as("doc_id"), col("label").as("group_id"))
       .orderBy("doc_id")
   }
+
+  /** Rounds the most recent [[resolveGroups]] call took to converge —
+    * observability for ScaleProbeSpec, which pins that the round count
+    * (the loop's scale axis: O(log component diameter)) stays flat on a
+    * 10x replica corpus. Driver-side only; rounds run sequentially, so
+    * a plain var is fine for the probe's single-threaded use.
+    */
+  @volatile private[graft] var lastResolveRounds: Int = -1
 
   /** SemDeDup-style semantic dedup: embeddings are bucketed into `nCells`
     * centroid cells (max-dot assignment, the IVF codebook — trained via

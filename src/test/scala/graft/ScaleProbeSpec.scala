@@ -106,6 +106,43 @@ class ScaleProbeSpec extends AnyFunSuite with SparkSpecBase {
     }
   }
 
+  test("resolveGroups: 10x corpus grows ~linearly with a flat round count") {
+    // d6/d11/d18/d20 all ride the alternating-star connected-components
+    // loop; its scale axis is the ROUND count (O(log component
+    // diameter)), which no other probe pinned. The replica corpus is
+    // the adversarial case for components: every base doc gains 9
+    // exact twins, so every near-dup component inflates 10x in MEMBERS
+    // while its diameter stays shallow (star candidates) — rounds must
+    // stay flat, not grow with member count, or 100 TB components
+    // would pay unbounded sequential shuffles.
+    import graft.ops.Dedup
+    val small = writeCorpus(1)
+    val big = writeCorpus(10)
+    def run(dir: String): (Double, Int) = {
+      def pairs = Dedup.minhashCandidates(
+        spark.read.parquet(dir + "/documents.parquet"),
+        col("text"), col("doc_id"))
+      Dedup.resolveGroups(pairs).count() // warmup
+      val best = (0 until 2).map { _ =>
+        val t0 = System.nanoTime()
+        Dedup.resolveGroups(pairs).count()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      (best, Dedup.lastResolveRounds)
+    }
+    val (sSec, sRounds) = run(small)
+    val (bSec, bRounds) = run(big)
+    info(f"resolveGroups small=$sSec%.2fs/$sRounds rounds " +
+      f"big=$bSec%.2fs/$bRounds rounds ratio=${bSec / sSec}%.1fx")
+    assert(bSec / sSec < 15.0,
+      s"resolveGroups grew ${bSec / sSec}x on a 10x corpus — superlinear")
+    assert(bRounds <= sRounds + 1,
+      s"round count grew $sRounds -> $bRounds on a 10x corpus: convergence " +
+        "is scaling with component MEMBERS, not diameter")
+    assert(bRounds <= 6, s"round count $bRounds: shallow components " +
+      "should close in a handful of rounds")
+  }
+
   test("incremental MinHash candidates scale with the BATCH, not the index") {
     // d19's continuous-ingestion shape: candidates for a new batch against
     // a bucketed band index must cost ~the batch (index side is
