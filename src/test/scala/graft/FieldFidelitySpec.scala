@@ -577,5 +577,37 @@ class FieldFidelitySpec extends AnyFunSuite with SparkSpecBase {
       assert(match_(label) >= floors.getOrElse(label, 0),
         s"$label fidelity regressed: ${match_(label)} < ${floors.getOrElse(label, 0)}")
     }
+    // r15: the census is ZERO-SLACK on top of the floors — every
+    // (label, golden) miss must appear in this exclusion table with its
+    // citation, so the two known artifacts can never silently absorb a
+    // NEW miss on the same label. These are the only golden values in
+    // the 290-key corpus the engine deliberately does not reproduce:
+    //  - http.uri @ socks5-reverse: the hand-redacted golden
+    //    (tests/pcap/socks5-reverse.test) says "Sheepskin%20Boots"
+    //    while the pcap's own capture bytes only ever contain
+    //    "sheepskin%20boots" — unmatchable without hardcoding the
+    //    golden's casing over the wire bytes.
+    //  - http.requestBody @ http-tcp-seq-issue: the reference's
+    //    once-only first-chunk save gate (http.c:307) burned on a
+    //    per-packet out-of-order arrival that a fully-reassembled
+    //    stream never sees; the body BYTES are identical (http.md5
+    //    matches on the same session).
+    val excludedMisses: Map[String, Set[String]] = Map(
+      "http.uri" -> Set("socks5-reverse"),
+      "http.requestBody" -> Set("http-tcp-seq-issue"))
+    for (label <- allLabels) {
+      val unexplained =
+        misses(label).toSet -- excludedMisses.getOrElse(label, Set.empty)
+      assert(unexplained.isEmpty,
+        s"$label has misses outside the exclusion table: " +
+          unexplained.toSeq.sorted.mkString(", ") +
+          " — fix the extraction or add an entry WITH a citation")
+    }
+    // and the table itself must stay honest: every excluded miss is a
+    // real, still-present miss (an entry that stops missing must be
+    // deleted, keeping compared-or-excluded exact at 290/290)
+    for ((label, names) <- excludedMisses; n <- names)
+      assert(misses(label).contains(n),
+        s"exclusion ($label, $n) no longer misses — remove the entry")
   }
 }
