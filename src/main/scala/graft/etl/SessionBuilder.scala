@@ -967,16 +967,24 @@ object SessionBuilder {
         val messages = (src ++ dst).filter(_.payload.nonEmpty).map(_.payload)
         // TCP DNS: walk each REASSEMBLED direction stream by its 2-byte
         // length prefix — per-packet stripping broke messages split
-        // across segments and lost coalesced second messages
+        // across segments and lost coalesced second messages.
+        // dns_tcp_parser fidelity (dns.c:441-495):
+        //  - a declared length < 18 unregisters the parser (no further
+        //    DNS from that point) — walk stops, r15;
+        //  - an incomplete final message is buffered awaiting more
+        //    bytes and never parsed if they don't arrive — dropped, not
+        //    truncated-parsed, r15.
+        // Known approximation: unregister is session-wide in arrival
+        // order; reassembled per-direction streams can't reconstruct
+        // the interleaving, so the stop applies per direction.
         def deframeTcp(stream: Array[Byte]): Seq[Array[Byte]] = {
           val out = Seq.newBuilder[Array[Byte]]
           var i = 0
           while (i + 2 <= stream.length) {
             val len = ((stream(i) & 0xff) << 8) | (stream(i + 1) & 0xff)
-            if (len == 0) i = stream.length
+            if (len < 18 || i + 2 + len > stream.length) i = stream.length
             else {
-              val end = math.min(i + 2 + len, stream.length)
-              out += java.util.Arrays.copyOfRange(stream, i + 2, end)
+              out += java.util.Arrays.copyOfRange(stream, i + 2, i + 2 + len)
               i += 2 + len
             }
           }
