@@ -273,6 +273,43 @@ object SessionBuilder {
     if (written == cap) buf else java.util.Arrays.copyOf(buf, written)
   }
 
+  /** Per-packet DELIVERED chunks: the same base / ordering / overlap
+    * trimming as [[reassemble]], but each contributing packet's bytes
+    * stay their own chunk tagged with the packet's capture index — the
+    * unit the reference's tcp.c hands to classifiers and parsers
+    * (tcp.c:102-117). The TLS walker needs this: the reference parses
+    * the ClientHello from its classify PACKET only and drains its
+    * server buffer at most one record per packet, so chunk boundaries
+    * are semantics, not plumbing.
+    */
+  def deliveredChunks(packets: Seq[DecodedPacket]): Seq[(Long, Array[Byte])] = {
+    val withPayload = packets.filter(_.payload.nonEmpty)
+    if (withPayload.isEmpty) return Nil
+    if (withPayload.head.ipProtocol != 6)
+      return withPayload.map(p => (p.index.toLong, p.payload)).toSeq
+    val base = packets.find(p => (p.tcpFlags & Decode.TH_SYN) != 0)
+      .map(p => (p.tcpSeq + 1) & 0xffffffffL)
+      .getOrElse(withPayload.head.tcpSeq)
+    def rel(seq: Long): Long = (seq - base) & 0xffffffffL
+    val sorted = withPayload.sortBy(p => (rel(p.tcpSeq), p.index))
+    val out = Seq.newBuilder[(Long, Array[Byte])]
+    var nextRel = 0L
+    sorted.foreach { p =>
+      val r = rel(p.tcpSeq)
+      val len = p.payload.length.toLong
+      if (r >= (1L << 31)) () // pre-base bytes, same drop as reassemble
+      else if (r >= nextRel) {
+        out += ((p.index.toLong, p.payload))
+        nextRel = r + len
+      } else if (r + len > nextRel) { // partial overlap: new suffix only
+        out += ((p.index.toLong, java.util.Arrays.copyOfRange(
+          p.payload, (nextRel - r).toInt, p.payload.length)))
+        nextRel = r + len
+      } // else: full retransmission, drop
+    }
+    out.result()
+  }
+
   /** Build the session rows for one key's packets (already sorted).
     *
     * Segment boundaries replicate the reference's offline clock model
@@ -1019,11 +1056,26 @@ object SessionBuilder {
         // SMTP STARTTLS: the reference re-classifies on the server packet
         // after "220 Go ahead" (smtp.c:769-772 EMAIL_TLS + tls_classify),
         // so the client's earlier ClientHello is never parsed — no ja3.
-        // Mirror by parsing only the server stream for smtp sessions.
-        val clientSide =
-          if (preRuleProtocols.contains("smtp")) Array.emptyByteArray
-          else effSrc
-        TlsParser.parse(clientSide, effDst)
+        // Mirror by feeding only the server side for smtp sessions.
+        //
+        // Chunking mirrors what tcp.c hands the reference's classify +
+        // parser callbacks: the per-packet delivered payloads in capture
+        // order. Peeled tunnel streams lost their inner packet
+        // boundaries, so they approximate with record-aligned chunks
+        // (see TlsParser.recordChunks).
+        val chunks: Seq[(Int, Array[Byte])] =
+          if (peeled.isDefined) {
+            val client =
+              if (preRuleProtocols.contains("smtp")) Nil
+              else TlsParser.recordChunks(effSrc).map(0 -> _)
+            client ++ TlsParser.recordChunks(effDst).map(1 -> _)
+          } else if (preRuleProtocols.contains("smtp"))
+            deliveredChunks(dataDst).map { case (_, b) => (1, b) }
+          else
+            (deliveredChunks(dataSrc).map { case (i, b) => (i, 0, b) } ++
+              deliveredChunks(dataDst).map { case (i, b) => (i, 1, b) })
+              .sortBy(_._1).map(t => (t._2, t._3))
+        TlsParser.parseChunks(chunks)
       } else None
     val ssh =
       if (preRuleProtocols.contains("ssh")) SshParser.parse(effSrc, effDst)

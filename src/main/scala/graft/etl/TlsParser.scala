@@ -1,9 +1,53 @@
 package graft.etl
 
-/** TLS handshake metadata extractor: version, cipher, session ids, and
-  * JA3/JA3S fingerprints (public spec: github.com/salesforce/ja3).
-  * Reference parser: capture/parsers/tls.c (938 LoC); certificate parsing
-  * (cert.* fields) is future work.
+import java.nio.charset.StandardCharsets
+
+/** TLS handshake metadata extractor — version, cipher, session ids,
+  * SNI, JA3/JA3S — rebuilt as a byte-exact transcription of the
+  * reference parser (capture/parsers/tls.c) over its BSB discipline
+  * (capture/bsb.h), the same treatment the ASN.1/HTTP/SMTP/DNS walkers
+  * got; pinned by DnsDifferentialFuzzSpec's sibling
+  * TlsDifferentialFuzzSpec plus the golden corpus.
+  *
+  * The reference's machine, which this reproduces:
+  *  - tls_classify (tls.c:749-763) fires on the first in-order chunk
+  *    whose payload STARTS with 16 03 (needle, tls.c:931), minor
+  *    version <= 3, and handshake type 1 or 2 at byte 5. A type-1
+  *    chunk is parsed as the ClientHello THERE AND ONLY THERE — the
+  *    client side is NEVER reassembled, so a hello spanning packets is
+  *    clamp-truncated at the packet boundary (every MIN() below).
+  *    The server direction is the classify chunk's direction for a
+  *    type-2 match, its opposite for type-1.
+  *  - the server machine (tls_parser, tls.c:692-729) accumulates the
+  *    server chunks into an 8192-byte buffer (overflow TRUNCATES), and
+  *    drains AT MOST ONE complete record per feed; a non-handshake
+  *    byte at the buffer head unregisters; a ServerHelloDone message
+  *    unregisters; session save flushes whatever is buffered as ONE
+  *    record body regardless of its declared length (tls_save,
+  *    tls.c:732-740).
+  *  - JA3 (client, tls.c:514-689): GREASE-filtered ciphers /
+  *    extensions / curves; the string is suppressed entirely when any
+  *    of its four builders errored — including the rewind-on-empty
+  *    error when an extension block, curve list, or format list
+  *    contributed nothing (BSB_EXPORT_rewind on an empty buffer errors
+  *    it, bsb.h:130-140). A truncated cipher/extension list still
+  *    contributes a spurious trailing "0-" / truncated etype.
+  *  - JA3S (server, tls.c:283-330): NO grease filter on the extension
+  *    list, and supported_versions' 2 payload bytes are consumed TWICE
+  *    (read + unconditional skip, tls.c:306-311,320) — every
+  *    subsequent extension type in the ja3s string is desynced by 2
+  *    bytes. JA3S is emitted even when the hello is truncated (cipher
+  *    defaults to 0).
+  *  - the version field comes ONLY from ServerHello (0x0303 resolves
+  *    to TLSv1.3 iff supported_versions said 0x0304, else TLSv1.2);
+  *    the ClientHello version feeds only ja3.
+  *  - ALPN is not a stored field: a server extension 0x10 whose
+  *    payload is exactly 00 03 02 68 32 ("h2") adds the http2
+  *    protocol (tls.c:315-319).
+  *
+  * Certificate messages (type 11) are routed to [[CertParser]] (its own
+  * golden + round-trip pinning, tls_process_server_certificate's
+  * moloch-ASN.1 walk).
   */
 object TlsParser {
 
@@ -20,21 +64,83 @@ object TlsParser {
       // client-hello SNI; the reference stores it in the shared http.host
       // field (parsers/tls.c:627,872)
       sni: Seq[String] = Nil,
+      // "h2" iff the server ALPN extension matched the reference's exact
+      // 5-byte needle — the only thing tls.c does with ALPN
       alpn: Seq[String] = Nil)
 
-  private def u16(b: Array[Byte], i: Int): Int =
-    ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
-  private def u24(b: Array[Byte], i: Int): Int =
-    ((b(i) & 0xff) << 16) | ((b(i + 1) & 0xff) << 8) | (b(i + 2) & 0xff)
+  // ------------------------------------------------------------- BSB
 
-  private def isGrease(v: Int): Boolean =
-    (v & 0x0f0f) == 0x0a0a && ((v >> 8) & 0xff) == (v & 0xff)
+  /** bsb.h import cursor: error == (end = NULL); failed imports leave
+    * the target value unchanged (call sites init 0) and set the error.
+    */
+  private final class In(val buf: Array[Byte], start: Int, len: Int) {
+    var ptr: Int = start
+    private[this] var endPos: Int =
+      if (len < 0) Int.MinValue else start + len
+    def error: Boolean = endPos == Int.MinValue
+    def remaining: Int = if (error) 0 else endPos - ptr
+    def u08(): Int =
+      if (!error && ptr + 1 <= endPos) { val v = buf(ptr) & 0xff; ptr += 1; v }
+      else { endPos = Int.MinValue; 0 }
+    def u16(): Int =
+      if (!error && ptr + 2 <= endPos) {
+        val v = ((buf(ptr) & 0xff) << 8) | (buf(ptr + 1) & 0xff)
+        ptr += 2; v
+      } else { endPos = Int.MinValue; 0 }
+    def skip(n: Int): Unit =
+      if (!error && ptr + n <= endPos) ptr += n
+      else endPos = Int.MinValue
+  }
+
+  /** bsb.h export buffer with BSB_EXPORT_sprintf/u08/rewind semantics:
+    * sprintf on a len==remaining fit still NUL-truncates the last byte
+    * (snprintf), overflow sets the error without advancing, rewind on
+    * an empty or errored buffer errors it. `cstr` reads to the first
+    * NUL like the reference's strlen() use.
+    */
+  private final class Out(size: Int) {
+    val buf = new Array[Byte](size)
+    var len = 0
+    var err = false
+    def sprintf(s: String): Unit = {
+      if (err) return // C: if ((b).end != 0)
+      val l = s.length
+      val rem = size - len
+      if (l < rem) {
+        var i = 0; while (i < l) { buf(len + i) = s.charAt(i).toByte; i += 1 }
+        len += l
+      } else if (l == rem && rem > 0) {
+        var i = 0
+        while (i < l - 1) { buf(len + i) = s.charAt(i).toByte; i += 1 }
+        buf(len + l - 1) = 0
+        len += l
+      } else {
+        // snprintf still wrote the truncated prefix + NUL, visible to
+        // the strlen() reader even though the cursor did not advance
+        var i = 0
+        while (i < rem - 1) { buf(len + i) = s.charAt(i).toByte; i += 1 }
+        if (rem > 0) buf(size - 1) = 0
+        err = true
+      }
+    }
+    def u08(c: Char): Unit =
+      if (!err && len < size) { buf(len) = c.toByte; len += 1 } else err = true
+    def rewind1(): Unit =
+      if (!err && len >= 1) len -= 1 else err = true
+    /** the %.*s view: exactly `len` bytes */
+    def lenStr: String = new String(buf, 0, len, StandardCharsets.ISO_8859_1)
+    /** the strlen() view: to the first NUL */
+    def cstr: String = {
+      var i = 0
+      while (i < size && buf(i) != 0) i += 1
+      new String(buf, 0, i, StandardCharsets.ISO_8859_1)
+    }
+  }
+
+  // ----------------------------------------------------------- tables
 
   private def md5hex(s: String): String =
     org.apache.commons.codec.digest.DigestUtils.md5Hex(s)
-
-  private def hex(b: Array[Byte], from: Int, len: Int): String =
-    Hex.hex(b, from, len)
 
   def versionName(v: Int): String = v match {
     case 0x0300 => "SSLv3"
@@ -47,7 +153,11 @@ object TlsParser {
     case other  => f"0x$other%04x"
   }
 
-  /** IANA cipher-suite names (public registry), common subset. */
+  /** IANA cipher-suite names (public registry), common subset —
+    * mirrors the reference's generated tls-cipher.h table entries the
+    * corpus exercises; absent ids render 0xNNNN like the reference's
+    * NULL-slot fallback (tls.c:268-272).
+    */
   val cipherNames: Map[Int, String] = Map(
     0x0004 -> "TLS_RSA_WITH_RC4_128_MD5",
     0x0005 -> "TLS_RSA_WITH_RC4_128_SHA",
@@ -89,222 +199,322 @@ object TlsParser {
   def cipherName(v: Int): String =
     cipherNames.getOrElse(v, f"0x$v%04x")
 
-  /** Iterate TLS records (type, version, body) of a reassembled stream. */
-  private def records(stream: Array[Byte]): Iterator[(Int, Int, Array[Byte])] =
-    new Iterator[(Int, Int, Array[Byte])] {
-      private var off = 0
-      def hasNext: Boolean =
-        off + 5 <= stream.length && {
-          val t = stream(off) & 0xff
-          t >= 20 && t <= 24 && u16(stream, off + 1) >= 0x0300 &&
-            u16(stream, off + 1) <= 0x0304
-        }
-      def next(): (Int, Int, Array[Byte]) = {
-        val t = stream(off) & 0xff
-        val v = u16(stream, off + 1)
-        val len = u16(stream, off + 3)
-        val end = math.min(off + 5 + len, stream.length)
-        val body = java.util.Arrays.copyOfRange(stream, off + 5, end)
-        off = off + 5 + len
-        (t, v, body)
-      }
-    }
-
-  /** Concatenate handshake-record bodies, then iterate handshake
-    * messages (type, body) — messages may span records.
+  /** tls_is_grease_value (tls.c:181-189): low nibble 0xa and equal
+    * high/low bytes.
     */
-  private def handshakeMessages(stream: Array[Byte]): Iterator[(Int, Array[Byte])] = {
-    // linear concatenation: the foldLeft array append copied the
-    // accumulated buffer once per record — quadratic in record count on
-    // a large certificate chain
-    val hsBuf = new java.io.ByteArrayOutputStream()
-    records(stream).foreach { case (ct, _, body) =>
-      if (ct == 22) hsBuf.write(body)
-    }
-    val hs = hsBuf.toByteArray
-    new Iterator[(Int, Array[Byte])] {
-      private var off = 0
-      def hasNext: Boolean = off + 4 <= hs.length
-      def next(): (Int, Array[Byte]) = {
-        val t = hs(off) & 0xff
-        val len = u24(hs, off + 1)
-        val end = math.min(off + 4 + len, hs.length)
-        val body = java.util.Arrays.copyOfRange(hs, off + 4, end)
-        off = off + 4 + len
-        (t, body)
-      }
-    }
+  private def isGrease(v: Int): Boolean =
+    (v & 0x0f) == 0x0a && (v & 0xff) == ((v >> 8) & 0xff)
+
+  private def hexLower(b: Array[Byte], from: Int, len: Int): String =
+    Hex.hex(b, from, len)
+
+  // -------------------------------------------------- result collector
+
+  private final class Fields {
+    val version = Seq.newBuilder[String]
+    val cipher = Seq.newBuilder[String]
+    val ja3 = Seq.newBuilder[String]
+    val ja3string = Seq.newBuilder[String]
+    val ja3s = Seq.newBuilder[String]
+    val ja3sstring = Seq.newBuilder[String]
+    val srcId = Seq.newBuilder[String]
+    val dstId = Seq.newBuilder[String]
+    val sni = Seq.newBuilder[String]
+    val certs = Seq.newBuilder[CertParser.CertInfo]
+    var http2 = false
   }
 
-  private final case class Hello(
-      version: Int, sessionIdHex: String, ciphers: Seq[Int],
-      extensions: Seq[Int], curves: Seq[Int], pointFormats: Seq[Int],
-      supportedVersions: Seq[Int], chosenCipher: Option[Int],
-      sni: Seq[String] = Nil, alpn: Seq[String] = Nil)
+  // --------------------------------------------------- client (1 pkt)
 
-  private def parseHello(b: Array[Byte], isClient: Boolean): Option[Hello] = {
-    try {
-      var off = 0
-      val version = u16(b, off); off += 2
-      off += 32 // random
-      // ServerHello carries a session id only for SSLv3..TLSv1.2 — a
-      // TLS 1.3 draft server (0x7fNN) goes straight to the cipher
-      // (tls.c:242-257); ClientHello always has the legacy field
-      var sid = ""
-      if (isClient || (version >= 0x0300 && version <= 0x0303)) {
-        val sidLen = b(off) & 0xff; off += 1
-        sid = hex(b, off, sidLen); off += sidLen
-      }
-      var ciphers = Seq.empty[Int]
-      var chosen: Option[Int] = None
-      if (isClient) {
-        val cLen = u16(b, off); off += 2
-        ciphers = (0 until cLen / 2).map(i => u16(b, off + i * 2))
-        off += cLen
-        val compLen = b(off) & 0xff; off += 1 + compLen
-      } else {
-        chosen = Some(u16(b, off)); off += 2
-        off += 1 // compression (tls.c skips it for drafts too)
-      }
-      var exts = Seq.empty[Int]
-      var curves = Seq.empty[Int]
-      var formats = Seq.empty[Int]
-      var supported = Seq.empty[Int]
-      var sni = Seq.empty[String]
-      var alpn = Seq.empty[String]
-      if (off + 2 <= b.length) {
-        val extTotal = u16(b, off); off += 2
-        val extEnd = math.min(off + extTotal, b.length)
-        while (off + 4 <= extEnd) {
-          val et = u16(b, off); val el = u16(b, off + 2)
-          val dataOff = off + 4
-          // every sub-parse is bounded by THIS extension's end — an
-          // internal length larger than el must neither read the next
-          // extension's bytes (wrong JA3) nor run past the buffer
-          // (exception voiding the whole hello)
-          val dEnd = math.min(dataOff + el, b.length)
-          exts :+= et
-          if (et == 10 && dataOff + 2 <= dEnd) { // supported_groups
-            val l = math.min(u16(b, dataOff), math.max(0, dEnd - dataOff - 2))
-            curves = (0 until l / 2).map(i => u16(b, dataOff + 2 + i * 2))
+  /** tls_process_client (tls.c:514-689): runs on the classify packet's
+    * payload only.
+    */
+  private[etl] def processClient(data: Array[Byte], f: Fields): Unit = {
+    val ja3 = new Out(30000)
+    val ecja3 = new Out(10000)
+    val ecfja3 = new Out(1000)
+    val eja3 = new Out(10000)
+    if (data.length > 5) {
+      val ssllen =
+        math.min(data.length - 5, ((data(3) & 0xff) << 8) | (data(4) & 0xff))
+      // pbsb over (data+5, ssllen)
+      if (ssllen > 7) {
+        val pOff = 5
+        val plen = math.min(ssllen - 4,
+          ((data(pOff + 2) & 0xff) << 8) | (data(pOff + 3) & 0xff))
+        val ver = ((data(pOff + 4) & 0xff) << 8) | (data(pOff + 5) & 0xff)
+        ja3.sprintf(s"$ver,")
+        val cbsb = new In(data, pOff + 6, plen - 2)
+        if (cbsb.remaining > 32) {
+          cbsb.skip(32) // Random
+          val sidLen = cbsb.u08()
+          if (sidLen > 0 && cbsb.remaining > sidLen)
+            f.srcId += hexLower(data, cbsb.ptr, sidLen)
+          cbsb.skip(sidLen)
+          var clen = cbsb.u16() // cipher suites length
+          while (!cbsb.error && clen > 0) {
+            val c = cbsb.u16() // on a short list this reads 0 once
+            if (!isGrease(c)) ja3.sprintf(s"$c-")
+            clen -= 2
           }
-          if (et == 11 && dataOff + 1 <= dEnd) { // ec_point_formats
-            val l = math.min(b(dataOff) & 0xff, math.max(0, dEnd - dataOff - 1))
-            formats = (0 until l).map(i => b(dataOff + 1 + i) & 0xff)
-          }
-          if (et == 0 && dataOff + 5 <= dEnd) { // server_name
-            val nameLen = u16(b, dataOff + 3)
-            if (dataOff + 5 + nameLen <= dEnd)
-              sni :+= new String(b, dataOff + 5, nameLen,
-                java.nio.charset.StandardCharsets.ISO_8859_1)
-          }
-          if (et == 16 && dataOff + 2 <= dEnd) { // ALPN
-            var ap = dataOff + 2
-            val apEnd = math.min(dataOff + 2 + u16(b, dataOff), dEnd)
-            while (ap < apEnd) {
-              val l = b(ap) & 0xff
-              if (ap + 1 + l <= apEnd)
-                alpn :+= new String(b, ap + 1, l,
-                  java.nio.charset.StandardCharsets.ISO_8859_1)
-              ap += 1 + l
+          ja3.rewind1()
+          ja3.u08(',')
+          val compLen = cbsb.u08()
+          cbsb.skip(compLen)
+          if (cbsb.remaining > 6) {
+            var etot = cbsb.u16()
+            etot = math.min(etot, cbsb.remaining)
+            val ebsb = new In(data, cbsb.ptr, etot)
+            var break = false
+            while (!break && ebsb.remaining > 4) {
+              val etype = ebsb.u16()
+              val elen = ebsb.u16()
+              if (!isGrease(etype)) eja3.sprintf(s"$etype-")
+              if (elen > ebsb.remaining) break = true
+              else etype match {
+                case 0 => // SNI: strict list/type/length equalities
+                  val sni = new In(data, ebsb.ptr, elen)
+                  ebsb.skip(elen)
+                  val listLen = sni.u16()
+                  if (listLen == sni.remaining) {
+                    val t = sni.u08()
+                    if (t == 0) {
+                      val nlen = sni.u16()
+                      if (nlen == sni.remaining)
+                        f.sni += new String(data, sni.ptr, nlen,
+                          StandardCharsets.ISO_8859_1)
+                    }
+                  }
+                case 0x0a => // elliptic curves
+                  val b = new In(data, ebsb.ptr, elen)
+                  ebsb.skip(elen)
+                  var llen = b.u16()
+                  while (llen > 0 && !b.error) {
+                    val c = b.u16()
+                    if (!isGrease(c)) ecja3.sprintf(s"$c-")
+                    llen -= 2
+                  }
+                  ecja3.rewind1()
+                case 0x0b => // ec point formats
+                  val b = new In(data, ebsb.ptr, elen)
+                  ebsb.skip(elen)
+                  var llen = b.u08()
+                  while (llen > 0 && !b.error) {
+                    val c = b.u08()
+                    ecfja3.sprintf(s"$c-")
+                    llen -= 1
+                  }
+                  ecfja3.rewind1()
+                case _ => ebsb.skip(elen)
+              }
             }
+            eja3.rewind1()
           }
-          if (et == 43) { // supported_versions
-            if (isClient && dataOff + 1 <= dEnd) {
-              val l = math.min(b(dataOff) & 0xff,
-                math.max(0, dEnd - dataOff - 1))
-              supported = (0 until l / 2).map(i => u16(b, dataOff + 1 + i * 2))
-            } else if (!isClient && dataOff + 2 <= dEnd) {
-              supported = Seq(u16(b, dataOff))
-            }
-          }
-          off = dataOff + el
         }
       }
-      Some(Hello(version, sid, ciphers, exts, curves, formats, supported,
-        chosen, sni, alpn))
-    } catch { case _: Exception => None }
+    }
+    if (ja3.len > 0 && !ja3.err && !ecja3.err && !eja3.err && !ecfja3.err) {
+      ja3.sprintf(s"${eja3.lenStr},${ecja3.lenStr},${ecfja3.lenStr}")
+      // config.ja3Strings is on in the reference test deployment; the
+      // string field reads via strlen (a failed final sprintf leaves a
+      // NUL-truncated prefix), the md5 hashes exactly BSB_LENGTH bytes
+      f.ja3string += ja3.cstr
+      f.ja3 += md5hex(ja3.lenStr)
+    }
   }
 
-  /** First offset of a plausible TLS handshake record: after STARTTLS /
-    * CONNECT / MySQL-SSL / LDAP upgrades the stream begins with the
-    * cleartext protocol, and the TLS records start mid-stream (the
-    * reference's parser engine naturally sees only post-upgrade packets;
-    * a whole-stream reparse must scan). Requires content type 0x16,
-    * version 0x03xx, a sane record length, and a Client/ServerHello
-    * handshake type right after the record header.
-    */
-  private def tlsStart(stream: Array[Byte]): Int = {
-    var i = 0
-    while (i + 6 <= stream.length) {
-      if (stream(i) == 0x16 && stream(i + 1) == 0x03 &&
-          (stream(i + 2) & 0xff) <= 4) {
-        val len = u16(stream, i + 3)
-        val ht = stream(i + 5) & 0xff
-        if (len > 0 && len <= 18432 && (ht == 1 || ht == 2)) return i
+  // ----------------------------------------------- server hello / ja3s
+
+  /** tls_process_server_hello (tls.c:222-344). */
+  private[etl] def processServerHello(
+      data: Array[Byte], off: Int, len: Int, f: Fields): Unit = {
+    val bsb = new In(data, off, len)
+    val ver = bsb.u16()
+    bsb.skip(32)
+    if (bsb.error) return
+    var add12Later = false
+    if (ver != 0x0303) f.version += versionName(ver)
+    else add12Later = true
+    if (ver >= 0x0300 && ver <= 0x0303) {
+      val sidLen = bsb.u08()
+      if (sidLen > 0 && bsb.remaining > sidLen)
+        f.dstId += hexLower(data, bsb.ptr, sidLen)
+      bsb.skip(sidLen)
+    }
+    val cipher = bsb.u16()
+    f.cipher += cipherName(cipher)
+    bsb.skip(1) // compression
+    val eja3 = new Out(10000)
+    if (bsb.remaining > 2) {
+      var etot = bsb.u16()
+      etot = math.min(etot, bsb.remaining)
+      val ebsb = new In(data, bsb.ptr, etot)
+      var break = false
+      while (!break && ebsb.remaining > 0) {
+        val etype = ebsb.u16()
+        val elen = ebsb.u16()
+        // NO grease filter on ja3s, and a truncated header still
+        // exports "0-" (failed imports leave 0)
+        eja3.sprintf(s"$etype-")
+        if (elen > ebsb.remaining) break = true
+        else {
+          if (etype == 0x2b && elen == 2) {
+            // supported_versions: read... and then ALSO skipped below —
+            // the reference consumes these 2 bytes twice, desyncing
+            // every later extension in the ja3s string (tls.c:306-320)
+            val sv = ebsb.u16()
+            if (sv == 0x0304) { f.version += versionName(0x0304); add12Later = false }
+          }
+          if (etype == 0x10 && elen == 5 && ebsb.remaining >= 5 &&
+            data(ebsb.ptr) == 0 && data(ebsb.ptr + 1) == 3 &&
+            data(ebsb.ptr + 2) == 2 && data(ebsb.ptr + 3) == 'h' &&
+            data(ebsb.ptr + 4) == '2')
+            f.http2 = true
+          ebsb.skip(elen)
+        }
       }
-      i += 1
+      eja3.rewind1()
     }
-    -1
+    if (add12Later) f.version += versionName(0x0303)
+    // ja3s is emitted UNCONDITIONALLY (no error gate, unlike ja3)
+    val ja3s = new Out(30000)
+    ja3s.sprintf(s"$ver,$cipher,${eja3.lenStr}")
+    f.ja3sstring += ja3s.cstr
+    f.ja3s += md5hex(ja3s.lenStr)
   }
 
-  private def fromTls(stream: Array[Byte]): Array[Byte] = tlsStart(stream) match {
-    case 0          => stream
-    case -1         => Array.emptyByteArray
-    case o          => java.util.Arrays.copyOfRange(stream, o, stream.length)
+  /** tls_process_server_handshake_record (tls.c:489-512): walk one
+    * record body's messages; returns true on ServerHelloDone
+    * (caller unregisters).
+    */
+  private[etl] def processServerRecord(
+      data: Array[Byte], off: Int, len: Int, f: Fields): Boolean = {
+    var p = off
+    val end = off + len
+    while (end - p >= 4) {
+      val hlen = math.min(end - p,
+        (((data(p + 1) & 0xff) << 16) | ((data(p + 2) & 0xff) << 8) |
+          (data(p + 3) & 0xff)) + 4)
+      (data(p) & 0xff) match {
+        case 2 => processServerHello(data, p + 4, hlen - 4, f)
+        case 11 =>
+          f.certs ++= CertParser.fromCertificateMessage(
+            java.util.Arrays.copyOfRange(data, p + 4, p + hlen))
+        case 14 => return true
+        case _ =>
+      }
+      p += hlen
+    }
+    false
   }
 
-  /** Parse both directions' reassembled streams into TLS metadata. */
-  def parse(srcStream0: Array[Byte], dstStream0: Array[Byte]): Option[TlsInfo] = {
-    val srcStream = fromTls(srcStream0)
-    val dstStream = fromTls(dstStream0)
-    val client = handshakeMessages(srcStream)
-      .collectFirst { case (1, body) => body }.flatMap(parseHello(_, isClient = true))
-    // one server-direction walk serves both the ServerHello and the
-    // certificate chain below
-    val serverMsgs = handshakeMessages(dstStream).toSeq
-    val server = serverMsgs
-      .collectFirst { case (2, body) => body }.flatMap(parseHello(_, isClient = false))
-    if (client.isEmpty && server.isEmpty) return None
+  /** The TLSInfo_t machine (tls.c:692-740): 8 KiB buffer, at most ONE
+    * record drained per feed, save-flush parses the remainder as one
+    * record body.
+    */
+  private[etl] final class ServerMachine(f: Fields) {
+    private val buf = new Array[Byte](8192)
+    private var len = 0
+    private var dead = false
+    def feed(chunk: Array[Byte]): Unit = {
+      if (dead) return
+      val copy = math.min(chunk.length, buf.length - len)
+      System.arraycopy(chunk, 0, buf, len, copy)
+      len += copy
+      if (len < 5) return
+      if (buf(0) != 0x16) { len = 0; dead = true; return }
+      val need = (((buf(3) & 0xff) << 8) | (buf(4) & 0xff)) + 5
+      if (need > len) return
+      if (processServerRecord(buf, 5, need - 5, f)) {
+        len = 0; dead = true; return
+      }
+      len -= need
+      if (len > 0) System.arraycopy(buf, need, buf, 0, len)
+    }
+    /** tls_save: the buffered remainder parses as ONE record body,
+      * ignoring its declared length.
+      */
+    def finish(): Unit = {
+      if (dead) return
+      if (len > 5 && buf(0) == 0x16) {
+        processServerRecord(buf, 5, len - 5, f)
+        len = 0
+      }
+    }
+  }
 
-    val ja3 = client.map { c =>
-      val noGrease = (xs: Seq[Int]) => xs.filterNot(isGrease)
-      Seq(c.version.toString,
-        noGrease(c.ciphers).mkString("-"),
-        noGrease(c.extensions).mkString("-"),
-        noGrease(c.curves).mkString("-"),
-        c.pointFormats.mkString("-")).mkString(",")
+  // ----------------------------------------------------- entry points
+
+  /** tls_classify's gate on one chunk (tls.c:749-763 + the \x16\x03
+    * needle).
+    */
+  private def classifies(d: Array[Byte]): Boolean =
+    d.length >= 6 && d(0) == 0x16 && d(1) == 0x03 && (d(2) & 0xff) <= 3 &&
+      (d(5) == 1 || d(5) == 2)
+
+  /** Parse a session's delivered chunks in arrival order; dir 0 =
+    * initiator, 1 = responder. Classification, the single-packet
+    * ClientHello parse, the server-direction choice, and the
+    * one-record-per-chunk drain all follow the reference (see the
+    * object Scaladoc).
+    */
+  def parseChunks(chunks: Seq[(Int, Array[Byte])]): Option[TlsInfo] = {
+    val f = new Fields
+    var serverDir = -1
+    var machine: ServerMachine = null
+    chunks.foreach { case (dir, data) =>
+      if (machine == null) {
+        if (classifies(data)) {
+          machine = new ServerMachine(f)
+          if (data(5) == 1) {
+            processClient(data, f)
+            serverDir = 1 - dir
+          } else {
+            serverDir = dir
+            machine.feed(data) // the classify chunk reaches the parser too
+          }
+        }
+      } else if (dir == serverDir) machine.feed(data)
     }
-    val ja3s = server.map { s =>
-      Seq(s.version.toString,
-        s.chosenCipher.getOrElse(0).toString,
-        s.extensions.filterNot(isGrease).mkString("-")).mkString(",")
-    }
-    // effective version (tls.c:236-240, 304-311, 324-325): a non-0x0303
-    // ServerHello version is taken as-is (incl. 0x7fNN drafts); 0x0303
-    // means TLSv1.3 iff supported_versions says 0x0304, else TLSv1.2
-    val version = server.map { s =>
-      if (s.version != 0x0303) versionName(s.version)
-      else if (s.supportedVersions.contains(0x0304)) "TLSv1.3"
-      else "TLSv1.2"
-    }.orElse(client.map(c => versionName(c.version)))
-    val cipher = server.flatMap(_.chosenCipher).map(cipherName)
-    val certs = serverMsgs
-      .collect { case (11, body) => CertParser.fromCertificateMessage(body) }
-      .flatten.toSeq
-    Some(TlsInfo(
-      version = version.toSeq,
-      cipher = cipher.toSeq,
-      ja3 = ja3.map(md5hex).toSeq,
-      ja3string = ja3.toSeq,
-      ja3s = ja3s.map(md5hex).toSeq,
-      ja3sstring = ja3s.toSeq,
-      srcSessionId = client.map(_.sessionIdHex).filter(_.nonEmpty).toSeq,
-      dstSessionId = server.map(_.sessionIdHex).filter(_.nonEmpty).toSeq,
+    if (machine == null) return None
+    machine.finish()
+    val certs = f.certs.result()
+    val info = TlsInfo(
+      version = f.version.result().distinct,
+      cipher = f.cipher.result().distinct,
+      ja3 = f.ja3.result().distinct,
+      ja3string = f.ja3string.result().distinct,
+      ja3s = f.ja3s.result().distinct,
+      ja3sstring = f.ja3sstring.result().distinct,
+      srcSessionId = f.srcId.result().distinct,
+      dstSessionId = f.dstId.result().distinct,
       cert = certs,
-      sni = client.map(_.sni).getOrElse(Nil).distinct,
-      // negotiated protocol = the server's ALPN choice; a client OFFER
-      // of h2 alone doesn't make the session http2
-      alpn = server.map(_.alpn).getOrElse(Nil).distinct))
+      sni = f.sni.result().distinct,
+      alpn = if (f.http2) Seq("h2") else Nil)
+    Some(info)
+  }
+
+  /** Split a reassembled stream into TLS-record-aligned chunks — the
+    * per-packet approximation for PEELED tunnel streams, where the
+    * inner packet boundaries are gone. One record per chunk keeps the
+    * server machine's record-at-a-time drain equivalent to a
+    * packet-per-record capture; the tail (incomplete record) rides the
+    * save-flush like the reference's.
+    */
+  def recordChunks(stream: Array[Byte]): Seq[Array[Byte]] = {
+    if (stream.isEmpty) return Nil
+    if (!(stream.length >= 6 && stream(0) == 0x16 && stream(1) == 0x03))
+      return Seq(stream)
+    val out = Seq.newBuilder[Array[Byte]]
+    var i = 0
+    while (i + 5 <= stream.length) {
+      val len = ((stream(i + 3) & 0xff) << 8) | (stream(i + 4) & 0xff)
+      val end = math.min(i + 5 + len, stream.length)
+      out += java.util.Arrays.copyOfRange(stream, i, end)
+      i += 5 + len
+    }
+    if (i < stream.length)
+      out += java.util.Arrays.copyOfRange(stream, i, stream.length)
+    out.result()
   }
 }

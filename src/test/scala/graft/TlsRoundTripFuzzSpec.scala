@@ -7,11 +7,20 @@ import graft.etl.TlsParser
 /** Round-trip property fuzz for the TLS hello parser and JA3/JA3S: a
   * structured encoder builds Client/ServerHello handshakes (random
   * cipher/extension/curve/format lists with GREASE values, session ids,
-  * SNI, ALPN, supported_versions, record fragmentation) and predicts
-  * ja3/ja3s strings + digests, version naming, chosen cipher, session
-  * ids and SNI/ALPN from the PUBLIC JA3 definition (md5 of
+  * SNI, ALPN, supported_versions) and predicts ja3/ja3s strings +
+  * digests, version naming, chosen cipher, session ids and SNI/ALPN
+  * from the PUBLIC JA3 definition (md5 of
   * "ver,ciphers,exts,curves,formats" with GREASE filtered) — never from
   * the parser under test.
+  *
+  * Inputs stay on the reference-parseable shapes (r15, after the
+  * tls.c-exact rewrite): the ClientHello is a single record in one
+  * packet (the reference parses it from the classify packet only), the
+  * server messages each fill a whole record fed record-per-chunk, and
+  * supported_versions goes LAST in the server extension list (the
+  * reference consumes its 2 payload bytes twice — tls.c:306-320 — which
+  * desyncs any extension after it; that quirk is
+  * TlsDifferentialFuzzSpec territory, not the public-JA3 oracle's).
   */
 class TlsRoundTripFuzzSpec extends AnyFunSuite {
 
@@ -137,7 +146,7 @@ class TlsRoundTripFuzzSpec extends AnyFunSuite {
         extList += ((43, e.buf.toByteArray))
       }
       if (chance(50)) extList += ((oneOf(grease), Array.emptyByteArray))
-      if (chance(40)) extList += ((21, new Array[Byte](nextInt(12)))) // padding
+      if (chance(40)) extList += ((21, new Array[Byte](1 + nextInt(11)))) // padding
       val cExts = scala.util.Random.javaRandomToRandom(
         new java.util.Random(trial * 131L + 7)).shuffle(extList.result().toList)
 
@@ -148,26 +157,30 @@ class TlsRoundTripFuzzSpec extends AnyFunSuite {
       ch.u16(cipherList.length * 2); cipherList.foreach(ch.u16)
       ch.u8(1); ch.u8(0) // compression: null
       ch.bytes(extBlock(cExts))
-      val clientStream = toRecords(1, ch.buf.toByteArray, 1 + nextInt(3))
+      val clientStream = toRecords(1, ch.buf.toByteArray, 1)
 
       // ---- ServerHello ----
       val chosen = oneOf(cipherPool)
       val tls13 = chance(35)
       val sSid = Array.tabulate(oneOf(Seq(0, 32)))(i => (i + 3).toByte)
       val sExts = Seq.newBuilder[(Int, Array[Byte])]
-      if (tls13) {
-        val e = new Enc; e.u16(0x0304)
-        sExts += ((43, e.buf.toByteArray))
-      }
       if (chance(40)) sExts += ((0xff01, Array[Byte](0)))
+      var alpnChoice: Option[String] = None
       if (chance(40)) {
         // server ALPN: exactly one chosen protocol
         val p = oneOf(alpnOffer)
+        alpnChoice = Some(p)
         val inner = new Enc
         inner.u8(p.length); inner.bytes(p.getBytes("US-ASCII"))
         val e = new Enc
         e.u16(inner.buf.size); e.bytes(inner.buf.toByteArray)
         sExts += ((16, e.buf.toByteArray))
+      }
+      // supported_versions LAST: the reference double-consumes its
+      // payload (tls.c:306-320), desyncing any extension after it
+      if (tls13) {
+        val e = new Enc; e.u16(0x0304)
+        sExts += ((43, e.buf.toByteArray))
       }
       val sExtList = sExts.result()
       val sh = new Enc
@@ -177,7 +190,7 @@ class TlsRoundTripFuzzSpec extends AnyFunSuite {
       sh.u16(chosen)
       sh.u8(0) // compression
       sh.bytes(extBlock(sExtList))
-      val serverStream = toRecords(2, sh.buf.toByteArray, 1 + nextInt(2))
+      val serverStream = toRecords(2, sh.buf.toByteArray, 1)
 
       // ---- expectations from the public JA3 definition ----
       val expJa3Str = Seq(
@@ -190,7 +203,9 @@ class TlsRoundTripFuzzSpec extends AnyFunSuite {
         sExtList.map(_._1).mkString("-")).mkString(",")
       val expVersion = if (tls13) "TLSv1.3" else "TLSv1.2"
 
-      val info = TlsParser.parse(clientStream, serverStream)
+      val chunks = Seq((0, clientStream)) ++
+        TlsParser.recordChunks(serverStream).map(1 -> _)
+      val info = TlsParser.parseChunks(chunks)
         .getOrElse(fail(s"trial $trial: no TlsInfo"))
       assert(info.ja3string == Seq(expJa3Str), s"trial $trial ja3string")
       assert(info.ja3 == Seq(md5hex(expJa3Str)), s"trial $trial ja3")
@@ -203,6 +218,9 @@ class TlsRoundTripFuzzSpec extends AnyFunSuite {
         (if (sidHex.isEmpty) Nil else Seq(sidHex)), s"trial $trial sid")
       assert(info.sni == (if (hasSni) Seq(sniHost) else Nil),
         s"trial $trial sni")
+      assert(info.alpn ==
+        (if (alpnChoice.contains("h2")) Seq("h2") else Nil),
+        s"trial $trial alpn (only the exact h2 needle tags)")
     }
   }
 }
