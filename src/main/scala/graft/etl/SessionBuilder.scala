@@ -1051,6 +1051,15 @@ object SessionBuilder {
           infos.flatMap(_.mailserverIp).distinct.toIndexedSeq,
           infos.flatMap(_.puny).distinct.toIndexedSeq))
       } else None
+    // Per-packet delivered chunks in capture order — the unit tcp.c
+    // hands the reference's classify + parser callbacks; the TLS and
+    // SSH machines both consume it (their chunk boundaries are
+    // semantics: one-record-per-packet draining, banner-chunk discard,
+    // packet-size counting).
+    lazy val arrivalChunks: Seq[(Int, Array[Byte])] =
+      (deliveredChunks(dataSrc).map { case (i, b) => (i, 0, b) } ++
+        deliveredChunks(dataDst).map { case (i, b) => (i, 1, b) })
+        .sortBy(_._1).map(t => (t._2, t._3))
     val tls =
       if (preRuleProtocols.contains("tls")) {
         // SMTP STARTTLS: the reference re-classifies on the server packet
@@ -1058,10 +1067,8 @@ object SessionBuilder {
         // so the client's earlier ClientHello is never parsed — no ja3.
         // Mirror by feeding only the server side for smtp sessions.
         //
-        // Chunking mirrors what tcp.c hands the reference's classify +
-        // parser callbacks: the per-packet delivered payloads in capture
-        // order. Peeled tunnel streams lost their inner packet
-        // boundaries, so they approximate with record-aligned chunks
+        // Peeled tunnel streams lost their inner packet boundaries, so
+        // they approximate with record-aligned chunks
         // (see TlsParser.recordChunks).
         val chunks: Seq[(Int, Array[Byte])] =
           if (peeled.isDefined) {
@@ -1071,15 +1078,21 @@ object SessionBuilder {
             client ++ TlsParser.recordChunks(effDst).map(1 -> _)
           } else if (preRuleProtocols.contains("smtp"))
             deliveredChunks(dataDst).map { case (_, b) => (1, b) }
-          else
-            (deliveredChunks(dataSrc).map { case (i, b) => (i, 0, b) } ++
-              deliveredChunks(dataDst).map { case (i, b) => (i, 1, b) })
-              .sortBy(_._1).map(t => (t._2, t._3))
+          else arrivalChunks
         TlsParser.parseChunks(chunks)
       } else None
     val ssh =
-      if (preRuleProtocols.contains("ssh")) SshParser.parse(effSrc, effDst)
-      else None
+      if (preRuleProtocols.contains("ssh")) {
+        // peeled approximation: banner-line chunks + binary remainder
+        // (a single whole-stream chunk would discard everything after
+        // the banner — ssh.c returns from a banner chunk)
+        val chunks: Seq[(Int, Array[Byte])] =
+          if (peeled.isDefined)
+            SshParser.bannerSplit(effSrc).map(0 -> _) ++
+              SshParser.bannerSplit(effDst).map(1 -> _)
+          else arrivalChunks
+        SshParser.parseChunks(chunks)
+      } else None
     val dhcp =
       if (preRuleProtocols.contains("dhcp"))
         DhcpParser.parse(dataSeg.filter(_.payload.nonEmpty).map(_.payload).toIndexedSeq)
@@ -1373,6 +1386,9 @@ object SessionBuilder {
             AppProtocols.socks5AuthUser(srcStream).isDefined))
           out += "socks:password"
         if (smb.exists(_.badSecurityBlob)) out += "smb:bad-security-blob"
+        // ssh-reverse-shell — packets 6-15 of BOTH directions dominated
+        // by 50-99-byte sizes (ssh.c:133-136)
+        if (ssh.exists(_.reverseShell)) out += "ssh-reverse-shell"
         if (http.exists(_.passwordInBody)) out += "http:password"
         // cert:pre-epoch-time — any validity time parsed below 0 was
         // clamped (parsers.c asn_parse_time) and tags the session

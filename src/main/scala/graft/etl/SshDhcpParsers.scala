@@ -2,114 +2,216 @@ package graft.etl
 
 import java.nio.charset.StandardCharsets
 
-/** SSH metadata extractor: version banners, HASSH fingerprints (public
-  * spec: github.com/salesforce/hassh), server host key.
-  * Reference parser: capture/parsers/ssh.c.
+/** SSH metadata extractor — version banners, HASSH fingerprints
+  * (public spec: github.com/salesforce/hassh), server host key, and the
+  * reverse-shell packet-size heuristic — rebuilt as a byte-exact
+  * transcription of the reference parser (capture/parsers/ssh.c) over
+  * its BSB discipline, pinned by SshDifferentialFuzzSpec plus the
+  * golden corpus.
+  *
+  * The reference machine, which this reproduces:
+  *  - classify on the first chunk starting "SSH" (needle, ssh.c:252);
+  *    the parser then receives EVERY delivered chunk of both
+  *    directions, starting with the classify chunk itself;
+  *  - every chunk starting "SSH" (len > 3) is a version banner: the
+  *    version is the chunk up to the first 0x0a (a trailing 0x0d
+  *    dropped), ascii-lowered — a chunk with no LF records NOTHING,
+  *    and the rest of a banner chunk (pipelined binary bytes after the
+  *    newline) is DISCARDED (ssh.c:148-159 returns);
+  *  - binary messages accumulate per direction into an 8196-byte
+  *    buffer (overflow truncates); a declared length < 2 or > 8196
+  *    sets a SHARED done flag (both directions stop decoding, while
+  *    packet counting continues);
+  *  - KEXINIT (code 20) hashes the hassh/hasshServer lists from a walk
+  *    bounded by the BUFFER, not the message — lists overrunning the
+  *    declared message length read into subsequent buffered bytes
+  *    (ssh.c:186 passes BSB_REMAINING of the whole buffer);
+  *  - the hassh walk errors out (no hash) when any needed list import
+  *    fails; an overrunning FIRST list (kex) errors via the null
+  *    EXPORT_ptr (bsb.h:88-97);
+  *  - the host key comes ONLY from message code 33, base64 of the
+  *    length-prefixed blob, no shape validation (ssh.c:188-199), and
+  *    sets done;
+  *  - packets 6..15 of each direction count sizes < 50 and 50..99;
+  *    past 15 packets in one direction the session tags
+  *    ssh-reverse-shell iff BOTH directions saw more mid-size than
+  *    small packets, and the parser unregisters (ssh.c:122-141).
   */
 object SshParser {
 
   final case class SshInfo(
       version: Seq[String], hassh: Seq[String], hasshServer: Seq[String],
-      key: Seq[String])
+      key: Seq[String], reverseShell: Boolean = false)
 
-  private def u32(b: Array[Byte], i: Int): Long =
-    ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
-      ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
-
-  /** Banner line ("SSH-2.0-OpenSSH_5.3") → lowercase version entry. */
-  private def banner(stream: Array[Byte]): Option[String] = {
-    val head = new String(stream.take(256), StandardCharsets.ISO_8859_1)
-    head.split("\r?\n").find(_.startsWith("SSH-")).map(_.trim.toLowerCase)
-  }
-
-  /** Iterate SSH binary packets (msgType, payload) after the banner. */
-  private def packets(stream: Array[Byte]): Iterator[(Int, Array[Byte])] = {
-    val nl = stream.indexWhere(_ == '\n')
-    if (nl < 0) return Iterator.empty
-    var off = nl + 1
-    // a second banner line can follow (protoversion 1.99 servers)
-    if (off < stream.length &&
-        new String(stream, off, math.min(4, stream.length - off),
-          StandardCharsets.ISO_8859_1) == "SSH-") {
-      val nl2 = stream.indexWhere(_ == '\n', off)
-      if (nl2 > 0) off = nl2 + 1
-    }
-    new Iterator[(Int, Array[Byte])] {
-      private var pos = off
-      def hasNext: Boolean = pos + 6 <= stream.length && {
-        val len = u32(stream, pos)
-        len >= 2 && len < 256 * 1024 && pos + 4 + len <= stream.length + 0
-      }
-      def next(): (Int, Array[Byte]) = {
-        val len = u32(stream, pos).toInt
-        val padLen = stream(pos + 4) & 0xff
-        val msgType = stream(pos + 5) & 0xff
-        val payStart = pos + 6
-        val payEnd = math.min(pos + 4 + len - padLen, stream.length)
-        val payload =
-          if (payEnd > payStart)
-            java.util.Arrays.copyOfRange(stream, payStart, payEnd)
-          else Array.empty[Byte]
-        pos = pos + 4 + len
-        (msgType, payload)
-      }
-    }
-  }
-
-  /** KEXINIT payload → the 10 name-lists (after 16-byte cookie). */
-  private def kexLists(payload: Array[Byte]): Seq[String] = {
-    var off = 16
-    val lists = Seq.newBuilder[String]
-    var i = 0
-    while (i < 10 && off + 4 <= payload.length) {
-      val len = u32(payload, off).toInt
-      off += 4
-      val end = math.min(off + len, payload.length)
-      lists += new String(payload, off, end - off, StandardCharsets.ISO_8859_1)
-      off = end
-      i += 1
-    }
-    lists.result()
-  }
-
-  private def md5(s: String): String =
+  private def md5(s: Array[Byte]): String =
     org.apache.commons.codec.digest.DigestUtils.md5Hex(s)
 
-  def parse(srcStream: Array[Byte], dstStream: Array[Byte]): Option[SshInfo] = {
-    val vSrc = banner(srcStream)
-    val vDst = banner(dstStream)
-    if (vSrc.isEmpty && vDst.isEmpty) return None
-    // HASSH: md5(kex;enc_c2s;mac_c2s;comp_c2s) over the client KEXINIT;
-    // hasshServer uses the server's s2c lists.
-    val hassh = packets(srcStream).collectFirst { case (20, p) => kexLists(p) }
-      .filter(_.length >= 10)
-      .map(l => md5(Seq(l(0), l(2), l(4), l(6)).mkString(";")))
-    val hasshServer = packets(dstStream).collectFirst { case (20, p) => kexLists(p) }
-      .filter(_.length >= 10)
-      .map(l => md5(Seq(l(0), l(3), l(5), l(7)).mkString(";")))
-    // host key: first string of the server's KEX reply. Message number 31
-    // is KEXDH_REPLY for plain DH but KEX_DH_GEX_GROUP for group
-    // exchange, so validate the blob shape: a host key starts with a
-    // length-prefixed algorithm name ("ssh-rsa", "ecdsa-…").
-    def hostKeyOf(p: Array[Byte]): Option[String] = {
-      if (p.length < 8) return None
-      val len = u32(p, 0).toInt
-      if (len <= 8 || 4 + len > p.length) return None
-      val blob = java.util.Arrays.copyOfRange(p, 4, 4 + len)
-      val algoLen = u32(blob, 0).toInt
-      if (algoLen <= 0 || algoLen > 64 || 4 + algoLen > blob.length) return None
-      val algo = new String(blob, 4, algoLen, StandardCharsets.ISO_8859_1)
-      if (algo.startsWith("ssh-") || algo.startsWith("ecdsa-") ||
-          algo.startsWith("rsa-sha2"))
-        Some(java.util.Base64.getEncoder.encodeToString(blob))
-      else None
+  /** ssh_parse_keyinit (ssh.c:34-117): data is the buffer tail after
+    * the 4-byte length + padding byte + code byte; the walk is bounded
+    * by `len`, NOT by the message's declared length.
+    */
+  private def keyinit(buf: Array[Byte], off: Int, len: Int,
+      isDst: Boolean): Option[String] = {
+    var p = off
+    val end = off + len
+    var err = false
+    // lengths are uint32 in the C: pointer arithmetic zero-extends, so
+    // a huge declared length simply overruns and errors (never rewinds)
+    def skip(n: Long): Unit =
+      if (!err && p + n <= end) p += n.toInt else err = true
+    def u32(prev: Long): Long =
+      if (!err && p + 4 <= end) {
+        val v = ((buf(p) & 0xffL) << 24) | ((buf(p + 1) & 0xffL) << 16) |
+          ((buf(p + 2) & 0xffL) << 8) | (buf(p + 3) & 0xffL)
+        p += 4; v
+      } else { err = true; prev }
+    // IMPORT_ptr: on success returns the start offset, on failure -1
+    // (value = 0) and errors the cursor
+    def ptr(n: Long): Int =
+      if (!err && n >= 0 && p + n <= end) { val v = p; p += n.toInt; v }
+      else { err = true; -1 }
+    val h = new java.io.ByteArrayOutputStream(256)
+    var hErr = false
+    def exportPtr(at: Int, n: Long): Unit =
+      if (at < 0 && n != 0) hErr = true // EXPORT_ptr(hbsb, NULL, len>0)
+      else if (at >= 0 && n > 0) h.write(buf, at, n.toInt)
+    skip(16) // cookie
+    var l = u32(0) // kex_algorithms
+    exportPtr(ptr(l), l)
+    h.write(';')
+    l = u32(l); skip(l) // server_host_key_algorithms
+    l = u32(l)
+    var v = ptr(l) // encryption_client_to_server
+    if (err) return None
+    if (!isDst) { exportPtr(v, l); h.write(';') }
+    l = u32(l); v = ptr(l) // encryption_server_to_client
+    if (err) return None
+    if (isDst) { exportPtr(v, l); h.write(';') }
+    l = u32(l); v = ptr(l) // mac_client_to_server
+    if (err) return None
+    if (!isDst) { exportPtr(v, l); h.write(';') }
+    l = u32(l); v = ptr(l) // mac_server_to_client
+    if (err) return None
+    if (isDst) { exportPtr(v, l); h.write(';') }
+    l = u32(l); v = ptr(l) // compression_client_to_server
+    if (err) return None
+    if (!isDst) exportPtr(v, l)
+    l = u32(l); v = ptr(l) // compression_server_to_client
+    if (err) return None
+    if (isDst) exportPtr(v, l)
+    if (!err && !hErr) Some(md5(h.toByteArray)) else None
+  }
+
+  /** The SSHInfo_t machine over delivered chunks (dir 0 = initiator). */
+  def parseChunks(chunks: Seq[(Int, Array[Byte])]): Option[SshInfo] = {
+    val version = Seq.newBuilder[String]
+    val hassh = Seq.newBuilder[String]
+    val hasshServer = Seq.newBuilder[String]
+    val key = Seq.newBuilder[String]
+    var reverseShell = false
+    val buf = Array.ofDim[Byte](2, 8196) // MAX_SSH_BUFFER, 8196 as in C
+    val len = new Array[Int](2)
+    val packets = new Array[Int](2)
+    val counts = Array.ofDim[Int](2, 2)
+    var done = false
+    var dead = false
+    var classified = false
+
+    def feed(which: Int, data: Array[Byte]): Unit = {
+      if (dead) return
+      packets(which) += 1
+      if (packets(which) > 5) {
+        if (data.length < 50) counts(which)(0) += 1
+        else if (data.length < 100) counts(which)(1) += 1
+        if (packets(which) > 15) {
+          if (counts(0)(1) > counts(0)(0) && counts(1)(1) > counts(1)(0))
+            reverseShell = true
+          dead = true
+          return
+        }
+      }
+      if (done) return
+      if (data.length > 3 && data(0) == 'S' && data(1) == 'S' &&
+          data(2) == 'H') {
+        var n = data.indexOf(0x0a.toByte)
+        if (n > 0 && data(n - 1) == 0x0d) n -= 1
+        if (n >= 0)
+          version += new String(data, 0, n,
+            StandardCharsets.ISO_8859_1).toLowerCase
+        return // the rest of a banner chunk is discarded
+      }
+      val copy = math.min(data.length, buf(which).length - len(which))
+      System.arraycopy(data, 0, buf(which), len(which), copy)
+      len(which) += copy
+      var break = false
+      while (!break && len(which) > 6) {
+        val sshLen = ((buf(which)(0) & 0xffL) << 24) |
+          ((buf(which)(1) & 0xffL) << 16) |
+          ((buf(which)(2) & 0xffL) << 8) | (buf(which)(3) & 0xffL)
+        if (sshLen < 2 || sshLen > 8196) { done = true; return }
+        if (sshLen > len(which) - 4) return // need more bytes
+        val code = buf(which)(5) & 0xff
+        if (code == 20) {
+          val fp = keyinit(buf(which), 6, len(which) - 6, isDst = which == 1)
+          fp.foreach(f => if (which == 1) hasshServer += f else hassh += f)
+        } else if (code == 33) {
+          done = true
+          if (len(which) - 6 >= 4) {
+            val keyLen = ((buf(which)(6) & 0xffL) << 24) |
+              ((buf(which)(7) & 0xffL) << 16) |
+              ((buf(which)(8) & 0xffL) << 8) | (buf(which)(9) & 0xffL)
+            if (len(which) - 10 >= keyLen)
+              key += java.util.Base64.getEncoder.encodeToString(
+                java.util.Arrays.copyOfRange(buf(which), 10,
+                  10 + keyLen.toInt))
+          }
+          break = true // the C breaks without consuming
+        }
+        if (!break) {
+          val consumed = (4 + sshLen).toInt
+          len(which) -= consumed
+          if (len(which) > 0)
+            System.arraycopy(buf(which), consumed, buf(which), 0, len(which))
+        }
+      }
     }
-    val key = packets(dstStream).collect {
-      case (t, p) if t == 31 || t == 33 => hostKeyOf(p)
-    }.collectFirst { case Some(k) => k }
+
+    chunks.foreach { case (dir, data) =>
+      if (!classified) {
+        if (data.length >= 3 && data(0) == 'S' && data(1) == 'S' &&
+            data(2) == 'H') {
+          classified = true
+          feed(dir, data) // the classify chunk reaches the parser too
+        }
+      } else feed(dir, data)
+    }
+    if (!classified) return None
     Some(SshInfo(
-      version = (vSrc.toSeq ++ vDst.toSeq).distinct.sorted,
-      hassh = hassh.toSeq, hasshServer = hasshServer.toSeq, key = key.toSeq))
+      version = version.result().distinct,
+      hassh = hassh.result().distinct,
+      hasshServer = hasshServer.result().distinct,
+      key = key.result().distinct,
+      reverseShell = reverseShell))
+  }
+
+  /** Peeled tunnel streams lost their packet boundaries: approximate
+    * with banner-line chunks (each line through its LF) followed by the
+    * binary remainder as one chunk — a whole-stream single chunk would
+    * discard everything after the banner (the reference returns after
+    * a banner chunk).
+    */
+  def bannerSplit(stream: Array[Byte]): Seq[Array[Byte]] = {
+    val out = Seq.newBuilder[Array[Byte]]
+    var i = 0
+    while (i < stream.length && i + 3 <= stream.length &&
+        stream(i) == 'S' && stream(i + 1) == 'S' && stream(i + 2) == 'H') {
+      val nl = stream.indexOf(0x0a.toByte, i)
+      if (nl < 0) { out += java.util.Arrays.copyOfRange(stream, i, stream.length); i = stream.length }
+      else { out += java.util.Arrays.copyOfRange(stream, i, nl + 1); i = nl + 1 }
+    }
+    if (i < stream.length)
+      out += java.util.Arrays.copyOfRange(stream, i, stream.length)
+    out.result()
   }
 }
 
