@@ -2,36 +2,69 @@ package graft.etl
 
 import java.nio.charset.StandardCharsets
 
-/** Google-QUIC (Q024-Q048) client-hello extraction (reference:
-  * capture/parsers/quic.c). The CHLO tag block carries SNI (host),
-  * UAID (user-agent) and VER; Q05x headers are encrypted, so those
-  * sessions only classify as quic when both directions carry Q05
-  * packets (quic.c:220-239).
+/** Google-QUIC (Q024-Q05x) client-hello extraction — rebuilt as a
+  * byte-exact transcription of the reference parser
+  * (capture/parsers/quic.c) over moloch's UDP dispatch rules
+  * (udp.c:85-94), pinned by QuicDifferentialFuzzSpec plus goldens.
+  *
+  * The reference machine, which this reproduces:
+  *  - UDP CLASSIFIERS run only on the FIRST datagram of each direction
+  *    (udp.c:85-90): "Q05"/"Q04" at offset 1 with len > 100 and a 0xc0
+  *    first byte register the 5x/4648 parsers; "Q02"/"Q03"/"Q04" at
+  *    offset 9 with len > 100 and (byte0 & 0x83) == 0x01 register the
+  *    2445 parser; "PRST" at offset 9 tags quic outright. A session
+  *    whose first datagrams don't match never parses, no matter what
+  *    comes later.
+  *  - registered parsers then see EVERY datagram (both directions,
+  *    including the registration datagram) until they unregister.
+  *  - quic_2445 (quic.c:91-186): stays registered through short/reset/
+  *    non-frame datagrams; unregisters on version < 24 (including a
+  *    missing version) and after the first stream frame, whose CHLO
+  *    parse is attempted on MIN(declared, remaining) bytes; the
+  *    little-endian frame data length 4 is rewritten to 1024
+  *    (quic.c:170-172).
+  *  - quic_4648 (quic.c:189-218): the first datagram that is not a
+  *    long-header Q04x packet unregisters; otherwise brute-force CHLO
+  *    scan to len-20, parse + unregister on a hit.
+  *  - quic_5x (quic.c:221-239): unregisters on the first non-Q05
+  *    datagram; tags quic once BOTH directions delivered Q05 packets;
+  *    gives up after 20 datagrams.
+  *  - quic_chlo_parser (quic.c:38-90): tags quic once the 8-byte tag
+  *    header imports; the CHLO walk needs remaining >= tagLen*8 + 8
+  *    AFTER the header; subtag end offsets are cumulative
+  *    little-endian u32s, and a non-monotonic or overflowing offset
+  *    stops the walk. The function "succeeds" (fbzero's gate) whenever
+  *    the CHLO walk STARTED, even if an entry was bad.
+  *  - FBZero (quic.c:284-320): client direction only, accumulated into
+  *    a 4096-byte buffer — a declared length past the buffer cap never
+  *    parses; "fbzero" tags only when the CHLO walk started, while
+  *    "quic" tags on the header alone.
   */
 object QuicParser {
 
   final case class QuicInfo(host: Seq[String], useragent: Seq[String],
-      version: Seq[String], tagged: Boolean)
+      version: Seq[String], tagged: Boolean,
+      // the fbzero gate: quic_chlo_parser returned 1 (CHLO walk started)
+      chloOk: Boolean = false)
 
   private def at(b: Array[Byte], off: Int, s: String): Boolean =
     b.length >= off + s.length &&
       new String(b, off, s.length, StandardCharsets.ISO_8859_1) == s
 
-  /** Parse a CHLO tag block at data[off, off+len): (headerReadable,
-    * hosts, uas, versions). headerReadable=true once the 8-byte frame
-    * header parsed (the reference tags quic at that point even without
-    * a CHLO — quic.c:52).
+  /** quic_chlo_parser over data[off, off+len): returns (headerRead,
+    * walkStarted, hosts, uas, versions).
     */
-  private def chloBlock(data: Array[Byte], off: Int, len: Int)
-      : (Boolean, Seq[String], Seq[String], Seq[String]) = {
-    if (len < 8) return (false, Nil, Nil, Nil)
-    if (!at(data, off, "CHLO")) return (true, Nil, Nil, Nil)
+  private def chloParse(data: Array[Byte], off: Int, len: Int)
+      : (Boolean, Boolean, Seq[String], Seq[String], Seq[String]) = {
+    if (len < 8) return (false, false, Nil, Nil, Nil)
+    // LIMPORT: tag(4) + LE u16 tagLen + skip 2 — "quic" tags here
+    val n = (data(off + 4) & 0xff) | ((data(off + 5) & 0xff) << 8)
+    if (!at(data, off, "CHLO") || len - 8 < n * 8 + 8)
+      return (true, false, Nil, Nil, Nil)
     val host = Seq.newBuilder[String]
     val ua = Seq.newBuilder[String]
     val ver = Seq.newBuilder[String]
-    val n = (data(off + 4) & 0xff) | ((data(off + 5) & 0xff) << 8)
     val tableEnd = off + 8 + n * 8
-    if (tableEnd > off + len) return (true, Nil, Nil, Nil)
     val dlen = len - 8 - n * 8
     var start = 0
     var i = 0
@@ -55,134 +88,142 @@ object QuicParser {
       }
       i += 1
     }
-    (true, host.result(), ua.result(), ver.result())
+    (true, true, host.result(), ua.result(), ver.result())
   }
 
-  /** FBZero (QUIC-over-TCP, reference quic.c:283-313): 0x31 'QTV', LE
-    * length at bytes 5-6, CHLO at offset 9. Tags fbzero (and quic) when
-    * the CHLO parses.
+  /** FBZero (QUIC-over-TCP): 0x31 'QTV', LE length at bytes 5-6, CHLO
+    * at offset 9, accumulated to a 4096-byte cap — a longer declared
+    * block never parses (FBZERO_MAX_SIZE, quic.c:27,292-299).
     */
   def parseFbzero(srcStream: Array[Byte]): Option[QuicInfo] = {
     if (srcStream.length < 14 || (srcStream(0) & 0xff) != 0x31 ||
       srcStream(1) != 'Q' || srcStream(2) != 'T' || srcStream(3) != 'V')
       return None
     val len = ((srcStream(6) & 0xff) << 8) | (srcStream(5) & 0xff)
+    if (9 + len > 4096) return None // buffer cap: never completes
     if (srcStream.length < 9 + len) return None
-    val (tagged, h, u, v) = chloBlock(srcStream, 9, len)
-    if (!tagged) None else Some(QuicInfo(h.distinct, u.distinct, v.distinct, tagged))
+    val (hdr, walked, h, u, v) = chloParse(srcStream, 9, len)
+    if (!hdr) None
+    else Some(QuicInfo(h.distinct, u.distinct, v.distinct, tagged = true,
+      chloOk = walked))
   }
 
-  /** Parse all of a session's UDP payloads (both directions for the 5x
-    * both-sides rule); Some iff the session classifies as quic.
+  /** Compat wrapper for specs without capture interleaving: src
+    * datagrams first, then dst.
     */
-  def parse(srcPayloads: Seq[Array[Byte]], dstPayloads: Seq[Array[Byte]]): Option[QuicInfo] = {
+  def parse(src: Seq[Array[Byte]], dst: Seq[Array[Byte]])
+      : Option[QuicInfo] =
+    parseDatagrams(src.map(0 -> _) ++ dst.map(1 -> _))
+
+  /** The UDP machine over (direction, datagram) pairs in arrival
+    * order.
+    */
+  def parseDatagrams(dgrams: Seq[(Int, Array[Byte])]): Option[QuicInfo] = {
     val host = Seq.newBuilder[String]
     val ua = Seq.newBuilder[String]
     val ver = Seq.newBuilder[String]
     var tagged = false
 
-    def chlo(data: Array[Byte], off: Int, len: Int): Boolean = {
-      // tag(4) + numEntries(u16 LE) + skip(2); entries are subtag(4) +
-      // cumulative end offset (u32 LE); values follow the entry table
-      if (len < 8) return false
-      tagged = true // reference tags quic once the frame header reads
-      if (!at(data, off, "CHLO")) return false
-      val n = (data(off + 4) & 0xff) | ((data(off + 5) & 0xff) << 8)
-      val tableEnd = off + 8 + n * 8
-      if (tableEnd > off + len) return false
-      val dlen = len - 8 - n * 8
-      var start = 0
-      var i = 0
-      var ok = true
-      while (ok && i < n) {
-        val e = off + 8 + i * 8
-        val sub = new String(data, e, 4, StandardCharsets.ISO_8859_1)
-        val endOff = (data(e + 4) & 0xff) | ((data(e + 5) & 0xff) << 8) |
-          ((data(e + 6) & 0xff) << 16) | ((data(e + 7) & 0xff) << 24)
-        if (endOff > dlen || start > dlen || start >= endOff) ok = false
-        else {
-          val v = new String(data, tableEnd + start, endOff - start,
-            StandardCharsets.ISO_8859_1)
-          sub match {
-            case "SNI\u0000" => host += v
-            case "UAID"      => ua += v
-            case "VER\u0000" => ver += v
-            case _           =>
-          }
-          start = endOff
+    def chlo(data: Array[Byte], off: Int, len: Int): Unit = {
+      val (hdr, _, h, u, v) = chloParse(data, off, len)
+      if (hdr) tagged = true
+      host ++= h; ua ++= u; ver ++= v
+    }
+
+    var active2445 = false
+    var active4648 = false
+    var active5x = false
+    var bits5x = 0
+    var pkts5x = 0
+    val firstSeen = new Array[Boolean](2)
+
+    // returns false to unregister
+    def run2445(d: Array[Byte]): Boolean = {
+      if (d.length < 9) return true
+      if ((d(0) & 0x02) != 0) return true
+      var off = 1
+      if ((d(0) & 0x08) != 0) off += 8
+      if (d.length < off + 5) return true
+      var version = -1
+      if ((d(0) & 0x01) != 0 && d(off) == 'Q') {
+        version = ((d(off + 1) & 0xff) - '0') * 100 +
+          ((d(off + 2) & 0xff) - '0') * 10 + ((d(off + 3) & 0xff) - '0')
+        off += 4
+      }
+      if (version < 24) return false // incl. version -1
+      off += (if ((d(0) & 0x30) == 0) 1 else ((d(0) & 0x30) >> 4) * 2)
+      off += 12 // message-auth hash
+      if (version < 34) off += 1 // private flags
+      if (off > d.length) return true
+      var p = off
+      while (p < d.length) { // while REMAINING
+        val t = d(p) & 0xff; p += 1
+        if ((t & 0x80) == 0) return true // keeps the parser
+        val offsetLen = if ((t & 0x1c) != 0) ((t & 0x1c) >> 2) + 1 else 0
+        val streamLen = (t & 0x03) + 1
+        p += streamLen + offsetLen
+        var dataLen = math.max(0, d.length - p) // pre-u16 REMAINING
+        var err = p > d.length
+        if ((t & 0x20) != 0) {
+          if (p + 2 <= d.length && !err) {
+            dataLen = (d(p) & 0xff) | ((d(p + 1) & 0xff) << 8) // LE
+            p += 2
+            if (dataLen == 4) dataLen = 1024 // quic.c:170-172 quirk
+          } else err = true
         }
-        i += 1
+        if (err) return true // BSB error path: return 0, stay registered
+        chlo(d, p, math.min(dataLen, d.length - p))
+        return false // first frame processed: unregister
       }
       true
     }
 
-    // Q024-Q043: public header with optional CID + version, then frames
-    def parse2445(d: Array[Byte]): Unit = {
-      if (d.length < 9 || (d(0) & 0x02) != 0) return
-      var off = 1
-      if ((d(0) & 0x08) != 0) off += 8
-      if (d.length < off + 5) return
-      var version = -1
-      if ((d(0) & 0x01) != 0 && d(off) == 'Q') {
-        version = (d(off + 1) - '0') * 100 + (d(off + 2) - '0') * 10 + (d(off + 3) - '0')
-        off += 4
-      }
-      if (version < 24) return
-      off += (if ((d(0) & 0x30) == 0) 1 else ((d(0) & 0x30) >> 4) * 2)
-      off += 12 // message-auth hash
-      if (version < 34) off += 1 // private flags
-      if (off > d.length) return
-      // stream frame: 1fdooossB
-      var p = off
-      var done = false
-      while (!done && p < d.length) {
-        val t = d(p) & 0xff; p += 1
-        if ((t & 0x80) == 0) return
-        val offsetLen = if ((t & 0x1c) != 0) ((t & 0x1c) >> 2) + 1 else 0
-        val streamLen = (t & 0x03) + 1
-        p += streamLen + offsetLen
-        var dataLen = d.length - p
-        if ((t & 0x20) != 0 && p + 2 <= d.length) {
-          dataLen = (d(p) & 0xff) | ((d(p + 1) & 0xff) << 8)
-          p += 2
-          if (dataLen == 4) dataLen = 1024 // reference quirk (quic.c:172)
-        }
-        if (p >= d.length) return
-        chlo(d, p, math.min(dataLen, d.length - p))
-        done = true
-      }
-    }
-
-    // Q046-Q048: long header, brute-force search for the CHLO block
-    def parse4648(d: Array[Byte]): Unit = {
-      if (d.length < 20 || d(1) != 'Q' || (d(0) & 0xc0) != 0xc0) return
-      val version = (d(2) - '0') * 100 + (d(3) - '0') * 10 + (d(4) - '0')
-      if (version < 46 || version > 48) return
+    def run4648(d: Array[Byte]): Boolean = {
+      if (d.length < 20 || d(1) != 'Q' || (d(0) & 0xc0) != 0xc0)
+        return false
+      val version = ((d(2) & 0xff) - '0') * 100 +
+        ((d(3) & 0xff) - '0') * 10 + ((d(4) & 0xff) - '0')
+      if (version < 46 || version > 48) return false
       var p = 5
-      var done = false
-      while (!done && p < d.length - 20) {
+      while (p < d.length - 20) {
         if (d(p) == 'C' && at(d, p, "CHLO")) {
           chlo(d, p, d.length - p)
-          done = true
+          return false
         }
         p += 1
       }
+      true
     }
 
-    // BOTH directions: the reference's classify needles fire on any
-    // packet regardless of `which` (quic.c:323-329), and the registered
-    // parser then reads every packet — a server-side PRST or long-header
-    // flow must still tag quic
-    (srcPayloads ++ dstPayloads).foreach { d =>
-      if (d.length > 100 && (d(0) & 0x83) == 0x01 &&
-          (at(d, 9, "Q02") || at(d, 9, "Q03") || at(d, 9, "Q04"))) parse2445(d)
-      else if (d.length > 100 && (d(0) & 0xc0) == 0xc0 && at(d, 1, "Q04")) parse4648(d)
-      if (at(d, 9, "PRST")) tagged = true
+    def run5x(dir: Int, d: Array[Byte]): Boolean = {
+      if (d.length < 20 || !at(d, 1, "Q05")) return false
+      bits5x |= 1 << dir
+      if (bits5x == 0x3) { tagged = true; return false }
+      pkts5x += 1
+      if (pkts5x > 20) return false
+      true
     }
-    // Q05x: headers encrypted — classify only when both directions flow
-    val src5 = srcPayloads.exists(d => d.length >= 20 && at(d, 1, "Q05"))
-    val dst5 = dstPayloads.exists(d => d.length >= 20 && at(d, 1, "Q05"))
-    if (src5 && dst5) tagged = true
+
+    dgrams.foreach { case (dir, d) =>
+      if (!firstSeen(dir)) {
+        firstSeen(dir) = true
+        // classifiers, first datagram of the direction only (udp.c:90)
+        if (d.length > 100 && (d(0) & 0xc0) == 0xc0) {
+          if (at(d, 1, "Q05") && !active5x) {
+            active5x = true; bits5x = 1 << dir; pkts5x = 0
+          }
+          if (at(d, 1, "Q04")) active4648 = true
+        }
+        if (d.length > 100 && (d(0) & 0x83) == 0x01 &&
+          (at(d, 9, "Q02") || at(d, 9, "Q03") || at(d, 9, "Q04")))
+          active2445 = true
+        if (at(d, 9, "PRST")) tagged = true
+      }
+      // registered parsers see this datagram too
+      if (active2445) active2445 = run2445(d)
+      if (active4648) active4648 = run4648(d)
+      if (active5x) active5x = run5x(dir, d)
+    }
 
     if (!tagged) None
     else Some(QuicInfo(host.result().distinct, ua.result().distinct,

@@ -882,7 +882,13 @@ object SessionBuilder {
     // QUIC (UDP): per-packet public headers; tags quic on a readable CHLO
     // frame, a PRST, or Q05x traffic in both directions (parsers/quic.c)
     val quic =
-      if (first.ipProtocol == 17) QuicParser.parse(srcPayloads, dstPayloads)
+      if (first.ipProtocol == 17)
+        // arrival-ordered datagrams: classification happens on the FIRST
+        // datagram of each direction only (udp.c:85-90), and registered
+        // parsers then see every datagram — order is semantics
+        QuicParser.parseDatagrams(dataSeg.iterator
+          .filter(_.payload.nonEmpty)
+          .map(p => (dirOf(p), p.payload)).toSeq)
       else None
     // Kerberos: UDP payloads are bare KDC messages; TCP carries a 4-byte
     // record length. Tagged krb5 only when a valid AS-REQ/TGS-REQ parses,
@@ -971,7 +977,9 @@ object SessionBuilder {
 
     val preRuleProtocols = (baseTags ++ ldapPeelTags ++ upgradeTags ++
       (if (quic.isDefined || fbzero.isDefined) Seq("quic") else Nil) ++
-      (if (fbzero.isDefined) Seq("fbzero") else Nil) ++
+      // "fbzero" only when the CHLO walk started; the tag header alone
+      // tags just quic (quic.c:305-306 vs chlo_parser's early return 0)
+      (if (fbzero.exists(_.chloOk)) Seq("fbzero") else Nil) ++
       (if (krb5.isDefined) Seq("krb5") else Nil)).distinct
     val http1 =
       if (preRuleProtocols.contains("http")) HttpParser.parse(effSrc, effDst)

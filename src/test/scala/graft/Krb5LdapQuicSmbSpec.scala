@@ -85,7 +85,7 @@ class Krb5LdapQuicSmbSpec extends AnyFunSuite with SparkSpecBase {
       bs(0xa0, 1) ++ Array.fill[Byte](100)('x')
     assert(QuicParser.parse(Nil, Seq(q43)).exists(_.tagged))
     // Q05x still needs BOTH directions (quic.c:220-239)
-    val q5 = bs(0x41) ++ "Q050".getBytes ++ Array.fill[Byte](110)(0)
+    val q5 = bs(0xc1) ++ "Q050".getBytes ++ Array.fill[Byte](110)(0)
     assert(QuicParser.parse(Seq(q5), Nil).isEmpty)
     assert(QuicParser.parse(Seq(q5), Seq(q5)).exists(_.tagged))
   }

@@ -60,6 +60,12 @@ class QuicSmbRoundTripFuzzSpec extends AnyFunSuite {
     if (chance(70)) entries += (("VER\u0000", "Q0" + (24 + nextInt(20))))
     if (chance(50)) entries += (("PAD\u0000", "x" * (1 + nextInt(30))))
     if (chance(40)) entries += (("AEAD", "AESG"))
+    // the reference's walk gate needs remaining >= tagLen*8 + 8 AFTER
+    // the header (quic.c:54): keep at least 8 value bytes so entries
+    // stay reference-parseable
+    if (entries.result().map(_._2.length).sum < 8 &&
+        entries.result().nonEmpty)
+      entries += (("PAD\u0000", "padpadpad"))
     val es = entries.result()
     if (es.isEmpty) return (Array[Byte]('C', 'H', 'L', 'O', 0, 0, 0, 0),
       Nil, Nil, Nil)
@@ -156,8 +162,9 @@ class QuicSmbRoundTripFuzzSpec extends AnyFunSuite {
 
   test("QUIC gates: Q05x both-directions rule, PRST, version floor") {
     def q05(): Array[Byte] = {
-      val e = new Enc; e.u8(nextInt(256)); e.ascii("Q05" + nextInt(2))
-      e.junk(30); e.out
+      // classify gate (quic.c:263): len > 100 AND first byte 0xc0-masked
+      val e = new Enc; e.u8(0xc0 | nextInt(0x40)); e.ascii("Q05" + nextInt(2))
+      e.junk(110); e.out
     }
     // one-sided Q05x never classifies; both-sided does
     assert(QuicParser.parse(Seq(q05()), Nil).isEmpty)
