@@ -169,6 +169,18 @@ object Krb5Parser {
   def isKrb5Udp(payload: Array[Byte]): Boolean =
     hasSig(payload, 7) || hasSig(payload, 9)
 
+  /** krb5_udp_classify (krb5.c:216-231): the needle at 7/9 dispatches,
+    * then the callback itself requires a constructed outer TLV with an
+    * application tag 10/12/30 (its `len >= olen` check is tautological
+    * after get_tlv's clamp). Runs only on the FIRST datagram of a
+    * direction (udp.c:85-90).
+    */
+  def classifiesUdp(payload: Array[Byte]): Boolean =
+    isKrb5Udp(payload) && (Asn1.getTlv(payload, 0, payload.length) match {
+      case Some((t, _)) => t.pc && (t.tag == 10 || t.tag == 12 || t.tag == 30)
+      case None => false
+    })
+
   def isKrb5Tcp(stream: Array[Byte]): Boolean =
     stream.length >= 2 && stream(0) == 0 && stream(1) == 0 &&
       (hasSig(stream, 11) || hasSig(stream, 13))
@@ -177,20 +189,26 @@ object Krb5Parser {
     b.length >= off + 4 && b(off) == 3 && b(off + 1) == 2 &&
       b(off + 2) == 1 && b(off + 3) == 5
 
-  /** Split a TCP stream into KDC messages (4-byte length prefix). */
+  /** Split a TCP stream into KDC messages, the way krb5_tcp_parser
+    * frames them (krb5.c:240-256, r15 bug-compat alignment):
+    *  - the record length is the LOW 16 BITS of the 4-byte prefix
+    *    (`data[2] << 8 | data[3]` — bytes 0-1 are ignored by the
+    *    parser; the classify gate required them to be 0 only for the
+    *    FIRST message);
+    *  - a zero length parses an empty message (get_tlv fails, nothing
+    *    recorded) and the walk continues — not a stop;
+    *  - messages accumulate into a 4096-byte per-direction buffer
+    *    (KRB5_MAX_SIZE): a declared length past the cap never
+    *    completes, so the walk stops there and everything after is
+    *    lost, exactly like the stuck reference buffer.
+    */
   def tcpMessages(stream: Array[Byte]): Seq[Array[Byte]] = {
     val out = Seq.newBuilder[Array[Byte]]
     var p = 0
-    while (p + 4 <= stream.length) {
-      // FULL 32-bit big-endian record length — reading only the low 16
-      // bits resumed the walk 64 KiB early inside any KDC message over
-      // 65535 bytes (large PACs) and lost every following message
-      val len = ((stream(p) & 0xff) << 24) | ((stream(p + 1) & 0xff) << 16) |
-        ((stream(p + 2) & 0xff) << 8) | (stream(p + 3) & 0xff)
-      // long arithmetic: len near 2^31 overflows p + 4 + len in Int, the
-      // negative sum passes the guard and copyOfRange throws on a crafted
-      // stream — which would fail the whole sessionize task
-      if (len <= 0 || p + 4L + len > stream.length) { p = stream.length }
+    var run = true
+    while (run && p + 4 <= stream.length) {
+      val len = ((stream(p + 2) & 0xff) << 8) | (stream(p + 3) & 0xff)
+      if (len + 4 > 4096 || p + 4 + len > stream.length) run = false
       else {
         out += java.util.Arrays.copyOfRange(stream, p + 4, p + 4 + len)
         p += 4 + len
@@ -216,10 +234,17 @@ object Krb5Parser {
             tagged = true
             val body =
               if (seq(2).pc && seq(2).tag == 4) Some(seq(2))
-              else if (seq.length >= 4 && seq(3).pc && seq(3).tag == 4) Some(seq(3))
+              // EXACTLY four children (krb5.c:143 `num == 4`): a fifth
+              // parsed child disqualifies the seq(3) position — found
+              // by Krb5DifferentialFuzzSpec, r15
+              else if (seq.length == 4 && seq(3).pc && seq(3).tag == 4)
+                Some(seq(3))
               else None
             body.foreach { b =>
-              Asn1.getSequence(b.buf, b.off, b.off + b.len, 12).foreach { el =>
+              val els = Asn1.getSequence(b.buf, b.off, b.off + b.len, 12)
+              // krb5.c:88-90: a body with fewer than 2 elements records
+              // nothing at all
+              if (els.length >= 2) els.foreach { el =>
                 el.tag match {
                   case 1 => principal(el).foreach(cname += _)
                   case 2 => Asn1.toStr(el).filter(_.nonEmpty).foreach(realm += _)
@@ -238,17 +263,29 @@ object Krb5Parser {
   }
 
   /** PrincipalName: [0] name-type, [1] SEQUENCE OF GeneralString; one
-    * part stands alone, two join with '/' (krb5.c:38-62).
+    * part stands alone, two join with '/' (krb5.c:38-62). Exact
+    * semantics (r15): the single-part case requires a non-null
+    * non-empty string, but the TWO-part case joins unconditionally —
+    * an empty or unreadable part renders "" (the C's %.*s with the
+    * NULL/0 that sequence_to_string returns), so "a/" and "/b" are
+    * real outputs. The C snprintfs into a 255-byte buffer; the
+    * truncation is reproduced at 254 chars (the reference's add-length
+    * arithmetic past that copies uninitialized stack — unpinnable, and
+    * no real principal approaches it).
     */
   private def principal(t: Asn1.Tlv): Option[String] = {
     val seq = Asn1.getSequence(t.buf, t.off, t.off + t.len, 2)
     if (seq.length < 2 || seq(1).tag != 1) return None
     val parts = Asn1.getSequence(seq(1).buf, seq(1).off,
-      seq(1).off + seq(1).len, 2).flatMap(Asn1.toStr).filter(_.nonEmpty)
-    parts match {
-      case Seq(a)    => Some(a)
-      case Seq(a, b) => Some(s"$a/$b")
-      case _         => None
+      seq(1).off + seq(1).len, 2)
+    parts.length match {
+      case 1 =>
+        Asn1.toStr(parts(0)).filter(_.nonEmpty)
+      case 2 =>
+        val a = Asn1.toStr(parts(0)).getOrElse("")
+        val b = Asn1.toStr(parts(1)).getOrElse("")
+        Some(s"$a/$b".take(254))
+      case _ => None
     }
   }
 }

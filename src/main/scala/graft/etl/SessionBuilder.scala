@@ -895,11 +895,16 @@ object SessionBuilder {
     // like the reference (parsers/krb5.c:137).
     val krb5 =
       if (first.ipProtocol == 17 &&
-          (srcPayloads.exists(Krb5Parser.isKrb5Udp) ||
-            dstPayloads.exists(Krb5Parser.isKrb5Udp)))
+          // classify fires only on each direction's FIRST datagram
+          // (udp.c:85-90); the registered parser then reads them all
+          (srcPayloads.headOption.exists(Krb5Parser.classifiesUdp) ||
+            dstPayloads.headOption.exists(Krb5Parser.classifiesUdp)))
         Krb5Parser.parse(srcPayloads ++ dstPayloads)
       else if (first.ipProtocol == 6 &&
-          (Krb5Parser.isKrb5Tcp(effSrc) || Krb5Parser.isKrb5Tcp(effDst)))
+          Krb5Parser.isKrb5Tcp(effSrc))
+          // client-direction classify only (krb5_tcp_classify gates
+          // which == 0, krb5.c:259-261); the parser then walks BOTH
+          // directions' streams
         Krb5Parser.parse(
           Krb5Parser.tcpMessages(effSrc) ++ Krb5Parser.tcpMessages(effDst))
       else None

@@ -61,11 +61,13 @@ class Krb5LdapRoundTripFuzzSpec extends AnyFunSuite {
     val der = tlv(0xa0 | ctx, tlv(0x30, cat(
       tlv(0xa0, int1(oneOf(Seq(1, 2, 3)))),
       tlv(0xa1, tlv(0x30, cat(parts.map(gstr): _*))))))
-    val seen = parts.take(2).filter(_.nonEmpty)
-    val exp = seen match {
-      case Seq(a)    => Some(a)
-      case Seq(a, b) => Some(s"$a/$b")
-      case _         => None
+    // r15 exact semantics (krb5.c:48-60): ONE part must be non-empty;
+    // TWO parts join unconditionally, so "a/" and "/b" are real outputs
+    val seen = parts.take(2)
+    val exp = seen.length match {
+      case 1 => Some(seen.head).filter(_.nonEmpty)
+      case 2 => Some(s"${seen(0)}/${seen(1)}")
+      case _ => None
     }
     (der, exp)
   }
