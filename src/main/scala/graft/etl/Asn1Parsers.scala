@@ -329,8 +329,11 @@ object LdapParser {
     var p = 0
     var stop = false
     var sawAny = false
-    while (!stop && stream.length - p > 5) {
-      Asn1.getTlv(stream, p, stream.length) match {
+    // the reference accumulates at most 8192 bytes per direction
+    // (LDAPInfo_t buf, ldap.c:22-25) — later bytes are truncated away
+    val cap = math.min(stream.length, 8192)
+    while (!stop && cap - p > 5) {
+      Asn1.getTlv(stream, p, cap) match {
         case None => stop = true
         case Some((outer, np)) =>
           val end = outer.off + outer.len
@@ -354,7 +357,14 @@ object LdapParser {
                       }
                     }
                   } else if (op.tag == 23 || op.tag == 24) {
-                    rest = np; stop = true
+                    // the reference re-feeds buf + olen + 2 — the
+                    // MESSAGE LENGTH plus an assumed 2-byte header,
+                    // from the BUFFER START (ldap.c:93-100): correct
+                    // only for a short-form first message, kept
+                    // bug-compatibly. extendedReq (23) stops the walk;
+                    // extendedResp (24) keeps walking messages.
+                    if (rest < 0) rest = math.min(outer.len + 2, cap)
+                    if (op.tag == 23) stop = true
                   }
                 case _ => stop = true
               }

@@ -234,7 +234,18 @@ class Krb5LdapRoundTripFuzzSpec extends AnyFunSuite {
         assert(i.authtype == expAuth, s"auth: ${i.authtype} vs $expAuth")
         val tlsAt = msgs.indexWhere(_.starttls)
         if (tlsAt >= 0 && upTo.length == tlsAt + 1) {
-          val expRest = msgs.take(tlsAt + 1).map(_.der.length).sum
+          // r15 exact semantics (ldap.c:93-100): the reference re-feeds
+          // buf + olen + 2 — the STARTTLS message's CONTENT length plus
+          // an assumed 2-byte header, measured from the BUFFER START —
+          // correct only for a short-form first message
+          val der = msgs(tlsAt).der
+          val contentLen = (der(1) & 0xff) match {
+            case l if l < 0x80 => l
+            case 0x81          => der(2) & 0xff
+            case _             => ((der(2) & 0xff) << 8) | (der(3) & 0xff)
+          }
+          val expRest = math.min(contentLen + 2,
+            math.min(stream.length, 8192))
           assert(i.restOffset == expRest,
             s"STARTTLS rest offset ${i.restOffset} vs $expRest")
         } else assert(i.restOffset == -1)
