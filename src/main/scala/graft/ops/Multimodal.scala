@@ -314,18 +314,22 @@ object Multimodal {
     // (the pre-r15 kernel hashed raw bytes and pinned a single-byte
     // corpus assumption in PipelineOpsSpec; the guard is now a
     // multi-byte parity test).
-    // hex is projected FIRST so it runs once per row: referenced
-    // directly inside the transform lambda it re-evaluates per sample
-    // (72x per row — measured +25% on the m5 bench)
+    // The slice is taken on the BINARY column and hexed per sample
+    // (hex of a byte slice == the same slice of hex(bytes) at 2x
+    // offsets, byte for byte): substr on the 2x-length hex STRING is
+    // an O(offset) UTF8String char scan per sample — 72 scans per doc
+    // put UTF8String.substring at the top of the r15 baseline profile
+    // — while a binary substr is an O(stride) copy, so total per-doc
+    // work drops from O(72·len) to O(len).
     val pre = df.select(idCol.cast("long").as("doc_id"),
       contentCol.cast("binary").as("_bin"))
-      .select(col("doc_id"), hex(col("_bin")).as("_hex"),
+      .select(col("doc_id"), col("_bin"),
         length(col("_bin")).as("_blen"))
     val stride = floor((col("_blen") + lit(71)) / lit(72)).cast("int")
     val clen = greatest(col("_blen"), lit(1))
     val px = transform(sequence(lit(0), lit(71)),
       k => pmod(TextOps.hex32(concat(lit("px|"),
-        col("_hex").substr(pmod(k * stride, clen) * 2 + 1, stride * 2))),
+        hex(col("_bin").substr(pmod(k * stride, clen) + 1, stride)))),
         lit(256L)))
     val withPx = pre.select(col("doc_id"), px.as("_px"))
     val bands = (0 until 4).map { b =>
