@@ -105,6 +105,56 @@ object ShingleHashes {
     f(text)
   }
 
+  /** 63-bit term-identity hash of one token string — byte-identical to
+    * one element of [[hashes64]] (md5 bytes 0–7, top bit cleared).
+    */
+  private def md5Wide(md: MessageDigest, s: String): Long = {
+    md.reset()
+    val d = md.digest(s.getBytes(StandardCharsets.UTF_8))
+    ((d(0) & 0x7fL) << 56) | ((d(1) & 0xffL) << 48) |
+      ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
+      ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+      ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+  }
+
+  /** Fused bigram-occurrence kernel for the LM scorers: for documents
+    * with ≥ 2 tokens, entry i (0-based) is
+    * (h2 = hashes64 of the bigram at i, h1 = token i, hn = token i+1) —
+    * exactly the rows `arrays_zip(hashes64(text,2,false),
+    * slice(hashes64(text,1,false), 1, n-1), slice(..., 2, n-1))`
+    * produces (empty array below 2 tokens, so an explode consumer drops
+    * the same documents the old `size >= 2` filter did). One tokenize
+    * pass and one md5 per gram, instead of three separate udf
+    * evaluations per document (the h2s/h1s/filter triple re-tokenized
+    * and re-hashed the unigrams twice — measured ~40% of the t11/t23
+    * kernel time at sf0.1).
+    */
+  def bigramTriples64(text: String): Array[(Long, Long, Long)] = {
+    if (text == null) return Array.empty
+    val toks = tokenize(text)
+    val n = toks.length
+    if (n < 2) return Array.empty
+    val md = MessageDigest.getInstance("MD5")
+    val uni = new Array[Long](n)
+    var i = 0
+    while (i < n) { uni(i) = md5Wide(md, toks(i)); i += 1 }
+    val out = new Array[(Long, Long, Long)](n - 1)
+    i = 0
+    while (i < n - 1) {
+      out(i) = (md5Wide(md, toks(i) + " " + toks(i + 1)), uni(i), uni(i + 1))
+      i += 1
+    }
+    out
+  }
+
+  /** Column form of [[bigramTriples64]]: array<struct<_1,_2,_3>> of
+    * (h2, h1, hn) 63-bit hashes per bigram position.
+    */
+  def bigramTriples64Col(text: Column): Column = {
+    val f = udf((s: String) => bigramTriples64(s))
+    f(text)
+  }
+
   /** Fused 32-bit SimHash over the token multiset — same semantics as
     * Dedup.simhash32's composed form (and its SQL oracle): per-token
     * hash = hex32(md5(token)); bit i of the fingerprint set iff

@@ -433,7 +433,9 @@ object TextOps {
       df: DataFrame, targetPred: Column, text: Column, idCol: Column,
       buckets: Int = 4096): DataFrame = {
     val h2 = graft.functions.ShingleHashes(text, 2, distinct = false)
-    val feats = df.filter(size(h2) >= 1)
+    // no size(h2) >= 1 pre-filter: explode drops empty arrays already,
+    // and the filter's own udf evaluation doubled the kernel cost
+    val feats = df
       .select(idCol.as("doc_id"), targetPred.as("is_t"),
         explode(h2).as("h"))
       .withColumn("b", col("h") % buckets.toLong)
@@ -474,16 +476,18 @@ object TextOps {
     // is the same md5 prefix on both engines; 63 bits keeps the
     // collision expectation < 1e-3 even at a 100 M-gram vocabulary
     // (32 bits would merge ~1.1 M gram pairs there). Hashes come from
-    // the fused ShingleHashes kernel — one JVM call per document; an
-    // interpreted per-element HOF md5 chain here measures ~5× slower.
-    val h2s = graft.functions.ShingleHashes(text, 2, distinct = false, wide = true)
-    val h1s = graft.functions.ShingleHashes(text, 1, distinct = false, wide = true)
+    // the fused bigram-triple kernel — ONE tokenize + one md5 per gram
+    // per document (the previous h2s/h1s/size-filter triple evaluated
+    // the tokenize+hash udf three times per row; an interpreted
+    // per-element HOF md5 chain is ~5× slower still). The kernel emits
+    // an empty array below 2 tokens, so explode drops exactly the rows
+    // the old `size(h1s) >= 2` filter did.
+    val pairs = graft.functions.ShingleHashes.bigramTriples64Col(text)
     // two consumers (c2 and the scoring join) — materialize the
     // occurrence table instead of re-running the tokenize+hash kernel
-    val big = materialize(df.filter(size(h1s) >= 2)
-      .select(idCol.as("doc_id"),
-        explode(arrays_zip(h2s, slice(h1s, lit(1), size(h1s) - 1))).as("p"))
-      .select(col("doc_id"), col("p.0").as("h2"), col("p.1").as("h1")))
+    val big = materialize(df
+      .select(idCol.as("doc_id"), explode(pairs).as("p"))
+      .select(col("doc_id"), col("p._1").as("h2"), col("p._2").as("h1")))
     val c2 = big.groupBy("h2").agg(count(lit(1)).as("c2"))
     val c1 = df.select(
         explode(graft.functions.ShingleHashes(text, 1, distinct = false,
@@ -527,18 +531,17 @@ object TextOps {
     */
   def knBigramScore(
       df: DataFrame, text: Column, idCol: Column): DataFrame = {
-    val h2s = graft.functions.ShingleHashes(text, 2, distinct = false, wide = true)
-    val h1s = graft.functions.ShingleHashes(text, 1, distinct = false, wide = true)
+    // fused bigram-triple kernel: one tokenize + one md5 per gram (see
+    // bigramLikelihood — same three-evaluations-to-one rationale)
+    val pairs = graft.functions.ShingleHashes.bigramTriples64Col(text)
     // materialize the occurrence table once: five consumers derive from
     // it (c2/c1/types and the scoring join) and without the checkpoint
     // each re-runs the tokenize+hash kernel over the full corpus — the
     // same recompute the BM25 posting table avoids
-    val big = materialize(df.filter(size(h1s) >= 2)
-      .select(idCol.as("doc_id"),
-        explode(arrays_zip(h2s, slice(h1s, lit(1), size(h1s) - 1),
-          slice(h1s, lit(2), size(h1s) - 1))).as("p"))
-      .select(col("doc_id"), col("p.0").as("h2"), col("p.1").as("h1"),
-        col("p.2").as("hn")))
+    val big = materialize(df
+      .select(idCol.as("doc_id"), explode(pairs).as("p"))
+      .select(col("doc_id"), col("p._1").as("h2"), col("p._2").as("h1"),
+        col("p._3").as("hn")))
     val c2 = big.groupBy("h2").agg(count(lit(1)).as("c12"))
     // history count c(w1·) from the bigram table itself (not raw
     // unigram occurrences): keeps the distribution normalized
