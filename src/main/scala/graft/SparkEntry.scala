@@ -695,7 +695,8 @@ object SparkEntry {
     // dup chain, transitive closure the pair list alone can't express)
     "d6_dedup_groups" -> ((s, dir) =>
       Dedup.resolveGroups(
-        Dedup.minhashCandidates(docs(s, dir), col("text"), col("doc_id")))),
+        Dedup.minhashCandidates(docs(s, dir), col("text"), col("doc_id"),
+          ordered = false))),
     // D7: SemDeDup — near-dups within embedding-space centroid cells
     "d7_semantic_dedup" -> ((s, dir) =>
       Dedup.semanticNearDup(emb(s, dir), col("embedding"), col("vec_id"),
@@ -755,7 +756,8 @@ object SparkEntry {
     "d18_dedup_stats" -> ((s, dir) => {
       val d = docs(s, dir)
       Dedup.resolveGroups(
-        Dedup.minhashCandidates(d, col("text"), col("doc_id"), star = true))
+        Dedup.minhashCandidates(d, col("text"), col("doc_id"), star = true,
+          ordered = false), ordered = false)
         .groupBy("group_id").agg(count(lit(1)).as("group_size"))
         .groupBy("group_size").agg(count(lit(1)).as("n_groups"))
         .orderBy("group_size")
@@ -770,7 +772,8 @@ object SparkEntry {
       // star = true: one edge per (bucket, doc) instead of all in-bucket
       // pairs — identical connected components, no hot-bucket blow-up
       val groups = Dedup.resolveGroups(
-        Dedup.minhashCandidates(d, col("text"), col("doc_id"), star = true))
+        Dedup.minhashCandidates(d, col("text"), col("doc_id"), star = true,
+          ordered = false), ordered = false)
       d.join(groups, Seq("doc_id"), "left")
         .filter(col("group_id").isNull || col("group_id") === col("doc_id"))
         .select("doc_id").orderBy("doc_id")
@@ -986,7 +989,8 @@ object SparkEntry {
     "p5_leakage_split" -> ((s, dir) => {
       val d = docs(s, dir)
       val groups = Dedup.resolveGroups(
-        Dedup.minhashCandidates(d, col("text"), col("doc_id"), star = true))
+        Dedup.minhashCandidates(d, col("text"), col("doc_id"), star = true,
+          ordered = false), ordered = false)
       Pack.leakageSafeSplit(d, col("doc_id"), groups, validPermille = 100)
     }),
     // P6: DSIR importance scoring — target slice = English docs; top 200

@@ -105,7 +105,7 @@ object Dedup {
   def minhashCandidates(
       df: DataFrame, text: Column, idCol: Column,
       shingleK: Int = 3, bands: Int = 4, rowsPerBand: Int = 3,
-      star: Boolean = false): DataFrame = {
+      star: Boolean = false, ordered: Boolean = true): DataFrame = {
     val b = minhashBands(df, text, idCol, shingleK, bands, rowsPerBand)
     val buckets = b.groupBy("band_id", "band_key")
       .agg(collect_list(col("doc_id")).as("docs"))
@@ -117,9 +117,12 @@ object Dedup {
       else
         buckets.select(explode(col("docs")).as("doc_a"), col("docs"))
           .select(col("doc_a"), explode(col("docs")).as("doc_b"))
-    pairs.filter(col("doc_a") < col("doc_b"))
+    val dd = pairs.filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
-      .orderBy("doc_a", "doc_b")
+    // `ordered = false` for consumers that immediately re-shuffle the
+    // pairs (resolveGroups): a global sort is a sampling pass plus a
+    // range exchange that the next operator throws away
+    if (ordered) dd.orderBy("doc_a", "doc_b") else dd
   }
 
   /** Persist the corpus's LSH band rows as a bucketed catalog table —
@@ -354,7 +357,7 @@ object Dedup {
     */
   def resolveGroups(
       pairs: DataFrame, aCol: String = "doc_a", bCol: String = "doc_b",
-      maxRounds: Int = 20): DataFrame = {
+      maxRounds: Int = 20, ordered: Boolean = true): DataFrame = {
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
@@ -419,8 +422,11 @@ object Dedup {
     require(converged,
       s"resolveGroups did not converge within $maxRounds rounds")
     lastResolveRounds = round
-    labels.select(col("id").as("doc_id"), col("label").as("group_id"))
-      .orderBy("doc_id")
+    val out = labels.select(col("id").as("doc_id"), col("label").as("group_id"))
+    // `ordered = false` for consumers that re-aggregate or join the
+    // groups (d11/d18/d20/p5): the global sort they discard costs a
+    // sampling pass plus a range exchange per query
+    if (ordered) out.orderBy("doc_id") else out
   }
 
   /** Rounds the most recent [[resolveGroups]] call took to converge —
@@ -804,7 +810,10 @@ object Dedup {
       df: DataFrame, text: Column, idCol: Column,
       shingleK: Int = 3, bands: Int = 4, rowsPerBand: Int = 3): DataFrame = {
     val nh = bands * rowsPerBand
-    val pairs = minhashCandidates(df, text, idCol, shingleK, bands, rowsPerBand)
+    // unordered: the joins below re-shuffle the pairs, and the final
+    // orderBy re-establishes the output contract
+    val pairs = minhashCandidates(df, text, idCol, shingleK, bands,
+      rowsPerBand, ordered = false)
     // materialized once: the signature kernel is the dominant cost and
     // feeds BOTH renamed joins below (differing projections defeat
     // ReuseExchange, so without this it runs twice)
@@ -881,7 +890,8 @@ object Dedup {
     // resolveGroups consumes) without the in-bucket all-pairs expansion
     // a boilerplate hot bucket would explode under star = false
     val groups = resolveGroups(
-      minhashCandidates(df, textCol, idCol, star = true))
+      minhashCandidates(df, textCol, idCol, star = true, ordered = false),
+      ordered = false)
     val sizes = groups.groupBy(col("group_id"))
       .agg(count(lit(1)).as("_gsz"))
     val w = groups.join(sizes, Seq("group_id"))
