@@ -155,6 +155,79 @@ object ShingleHashes {
     f(text)
   }
 
+  /** Per-document term-frequency kernel over 63-bit term-identity
+    * hashes: (hash, occurrences) per distinct hashed token, first-
+    * occurrence order. Exactly the rows
+    * `explode(hashes64(text,1,false)) groupBy (doc, term) count`
+    * produces for one document — hash collisions inside a document
+    * merge identically in both forms — but computed map-side in the
+    * kernel, so the (doc, term) occurrence explode and its corpus-wide
+    * hash aggregation (the top of the t22 executor profile) disappear
+    * from the plan. This is map-side pre-aggregation taken to its
+    * limit: at any corpus size the posting-table build becomes
+    * embarrassingly parallel with zero shuffle.
+    */
+  def termCounts64(text: String): Array[(Long, Long)] = {
+    if (text == null) return Array.empty
+    val toks = tokenize(text)
+    if (toks.isEmpty) return Array.empty
+    val md = MessageDigest.getInstance("MD5")
+    val m = new java.util.LinkedHashMap[java.lang.Long, Array[Long]]()
+    var i = 0
+    while (i < toks.length) {
+      val h = java.lang.Long.valueOf(md5Wide(md, toks(i)))
+      val slot = m.get(h)
+      if (slot == null) m.put(h, Array(1L)) else slot(0) += 1L
+      i += 1
+    }
+    val out = new Array[(Long, Long)](m.size)
+    var idx = 0
+    val it = m.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      out(idx) = (e.getKey.longValue(), e.getValue()(0))
+      idx += 1
+    }
+    out
+  }
+
+  def termCounts64Col(text: Column): Column = {
+    val f = udf((s: String) => termCounts64(s))
+    f(text)
+  }
+
+  /** Per-document term-frequency kernel over token STRINGS:
+    * (token, occurrences) per distinct token, first-occurrence order —
+    * the string-keyed twin of [[termCounts64]] for operators whose
+    * output carries the term text (tf-idf, NB classifier).
+    */
+  def termCountsStr(text: String): Array[(String, Long)] = {
+    if (text == null) return Array.empty
+    val toks = tokenize(text)
+    if (toks.isEmpty) return Array.empty
+    val m = new java.util.LinkedHashMap[String, Array[Long]]()
+    var i = 0
+    while (i < toks.length) {
+      val slot = m.get(toks(i))
+      if (slot == null) m.put(toks(i), Array(1L)) else slot(0) += 1L
+      i += 1
+    }
+    val out = new Array[(String, Long)](m.size)
+    var idx = 0
+    val it = m.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      out(idx) = (e.getKey, e.getValue()(0))
+      idx += 1
+    }
+    out
+  }
+
+  def termCountsStrCol(text: Column): Column = {
+    val f = udf((s: String) => termCountsStr(s))
+    f(text)
+  }
+
   /** Fused 32-bit SimHash over the token multiset — same semantics as
     * Dedup.simhash32's composed form (and its SQL oracle): per-token
     * hash = hex32(md5(token)); bit i of the fingerprint set iff

@@ -369,7 +369,11 @@ object Multimodal {
     // join AND (via reps) the band rows and both sides of the candidate
     // verify — without the checkpoint Spark recomputes the 72-sample
     // hash kernel for every consumer (measured 2.4× on the m5 bench)
-    val sig = dhashSignatures(df, idCol, contentCol).localCheckpoint()
+    // spread before the checkpoint: a single-row-group fixture scan is
+    // one task, and checkpointing it would pin the exact-collapse join
+    // and both verify sides to one partition (see TextOps.spread)
+    val sig = TextOps.spread(dhashSignatures(df, idCol, contentCol),
+      col("doc_id")).localCheckpoint()
     // exact-signature collapse: rep = min doc id per 64-bit signature
     val reps = sig.groupBy(sigCols.map(col): _*)
       .agg(min(col("doc_id")).as("rep"))

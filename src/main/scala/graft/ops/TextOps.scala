@@ -86,6 +86,21 @@ object TextOps {
       p
     } else df.localCheckpoint()
 
+  /** Hash-repartition a kernel-built frame by `key` before
+    * materialization IF its planned parallelism is below the session's:
+    * a single-row-group fixture scan is one task, and a localCheckpoint
+    * of it pins EVERY downstream consumer (joins, scoring projections)
+    * to one partition until the next exchange. The gate makes this a
+    * no-op at cluster scale, where scans carry orders of magnitude more
+    * partitions than cores; locally the one shuffle of the compact
+    * (ids + hashes) frame buys cores× parallelism for the whole rest of
+    * the plan. Deterministic (hash partitioning, not round-robin).
+    */
+  private[ops] def spread(df: DataFrame, key: Column): DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < cores) df.repartition(key) else df
+  }
+
   /** Release reliable-mode materializations once the first action that
     * consumed the returned plan completes (see
     * [[CacheHooks.unpersistAfterFirstUse]]); localCheckpoint blocks
@@ -485,9 +500,10 @@ object TextOps {
     val pairs = graft.functions.ShingleHashes.bigramTriples64Col(text)
     // two consumers (c2 and the scoring join) — materialize the
     // occurrence table instead of re-running the tokenize+hash kernel
-    val big = materialize(df
+    val big = materialize(spread(df
       .select(idCol.as("doc_id"), explode(pairs).as("p"))
-      .select(col("doc_id"), col("p._1").as("h2"), col("p._2").as("h1")))
+      .select(col("doc_id"), col("p._1").as("h2"), col("p._2").as("h1")),
+      col("doc_id")))
     val c2 = big.groupBy("h2").agg(count(lit(1)).as("c2"))
     val c1 = df.select(
         explode(graft.functions.ShingleHashes(text, 1, distinct = false,
@@ -538,10 +554,10 @@ object TextOps {
     // it (c2/c1/types and the scoring join) and without the checkpoint
     // each re-runs the tokenize+hash kernel over the full corpus — the
     // same recompute the BM25 posting table avoids
-    val big = materialize(df
+    val big = materialize(spread(df
       .select(idCol.as("doc_id"), explode(pairs).as("p"))
       .select(col("doc_id"), col("p._1").as("h2"), col("p._2").as("h1"),
-        col("p._3").as("hn")))
+        col("p._3").as("hn")), col("doc_id")))
     val c2 = big.groupBy("h2").agg(count(lit(1)).as("c12"))
     // history count c(w1·) from the bigram table itself (not raw
     // unigram occurrences): keeps the distribution normalized
@@ -710,10 +726,15 @@ object TextOps {
   def tfidfTopTerms(
       df: DataFrame, text: Column, idCol: Column, k: Int = 5): DataFrame = {
     // two consumers (dfreq and the scoring join): materialize the tf
-    // table once instead of re-running the tokenizer per consumer
-    val tf = materialize(
-      df.select(idCol.as("doc_id"), explode(tokens(text)).as("term"))
-        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf")))
+    // table once instead of re-running the tokenizer per consumer.
+    // Term frequencies come from the per-document kernel (one tiny map
+    // per doc), not a corpus-wide (doc, term) hash aggregate — same
+    // rows, no occurrence shuffle (see bm25TopK)
+    val tf = materialize(spread(df
+      .select(idCol.as("doc_id"),
+        explode(graft.functions.ShingleHashes.termCountsStrCol(text)).as("p"))
+      .select(col("doc_id"), col("p._1").as("term"), col("p._2").as("tf")),
+      col("doc_id")))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("dfc"))
     val ndocs = df.agg(count(lit(1)).as("n"))
     val topkFn = graft.functions.TopK.stringIds(k)
@@ -758,27 +779,34 @@ object TextOps {
       queries: DataFrame, qText: Column, qIdCol: Column,
       k: Int = 5, k1Milli: Long = 1200, bMilli: Long = 750): DataFrame = {
     // postings keyed on 63-bit term hashes, not term strings: 8-byte
-    // shuffle/agg keys instead of variable-width text (the tf agg's
-    // string-key compares were the top of the t22 profile). Same
-    // md5-prefix hash on both engines, and 63 bits keeps term identity
+    // shuffle/agg keys instead of variable-width text. Same md5-prefix
+    // hash on both engines, and 63 bits keeps term identity
     // collision-free in expectation even at a 100 M-term vocabulary —
-    // the LM scorers' trick (see bigramLikelihood).
-    val tok = docs.select(idCol.as("doc_id"),
-      explode(graft.functions.ShingleHashes(text, 1, distinct = false,
-        wide = true)).as("term"))
+    // the LM scorers' trick (see bigramLikelihood). Term frequencies
+    // are counted INSIDE the kernel (one tiny map per document), so the
+    // (doc, term) occurrence explode and its corpus-wide hash aggregate
+    // — the top of the t22 executor profile, and at scale a full
+    // shuffle of every token occurrence — are gone: the posting table
+    // builds map-side with zero shuffle. In-document hash collisions
+    // merge identically in both formulations.
     // the posting table is the index — materialize it once (a real
     // deployment persists it); doc lengths, document frequencies and the
     // corpus stats all derive from it without re-running the tokenizer
-    val tf = materialize(
-      tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf")))
+    val tf = materialize(spread(docs
+      .select(idCol.as("doc_id"),
+        explode(graft.functions.ShingleHashes.termCounts64Col(text)).as("p"))
+      .select(col("doc_id"), col("p._1").as("term"), col("p._2").as("tf")),
+      col("doc_id")))
     val dl = tf.groupBy("doc_id").agg(sum("tf").as("len"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("dfc"))
     val stats = dl.agg(count(lit(1)).as("n"), sum("len").as("tot"))
+    // per-query distinct terms straight from the kernel's distinct mode
+    // (rows are already unique per query, so no row-level distinct —
+    // one less exchange on the query side)
     val qterms = queries
       .select(qIdCol.as("query_id"),
-        explode(graft.functions.ShingleHashes(qText, 1, distinct = false,
+        explode(graft.functions.ShingleHashes(qText, 1, distinct = true,
           wide = true)).as("term"))
-      .distinct()
     releaseAfterUse(tf) // before the returned Dataset exists (see bigram)
     val scored = broadcast(qterms)
       .join(tf, Seq("term"))
@@ -834,25 +862,33 @@ object TextOps {
   def nbClassify(
       df: DataFrame, text: Column, idCol: Column,
       labelCol: Column, minDf: Int = 1): DataFrame = {
-    // the token table feeds training (ctc, and the minDf df-counts) AND
-    // scoring — materialize it once (solo A/B: 1.46-1.58 s with vs
-    // 1.73-1.77 s re-tokenizing at sf0.1); likewise the (class, term)
-    // model below feeds three consumers (ctot, vocab, the score join)
-    val tok = materialize(df.select(idCol.as("doc_id"),
-      labelCol.as("label"), explode(tokens(text)).as("term")))
-    val ctcAll = tok.groupBy(col("label").as("clazz"), col("term"))
-      .agg(count(lit(1)).as("ctc"))
+    // the per-doc term-frequency table feeds training (ctc, and the
+    // minDf df-counts) AND scoring — materialize it once (solo A/B:
+    // 1.46-1.58 s with vs 1.73-1.77 s re-tokenizing at sf0.1); likewise
+    // the (class, term) model below feeds three consumers (ctot, vocab,
+    // the score join). Frequencies come from the per-document kernel
+    // (see bm25TopK) so no corpus-wide occurrence rows ever exist:
+    // per-class counts are sum(tf), document frequencies are plain row
+    // counts (tf rows are distinct (doc, term) pairs), and the score
+    // sum over occurrences becomes the exact integer w·tf.
+    val tf = materialize(spread(df.select(idCol.as("doc_id"),
+      labelCol.as("label"),
+      explode(graft.functions.ShingleHashes.termCountsStrCol(text)).as("p"))
+      .select(col("doc_id"), col("label"), col("p._1").as("term"),
+        col("p._2").as("tf")), col("doc_id")))
+    val ctcAll = tf.groupBy(col("label").as("clazz"), col("term"))
+      .agg(sum("tf").as("ctc"))
     val ctc =
       if (minDf <= 1) ctcAll
       else {
-        val kept = tok.groupBy("term")
-          .agg(countDistinct(col("doc_id")).as("_df"))
+        val kept = tf.groupBy("term")
+          .agg(count(lit(1)).as("_df"))
           .filter(col("_df") >= minDf)
           .select("term")
         ctcAll.join(kept, Seq("term"), "left_semi")
       }
-    // materialized AFTER tok (this build-time count consumes tok's
-    // cache; tok's release hook registers only at the end)
+    // materialized AFTER tf (this build-time count consumes tf's
+    // cache; tf's release hook registers only at the end)
     val ctcM = materialize(ctc)
     val ctot = ctcM.groupBy("clazz").agg(sum("ctc").as("ctot"))
     val vocab = ctcM.select("term").distinct().agg(count(lit(1)).as("v"))
@@ -860,10 +896,10 @@ object TextOps {
       .agg(count(lit(1)).as("cdocs"))
     val ndocs = df.agg(count(lit(1)).as("n"))
     val classes = df.select(labelCol.as("clazz")).distinct()
-    // after ctcM's build-time count (it consumes tok's cache), before
+    // after ctcM's build-time count (it consumes tf's cache), before
     // the returned Dataset exists (see bigram note)
-    releaseAfterUse(tok, ctcM)
-    val scored = tok.select("doc_id", "term")
+    releaseAfterUse(tf, ctcM)
+    val scored = tf.select("doc_id", "term", "tf")
       .crossJoin(broadcast(classes))
       // NO broadcast hint: the (class, term) model is the one frame
       // here that scales with the corpus
@@ -872,7 +908,8 @@ object TextOps {
       .join(broadcast(ctot), Seq("clazz"))
       .crossJoin(broadcast(vocab))
       .withColumn("w", expr("(1000000 * (ctc + 1)) div (ctot + v)"))
-      .groupBy("doc_id", "clazz").agg(sum("w").as("s"))
+      // Σ_occurrences w == w · tf exactly (integers)
+      .groupBy("doc_id", "clazz").agg(sum(expr("w * tf")).as("s"))
       .join(broadcast(prior), Seq("clazz"))
       .crossJoin(broadcast(ndocs))
       .withColumn("score", expr("s + ((1000000 * cdocs) div n)"))
