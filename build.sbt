@@ -44,4 +44,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // holding packet buffers plus query state need real headroom, and the
   // box has 128 GiB — 8g left the throughput segment GC-bound
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // Throughput collector for the batch JVM: these are all-cores batch
+  // sweeps with no latency SLO on the collector, and G1's concurrent
+  // cycles tax the mutator. Paired A/B at sf0.1/32 cpus (min-of-2
+  // sweeps, two runs each): G1 79.6 s -> ParallelGC 72.7 s total,
+  // median per-query ratio 0.92; the only consistent losers are the
+  // broadcast-iterative s-family (~+0.2 s each), far outweighed.
+  "-XX:+UseParallelGC",
 )

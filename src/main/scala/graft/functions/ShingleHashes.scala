@@ -196,6 +196,38 @@ object ShingleHashes {
     f(text)
   }
 
+  /** Fused winnowing-fingerprint kernel: the distinct minima of every
+    * `window` consecutive k-gram hashes, in first-occurrence order —
+    * exactly `array_distinct(transform(sequence(1, n-window+1),
+    * i => array_min(slice(hashes(text,k), i, window))))`, computed in
+    * one pass instead of a second udf evaluation for the size
+    * pre-filter plus an O(len·window) interpreted slice/min chain.
+    * Empty below `window` k-grams (the old `size >= window` filter).
+    */
+  def winnowFps(text: String, k: Int, window: Int): Array[Long] = {
+    val hs = hashes(text, k, distinct = false)
+    if (hs.length < window) return Array.empty[Long]
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var i = 0
+    while (i <= hs.length - window) {
+      var m = Long.MaxValue
+      var j = i
+      while (j < i + window) { if (hs(j) < m) m = hs(j); j += 1 }
+      seen.add(m)
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    var idx = 0
+    val it = seen.iterator()
+    while (it.hasNext) { out(idx) = it.next(); idx += 1 }
+    out
+  }
+
+  def winnowFpsCol(text: Column, k: Int, window: Int): Column = {
+    val f = udf((s: String) => winnowFps(s, k, window))
+    f(text)
+  }
+
   /** Per-document term-frequency kernel over token STRINGS:
     * (token, occurrences) per distinct token, first-occurrence order —
     * the string-keyed twin of [[termCounts64]] for operators whose

@@ -263,31 +263,27 @@ object Dedup {
     // per-group state is the doc-id list (8 bytes/doc — a 1M-doc hot
     // posting is 8 MB in one task, vs 10¹² join rows), then one shuffle
     // keyed by the pair.
+    // |A| rides the posting rows as a struct field (it is size() of the
+    // already-projected shingle array, shared by expression CSE with the
+    // explode input — ONE kernel evaluation per document) instead of a
+    // separate per-doc kernel pass joined back twice: at scale that
+    // removes two shuffles of a corpus-sized (doc, size) table for
+    // +4 bytes per posting entry.
+    val arr = graft.functions.ShingleHashes(text, shingleK, distinct = true)
     val side = df
-      .select(idCol.as("doc_id"), blockKey.as("block"),
-        explode(graft.functions.ShingleHashes(text, shingleK, distinct = true)).as("h"))
-    // |A| per doc via the fused counter — one pass per document, no third
-    // evaluation of the explode branch and no extra shuffle
-    val szUdf = udf { (s: String) =>
-      graft.functions.ShingleHashes.hashes(s, shingleK, distinct = true).length
-    }
-    val sizes = df.select(idCol.as("doc_id"), szUdf(text).as("sz"))
-      .filter(col("sz") > 0)
+      .select(idCol.as("doc_id"), blockKey.as("block"), arr.as("arr"))
+      .select(col("doc_id"), col("block"), size(col("arr")).as("sz"),
+        explode(col("arr")).as("h"))
     side.groupBy("block", "h")
-      .agg(collect_list(col("doc_id")).as("docs"))
+      .agg(collect_list(struct(col("doc_id"), col("sz"))).as("docs"))
       .filter(size(col("docs")).between(2, maxPostings))
-      .select(explode(col("docs")).as("doc_a"), col("docs"))
-      .select(col("doc_a"), explode(col("docs")).as("doc_b"))
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-      // NO broadcast hint on sizes: it is one row per corpus document,
-      // which at real scale exceeds any broadcast budget — the pair
-      // side is the small one (bounded by true near-dups), so AQE picks
-      // the right side to broadcast at runtime
-      .join(sizes.withColumnRenamed("doc_id", "doc_a")
-        .withColumnRenamed("sz", "sa"), Seq("doc_a"))
-      .join(sizes.withColumnRenamed("doc_id", "doc_b")
-        .withColumnRenamed("sz", "sb"), Seq("doc_b"))
+      .select(explode(col("docs")).as("a"), col("docs"))
+      .select(col("a"), explode(col("docs")).as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      // sz is constant per doc, so first() is deterministic
+      .agg(count(lit(1)).as("inter"), first(col("a.sz")).as("sa"),
+        first(col("b.sz")).as("sb"))
       .withColumn("jaccard", col("inter").cast("double") /
         (col("sa") + col("sb") - col("inter")))
       .filter(col("jaccard") >= threshold)
@@ -312,16 +308,15 @@ object Dedup {
       df: DataFrame, text: Column, idCol: Column,
       shingleK: Int = 3, window: Int = 4, minShared: Int = 2,
       maxPostings: Int = Int.MaxValue): DataFrame = {
-    val hs = graft.functions.ShingleHashes(text, shingleK, distinct = false)
-    // window minima over positions 1 .. len-window+1 (order preserved by
-    // the hash kernel); docs with fewer than `window` k-grams are skipped
-    // on both engines
+    // fused kernel: window minima + distinct in one pass per document
+    // (the previous form evaluated the hash udf twice — size filter and
+    // projection — then ran an O(len·window) slice/min chain per doc);
+    // the kernel emits empty below `window` k-grams, so the explode
+    // drops the same documents the filter did
     val fps = df
-      .select(idCol.as("doc_id"), hs.as("hs"))
-      .filter(size(col("hs")) >= window)
-      .select(col("doc_id"), explode(array_distinct(
-        transform(sequence(lit(1), size(col("hs")) - (window - 1)),
-          i => array_min(slice(col("hs"), i, lit(window)))))).as("fp"))
+      .select(idCol.as("doc_id"), explode(
+        graft.functions.ShingleHashes.winnowFpsCol(text, shingleK, window))
+        .as("fp"))
     // group-then-expand instead of a fp self-join: the shingle kernel and
     // explode run ONCE over the corpus (a self-join re-computes the whole
     // subtree on both sides — alias-differing projects defeat
