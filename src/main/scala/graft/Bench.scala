@@ -785,7 +785,14 @@ object Bench {
       val w = new java.io.PrintWriter("bench_full.json")
       try w.println(full) finally w.close()
     } catch { case _: Exception => () }
-    val budget = 1500
+    // 1880, not 1500: the consumer keeps a 2000-char output tail, and the
+    // only line that must survive intact is the LAST copy — 2000 minus the
+    // build tool's ~75-char success line and a slack margin. The extra 380
+    // chars fit ~15 more per-query entries, so fewer fast queries fall out
+    // of the printed map and get mislabeled "dropped" by a diff against it
+    // (every query still runs and is summed into `value`; the full map is
+    // always in bench_full.json).
+    val budget = 1880
     val slowestFirst = results.sortBy(-_._2)
     var kept = slowestFirst.length
     while (kept > 0 && line(slowestFirst.take(kept).sortBy(_._1)).length > budget)

@@ -1002,7 +1002,8 @@ object SparkEntry {
     // P8: CCNet head/middle/tail buckets of the t11 LM score, per language
     "p8_ppl_buckets" -> ((s, dir) => {
       val d = docs(s, dir)
-      val lm = TextOps.bigramLikelihood(d, col("text"), col("doc_id"))
+      val lm = TextOps.bigramLikelihood(d, col("text"), col("doc_id"),
+        ordered = false)
       TextOps.scoreBuckets(
         lm.join(d.select(col("doc_id"), col("lang")), Seq("doc_id")),
         col("lang"), col("lm_score"), col("doc_id"))
@@ -1011,11 +1012,16 @@ object SparkEntry {
     // global budget is spent; exact distributed prefix sum)
     "p9_token_budget" -> ((s, dir) => {
       val d = docs(s, dir)
-      val lm = TextOps.bigramLikelihood(d, col("text"), col("doc_id"))
-      val scored = lm.join(
-        d.select(col("doc_id"),
-          size(TextOps.tokens(col("text"))).cast("long").as("toks")),
-        Seq("doc_id"))
+      val lm = TextOps.bigramLikelihood(d, col("text"), col("doc_id"),
+        ordered = false)
+      // toks = n_bigrams + 1 exactly: the fused kernel emits one row per
+      // adjacent token pair and the c2/c1 joins drop nothing (both count
+      // frames derive from the same occurrences), so the former second
+      // corpus tokenize + (doc_id) join here carried no information.
+      // Inner-join semantics unchanged: docs below 2 tokens never reach
+      // lm, and only lm docs survived the join.
+      val scored = lm.select(col("doc_id"), col("lm_score"),
+        (col("n_bigrams") + lit(1L)).as("toks"))
       Pack.tokenBudgetSelect(scored, col("doc_id"), col("lm_score"),
         col("toks"), budget = 12000L)
     }),
@@ -1091,11 +1097,12 @@ object SparkEntry {
         .select(col("doc_id").as("qid"),
           substring(col("text"), 1, 60).as("qt"))
       val sparse = TextOps.bm25TopK(d, col("text"), col("doc_id"),
-        q, col("qt"), col("qid"), k = 20)
+        q, col("qt"), col("qid"), k = 20, ordered = false)
         .select(col("query_id"), col("doc_id"), col("rk"))
       val e = emb(s, dir)
       val dense = Similarity.bruteForceTopK(e,
-        e.filter(col("vec_id") % 100 === 0), "embedding", "vec_id", k = 20)
+        e.filter(col("vec_id") % 100 === 0), "embedding", "vec_id", k = 20,
+        ordered = false)
         .select(col("query_id"), col("neighbor_id").as("doc_id"),
           col("rk").cast("long").as("rk"))
       Similarity.rrfFuse(Seq(sparse, dense), kRrf = 60, topK = 10)

@@ -346,9 +346,10 @@ object Dedup {
     * O(component diameter) rounds — near-dup components are shallow
     * (stars/chains of a handful of docs), so 3-5 rounds close 100 TB runs.
     * Each round is one shuffle of (node, label) pairs, never edges², and
-    * the edge list is cached once. The loop stops early at a fixpoint
-    * (checked with a cheap count, the driver-side analogue of Pregel's
-    * "no messages" halt).
+    * the edge list is cached once. The loop stops early at a fixpoint,
+    * read from an observed metric on the round's own checkpoint job
+    * (the driver-side analogue of Pregel's "no messages" halt, at zero
+    * extra jobs per round).
     */
   def resolveGroups(
       pairs: DataFrame, aCol: String = "doc_a", bCol: String = "doc_b",
@@ -360,7 +361,11 @@ object Dedup {
     // localCheckpoint (not cache): materializes AND truncates lineage, so
     // the logical plan stays constant-depth across rounds — with plain
     // cache the plan nests once per iteration and analysis/recovery cost
-    // grows without bound at cluster scale (the GraphFrames CC pattern)
+    // grows without bound at cluster scale (the GraphFrames CC pattern).
+    // The init checkpoint is load-bearing: round 0 references the labels
+    // through two differently-keyed joins, which ReuseExchange cannot
+    // share (measured: skipping it re-ran the aggregate twice, tasks
+    // 129 -> 221 on p5).
     var ckpt = edges.groupBy(col("src").as("id"))
       .agg(least(min(col("dst")), first(col("src"))).as("label"))
       .localCheckpoint()
@@ -371,18 +376,25 @@ object Dedup {
       // neighborhood min: each node's label offered to every neighbor
       val offered = edges.join(labels, col("dst") === col("id"))
         .groupBy(col("src").as("id")).agg(min(col("label")).as("nmin"))
-      // carry the previous label through the checkpoint so convergence
-      // detection is a filter on the materialized result, not a second
-      // join against the previous round
+      // convergence detection rides the checkpoint job as an observed
+      // metric (CollectMetrics evaluates during materialization), so
+      // the previous per-round `isEmpty` action — up to four take-ramp
+      // jobs over an all-partitions-empty frame on the converged round
+      // — is gone: one job per propagation round. The `old` column is
+      // consumed by the metric below the final projection and never
+      // reaches the checkpointed rows.
+      val obs = org.apache.spark.sql.Observation()
       val stepped = labels.join(offered, Seq("id"), "left")
         .select(col("id"), col("label").as("old"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .observe(obs, count(when(col("label") < col("old"), 1)).as("changed"))
+        .select(col("id"), col("label"))
         .localCheckpoint()
       // a propagation fixed point IS full convergence (labels are
       // monotone non-increasing; unchanged everywhere ⇒ every node
       // already holds its neighborhood min), so check BEFORE jumping —
       // the final round never pays the jump join
-      converged = stepped.filter(col("label") < col("old")).isEmpty
+      converged = obs.get("changed").asInstanceOf[Long] == 0L
       if (converged || round == 0) {
         // round 0 also skips the jump: star-shaped candidate graphs
         // (minhash/dhash hub expansion) converge in 1-2 propagation
@@ -390,7 +402,7 @@ object Dedup {
         // from round 1 and still close in O(log diameter) rounds
         ckpt.unpersist()
         ckpt = stepped
-        labels = stepped.select("id", "label")
+        labels = stepped
       } else {
         // pointer-jumping shortcut: each node adopts its label's label
         // (labels only decrease, and every label is itself a node id) —

@@ -55,15 +55,18 @@ object Similarity {
       .orderBy("query_id", "rk")
   }
 
-  private def perQueryTopK(scored: DataFrame, k: Int): DataFrame = {
+  private def perQueryTopK(scored: DataFrame, k: Int,
+      ordered: Boolean = true): DataFrame = {
     val topk = TopK.longIds(k)
-    scored
+    val out = scored
       .groupBy(col("query_id"))
       .agg(topk(col("cosine"), col("neighbor_id")).as("top"))
       .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "s")))
       .select(col("query_id"), col("s.id").as("neighbor_id"),
         col("s.score").as("cosine"), (col("pos") + 1).as("rk"))
-      .orderBy("query_id", "rk")
+    // ranks come from posexplode, not the sort — consumers that
+    // re-aggregate (s10's RRF fusion) skip the discarded global sort
+    if (ordered) out.orderBy("query_id", "rk") else out
   }
 
   /** float[] → double[] (deterministic widening; matches SQL CAST). */
@@ -126,7 +129,8 @@ object Similarity {
     */
   def bruteForceTopK(
       corpus: DataFrame, queries: DataFrame,
-      vecCol: String, idCol: String, k: Int): DataFrame = {
+      vecCol: String, idCol: String, k: Int,
+      ordered: Boolean = true): DataFrame = {
     // null embeddings are skipped, not crashed on: the pack/dot kernels
     // receive reference-typed arguments, so a NULL row would NPE the task
     val q = queries.filter(col(vecCol).isNotNull)
@@ -140,7 +144,7 @@ object Similarity {
     val scored = c.crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine", dotBin(col("qv"), col("cv")) / (col("qn") * col("cn")))
-    perQueryTopK(scored, k)
+    perQueryTopK(scored, k, ordered)
   }
 
   /** Deterministic pseudo-random hyperplanes: component i of plane p is

@@ -95,6 +95,11 @@ object TextOps {
     * partitions than cores; locally the one shuffle of the compact
     * (ids + hashes) frame buys cores× parallelism for the whole rest of
     * the plan. Deterministic (hash partitioning, not round-robin).
+    *
+    * Assumes a scan-rooted input: `df.rdd.getNumPartitions` forces
+    * physical planning of the subtree, which is cheap for the scan+kernel
+    * call sites here but would trigger AQE query-stage execution (running
+    * upstream work twice) on a frame whose plan contains exchanges.
     */
   private[ops] def spread(df: DataFrame, key: Column): DataFrame = {
     val cores = df.sparkSession.sparkContext.defaultParallelism
@@ -484,7 +489,8 @@ object TextOps {
     * join against ONE count row each, no expansion.
     */
   def bigramLikelihood(
-      df: DataFrame, text: Column, idCol: Column): DataFrame = {
+      df: DataFrame, text: Column, idCol: Column,
+      ordered: Boolean = true): DataFrame = {
     // count and join on 63-bit gram hashes, not gram strings: 8-byte
     // shuffle keys instead of variable-width text (the two count joins
     // carry every bigram occurrence — key width IS the shuffle). hex64
@@ -514,14 +520,16 @@ object TextOps {
     // than the registration, and the returned plan's QE is allocated at
     // Dataset CONSTRUCTION time
     releaseAfterUse(big)
-    val out = big.join(c2, Seq("h2"))
+    val agg = big.join(c2, Seq("h2"))
       .join(c1, Seq("h1"))
       .withColumn("q", expr("(1000000 * c2) div c1"))
       .groupBy("doc_id")
       .agg(expr("sum(q) div count(*)").as("lm_score"),
         count(lit(1)).as("n_bigrams"))
-      .orderBy("doc_id")
-    out
+    // `ordered = false` for consumers that immediately re-shuffle the
+    // scores (p8's bucket join, p9's budget selection): the global sort
+    // they discard costs a sampling pass plus a range exchange
+    if (ordered) agg.orderBy("doc_id") else agg
   }
 
   /** Kneser-Ney smoothed bigram likelihood (the CCNet/KenLM-grade
@@ -773,11 +781,17 @@ object TextOps {
     * onto big posting lists; AQE skew-split applies, and real
     * deployments drop df>threshold terms the same way [[ngramJaccardPairs]]
     * caps postings.
+    *
+    * Contract: `qIdCol` must be unique per query row. Per-query term
+    * de-duplication happens inside the tokenize kernel (distinct mode),
+    * so duplicate query ids would double-count their terms' contribs —
+    * there is deliberately no row-level distinct on (query_id, term).
     */
   def bm25TopK(
       docs: DataFrame, text: Column, idCol: Column,
       queries: DataFrame, qText: Column, qIdCol: Column,
-      k: Int = 5, k1Milli: Long = 1200, bMilli: Long = 750): DataFrame = {
+      k: Int = 5, k1Milli: Long = 1200, bMilli: Long = 750,
+      ordered: Boolean = true): DataFrame = {
     // postings keyed on 63-bit term hashes, not term strings: 8-byte
     // shuffle/agg keys instead of variable-width text. Same md5-prefix
     // hash on both engines, and 63 bits keeps term identity
@@ -830,8 +844,10 @@ object TextOps {
       .select(col("query_id"), posexplode(col("_top")).as(Seq("pos", "t")))
       .select(col("query_id"), (col("pos") + 1).cast("long").as("rk"),
         col("t.id").as("doc_id"), col("t.score").cast("long").as("score_ppm"))
-      .orderBy("query_id", "rk")
-    out
+    // `ordered = false` for consumers that re-aggregate the ranking
+    // (s10's RRF fusion): ranks come from posexplode, not the sort, so
+    // the discarded global sort (sampling pass + range exchange) is skipped
+    if (ordered) out.orderBy("query_id", "rk") else out
   }
 
   /** T15: Naive-Bayes-style text classifier, trained and applied in one
@@ -899,12 +915,19 @@ object TextOps {
     // after ctcM's build-time count (it consumes tf's cache), before
     // the returned Dataset exists (see bigram note)
     releaseAfterUse(tf, ctcM)
+    // model pivoted to ONE row per term carrying a per-class count map:
+    // the term join then moves |tf| rows instead of |tf|·|classes| (the
+    // class expansion happens AFTER the join, map-side via the broadcast
+    // cross join), and a missing map entry is exactly the old left-join
+    // ctc=0 fill. NO broadcast hint on the model: it still scales with
+    // the corpus vocabulary; Catalyst/AQE broadcasts it when it fits.
+    val mdl = ctcM.groupBy("term")
+      .agg(map_from_entries(collect_list(struct(col("clazz"), col("ctc"))))
+        .as("cw"))
     val scored = tf.select("doc_id", "term", "tf")
+      .join(mdl, Seq("term"), "left")
       .crossJoin(broadcast(classes))
-      // NO broadcast hint: the (class, term) model is the one frame
-      // here that scales with the corpus
-      .join(ctcM, Seq("clazz", "term"), "left")
-      .na.fill(0L, Seq("ctc"))
+      .withColumn("ctc", coalesce(element_at(col("cw"), col("clazz")), lit(0L)))
       .join(broadcast(ctot), Seq("clazz"))
       .crossJoin(broadcast(vocab))
       .withColumn("w", expr("(1000000 * (ctc + 1)) div (ctot + v)"))
@@ -946,6 +969,10 @@ object TextOps {
       df: DataFrame, groupCol: Column, scoreCol: Column, idCol: Column)
       : DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // the threshold aggregate and the final bucket join both consume
+    // `base`, but its upstream exchanges are shared by ReuseExchange
+    // within the one plan (measured on p8: a materialize here only
+    // added a checkpoint job at flat task time) — so no checkpoint
     val base = df.select(groupCol.as("grp"),
       scoreCol.cast("long").as("score"), idCol.cast("long").as("doc_id"))
     val cnt = base.groupBy("grp", "score").agg(count(lit(1)).as("cnt"))

@@ -26,10 +26,14 @@ object SweepBench {
       "e_fuzz_endpoints", "e_fuzz_endpoints2", "e_fuzz_endpoints3")
     val timed = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(q => fixtureOnly(q._1))
+    // a failed query records NaN, never its (near-zero) exception time —
+    // a regression must read as a failure in the A/B totals, not a speedup
     def sweep(): Map[String, Double] = timed.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"SWEEP FAIL $name: $e"); false }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else Double.NaN)
     }.toMap
     val s1 = sweep(); val s2 = sweep()
     val best = timed.map { case (n, _) => n -> math.min(s1(n), s2(n)) }
