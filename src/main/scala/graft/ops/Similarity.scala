@@ -137,6 +137,12 @@ object Similarity {
       .select(col(idCol).as("query_id"),
         pack(toDouble(col(vecCol))).as("qv"))
       .withColumn("qn", normBin(col("qv")))
+    // NOTE (r16, measured and rejected): spreading the corpus before the
+    // pack/norm kernels (the fixture scan is one task, serializing the
+    // 350 ms dense-leg pipeline on one core) paid the exchange back in
+    // scheduling: interleaved A/B over s1/s8/s10 read flat-to-worse
+    // (s10 min 1.71 s without vs 1.88 s with). At cluster scale the
+    // scan is already wide, so the fan-out would be a no-op anyway.
     val c = corpus.filter(col(vecCol).isNotNull)
       .select(col(idCol).as("neighbor_id"),
         pack(toDouble(col(vecCol))).as("cv"))

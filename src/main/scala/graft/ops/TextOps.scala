@@ -86,6 +86,20 @@ object TextOps {
       p
     } else df.localCheckpoint()
 
+  // NOTE (r16, measured and rejected): re-asserting the key's hash
+  // partitioning AFTER the localCheckpoint (the ExistingRDD reports
+  // UnknownPartitioning, so downstream key-clustered aggregates re-plan
+  // an exchange that AQE coalesces into a 1-2-task stage — 480 ms
+  // serialized on t22's (query, doc) aggregate) was tried as
+  // `materialize(spread(..)).repartition(defaultParallelism, key)`.
+  // Solo, it split that stage into 33 tasks (450 -> 145 ms); across the
+  // 8 affected queries in interleaved A/B sweeps it was a net LOSS
+  // (sum of per-query minima 12.26 s with vs 10.58 s without): every
+  // consumer stage then runs cores× micro-tasks whose scheduling
+  // overhead exceeds the serialized-stage saving at bench scale. In
+  // reliable (cluster) mode the persist path preserves partitioning
+  // anyway, so production never needed it.
+
   /** Hash-repartition a kernel-built frame by `key` before
     * materialization IF its planned parallelism is below the session's:
     * a single-row-group fixture scan is one task, and a localCheckpoint
