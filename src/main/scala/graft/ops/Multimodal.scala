@@ -321,26 +321,77 @@ object Multimodal {
     // put UTF8String.substring at the top of the r15 baseline profile
     // — while a binary substr is an O(stride) copy, so total per-doc
     // work drops from O(72·len) to O(len).
-    val pre = df.select(idCol.cast("long").as("doc_id"),
-      contentCol.cast("binary").as("_bin"))
-      .select(col("doc_id"), col("_bin"),
-        length(col("_bin")).as("_blen"))
-    val stride = floor((col("_blen") + lit(71)) / lit(72)).cast("int")
-    val clen = greatest(col("_blen"), lit(1))
-    val px = transform(sequence(lit(0), lit(71)),
-      k => pmod(TextOps.hex32(concat(lit("px|"),
-        hex(col("_bin").substr(pmod(k * stride, clen) + 1, stride)))),
-        lit(256L)))
-    val withPx = pre.select(col("doc_id"), px.as("_px"))
-    val bands = (0 until 4).map { b =>
-      (0 until 16).map { j =>
-        val i = b * 16 + j; val r = i / 8; val c = i % 8
-        when(element_at(col("_px"), r * 9 + c + 1) >
-          element_at(col("_px"), r * 9 + c + 2), lit(1L << j))
-          .otherwise(lit(0L))
-      }.reduce(_ + _).as(s"band$b")
+    // FUSED kernel (r16): the former expression form evaluated the 72
+    // samples through an interpreted higher-order-function lambda (one
+    // md5 Expression eval + concat + hex per element) — ~600 ms of
+    // serial task time on the m5 bench. One JVM call per document now
+    // computes the identical px array and packs the four bands; every
+    // intermediate (uppercase hex of the byte slice, md5 of
+    // "px|"+hex, first-8-hex-chars value mod 256, the 9x8
+    // greater-than grid) reproduces the expression chain — and the
+    // DuckDB oracle — bit for bit. Null content degenerates to four
+    // zero bands exactly like the old null-propagating expressions.
+    df.select(idCol.cast("long").as("doc_id"),
+      dhashBandsUdf(contentCol.cast("binary")).as("_b"))
+      .select(col("doc_id"), col("_b._1").as("band0"),
+        col("_b._2").as("band1"), col("_b._3").as("band2"),
+        col("_b._4").as("band3"))
+  }
+
+  private val HexUpper = "0123456789ABCDEF".toCharArray
+
+  private val dhashBandsUdf = udf { (bin: Array[Byte]) =>
+    // null content: the old expression chain null-propagated every px
+    // to null, and `when(null > null, bit)` fell to 0 — four 0 bands.
+    // An empty array yields the same (all px equal), so map null -> empty.
+    val b = if (bin == null) Array.emptyByteArray else bin
+    val blen = b.length
+    val stride = (blen + 71) / 72
+    val clen = math.max(blen, 1)
+    val px = new Array[Long](72)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var k = 0
+    while (k < 72) {
+      val start = ((k.toLong * stride) % clen).toInt
+      val end = math.min(start + stride, blen)
+      // "px|" + uppercase hex of the slice (Spark's hex() is uppercase)
+      val n = math.max(end - start, 0)
+      val buf = new Array[Byte](3 + 2 * n)
+      buf(0) = 'p'; buf(1) = 'x'; buf(2) = '|'
+      var i = 0
+      while (i < n) {
+        val v = b(start + i) & 0xff
+        buf(3 + 2 * i) = HexUpper(v >>> 4).toByte
+        buf(4 + 2 * i) = HexUpper(v & 0xf).toByte
+        i += 1
+      }
+      md.reset()
+      val d = md.digest(buf)
+      // first 8 hex chars of md5 = the first 4 digest bytes, as in
+      // conv(substring(md5(s), 1, 8), 16, 10); non-negative, so
+      // pmod == %
+      val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      px(k) = h % 256L
+      k += 1
     }
-    withPx.select(col("doc_id") +: bands: _*)
+    var band0 = 0L; var band1 = 0L; var band2 = 0L; var band3 = 0L
+    var bb = 0
+    while (bb < 4) {
+      var j = 0
+      var acc = 0L
+      while (j < 16) {
+        val i = bb * 16 + j; val r = i / 8; val c = i % 8
+        if (px(r * 9 + c) > px(r * 9 + c + 1)) acc |= (1L << j)
+        j += 1
+      }
+      bb match {
+        case 0 => band0 = acc; case 1 => band1 = acc
+        case 2 => band2 = acc; case _ => band3 = acc
+      }
+      bb += 1
+    }
+    (band0, band1, band2, band3)
   }
 
   /** Near-duplicate edges, scale-safe: the naive form (all pairs within
